@@ -1,0 +1,75 @@
+package graft.queries
+
+/** ANSI-SQL twins (DuckDB dialect) of the deterministic CDC derivation in
+  * [[graft.sources.CdcSource]] and the adapter projections in
+  * [[graft.ingest.Adapters]]. Every oracle-checked parity query prefixes
+  * `WITH <cdc>` so DuckDB computes the identical inputs from the same
+  * parquet fixtures.
+  *
+  * Keep this file and CdcSource/Adapters in lockstep — the driver's
+  * correctness gate hash-compares their outputs.
+  */
+object OracleCte {
+
+  /** All CDC + activity derivations as one CTE list (no leading WITH). */
+  val cdc: String = """ev AS (
+  SELECT event_id, ts, user_id, event_type, epoch_ms(ts) AS ts_ms,
+         CASE WHEN event_id % 10 < 8 THEN 'c'
+              WHEN event_id % 10 = 8 THEN 'u' ELSE 'd' END AS __op
+  FROM events),
+likes_cdc AS (
+  SELECT event_id AS id, event_id % 997 AS shard_id,
+         CAST(user_id AS VARCHAR) AS liked_by, ts_ms, __op
+  FROM ev WHERE event_type = 'click'),
+comments_cdc AS (
+  SELECT event_id AS id, concat('msg ', event_id) AS message,
+         CAST(user_id AS VARCHAR) AS user_id,
+         event_id % 997 AS shard_id, ts_ms, __op
+  FROM ev WHERE event_type = 'view'),
+shards_cdc AS (
+  SELECT event_id AS id, concat('Shard #', event_id) AS title,
+         CAST(user_id AS VARCHAR) AS user_id,
+         CASE WHEN event_id % 3 = 0 THEN 'react'
+              WHEN event_id % 3 = 1 THEN 'node' ELSE 'static' END AS templateType,
+         CASE WHEN event_id % 2 = 0 THEN 'normal' ELSE 'collaboration' END AS mode,
+         CASE WHEN event_id % 3 = 0 THEN 'public'
+              WHEN event_id % 3 = 1 THEN 'private' ELSE 'forked' END AS type,
+         ts_ms, __op
+  FROM ev WHERE event_type = 'signup'),
+followers_cdc AS (
+  SELECT event_id AS id, CAST(user_id AS VARCHAR) AS follower_id,
+         CAST((user_id + 1 + event_id % 7)
+              % (SELECT max(user_id) + 1 FROM events) AS VARCHAR) AS following_id,
+         ts_ms, __op
+  FROM ev WHERE event_type = 'purchase'),
+act_likes AS (
+  SELECT liked_by AS user_id, 'LIKE_SHARD' AS activity_type,
+         make_timestamp(ts_ms * 1000) AS event_timestamp,
+         CAST(shard_id AS VARCHAR) AS target_id, 'shard' AS target_type,
+         'likes' AS md_source_table, CAST(id AS VARCHAR) AS md_primary_key_value,
+         CAST(NULL AS VARCHAR) AS md_message, CAST(NULL AS VARCHAR) AS md_title,
+         CAST(NULL AS VARCHAR) AS md_template_type, CAST(NULL AS VARCHAR) AS md_mode,
+         CAST(NULL AS VARCHAR) AS md_type, id AS activity_pk
+  FROM likes_cdc WHERE __op = 'c'),
+act_comments AS (
+  SELECT user_id, 'COMMENT_SHARD', make_timestamp(ts_ms * 1000),
+         CAST(shard_id AS VARCHAR), 'shard',
+         'comments', CAST(id AS VARCHAR), message, NULL, NULL, NULL, NULL, id
+  FROM comments_cdc WHERE __op = 'c'),
+act_shards AS (
+  SELECT user_id, 'CREATE_SHARD', make_timestamp(ts_ms * 1000),
+         CAST(id AS VARCHAR), 'shard',
+         'shards', CAST(id AS VARCHAR), NULL, title, templateType, mode, type, id
+  FROM shards_cdc WHERE __op = 'c'),
+act_follows AS (
+  SELECT follower_id AS user_id, 'FOLLOW_USER', make_timestamp(ts_ms * 1000),
+         following_id, 'user',
+         'followers', CAST(id AS VARCHAR), NULL, NULL, NULL, NULL, NULL, id
+  FROM followers_cdc WHERE __op = 'c'),
+activity AS (
+  SELECT * FROM act_likes UNION ALL SELECT * FROM act_comments
+  UNION ALL SELECT * FROM act_shards UNION ALL SELECT * FROM act_follows)"""
+
+  /** Wrap a SELECT with the shared CTEs. */
+  def withCdc(select: String): String = s"WITH $cdc\n$select"
+}

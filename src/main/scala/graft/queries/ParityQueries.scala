@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.ingest.{CdcEnvelope, Pipeline}
+import graft.serve.FeedQueries
+import graft.sources.CdcSource
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked parity queries — every operator of SURVEY.md §2 as a named
+  * (DataFrame program, DuckDB SQL) pair over the shared fixtures.
+  *
+  * Conventions for the driver's hash compare (BASELINE.md):
+  *  - every query ends in a total-order sort on unique key(s);
+  *  - column names/aliases match the oracle SQL exactly;
+  *  - generated ids (timeuuid) and map columns are excluded — maps are
+  *    flattened to `md_*` string columns.
+  */
+object ParityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** metadata map -> flat md_* columns (missing keys -> null, matching the
+    * SQL branches' typed NULLs). */
+  private val mdCols: Seq[Column] = Seq(
+    "source_table", "primary_key_value", "message", "title",
+    "template_type", "mode", "type"
+  ).map(k => col("metadata").getItem(k).as(s"md_$k"))
+
+  private val coreCols: Seq[Column] = Seq(
+    col("user_id"), col("activity_type"), col("event_timestamp"),
+    col("target_id"), col("target_type"))
+
+  def flatten(activity: DataFrame): DataFrame =
+    activity.select(coreCols ++ mdCols :+ col("activity_pk"): _*)
+
+  /** The full derived activity stream (deterministic core, no timeuuid). */
+  def activityFlat(spark: SparkSession, dir: String): DataFrame = {
+    val (l, c, s, f) = CdcSource.all(spark, dir)
+    flatten(Pipeline.activityRaw(l, c, s, f))
+  }
+
+  private def activityCore(spark: SparkSession, dir: String): DataFrame =
+    activityFlat(spark, dir).select(coreCols :+ col("activity_pk"): _*)
+
+  /** Live follow edges (creates only) for the feed semi-join. */
+  private def followEdges(spark: SparkSession, dir: String): DataFrame =
+    CdcEnvelope.admitted(CdcSource.followers(CdcSource.events(spark, dir)))
+
+  private val feedUid = "1"
+  private val feedSql =
+    s"""FROM activity
+WHERE user_id IN (SELECT DISTINCT following_id FROM followers_cdc
+                  WHERE __op = 'c' AND follower_id = '$feedUid')"""
+
+  // ---------------------------------------------------------------- queries
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // P1-P4 + F2/F3: per-table adapter outputs (creates only)
+    ("cdc_adapter_likes",
+      (s: SparkSession, d: String) => flatten(graft.ingest.Adapters.likes(
+        CdcEnvelope.admitted(CdcSource.likes(CdcSource.events(s, d)))))
+        .orderBy("activity_pk"),
+      Some(OracleCte.withCdc(
+        "SELECT * FROM act_likes ORDER BY activity_pk"))),
+
+    ("cdc_adapter_comments",
+      (s: SparkSession, d: String) => flatten(graft.ingest.Adapters.comments(
+        CdcEnvelope.admitted(CdcSource.comments(CdcSource.events(s, d)))))
+        .orderBy("activity_pk"),
+      Some(OracleCte.withCdc(
+        "SELECT * FROM act_comments ORDER BY activity_pk"))),
+
+    ("cdc_adapter_shards",
+      (s: SparkSession, d: String) => flatten(graft.ingest.Adapters.shards(
+        CdcEnvelope.admitted(CdcSource.shards(CdcSource.events(s, d)))))
+        .orderBy("activity_pk"),
+      Some(OracleCte.withCdc(
+        "SELECT * FROM act_shards ORDER BY activity_pk"))),
+
+    ("cdc_adapter_follows",
+      (s: SparkSession, d: String) => flatten(graft.ingest.Adapters.followers(
+        CdcEnvelope.admitted(CdcSource.followers(CdcSource.events(s, d)))))
+        .orderBy("activity_pk"),
+      Some(OracleCte.withCdc(
+        "SELECT * FROM act_follows ORDER BY activity_pk"))),
+
+    // §2.6 union of the four branches into one activity stream
+    ("cdc_activity_union",
+      (s: SparkSession, d: String) => activityFlat(s, d).orderBy("activity_pk"),
+      Some(OracleCte.withCdc(
+        "SELECT * FROM activity ORDER BY activity_pk"))),
+
+    // F2/F3 audit: op mix per source table (verifies the 8:1:1 gate input)
+    ("cdc_gate_audit",
+      (s: SparkSession, d: String) => {
+        val ev = CdcSource.events(s, d)
+        Seq(CdcSource.likes(ev), CdcSource.comments(ev),
+            CdcSource.shards(ev), CdcSource.followers(ev))
+          .map(_.select(col("__source_table").as("source_table"), col("__op")))
+          .reduce(_ unionByName _)
+          .groupBy("source_table", "__op")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("source_table", "__op")
+      },
+      Some(s"""WITH ${OracleCte.cdc},
+gates AS (
+  SELECT 'likes' AS source_table, __op FROM likes_cdc
+  UNION ALL SELECT 'comments', __op FROM comments_cdc
+  UNION ALL SELECT 'shards', __op FROM shards_cdc
+  UNION ALL SELECT 'followers', __op FROM followers_cdc)
+SELECT source_table, __op, count(*) AS n
+FROM gates GROUP BY source_table, __op ORDER BY source_table, __op""")),
+
+    // J1+T1+T2: the flagship feed page (semi-join, sort, offset/limit)
+    ("feed_page",
+      (s: SparkSession, d: String) => FeedQueries.feedPage(
+        activityCore(s, d), followEdges(s, d), feedUid, limit = 50, offset = 10),
+      Some(OracleCte.withCdc(
+        s"""SELECT user_id, activity_type, event_timestamp, target_id,
+       target_type, activity_pk
+$feedSql
+ORDER BY event_timestamp DESC, activity_pk DESC
+LIMIT 50 OFFSET 10"""))),
+
+    // T2 keyset variant: cursor-based pagination (the 100 TB answer)
+    ("feed_page_keyset",
+      (s: SparkSession, d: String) => FeedQueries.feedPageAfter(
+        activityCore(s, d), followEdges(s, d), feedUid,
+        lastTsMillis = 1705276800000L, lastPk = 0L, limit = 50),
+      Some(OracleCte.withCdc(
+        s"""SELECT user_id, activity_type, event_timestamp, target_id,
+       target_type, activity_pk
+$feedSql
+  AND (event_timestamp < TIMESTAMP '2024-01-15 00:00:00'
+       OR (event_timestamp = TIMESTAMP '2024-01-15 00:00:00'
+           AND activity_pk < 0))
+ORDER BY event_timestamp DESC, activity_pk DESC
+LIMIT 50"""))),
+
+    // P5: API-shape rendering (ISO time, null-safe strings)
+    ("feed_render",
+      (s: SparkSession, d: String) => FeedQueries.render(FeedQueries.feedPage(
+        activityCore(s, d), followEdges(s, d), feedUid, limit = 50, offset = 10)),
+      Some(OracleCte.withCdc(
+        s"""SELECT user_id, activity_type,
+       strftime(event_timestamp, '%Y-%m-%dT%H:%M:%S') AS event_time_iso,
+       coalesce(target_id, '') AS target_id,
+       coalesce(target_type, '') AS target_type,
+       activity_pk
+$feedSql
+ORDER BY event_timestamp DESC, activity_pk DESC
+LIMIT 50 OFFSET 10"""))),
+
+    // A1: feed result count
+    ("feed_count",
+      (s: SparkSession, d: String) => FeedQueries.pageCount(
+        activityCore(s, d).join(
+          broadcast(FeedQueries.followeesOf(followEdges(s, d), feedUid)),
+          Seq("user_id"), "left_semi")),
+      Some(OracleCte.withCdc(s"SELECT count(*) AS n\n$feedSql"))),
+
+    // T1: newest-k per user (the clustering-order read as a ranking window)
+    ("feed_topk_per_user",
+      (s: SparkSession, d: String) =>
+        FeedQueries.topKPerUser(activityCore(s, d), k = 3)
+          .select("user_id", "activity_type", "event_timestamp",
+                  "activity_pk", "rn")
+          .orderBy("user_id", "rn"),
+      Some(OracleCte.withCdc(
+        """SELECT user_id, activity_type, event_timestamp, activity_pk, rn
+FROM (SELECT user_id, activity_type, event_timestamp, activity_pk,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY event_timestamp DESC, activity_pk DESC) AS rn
+      FROM activity) r
+WHERE rn <= 3
+ORDER BY user_id, rn""")))
+  )
+
+  val queries: Map[String, Q] =
+    defs.map { case (n, q, _) => n -> q }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}
