@@ -52,19 +52,31 @@ act_likes AS (
          CAST(NULL AS VARCHAR) AS md_type, id AS activity_pk
   FROM likes_cdc WHERE __op = 'c'),
 act_comments AS (
-  SELECT user_id, 'COMMENT_SHARD', make_timestamp(ts_ms * 1000),
-         CAST(shard_id AS VARCHAR), 'shard',
-         'comments', CAST(id AS VARCHAR), message, NULL, NULL, NULL, NULL, id
+  SELECT user_id, 'COMMENT_SHARD' AS activity_type,
+         make_timestamp(ts_ms * 1000) AS event_timestamp,
+         CAST(shard_id AS VARCHAR) AS target_id, 'shard' AS target_type,
+         'comments' AS md_source_table, CAST(id AS VARCHAR) AS md_primary_key_value,
+         message AS md_message, CAST(NULL AS VARCHAR) AS md_title,
+         CAST(NULL AS VARCHAR) AS md_template_type, CAST(NULL AS VARCHAR) AS md_mode,
+         CAST(NULL AS VARCHAR) AS md_type, id AS activity_pk
   FROM comments_cdc WHERE __op = 'c'),
 act_shards AS (
-  SELECT user_id, 'CREATE_SHARD', make_timestamp(ts_ms * 1000),
-         CAST(id AS VARCHAR), 'shard',
-         'shards', CAST(id AS VARCHAR), NULL, title, templateType, mode, type, id
+  SELECT user_id, 'CREATE_SHARD' AS activity_type,
+         make_timestamp(ts_ms * 1000) AS event_timestamp,
+         CAST(id AS VARCHAR) AS target_id, 'shard' AS target_type,
+         'shards' AS md_source_table, CAST(id AS VARCHAR) AS md_primary_key_value,
+         CAST(NULL AS VARCHAR) AS md_message, title AS md_title,
+         templateType AS md_template_type, mode AS md_mode,
+         type AS md_type, id AS activity_pk
   FROM shards_cdc WHERE __op = 'c'),
 act_follows AS (
-  SELECT follower_id AS user_id, 'FOLLOW_USER', make_timestamp(ts_ms * 1000),
-         following_id, 'user',
-         'followers', CAST(id AS VARCHAR), NULL, NULL, NULL, NULL, NULL, id
+  SELECT follower_id AS user_id, 'FOLLOW_USER' AS activity_type,
+         make_timestamp(ts_ms * 1000) AS event_timestamp,
+         following_id AS target_id, 'user' AS target_type,
+         'followers' AS md_source_table, CAST(id AS VARCHAR) AS md_primary_key_value,
+         CAST(NULL AS VARCHAR) AS md_message, CAST(NULL AS VARCHAR) AS md_title,
+         CAST(NULL AS VARCHAR) AS md_template_type, CAST(NULL AS VARCHAR) AS md_mode,
+         CAST(NULL AS VARCHAR) AS md_type, id AS activity_pk
   FROM followers_cdc WHERE __op = 'c'),
 activity AS (
   SELECT * FROM act_likes UNION ALL SELECT * FROM act_comments
