@@ -160,6 +160,43 @@ LIMIT 50 OFFSET 10"""))),
           Seq("user_id"), "left_semi")),
       Some(OracleCte.withCdc(s"SELECT count(*) AS n\n$feedSql"))),
 
+    // K1+S4: same flagship page served from the materialized, bucket-
+    // partitioned activity table (write once, prune directories at read)
+    ("feed_page_materialized",
+      (s: SparkSession, d: String) => {
+        val act = graft.sinks.ActivitySink.materialized(s, d)
+        val followees = FeedQueries.followeesOf(followEdges(s, d), feedUid)
+        val buckets = graft.sinks.ActivitySink.bucketsOf(followees)
+        FeedQueries.feedPageMaterialized(act, buckets, followees,
+            limit = 50, offset = 10)
+          .select("user_id", "activity_type", "event_timestamp",
+                  "target_id", "target_type", "activity_pk")
+      },
+      Some(OracleCte.withCdc(
+        s"""SELECT user_id, activity_type, event_timestamp, target_id,
+       target_type, activity_pk
+$feedSql
+ORDER BY event_timestamp DESC, activity_pk DESC
+LIMIT 50 OFFSET 10"""))),
+
+    // X9: JSON page serialization at the API edge
+    ("feed_render_json",
+      (s: SparkSession, d: String) => FeedQueries.renderJson(
+        FeedQueries.feedPage(
+          activityCore(s, d), followEdges(s, d), feedUid,
+          limit = 50, offset = 10)),
+      Some(OracleCte.withCdc(
+        s"""SELECT activity_pk,
+       to_json(struct_pack(
+         user_id := user_id,
+         activity_type := activity_type,
+         event_time_iso := strftime(event_timestamp, '%Y-%m-%dT%H:%M:%S'),
+         target_id := coalesce(target_id, ''),
+         target_type := coalesce(target_type, ''))) AS payload
+$feedSql
+ORDER BY event_timestamp DESC, activity_pk DESC
+LIMIT 50 OFFSET 10"""))),
+
     // T1: newest-k per user (the clustering-order read as a ranking window)
     ("feed_topk_per_user",
       (s: SparkSession, d: String) =>

@@ -107,4 +107,32 @@ object FeedQueries {
     * (reference: main.py:146,186). */
   def pageCount(page: DataFrame): DataFrame =
     page.agg(count(lit(1)).as("n"))
+
+  /** X9 — JSON page serialization at the API edge (reference: main.py:184,
+    * the cache-fill serialization). All fields are rendered to non-null
+    * strings first ([[render]]) so Spark's null-omitting `to_json` and the
+    * oracle's `struct_pack` agree byte-for-byte. */
+  def renderJson(page: DataFrame): DataFrame =
+    render(page).select(
+      col("activity_pk"),
+      to_json(struct(
+        col("user_id"), col("activity_type"), col("event_time_iso"),
+        col("target_id"), col("target_type"))).as("payload"))
+
+  /** Feed page over the materialized activity table (K1 read path): prune
+    * to the followees' hash-bucket directories first — at 100 TB this is
+    * the difference between scanning |followees|/N of the table and all of
+    * it — then the same broadcast semi-join + top-k. */
+  def feedPageMaterialized(
+      activityTable: DataFrame,
+      followeeBuckets: Seq[Int],
+      followees: DataFrame,
+      limit: Int,
+      offset: Int = 0): DataFrame = {
+    val page = activityTable
+      .where(col("user_bucket").isin(followeeBuckets: _*))
+      .join(broadcast(followees), Seq("user_id"), "left_semi")
+      .orderBy(col("event_timestamp").desc, col("activity_pk").desc)
+    (if (offset > 0) page.offset(offset) else page).limit(limit)
+  }
 }
