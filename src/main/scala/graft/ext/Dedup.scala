@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table: exact (normalized-text), MinHash+LSH banded near-dup,
+  * and SimHash near-dup.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is one hash-shuffle on the normalized text (Catalyst
+  *    turns the ranking window / group-min into a single exchange);
+  *  - near-dup NEVER goes all-pairs: LSH banding turns candidate generation
+  *    into `groupBy(band_id, band_hash)` — a shuffle whose key cardinality
+  *    is O(docs × bands), followed by within-bucket pairing. Verification
+  *    joins candidate id-pairs back to the shingle sets (so the wide shingle
+  *    arrays never ride through the band explode).
+  *  - SimHash is one 64-bit fingerprint per doc; banding its 16-bit quarters
+  *    gives candidates for hamming-distance verify (Manku et al., WWW'07).
+  */
+object Dedup {
+
+  import TextOps._
+
+  /** Exact dedup survivors: first doc_id per normalized-text group.
+    * One shuffle; at scale this is the canonical `groupBy(norm)` keeper
+    * pattern. */
+  def exactSurvivors(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm")).orderBy(col("doc_id"))
+    docs
+      .withColumn("norm", normText(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  // ------------------------------------------------------------- MinHash/LSH
+
+  /** Number of minhash functions = bands × rowsPerBand. 32×3 ⇒ candidate
+    * recall ≥ 1-(1-J³)³² (≈ 1 - 1e-18 at J=0.9) — effectively exact for the
+    * verify threshold while staying strictly sub-quadratic. */
+  val bands = 32
+  val rowsPerBand = 3
+  val numHashes: Int = bands * rowsPerBand
+
+  /** doc_id + distinct word-3-gram shingle set. */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      shingles(wsTokens(lower(col("text"))), 3).as("sh"))
+
+  /** MinHash signature: for seed j, min over shingles of
+    * xxhash64(j || ':' || shingle). Pure expressions — the signature of a
+    * doc is computed in one pass over its shingle array, no shuffle. */
+  def signed(sh: DataFrame): DataFrame =
+    sh.withColumn(
+      "sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        j => array_min(transform(col("sh"),
+          t => xxhash64(concat(j.cast("string"), lit(":"), t))))))
+
+  /** Candidate pairs from LSH banding: docs sharing any (band_id, band hash)
+    * bucket. Returns distinct (doc_a < doc_b) id pairs only — the scalable
+    * shape: wide arrays stay out of the shuffle. */
+  def lshCandidates(signed: DataFrame): DataFrame = {
+    val banded = signed.select(
+      col("doc_id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band_id", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Verified near-dup pairs: LSH candidates whose exact shingle Jaccard
+    * meets the threshold. Exact |∩|/|∪| on distinct shingle sets. */
+  def nearDupJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(docs).persist()
+    val cands = lshCandidates(signed(sh))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over the whitespace-token multiset: per bit b, sum ±1
+    * votes of each token's xxhash64 bit b; fingerprint bit = sign. Output is
+    * an array<int> of 64 bits (LSB first) — array form keeps the banding and
+    * hamming expressions simple and codegen-friendly. */
+  def simhashBits(tokens: Column): Column =
+    transform(
+      aggregate(
+        tokens,
+        array_repeat(lit(0), 64),
+        (acc, t) =>
+          zip_with(
+            acc,
+            transform(sequence(lit(0), lit(63)),
+              b => (call_function("shiftright", xxhash64(t), b).bitwiseAND(1) * 2 - 1).cast("int")),
+            (x, y) => x + y)),
+      s => when(s > 0, 1).otherwise(0))
+
+  /** Docs fingerprinted with simhash bits + the 4 × 16-bit band values used
+    * for candidate bucketing. */
+  def simhashed(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), simhashBits(wsTokens(lower(col("text")))).as("bits"))
+      .withColumn("bands",
+        transform(sequence(lit(0), lit(3)),
+          q => aggregate(
+            zip_with(
+              slice(col("bits"), q * 16 + 1, lit(16)),
+              sequence(lit(0), lit(15)),
+              (bit, i) => bit * call_function("shiftleft", lit(1), i)),
+            lit(0), (acc, x) => acc + x)))
+
+  /** Near-dup pairs by SimHash: candidates share at least one 16-bit band
+    * (so any pair within hamming ≤ 3 of each other is guaranteed caught;
+    * we verify up to `maxHamming`). */
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val fp = simhashed(docs).persist()
+    val banded = fp.select(
+      col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(fp.select(col("doc_id").as("doc_a"), col("bits").as("bits_a")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("bits").as("bits_b")), Seq("doc_b"))
+      .withColumn("hamming",
+        aggregate(
+          zip_with(col("bits_a"), col("bits_b"),
+            (x, y) => when(x =!= y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - [[cosineTopK]] — exact brute force: broadcast the (small) query set
+  *    against the full corpus; dot products via the `aggregate`/`zip_with`
+  *    higher-order functions in double precision (codegen'd, no UDF), then
+  *    a per-query ranking window. The baseline every ANN variant is graded
+  *    against.
+  *  - [[lshTopK]] — random-hyperplane LSH: 16 deterministic pseudo-random
+  *    hyperplanes → 16-bit sign sketch → candidates bucketed by multi-probe
+  *    bands; top-k within candidates. Sub-linear candidate sets at scale
+  *    (the corpus side shuffles once on bucket id; no all-pairs anywhere).
+  *
+  * All math is double (float inputs upcast exactly), sums fold
+  * left-to-right — bit-identical to the DuckDB oracle's explicit
+  * list-fold SQL.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** array<float> → array<double> (exact upcast). */
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Exact cosine top-k: for each query vector (vec_id < numQueries), the k
+    * nearest corpus vectors by cosine similarity. Query side is broadcast;
+    * corpus side is scanned once — the right brute-force shape at any
+    * corpus size when the query set is bounded. */
+  def cosineTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = base
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val scored = base
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("q"), col("v")) / (norm2(col("q")) * norm2(col("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** All vector pairs with cosine ≥ threshold — the embedding near-dup
+    * gate. Exact (for the oracle); the scale path for this op is
+    * [[lshTopK]]-style bucketing. */
+  def nearPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = base.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("v_a"), col("v_b")) /
+        (norm2(col("v_a")) * norm2(col("v_b"))))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------ LSH
+
+  /** Deterministic pseudo-random hyperplane component p_j[i]: a fixed
+    * hash of (j, i) mapped to [-0.5, 0.5). Reproducible everywhere with no
+    * stored model. */
+  private def plane(j: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(concat(lit(s"p$j:"), i.cast("string"))), lit(1000000L))
+        .cast("double") / 1000000.0) - 0.5)
+
+  /** Multi-table LSH shape: L independent tables of b hyperplane bits each.
+    * Recall for a pair with per-bit agreement p is 1-(1-p_probe)^L where
+    * p_probe covers the exact bucket plus every 1-bit flip (multi-probe):
+    * p_probe = p^b + b·p^(b-1)(1-p). 8×6 bits + multi-probe puts recall
+    * ≈ 0.95 at cosine ≈ 0.5 while keeping buckets dense enough to matter. */
+  val numTables = 8
+  val bitsPerTable = 6
+
+  /** b-bit sign-sketch of `v` under table `t`'s hyperplanes. */
+  def sketch(v: Column, t: Int, dim: Int): Column =
+    (0 until bitsPerTable).map { jj =>
+      val j = t * bitsPerTable + jj
+      when(dot(v, plane(j, dim)) > 0, shiftleft(lit(1), jj)).otherwise(lit(0))
+    }.reduce[Column](_ + _)
+
+  /** (table_id, bucket) pairs of a vector — the corpus side explodes to L
+    * rows per vector, shuffled once on (table, bucket); no all-pairs. */
+  private def bucketed(base: DataFrame, dim: Int): DataFrame =
+    base.select(
+      col("*"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("table_id"), sketch(col("v"), t, dim).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.table_id"), col("tb.bucket"))
+
+  /** ANN top-k via multi-table hyperplane LSH with 1-bit multi-probe.
+    * Recall measured against [[cosineTopK]] by the `ann_recall` query. */
+  def lshTopK(embeddings: DataFrame, numQueries: Int, k: Int, dim: Int = 64): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = bucketed(base, dim)
+    val queries = bucketed(base.where(col("vec_id") < numQueries), dim)
+      .select(col("vec_id").as("q_id"), col("v").as("q"),
+        col("table_id").as("q_table"), col("bucket").as("q_bucket"))
+      // multi-probe: the exact bucket + every 1-bit flip
+      .withColumn("probe",
+        explode(concat(
+          array(col("q_bucket")),
+          transform(sequence(lit(0), lit(bitsPerTable - 1)),
+            j => col("q_bucket").bitwiseXOR(call_function("shiftleft", lit(1), j))))))
+    val cands = corpus
+      .join(broadcast(queries),
+        col("table_id") === col("q_table") && col("bucket") === col("probe") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q"), col("vec_id"), col("v"))
+      .dropDuplicates("q_id", "vec_id") // a pair can collide in several tables/probes
+      .withColumn("sim", dot(col("q"), col("v")) / (norm2(col("q")) * norm2(col("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Recall@k of the LSH path vs the exact brute force, per query —
+    * the honest quality metric for the approximate path. */
+  def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, numQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = lshTopK(embeddings, numQueries, k)
+      .select(col("q_id"), col("neighbor_id").as("approx_id"))
+    exact
+      .join(approx,
+        exact("q_id") === approx("q_id") &&
+          col("neighbor_id") === col("approx_id"),
+        "left")
+      .groupBy(exact("q_id").as("qid"))
+      .agg((count(col("approx_id")).cast("double") / k).as("recall"))
+      .orderBy("qid")
+  }
+}

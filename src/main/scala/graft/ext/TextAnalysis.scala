@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: per-corpus stats, token
+  * counting, heuristic language ID, quality scoring, and fingerprinting —
+  * the standard pre-training corpus triage set. All pure expressions +
+  * one-shuffle aggregates; every op has a DuckDB oracle twin.
+  */
+object TextAnalysis {
+
+  import TextOps._
+
+  /** Per-language corpus stats: doc counts, char/token means, source
+    * diversity. One hash-aggregate shuffle (map-side partials first). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", size(wsTokens(col("text"))))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        avg(length(col("text"))).as("avg_len"),
+        avg(col("toks")).as("avg_tokens"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("lang")
+
+  /** Per-doc token counts: whitespace and BPE-ish pre-tokenizer. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("ws_tokens"),
+      bpeIshTokenCount(col("text")).as("bpe_ish_tokens"),
+      length(col("text")).as("len_chars"),
+      col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID: score each language by stopword-lexicon hits
+    * over the token stream; predict the max-scoring language with a fixed
+    * tie-break order (the lexica order). Deterministic by construction. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("labeled_lang") +:
+        langLexica.map { case (l, lex) => lexiconHits(toks, lex).as(s"s_$l") }): _*)
+    // predicted = first language (in lexica order) achieving the max score
+    val predicted = langLexica.map(_._1).foldRight(lit("und")) {
+      case (l, rest) =>
+        val isMax = langLexica.map(_._1).foldLeft(lit(true)) {
+          case (acc, other) => acc && col(s"s_$l") >= col(s"s_$other")
+        }
+        when(isMax, lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .withColumn("correct",
+        when(col("predicted_lang") === col("labeled_lang"), 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** Lang-id accuracy rollup per labeled language. */
+  def langIdAccuracy(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy("labeled_lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("correct").as("n_correct"),
+        (sum("correct").cast("double") / count(lit(1))).as("accuracy"))
+      .orderBy("labeled_lang")
+
+  /** Per-doc quality features + composite score (length band, punctuation
+    * ratio, stopword ratio, alpha ratio) — the usual cheap quality gates for
+    * corpus filtering, as exact arithmetic both engines reproduce. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val toks = wsTokens(lower(col("text")))
+    val nToks = size(toks)
+    val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+    val alpha = regexp_count(col("text"), lit("[a-zA-Z]"))
+    val stops = lexiconHits(toks, langLexica.toMap.apply("en"))
+    docs.select(
+      col("doc_id"),
+      len.as("len_chars"),
+      nToks.as("n_tokens"),
+      (punct.cast("double") / len).as("punct_ratio"),
+      (alpha.cast("double") / len).as("alpha_ratio"),
+      (stops.cast("double") / nToks).as("stopword_ratio"),
+      (least(nToks, lit(256)).cast("double") / 256 * 0.4
+        + (alpha.cast("double") / len) * 0.4
+        + least(stops.cast("double") / nToks * 5, lit(1.0)) * 0.2)
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc fingerprints: md5 of the normalized text (exact identity) and
+    * the lexicographic-min md5 over word-3-gram shingles (a rolling-hash
+    * style locality fingerprint — equal for near-identical docs). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = normText(col("text"))
+    val sh = shingles(wsTokens(lower(col("text"))), 3)
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("exact_md5"),
+      array_min(transform(sh, s => md5(s))).as("min_shingle_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct-count triple (exact — oracle-checked). */
+  def distinctExact(docs: DataFrame): DataFrame =
+    docs.agg(
+      countDistinct(normText(col("text"))).as("distinct_norm_texts"),
+      countDistinct(col("source")).as("distinct_sources"),
+      countDistinct(col("lang")).as("distinct_langs"))
+
+  /** Approximate distinct (HLL++) — declared-approximate, verified as a
+    * rows-only query plus a ScalaTest tolerance assertion vs the exact
+    * counts. */
+  def distinctApprox(docs: DataFrame): DataFrame =
+    docs.agg(
+      approx_count_distinct(normText(col("text"))).as("approx_norm_texts"),
+      approx_count_distinct(col("source")).as("approx_sources"))
+}

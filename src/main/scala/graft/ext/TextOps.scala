@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-expression building blocks for the training-data-pipeline
+  * tier (dedup, quality, lang-id, fingerprinting). Everything here is a pure
+  * `Column` expression — codegen'd, shuffle-free, no UDFs — so the hot path
+  * stays inside whole-stage codegen at any scale.
+  *
+  * Every expression has an exact DuckDB twin in [[graft.queries]] oracle SQL;
+  * keep the two in lockstep (regex semantics, token boundaries, 1-based
+  * slicing) or the driver's hash gate will flag it.
+  */
+object TextOps {
+
+  /** Canonical text normalization for exact dedup: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs, trim.
+    * (DuckDB twin: `trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))` —
+    * note the 'g' flag; Spark replaces all matches by default.) */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of (already trimmed) text.
+    * (DuckDB twin: `string_split_regex(trim(x), '\s+')`.) */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles over a token array, 1-based windows —
+    * the unit of near-dup similarity. Empty when the doc has < n tokens
+    * (DuckDB twin: `list_distinct(list_transform(range(1, len(s)-(n-1)),
+    * i -> array_to_string(list_slice(s, i, i+n-1), ' ')))`). */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ", slice(tokens, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE-ish token count: alphanumeric runs plus isolated non-space
+    * punctuation — the standard pre-tokenizer shape.
+    * (DuckDB twin: `len(regexp_extract_all(lower(x), pat))`.) */
+  val bpeIshPattern = "[a-z0-9]+|[^a-z0-9\\s]"
+  def bpeIshTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(bpeIshPattern))
+
+  /** Count of tokens present in a fixed lexicon (used by lang-id scoring and
+    * stopword ratios). Counts every hit, not distinct hits.
+    * (DuckDB twin: `len(list_filter(toks, t -> list_contains(lex, t)))`.) */
+  def lexiconHits(tokens: Column, lexicon: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(lexicon)))
+
+  /** Small public stopword lexica for the lang-id heuristic (top function
+    * words per language — common knowledge lists, not derived from any
+    * corpus). */
+  val langLexica: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "que", "los", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "他"))
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registered queries for the training-data-pipeline tier (SURVEY.md §7.5 +
+  * builder brief): dedup, text analysis, similarity search. Oracle SQL is
+  * the DuckDB twin of each DataFrame program; ops that are inherently
+  * approximate (HLL, LSH top-k, SimHash banding) are registered rows-only
+  * and verified by ScalaTest instead.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  // Shared DuckDB fragments — twins of graft.ext.TextOps. Keep in lockstep.
+  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val shinglesSql =
+    """CASE WHEN len(toks) >= 3
+       THEN list_distinct(list_transform(range(1, len(toks)-1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       ELSE [] END"""
+
+  private def lexSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val enLex = lexSql(graft.ext.TextOps.langLexica.toMap.apply("en"))
+
+  // 64-dim literal dot products (left-to-right sum == Spark's left fold).
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ------------------------------------------------------------- dedup
+    ("dedup_exact",
+      (s: SparkSession, d: String) =>
+        Dedup.exactSurvivors(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH n AS (SELECT *, $normSql AS norm FROM documents),
+r AS (SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM n)
+SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
+    ("near_dup_jaccard",
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupJaccard(docs(s, d), threshold = 0.8)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+ORDER BY doc_a, doc_b""")),
+
+    // SimHash banding is hash-function-specific (xxhash64): rows-only +
+    // ScalaTest (known near-dup pairs must appear with small hamming).
+    ("near_dup_simhash",
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupSimhash(docs(s, d), maxHamming = 3)
+          .orderBy("doc_a", "doc_b"),
+      None),
+
+    // ----------------------------------------------------- text analysis
+    ("text_stats",
+      (s: SparkSession, d: String) => TextAnalysis.corpusStats(docs(s, d)),
+      Some(s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       avg(length(text)) AS avg_len,
+       avg(len($toksSql)) AS avg_tokens,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang ORDER BY lang""")),
+
+    ("token_count",
+      (s: SparkSession, d: String) => TextAnalysis.tokenCounts(docs(s, d)),
+      Some(s"""SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+       length(text) AS len_chars, n_chars
+FROM documents ORDER BY doc_id""")),
+
+    ("lang_id",
+      (s: SparkSession, d: String) => TextAnalysis.langId(docs(s, d)),
+      Some {
+        val scores = graft.ext.TextOps.langLexica.map { case (l, lex) =>
+          s"len(list_filter(toks, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
+        }.mkString(",\n       ")
+        val langs = graft.ext.TextOps.langLexica.map(_._1)
+        val cases = langs.map { l =>
+          val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n         ")
+        s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents),
+sc AS (SELECT doc_id, labeled_lang,
+       $scores
+FROM t)
+SELECT doc_id, labeled_lang, s_en, s_de, s_es, s_fr, s_zh,
+       CASE $cases
+         ELSE 'und' END AS predicted_lang,
+       CASE WHEN (CASE $cases
+         ELSE 'und' END) = labeled_lang THEN 1 ELSE 0 END AS correct
+FROM sc ORDER BY doc_id"""
+      }),
+
+    ("lang_id_accuracy",
+      (s: SparkSession, d: String) => TextAnalysis.langIdAccuracy(docs(s, d)),
+      Some {
+        val langs = graft.ext.TextOps.langLexica.map(_._1)
+        val scores = graft.ext.TextOps.langLexica.map { case (l, lex) =>
+          s"len(list_filter(toks, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
+        }.mkString(",\n       ")
+        val cases = langs.map { l =>
+          val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n         ")
+        s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents),
+sc AS (SELECT doc_id, labeled_lang, $scores FROM t),
+pr AS (SELECT labeled_lang,
+       CASE WHEN (CASE $cases ELSE 'und' END) = labeled_lang
+            THEN 1 ELSE 0 END AS correct
+FROM sc)
+SELECT labeled_lang, count(*) AS n_docs, sum(correct) AS n_correct,
+       sum(correct)::DOUBLE / count(*) AS accuracy
+FROM pr GROUP BY labeled_lang ORDER BY labeled_lang"""
+      }),
+
+    ("quality_score",
+      (s: SparkSession, d: String) => TextAnalysis.qualityScore(docs(s, d)),
+      Some(s"""WITH t AS (
+  SELECT doc_id, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents)
+SELECT doc_id, length(text) AS len_chars, len(toks) AS n_tokens,
+       punct::DOUBLE / length(text) AS punct_ratio,
+       alpha::DOUBLE / length(text) AS alpha_ratio,
+       stops::DOUBLE / len(toks) AS stopword_ratio,
+       least(len(toks), 256)::DOUBLE / 256 * 0.4
+         + alpha::DOUBLE / length(text) * 0.4
+         + least(stops::DOUBLE / len(toks) * 5, 1.0) * 0.2 AS quality
+FROM t ORDER BY doc_id""")),
+
+    ("doc_fingerprint",
+      (s: SparkSession, d: String) => TextAnalysis.fingerprints(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $normSql AS norm, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, norm, $shinglesSql AS sh FROM t)
+SELECT doc_id, md5(norm) AS exact_md5,
+       list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS min_shingle_md5
+FROM sh ORDER BY doc_id""")),
+
+    ("text_distinct_exact",
+      (s: SparkSession, d: String) => TextAnalysis.distinctExact(docs(s, d)),
+      Some(s"""SELECT count(DISTINCT $normSql) AS distinct_norm_texts,
+       count(DISTINCT source) AS distinct_sources,
+       count(DISTINCT lang) AS distinct_langs
+FROM documents""")),
+
+    // HLL++ sketch values are engine-specific: rows-only + ScalaTest
+    // tolerance vs the exact counts.
+    ("text_distinct_approx",
+      (s: SparkSession, d: String) => TextAnalysis.distinctApprox(docs(s, d)),
+      None),
+
+    // -------------------------------------------------------- similarity
+    ("sim_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.cosineTopK(embs(s, d), numQueries = 10, k = 10)
+          .withColumnRenamed("rank", "rnk"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+s AS (SELECT q.q_id, n.vec_id, (${dotSql("qv", "v")}) / (q.qn * n.nrm) AS sim
+      FROM q JOIN n ON n.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM s)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
+    ("embedding_near_pairs",
+      (s: SparkSession, d: String) =>
+        Similarity.nearPairs(embs(s, d), threshold = 0.45),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm) AS sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(sim, 6) AS sim_r FROM p WHERE sim >= 0.45
+ORDER BY id_a, id_b""")),
+
+    // LSH-bucketed ANN + its recall vs brute force: approximate by design,
+    // rows-only + ScalaTest floor on recall.
+    ("sim_topk_lsh",
+      (s: SparkSession, d: String) =>
+        Similarity.lshTopK(embs(s, d), numQueries = 10, k = 10)
+          .withColumnRenamed("rank", "rnk"),
+      None),
+
+    ("ann_recall",
+      (s: SparkSession, d: String) =>
+        Similarity.annRecall(embs(s, d), numQueries = 10, k = 10),
+      None)
+  )
+
+  val queries: Map[String, Q] =
+    defs.map { case (n, q, _) => n -> q }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}
