@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventWindows, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -193,6 +193,49 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       FROM n a JOIN n b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(sim, 6) AS sim_r FROM p WHERE sim >= 0.45
 ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------- event windows
+    ("events_window_tumbling",
+      (s: SparkSession, d: String) =>
+        EventWindows.tumbling(graft.sources.CdcSource.events(s, d)),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")),
+
+    ("events_window_sliding",
+      (s: SparkSession, d: String) =>
+        EventWindows.sliding(graft.sources.CdcSource.events(s, d)),
+      Some("""WITH x AS (
+  SELECT ts, event_type, value, unnest([0, 1, 2, 3]) AS k FROM events),
+w AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        - k * (INTERVAL '15 minutes') AS window_start, event_type, value
+      FROM x)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       event_type, count(*) AS n_events,
+       (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")),
+
+    ("events_sessions",
+      (s: SparkSession, d: String) =>
+        EventWindows.sessions(graft.sources.CdcSource.events(s, d)),
+      Some("""WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '4 hours'
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '4 hours' AS session_end,
+       user_id, count(*) AS n_events,
+       (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
     // LSH-bucketed ANN + its recall vs brute force: approximate by design,
     // rows-only + ScalaTest floor on recall.
