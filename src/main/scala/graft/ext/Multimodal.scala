@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extract /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing here is real and tested — schema, partition-wise
+  * batch processing (`mapPartitions` over a typed `Dataset`, the Scala
+  * analog of `mapInPandas` batches), deterministic output shape. The actual
+  * media decoding is STUBBED (this container has no image/audio codecs):
+  * [[FakeCodec]] derives dimensions/frames/features from the payload bytes
+  * deterministically, and is clearly marked as the seam where a real codec
+  * (JavaCV, TwelveMonkeys, ffmpeg-cli) plugs in.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String,                // "image" | "audio" | "video"
+      payload: Array[Byte],
+      source: String,
+      declared_bytes: Long)
+
+  /** Extracted features: fixed-shape per kind. */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Float])
+
+  /** ======== STUB — deterministic fake codec ========
+    * Replace with a real decoder at the marked points; everything else
+    * (schema, batching, partitioning) is production-shaped. */
+  object FakeCodec {
+    private def mix(bytes: Array[Byte], seed: Long): Long = {
+      var h = seed
+      var i = 0
+      while (i < bytes.length) { h = h * 6364136223846793005L + bytes(i); i += 1 }
+      h
+    }
+    /** STUB for image decode (would return real pixel dims). */
+    def dims(payload: Array[Byte]): (Int, Int) = {
+      val h = mix(payload, 0x9e3779b97f4a7c15L)
+      (64 + math.floorMod(h, 512).toInt, 64 + math.floorMod(h >> 16, 512).toInt)
+    }
+    /** STUB for video frame sampling (would demux + sample). */
+    def frameCount(payload: Array[Byte], kind: String): Int =
+      if (kind == "video") 1 + math.floorMod(mix(payload, 77L), 32).toInt
+      else 1
+    /** STUB for the embedding model (would run a real encoder). */
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = mix(payload, 0xc2b2ae3d27d4eb4fL)
+      var i = 0
+      while (i < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((h >>> 11).toFloat / (1L << 53).toFloat) - 0.5f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize a media table from the `documents` fixture (payload = text
+    * bytes) — the environment has no binary fixtures; the schema is the
+    * real contract. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      col("source"),
+      col("n_chars").cast("long").as("declared_bytes"))
+
+  /** Decode + featurize, batched per partition (the `mapInPandas` shape:
+    * one iterator pass per partition, no per-row JVM round trips beyond the
+    * codec call). Deterministic given payloads. */
+  def extractFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = FakeCodec.dims(r.payload)
+        MediaFeatures(
+          r.media_id, r.kind, w, h,
+          FakeCodec.frameCount(r.payload, r.kind),
+          FakeCodec.features(r.payload, featureDim))
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling for videos: every k-th fake frame index — STUB for the
+    * demux step; the explode shape (one row per sampled frame) is the real
+    * downstream contract. */
+  def sampleFrames(features: DataFrame, everyK: Int = 4): DataFrame =
+    features
+      .where(col("kind") === "video")
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(everyK))).as("frame_idx"))
+}

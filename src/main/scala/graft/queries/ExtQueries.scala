@@ -248,6 +248,24 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
     ("ann_recall",
       (s: SparkSession, d: String) =>
         Similarity.annRecall(embs(s, d), numQueries = 10, k = 10),
+      None),
+
+    // ------------------------------------------------------- multimodal
+    // Binary-payload plumbing with a stubbed codec (no media libs in this
+    // container): rows-only + MultimodalSpec.
+    ("media_features",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .extractFeatures(graft.ext.Multimodal.mediaFromDocuments(docs(s, d)))
+          .orderBy("media_id"),
+      None),
+
+    ("media_frame_sample",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal.sampleFrames(
+          graft.ext.Multimodal
+            .extractFeatures(graft.ext.Multimodal.mediaFromDocuments(docs(s, d))))
+          .orderBy("media_id", "frame_idx"),
       None)
   )
 

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.ingest.{Adapters, CdcEnvelope, Pipeline}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming binding of the ingest pipeline (reference:
+  * event_processor.py:45-79 — poll → parse → transform → sink — re-expressed
+  * as one streaming plan).
+  *
+  * The plan is identical to the batch [[graft.ingest.Pipeline]]: the four
+  * envelope branches are parsed from the multiplexed `value` stream
+  * (≙ one consumer over 4 Kafka topics, services/kafka.py:8-26), gated
+  * (F2+F3), projected (P1-P4) and unioned. In production the source is
+  * `spark.readStream.format("kafka")`; in this environment tests bind the
+  * same plan to `MemoryStream[String]` — the plan does not change, only the
+  * source.
+  *
+  * Delivery: the reference is at-least-once (README.md:4). Checkpointing +
+  * [[Pipeline.dedupedStreaming]] (watermarked dropDuplicates on the
+  * deterministic event key) upgrade replays to effectively-once — proven by
+  * the replay test in StreamingSpec.
+  */
+object StreamingIngest {
+
+  /** The four source tables in the Debezium publication
+    * (reference: debezium-postgres-connector.config.json:12). */
+  val tables: Seq[String] = Seq("likes", "comments", "shards", "followers")
+
+  /** Raw `value:string` stream (Kafka frame shape) → uniform activity
+    * stream. Works on batch and streaming DataFrames alike. */
+  def activityStream(raw: DataFrame): DataFrame =
+    tables
+      .map { t => Adapters.bySourceTable(t)(
+        CdcEnvelope.admitted(CdcEnvelope.parseTable(raw, t))) }
+      .reduce(_ unionByName _)
+
+  /** Effectively-once variant: watermark + dedup on the deterministic
+    * event key before the sink. */
+  def dedupedActivityStream(raw: DataFrame, horizon: String = "1 hour"): DataFrame =
+    Pipeline.dedupedStreaming(activityStream(raw), horizon)
+
+  /** Run the stream into an append-mode parquet sink with checkpointing —
+    * the K1 write path in streaming form (≙ event_processor.py:89-113).
+    * `Trigger.AvailableNow` drains what is buffered then stops, which is
+    * also the replay-test harness shape. */
+  def runToParquet(
+      activity: DataFrame,
+      outPath: String,
+      checkpointPath: String): StreamingQuery =
+    activity.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,47 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal plumbing: schema contract, deterministic stub decode, batch
+  * shape. (The codec itself is a documented stub — these tests pin the
+  * Spark-side contract a real codec would drop into.) */
+class MultimodalSpec extends SparkSuite {
+
+  private lazy val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val media = Multimodal.mediaFromDocuments(docs)
+
+  test("media table schema: opaque binary payload + typed metadata") {
+    val f = media.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(f("payload") === BinaryType)
+    assert(f("kind") === StringType)
+    assert(f("media_id") === LongType)
+    assert(media.select("kind").distinct().count() === 3)
+  }
+
+  test("feature extraction is deterministic and fixed-shape") {
+    val a = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val b = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(a.length === docs.count())
+    def feats(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getSeq[Float](r.fieldIndex("feature")).toList)
+    assert(feats(a).forall(_.length == 8))
+    // deterministic: same payload → same features across runs
+    assert(feats(a).zip(feats(b)).forall { case (x, y) => x == y })
+    // dims in the stub's declared range
+    assert(a.forall { r =>
+      val w = r.getAs[Int]("width"); w >= 64 && w < 576 })
+  }
+
+  test("frame sampling explodes only videos, every 4th frame") {
+    val feats = Multimodal.extractFeatures(media)
+    val frames = Multimodal.sampleFrames(feats, everyK = 4)
+    val videoIds = feats.where(col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val sampledIds = frames.select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(sampledIds === videoIds)
+    assert(frames.where(pmod(col("frame_idx"), lit(4)) =!= 0).count() === 0)
+  }
+}

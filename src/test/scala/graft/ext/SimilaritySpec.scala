@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSuite
+
+/** Cosine/ANN correctness: hand-checkable vectors + recall floor on the
+  * fixture corpus. */
+class SimilaritySpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("cosineTopK ranks by exact cosine") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // query
+      (10L, Array(1f, 0.1f, 0f, 0f)), // nearly parallel  → rank 1
+      (11L, Array(1f, 1f, 0f, 0f)),   // 45°              → rank 2
+      (12L, Array(0f, 1f, 0f, 0f)),   // orthogonal       → rank 3
+      (13L, Array(-1f, 0f, 0f, 0f)))  // opposite         → rank 4
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopK(vecs, numQueries = 1, k = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSeq === Seq((1, 10L), (2, 11L), (3, 12L), (4, 13L)))
+  }
+
+  test("nearPairs respects the threshold symmetrically") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.05f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearPairs(vecs, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("LSH ANN recall ≥ 0.5 vs brute force on the fixture embeddings") {
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val recalls = Similarity.annRecall(fx, numQueries = 10, k = 10)
+      .collect().map(_.getAs[Double]("recall"))
+    assert(recalls.length === 10)
+    assert(recalls.sum / recalls.length >= 0.5,
+      s"mean recall ${recalls.sum / recalls.length} below floor")
+  }
+}
