@@ -50,15 +50,15 @@ object Dedup {
       col("doc_id"),
       shingles(wsTokens(lower(col("text"))), 3).as("sh"))
 
-  /** MinHash signature: for seed j, min over shingles of
-    * xxhash64(j || ':' || shingle). Pure expressions — the signature of a
-    * doc is computed in one pass over its shingle array, no shuffle. */
+  /** MinHash signature: each shingle is string-hashed exactly once
+    * (xxhash64), then the 96 per-function minima come from the
+    * [[graft.expr.MinHashSignature]] codegen expression (splitmix64-mixed)
+    * in one pass — no shuffle, no repeated string hashing. */
   def signed(sh: DataFrame): DataFrame =
     sh.withColumn(
       "sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        j => array_min(transform(col("sh"),
-          t => xxhash64(concat(j.cast("string"), lit(":"), t))))))
+      graft.expr.MinHashSignature(
+        transform(col("sh"), t => xxhash64(t)), numHashes))
 
   /** Candidate pairs from LSH banding: docs sharing any (band_id, band hash)
     * bucket. Returns distinct (doc_a < doc_b) id pairs only — the scalable

@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product — native codegen expression ([[graft.expr.DotProduct]]);
+    * same left-fold order as the previous HOF form and the oracle SQL. */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExprs.dot(a, b)
+
+  /** One-pass cosine ([[graft.expr.CosineSim]]): dot/(√Σa²·√Σb²). */
+  def cosine(a: Column, b: Column): Column = graft.expr.VectorExprs.cosineSim(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
@@ -44,7 +47,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("q"))
     val scored = base
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("q"), col("v")) / (norm2(col("q")) * norm2(col("v"))))
+      .withColumn("sim", cosine(col("q"), col("v")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -66,8 +69,7 @@ object Similarity {
     val a = base.select(col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = base.select(col("vec_id").as("id_b"), col("v").as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", dot(col("v_a"), col("v_b")) /
-        (norm2(col("v_a")) * norm2(col("v_b"))))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
       .orderBy("id_a", "id_b")
@@ -128,7 +130,7 @@ object Similarity {
           col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q"), col("vec_id"), col("v"))
       .dropDuplicates("q_id", "vec_id") // a pair can collide in several tables/probes
-      .withColumn("sim", dot(col("q"), col("v")) / (norm2(col("q")) * norm2(col("v"))))
+      .withColumn("sim", cosine(col("q"), col("v")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General analytics queries over the relational fixtures — the join/agg/
+  * window surface a user of the engine gets "for free" from Catalyst
+  * (SURVEY.md §2.3: the reference's FK graph implies enrichment joins it
+  * never executes; these exercise them at bench scale).
+  *
+  * Scale notes per query are inline; the common rules:
+  *  - dimension tables are broadcast (region/nation/customer at any SF the
+  *    dims stay << fact tables);
+  *  - fact-fact joins shuffle on the join key once, with AQE sizing;
+  *  - aggregates are map-side partial first;
+  *  - double sums go through DECIMAL for cross-engine determinism.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private def dsum(c: String, alias: String) =
+    sum(col(c).cast("decimal(18,6)")).cast("double").as(alias)
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // Pricing summary over the largest fact table (shape of TPC-H Q1):
+    // one map-side-combined shuffle on two low-cardinality keys.
+    ("q1_pricing_summary",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::DECIMAL(18,6)))::DOUBLE AS sum_qty,
+       (sum(l_extendedprice::DECIMAL(18,6)))::DOUBLE AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")),
+
+    // Revenue by nation: 4-way join — two broadcast dims (nation,
+    // customer region path) + one fact-fact shuffle join on orderkey.
+    ("q5_nation_revenue",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val ord = t(s, d, "orders")
+        val cust = t(s, d, "customer")
+        val nat = t(s, d, "nation")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(dsum("l_extendedprice", "revenue"), count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+       (sum(l_extendedprice::DECIMAL(18,6)))::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name""")),
+
+    // Top-5 orders per customer segment by value: join + ranking window
+    // (one shuffle for the join, one for the window partition).
+    ("q_top_orders_per_segment",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+          .orderBy("c_mktsegment", "rnk")
+      },
+      Some("""SELECT c_mktsegment, rnk, o_orderkey, o_totalprice
+FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rnk <= 5 ORDER BY c_mktsegment, rnk""")),
+
+    // Supplier/part enrichment: broadcast both dims into the fact scan.
+    ("q_part_supplier_stats",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("p_brand", "s_nationkey")
+          .agg(
+            count(lit(1)).as("n_items"),
+            dsum("l_quantity", "sum_qty"))
+          .orderBy("p_brand", "s_nationkey"),
+      Some("""SELECT p_brand, s_nationkey, count(*) AS n_items,
+       (sum(l_quantity::DECIMAL(18,6)))::DOUBLE AS sum_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_nationkey ORDER BY p_brand, s_nationkey""")),
+
+    // Anti-join: customers with no orders since mid-1997 (shuffle
+    // left-anti on custkey; the date predicate pushes into the scan).
+    ("q_customers_without_orders",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .join(
+            t(s, d, "orders").where(col("o_orderdate") >= lit("1997-06-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+ORDER BY c_custkey""")),
+
+    // Monthly order volume: date-truncation rollup (one shuffle).
+    ("q_orders_monthly",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice", "sum_price"))
+          .orderBy("month"),
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_orders,
+       (sum(o_totalprice::DECIMAL(18,6)))::DOUBLE AS sum_price
+FROM orders GROUP BY 1 ORDER BY month"""))
+  )
+
+  val queries: Map[String, Q] =
+    defs.map { case (n, q, _) => n -> q }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}
