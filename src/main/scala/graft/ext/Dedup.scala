@@ -98,21 +98,13 @@ object Dedup {
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over the whitespace-token multiset: per bit b, sum ±1
-    * votes of each token's xxhash64 bit b; fingerprint bit = sign. Output is
-    * an array<int> of 64 bits (LSB first) — array form keeps the banding and
+    * votes of each token's xxhash64 bit b; fingerprint bit = sign. Tokens
+    * are string-hashed once; the voting loop is the
+    * [[graft.expr.SimHashBits]] codegen expression. Output is an
+    * array<int> of 64 bits (LSB first) — array form keeps the banding and
     * hamming expressions simple and codegen-friendly. */
   def simhashBits(tokens: Column): Column =
-    transform(
-      aggregate(
-        tokens,
-        array_repeat(lit(0), 64),
-        (acc, t) =>
-          zip_with(
-            acc,
-            transform(sequence(lit(0), lit(63)),
-              b => (call_function("shiftright", xxhash64(t), b).bitwiseAND(1) * 2 - 1).cast("int")),
-            (x, y) => x + y)),
-      s => when(s > 0, 1).otherwise(0))
+    graft.expr.SimHashBits(transform(tokens, t => xxhash64(t)))
 
   /** Docs fingerprinted with simhash bits + the 4 × 16-bit band values used
     * for candidate bucketing. */

@@ -197,6 +197,35 @@ $feedSql
 ORDER BY event_timestamp DESC, activity_pk DESC
 LIMIT 50 OFFSET 10"""))),
 
+    // T1 skew-safe: salted two-stage top-k, result-identical to the plain
+    // window (same oracle SQL) — the hot-user mitigation at scale
+    ("feed_topk_per_user_salted",
+      (s: SparkSession, d: String) =>
+        FeedQueries.topKPerUserSalted(activityCore(s, d), k = 3)
+          .select("user_id", "activity_type", "event_timestamp",
+                  "activity_pk", "rn")
+          .orderBy("user_id", "rn"),
+      Some(OracleCte.withCdc(
+        """SELECT user_id, activity_type, event_timestamp, activity_pk, rn
+FROM (SELECT user_id, activity_type, event_timestamp, activity_pk,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY event_timestamp DESC, activity_pk DESC) AS rn
+      FROM activity) r
+WHERE rn <= 3
+ORDER BY user_id, rn"""))),
+
+    // X8: the reference's cache-key f-string as a column expression
+    ("feed_cache_key",
+      (s: SparkSession, d: String) => FeedQueries.feedPage(
+          activityCore(s, d), followEdges(s, d), feedUid, limit = 50, offset = 10)
+        .select(col("activity_pk"),
+          FeedQueries.cacheKey(feedUid, 50, 10).as("cache_key")),
+      Some(OracleCte.withCdc(
+        s"""SELECT activity_pk, 'user_feed:$feedUid:50:10' AS cache_key
+$feedSql
+ORDER BY event_timestamp DESC, activity_pk DESC
+LIMIT 50 OFFSET 10"""))),
+
     // T1: newest-k per user (the clustering-order read as a ranking window)
     ("feed_topk_per_user",
       (s: SparkSession, d: String) =>

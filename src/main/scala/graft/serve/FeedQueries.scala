@@ -91,6 +91,36 @@ object FeedQueries {
       .where(col("rn") <= k)
   }
 
+  /** Skew-safe variant of [[topKPerUser]]: two-stage ranking for hot users.
+    * Stage 1 ranks within (user_id, salt) cells — bounding any single
+    * task's window state to 1/numSalts of the hottest user — and keeps k
+    * per cell; stage 2 re-ranks the ≤ k·numSalts survivors per user.
+    * Result is identical to the unsalted form (proven by equivalence test
+    * and by sharing its oracle); at 100 TB this is the difference between
+    * one straggler task per celebrity user and uniform task sizes. */
+  def topKPerUserSalted(activity: DataFrame, k: Int, numSalts: Int = 8): DataFrame = {
+    val salted = activity.withColumn(
+      "salt", pmod(hash(col("activity_pk")), lit(numSalts)))
+    val w1 = Window
+      .partitionBy(col("user_id"), col("salt"))
+      .orderBy(col("event_timestamp").desc, col("activity_pk").desc)
+    val survivors = salted
+      .withColumn("rn1", row_number().over(w1))
+      .where(col("rn1") <= k)
+      .drop("salt", "rn1")
+    val w2 = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("event_timestamp").desc, col("activity_pk").desc)
+    survivors
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+  }
+
+  /** X8 — cache-key construction (reference: main.py:143 f-string
+    * `user_feed:{user_id}:{limit}:{offset}`), as a Column expression. */
+  def cacheKey(uid: String, limit: Int, offset: Int): org.apache.spark.sql.Column =
+    concat_ws(":", lit("user_feed"), lit(uid), lit(limit), lit(offset))
+
   /** P5 — row -> API-shape projection (reference: main.py:169-180): string
     * id, ISO-8601 timestamp, null-safe passthroughs. */
   def render(page: DataFrame): DataFrame =
