@@ -226,6 +226,31 @@ $feedSql
 ORDER BY event_timestamp DESC, activity_pk DESC
 LIMIT 50 OFFSET 10"""))),
 
+    // §2.3 enrichment: the FK-graph join the reference implies but never
+    // executes (comments -> shards): comment activities enriched with the
+    // commented shard's title, broadcast on the dimension side
+    ("feed_comment_enriched",
+      (s: SparkSession, d: String) => {
+        val ev = CdcSource.events(s, d)
+        val commentsAct = flatten(graft.ingest.Adapters.comments(
+          CdcEnvelope.admitted(CdcSource.comments(ev))))
+        val shardTitles = flatten(graft.ingest.Adapters.shards(
+          CdcEnvelope.admitted(CdcSource.shards(ev))))
+          .select(col("target_id"), col("md_title").as("shard_title"))
+        commentsAct
+          .join(broadcast(shardTitles), Seq("target_id"), "left")
+          .select(col("activity_pk"), col("user_id"), col("target_id"),
+            col("md_message"), coalesce(col("shard_title"), lit("Unknown")).as("shard_title"))
+          .orderBy("activity_pk")
+      },
+      Some(OracleCte.withCdc(
+        """SELECT c.activity_pk, c.user_id, c.target_id, c.md_message,
+       coalesce(sh.md_title, 'Unknown') AS shard_title
+FROM act_comments c
+LEFT JOIN (SELECT target_id, md_title FROM act_shards) sh
+  ON c.target_id = sh.target_id
+ORDER BY c.activity_pk"""))),
+
     // T1: newest-k per user (the clustering-order read as a ranking window)
     ("feed_topk_per_user",
       (s: SparkSession, d: String) =>

@@ -1,0 +1,85 @@
+package graft.props
+
+import graft.serve.FeedQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck properties (SURVEY.md §5 item 3): adapter totality,
+  * pagination invariants, minhash similarity preservation. Generator
+  * counts are kept small — every case materializes Spark jobs. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private object I {
+    lazy val i = spark.implicits
+  }
+
+  property("adapter totality: any well-formed create yields one activity") = {
+    val gen = for {
+      id <- Gen.choose(1L, 1000000L)
+      shard <- Gen.choose(1L, 997L)
+      user <- Gen.choose(1, 9999)
+      ts <- Gen.choose(1600000000000L, 1800000000000L)
+    } yield (id, shard, user.toString, ts)
+    Prop.forAll(gen) { case (id, shard, user, ts) =>
+      import I.i._
+      val json =
+        s"""{"id":$id,"shard_id":$shard,"liked_by":"$user","__op":"c","__table":"likes","__source_ts_ms":$ts,"__source_table":"likes"}"""
+      val out = graft.ingest.Adapters.likes(
+        graft.ingest.CdcEnvelope.admitted(
+          graft.ingest.CdcEnvelope.parseTable(Seq(json).toDF("value"), "likes")))
+        .collect()
+      out.length == 1 &&
+        out.head.getAs[String]("user_id") == user &&
+        out.head.getAs[String]("target_id") == shard.toString &&
+        out.head.getAs[java.sql.Timestamp]("event_timestamp").getTime == ts &&
+        out.head.getAs[Map[String, String]]("metadata")("primary_key_value") == id.toString
+    }
+  }
+
+  property("pagination: concatenated pages form a prefix of the full order") = {
+    import I.i._
+    val activity = (1 to 120).map { i =>
+      (s"u${i % 3}", new java.sql.Timestamp(1700000000000L + (i % 37) * 60000L), i.toLong)
+    }.toDF("user_id", "event_timestamp", "activity_pk")
+    val followers = Seq(("me", "u0"), ("me", "u1"), ("me", "u2"))
+      .toDF("follower_id", "following_id")
+    val full = FeedQueries.feedPage(activity, followers, "me", limit = 120)
+      .collect().map(_.getAs[Long]("activity_pk")).toSeq
+    Prop.forAll(Gen.choose(1, 25), Gen.choose(0, 3)) { (pageSize, pages) =>
+      val collected = (0 to pages).flatMap { p =>
+        FeedQueries.feedPage(activity, followers, "me",
+          limit = pageSize, offset = p * pageSize)
+          .collect().map(_.getAs[Long]("activity_pk")).toSeq
+      }
+      collected == full.take(collected.length)
+    }
+  }
+
+  property("minhash: signature agreement tracks set overlap") = {
+    Prop.forAll(Gen.choose(0, 40)) { keep =>
+      import I.i._
+      val base = (1 to 40).map(i => s"tok$i")
+      val other = base.take(keep) ++ (1 to (40 - keep)).map(i => s"other$i")
+      val df = Seq((1L, base), (2L, other)).toDF("id", "sh")
+        .select(col("id"),
+          graft.expr.MinHashSignature(
+            transform(col("sh"), t => xxhash64(t)), 96).as("sig"))
+      val sigs = df.collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+      val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+      val jaccard = keep.toDouble / (80 - keep)
+      // E[agreement fraction] = jaccard; generous slack for 96 samples
+      math.abs(agree / 96.0 - jaccard) < 0.25
+    }
+  }
+}
