@@ -123,6 +123,37 @@ FROM customer WHERE c_custkey NOT IN
   (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
 ORDER BY c_custkey""")),
 
+    // Hierarchical rollup: per (priority, status) + per priority + grand
+    // total in one pass (Spark expands grouping sets map-side).
+    ("q_orders_rollup",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice", "sum_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       (sum(o_totalprice::DECIMAL(18,6)))::DOUBLE AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // Exact quantiles per group (sort-based); rounded because Spark and
+    // DuckDB use algebraically-equal but differently-rounded interpolation.
+    ("q_price_quantiles",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Monthly order volume: date-truncation rollup (one shuffle).
     ("q_orders_monthly",
       (s: SparkSession, d: String) =>
