@@ -102,7 +102,7 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       md5(norm).as("exact_md5"),
-      array_min(transform(sh, s => md5(s))).as("min_shingle_md5"))
+      graft.expr.MinMd5(sh).as("min_shingle_md5"))
       .orderBy("doc_id")
   }
 
