@@ -35,6 +35,10 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
+      } finally {
+        // each query pays its own cache-build cost inside the timed region
+        // and leaves no blocks behind for the next one
+        graft.ext.Dedup.releaseCaches()
       }
       (System.nanoTime() - t0) / 1e9
     }

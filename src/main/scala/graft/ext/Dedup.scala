@@ -22,6 +22,28 @@ object Dedup {
 
   import TextOps._
 
+  /** Intermediates persisted by the near-dup builders. The returned plans
+    * are lazy, so the library cannot unpersist eagerly itself; callers that
+    * invoke these repeatedly (benchmarks, services) should call
+    * [[releaseCaches]] after materializing a result to keep the session's
+    * block store bounded. */
+  private val cachedHandles =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cached(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    cachedHandles.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate cached by previous near-dup calls.
+    * Safe to call while other queries run: an unpersisted block is
+    * recomputed, never wrong. */
+  def releaseCaches(): Unit = {
+    var d = cachedHandles.poll()
+    while (d != null) { d.unpersist(blocking = false); d = cachedHandles.poll() }
+  }
+
   /** Exact dedup survivors: first doc_id per normalized-text group.
     * One shuffle; at scale this is the canonical `groupBy(norm)` keeper
     * pattern. */
@@ -83,7 +105,7 @@ object Dedup {
   /** Verified near-dup pairs: LSH candidates whose exact shingle Jaccard
     * meets the threshold. Exact |∩|/|∪| on distinct shingle sets. */
   def nearDupJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingled(docs).persist()
+    val sh = cached(shingled(docs))
     val cands = lshCandidates(signed(sh))
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -124,7 +146,7 @@ object Dedup {
     * (so any pair within hamming ≤ 3 of each other is guaranteed caught;
     * we verify up to `maxHamming`). */
   def nearDupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val fp = simhashed(docs).persist()
+    val fp = cached(simhashed(docs))
     val banded = fp.select(
       col("doc_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_val")))

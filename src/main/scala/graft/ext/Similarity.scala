@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   *    higher-order functions in double precision (codegen'd, no UDF), then
   *    a per-query ranking window. The baseline every ANN variant is graded
   *    against.
-  *  - [[lshTopK]] — random-hyperplane LSH: 16 deterministic pseudo-random
-  *    hyperplanes → 16-bit sign sketch → candidates bucketed by multi-probe
-  *    bands; top-k within candidates. Sub-linear candidate sets at scale
-  *    (the corpus side shuffles once on bucket id; no all-pairs anywhere).
+  *  - [[lshTopK]] — random-hyperplane LSH: `numTables` independent tables
+  *    of `bitsPerTable` sign bits each (48 deterministic hyperplanes
+  *    total) → candidates bucketed per table with 1-bit multi-probe;
+  *    top-k within candidates. Sub-linear candidate sets at scale (the
+  *    corpus side shuffles once on (table, bucket); no all-pairs anywhere).
+  *  - [[ivfTopK]] — IVF: data-sampled coarse centroids, one assignment
+  *    pass, query probes the `nprobe` nearest cells; deterministic, so it
+  *    carries a full DuckDB oracle unlike the hash-specific LSH path.
   *
   * All math is double (float inputs upcast exactly), sums fold
   * left-to-right — bit-identical to the DuckDB oracle's explicit
@@ -77,14 +81,6 @@ object Similarity {
 
   // ------------------------------------------------------------------ LSH
 
-  /** Deterministic pseudo-random hyperplane component p_j[i]: a fixed
-    * hash of (j, i) mapped to [-0.5, 0.5). Reproducible everywhere with no
-    * stored model. */
-  private def plane(j: Int, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(concat(lit(s"p$j:"), i.cast("string"))), lit(1000000L))
-        .cast("double") / 1000000.0) - 0.5)
-
   /** Multi-table LSH shape: L independent tables of b hyperplane bits each.
     * Recall for a pair with per-bit agreement p is 1-(1-p_probe)^L where
     * p_probe covers the exact bucket plus every 1-bit flip (multi-probe):
@@ -93,22 +89,40 @@ object Similarity {
   val numTables = 8
   val bitsPerTable = 6
 
-  /** b-bit sign-sketch of `v` under table `t`'s hyperplanes. */
-  def sketch(v: Column, t: Int, dim: Int): Column =
-    (0 until bitsPerTable).map { jj =>
-      val j = t * bitsPerTable + jj
-      when(dot(v, plane(j, dim)) > 0, shiftleft(lit(1), jj)).otherwise(lit(0))
-    }.reduce[Column](_ + _)
+  /** Deterministic pseudo-random hyperplane component p_j[i]: xxhash64 of
+    * the string "p{j}:{i}" (seed 42, Spark's `xxhash64` convention) mapped
+    * to [-0.5, 0.5). Computed ONCE on the driver and shipped to executors
+    * inside the [[graft.expr.HyperplaneBuckets]] expression — the previous
+    * formulation rebuilt this matrix per ROW from string hashes, which was
+    * the whole cost of the LSH path. Values are identical, so bucket
+    * assignments (and measured recall) are unchanged. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  def planeMatrix(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim, d =>
+      Array.tabulate(numTables * bitsPerTable) { j =>
+        Array.tabulate(d) { i =>
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"p$j:$i"),
+              org.apache.spark.sql.types.StringType, 42L)
+          val m = ((h % 1000000L) + 1000000L) % 1000000L
+          m.toDouble / 1000000.0 - 0.5
+        }
+      })
+
+  /** All L bucket ids of `v` (array<int>, one per table) in one codegen
+    * pass over the static plane matrix. */
+  def allBuckets(v: Column, dim: Int): Column =
+    graft.expr.HyperplaneBuckets(v, planeMatrix(dim), bitsPerTable)
 
   /** (table_id, bucket) pairs of a vector — the corpus side explodes to L
     * rows per vector, shuffled once on (table, bucket); no all-pairs. */
   private def bucketed(base: DataFrame, dim: Int): DataFrame =
     base.select(
-      col("*"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("table_id"), sketch(col("v"), t, dim).as("bucket"))): _*))
-        .as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.table_id"), col("tb.bucket"))
+      col("vec_id"), col("v"),
+      posexplode(allBuckets(col("v"), dim)).as(Seq("table_id", "bucket")))
 
   /** ANN top-k via multi-table hyperplane LSH with 1-bit multi-probe.
     * Recall measured against [[cosineTopK]] by the `ann_recall` query. */
@@ -135,6 +149,70 @@ object Similarity {
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     cands
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF coarse-quantizer defaults: every `ivfStride`-th vector doubles as
+    * a centroid (data-sampled — deterministic, no trained model to ship);
+    * a query probes its `ivfProbes` nearest cells. */
+  val ivfStride = 20
+  val ivfProbes = 8
+
+  /** ANN top-k via an IVF (inverted-file) index — the classic
+    * coarse-quantize → probe → exact-re-rank shape (Jégou et al., PAMI'11),
+    * here with data-sampled centroids so the whole operator is
+    * deterministic and carries a full DuckDB oracle (unlike the
+    * hash-function-specific LSH path).
+    *
+    * Scale shape: centroids are broadcast; assignment is one corpus scan ×
+    * C broadcast flops reduced by a map-side-partial `max_by` argmax (the
+    * corpus vectors never shuffle by centroid); the probe list is tiny
+    * (queries × nprobe) and broadcast back against the assigned cells. At
+    * 1000 executors this is scan + two broadcasts + a final per-query
+    * top-k window over ~nprobe/C of the corpus. */
+  def ivfTopK(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      stride: Int = ivfStride,
+      nprobe: Int = ivfProbes): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = base.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // cell assignment: argmax cosine over centroids, ties → lowest cent_id.
+    // max_by over struct(csim, -cent_id) = deterministic argmax with that
+    // tie-break, computed with map-side partials (no N×C shuffle).
+    val assignedCells = base
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell"))
+    val assigned = base.join(assignedCells, Seq("vec_id"))
+    // probe list: each query's nprobe nearest centroids
+    val queries = base.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cent_id"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("qsim", cosine(col("q"), col("cv")))
+      .withColumn("qrn", row_number().over(qw))
+      .where(col("qrn") <= nprobe)
+      .select(col("q_id"), col("q"), col("cent_id").as("cell"))
+    // candidates = vectors living in a probed cell; exact re-rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q"), col("v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),

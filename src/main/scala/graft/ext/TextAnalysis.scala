@@ -95,16 +95,18 @@ object TextAnalysis {
 
   /** Per-doc fingerprints: md5 of the normalized text (exact identity) and
     * the lexicographic-min md5 over word-3-gram shingles (a rolling-hash
-    * style locality fingerprint — equal for near-identical docs). */
-  def fingerprints(docs: DataFrame): DataFrame = {
-    val norm = normText(col("text"))
-    val sh = shingles(wsTokens(lower(col("text"))), 3)
+    * style locality fingerprint — equal for near-identical docs).
+    * The shingle-min is the fused [[graft.expr.MinShingleMd5]] pass — no
+    * shingle-array materialization; identical output to the composed
+    * `MinMd5(shingles(toks, 3))` form (min over duplicates = min over the
+    * distinct shingle set). */
+  def fingerprints(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      md5(norm).as("exact_md5"),
-      graft.expr.MinMd5(sh).as("min_shingle_md5"))
+      md5(normText(col("text"))).as("exact_md5"),
+      graft.expr.MinShingleMd5(wsTokens(lower(col("text"))), 3)
+        .as("min_shingle_md5"))
       .orderBy("doc_id")
-  }
 
   /** Distinct-count triple (exact — oracle-checked). */
   def distinctExact(docs: DataFrame): DataFrame =

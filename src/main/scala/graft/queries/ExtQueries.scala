@@ -70,7 +70,7 @@ ORDER BY doc_a, doc_b""")),
     // ----------------------------------------------------- text analysis
     ("text_stats",
       (s: SparkSession, d: String) => TextAnalysis.corpusStats(docs(s, d)),
-      Some(s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      Some(s"""SELECT lang, count(*) AS n_docs, (sum(n_chars))::BIGINT AS total_chars,
        avg(length(text)) AS avg_len,
        avg(len($toksSql)) AS avg_tokens,
        count(DISTINCT source) AS n_sources
@@ -124,7 +124,7 @@ pr AS (SELECT labeled_lang,
        CASE WHEN (CASE $cases ELSE 'und' END) = labeled_lang
             THEN 1 ELSE 0 END AS correct
 FROM sc)
-SELECT labeled_lang, count(*) AS n_docs, sum(correct) AS n_correct,
+SELECT labeled_lang, count(*) AS n_docs, (sum(correct))::BIGINT AS n_correct,
        sum(correct)::DOUBLE / count(*) AS accuracy
 FROM pr GROUP BY labeled_lang ORDER BY labeled_lang"""
       }),
@@ -237,6 +237,37 @@ SELECT min(ts) AS session_start,
        (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // IVF ANN (coarse-quantize → probe → exact re-rank): deterministic by
+    // construction (data-sampled centroids), so unlike the LSH path it
+    // carries a full DuckDB oracle.
+    ("sim_topk_ivf",
+      (s: SparkSession, d: String) =>
+        Similarity.ivfTopK(embs(s, d), numQueries = 10, k = 10)
+          .withColumnRenamed("rank", "rnk"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+p AS (SELECT q.q_id, q.qv, q.qn, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (${dotSql("qv", "cv")}) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN c),
+pr AS (SELECT q_id, qv, qn, cell FROM p WHERE rn <= 8),
+s AS (SELECT pr.q_id, asg.vec_id, (${dotSql("qv", "v")}) / (pr.qn * asg.nrm) AS sim
+      FROM pr JOIN asg ON asg.cell = pr.cell
+      WHERE asg.vec_id <> pr.q_id),
+r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM s)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
     // LSH-bucketed ANN + its recall vs brute force: approximate by design,
     // rows-only + ScalaTest floor on recall.
     ("sim_topk_lsh",
@@ -253,11 +284,22 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
     // ------------------------------------------------------- multimodal
     // Binary-payload plumbing with a stubbed codec (no media libs in this
     // container): rows-only + MultimodalSpec.
+    // The gate's rows-only pass sorts every column, so the raw array<float>
+    // feature column must not reach it (unhashable in the compare). The
+    // registered query projects the array to a stable scalar digest; the
+    // library API (Multimodal.extractFeatures) keeps the real array.
     ("media_features",
-      (s: SparkSession, d: String) =>
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
         graft.ext.Multimodal
           .extractFeatures(graft.ext.Multimodal.mediaFromDocuments(docs(s, d)))
-          .orderBy("media_id"),
+          .select(
+            col("media_id"), col("kind"), col("width"), col("height"),
+            col("n_frames"),
+            md5(to_json(transform(col("feature"),
+              x => round(x.cast("double"), 4)))).as("feature_digest"))
+          .orderBy("media_id")
+      },
       None),
 
     ("media_frame_sample",

@@ -41,32 +41,60 @@ object StreamingIngest {
   def dedupedActivityStream(raw: DataFrame, horizon: String = "1 hour"): DataFrame =
     Pipeline.dedupedStreaming(activityStream(raw), horizon)
 
+  /** How long (event time) a user's counter survives with no new activity
+    * before the state store evicts it — bounds state size in a
+    * long-running stream. */
+  val statsIdleTimeoutMs: Long = 60L * 60 * 1000 // 1 hour
+
+  /** Watermark delay for the stats stream (how much event-time lateness is
+    * tolerated before state bookkeeping moves on). */
+  val statsWatermark: String = "10 minutes"
+
   /** Per-user running activity counters as custom streaming state
-    * (`mapGroupsWithState`) — the Spark-native form of the reference's
+    * (`flatMapGroupsWithState`) — the Spark-native form of the reference's
     * mutable counter state (connection_state.py:4-12), kept per key in the
     * state store instead of a process global. Each micro-batch folds its
-    * new activities into `UserStat`; timeout eviction bounds state size.
-    * Output (update mode): one refreshed row per user seen in the batch. */
+    * new activities into `UserStat`; event-time timeout eviction bounds
+    * state size: a key whose last activity is [[statsIdleTimeoutMs]]
+    * behind the watermark is dropped from the store (and re-starts from
+    * zero if seen again). Event-time (not processing-time) timeouts keep
+    * the operator deterministic under replay AND let drain-style triggers
+    * terminate — with ProcessingTimeTimeout Spark reconstructs a batch
+    * every cycle to poll wall-clock timers, so `AvailableNow` /
+    * `processAllAvailable()` never reach a quiet point.
+    * Output (update mode): one refreshed row per user seen in the batch;
+    * nothing is emitted on eviction. */
   def userStats(activity: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[UserStat] = {
     val spark = activity.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     activity
-      .selectExpr("user_id", "activity_type", "unix_millis(event_timestamp) AS ts_ms")
-      .as[(String, String, Long)]
+      .select(col("user_id"), col("activity_type"), col("event_timestamp"))
+      .withWatermark("event_timestamp", statsWatermark)
+      .as[(String, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[UserStat, UserStat](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state) =>
-          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0L))
-          var n = prev.n_activities
-          var latest = prev.latest_ts_ms
-          rows.foreach { case (_, _, ts) =>
-            n += 1
-            if (ts > latest) latest = ts
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0L))
+            var n = prev.n_activities
+            var latest = prev.latest_ts_ms
+            rows.foreach { case (_, _, ts) =>
+              n += 1
+              if (ts.getTime > latest) latest = ts.getTime
+            }
+            val next = UserStat(uid, n, latest)
+            state.update(next)
+            // evict once the watermark passes last-seen + idle horizon
+            // (timeout timestamps must sit above the current watermark)
+            state.setTimeoutTimestamp(
+              math.max(latest, state.getCurrentWatermarkMs()) + statsIdleTimeoutMs)
+            Iterator.single(next)
           }
-          val next = UserStat(uid, n, latest)
-          state.update(next)
-          next
       }
   }
 

@@ -1,0 +1,51 @@
+package graft.expr
+
+import graft.SparkSuite
+import graft.ext.{Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** The fused/precomputed fast paths must be value-identical to the
+  * composed expression forms they replaced (which are themselves pinned by
+  * the DuckDB oracle gate). */
+class FusedExprsSpec extends SparkSuite {
+
+  test("MinShingleMd5 equals composed MinMd5(shingles) on fixture docs") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val toks = TextOps.wsTokens(lower(col("text")))
+    val both = docs.select(
+      MinShingleMd5(toks, 3).as("fused"),
+      MinMd5(TextOps.shingles(toks, 3)).as("composed"))
+    assert(both.where(not(col("fused") <=> col("composed"))).count() === 0L)
+  }
+
+  test("MinShingleMd5 is null for docs shorter than the shingle size") {
+    import spark.implicits._
+    val tiny = Seq("one two", "a", "").toDF("text")
+    val got = tiny
+      .select(MinShingleMd5(TextOps.wsTokens(lower(col("text"))), 3).as("m"))
+      .collect().map(_.isNullAt(0))
+    assert(got.forall(identity))
+  }
+
+  test("HyperplaneBuckets matches the per-row xxhash64 plane formulation") {
+    val dim = 64
+    // the pre-fusion formulation: plane re-derived per row from string hashes
+    def plane(j: Int) =
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(concat(lit(s"p$j:"), i.cast("string"))), lit(1000000L))
+          .cast("double") / 1000000.0) - 0.5)
+    def oldSketch(t: Int) =
+      (0 until Similarity.bitsPerTable).map { jj =>
+        val j = t * Similarity.bitsPerTable + jj
+        when(VectorExprs.dot(col("v"), plane(j)) > 0, lit(1 << jj)).otherwise(lit(0))
+      }.reduce[org.apache.spark.sql.Column](_ + _)
+
+    val base = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val checked = base.select(
+      Similarity.allBuckets(col("v"), dim).as("fused"),
+      array((0 until Similarity.numTables).map(oldSketch): _*).as("composed"))
+    assert(checked.where(not(col("fused") <=> col("composed"))).count() === 0L)
+  }
+}

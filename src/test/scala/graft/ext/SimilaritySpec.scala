@@ -30,6 +30,22 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("IVF ANN is deterministic and recalls against brute force") {
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.cosineTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    assert(ivf.length === 100, "every query must fill all k slots")
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    info(s"IVF recall@10 = $recall")
+    assert(recall >= 0.2, s"IVF recall $recall below floor")
+    // determinism: a second run returns the identical ranked list
+    val again = Similarity.ivfTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    assert(ivf.toSeq === again.toSeq)
+  }
+
   test("LSH ANN recall ≥ 0.5 vs brute force on the fixture embeddings") {
     val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val recalls = Similarity.annRecall(fx, numQueries = 10, k = 10)

@@ -18,6 +18,9 @@ class UserStatsSpec extends SparkSuite {
     val mem = MemoryStream[String]
     val ckpt = tmpDir("user_stats_ckpt")
     val out = tmpDir("user_stats_out")
+    // EventTimeTimeout (not ProcessingTimeTimeout) keeps AvailableNow
+    // drains terminable: wall-clock timers force Spark to reconstruct a
+    // batch every cycle, so a drain would never reach a quiet point.
     def run(): Unit = {
       val q = StreamingIngest.userStats(
           StreamingIngest.activityStream(mem.toDF()))
