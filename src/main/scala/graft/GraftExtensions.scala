@@ -1,9 +1,9 @@
 package graft
 
-import graft.expr.{CosineSim, DotProduct}
+import graft.expr.{CosineSim, DotProduct, MinHashSignature, MinMd5, MinShingleMd5, SimHashBits}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -16,16 +16,26 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSim(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
+    def register(name: String, clazz: Class[_])(
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder))
+
+    register("cosine_sim", classOf[CosineSim])(c => CosineSim(c(0), c(1)))
+    register("dot_product", classOf[DotProduct])(c => DotProduct(c(0), c(1)))
+    register("min_md5", classOf[MinMd5])(c => MinMd5(c(0)))
+    register("min_shingle_md5", classOf[MinShingleMd5])(c =>
+      MinShingleMd5(c(0), litInt(c(1), "min_shingle_md5 shingle size")))
+    register("minhash_signature", classOf[MinHashSignature])(c =>
+      MinHashSignature(c(0), litInt(c(1), "minhash_signature num hashes")))
+    register("simhash_bits", classOf[SimHashBits])(c => SimHashBits(c(0)))
   }
 }

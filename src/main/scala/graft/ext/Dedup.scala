@@ -66,21 +66,21 @@ object Dedup {
   val rowsPerBand = 3
   val numHashes: Int = bands * rowsPerBand
 
-  /** doc_id + distinct word-3-gram shingle set. */
+  /** doc_id + distinct word-3-gram shingle set, as ascending-sorted
+    * xxhash64 values ([[graft.expr.ShingleHashes]] — one fused pass; the
+    * shingle strings themselves are never materialized). Jaccard over
+    * these hash sets equals Jaccard over the string sets modulo 64-bit
+    * collisions (~s²·2⁻⁶⁴ per pair — immaterial). */
   def shingled(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      shingles(wsTokens(lower(col("text"))), 3).as("sh"))
+      graft.expr.ShingleHashes(wsTokens(lower(col("text"))), 3).as("sh"))
 
-  /** MinHash signature: each shingle is string-hashed exactly once
-    * (xxhash64), then the 96 per-function minima come from the
-    * [[graft.expr.MinHashSignature]] codegen expression (splitmix64-mixed)
-    * in one pass — no shuffle, no repeated string hashing. */
+  /** MinHash signature: the 96 per-function minima over the shingle-hash
+    * set via the [[graft.expr.MinHashSignature]] codegen expression
+    * (splitmix64-mixed) in one pass — no shuffle, no string re-hashing. */
   def signed(sh: DataFrame): DataFrame =
-    sh.withColumn(
-      "sig",
-      graft.expr.MinHashSignature(
-        transform(col("sh"), t => xxhash64(t)), numHashes))
+    sh.withColumn("sig", graft.expr.MinHashSignature(col("sh"), numHashes))
 
   /** Candidate pairs from LSH banding: docs sharing any (band_id, band hash)
     * bucket. Returns distinct (doc_a < doc_b) id pairs only — the scalable
@@ -102,8 +102,10 @@ object Dedup {
       .distinct()
   }
 
-  /** Verified near-dup pairs: LSH candidates whose exact shingle Jaccard
-    * meets the threshold. Exact |∩|/|∪| on distinct shingle sets. */
+  /** Verified near-dup pairs: LSH candidates whose shingle-set Jaccard
+    * meets the threshold — |∩|/|∪| on the distinct shingle-hash sets
+    * (equal to the string-set Jaccard modulo 64-bit collisions; the
+    * DuckDB oracle computes the string form and hash-matches). */
   def nearDupJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sh = cached(shingled(docs))
     val cands = lshCandidates(signed(sh))

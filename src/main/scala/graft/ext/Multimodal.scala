@@ -97,6 +97,42 @@ object Multimodal {
     }.toDF()
   }
 
+  /** A resized media row: original + target dims, preserved aspect ratio. */
+  case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      orig_width: Int,
+      orig_height: Int,
+      width: Int,
+      height: Int,
+      scale: Double,
+      payload: Array[Byte])
+
+  /** Resize stage: fit every image/video frame inside `maxDim`×`maxDim`
+    * preserving aspect ratio (no upscaling). The geometry (scale factor,
+    * rounded target dims) is the real contract a training pipeline keys
+    * on; the pixel resample itself is part of the STUBBED codec — here the
+    * payload passes through untouched where a real decoder would re-encode.
+    * Audio rows pass through with scale 1 (nothing spatial to resize). */
+  def resize(media: DataFrame, maxDim: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = FakeCodec.dims(r.payload)
+        val s =
+          if (r.kind == "audio") 1.0
+          else math.min(1.0, maxDim.toDouble / math.max(w, h))
+        // STUB: a real codec would resample pixels here; geometry is real
+        ResizedMedia(
+          r.media_id, r.kind, w, h,
+          math.max(1, math.round(w * s).toInt),
+          math.max(1, math.round(h * s).toInt),
+          s, r.payload)
+      }
+    }.toDF()
+  }
+
   /** Frame sampling for videos: every k-th fake frame index — STUB for the
     * demux step; the explode shape (one row per sampled frame) is the real
     * downstream contract. */

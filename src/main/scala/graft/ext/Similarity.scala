@@ -156,6 +156,44 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Scale path for [[nearPairs]]: LSH-bucketed candidate pairs verified
+    * by exact cosine — the embedding-cosine near-dup gate without the
+    * quadratic pair join. Candidates are pairs sharing any (table, bucket);
+    * each candidate is re-scored exactly, so precision is 1.0 and only
+    * recall depends on the LSH parameters. Same output shape as
+    * [[nearPairs]]. */
+  def lshNearPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      dim: Int = 64): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val b = bucketed(base, dim)
+    // 1-bit multi-probe on ONE side of the self-join: two sketches within
+    // hamming ≤ 1 of each other collide (XOR is symmetric), lifting pair
+    // recall the same way query-side probing does for top-k.
+    val probed = b.select(
+      col("vec_id"), col("table_id"),
+      explode(concat(
+        array(col("bucket")),
+        transform(sequence(lit(0), lit(bitsPerTable - 1)),
+          j => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1), j)))))
+        .as("probe"))
+    val cands = probed.as("a")
+      .join(b.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** IVF coarse-quantizer defaults: every `ivfStride`-th vector doubles as

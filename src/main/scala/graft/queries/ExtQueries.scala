@@ -183,6 +183,14 @@ r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
 SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
 ORDER BY q_id, rnk""")),
 
+    // LSH-bucketed near-pairs (the 100 TB path for the same gate):
+    // precision 1.0 by exact re-score; hash-specific candidates → rows-only
+    // + SimilaritySpec recall floor vs the exact query above.
+    ("embedding_near_pairs_lsh",
+      (s: SparkSession, d: String) =>
+        Similarity.lshNearPairs(embs(s, d), threshold = 0.45),
+      None),
+
     ("embedding_near_pairs",
       (s: SparkSession, d: String) =>
         Similarity.nearPairs(embs(s, d), threshold = 0.45),
@@ -298,6 +306,20 @@ ORDER BY q_id, rnk""")),
             col("n_frames"),
             md5(to_json(transform(col("feature"),
               x => round(x.cast("double"), 4)))).as("feature_digest"))
+          .orderBy("media_id")
+      },
+      None),
+
+    // Aspect-preserving resize geometry (codec stubbed): rows-only +
+    // MultimodalSpec invariants.
+    ("media_resize",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        graft.ext.Multimodal
+          .resize(graft.ext.Multimodal.mediaFromDocuments(docs(s, d)))
+          .select(col("media_id"), col("kind"), col("orig_width"),
+            col("orig_height"), col("width"), col("height"),
+            round(col("scale"), 6).as("scale_r"))
           .orderBy("media_id")
       },
       None),

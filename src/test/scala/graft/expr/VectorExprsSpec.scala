@@ -60,6 +60,17 @@ class VectorExprsSpec extends SparkSuite {
                   dot_product(array(1d, 2d), array(3d, 4d)) AS d""").collect().head
       assert(r.getAs[Double]("c") === 1.0)
       assert(r.getAs[Double]("d") === 11.0)
+      val t = s2.sql(
+        """SELECT min_md5(array('b', 'a')) AS m,
+                  min_shingle_md5(array('a', 'b', 'c'), 3) AS ms,
+                  size(minhash_signature(array(1L, 2L), 96)) AS nh,
+                  size(simhash_bits(array(1L, 2L))) AS nb""").collect().head
+      assert(t.getAs[String]("m") ===
+        org.apache.commons.codec.digest.DigestUtils.md5Hex("a"))
+      assert(t.getAs[String]("ms") ===
+        org.apache.commons.codec.digest.DigestUtils.md5Hex("a b c"))
+      assert(t.getAs[Int]("nh") === 96)
+      assert(t.getAs[Int]("nb") === 64)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

@@ -34,6 +34,27 @@ class MultimodalSpec extends SparkSuite {
       val w = r.getAs[Int]("width"); w >= 64 && w < 576 })
   }
 
+  test("resize preserves aspect ratio, never upscales, passes audio through") {
+    val resized = Multimodal.resize(media, maxDim = 128).collect()
+    assert(resized.length === docs.count())
+    resized.foreach { r =>
+      val (ow, oh) = (r.getAs[Int]("orig_width"), r.getAs[Int]("orig_height"))
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val s = r.getAs[Double]("scale")
+      if (r.getAs[String]("kind") == "audio") {
+        assert(s === 1.0 && w === ow && h === oh)
+      } else {
+        assert(w <= 128 && h <= 128, s"$w x $h exceeds maxDim")
+        assert(s <= 1.0, "never upscale")
+        assert(w === math.max(1, math.round(ow * s).toInt))
+        assert(h === math.max(1, math.round(oh * s).toInt))
+        // aspect ratio preserved to rounding
+        assert(math.abs(w.toDouble / h - ow.toDouble / oh) < 0.05 ||
+          math.max(w, h) == 128)
+      }
+    }
+  }
+
   test("frame sampling explodes only videos, every 4th frame") {
     val feats = Multimodal.extractFeatures(media)
     val frames = Multimodal.sampleFrames(feats, everyK = 4)

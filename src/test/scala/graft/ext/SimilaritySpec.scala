@@ -30,6 +30,20 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("lshNearPairs: perfect precision, decent recall vs exact near-pairs") {
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.nearPairs(fx, threshold = 0.45)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.lshNearPairs(fx, threshold = 0.45)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(exact), "every LSH pair must be exact-verified (precision 1.0)")
+    if (exact.nonEmpty) {
+      val recall = lsh.count(exact.contains).toDouble / exact.size
+      info(s"lshNearPairs recall = $recall over ${exact.size} true pairs")
+      assert(recall >= 0.5, s"recall $recall below floor")
+    }
+  }
+
   test("IVF ANN is deterministic and recalls against brute force") {
     val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.cosineTopK(fx, numQueries = 10, k = 10)
