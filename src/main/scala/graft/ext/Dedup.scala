@@ -123,30 +123,27 @@ object Dedup {
 
   /** 64-bit SimHash over the whitespace-token multiset: per bit b, sum ±1
     * votes of each token's xxhash64 bit b; fingerprint bit = sign. Tokens
-    * are string-hashed once; the voting loop is the
-    * [[graft.expr.SimHashBits]] codegen expression. Output is an
-    * array<int> of 64 bits (LSB first) — array form keeps the banding and
-    * hamming expressions simple and codegen-friendly. */
-  def simhashBits(tokens: Column): Column =
-    graft.expr.SimHashBits(transform(tokens, t => xxhash64(t)))
+    * are string-hashed once; voting + packing is the
+    * [[graft.expr.SimHash64]] codegen expression. Output is ONE long —
+    * 8 bytes ride through the banding explode and verify joins where an
+    * array<int> of bits would carry 64 elements. */
+  def simhash64(tokens: Column): Column =
+    graft.expr.SimHash64(transform(tokens, t => xxhash64(t)))
 
-  /** Docs fingerprinted with simhash bits + the 4 × 16-bit band values used
-    * for candidate bucketing. */
+  /** Docs fingerprinted with the packed simhash + the 4 × 16-bit band
+    * values used for candidate bucketing (same band values as the
+    * pre-packing array form: band q = (fp >>> 16q) & 0xFFFF). */
   def simhashed(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), simhashBits(wsTokens(lower(col("text")))).as("bits"))
+      .select(col("doc_id"), simhash64(wsTokens(lower(col("text")))).as("fp"))
       .withColumn("bands",
-        transform(sequence(lit(0), lit(3)),
-          q => aggregate(
-            zip_with(
-              slice(col("bits"), q * 16 + 1, lit(16)),
-              sequence(lit(0), lit(15)),
-              (bit, i) => bit * call_function("shiftleft", lit(1), i)),
-            lit(0), (acc, x) => acc + x)))
+        array((0 until 4).map(q =>
+          shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL)).cast("int")): _*))
 
   /** Near-dup pairs by SimHash: candidates share at least one 16-bit band
     * (so any pair within hamming ≤ 3 of each other is guaranteed caught;
-    * we verify up to `maxHamming`). */
+    * we verify up to `maxHamming`). Hamming = bit_count(XOR) on the packed
+    * fingerprints. */
   def nearDupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val fp = cached(simhashed(docs))
     val banded = fp.select(
@@ -160,13 +157,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands
-      .join(fp.select(col("doc_id").as("doc_a"), col("bits").as("bits_a")), Seq("doc_a"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("bits").as("bits_b")), Seq("doc_b"))
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
       .withColumn("hamming",
-        aggregate(
-          zip_with(col("bits_a"), col("bits_b"),
-            (x, y) => when(x =!= y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

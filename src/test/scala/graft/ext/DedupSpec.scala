@@ -34,10 +34,10 @@ class DedupSpec extends SparkSuite {
   test("SimHash: hamming orders near-dups below unrelated docs; exact dups collide") {
     import org.apache.spark.sql.functions._
     val fp = Dedup.simhashed(docs)
-      .select(col("doc_id"), col("bits"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
     def hamming(a: Long, b: Long): Int =
-      fp(a).zip(fp(b)).count { case (x, y) => x != y }
+      java.lang.Long.bitCount(fp(a) ^ fp(b))
     // near-dup strictly closer than an unrelated doc
     assert(hamming(1L, 2L) < hamming(1L, 3L))
     assert(hamming(1L, 2L) < hamming(2L, 3L))
