@@ -72,4 +72,13 @@ object Pipeline {
     * must exceed any realistic replay window (SURVEY.md §7.4 item 3). */
   def dedupedStreaming(activity: DataFrame, horizon: String = "1 hour"): DataFrame =
     activity.withWatermark("event_timestamp", horizon).dropDuplicates(eventKey)
+
+  /** Same guarantee via `dropDuplicatesWithinWatermark`: duplicates are
+    * only required to arrive within the watermark delay of each other
+    * (not to share an exact event-time key with live state), which evicts
+    * state more aggressively — the preferred shape when replays are
+    * bounded-lag rather than arbitrary. */
+  def dedupedStreamingWithin(activity: DataFrame, horizon: String = "1 hour"): DataFrame =
+    activity.withWatermark("event_timestamp", horizon)
+      .dropDuplicatesWithinWatermark(eventKey)
 }

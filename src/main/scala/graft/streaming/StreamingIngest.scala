@@ -41,6 +41,12 @@ object StreamingIngest {
   def dedupedActivityStream(raw: DataFrame, horizon: String = "1 hour"): DataFrame =
     Pipeline.dedupedStreaming(activityStream(raw), horizon)
 
+  /** Effectively-once via `dropDuplicatesWithinWatermark` — more
+    * aggressive state eviction when redelivery lag is bounded by the
+    * watermark delay (see [[Pipeline.dedupedStreamingWithin]]). */
+  def dedupedActivityStreamWithin(raw: DataFrame, horizon: String = "1 hour"): DataFrame =
+    Pipeline.dedupedStreamingWithin(activityStream(raw), horizon)
+
   /** How long (event time) a user's counter survives with no new activity
     * before the state store evicts it — bounds state size in a
     * long-running stream. */
