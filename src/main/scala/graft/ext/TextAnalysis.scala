@@ -122,4 +122,76 @@ object TextAnalysis {
     docs.agg(
       approx_count_distinct(normText(col("text"))).as("approx_norm_texts"),
       approx_count_distinct(col("source")).as("approx_sources"))
+
+  /** Corpus vocabulary: top-k tokens by frequency (deterministic
+    * tie-break on the token). The explode → count is the canonical
+    * map-side-combined word-count shuffle; at 100 TB the partial
+    * aggregation reduces the exchange to one row per (partition, token). */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(explode(wsTokens(lower(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** PII scrub patterns — emails first (a URL pattern would otherwise
+    * swallow user@host inside hrefs), then URLs. Kept to constructs with
+    * identical semantics in Java regex and RE2 so the DuckDB oracle
+    * reproduces byte-identical output. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+
+  /** Redact emails/URLs and count hits — the standard pre-training PII
+    * scrub gate. Pure regexp expressions; the scrubbed text is hashed in
+    * the registered query to keep the gate's row payload small. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailPattern)).as("n_emails"),
+      regexp_count(col("text"), lit(urlPattern)).as("n_urls"),
+      regexp_replace(
+        regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>").as("scrubbed"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val assignment by content hash: the first two
+    * md5 hex chars partition the corpus into 256 stable buckets; buckets
+    * below the threshold go to train (hex-string comparison — identical
+    * in any engine, no integer parsing needed). Content-keyed (not
+    * id-keyed) so exact duplicates always land in the same split. */
+  def trainValSplit(docs: DataFrame, trainHexCeil: String = "f3"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      substring(md5(normText(col("text"))), 1, 2).as("bucket_hex"))
+      .withColumn("split",
+        when(col("bucket_hex") < trainHexCeil, "train").otherwise("val"))
+      .orderBy("doc_id")
+
+  /** Contamination check: corpus docs whose content fingerprint matches
+    * any probe doc (≙ a benchmark/eval set — here the fixture's
+    * doc_id % probeModulus == 0 slice). `near = false` keys on the exact
+    * normalized-text md5; `near = true` keys on the min-shingle md5
+    * (near-identical docs collide — benchmark paraphrase leakage). The
+    * probe side is tiny → broadcast left-semi join on the fingerprint; no
+    * shuffle of the corpus. */
+  def contamination(
+      docs: DataFrame,
+      probeModulus: Int = 50,
+      near: Boolean = false): DataFrame = {
+    val fp =
+      if (near) graft.expr.MinShingleMd5(wsTokens(lower(col("text"))), 3)
+      else md5(normText(col("text")))
+    val corpus = docs.select(col("doc_id"), fp.as("fp"))
+    val probes = docs
+      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
+      .select(col("doc_id").as("probe_id"), fp.as("fp"))
+    corpus
+      .join(broadcast(probes),
+        corpus("fp") === probes("fp") && col("doc_id") =!= col("probe_id"),
+        "left_semi")
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
 }

@@ -167,6 +167,57 @@ FROM documents""")),
       (s: SparkSession, d: String) => TextAnalysis.distinctApprox(docs(s, d)),
       None),
 
+    ("vocab_topk",
+      (s: SparkSession, d: String) => TextAnalysis.vocabTopK(docs(s, d), k = 100),
+      Some(s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
+SELECT token, (count(*))::BIGINT AS n FROM t WHERE length(token) > 0
+GROUP BY token ORDER BY n DESC, token LIMIT 100""")),
+
+    ("pii_scrub",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        TextAnalysis.piiScrub(docs(s, d))
+          .select(col("doc_id"), col("n_emails"), col("n_urls"),
+            md5(col("scrubbed")).as("scrub_md5"))
+      },
+      Some(s"""SELECT doc_id,
+       len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS n_emails,
+       len(regexp_extract_all(text, '${TextAnalysis.urlPattern}')) AS n_urls,
+       md5(regexp_replace(
+             regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+             '${TextAnalysis.urlPattern}', '<URL>', 'g')) AS scrub_md5
+FROM documents ORDER BY doc_id""")),
+
+    ("train_val_split",
+      (s: SparkSession, d: String) => TextAnalysis.trainValSplit(docs(s, d)),
+      Some(s"""SELECT doc_id, substring(md5($normSql), 1, 2) AS bucket_hex,
+       CASE WHEN substring(md5($normSql), 1, 2) < 'f3'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents ORDER BY doc_id""")),
+
+    ("contamination",
+      (s: SparkSession, d: String) => TextAnalysis.contamination(docs(s, d)),
+      Some(s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+p AS (SELECT doc_id AS probe_id, fp FROM f WHERE doc_id % 50 = 0)
+SELECT DISTINCT f.doc_id, f.fp FROM f
+JOIN p ON f.fp = p.fp AND f.doc_id <> p.probe_id
+ORDER BY f.doc_id""")),
+
+    // Near-dup contamination: min-shingle fingerprint collisions catch
+    // paraphrase-level benchmark leakage the exact key misses.
+    ("contamination_near",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.contamination(docs(s, d), near = true),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+f AS (SELECT doc_id,
+             list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fp
+      FROM s),
+p AS (SELECT doc_id AS probe_id, fp FROM f WHERE doc_id % 50 = 0)
+SELECT DISTINCT f.doc_id, f.fp FROM f
+JOIN p ON f.fp = p.fp AND f.doc_id <> p.probe_id
+ORDER BY f.doc_id""")),
+
     // -------------------------------------------------------- similarity
     ("sim_topk",
       (s: SparkSession, d: String) =>

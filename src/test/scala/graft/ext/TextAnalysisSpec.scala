@@ -1,0 +1,70 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Training-data triage ops the fixture corpus doesn't exercise end-to-end
+  * (it contains no PII and no exact duplicates): plant the cases and pin
+  * the behavior. */
+class TextAnalysisSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("piiScrub redacts planted emails and urls, counts hits") {
+    val docs = Seq(
+      (1L, "contact me at alice@example.com or https://example.com/x?y=1 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: a@b.co and c.d+e@f-g.org"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_urls"), r.getAs[String]("scrubbed"))))
+      .toMap
+    assert(got(1L)._1 === 1 && got(1L)._2 === 1)
+    assert(got(1L)._3 === "contact me at <EMAIL> or <URL> today")
+    assert(got(2L) === ((0, 0, "no pii here at all")))
+    assert(got(3L)._1 === 2)
+    assert(got(3L)._3 === "two mails: <EMAIL> and <EMAIL>")
+  }
+
+  test("trainValSplit is total, deterministic, and content-keyed") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val s1 = TextAnalysis.trainValSplit(docs).collect()
+    val s2 = TextAnalysis.trainValSplit(docs).collect()
+    assert(s1.length === docs.count())
+    assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq, "deterministic")
+    val splits = s1.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val")))
+    // exact duplicate content → same split regardless of doc_id
+    val dup = Seq((100L, "Same Text!"), (200L, "same text")).toDF("doc_id", "text")
+    val assigned = TextAnalysis.trainValSplit(dup)
+      .select("split").distinct().count()
+    assert(assigned === 1, "duplicates (modulo normalization) co-locate")
+  }
+
+  test("contamination flags planted probe matches, exact and near") {
+    // probe ids are doc_id % 50 == 0; doc 77 copies probe 50's text
+    // exactly, doc 88 copies it with one word changed (near)
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val docs = Seq(
+      (50L, base),
+      (77L, base.toUpperCase), // exact modulo normalization
+      (88L, base.replace("lazy", "sleepy")), // near: most shingles shared
+      (99L, "completely different content with nothing in common here"))
+      .toDF("doc_id", "text")
+    val exact = TextAnalysis.contamination(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exact === Set(77L))
+    val near = TextAnalysis.contamination(docs, near = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(near.contains(77L), "exact dup also collides on min-shingle")
+    assert(!near.contains(99L), "unrelated doc never flags")
+  }
+
+  test("vocabTopK counts and orders with deterministic tie-break") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabTopK(docs, k = 3)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("n")))
+    assert(got.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+}
