@@ -327,6 +327,40 @@ r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
 SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
 ORDER BY q_id, rnk""")),
 
+    // As-of join (custom operator — Spark has no built-in): each purchase
+    // event attributed to the user's latest click at or before it.
+    ("events_asof_purchase_click",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val ev = graft.sources.CdcSource.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("click_id"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        // unmatched purchases keep sentinel values (not NULL): NULL in a
+        // numeric column degrades to NaN-float in the compare layer
+        graft.operators.AsOfJoin
+          .asof(purchases, clicks, Seq("user_id"), "ts", "ts",
+            payload = Seq("ts", "click_id"), prefix = "c_")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            coalesce(col("c_ts"), to_timestamp(lit("1970-01-01")))
+              .as("last_click_ts"),
+            coalesce(col("c_click_id"), lit(-1L)).as("click_id"),
+            coalesce(unix_millis(col("ts")) - unix_millis(col("c_ts")), lit(-1L))
+              .as("gap_ms"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       coalesce(c.ts, TIMESTAMP '1970-01-01') AS last_click_ts,
+       coalesce(c.click_id, -1) AS click_id,
+       coalesce(date_diff('millisecond', c.ts, p.ts), -1) AS gap_ms
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id""")),
+
     // LSH-bucketed ANN + its recall vs brute force: approximate by design,
     // rows-only + ScalaTest floor on recall.
     ("sim_topk_lsh",

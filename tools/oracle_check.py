@@ -51,7 +51,8 @@ for name, sql in sorted(oracle.items()):
             sv = pd.to_datetime(sv).dt.tz_localize(None).astype("datetime64[us]")
             eq = dv.equals(sv)
         elif dv.dtype.kind == "f" or sv.dtype.kind == "f":
-            eq = ((dv - sv).abs() < 1e-6 * (1 + dv.abs())).all()
+            close = (dv - sv).abs() < 1e-6 * (1 + dv.abs())
+            eq = (close | (dv.isna() & sv.isna())).all()
         else:
             eq = dv.astype(str).fillna("\0").equals(sv.astype(str).fillna("\0"))
         if not eq:
