@@ -154,6 +154,21 @@ ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Scale path for the exact quantiles above: GK-sketch approx
+    // percentiles are mergeable map-side partials, so parallelism is not
+    // bounded by group count the way exact per-group selection is.
+    // Sketch values are engine-specific → rows-only + ScalaTest tolerance.
+    ("q_price_quantiles_approx",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+            expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      None),
+
     // Monthly order volume: date-truncation rollup (one shuffle).
     ("q_orders_monthly",
       (s: SparkSession, d: String) =>

@@ -4,6 +4,19 @@ package graft
   * in pure SQL. */
 class GraftSpec extends SparkSuite {
 
+  test("approx quantiles track exact within 2% on the fixture lineitem") {
+    val d = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("q_price_quantiles")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.SparkEntry.queries("q_price_quantiles_approx")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.02, s"p50 off for $k")
+      assert(math.abs(approx(k)._2 - p95) / p95 < 0.02, s"p95 off for $k")
+    }
+  }
+
   test("registerViews exposes fixture, CDC, and activity views for SQL") {
     Graft.registerViews(spark, "/root/testdata/sf0.001")
     val page = spark.sql(
