@@ -154,6 +154,82 @@ ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Full cube over the two order dimensions (4 grouping sets in one
+    // shuffle — Catalyst expands the cube map-side).
+    ("q_orders_cube",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice", "sum_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       (sum(o_totalprice::DECIMAL(18,6)))::DOUBLE AS sum_price
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // Cumulative/lag analytics window over the monthly rollup: running
+    // revenue and month-over-month delta (ordered running fold over
+    // unique month keys — deterministic in both engines).
+    ("q_revenue_running",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("month")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val lagW = org.apache.spark.sql.expressions.Window.orderBy("month")
+        t(s, d, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(dsum("o_totalprice", "revenue"))
+          .withColumn("cum_revenue", sum("revenue").over(w))
+          .withColumn("mom_delta",
+            col("revenue") - coalesce(lag("revenue", 1).over(lagW), lit(0.0)))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         (sum(o_totalprice::DECIMAL(18,6)))::DOUBLE AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+       sum(revenue) OVER (ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue,
+       revenue - coalesce(lag(revenue, 1) OVER (ORDER BY month), 0) AS mom_delta
+FROM m ORDER BY month""")),
+
+    // Set difference (EXCEPT): customers ordering in 1995 but not 1996.
+    ("q_cust_churn_except",
+      (s: SparkSession, d: String) => {
+        val ord = t(s, d, "orders")
+        def in(y: Int) = ord
+          .where(year(col("o_orderdate")) === y)
+          .select(col("o_custkey"))
+        in(1995).except(in(1996)).orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY o_custkey""")),
+
+    // Pivot: per-user event-type counts as columns (explicit value list →
+    // plan-time schema; one shuffle, conditional-count partials).
+    ("q_event_type_pivot",
+      (s: SparkSession, d: String) =>
+        graft.sources.CdcSource.events(s, d)
+          .where(col("user_id") < 50)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events WHERE user_id < 50
+GROUP BY user_id ORDER BY user_id""")),
+
     // Scale path for the exact quantiles above: GK-sketch approx
     // percentiles are mergeable map-side partials, so parallelism is not
     // bounded by group count the way exact per-group selection is.
