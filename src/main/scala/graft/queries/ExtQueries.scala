@@ -327,6 +327,44 @@ r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
 SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
 ORDER BY q_id, rnk""")),
 
+    // Range join (custom operator): every event attributed to its
+    // containing session window via the bucketed point-in-interval join —
+    // never a nested-loop. Sessions are non-overlapping per user, so each
+    // event lands in exactly one.
+    ("events_session_attribution",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val ev = graft.sources.CdcSource.events(s, d)
+        val sessions = EventWindows.sessions(ev)
+          .select(col("user_id"), col("session_start"), col("session_end"))
+        graft.operators.RangeJoin
+          .pointInInterval(
+            ev.select("event_id", "user_id", "ts"), sessions,
+            keys = Seq("user_id"), t = "ts",
+            lo = "session_start", hi = "session_end",
+            payload = Seq("session_start"),
+            bucketMs = 4L * 3600 * 1000)
+          .select("event_id", "user_id", "ts", "session_start")
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '4 hours'
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+iv AS (SELECT user_id, sid, min(ts) AS session_start,
+              max(ts) + INTERVAL '4 hours' AS session_end
+       FROM s GROUP BY user_id, sid)
+SELECT e.event_id, e.user_id, e.ts, iv.session_start
+FROM events e JOIN iv ON e.user_id = iv.user_id
+  AND e.ts >= iv.session_start AND e.ts < iv.session_end
+ORDER BY e.event_id""")),
+
     // As-of join (custom operator — Spark has no built-in): each purchase
     // event attributed to the user's latest click at or before it.
     ("events_asof_purchase_click",

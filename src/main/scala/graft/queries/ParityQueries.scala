@@ -251,6 +251,31 @@ LEFT JOIN (SELECT target_id, md_title FROM act_shards) sh
   ON c.target_id = sh.target_id
 ORDER BY c.activity_pk"""))),
 
+    // §2.3 graph extension: 2-hop follow reach — the follower graph
+    // self-joined on the middle vertex. Distinct edges first (one
+    // shuffle), then the edge-edge equi-join on the join vertex, then a
+    // distinct-count per origin; the classic friend-of-friend shape that
+    // stays shuffle-bounded at any graph size.
+    ("feed_2hop_reach",
+      (s: SparkSession, d: String) => {
+        val f = followEdges(s, d)
+          .select("follower_id", "following_id").distinct()
+        val hop2 = f.select(
+          col("follower_id").as("mid"), col("following_id").as("dest"))
+        f.join(hop2, col("following_id") === col("mid"))
+          .where(col("dest") =!= col("follower_id"))
+          .groupBy("follower_id")
+          .agg(countDistinct("dest").as("reach_2hop"))
+          .orderBy("follower_id")
+      },
+      Some(OracleCte.withCdc(
+        """, f AS (SELECT DISTINCT follower_id, following_id
+       FROM followers_cdc WHERE __op = 'c')
+SELECT a.follower_id, count(DISTINCT b.following_id) AS reach_2hop
+FROM f a JOIN f b ON a.following_id = b.follower_id
+WHERE b.following_id <> a.follower_id
+GROUP BY a.follower_id ORDER BY a.follower_id"""))),
+
     // T1: newest-k per user (the clustering-order read as a ranking window)
     ("feed_topk_per_user",
       (s: SparkSession, d: String) =>
