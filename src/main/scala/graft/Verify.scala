@@ -15,11 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Queries are independent; run 4 at a time so one slow query doesn't
+    // Queries are independent; run 8 at a time so one slow query doesn't
     // serialize the whole gate (Spark's scheduler interleaves the jobs).
     // coalesce(1) keeps each result a single ordered file — the hash
     // compare is row-order-sensitive.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>

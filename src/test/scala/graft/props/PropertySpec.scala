@@ -66,6 +66,63 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("as-of join equals per-row brute force on random timelines") = {
+    val gen = for {
+      rights <- Gen.listOfN(8, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 50L)))
+      lefts <- Gen.listOfN(8, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 60L)))
+    } yield (rights.distinct, lefts)
+    Prop.forAll(gen) { case (rights, lefts) =>
+      import I.i._
+      val r = rights.zipWithIndex
+        .map { case ((k, t), i) => (k.toLong, t, 1000L + i) }
+        .toDF("k", "t", "rid")
+        // operator contract: right unique per (key, time)
+        .groupBy("k", "t").agg(max("rid").as("rid"))
+      val l = lefts.zipWithIndex
+        .map { case ((k, t), i) => (k.toLong, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val got = graft.operators.AsOfJoin
+        .asof(l, r, Seq("k"), "t", "t", payload = Seq("rid"))
+        .collect()
+        .map(x => x.getAs[Long]("lid") ->
+          Option(x.get(x.fieldIndex("asof_rid"))).map(_.asInstanceOf[Long]))
+        .toMap
+      val rr = r.collect().map(x => (x.getAs[Long]("k"), x.getAs[Long]("t"), x.getAs[Long]("rid")))
+      lefts.zipWithIndex.forall { case ((k, t), i) =>
+        val expect = rr.filter(x => x._1 == k && x._2 <= t)
+          .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+        got(i.toLong) == expect
+      }
+    }
+  }
+
+  property("range join equals brute-force containment on random intervals") = {
+    val gen = for {
+      ivs <- Gen.listOfN(6, Gen.zip(Gen.choose(1, 2), Gen.choose(0L, 40L), Gen.choose(1L, 30L)))
+      pts <- Gen.listOfN(8, Gen.zip(Gen.choose(1, 2), Gen.choose(0L, 80L)))
+    } yield (ivs, pts)
+    Prop.forAll(gen) { case (ivs, pts) =>
+      import I.i._
+      def mins(m: Long) = new java.sql.Timestamp(m * 60000L)
+      val iv = ivs.zipWithIndex
+        .map { case ((k, lo, len), i) => (k.toLong, mins(lo), mins(lo + len), 100L + i) }
+        .toDF("k", "lo", "hi", "ivid")
+      val p = pts.zipWithIndex
+        .map { case ((k, t), i) => (k.toLong, mins(t), i.toLong) }
+        .toDF("k", "t", "pid")
+      val got = graft.operators.RangeJoin
+        .pointInInterval(p, iv, Seq("k"), "t", "lo", "hi", Seq("ivid"),
+          bucketMs = 10L * 60000L)
+        .collect().map(x => (x.getAs[Long]("pid"), x.getAs[Long]("ivid"))).toSet
+      val expect = (for {
+        ((pk, pt), pi) <- pts.zipWithIndex
+        ((ik, lo, len), ii) <- ivs.zipWithIndex
+        if pk == ik && pt >= lo && pt < lo + len
+      } yield (pi.toLong, 100L + ii)).toSet
+      got == expect
+    }
+  }
+
   property("minhash: signature agreement tracks set overlap") = {
     Prop.forAll(Gen.choose(0, 40)) { keep =>
       import I.i._
