@@ -169,6 +169,33 @@ object TextAnalysis {
         when(col("bucket_hex") < trainHexCeil, "train").otherwise("val"))
       .orderBy("doc_id")
 
+  /** Sketch-based contamination prefilter: a Bloom filter built over the
+    * probe set's fingerprint hashes, broadcast to the corpus scan. At
+    * 100 TB this is the first pass — a few MB of bits replace the probe
+    * join entirely, and only might-contain survivors (true hits + ~fpp
+    * false positives, NEVER false negatives) reach the exact
+    * [[contamination]] join. The probe UDF is a deliberate seam: a Bloom
+    * probe is a broadcast sketch lookup, not a per-row expression the
+    * optimizer could help with. */
+  def contaminationBloom(
+      docs: DataFrame,
+      probeModulus: Int = 50,
+      fpp: Double = 0.01): DataFrame = {
+    val fpHash = xxhash64(md5(normText(col("text"))))
+    val corpus = docs.select(col("doc_id"), fpHash.as("fph"))
+    val probes = docs
+      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
+      .select(fpHash.as("fph"))
+    val n = math.max(1L, probes.count())
+    val bloom = probes.stat.bloomFilter("fph", n, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    corpus
+      .where(mightContain(col("fph")))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Contamination check: corpus docs whose content fingerprint matches
     * any probe doc (≙ a benchmark/eval set — here the fixture's
     * doc_id % probeModulus == 0 slice). `near = false` keys on the exact

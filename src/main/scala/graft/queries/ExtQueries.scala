@@ -203,6 +203,14 @@ SELECT DISTINCT f.doc_id, f.fp FROM f
 JOIN p ON f.fp = p.fp AND f.doc_id <> p.probe_id
 ORDER BY f.doc_id""")),
 
+    // Bloom prefilter for the same gate: sketch membership is
+    // engine-specific → rows-only; TextAnalysisSpec proves the
+    // no-false-negative contract vs the exact join.
+    ("contamination_bloom",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.contaminationBloom(docs(s, d)),
+      None),
+
     // Near-dup contamination: min-shingle fingerprint collisions catch
     // paraphrase-level benchmark leakage the exact key misses.
     ("contamination_near",

@@ -61,6 +61,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!near.contains(99L), "unrelated doc never flags")
   }
 
+  test("bloom contamination prefilter: no false negatives, bounded survivors") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = TextAnalysis.contamination(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // probes themselves always pass their own filter
+    val probes = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val bloom = TextAnalysis.contaminationBloom(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert((exact ++ probes).subsetOf(bloom), "bloom must never drop a true hit")
+    // ~1% fpp over 500 docs → survivors stay near probes + true hits
+    assert(bloom.size <= probes.size + exact.size + 25,
+      s"too many bloom survivors: ${bloom.size}")
+  }
+
   test("vocabTopK counts and orders with deterministic tie-break") {
     val docs = Seq((1L, "b a a c b a"), (2L, "c b")).toDF("doc_id", "text")
     val got = TextAnalysis.vocabTopK(docs, k = 3)
