@@ -407,6 +407,33 @@ SELECT p.event_id, p.user_id, p.ts,
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id""")),
 
+    // Semi-structured extraction: JSON payload column parsed in place
+    // (schema'd from_json stays inside codegen; no string re-parsing per
+    // field access) and aggregated.
+    ("events_props_stats",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        graft.sources.CdcSource.events(s, d)
+          .withColumn("k",
+            from_json(col("props"), "k LONG", Map.empty[String, String])
+              .getField("k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            // avg from the exact integer sum — engine-native avg()
+            // accumulates doubles in engine-specific order
+            (sum("k").cast("double") / count(lit(1))).as("avg_k"),
+            sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+       (sum(CAST(json_extract(props, '$.k') AS BIGINT)))::BIGINT AS sum_k,
+       (sum(CAST(json_extract(props, '$.k') AS BIGINT)))::DOUBLE / count(*) AS avg_k,
+       (sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                 THEN 1 ELSE 0 END))::BIGINT AS n_high
+FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // LSH-bucketed ANN + its recall vs brute force: approximate by design,
     // rows-only + ScalaTest floor on recall.
     ("sim_topk_lsh",
