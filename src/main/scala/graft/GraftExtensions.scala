@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("minhash_signature", classOf[MinHashSignature])(c =>
       MinHashSignature(c(0), litInt(c(1), "minhash_signature num hashes")))
     register("simhash_bits", classOf[SimHashBits])(c => SimHashBits(c(0)))
+
+    // tier-(c) plan rewrite: pure interval joins → bucketed equi-joins
+    // (Spark's only native plan for an equality-free join is a
+    // BroadcastNestedLoopJoin)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
   }
 }
