@@ -167,7 +167,10 @@ object Similarity {
       threshold: Double,
       dim: Int = 64): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val b = bucketed(base, dim)
+    // candidate generation shuffles only (id, table, bucket) — the 64-dim
+    // vectors stay out of the self-join and are re-attached for the exact
+    // re-score only
+    val b = bucketed(base, dim).select("vec_id", "table_id", "bucket")
     // 1-bit multi-probe on ONE side of the self-join: two sketches within
     // hamming ≤ 1 of each other collide (XOR is symmetric), lifting pair
     // recall the same way query-side probing does for top-k.
