@@ -50,6 +50,36 @@ object ActivitySink {
       .partitionBy("user_bucket")
       .parquet(path)
 
+  /** Append one micro-batch into the same layout (streaming K1). Each
+    * batch adds clustering-sorted files under the bucket directories; a
+    * periodic compaction (re-running [[write]] over the accumulated
+    * table) restores one-file-per-bucket when batch counts grow. */
+  def appendBatch(activity: DataFrame, path: String, buckets: Int = defaultBuckets): Unit =
+    activity
+      .withColumn("user_bucket", pmod(hash(col("user_id")), lit(buckets)))
+      .repartition(col("user_bucket"))
+      .sortWithinPartitions(
+        col("user_id"), col("event_timestamp").desc, col("activity_pk").desc)
+      .write
+      .mode("append")
+      .partitionBy("user_bucket")
+      .parquet(path)
+
+  /** The K1 write path in streaming form (≙ event_processor.py:89-113):
+    * checkpointed foreachBatch into the bucketed/clustered layout, so the
+    * serving table the feed queries read is maintained continuously. */
+  def runToActivityTable(
+      activity: DataFrame,
+      path: String,
+      checkpointPath: String,
+      buckets: Int = defaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
+    activity.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => appendBatch(batch, path, buckets))
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -59,6 +59,35 @@ class StreamingSpec extends SparkSuite {
     assert(res.dropDuplicates("activity_type", "activity_pk").count() === 5)
   }
 
+  test("streaming K1: foreachBatch maintains the bucketed serving layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = tmpDir("graft_k1_stream_out")
+    val ckpt = tmpDir("graft_k1_stream_ckpt")
+
+    mem.addData(events: _*)
+    graft.sinks.ActivitySink.runToActivityTable(
+      StreamingIngest.dedupedActivityStream(mem.toDF()), out, ckpt)
+      .awaitTermination()
+    val fresh =
+      """{"id":99,"shard_id":5,"liked_by":"3","__op":"c","__table":"likes","__source_ts_ms":1752228300000,"__source_table":"likes"}"""
+    mem.addData(fresh)
+    graft.sinks.ActivitySink.runToActivityTable(
+      StreamingIngest.dedupedActivityStream(mem.toDF()), out, ckpt)
+      .awaitTermination()
+
+    val table = spark.read.parquet(out)
+    assert(table.count() === 5) // 4 creates + 1 fresh, deduped
+    assert(table.columns.contains("user_bucket"))
+    // partition pruning works against the streamed layout
+    val userBuckets = graft.sinks.ActivitySink.bucketsOf(
+      table.select("user_id").distinct())
+    assert(userBuckets.nonEmpty)
+    val pruned = table.where(org.apache.spark.sql.functions.col("user_bucket")
+      .isin(userBuckets: _*))
+    assert(pruned.count() === 5)
+  }
+
   test("dropDuplicatesWithinWatermark variant also absorbs bounded-lag replays") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
