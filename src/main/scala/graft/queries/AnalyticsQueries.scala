@@ -230,6 +230,27 @@ ORDER BY o_custkey""")),
 FROM events WHERE user_id < 50
 GROUP BY user_id ORDER BY user_id""")),
 
+    // Distributed-exact path for the same quantiles: histogram method —
+    // the full-data pass is a parallel groupBy(value) count; only an
+    // O(distinct) running sum is per-group serial. Same oracle as the
+    // buffer-based exact query.
+    ("q_price_quantiles_dist",
+      (s: SparkSession, d: String) =>
+        graft.operators.DistributedQuantiles
+          .exactQuantiles(t(s, d, "lineitem"),
+            group = "l_returnflag", value = "l_extendedprice",
+            ps = Seq(0.5, 0.95))
+          .select(col("l_returnflag"),
+            round(col("p50"), 4).as("p50"),
+            round(col("p95"), 4).as("p95"),
+            col("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Scale path for the exact quantiles above: GK-sketch approx
     // percentiles are mergeable map-side partials, so parallelism is not
     // bounded by group count the way exact per-group selection is.
