@@ -49,21 +49,25 @@ case class HyperplaneBuckets(
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val out = new Array[Int](numTables)
-    var t = 0
-    while (t < numTables) {
-      var bucket = 0
-      var jj = 0
-      while (jj < bitsPerTable) {
-        val p = planes(t * bitsPerTable + jj)
-        val n = math.min(v.numElements(), p.length)
-        var dot = 0.0
-        var i = 0
-        while (i < n) { dot += v.getDouble(i) * p(i); i += 1 }
-        if (dot > 0) bucket |= 1 << jj
-        jj += 1
+    // dimension mismatch → every sketch bit 0 (fail-closed): a ragged
+    // vector must land in a fixed bucket, not wherever a silently
+    // truncated partial dot product happens to point
+    if (v.numElements() == planes(0).length) {
+      var t = 0
+      while (t < numTables) {
+        var bucket = 0
+        var jj = 0
+        while (jj < bitsPerTable) {
+          val p = planes(t * bitsPerTable + jj)
+          var dot = 0.0
+          var i = 0
+          while (i < p.length) { dot += v.getDouble(i) * p(i); i += 1 }
+          if (dot > 0) bucket |= 1 << jj
+          jj += 1
+        }
+        out(t) = bucket
+        t += 1
       }
-      out(t) = bucket
-      t += 1
     }
     new GenericArrayData(out)
   }
@@ -75,24 +79,24 @@ case class HyperplaneBuckets(
       val t = ctx.freshName("t")
       val jj = ctx.freshName("jj")
       val p = ctx.freshName("p")
-      val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       val bucket = ctx.freshName("bucket")
       s"""
          |int[] $out = new int[$numTables];
-         |for (int $t = 0; $t < $numTables; $t++) {
-         |  int $bucket = 0;
-         |  for (int $jj = 0; $jj < $bitsPerTable; $jj++) {
-         |    double[] $p = $planesRef[$t * $bitsPerTable + $jj];
-         |    int $n = java.lang.Math.min($v.numElements(), $p.length);
-         |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $dot += $v.getDouble($i) * $p[$i];
+         |if ($v.numElements() == $planesRef[0].length) {
+         |  for (int $t = 0; $t < $numTables; $t++) {
+         |    int $bucket = 0;
+         |    for (int $jj = 0; $jj < $bitsPerTable; $jj++) {
+         |      double[] $p = $planesRef[$t * $bitsPerTable + $jj];
+         |      double $dot = 0.0;
+         |      for (int $i = 0; $i < $p.length; $i++) {
+         |        $dot += $v.getDouble($i) * $p[$i];
+         |      }
+         |      if ($dot > 0) $bucket |= 1 << $jj;
          |    }
-         |    if ($dot > 0) $bucket |= 1 << $jj;
+         |    $out[$t] = $bucket;
          |  }
-         |  $out[$t] = $bucket;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -186,7 +186,10 @@ object TextAnalysis {
     val probes = docs
       .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
       .select(fpHash.as("fph"))
-    val n = math.max(1L, probes.count())
+    // size estimate only — parquet count(*) is metadata-cheap, while
+    // probes.count() would run the full fingerprint pipeline once just
+    // to size the filter and again to fill it
+    val n = math.max(1L, docs.count() / probeModulus)
     val bloom = probes.stat.bloomFilter("fph", n, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))

@@ -43,11 +43,16 @@ object AsOfJoin {
       prefix: String = "asof_"): DataFrame = {
     val keyCols = keys.map(col)
     val rPayload = struct(payload.map(col): _*)
-    val r = right.select(
-      keyCols ++ Seq(
-        col(rightTime).as("__t"),
-        rPayload.as("__r"),
-        lit(0).as("__side")): _*)
+    // SQL join semantics: a NULL key never matches (null = null is not
+    // true) — but Window.partitionBy groups nulls together, so null-key
+    // right rows must be dropped or they would enrich null-key left rows
+    val r = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols ++ Seq(
+          col(rightTime).as("__t"),
+          rPayload.as("__r"),
+          lit(0).as("__side")): _*)
     val rType = r.schema("__r").dataType
     val lType = StructType(left.schema.fields)
     val l = left.select(

@@ -32,6 +32,9 @@ object DistributedQuantiles {
       value: String,
       ps: Seq[Double]): DataFrame = {
     val counts = df
+      // percentile/quantile_cont ignore NULLs; without this filter they
+      // would sort first and shift every order statistic
+      .where(col(value).isNotNull)
       .groupBy(col(group), col(value).cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
     val byV = Window.partitionBy(group).orderBy("v")

@@ -49,9 +49,16 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] {
       // left gains its single bucket; right explodes to covered buckets
       val lBucket = Alias(bucketOf(t), "__graft_bucket_l")()
       val newLeft = Project(left.output :+ lBucket, left)
-      // degenerate intervals (hi <= lo) match nothing in the original
-      // semantics — drop them so the bucket sequence is never descending
-      val nonEmpty = Filter(GreaterThan(hi, lo), right)
+      // degenerate intervals match nothing in the original semantics —
+      // drop them so the bucket sequence is never descending. Compare in
+      // MILLIS (the bucket unit): a sub-millisecond interval straddling a
+      // bucket boundary passes hi > lo at microsecond precision but still
+      // yields stopBucket < startBucket, and Sequence with an explicit
+      // step would throw at runtime.
+      val nonEmpty = Filter(
+        GreaterThanOrEqual(
+          Subtract(UnixMillis(hi), Literal(1L)), UnixMillis(lo)),
+        right)
       val buckets = Alias(
         Sequence(
           bucketOf(lo),

@@ -67,14 +67,32 @@ object ActivitySink {
 
   /** The K1 write path in streaming form (≙ event_processor.py:89-113):
     * checkpointed foreachBatch into the bucketed/clustered layout, so the
-    * serving table the feed queries read is maintained continuously. */
+    * serving table the feed queries read is maintained continuously.
+    *
+    * Delivery: a per-batch marker file skips batches that already
+    * committed fully, so clean restarts never duplicate. A crash in the
+    * window between a partial parquet append and the marker write can
+    * still replay that batch (plain parquet append is not
+    * transactional) — i.e. at-least-once at the file level; rows carry
+    * the deterministic `activity_pk` key, so readers needing exactly-once
+    * apply `dropDuplicates(activity_type, activity_pk)`, and a
+    * transactional table format slots in at this seam for stronger
+    * guarantees. */
   def runToActivityTable(
       activity: DataFrame,
       path: String,
       checkpointPath: String,
       buckets: Int = defaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
     activity.writeStream
-      .foreachBatch((batch: DataFrame, _: Long) => appendBatch(batch, path, buckets))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/$id")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          appendBatch(batch, path, buckets)
+          fs.create(marker, true).close()
+        }
+      }
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
