@@ -27,6 +27,19 @@ class FusedExprsSpec extends SparkSuite {
     assert(got.forall(identity))
   }
 
+  test("HyperplaneBuckets is fail-closed on dimension-mismatched vectors") {
+    import spark.implicits._
+    val ragged = Seq(
+      Array.fill(32)(0.5),  // wrong dim → bucket 0 everywhere
+      Array.fill(64)(0.5))  // right dim → data-dependent buckets
+      .toDF("v")
+    val got = ragged
+      .select(Similarity.allBuckets(col("v"), 64).as("b"))
+      .collect().map(_.getSeq[Int](0))
+    assert(got(0).forall(_ === 0), "ragged vector must land in bucket 0")
+    assert(got(1).exists(_ !== 0), "well-formed vector gets real buckets")
+  }
+
   test("HyperplaneBuckets matches the per-row xxhash64 plane formulation") {
     val dim = 64
     // the pre-fusion formulation: plane re-derived per row from string hashes

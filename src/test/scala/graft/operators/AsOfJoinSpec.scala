@@ -38,6 +38,23 @@ class AsOfJoinSpec extends SparkSuite {
       ("C", 50L, None)))
   }
 
+  test("null keys never match (SQL join semantics), left rows survive unenriched") {
+    val right = Seq(
+      (Option.empty[Long], 10L, "from-null-key"),
+      (Option(1L), 10L, "from-key-1"))
+      .toDF("k", "t", "v")
+    val left = Seq(
+      (Option.empty[Long], 20L, 100L), // null key → must stay unenriched
+      (Option(1L), 20L, 200L))
+      .toDF("k", "t", "lid")
+    val got = AsOfJoin.asof(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[String]("asof_v")))
+      .toMap
+    assert(got(100L) === None)
+    assert(got(200L) === Some("from-key-1"))
+  }
+
   test("left columns pass through untouched; payload is prefixed") {
     val right = Seq((1L, 10L, "x")).toDF("k", "t", "v")
     val left = Seq((1L, 11L, "keep")).toDF("k", "t", "note")

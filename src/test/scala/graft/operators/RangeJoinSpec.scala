@@ -35,6 +35,22 @@ class RangeJoinSpec extends SparkSuite {
     assert(got === Set((1L, "ivA"), (2L, "ivA"), (3L, "ivB"), (5L, "ivC")))
   }
 
+  test("DistributedQuantiles ignores nulls like percentile does") {
+    import org.apache.spark.sql.functions.expr
+    val df = Seq(
+      ("a", Option(1.0)), ("a", Option(2.0)), ("a", Option(3.0)),
+      ("a", Option.empty[Double]))
+      .toDF("g", "x")
+    val dist = DistributedQuantiles.exactQuantiles(df, "g", "x", Seq(0.5))
+      .collect().head
+    assert(dist.getAs[Double]("p50") === 2.0)
+    assert(dist.getAs[Long]("n") === 3L)
+    val builtin = df.groupBy("g")
+      .agg(expr("percentile(x, 0.5)").as("p50"))
+      .collect().head.getAs[Double]("p50")
+    assert(builtin === 2.0)
+  }
+
   test("overlapping intervals each yield a row") {
     val intervals = Seq((1L, ts(0), ts(60), "x"), (1L, ts(30), ts(90), "y"))
       .toDF("k", "lo", "hi", "name")
