@@ -266,6 +266,26 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
           .orderBy("l_returnflag"),
       None),
 
+    // Decile banding (ntile) with a deterministic total order.
+    ("q_orders_ntile",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum("o_totalprice", "sum_price"))
+          .orderBy("decile")
+      },
+      Some("""WITH r AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders)
+SELECT decile, count(*) AS n_orders,
+       (sum(o_totalprice::DECIMAL(18,6)))::DOUBLE AS sum_price
+FROM r GROUP BY decile ORDER BY decile""")),
+
     // Monthly order volume: date-truncation rollup (one shuffle).
     ("q_orders_monthly",
       (s: SparkSession, d: String) =>

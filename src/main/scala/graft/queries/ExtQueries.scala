@@ -173,6 +173,30 @@ FROM documents""")),
 SELECT token, (count(*))::BIGINT AS n FROM t WHERE length(token) > 0
 GROUP BY token ORDER BY n DESC, token LIMIT 100""")),
 
+    // Bigram language-model counts: the adjacent-pair explode is the
+    // n-gram generalization of vocab_topk (same map-side-combined count).
+    ("vocab_bigrams",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val toks = graft.ext.TextOps.wsTokens(lower(col("text")))
+        docs(s, d)
+          .select(explode(
+            when(size(toks) >= 2,
+              transform(sequence(lit(1), size(toks) - 1),
+                i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+              .otherwise(array().cast("array<string>"))).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(100)
+      },
+      Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+b AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        ELSE [] END) AS bigram FROM t)
+SELECT bigram, (count(*))::BIGINT AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""")),
+
     ("pii_scrub",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
@@ -406,6 +430,26 @@ SELECT p.event_id, p.user_id, p.ts,
        coalesce(date_diff('millisecond', c.ts, p.ts), -1) AS gap_ms
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id""")),
+
+    // Bounded window frame: per-user 5-row moving average over event
+    // time (deterministic frame via the event_id tiebreak).
+    ("events_user_rolling",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, 0)
+        graft.sources.CdcSource.events(s, d)
+          .where(col("user_id") < 100)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(avg(col("value")).over(w), 6).as("rolling_avg_5"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg_5
+FROM events WHERE user_id < 100 ORDER BY event_id""")),
 
     // Semi-structured extraction: JSON payload column parsed in place
     // (schema'd from_json stays inside codegen; no string re-parsing per
