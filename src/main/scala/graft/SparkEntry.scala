@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, ExtQueries, ParityQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, ExtQueries, ParityQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ LLM tier). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries
+    ParityQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries ++
+      BehaviorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql
+    ParityQueries.oracleSql ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      BehaviorQueries.oracleSql
 }

@@ -171,6 +171,10 @@ ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
     // Cumulative/lag analytics window over the monthly rollup: running
     // revenue and month-over-month delta (ordered running fold over
     // unique month keys — deterministic in both engines).
+    // The running sum and the lag delta stay in DECIMAL through the window
+    // (cast to DOUBLE only on output): window-summing doubles drifts by
+    // association order (DuckDB's segment tree vs Spark's running fold),
+    // which breaks the exact hash compare after ~30 accumulated months.
     ("q_revenue_running",
       (s: SparkSession, d: String) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -180,20 +184,25 @@ ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
         val lagW = org.apache.spark.sql.expressions.Window.orderBy("month")
         t(s, d, "orders")
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-          .agg(dsum("o_totalprice", "revenue"))
-          .withColumn("cum_revenue", sum("revenue").over(w))
-          .withColumn("mom_delta",
-            col("revenue") - coalesce(lag("revenue", 1).over(lagW), lit(0.0)))
+          .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev_d"))
+          .withColumn("cum_d", sum("rev_d").over(w))
+          .withColumn("mom_d",
+            col("rev_d") - coalesce(lag("rev_d", 1).over(lagW),
+              lit(0).cast("decimal(28,6)")))
+          .select(col("month"),
+            col("rev_d").cast("double").as("revenue"),
+            col("cum_d").cast("double").as("cum_revenue"),
+            col("mom_d").cast("double").as("mom_delta"))
           .orderBy("month")
       },
       Some("""WITH m AS (
-  SELECT date_trunc('month', o_orderdate) AS month,
-         (sum(o_totalprice::DECIMAL(18,6)))::DOUBLE AS revenue
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+         sum(o_totalprice::DECIMAL(18,6)) AS rev_d
   FROM orders GROUP BY 1)
-SELECT month, revenue,
-       sum(revenue) OVER (ORDER BY month
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue,
-       revenue - coalesce(lag(revenue, 1) OVER (ORDER BY month), 0) AS mom_delta
+SELECT month, rev_d::DOUBLE AS revenue,
+       (sum(rev_d) OVER (ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS cum_revenue,
+       (rev_d - coalesce(lag(rev_d, 1) OVER (ORDER BY month), 0))::DOUBLE AS mom_delta
 FROM m ORDER BY month""")),
 
     // Set difference (EXCEPT): customers ordering in 1995 but not 1996.
@@ -293,10 +302,83 @@ FROM r GROUP BY decile ORDER BY decile""")),
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
           .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice", "sum_price"))
           .orderBy("month"),
-      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+      Some("""SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
        count(*) AS n_orders,
        (sum(o_totalprice::DECIMAL(18,6)))::DOUBLE AS sum_price
-FROM orders GROUP BY 1 ORDER BY month"""))
+FROM orders GROUP BY 1 ORDER BY month""")),
+
+    // Shipping-priority top-k (shape of TPC-H Q3): broadcast the customer
+    // dim, shuffle-join the two facts on orderkey once, aggregate with
+    // map-side partials, then a global top-10 (TakeOrderedAndProject — no
+    // full sort at scale). Revenue goes through DECIMAL so the DESC order
+    // and the LIMIT cut are bit-identical across engines.
+    ("q3_shipping_priority",
+      (s: SparkSession, d: String) => {
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .where(col("c_mktsegment") === "BUILDING" &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+          .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+       (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)))::DOUBLE AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")),
+
+    // Bivariate statistics per group: corr/covar/stddev are single-pass
+    // co-moment aggregates (one map-side-combined shuffle on a 3-key
+    // space). Both engines use numerically stable streaming merges;
+    // rounding absorbs the sub-1e-9 merge-order noise.
+    ("q_corr_stats",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+            round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Deterministic ~20% stratified sample audit: membership is a pure
+    // function of the key (first md5 hex byte < 0x33 ≈ 51/256), so the
+    // sample is reproducible across engines, runs, and cluster sizes with
+    // no RNG state — the same technique as train_val_split. Scan-only +
+    // one tiny rollup; at 100 TB the filter runs map-side at full scan
+    // throughput.
+    ("q_stratified_sample",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .where(substring(md5(col("c_custkey").cast("string")), 1, 2) < "33")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_sample"),
+            countDistinct("c_custkey").as("n_cust"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_sample,
+       count(DISTINCT c_custkey) AS n_cust
+FROM customer
+WHERE substring(md5(c_custkey::VARCHAR), 1, 2) < '33'
+GROUP BY 1 ORDER BY 1"""))
   )
 
   val queries: Map[String, Q] =
