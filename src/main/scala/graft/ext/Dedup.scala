@@ -57,6 +57,25 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Incremental dedup: docs in the incoming batch (`isIncoming`) whose
+    * content fingerprint does not already exist in the retained corpus —
+    * the anti-join a continuously-ingesting pipeline runs per batch
+    * against its historical fingerprint index.
+    *
+    * Scale: the corpus side carries only (fp) — 16 bytes/doc, not the
+    * text — so the anti-join shuffles a fingerprint column, not the
+    * corpus. With a daily batch ≪ corpus, pair this with the Bloom
+    * prefilter ([[TextAnalysis.contaminationBloom]]'s pattern) to skip
+    * the shuffle for the overwhelmingly-novel majority. */
+  def incrementalSurvivors(docs: DataFrame, isIncoming: Column): DataFrame = {
+    val fps = docs.select(col("doc_id"), isIncoming.as("inc"),
+      md5(normText(col("text"))).as("fp"))
+    fps.where(col("inc")).select("doc_id", "fp")
+      .join(fps.where(!col("inc")).select("fp"), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- MinHash/LSH
 
   /** Number of minhash functions = bands × rowsPerBand. 32×3 ⇒ candidate

@@ -169,6 +169,63 @@ object TextAnalysis {
         when(col("bucket_hex") < trainHexCeil, "train").otherwise("val"))
       .orderBy("doc_id")
 
+  /** Sliding-window token chunking for training-data preparation: each
+    * doc's whitespace-token stream is cut into `size`-token chunks every
+    * `stride` tokens (overlap = size − stride). Emits the chunk's token
+    * count and content md5 (the registered query keeps the row payload
+    * small; the text itself is one `concat_ws` away).
+    *
+    * Scale: pure per-row expressions — posexplode of an integer sequence
+    * plus `slice` on the already-split token array; no shuffle at all, so
+    * chunking runs at full scan throughput on any corpus size. */
+  def chunk(docs: DataFrame, size: Int = 50, stride: Int = 40): DataFrame = {
+    require(stride >= 1 && size >= stride, "need 1 <= stride <= size")
+    val toks = split(normText(col("text")), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(
+          sequence(lit(0),
+            greatest(org.apache.spark.sql.functions.size(col("toks")) - 1, lit(0)),
+            lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("int").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(
+          slice(col("toks"), col("col") + 1, lit(size))).as("n_tok"),
+        md5(concat_ws(" ", slice(col("toks"), col("col") + 1, lit(size))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Per-doc top-k terms by TF-IDF (natural-log IDF, deterministic
+    * tie-break on the term). Three shuffles, all map-side combined: TF on
+    * (doc, term), DF on term, and the per-doc ranking window; the corpus
+    * size joins in as a broadcast single-row aggregate — no driver action.
+    * Both engines compute `tf * ln(N/df)` from the same integers, so the
+    * doubles — and therefore the rank cut — are bit-identical. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"),
+        round(col("score"), 6).as("tfidf"), col("rk").cast("int").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Sketch-based contamination prefilter: a Bloom filter built over the
     * probe set's fingerprint hashes, broadcast to the corpus scan. At
     * 100 TB this is the first pass — a few MB of bits replace the probe

@@ -67,6 +67,20 @@ ORDER BY doc_a, doc_b""")),
           .orderBy("doc_a", "doc_b"),
       None),
 
+    // Per-batch incremental dedup: doc_id % 10 = 0 plays the incoming
+    // batch; survivors are its content-novel docs.
+    ("dedup_incremental",
+      (s: SparkSession, d: String) =>
+        Dedup.incrementalSurvivors(docs(s, d),
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(10)) === 0),
+      Some(s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+SELECT n.doc_id, n.fp FROM f n
+WHERE n.doc_id % 10 = 0
+  AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 10 <> 0 AND c.fp = n.fp)
+ORDER BY n.doc_id""")),
+
     // ----------------------------------------------------- text analysis
     ("text_stats",
       (s: SparkSession, d: String) => TextAnalysis.corpusStats(docs(s, d)),
@@ -218,6 +232,33 @@ FROM documents ORDER BY doc_id""")),
        CASE WHEN substring(md5($normSql), 1, 2) < 'f3'
             THEN 'train' ELSE 'val' END AS split
 FROM documents ORDER BY doc_id""")),
+
+    // Sliding-window token chunking (50-token chunks every 40 tokens);
+    // chunk content compared by md5 to keep the gate's payload small.
+    ("doc_chunks",
+      (s: SparkSession, d: String) => TextAnalysis.chunk(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 40)) AS start FROM t)
+SELECT doc_id, (start // 40)::INT AS chunk_idx,
+       len(list_slice(toks, start+1, start+50))::INT AS n_tok,
+       md5(array_to_string(list_slice(toks, start+1, start+50), ' ')) AS chunk_md5
+FROM s ORDER BY doc_id, chunk_idx""")),
+
+    // Per-doc top-3 terms by TF-IDF (ln IDF, term tie-break).
+    ("tfidf_topk",
+      (s: SparkSession, d: String) => TextAnalysis.tfidfTopK(docs(s, d)),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term <> '' GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY tf * ln(n_docs::DOUBLE / df) DESC, term) AS rk
+  FROM tf JOIN idf USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf, rk::INT AS rk FROM scored
+WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
     ("contamination",
       (s: SparkSession, d: String) => TextAnalysis.contamination(docs(s, d)),
