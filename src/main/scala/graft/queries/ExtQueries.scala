@@ -187,23 +187,11 @@ FROM documents""")),
 SELECT token, (count(*))::BIGINT AS n FROM t WHERE length(token) > 0
 GROUP BY token ORDER BY n DESC, token LIMIT 100""")),
 
-    // Bigram language-model counts: the adjacent-pair explode is the
-    // n-gram generalization of vocab_topk (same map-side-combined count).
+    // Bigram language-model counts: hash-shuffled count + string
+    // recovery for the top-k candidates only (see TextAnalysis.bigramTopK —
+    // the bigram strings never ride a corpus-sized exchange).
     ("vocab_bigrams",
-      (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.functions._
-        val toks = graft.ext.TextOps.wsTokens(lower(col("text")))
-        docs(s, d)
-          .select(explode(
-            when(size(toks) >= 2,
-              transform(sequence(lit(1), size(toks) - 1),
-                i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-              .otherwise(array().cast("array<string>"))).as("bigram"))
-          .groupBy("bigram")
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("bigram"))
-          .limit(100)
-      },
+      (s: SparkSession, d: String) => TextAnalysis.bigramTopK(docs(s, d), k = 100),
       Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
 b AS (SELECT unnest(CASE WHEN len(toks) >= 2
         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
