@@ -160,33 +160,51 @@ object Similarity {
     * by exact cosine — the embedding-cosine near-dup gate without the
     * quadratic pair join. Candidates are pairs sharing any (table, bucket);
     * each candidate is re-scored exactly, so precision is 1.0 and only
-    * recall depends on the LSH parameters. Same output shape as
-    * [[nearPairs]]. */
+    * recall depends on the LSH parameters. Same output shape (and, at the
+    * tuned parameters, the same rows) as [[nearPairs]].
+    *
+    * Fan-out control (VERDICT r3 item 7 — the previous form expanded one
+    * join side ×(bits+1) with every 1-bit flip):
+    *  - '''canonical 1-bit probing''': a pair whose sketches differ in bit
+    *    j collides when EITHER side flips j, so symmetric probing finds
+    *    every hamming-1 pair twice. Probing only bit-CLEARING flips keeps
+    *    exactly one finder per pair (the side with bit j set probes the
+    *    side without) — identical candidate set, ~half the probe rows
+    *    (1 + popcount(bucket) ≈ 1 + b/2 vs 1 + b).
+    *  - '''packed key''': `(table_id << 32) | bucket` — the self-join
+    *    exchanges one long instead of two ints + hashes one key.
+    */
   def lshNearPairs(
       embeddings: DataFrame,
       threshold: Double,
       dim: Int = 64): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // candidate generation shuffles only (id, table, bucket) — the 64-dim
+    // candidate generation shuffles only (id, packed key) — the 64-dim
     // vectors stay out of the self-join and are re-attached for the exact
     // re-score only
-    val b = bucketed(base, dim).select("vec_id", "table_id", "bucket")
-    // 1-bit multi-probe on ONE side of the self-join: two sketches within
-    // hamming ≤ 1 of each other collide (XOR is symmetric), lifting pair
-    // recall the same way query-side probing does for top-k.
-    val probed = b.select(
+    def packed(bucket: Column): Column =
+      shiftleft(col("table_id").cast("long"), 32)
+        .bitwiseOR(bucket.cast("long"))
+    val b = bucketed(base, dim)
+      .select(col("vec_id"), packed(col("bucket")).as("key"))
+    val probed = bucketed(base, dim).select(
       col("vec_id"), col("table_id"),
       explode(concat(
         array(col("bucket")),
-        transform(sequence(lit(0), lit(bitsPerTable - 1)),
+        transform(
+          filter(sequence(lit(0), lit(bitsPerTable - 1)),
+            j => call_function("shiftright", col("bucket"), j)
+              .bitwiseAND(lit(1)) === 1),
           j => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1), j)))))
         .as("probe"))
+      .select(col("vec_id"), packed(col("probe")).as("key"))
     val cands = probed.as("a")
       .join(b.as("b"),
-        col("a.table_id") === col("b.table_id") &&
-          col("a.probe") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        col("a.key") === col("b.key") && col("a.vec_id") =!= col("b.vec_id"))
+      // canonical probing finds a hamming-1 pair from its set-bit side
+      // only, so the id order is data-dependent — normalize to id_a < id_b
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"))
       .distinct()
     cands
       .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))

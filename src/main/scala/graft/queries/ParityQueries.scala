@@ -276,6 +276,70 @@ FROM f a JOIN f b ON a.following_id = b.follower_id
 WHERE b.following_id <> a.follower_id
 GROUP BY a.follower_id ORDER BY a.follower_id"""))),
 
+    // CDC update/delete materialization: the current-state (upsert) view —
+    // latest version per (table, pk) by source timestamp, deletes applied.
+    // The one CDC query shape the reference's creates-only feed never
+    // answers (Debezium delivers u/d with __deleted=rewrite,
+    // debezium-postgres-connector.config.json:18; the reference drops them
+    // at strategy.py:16-17). pk = id % 250 folds the synthetic id space so
+    // keys genuinely see multiple versions and latest-wins is exercised.
+    ("cdc_current_state",
+      (s: SparkSession, d: String) => {
+        val (l, c, sh, f) = CdcSource.all(s, d)
+        val u = Seq(l, c, sh, f)
+          .map(_.select(col("__source_table").as("tbl"), col("id"),
+            col("__op"), col("__source_ts_ms").as("ts_ms")))
+          .reduce(_ unionByName _)
+          .withColumn("pk", pmod(col("id"), lit(250)))
+        graft.ingest.CurrentState
+          .currentState(u, Seq("tbl", "pk"), "ts_ms", tieBreak = Seq("id"))
+          .select(col("tbl"), col("pk"), col("id").as("latest_id"),
+            col("__op").as("latest_op"), col("ts_ms").as("latest_ts_ms"))
+          .orderBy("tbl", "pk")
+      },
+      Some(OracleCte.withCdc(
+        """, u AS (
+  SELECT 'likes' AS tbl, id, __op, ts_ms FROM likes_cdc
+  UNION ALL SELECT 'comments', id, __op, ts_ms FROM comments_cdc
+  UNION ALL SELECT 'shards', id, __op, ts_ms FROM shards_cdc
+  UNION ALL SELECT 'followers', id, __op, ts_ms FROM followers_cdc),
+k AS (SELECT tbl, id % 250 AS pk, id, __op, ts_ms,
+             row_number() OVER (PARTITION BY tbl, id % 250
+                                ORDER BY ts_ms DESC, id DESC) AS rn
+      FROM u)
+SELECT tbl, pk, id AS latest_id, __op AS latest_op, ts_ms AS latest_ts_ms
+FROM k WHERE rn = 1 AND __op <> 'd'
+ORDER BY tbl, pk"""))),
+
+    // §2.3 enrichment: activities ⋈ broadcast(users) — the users FK target
+    // (postgres-init.sql:69-73) joined as a broadcast dimension, with
+    // null-safe rendering for dim rows missing at extract time.
+    ("feed_user_enriched",
+      (s: SparkSession, d: String) => {
+        val act = activityFlat(s, d)
+          .select("user_id", "activity_type", "event_timestamp", "activity_pk")
+        val dim = CdcSource.users(CdcSource.events(s, d))
+        act.join(broadcast(dim), act("user_id") === dim("id"), "left")
+          .select(col("activity_pk"), col("user_id"), col("activity_type"),
+            col("event_timestamp"),
+            when(col("id").isNull, lit("unknown"))
+              .otherwise(concat(lit("user "), col("id"))).as("display_name"),
+            coalesce(col("created_at"), to_timestamp(lit("1970-01-01")))
+              .as("member_since"))
+          .orderBy("activity_pk")
+      },
+      Some(OracleCte.withCdc(
+        """, users AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         min(ts) AS created_at, max(ts) AS updated_at
+  FROM events GROUP BY user_id HAVING user_id % 20 <> 0)
+SELECT a.activity_pk, a.user_id, a.activity_type, a.event_timestamp,
+       CASE WHEN u.id IS NULL THEN 'unknown'
+            ELSE concat('user ', u.id) END AS display_name,
+       coalesce(u.created_at, TIMESTAMP '1970-01-01') AS member_since
+FROM activity a LEFT JOIN users u ON a.user_id = u.id
+ORDER BY a.activity_pk"""))),
+
     // T1: newest-k per user (the clustering-order read as a ranking window)
     ("feed_topk_per_user",
       (s: SparkSession, d: String) =>

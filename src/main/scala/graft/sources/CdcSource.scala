@@ -88,6 +88,20 @@ object CdcSource {
         col("__source_table"), col("__deleted"))
   }
 
+  /** Deterministic `users` dimension (reference postgres-init.sql:69–73:
+    * id text PK, created_at, updated_at — an FK target the reference never
+    * joins). Derived per user from their event span; user_ids divisible by
+    * 20 are withheld to model dim rows missing at enrichment time (the FK
+    * is in the OLTP store, but a dim extract can lag the activity stream),
+    * so downstream joins must render null-safe. */
+  def users(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("created_at"), max(col("ts")).as("updated_at"))
+      .where(col("user_id") % 20 =!= 0)
+      .select(col("user_id").cast("string").as("id"),
+        col("created_at"), col("updated_at"))
+
   def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
 

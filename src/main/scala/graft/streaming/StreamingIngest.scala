@@ -28,6 +28,39 @@ object StreamingIngest {
     * (reference: debezium-postgres-connector.config.json:12). */
   val tables: Seq[String] = Seq("likes", "comments", "shards", "followers")
 
+  /** CDC topic names as Debezium publishes them: `postgres.public.<table>`
+    * (reference main.py:30, debezium topic routing). */
+  val topics: Seq[String] = tables.map(t => s"postgres.public.$t")
+
+  /** The production source binding: one consumer over the four CDC topics
+    * (reference services/kafka.py:8-26), `earliest` ≙ the reference's
+    * `auto_offset_reset` default (env.py:14). Emits the same `value:string`
+    * frame shape every test binds via MemoryStream, so
+    * [[activityStream]](kafkaStream(...)) IS the production pipeline —
+    * the option change the docs promise, compiled and plan-checked
+    * in-tree. Resolving the "kafka" format needs the spark-sql-kafka
+    * connector jar on the classpath; this zero-egress environment doesn't
+    * ship it, so StreamingSpec asserts the binding reaches exactly that
+    * source-resolution point. */
+  def kafkaStream(
+      spark: org.apache.spark.sql.SparkSession,
+      servers: String,
+      subscribe: Seq[String] = topics,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", subscribe.mkString(","))
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** Kafka-fed activity stream — the full production ingest plan. */
+  def kafkaActivityStream(
+      spark: org.apache.spark.sql.SparkSession,
+      servers: String): DataFrame =
+    activityStream(kafkaStream(spark, servers))
+
   /** Raw `value:string` stream (Kafka frame shape) → uniform activity
     * stream. Works on batch and streaming DataFrames alike. */
   def activityStream(raw: DataFrame): DataFrame =

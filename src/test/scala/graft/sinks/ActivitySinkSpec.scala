@@ -47,4 +47,43 @@ class ActivitySinkSpec extends SparkSuite {
       .where(!col("user_bucket").isin(buckets: _*))
     assert(covered.count() === 0)
   }
+
+  test("compact restores one-file-per-bucket and GCs batch markers") {
+    import org.apache.spark.sql.functions._
+    val path = tmpDir("graft_compact") + "/activity"
+    val activity = ActivitySink.materialized(spark, "/root/testdata/sf0.001")
+      .drop("user_bucket")
+    // two appends ⇒ ≥ 2 files in every non-empty bucket dir, plus markers
+    ActivitySink.appendBatch(activity, path, buckets = 8)
+    ActivitySink.appendBatch(activity, path, buckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_batches"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_batches/0"), true).close()
+
+    def bucketFiles(): Map[String, Int] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("user_bucket="))
+      .map(d => d.getPath.getName ->
+        fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")))
+      .toMap
+
+    assert(bucketFiles().values.forall(_ >= 2))
+    val before = spark.read.parquet(path)
+      .orderBy("activity_type", "activity_pk").collect()
+
+    ActivitySink.compact(spark, path, buckets = 8)
+
+    val files = bucketFiles()
+    assert(files.nonEmpty && files.values.forall(_ === 1),
+      s"expected one file per bucket, got $files")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_batches")))
+    val after = spark.read.parquet(path)
+      .orderBy("activity_type", "activity_pk").collect()
+    assert(after.toSeq === before.toSeq) // identical reads
+    // pruning still works: bucket column consistent with the hash
+    val bad = spark.read.parquet(path).where(
+      col("user_bucket") =!= pmod(hash(col("user_id")), lit(8)))
+    assert(bad.count() === 0)
+  }
 }
