@@ -140,14 +140,32 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
+  /** Portable 64-bit token hash: the first 16 hex chars of md5, composed
+    * as `(hi32 << 32) | lo32`. md5 is defined identically in every engine,
+    * so fingerprints built on it are reproducible outside Spark — which is
+    * what lets `near_dup_simhash` carry a full DuckDB oracle instead of a
+    * rows-only check (xxhash64 would be marginally faster but its seeded
+    * variant exists only in Spark). Both 32-bit halves fit a signed long
+    * before the shift, and the shift wraps to the same two's-complement
+    * bit pattern DuckDB's unsigned arithmetic produces — votes, bands and
+    * hamming read bits only, so the engines agree exactly. */
+  def portableTokenHash(token: Column): Column = {
+    val m = md5(token)
+    shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
   /** 64-bit SimHash over the whitespace-token multiset: per bit b, sum ±1
-    * votes of each token's xxhash64 bit b; fingerprint bit = sign. Tokens
-    * are string-hashed once; voting + packing is the
-    * [[graft.expr.SimHash64]] codegen expression. Output is ONE long —
+    * votes of each token's hash bit b; fingerprint bit = vote sign. Tokens
+    * are string-hashed once ([[portableTokenHash]]); voting + packing is
+    * the [[graft.expr.SimHash64]] codegen expression. Output is ONE long —
     * 8 bytes ride through the banding explode and verify joins where an
     * array<int> of bits would carry 64 elements. */
   def simhash64(tokens: Column): Column =
-    graft.expr.SimHash64(transform(tokens, t => xxhash64(t)))
+    graft.expr.SimHash64(
+      transform(transform(tokens, t => md5(t)),
+        m => shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))))
 
   /** Docs fingerprinted with the packed simhash + the 4 × 16-bit band
     * values used for candidate bucketing (same band values as the

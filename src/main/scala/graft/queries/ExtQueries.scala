@@ -59,13 +59,41 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
 ORDER BY doc_a, doc_b""")),
 
-    // SimHash banding is hash-function-specific (xxhash64): rows-only +
-    // ScalaTest (known near-dup pairs must appear with small hamming).
+    // SimHash on the portable md5-derived token hash: DuckDB rebuilds the
+    // identical 64-bit fingerprints (votes → pack → 16-bit bands →
+    // bit_count(xor) verify), so this carries a full hash oracle.
     ("near_dup_simhash",
       (s: SparkSession, d: String) =>
         Dedup.nearDupSimhash(docs(s, d), maxHamming = 3)
+          .select(org.apache.spark.sql.functions.col("doc_a"),
+            org.apache.spark.sql.functions.col("doc_b"),
+            org.apache.spark.sql.functions.col("hamming"))
           .orderBy("doc_a", "doc_b"),
-      None),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+h AS (SELECT doc_id,
+             CAST('0x' || substring(md5(tk), 1, 8) AS UBIGINT) * 4294967296
+             + CAST('0x' || substring(md5(tk), 9, 8) AS UBIGINT) AS th
+      FROM tok),
+v AS (SELECT doc_id, b,
+             sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+      GROUP BY doc_id, b),
+fp AS (SELECT doc_id,
+              bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << b
+                          ELSE CAST(0 AS UBIGINT) END) AS fp
+       FROM v GROUP BY doc_id),
+bands AS (SELECT doc_id, q, (fp >> (16 * q)) & 65535 AS band_val
+          FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS q) qs),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.q = b.q AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b, bit_count(xor(fa.fp, fb.fp))::INT AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+ORDER BY doc_a, doc_b""")),
 
     // Per-batch incremental dedup: doc_id % 10 = 0 plays the incoming
     // batch; survivors are its content-novel docs.

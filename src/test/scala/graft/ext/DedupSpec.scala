@@ -41,11 +41,18 @@ class DedupSpec extends SparkSuite {
     // near-dup strictly closer than an unrelated doc
     assert(hamming(1L, 2L) < hamming(1L, 3L))
     assert(hamming(1L, 2L) < hamming(2L, 3L))
-    // the banded candidate query surfaces the close pair (1,4): one token
-    // differs after normalization, so at least one 16-bit band survives
-    val pairs = Dedup.nearDupSimhash(docs, maxHamming = 8)
+    // banded candidates: the one-word near-dup (hamming 8 — a clean
+    // 16-bit band survives) and the token-identical doc 5 (hamming 0 —
+    // caught by the pigeonhole guarantee) surface; the unrelated doc
+    // (hamming ≈ 30) never pairs. (1,4) is hamming 13 on this basis —
+    // outside the 4×16-band guarantee, correctly not asserted.
+    val docs5 = docs.union(
+      Seq((5L, base.toUpperCase, "en", "s4", base.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = Dedup.nearDupSimhash(docs5, maxHamming = 16)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L))) // exact dup modulo case: hamming 0
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
