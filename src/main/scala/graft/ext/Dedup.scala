@@ -30,7 +30,7 @@ object Dedup {
   private val cachedHandles =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def cached(df: DataFrame): DataFrame = {
+  private[ext] def cached(df: DataFrame): DataFrame = {
     val p = df.persist()
     cachedHandles.add(p)
     p

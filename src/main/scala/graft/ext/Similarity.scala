@@ -185,9 +185,12 @@ object Similarity {
     def packed(bucket: Column): Column =
       shiftleft(col("table_id").cast("long"), 32)
         .bitwiseOR(bucket.cast("long"))
-    val b = bucketed(base, dim)
-      .select(col("vec_id"), packed(col("bucket")).as("key"))
-    val probed = bucketed(base, dim).select(
+    // both self-join sides derive from ONE persisted sketch pass (ids +
+    // bucket ints only — L rows per vector, never the vectors)
+    val bk = Dedup.cached(
+      bucketed(base, dim).select("vec_id", "table_id", "bucket"))
+    val b = bk.select(col("vec_id"), packed(col("bucket")).as("key"))
+    val probed = bk.select(
       col("vec_id"), col("table_id"),
       explode(concat(
         array(col("bucket")),

@@ -152,24 +152,41 @@ object TextAnalysis {
     *
     * A 64-bit collision between two top-k bigrams could merge their hash
     * counts in step 1 and mis-place the cutoff; at p ≈ |vocab|²·2⁻⁶⁴ this is
-    * immaterial (and step 3's string recount keeps any emitted row exact). */
+    * immaterial (and step 3's string recount keeps any emitted row exact).
+    *
+    * Two execution details that dominate wall-clock:
+    *  - the token array is materialized in its OWN projection before the
+    *    pair lambda touches it. Higher-order functions run interpreted
+    *    (no codegen CSE), so an inlined `split()` re-tokenizes the doc for
+    *    every element — O(tokens²) per doc. Behind a projection boundary
+    *    the lambda reads an attribute and stays linear (CollapseProject
+    *    keeps the boundary: the alias is referenced more than once).
+    *  - a sub-parallel scan (one small parquet file ⇒ one partition) is
+    *    repartitioned up to the session's shuffle parallelism before the
+    *    explode, so tokenization uses every core; inputs that already have
+    *    ≥ that many partitions — any real corpus — are left untouched.
+    *  - the hash counts are persisted: the cutoff and the candidate filter
+    *    both read them, and the frame is one (hash, count) row per
+    *    distinct bigram. Released via [[Dedup.releaseCaches]]. */
   def bigramTopK(docs: DataFrame, k: Int = 100): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
-    def pairsOf(f: (Column, Column) => Column, tpe: String) =
-      docs.select(explode(
-        when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => f(element_at(toks, i), element_at(toks, i + 1))))
-          .otherwise(array().cast(s"array<$tpe>"))))
-    val counts = pairsOf((a, b) => xxhash64(a, b), "bigint")
-      .toDF("h")
-      .groupBy("h").agg(count(lit(1)).as("n"))
+    val target = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val src = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    val withToks = src
+      .select(wsTokens(lower(col("text"))).as("toks"))
+      .where(size(col("toks")) >= 2)
+    def pairsOf(f: (Column, Column) => Column) =
+      withToks.select(explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => f(element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
+    val counts = Dedup.cached(
+      pairsOf((a, b) => xxhash64(a, b)).toDF("h")
+        .groupBy("h").agg(count(lit(1)).as("n")))
     val cutoff = counts.orderBy(col("n").desc).limit(k).agg(min("n").as("n_min"))
     val cand = counts
       .crossJoin(broadcast(cutoff))
       .where(col("n") >= col("n_min"))
       .select("h")
-    pairsOf((a, b) => struct(a.as("t1"), b.as("t2")), "struct<t1:string,t2:string>")
+    pairsOf((a, b) => struct(a.as("t1"), b.as("t2")))
       .toDF("bg")
       .withColumn("h", xxhash64(col("bg.t1"), col("bg.t2")))
       .join(broadcast(cand), Seq("h"), "left_semi")
