@@ -177,6 +177,88 @@ object Dedup {
         array((0 until 4).map(q =>
           shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL)).cast("int")): _*))
 
+  // ----------------------------------------------------------- clustering
+
+  /** Connected components over an undirected pair graph — the step that
+    * turns verified near-dup PAIRS into duplicate CLUSTERS, so a pipeline
+    * can keep exactly one representative per transitive group (A~B, B~C ⇒
+    * {A,B,C} even when A≁C directly).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping. Each
+    * round a node's label becomes the min of (its label, its neighbors'
+    * labels, its label's label). The neighbor step is one hash-join on the
+    * edge list; the pointer-jump step (label-of-label) collapses chains in
+    * O(log diameter) rounds where plain propagation needs O(diameter).
+    * Labels are node ids throughout, so every frame in flight is two longs
+    * per row — document text never enters the loop.
+    *
+    * Scale posture: per round, two key-shuffles over |V|+|E| (long, long)
+    * rows. Rounds are bounded by log₂(largest component diameter) — for
+    * near-dup graphs (dense clique-ish clusters) that is 2–4 rounds. Each
+    * round materializes via `localCheckpoint` to truncate the growing
+    * lineage (on a multi-executor cluster, substitute a reliable
+    * `checkpoint` dir — same call shape). Convergence is exact: per-node
+    * labels are monotone non-increasing, so an unchanged label SUM is a
+    * fixpoint, and the sum is one tiny aggregate per round.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = cached(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("label")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = labels.isEmpty
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("nbr")), "v")
+        .groupBy("u").agg(min("nbr").as("nbr_min"))
+      val jump = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("l1"))
+        // every label value is itself a node id (labels start as ids and
+        // only min-combine), so the jump join is inner and total
+        .join(jump, col("l1") === col("jid"))
+        .select(col("id"), least(col("l1"), col("jlabel")).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters end-to-end: LSH-verified Jaccard pairs →
+    * connected components. Output: (doc_id, cluster_id = min doc_id in
+    * the component), one row per doc that participates in any near-dup
+    * pair. */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    components(nearDupJaccard(docs, threshold).select("doc_a", "doc_b"))
+
+  /** The docs a dedup pipeline KEEPS under transitive near-dup semantics:
+    * everything except non-representative members of a near-dup cluster
+    * (representative = min doc_id). The anti-join side carries only
+    * (doc_id, cluster_id) longs — at 100 TB the clustered-duplicate set is
+    * orders of magnitude smaller than the corpus, so this is a skinny
+    * broadcast-able anti-join, not a corpus shuffle. */
+  def nearDupSurvivors(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    docs
+      .join(
+        nearDupClusters(docs, threshold)
+          .where(col("doc_id") =!= col("cluster_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** Near-dup pairs by SimHash: candidates share at least one 16-bit band
     * (so any pair within hamming ≤ 3 of each other is guaranteed caught;
     * we verify up to `maxHamming`). Hamming = bit_count(XOR) on the packed

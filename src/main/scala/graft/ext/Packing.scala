@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: map each document onto the fixed-size
+  * context windows it occupies under GPT-style concat-and-split assembly
+  * (all docs concatenated in a canonical order, the token stream cut every
+  * `budget` tokens; docs straddle window boundaries).
+  *
+  * The core primitive is a GLOBAL running total — and the naive Spark
+  * form, `Window.orderBy(...)` with no partition key, collapses the whole
+  * dataset into one partition, which is exactly the anti-pattern that dies
+  * at 100 TB. [[withGlobalOffset]] computes the same exclusive prefix sum
+  * scalably: range-repartition on the order key, per-partition running
+  * sums, and a driver-side exclusive prefix over the numPartitions partial
+  * sums. The only driver-side data is ONE long per partition (same shape
+  * as the bucket IN-list at the ActivitySink API edge), broadcast back as
+  * a map literal.
+  */
+object Packing {
+
+  import TextOps._
+
+  /** Add an exclusive global running total of `valueCol` in ascending
+    * `orderCol` order as `outCol` (row i gets the sum of all values of
+    * rows strictly before it). Two jobs over one persisted range-shuffled
+    * pass; the per-partition window reuses the range partitioning, so no
+    * further exchange. `parts = 0` uses the session's shuffle parallelism.
+    * The persisted intermediate is registered with [[Dedup.releaseCaches]].
+    */
+  def withGlobalOffset(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String,
+      parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n =
+      if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted so the partial-sum job and the final pass see the SAME
+    // range partitioning (RangePartitioner samples; pin it once)
+    val ranged = Dedup.cached(
+      df.repartitionByRange(n, col(orderCol))
+        .sortWithinPartitions(orderCol)
+        .withColumn("__pid", spark_partition_id()))
+    val partSums: Map[Int, Long] = ranged
+      .groupBy("__pid").agg(sum(valueCol).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val pids = partSums.keys.toSeq.sorted
+    val prefix: Map[Int, Long] = pids
+      .zip(pids.scanLeft(0L)((acc, p) => acc + partSums(p)))
+      .toMap
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn(outCol,
+        coalesce(sum(col(valueCol)).over(w), lit(0L)) +
+          coalesce(element_at(typedLit(prefix), col("__pid")), lit(0L)))
+      .drop("__pid")
+  }
+
+  /** Per-doc context-window assignment at `budget` tokens per window:
+    * token offset (exclusive global prefix of whitespace-token counts in
+    * doc_id order), the first and last window the doc's tokens land in,
+    * and the window count. Zero-token docs are assigned the single window
+    * at their offset (`greatest(n_tok, 1)` — both engines agree). */
+  def packWindows(docs: DataFrame, budget: Int = 512): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val withTok = docs.select(
+      col("doc_id"),
+      size(wsTokens(lower(col("text")))).cast("long").as("n_tok"))
+    withGlobalOffset(withTok, "doc_id", "n_tok", "tok_offset")
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        expr(s"tok_offset div $budget").as("win_first"),
+        expr(s"(tok_offset + greatest(n_tok, 1) - 1) div $budget")
+          .as("win_last"))
+      .withColumn("n_windows", col("win_last") - col("win_first") + 1)
+      .orderBy("doc_id")
+  }
+}

@@ -168,9 +168,17 @@ object TextAnalysis {
     *  - the hash counts are persisted: the cutoff and the candidate filter
     *    both read them, and the frame is one (hash, count) row per
     *    distinct bigram. Released via [[Dedup.releaseCaches]]. */
+  /** Repartition a sub-parallel scan (one small file ⇒ one partition) up
+    * to the session's shuffle parallelism so explode-heavy expression work
+    * uses every core; inputs that already have ≥ that many partitions —
+    * any real corpus — are returned untouched. */
+  private def scanParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def bigramTopK(docs: DataFrame, k: Int = 100): DataFrame = {
-    val target = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val src = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    val src = scanParallel(docs)
     val withToks = src
       .select(wsTokens(lower(col("text"))).as("toks"))
       .where(size(col("toks")) >= 2)
@@ -194,6 +202,75 @@ object TextAnalysis {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
+  }
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021,
+    * "Scaling Language Models", Table A1's repetition filters) — the
+    * standard corpus gate against boilerplate and degenerate generations:
+    *
+    *  - `dup_token_frac`: fraction of token occurrences whose token
+    *    appears ≥ 2 times in the doc;
+    *  - `top_bigram_char_frac` / `top_trigram_char_frac`: the character
+    *    coverage of the single most-covering 2-/3-gram, over `len_chars`;
+    *  - `dup_5gram_char_frac`: character coverage of all 5-grams occurring
+    *    ≥ 2 times, over `len_chars`;
+    *  - `keep`: Gopher's published thresholds (0.20 / 0.18 / 0.15).
+    *
+    * Coverage is defined overlap-agnostic — occurrences × n-gram string
+    * length — an exact integer every engine reproduces (Gopher's
+    * overlap-deduped variant needs positional sweeps; this form keeps the
+    * whole metric inside two map-side-combined aggregates). "Most
+    * covering" (max of cnt×len) rather than "most frequent" avoids an
+    * argmax tie-break entirely: it is a plain `max` both engines order
+    * identically.
+    *
+    * Plan: one explode pass emits every (n, gram) unit for n ∈ {1,2,3,5}
+    * via a single struct-array concat (the token array sits behind its own
+    * projection boundary — see [[bigramTopK]] on interpreted higher-order
+    * functions); shuffle 1 counts on (doc_id, n, gram) with map-side
+    * combine; shuffle 2 rolls up to the doc. Both shuffles are keyed by
+    * doc_id-prefixed keys, so at 100 TB they partition evenly with the
+    * corpus and nothing is corpus-global. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = scanParallel(docs)
+      .select(col("doc_id"), length(col("text")).as("len_chars"),
+        wsTokens(lower(col("text"))).as("toks"))
+    def gramsN(n: Int): Column =
+      if (n == 1)
+        transform(col("toks"), t => struct(lit(1).as("n"), t.as("gram")))
+      else
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => struct(lit(n).as("n"),
+              concat_ws(" ", slice(col("toks"), i, lit(n))).as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val lenC = max(col("len_chars"))
+    base
+      .select(col("doc_id"), col("len_chars"),
+        explode(concat(gramsN(1), gramsN(2), gramsN(3), gramsN(5))).as("g"))
+      .select(col("doc_id"), col("len_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("doc_id", "n", "gram")
+      .agg(max("len_chars").as("len_chars"), count(lit(1)).as("cnt"))
+      .withColumn("cov", col("cnt") * length(col("gram")))
+      .groupBy("doc_id")
+      .agg(
+        lenC.as("len_chars"),
+        (sum(when(col("n") === 1 && col("cnt") >= 2, col("cnt")).otherwise(0L))
+          .cast("double") /
+          sum(when(col("n") === 1, col("cnt")).otherwise(0L)))
+          .as("dup_token_frac"),
+        (coalesce(max(when(col("n") === 2, col("cov"))), lit(0L)).cast("double")
+          / lenC).as("top_bigram_char_frac"),
+        (coalesce(max(when(col("n") === 3, col("cov"))), lit(0L)).cast("double")
+          / lenC).as("top_trigram_char_frac"),
+        (sum(when(col("n") === 5 && col("cnt") >= 2, col("cov")).otherwise(0L))
+          .cast("double") / lenC).as("dup_5gram_char_frac"))
+      .withColumn("keep",
+        col("top_bigram_char_frac") <= 0.20 &&
+          col("top_trigram_char_frac") <= 0.18 &&
+          col("dup_5gram_char_frac") <= 0.15)
+      .orderBy("doc_id")
   }
 
   /** PII scrub patterns — emails first (a URL pattern would otherwise

@@ -109,6 +109,49 @@ WHERE n.doc_id % 10 = 0
   AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 10 <> 0 AND c.fp = n.fp)
 ORDER BY n.doc_id""")),
 
+    // Transitive near-dup clusters: verified Jaccard pairs → connected
+    // components (A~B, B~C ⇒ one cluster even when A≁C). The oracle
+    // rebuilds the pair graph in SQL and closes it with a recursive CTE —
+    // min reachable id ≡ the min-label fixpoint the operator converges to.
+    ("dedup_clusters",
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupClusters(docs(s, d), threshold = 0.8).orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
+      UNION
+      SELECT r.u, e.v FROM r JOIN e ON r.v = e.u)
+SELECT u AS doc_id, (min(v))::BIGINT AS cluster_id
+FROM r GROUP BY u ORDER BY doc_id""")),
+
+    // What the pipeline KEEPS under transitive near-dup semantics: drop
+    // every non-representative cluster member (representative = min id).
+    ("dedup_near_survivors",
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupSurvivors(docs(s, d), threshold = 0.8),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
+      UNION
+      SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+c AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u)
+SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM c
+                  WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id)
+ORDER BY d.doc_id""")),
+
     // ----------------------------------------------------- text analysis
     ("text_stats",
       (s: SparkSession, d: String) => TextAnalysis.corpusStats(docs(s, d)),
@@ -241,6 +284,68 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""")),
              regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
              '${TextAnalysis.urlPattern}', '<URL>', 'g')) AS scrub_md5
 FROM documents ORDER BY doc_id""")),
+
+    // Gopher repetition filters (overlap-agnostic coverage — see
+    // TextAnalysis.repetitionStats): dup-token fraction, most-covering
+    // 2-/3-gram char fraction, duplicated-5-gram char fraction, and the
+    // published keep thresholds (0.20 / 0.18 / 0.15).
+    ("quality_repetition",
+      (s: SparkSession, d: String) => TextAnalysis.repetitionStats(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, length(text) AS len_chars, $toksSql AS toks FROM documents),
+g AS (
+  SELECT doc_id, len_chars, 1 AS n, unnest(toks) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, len_chars, 2 AS n, unnest(CASE WHEN len(toks) >= 2
+    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, len_chars, 3 AS n, unnest(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks)-1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, len_chars, 5 AS n, unnest(CASE WHEN len(toks) >= 5
+    THEN list_transform(range(1, len(toks)-3),
+           i -> array_to_string(list_slice(toks, i, i+4), ' '))
+    ELSE [] END) AS gram FROM t),
+c AS (SELECT doc_id, max(len_chars) AS len_chars, n, gram,
+             count(*) AS cnt, count(*) * length(gram) AS cov
+      FROM g GROUP BY doc_id, n, gram),
+m AS (SELECT doc_id, max(len_chars) AS len_chars,
+  (sum(CASE WHEN n = 1 AND cnt >= 2 THEN cnt ELSE 0 END))::DOUBLE
+    / (sum(CASE WHEN n = 1 THEN cnt ELSE 0 END)) AS dup_token_frac,
+  (coalesce(max(CASE WHEN n = 2 THEN cov END), 0))::DOUBLE
+    / max(len_chars) AS top_bigram_char_frac,
+  (coalesce(max(CASE WHEN n = 3 THEN cov END), 0))::DOUBLE
+    / max(len_chars) AS top_trigram_char_frac,
+  (sum(CASE WHEN n = 5 AND cnt >= 2 THEN cov ELSE 0 END))::DOUBLE
+    / max(len_chars) AS dup_5gram_char_frac
+FROM c GROUP BY doc_id)
+SELECT doc_id, len_chars, dup_token_frac, top_bigram_char_frac,
+       top_trigram_char_frac, dup_5gram_char_frac,
+       (top_bigram_char_frac <= 0.20 AND top_trigram_char_frac <= 0.18
+        AND dup_5gram_char_frac <= 0.15) AS keep
+FROM m ORDER BY doc_id""")),
+
+    // Context-window packing (GPT-style concat-and-split at 512 tokens):
+    // exclusive global token offset in doc_id order, plus the first/last
+    // window each doc's tokens occupy. The Spark side computes the global
+    // prefix sum WITHOUT a single-partition window (Packing.withGlobalOffset).
+    ("pack_windows",
+      (s: SparkSession, d: String) =>
+        graft.ext.Packing.packWindows(docs(s, d), budget = 512),
+      Some(s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tok FROM documents),
+o AS (SELECT doc_id, n_tok,
+        (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+          AS tok_offset
+      FROM t)
+SELECT doc_id, n_tok, tok_offset,
+       (tok_offset // 512)::BIGINT AS win_first,
+       ((tok_offset + greatest(n_tok, 1) - 1) // 512)::BIGINT AS win_last,
+       ((tok_offset + greatest(n_tok, 1) - 1) // 512
+         - tok_offset // 512 + 1)::BIGINT AS n_windows
+FROM o ORDER BY doc_id""")),
 
     ("train_val_split",
       (s: SparkSession, d: String) => TextAnalysis.trainValSplit(docs(s, d)),

@@ -31,6 +31,38 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
   }
 
+  test("components: transitive chains collapse, disjoint clusters stay apart") {
+    // two components: a 4-node path 10-11-12-13 (tests transitivity AND
+    // pointer jumping over a chain) and a 2-node pair 20-21
+    val pairs = Seq((11L, 10L), (11L, 12L), (13L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("components: long path converges within the iteration cap") {
+    val n = 40 // path 0-1-...-40: diameter >> log-rounds; jumping must kick in
+    val pairs = (0 until n).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs, maxIter = 10).collect()
+      .map(r => r.getAs[Long]("cluster_id")).toSet
+    assert(got === Set(0L))
+  }
+
+  test("components: empty pair set yields empty clustering") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.components(empty).count() === 0L)
+  }
+
+  test("nearDupSurvivors keeps one representative per transitive cluster") {
+    // docs 1, 2, 4 form one cluster at threshold 0.5 (1~2 near, 1~4 exact
+    // modulo case); doc 3 is unrelated → survivors are 1 (min id) and 3
+    val kept = Dedup.nearDupSurvivors(docs, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("SimHash: hamming orders near-dups below unrelated docs; exact dups collide") {
     import org.apache.spark.sql.functions._
     val fp = Dedup.simhashed(docs)

@@ -82,4 +82,29 @@ class TextAnalysisSpec extends SparkSuite {
       .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("n")))
     assert(got.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
+
+  test("repetitionStats: hand-computed fractions and keep thresholds") {
+    // doc 1: tokens [aa bb aa bb cc], len 14
+    //   n=1: aa:2 bb:2 cc:1 → dup_token_frac = 4/5
+    //   n=2: "aa bb":2 (cov 10), others cov 5 → top_bigram = 10/14
+    //   n=3: all distinct, cov 8 → top_trigram = 8/14
+    //   n=5: single 5-gram once → dup_5gram = 0
+    // doc 2: 30 distinct 3-char tokens → low fractions, keep = true
+    val longDoc = (1 to 30).map(i => f"t$i%02d").mkString(" ")
+    val docs = Seq((1L, "aa bb aa bb cc"), (2L, longDoc))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getAs[Int]("len_chars") === 14)
+    assert(d1.getAs[Double]("dup_token_frac") === 4.0 / 5)
+    assert(d1.getAs[Double]("top_bigram_char_frac") === 10.0 / 14)
+    assert(d1.getAs[Double]("top_trigram_char_frac") === 8.0 / 14)
+    assert(d1.getAs[Double]("dup_5gram_char_frac") === 0.0)
+    assert(!d1.getAs[Boolean]("keep"))
+    val d2 = got(2L)
+    assert(d2.getAs[Double]("dup_token_frac") === 0.0)
+    assert(d2.getAs[Double]("top_bigram_char_frac") === 7.0 / 119)
+    assert(d2.getAs[Boolean]("keep"))
+  }
 }
