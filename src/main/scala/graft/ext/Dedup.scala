@@ -205,15 +205,19 @@ object Dedup {
     val edges = cached(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // round 0 folded into init: label = min(id, min neighbor). Same
+    // groupBy shuffle the plain identity-init would pay for its distinct,
+    // but one propagation round ahead — cliques (the common near-dup
+    // shape) converge on the first loop check.
+    var labels = edges.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("id"), least(col("u"), col("mv")).as("label"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum("label")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
     var it = 0
-    var converged = labels.isEmpty
+    var converged = false // an empty graph self-converges on round 1
     while (!converged && it < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("nbr")), "v")

@@ -119,7 +119,7 @@ object Similarity {
 
   /** (table_id, bucket) pairs of a vector — the corpus side explodes to L
     * rows per vector, shuffled once on (table, bucket); no all-pairs. */
-  private def bucketed(base: DataFrame, dim: Int): DataFrame =
+  private[ext] def bucketed(base: DataFrame, dim: Int): DataFrame =
     base.select(
       col("vec_id"), col("v"),
       posexplode(allBuckets(col("v"), dim)).as(Seq("table_id", "bucket")))

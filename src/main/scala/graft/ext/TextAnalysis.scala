@@ -273,6 +273,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Data-mixing weights per source: raw doc/token shares plus the
+    * temperature-scaled sampling weight (share^α / Σ share^α, α = 0.7 —
+    * the multilingual-sampling rule of Conneau & Lample, XLM 2019) a
+    * training pipeline uses to rebalance heterogeneous sources without
+    * letting the largest dominate.
+    *
+    * Determinism across engines: the normalizer Σ share^α sums DOUBLEs,
+    * and float summation is association-sensitive — so both engines sum
+    * the per-source terms as DECIMAL(28,18) (exact, order-free) and only
+    * convert back to double for the final ratio. The one residual
+    * cross-engine wobble is `pow` itself (≤ 1 ulp), absorbed by the
+    * 6-decimal rounding. One tiny aggregate per stage; totals attach as
+    * broadcast single-row frames. */
+  def sourceMixture(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(wsTokens(lower(col("text")))).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot_tokens"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("tot_tokens"))
+      .withColumn("pa", pow(col("token_share"), alpha))
+    val z = shared.agg(
+      sum(col("pa").cast("decimal(28,18)")).cast("double").as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("token_share"), 6).as("token_share_r"),
+        round(col("pa") / col("z"), 6).as("mix_weight_r"))
+      .orderBy("source")
+  }
+
   /** PII scrub patterns — emails first (a URL pattern would otherwise
     * swallow user@host inside hrefs), then URLs. Kept to constructs with
     * identical semantics in Java regex and RE2 so the DuckDB oracle

@@ -347,6 +347,24 @@ SELECT doc_id, n_tok, tok_offset,
          - tok_offset // 512 + 1)::BIGINT AS n_windows
 FROM o ORDER BY doc_id""")),
 
+    // Temperature-scaled source-mixing weights (α = 0.7): the normalizer
+    // sums as DECIMAL so float association order can't shift the hash.
+    ("source_mixture",
+      (s: SparkSession, d: String) => TextAnalysis.sourceMixture(docs(s, d)),
+      Some(s"""WITH per AS (SELECT source, count(*) AS n_docs,
+         (sum(len($toksSql)))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT (sum(n_tokens))::BIGINT AS tot_tokens FROM per),
+sh AS (SELECT source, n_docs, n_tokens,
+         n_tokens::DOUBLE / tot_tokens AS token_share,
+         pow(n_tokens::DOUBLE / tot_tokens, 0.7) AS pa
+  FROM per, tot),
+z AS (SELECT (sum(pa::DECIMAL(28,18)))::DOUBLE AS z FROM sh)
+SELECT source, n_docs, n_tokens,
+       round(token_share, 6) AS token_share_r,
+       round(pa / z, 6) AS mix_weight_r
+FROM sh, z ORDER BY source""")),
+
     ("train_val_split",
       (s: SparkSession, d: String) => TextAnalysis.trainValSplit(docs(s, d)),
       Some(s"""SELECT doc_id, substring(md5($normSql), 1, 2) AS bucket_hex,

@@ -83,6 +83,25 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("sourceMixture: weights normalize to 1 and compress source skew") {
+    // source a: ~4x the tokens of source b → raw share 0.8/0.2, but the
+    // α=0.7 weight must land strictly between the raw share and uniform
+    val docs = Seq(
+      (1L, Seq.fill(80)("w").mkString(" "), "a"),
+      (2L, Seq.fill(20)("w").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceMixture(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("token_share_r"),
+          r.getAs[Double]("mix_weight_r")))).toMap
+    assert(got("a")._1 === 80L && got("b")._1 === 20L)
+    assert(got("a")._2 === 0.8 && got("b")._2 === 0.2)
+    val (wa, wb) = (got("a")._3, got("b")._3)
+    assert(math.abs(wa + wb - 1.0) < 2e-6, "weights normalize")
+    assert(wa < 0.8 && wa > 0.5, s"temperature compresses the big source: $wa")
+    assert(wb > 0.2 && wb < 0.5, s"and boosts the small one: $wb")
+  }
+
   test("repetitionStats: hand-computed fractions and keep thresholds") {
     // doc 1: tokens [aa bb aa bb cc], len 14
     //   n=1: aa:2 bb:2 cc:1 → dup_token_frac = 4/5
