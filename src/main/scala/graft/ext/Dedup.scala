@@ -177,6 +177,46 @@ object Dedup {
         array((0 until 4).map(q =>
           shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL)).cast("int")): _*))
 
+  /** Containment join: directed pairs (a, b) with
+    * |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold — the partial-duplicate case
+    * Jaccard misses (doc a quoted verbatim inside a much larger doc b has
+    * containment ≈ 1 but Jaccard ≈ |a|/|b|).
+    *
+    * Candidates via PREFIX FILTERING (the set-similarity-join family of
+    * Chaudhuri et al. ICDE'06 / PPJoin): under any global total order on
+    * shingles, a pair with containment ≥ t over a must share at least one
+    * of a's first ⌊(1−t)·|a|⌋+1 shingles — if the whole prefix misses,
+    * at most |a| − (⌊(1−t)|a|⌋+1) < t·|a| shingles can match. The shingle
+    * hash arrays are already ascending-sorted ([[graft.expr.ShingleHashes]]),
+    * so the prefix is a `slice`, and hash order serves as the global order.
+    *
+    * Scale: the index side explodes every (doc, shingle-hash) posting —
+    * 16 bytes/row, the canonical inverted-index build — while the probe
+    * side explodes only the (1−t) prefix fraction. Candidates are id
+    * pairs; the wide arrays re-attach only for the exact verify, as in
+    * [[nearDupJaccard]]. The production refinement (order shingles by
+    * ascending global frequency instead of hash — rarest-first prefixes
+    * collide far less) drops in by re-sorting `sh` against a frequency
+    * dictionary; hash order keeps this self-contained and correct. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = cached(shingled(docs).where(size(col("sh")) > 0))
+    val k = (floor(lit(1.0 - threshold) * size(col("sh"))) + 1).cast("int")
+    val probe = sh.select(col("doc_id").as("doc_a"),
+      explode(slice(col("sh"), lit(1), k)).as("h"))
+    val index = sh.select(col("doc_id").as("doc_b"), explode(col("sh")).as("h"))
+    val cands = probe.join(index, Seq("h"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   // ----------------------------------------------------------- clustering
 
   /** Connected components over an undirected pair graph — the step that

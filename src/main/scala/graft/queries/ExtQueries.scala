@@ -109,6 +109,21 @@ WHERE n.doc_id % 10 = 0
   AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 10 <> 0 AND c.fp = n.fp)
 ORDER BY n.doc_id""")),
 
+    // Directed containment pairs (prefix-filtering set-similarity join):
+    // catches a doc quoted inside a larger one, which Jaccard misses.
+    ("near_dup_containment",
+      (s: SparkSession, d: String) =>
+        Dedup.containmentPairs(docs(s, d), threshold = 0.8)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS containment
+      FROM f a JOIN f b ON a.doc_id <> b.doc_id)
+SELECT doc_a, doc_b, containment FROM p WHERE containment >= 0.8
+ORDER BY doc_a, doc_b""")),
+
     // Transitive near-dup clusters: verified Jaccard pairs → connected
     // components (A~B, B~C ⇒ one cluster even when A≁C). The oracle
     // rebuilds the pair graph in SQL and closes it with a recursive CTE —

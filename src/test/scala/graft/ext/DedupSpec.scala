@@ -31,6 +31,26 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
   }
 
+  test("containmentPairs finds a doc quoted inside a larger one; Jaccard misses it") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lam mu nu xi omicron pi rho sigma tau upsilon"
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val quote = Seq(
+      (1L, small, "en", "s1", small.length.toLong),
+      (2L, small + " " + filler, "en", "s1", 400L),
+      (3L, "unrelated words entirely different from the others here now", "en", "s2", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cont = Dedup.containmentPairs(quote, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cont.contains((1L, 2L)), "doc 1's shingles are all inside doc 2")
+    assert(!cont.contains((2L, 1L)), "containment is directed: big doc not inside small")
+    assert(!cont.exists(p => p._1 == 3L || p._2 == 3L))
+    // the same pair is invisible to symmetric Jaccard at the same threshold
+    val jac = Dedup.nearDupJaccard(quote, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("components: transitive chains collapse, disjoint clusters stay apart") {
     // two components: a 4-node path 10-11-12-13 (tests transitivity AND
     // pointer jumping over a chain) and a 2-node pair 20-21
