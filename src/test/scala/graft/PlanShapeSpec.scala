@@ -59,4 +59,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("PushedFilters"))
     assert(p.contains("event_type"))
   }
+
+  test("pack_windows: no single-partition global window anywhere") {
+    // the naive global cumsum plans an `Exchange SinglePartition` — the
+    // one shape that cannot scale; the range-partitioned prefix sum must
+    // never reintroduce it
+    val p = plan("pack_windows")
+    assert(!p.contains("SinglePartition"), "global-window collapse detected")
+    assert(p.contains("Window"), "per-partition running sum is a Window")
+  }
+
+  test("near_dup_containment: prefix-filter join is an equi-join, not BNL") {
+    val p = plan("near_dup_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quality_repetition: both aggregates are map-side combined") {
+    val p = plan("quality_repetition")
+    assert(!p.contains("CartesianProduct"))
+    // two-level aggregation, each with partial + final
+    assert("HashAggregate".r.findAllIn(p).length >= 4 ||
+      "ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(400))
+  }
 }
