@@ -48,6 +48,17 @@ object Bench {
     // build the K1 activity table for the bench SF outside the timed
     // region: it is a one-time write-path cost, not a serve-path cost
     graft.sinks.ActivitySink.materialized(spark, sfDir)
+    // warm the bench SF's parquet bytes into the OS page cache so the
+    // timed pass measures engine work, not which query first touches a
+    // cold file (the VM reclaims page cache aggressively; cold-read
+    // latency showed up as ±2× noise on individual queries)
+    val buf = new Array[Byte](1 << 20)
+    new java.io.File(sfDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
     val results = names.map(n => n -> force(n, sfDir))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
