@@ -233,29 +233,34 @@ object Dedup {
     * per row — document text never enters the loop.
     *
     * Scale posture: per round, two key-shuffles over |V|+|E| (long, long)
-    * rows. Rounds are bounded by log₂(largest component diameter) — for
-    * near-dup graphs (dense clique-ish clusters) that is 2–4 rounds. Each
-    * round materializes via `localCheckpoint` to truncate the growing
-    * lineage (on a multi-executor cluster, substitute a reliable
-    * `checkpoint` dir — same call shape). Convergence is exact: per-node
-    * labels are monotone non-increasing, so an unchanged label SUM is a
-    * fixpoint, and the sum is one tiny aggregate per round.
+    * rows — and exactly ONE Spark job: each round's frame is persisted and
+    * materialized by the convergence aggregate itself (labels are monotone
+    * non-increasing, so an unchanged label SUM is an exact fixpoint test).
+    * Superseded rounds unpersist eagerly; each round's plan reads the
+    * previous round's in-memory relation, so lineage depth is bounded by
+    * the (log-diameter) round count — for near-dup graphs, 1–3 rounds.
+    * On very high round counts, interpose a `checkpoint` every ~10 rounds
+    * to truncate the plan.
     */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = cached(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    // one job per round: persist, then let the convergence aggregate
+    // materialize the cache
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val p = cached(df)
+      val s = Option(p.agg(sum("label")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      (p, s)
+    }
     // round 0 folded into init: label = min(id, min neighbor). Same
     // groupBy shuffle the plain identity-init would pay for its distinct,
     // but one propagation round ahead — cliques (the common near-dup
     // shape) converge on the first loop check.
-    var labels = edges.groupBy("u").agg(min("v").as("mv"))
-      .select(col("u").as("id"), least(col("u"), col("mv")).as("label"))
-      .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("label")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = materialize(
+      edges.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("id"), least(col("u"), col("mv")).as("label")))
     var it = 0
     var converged = false // an empty graph self-converges on round 1
     while (!converged && it < maxIter) {
@@ -263,18 +268,18 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("label").as("nbr")), "v")
         .groupBy("u").agg(min("nbr").as("nbr_min"))
       val jump = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("u"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("l1"))
-        // every label value is itself a node id (labels start as ids and
-        // only min-combine), so the jump join is inner and total
-        .join(jump, col("l1") === col("jid"))
-        .select(col("id"), least(col("l1"), col("jlabel")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
+      val (next, s) = materialize(
+        labels
+          .join(nbrMin, labels("id") === nbrMin("u"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("l1"))
+          // every label value is itself a node id (labels start as ids and
+          // only min-combine), so the jump join is inner and total
+          .join(jump, col("l1") === col("jid"))
+          .select(col("id"), least(col("l1"), col("jlabel")).as("label")))
       converged = s == prevSum
       prevSum = s
+      labels.unpersist(blocking = false) // superseded round
       labels = next
       it += 1
     }
