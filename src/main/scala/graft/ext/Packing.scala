@@ -49,7 +49,8 @@ object Packing {
     val partSums: Map[Int, Long] = ranged
       .groupBy("__pid").agg(sum(valueCol).as("s"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
+      // a partition whose values are all NULL sums to NULL — count it as 0
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
     val pids = partSums.keys.toSeq.sorted
     val prefix: Map[Int, Long] = pids

@@ -73,20 +73,24 @@ object TextAnalysis {
     * ratio, stopword ratio, alpha ratio) — the usual cheap quality gates for
     * corpus filtering, as exact arithmetic both engines reproduce. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val len = length(col("text"))
+    // greatest(…, 1): empty text reaches the ratios with len 0 (and a
+    // single "" token keeps nToks ≥ 1); ANSI mode (Spark 4 default) turns
+    // a zero divisor into a job-killing error, so guard rather than trust
+    // the corpus. Identical arithmetic for every non-empty doc.
+    val len = greatest(length(col("text")), lit(1))
     val toks = wsTokens(lower(col("text")))
-    val nToks = size(toks)
+    val nToks = greatest(size(toks), lit(1))
     val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
     val alpha = regexp_count(col("text"), lit("[a-zA-Z]"))
     val stops = lexiconHits(toks, langLexica.toMap.apply("en"))
     docs.select(
       col("doc_id"),
-      len.as("len_chars"),
-      nToks.as("n_tokens"),
+      length(col("text")).as("len_chars"),
+      size(toks).as("n_tokens"),
       (punct.cast("double") / len).as("punct_ratio"),
       (alpha.cast("double") / len).as("alpha_ratio"),
       (stops.cast("double") / nToks).as("stopword_ratio"),
-      (least(nToks, lit(256)).cast("double") / 256 * 0.4
+      (least(size(toks), lit(256)).cast("double") / 256 * 0.4
         + (alpha.cast("double") / len) * 0.4
         + least(stops.cast("double") / nToks * 5, lit(1.0)) * 0.2)
         .as("quality"))
@@ -260,12 +264,15 @@ object TextAnalysis {
           .cast("double") /
           sum(when(col("n") === 1, col("cnt")).otherwise(0L)))
           .as("dup_token_frac"),
+        // greatest(len,1): an empty-text doc still carries one "" token,
+        // so it reaches these divisions with len_chars = 0 — and ANSI
+        // mode (Spark 4 default) turns x/0 into a job-killing error
         (coalesce(max(when(col("n") === 2, col("cov"))), lit(0L)).cast("double")
-          / lenC).as("top_bigram_char_frac"),
+          / greatest(lenC, lit(1L))).as("top_bigram_char_frac"),
         (coalesce(max(when(col("n") === 3, col("cov"))), lit(0L)).cast("double")
-          / lenC).as("top_trigram_char_frac"),
+          / greatest(lenC, lit(1L))).as("top_trigram_char_frac"),
         (sum(when(col("n") === 5 && col("cnt") >= 2, col("cov")).otherwise(0L))
-          .cast("double") / lenC).as("dup_5gram_char_frac"))
+          .cast("double") / greatest(lenC, lit(1L))).as("dup_5gram_char_frac"))
       .withColumn("keep",
         col("top_bigram_char_frac") <= 0.20 &&
           col("top_trigram_char_frac") <= 0.18 &&

@@ -238,12 +238,12 @@ FROM pr GROUP BY labeled_lang ORDER BY labeled_lang"""
          len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
   FROM documents)
 SELECT doc_id, length(text) AS len_chars, len(toks) AS n_tokens,
-       punct::DOUBLE / length(text) AS punct_ratio,
-       alpha::DOUBLE / length(text) AS alpha_ratio,
-       stops::DOUBLE / len(toks) AS stopword_ratio,
+       punct::DOUBLE / greatest(length(text), 1) AS punct_ratio,
+       alpha::DOUBLE / greatest(length(text), 1) AS alpha_ratio,
+       stops::DOUBLE / greatest(len(toks), 1) AS stopword_ratio,
        least(len(toks), 256)::DOUBLE / 256 * 0.4
-         + alpha::DOUBLE / length(text) * 0.4
-         + least(stops::DOUBLE / len(toks) * 5, 1.0) * 0.2 AS quality
+         + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+         + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2 AS quality
 FROM t ORDER BY doc_id""")),
 
     ("doc_fingerprint",
@@ -330,11 +330,11 @@ m AS (SELECT doc_id, max(len_chars) AS len_chars,
   (sum(CASE WHEN n = 1 AND cnt >= 2 THEN cnt ELSE 0 END))::DOUBLE
     / (sum(CASE WHEN n = 1 THEN cnt ELSE 0 END)) AS dup_token_frac,
   (coalesce(max(CASE WHEN n = 2 THEN cov END), 0))::DOUBLE
-    / max(len_chars) AS top_bigram_char_frac,
+    / greatest(max(len_chars), 1) AS top_bigram_char_frac,
   (coalesce(max(CASE WHEN n = 3 THEN cov END), 0))::DOUBLE
-    / max(len_chars) AS top_trigram_char_frac,
+    / greatest(max(len_chars), 1) AS top_trigram_char_frac,
   (sum(CASE WHEN n = 5 AND cnt >= 2 THEN cov ELSE 0 END))::DOUBLE
-    / max(len_chars) AS dup_5gram_char_frac
+    / greatest(max(len_chars), 1) AS dup_5gram_char_frac
 FROM c GROUP BY doc_id)
 SELECT doc_id, len_chars, dup_token_frac, top_bigram_char_frac,
        top_trigram_char_frac, dup_5gram_char_frac,

@@ -83,6 +83,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("new operators tolerate null and empty text without crashing") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "s1"),
+      (2L, "", "s1"),
+      (3L, "real words here three times real words here", "s2"))
+      .toDF("doc_id", "text", "source")
+    // repetitionStats: null/empty docs contribute no grams and drop out;
+    // the real doc survives with sane fractions
+    val rep = TextAnalysis.repetitionStats(docs).collect()
+    assert(rep.map(_.getAs[Long]("doc_id")).contains(3L))
+    assert(rep.forall(r => !r.getAs[Double]("dup_token_frac").isNaN))
+    // packWindows: every doc keeps a row; null text → null token count,
+    // empty text → its (degenerate) token count, offsets stay monotone
+    val pw = Packing.packWindows(docs, budget = 10).collect()
+    assert(pw.length === 3)
+    Dedup.releaseCaches()
+    // sourceMixture: null text aggregates as zero tokens, no crash
+    val mix = TextAnalysis.sourceMixture(docs).collect()
+    assert(mix.length === 2)
+  }
+
   test("sourceMixture: weights normalize to 1 and compress source skew") {
     // source a: ~4x the tokens of source b → raw share 0.8/0.2, but the
     // α=0.7 weight must land strictly between the raw share and uniform
