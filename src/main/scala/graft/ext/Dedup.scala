@@ -126,7 +126,12 @@ object Dedup {
     * (equal to the string-set Jaccard modulo 64-bit collisions; the
     * DuckDB oracle computes the string form and hash-matches). */
   def nearDupJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = cached(shingled(docs))
+    // docs with < n tokens have EMPTY shingle sets — which hash to the
+    // same all-max MinHash signature, collide in every band, and reach
+    // the Jaccard verify as 0/0 (a job-killing error under ANSI mode).
+    // They can never be near-dups, and the oracle agrees: NULL jaccard
+    // never passes the threshold.
+    val sh = cached(shingled(docs).where(size(col("sh")) > 0))
     val cands = lshCandidates(signed(sh))
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

@@ -51,6 +51,18 @@ class DedupSpec extends SparkSuite {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("tiny docs with empty shingle sets never pair and never crash") {
+    // < 3 tokens ⇒ empty shingle set ⇒ identical (empty-set) MinHash
+    // signatures; without the guard these collide in every band and hit
+    // the Jaccard verify as 0/0
+    val tiny = Seq(
+      (1L, "one two", "en", "s1", 7L),
+      (2L, "three four", "en", "s1", 10L),
+      (3L, base, "en", "s2", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.nearDupJaccard(tiny, threshold = 0.1).count() === 0L)
+  }
+
   test("components: transitive chains collapse, disjoint clusters stay apart") {
     // two components: a 4-node path 10-11-12-13 (tests transitivity AND
     // pointer jumping over a chain) and a 2-node pair 20-21
