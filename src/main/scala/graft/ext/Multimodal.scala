@@ -41,6 +41,9 @@ object Multimodal {
     private def mix(bytes: Array[Byte], seed: Long): Long = {
       var h = seed
       var i = 0
+      // a null payload (undecodable/missing media) hashes like an empty
+      // one — the codec seam must never throw on a single bad row
+      if (bytes == null) return h
       while (i < bytes.length) { h = h * 6364136223846793005L + bytes(i); i += 1 }
       h
     }

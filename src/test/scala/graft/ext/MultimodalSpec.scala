@@ -65,4 +65,16 @@ class MultimodalSpec extends SparkSuite {
     assert(sampledIds === videoIds)
     assert(frames.where(pmod(col("frame_idx"), lit(4)) =!= 0).count() === 0)
   }
+
+  test("null payload (missing/undecodable media) flows through without crashing") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", null.asInstanceOf[Array[Byte]], "s1", 0L),
+      (2L, "video", "real bytes".getBytes("UTF-8"), "s1", 10L))
+      .toDF("media_id", "kind", "payload", "source", "declared_bytes")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 2, "no row dropped, no NPE")
+    val resized = Multimodal.resize(media).collect()
+    assert(resized.length === 2)
+  }
 }
