@@ -108,6 +108,31 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** Daily volume anomalies per event type: days whose count deviates
+    * from the type's mean by ≥ `z` sample standard deviations — the
+    * standard pipeline-health monitor over an activity stream (drops =
+    * ingest breakage, spikes = abuse/backfill).
+    *
+    * Plan: one map-side-combined shuffle to (type, day) counts; the
+    * per-type moments frame is |types| rows and broadcasts back. The
+    * filter compares the ROUNDED z-score so the two engines' last-ulp
+    * `stddev_samp` differences cannot flip membership at the threshold.
+    * Constant series (sd = 0) produce no anomalies by definition. */
+  def dailyAnomalies(events: DataFrame, z: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(avg("n").as("mean_n"), stddev_samp("n").as("sd_n"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z_r",
+        when(col("sd_n") > 0,
+          round((col("n") - col("mean_n")) / col("sd_n"), 4)))
+      .where(abs(col("z_r")) >= z)
+      .select(col("event_type"), col("day"), col("n"), col("z_r"))
+      .orderBy("event_type", "day")
+  }
+
   /** Day-of-week × hour activity profile (dow 1=Monday … 7=Sunday, matching
     * DuckDB's isodow so the oracle compares directly). One map-side-combined
     * shuffle on a 168-key space; the DECIMAL sum keeps the aggregate exact

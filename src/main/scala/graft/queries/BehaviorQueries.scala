@@ -89,6 +89,23 @@ FROM types t CROSS JOIN cal c
 LEFT JOIN counts USING (event_type, day)
 ORDER BY event_type, day""")),
 
+    // Daily per-type volume anomalies at |z| >= 2 sample stddevs. The
+    // filter compares the ROUNDED z so last-ulp stddev differences
+    // between engines cannot flip membership at the threshold.
+    ("events_daily_anomaly",
+      (s: SparkSession, d: String) => Behavior.dailyAnomalies(events(s, d)),
+      Some("""WITH d AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, avg(n) AS mean_n, stddev_samp(n) AS sd_n
+  FROM d GROUP BY 1)
+SELECT d.event_type, d.day, d.n,
+       round((d.n - s.mean_n) / s.sd_n, 4) AS z_r
+FROM d JOIN s USING (event_type)
+WHERE s.sd_n > 0 AND abs(round((d.n - s.mean_n) / s.sd_n, 4)) >= 2.0
+ORDER BY event_type, day""")),
+
     // Day-of-week × hour activity profile (dow 1=Monday … 7=Sunday).
     ("events_dow_profile",
       (s: SparkSession, d: String) => Behavior.dowHourProfile(events(s, d)),

@@ -67,6 +67,22 @@ class BehaviorSpec extends SparkSuite {
     assert(got.contains(("click", "2024-01-02", 0L)))
   }
 
+  test("dailyAnomalies flags the planted spike day and nothing else") {
+    // 10 quiet days with 2 events each, one day with 20 → only the spike
+    // exceeds 2 sample stddevs; the constant 'other' series (sd = 0)
+    // produces no anomalies at all
+    val rows = (1 to 10).flatMap { d =>
+      val day = f"2024-01-$d%02d 10:00:00"
+      Seq((1L, day, "click"), (2L, day, "click"), (3L, day, "other"))
+    } ++ (1 to 20).map(i => (i.toLong, "2024-01-11 10:00:00", "click")) ++
+      Seq((4L, "2024-01-11 10:00:00", "other"))
+    val got = Behavior.dailyAnomalies(ev(rows: _*)).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("event_type") === "click")
+    assert(got.head.getAs[Long]("n") === 20L)
+    assert(got.head.getAs[Double]("z_r") > 2.0)
+  }
+
   test("dowHourProfile maps Monday→1 and Sunday→7 (ISO)") {
     // 2024-01-01 is a Monday; 2024-01-07 is a Sunday.
     val df = Behavior.dowHourProfile(ev(
