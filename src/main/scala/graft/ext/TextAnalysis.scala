@@ -72,28 +72,35 @@ object TextAnalysis {
   /** Per-doc quality features + composite score (length band, punctuation
     * ratio, stopword ratio, alpha ratio) — the usual cheap quality gates for
     * corpus filtering, as exact arithmetic both engines reproduce. */
+  // greatest(…, 1): empty text reaches the ratios with len 0 (and a
+  // single "" token keeps nToks ≥ 1); ANSI mode (Spark 4 default) turns
+  // a zero divisor into a job-killing error, so guard rather than trust
+  // the corpus. Identical arithmetic for every non-empty doc.
+  private def qLen: Column = greatest(length(col("text")), lit(1))
+  private def qToks: Column = wsTokens(lower(col("text")))
+  private def qAlpha: Column = regexp_count(col("text"), lit("[a-zA-Z]"))
+  private def qStops: Column = lexiconHits(qToks, langLexica.toMap.apply("en"))
+
+  /** The composite quality expression over `col("text")` — shared by
+    * [[qualityScore]] and [[weightedSample]] so both stay in lockstep
+    * with the DuckDB oracle formula. */
+  private def qualityExpr: Column =
+    least(size(qToks), lit(256)).cast("double") / 256 * 0.4 +
+      (qAlpha.cast("double") / qLen) * 0.4 +
+      least(qStops.cast("double") / greatest(size(qToks), lit(1)) * 5,
+        lit(1.0)) * 0.2
+
   def qualityScore(docs: DataFrame): DataFrame = {
-    // greatest(…, 1): empty text reaches the ratios with len 0 (and a
-    // single "" token keeps nToks ≥ 1); ANSI mode (Spark 4 default) turns
-    // a zero divisor into a job-killing error, so guard rather than trust
-    // the corpus. Identical arithmetic for every non-empty doc.
-    val len = greatest(length(col("text")), lit(1))
-    val toks = wsTokens(lower(col("text")))
-    val nToks = greatest(size(toks), lit(1))
     val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
-    val alpha = regexp_count(col("text"), lit("[a-zA-Z]"))
-    val stops = lexiconHits(toks, langLexica.toMap.apply("en"))
     docs.select(
       col("doc_id"),
       length(col("text")).as("len_chars"),
-      size(toks).as("n_tokens"),
-      (punct.cast("double") / len).as("punct_ratio"),
-      (alpha.cast("double") / len).as("alpha_ratio"),
-      (stops.cast("double") / nToks).as("stopword_ratio"),
-      (least(size(toks), lit(256)).cast("double") / 256 * 0.4
-        + (alpha.cast("double") / len) * 0.4
-        + least(stops.cast("double") / nToks * 5, lit(1.0)) * 0.2)
-        .as("quality"))
+      size(qToks).as("n_tokens"),
+      (punct.cast("double") / qLen).as("punct_ratio"),
+      (qAlpha.cast("double") / qLen).as("alpha_ratio"),
+      (qStops.cast("double") / greatest(size(qToks), lit(1)))
+        .as("stopword_ratio"),
+      qualityExpr.as("quality"))
       .orderBy("doc_id")
   }
 
@@ -330,6 +337,36 @@ object TextAnalysis {
         regexp_replace(col("text"), emailPattern, "<EMAIL>"),
         urlPattern, "<URL>").as("scrubbed"))
       .orderBy("doc_id")
+
+  /** Deterministic weighted sample of k docs, selection probability
+    * proportional to a per-doc weight (here the [[qualityScore]]
+    * composite) — the Efraimidis–Spirakis A-ES scheme: each doc draws a
+    * uniform u and ranks by ln(u)/w (monotone-equivalent to the classic
+    * u^(1/w)); the top-k by that key IS a weight-proportional sample
+    * without replacement.
+    *
+    * Determinism: u is not random — it is the doc's content md5 mapped to
+    * (0,1) (first 13 hex chars / 16^13, exact in a double), so the sample
+    * is reproducible across engines, runs, and cluster sizes, exactly
+    * like [[trainValSplit]]'s bucketing. Weights clamp to ≥ 0.001 so a
+    * zero-quality doc stays selectable-with-tiny-probability rather than
+    * dividing to -∞ × anything.
+    *
+    * Scale: one scan computing (key, weight) per doc and one
+    * TakeOrderedAndProject — no full sort, no shuffle beyond the top-k
+    * reduction. */
+  def weightedSample(docs: DataFrame, k: Int = 25): DataFrame = {
+    val u = conv(substring(md5(normText(col("text"))), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    docs
+      .select(col("doc_id"),
+        greatest(qualityExpr, lit(0.001)).as("w"),
+        u.as("u"))
+      .select(col("doc_id"), round(col("w"), 6).as("w_r"),
+        round(log(col("u")) / col("w"), 6).as("es_key_r"))
+      .orderBy(col("es_key_r").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** Deterministic train/val assignment by content hash: the first two
     * md5 hex chars partition the corpus into 256 stable buckets; buckets

@@ -380,6 +380,26 @@ SELECT source, n_docs, n_tokens,
        round(pa / z, 6) AS mix_weight_r
 FROM sh, z ORDER BY source""")),
 
+    // Deterministic weighted sample (Efraimidis–Spirakis A-ES with
+    // content-md5 uniforms): top-25 docs by ln(u)/quality — selection
+    // probability ∝ quality, reproducible across engines and runs.
+    ("weighted_sample",
+      (s: SparkSession, d: String) => TextAnalysis.weightedSample(docs(s, d)),
+      Some(s"""WITH q AS (SELECT doc_id, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+w AS (SELECT doc_id,
+        greatest(least(len(toks), 256)::DOUBLE / 256 * 0.4
+          + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+          + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2,
+          0.001) AS w,
+        CAST('0x' || substring(md5($normSql), 1, 13) AS UBIGINT)::DOUBLE
+          / 4503599627370496 AS u
+  FROM q)
+SELECT doc_id, round(w, 6) AS w_r, round(ln(u) / w, 6) AS es_key_r
+FROM w ORDER BY es_key_r DESC, doc_id LIMIT 25""")),
+
     ("train_val_split",
       (s: SparkSession, d: String) => TextAnalysis.trainValSplit(docs(s, d)),
       Some(s"""SELECT doc_id, substring(md5($normSql), 1, 2) AS bucket_hex,

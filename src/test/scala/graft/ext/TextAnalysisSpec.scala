@@ -104,6 +104,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(mix.length === 2)
   }
 
+  test("weightedSample is deterministic and skews toward higher weights") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val s1 = TextAnalysis.weightedSample(docs, k = 20).collect()
+    val s2 = TextAnalysis.weightedSample(docs, k = 20).collect()
+    assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq, "deterministic")
+    assert(s1.length === 20)
+    // weight-proportional sampling must pull the sampled mean weight
+    // above the corpus mean weight
+    val sampledMean = s1.map(_.getAs[Double]("w_r")).sum / s1.length
+    val corpusMean = TextAnalysis.qualityScore(docs)
+      .agg(avg(greatest(col("quality"), lit(0.001)))).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"sampled mean $sampledMean should exceed corpus mean $corpusMean")
+  }
+
   test("sourceMixture: weights normalize to 1 and compress source skew") {
     // source a: ~4x the tokens of source b → raw share 0.8/0.2, but the
     // α=0.7 weight must land strictly between the raw share and uniform
