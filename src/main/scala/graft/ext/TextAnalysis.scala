@@ -338,6 +338,52 @@ object TextAnalysis {
         urlPattern, "<URL>").as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Pointwise mutual information of token pairs over document-level
+    * co-occurrence: PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with
+    * probabilities = document frequencies — the classic collocation /
+    * phrase-mining statistic. Restricted to the `vocabK` most frequent
+    * tokens so the per-doc pair fan-out is bounded by K, and floored at
+    * `minPairCount` co-occurrences to kill small-sample noise.
+    *
+    * Plan: distinct (doc, token) explode → top-K vocab as a LIMIT frame
+    * (pure plan, no driver collect) broadcast into a semi-filter → the
+    * pair self-join on doc_id (fan-out ≤ K per doc) → one count shuffle
+    * on (t1, t2) ≤ K² keys. PMI evaluates as a sum of logs (overflow-free
+    * at any corpus size, identical term order in both engines). */
+  def tokenPmi(
+      docs: DataFrame,
+      vocabK: Int = 100,
+      minPairCount: Int = 5,
+      k: Int = 50): DataFrame = {
+    val tok = scanParallel(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(wsTokens(lower(col("text"))))).as("token"))
+      .where(length(col("token")) > 0)
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n_a"))
+      .orderBy(col("n_a").desc, col("token")).limit(vocabK)
+    val tv = tok.join(broadcast(vocab.select("token")), Seq("token"))
+    val pairs = tv.select(col("doc_id"), col("token")).as("a")
+      .join(tv.select(col("doc_id"), col("token").as("token_b")).as("b"),
+        Seq("doc_id"))
+      .where(col("token") < col("token_b"))
+      .groupBy(col("token").as("t1"), col("token_b").as("t2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minPairCount)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(vocab.select(col("token").as("t1"), col("n_a").as("c_a"))),
+        Seq("t1"))
+      .join(broadcast(vocab.select(col("token").as("t2"), col("n_a").as("c_b"))),
+        Seq("t2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi", round(
+        log(col("c_ab").cast("double")) + log(col("n_docs").cast("double"))
+          - log(col("c_a").cast("double")) - log(col("c_b").cast("double")), 4))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(k)
+      .select("t1", "t2", "c_ab", "pmi")
+  }
+
   /** Deterministic weighted sample of k docs, selection probability
     * proportional to a per-doc weight (here the [[qualityScore]]
     * composite) — the Efraimidis–Spirakis A-ES scheme: each doc draws a

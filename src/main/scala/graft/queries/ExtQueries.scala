@@ -254,6 +254,32 @@ SELECT doc_id, md5(norm) AS exact_md5,
        list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS min_shingle_md5
 FROM sh ORDER BY doc_id""")),
 
+    // Per-language token-length distribution (exact interpolated
+    // quantiles — same percentile ≙ quantile_cont pairing as
+    // q_price_quantiles; the _dist/_approx scale paths there apply
+    // unchanged to this shape at 100 TB).
+    ("text_length_quantiles",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d)
+          .select(col("lang"),
+            size(graft.ext.TextOps.wsTokens(lower(col("text")))).as("n_tok"))
+          .groupBy("lang")
+          .agg(
+            round(expr("percentile(n_tok, 0.25)"), 4).as("p25"),
+            round(expr("percentile(n_tok, 0.5)"), 4).as("p50"),
+            round(expr("percentile(n_tok, 0.9)"), 4).as("p90"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT lang, len($toksSql) AS n_tok FROM documents)
+SELECT lang,
+       round(quantile_cont(n_tok, 0.25), 4) AS p25,
+       round(quantile_cont(n_tok, 0.5), 4) AS p50,
+       round(quantile_cont(n_tok, 0.9), 4) AS p90,
+       count(*) AS n_docs
+FROM t GROUP BY lang ORDER BY lang""")),
+
     ("text_distinct_exact",
       (s: SparkSession, d: String) => TextAnalysis.distinctExact(docs(s, d)),
       Some(s"""SELECT count(DISTINCT $normSql) AS distinct_norm_texts,
@@ -379,6 +405,27 @@ SELECT source, n_docs, n_tokens,
        round(token_share, 6) AS token_share_r,
        round(pa / z, 6) AS mix_weight_r
 FROM sh, z ORDER BY source""")),
+
+    // Doc-level PMI collocations over the top-100 vocabulary (≥ 5
+    // co-occurrences, top-50 by PMI). ln-sum form is overflow-free and
+    // term-order-identical in both engines.
+    ("token_pmi",
+      (s: SparkSession, d: String) => TextAnalysis.tokenPmi(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+  WHERE length(token) > 0),
+v AS (SELECT token, count(*) AS n_a FROM tok GROUP BY token
+      ORDER BY n_a DESC, token LIMIT 100),
+tv AS (SELECT tok.doc_id, tok.token FROM tok JOIN v USING (token)),
+p AS (SELECT a.token AS t1, b.token AS t2, count(*) AS c_ab
+      FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2 HAVING count(*) >= 5),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT t1, t2, c_ab,
+       round(ln(c_ab::DOUBLE) + ln(n_docs::DOUBLE)
+             - ln(va.n_a::DOUBLE) - ln(vb.n_a::DOUBLE), 4) AS pmi
+FROM p JOIN v va ON va.token = p.t1 JOIN v vb ON vb.token = p.t2, n
+ORDER BY pmi DESC, t1, t2 LIMIT 50""")),
 
     // Deterministic weighted sample (Efraimidis–Spirakis A-ES with
     // content-md5 uniforms): top-25 docs by ln(u)/quality — selection

@@ -104,6 +104,23 @@ class TextAnalysisSpec extends SparkSuite {
     assert(mix.length === 2)
   }
 
+  test("tokenPmi ranks a planted collocation above independent tokens") {
+    // "rock roll" co-occur in exactly the same 6 docs; "noise" appears
+    // everywhere (PMI ≈ 0 with anything); filler words pad the vocab
+    val docs = ((1 to 6).map(i => (i.toLong, s"rock roll noise filler$i")) ++
+      (7 to 20).map(i => (i.toLong, s"noise filler$i other$i")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenPmi(docs, vocabK = 50, minPairCount = 3, k = 10)
+      .collect()
+    val top = got.head
+    assert((top.getAs[String]("t1"), top.getAs[String]("t2")) === (("rock", "roll")))
+    // PMI(rock, roll) = ln(6·20/(6·6)) = ln(10/3)
+    assert(math.abs(top.getAs[Double]("pmi") - math.log(20.0 / 6)) < 1e-3)
+    val noisePair = got.find(r => r.getAs[String]("t1") == "noise" ||
+      r.getAs[String]("t2") == "noise")
+    noisePair.foreach(r => assert(r.getAs[Double]("pmi") < top.getAs[Double]("pmi")))
+  }
+
   test("weightedSample is deterministic and skews toward higher weights") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val s1 = TextAnalysis.weightedSample(docs, k = 20).collect()
