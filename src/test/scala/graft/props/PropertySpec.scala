@@ -139,4 +139,42 @@ object PropertySpec extends Properties("graft") {
       math.abs(agree / 96.0 - jaccard) < 0.25
     }
   }
+
+  property("components equals union-find on random graphs") = {
+    val gen = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    Prop.forAll(gen) { edges =>
+      edges.isEmpty || {
+        implicit val i = I.i
+        import i._
+        val got = graft.ext.Dedup.components(edges.toDF("doc_a", "doc_b"))
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+          .toMap
+        // reference: driver-side union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // canonical representative = min node id per root
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = nodes.groupBy(find).flatMap { case (_, members) =>
+          val rep = members.min
+          members.map(_ -> rep)
+        }
+        got == expect
+      }
+    }
+  }
 }
