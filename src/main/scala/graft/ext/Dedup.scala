@@ -222,6 +222,26 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
   }
 
+  /** Cross-modal near-dup evidence: every verified text-Jaccard pair
+    * annotated with the embedding cosine of the same two docs — the
+    * fusion view a dedup pipeline uses to separate true rewrites (high
+    * jaccard AND high cosine) from template collisions (high jaccard,
+    * low cosine). The embedding attach is two id-keyed joins of 64-float
+    * vectors against the (tiny relative to corpus) verified pair set. */
+  def nearDupFused(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    nearDupJaccard(docs, threshold)
+      .join(e.select(col("vec_id").as("doc_a"), col("v").as("v_a")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("v").as("v_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cosine_r"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ----------------------------------------------------------- clustering
 
   /** Connected components over an undirected pair graph — the step that

@@ -124,6 +124,26 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 SELECT doc_a, doc_b, containment FROM p WHERE containment >= 0.8
 ORDER BY doc_a, doc_b""")),
 
+    // Cross-modal fusion: each verified text near-dup pair annotated
+    // with the embedding cosine of the same ids (vec_id ≙ doc_id in the
+    // fixtures) — separates true rewrites from template collisions.
+    ("near_dup_fused",
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupFused(docs(s, d), embs(s, d), threshold = 0.8),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       round((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm), 6) AS cosine_r
+FROM p JOIN n a ON a.vec_id = p.doc_a JOIN n b ON b.vec_id = p.doc_b
+WHERE p.jaccard >= 0.8
+ORDER BY doc_a, doc_b""")),
+
     // Transitive near-dup clusters: verified Jaccard pairs → connected
     // components (A~B, B~C ⇒ one cluster even when A≁C). The oracle
     // rebuilds the pair graph in SQL and closes it with a recursive CTE —
