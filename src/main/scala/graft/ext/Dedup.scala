@@ -205,7 +205,13 @@ object Dedup {
     * dictionary; hash order keeps this self-contained and correct. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sh = cached(shingled(docs).where(size(col("sh")) > 0))
-    val k = (floor(lit(1.0 - threshold) * size(col("sh"))) + 1).cast("int")
+    // The +1e-9 guards the floor against float representation error:
+    // (1.0-0.8)*|sh| can evaluate just below the true product when |sh| is
+    // divisible by 5, shortening the prefix by one and silently dropping a
+    // pair sitting exactly at the threshold. Overshooting only widens the
+    // candidate set — it can never lose a pair.
+    val k = (floor(lit(1.0 - threshold) * size(col("sh")) + lit(1e-9)) + 1)
+      .cast("int")
     val probe = sh.select(col("doc_id").as("doc_a"),
       explode(slice(col("sh"), lit(1), k)).as("h"))
     val index = sh.select(col("doc_id").as("doc_b"), explode(col("sh")).as("h"))
@@ -264,19 +270,36 @@ object Dedup {
     * Superseded rounds unpersist eagerly; each round's plan reads the
     * previous round's in-memory relation, so lineage depth is bounded by
     * the (log-diameter) round count — for near-dup graphs, 1–3 rounds.
-    * On very high round counts, interpose a `checkpoint` every ~10 rounds
-    * to truncate the plan.
+    * On high-diameter graphs an eager `localCheckpoint` is interposed
+    * every [[checkpointEvery]] rounds to truncate the plan.
     */
-  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Default rounds between lineage-truncating localCheckpoints in
+    * [[components]]. Each round's logical plan references the previous
+    * round's THREE times (neighbor join, pointer-jump join, main select),
+    * so the analyzed plan grows as 3^rounds between truncations — at 8 the
+    * plan-string machinery alone OOMs (observed on a 400-node path); 4
+    * bounds the growth to ~81× a single round's plan. */
+  val defaultCheckpointEvery = 4
+
+  def components(
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      checkpointEvery: Int = defaultCheckpointEvery): DataFrame = {
     val edges = cached(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     // one job per round: persist, then let the convergence aggregate
-    // materialize the cache
-    def materialize(df: DataFrame): (DataFrame, Long) = {
+    // materialize the cache. The fixpoint test sums labels as
+    // decimal(38,0): labels are monotone non-increasing, so an unchanged
+    // sum is exact — but only if the sum itself cannot wrap. A Long sum
+    // over billions of 64-bit ids overflows (ANSI: job failure; non-ANSI:
+    // two distinct label vectors could collide mod 2^64); decimal(38,0)
+    // holds ~10^38 ≫ |V|·2^63 for any realistic corpus.
+    def materialize(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val p = cached(df)
-      val s = Option(p.agg(sum("label")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val s = Option(p.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0))
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
       (p, s)
     }
     // round 0 folded into init: label = min(id, min neighbor). Same
@@ -293,7 +316,7 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("label").as("nbr")), "v")
         .groupBy("u").agg(min("nbr").as("nbr_min"))
       val jump = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-      val (next, s) = materialize(
+      val plan =
         labels
           .join(nbrMin, labels("id") === nbrMin("u"), "left")
           .select(col("id"),
@@ -301,8 +324,15 @@ object Dedup {
           // every label value is itself a node id (labels start as ids and
           // only min-combine), so the jump join is inner and total
           .join(jump, col("l1") === col("jid"))
-          .select(col("id"), least(col("l1"), col("jlabel")).as("label")))
-      converged = s == prevSum
+          .select(col("id"), least(col("l1"), col("jlabel")).as("label"))
+      // Each round's plan nests the previous round's, so on pathological
+      // high-diameter graphs the analyzed plan grows superlinearly and
+      // late rounds replan expensively. Truncate lineage every few rounds;
+      // near-dup graphs converge in 1-3 rounds and never hit this.
+      val truncated =
+        if ((it + 1) % checkpointEvery == 0) plan.localCheckpoint() else plan
+      val (next, s) = materialize(truncated)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist(blocking = false) // superseded round
       labels = next

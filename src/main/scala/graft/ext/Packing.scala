@@ -25,10 +25,12 @@ object Packing {
 
   /** Add an exclusive global running total of `valueCol` in ascending
     * `orderCol` order as `outCol` (row i gets the sum of all values of
-    * rows strictly before it). Two jobs over one persisted range-shuffled
+    * rows strictly before it). Two jobs over one checkpointed range-shuffled
     * pass; the per-partition window reuses the range partitioning, so no
     * further exchange. `parts = 0` uses the session's shuffle parallelism.
-    * The persisted intermediate is registered with [[Dedup.releaseCaches]].
+    * The intermediate is pinned with an eager localCheckpoint (not persist)
+    * so its sampled range boundaries can never be re-planned out from under
+    * the driver-collected prefix map.
     */
   def withGlobalOffset(
       df: DataFrame,
@@ -40,12 +42,19 @@ object Packing {
     val n =
       if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // persisted so the partial-sum job and the final pass see the SAME
-    // range partitioning (RangePartitioner samples; pin it once)
-    val ranged = Dedup.cached(
+    // localCheckpoint (eager) pins the range partitioning: RangePartitioner
+    // SAMPLES its boundaries per execution, so a mere persist() could be
+    // dropped (eviction, releaseCaches) and re-planned with DIFFERENT
+    // __pid ranges than the driver-collected prefix map — silently wrong
+    // offsets. A checkpoint truncates lineage: a lost block fails the job
+    // instead of recomputing, which keeps the "recomputed, never wrong"
+    // cache contract intact. Blocks are freed by the ContextCleaner when
+    // the frame is GC'd.
+    val ranged =
       df.repartitionByRange(n, col(orderCol))
         .sortWithinPartitions(orderCol)
-        .withColumn("__pid", spark_partition_id()))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
     val partSums: Map[Int, Long] = ranged
       .groupBy("__pid").agg(sum(valueCol).as("s"))
       .collect()
