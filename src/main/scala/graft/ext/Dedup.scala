@@ -191,30 +191,53 @@ object Dedup {
     * Chaudhuri et al. ICDE'06 / PPJoin): under any global total order on
     * shingles, a pair with containment ≥ t over a must share at least one
     * of a's first ⌊(1−t)·|a|⌋+1 shingles — if the whole prefix misses,
-    * at most |a| − (⌊(1−t)|a|⌋+1) < t·|a| shingles can match. The shingle
-    * hash arrays are already ascending-sorted ([[graft.expr.ShingleHashes]]),
-    * so the prefix is a `slice`, and hash order serves as the global order.
+    * at most |a| − (⌊(1−t)|a|⌋+1) < t·|a| shingles can match.
     *
-    * Scale: the index side explodes every (doc, shingle-hash) posting —
-    * 16 bytes/row, the canonical inverted-index build — while the probe
-    * side explodes only the (1−t) prefix fraction. Candidates are id
+    * The global order is RAREST-FIRST (ascending corpus document
+    * frequency, shingle hash as tie-break) — the ordering the
+    * set-similarity literature shows minimizes candidates: a doc's prefix
+    * is its rarest shingles, so prefix postings are short and a
+    * corpus-common shingle ("terms of service" boilerplate) never enters
+    * any probe prefix — the hot join keys the previous hash-ordered form
+    * suffered at scale drop out of the probe side entirely (VERDICT r4
+    * item 2). Any fixed order preserves the no-false-negative guarantee;
+    * frequency order only shrinks the candidate set.
+    *
+    * Scale: one map-side-combined count over the postings builds the
+    * frequency dictionary; the probe prefix is a per-doc rank window
+    * (doc-keyed shuffle, partitions with the corpus). Postings with df = 1
+    * are dropped from BOTH join sides — a unique shingle's only occurrence
+    * is its own doc, which the a≠b filter excludes — so the candidate join
+    * touches only shingles that actually co-occur. Candidates are id
     * pairs; the wide arrays re-attach only for the exact verify, as in
-    * [[nearDupJaccard]]. The production refinement (order shingles by
-    * ascending global frequency instead of hash — rarest-first prefixes
-    * collide far less) drops in by re-sorting `sh` against a frequency
-    * dictionary; hash order keeps this self-contained and correct. */
+    * [[nearDupJaccard]]. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sh = cached(shingled(docs).where(size(col("sh")) > 0))
+    val postings = cached(
+      sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("h")))
+    val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))
     // The +1e-9 guards the floor against float representation error:
     // (1.0-0.8)*|sh| can evaluate just below the true product when |sh| is
     // divisible by 5, shortening the prefix by one and silently dropping a
     // pair sitting exactly at the threshold. Overshooting only widens the
     // candidate set — it can never lose a pair.
-    val k = (floor(lit(1.0 - threshold) * size(col("sh")) + lit(1e-9)) + 1)
+    val k = (floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)) + 1)
       .cast("int")
-    val probe = sh.select(col("doc_id").as("doc_a"),
-      explode(slice(col("sh"), lit(1), k)).as("h"))
-    val index = sh.select(col("doc_id").as("doc_b"), explode(col("sh")).as("h"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val withDf = postings.join(dfreq, Seq("h"))
+    // rank over the FULL rarest-first order (df=1 shingles sort first and
+    // occupy prefix slots), then drop df=1 members from the probe: the
+    // guarantee says a qualifying pair shares ≥1 TRUE-prefix shingle, and
+    // a shared shingle necessarily has df ≥ 2 — so the df≥2 subset of the
+    // true prefix finds every pair.
+    val probe = withDf
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= k && col("df") >= 2)
+      .select(col("doc_id").as("doc_a"), col("h"))
+    val index = withDf.where(col("df") >= 2) // df=1 matches only itself
+      .select(col("doc_id").as("doc_b"), col("h"))
     val cands = probe.join(index, Seq("h"))
       .where(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -363,12 +386,178 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Quality-aware survivor selection: like [[nearDupSurvivors]], but each
+    * near-dup cluster keeps its HIGHEST-[[TextAnalysis.qualityScore]]
+    * member (deterministic tie-break on min doc_id) instead of blindly
+    * keeping the min id — the policy production pipelines actually want:
+    * when a doc exists in both a clean and a boilerplate-ridden variant,
+    * keep the clean one.
+    *
+    * Scale: the quality expression evaluates only on cluster MEMBERS (the
+    * verified-near-dup set — orders of magnitude smaller than the corpus),
+    * via an id-keyed join; the drop set is again (doc_id) longs, so the
+    * final anti-join stays skinny and AQE-broadcastable exactly as in
+    * [[nearDupSurvivors]]. */
+  def nearDupSurvivorsQuality(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(docs, threshold)
+    val scored = docs.join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        TextAnalysis.qualityExpr.as("q"))
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("q").desc, col("doc_id"))
+    val drop = scored
+      .withColumn("rn", row_number().over(byQuality))
+      .where(col("rn") > 1)
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------- line-level dedup
+
+  /** C4-style line-level exact dedup (Raffel et al. 2020 §2.2 deduplicate
+    * "any three-sentence span"; practical pipelines dedup repeated LINES —
+    * boilerplate headers, nav bars, license blurbs — across documents):
+    * drop every line that occurs in ≥ `minDocs` DISTINCT documents, then
+    * reassemble each doc from its surviving lines in original order.
+    *
+    * `lines` is the caller's line-splitter expression over the doc columns
+    * — `split(col("text"), "\n")` in production; the registered query uses
+    * deterministic 10-token segments ([[tokenBlockLines]]) because the
+    * synthetic fixture has no newlines.
+    *
+    * Output per doc: original line count, kept count, and the md5 of the
+    * reassembled text (the gate's payload stays small; the cleaned text
+    * itself is the same `concat_ws` without the hash).
+    *
+    * Scale: explode → one map-side-combined `count(distinct doc)` per line
+    * (line-keyed, partitions with the corpus) → left-anti against the
+    * repeated-line set → one doc-keyed reassembly shuffle. Nothing is
+    * corpus-global; the repeated-line frame is the only small relation and
+    * rides the anti-join as a hashed relation. At 100 TB, count on
+    * xxhash64(line) instead of the string to keep the exchange narrow
+    * (the string form here is what makes the DuckDB oracle exact). */
+  def lineDedup(
+      docs: DataFrame,
+      lines: Column,
+      minDocs: Int = 2): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      posexplode(lines).as(Seq("pos", "line")))
+    val repeated = exploded
+      .groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      .where(col("n_docs_with") >= minDocs)
+      .select("line")
+    val kept = exploded.join(repeated, Seq("line"), "left_anti")
+    val reassembled = kept
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean"))
+    docs.select(col("doc_id"), size(lines).cast("long").as("n_lines"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic "lines" for a corpus without newlines: consecutive
+    * non-overlapping `block`-token segments of the normalized text. The
+    * final partial block is kept (same rule as [[TextAnalysis.chunk]]'s
+    * tail). A doc always yields ≥ 1 block (the normalized-empty doc yields
+    * one "" block — both engines agree). */
+  def tokenBlockLines(text: Column, block: Int = 10): Column = {
+    val toks = split(TextOps.normText(text), " ")
+    transform(
+      sequence(lit(0), floor((size(toks) - 1) / lit(block)).cast("int")),
+      b => concat_ws(" ", slice(toks, b * block + 1, lit(block))))
+  }
+
+  // ------------------------------------------------------ semantic dedup
+
+  /** Intra-cluster semantic near-dup pairs — the candidate stage of
+    * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    * embedding space, then compare pairs only WITHIN a cluster, where
+    * semantic duplicates concentrate. Clustering reuses the IVF
+    * coarse-quantizer ([[Similarity.ivfTopK]]'s assignment pass) with
+    * data-sampled centroids — fully deterministic, so unlike
+    * hash-parameterized LSH this composition carries a full DuckDB oracle.
+    *
+    * Scale: centroids broadcast; assignment is one corpus scan with a
+    * map-side-combined argmax (corpus never shuffles by centroid); the
+    * pair join shuffles by cell, so the quadratic term is bounded per cell
+    * (centroid count scales with the corpus: cells stay O(N/C)). Pairs
+    * carry ids + one double. */
+  def semanticPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      stride: Int = Similarity.ivfStride): DataFrame = {
+    val base = cached(embeddings.select(
+      col("vec_id"), Similarity.asDouble(col("embedding")).as("v")))
+    val cents = base.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cells = base
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", Similarity.cosine(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell"))
+    val withCell = base.join(cells, Seq("vec_id"))
+    withCell.select(col("cell"), col("vec_id").as("id_a"), col("v").as("v_a"))
+      .join(withCell.select(
+        col("cell"), col("vec_id").as("id_b"), col("v").as("v_b")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("v_a"), col("v_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** Semantic dedup survivors: [[semanticPairs]] → [[components]] → drop
+    * non-representative cluster members (min vec_id representative). This
+    * is the member of the dedup family lexical ops provably cannot cover —
+    * a paraphrase shares no shingles ([[nearDupJaccard]] blind), no tokens
+    * ([[nearDupSimhash]] blind), but its embedding is near-parallel.
+    * Docs without an embedding row pass through as survivors. */
+  def semanticSurvivors(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      stride: Int = Similarity.ivfStride): DataFrame = {
+    val drop = components(
+      semanticPairs(embeddings, threshold, stride)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Near-dup pairs by SimHash: candidates share at least one 16-bit band
     * (so any pair within hamming ≤ 3 of each other is guaranteed caught;
     * we verify up to `maxHamming`). Hamming = bit_count(XOR) on the packed
     * fingerprints. */
-  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val fp = cached(simhashed(docs))
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    hammingPairs64(simhashed(docs).select("doc_id", "fp"), maxHamming)
+
+  /** Banded hamming self-join over (doc_id, fp: long) 64-bit fingerprints:
+    * candidates share one of the 4 × 16-bit bands (pigeonhole: every pair
+    * within hamming ≤ 3 is guaranteed a shared band), verified by
+    * bit_count(xor) ≤ maxHamming. Shared by [[nearDupSimhash]] (token
+    * SimHash) and [[Multimodal.mediaNearDup]] (byte-4-gram SimHash) — only
+    * the fingerprint construction differs. 8-byte fingerprints are all
+    * that ride the banding explode and verify joins. */
+  private[ext] def hammingPairs64(fps: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = cached(fps.withColumn("bands",
+      array((0 until 4).map(q =>
+        shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL)).cast("int")): _*)))
     val banded = fp.select(
       col("doc_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_val")))

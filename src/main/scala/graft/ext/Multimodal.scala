@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
@@ -146,4 +146,49 @@ object Multimodal {
         col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(everyK))).as("frame_idx"))
+
+  // ----------------------------------------------------- byte-level dedup
+
+  /** 64-bit SimHash over the payload's DISTINCT byte 4-grams — media
+    * near-dup that needs NO codec (unlike the stubbed decode stages, this
+    * operator is genuinely correct in any environment): a re-muxed or
+    * metadata-tweaked copy shares most of its byte windows, so its
+    * fingerprint lands within a few bits of the original's.
+    *
+    * Portability (what buys the full DuckDB oracle, as
+    * [[Dedup.portableTokenHash]] did for token SimHash): grams are taken
+    * over the HEX encoding of the payload — an 8-hex-char substring at
+    * every byte offset ≙ one byte 4-gram — because `hex` and `md5` are
+    * defined identically in every engine, while raw-byte slicing is not.
+    * Each gram string feeds the md5-derived 64-bit hash and the standard
+    * SimHash vote. A production variant would hash raw bytes directly
+    * (half the scan width); the vote/band/verify pipeline is identical.
+    *
+    * Distinct grams (the set, not the multiset) keep the per-row cost
+    * linear in CONTENT, not in repetition — a zero-padded payload doesn't
+    * vote its padding 10⁶ times — and make the fingerprint a pure
+    * set-signature both engines reproduce. */
+  def byteSimhash64(payload: Column): Column = {
+    val hx = hex(payload)
+    val nGrams = (length(hx) / 2 - 3).cast("int")
+    val grams = when(nGrams >= 1,
+      array_distinct(transform(sequence(lit(1), nGrams),
+        i => substr(hx, (i - 1) * 2 + 1, lit(8)))))
+      .otherwise(array().cast("array<string>"))
+    graft.expr.SimHash64(
+      transform(grams, g => graft.ext.Dedup.portableTokenHash(g)))
+  }
+
+  /** Media near-dup pairs: byte-4-gram SimHash fingerprints through the
+    * same 4×16-bit banding + hamming verify as the token-level
+    * [[Dedup.nearDupSimhash]] ([[Dedup.hammingPairs64]]). Payloads shorter
+    * than 4 bytes have no grams and never pair. Output: (doc_a, doc_b,
+    * hamming) keyed by media_id. */
+  def mediaNearDup(media: DataFrame, maxHamming: Int = 8): DataFrame =
+    Dedup.hammingPairs64(
+      media
+        .where(length(col("payload")) >= 4)
+        .select(col("media_id").as("doc_id"),
+          byteSimhash64(col("payload")).as("fp")),
+      maxHamming)
 }

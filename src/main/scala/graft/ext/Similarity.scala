@@ -209,6 +209,11 @@ object Similarity {
       .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"))
       .distinct()
+      // candidate economics measured on EVERY run, not asserted in docs
+      // (VERDICT r4 item 9): n_candidates is the count the exact re-score
+      // pays for, readable via QueryExecutionListener / Observation —
+      // SimilaritySpec pairs it with the measured recall floor.
+      .observe("lsh_near_pairs", count(lit(1)).as("n_candidates"))
     cands
       .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(base.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))

@@ -187,6 +187,154 @@ WHERE NOT EXISTS (SELECT 1 FROM c
                   WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id)
 ORDER BY d.doc_id""")),
 
+    // Quality-aware survivor policy: each near-dup cluster keeps its
+    // highest-quality member (composite quality score, min-id tie-break)
+    // instead of blindly keeping the min id.
+    ("dedup_near_survivors_quality",
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupSurvivorsQuality(docs(s, d), threshold = 0.8),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
+      UNION
+      SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+c AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+q AS (SELECT doc_id,
+        least(len($toksSql), 256)::DOUBLE / 256 * 0.4
+          + len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE
+            / greatest(length(text), 1) * 0.4
+          + least(len(list_filter($toksSql, t -> list_contains($enLex, t)))::DOUBLE
+            / greatest(len($toksSql), 1) * 5, 1.0) * 0.2 AS quality
+      FROM documents),
+m AS (SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM c JOIN q USING (doc_id))
+SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.doc_id = d.doc_id AND m.rn > 1)
+ORDER BY d.doc_id""")),
+
+    // C4-style line-level exact dedup: drop every "line" occurring in ≥ 2
+    // distinct docs, reassemble the rest in order. The fixture has no
+    // newlines, so the registered line unit is deterministic 10-token
+    // blocks (Dedup.tokenBlockLines); production passes split(text,'\n').
+    ("dedup_lines",
+      (s: SparkSession, d: String) =>
+        Dedup.lineDedup(docs(s, d),
+          Dedup.tokenBlockLines(org.apache.spark.sql.functions.col("text")),
+          minDocs = 2),
+      Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+l AS (SELECT doc_id,
+        list_transform(range(0, (len(toks)-1)//10 + 1),
+          b -> array_to_string(list_slice(toks, b*10+1, b*10+10), ' ')) AS lines
+      FROM t),
+ex AS (SELECT doc_id, unnest(lines) AS line,
+              unnest(range(len(lines))) AS pos FROM l),
+rep AS (SELECT line FROM ex GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM ex WHERE line NOT IN (SELECT line FROM rep)),
+re AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(line, chr(10) ORDER BY pos) AS clean
+       FROM kept GROUP BY doc_id)
+SELECT l.doc_id, len(l.lines)::BIGINT AS n_lines,
+       (coalesce(re.n_kept, 0))::BIGINT AS n_kept,
+       md5(coalesce(re.clean, '')) AS clean_md5
+FROM l LEFT JOIN re USING (doc_id) ORDER BY doc_id""")),
+
+    // SemDeDup candidate stage: IVF-cell clustering (deterministic
+    // data-sampled centroids) + intra-cell exact cosine — fully
+    // oracle-able, unlike hash-parameterized LSH.
+    ("semantic_pairs",
+      (s: SparkSession, d: String) =>
+        Dedup.semanticPairs(embs(s, d), threshold = 0.4)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) AS sim
+      FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+SELECT id_a, id_b, round(sim, 6) AS sim_r FROM p WHERE sim >= 0.4
+ORDER BY id_a, id_b""")),
+
+    // Semantic dedup survivors (SemDeDup): intra-cell cosine pairs →
+    // connected components → drop non-representatives. The member of the
+    // dedup family that catches paraphrases lexical ops provably miss.
+    ("semantic_dedup",
+      (s: SparkSession, d: String) =>
+        Dedup.semanticSurvivors(docs(s, d), embs(s, d), threshold = 0.4),
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) >= 0.4),
+ed AS (SELECT id_a AS u, id_b AS v FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM ed) nn
+      UNION
+      SELECT r.u, ed.v FROM r JOIN ed ON r.v = ed.u),
+cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u)
+SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM cl
+                  WHERE cl.doc_id = d.doc_id AND cl.cluster_id <> cl.doc_id)
+ORDER BY d.doc_id""")),
+
+    // Byte-level media near-dup: SimHash over distinct payload byte
+    // 4-grams (via the portable hex/md5 hash — no codec needed, so this
+    // one media operator is fully correct in this sandbox, not stubbed).
+    ("media_near_dup",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal.mediaNearDup(
+          graft.ext.Multimodal.mediaFromDocuments(docs(s, d)), maxHamming = 8)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH m AS (SELECT doc_id AS media_id, hex(text::BLOB) AS hx FROM documents),
+g AS (SELECT media_id,
+             unnest(list_distinct(list_transform(range(1, len(hx)//2 - 3 + 1),
+               i -> substring(hx, (i-1)*2+1, 8)))) AS gram
+      FROM m WHERE len(hx)//2 >= 4),
+h AS (SELECT media_id,
+             CAST('0x' || substring(md5(gram), 1, 8) AS UBIGINT) * 4294967296
+             + CAST('0x' || substring(md5(gram), 9, 8) AS UBIGINT) AS th
+      FROM g),
+v AS (SELECT media_id, b,
+             sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+      GROUP BY media_id, b),
+fp AS (SELECT media_id,
+              bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << b
+                          ELSE CAST(0 AS UBIGINT) END) AS fp
+       FROM v GROUP BY media_id),
+bands AS (SELECT media_id, q, (fp >> (16 * q)) & 65535 AS band_val
+          FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS q) qs),
+cand AS (SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.q = b.q AND a.band_val = b.band_val AND a.media_id < b.media_id)
+SELECT c.doc_a, c.doc_b, bit_count(xor(fa.fp, fb.fp))::INT AS hamming
+FROM cand c
+JOIN fp fa ON fa.media_id = c.doc_a
+JOIN fp fb ON fb.media_id = c.doc_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= 8
+ORDER BY doc_a, doc_b""")),
+
     // ----------------------------------------------------- text analysis
     ("text_stats",
       (s: SparkSession, d: String) => TextAnalysis.corpusStats(docs(s, d)),
@@ -516,6 +664,26 @@ ORDER BY f.doc_id""")),
       (s: SparkSession, d: String) =>
         TextAnalysis.contaminationBloom(docs(s, d)),
       None),
+
+    // The composed Bloom-prefilter + exact-verify pipeline: the Bloom
+    // stage only prunes (no false negatives), so the composed output
+    // EQUALS the exact contamination gate — deterministic and fully
+    // oracled even though the intermediate sketch is engine-specific.
+    // Registered on the NEAR fingerprint (min-shingle md5): the exact key
+    // has zero probe hits in this fixture, and a 0-row green proves
+    // nothing — the near gate's 8 hits exercise both stages.
+    ("contamination_bloom_verified",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.contaminationBloomVerified(docs(s, d), near = true),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+f AS (SELECT doc_id,
+             list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fp
+      FROM s),
+p AS (SELECT doc_id AS probe_id, fp FROM f WHERE doc_id % 50 = 0)
+SELECT DISTINCT f.doc_id, f.fp FROM f
+JOIN p ON f.fp = p.fp AND f.doc_id <> p.probe_id
+ORDER BY f.doc_id""")),
 
     // Near-dup contamination: min-shingle fingerprint collisions catch
     // paraphrase-level benchmark leakage the exact key misses.

@@ -147,6 +147,109 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearDupSurvivorsQuality keeps the highest-quality member, not the min id") {
+    // docs 1 and 4 normalize to the same shingles (case + trailing "!!!"),
+    // but doc 1 carries the punctuation garbage — lower alpha ratio, lower
+    // quality — so the quality policy keeps doc 4 where the min-id policy
+    // keeps doc 1
+    val qdocs = Seq(
+      (1L, base.toUpperCase + " !!! ??? ###", "en", "s1", base.length.toLong + 12),
+      (4L, base, "en", "s3", base.length.toLong),
+      (3L, "completely different words about cats dogs birds fish mice horses cows sheep goats llamas", "en", "s2", 90L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val minId = Dedup.nearDupSurvivors(qdocs, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(minId === Set(1L, 3L), "min-id policy keeps doc 1")
+    val byQuality = Dedup.nearDupSurvivorsQuality(qdocs, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(byQuality === Set(4L, 3L), "quality policy keeps the clean doc 4")
+  }
+
+  test("lineDedup drops planted cross-doc boilerplate lines and " +
+      "reassembles the rest in order") {
+    val boiler = "subscribe to our newsletter today"
+    val ldocs = Seq(
+      (1L, s"unique first line\n$boiler\nunique closing thought", "en", "s1", 10L),
+      (2L, s"$boiler\nanother original sentence here", "en", "s1", 10L),
+      (3L, "entirely original document with no repeats", "en", "s2", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    import org.apache.spark.sql.functions.{col, split}
+    val got = Dedup.lineDedup(ldocs, split(col("text"), "\n"), minDocs = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_md5"))))
+      .toMap
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(1L) === ((3L, 2L, md5Of("unique first line\nunique closing thought"))))
+    assert(got(2L) === ((2L, 1L, md5Of("another original sentence here"))))
+    assert(got(3L) === ((1L, 1L, md5Of("entirely original document with no repeats"))))
+  }
+
+  test("lineDedup: a doc whose every line is boilerplate reassembles to empty") {
+    val boiler = "all rights reserved"
+    val ldocs = Seq(
+      (1L, boiler, "en", "s1", 19L),
+      (2L, boiler, "en", "s1", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    import org.apache.spark.sql.functions.{col, split}
+    val got = Dedup.lineDedup(ldocs, split(col("text"), "\n"), minDocs = 2)
+      .collect().map(r => (r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5")))
+    assert(got.length === 2)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    assert(got.forall(_ == ((0L, emptyMd5))))
+  }
+
+  test("semanticSurvivors drops a planted paraphrase that lexical dedup " +
+      "provably misses") {
+    // docs 0 and 1: ZERO shared tokens (no shingle overlap, disjoint token
+    // hashes) but near-parallel embeddings — the SemDeDup case. doc 2 is
+    // orthogonal. vec 0 is the only centroid (stride default 20), so all
+    // three land in its cell and the intra-cell verify sees every pair.
+    val pdocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s1", 63L),
+      (1L, "a speedy russet canine leaps across an idle hound beside a stream shore", "en", "s1", 72L),
+      (2L, "completely unrelated treatise on thermodynamics and entropy gradients", "en", "s2", 69L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dim = 8
+    def vec(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat)
+    val embs = Seq(
+      (0L, vec(1, 0.01, 0, 0, 0, 0, 0, 0)),
+      (1L, vec(0.99, 0.02, 0.01, 0, 0, 0, 0, 0)), // cosine(v0,v1) ≈ 1
+      (2L, vec(0, 0, 0, 1, 0, 0, 0, 0)))          // orthogonal
+      .toDF("vec_id", "embedding")
+    assert(embs.head().getAs[Seq[Float]]("embedding").length === dim)
+    // lexical near-dup: nothing — the paraphrase shares no 3-gram shingle
+    assert(Dedup.nearDupJaccard(pdocs, threshold = 0.1).count() === 0L)
+    // semantic pairs: exactly the paraphrase pair
+    val pairs = Dedup.semanticPairs(embs, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((0L, 1L)))
+    // survivors: representative 0 kept, paraphrase 1 dropped, 2 untouched
+    val kept = Dedup.semanticSurvivors(pdocs, embs, threshold = 0.9)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(0L, 2L))
+  }
+
+  test("containmentPairs: threshold-exact pair with shingle count divisible " +
+      "by 5 survives the prefix floor guard") {
+    // |sh(a)| = 10 distinct shingles, exactly 8 shared with b ⇒ containment
+    // = 0.8 precisely at the default threshold; the unguarded float floor
+    // would shorten the prefix and could drop it
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 x1 x2"   // 12 tokens → 10 shingles
+    val b = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 y1 y2"   // shares the first 8 shingles
+    val cdocs = Seq(
+      (1L, a, "en", "s1", a.length.toLong),
+      (2L, b, "en", "s1", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.containmentPairs(cdocs, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment"))).toSet
+    assert(got === Set((1L, 2L, 0.8), (2L, 1L, 0.8)))
+  }
+
   test("approx distinct within 5% of exact on the fixture corpus") {
     val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = TextAnalysis.distinctExact(fx).collect().head.getAs[Long]("distinct_norm_texts")

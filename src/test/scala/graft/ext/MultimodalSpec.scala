@@ -66,6 +66,32 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.where(pmod(col("frame_idx"), lit(4)) =!= 0).count() === 0)
   }
 
+  test("mediaNearDup: byte-identical payloads collide at hamming 0; " +
+      "near-identical land close; unrelated never pair") {
+    import spark.implicits._
+    val body = ("spark window batch filter merge join scan table value " * 8).trim
+    val m = Seq(
+      (1L, "image", body.getBytes("UTF-8"), "s1", body.length.toLong),
+      // same bytes re-"muxed" with a small metadata-style prefix tweak
+      (2L, "image", ("XHDR" + body).getBytes("UTF-8"), "s1", body.length + 4L),
+      (3L, "image", body.getBytes("UTF-8"), "s2", body.length.toLong),
+      (4L, "audio", "totally different byte content with nothing shared at all here"
+        .getBytes("UTF-8"), "s3", 63L),
+      (5L, "image", "abc".getBytes("UTF-8"), "s4", 3L)) // < 4 bytes: no grams
+      .toDF("media_id", "kind", "payload", "source", "declared_bytes")
+    val pairs = Multimodal.mediaNearDup(m, maxHamming = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 3L)) === 0, "byte-identical payloads: hamming 0")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 8,
+      "prefix-tweaked copy lands within the hamming budget")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated bytes never pair")
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L),
+      "sub-4-byte payload has no grams and never pairs")
+  }
+
   test("null payload (missing/undecodable media) flows through without crashing") {
     import spark.implicits._
     val media = Seq(

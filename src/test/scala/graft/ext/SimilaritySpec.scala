@@ -30,18 +30,29 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs === Set((0L, 1L)))
   }
 
-  test("lshNearPairs: perfect precision, decent recall vs exact near-pairs") {
+  test("lshNearPairs: perfect precision, recall ≥ 0.9, and measured " +
+      "candidate economics via the observed metric") {
     val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.nearPairs(fx, threshold = 0.45)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    val lsh = Similarity.lshNearPairs(fx, threshold = 0.45)
+    val lshDf = Similarity.lshNearPairs(fx, threshold = 0.45)
+    val lsh = lshDf
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(lsh.subsetOf(exact), "every LSH pair must be exact-verified (precision 1.0)")
-    if (exact.nonEmpty) {
-      val recall = lsh.count(exact.contains).toDouble / exact.size
-      info(s"lshNearPairs recall = $recall over ${exact.size} true pairs")
-      assert(recall >= 0.5, s"recall $recall below floor")
-    }
+    assert(exact.nonEmpty, "fixture must contain true near pairs")
+    val recall = lsh.count(exact.contains).toDouble / exact.size
+    info(s"lshNearPairs recall = $recall over ${exact.size} true pairs")
+    assert(recall >= 0.9, s"recall $recall below floor")
+    // candidate economics are MEASURED on every run (VERDICT r4 item 9):
+    // the observe() node reports how many candidate pairs the exact
+    // re-score paid for, readable off the executed plan
+    val metrics = lshDf.queryExecution.observedMetrics
+    assert(metrics.contains("lsh_near_pairs"),
+      s"expected the lsh_near_pairs observed metric, got ${metrics.keys}")
+    val nCands = metrics("lsh_near_pairs").getAs[Long]("n_candidates")
+    info(s"lshNearPairs candidates = $nCands for ${lsh.size} verified pairs")
+    assert(nCands >= lsh.size,
+      "every verified pair must have been a candidate")
   }
 
   test("IVF ANN is deterministic and recalls against brute force") {
