@@ -212,7 +212,10 @@ object Dedup {
     * pairs; the wide arrays re-attach only for the exact verify, as in
     * [[nearDupJaccard]]. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = cached(shingled(docs).where(size(col("sh")) > 0))
+    // scanParallel: the fused shingle pass + posting explode otherwise run
+    // on a single-file scan's one partition
+    val sh = cached(
+      shingled(TextOps.scanParallel(docs)).where(size(col("sh")) > 0))
     val postings = cached(
       sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("h")))
@@ -226,6 +229,10 @@ object Dedup {
       .cast("int")
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // NOT cached: both probe and index read this join, but the shuffles
+    // feeding it are reused via ReuseExchange, and a cache materialization
+    // here measures SLOWER (5.2 s vs 2.6 s at sf0.1) than recomputing the
+    // cheap hash-join from the cached postings
     val withDf = postings.join(dfreq, Seq("h"))
     // rank over the FULL rarest-first order (df=1 shingles sort first and
     // occupy prefix slots), then drop df=1 members from the probe: the
@@ -235,11 +242,18 @@ object Dedup {
     val probe = withDf
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= k && col("df") >= 2)
-      .select(col("doc_id").as("doc_a"), col("h"))
+      .select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
     val index = withDf.where(col("df") >= 2) // df=1 matches only itself
-      .select(col("doc_id").as("doc_b"), col("h"))
+      .select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
+    // LENGTH FILTER (PPJoin family): |∩| ≥ t·|a| and |∩| ≤ |b| force
+    // |b| ≥ t·|a| — applied inside the join so undersized partners never
+    // reach the distinct or the verify. The -1e-9 guards the same float
+    // representation edge as the prefix floor (0.8·n can evaluate just
+    // above the true product and reject an exactly-at-threshold pair);
+    // admitting a borderline partner only costs a verify row.
     val cands = probe.join(index, Seq("h"))
-      .where(col("doc_a") =!= col("doc_b"))
+      .where(col("doc_a") =!= col("doc_b") &&
+        col("n_b").cast("double") >= lit(threshold) * col("n_a") - lit(1e-9))
       .select("doc_a", "doc_b").distinct()
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -308,9 +322,18 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 25,
       checkpointEvery: Int = defaultCheckpointEvery): DataFrame = {
-    val edges = cached(
+    // EAGER localCheckpoint, not persist: every round's logical plan
+    // references the edge list, and a persisted frame keeps its full
+    // upstream LOGICAL plan — so each round would re-analyze the whole
+    // pair-generation pipeline (LSH banding / semantic assignment), and
+    // the analyzed tree triples per round. Truncating lineage at the loop
+    // entrance makes every round's plan leaf a checkpointed RDD scan:
+    // measured 15.1 s → 3.3 s for semantic_dedup's 158-edge graph at
+    // sf0.1. The materialization itself is the pair set — two longs/row.
+    val edges =
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .localCheckpoint()
     // one job per round: persist, then let the convergence aggregate
     // materialize the cache. The fixpoint test sums labels as
     // decimal(38,0): labels are monotone non-increasing, so an unchanged
@@ -443,7 +466,7 @@ object Dedup {
       docs: DataFrame,
       lines: Column,
       minDocs: Int = 2): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
+    val exploded = TextOps.scanParallel(docs).select(col("doc_id"),
       posexplode(lines).as(Seq("pos", "line")))
     val repeated = exploded
       .groupBy("line")
@@ -469,16 +492,20 @@ object Dedup {
   }
 
   /** Deterministic "lines" for a corpus without newlines: consecutive
-    * non-overlapping `block`-token segments of the normalized text. The
-    * final partial block is kept (same rule as [[TextAnalysis.chunk]]'s
-    * tail). A doc always yields ≥ 1 block (the normalized-empty doc yields
-    * one "" block — both engines agree). */
-  def tokenBlockLines(text: Column, block: Int = 10): Column = {
-    val toks = split(TextOps.normText(text), " ")
+    * non-overlapping `block`-token segments of a token array. The final
+    * partial block is kept (same rule as [[TextAnalysis.chunk]]'s tail).
+    * A doc always yields ≥ 1 block (the normalized-empty doc yields one
+    * "" block — both engines agree).
+    *
+    * `toks` must be a MATERIALIZED token-array column (an attribute, not
+    * an inline `split(...)`): higher-order functions run interpreted, so
+    * an inlined split would re-tokenize the doc for every block — the
+    * O(tokens²) trap [[TextAnalysis.bigramTopK]] documents. Callers
+    * project the array in its own select first. */
+  def tokenBlockLines(toks: Column, block: Int = 10): Column =
     transform(
       sequence(lit(0), floor((size(toks) - 1) / lit(block)).cast("int")),
       b => concat_ws(" ", slice(toks, b * block + 1, lit(block))))
-  }
 
   // ------------------------------------------------------ semantic dedup
 
@@ -503,12 +530,15 @@ object Dedup {
       col("vec_id"), Similarity.asDouble(col("embedding")).as("v")))
     val cents = base.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val cells = base
+    // cached: the corpus × centroids argmax is the expensive pass, and the
+    // pair self-join references the assignment from BOTH sides — without
+    // the cache the whole subtree computes twice. Two longs per row.
+    val cells = cached(base
       .crossJoin(broadcast(cents))
       .withColumn("csim", Similarity.cosine(col("v"), col("cv")))
       .groupBy("vec_id")
       .agg(max_by(col("cent_id"),
-        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell"))
+        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell")))
     val withCell = base.join(cells, Seq("vec_id"))
     withCell.select(col("cell"), col("vec_id").as("id_a"), col("v").as("v_a"))
       .join(withCell.select(

@@ -168,15 +168,25 @@ object Multimodal {
     * linear in CONTENT, not in repetition — a zero-padded payload doesn't
     * vote its padding 10⁶ times — and make the fingerprint a pure
     * set-signature both engines reproduce. */
-  def byteSimhash64(payload: Column): Column = {
-    val hx = hex(payload)
+  /** `hx` must be a MATERIALIZED `hex(payload)` column (an attribute, not
+    * the inline expression): the gram lambda reads it per element, and
+    * higher-order functions run interpreted — an inline hex would re-hex
+    * the whole payload for every gram window (the O(n²) trap
+    * [[graft.ext.TextAnalysis.bigramTopK]] documents). */
+  def byteSimhash64(hx: Column): Column = {
     val nGrams = (length(hx) / 2 - 3).cast("int")
     val grams = when(nGrams >= 1,
       array_distinct(transform(sequence(lit(1), nGrams),
         i => substr(hx, (i - 1) * 2 + 1, lit(8)))))
       .otherwise(array().cast("array<string>"))
+    // md5 materialized in its OWN transform pass: higher-order functions
+    // run interpreted (no codegen CSE), so inlining portableTokenHash —
+    // which reads the digest twice — would compute every md5 twice
+    // (the same trap [[Dedup.simhash64]] documents for token hashing)
     graft.expr.SimHash64(
-      transform(grams, g => graft.ext.Dedup.portableTokenHash(g)))
+      transform(transform(grams, g => md5(g)),
+        m => shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))))
   }
 
   /** Media near-dup pairs: byte-4-gram SimHash fingerprints through the
@@ -186,9 +196,13 @@ object Multimodal {
     * hamming) keyed by media_id. */
   def mediaNearDup(media: DataFrame, maxHamming: Int = 8): DataFrame =
     Dedup.hammingPairs64(
-      media
-        .where(length(col("payload")) >= 4)
-        .select(col("media_id").as("doc_id"),
-          byteSimhash64(col("payload")).as("fp")),
+      // scanParallel: the gram lambda runs interpreted, so a single-file
+      // scan would serialize ~|payload| substr calls per row on one core
+      TextOps.scanParallel(media.where(length(col("payload")) >= 4))
+        // hex materialized behind its own projection boundary — see
+        // byteSimhash64 (the alias is read 3+ times, so CollapseProject
+        // keeps the boundary)
+        .select(col("media_id").as("doc_id"), hex(col("payload")).as("__hx"))
+        .select(col("doc_id"), byteSimhash64(col("__hx")).as("fp")),
       maxHamming)
 }

@@ -180,15 +180,6 @@ object TextAnalysis {
     *  - the hash counts are persisted: the cutoff and the candidate filter
     *    both read them, and the frame is one (hash, count) row per
     *    distinct bigram. Released via [[Dedup.releaseCaches]]. */
-  /** Repartition a sub-parallel scan (one small file ⇒ one partition) up
-    * to the session's shuffle parallelism so explode-heavy expression work
-    * uses every core; inputs that already have ≥ that many partitions —
-    * any real corpus — are returned untouched. */
-  private def scanParallel(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   def bigramTopK(docs: DataFrame, k: Int = 100): DataFrame = {
     val src = scanParallel(docs)
     val withToks = src
@@ -415,6 +406,71 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Stratified deterministic weighted sample: [[weightedSample]]'s A-ES
+    * scheme applied PER SOURCE — top `kPerStratum` docs by ln(u)/w within
+    * each stratum, so every source is represented regardless of its size
+    * (the balanced-evaluation / per-domain-inspection sample a corpus
+    * pipeline pulls, where a global top-k would be dominated by the
+    * largest source).
+    *
+    * Scale: one scan computing (key, weight) + one rank window keyed by
+    * source — partitions with the corpus; skew in source sizes is the
+    * window's partition skew, handled by AQE the same way the salted
+    * top-k variants handle hot users. */
+  def stratifiedSample(docs: DataFrame, kPerStratum: Int = 5): DataFrame = {
+    val u = conv(substring(md5(normText(col("text"))), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        greatest(qualityExpr, lit(0.001)).as("wt"), u.as("u"))
+      .withColumn("es_key", log(col("u")) / col("wt"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= kPerStratum)
+      .select(col("source"), col("rk").cast("int").as("rk"), col("doc_id"),
+        round(col("wt"), 6).as("w_r"), round(col("es_key"), 6).as("es_key_r"))
+      .orderBy("source", "rk")
+  }
+
+  /** Length-bucketed batch assembly — the padding-minimization step of a
+    * training data loader: docs bucket by token count (`bucketWidth`-token
+    * linear buckets), order deterministically within a bucket, and cut
+    * into fixed-`batchSize` batches. Because batch members have similar
+    * lengths, pad-to-max waste per batch is bounded by the bucket width.
+    * Output: one row per batch with its doc span, token stats, and the
+    * exact padding waste (n_docs·max_tok − sum_tok).
+    *
+    * Scale: one scan → one rank window keyed by bucket → one (bucket,
+    * batch) aggregate, all integer arithmetic (exact in any engine).
+    * Bucket count is |corpus|/width-bounded, and the window partitions
+    * with the corpus. */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      bucketWidth: Int = 64,
+      batchSize: Int = 8): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("n_tok"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        size(wsTokens(lower(col("text")))).cast("long").as("n_tok"))
+      .withColumn("bucket", (col("n_tok") / bucketWidth).cast("long"))
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy("bucket", "batch_idx")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        sum("n_tok").as("sum_tok"),
+        max("n_tok").as("max_tok"))
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_tok") - col("sum_tok"))
+      .orderBy("bucket", "batch_idx")
+  }
+
   /** Deterministic train/val assignment by content hash: the first two
     * md5 hex chars partition the corpus into 256 stable buckets; buckets
     * below the threshold go to train (hex-string comparison — identical
@@ -483,6 +539,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"),
         round(col("score"), 6).as("tfidf"), col("rk").cast("int").as("rk"))
       .orderBy("doc_id", "rk")
+  }
+
+  /** N-gram span decontamination — the GPT-3/PaLM evaluation-leakage
+    * method (Brown et al. 2020 appendix C; Chowdhery et al. 2022 use
+    * n≈13): a corpus doc is contaminated if it shares ANY n-token gram
+    * with any probe (benchmark) doc. Catches partial/quoted leakage that
+    * whole-document fingerprints ([[contamination]], even `near = true`'s
+    * min-shingle) miss, because a single embedded benchmark answer
+    * contaminates a doc whose remaining text is clean.
+    *
+    * Output: (doc_id, n_shared) — distinct shared grams with any
+    * non-self probe; deterministic and fully oracle-able.
+    *
+    * Scale: the probe side is the benchmark set — tiny by definition — so
+    * its exploded gram table broadcasts; the corpus side explodes its
+    * grams once and semi-joins at scan speed, the same shape as
+    * [[contamination]]. Grams join as md5 digests (16 bytes, portable);
+    * the n-gram strings never ride an exchange. */
+  def contaminationNgram(
+      docs: DataFrame,
+      n: Int = 13,
+      probeModulus: Int = 50): DataFrame = {
+    // token array materialized behind its own projection boundary: the
+    // shingle lambda slices it per window, and an inline split would
+    // re-tokenize the doc for every window (see bigramTopK). xxhash64
+    // digests (8 bytes) ride the join — grams group identically to their
+    // strings modulo 2⁻⁶⁴ collisions, and the DuckDB oracle counts md5
+    // digests of the same gram set, so both count |distinct grams|.
+    def gramFrame(df: DataFrame, idCol: String) = scanParallel(df)
+      .select(col(idCol), wsTokens(lower(col("text"))).as("__toks"))
+      .select(col(idCol), explode(shingles(col("__toks"), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+    val corpusGrams = gramFrame(docs, "doc_id")
+    val probeGrams = gramFrame(
+      docs.where(pmod(col("doc_id"), lit(probeModulus)) === 0)
+        .withColumnRenamed("doc_id", "probe_id"), "probe_id")
+    corpusGrams
+      .join(broadcast(probeGrams), Seq("gh"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_shared"))
+      .orderBy("doc_id")
   }
 
   /** Sketch-based contamination prefilter: a Bloom filter built over the

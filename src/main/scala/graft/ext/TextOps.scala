@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared text-expression building blocks for the training-data-pipeline
@@ -48,6 +48,17 @@ object TextOps {
     * (DuckDB twin: `len(list_filter(toks, t -> list_contains(lex, t)))`.) */
   def lexiconHits(tokens: Column, lexicon: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(lexicon)))
+
+  /** Repartition a sub-parallel scan (one small file ⇒ one partition) up
+    * to the session's shuffle parallelism so explode-/lambda-heavy
+    * expression work uses every core; inputs that already have ≥ that
+    * many partitions — any real corpus — are returned untouched.
+    * (Interpreted higher-order-function work on a single-file scan
+    * otherwise serializes on one core regardless of cluster size.) */
+  private[ext] def scanParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Small public stopword lexica for the lang-id heuristic (top function
     * words per language — common knowledge lists, not derived from any

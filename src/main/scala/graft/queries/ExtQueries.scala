@@ -225,10 +225,15 @@ ORDER BY d.doc_id""")),
     // newlines, so the registered line unit is deterministic 10-token
     // blocks (Dedup.tokenBlockLines); production passes split(text,'\n').
     ("dedup_lines",
-      (s: SparkSession, d: String) =>
-        Dedup.lineDedup(docs(s, d),
-          Dedup.tokenBlockLines(org.apache.spark.sql.functions.col("text")),
-          minDocs = 2),
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        // token array materialized behind its own projection boundary —
+        // see Dedup.tokenBlockLines on interpreted higher-order functions
+        val withToks = docs(s, d).select(col("doc_id"),
+          split(graft.ext.TextOps.normText(col("text")), " ").as("__toks"))
+        Dedup.lineDedup(withToks,
+          Dedup.tokenBlockLines(col("__toks")), minDocs = 2)
+      },
       Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
 l AS (SELECT doc_id,
         list_transform(range(0, (len(toks)-1)//10 + 1),
@@ -615,6 +620,47 @@ w AS (SELECT doc_id,
 SELECT doc_id, round(w, 6) AS w_r, round(ln(u) / w, 6) AS es_key_r
 FROM w ORDER BY es_key_r DESC, doc_id LIMIT 25""")),
 
+    // Per-source stratified A-ES sample: top-5 by ln(u)/quality within
+    // each source — balanced representation a global top-k can't give.
+    ("stratified_sample",
+      (s: SparkSession, d: String) => TextAnalysis.stratifiedSample(docs(s, d)),
+      Some(s"""WITH q AS (SELECT doc_id, source, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+w AS (SELECT doc_id, source,
+        greatest(least(len(toks), 256)::DOUBLE / 256 * 0.4
+          + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+          + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2,
+          0.001) AS wt,
+        CAST('0x' || substring(md5($normSql), 1, 13) AS UBIGINT)::DOUBLE
+          / 4503599627370496 AS u
+  FROM q),
+k AS (SELECT source, doc_id, wt, ln(u) / wt AS es_key,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ln(u) / wt DESC, doc_id) AS rk
+      FROM w)
+SELECT source, rk::INT AS rk, doc_id, round(wt, 6) AS w_r,
+       round(es_key, 6) AS es_key_r
+FROM k WHERE rk <= 5 ORDER BY source, rk""")),
+
+    // Length-bucketed batch assembly (padding minimization): 64-token
+    // buckets, deterministic in-bucket order, 8-doc batches, exact
+    // pad-to-max waste per batch.
+    ("length_bucket_batches",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.lengthBucketBatches(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tok FROM documents),
+b AS (SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+             (row_number() OVER (PARTITION BY n_tok // 64
+                ORDER BY n_tok, doc_id) - 1) // 8 AS batch_idx
+      FROM t)
+SELECT bucket, batch_idx, count(*) AS n_docs,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       (sum(n_tok))::BIGINT AS sum_tok, max(n_tok) AS max_tok,
+       (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS pad_waste
+FROM b GROUP BY bucket, batch_idx ORDER BY bucket, batch_idx""")),
+
     ("train_val_split",
       (s: SparkSession, d: String) => TextAnalysis.trainValSplit(docs(s, d)),
       Some(s"""SELECT doc_id, substring(md5($normSql), 1, 2) AS bucket_hex,
@@ -684,6 +730,25 @@ p AS (SELECT doc_id AS probe_id, fp FROM f WHERE doc_id % 50 = 0)
 SELECT DISTINCT f.doc_id, f.fp FROM f
 JOIN p ON f.fp = p.fp AND f.doc_id <> p.probe_id
 ORDER BY f.doc_id""")),
+
+    // N-gram span decontamination (GPT-3/PaLM method, n = 13): a doc is
+    // contaminated if it shares ANY 13-token gram with a probe doc —
+    // catches partial/quoted leakage whole-doc fingerprints miss.
+    ("contamination_ngram",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.contaminationNgram(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+g AS (SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 13
+               THEN list_distinct(list_transform(range(1, len(toks)-11),
+                      i -> array_to_string(list_slice(toks, i, i+12), ' ')))
+               ELSE [] END) AS gram
+      FROM t),
+h AS (SELECT doc_id, md5(gram) AS gh FROM g),
+p AS (SELECT doc_id AS probe_id, gh FROM h WHERE doc_id % 50 = 0)
+SELECT h.doc_id, count(DISTINCT h.gh) AS n_shared
+FROM h JOIN p ON h.gh = p.gh AND h.doc_id <> p.probe_id
+GROUP BY h.doc_id ORDER BY h.doc_id""")),
 
     // Near-dup contamination: min-shingle fingerprint collisions catch
     // paraphrase-level benchmark leakage the exact key misses.

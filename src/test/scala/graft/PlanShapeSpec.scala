@@ -82,4 +82,49 @@ class PlanShapeSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 4 ||
       "ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(400))
   }
+
+  test("semantic_pairs: centroids broadcast; cell join is an equi-join") {
+    val p = plan("semantic_pairs")
+    // the centroid attach is the ONLY nested-loop: a broadcast of C
+    // centroid rows against the corpus scan (the argmax assignment pass).
+    // The pair join itself must be a hash equi-join on the cell key.
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // distinct operator ids, not raw string hits — the cached assignment
+    // subtree is re-DISPLAYED under each InMemoryTableScan but executes once
+    val bnlIds = """\((\d+)\) BroadcastNestedLoopJoin""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(bnlIds.size <= 1,
+      s"only the single broadcast centroid attach may nest ($bnlIds)")
+    assert(p.contains("InMemoryRelation"),
+      "cell assignment must be cached — both self-join sides read it")
+  }
+
+  test("semantic_dedup: survivors anti-join; no corpus cartesian") {
+    val p = plan("semantic_dedup")
+    assert(p.contains("LeftAnti"), "survivor filter must be an anti-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_lines: repeated-line filter is an anti-join, aggregates " +
+      "map-side combined") {
+    val p = plan("dedup_lines")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("media_near_dup: band self-join is an equi-join on 8-byte keys") {
+    val p = plan("media_near_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("contamination_bloom_verified: probe side broadcasts; " +
+      "bloom prefilter reaches the scan side as a filter") {
+    val p = plan("contamination_bloom_verified")
+    assert(p.contains("BroadcastExchange"), "probe fingerprints broadcast")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -61,6 +61,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!near.contains(99L), "unrelated doc never flags")
   }
 
+  test("contaminationNgram flags a quoted 13-token span that whole-doc " +
+      "fingerprints miss") {
+    // doc 61 embeds a verbatim 13-token span of probe 50 inside otherwise
+    // original text: its whole-doc md5 AND min-shingle fingerprint differ
+    // from the probe's, but one shared 13-gram is leakage
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu"
+    val docs = Seq(
+      (50L, s"benchmark question prelude $span and the official answer key"),
+      (61L, s"my original essay quotes $span then continues differently onward"),
+      (62L, "twelve tokens only cannot possibly contain any thirteen gram overlap"),
+      (99L, "completely unrelated content sharing no long span with the probe set at all yes"))
+      .toDF("doc_id", "text")
+    val exact = TextAnalysis.contamination(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val near = TextAnalysis.contamination(docs, near = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!exact.contains(61L) && !near.contains(61L),
+      "whole-doc fingerprints miss the embedded span")
+    val ngram = TextAnalysis.contaminationNgram(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared"))
+      .toMap
+    assert(ngram.contains(61L), "span decontamination catches the quote")
+    assert(ngram(61L) >= 1L)
+    assert(!ngram.contains(62L) && !ngram.contains(99L))
+    assert(!ngram.contains(50L), "a probe does not flag against itself")
+  }
+
   test("bloom contamination prefilter: no false negatives, bounded survivors") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = TextAnalysis.contamination(docs)
@@ -74,6 +101,40 @@ class TextAnalysisSpec extends SparkSuite {
     // ~1% fpp over 500 docs → survivors stay near probes + true hits
     assert(bloom.size <= probes.size + exact.size + 25,
       s"too many bloom survivors: ${bloom.size}")
+  }
+
+  test("stratifiedSample returns ≤ k docs per source, every source present") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = TextAnalysis.stratifiedSample(docs, kPerStratum = 3).collect()
+    val bySource = got.groupBy(_.getAs[String]("source"))
+    val allSources = docs.select("source").distinct().count()
+    assert(bySource.size === allSources, "every source sampled")
+    assert(bySource.values.forall(_.length <= 3))
+    // ranks are 1..n within each source
+    bySource.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to rows.length).toSeq)
+    }
+  }
+
+  test("lengthBucketBatches: batches respect size, bucket bounds, and " +
+      "exact padding arithmetic") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = TextAnalysis.lengthBucketBatches(docs, bucketWidth = 64, batchSize = 8)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n >= 1 && n <= 8, "batch size bounded")
+      val waste = r.getAs[Long]("pad_waste")
+      assert(waste === n * r.getAs[Long]("max_tok") - r.getAs[Long]("sum_tok"))
+      assert(waste >= 0)
+      // members of one batch share a bucket ⇒ max_tok within bucket range
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("max_tok") / 64 === b)
+    }
+    // total docs across batches = corpus size
+    assert(got.map(_.getAs[Long]("n_docs")).sum === docs.count())
   }
 
   test("vocabTopK counts and orders with deterministic tie-break") {
