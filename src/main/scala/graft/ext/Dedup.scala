@@ -421,22 +421,8 @@ object Dedup {
     * via an id-keyed join; the drop set is again (doc_id) longs, so the
     * final anti-join stays skinny and AQE-broadcastable exactly as in
     * [[nearDupSurvivors]]. */
-  def nearDupSurvivorsQuality(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val clusters = nearDupClusters(docs, threshold)
-    val scored = docs.join(clusters, Seq("doc_id"))
-      .select(col("doc_id"), col("cluster_id"),
-        TextAnalysis.qualityExpr.as("q"))
-    val byQuality = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col("q").desc, col("doc_id"))
-    val drop = scored
-      .withColumn("rn", row_number().over(byQuality))
-      .where(col("rn") > 1)
-      .select("doc_id")
-    docs.join(drop, Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
-  }
+  def nearDupSurvivorsQuality(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    keepBestQuality(docs, nearDupClusters(docs, threshold))
 
   // ---------------------------------------------------- line-level dedup
 
@@ -568,6 +554,70 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+  }
+
+  /** Quality-aware representative selection over ANY (doc_id, cluster_id)
+    * clustering: drop every cluster member except the
+    * highest-[[TextAnalysis.qualityScore]] one (min doc_id tie-break).
+    * Shared by [[nearDupSurvivorsQuality]] (lexical clusters) and
+    * [[semanticSurvivorsQuality]] (embedding clusters) — the policy is
+    * independent of how the clusters were found. */
+  private[ext] def keepBestQuality(
+      docs: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val scored = docs.join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        TextAnalysis.qualityExpr.as("q"))
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("q").desc, col("doc_id"))
+    val drop = scored
+      .withColumn("rn", row_number().over(byQuality))
+      .where(col("rn") > 1)
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Semantic dedup with the quality survivor policy: each embedding
+    * cluster keeps its highest-quality member instead of the min id —
+    * [[semanticSurvivors]] × [[nearDupSurvivorsQuality]] composed. */
+  def semanticSurvivorsQuality(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      stride: Int = Similarity.ivfStride): DataFrame =
+    keepBestQuality(docs,
+      components(
+        semanticPairs(embeddings, threshold, stride)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))))
+
+  /** Cluster-size profile of the near-dup graph: how many clusters exist
+    * at each size — the shape a dedup pipeline inspects before choosing a
+    * survivor policy (a corpus of pairs behaves very differently from one
+    * with thousand-member boilerplate clusters). One extra tiny aggregate
+    * over the (doc_id, cluster_id) longs. */
+  def clusterSizeStats(pairs: DataFrame): DataFrame =
+    components(pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  /** One-row corpus dedup report: total docs, survivors under each policy
+    * (exact, transitive lexical near-dup, semantic), and docs any policy
+    * would drop — the before/after accounting a pipeline logs per run.
+    * Each count is a 1-row aggregate of an already-skinny survivor frame;
+    * the joins are broadcast single-row crosses. */
+  def dedupSummary(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    def c(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).cast("long").as(name))
+    c(docs, "n_docs")
+      .crossJoin(broadcast(c(exactSurvivors(docs), "exact_survivors")))
+      .crossJoin(broadcast(c(nearDupSurvivors(docs), "near_survivors")))
+      .crossJoin(broadcast(c(semanticSurvivors(docs, embeddings),
+        "semantic_survivors")))
   }
 
   /** Near-dup pairs by SimHash: candidates share at least one 16-bit band

@@ -340,6 +340,108 @@ JOIN fp fb ON fb.media_id = c.doc_b
 WHERE bit_count(xor(fa.fp, fb.fp)) <= 8
 ORDER BY doc_a, doc_b""")),
 
+    // Semantic dedup with the quality survivor policy — embedding
+    // clusters each keep their highest-quality member.
+    ("semantic_dedup_quality",
+      (s: SparkSession, d: String) =>
+        Dedup.semanticSurvivorsQuality(docs(s, d), embs(s, d), threshold = 0.4),
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) >= 0.4),
+ed AS (SELECT id_a AS u, id_b AS v FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM ed) nn
+      UNION
+      SELECT r.u, ed.v FROM r JOIN ed ON r.v = ed.u),
+cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+q AS (SELECT doc_id,
+        least(len($toksSql), 256)::DOUBLE / 256 * 0.4
+          + len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE
+            / greatest(length(text), 1) * 0.4
+          + least(len(list_filter($toksSql, t -> list_contains($enLex, t)))::DOUBLE
+            / greatest(len($toksSql), 1) * 5, 1.0) * 0.2 AS quality
+      FROM documents),
+m AS (SELECT cl.doc_id,
+             row_number() OVER (PARTITION BY cl.cluster_id
+               ORDER BY q.quality DESC, cl.doc_id) AS rn
+      FROM cl JOIN q USING (doc_id))
+SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.doc_id = d.doc_id AND m.rn > 1)
+ORDER BY d.doc_id""")),
+
+    // Cluster-size histogram of the lexical near-dup graph — the shape a
+    // pipeline inspects before choosing a survivor policy.
+    ("dedup_cluster_stats",
+      (s: SparkSession, d: String) =>
+        Dedup.clusterSizeStats(
+          Dedup.nearDupJaccard(docs(s, d), threshold = 0.8)
+            .select("doc_a", "doc_b")),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
+      UNION
+      SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+c AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+s AS (SELECT cluster_id, count(*) AS sz FROM c GROUP BY cluster_id)
+SELECT sz AS cluster_size, count(*) AS n_clusters
+FROM s GROUP BY sz ORDER BY cluster_size""")),
+
+    // One-row corpus dedup report: survivors under each policy.
+    ("dedup_summary",
+      (s: SparkSession, d: String) =>
+        Dedup.dedupSummary(docs(s, d), embs(s, d)),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
+      UNION
+      SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+c AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM ee),
+cc AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nn WHERE vec_id % 20 = 0),
+aa AS (SELECT nn.vec_id, cc.cent_id,
+              row_number() OVER (PARTITION BY nn.vec_id
+                ORDER BY (${dotSql("v", "cv")}) / (nn.nrm * cc.cn) DESC, cc.cent_id) AS rn
+       FROM nn CROSS JOIN cc),
+asg AS (SELECT nn.vec_id, nn.v, nn.nrm, aa.cent_id AS cell
+        FROM aa JOIN nn ON nn.vec_id = aa.vec_id WHERE aa.rn = 1),
+sp AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       WHERE (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) >= 0.4),
+sed AS (SELECT id_a AS u, id_b AS v FROM sp
+        UNION ALL SELECT id_b, id_a FROM sp),
+sr AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM sed) z
+       UNION
+       SELECT sr.u, sed.v FROM sr JOIN sed ON sr.v = sed.u),
+sc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM sr GROUP BY u)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT $normSql) FROM documents)::BIGINT AS exact_survivors,
+       ((SELECT count(*) FROM documents)
+        - (SELECT count(*) FROM c WHERE cluster_id <> doc_id))::BIGINT AS near_survivors,
+       ((SELECT count(*) FROM documents)
+        - (SELECT count(*) FROM sc WHERE cluster_id <> doc_id))::BIGINT AS semantic_survivors""")),
+
     // ----------------------------------------------------- text analysis
     ("text_stats",
       (s: SparkSession, d: String) => TextAnalysis.corpusStats(docs(s, d)),

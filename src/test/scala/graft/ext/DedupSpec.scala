@@ -233,6 +233,37 @@ class DedupSpec extends SparkSuite {
     assert(kept === Set(0L, 2L))
   }
 
+  test("semanticSurvivorsQuality keeps the higher-quality paraphrase; " +
+      "min-id policy keeps the other") {
+    val pdocs = Seq(
+      (0L, "a speedy russet canine leaps across an idle hound !!! ??? ###", "en", "s1", 61L),
+      (1L, "the quick brown fox jumps over the lazy dog near the river", "en", "s1", 58L),
+      (2L, "completely unrelated treatise on thermodynamics and entropy", "en", "s2", 59L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def vec(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat)
+    val embs = Seq(
+      (0L, vec(1, 0.01, 0, 0)), (1L, vec(0.99, 0.02, 0.01, 0)),
+      (2L, vec(0, 0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val minId = Dedup.semanticSurvivors(pdocs, embs, threshold = 0.9)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(minId === Set(0L, 2L))
+    val byQuality = Dedup.semanticSurvivorsQuality(pdocs, embs, threshold = 0.9)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(byQuality === Set(1L, 2L),
+      "quality policy keeps the clean doc 1 over the garbage-laden doc 0")
+  }
+
+  test("clusterSizeStats profiles a mixed pair graph") {
+    // one 4-node path + one 2-node pair → sizes {4: 1, 2: 1}
+    val pairs = Seq((11L, 10L), (11L, 12L), (13L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusterSizeStats(pairs).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters"))
+      .toMap
+    assert(got === Map(2L -> 1L, 4L -> 1L))
+  }
+
   test("containmentPairs: threshold-exact pair with shingle count divisible " +
       "by 5 survives the prefix floor guard") {
     // |sh(a)| = 10 distinct shingles, exactly 8 shared with b ⇒ containment
