@@ -133,12 +133,19 @@ object Dedup {
     // never passes the threshold.
     val sh = cached(shingled(docs).where(size(col("sh")) > 0))
     val cands = lshCandidates(signed(sh))
+    // |∩| in ONE merge pass over the ascending-sorted hash sets
+    // (SortedIntersectCount); |∪| = |a|+|b|−|∩| by inclusion–exclusion on
+    // distinct sets — replaces array_intersect + array_union, which built
+    // two hash sets and materialized two arrays per candidate pair just
+    // to take their sizes.
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter",
+        graft.expr.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -259,8 +266,8 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")))
+        graft.expr.SortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("double") / size(col("sh_a")))
       .where(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
   }

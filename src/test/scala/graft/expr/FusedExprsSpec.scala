@@ -18,6 +18,29 @@ class FusedExprsSpec extends SparkSuite {
     assert(both.where(not(col("fused") <=> col("composed"))).count() === 0L)
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on fixture " +
+      "shingle sets, plus hand edge cases") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sh = graft.ext.Dedup.shingled(docs).where(size(col("sh")) > 0)
+    val pairs = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")))
+      .where(col("a") < col("b")).limit(5000)
+    val both = pairs.select(
+      SortedIntersectCount(col("sh_a"), col("sh_b")).as("fused"),
+      size(array_intersect(col("sh_a"), col("sh_b"))).as("composed"))
+    assert(both.where(not(col("fused") <=> col("composed"))).count() === 0L)
+    import spark.implicits._
+    val edge = Seq(
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L), 3),   // identical
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L), 0),   // disjoint
+      (Array.empty[Long], Array(1L, 2L), 0),       // empty side
+      (Array(Long.MinValue, 0L, Long.MaxValue),
+        Array(Long.MinValue, Long.MaxValue), 2))   // extremes
+      .toDF("x", "y", "want")
+    assert(edge.where(
+      SortedIntersectCount(col("x"), col("y")) =!= col("want")).count() === 0L)
+  }
+
   test("MinShingleMd5 is null for docs shorter than the shingle size") {
     import spark.implicits._
     val tiny = Seq("one two", "a", "").toDF("text")
