@@ -85,7 +85,12 @@ object TextAnalysis {
     * [[qualityScore]], [[weightedSample]] and
     * [[Dedup.nearDupSurvivorsQuality]] so all stay in lockstep with the
     * DuckDB oracle formula. */
-  private[ext] def qualityExpr: Column =
+  private[ext] def qualityExpr: Column = qualityOf
+
+  /** Public form of the composite quality score over `col("text")` — the
+    * shared gate expression for batch queries and the streaming corpus
+    * ingest ([[graft.streaming.CorpusIngest]]). */
+  def qualityOf: Column =
     least(size(qToks), lit(256)).cast("double") / 256 * 0.4 +
       (qAlpha.cast("double") / qLen) * 0.4 +
       least(qStops.cast("double") / greatest(size(qToks), lit(1)) * 5,

@@ -763,6 +763,30 @@ SELECT bucket, batch_idx, count(*) AS n_docs,
        (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS pad_waste
 FROM b GROUP BY bucket, batch_idx ORDER BY bucket, batch_idx""")),
 
+    // Batch twin of the streaming corpus-ingest gate (CorpusIngest):
+    // quality filter → first-per-fingerprint dedup → decontamination
+    // against the probe slice (benchmark docs themselves are dropped —
+    // no self-exclusion). Pins the streaming plan's semantics.
+    ("corpus_clean",
+      (s: SparkSession, d: String) =>
+        graft.streaming.CorpusIngest.cleanBatch(docs(s, d)),
+      Some(s"""WITH q AS (SELECT doc_id, source, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+sc AS (SELECT doc_id, source, md5($normSql) AS fp,
+         least(len(toks), 256)::DOUBLE / 256 * 0.4
+           + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+           + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2
+           AS quality
+       FROM q),
+f AS (SELECT * FROM sc WHERE quality >= 0.3),
+r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+p AS (SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id, source, fp, round(quality, 6) AS quality_r
+FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
+ORDER BY doc_id""")),
+
     ("train_val_split",
       (s: SparkSession, d: String) => TextAnalysis.trainValSplit(docs(s, d)),
       Some(s"""SELECT doc_id, substring(md5($normSql), 1, 2) AS bucket_hex,

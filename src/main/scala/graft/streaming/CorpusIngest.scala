@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.ext.{TextAnalysis, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus ingestion — the continuous half of the training-data
+  * pipeline: documents arrive as a stream and pass, in order, a quality
+  * gate, online exact dedup, and a decontamination filter, producing the
+  * clean stream a downstream tokenizer/packer consumes. The same gate
+  * composition is registered as the batch query `corpus_clean` with a full
+  * DuckDB oracle, so the streaming plan's semantics are pinned by the
+  * batch twin (the SURVEY §2.9 pattern the CDC tier already follows).
+  *
+  * Stage order is the scale order:
+  *  1. quality gate — a pure expression filter at scan speed; rejected
+  *     docs never enter dedup STATE (the expensive resource in a stream);
+  *  2. online exact dedup — `dropDuplicatesWithinWatermark` on the
+  *     content fingerprint: state is bounded by the watermark horizon,
+  *     and replayed deliveries (at-least-once sources) collapse to one —
+  *     the same effectively-once upgrade [[StreamingIngest]] proves for
+  *     the CDC tier;
+  *  3. decontamination — stream-static LEFT ANTI join against the probe
+  *     (benchmark) fingerprint set; the static side is tiny by definition
+  *     and broadcasts, so the stream never shuffles.
+  *
+  * At 100 TB/day the three stages remain one narrow pipeline: no stage
+  * shuffles the stream except dedup's keyed state store, which partitions
+  * by fingerprint — even load by construction (md5). */
+object CorpusIngest {
+
+  /** Content fingerprint — identical bytes to the batch
+    * [[TextAnalysis.contamination]] key, so batch and stream agree on
+    * what "duplicate" and "contaminated" mean. */
+  def fingerprint = md5(TextOps.normText(col("text")))
+
+  /** The clean-corpus stream. `docs` must carry
+    * (doc_id, text, source, event_ts: timestamp); `probeFps` is a STATIC
+    * frame of benchmark fingerprints (`fp: string`). Docs whose
+    * fingerprint appears in the probe set are dropped entirely — a
+    * benchmark document itself must not survive into training data, so
+    * unlike the reporting-oriented [[TextAnalysis.contamination]] there
+    * is no self-exclusion. */
+  def cleanStream(
+      docs: DataFrame,
+      probeFps: DataFrame,
+      minQuality: Double = 0.3,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("quality", TextAnalysis.qualityOf)
+      .where(col("quality") >= minQuality)
+      .withColumn("fp", fingerprint)
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(broadcast(probeFps.select("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r"), col("event_ts"))
+
+  /** Batch twin of [[cleanStream]] over the `documents` fixture: same
+    * quality gate, "first doc_id wins" in place of "first arrival wins"
+    * for the dedup stage, same no-self-exclusion decontamination against
+    * the doc_id % probeModulus == 0 probe slice. Fully oracle-able. */
+  def cleanBatch(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      probeModulus: Int = 50): DataFrame = {
+    val probeFps = docs
+      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
+      .select(fingerprint.as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs
+      .withColumn("quality", TextAnalysis.qualityOf)
+      .where(col("quality") >= minQuality)
+      .withColumn("fp", fingerprint)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(broadcast(probeFps), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r"))
+      .orderBy("doc_id")
+  }
+}
