@@ -335,6 +335,36 @@ object TextAnalysis {
         urlPattern, "<URL>").as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Compression-ratio quality signal ([[graft.expr.DeflateLen]] — the
+    * CCNet/RefinedWeb-style model-free proxy for perplexity filtering):
+    * natural text deflates to a characteristic fraction of its raw size;
+    * far below the band ⇒ boilerplate/degenerate repetition, near or
+    * above 1 ⇒ noise. Pure per-row expression, declared-approximate
+    * (DuckDB has no deflate) with a ScalaTest ordering contract. */
+  def compressionStats(
+      docs: DataFrame,
+      minRatio: Double = 0.2,
+      maxRatio: Double = 1.0): DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).as("len_chars"),
+        graft.expr.DeflateLen(col("text")).as("deflate_len"))
+      .withColumn("ratio",
+        col("deflate_len").cast("double") / greatest(col("len_chars"), lit(1)))
+      .withColumn("keep",
+        col("ratio") >= minRatio && col("ratio") <= maxRatio)
+      .orderBy("doc_id")
+
+  /** NFC canonical composition digest ([[graft.expr.NfcNormalize]]) —
+    * run before content hashing so visually-identical strings ("é"
+    * precomposed vs "e" + combining acute) fingerprint identically.
+    * Full DuckDB oracle via `nfc_normalize`. */
+  def nfcDigest(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(graft.expr.NfcNormalize(col("text"))).as("nfc_md5"),
+      length(graft.expr.NfcNormalize(col("text"))).as("nfc_len"))
+      .orderBy("doc_id")
+
   /** Pointwise mutual information of token pairs over document-level
     * co-occurrence: PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with
     * probabilities = document frequencies — the classic collocation /

@@ -586,6 +586,20 @@ b AS (SELECT unnest(CASE WHEN len(toks) >= 2
 SELECT bigram, (count(*))::BIGINT AS n FROM b
 GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""")),
 
+    // Compression-ratio quality gate: deflate is deterministic (RFC 1951,
+    // fixed level) but DuckDB can't compute it → rows-only + ordering
+    // contract in TextAnalysisSpec.
+    ("quality_compression",
+      (s: SparkSession, d: String) => TextAnalysis.compressionStats(docs(s, d)),
+      None),
+
+    // NFC canonical composition before hashing — DuckDB nfc_normalize twin.
+    ("text_nfc",
+      (s: SparkSession, d: String) => TextAnalysis.nfcDigest(docs(s, d)),
+      Some("""SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+       length(nfc_normalize(text))::INT AS nfc_len
+FROM documents ORDER BY doc_id""")),
+
     ("pii_scrub",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._

@@ -137,6 +137,39 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got.map(_.getAs[Long]("n_docs")).sum === docs.count())
   }
 
+  test("compressionStats: repetition compresses below natural text, " +
+      "noise above; deterministic") {
+    val natural = "the quick brown fox jumps over the lazy dog while the " +
+      "river flows past the quiet village and evening settles in slowly"
+    val repetitive = "buy now " * 40
+    val noise = (1 to 120).map(i =>
+      Integer.toHexString(i * 2654435761L.toInt).take(2)).mkString
+    val docs = Seq((1L, natural), (2L, repetitive.trim), (3L, noise))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.compressionStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("ratio")).toMap
+    assert(r(2L) < r(1L), "repetition compresses harder than natural text")
+    assert(r(3L) > r(2L), "noise compresses worse than repetition")
+    // deterministic across runs
+    val again = TextAnalysis.compressionStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("ratio")).toMap
+    assert(r === again)
+  }
+
+  test("nfcDigest: precomposed and combining-mark forms hash identically") {
+    val precomposed = "caf\u00e9 r\u00e9sum\u00e9"       // é = U+00E9
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"   // e + combining acute
+    assert(precomposed != decomposed, "raw strings differ")
+    val docs = Seq((1L, precomposed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.nfcDigest(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("nfc_md5"), r.getAs[Int]("nfc_len")))).toMap
+    assert(got(1L) === got(2L), "NFC collapses the two forms")
+    assert(got(1L)._2 === precomposed.length)
+    assert(got(3L)._1 !== got(1L)._1)
+  }
+
   test("vocabTopK counts and orders with deterministic tie-break") {
     val docs = Seq((1L, "b a a c b a"), (2L, "c b")).toDF("doc_id", "text")
     val got = TextAnalysis.vocabTopK(docs, k = 3)
