@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSim, DotProduct, MinHashSignature, MinMd5, MinShingleMd5, SimHashBits}
+import graft.expr.{CosineSim, DeflateLen, DotProduct, MinHashSignature, MinMd5, MinShingleMd5, NfcNormalize, SimHash64, SimHashBits, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("minhash_signature", classOf[MinHashSignature])(c =>
       MinHashSignature(c(0), litInt(c(1), "minhash_signature num hashes")))
     register("simhash_bits", classOf[SimHashBits])(c => SimHashBits(c(0)))
+    register("simhash64", classOf[SimHash64])(c => SimHash64(c(0)))
+    register("sorted_intersect_count", classOf[SortedIntersectCount])(c =>
+      SortedIntersectCount(c(0), c(1)))
+    register("deflate_len", classOf[DeflateLen])(c => DeflateLen(c(0)))
+    register("nfc_normalize", classOf[NfcNormalize])(c => NfcNormalize(c(0)))
 
     // tier-(c) plan rewrite: pure interval joins → bucketed equi-joins
     // (Spark's only native plan for an equality-free join is a

@@ -56,4 +56,29 @@ object EventWindows {
         col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
+
+  /** Per-session ordered behavior sequences — the unit a sequential
+    * recommender / behavior-cloning pipeline trains on: each (user,
+    * session) becomes the chronological event-type sequence with its
+    * digest (the registered query carries the md5 so the gate's payload
+    * stays small; the sequence string itself is the same `concat_ws`).
+    * Ties on ts break by event_id, so the sequence is deterministic.
+    *
+    * Scale: same single user-keyed shuffle as [[sessions]]; the sequence
+    * assembly is an in-group sort of each session's own events (bounded
+    * by session length, never corpus-global). */
+  def sessionSequences(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "4 hours").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            s => s.getField("event_type"))).as("seq"))
+      .select(
+        col("w.start").as("session_start"), col("user_id"),
+        col("n_events"), md5(col("seq")).as("seq_md5"))
+      .orderBy("user_id", "session_start")
 }

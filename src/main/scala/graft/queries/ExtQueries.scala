@@ -983,6 +983,25 @@ SELECT min(ts) AS session_start,
        (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // Per-session chronological event-type sequences (the training unit
+    // of a sequential recommender), digested to keep the gate small.
+    ("events_session_sequences",
+      (s: SparkSession, d: String) =>
+        EventWindows.sessionSequences(graft.sources.CdcSource.events(s, d)),
+      Some("""WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '4 hours'
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+       md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS seq_md5
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
     // IVF ANN (coarse-quantize → probe → exact re-rank): deterministic by
     // construction (data-sampled centroids), so unlike the LSH path it
     // carries a full DuckDB oracle.

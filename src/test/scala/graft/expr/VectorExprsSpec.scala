@@ -71,6 +71,16 @@ class VectorExprsSpec extends SparkSuite {
         org.apache.commons.codec.digest.DigestUtils.md5Hex("a b c"))
       assert(t.getAs[Int]("nh") === 96)
       assert(t.getAs[Int]("nb") === 64)
+      val u = s2.sql(
+        """SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic,
+                  simhash64(array(1L)) AS sh,
+                  deflate_len('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dl,
+                  nfc_normalize('café') AS nfc""").collect().head
+      assert(u.getAs[Int]("ic") === 2)
+      assert(u.getAs[Long]("sh") === 1L) // one hash votes its own bits
+      assert(u.getAs[Int]("dl") > 0 && u.getAs[Int]("dl") < 32,
+        "run of 'a' must compress below raw length")
+      assert(u.getAs[String]("nfc") === "café")
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
