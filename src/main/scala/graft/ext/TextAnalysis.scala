@@ -618,6 +618,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One-row contamination report across the three deterministic
+    * detection methods (exact fingerprint, near min-shingle, 13-gram
+    * span) — the per-run accounting an eval-hygiene pipeline logs, like
+    * [[Dedup.dedupSummary]] for dedup. Each count is a single-row
+    * aggregate of an already-registered gate; they attach as broadcast
+    * crosses. */
+  def contaminationSummary(
+      docs: DataFrame,
+      probeModulus: Int = 50): DataFrame = {
+    def c(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).cast("long").as(name))
+    c(docs, "n_docs")
+      .crossJoin(broadcast(
+        c(contamination(docs, probeModulus), "exact_hits")))
+      .crossJoin(broadcast(
+        c(contamination(docs, probeModulus, near = true), "near_hits")))
+      .crossJoin(broadcast(
+        c(contaminationNgram(docs, probeModulus = probeModulus), "ngram_hits")))
+  }
+
   /** Sketch-based contamination prefilter: a Bloom filter built over the
     * probe set's fingerprint hashes, shipped to the corpus scan as a
     * literal. At 100 TB this is the first pass — a few MB of bits replace

@@ -890,6 +890,35 @@ SELECT h.doc_id, count(DISTINCT h.gh) AS n_shared
 FROM h JOIN p ON h.gh = p.gh AND h.doc_id <> p.probe_id
 GROUP BY h.doc_id ORDER BY h.doc_id""")),
 
+    // One-row contamination report across the three deterministic
+    // methods — the eval-hygiene accounting a pipeline logs per run.
+    ("contamination_summary",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.contaminationSummary(docs(s, d)),
+      Some(s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+fp AS (SELECT doc_id AS probe_id, fp FROM f WHERE doc_id % 50 = 0),
+t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+nf AS (SELECT doc_id,
+              list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fp
+       FROM s),
+np AS (SELECT doc_id AS probe_id, fp FROM nf WHERE doc_id % 50 = 0),
+g AS (SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 13
+               THEN list_distinct(list_transform(range(1, len(toks)-11),
+                      i -> array_to_string(list_slice(toks, i, i+12), ' ')))
+               ELSE [] END) AS gram
+      FROM t),
+h AS (SELECT doc_id, md5(gram) AS gh FROM g),
+hp AS (SELECT doc_id AS probe_id, gh FROM h WHERE doc_id % 50 = 0)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT f.doc_id) FROM f
+        JOIN fp ON f.fp = fp.fp AND f.doc_id <> fp.probe_id)::BIGINT AS exact_hits,
+       (SELECT count(DISTINCT nf.doc_id) FROM nf
+        JOIN np ON nf.fp = np.fp AND nf.doc_id <> np.probe_id)::BIGINT AS near_hits,
+       (SELECT count(DISTINCT h.doc_id) FROM h
+        JOIN hp ON h.gh = hp.gh AND h.doc_id <> hp.probe_id)::BIGINT AS ngram_hits""")),
+
     // Near-dup contamination: min-shingle fingerprint collisions catch
     // paraphrase-level benchmark leakage the exact key misses.
     ("contamination_near",

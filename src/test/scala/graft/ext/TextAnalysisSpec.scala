@@ -198,6 +198,36 @@ class TextAnalysisSpec extends SparkSuite {
     assert(mix.length === 2)
   }
 
+  test("round-5 operators tolerate null and empty text without crashing") {
+    import org.apache.spark.sql.functions.{col, split}
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "s1", 0L),
+      (2L, "", "s1", 0L),
+      (3L, "real words here three times real words here", "s2", 43L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .withColumnRenamed("lang", "source")
+      .select(col("doc_id"), col("text"),
+        org.apache.spark.sql.functions.lit("en").as("lang"),
+        col("source"), col("n_chars"))
+    // 13-gram decontamination: no doc reaches 13 tokens → empty, no crash
+    assert(TextAnalysis.contaminationNgram(docs, probeModulus = 3).count() === 0L)
+    // compression / NFC: null propagates as null, empty yields a row
+    val cs = TextAnalysis.compressionStats(docs).collect()
+    assert(cs.length === 3)
+    val nfc = TextAnalysis.nfcDigest(docs).collect()
+    assert(nfc.length === 3)
+    assert(nfc.find(_.getAs[Long]("doc_id") == 1L).get.isNullAt(1),
+      "null text → null digest, not a crash")
+    // line dedup over real newline splitting with a null row
+    val ld = Dedup.lineDedup(docs, split(col("text"), "\n"), minDocs = 2)
+      .collect()
+    assert(ld.length === 3)
+    // stratified sample + batching: null text scores minimum, still sampled
+    assert(TextAnalysis.stratifiedSample(docs, kPerStratum = 5).count() >= 1L)
+    assert(TextAnalysis.lengthBucketBatches(docs).count() >= 1L)
+    Dedup.releaseCaches()
+  }
+
   test("tokenPmi ranks a planted collocation above independent tokens") {
     // "rock roll" co-occur in exactly the same 6 docs; "noise" appears
     // everywhere (PMI ≈ 0 with anything); filler words pad the vocab
