@@ -146,4 +146,37 @@ object Behavior {
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
           .as("sum_value"))
       .orderBy("dow", "hr")
+
+  /** Behavioral similarity search: top-k most similar users by cosine
+    * over the 7-dim ISO-day-of-week activity-count profile — the
+    * similarity tier applied to BEHAVIOR instead of embeddings
+    * (time-pattern user matching: same weekday rhythm ⇒ high cosine
+    * regardless of total volume). Integer counts make the vectors exact
+    * doubles, so the codegen [[Similarity.cosine]] matches the DuckDB
+    * 7-term dot product bit-for-bit.
+    *
+    * Scale: one map-side-combined groupBy builds the profile (7 longs per
+    * user); queries broadcast against it exactly as [[Similarity
+    * .cosineTopK]] broadcasts its query vectors — corpus scanned once,
+    * ranked per query with a WindowGroupLimit-able top-k. */
+  def similarUsers(events: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val vecs = events
+      .groupBy("user_id")
+      .agg(array((1 to 7).map(d =>
+        sum(when((expr("weekday(ts)") + 1) === d, 1L).otherwise(0L))
+          .cast("double")): _*).as("v"))
+    val queries = vecs.where(col("user_id") < numQueries)
+      .select(col("user_id").as("q_id"), col("v").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("user_id"))
+    vecs
+      .join(broadcast(queries), col("user_id") =!= col("q_id"))
+      .withColumn("sim", Similarity.cosine(col("q"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("int").as("rnk"),
+        col("user_id").as("neighbor_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
 }

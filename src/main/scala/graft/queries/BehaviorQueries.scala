@@ -112,7 +112,31 @@ ORDER BY event_type, day""")),
       Some("""SELECT isodow(ts)::INT AS dow, hour(ts)::INT AS hr,
        count(*) AS n,
        round((sum(value::DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
-FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Behavioral similarity search: top-5 users by cosine over the 7-dim
+    // ISO-dow activity profile — time-pattern user matching.
+    ("events_similar_users",
+      (s: SparkSession, d: String) => Behavior.similarUsers(events(s, d)),
+      Some {
+        def dot(a: String, b: String) =
+          (1 to 7).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+        s"""WITH v AS (SELECT user_id,
+         [${(1 to 7).map(dw =>
+           s"sum(CASE WHEN isodow(ts) = $dw THEN 1 ELSE 0 END)::DOUBLE")
+           .mkString(", ")}] AS v
+       FROM events GROUP BY user_id),
+n AS (SELECT user_id, v, sqrt(${dot("v", "v")}) AS nrm FROM v),
+q AS (SELECT user_id AS q_id, v AS qv, nrm AS qn FROM n WHERE user_id < 10),
+sc AS (SELECT q.q_id, n.user_id, (${dot("qv", "v")}) / (q.qn * n.nrm) AS sim
+       FROM q JOIN n ON n.user_id <> q.q_id),
+r AS (SELECT q_id, user_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, user_id) AS rnk
+      FROM sc)
+SELECT q_id, rnk::INT AS rnk, neighbor_id, sim_r FROM r WHERE rnk <= 5
+ORDER BY q_id, rnk"""
+      })
   )
 
   val queries: Map[String, Q] =
