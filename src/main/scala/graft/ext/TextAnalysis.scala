@@ -506,6 +506,63 @@ object TextAnalysis {
       .orderBy("bucket", "batch_idx")
   }
 
+  /** Train/val near-dup leakage audit: verified near-duplicate pairs
+    * whose members land in DIFFERENT splits. A content-keyed split
+    * ([[trainValSplit]]) makes EXACT-duplicate leakage impossible by
+    * construction, but near-duplicates hash differently and can still
+    * straddle the boundary — the leakage that quietly inflates eval
+    * scores. Output: one row per straddling pair with both splits.
+    *
+    * Scale: the near-dup pair set is tiny relative to the corpus; the
+    * split columns attach by two id-keyed joins of (doc_id, split)
+    * pairs. */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val splits = trainValSplit(docs).select("doc_id", "split")
+    Dedup.nearDupJaccard(docs, threshold)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Pairwise source similarity over top-`k` vocabularies: for every
+    * source pair, the Jaccard of their top-k token sets — the corpus
+    * drift/diversity matrix a mixing strategy consults (two sources with
+    * 0.9 vocab overlap are near-redundant; 0.1 is genuine diversity).
+    *
+    * Scale: per-source top-k is a source-keyed count + rank window; the
+    * pairwise comparison touches only |sources|² × k token rows —
+    * independent of corpus size. */
+  def sourceVocabOverlap(docs: DataFrame, k: Int = 50): DataFrame = {
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n").desc, col("token"))
+    val topk = docs
+      .select(col("source"), explode(wsTokens(lower(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(byFreq))
+      .where(col("rk") <= k)
+      .select("source", "token")
+    val a = topk.select(col("source").as("src_a"), col("token"))
+    val b = topk.select(col("source").as("src_b"), col("token"))
+    val inter = a.join(b, Seq("token"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    val sizes = topk.groupBy("source").agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sz_a")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("sz_b")), Seq("src_b"))
+      .withColumn("vocab_jaccard",
+        round(col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")), 6))
+      .select("src_a", "src_b", "n_shared", "vocab_jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
   /** Deterministic train/val assignment by content hash: the first two
     * md5 hex chars partition the corpus into 256 stable buckets; buckets
     * below the threshold go to train (hex-string comparison — identical

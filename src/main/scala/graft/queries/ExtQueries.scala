@@ -801,6 +801,50 @@ SELECT doc_id, source, fp, round(quality, 6) AS quality_r
 FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
 ORDER BY doc_id""")),
 
+    // Near-dup pairs straddling train/val — the leakage a content-keyed
+    // split can still have (exact-dup leakage is impossible by
+    // construction; near-dups hash differently).
+    ("split_leakage",
+      (s: SparkSession, d: String) => TextAnalysis.splitLeakage(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+sp AS (SELECT doc_id,
+              CASE WHEN substring(md5($normSql), 1, 2) < 'f3'
+                   THEN 'train' ELSE 'val' END AS split
+       FROM documents)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+FROM p JOIN sp sa ON sa.doc_id = p.doc_a
+       JOIN sp sb ON sb.doc_id = p.doc_b
+WHERE sa.split <> sb.split
+ORDER BY doc_a, doc_b""")),
+
+    // Pairwise source similarity over top-50 vocabularies — the corpus
+    // drift/diversity matrix a mixing strategy consults.
+    ("source_vocab_overlap",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sourceVocabOverlap(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),
+cnt AS (SELECT source, token, count(*) AS n FROM tok
+        WHERE length(token) > 0 GROUP BY source, token),
+tk AS (SELECT source, token,
+              row_number() OVER (PARTITION BY source
+                ORDER BY n DESC, token) AS rk
+       FROM cnt),
+topk AS (SELECT source, token FROM tk WHERE rk <= 50),
+i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      FROM topk a JOIN topk b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2),
+sz AS (SELECT source, count(*) AS sz FROM topk GROUP BY source)
+SELECT i.src_a, i.src_b, i.n_shared,
+       round(i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared), 6)
+         AS vocab_jaccard
+FROM i JOIN sz za ON za.source = i.src_a JOIN sz zb ON zb.source = i.src_b
+ORDER BY src_a, src_b""")),
+
     ("train_val_split",
       (s: SparkSession, d: String) => TextAnalysis.trainValSplit(docs(s, d)),
       Some(s"""SELECT doc_id, substring(md5($normSql), 1, 2) AS bucket_hex,
