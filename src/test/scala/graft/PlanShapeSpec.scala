@@ -127,4 +127,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("LeftSemi"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("contamination_ngram: probe grams broadcast; corpus joins at scan") {
+    val p = plan("contamination_ngram")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("split_leakage and source_vocab_overlap: equi-joins only") {
+    for (q <- Seq("split_leakage", "source_vocab_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("events_similar_users: profile queries broadcast against one " +
+      "corpus pass") {
+    val p = plan("events_similar_users")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("corpus_clean: probe fingerprints broadcast into the anti-join") {
+    val p = plan("corpus_clean")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
