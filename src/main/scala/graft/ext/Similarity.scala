@@ -287,6 +287,47 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** k-NN graph over ALL vectors (not just a query set) — the input to
+    * graph-based clustering/dedup and kNN-classification: each vector's
+    * `k` nearest neighbors WITHIN its IVF cell by cosine. Restricting
+    * candidates to the own cell is the SemDeDup-style locality
+    * assumption; it keeps the construction per-cell-quadratic
+    * (O(N²/C) total) instead of corpus-quadratic, and with the
+    * deterministic strided centroids the whole graph is exactly
+    * reproducible — and DuckDB-oracle-able — unlike approximate
+    * all-kNN builds. Vectors alone in their cell emit no edges.
+    *
+    * Scale: one cached assignment pass (the [[Dedup.semanticPairs]]
+    * argmax), one cell-keyed self-join, one rank window per vector. */
+  def knnGraph(
+      embeddings: DataFrame,
+      k: Int = 3,
+      stride: Int = ivfStride): DataFrame = {
+    val base = Dedup.cached(embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v")))
+    val cents = base.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cells = Dedup.cached(base
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell")))
+    val withCell = base.join(cells, Seq("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nbr_id"))
+    withCell.select(col("cell"), col("vec_id"), col("v"))
+      .join(withCell.select(
+        col("cell"), col("vec_id").as("nbr_id"), col("v").as("nv")), Seq("cell"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", cosine(col("v"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("int").as("rnk"),
+        col("nbr_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("vec_id", "rnk")
+  }
+
   /** Recall@k of the LSH path vs the exact brute force, per query —
     * the honest quality metric for the approximate path. */
   def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {

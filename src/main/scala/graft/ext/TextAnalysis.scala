@@ -506,6 +506,29 @@ object TextAnalysis {
       .orderBy("bucket", "batch_idx")
   }
 
+  /** Adaptive quality filter: keep documents at or above their
+    * LANGUAGE's median quality score — the per-stratum adaptive
+    * threshold production pipelines prefer over one global cutoff (a
+    * fixed bar tuned on English silently guts low-resource languages
+    * whose score distribution sits lower). Exact interpolated median per
+    * the established `percentile ≙ quantile_cont` pairing.
+    *
+    * Scale: one scan for scores, one tiny per-language aggregate
+    * broadcast back, one filter — the corpus never shuffles. */
+  def adaptiveQualityKeep(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      col("doc_id"), col("lang"), qualityExpr.as("quality"))
+    val medians = scored.groupBy("lang")
+      .agg(expr("percentile(quality, 0.5)").as("median_q"))
+    scored
+      .join(broadcast(medians), Seq("lang"))
+      .where(col("quality") >= col("median_q"))
+      .select(col("doc_id"), col("lang"),
+        round(col("quality"), 6).as("quality_r"),
+        round(col("median_q"), 6).as("median_q_r"))
+      .orderBy("doc_id")
+  }
+
   /** Train/val near-dup leakage audit: verified near-duplicate pairs
     * whose members land in DIFFERENT splits. A content-keyed split
     * ([[trainValSplit]]) makes EXACT-duplicate leakage impossible by

@@ -801,6 +801,53 @@ SELECT doc_id, source, fp, round(quality, 6) AS quality_r
 FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
 ORDER BY doc_id""")),
 
+    // Adaptive per-language quality filter: keep docs at/above their
+    // language's median quality (a global bar tuned on one language
+    // silently guts the others).
+    ("quality_adaptive_keep",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.adaptiveQualityKeep(docs(s, d)),
+      Some(s"""WITH q AS (SELECT doc_id, lang, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+sc AS (SELECT doc_id, lang,
+         least(len(toks), 256)::DOUBLE / 256 * 0.4
+           + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+           + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2
+           AS quality
+       FROM q),
+m AS (SELECT lang, quantile_cont(quality, 0.5) AS median_q FROM sc GROUP BY lang)
+SELECT sc.doc_id, sc.lang, round(sc.quality, 6) AS quality_r,
+       round(m.median_q, 6) AS median_q_r
+FROM sc JOIN m USING (lang)
+WHERE sc.quality >= m.median_q
+ORDER BY sc.doc_id""")),
+
+    // All-vectors k-NN graph within IVF cells (deterministic strided
+    // centroids → fully oracle-able, unlike approximate all-kNN builds).
+    ("knn_graph",
+      (s: SparkSession, d: String) =>
+        Similarity.knnGraph(embs(s, d), k = 3),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+s AS (SELECT x.vec_id, y.vec_id AS nbr_id,
+             (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) AS sim
+      FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+r AS (SELECT vec_id, nbr_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, nbr_id) AS rnk
+      FROM s)
+SELECT vec_id, rnk::INT AS rnk, nbr_id, sim_r FROM r WHERE rnk <= 3
+ORDER BY vec_id, rnk""")),
+
     // Near-dup pairs straddling train/val — the leakage a content-keyed
     // split can still have (exact-dup leakage is impossible by
     // construction; near-dups hash differently).
