@@ -69,6 +69,50 @@ object TextAnalysis {
         (sum("correct").cast("double") / count(lit(1))).as("accuracy"))
       .orderBy("labeled_lang")
 
+  /** Language-ID confusion matrix: (labeled, predicted) doc counts — the
+    * error-structure view behind [[langIdAccuracy]]'s per-language
+    * rollup (which languages get mistaken for which). One tiny
+    * aggregate over [[langId]]'s scan. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("labeled_lang", "predicted_lang")
+
+  /** Vocabulary coverage curve: what fraction of all token OCCURRENCES
+    * the top-k most frequent tokens cover, for a ladder of k — the
+    * statistic that sizes a vocabulary (coverage saturating by k=1000
+    * says a bigger vocab buys nothing). Exact integer arithmetic until
+    * the final ratio.
+    *
+    * Scale: one map-side-combined token count; the rank window runs over
+    * the COUNT frame — vocabulary-sized, not corpus-sized — so its
+    * single-partition sort is bounded by |vocab| (the deliberate
+    * exception to the no-global-window rule pack_windows enforces for
+    * corpus-sized frames). */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 50, 100, 500)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(wsTokens(lower(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    val ranked = counts.withColumn("rk", row_number().over(byFreq))
+    val total = counts.agg(sum("n").as("total_occ"))
+    ranked
+      .crossJoin(broadcast(ks.toDF("k")))
+      .where(col("rk") <= col("k"))
+      .groupBy("k")
+      .agg(sum("n").as("covered_occ"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered_occ"), col("total_occ"),
+        round(col("covered_occ").cast("double") / col("total_occ"), 6)
+          .as("coverage_r"))
+      .orderBy("k")
+  }
+
   /** Per-doc quality features + composite score (length band, punctuation
     * ratio, stopword ratio, alpha ratio) — the usual cheap quality gates for
     * corpus filtering, as exact arithmetic both engines reproduce. */

@@ -504,6 +504,42 @@ SELECT labeled_lang, count(*) AS n_docs, (sum(correct))::BIGINT AS n_correct,
 FROM pr GROUP BY labeled_lang ORDER BY labeled_lang"""
       }),
 
+    // Language-ID confusion matrix: which languages get mistaken for which.
+    ("lang_confusion",
+      (s: SparkSession, d: String) => TextAnalysis.langConfusion(docs(s, d)),
+      Some {
+        val langs = graft.ext.TextOps.langLexica.map(_._1)
+        val scores = graft.ext.TextOps.langLexica.map { case (l, lex) =>
+          s"len(list_filter(toks, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
+        }.mkString(",\n       ")
+        val cases = langs.map { l =>
+          val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n         ")
+        s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents),
+sc AS (SELECT doc_id, labeled_lang, $scores FROM t),
+pr AS (SELECT labeled_lang,
+              CASE $cases ELSE 'und' END AS predicted_lang
+       FROM sc)
+SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+FROM pr GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang"""
+      }),
+
+    // Vocabulary coverage curve: token-occurrence share of the top-k
+    // vocab for k ∈ {10, 50, 100, 500} — the vocab-sizing statistic.
+    ("vocab_coverage",
+      (s: SparkSession, d: String) => TextAnalysis.vocabCoverage(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS n FROM tok
+        WHERE length(token) > 0 GROUP BY token),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM cnt),
+tot AS (SELECT (sum(n))::BIGINT AS total_occ FROM cnt),
+ks AS (SELECT unnest([10, 50, 100, 500]) AS k)
+SELECT ks.k, (sum(r.n))::BIGINT AS covered_occ, tot.total_occ,
+       round(sum(r.n)::DOUBLE / tot.total_occ, 6) AS coverage_r
+FROM r JOIN ks ON r.rk <= ks.k CROSS JOIN tot
+GROUP BY ks.k, tot.total_occ ORDER BY ks.k""")),
+
     ("quality_score",
       (s: SparkSession, d: String) => TextAnalysis.qualityScore(docs(s, d)),
       Some(s"""WITH t AS (
