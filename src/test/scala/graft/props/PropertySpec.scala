@@ -140,6 +140,39 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("sorted-merge intersect count equals set intersection on " +
+      "random long sets") = {
+    val gen = for {
+      a <- Gen.listOf(Gen.choose(-100L, 100L))
+      b <- Gen.listOf(Gen.choose(-100L, 100L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    Prop.forAll(gen) { case (a, b) =>
+      import I.i._
+      val got = Seq((a.toArray, b.toArray)).toDF("x", "y")
+        .select(graft.expr.SortedIntersectCount(col("x"), col("y")).as("n"))
+        .collect().head.getAs[Int]("n")
+      got == a.toSet.intersect(b.toSet).size
+    }
+  }
+
+  property("token-block lines partition the token stream: space-joined " +
+      "blocks reproduce the normalized text") = {
+    val word = Gen.oneOf("alpha", "beta", "Gamma", "d-e", "x9", "Zz")
+    val gen = Gen.listOf(word).map(_.mkString(" "))
+    Prop.forAll(gen) { text =>
+      import I.i._
+      val row = Seq(Tuple1(text)).toDF("text")
+        .select(org.apache.spark.sql.functions.split(
+          graft.ext.TextOps.normText(col("text")), " ").as("__toks"))
+        .select(
+          concat_ws(" ", graft.ext.Dedup.tokenBlockLines(col("__toks"), 10))
+            .as("joined"),
+          graft.ext.TextOps.normText(lit(text)).as("norm"))
+        .collect().head
+      row.getAs[String]("joined") == row.getAs[String]("norm")
+    }
+  }
+
   property("components equals union-find on random graphs") = {
     val gen = for {
       n <- Gen.choose(2, 30)
