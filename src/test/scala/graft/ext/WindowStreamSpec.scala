@@ -47,4 +47,47 @@ class WindowStreamSpec extends SparkSuite {
     val clickWindows = out.filter(_._2 == "click")
     assert(clickWindows === Set((1700000400000L, "click", 2L)))
   }
+
+  test("session sequences bind to a watermarked stream: finalized sessions " +
+      "emit their ordered event-type digest") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    // the batch operator's aggregation expressions, bound to a stream with
+    // a watermark + session_window — the §2.9 "same plan, streaming
+    // source" contract for the round-5 sequence operator
+    val agg = mem.toDF().toDF("ts", "user_id", "event_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            s => s.getField("event_type"))).as("seq"))
+      .select(col("user_id"), col("n_events"), md5(col("seq")).as("seq_md5"))
+    val q = agg.writeStream
+      .format("memory").queryName("seq_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    // user 7: click@1, view@2 (one session); then far-future event closes it
+    mem.addData((ts(1), 7L, 1L, "click"), (ts(2), 7L, 2L, "view"))
+    q.processAllAvailable()
+    mem.addData((ts(60), 7L, 3L, "purchase")) // advances watermark past session
+    q.processAllAvailable()
+    mem.addData((ts(120), 8L, 4L, "click"))   // closes user 7's second session
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("seq_out")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[String]("seq_md5"))).toSet
+    assert(rows.contains((7L, 2L, md5Of("click>view"))),
+      s"finalized first session must carry the ordered digest; got $rows")
+    assert(rows.contains((7L, 1L, md5Of("purchase"))))
+  }
 }
