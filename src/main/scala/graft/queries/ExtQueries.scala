@@ -928,6 +928,32 @@ SELECT i.src_a, i.src_b, i.n_shared,
 FROM i JOIN sz za ON za.source = i.src_a JOIN sz zb ON zb.source = i.src_b
 ORDER BY src_a, src_b""")),
 
+    // Drop-reason accounting for the corpus gate (sums to corpus size).
+    ("corpus_clean_report",
+      (s: SparkSession, d: String) =>
+        graft.streaming.CorpusIngest.cleanReport(docs(s, d)),
+      Some(s"""WITH q0 AS (SELECT doc_id, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+sc AS (SELECT doc_id, md5($normSql) AS fp,
+         least(len(toks), 256)::DOUBLE / 256 * 0.4
+           + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+           + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2
+           AS quality
+       FROM q0),
+r AS (SELECT *, CASE WHEN quality >= 0.3 THEN
+         row_number() OVER (PARTITION BY fp, (quality >= 0.3)
+           ORDER BY doc_id) END AS rn
+      FROM sc),
+p AS (SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 50 = 0)
+SELECT outcome, count(*) AS n_docs FROM (
+  SELECT CASE WHEN quality < 0.3 THEN 'quality_reject'
+              WHEN rn > 1 THEN 'duplicate'
+              WHEN fp IN (SELECT fp FROM p) THEN 'contaminated'
+              ELSE 'kept' END AS outcome
+  FROM r) GROUP BY outcome ORDER BY outcome""")),
+
     ("train_val_split",
       (s: SparkSession, d: String) => TextAnalysis.trainValSplit(docs(s, d)),
       Some(s"""SELECT doc_id, substring(md5($normSql), 1, 2) AS bucket_hex,

@@ -56,6 +56,40 @@ object CorpusIngest {
       .select(col("doc_id"), col("source"), col("fp"),
         round(col("quality"), 6).as("quality_r"), col("event_ts"))
 
+  /** Drop-reason accounting for the batch gate: every doc attributed to
+    * exactly one outcome in stage order — `quality_reject` (failed the
+    * quality floor), `duplicate` (passed quality, later copy of a
+    * fingerprint), `contaminated` (survived dedup but fingerprint in the
+    * probe set), `kept`. Counts sum to the corpus size by construction —
+    * the first dashboard a pipeline owner reads after a run. */
+  def cleanReport(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      probeModulus: Int = 50): DataFrame = {
+    val probeFps = docs
+      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
+      .select(fingerprint.as("fp")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs
+      .withColumn("quality", TextAnalysis.qualityOf)
+      .withColumn("fp", fingerprint)
+      .withColumn("rn",
+        when(col("quality") >= minQuality, row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp"), col("quality") >= minQuality)
+            .orderBy(col("doc_id")))))
+      .join(broadcast(probeFps.withColumn("is_probe", lit(true))),
+        Seq("fp"), "left")
+      .withColumn("outcome",
+        when(col("quality") < minQuality, "quality_reject")
+          .when(col("rn") > 1, "duplicate")
+          .when(col("is_probe"), "contaminated")
+          .otherwise("kept"))
+      .groupBy("outcome").agg(count(lit(1)).as("n_docs"))
+      .orderBy("outcome")
+  }
+
   /** Batch twin of [[cleanStream]] over the `documents` fixture: same
     * quality gate, "first doc_id wins" in place of "first arrival wins"
     * for the dedup stage, same no-self-exclusion decontamination against
