@@ -36,12 +36,40 @@ object Dedup {
     p
   }
 
-  /** Unpersist every intermediate cached by previous near-dup calls.
-    * Safe to call while other queries run: an unpersisted block is
-    * recomputed, never wrong. */
+  /** Frames whose lineage [[checkpointed]] truncated. Their blocks are
+    * otherwise freed only when the RDD is GC'd, so a long-lived session
+    * (Bench runs 110+ queries) would accumulate checkpoint blocks. */
+  private val checkpointHandles =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Eager `localCheckpoint` with an explicit release handle: the
+    * checkpoint blocks are dropped by the next [[releaseCaches]] call.
+    * Unlike a persisted frame, a checkpointed frame has NO lineage to
+    * recompute from — after release the returned plan is dead, so do not
+    * hold one across a releaseCaches() boundary (Bench releases between
+    * queries, which is exactly the intended lifetime). */
+  private[graft] def checkpointed(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    checkpointHandles.add(cp)
+    cp
+  }
+
+  /** Unpersist every intermediate cached by previous near-dup calls and
+    * drop checkpoint blocks registered via [[checkpointed]]. Unpersisted
+    * CACHE blocks are recomputed on next access, never wrong; released
+    * CHECKPOINT frames are gone for good (see [[checkpointed]]). */
   def releaseCaches(): Unit = {
     var d = cachedHandles.poll()
     while (d != null) { d.unpersist(blocking = false); d = cachedHandles.poll() }
+    var c = checkpointHandles.poll()
+    while (c != null) {
+      c.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+      c = checkpointHandles.poll()
+    }
   }
 
   /** Exact dedup survivors: first doc_id per normalized-text group.
@@ -335,12 +363,13 @@ object Dedup {
     // pair-generation pipeline (LSH banding / semantic assignment), and
     // the analyzed tree triples per round. Truncating lineage at the loop
     // entrance makes every round's plan leaf a checkpointed RDD scan:
-    // measured 15.1 s → 3.3 s for semantic_dedup's 158-edge graph at
-    // sf0.1. The materialization itself is the pair set — two longs/row.
+    // measured 15.1 s → 2.2 s for semantic_dedup's 158-edge graph at
+    // sf0.1 (the loop itself; 2.6 s end-to-end — PLANS.md round-5 table).
+    // The materialization itself is the pair set — two longs/row.
     val edges =
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .localCheckpoint()
+        .transform(checkpointed)
     // one job per round: persist, then let the convergence aggregate
     // materialize the cache. The fixpoint test sums labels as
     // decimal(38,0): labels are monotone non-increasing, so an unchanged
@@ -383,7 +412,7 @@ object Dedup {
       // late rounds replan expensively. Truncate lineage every few rounds;
       // near-dup graphs converge in 1-3 rounds and never hit this.
       val truncated =
-        if ((it + 1) % checkpointEvery == 0) plan.localCheckpoint() else plan
+        if ((it + 1) % checkpointEvery == 0) checkpointed(plan) else plan
       val (next, s) = materialize(truncated)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -48,13 +48,15 @@ object Packing {
     // __pid ranges than the driver-collected prefix map — silently wrong
     // offsets. A checkpoint truncates lineage: a lost block fails the job
     // instead of recomputing, which keeps the "recomputed, never wrong"
-    // cache contract intact. Blocks are freed by the ContextCleaner when
-    // the frame is GC'd.
+    // cache contract intact. The registered handle lets
+    // Dedup.releaseCaches() free the blocks between bench queries;
+    // after that release the returned plan is dead (same contract as
+    // Dedup.checkpointed — don't reuse across a release boundary).
     val ranged =
       df.repartitionByRange(n, col(orderCol))
         .sortWithinPartitions(orderCol)
         .withColumn("__pid", spark_partition_id())
-        .localCheckpoint()
+        .transform(Dedup.checkpointed)
     val partSums: Map[Int, Long] = ranged
       .groupBy("__pid").agg(sum(valueCol).as("s"))
       .collect()

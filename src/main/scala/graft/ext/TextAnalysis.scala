@@ -39,11 +39,19 @@ object TextAnalysis {
   /** Heuristic language ID: score each language by stopword-lexicon hits
     * over the token stream; predict the max-scoring language with a fixed
     * tie-break order (the lexica order). Deterministic by construction. */
+  // The token array is materialized behind its own projection (referenced
+  // once per lexicon, so CollapseProject keeps the boundary) and the scan
+  // is parallelized: an inline `wsTokens(...)` here would re-tokenize per
+  // lexicon inside interpreted `filter` lambdas — the interpreted-lambda
+  // scan trap this repo documents (see PLANS.md) — and a single-file
+  // fixture would run all of it on one core.
   def langId(docs: DataFrame): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
-    val scored = docs.select(
-      (col("doc_id") +: col("lang").as("labeled_lang") +:
-        langLexica.map { case (l, lex) => lexiconHits(toks, lex).as(s"s_$l") }): _*)
+    val withToks = scanParallel(docs).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      wsTokens(lower(col("text"))).as("toks"))
+    val scored = withToks.select(
+      (col("doc_id") +: col("labeled_lang") +:
+        langLexica.map { case (l, lex) => lexiconHits(col("toks"), lex).as(s"s_$l") }): _*)
     // predicted = first language (in lexica order) achieving the max score
     val predicted = langLexica.map(_._1).foldRight(lit("und")) {
       case (l, rest) =>

@@ -69,16 +69,17 @@ object CorpusIngest {
     val probeFps = docs
       .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
       .select(fingerprint.as("fp")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    // dedup rank: first doc_id among QUALITY-PASSING copies of a
+    // fingerprint (the quality predicate joins the partition key so
+    // rejected copies don't shadow a passing one)
+    val dupRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"), col("quality") >= minQuality)
+      .orderBy(col("doc_id"))
     docs
       .withColumn("quality", TextAnalysis.qualityOf)
       .withColumn("fp", fingerprint)
       .withColumn("rn",
-        when(col("quality") >= minQuality, row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("fp"), col("quality") >= minQuality)
-            .orderBy(col("doc_id")))))
+        when(col("quality") >= minQuality, row_number().over(dupRank)))
       .join(broadcast(probeFps.withColumn("is_probe", lit(true))),
         Seq("fp"), "left")
       .withColumn("outcome",
