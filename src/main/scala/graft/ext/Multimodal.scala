@@ -70,6 +70,222 @@ object Multimodal {
     }
   }
 
+  // ============== codec-free container-header metadata (NOT stubbed) ====
+  //
+  // Media width/height/frame-count/sample-rate live at fixed (or
+  // walkable) offsets in the container HEADER — no codec needed to read
+  // them. PNG IHDR puts dims at byte 16; JPEG requires a marker-segment
+  // walk to the SOFn frame header; RIFF (WAV/AVI) keys fixed little-endian
+  // fields. Everything below parses those bytes two independent ways:
+  //  * [[withHeaderMeta]] — pure Column expressions over hex(payload)
+  //    (substring + conv), fully reproducible in DuckDB → the `media_dims`
+  //    query carries a FULL oracle that re-parses the same hex in SQL;
+  //  * [[HeaderCodec]] — a plain-JVM byte parser for the mapPartitions
+  //    decode seam, so [[extractFeatures]]/[[resize]] report REAL parsed
+  //    dims (FakeCodec remains only for the embedding stub and unknown
+  //    formats).
+  // A spec pins that the two parsers agree row-for-row on the fixture.
+
+  /** PNG signature, hex. */
+  val PngSigHex = "89504E470D0A1A0A"
+  /** Minimal JFIF APP0 segment (16-byte payload), hex. */
+  private val JfifApp0Hex = "FFE00010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000"
+  /** A DQT segment whose PAYLOAD contains the bytes FF C0 — a decoy: an
+    * `instr(hx, 'FFC0')`-style parser would misread dims from inside this
+    * table; only a real segment walk survives it. */
+  private val DqtDecoyHex = "FFDB" + "0006" + "00FFC0FF"
+
+  /** Synthesize a media table WITH genuine container headers from the
+    * `documents` fixture: PNG or baseline-JFIF JPEG for images (split by
+    * doc_id parity within the image class), WAV for audio, RIFF/AVI with
+    * a full `avih` main header for video; the document text rides behind
+    * the header as the opaque body. The header fields (dims, frame count,
+    * sample rate, channels) are deterministic functions of doc_id, so an
+    * oracle can verify the synth→parse round trip end-to-end. */
+  def mediaWithHeaders(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = (pmod(id, lit(1024)) + 1).cast("int")
+    val h = (pmod(id * 7, lit(1024)) + 1).cast("int")
+    val nf = (pmod(id, lit(32)) + 1).cast("int")
+    val sr = (pmod(id, lit(8)) * 4000 + 8000).cast("int")
+    val ch = (pmod(id, lit(2)) + 1).cast("int")
+    def be32(c: Column) = lpad(conv(c.cast("long"), 10, 16), 8, "0")
+    def be16(c: Column) = lpad(conv(c.cast("long"), 10, 16), 4, "0")
+    def swap32(x: Column) =
+      concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2))
+    def le32(c: Column) = swap32(be32(c))
+    def le16(c: Column) = {
+      val b = be16(c)
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    val body = hex(col("text").cast("binary"))
+    val bodyBytes = (length(body) / 2).cast("int")
+    // PNG: sig + IHDR(len 13: w,h,bit 8,color 6,comp/filter/interlace 0) + CRC
+    val png = concat(
+      lit(PngSigHex + "0000000D" + "49484452"), be32(w), be32(h),
+      lit("0806000000" + "00000000"), body)
+    // JPEG: SOI + APP0(JFIF) + DQT decoy + SOF0(prec 8, h, w, 3 comps) + EOI
+    val jpeg = concat(
+      lit("FFD8" + JfifApp0Hex + DqtDecoyHex + "FFC0" + "0011" + "08"),
+      be16(h), be16(w), lit("03" + "011100" + "021101" + "031101"),
+      body, lit("FFD9"))
+    // WAV: RIFF/WAVE + fmt(PCM, channels, rate, derived byte-rate) + data
+    val wav = concat(
+      lit("52494646"), le32(bodyBytes + 36), lit("57415645" + "666D7420"),
+      le32(lit(16)), le16(lit(1)), le16(ch), le32(sr), le32(sr * ch * 2),
+      le16(ch * 2), le16(lit(16)), lit("64617461"), le32(bodyBytes), body)
+    // AVI: RIFF/AVI + LIST hdrl + avih(56-byte MainAVIHeader: µs/frame,
+    // totalFrames at struct offset 16, dwWidth/dwHeight at 32/36)
+    val avi = concat(
+      lit("52494646"), le32(bodyBytes + 80), lit("41564920" + "4C495354"),
+      le32(lit(68)), lit("6864726C" + "61766968"), le32(lit(56)),
+      lit("35820000" + "00000000" + "00000000" + "00000000"), le32(nf),
+      lit("00000000" + "01000000" + "00000000"), le32(w), le32(h),
+      lit("00000000" + "00000000" + "00000000" + "00000000"), body)
+    val hx = when(pmod(id, lit(6)) === 0, png)
+      .when(pmod(id, lit(3)) === 0, jpeg)
+      .when(pmod(id, lit(3)) === 1, wav)
+      .otherwise(avi)
+    docs.select(
+      id.as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(id, lit(3)) + 1).cast("int")).as("kind"),
+      unhex(hx).as("payload"),
+      col("source"),
+      (length(hx) / 2).cast("long").as("declared_bytes"))
+  }
+
+  /** Append parsed container-header metadata columns — format, width,
+    * height, n_frames, sample_rate, channels — to `df`, computed from
+    * `hxExpr` (the hex of the payload) with pure substring/conv
+    * expressions (codegen'd, no UDF, no codec). Fields a format doesn't
+    * define are null; unrecognized payloads parse as ('unknown', nulls).
+    *
+    * The JPEG SOFn marker-segment walk runs as 8 CHAINED PROJECTIONS
+    * (depth 8 ≫ any baseline JFIF preamble), one freeze-step per
+    * projection, so each step's cursor is a materialized attribute: a
+    * single recursive expression would inline the cursor arithmetic ~5×
+    * per level — ~5⁸ expression nodes — and overflow Janino (observed;
+    * same family as the interpreted-lambda inlining trap, but at codegen
+    * size). The DuckDB oracle replays the identical chain as CTEs p1..p8
+    * with the same freeze semantics. `instr`-style SOF scanning is NOT
+    * equivalent — FF C0 can legally occur inside an earlier segment's
+    * payload (the synth plants exactly that decoy in a DQT table). */
+  def withHeaderMeta(df: DataFrame, hxExpr: Column): DataFrame = {
+    val hx = col("__hm_hx")
+    val pos = col("__hm_pos")
+    def hex2int(c: Column) = conv(c, 16, 10).cast("int")
+    def le16at(p: Int) =
+      hex2int(concat(substring(hx, p + 2, 2), substring(hx, p, 2)))
+    def le32at(p: Int) =
+      hex2int(concat(substring(hx, p + 6, 2), substring(hx, p + 4, 2),
+        substring(hx, p + 2, 2), substring(hx, p, 2)))
+    val start = df.withColumn("__hm_hx", hxExpr).withColumn("__hm_pos", lit(5))
+    val walked = (1 to 8).foldLeft(start) { (d, _) =>
+      val marker = hx.substr(pos, lit(4))
+      val len = conv(hx.substr(pos + 4, lit(4)), 16, 10).cast("int")
+      // freeze at SOF (or wherever the guards stop); otherwise advance by
+      // the segment's declared length (marker 2B + len bytes)
+      d.withColumn("__hm_pos",
+        when(marker.isin("FFC0", "FFC1", "FFC2"), pos)
+          .when(marker.startsWith("FF") && length(hx) >= pos + 7,
+            pos + 4 + len * 2)
+          .otherwise(pos))
+    }
+    val isPng = substring(hx, 1, 16) === lit(PngSigHex)
+    val isJpeg = substring(hx, 1, 4) === lit("FFD8")
+    val isRiff = substring(hx, 1, 8) === lit("52494646")
+    val isWav = isRiff && substring(hx, 17, 8) === lit("57415645")
+    val isAvi = isRiff && substring(hx, 17, 8) === lit("41564920")
+    val atSof = hx.substr(pos, lit(4)).isin("FFC0", "FFC1", "FFC2")
+    walked
+      .withColumn("format",
+        when(isPng, "png").when(isJpeg, "jpeg").when(isWav, "wav")
+          .when(isAvi, "avi").otherwise("unknown"))
+      .withColumn("width",
+        when(isPng, hex2int(substring(hx, 33, 8)))
+          .when(isJpeg && atSof, hex2int(hx.substr(pos + 14, lit(4))))
+          .when(isAvi, le32at(129)))
+      .withColumn("height",
+        when(isPng, hex2int(substring(hx, 41, 8)))
+          .when(isJpeg && atSof, hex2int(hx.substr(pos + 10, lit(4))))
+          .when(isAvi, le32at(137)))
+      .withColumn("n_frames",
+        when(isAvi, le32at(97)).when(isPng || isJpeg, lit(1)))
+      .withColumn("sample_rate", when(isWav, le32at(49)))
+      .withColumn("channels", when(isWav, le16at(45)))
+      .drop("__hm_hx", "__hm_pos")
+  }
+
+  /** Plain-JVM twin of [[withHeaderMeta]] for the mapPartitions decode
+    * seam ([[extractFeatures]]/[[resize]]): same formats, same offsets,
+    * same 8-step JPEG walk, same unknown fallback — MediaHeadersSpec pins
+    * byte-for-byte agreement with the Column parser on the fixture. */
+  object HeaderCodec {
+    final case class Meta(
+        format: String,
+        width: Option[Int], height: Option[Int], nFrames: Option[Int],
+        sampleRate: Option[Int], channels: Option[Int])
+    val Unknown = Meta("unknown", None, None, None, None, None)
+
+    private def be(b: Array[Byte], off: Int, n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+      v
+    }
+    private def le(b: Array[Byte], off: Int, n: Int): Int = {
+      var v = 0; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (b(off + i) & 0xff); i -= 1 }
+      v
+    }
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def parse(p: Array[Byte]): Meta = {
+      if (p == null || p.length < 24) return Unknown
+      if (p.take(8).sameElements(PngSig))
+        Meta("png", Some(be(p, 16, 4)), Some(be(p, 20, 4)), Some(1), None, None)
+      else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+        // marker-segment walk, same bound and guards as jpegSof
+        var pos = 2; var depth = 8
+        var dims: Option[(Int, Int)] = None
+        while (depth > 0 && dims.isEmpty && pos + 3 < p.length &&
+            (p(pos) & 0xff) == 0xff) {
+          val m = p(pos + 1) & 0xff
+          if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+            if (pos + 8 < p.length)
+              dims = Some((be(p, pos + 7, 2), be(p, pos + 5, 2)))
+            depth = 0 // truncated SOF: stop, no dims
+          } else pos += 2 + be(p, pos + 2, 2)
+          depth -= 1
+        }
+        Meta("jpeg", dims.map(_._1), dims.map(_._2), Some(1), None, None)
+      } else if (tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE" && p.length >= 28)
+        Meta("wav", None, None, None, Some(le(p, 24, 4)), Some(le(p, 22, 2)))
+      else if (tag(p, 0) == "RIFF" && tag(p, 8) == "AVI " && p.length >= 72)
+        Meta("avi", Some(le(p, 64, 4)), Some(le(p, 68, 4)),
+          Some(le(p, 48, 4)), None, None)
+      else Unknown
+    }
+
+    /** Spatial dims where the format defines them; (0,0) for audio-only
+      * containers (WAV); None only for unrecognized payloads. */
+    def dims(p: Array[Byte]): Option[(Int, Int)] = parse(p) match {
+      case Meta("wav", _, _, _, _, _)            => Some((0, 0))
+      case Meta(_, Some(w), Some(h), _, _, _)    => Some((w, h))
+      case _                                     => None
+    }
+
+    def frames(p: Array[Byte]): Option[Int] = parse(p) match {
+      case Meta("unknown", _, _, _, _, _) => None
+      case m                              => Some(m.nFrames.getOrElse(1))
+    }
+  }
+
   /** Synthesize a media table from the `documents` fixture (payload = text
     * bytes) — the environment has no binary fixtures; the schema is the
     * real contract. */
@@ -85,16 +301,22 @@ object Multimodal {
 
   /** Decode + featurize, batched per partition (the `mapInPandas` shape:
     * one iterator pass per partition, no per-row JVM round trips beyond the
-    * codec call). Deterministic given payloads. */
+    * codec call). Dims and frame counts come from the REAL header parse
+    * ([[HeaderCodec]]) when the container is recognized — genuinely
+    * correct, no codec — with the [[FakeCodec]] stub only for unrecognized
+    * payloads and for the embedding vector (the one stage that truly needs
+    * a model/codec this environment lacks). Deterministic given payloads. */
   def extractFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.map { r =>
-        val (w, h) = FakeCodec.dims(r.payload)
+        val (w, h) = HeaderCodec.dims(r.payload)
+          .getOrElse(FakeCodec.dims(r.payload))
         MediaFeatures(
           r.media_id, r.kind, w, h,
-          FakeCodec.frameCount(r.payload, r.kind),
+          HeaderCodec.frames(r.payload)
+            .getOrElse(FakeCodec.frameCount(r.payload, r.kind)),
           FakeCodec.features(r.payload, featureDim))
       }
     }.toDF()
@@ -122,15 +344,18 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.map { r =>
-        val (w, h) = FakeCodec.dims(r.payload)
+        val (w, h) = HeaderCodec.dims(r.payload)
+          .getOrElse(FakeCodec.dims(r.payload))
+        // audio (and any spatially dimension-less container, parsed as
+        // 0×0) passes through untouched at scale 1
         val s =
-          if (r.kind == "audio") 1.0
+          if (r.kind == "audio" || w <= 0 || h <= 0) 1.0
           else math.min(1.0, maxDim.toDouble / math.max(w, h))
         // STUB: a real codec would resample pixels here; geometry is real
         ResizedMedia(
           r.media_id, r.kind, w, h,
-          math.max(1, math.round(w * s).toInt),
-          math.max(1, math.round(h * s).toInt),
+          if (s >= 1.0) w else math.max(1, math.round(w * s).toInt),
+          if (s >= 1.0) h else math.max(1, math.round(h * s).toInt),
           s, r.payload)
       }
     }.toDF()

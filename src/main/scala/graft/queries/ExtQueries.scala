@@ -35,6 +35,68 @@ object ExtQueries {
   private def dotSql(a: String, b: String): String =
     (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
 
+  // --- media-header twins (graft.ext.Multimodal.mediaWithHeaders /
+  //     headerMetaFromHex). Keep every constant and offset in lockstep. ---
+  private def le32Sql(e: String): String = {
+    val b = s"lpad(hex($e),8,'0')"
+    s"(substring($b,7,2) || substring($b,5,2) || substring($b,3,2) || substring($b,1,2))"
+  }
+  private def le16Sql(e: String): String = {
+    val b = s"lpad(hex($e),4,'0')"
+    s"(substring($b,3,2) || substring($b,1,2))"
+  }
+  private def le32AtSql(p: Int): String =
+    s"CAST('0x' || substring(hx,${p + 6},2) || substring(hx,${p + 4},2) || " +
+      s"substring(hx,${p + 2},2) || substring(hx,$p,2) AS INT)"
+  private def le16AtSql(p: Int): String =
+    s"CAST('0x' || substring(hx,${p + 2},2) || substring(hx,$p,2) AS INT)"
+
+  /** DuckDB twin of `Multimodal.mediaWithHeaders`: CTEs `base` + `mh`
+    * producing (media_id, kind, hx) with identical header bytes. */
+  private val mediaHxCte =
+    s"""base AS (SELECT doc_id, hex(text::BLOB) AS body,
+  1 + doc_id % 1024 AS w, 1 + (doc_id*7) % 1024 AS h, 1 + doc_id % 32 AS nf,
+  8000 + (doc_id % 8) * 4000 AS sr, 1 + doc_id % 2 AS ch FROM documents),
+mh AS (SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  CASE
+    WHEN doc_id % 6 = 0 THEN
+      '89504E470D0A1A0A' || '0000000D49484452' || lpad(hex(w),8,'0') ||
+      lpad(hex(h),8,'0') || '080600000000000000' || body
+    WHEN doc_id % 3 = 0 THEN
+      'FFD8' || 'FFE000104A46494600010100000100010000' || 'FFDB000600FFC0FF' ||
+      'FFC0001108' || lpad(hex(h),4,'0') || lpad(hex(w),4,'0') ||
+      '03011100021101031101' || body || 'FFD9'
+    WHEN doc_id % 3 = 1 THEN
+      '52494646' || ${le32Sql("len(body)//2 + 36")} || '57415645666D7420' ||
+      ${le32Sql("16")} || ${le16Sql("1")} || ${le16Sql("ch")} ||
+      ${le32Sql("sr")} || ${le32Sql("sr*ch*2")} || ${le16Sql("ch*2")} ||
+      ${le16Sql("16")} || '64617461' || ${le32Sql("len(body)//2")} || body
+    ELSE
+      '52494646' || ${le32Sql("len(body)//2 + 80")} || '415649204C495354' ||
+      ${le32Sql("68")} || '6864726C61766968' || ${le32Sql("56")} ||
+      '35820000000000000000000000000000' || ${le32Sql("nf")} ||
+      '000000000100000000000000' || ${le32Sql("w")} || ${le32Sql("h")} ||
+      '00000000000000000000000000000000' || body
+  END AS hx FROM base)"""
+
+  /** DuckDB twin of the JPEG SOF segment walk in
+    * `Multimodal.headerMetaFromHex`: 8 unrolled steps over CTEs p0..p8;
+    * pos freezes at the first SOF0/1/2 marker (or wherever the guards
+    * stop it). Same guards as the Spark expression. */
+  private val jpegWalkCtes: String = {
+    val step =
+      """CASE WHEN substring(hx,pos,4) IN ('FFC0','FFC1','FFC2') THEN pos
+       WHEN substring(hx,pos,2) = 'FF' AND len(hx) >= pos+7
+         THEN pos + 4 + 2*CAST('0x' || substring(hx,pos+4,4) AS INT)
+       ELSE pos END"""
+    "p0 AS (SELECT *, 5 AS pos FROM mh),\n" +
+      (1 to 8).map(i =>
+        s"p$i AS (SELECT * REPLACE(($step) AS pos) FROM p${i - 1})")
+        .mkString(",\n")
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ------------------------------------------------------------- dedup
@@ -1348,17 +1410,58 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
       None),
 
     // ------------------------------------------------------- multimodal
-    // Binary-payload plumbing with a stubbed codec (no media libs in this
-    // container): rows-only + MultimodalSpec.
-    // The gate's rows-only pass sorts every column, so the raw array<float>
-    // feature column must not reach it (unhashable in the compare). The
-    // registered query projects the array to a stable scalar digest; the
-    // library API (Multimodal.extractFeatures) keeps the real array.
+    // Container-header metadata — genuinely correct, codec-free: the
+    // media fixture carries REAL PNG/JPEG/WAV/AVI headers and the query
+    // parses dims/frames/rate from the header bytes with pure
+    // substring/conv expressions over hex(payload). The oracle
+    // re-synthesizes the identical bytes in DuckDB and RE-PARSES them in
+    // SQL (including the 8-step JPEG marker-segment walk past a planted
+    // FF C0 decoy inside a DQT segment), so the whole synth→parse chain
+    // is verified cross-engine.
+    ("media_dims",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        graft.ext.Multimodal.withHeaderMeta(
+          graft.ext.Multimodal.mediaWithHeaders(docs(s, d))
+            .select("media_id", "kind", "payload"),
+          hex(col("payload")))
+          .select("media_id", "kind", "format", "width", "height",
+            "n_frames", "sample_rate", "channels")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $mediaHxCte,
+$jpegWalkCtes,
+meta AS (SELECT media_id, kind, hx, pos,
+  CASE WHEN substring(hx,1,16) = '89504E470D0A1A0A' THEN 'png'
+       WHEN substring(hx,1,4) = 'FFD8' THEN 'jpeg'
+       WHEN substring(hx,1,8) = '52494646' AND substring(hx,17,8) = '57415645' THEN 'wav'
+       WHEN substring(hx,1,8) = '52494646' AND substring(hx,17,8) = '41564920' THEN 'avi'
+       ELSE 'unknown' END AS format
+  FROM p8)
+SELECT media_id, kind, format,
+  CASE WHEN format = 'png' THEN CAST('0x' || substring(hx,33,8) AS INT)
+       WHEN format = 'jpeg' AND substring(hx,pos,4) IN ('FFC0','FFC1','FFC2')
+         THEN CAST('0x' || substring(hx,pos+14,4) AS INT)
+       WHEN format = 'avi' THEN ${le32AtSql(129)} END AS width,
+  CASE WHEN format = 'png' THEN CAST('0x' || substring(hx,41,8) AS INT)
+       WHEN format = 'jpeg' AND substring(hx,pos,4) IN ('FFC0','FFC1','FFC2')
+         THEN CAST('0x' || substring(hx,pos+10,4) AS INT)
+       WHEN format = 'avi' THEN ${le32AtSql(137)} END AS height,
+  CASE WHEN format = 'avi' THEN ${le32AtSql(97)}
+       WHEN format IN ('png','jpeg') THEN 1 END AS n_frames,
+  CASE WHEN format = 'wav' THEN ${le32AtSql(49)} END AS sample_rate,
+  CASE WHEN format = 'wav' THEN ${le16AtSql(45)} END AS channels
+FROM meta ORDER BY media_id""")),
+
+    // Feature extraction: dims + frame counts now come from the REAL
+    // header parse (HeaderCodec in the mapPartitions seam); only the
+    // embedding vector remains stubbed, so the query stays rows-only for
+    // the digest column while MediaHeadersSpec pins the parsed fields.
     ("media_features",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         graft.ext.Multimodal
-          .extractFeatures(graft.ext.Multimodal.mediaFromDocuments(docs(s, d)))
+          .extractFeatures(graft.ext.Multimodal.mediaWithHeaders(docs(s, d)))
           .select(
             col("media_id"), col("kind"), col("width"), col("height"),
             col("n_frames"),
@@ -1368,27 +1471,50 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
       },
       None),
 
-    // Aspect-preserving resize geometry (codec stubbed): rows-only +
-    // MultimodalSpec invariants.
+    // Aspect-preserving resize geometry over header-parsed dims — fully
+    // oracle-able now: the oracle derives the same dims from the synth
+    // formulas (ground truth the parse must reproduce) and replays the
+    // identical scale/rounding arithmetic (floor(x+0.5) == JVM
+    // Math.round for the positive values here).
     ("media_resize",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         graft.ext.Multimodal
-          .resize(graft.ext.Multimodal.mediaFromDocuments(docs(s, d)))
+          .resize(graft.ext.Multimodal.mediaWithHeaders(docs(s, d)))
           .select(col("media_id"), col("kind"), col("orig_width"),
             col("orig_height"), col("width"), col("height"),
             round(col("scale"), 6).as("scale_r"))
           .orderBy("media_id")
       },
-      None),
+      Some("""WITH md AS (SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + doc_id % 1024 END AS INT) AS ow,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + (doc_id*7) % 1024 END AS INT) AS oh
+  FROM documents),
+r AS (SELECT media_id, kind, ow, oh,
+  CASE WHEN kind = 'audio' OR ow <= 0 OR oh <= 0 THEN 1.0
+       ELSE least(1.0, 256.0 / greatest(ow, oh)) END AS s FROM md)
+SELECT media_id, kind, ow AS orig_width, oh AS orig_height,
+  CAST(CASE WHEN s >= 1.0 THEN ow
+            ELSE greatest(1, CAST(floor(ow * s + 0.5) AS INT)) END AS INT) AS width,
+  CAST(CASE WHEN s >= 1.0 THEN oh
+            ELSE greatest(1, CAST(floor(oh * s + 0.5) AS INT)) END AS INT) AS height,
+  round(s, 6) AS scale_r
+FROM r ORDER BY media_id""")),
 
+    // Frame sampling over the AVI-header-parsed frame count — fully
+    // oracle-able: videos are doc_id%3=2, nf = 1 + doc_id%32 by synth.
     ("media_frame_sample",
       (s: SparkSession, d: String) =>
         graft.ext.Multimodal.sampleFrames(
           graft.ext.Multimodal
-            .extractFeatures(graft.ext.Multimodal.mediaFromDocuments(docs(s, d))))
+            .extractFeatures(graft.ext.Multimodal.mediaWithHeaders(docs(s, d))))
           .orderBy("media_id", "frame_idx"),
-      None)
+      Some("""WITH md AS (SELECT doc_id AS media_id, 1 + doc_id % 32 AS nf
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, CAST(unnest(range(0, nf, 4)) AS INT) AS frame_idx
+FROM md ORDER BY media_id, frame_idx"""))
   )
 
   val queries: Map[String, Q] =

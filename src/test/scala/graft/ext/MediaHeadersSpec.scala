@@ -1,0 +1,134 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Codec-free container-header parsing: the synthesized PNG/JPEG/WAV/AVI
+  * headers must round-trip through BOTH parsers — the pure-Column
+  * hex/substring/conv parser (what the `media_dims` oracle replays in
+  * DuckDB) and the JVM byte parser behind the mapPartitions decode seam —
+  * and the two must agree row-for-row. */
+class MediaHeadersSpec extends SparkSuite {
+
+  private lazy val docs =
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val media = Multimodal.mediaWithHeaders(docs)
+
+  private lazy val parsed: Array[Row] = Multimodal
+    .withHeaderMeta(media.select("media_id", "kind", "payload"),
+      hex(col("payload")))
+    .orderBy("media_id")
+    .collect()
+
+  private def optInt(r: Row, field: String): Option[Int] =
+    if (r.isNullAt(r.fieldIndex(field))) None else Some(r.getAs[Int](field))
+
+  test("Column parser round-trips every synthesized header field") {
+    assert(parsed.nonEmpty)
+    val formats = parsed.map(_.getAs[String]("format")).toSet
+    assert(formats === Set("png", "jpeg", "wav", "avi"))
+    parsed.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (1 + id % 1024).toInt
+      val h = (1 + (id * 7) % 1024).toInt
+      r.getAs[String]("format") match {
+        case "png" | "jpeg" =>
+          assert(id % 3 === 0)
+          assert(optInt(r, "width") === Some(w), s"media $id width")
+          assert(optInt(r, "height") === Some(h), s"media $id height")
+          assert(optInt(r, "n_frames") === Some(1))
+          assert(optInt(r, "sample_rate") === None)
+        case "wav" =>
+          assert(id % 3 === 1)
+          assert(optInt(r, "width") === None)
+          assert(optInt(r, "sample_rate") === Some((8000 + (id % 8) * 4000).toInt))
+          assert(optInt(r, "channels") === Some((1 + id % 2).toInt))
+        case "avi" =>
+          assert(id % 3 === 2)
+          assert(optInt(r, "width") === Some(w))
+          assert(optInt(r, "height") === Some(h))
+          assert(optInt(r, "n_frames") === Some((1 + id % 32).toInt))
+        case f => fail(s"unexpected format $f for media $id")
+      }
+    }
+  }
+
+  test("JVM HeaderCodec agrees with the Column parser row-for-row") {
+    parsed.foreach { r =>
+      val m = Multimodal.HeaderCodec.parse(r.getAs[Array[Byte]]("payload"))
+      val id = r.getAs[Long]("media_id")
+      assert(m.format === r.getAs[String]("format"), s"media $id format")
+      assert(m.width === optInt(r, "width"), s"media $id width")
+      assert(m.height === optInt(r, "height"), s"media $id height")
+      // the Column parser reports n_frames=1 for stills; the JVM parser
+      // reports the same through frames()
+      assert(m.sampleRate === optInt(r, "sample_rate"), s"media $id rate")
+      assert(m.channels === optInt(r, "channels"), s"media $id channels")
+      assert(m.nFrames === optInt(r, "n_frames"), s"media $id n_frames")
+      // the decode-seam helper additionally defaults frame-less known
+      // formats (wav) to 1 frame for the feature pipeline
+      val nf = Multimodal.HeaderCodec.frames(r.getAs[Array[Byte]]("payload"))
+      assert(nf === optInt(r, "n_frames").orElse(Some(1)), s"media $id frames()")
+    }
+  }
+
+  test("JPEG segment walk survives the planted FF C0 decoy where a " +
+      "naive substring search would misparse") {
+    val jpeg = parsed.find(_.getAs[String]("format") == "jpeg").get
+    val hx = jpeg.getAs[Array[Byte]]("payload")
+      .map("%02X".format(_)).mkString
+    val naive = hx.indexOf("FFC0")
+    // the decoy FF C0 sits inside the DQT payload (0-based hex offset 50),
+    // BEFORE the real SOF0 at offset 56 — instr-style parsing reads dims
+    // out of quantization-table bytes
+    assert(naive === 50, "decoy is the first FFC0 occurrence")
+    val naiveWidth = Integer.parseInt(hx.substring(naive + 14, naive + 18), 16)
+    assert(optInt(jpeg, "width").get !== naiveWidth,
+      "naive parse yields wrong dims; the walk does not")
+  }
+
+  test("truncated and garbage payloads parse as unknown and never throw") {
+    val garbage = Seq[Array[Byte]](
+      null,
+      Array[Byte](),
+      "plain text payload, no container header".getBytes("UTF-8"),
+      Array[Byte](0xff.toByte, 0xd8.toByte), // bare SOI, truncated
+      "RIFF1234WAV".getBytes("UTF-8")) // truncated RIFF
+    garbage.foreach { p =>
+      val m = Multimodal.HeaderCodec.parse(p)
+      assert(m.format === "unknown", s"payload ${Option(p).map(_.length)}")
+    }
+    // Column parser on the same shapes (short/odd hex strings)
+    val hxs = Seq("", "FFD8", "5249464631323334574156",
+      "706C61696E2074657874")
+    import spark.implicits._
+    val out = Multimodal.withHeaderMeta(hxs.toDF("hx"), col("hx"))
+      .select(col("format")).collect().map(_.getString(0))
+    assert(out.forall(f => f == "unknown" || f == "jpeg"))
+  }
+
+  test("extractFeatures and resize consume the parsed dims") {
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    feats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      if (id % 3 == 0)
+        assert(r.getAs[Int]("width") === (1 + id % 1024).toInt)
+      if (id % 3 == 1) { // wav: no spatial dims
+        assert(r.getAs[Int]("width") === 0)
+        assert(r.getAs[Int]("n_frames") === 1)
+      }
+      if (id % 3 == 2)
+        assert(r.getAs[Int]("n_frames") === (1 + id % 32).toInt)
+    }
+    val resized = Multimodal.resize(media, maxDim = 256).collect()
+    resized.foreach { r =>
+      if (r.getAs[String]("kind") == "audio") {
+        assert(r.getAs[Int]("width") === 0, "0-dim audio passes through")
+        assert(r.getAs[Double]("scale") === 1.0)
+      } else {
+        assert(r.getAs[Int]("width") <= 256 && r.getAs[Int]("width") >= 1)
+      }
+    }
+  }
+}
