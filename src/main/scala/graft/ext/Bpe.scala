@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) vocabulary learner and tokenizer —
+  * the learned-subword layer every token statistic in this repo
+  * ([[TextAnalysis.tokenCounts]], [[Packing]], length buckets, PMI) sits
+  * on top of in a real training pipeline. Classic BPE (Sennrich et al.,
+  * ACL 2016) re-expressed for Spark's execution model:
+  *
+  *  - Training runs on the WORD-FREQUENCY table, not the corpus stream
+  *    (standard practice): one corpus-wide explode+count shuffle, then
+  *    every merge round touches only the vocabulary-sized state frame.
+  *  - Each word is held as a SPACED-SYMBOL STRING (`" a b c"`): a merge
+  *    of pair (l, r) is then a single codegen'd
+  *    `replace(ws, " l r", " lr")` — leftmost non-overlapping scan, the
+  *    exact fold semantics BPE needs, and identical in DuckDB, so the
+  *    oracle replays the whole learner as unrolled SQL rounds. No
+  *    interpreted lambdas anywhere in the loop.
+  *  - The loop is driver-paced like [[Dedup.components]]: one tiny
+  *    aggregate job per round (the arg-max pair — a LIMIT 1 collect,
+  *    same footprint as components' convergence sum), with the state
+  *    lineage truncated through [[Dedup.checkpointed]] every
+  *    `checkpointEvery` rounds so round r never replans rounds 1..r-1.
+  *
+  * Determinism: pair counts are exact longs; the winning pair is the max
+  * count with ties broken lexicographically on (left, right) — so the
+  * merge table, and therefore the tokenization, is a pure function of
+  * the corpus, which is what makes the DuckDB oracle possible.
+  *
+  * Scale: the corpus is touched exactly once (word counting, map-side
+  * combined). State is |vocab| rows — orders of magnitude below corpus
+  * size at any scale — so 20 rounds of vocab-frame aggregates are cheap
+  * even at 100 TB; raise `statePartitions` with vocabulary size.
+  * Reference surface: the reference has no tokenizer at all
+  * (strategy.py tokenizes nothing); this is pipeline-tier capability.
+  */
+object Bpe {
+
+  import TextOps._
+
+  /** One learned merge: rank order, the two symbols joined, and the pair
+    * frequency at the time of the merge. */
+  final case class Merge(
+      merge_rank: Int, left_sym: String, right_sym: String, pair_n: Long)
+
+  /** `" a b c"` spaced-symbol encoding of a word. The leading space makes
+    * every symbol occurrence carry a left boundary, so `" l r"` cannot
+    * match a symbol SUFFIX (e.g. pair (b,c) must not fire on ["ab","c"]). */
+  private def spacedChars(w: Column): Column =
+    concat(lit(" "), array_join(split(w, ""), " "))
+
+  /** Corpus word-frequency table over the BPE pre-tokenizer
+    * ([[TextOps.bpeIshPattern]] on lowercased text). The ONE corpus-wide
+    * pass of the whole learner. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    scanParallel(docs)
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit(bpeIshPattern), lit(0)))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Learn `numMerges` merges. Stops early if no adjacent pair remains
+    * (every word fully merged). */
+  def learn(
+      docs: DataFrame,
+      numMerges: Int = 20,
+      statePartitions: Int = 8,
+      checkpointEvery: Int = 8): Seq[Merge] = {
+    var state = Dedup.checkpointed(
+      wordCounts(docs)
+        .select(spacedChars(col("w")).as("ws"), col("cnt"))
+        .repartition(statePartitions))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      // adjacent symbol pairs weighted by word frequency; the symbol
+      // array is materialized behind its own projection (referenced 3×,
+      // so the boundary holds) before the pair-expansion lambda reads it
+      val pairs = state
+        .select(col("cnt"),
+          split(col("ws").substr(lit(2), length(col("ws"))), " ").as("syms"))
+        .select(col("cnt"),
+          explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(
+                element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")))
+            .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("n"))
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(r, l, rr, n)
+        val next = state.withColumn("ws",
+          replace(col("ws"), lit(" " + l + " " + rr), lit(" " + l + rr)))
+        state =
+          if (r % checkpointEvery == 0 && r < numMerges)
+            Dedup.checkpointed(next)
+          else next
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The learned merge table as a DataFrame (rank order). */
+  def vocab(docs: DataFrame, numMerges: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    spark.createDataFrame(learn(docs, numMerges))
+      .select("merge_rank", "left_sym", "right_sym", "pair_n")
+      .orderBy("merge_rank")
+  }
+
+  /** Apply a learned merge table to the corpus: per doc, pre-tokenize,
+    * encode each word as a spaced-symbol string, join words with a
+    * newline (never a symbol character — [[TextOps.bpeIshPattern]]
+    * excludes whitespace — so merges cannot cross word boundaries), then
+    * replay the merges in rank order as chained `replace`s. Output:
+    * (doc_id, n_tokens, tokens_digest) — the digest is md5 of the final
+    * space-joined token stream, so the oracle checks the full
+    * tokenization, not just counts. */
+  def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val wordStrs = transform(
+      regexp_extract_all(lower(col("text")), lit(bpeIshPattern), lit(0)),
+      w => concat(lit(" "), array_join(split(w, ""), " ")))
+    val base = scanParallel(docs)
+      .select(col("doc_id"), array_join(wordStrs, "\n").as("ds"))
+    val merged = merges.foldLeft(base) { (d, m) =>
+      d.withColumn("ds", replace(col("ds"),
+        lit(" " + m.left_sym + " " + m.right_sym),
+        lit(" " + m.left_sym + m.right_sym)))
+    }
+    merged
+      .select(col("doc_id"), trim(translate(col("ds"), "\n", "")).as("ts"))
+      .select(col("doc_id"),
+        when(col("ts") === "", lit(0))
+          .otherwise(size(split(col("ts"), " "))).as("n_tokens"),
+        md5(col("ts")).as("tokens_digest"))
+  }
+}

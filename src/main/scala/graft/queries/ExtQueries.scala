@@ -81,6 +81,76 @@ mh AS (SELECT doc_id AS media_id,
       '00000000000000000000000000000000' || body
   END AS hx FROM base)"""
 
+  // --- BPE twins (graft.ext.Bpe). The learner is deterministic (exact
+  //     long counts, lexicographic tie-break), so DuckDB re-learns the
+  //     SAME merge table by replaying the loop as unrolled CTE rounds:
+  //     w{r} = word state, p{r} = pair counts, b{r} = the round's arg-max
+  //     pair. replace() is leftmost-non-overlapping in both engines, which
+  //     is exactly BPE's in-word merge order. ---
+  private val bpeMerges = 20
+  private val bpePatSql = "[a-z0-9]+|[^a-z0-9\\s]"
+
+  /** `wrd` + `w0`: word-frequency table and initial spaced-symbol state.
+    * State (w) and arg-max (b) CTEs are MATERIALIZED: DuckDB inlines
+    * CTEs by default, and each round references the previous state from
+    * two places (next state + pair counts) and its arg-max from three,
+    * so 20 inlined rounds expand exponentially (observed as thousands of
+    * re-opened parquet scans). Materialization makes the replay linear —
+    * the same reason the Spark loop checkpoints its state. */
+  private val bpeInitCte =
+    s"""wrd AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '$bpePatSql')) AS w
+  FROM documents) GROUP BY w),
+w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+  list_transform(range(1, len(w)+1), i -> w[i]), ' ') AS word_str, cnt
+  FROM wrd)"""
+
+  private def bpeRoundCtes(n: Int): String =
+    (1 to n).map { r =>
+      s"""p$r AS (SELECT l, r, sum(cnt)::BIGINT AS n FROM (
+  SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r, cnt
+  FROM (SELECT string_split(substring(word_str, 2), ' ') AS syms, cnt FROM w${r - 1}))
+  GROUP BY l, r),
+b$r AS MATERIALIZED (SELECT l AS left_sym, r AS right_sym, n AS pair_n FROM p$r
+  ORDER BY n DESC, l, r LIMIT 1),
+w$r AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN word_str
+  ELSE replace(word_str,
+    ' ' || (SELECT left_sym FROM b$r) || ' ' || (SELECT right_sym FROM b$r),
+    ' ' || (SELECT left_sym FROM b$r) || (SELECT right_sym FROM b$r)) END AS word_str,
+  cnt FROM w${r - 1})"""
+    }.mkString(",\n")
+
+  private def bpeVocabSql(n: Int): String =
+    s"""WITH $bpeInitCte,
+${bpeRoundCtes(n)}
+SELECT * FROM (
+${(1 to n).map(r =>
+      s"SELECT CAST($r AS INT) AS merge_rank, left_sym, right_sym, pair_n FROM b$r")
+      .mkString("\nUNION ALL ")}
+) ORDER BY merge_rank"""
+
+  private def bpeTokenizeSql(n: Int): String = {
+    val docChain = (1 to n).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT doc_id, CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN ds
+  ELSE replace(ds,
+    ' ' || (SELECT left_sym FROM b$r) || ' ' || (SELECT right_sym FROM b$r),
+    ' ' || (SELECT left_sym FROM b$r) || (SELECT right_sym FROM b$r)) END AS ds
+  FROM d${r - 1})"""
+    }.mkString(",\n")
+    s"""WITH $bpeInitCte,
+${bpeRoundCtes(n)},
+d0 AS (SELECT doc_id, array_to_string(list_transform(
+  regexp_extract_all(lower(text), '$bpePatSql'),
+  w -> ' ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ')),
+  chr(10)) AS ds FROM documents),
+$docChain,
+fin AS (SELECT doc_id, trim(replace(ds, chr(10), '')) AS ts FROM d$n)
+SELECT doc_id,
+  CAST(CASE WHEN ts = '' THEN 0 ELSE len(string_split(ts, ' ')) END AS INT) AS n_tokens,
+  md5(ts) AS tokens_digest
+FROM fin ORDER BY doc_id"""
+  }
+
   /** DuckDB twin of the JPEG SOF segment walk in
     * `Multimodal.headerMetaFromHex`: 8 unrolled steps over CTEs p0..p8;
     * pos freezes at the first SOF0/1/2 marker (or wherever the guards
@@ -1408,6 +1478,22 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
       (s: SparkSession, d: String) =>
         Similarity.annRecall(embs(s, d), numQueries = 10, k = 10),
       None),
+
+    // ----------------------------------------------------- BPE tokenizer
+    // The learned-subword layer: a deterministic distributed BPE merge
+    // learner (driver-paced fixpoint like `components`; state is the
+    // vocabulary-sized word-frequency frame) and its tokenizer apply.
+    // DuckDB re-learns the identical merge table by replaying the rounds
+    // as unrolled CTEs, so BOTH queries carry full oracles.
+    ("bpe_vocab",
+      (s: SparkSession, d: String) => graft.ext.Bpe.vocab(docs(s, d), bpeMerges),
+      Some(bpeVocabSql(bpeMerges))),
+
+    ("bpe_tokenize",
+      (s: SparkSession, d: String) =>
+        graft.ext.Bpe.tokenize(docs(s, d),
+          graft.ext.Bpe.learn(docs(s, d), bpeMerges)).orderBy("doc_id"),
+      Some(bpeTokenizeSql(bpeMerges))),
 
     // ------------------------------------------------------- multimodal
     // Container-header metadata — genuinely correct, codec-free: the

@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.SparkSuite
+
+/** BPE learner semantics on planted corpora: merge order, deterministic
+  * tie-breaks, in-word merge folding, word-boundary isolation, and the
+  * tokenizer apply. */
+class BpeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("most frequent pair merges first; less frequent follows") {
+    val docs = docsOf("ab ab ab cd")
+    val m = Bpe.learn(docs, numMerges = 2)
+    assert(m.map(x => (x.merge_rank, x.left_sym, x.right_sym, x.pair_n)) ===
+      Seq((1, "a", "b", 3L), (2, "c", "d", 1L)))
+  }
+
+  test("equal counts break ties lexicographically on (left, right)") {
+    val docs = docsOf("ba dc ba dc")
+    val m = Bpe.learn(docs, numMerges = 2)
+    assert(m.map(x => (x.left_sym, x.right_sym)) ===
+      Seq(("b", "a"), ("d", "c")))
+  }
+
+  test("merged symbols fold leftmost-first and re-pair across rounds") {
+    // "aaab": pairs (a,a)x2, (a,b)x1 per word → round 1 merges (a,a)
+    // leftmost-first: [aa, a, b]. Round 2 pairs: (aa,a) and (a,b), both
+    // count 2 → lexicographic: "a" < "aa", so (a,b) merges before (aa,a).
+    val docs = docsOf("aaab aaab")
+    val m = Bpe.learn(docs, numMerges = 3)
+    assert(m.map(x => (x.left_sym, x.right_sym)) ===
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("merges never cross word boundaries") {
+    // pair (b,c) dominates INSIDE "bc"; "ab" followed by word "c" must
+    // not produce a (b,c) merge site across the boundary
+    val docs = docsOf("bc bc bc", "ab c")
+    val m = Bpe.learn(docs, numMerges = 1)
+    assert(m.head.left_sym === "b" && m.head.right_sym === "c")
+    assert(m.head.pair_n === 3L, "only the in-word occurrences count")
+  }
+
+  test("single-symbol vocabulary stops the learner early") {
+    val docs = docsOf("a b a b")
+    val m = Bpe.learn(docs, numMerges = 5)
+    assert(m.isEmpty)
+    val toks = Bpe.tokenize(docs, m).orderBy("doc_id").collect()
+    assert(toks.map(_.getAs[Int]("n_tokens")).toSeq === Seq(4))
+  }
+
+  test("tokenize applies the learned merges in rank order") {
+    val docs = docsOf("abab abab", "ab", "xy")
+    val m = Bpe.learn(docs, numMerges = 2)
+    // (a,b) count 5 merges first; then (ab,ab) count 2
+    assert(m.map(x => (x.left_sym, x.right_sym)) ===
+      Seq(("a", "b"), ("ab", "ab")))
+    val out = Bpe.tokenize(docs, m).orderBy("doc_id").collect()
+    // doc 0: two words "abab" → [abab] each → 2 tokens
+    // doc 1: "ab" → [ab] → 1 token; doc 2: "xy" → [x, y] → 2 tokens
+    assert(out.map(_.getAs[Int]("n_tokens")).toSeq === Seq(2, 1, 2))
+  }
+
+  test("vocab frame matches the learned merges and is rank-ordered") {
+    val docs = docsOf("ab ab ab cd")
+    val v = Bpe.vocab(docs, numMerges = 2).collect()
+    assert(v.map(_.getAs[Int]("merge_rank")).toSeq === Seq(1, 2))
+    assert(v.head.getAs[String]("left_sym") === "a")
+    assert(v.head.getAs[Long]("pair_n") === 3L)
+  }
+}
