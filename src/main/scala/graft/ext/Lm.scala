@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model perplexity — the model-based
+  * quality signal (CCNet/Gopher style) that [[TextAnalysis.qualityScore]]'s
+  * surface heuristics cannot provide: gibberish salted with common
+  * stopwords sails through length/alpha/stopword ratios, but its tokens
+  * are rare under the corpus LM, so its perplexity spikes.
+  *
+  * The LM is trained ON the scored corpus itself (self-inclusive — the
+  * standard corpus-triage setup: one aggregate to train, one scan to
+  * score) with add-k smoothing (k = 0.5), so every statistic is a pure
+  * deterministic function of the corpus and both queries carry FULL
+  * DuckDB oracles.
+  *
+  * Cross-engine float discipline: a per-doc sum of raw DOUBLE log-probs
+  * would hash-diverge (shuffled aggregation order + non-associative
+  * addition). Each token's log-prob is truncated to DECIMAL(28,12) FIRST
+  * — decimal addition is exact and order-free, so the groupBy sum is
+  * deterministic in any engine at any partitioning; the 1e-12 grid is 4
+  * orders below the 1e-6 rounding of the reported columns and 4 orders
+  * above double ulp noise. The final exp() runs on the ROUNDED average
+  * so both engines evaluate it on bit-identical input.
+  *
+  * Scale: unigram = one token-count shuffle + one token-keyed join (the
+  * vocab side auto-broadcasts when small, shuffles when not) + one
+  * doc-keyed rollup. Bigram adds pair-keyed twins of the same shape.
+  * Nothing is corpus-global; no windows; no driver loops.
+  */
+object Lm {
+
+  import TextOps._
+
+  private val K = 0.5
+  private val LpDec = "decimal(28,12)"
+
+  private def tokensOf(docs: DataFrame): DataFrame =
+    scanParallel(docs)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("ts"))
+
+  /** (t, lp) unigram log-prob table + the broadcastable totals frame. */
+  private def unigramLp(toks: DataFrame): (DataFrame, DataFrame) = {
+    val v = toks.groupBy("t").agg(count(lit(1)).as("n"))
+    val tot = v.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
+    val lp = v.crossJoin(broadcast(tot))
+      .select(col("t"),
+        log((col("n") + K) / (col("total") + (col("vsz") + 1) * K))
+          .cast(LpDec).as("lp"))
+    (lp, tot)
+  }
+
+  private def report(scored: DataFrame): DataFrame = {
+    val avgNll = round(-(col("slp").cast("double")) / col("n_tokens"), 6)
+    scored.select(col("doc_id"), col("n_tokens"),
+      avgNll.as("avg_nll_r"),
+      round(exp(avgNll), 4).as("ppl_r"))
+  }
+
+  /** Per-doc unigram perplexity: (doc_id, n_tokens, avg_nll_r, ppl_r). */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val toks = tokensOf(docs).select(col("doc_id"), explode(col("ts")).as("t"))
+    val (lp, _) = unigramLp(toks)
+    report(
+      toks.join(lp, "t")
+        .groupBy("doc_id")
+        .agg(sum("lp").as("slp"), count(lit(1)).as("n_tokens")))
+  }
+
+  /** Per-doc bigram perplexity: the first token scores under the unigram
+    * LM, every following token under p(b|a) with add-k over the context
+    * count. Same decimal-sum discipline; same output shape. */
+  def perplexityBigram(docs: DataFrame): DataFrame = {
+    val tl = tokensOf(docs)
+    val toks = tl.select(col("doc_id"), explode(col("ts")).as("t"))
+    val (ulp, tot) = unigramLp(toks)
+    val bg = tl
+      .select(col("doc_id"),
+        explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(
+              element_at(col("ts"), i).as("a"),
+              element_at(col("ts"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")))
+          .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val cc = cb.groupBy("a").agg(sum("nab").as("na"))
+    val blp = cb.join(cc, "a").crossJoin(broadcast(tot))
+      .select(col("a"), col("b"),
+        log((col("nab") + K) / (col("na") + (col("vsz") + 1) * K))
+          .cast(LpDec).as("lp"))
+    val first = tl.where(size(col("ts")) >= 1)
+      .select(col("doc_id"), element_at(col("ts"), 1).as("t"))
+    val su = first.join(ulp, "t")
+      .groupBy("doc_id").agg(sum("lp").as("s1"), count(lit(1)).as("c1"))
+    val sb = bg.join(blp, Seq("a", "b"))
+      .groupBy("doc_id").agg(sum("lp").as("s2"), count(lit(1)).as("c2"))
+    report(
+      su.join(sb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("s1") + coalesce(col("s2"), lit(0).cast(LpDec))).as("slp"),
+          (col("c1") + coalesce(col("c2"), lit(0L))).as("n_tokens")))
+  }
+}

@@ -1479,6 +1479,56 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
         Similarity.annRecall(embs(s, d), numQueries = 10, k = 10),
       None),
 
+    // ---------------------------------------------- LM perplexity gates
+    // Model-based quality: corpus-trained add-k n-gram LM, per-doc
+    // perplexity. Log-probs truncate to DECIMAL(28,12) before the per-doc
+    // sum so aggregation is exact and order-free in both engines (raw
+    // double sums hash-diverge under shuffled order); exp() runs on the
+    // 6-dp-rounded average so both engines see identical input.
+    ("quality_perplexity",
+      (s: SparkSession, d: String) =>
+        graft.ext.Lm.perplexity(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+v AS (SELECT t, count(*)::BIGINT AS n FROM toks GROUP BY t),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vsz FROM v),
+ulp AS (SELECT t, CAST(ln((n + 0.5) / (total + 0.5*(vsz+1))) AS DECIMAL(28,12)) AS lp
+  FROM v CROSS JOIN tot),
+s AS (SELECT toks.doc_id, sum(ulp.lp) AS slp, count(*)::BIGINT AS n_tokens
+  FROM toks JOIN ulp ON toks.t = ulp.t GROUP BY toks.doc_id)
+SELECT doc_id, n_tokens,
+  round(-(slp::DOUBLE)/n_tokens, 6) AS avg_nll_r,
+  round(exp(round(-(slp::DOUBLE)/n_tokens, 6)), 4) AS ppl_r
+FROM s ORDER BY doc_id""")),
+
+    ("quality_perplexity_bigram",
+      (s: SparkSession, d: String) =>
+        graft.ext.Lm.perplexityBigram(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH tl AS (SELECT doc_id, $toksSql AS ts FROM documents),
+toks AS (SELECT doc_id, unnest(ts) AS t FROM tl),
+v AS (SELECT t, count(*)::BIGINT AS n FROM toks GROUP BY t),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vsz FROM v),
+ulp AS (SELECT t, CAST(ln((n + 0.5) / (total + 0.5*(vsz+1))) AS DECIMAL(28,12)) AS lp
+  FROM v CROSS JOIN tot),
+bg AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS a, unnest(ts[2:len(ts)]) AS b FROM tl),
+cb AS (SELECT a, b, count(*)::BIGINT AS nab FROM bg GROUP BY a, b),
+cc AS (SELECT a, sum(nab)::BIGINT AS na FROM cb GROUP BY a),
+blp AS (SELECT cb.a, cb.b,
+  CAST(ln((nab + 0.5) / (na + 0.5*(vsz+1))) AS DECIMAL(28,12)) AS lp
+  FROM cb JOIN cc ON cb.a = cc.a CROSS JOIN tot),
+fst AS (SELECT doc_id, ts[1] AS t FROM tl WHERE len(ts) >= 1),
+su AS (SELECT fst.doc_id, sum(ulp.lp) AS s1, count(*)::BIGINT AS c1
+  FROM fst JOIN ulp ON fst.t = ulp.t GROUP BY fst.doc_id),
+sb AS (SELECT bg.doc_id, sum(blp.lp) AS s2, count(*)::BIGINT AS c2
+  FROM bg JOIN blp ON bg.a = blp.a AND bg.b = blp.b GROUP BY bg.doc_id),
+agg AS (SELECT su.doc_id,
+  su.s1 + coalesce(sb.s2, CAST(0 AS DECIMAL(28,12))) AS slp,
+  su.c1 + coalesce(sb.c2, 0) AS n_tokens
+  FROM su LEFT JOIN sb ON su.doc_id = sb.doc_id)
+SELECT doc_id, n_tokens,
+  round(-(slp::DOUBLE)/n_tokens, 6) AS avg_nll_r,
+  round(exp(round(-(slp::DOUBLE)/n_tokens, 6)), 4) AS ppl_r
+FROM agg ORDER BY doc_id""")),
+
     // ----------------------------------------------------- BPE tokenizer
     // The learned-subword layer: a deterministic distributed BPE merge
     // learner (driver-paced fixpoint like `components`; state is the

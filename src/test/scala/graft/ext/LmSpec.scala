@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** LM perplexity: closed-form values on tiny corpora, the
+  * gibberish-detection property the surface heuristics lack, and the
+  * word-order sensitivity only the bigram model has. */
+class LmSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("unigram perplexity matches the closed form on a tiny corpus") {
+    // vocab: a→3, b→1; total 4, V 2; add-k 0.5 denominator 4+0.5*3 = 5.5
+    val out = Lm.perplexity(docsOf("a a", "a b")).orderBy("doc_id").collect()
+    val lpA = math.log(3.5 / 5.5)
+    val lpB = math.log(1.5 / 5.5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Long]("n_tokens") === 2L)
+    assert(out(0).getAs[Double]("avg_nll_r") === r6(-lpA))
+    assert(math.abs(out(1).getAs[Double]("avg_nll_r") - r6(-(lpA + lpB) / 2)) < 2e-6)
+    assert(out(0).getAs[Double]("ppl_r") > 1.0)
+  }
+
+  test("gibberish salted with stopwords passes the heuristic gate but " +
+      "spikes under the LM") {
+    val normal = (0 until 20).map(i =>
+      s"the quick brown fox jumps over the lazy dog and it is a fine day $i")
+    // every heuristic signal looks healthy: sane length, high alpha
+    // ratio, plenty of stopwords
+    val gibberish =
+      "the zxqv gqpxw of vvkjq and qzzpt is a wqxjvk in the pzzqv it"
+    val docs = docsOf((normal :+ gibberish): _*)
+    val gibId = normal.length.toLong
+
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val medianQ = q.values.toSeq.sorted.apply(q.size / 2)
+    assert(q(gibId) >= medianQ * 0.9,
+      s"heuristic gate must NOT flag the gibberish (q=${q(gibId)}, median=$medianQ)")
+
+    val p = Lm.perplexity(docs)
+      .select(col("doc_id"), col("ppl_r")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl_r")).toMap
+    val maxNormal = (p - gibId).values.max
+    assert(p(gibId) > 2 * maxNormal,
+      s"LM must flag the gibberish (ppl=${p(gibId)}, max normal=$maxNormal)")
+  }
+
+  test("bigram LM is word-order sensitive where the unigram LM is blind") {
+    val docs = docsOf("x y", "x y", "x y", "x y", "x y", "y x")
+    val uni = Lm.perplexity(docs).select("doc_id", "ppl_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(5L) === uni(0L), "unigram: same bag of words, same ppl")
+    val bi = Lm.perplexityBigram(docs).select("doc_id", "ppl_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(5L) > bi(0L), "bigram: the rare order costs more")
+  }
+
+  test("every doc is scored; token counts line up with the tokenizer") {
+    val docs = docsOf("one two three", "", "solo")
+    val out = Lm.perplexity(docs).orderBy("doc_id").collect()
+    assert(out.length === 3)
+    // wsTokens of "" is [""] — one (rare) token, still scored
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(3L, 1L, 1L))
+  }
+}
