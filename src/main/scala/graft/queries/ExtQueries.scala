@@ -969,6 +969,36 @@ SELECT doc_id, source, fp, round(quality, 6) AS quality_r
 FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
 ORDER BY doc_id""")),
 
+    // Semantic-aware corpus gate (batch twin of the streaming tier's
+    // cleanStreamSemantic): quality → exact-fp dedup → embedding
+    // sign-cell dedup (axis-hyperplane SimHash: the coarse LSH cell a
+    // streaming state store can key on) → decontamination.
+    ("corpus_clean_semantic",
+      (s: SparkSession, d: String) =>
+        graft.streaming.CorpusIngest.cleanBatchSemantic(docs(s, d), embs(s, d)),
+      Some(s"""WITH de AS (SELECT d.doc_id, d.source, d.text,
+    array_to_string(list_transform(e.embedding,
+      x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sem_fp
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+q AS (SELECT doc_id, source, text, sem_fp, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM de),
+sc AS (SELECT doc_id, source, sem_fp, md5($normSql) AS fp,
+         least(len(toks), 256)::DOUBLE / 256 * 0.4
+           + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+           + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2
+           AS quality
+       FROM q),
+f AS (SELECT * FROM sc WHERE quality >= 0.3),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+e1 AS (SELECT * FROM r1 WHERE rn = 1),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY sem_fp ORDER BY doc_id) AS rn2 FROM e1),
+p AS (SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id, source, fp, round(quality, 6) AS quality_r
+FROM r2 WHERE rn2 = 1 AND fp NOT IN (SELECT fp FROM p)
+ORDER BY doc_id""")),
+
     // Adaptive per-language quality filter: keep docs at/above their
     // language's median quality (a global bar tuned on one language
     // silently guts the others).

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ext.{TextAnalysis, TextOps}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming corpus ingestion — the continuous half of the training-data
@@ -47,14 +47,101 @@ object CorpusIngest {
       minQuality: Double = 0.3,
       watermark: String = "1 hour"): DataFrame =
     docs
+      // Per-stage observe() metrics (the A2 pattern, ActivitySink): one
+      // CollectMetrics count after each gate, surfaced per micro-batch in
+      // StreamingQueryProgress.observedMetrics. Stage drops are the
+      // differences: quality_rejected = docs_in − quality_passed,
+      // dup_dropped = quality_passed − dedup_survivors, contaminated =
+      // dedup_survivors − docs_out. This is the operational surface a
+      // 100 TB/day ingest is run by — a silent gate is an outage you
+      // discover from the training loss.
+      .observe("graft_corpus_in", count(lit(1)).as("docs_in"))
       .withColumn("quality", TextAnalysis.qualityOf)
       .where(col("quality") >= minQuality)
+      .observe("graft_corpus_quality", count(lit(1)).as("quality_passed"))
       .withColumn("fp", fingerprint)
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+      .observe("graft_corpus_dedup", count(lit(1)).as("dedup_survivors"))
       .join(broadcast(probeFps.select("fp")), Seq("fp"), "left_anti")
+      .observe("graft_corpus_out", count(lit(1)).as("docs_out"))
       .select(col("doc_id"), col("source"), col("fp"),
         round(col("quality"), 6).as("quality_r"), col("event_ts"))
+
+  /** Axis-hyperplane sign pattern of an embedding — the coarse LSH cell
+    * (each coordinate axis is a hyperplane; the sign vector IS the
+    * SimHash of the embedding under those planes), encoded as a '0'/'1'
+    * string so both engines key on identical values. Near-identical
+    * embeddings (paraphrases under a reasonable encoder) agree on almost
+    * every sign, and exactly-regenerated ones agree on all — the
+    * deterministic, state-store-friendly key a streaming tier needs
+    * (declared-approximate vs. the batch tier's threshold-verified
+    * [[graft.ext.Dedup]] pipelines: a paraphrase that flips a
+    * near-zero coordinate lands in a neighboring cell and is missed). */
+  def signPattern(emb: Column): Column =
+    array_join(transform(emb, x => when(x > 0, "1").otherwise("0")), "")
+
+  /** [[cleanStream]] + a semantic stage: after exact-fingerprint dedup,
+    * drop docs whose embedding sign-cell was already seen inside the
+    * watermark horizon — the streaming counterpart of the batch tier's
+    * SemDeDup pipeline, with the same bounded-state discipline (two
+    * chained `dropDuplicatesWithinWatermark` state stores, each keyed by
+    * an even-load hash-like key). `docs` must additionally carry
+    * `embedding: array<float>`. */
+  def cleanStreamSemantic(
+      docs: DataFrame,
+      probeFps: DataFrame,
+      minQuality: Double = 0.3,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .observe("graft_corpus_in", count(lit(1)).as("docs_in"))
+      .withColumn("quality", TextAnalysis.qualityOf)
+      .where(col("quality") >= minQuality)
+      .observe("graft_corpus_quality", count(lit(1)).as("quality_passed"))
+      .withColumn("fp", fingerprint)
+      .withColumn("sem_fp", signPattern(col("embedding")))
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .observe("graft_corpus_dedup", count(lit(1)).as("dedup_survivors"))
+      .dropDuplicatesWithinWatermark("sem_fp")
+      .observe("graft_corpus_sem", count(lit(1)).as("sem_survivors"))
+      .join(broadcast(probeFps.select("fp")), Seq("fp"), "left_anti")
+      .observe("graft_corpus_out", count(lit(1)).as("docs_out"))
+      .select(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r"), col("event_ts"))
+
+  /** Batch twin of [[cleanStreamSemantic]] over the `documents` ×
+    * `embeddings` fixtures (doc_id = vec_id): quality gate → exact-fp
+    * "first doc_id wins" → sem-cell "first doc_id wins" →
+    * decontamination. Fully oracle-able. */
+  def cleanBatchSemantic(
+      docs: DataFrame,
+      embs: DataFrame,
+      minQuality: Double = 0.3,
+      probeModulus: Int = 50): DataFrame = {
+    val probeFps = docs
+      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
+      .select(fingerprint.as("fp"))
+    val joined = docs
+      .join(embs.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val wSem = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sem_fp")).orderBy(col("doc_id"))
+    joined
+      .withColumn("quality", TextAnalysis.qualityOf)
+      .where(col("quality") >= minQuality)
+      .withColumn("fp", fingerprint)
+      .withColumn("sem_fp", signPattern(col("embedding")))
+      .withColumn("rn", row_number().over(wFp))
+      .where(col("rn") === 1)
+      .withColumn("rn2", row_number().over(wSem))
+      .where(col("rn2") === 1)
+      .join(broadcast(probeFps), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r"))
+      .orderBy("doc_id")
+  }
 
   /** Drop-reason accounting for the batch gate: every doc attributed to
     * exactly one outcome in stage order — `quality_reject` (failed the

@@ -4,6 +4,8 @@ import graft.SparkSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
+import scala.jdk.CollectionConverters._
+
 /** Streaming corpus ingest: quality gate → online dedup → decontamination,
   * with at-least-once replay absorbed by the watermarked dedup state and
   * semantics pinned to the batch twin (`corpus_clean`, DuckDB-oracled). */
@@ -63,6 +65,103 @@ class CorpusIngestSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(kept === Seq(1L, 5L, 7L),
       "junk, duplicates, replays and benchmark docs must all be dropped")
+  }
+
+  test("per-stage observe() metrics account for every dropped doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val probeFps = Seq(benchText).toDF("text")
+      .select(CorpusIngest.fingerprint.as("fp"))
+    mem.addData(
+      doc(1, goodText, 1000),
+      doc(2, goodText, 1010),   // duplicate
+      doc(3, junkText, 1020),   // quality reject
+      doc(4, benchText, 1030),  // contaminated
+      doc(5, otherText, 1040))
+    val q = CorpusIngest.cleanStream(
+        mem.toDF().toDF("doc_id", "text", "source", "event_ts"), probeFps)
+      .writeStream
+      .format("parquet")
+      .option("path", tmpDir("corpus_metrics_out"))
+      .option("checkpointLocation", tmpDir("corpus_metrics_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val m = q.recentProgress.toSeq
+      .flatMap(p => p.observedMetrics.asScala.toSeq)
+      .groupMapReduce(_._1)((kv: (String, org.apache.spark.sql.Row)) =>
+        kv._2.getLong(0))(_ + _)
+    assert(m("graft_corpus_in") === 5L)
+    assert(m("graft_corpus_quality") === 4L, "junk rejected")
+    assert(m("graft_corpus_dedup") === 3L, "duplicate dropped")
+    assert(m("graft_corpus_out") === 2L, "benchmark doc dropped")
+    // every doc is attributed: stage drops sum to input − output
+    val drops = (m("graft_corpus_in") - m("graft_corpus_quality")) +
+      (m("graft_corpus_quality") - m("graft_corpus_dedup")) +
+      (m("graft_corpus_dedup") - m("graft_corpus_out"))
+    assert(drops === m("graft_corpus_in") - m("graft_corpus_out"))
+  }
+
+  test("semantic stage drops a paraphrase (same sign-cell, different " +
+      "fingerprint); replay absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[
+      (Long, String, String, java.sql.Timestamp, Array[Float])]
+    val probeFps = Seq(benchText).toDF("text")
+      .select(CorpusIngest.fingerprint.as("fp"))
+    def sdoc(id: Long, text: String, tsSec: Long, emb: Array[Float]) =
+      (id, text, "s1", new java.sql.Timestamp(tsSec * 1000), emb)
+    val embA = Array(0.5f, -0.2f, 0.3f, -0.9f)
+    val embAish = Array(0.4f, -0.1f, 0.2f, -0.8f) // same signs: same cell
+    val embB = Array(-0.5f, 0.2f, 0.3f, -0.9f)    // different cell
+    val out = tmpDir("corpus_sem_out")
+    val ckpt = tmpDir("corpus_sem_ckpt")
+    def run(): Unit = {
+      val q = CorpusIngest.cleanStreamSemantic(
+          mem.toDF().toDF("doc_id", "text", "source", "event_ts", "embedding"),
+          probeFps)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mem.addData(
+      sdoc(1, goodText, 1000, embA),
+      sdoc(2, otherText, 1010, embAish), // paraphrase: new fp, same cell
+      sdoc(3, benchText + " but reworded enough to be a new fingerprint here",
+        1020, embB))
+    run()
+    // replay + one exact dup + one new doc in a fresh cell
+    mem.addData(
+      sdoc(1, goodText, 1000, embA),
+      sdoc(4, goodText, 1030, embA),     // exact dup of 1
+      sdoc(5, "a genuinely different clean document in its own semantic cell",
+        1040, Array(0.1f, 0.2f, 0.3f, 0.4f)))
+    run()
+    val kept = spark.read.parquet(out)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // within one micro-batch the state store keeps an ARBITRARY member of
+    // a duplicate group (unlike the batch twin's "first doc_id wins"), so
+    // assert the set shape: exactly one survivor from the shared
+    // sign-cell group {1, 2} (and 4, its later exact dup), plus 3 and 5
+    assert(kept.length === 3, s"kept $kept")
+    assert(kept.contains(3L) && kept.contains(5L), s"kept $kept")
+    assert(kept.count(id => id == 1L || id == 2L || id == 4L) === 1,
+      "exactly one doc from the shared semantic cell; replays and the " +
+        "later exact dup absorbed")
+  }
+
+  test("batch twin of the semantic gate (against the fixtures)") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val embs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = CorpusIngest.cleanBatchSemantic(docs, embs).collect()
+    assert(got.nonEmpty)
+    val plain = CorpusIngest.cleanBatch(docs).collect()
+    // the semantic stage only ever removes more
+    assert(got.length <= plain.length)
   }
 
   test("batch twin applies the same gates (against the fixture corpus)") {
