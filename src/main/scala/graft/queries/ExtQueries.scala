@@ -81,6 +81,29 @@ mh AS (SELECT doc_id AS media_id,
       '00000000000000000000000000000000' || body
   END AS hx FROM base)"""
 
+  /** Shared DuckDB CTEs for the multi-probe k-NN graph
+    * (`Similarity.knnGraph`, nprobe 2, stride 20): ends at `r` — ranked
+    * candidate edges (vec_id, nbr_id, sim_r, rnk). */
+  private lazy val knnGraphCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+hm AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+       FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+pr AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+       FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn <= 2),
+s AS (SELECT x.vec_id, y.vec_id AS nbr_id,
+             (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) AS sim
+      FROM pr x JOIN hm y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+r AS (SELECT vec_id, nbr_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, nbr_id) AS rnk
+      FROM s)"""
+
   // --- BPE twins (graft.ext.Bpe). The learner is deterministic (exact
   //     long counts, lexicographic tie-break), so DuckDB re-learns the
   //     SAME merge table by replaying the loop as unrolled CTE rounds:
@@ -1022,29 +1045,39 @@ FROM sc JOIN m USING (lang)
 WHERE sc.quality >= m.median_q
 ORDER BY sc.doc_id""")),
 
-    // All-vectors k-NN graph within IVF cells (deterministic strided
-    // centroids → fully oracle-able, unlike approximate all-kNN builds).
+    // All-vectors k-NN graph over multi-probe IVF cells (deterministic
+    // strided centroids → fully oracle-able, unlike approximate all-kNN
+    // builds): each vector's candidates are the residents of its 2
+    // nearest cells, so boundary vectors see the neighboring cell too.
     ("knn_graph",
       (s: SparkSession, d: String) =>
         Similarity.knnGraph(embs(s, d), k = 3),
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
-a AS (SELECT n.vec_id, c.cent_id,
-             row_number() OVER (PARTITION BY n.vec_id
-               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
-      FROM n CROSS JOIN c),
-asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
-        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
-s AS (SELECT x.vec_id, y.vec_id AS nbr_id,
-             (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) AS sim
-      FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
-r AS (SELECT vec_id, nbr_id, round(sim, 6) AS sim_r,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY sim DESC, nbr_id) AS rnk
-      FROM s)
+      Some(s"""WITH $knnGraphCtes
 SELECT vec_id, rnk::INT AS rnk, nbr_id, sim_r FROM r WHERE rnk <= 3
 ORDER BY vec_id, rnk""")),
+
+    // Measured recall of the multi-probe graph vs the exact quadratic
+    // k-NN graph — the approximation quantified every run (full oracle).
+    ("knn_graph_recall",
+      (s: SparkSession, d: String) =>
+        Similarity.knnGraphRecall(embs(s, d), k = 3),
+      Some(s"""WITH $knnGraphCtes,
+gr AS (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3),
+ex AS (SELECT x.vec_id, y.vec_id AS nbr_id,
+             row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) DESC, y.vec_id) AS rk
+      FROM n x JOIN n y ON x.vec_id <> y.vec_id),
+exk AS (SELECT vec_id, nbr_id FROM ex WHERE rk <= 3),
+pv AS (SELECT e.vec_id,
+             sum(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) AS recall
+      FROM exk e LEFT JOIN gr a
+        ON a.vec_id = e.vec_id AND a.nbr_id = e.nbr_id
+      GROUP BY e.vec_id)
+SELECT count(*)::BIGINT AS n_vectors,
+       round(avg(recall), 6) AS mean_recall_r,
+       round(min(recall), 6) AS min_recall_r
+FROM pv""")),
 
     // Near-dup pairs straddling train/val — the leakage a content-keyed
     // split can still have (exact-dup leakage is impossible by

@@ -71,6 +71,70 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.toSeq === again.toSeq)
   }
 
+  test("knnGraph multi-probe finds the cross-cell nearest neighbor that " +
+      "single-probe misses") {
+    import spark.implicits._
+    // two angular clusters in 2-D around 0° (cell of centroid vec 0) and
+    // 90° (cell of centroid vec 20); vec 10 at 44° lives in cell A but
+    // its true nearest neighbor, vec 11 at 48°, lives in cell B
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val vecs = Seq(
+      0L -> at(0), 1L -> at(2), 2L -> at(4), 3L -> at(6),
+      20L -> at(90), 21L -> at(88), 22L -> at(86), 23L -> at(84),
+      10L -> at(44), 11L -> at(48))
+      .toDF("vec_id", "embedding")
+    def nbrOf10(nprobe: Int): Long = {
+      val m = Similarity.knnGraph(vecs, k = 1, stride = 20, nprobe = nprobe)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nbr_id"))
+        .toMap
+      graft.ext.Dedup.releaseCaches()
+      m(10L)
+    }
+    assert(nbrOf10(1) === 3L, "own-cell build: nearest A-cluster member")
+    assert(nbrOf10(2) === 11L, "multi-probe: the true neighbor across the boundary")
+  }
+
+  test("knnGraph recall ≥ 0.95 on clustered data; multi-probe strictly " +
+      "improves on the near-uniform fixture") {
+    import spark.implicits._
+    // three tight orthogonal clusters whose strided centroid ids (0, 20,
+    // 40) each sit inside their own cluster — the data shape the IVF
+    // locality assumption is FOR. (The fixture embeddings are
+    // near-uniform — the known worst case for any cell-probing index —
+    // so the ≥0.95 bar belongs here and the fixture gets a measured,
+    // strictly-improving recall instead.)
+    def member(axis: Int, j: Int): Array[Float] = {
+      val v = Array.fill(3)(0.02f * ((j % 3) - 1))
+      v(axis) = 1f
+      v
+    }
+    val clustered = (0 until 8).flatMap(j => Seq(
+      (j.toLong, member(0, j)),
+      (20L + j, member(1, j)),
+      (40L + j, member(2, j))))
+      .toDF("vec_id", "embedding")
+    val rec = Similarity.knnGraphRecall(clustered, k = 3, stride = 20, nprobe = 2)
+      .head()
+    graft.ext.Dedup.releaseCaches()
+    assert(rec.getAs[Double]("mean_recall_r") >= 0.95,
+      s"clustered recall ${rec.getAs[Double]("mean_recall_r")}")
+
+    val embs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def meanRecall(nprobe: Int): Double = {
+      val r = Similarity.knnGraphRecall(embs, k = 3, nprobe = nprobe)
+        .head().getAs[Double]("mean_recall_r")
+      graft.ext.Dedup.releaseCaches()
+      r
+    }
+    val single = meanRecall(1)
+    val multi = meanRecall(2)
+    assert(multi > single,
+      s"multi-probe must strictly improve fixture recall ($single -> $multi)")
+  }
+
   test("LSH ANN recall ≥ 0.5 vs brute force on the fixture embeddings") {
     val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val recalls = Similarity.annRecall(fx, numQueries = 10, k = 10)
