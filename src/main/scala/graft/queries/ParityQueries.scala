@@ -354,8 +354,50 @@ FROM (SELECT user_id, activity_type, event_timestamp, activity_pk,
                  ORDER BY event_timestamp DESC, activity_pk DESC) AS rn
       FROM activity) r
 WHERE rn <= 3
-ORDER BY user_id, rn""")))
+ORDER BY user_id, rn"""))),
+
+    // PageRank influence over the creates-only follow graph — exact
+    // BIGINT micro-unit arithmetic (graft.serve.Influence), so the
+    // oracle replays the identical 10 damped iterations as unrolled
+    // MATERIALIZED CTEs with integer div/mod only.
+    ("feed_influence",
+      (s: SparkSession, d: String) =>
+        graft.serve.Influence.pageRank(followEdges(s, d)),
+      Some(OracleCte.withCdc(influenceSql(10))))
   )
+
+  /** Unrolled DuckDB twin of [[graft.serve.Influence.pageRank]]:
+    * p0..p`n` rank states + sp1..sp`n` spill scalars, all integer ops.
+    * MATERIALIZED — each round references the previous state twice
+    * (spill + contributions), so inlined CTEs would expand
+    * exponentially (the BPE-oracle lesson). */
+  private def influenceSql(iters: Int): String = {
+    val m = graft.serve.Influence.Mass
+    val rounds = (1 to iters).map { r =>
+      s"""sp$r AS MATERIALIZED (SELECT coalesce(sum(
+    CASE WHEN o.outdeg IS NULL THEN p.pr ELSE p.pr % o.outdeg END), 0)::BIGINT AS spill
+  FROM p${r - 1} p LEFT JOIN odg o ON p.id = o.src),
+p$r AS MATERIALIZED (SELECT n.id,
+    ((15 * $m) // 100) // (SELECT n FROM nn)
+      + (85 * (coalesce(c.contrib, 0)
+               + (SELECT spill FROM sp$r) // (SELECT n FROM nn))) // 100 AS pr
+  FROM nd n LEFT JOIN (
+    SELECT e.dst, sum(p.pr // e.outdeg)::BIGINT AS contrib
+    FROM ewd e JOIN p${r - 1} p ON e.src = p.id GROUP BY e.dst) c
+    ON n.id = c.dst)"""
+    }.mkString(",\n")
+    s""", ed AS MATERIALIZED (
+  SELECT DISTINCT follower_id AS src, following_id AS dst
+  FROM followers_cdc WHERE __op = 'c' AND follower_id <> following_id),
+nd AS MATERIALIZED (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+odg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY src),
+ewd AS MATERIALIZED (SELECT ed.src, ed.dst, odg.outdeg
+  FROM ed JOIN odg ON ed.src = odg.src),
+nn AS (SELECT count(*)::BIGINT AS n FROM nd),
+p0 AS MATERIALIZED (SELECT id, ($m // (SELECT n FROM nn))::BIGINT AS pr FROM nd),
+$rounds
+SELECT id AS user_id, pr AS pr_units FROM p$iters ORDER BY user_id"""
+  }
 
   val queries: Map[String, Q] =
     defs.map { case (n, q, _) => n -> q }.toMap
