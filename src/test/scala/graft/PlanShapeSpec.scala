@@ -156,4 +156,53 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("lang_id: the corpus is tokenized exactly once (projection " +
+      "boundary holds against CollapseProject)") {
+    // the round-5 regression: an inline token expression re-tokenized the
+    // text once per lexicon inside interpreted filter lambdas. The
+    // optimized plan must contain a single split of the text column.
+    val df = SparkEntry.queries("lang_id")(spark, d)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(p).length === 1, p.take(2000))
+  }
+
+  test("bpe pair counting: no corpus-global window; one explode+count " +
+      "shuffle feeds the learner") {
+    // wordCounts is the learner's only corpus-wide pass
+    val p = graft.ext.Bpe.wordCounts(
+      graft.sources.Tables(spark, d, "documents"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "map-side combine")
+  }
+
+  test("quality_perplexity: decimal per-doc sums, no cartesian, " +
+      "single-row totals broadcast") {
+    val p = plan("quality_perplexity")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("Join Inner"),
+      "totals frame is a single-row broadcast")
+  }
+
+  test("feed_influence contribution round: edge-rank joins are " +
+      "equi-joins; spill is a broadcast single row") {
+    val p = plan("feed_influence")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("media_dims: the JPEG walk stays a chain of projections (the " +
+      "shape that keeps codegen under the Janino method limit)") {
+    // a single recursive expression inlines the walk cursor ~5× per
+    // level (~5⁸ nodes) and overflows Janino into interpreted fallback;
+    // the stepwise form is one Project per walk step over one scan
+    val df = SparkEntry.queries("media_dims")(spark, d)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("\\+- Project".r.findAllIn(p).length >= 10, "chained walk steps")
+    // tree + detail section each print the scan once: one scan node
+    assert("Scan parquet".r.findAllIn(p).length <= 2, "one corpus scan")
+  }
 }
