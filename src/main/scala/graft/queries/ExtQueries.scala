@@ -992,6 +992,41 @@ SELECT doc_id, source, fp, round(quality, 6) AS quality_r
 FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
 ORDER BY doc_id""")),
 
+    // Perplexity-gated corpus cleaning: the LM stage composed into the
+    // gate chain — quality floor, drop the worst-10% avg-NLL tail under
+    // the corpus-trained unigram LM (self-calibrating cutoff), exact-fp
+    // dedup, decontamination.
+    ("corpus_clean_perplexity",
+      (s: SparkSession, d: String) =>
+        graft.streaming.CorpusIngest.cleanBatchPerplexity(docs(s, d)),
+      Some(s"""WITH toksn AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+v AS (SELECT t, count(*)::BIGINT AS n FROM toksn GROUP BY t),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vsz FROM v),
+ulp AS (SELECT t, CAST(ln((n + 0.5) / (total + 0.5*(vsz+1))) AS DECIMAL(28,12)) AS lp
+  FROM v CROSS JOIN tot),
+sd AS (SELECT toksn.doc_id, sum(ulp.lp) AS slp, count(*)::BIGINT AS n_tokens
+  FROM toksn JOIN ulp ON toksn.t = ulp.t GROUP BY toksn.doc_id),
+pp AS (SELECT doc_id, round(-(slp::DOUBLE)/n_tokens, 6) AS avg_nll_r,
+         round(exp(round(-(slp::DOUBLE)/n_tokens, 6)), 4) AS ppl_r FROM sd),
+cut AS (SELECT quantile_cont(avg_nll_r, 0.9) AS cut FROM pp),
+q AS (SELECT doc_id, source, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+sc AS (SELECT doc_id, source, md5($normSql) AS fp,
+         least(len(toks), 256)::DOUBLE / 256 * 0.4
+           + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+           + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2
+           AS quality
+       FROM q),
+f AS (SELECT sc.*, pp.ppl_r FROM sc JOIN pp ON sc.doc_id = pp.doc_id
+      WHERE sc.quality >= 0.3 AND pp.avg_nll_r <= (SELECT cut FROM cut)),
+r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+p AS (SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id, source, fp, round(quality, 6) AS quality_r, ppl_r
+FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
+ORDER BY doc_id""")),
+
     // Semantic-aware corpus gate (batch twin of the streaming tier's
     // cleanStreamSemantic): quality → exact-fp dedup → embedding
     // sign-cell dedup (axis-hyperplane SimHash: the coarse LSH cell a

@@ -110,6 +110,43 @@ object CorpusIngest {
       .select(col("doc_id"), col("source"), col("fp"),
         round(col("quality"), 6).as("quality_r"), col("event_ts"))
 
+  /** [[cleanBatch]] + a model-based gate: drop the worst `1−nllQuantile`
+    * tail of the corpus by unigram-LM average negative log-likelihood
+    * ([[graft.ext.Lm.perplexity]]) — the CCNet-style stage that catches
+    * gibberish the surface heuristics pass. The cutoff is the corpus's
+    * own `nllQuantile` percentile (self-calibrating, like
+    * `quality_adaptive_keep`'s per-language median), computed exactly
+    * here for the oracle; at 100 TB the one corpus-wide exact percentile
+    * swaps for `approx_percentile` (the `q_price_quantiles_approx`
+    * pattern) — the rest of the plan is unchanged. */
+  def cleanBatchPerplexity(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      probeModulus: Int = 50,
+      nllQuantile: Double = 0.9): DataFrame = {
+    val ppl = graft.ext.Lm.perplexity(docs)
+      .select(col("doc_id"), col("avg_nll_r"), col("ppl_r"))
+    val cut = ppl.agg(expr(s"percentile(avg_nll_r, $nllQuantile)").as("cut"))
+    val probeFps = docs
+      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
+      .select(fingerprint.as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs
+      .withColumn("quality", TextAnalysis.qualityOf)
+      .where(col("quality") >= minQuality)
+      .join(ppl, "doc_id")
+      .crossJoin(broadcast(cut))
+      .where(col("avg_nll_r") <= col("cut"))
+      .withColumn("fp", fingerprint)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(broadcast(probeFps), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r"), col("ppl_r"))
+      .orderBy("doc_id")
+  }
+
   /** Batch twin of [[cleanStreamSemantic]] over the `documents` ×
     * `embeddings` fixtures (doc_id = vec_id): quality gate → exact-fp
     * "first doc_id wins" → sem-cell "first doc_id wins" →

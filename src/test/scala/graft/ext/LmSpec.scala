@@ -63,6 +63,25 @@ class LmSpec extends SparkSuite {
     assert(bi(5L) > bi(0L), "bigram: the rare order costs more")
   }
 
+  test("perplexity-gated corpus cleaning drops the gibberish the " +
+      "heuristic gate admits") {
+    val normal = (0 until 20).map(i =>
+      s"the quick brown fox jumps over the lazy dog and it is a fine day $i")
+    val gibberish =
+      "the zxqv gqpxw of vvkjq and qzzpt is a wqxjvk in the pzzqv it"
+    val docs = texts2docs(normal :+ gibberish)
+    val kept = graft.streaming.CorpusIngest.cleanBatchPerplexity(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!kept.contains(normal.length.toLong), "gibberish dropped by NLL tail")
+    assert(kept.size >= normal.length - 2, "normal docs overwhelmingly kept")
+  }
+
+  // corpus with the extra columns cleanBatchPerplexity's chain touches
+  private def texts2docs(texts: Seq[String]) =
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "n_chars")
+
   test("every doc is scored; token counts line up with the tokenizer") {
     val docs = docsOf("one two three", "", "solo")
     val out = Lm.perplexity(docs).orderBy("doc_id").collect()
