@@ -81,12 +81,20 @@ object Packing {
     * doc_id order), the first and last window the doc's tokens land in,
     * and the window count. Zero-token docs are assigned the single window
     * at their offset (`greatest(n_tok, 1)` — both engines agree). */
-  def packWindows(docs: DataFrame, budget: Int = 512): DataFrame = {
+  def packWindows(docs: DataFrame, budget: Int = 512): DataFrame =
+    packWindowsCounted(
+      docs.select(
+        col("doc_id"),
+        size(wsTokens(lower(col("text")))).cast("long").as("n_tok")),
+      budget)
+
+  /** [[packWindows]] over an arbitrary per-doc token-count frame
+    * `(doc_id, n_tok)` — the seam that lets a LEARNED tokenizer
+    * ([[Bpe.tokenize]]'s `n_tokens`) drive the packing instead of
+    * whitespace counts. */
+  def packWindowsCounted(counts: DataFrame, budget: Int = 512): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
-    val withTok = docs.select(
-      col("doc_id"),
-      size(wsTokens(lower(col("text")))).cast("long").as("n_tok"))
-    withGlobalOffset(withTok, "doc_id", "n_tok", "tok_offset")
+    withGlobalOffset(counts, "doc_id", "n_tok", "tok_offset")
       .select(col("doc_id"), col("n_tok"), col("tok_offset"),
         expr(s"tok_offset div $budget").as("win_first"),
         expr(s"(tok_offset + greatest(n_tok, 1) - 1) div $budget")

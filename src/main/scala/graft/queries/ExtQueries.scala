@@ -152,7 +152,9 @@ ${(1 to n).map(r =>
       .mkString("\nUNION ALL ")}
 ) ORDER BY merge_rank"""
 
-  private def bpeTokenizeSql(n: Int): String = {
+  /** Shared CTE body for BPE-tokenized docs: learner rounds + the doc
+    * replace chain, ending at `fin` (doc_id, ts = final token stream). */
+  private def bpeDocTokenCtes(n: Int): String = {
     val docChain = (1 to n).map { r =>
       s"""d$r AS MATERIALIZED (SELECT doc_id, CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN ds
   ELSE replace(ds,
@@ -160,19 +162,39 @@ ${(1 to n).map(r =>
     ' ' || (SELECT left_sym FROM b$r) || (SELECT right_sym FROM b$r)) END AS ds
   FROM d${r - 1})"""
     }.mkString(",\n")
-    s"""WITH $bpeInitCte,
+    s"""$bpeInitCte,
 ${bpeRoundCtes(n)},
 d0 AS (SELECT doc_id, array_to_string(list_transform(
   regexp_extract_all(lower(text), '$bpePatSql'),
   w -> ' ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ')),
   chr(10)) AS ds FROM documents),
 $docChain,
-fin AS (SELECT doc_id, trim(replace(ds, chr(10), '')) AS ts FROM d$n)
+fin AS (SELECT doc_id, trim(replace(ds, chr(10), '')) AS ts FROM d$n)"""
+  }
+
+  private def bpeTokenizeSql(n: Int): String =
+    s"""WITH ${bpeDocTokenCtes(n)}
 SELECT doc_id,
   CAST(CASE WHEN ts = '' THEN 0 ELSE len(string_split(ts, ' ')) END AS INT) AS n_tokens,
   md5(ts) AS tokens_digest
 FROM fin ORDER BY doc_id"""
-  }
+
+  private def bpePackSql(n: Int, budget: Int): String =
+    s"""WITH ${bpeDocTokenCtes(n)},
+tc AS (SELECT doc_id,
+  CAST(CASE WHEN ts = '' THEN 0 ELSE len(string_split(ts, ' ')) END AS BIGINT) AS n_tok
+  FROM fin),
+o AS (SELECT doc_id, n_tok,
+        (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+          AS tok_offset
+      FROM tc)
+SELECT doc_id, n_tok, tok_offset,
+       (tok_offset // $budget)::BIGINT AS win_first,
+       ((tok_offset + greatest(n_tok, 1) - 1) // $budget)::BIGINT AS win_last,
+       ((tok_offset + greatest(n_tok, 1) - 1) // $budget
+         - tok_offset // $budget + 1)::BIGINT AS n_windows
+FROM o ORDER BY doc_id"""
 
   /** DuckDB twin of the JPEG SOF segment walk in
     * `Multimodal.headerMetaFromHex`: 8 unrolled steps over CTEs p0..p8;
@@ -1642,6 +1664,20 @@ FROM agg ORDER BY doc_id""")),
         graft.ext.Bpe.tokenize(docs(s, d),
           graft.ext.Bpe.learn(docs(s, d), bpeMerges)).orderBy("doc_id"),
       Some(bpeTokenizeSql(bpeMerges))),
+
+    // Context-window packing driven by the LEARNED tokenizer instead of
+    // whitespace counts — the integration every token statistic in a
+    // real pipeline runs through (pack on the same tokens you train on).
+    ("pack_windows_bpe",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.col
+        graft.ext.Packing.packWindowsCounted(
+          graft.ext.Bpe.tokenize(docs(s, d),
+            graft.ext.Bpe.learn(docs(s, d), bpeMerges))
+            .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok")),
+          budget = 512)
+      },
+      Some(bpePackSql(bpeMerges, 512))),
 
     // ------------------------------------------------------- multimodal
     // Container-header metadata — genuinely correct, codec-free: the
