@@ -68,6 +68,38 @@ object Lm {
         .agg(sum("lp").as("slp"), count(lit(1)).as("n_tokens")))
   }
 
+  /** Per-source language-model drift: observed-vocab KL divergence of
+    * each source's add-k unigram distribution from the corpus-wide one —
+    * the "which source changed under me" dashboard a mixed-corpus
+    * pipeline reads next to [[TextAnalysis.sourceMixture]]'s weights.
+    * KL is summed over each source's OBSERVED tokens (a truncated KL:
+    * absent tokens contribute ≈0 under add-k anyway), every term
+    * truncated to DECIMAL(28,18) before the order-free per-source sum.
+    * Output: (source, n_tokens, n_vocab, kl_r). Two token-keyed count
+    * shuffles + one skinny join — nothing corpus-global. */
+  def sourceLmDivergence(docs: DataFrame): DataFrame = {
+    val toks = tokensOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("ts")).as("t"))
+    val st = toks.groupBy("source", "t").agg(count(lit(1)).as("nst"))
+    val stot = st.groupBy("source").agg(sum("nst").as("ts_n"))
+    val ct = st.groupBy("t").agg(sum("nst").as("n"))
+    val tot = ct.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
+    val ps = (col("nst") + K) / (col("ts_n") + (col("vsz") + 1) * K)
+    val pc = (col("n") + K) / (col("total") + (col("vsz") + 1) * K)
+    st.join(ct, "t")
+      .join(stot, "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("ts_n"),
+        (ps * (log(ps) - log(pc))).cast("decimal(28,18)").as("term"))
+      .groupBy("source")
+      .agg(max("ts_n").as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum("term").as("kl"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        round(col("kl").cast("double"), 6).as("kl_r"))
+      .orderBy("source")
+  }
+
   /** Per-doc bigram perplexity: the first token scores under the unigram
     * LM, every following token under p(b|a) with add-k over the context
     * count. Same decimal-sum discipline; same output shape. */

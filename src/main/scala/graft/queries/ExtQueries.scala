@@ -1620,6 +1620,27 @@ SELECT doc_id, n_tokens,
   round(exp(round(-(slp::DOUBLE)/n_tokens, 6)), 4) AS ppl_r
 FROM s ORDER BY doc_id""")),
 
+    // Per-source LM drift: observed-vocab KL of each source's unigram
+    // distribution vs the corpus — the mixed-corpus drift dashboard.
+    ("source_lm_divergence",
+      (s: SparkSession, d: String) =>
+        graft.ext.Lm.sourceLmDivergence(docs(s, d)),
+      Some(s"""WITH toks AS (SELECT source, unnest($toksSql) AS t FROM documents),
+st AS (SELECT source, t, count(*)::BIGINT AS nst FROM toks GROUP BY source, t),
+stot AS (SELECT source, sum(nst)::BIGINT AS ts_n FROM st GROUP BY source),
+ct AS (SELECT t, sum(nst)::BIGINT AS n FROM st GROUP BY t),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vsz FROM ct),
+tm AS (SELECT st.source, stot.ts_n,
+         CAST(((st.nst + 0.5) / (stot.ts_n + (tot.vsz + 1) * 0.5))
+           * (ln((st.nst + 0.5) / (stot.ts_n + (tot.vsz + 1) * 0.5))
+              - ln((ct.n + 0.5) / (tot.total + (tot.vsz + 1) * 0.5)))
+           AS DECIMAL(28,18)) AS term
+       FROM st JOIN ct ON st.t = ct.t
+       JOIN stot ON st.source = stot.source CROSS JOIN tot)
+SELECT source, max(ts_n) AS n_tokens, count(*)::BIGINT AS n_vocab,
+       round(sum(term)::DOUBLE, 6) AS kl_r
+FROM tm GROUP BY source ORDER BY source""")),
+
     ("quality_perplexity_bigram",
       (s: SparkSession, d: String) =>
         graft.ext.Lm.perplexityBigram(docs(s, d)).orderBy("doc_id"),

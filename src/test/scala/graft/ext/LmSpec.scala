@@ -82,6 +82,22 @@ class LmSpec extends SparkSuite {
       .map { case (t, i) => (i.toLong, t, "s1", t.length.toLong) }
       .toDF("doc_id", "text", "source", "n_chars")
 
+  test("source LM divergence: an off-distribution source scores higher " +
+      "KL than one matching the corpus") {
+    val common = "the cat sat on the mat and the dog ran in the park"
+    val docs = (
+      (0 until 8).map(i => (i.toLong, common, "sA", common.length.toLong)) ++
+      (8 until 16).map(i => (i.toLong, common, "sB", common.length.toLong)) :+
+      (16L, "zq zq zq wv wv kx kx kx jj jj zq wv kx", "sC", 38L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val kl = Lm.sourceLmDivergence(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_r")).toMap
+    assert(kl("sC") > kl("sA") * 5,
+      s"off-distribution source must stand out: $kl")
+    assert(math.abs(kl("sA") - kl("sB")) < 1e-6,
+      "identical sources diverge identically")
+  }
+
   test("every doc is scored; token counts line up with the tokenizer") {
     val docs = docsOf("one two three", "", "solo")
     val out = Lm.perplexity(docs).orderBy("doc_id").collect()
