@@ -68,6 +68,77 @@ object Lm {
         .agg(sum("lp").as("slp"), count(lit(1)).as("n_tokens")))
   }
 
+  // ------------------------------------------------ fixed-vocab model
+  // The deployable form of the LM gate: a TRUNCATED top-K vocabulary
+  // trained once (one aggregate + one bounded collect), log-probs
+  // quantized to integer NANO-NATS (floor(lp·1e9) — floor, not round:
+  // half-up vs half-away differ on negatives across engines). Integer
+  // sums are exact and order-free, so a streaming mapPartitions scorer
+  // with a broadcast hash map produces BIT-IDENTICAL scores to the
+  // batch explode+join twin and to the DuckDB oracle.
+
+  /** Nano-nat log-prob of an in-vocab token under the add-k model. */
+  private def lpNano(n: Column, total: Column, vsz: Column): Column =
+    floor(log((n + K) / (total + (vsz + 1) * K)) * 1e9).cast("long")
+
+  /** The trained fixed-vocab model: top-`topK` tokens by count (ties →
+    * lexicographic) with nano-nat log-probs, plus the unknown-token
+    * log-prob. Driver-bounded: the collect is ≤ topK rows. */
+  def nanoModel(docs: DataFrame, topK: Int = 4096): (Map[String, Long], Long) = {
+    val toks = tokensOf(docs).select(explode(col("ts")).as("t"))
+    val v = toks.groupBy("t").agg(count(lit(1)).as("n"))
+    val tot = v.agg(sum("n").as("total"), count(lit(1)).as("vsz")).head()
+    val (total, vsz) = (tot.getLong(0), tot.getLong(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("t"))
+    val top = v.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("t"), lpNano(col("n"), lit(total), lit(vsz)).as("lpn"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unk = math.floor(math.log(K / (total + (vsz + 1) * K)) * 1e9).toLong
+    (top, unk)
+  }
+
+  /** Batch scorer under the fixed-vocab model, fully in-plan (explode +
+    * top-K join + exact long sum): (doc_id, n_tokens, avg_nll_r). The
+    * streaming mapPartitions scorer reproduces these values exactly. */
+  def nanoScores(docs: DataFrame, topK: Int = 4096): DataFrame = {
+    val toks = tokensOf(docs).select(col("doc_id"), explode(col("ts")).as("t"))
+    val v = toks.groupBy("t").agg(count(lit(1)).as("n"))
+    val tot = v.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("t"))
+    val top = v.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .crossJoin(broadcast(tot))
+      .select(col("t"), lpNano(col("n"), col("total"), col("vsz")).as("lpn"))
+    val unk = floor(log(lit(K) / (col("total") + (col("vsz") + 1) * K)) * 1e9)
+      .cast("long").as("unk_lpn")
+    toks
+      .join(top, Seq("t"), "left")
+      .crossJoin(broadcast(tot.select(unk)))
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("lpn"), col("unk_lpn"))).as("s"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-(col("s").cast("double") / 1e9) / col("n_tokens"), 6)
+          .as("avg_nll_r"))
+  }
+
+  /** The per-row Scala twin of [[nanoScores]] for the streaming seam:
+    * identical tokenization (trim→split, trailing empties kept exactly
+    * as Spark's `split`), identical integer sums. */
+  private[graft] def scoreRow(
+      text: String, model: Map[String, Long], unk: Long): (Long, Int) = {
+    val toks = java.util.regex.Pattern.compile("\\s+")
+      .split(text.toLowerCase(java.util.Locale.ROOT).trim, -1)
+    var s = 0L
+    var i = 0
+    while (i < toks.length) { s += model.getOrElse(toks(i), unk); i += 1 }
+    (s, toks.length)
+  }
+
   /** Per-source language-model drift: observed-vocab KL divergence of
     * each source's add-k unigram distribution from the corpus-wide one —
     * the "which source changed under me" dashboard a mixed-corpus

@@ -1049,6 +1049,46 @@ SELECT doc_id, source, fp, round(quality, 6) AS quality_r, ppl_r
 FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
 ORDER BY doc_id""")),
 
+    // Fixed-vocab (top-4096) nano-nat LM gate — the batch twin of the
+    // DEPLOYABLE streaming form (cleanStreamLm: broadcast model,
+    // stateless mapPartitions scoring). Integer log-prob sums are exact
+    // and order-free, and floor-quantization is engine-identical.
+    ("corpus_clean_lm",
+      (s: SparkSession, d: String) =>
+        graft.streaming.CorpusIngest.cleanBatchLm(docs(s, d)),
+      Some(s"""WITH toksn AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+v AS (SELECT t, count(*)::BIGINT AS n FROM toksn GROUP BY t),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vsz FROM v),
+topk AS (SELECT r.t,
+    CAST(floor(ln((r.n + 0.5) / (tot.total + (tot.vsz + 1) * 0.5)) * 1e9) AS BIGINT) AS lpn
+  FROM (SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS rk FROM v) r
+  CROSS JOIN tot WHERE r.rk <= 4096),
+u AS (SELECT CAST(floor(ln(0.5 / (total + (vsz + 1) * 0.5)) * 1e9) AS BIGINT) AS unk
+  FROM tot),
+sd AS (SELECT toksn.doc_id,
+         sum(coalesce(topk.lpn, (SELECT unk FROM u)))::BIGINT AS s,
+         count(*)::BIGINT AS n_tokens
+       FROM toksn LEFT JOIN topk ON toksn.t = topk.t GROUP BY toksn.doc_id),
+pp AS (SELECT doc_id, round(-(s::DOUBLE / 1e9) / n_tokens, 6) AS avg_nll_r FROM sd),
+cut AS (SELECT quantile_cont(avg_nll_r, 0.9) AS cut FROM pp),
+q AS (SELECT doc_id, source, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+sc AS (SELECT doc_id, source, md5($normSql) AS fp,
+         least(len(toks), 256)::DOUBLE / 256 * 0.4
+           + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+           + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2
+           AS quality
+       FROM q),
+f AS (SELECT sc.*, pp.avg_nll_r FROM sc JOIN pp ON sc.doc_id = pp.doc_id
+      WHERE sc.quality >= 0.3 AND pp.avg_nll_r <= (SELECT cut FROM cut)),
+r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+p AS (SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id, source, fp, round(quality, 6) AS quality_r, avg_nll_r
+FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
+ORDER BY doc_id""")),
+
     // Semantic-aware corpus gate (batch twin of the streaming tier's
     // cleanStreamSemantic): quality → exact-fp dedup → embedding
     // sign-cell dedup (axis-hyperplane SimHash: the coarse LSH cell a

@@ -110,6 +110,97 @@ object CorpusIngest {
       .select(col("doc_id"), col("source"), col("fp"),
         round(col("quality"), 6).as("quality_r"), col("event_ts"))
 
+  /** Schema of a scored stream row ([[cleanStreamLm]]'s mapPartitions
+    * pass). */
+  private[streaming] final case class ScoredDoc(
+      doc_id: Long, text: String, source: String,
+      event_ts: java.sql.Timestamp, nll_nano: Long, n_toks: Int)
+
+  /** [[cleanStream]] + a model-based gate under a FIXED trained LM — the
+    * deployable streaming form of the perplexity stage: the top-K
+    * nano-nat model ([[graft.ext.Lm.nanoModel]], trained offline on a
+    * reference corpus) ships as a Spark broadcast and scores inside one
+    * STATELESS mapPartitions pass (O(1) hash lookups per token — a map
+    * literal would scan linearly per token, and a per-token join would
+    * need a windowed stateful re-aggregation). Integer nano-nat sums
+    * make the stream's scores bit-identical to the batch twin's
+    * join-based scores, so the gate decisions cannot drift between the
+    * tiers. Docs with avg NLL above `nllCutoff` are dropped after the
+    * quality gate, before dedup state. */
+  def cleanStreamLm(
+      docs: DataFrame,
+      probeFps: DataFrame,
+      model: Map[String, Long],
+      unkLpn: Long,
+      nllCutoff: Double,
+      minQuality: Double = 0.3,
+      watermark: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val scored = docs
+      .select(col("doc_id"), col("text"), col("source"), col("event_ts"))
+      .as[(Long, String, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text, src, ts) =>
+          val (s, n) = graft.ext.Lm.scoreRow(text, m, unkLpn)
+          ScoredDoc(id, text, src, ts, s, math.max(n, 1))
+        }
+      }
+      .toDF()
+    scored
+      .observe("graft_corpus_lm_in", count(lit(1)).as("docs_in"))
+      .withColumn("quality", TextAnalysis.qualityOf)
+      .where(col("quality") >= minQuality)
+      .withColumn("avg_nll",
+        -(col("nll_nano").cast("double") / 1e9) / col("n_toks"))
+      .where(col("avg_nll") <= nllCutoff)
+      .observe("graft_corpus_lm_passed", count(lit(1)).as("lm_passed"))
+      .withColumn("fp", fingerprint)
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(broadcast(probeFps.select("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r"),
+        round(col("avg_nll"), 6).as("avg_nll_r"), col("event_ts"))
+  }
+
+  /** Batch twin of [[cleanStreamLm]], self-contained over the fixture:
+    * trains the top-K model on the corpus in-plan, scores by join
+    * ([[graft.ext.Lm.nanoScores]] — exactly the stream's integer
+    * arithmetic), gates at the corpus's `nllQuantile` NLL percentile,
+    * then fp-dedup + decontamination. Fully oracle-able. */
+  def cleanBatchLm(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      probeModulus: Int = 50,
+      topK: Int = 4096,
+      nllQuantile: Double = 0.9): DataFrame = {
+    val scores = graft.ext.Lm.nanoScores(docs, topK)
+      .select(col("doc_id"), col("avg_nll_r"))
+    val cut = scores.agg(
+      expr(s"percentile(avg_nll_r, $nllQuantile)").as("cut"))
+    val probeFps = docs
+      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
+      .select(fingerprint.as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs
+      .withColumn("quality", TextAnalysis.qualityOf)
+      .where(col("quality") >= minQuality)
+      .join(scores, "doc_id")
+      .crossJoin(broadcast(cut))
+      .where(col("avg_nll_r") <= col("cut"))
+      .withColumn("fp", fingerprint)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(broadcast(probeFps), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r"), col("avg_nll_r"))
+      .orderBy("doc_id")
+  }
+
   /** [[cleanBatch]] + a model-based gate: drop the worst `1−nllQuantile`
     * tail of the corpus by unigram-LM average negative log-likelihood
     * ([[graft.ext.Lm.perplexity]]) — the CCNet-style stage that catches

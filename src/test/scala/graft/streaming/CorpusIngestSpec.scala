@@ -154,6 +154,71 @@ class CorpusIngestSpec extends SparkSuite {
         "later exact dup absorbed")
   }
 
+  test("fixed-vocab LM stream gate: gibberish dropped under a trained " +
+      "model; stream scores are bit-identical to the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    val normal = (0 until 12).map(i =>
+      s"the quick brown fox jumps over the lazy dog and it is a fine day $i")
+    val gibberish =
+      "the zxqv gqpxw of vvkjq and qzzpt is a wqxjvk in the pzzqv it"
+    // train on everything the stream should KEEP (otherText included —
+    // a doc the model never saw scores as out-of-distribution)
+    val trainDocs = (normal :+ otherText).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (model, unk) = graft.ext.Lm.nanoModel(trainDocs, topK = 64)
+    // cutoff between the worst in-distribution doc and the gibberish —
+    // computed from the model itself so the margin is explicit
+    def nll(t: String): Double = {
+      val (s, n) = graft.ext.Lm.scoreRow(t, model, unk)
+      -(s.toDouble / 1e9) / math.max(n, 1)
+    }
+    val worstNormal = (normal :+ otherText).map(nll).max
+    val gibNll = nll(gibberish)
+    assert(gibNll > worstNormal, "the model must separate the gibberish")
+    val cutoff = (worstNormal + gibNll) / 2
+
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val probeFps = Seq(benchText).toDF("text")
+      .select(CorpusIngest.fingerprint.as("fp"))
+    val out = tmpDir("corpus_lm_out")
+    val ckpt = tmpDir("corpus_lm_ckpt")
+    def run(): Unit = {
+      val q = CorpusIngest.cleanStreamLm(
+          mem.toDF().toDF("doc_id", "text", "source", "event_ts"),
+          probeFps, model, unk, nllCutoff = cutoff)
+        .writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(
+      doc(1, normal.head, 1000),
+      doc(2, gibberish, 1010),  // passes quality, fails the LM gate
+      doc(3, junkText, 1020),   // fails quality before the model runs
+      doc(4, otherText, 1040))
+    run()
+    mem.addData(doc(1, normal.head, 1000)) // replay absorbed
+    run()
+    val rows = spark.read.parquet(out).collect()
+    val kept = rows.map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(1L, 4L),
+      s"gibberish and junk dropped, replay absorbed: $kept")
+
+    // bit-identical arithmetic: the streamed avg_nll equals the batch
+    // scorer's under the same fixed model (integer nano-nat sums)
+    val streamed = rows
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll_r")).toMap
+    val batchDocs = Seq((1L, normal.head), (4L, otherText)).toDF("doc_id", "text")
+    val batch = batchDocs.collect().map { r =>
+      val (s, n) = graft.ext.Lm.scoreRow(r.getString(1), model, unk)
+      r.getLong(0) ->
+        BigDecimal(-(s.toDouble / 1e9) / math.max(n, 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(streamed === batch)
+  }
+
   test("batch twin of the semantic gate (against the fixtures)") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val embs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
