@@ -45,11 +45,21 @@ object Bpe {
   final case class Merge(
       merge_rank: Int, left_sym: String, right_sym: String, pair_n: Long)
 
-  /** `" a b c"` spaced-symbol encoding of a word. The leading space makes
-    * every symbol occurrence carry a left boundary, so `" l r"` cannot
-    * match a symbol SUFFIX (e.g. pair (b,c) must not fire on ["ab","c"]). */
+  /** `" a  b  c "` wrapped-symbol encoding of a word: every symbol
+    * carries its OWN leading and trailing space (adjacent symbols are
+    * therefore separated by exactly two). The merge pattern
+    * `" l  r "` → `" lr "` then requires a full boundary on BOTH sides:
+    * a left-only encoding (`" l r"`) still fires when the next symbol
+    * merely STARTS with r — e.g. after (a,b) the word "xab" is
+    * `[x, ab]`, and merging (x,a) must NOT glue them into "xab", which
+    * `" x a"` matching the prefix of `" x ab"` would do. Because the
+    * replacement re-emits both wrapping spaces, consecutive merge sites
+    * (`"abab"` under (a,b)) still all fire in one leftmost scan. */
   private def spacedChars(w: Column): Column =
-    concat(lit(" "), array_join(split(w, ""), " "))
+    concat(lit(" "), array_join(split(w, ""), "  "), lit(" "))
+
+  private def mergePattern(l: String, r: String): (String, String) =
+    (" " + l + "  " + r + " ", " " + l + r + " ")
 
   /** Corpus word-frequency table over the BPE pre-tokenizer
     * ([[TextOps.bpeIshPattern]] on lowercased text). The ONE corpus-wide
@@ -80,8 +90,7 @@ object Bpe {
       // array is materialized behind its own projection (referenced 3×,
       // so the boundary holds) before the pair-expansion lambda reads it
       val pairs = state
-        .select(col("cnt"),
-          split(col("ws").substr(lit(2), length(col("ws"))), " ").as("syms"))
+        .select(col("cnt"), split(trim(col("ws")), "  ").as("syms"))
         .select(col("cnt"),
           explode(when(size(col("syms")) >= 2,
             transform(sequence(lit(1), size(col("syms")) - 1),
@@ -99,8 +108,9 @@ object Bpe {
         val (l, rr, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, l, rr, n)
+        val (pat, rep) = mergePattern(l, rr)
         val next = state.withColumn("ws",
-          replace(col("ws"), lit(" " + l + " " + rr), lit(" " + l + rr)))
+          replace(col("ws"), lit(pat), lit(rep)))
         state =
           if (r % checkpointEvery == 0 && r < numMerges)
             Dedup.checkpointed(next)
@@ -130,16 +140,20 @@ object Bpe {
   def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val wordStrs = transform(
       regexp_extract_all(lower(col("text")), lit(bpeIshPattern), lit(0)),
-      w => concat(lit(" "), array_join(split(w, ""), " ")))
+      w => concat(lit(" "), array_join(split(w, ""), "  "), lit(" ")))
     val base = scanParallel(docs)
       .select(col("doc_id"), array_join(wordStrs, "\n").as("ds"))
     val merged = merges.foldLeft(base) { (d, m) =>
-      d.withColumn("ds", replace(col("ds"),
-        lit(" " + m.left_sym + " " + m.right_sym),
-        lit(" " + m.left_sym + m.right_sym)))
+      val (pat, rep) = mergePattern(m.left_sym, m.right_sym)
+      d.withColumn("ds", replace(col("ds"), lit(pat), lit(rep)))
     }
+    // drop the word separators (adjacent words then meet at the same
+    // double space the in-word encoding uses), trim the outer wrap, and
+    // collapse the double separators to the canonical single-space stream
     merged
-      .select(col("doc_id"), trim(translate(col("ds"), "\n", "")).as("ts"))
+      .select(col("doc_id"),
+        replace(trim(translate(col("ds"), "\n", "")), lit("  "), lit(" "))
+          .as("ts"))
       .select(col("doc_id"),
         when(col("ts") === "", lit(0))
           .otherwise(size(split(col("ts"), " "))).as("n_tokens"),

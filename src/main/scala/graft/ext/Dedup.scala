@@ -36,11 +36,15 @@ object Dedup {
     p
   }
 
-  /** Frames whose lineage [[checkpointed]] truncated. Their blocks are
-    * otherwise freed only when the RDD is GC'd, so a long-lived session
-    * (Bench runs 110+ queries) would accumulate checkpoint blocks. */
+  /** Frames whose lineage [[checkpointed]] truncated — held WEAKLY: a
+    * caller that never calls [[releaseCaches]] (notebook, service) keeps
+    * the old GC-based cleanup (frame unreachable → ContextCleaner frees
+    * the blocks), while Bench-style callers get prompt release. A strong
+    * queue here would pin every checkpointed frame forever for
+    * non-Bench users. */
   private val checkpointHandles =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[DataFrame]]()
 
   /** Eager `localCheckpoint` with an explicit release handle: the
     * checkpoint blocks are dropped by the next [[releaseCaches]] call.
@@ -50,7 +54,7 @@ object Dedup {
     * queries, which is exactly the intended lifetime). */
   private[graft] def checkpointed(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
-    checkpointHandles.add(cp)
+    checkpointHandles.add(new java.lang.ref.WeakReference(cp))
     cp
   }
 
@@ -61,14 +65,16 @@ object Dedup {
   def releaseCaches(): Unit = {
     var d = cachedHandles.poll()
     while (d != null) { d.unpersist(blocking = false); d = cachedHandles.poll() }
-    var c = checkpointHandles.poll()
-    while (c != null) {
-      c.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-      c = checkpointHandles.poll()
+    var ref = checkpointHandles.poll()
+    while (ref != null) {
+      val c = ref.get()
+      if (c != null) // GC'd frames were already cleaned by ContextCleaner
+        c.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      ref = checkpointHandles.poll()
     }
   }
 

@@ -89,10 +89,10 @@ object Lm {
     val v = toks.groupBy("t").agg(count(lit(1)).as("n"))
     val tot = v.agg(sum("n").as("total"), count(lit(1)).as("vsz")).head()
     val (total, vsz) = (tot.getLong(0), tot.getLong(1))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("t"))
-    val top = v.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= topK)
+    // top-K via orderBy+limit (TakeOrderedAndProject — per-partition
+    // partial top-K), NOT a partitionless row_number window, which would
+    // sort the whole vocabulary on one task
+    val top = v.orderBy(col("n").desc, col("t")).limit(topK)
       .select(col("t"), lpNano(col("n"), lit(total), lit(vsz)).as("lpn"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -107,10 +107,8 @@ object Lm {
     val toks = tokensOf(docs).select(col("doc_id"), explode(col("ts")).as("t"))
     val v = toks.groupBy("t").agg(count(lit(1)).as("n"))
     val tot = v.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("t"))
-    val top = v.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= topK)
+    // same top-K-without-a-global-window shape as nanoModel
+    val top = v.orderBy(col("n").desc, col("t")).limit(topK)
       .crossJoin(broadcast(tot))
       .select(col("t"), lpNano(col("n"), col("total"), col("vsz")).as("lpn"))
     val unk = floor(log(lit(K) / (col("total") + (col("vsz") + 1) * K)) * 1e9)
@@ -131,8 +129,18 @@ object Lm {
     * as Spark's `split`), identical integer sums. */
   private[graft] def scoreRow(
       text: String, model: Map[String, Long], unk: Long): (Long, Int) = {
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    // Spark's trim strips ONLY the space character; Java String.trim
+    // strips every char <= U+0020 (tabs, newlines) and would change the
+    // token list — e.g. "a b\n" is [a, b, ""] under Spark's
+    // split(trim(x)) but [a, b] under Java trim — breaking the
+    // bit-identical stream/batch contract
+    var b = 0
+    var e = lowered.length
+    while (b < e && lowered.charAt(b) == ' ') b += 1
+    while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
     val toks = java.util.regex.Pattern.compile("\\s+")
-      .split(text.toLowerCase(java.util.Locale.ROOT).trim, -1)
+      .split(lowered.substring(b, e), -1)
     var s = 0L
     var i = 0
     while (i < toks.length) { s += model.getOrElse(toks(i), unk); i += 1 }

@@ -250,18 +250,21 @@ object Multimodal {
       if (p.take(8).sameElements(PngSig))
         Meta("png", Some(be(p, 16, 4)), Some(be(p, 20, 4)), Some(1), None, None)
       else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
-        // marker-segment walk, same bound and guards as jpegSof
-        var pos = 2; var depth = 8
+        // marker-segment walk, same bound as the Column twin: at most 8
+        // ADVANCES, so segments 1..9 are INSPECTED — the Column form is
+        // 8 advance steps plus a final at-SOF check, and a check-bounded
+        // loop here would stop one segment short of it
+        var pos = 2; var advances = 0
         var dims: Option[(Int, Int)] = None
-        while (depth > 0 && dims.isEmpty && pos + 3 < p.length &&
-            (p(pos) & 0xff) == 0xff) {
+        var stop = false
+        while (!stop && pos + 3 < p.length && (p(pos) & 0xff) == 0xff) {
           val m = p(pos + 1) & 0xff
           if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
             if (pos + 8 < p.length)
               dims = Some((be(p, pos + 7, 2), be(p, pos + 5, 2)))
-            depth = 0 // truncated SOF: stop, no dims
-          } else pos += 2 + be(p, pos + 2, 2)
-          depth -= 1
+            stop = true // found (or truncated) SOF either way
+          } else if (advances >= 8) stop = true
+          else { pos += 2 + be(p, pos + 2, 2); advances += 1 }
         }
         Meta("jpeg", dims.map(_._1), dims.map(_._2), Some(1), None, None)
       } else if (tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE" && p.length >= 28)

@@ -125,21 +125,21 @@ r AS (SELECT vec_id, nbr_id, round(sim, 6) AS sim_r,
   SELECT unnest(regexp_extract_all(lower(text), '$bpePatSql')) AS w
   FROM documents) GROUP BY w),
 w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
-  list_transform(range(1, len(w)+1), i -> w[i]), ' ') AS word_str, cnt
+  list_transform(range(1, len(w)+1), i -> w[i]), '  ') || ' ' AS word_str, cnt
   FROM wrd)"""
 
   private def bpeRoundCtes(n: Int): String =
     (1 to n).map { r =>
       s"""p$r AS (SELECT l, r, sum(cnt)::BIGINT AS n FROM (
   SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r, cnt
-  FROM (SELECT string_split(substring(word_str, 2), ' ') AS syms, cnt FROM w${r - 1}))
+  FROM (SELECT string_split(trim(word_str), '  ') AS syms, cnt FROM w${r - 1}))
   GROUP BY l, r),
 b$r AS MATERIALIZED (SELECT l AS left_sym, r AS right_sym, n AS pair_n FROM p$r
   ORDER BY n DESC, l, r LIMIT 1),
 w$r AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN word_str
   ELSE replace(word_str,
-    ' ' || (SELECT left_sym FROM b$r) || ' ' || (SELECT right_sym FROM b$r),
-    ' ' || (SELECT left_sym FROM b$r) || (SELECT right_sym FROM b$r)) END AS word_str,
+    ' ' || (SELECT left_sym FROM b$r) || '  ' || (SELECT right_sym FROM b$r) || ' ',
+    ' ' || (SELECT left_sym FROM b$r) || (SELECT right_sym FROM b$r) || ' ') END AS word_str,
   cnt FROM w${r - 1})"""
     }.mkString(",\n")
 
@@ -158,18 +158,19 @@ ${(1 to n).map(r =>
     val docChain = (1 to n).map { r =>
       s"""d$r AS MATERIALIZED (SELECT doc_id, CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN ds
   ELSE replace(ds,
-    ' ' || (SELECT left_sym FROM b$r) || ' ' || (SELECT right_sym FROM b$r),
-    ' ' || (SELECT left_sym FROM b$r) || (SELECT right_sym FROM b$r)) END AS ds
+    ' ' || (SELECT left_sym FROM b$r) || '  ' || (SELECT right_sym FROM b$r) || ' ',
+    ' ' || (SELECT left_sym FROM b$r) || (SELECT right_sym FROM b$r) || ' ') END AS ds
   FROM d${r - 1})"""
     }.mkString(",\n")
     s"""$bpeInitCte,
 ${bpeRoundCtes(n)},
 d0 AS (SELECT doc_id, array_to_string(list_transform(
   regexp_extract_all(lower(text), '$bpePatSql'),
-  w -> ' ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ')),
+  w -> ' ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), '  ') || ' '),
   chr(10)) AS ds FROM documents),
 $docChain,
-fin AS (SELECT doc_id, trim(replace(ds, chr(10), '')) AS ts FROM d$n)"""
+fin AS (SELECT doc_id,
+  replace(trim(replace(ds, chr(10), '')), '  ', ' ') AS ts FROM d$n)"""
   }
 
   private def bpeTokenizeSql(n: Int): String =
@@ -1098,7 +1099,7 @@ ORDER BY doc_id""")),
         graft.streaming.CorpusIngest.cleanBatchSemantic(docs(s, d), embs(s, d)),
       Some(s"""WITH de AS (SELECT d.doc_id, d.source, d.text,
     array_to_string(list_transform(e.embedding,
-      x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sem_fp
+      x -> CASE WHEN isnan(x) THEN '0' WHEN x > 0 THEN '1' ELSE '0' END), '') AS sem_fp
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
 q AS (SELECT doc_id, source, text, sem_fp, $toksSql AS toks,
          len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,

@@ -44,9 +44,11 @@ object Influence {
     val nodes = Dedup.checkpointed(
       edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id"))).distinct())
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // static per-edge frame: (src, dst, outdeg) — built once, reused by
-    // every iteration's contribution join
+    // static per-node and per-edge frames — built once, checkpointed, so
+    // no round re-runs the CDC parse → distinct → aggregate pipeline
+    // (the spill join reads outdeg every iteration)
+    val outdeg = Dedup.checkpointed(
+      edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val ewd = Dedup.checkpointed(edges.join(outdeg, "src"))
     val n = nodes.count()
     if (n == 0)

@@ -78,8 +78,13 @@ object CorpusIngest {
     * (declared-approximate vs. the batch tier's threshold-verified
     * [[graft.ext.Dedup]] pipelines: a paraphrase that flips a
     * near-zero coordinate lands in a neighboring cell and is missed). */
+  // NaN pinned to '0' explicitly: Spark's `NaN > 0` is false but
+  // DuckDB's CASE WHEN x > 0 is TRUE for NaN (NaN sorts greatest), so
+  // without the guard a broken-encoder embedding would land in
+  // different sign-cells in the two engines
   def signPattern(emb: Column): Column =
-    array_join(transform(emb, x => when(x > 0, "1").otherwise("0")), "")
+    array_join(
+      transform(emb, x => when(!isnan(x) && x > 0, "1").otherwise("0")), "")
 
   /** [[cleanStream]] + a semantic stage: after exact-fingerprint dedup,
     * drop docs whose embedding sign-cell was already seen inside the
@@ -111,10 +116,12 @@ object CorpusIngest {
         round(col("quality"), 6).as("quality_r"), col("event_ts"))
 
   /** Schema of a scored stream row ([[cleanStreamLm]]'s mapPartitions
-    * pass). */
+    * pass); `quality` rides through the typed map so the gate computes
+    * it exactly once. */
   private[streaming] final case class ScoredDoc(
       doc_id: Long, text: String, source: String,
-      event_ts: java.sql.Timestamp, nll_nano: Long, n_toks: Int)
+      event_ts: java.sql.Timestamp, quality: Double,
+      nll_nano: Long, n_toks: Int)
 
   /** [[cleanStream]] + a model-based gate under a FIXED trained LM — the
     * deployable streaming form of the perplexity stage: the top-K
@@ -138,21 +145,26 @@ object CorpusIngest {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
+    // quality gate FIRST: Catalyst cannot push a Column filter through
+    // the opaque typed map, and the quality floor exists precisely
+    // because much of the firehose fails it — junk must not pay
+    // per-token scoring. quality rides through the map so it is
+    // computed exactly once.
     val scored = docs
-      .select(col("doc_id"), col("text"), col("source"), col("event_ts"))
-      .as[(Long, String, String, java.sql.Timestamp)]
+      .select(col("doc_id"), col("text"), col("source"), col("event_ts"),
+        TextAnalysis.qualityOf.as("quality"))
+      .observe("graft_corpus_lm_in", count(lit(1)).as("docs_in"))
+      .where(col("quality") >= minQuality)
+      .as[(Long, String, String, java.sql.Timestamp, Double)]
       .mapPartitions { it =>
         val m = bc.value
-        it.map { case (id, text, src, ts) =>
+        it.map { case (id, text, src, ts, q) =>
           val (s, n) = graft.ext.Lm.scoreRow(text, m, unkLpn)
-          ScoredDoc(id, text, src, ts, s, math.max(n, 1))
+          ScoredDoc(id, text, src, ts, q, s, math.max(n, 1))
         }
       }
       .toDF()
     scored
-      .observe("graft_corpus_lm_in", count(lit(1)).as("docs_in"))
-      .withColumn("quality", TextAnalysis.qualityOf)
-      .where(col("quality") >= minQuality)
       .withColumn("avg_nll",
         -(col("nll_nano").cast("double") / 1e9) / col("n_toks"))
       .where(col("avg_nll") <= nllCutoff)
@@ -164,6 +176,39 @@ object CorpusIngest {
       .select(col("doc_id"), col("source"), col("fp"),
         round(col("quality"), 6).as("quality_r"),
         round(col("avg_nll"), 6).as("avg_nll_r"), col("event_ts"))
+  }
+
+  /** The shared batch gate chain every `cleanBatch*` variant runs:
+    * quality floor → `stage` (the variant's scoring/keying addition) →
+    * exact-fp "first doc_id wins" → `afterDedup` (the variant's
+    * post-dedup stage) → decontamination anti-join → canonical output
+    * columns (+ the variant's extras). One definition, so the dedup
+    * tie-break, probe derivation and join shapes cannot drift between
+    * the four variants. */
+  private def corpusGate(
+      input: DataFrame,
+      probeDocs: DataFrame,
+      minQuality: Double,
+      probeModulus: Int,
+      stage: DataFrame => DataFrame = identity,
+      afterDedup: DataFrame => DataFrame = identity,
+      extraOut: Seq[Column] = Nil): DataFrame = {
+    val probeFps = probeDocs
+      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
+      .select(fingerprint.as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    afterDedup(
+      stage(input
+        .withColumn("quality", TextAnalysis.qualityOf)
+        .where(col("quality") >= minQuality))
+        .withColumn("fp", fingerprint)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1))
+      .join(broadcast(probeFps), Seq("fp"), "left_anti")
+      .select(Seq(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r")) ++ extraOut: _*)
+      .orderBy("doc_id")
   }
 
   /** Batch twin of [[cleanStreamLm]], self-contained over the fixture:
@@ -181,24 +226,11 @@ object CorpusIngest {
       .select(col("doc_id"), col("avg_nll_r"))
     val cut = scores.agg(
       expr(s"percentile(avg_nll_r, $nllQuantile)").as("cut"))
-    val probeFps = docs
-      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
-      .select(fingerprint.as("fp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col("doc_id"))
-    docs
-      .withColumn("quality", TextAnalysis.qualityOf)
-      .where(col("quality") >= minQuality)
-      .join(scores, "doc_id")
-      .crossJoin(broadcast(cut))
-      .where(col("avg_nll_r") <= col("cut"))
-      .withColumn("fp", fingerprint)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .join(broadcast(probeFps), Seq("fp"), "left_anti")
-      .select(col("doc_id"), col("source"), col("fp"),
-        round(col("quality"), 6).as("quality_r"), col("avg_nll_r"))
-      .orderBy("doc_id")
+    corpusGate(docs, docs, minQuality, probeModulus,
+      stage = _.join(scores, "doc_id")
+        .crossJoin(broadcast(cut))
+        .where(col("avg_nll_r") <= col("cut")),
+      extraOut = Seq(col("avg_nll_r")))
   }
 
   /** [[cleanBatch]] + a model-based gate: drop the worst `1−nllQuantile`
@@ -218,24 +250,11 @@ object CorpusIngest {
     val ppl = graft.ext.Lm.perplexity(docs)
       .select(col("doc_id"), col("avg_nll_r"), col("ppl_r"))
     val cut = ppl.agg(expr(s"percentile(avg_nll_r, $nllQuantile)").as("cut"))
-    val probeFps = docs
-      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
-      .select(fingerprint.as("fp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col("doc_id"))
-    docs
-      .withColumn("quality", TextAnalysis.qualityOf)
-      .where(col("quality") >= minQuality)
-      .join(ppl, "doc_id")
-      .crossJoin(broadcast(cut))
-      .where(col("avg_nll_r") <= col("cut"))
-      .withColumn("fp", fingerprint)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .join(broadcast(probeFps), Seq("fp"), "left_anti")
-      .select(col("doc_id"), col("source"), col("fp"),
-        round(col("quality"), 6).as("quality_r"), col("ppl_r"))
-      .orderBy("doc_id")
+    corpusGate(docs, docs, minQuality, probeModulus,
+      stage = _.join(ppl, "doc_id")
+        .crossJoin(broadcast(cut))
+        .where(col("avg_nll_r") <= col("cut")),
+      extraOut = Seq(col("ppl_r")))
   }
 
   /** Batch twin of [[cleanStreamSemantic]] over the `documents` ×
@@ -247,28 +266,15 @@ object CorpusIngest {
       embs: DataFrame,
       minQuality: Double = 0.3,
       probeModulus: Int = 50): DataFrame = {
-    val probeFps = docs
-      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
-      .select(fingerprint.as("fp"))
-    val joined = docs
-      .join(embs.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
-    val wFp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col("doc_id"))
     val wSem = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sem_fp")).orderBy(col("doc_id"))
-    joined
-      .withColumn("quality", TextAnalysis.qualityOf)
-      .where(col("quality") >= minQuality)
-      .withColumn("fp", fingerprint)
-      .withColumn("sem_fp", signPattern(col("embedding")))
-      .withColumn("rn", row_number().over(wFp))
-      .where(col("rn") === 1)
-      .withColumn("rn2", row_number().over(wSem))
-      .where(col("rn2") === 1)
-      .join(broadcast(probeFps), Seq("fp"), "left_anti")
-      .select(col("doc_id"), col("source"), col("fp"),
-        round(col("quality"), 6).as("quality_r"))
-      .orderBy("doc_id")
+    corpusGate(
+      docs.join(embs.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id"),
+      docs, minQuality, probeModulus,
+      stage = _.withColumn("sem_fp", signPattern(col("embedding"))),
+      afterDedup = _.withColumn("rn2", row_number().over(wSem))
+        .where(col("rn2") === 1))
   }
 
   /** Drop-reason accounting for the batch gate: every doc attributed to
@@ -313,21 +319,6 @@ object CorpusIngest {
   def cleanBatch(
       docs: DataFrame,
       minQuality: Double = 0.3,
-      probeModulus: Int = 50): DataFrame = {
-    val probeFps = docs
-      .where(pmod(col("doc_id"), lit(probeModulus)) === 0)
-      .select(fingerprint.as("fp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col("doc_id"))
-    docs
-      .withColumn("quality", TextAnalysis.qualityOf)
-      .where(col("quality") >= minQuality)
-      .withColumn("fp", fingerprint)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .join(broadcast(probeFps), Seq("fp"), "left_anti")
-      .select(col("doc_id"), col("source"), col("fp"),
-        round(col("quality"), 6).as("quality_r"))
-      .orderBy("doc_id")
-  }
+      probeModulus: Int = 50): DataFrame =
+    corpusGate(docs, docs, minQuality, probeModulus)
 }

@@ -47,6 +47,21 @@ class BpeSpec extends SparkSuite {
     assert(m.head.pair_n === 3L, "only the in-word occurrences count")
   }
 
+  test("right boundary holds: merging (x,a) must not glue [x, ab]") {
+    // round 1 merges (a,b) (count 4), so "xab" is [x, ab]; round 2
+    // merges (x,a) (count 2, from "xa") — a left-only spaced encoding
+    // would match " x a" against the PREFIX of " x ab" and corrupt the
+    // word to the never-learned symbol "xab"
+    val docs = docsOf("ab ab ab xa xa xab")
+    val m = Bpe.learn(docs, numMerges = 3)
+    assert(m.map(x => (x.left_sym, x.right_sym, x.pair_n)) ===
+      Seq(("a", "b", 4L), ("x", "a", 2L), ("x", "ab", 1L)),
+      "round 3 must still see the intact (x, ab) pair")
+    // after 2 merges: ab ×3 → 1 token each, xa ×2 → 1 each, xab → [x, ab]
+    val out = Bpe.tokenize(docs, m.take(2)).collect()
+    assert(out.head.getAs[Int]("n_tokens") === 7)
+  }
+
   test("single-symbol vocabulary stops the learner early") {
     val docs = docsOf("a b a b")
     val m = Bpe.learn(docs, numMerges = 5)

@@ -98,6 +98,23 @@ class LmSpec extends SparkSuite {
       "identical sources diverge identically")
   }
 
+  test("scoreRow tokenizes exactly like the Spark twin on tab/newline " +
+      "edges (space-only trim, trailing empties kept)") {
+    val docs = Seq((0L, "\thello world\n"), (1L, "  plain text  "))
+      .toDF("doc_id", "text")
+    val (model, unk) = Lm.nanoModel(docs, topK = 16)
+    val batch = Lm.nanoScores(docs, topK = 16).orderBy("doc_id").collect()
+    val texts = Seq("\thello world\n", "  plain text  ")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (s, n) = Lm.scoreRow(t, model, unk)
+      assert(n.toLong === batch(i).getAs[Long]("n_tokens"),
+        s"token count for ${t.replace("\n", "\\n")}")
+      val nll = BigDecimal(-(s.toDouble / 1e9) / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nll === batch(i).getAs[Double]("avg_nll_r"))
+    }
+  }
+
   test("every doc is scored; token counts line up with the tokenizer") {
     val docs = docsOf("one two three", "", "solo")
     val out = Lm.perplexity(docs).orderBy("doc_id").collect()

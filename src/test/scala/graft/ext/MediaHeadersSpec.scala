@@ -88,6 +88,28 @@ class MediaHeadersSpec extends SparkSuite {
       "naive parse yields wrong dims; the walk does not")
   }
 
+  test("both parsers agree at the walk bound: SOF found as the 9th " +
+      "segment, not as the 10th") {
+    import spark.implicits._
+    // 4-byte COM filler segments (marker FFFE, len 4)
+    def jpegWithPreamble(fillers: Int): String =
+      "FFD8" + ("FFFE00040000" * fillers) +
+        "FFC0" + "0011" + "08" + "0064" + "0032" + "03011100021101031101"
+    val at9 = jpegWithPreamble(8)  // SOF is segment 9: last inspected
+    val at10 = jpegWithPreamble(9) // SOF is segment 10: out of reach
+    val out = Multimodal.withHeaderMeta(
+      Seq(at9, at10).toDF("hx"), col("hx"))
+      .select(col("hx"), col("width"), col("height")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(out(at9) === Some(50), "Column parser reads segment 9")
+    assert(out(at10) === None, "Column parser stops before segment 10")
+    def jvm(hx: String) = Multimodal.HeaderCodec.parse(
+      hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    assert(jvm(at9).width === Some(50), "JVM parser reads segment 9 too")
+    assert(jvm(at10).width === None, "JVM parser stops identically")
+  }
+
   test("truncated and garbage payloads parse as unknown and never throw") {
     val garbage = Seq[Array[Byte]](
       null,
