@@ -179,4 +179,30 @@ object Behavior {
         col("user_id").as("neighbor_id"), round(col("sim"), 6).as("sim_r"))
       .orderBy("q_id", "rnk")
   }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: for each observed (prev → next) step, the count and the
+    * conditional probability P(next | prev) — the behavioral-model view
+    * (next-event prediction, anomaly scoring) of the same sequences
+    * [[EventWindows]] sessionizes. Ordering inside a user is (ts,
+    * event_id) — event_id breaks timestamp ties deterministically.
+    *
+    * Scale: one user-keyed window pass (the activity table's own
+    * bucketing key) + two tiny aggregates over the |event-types|²
+    * matrix. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("prev_type").agg(sum("n").as("total"))
+    counts.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("p_r"))
+      .orderBy("prev_type", "next_type")
+  }
 }

@@ -137,7 +137,8 @@ object Bpe {
     * (doc_id, n_tokens, tokens_digest) — the digest is md5 of the final
     * space-joined token stream, so the oracle checks the full
     * tokenization, not just counts. */
-  def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+  /** The canonical single-space token stream per doc: (doc_id, ts). */
+  private[ext] def tokenStream(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val wordStrs = transform(
       regexp_extract_all(lower(col("text")), lit(bpeIshPattern), lit(0)),
       w => concat(lit(" "), array_join(split(w, ""), "  "), lit(" ")))
@@ -150,13 +151,36 @@ object Bpe {
     // drop the word separators (adjacent words then meet at the same
     // double space the in-word encoding uses), trim the outer wrap, and
     // collapse the double separators to the canonical single-space stream
-    merged
-      .select(col("doc_id"),
-        replace(trim(translate(col("ds"), "\n", "")), lit("  "), lit(" "))
-          .as("ts"))
+    merged.select(col("doc_id"),
+      replace(trim(translate(col("ds"), "\n", "")), lit("  "), lit(" "))
+        .as("ts"))
+  }
+
+  def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    tokenStream(docs, merges)
       .select(col("doc_id"),
         when(col("ts") === "", lit(0))
           .otherwise(size(split(col("ts"), " "))).as("n_tokens"),
         md5(col("ts")).as("tokens_digest"))
-  }
+
+  /** Per-source tokenizer fit: characters per BPE token under the
+    * learned merges vs under plain characters — the compression a vocab
+    * buys each source (a source the merges don't fit tokenizes long).
+    * chars = the pre-tokenized symbol characters, so the ratio is a pure
+    * property of the tokenizer, not of whitespace. */
+  def compressionBySource(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    tokenStream(docs, merges)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"),
+        when(col("ts") === "", lit(0))
+          .otherwise(size(split(col("ts"), " "))).as("n_tok"),
+        (length(col("ts")) - when(col("ts") === "", lit(0))
+          .otherwise(size(split(col("ts"), " ")) - 1)).as("n_chars_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("n_tokens"), sum("n_chars_tok").as("n_chars"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        round(col("n_chars").cast("double") /
+          greatest(col("n_tokens"), lit(1)), 4).as("chars_per_token_r"))
+      .orderBy("source")
 }

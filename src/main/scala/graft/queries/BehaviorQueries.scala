@@ -136,7 +136,24 @@ r AS (SELECT q_id, user_id AS neighbor_id, round(sim, 6) AS sim_r,
       FROM sc)
 SELECT q_id, rnk::INT AS rnk, neighbor_id, sim_r FROM r WHERE rnk <= 5
 ORDER BY q_id, rnk"""
-      })
+      }),
+
+    // First-order Markov transitions over per-user event sequences:
+    // P(next event type | current), (ts, event_id)-ordered.
+    ("events_markov",
+      (s: SparkSession, d: String) => Behavior.eventTransitions(events(s, d)),
+      Some("""WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+t AS (SELECT prev_type, sum(n)::BIGINT AS total FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n,
+       round(c.n::DOUBLE / t.total, 6) AS p_r
+FROM c JOIN t ON c.prev_type = t.prev_type
+ORDER BY c.prev_type, c.next_type"""))
   )
 
   val queries: Map[String, Q] =

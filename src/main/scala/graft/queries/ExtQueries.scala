@@ -1727,6 +1727,25 @@ FROM agg ORDER BY doc_id""")),
           graft.ext.Bpe.learn(docs(s, d), bpeMerges)).orderBy("doc_id"),
       Some(bpeTokenizeSql(bpeMerges))),
 
+    // Per-source tokenizer fit: characters per learned-BPE token — a
+    // source the merges don't fit tokenizes long (low compression).
+    ("bpe_compression",
+      (s: SparkSession, d: String) =>
+        graft.ext.Bpe.compressionBySource(docs(s, d),
+          graft.ext.Bpe.learn(docs(s, d), bpeMerges)),
+      Some(s"""WITH ${bpeDocTokenCtes(bpeMerges)},
+tc AS (SELECT fin.doc_id,
+  (CASE WHEN ts = '' THEN 0 ELSE len(string_split(ts, ' ')) END)::BIGINT AS n_tok,
+  (len(ts) - CASE WHEN ts = '' THEN 0
+     ELSE len(string_split(ts, ' ')) - 1 END)::BIGINT AS n_chars_tok
+  FROM fin),
+j AS (SELECT d.source, tc.n_tok, tc.n_chars_tok
+      FROM tc JOIN documents d ON tc.doc_id = d.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+  sum(n_chars_tok)::BIGINT AS n_chars,
+  round(sum(n_chars_tok)::DOUBLE / greatest(sum(n_tok), 1), 4) AS chars_per_token_r
+FROM j GROUP BY source ORDER BY source""")),
+
     // Context-window packing driven by the LEARNED tokenizer instead of
     // whitespace counts — the integration every token statistic in a
     // real pipeline runs through (pack on the same tokens you train on).

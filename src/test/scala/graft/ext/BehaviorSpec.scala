@@ -91,4 +91,28 @@ class BehaviorSpec extends SparkSuite {
     val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     assert(got.toSet === Set((1, 5, 1L), (7, 23, 1L)))
   }
+
+  test("eventTransitions: per-user steps only, probabilities normalize " +
+      "within each prev type, event_id breaks timestamp ties") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (1L, 2L, "2024-01-01 10:01:00", "click"),
+      (1L, 3L, "2024-01-01 10:02:00", "view"),
+      (1L, 4L, "2024-01-01 10:02:00", "purchase"), // ties on ts: id order
+      (2L, 5L, "2024-01-01 11:00:00", "view"),
+      (2L, 6L, "2024-01-01 11:01:00", "click"))
+      .toDF("user_id", "event_id", "ts_s", "event_type")
+      .select(col("user_id"), col("event_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+    val got = Behavior.eventTransitions(events).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("p_r"))).toSet
+    // u1: view→click, click→view, view→purchase (tie resolved by id);
+    // u2: view→click; u1's trailing purchase never chains into u2
+    assert(got === Set(
+      ("view", "click", 2L, 0.666667),
+      ("view", "purchase", 1L, 0.333333),
+      ("click", "view", 1L, 1.0)))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions._
 
 /** BPE learner semantics on planted corpora: merge order, deterministic
   * tie-breaks, in-word merge folding, word-boundary isolation, and the
@@ -80,6 +81,39 @@ class BpeSpec extends SparkSuite {
     // doc 0: two words "abab" → [abab] each → 2 tokens
     // doc 1: "ab" → [ab] → 1 token; doc 2: "xy" → [x, y] → 2 tokens
     assert(out.map(_.getAs[Int]("n_tokens")).toSeq === Seq(2, 1, 2))
+  }
+
+  test("tokenization is lossless: merged tokens concatenate back to the " +
+      "pre-tokenized character stream") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val merges = Bpe.learn(docs, numMerges = 8)
+    val merged = Bpe.tokenStream(docs, merges)
+      .select(col("doc_id"), translate(col("ts"), " ", "").as("chars"))
+    val plain = Bpe.tokenStream(docs, Nil)
+      .select(col("doc_id"), translate(col("ts"), " ", "").as("chars0"))
+    val diff = merged.join(plain, "doc_id")
+      .where(col("chars") =!= col("chars0")).count()
+    assert(diff === 0, "merges must never create or drop characters")
+    // and merging strictly compresses somewhere
+    val nM = Bpe.tokenize(docs, merges).agg(sum("n_tokens")).head().getLong(0)
+    val n0 = Bpe.tokenize(docs, Nil).agg(sum("n_tokens")).head().getLong(0)
+    assert(nM < n0, s"merged $nM must be below plain $n0")
+  }
+
+  test("per-source compression: a source the merges fit tokenizes " +
+      "shorter than one they don't") {
+    import spark.implicits._
+    val docs = (
+      (0 until 8).map(i => (i.toLong, "tok tok tok tok", "fits", 15L)) :+
+      (8L, "qz vw xy pq rs", "misfit", 14L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val m = Bpe.learn(docs, numMerges = 4)
+    val out = Bpe.compressionBySource(docs, m).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("chars_per_token_r")).toMap
+    assert(out("fits") > out("misfit"),
+      s"merged source packs more chars per token: $out")
   }
 
   test("vocab frame matches the learned merges and is rank-ordered") {
