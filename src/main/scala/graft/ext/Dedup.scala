@@ -607,9 +607,13 @@ object Dedup {
   private[ext] def keepBestQuality(
       docs: DataFrame,
       clusters: DataFrame): DataFrame = {
-    val scored = docs.join(clusters, Seq("doc_id"))
-      .select(col("doc_id"), col("cluster_id"),
-        TextAnalysis.qualityExpr.as("q"))
+    // quality on the raw docs scan FIRST (skinny doc_id+q projection),
+    // clusters joined after: the heavy text column never rides through
+    // the join or [[TextAnalysis.withQuality]]'s scan-parallel shuffle
+    val scored = TextAnalysis.withQuality(docs, "q")
+      .select(col("doc_id"), col("q"))
+      .join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("q"))
     val byQuality = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("q").desc, col("doc_id"))

@@ -129,36 +129,60 @@ object TextAnalysis {
   // a zero divisor into a job-killing error, so guard rather than trust
   // the corpus. Identical arithmetic for every non-empty doc.
   private def qLen: Column = greatest(length(col("text")), lit(1))
-  private def qToks: Column = wsTokens(lower(col("text")))
   private def qAlpha: Column = regexp_count(col("text"), lit("[a-zA-Z]"))
-  private def qStops: Column = lexiconHits(qToks, langLexica.toMap.apply("en"))
+  private val enStops: Seq[String] = langLexica.toMap.apply("en")
 
-  /** The composite quality expression over `col("text")` — shared by
-    * [[qualityScore]], [[weightedSample]] and
-    * [[Dedup.nearDupSurvivorsQuality]] so all stay in lockstep with the
-    * DuckDB oracle formula. */
-  private[ext] def qualityExpr: Column = qualityOf
+  /** Internal name of the materialized token projection [[withQuality]]
+    * introduces; never escapes (dropped before the caller sees the frame). */
+  private val qTokCol = "__q_toks"
 
-  /** Public form of the composite quality score over `col("text")` — the
-    * shared gate expression for batch queries and the streaming corpus
-    * ingest ([[graft.streaming.CorpusIngest]]). */
-  def qualityOf: Column =
-    least(size(qToks), lit(256)).cast("double") / 256 * 0.4 +
+  /** The composite quality score over a MATERIALIZED token attribute
+    * (plus `col("text")` for the char-level ratios). `toks` must be a
+    * real attribute, not an inline `wsTokens(...)`: `lexiconHits` is an
+    * interpreted `filter` lambda, and an inline token expression there
+    * re-tokenizes per reference outside codegen — the interpreted-lambda
+    * scan trap this repo documents (PLANS.md; the [[langId]] projection
+    * boundary is the template). The attribute is referenced three times
+    * in a non-cheap alias, so CollapseProject keeps the boundary. */
+  private[graft] def qualityOfToks(toks: Column): Column =
+    least(size(toks), lit(256)).cast("double") / 256 * 0.4 +
       (qAlpha.cast("double") / qLen) * 0.4 +
-      least(qStops.cast("double") / greatest(size(qToks), lit(1)) * 5,
-        lit(1.0)) * 0.2
+      least(lexiconHits(toks, enStops).cast("double") /
+        greatest(size(toks), lit(1)) * 5, lit(1.0)) * 0.2
+
+  /** Adds the composite quality score as column `out`, materializing the
+    * token array behind its own projection first — the ONE way every
+    * batch query and the streaming corpus ingest
+    * ([[graft.streaming.CorpusIngest]]) compute quality, so the gate
+    * formula cannot drift between tiers. Batch inputs are additionally
+    * spread to full scan parallelism ([[TextOps.scanParallel]] — a
+    * single-file fixture otherwise runs the whole interpreted-lambda
+    * scan on one core); streaming inputs pass through untouched
+    * (repartition-by-rdd is undefined on a streaming frame, and a
+    * micro-batch already shuffles into the state store). */
+  def withQuality(df: DataFrame, out: String = "quality"): DataFrame = {
+    val base = if (df.isStreaming) df else scanParallel(df)
+    base
+      .withColumn(qTokCol, wsTokens(lower(col("text"))))
+      .withColumn(out, qualityOfToks(col(qTokCol)))
+      .drop(qTokCol)
+  }
 
   def qualityScore(docs: DataFrame): DataFrame = {
     val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
-    docs.select(
-      col("doc_id"),
-      length(col("text")).as("len_chars"),
-      size(qToks).as("n_tokens"),
-      (punct.cast("double") / qLen).as("punct_ratio"),
-      (qAlpha.cast("double") / qLen).as("alpha_ratio"),
-      (qStops.cast("double") / greatest(size(qToks), lit(1)))
-        .as("stopword_ratio"),
-      qualityExpr.as("quality"))
+    val toks = col(qTokCol)
+    val stops = lexiconHits(toks, enStops)
+    scanParallel(docs)
+      .withColumn(qTokCol, wsTokens(lower(col("text"))))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        size(toks).as("n_tokens"),
+        (punct.cast("double") / qLen).as("punct_ratio"),
+        (qAlpha.cast("double") / qLen).as("alpha_ratio"),
+        (stops.cast("double") / greatest(size(toks), lit(1)))
+          .as("stopword_ratio"),
+        qualityOfToks(toks).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -483,9 +507,9 @@ object TextAnalysis {
   def weightedSample(docs: DataFrame, k: Int = 25): DataFrame = {
     val u = conv(substring(md5(normText(col("text"))), 1, 13), 16, 10)
       .cast("double") / math.pow(16.0, 13)
-    docs
+    withQuality(docs)
       .select(col("doc_id"),
-        greatest(qualityExpr, lit(0.001)).as("w"),
+        greatest(col("quality"), lit(0.001)).as("w"),
         u.as("u"))
       .select(col("doc_id"), round(col("w"), 6).as("w_r"),
         round(log(col("u")) / col("w"), 6).as("es_key_r"))
@@ -510,9 +534,9 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("es_key").desc, col("doc_id"))
-    docs
+    withQuality(docs)
       .select(col("doc_id"), col("source"),
-        greatest(qualityExpr, lit(0.001)).as("wt"), u.as("u"))
+        greatest(col("quality"), lit(0.001)).as("wt"), u.as("u"))
       .withColumn("es_key", log(col("u")) / col("wt"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= kPerStratum)
@@ -568,8 +592,8 @@ object TextAnalysis {
     * Scale: one scan for scores, one tiny per-language aggregate
     * broadcast back, one filter — the corpus never shuffles. */
   def adaptiveQualityKeep(docs: DataFrame): DataFrame = {
-    val scored = docs.select(
-      col("doc_id"), col("lang"), qualityExpr.as("quality"))
+    val scored = withQuality(docs).select(
+      col("doc_id"), col("lang"), col("quality"))
     val medians = scored.groupBy("lang")
       .agg(expr("percentile(quality, 0.5)").as("median_q"))
     scored

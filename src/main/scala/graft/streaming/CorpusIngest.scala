@@ -46,7 +46,7 @@ object CorpusIngest {
       probeFps: DataFrame,
       minQuality: Double = 0.3,
       watermark: String = "1 hour"): DataFrame =
-    docs
+    TextAnalysis.withQuality(
       // Per-stage observe() metrics (the A2 pattern, ActivitySink): one
       // CollectMetrics count after each gate, surfaced per micro-batch in
       // StreamingQueryProgress.observedMetrics. Stage drops are the
@@ -55,8 +55,7 @@ object CorpusIngest {
       // dedup_survivors − docs_out. This is the operational surface a
       // 100 TB/day ingest is run by — a silent gate is an outage you
       // discover from the training loss.
-      .observe("graft_corpus_in", count(lit(1)).as("docs_in"))
-      .withColumn("quality", TextAnalysis.qualityOf)
+      docs.observe("graft_corpus_in", count(lit(1)).as("docs_in")))
       .where(col("quality") >= minQuality)
       .observe("graft_corpus_quality", count(lit(1)).as("quality_passed"))
       .withColumn("fp", fingerprint)
@@ -98,9 +97,8 @@ object CorpusIngest {
       probeFps: DataFrame,
       minQuality: Double = 0.3,
       watermark: String = "1 hour"): DataFrame =
-    docs
-      .observe("graft_corpus_in", count(lit(1)).as("docs_in"))
-      .withColumn("quality", TextAnalysis.qualityOf)
+    TextAnalysis.withQuality(
+      docs.observe("graft_corpus_in", count(lit(1)).as("docs_in")))
       .where(col("quality") >= minQuality)
       .observe("graft_corpus_quality", count(lit(1)).as("quality_passed"))
       .withColumn("fp", fingerprint)
@@ -150,9 +148,9 @@ object CorpusIngest {
     // because much of the firehose fails it — junk must not pay
     // per-token scoring. quality rides through the map so it is
     // computed exactly once.
-    val scored = docs
+    val scored = TextAnalysis.withQuality(docs)
       .select(col("doc_id"), col("text"), col("source"), col("event_ts"),
-        TextAnalysis.qualityOf.as("quality"))
+        col("quality"))
       .observe("graft_corpus_lm_in", count(lit(1)).as("docs_in"))
       .where(col("quality") >= minQuality)
       .as[(Long, String, String, java.sql.Timestamp, Double)]
@@ -199,8 +197,7 @@ object CorpusIngest {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     afterDedup(
-      stage(input
-        .withColumn("quality", TextAnalysis.qualityOf)
+      stage(TextAnalysis.withQuality(input)
         .where(col("quality") >= minQuality))
         .withColumn("fp", fingerprint)
         .withColumn("rn", row_number().over(w))
@@ -268,11 +265,14 @@ object CorpusIngest {
       probeModulus: Int = 50): DataFrame = {
     val wSem = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sem_fp")).orderBy(col("doc_id"))
+    // embeddings join INSIDE the stage, after the quality floor: only
+    // surviving docs pay the embedding payload, and the quality gate's
+    // scan-parallel pass never shuffles the wide vectors
     corpusGate(
-      docs.join(embs.select(col("vec_id").as("doc_id"), col("embedding")),
-        "doc_id"),
-      docs, minQuality, probeModulus,
-      stage = _.withColumn("sem_fp", signPattern(col("embedding"))),
+      docs, docs, minQuality, probeModulus,
+      stage = _.join(
+        embs.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .withColumn("sem_fp", signPattern(col("embedding"))),
       afterDedup = _.withColumn("rn2", row_number().over(wSem))
         .where(col("rn2") === 1))
   }
@@ -296,8 +296,7 @@ object CorpusIngest {
     val dupRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp"), col("quality") >= minQuality)
       .orderBy(col("doc_id"))
-    docs
-      .withColumn("quality", TextAnalysis.qualityOf)
+    TextAnalysis.withQuality(docs)
       .withColumn("fp", fingerprint)
       .withColumn("rn",
         when(col("quality") >= minQuality, row_number().over(dupRank)))
