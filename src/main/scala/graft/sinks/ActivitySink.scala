@@ -37,90 +37,46 @@ object ActivitySink {
 
   val defaultBuckets = 64
 
+  private def clusteringSort = Seq(
+    col("user_id"), col("event_timestamp").desc, col("activity_pk").desc)
+
   /** Write the canonical activity table: bucket-partitioned directories,
-    * clustering-sorted files. */
+    * clustering-sorted files ([[BucketedSink]] with the CQL clustering
+    * policy). */
   def write(activity: DataFrame, path: String, buckets: Int = defaultBuckets): Unit =
-    activity
-      .withColumn("user_bucket", pmod(hash(col("user_id")), lit(buckets)))
-      .repartition(col("user_bucket"))
-      .sortWithinPartitions(
-        col("user_id"), col("event_timestamp").desc, col("activity_pk").desc)
-      .write
-      .mode("overwrite")
-      .partitionBy("user_bucket")
-      .parquet(path)
+    BucketedSink.write(activity, path, col("user_id"), "user_bucket",
+      buckets, clusteringSort, "overwrite")
 
   /** Append one micro-batch into the same layout (streaming K1). Each
     * batch adds clustering-sorted files under the bucket directories; a
     * periodic compaction (re-running [[write]] over the accumulated
     * table) restores one-file-per-bucket when batch counts grow. */
   def appendBatch(activity: DataFrame, path: String, buckets: Int = defaultBuckets): Unit =
-    activity
-      .withColumn("user_bucket", pmod(hash(col("user_id")), lit(buckets)))
-      .repartition(col("user_bucket"))
-      .sortWithinPartitions(
-        col("user_id"), col("event_timestamp").desc, col("activity_pk").desc)
-      .write
-      .mode("append")
-      .partitionBy("user_bucket")
-      .parquet(path)
+    BucketedSink.write(activity, path, col("user_id"), "user_bucket",
+      buckets, clusteringSort, "append")
 
   /** The K1 write path in streaming form (≙ event_processor.py:89-113):
     * checkpointed foreachBatch into the bucketed/clustered layout, so the
     * serving table the feed queries read is maintained continuously.
-    *
-    * Delivery: a per-batch marker file skips batches that already
-    * committed fully, so clean restarts never duplicate. A crash in the
-    * window between a partial parquet append and the marker write can
-    * still replay that batch (plain parquet append is not
-    * transactional) — i.e. at-least-once at the file level; rows carry
-    * the deterministic `activity_pk` key, so readers needing exactly-once
-    * apply `dropDuplicates(activity_type, activity_pk)`, and a
-    * transactional table format slots in at this seam for stronger
-    * guarantees. */
+    * Delivery semantics: see [[BucketedSink.runToTable]] — rows carry the
+    * deterministic `activity_pk` key, so readers needing exactly-once
+    * apply `dropDuplicates(activity_type, activity_pk)`. */
   def runToActivityTable(
       activity: DataFrame,
       path: String,
       checkpointPath: String,
       buckets: Int = defaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
-    activity.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/$id")
-        val fs = marker.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker)) {
-          appendBatch(batch, path, buckets)
-          fs.create(marker, true).close()
-        }
-      }
-      .outputMode("append")
-      .option("checkpointLocation", checkpointPath)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    BucketedSink.runToTable(activity, path, checkpointPath,
+      appendBatch(_, path, buckets))
 
   /** Compact an activity table that [[runToActivityTable]] has been
-    * appending into: rewrite the accumulated per-batch files back to the
-    * canonical one-file-per-bucket clustered layout and GC the `_batches`
-    * markers (VERDICT r3 item 8 — without this, streaming cadence
-    * accumulates small files until scan throughput decays).
-    *
-    * The rewrite goes to a sibling directory first — the write action
-    * materializes the read of the old files before the swap deletes them —
-    * then swaps in atomically-enough for a maintenance window. Run it
-    * BETWEEN streaming runs, not concurrently with an active writer: the
-    * markers it GCs only guard foreachBatch retries within a run (committed
-    * batches are already fenced by the checkpoint), so a quiesced stream
-    * loses nothing by their removal. */
-  def compact(spark: SparkSession, path: String, buckets: Int = defaultBuckets): Unit = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
-    // user_bucket is re-derived by write() from the same hash
-    write(spark.read.parquet(path).drop("user_bucket"), tmp.toString, buckets)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
-    ()
-  }
+    * appending into (VERDICT r3 item 8 — without this, streaming cadence
+    * accumulates small files until scan throughput decays); mechanics and
+    * the quiesced-writer contract in [[BucketedSink.compact]]. */
+  def compact(spark: SparkSession, path: String, buckets: Int = defaultBuckets): Unit =
+    BucketedSink.compact(spark, path,
+      // user_bucket is re-derived by write() from the same hash
+      (df, tmp) => write(df.drop("user_bucket"), tmp, buckets))
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

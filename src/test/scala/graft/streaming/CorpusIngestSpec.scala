@@ -242,4 +242,68 @@ class CorpusIngestSpec extends SparkSuite {
     // quality floor holds
     assert(got.forall(_.getAs[Double]("quality_r") >= 0.3))
   }
+
+  test("corpus K1 sink: streamed appends land the bucketed layout, a " +
+      "restart never duplicates, compact restores one file per bucket " +
+      "with identical content (ActivitySinkSpec twin)") {
+    import graft.sinks.CorpusSink
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val probeFps = Seq(benchText).toDF("text")
+      .select(CorpusIngest.fingerprint.as("fp"))
+    val table = tmpDir("corpus_sink") + "/corpus"
+    val ckpt = tmpDir("corpus_sink_ckpt")
+    def run(): Unit = {
+      val q = CorpusSink.runToCorpusTable(
+        CorpusIngest.cleanStream(
+          mem.toDF().toDF("doc_id", "text", "source", "event_ts"), probeFps),
+        table, ckpt, buckets = 8)
+      q.awaitTermination()
+    }
+    mem.addData(doc(1, goodText, 1000), doc(3, junkText, 1020),
+      doc(5, otherText, 1040))
+    run()
+    mem.addData(
+      doc(7, "yet another genuinely new and reasonably long clean document here", 1060))
+    run() // second micro-batch appends more bucket files
+
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketFiles(): Map[String, Int] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("doc_bucket="))
+      .map(d => d.getPath.getName ->
+        fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")))
+      .toMap
+    assert(bucketFiles().nonEmpty)
+
+    // restart with no new data: checkpoint + markers fence every
+    // committed batch — the table must not grow
+    val before = CorpusSink.read(spark, table)
+      .orderBy("doc_id").collect().toSeq
+    run()
+    val afterRestart = CorpusSink.read(spark, table)
+      .orderBy("doc_id").collect().toSeq
+    assert(afterRestart === before, "clean restart must not duplicate")
+    assert(before.map(_.getAs[Long]("doc_id")) === Seq(1L, 5L, 7L))
+
+    // bucket column is consistent with the partitioning function
+    val bad = CorpusSink.read(spark, table).where(
+      col("doc_bucket") =!= pmod(hash(col("doc_id")), lit(8)))
+    assert(bad.count() === 0)
+
+    CorpusSink.compact(spark, table, buckets = 8)
+    val files = bucketFiles()
+    assert(files.nonEmpty && files.values.forall(_ === 1),
+      s"expected one file per bucket, got $files")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$table/_batches")))
+    val afterCompact = CorpusSink.read(spark, table)
+      .orderBy("doc_id").collect().toSeq
+    assert(afterCompact.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("fp"), r.getAs[Double]("quality_r"))) ===
+      before.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("fp"), r.getAs[Double]("quality_r"))),
+      "compaction must preserve content")
+  }
 }
