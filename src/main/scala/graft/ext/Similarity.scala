@@ -382,6 +382,66 @@ object Similarity {
       round(min(col("recall")), 6).as("min_recall_r"))
   }
 
+  /** Graph-based semantic clusters: connected components over the
+    * [[knnGraph]] edges at or above `threshold` — the standard
+    * SemDeDup alternative where cluster granularity comes from the
+    * MEASURED neighbor structure instead of one-shot IVF cell
+    * assignment (a cell is a Voronoi region of an arbitrary centroid; a
+    * k-NN component follows the data's own density ridges across cell
+    * boundaries, which multi-probe makes visible). Output matches
+    * [[Dedup.components]]: (doc_id, cluster_id = min vec_id reachable),
+    * one row per vector with at least one ≥-threshold edge.
+    *
+    * The threshold applies to the 6-dp-rounded `sim_r` BOTH engines
+    * compute, so the gate cannot float-diverge (the repo's round-then-
+    * compare oracle idiom).
+    *
+    * Scale: the edge list is the k-NN graph's own skinny (vec_id,
+    * nbr_id) pairs — at most k·N rows regardless of cluster shape — and
+    * the component loop is [[Dedup.components]]' checkpointed
+    * pointer-jumping over exactly those longs. */
+  def knnClusters(
+      embeddings: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.4,
+      stride: Int = ivfStride,
+      nprobe: Int = knnProbes): DataFrame =
+    Dedup.components(
+      knnGraph(embeddings, k, stride, nprobe)
+        .where(col("sim_r") >= threshold)
+        .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b")))
+      .orderBy("doc_id")
+
+  /** Cluster-count/size comparison of the two semantic clusterings over
+    * the same embeddings: [[knnClusters]] (k-NN graph components) vs the
+    * IVF-cell pair components [[Dedup.semanticPairs]] feeds SemDeDup —
+    * one row per (method, cluster_size). The view a dedup-policy choice
+    * reads: the graph method typically finds more, smaller clusters at
+    * the same threshold because edges must survive the per-vector top-k,
+    * not just share a cell. Both inputs are (doc_id, cluster_id) longs;
+    * the histogram aggregates are vocabulary-sized. */
+  def knnVsCellClusters(
+      embeddings: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.4,
+      stride: Int = ivfStride,
+      nprobe: Int = knnProbes): DataFrame = {
+    def histo(clusters: DataFrame, method: String) =
+      clusters
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(method).as("method"), col("cluster_size"),
+          col("n_clusters"))
+    histo(knnClusters(embeddings, k, threshold, stride, nprobe), "knn_graph")
+      .unionAll(histo(
+        Dedup.components(
+          Dedup.semanticPairs(embeddings, threshold, stride)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))),
+        "ivf_cell"))
+      .orderBy("method", "cluster_size")
+  }
+
   /** Recall@k of the LSH path vs the exact brute force, per query —
     * the honest quality metric for the approximate path. */
   def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {

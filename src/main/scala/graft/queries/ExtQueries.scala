@@ -84,22 +84,27 @@ mh AS (SELECT doc_id AS media_id,
   /** Shared DuckDB CTEs for the multi-probe k-NN graph
     * (`Similarity.knnGraph`, nprobe 2, stride 20): ends at `r` — ranked
     * candidate edges (vec_id, nbr_id, sim_r, rnk). */
+  // MATERIALIZED throughout: hm/pr/r are each referenced more than once
+  // downstream (knn_cluster_stats reads hm twice for the cell pairs), and
+  // DuckDB re-inlines a plain CTE at every reference — the 384-term dot
+  // products then replan per reference and the memory blows up under
+  // load (observed as an OOM when the gate ran beside a Spark suite).
   private lazy val knnGraphCtes: String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
-a AS (SELECT n.vec_id, c.cent_id,
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS MATERIALIZED (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS MATERIALIZED (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS MATERIALIZED (SELECT n.vec_id, c.cent_id,
              row_number() OVER (PARTITION BY n.vec_id
                ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
       FROM n CROSS JOIN c),
-hm AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+hm AS MATERIALIZED (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
-pr AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+pr AS MATERIALIZED (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn <= 2),
-s AS (SELECT x.vec_id, y.vec_id AS nbr_id,
+s AS MATERIALIZED (SELECT x.vec_id, y.vec_id AS nbr_id,
              (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) AS sim
       FROM pr x JOIN hm y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
-r AS (SELECT vec_id, nbr_id, round(sim, 6) AS sim_r,
+r AS MATERIALIZED (SELECT vec_id, nbr_id, round(sim, 6) AS sim_r,
              row_number() OVER (PARTITION BY vec_id
                ORDER BY sim DESC, nbr_id) AS rnk
       FROM s)"""
@@ -604,10 +609,10 @@ aa AS (SELECT nn.vec_id, cc.cent_id,
        FROM nn CROSS JOIN cc),
 asg AS (SELECT nn.vec_id, nn.v, nn.nrm, aa.cent_id AS cell
         FROM aa JOIN nn ON nn.vec_id = aa.vec_id WHERE aa.rn = 1),
-sp AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+sp AS MATERIALIZED (SELECT x.vec_id AS id_a, y.vec_id AS id_b
        FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
        WHERE (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) >= 0.4),
-sed AS (SELECT id_a AS u, id_b AS v FROM sp
+sed AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM sp
         UNION ALL SELECT id_b, id_a FROM sp),
 sr AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM sed) z
        UNION
@@ -1176,6 +1181,61 @@ SELECT count(*)::BIGINT AS n_vectors,
        round(avg(recall), 6) AS mean_recall_r,
        round(min(recall), 6) AS min_recall_r
 FROM pv""")),
+
+    // Graph-based semantic clusters: connected components over the k-NN
+    // graph's ≥-threshold edges — cluster granularity from the measured
+    // neighbor structure instead of one-shot IVF cell assignment. The
+    // oracle closes the same edge set with a recursive CTE (min
+    // reachable id ≡ the operator's min-label fixpoint).
+    ("knn_clusters",
+      (s: SparkSession, d: String) =>
+        Similarity.knnClusters(embs(s, d), k = 3, threshold = 0.4),
+      Some(s"""WITH RECURSIVE $knnGraphCtes,
+g AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3 AND sim_r >= 0.4),
+ed AS MATERIALIZED (SELECT vec_id AS u, nbr_id AS v FROM g
+       UNION ALL SELECT nbr_id, vec_id FROM g),
+cc AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM ed) nn
+       UNION
+       SELECT cc.u, ed.v FROM cc JOIN ed ON cc.v = ed.u)
+SELECT u AS doc_id, (min(v))::BIGINT AS cluster_id
+FROM cc GROUP BY u ORDER BY doc_id""")),
+
+    // Cluster-size histograms of the two semantic clusterings at the
+    // same threshold — k-NN-graph components vs the IVF-cell pair
+    // components SemDeDup uses; the policy-choice comparison view.
+    ("knn_cluster_stats",
+      (s: SparkSession, d: String) =>
+        Similarity.knnVsCellClusters(embs(s, d), k = 3, threshold = 0.4),
+      Some(s"""WITH RECURSIVE $knnGraphCtes,
+g AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3 AND sim_r >= 0.4),
+ed AS MATERIALIZED (SELECT vec_id AS u, nbr_id AS v FROM g
+       UNION ALL SELECT nbr_id, vec_id FROM g),
+cc AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM ed) nn
+       UNION
+       SELECT cc.u, ed.v FROM cc JOIN ed ON cc.v = ed.u),
+kcl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM cc GROUP BY u),
+sp AS MATERIALIZED (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       FROM hm x JOIN hm y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       WHERE (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) >= 0.4),
+sed AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM sp
+        UNION ALL SELECT id_b, id_a FROM sp),
+scc AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM sed) nn2
+        UNION
+        SELECT scc.u, sed.v FROM scc JOIN sed ON scc.v = sed.u),
+scl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM scc GROUP BY u),
+hk AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+       FROM kcl GROUP BY cluster_id),
+hs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+       FROM scl GROUP BY cluster_id),
+u AS (SELECT 'knn_graph' AS method, cluster_size,
+             count(*)::BIGINT AS n_clusters
+      FROM hk GROUP BY cluster_size
+      UNION ALL
+      SELECT 'ivf_cell' AS method, cluster_size,
+             count(*)::BIGINT AS n_clusters
+      FROM hs GROUP BY cluster_size)
+SELECT method, cluster_size, n_clusters FROM u
+ORDER BY method, cluster_size""")),
 
     // Near-dup pairs straddling train/val — the leakage a content-keyed
     // split can still have (exact-dup leakage is impossible by

@@ -135,6 +135,34 @@ class SimilaritySpec extends SparkSuite {
       s"multi-probe must strictly improve fixture recall ($single -> $multi)")
   }
 
+  test("knnClusters groups planted tight clusters under their min ids " +
+      "and excludes a vector with no ≥-threshold edge") {
+    import spark.implicits._
+    def member(axis: Int, j: Int): Array[Float] = {
+      val v = Array.fill(3)(0.02f * ((j % 3) - 1))
+      v(axis) = 1f
+      v
+    }
+    // three tight orthogonal clusters (ids 0-7, 20-27, 40-47) plus one
+    // vector anti-aligned with everything: its k-NN edges all fall
+    // below the threshold, so it must not appear in any cluster
+    val all = ((0 until 8).flatMap(j => Seq(
+      (j.toLong, member(0, j)),
+      (20L + j, member(1, j)),
+      (40L + j, member(2, j)))) :+ (60L, Array(-1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnClusters(all, k = 3, threshold = 0.4, stride = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ext.Dedup.releaseCaches()
+    assert(!out.contains(60L), "isolated vector must not cluster")
+    assert(out.size === 24)
+    (0 until 8).foreach { j =>
+      assert(out(j.toLong) === 0L)
+      assert(out(20L + j) === 20L)
+      assert(out(40L + j) === 40L)
+    }
+  }
+
   test("LSH ANN recall ≥ 0.5 vs brute force on the fixture embeddings") {
     val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val recalls = Similarity.annRecall(fx, numQueries = 10, k = 10)
