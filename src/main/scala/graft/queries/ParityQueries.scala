@@ -363,7 +363,15 @@ ORDER BY user_id, rn"""))),
     ("feed_influence",
       (s: SparkSession, d: String) =>
         graft.serve.Influence.pageRank(followEdges(s, d)),
-      Some(OracleCte.withCdc(influenceSql(10))))
+      Some(OracleCte.withCdc(influenceSql(10)))),
+
+    // Personalized PageRank: teleport + spill return to ONE source user
+    // (the in-plan lexicographic min node) — the per-user recommendation
+    // signal. Same exact-integer discipline, simpler: no divide-by-n.
+    ("feed_influence_personalized",
+      (s: SparkSession, d: String) =>
+        graft.serve.Influence.personalizedPageRank(followEdges(s, d)),
+      Some(OracleCte.withCdc(personalizedInfluenceSql(10))))
   )
 
   /** Unrolled DuckDB twin of [[graft.serve.Influence.pageRank]]:
@@ -395,6 +403,42 @@ ewd AS MATERIALIZED (SELECT ed.src, ed.dst, odg.outdeg
   FROM ed JOIN odg ON ed.src = odg.src),
 nn AS (SELECT count(*)::BIGINT AS n FROM nd),
 p0 AS MATERIALIZED (SELECT id, ($m // (SELECT n FROM nn))::BIGINT AS pr FROM nd),
+$rounds
+SELECT id AS user_id, pr AS pr_units FROM p$iters ORDER BY user_id"""
+  }
+
+  /** Unrolled DuckDB twin of
+    * [[graft.serve.Influence.personalizedPageRank]] (source = the
+    * lexicographic min node id): teleport and spill both go to the
+    * source — integer ops only, no divide-by-n. Same MATERIALIZED
+    * discipline as [[influenceSql]]. */
+  private def personalizedInfluenceSql(iters: Int): String = {
+    val m = graft.serve.Influence.Mass
+    val t = m * 15L / 100L
+    val rounds = (1 to iters).map { r =>
+      s"""sp$r AS MATERIALIZED (SELECT coalesce(sum(
+    CASE WHEN o.outdeg IS NULL THEN p.pr ELSE p.pr % o.outdeg END), 0)::BIGINT AS spill
+  FROM p${r - 1} p LEFT JOIN odg o ON p.id = o.src),
+p$r AS MATERIALIZED (SELECT n.id,
+    (CASE WHEN n.id = (SELECT s FROM src) THEN $t ELSE 0 END
+      + (85 * (coalesce(c.contrib, 0)
+               + CASE WHEN n.id = (SELECT s FROM src)
+                 THEN (SELECT spill FROM sp$r) ELSE 0 END)) // 100)::BIGINT AS pr
+  FROM nd n LEFT JOIN (
+    SELECT e.dst, sum(p.pr // e.outdeg)::BIGINT AS contrib
+    FROM ewd e JOIN p${r - 1} p ON e.src = p.id GROUP BY e.dst) c
+    ON n.id = c.dst)"""
+    }.mkString(",\n")
+    s""", ed AS MATERIALIZED (
+  SELECT DISTINCT follower_id AS src, following_id AS dst
+  FROM followers_cdc WHERE __op = 'c' AND follower_id <> following_id),
+nd AS MATERIALIZED (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+odg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY src),
+ewd AS MATERIALIZED (SELECT ed.src, ed.dst, odg.outdeg
+  FROM ed JOIN odg ON ed.src = odg.src),
+src AS (SELECT min(id) AS s FROM nd),
+p0 AS MATERIALIZED (SELECT id,
+  (CASE WHEN id = (SELECT s FROM src) THEN $m ELSE 0 END)::BIGINT AS pr FROM nd),
 $rounds
 SELECT id AS user_id, pr AS pr_units FROM p$iters ORDER BY user_id"""
   }

@@ -33,10 +33,14 @@ object Influence {
   /** Total probability mass, in micro-units. */
   val Mass = 1000000000000L
 
-  /** (user_id, pr_units) after `iterations` damped rounds, one row per
-    * node of the creates-only, self-loop-free, deduplicated follow graph.
-    * `followers` is the CDC branch frame ([[graft.sources.CdcSource]]). */
-  def pageRank(followers: DataFrame, iterations: Int = 10): DataFrame = {
+  /** The static frames every PageRank variant iterates over, each built
+    * once and lineage-truncated so no round re-runs the CDC parse →
+    * distinct → aggregate pipeline (the spill join reads outdeg every
+    * iteration). */
+  private final case class FollowGraph(
+      nodes: DataFrame, outdeg: DataFrame, ewd: DataFrame)
+
+  private def followGraph(followers: DataFrame): FollowGraph = {
     val edges = followers.where(col("__op") === "c")
       .select(col("follower_id").as("src"), col("following_id").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -44,12 +48,17 @@ object Influence {
     val nodes = Dedup.checkpointed(
       edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id"))).distinct())
-    // static per-node and per-edge frames — built once, checkpointed, so
-    // no round re-runs the CDC parse → distinct → aggregate pipeline
-    // (the spill join reads outdeg every iteration)
     val outdeg = Dedup.checkpointed(
       edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
-    val ewd = Dedup.checkpointed(edges.join(outdeg, "src"))
+    FollowGraph(nodes, outdeg,
+      Dedup.checkpointed(edges.join(outdeg, "src")))
+  }
+
+  /** (user_id, pr_units) after `iterations` damped rounds, one row per
+    * node of the creates-only, self-loop-free, deduplicated follow graph.
+    * `followers` is the CDC branch frame ([[graft.sources.CdcSource]]). */
+  def pageRank(followers: DataFrame, iterations: Int = 10): DataFrame = {
+    val FollowGraph(nodes, outdeg, ewd) = followGraph(followers)
     val n = nodes.count()
     if (n == 0)
       return nodes.select(col("id").as("user_id"), col("id").cast("long").as("pr_units"))
@@ -79,6 +88,65 @@ object Influence {
         .crossJoin(broadcast(spillF))
         .select(col("id"),
           expr(s"$baseUnit + (85 * (coalesce(contrib, 0) + spill div $n)) div 100")
+            .as("pr"))
+      pr = if (it < iterations) Dedup.checkpointed(next) else next
+    }
+    pr.select(col("id").as("user_id"), col("pr").as("pr_units"))
+      .orderBy("user_id")
+  }
+
+  /** Personalized PageRank: the teleport mass returns to ONE source user
+    * instead of spreading uniformly — rank becomes "probability a random
+    * walk restarting at `source` is here", i.e. the per-user
+    * recommendation signal a feed serves (global [[pageRank]] answers
+    * "who matters overall"; this answers "who matters TO this user").
+    *
+    * The integer discipline gets SIMPLER than the uniform variant: the
+    * teleport term (15 % of [[Mass]]) and the spill (dangling mass +
+    * division remainders) both go entirely to the source node — no
+    * divide-by-n anywhere, so the only dropped remainders are the final
+    * `div 100` damping ones, same as uniform. Initial state: all mass at
+    * the source (the walk starts there).
+    *
+    * `source` = None picks the lexicographic min node id in-plan (the
+    * deterministic fixture-independent choice the registered query uses
+    * — a broadcast single-row aggregate, no driver collect); pass
+    * Some(userId) to serve a specific user.
+    *
+    * Scale: identical per-round shape to [[pageRank]] — one skinny
+    * edge⋈rank join + dst-keyed sum + two broadcast single-row frames;
+    * rank checkpointed every round. */
+  def personalizedPageRank(
+      followers: DataFrame,
+      source: Option[String] = None,
+      iterations: Int = 10): DataFrame = {
+    val FollowGraph(nodes, outdeg, ewd) = followGraph(followers)
+    val srcF = source match {
+      case Some(s) => nodes.sparkSession.range(1).select(lit(s).as("src_id"))
+      case None => nodes.agg(min(col("id")).as("src_id"))
+    }
+    val teleport = Mass * 15L / 100L
+    var pr = Dedup.checkpointed(
+      nodes.crossJoin(broadcast(srcF))
+        .select(col("id"),
+          when(col("id") === col("src_id"), lit(Mass))
+            .otherwise(lit(0L)).as("pr")))
+    for (it <- 1 to iterations) {
+      val spillF = pr
+        .join(outdeg, pr("id") === outdeg("src"), "left")
+        .agg(coalesce(sum(when(col("outdeg").isNull, col("pr"))
+          .otherwise(expr("pr % outdeg"))), lit(0L)).as("spill"))
+      val contrib = ewd.join(pr, ewd("src") === pr("id"))
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy("dst").agg(sum("share").as("contrib"))
+      val next = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(spillF))
+        .crossJoin(broadcast(srcF))
+        .select(col("id"),
+          expr(s"CASE WHEN id = src_id THEN ${teleport}L ELSE 0L END" +
+            " + (85 * (coalesce(contrib, 0L)" +
+            " + CASE WHEN id = src_id THEN spill ELSE 0L END)) div 100")
             .as("pr"))
       pr = if (it < iterations) Dedup.checkpointed(next) else next
     }

@@ -74,4 +74,35 @@ class InfluenceSpec extends SparkSuite {
     val degs = indeg.values.toSeq.sorted
     assert(indeg.getOrElse(top, 0L) >= degs(degs.size / 2))
   }
+
+  test("personalized PageRank, single edge a→b: two hand-computed rounds " +
+      "(teleport + spill return to the source, init all-mass-at-source)") {
+    // p0: a=M, b=0. Round 1: spill = p0(b) dangling = 0; contrib(b) = M.
+    //   a = 15%·M + 85%·(0 + 0)  = 150e9
+    //   b = 0     + 85%·(M + 0)  = 850e9
+    // Round 2: spill = p1(b) = 850e9 (dangling), returns to a only.
+    //   a = 150e9 + 85%·(0 + 850e9) = 872.5e9
+    //   b = 0     + 85%·(150e9 + 0) = 127.5e9
+    val one = rankMap(Influence.personalizedPageRank(
+      followersOf("a" -> "b"), iterations = 1))
+    assert(one === Map("a" -> 150000000000L, "b" -> 850000000000L))
+    val two = rankMap(Influence.personalizedPageRank(
+      followersOf("a" -> "b"), iterations = 2))
+    assert(two === Map("a" -> 872500000000L, "b" -> 127500000000L))
+    assert(two.values.sum === M, "no divide-by-n: mass conserved exactly")
+  }
+
+  test("personalized PageRank localizes: mass concentrates near the " +
+      "source, and an explicit source overrides the min-id default") {
+    // a→b→c chain plus far pair x→y reachable only from x
+    val g = followersOf("a" -> "b", "b" -> "c", "x" -> "y")
+    val fromA = rankMap(Influence.personalizedPageRank(g)) // min id = a
+    // the x,y island is unreachable from a: it holds no mass
+    assert(fromA("x") === 0L && fromA("y") === 0L)
+    assert(fromA("a") > 0L && fromA("b") > 0L && fromA("c") > 0L)
+    val fromX = rankMap(
+      Influence.personalizedPageRank(g, source = Some("x")))
+    assert(fromX("x") > 0L && fromX("y") > 0L)
+    assert(fromX("a") === 0L && fromX("b") === 0L && fromX("c") === 0L)
+  }
 }
