@@ -96,12 +96,13 @@ object Multimodal {
   private val DqtDecoyHex = "FFDB" + "0006" + "00FFC0FF"
 
   /** Synthesize a media table WITH genuine container headers from the
-    * `documents` fixture: PNG or baseline-JFIF JPEG for images (split by
-    * doc_id parity within the image class), WAV for audio, RIFF/AVI with
-    * a full `avih` main header for video; the document text rides behind
-    * the header as the opaque body. The header fields (dims, frame count,
-    * sample rate, channels) are deterministic functions of doc_id, so an
-    * oracle can verify the synth→parse round trip end-to-end. */
+    * `documents` fixture: PNG, baseline-JFIF JPEG, VP8X WebP or GIF89a
+    * for images (split by doc_id mod 12 within the image class), WAV for
+    * audio, RIFF/AVI with a full `avih` main header for video; the
+    * document text rides behind the header as the opaque body. The
+    * header fields (dims, frame count, sample rate, channels) are
+    * deterministic functions of doc_id, so an oracle can verify the
+    * synth→parse round trip end-to-end. */
   def mediaWithHeaders(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val w = (pmod(id, lit(1024)) + 1).cast("int")
@@ -118,6 +119,10 @@ object Multimodal {
     def le16(c: Column) = {
       val b = be16(c)
       concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def le24(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 6, "0")
+      concat(substring(b, 5, 2), substring(b, 3, 2), substring(b, 1, 2))
     }
     val body = hex(col("text").cast("binary"))
     val bodyBytes = (length(body) / 2).cast("int")
@@ -143,7 +148,18 @@ object Multimodal {
       lit("35820000" + "00000000" + "00000000" + "00000000"), le32(nf),
       lit("00000000" + "01000000" + "00000000"), le32(w), le32(h),
       lit("00000000" + "00000000" + "00000000" + "00000000"), body)
-    val hx = when(pmod(id, lit(6)) === 0, png)
+    // WebP: RIFF/WEBP + VP8X extended header (10-byte payload: flags,
+    // reserved, then canvas width−1 / height−1 as 24-bit LE fields)
+    val webp = concat(
+      lit("52494646"), le32(bodyBytes + 22), lit("57454250" + "56503858"),
+      le32(lit(10)), lit("00" + "000000"), le24(w - 1), le24(h - 1), body)
+    // GIF89a: signature + logical screen descriptor (width/height LE16
+    // at bytes 6/8, then packed/background/aspect bytes)
+    val gif = concat(
+      lit("474946383961"), le16(w), le16(h), lit("F7" + "00" + "00"), body)
+    val hx = when(pmod(id, lit(12)) === 0, png)
+      .when(pmod(id, lit(12)) === 6, webp)
+      .when(pmod(id, lit(12)) === 9, gif)
       .when(pmod(id, lit(3)) === 0, jpeg)
       .when(pmod(id, lit(3)) === 1, wav)
       .otherwise(avi)
@@ -194,26 +210,50 @@ object Multimodal {
             pos + 4 + len * 2)
           .otherwise(pos))
     }
+    def le24at(p: Int) =
+      hex2int(concat(substring(hx, p + 4, 2), substring(hx, p + 2, 2),
+        substring(hx, p, 2)))
     val isPng = substring(hx, 1, 16) === lit(PngSigHex)
     val isJpeg = substring(hx, 1, 4) === lit("FFD8")
     val isRiff = substring(hx, 1, 8) === lit("52494646")
-    val isWav = isRiff && substring(hx, 17, 8) === lit("57415645")
-    val isAvi = isRiff && substring(hx, 17, 8) === lit("41564920")
+    // RIFF fields are only trusted when the expected chunk fourCCs sit at
+    // the assumed offsets ('fmt ' for WAV; LIST+hdrl+avih for AVI; VP8X
+    // for WebP) — a legal file with a JUNK/LIST chunk first parses as
+    // 'unknown' instead of yielding garbage fields (ADVICE r6).
+    val isWav = isRiff && substring(hx, 17, 8) === lit("57415645") &&
+      substring(hx, 25, 8) === lit("666D7420")
+    val isAvi = isRiff && substring(hx, 17, 8) === lit("41564920") &&
+      substring(hx, 25, 8) === lit("4C495354") &&
+      substring(hx, 41, 8) === lit("6864726C") &&
+      substring(hx, 49, 8) === lit("61766968")
+    val isWebp = isRiff && substring(hx, 17, 8) === lit("57454250") &&
+      substring(hx, 25, 8) === lit("56503858")
+    val isGif =
+      substring(hx, 1, 12).isin("474946383761", "474946383961")
     val atSof = hx.substr(pos, lit(4)).isin("FFC0", "FFC1", "FFC2")
     walked
       .withColumn("format",
         when(isPng, "png").when(isJpeg, "jpeg").when(isWav, "wav")
-          .when(isAvi, "avi").otherwise("unknown"))
+          .when(isAvi, "avi").when(isWebp, "webp").when(isGif, "gif")
+          .otherwise("unknown"))
       .withColumn("width",
         when(isPng, hex2int(substring(hx, 33, 8)))
           .when(isJpeg && atSof, hex2int(hx.substr(pos + 14, lit(4))))
-          .when(isAvi, le32at(129)))
+          .when(isAvi, le32at(129))
+          // VP8X carries canvas width−1 / height−1 as 24-bit LE
+          .when(isWebp, le24at(49) + 1)
+          .when(isGif, le16at(13)))
       .withColumn("height",
         when(isPng, hex2int(substring(hx, 41, 8)))
           .when(isJpeg && atSof, hex2int(hx.substr(pos + 10, lit(4))))
-          .when(isAvi, le32at(137)))
+          .when(isAvi, le32at(137))
+          .when(isWebp, le24at(55) + 1)
+          .when(isGif, le16at(17)))
+      // GIF/WebP animation frame counts need a full block walk; the
+      // header-level contract reports the still image (1), like PNG
       .withColumn("n_frames",
-        when(isAvi, le32at(97)).when(isPng || isJpeg, lit(1)))
+        when(isAvi, le32at(97))
+          .when(isPng || isJpeg || isWebp || isGif, lit(1)))
       .withColumn("sample_rate", when(isWav, le32at(49)))
       .withColumn("channels", when(isWav, le16at(45)))
       .drop("__hm_hx", "__hm_pos")
@@ -249,6 +289,9 @@ object Multimodal {
       if (p == null || p.length < 24) return Unknown
       if (p.take(8).sameElements(PngSig))
         Meta("png", Some(be(p, 16, 4)), Some(be(p, 20, 4)), Some(1), None, None)
+      else if (new String(p, 0, 6, "US-ASCII") == "GIF89a" ||
+          new String(p, 0, 6, "US-ASCII") == "GIF87a")
+        Meta("gif", Some(le(p, 6, 2)), Some(le(p, 8, 2)), Some(1), None, None)
       else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
         // marker-segment walk, same bound as the Column twin: at most 8
         // ADVANCES, so segments 1..9 are INSPECTED — the Column form is
@@ -267,11 +310,20 @@ object Multimodal {
           else { pos += 2 + be(p, pos + 2, 2); advances += 1 }
         }
         Meta("jpeg", dims.map(_._1), dims.map(_._2), Some(1), None, None)
-      } else if (tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE" && p.length >= 28)
+      // RIFF fields only trusted behind the expected fourCCs at the
+      // assumed offsets — same guards as the Column twin (ADVICE r6)
+      } else if (tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE" &&
+          p.length >= 28 && tag(p, 12) == "fmt ")
         Meta("wav", None, None, None, Some(le(p, 24, 4)), Some(le(p, 22, 2)))
-      else if (tag(p, 0) == "RIFF" && tag(p, 8) == "AVI " && p.length >= 72)
+      else if (tag(p, 0) == "RIFF" && tag(p, 8) == "AVI " &&
+          p.length >= 72 && tag(p, 12) == "LIST" &&
+          tag(p, 20) == "hdrl" && tag(p, 24) == "avih")
         Meta("avi", Some(le(p, 64, 4)), Some(le(p, 68, 4)),
           Some(le(p, 48, 4)), None, None)
+      else if (tag(p, 0) == "RIFF" && tag(p, 8) == "WEBP" &&
+          p.length >= 30 && tag(p, 12) == "VP8X")
+        Meta("webp", Some(le(p, 24, 3) + 1), Some(le(p, 27, 3) + 1),
+          Some(1), None, None)
       else Unknown
     }
 

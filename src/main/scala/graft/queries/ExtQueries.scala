@@ -50,6 +50,13 @@ object ExtQueries {
       s"substring(hx,${p + 2},2) || substring(hx,$p,2) AS INT)"
   private def le16AtSql(p: Int): String =
     s"CAST('0x' || substring(hx,${p + 2},2) || substring(hx,$p,2) AS INT)"
+  private def le24AtSql(p: Int): String =
+    s"CAST('0x' || substring(hx,${p + 4},2) || substring(hx,${p + 2},2) || " +
+      s"substring(hx,$p,2) AS INT)"
+  private def le24Sql(e: String): String = {
+    val b = s"lpad(hex($e),6,'0')"
+    s"(substring($b,5,2) || substring($b,3,2) || substring($b,1,2))"
+  }
 
   /** DuckDB twin of `Multimodal.mediaWithHeaders`: CTEs `base` + `mh`
     * producing (media_id, kind, hx) with identical header bytes. */
@@ -61,9 +68,15 @@ mh AS (SELECT doc_id AS media_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image'
        WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
   CASE
-    WHEN doc_id % 6 = 0 THEN
+    WHEN doc_id % 12 = 0 THEN
       '89504E470D0A1A0A' || '0000000D49484452' || lpad(hex(w),8,'0') ||
       lpad(hex(h),8,'0') || '080600000000000000' || body
+    WHEN doc_id % 12 = 6 THEN
+      '52494646' || ${le32Sql("len(body)//2 + 22")} || '5745425056503858' ||
+      ${le32Sql("10")} || '00000000' || ${le24Sql("w - 1")} ||
+      ${le24Sql("h - 1")} || body
+    WHEN doc_id % 12 = 9 THEN
+      '474946383961' || ${le16Sql("w")} || ${le16Sql("h")} || 'F70000' || body
     WHEN doc_id % 3 = 0 THEN
       'FFD8' || 'FFE000104A46494600010100000100010000' || 'FFDB000600FFC0FF' ||
       'FFC0001108' || lpad(hex(h),4,'0') || lpad(hex(w),4,'0') ||
@@ -1822,7 +1835,7 @@ FROM j GROUP BY source ORDER BY source""")),
 
     // ------------------------------------------------------- multimodal
     // Container-header metadata — genuinely correct, codec-free: the
-    // media fixture carries REAL PNG/JPEG/WAV/AVI headers and the query
+    // media fixture carries REAL PNG/JPEG/WebP/GIF/WAV/AVI headers and the query
     // parses dims/frames/rate from the header bytes with pure
     // substring/conv expressions over hex(payload). The oracle
     // re-synthesizes the identical bytes in DuckDB and RE-PARSES them in
@@ -1845,21 +1858,31 @@ $jpegWalkCtes,
 meta AS (SELECT media_id, kind, hx, pos,
   CASE WHEN substring(hx,1,16) = '89504E470D0A1A0A' THEN 'png'
        WHEN substring(hx,1,4) = 'FFD8' THEN 'jpeg'
-       WHEN substring(hx,1,8) = '52494646' AND substring(hx,17,8) = '57415645' THEN 'wav'
-       WHEN substring(hx,1,8) = '52494646' AND substring(hx,17,8) = '41564920' THEN 'avi'
+       WHEN substring(hx,1,8) = '52494646' AND substring(hx,17,8) = '57415645'
+            AND substring(hx,25,8) = '666D7420' THEN 'wav'
+       WHEN substring(hx,1,8) = '52494646' AND substring(hx,17,8) = '41564920'
+            AND substring(hx,25,8) = '4C495354' AND substring(hx,41,8) = '6864726C'
+            AND substring(hx,49,8) = '61766968' THEN 'avi'
+       WHEN substring(hx,1,8) = '52494646' AND substring(hx,17,8) = '57454250'
+            AND substring(hx,25,8) = '56503858' THEN 'webp'
+       WHEN substring(hx,1,12) IN ('474946383761','474946383961') THEN 'gif'
        ELSE 'unknown' END AS format
   FROM p8)
 SELECT media_id, kind, format,
   CASE WHEN format = 'png' THEN CAST('0x' || substring(hx,33,8) AS INT)
        WHEN format = 'jpeg' AND substring(hx,pos,4) IN ('FFC0','FFC1','FFC2')
          THEN CAST('0x' || substring(hx,pos+14,4) AS INT)
-       WHEN format = 'avi' THEN ${le32AtSql(129)} END AS width,
+       WHEN format = 'avi' THEN ${le32AtSql(129)}
+       WHEN format = 'webp' THEN ${le24AtSql(49)} + 1
+       WHEN format = 'gif' THEN ${le16AtSql(13)} END AS width,
   CASE WHEN format = 'png' THEN CAST('0x' || substring(hx,41,8) AS INT)
        WHEN format = 'jpeg' AND substring(hx,pos,4) IN ('FFC0','FFC1','FFC2')
          THEN CAST('0x' || substring(hx,pos+10,4) AS INT)
-       WHEN format = 'avi' THEN ${le32AtSql(137)} END AS height,
+       WHEN format = 'avi' THEN ${le32AtSql(137)}
+       WHEN format = 'webp' THEN ${le24AtSql(55)} + 1
+       WHEN format = 'gif' THEN ${le16AtSql(17)} END AS height,
   CASE WHEN format = 'avi' THEN ${le32AtSql(97)}
-       WHEN format IN ('png','jpeg') THEN 1 END AS n_frames,
+       WHEN format IN ('png','jpeg','webp','gif') THEN 1 END AS n_frames,
   CASE WHEN format = 'wav' THEN ${le32AtSql(49)} END AS sample_rate,
   CASE WHEN format = 'wav' THEN ${le16AtSql(45)} END AS channels
 FROM meta ORDER BY media_id""")),

@@ -27,13 +27,13 @@ class MediaHeadersSpec extends SparkSuite {
   test("Column parser round-trips every synthesized header field") {
     assert(parsed.nonEmpty)
     val formats = parsed.map(_.getAs[String]("format")).toSet
-    assert(formats === Set("png", "jpeg", "wav", "avi"))
+    assert(formats === Set("png", "jpeg", "webp", "gif", "wav", "avi"))
     parsed.foreach { r =>
       val id = r.getAs[Long]("media_id")
       val w = (1 + id % 1024).toInt
       val h = (1 + (id * 7) % 1024).toInt
       r.getAs[String]("format") match {
-        case "png" | "jpeg" =>
+        case "png" | "jpeg" | "webp" | "gif" =>
           assert(id % 3 === 0)
           assert(optInt(r, "width") === Some(w), s"media $id width")
           assert(optInt(r, "height") === Some(h), s"media $id height")
@@ -108,6 +108,56 @@ class MediaHeadersSpec extends SparkSuite {
       hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
     assert(jvm(at9).width === Some(50), "JVM parser reads segment 9 too")
     assert(jvm(at10).width === None, "JVM parser stops identically")
+  }
+
+  test("planted WebP (VP8X) and GIF headers parse to exact dims in both " +
+      "parsers") {
+    import spark.implicits._
+    // VP8X canvas 639×479 (stored as width−1 = 0x27E, height−1 = 0x1DE,
+    // 24-bit LE) and GIF89a 320×200 (LE16), both with a short body
+    val webp = "52494646" + "24000000" + "57454250" + "56503858" +
+      "0A000000" + "00" + "000000" + "7E0200" + "DE0100" + "AABBCCDD"
+    val gif = "474946383961" + "4001" + "C800" + "F70000" + "AABBCCDDEEFF" +
+      "00112233445566778899"
+    val out = Multimodal.withHeaderMeta(
+      Seq(webp, gif).toDF("hx"), col("hx"))
+      .select("hx", "format", "width", "height", "n_frames").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(webp) === (("webp", 639, 479, 1)))
+    assert(out(gif) === (("gif", 320, 200, 1)))
+    def jvm(hx: String) = Multimodal.HeaderCodec.parse(
+      hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    assert(jvm(webp) === Multimodal.HeaderCodec.Meta(
+      "webp", Some(639), Some(479), Some(1), None, None))
+    assert(jvm(gif) === Multimodal.HeaderCodec.Meta(
+      "gif", Some(320), Some(200), Some(1), None, None))
+  }
+
+  test("RIFF fields are not trusted past the fourCC guards: a JUNK chunk " +
+      "before 'fmt ' (WAV) or a non-hdrl LIST (AVI) parses as unknown, " +
+      "not garbage (ADVICE r6)") {
+    import spark.implicits._
+    // legal WAV layout with a 4-byte JUNK chunk before 'fmt ' — fixed-
+    // offset reads would report the JUNK bytes as sample_rate
+    val junkWav = "52494646" + "28000000" + "57415645" +
+      "4A554E4B" + "04000000" + "DEADBEEF" + // JUNK chunk
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "803E0000" + "0200" + "1000" + "64617461" + "00000000"
+    // AVI whose first LIST is 'INFO', not 'hdrl' — avih is elsewhere
+    val infoAvi = "52494646" + "30000000" + "41564920" + "4C495354" +
+      "08000000" + "494E464F" + "AABBCCDD" +
+      "4C495354" + "08000000" + "6864726C" + "00000000" + "0000000000000000"
+    val out = Multimodal.withHeaderMeta(
+      Seq(junkWav, infoAvi).toDF("hx"), col("hx"))
+      .select("hx", "format").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out(junkWav) === "unknown")
+    assert(out(infoAvi) === "unknown")
+    def jvm(hx: String) = Multimodal.HeaderCodec.parse(
+      hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    assert(jvm(junkWav).format === "unknown")
+    assert(jvm(infoAvi).format === "unknown")
   }
 
   test("truncated and garbage payloads parse as unknown and never throw") {
