@@ -38,7 +38,7 @@ object Bench {
       } finally {
         // each query pays its own cache-build cost inside the timed region
         // and leaves no blocks behind for the next one
-        graft.ext.Dedup.releaseCaches()
+        graft.ext.Dedup.releaseAll()
       }
       (System.nanoTime() - t0) / 1e9
     }

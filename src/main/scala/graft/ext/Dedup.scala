@@ -50,21 +50,34 @@ object Dedup {
     * checkpoint blocks are dropped by the next [[releaseCaches]] call.
     * Unlike a persisted frame, a checkpointed frame has NO lineage to
     * recompute from — after release the returned plan is dead, so do not
-    * hold one across a releaseCaches() boundary (Bench releases between
-    * queries, which is exactly the intended lifetime). */
+    * hold one across a releaseCheckpoints() boundary (Bench's releaseAll
+    * between queries is exactly the intended lifetime). */
   private[graft] def checkpointed(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     checkpointHandles.add(new java.lang.ref.WeakReference(cp))
     cp
   }
 
-  /** Unpersist every intermediate cached by previous near-dup calls and
-    * drop checkpoint blocks registered via [[checkpointed]]. Unpersisted
-    * CACHE blocks are recomputed on next access, never wrong; released
-    * CHECKPOINT frames are gone for good (see [[checkpointed]]). */
+  /** Unpersist every intermediate cached by previous near-dup calls.
+    * ALWAYS SAFE: unpersisted CACHE blocks are recomputed on next
+    * access, never wrong — any frame a caller still holds stays valid.
+    * (ADVICE r6 split this API: this name once also killed checkpoint
+    * blocks, silently breaking live frames for library callers;
+    * checkpoint release is now the explicitly-destructive
+    * [[releaseCheckpoints]].) */
   def releaseCaches(): Unit = {
     var d = cachedHandles.poll()
     while (d != null) { d.unpersist(blocking = false); d = cachedHandles.poll() }
+  }
+
+  /** Drop checkpoint blocks registered via [[checkpointed]].
+    * DESTRUCTIVE: a checkpointed frame has no lineage to recompute from,
+    * so any frame built on one (packWindows result, pageRank output, BPE
+    * state) FAILS on its next action after this call. Call only at a
+    * boundary where no checkpoint-derived frame is still live — Bench
+    * between queries is the intended lifetime; a notebook/service that
+    * never calls it keeps the GC-based cleanup (handles are weak). */
+  def releaseCheckpoints(): Unit = {
     var ref = checkpointHandles.poll()
     while (ref != null) {
       val c = ref.get()
@@ -76,6 +89,13 @@ object Dedup {
         }
       ref = checkpointHandles.poll()
     }
+  }
+
+  /** [[releaseCaches]] + [[releaseCheckpoints]] — the full between-
+    * queries reset Bench-style callers want. */
+  def releaseAll(): Unit = {
+    releaseCaches()
+    releaseCheckpoints()
   }
 
   /** Exact dedup survivors: first doc_id per normalized-text group.

@@ -77,7 +77,14 @@ object Lm {
   // with a broadcast hash map produces BIT-IDENTICAL scores to the
   // batch explode+join twin and to the DuckDB oracle.
 
-  /** Nano-nat log-prob of an in-vocab token under the add-k model. */
+  /** Nano-nat log-prob of an in-vocab token under the add-k model.
+    * KNOWN FLOAT EDGE (ADVICE r6): floor(ln·1e9) makes the SUMS exact
+    * and order-free, but the ln itself is computed per engine — Java
+    * Math.log and DuckDB ln can differ by 1 ulp, and when that ulp
+    * straddles a nano-nat grid boundary the two engines quantize one
+    * token apart. Accepted per the repo's oracle float-edge policy
+    * (never observed on the fixtures; a coarser grid would shrink the
+    * window, not close it — only a shared ln implementation could). */
   private def lpNano(n: Column, total: Column, vsz: Column): Column =
     floor(log((n + K) / (total + (vsz + 1) * K)) * 1e9).cast("long")
 
@@ -129,7 +136,13 @@ object Lm {
     * as Spark's `split`), identical integer sums. */
   private[graft] def scoreRow(
       text: String, model: Map[String, Long], unk: Long): (Long, Int) = {
-    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    // lowercase through Spark's own code path (UTF8String.toLowerCase —
+    // what lower(col) executes), NOT String.toLowerCase(ROOT): the two
+    // can disagree on non-ASCII text under a non-ROOT default locale
+    // (tr_TR dotted/dotless I), which would break the documented
+    // bit-identical stream/batch contract (ADVICE r6)
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.toString
     // Spark's trim strips ONLY the space character; Java String.trim
     // strips every char <= U+0020 (tabs, newlines) and would change the
     // token list — e.g. "a b\n" is [a, b, ""] under Spark's

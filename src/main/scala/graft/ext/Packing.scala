@@ -49,7 +49,7 @@ object Packing {
     // offsets. A checkpoint truncates lineage: a lost block fails the job
     // instead of recomputing, which keeps the "recomputed, never wrong"
     // cache contract intact. The registered handle lets
-    // Dedup.releaseCaches() free the blocks between bench queries;
+    // Dedup.releaseCheckpoints() free the blocks between bench queries;
     // after that release the returned plan is dead (same contract as
     // Dedup.checkpointed — don't reuse across a release boundary).
     val ranged =

@@ -23,7 +23,7 @@ object TimeSubset {
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      finally graft.ext.Dedup.releaseCaches()
+      finally graft.ext.Dedup.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(force(_, "/root/testdata/sf0.001")) // warm-up, untimed

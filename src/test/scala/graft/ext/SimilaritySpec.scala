@@ -90,7 +90,7 @@ class SimilaritySpec extends SparkSuite {
       val m = Similarity.knnGraph(vecs, k = 1, stride = 20, nprobe = nprobe)
         .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nbr_id"))
         .toMap
-      graft.ext.Dedup.releaseCaches()
+      graft.ext.Dedup.releaseAll()
       m(10L)
     }
     assert(nbrOf10(1) === 3L, "own-cell build: nearest A-cluster member")
@@ -118,7 +118,7 @@ class SimilaritySpec extends SparkSuite {
       .toDF("vec_id", "embedding")
     val rec = Similarity.knnGraphRecall(clustered, k = 3, stride = 20, nprobe = 2)
       .head()
-    graft.ext.Dedup.releaseCaches()
+    graft.ext.Dedup.releaseAll()
     assert(rec.getAs[Double]("mean_recall_r") >= 0.95,
       s"clustered recall ${rec.getAs[Double]("mean_recall_r")}")
 
@@ -126,7 +126,7 @@ class SimilaritySpec extends SparkSuite {
     def meanRecall(nprobe: Int): Double = {
       val r = Similarity.knnGraphRecall(embs, k = 3, nprobe = nprobe)
         .head().getAs[Double]("mean_recall_r")
-      graft.ext.Dedup.releaseCaches()
+      graft.ext.Dedup.releaseAll()
       r
     }
     val single = meanRecall(1)
@@ -153,7 +153,7 @@ class SimilaritySpec extends SparkSuite {
       .toDF("vec_id", "embedding")
     val out = Similarity.knnClusters(all, k = 3, threshold = 0.4, stride = 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    graft.ext.Dedup.releaseCaches()
+    graft.ext.Dedup.releaseAll()
     assert(!out.contains(60L), "isolated vector must not cluster")
     assert(out.size === 24)
     (0 until 8).foreach { j =>

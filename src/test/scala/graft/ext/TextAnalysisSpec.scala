@@ -192,7 +192,7 @@ class TextAnalysisSpec extends SparkSuite {
     // empty text → its (degenerate) token count, offsets stay monotone
     val pw = Packing.packWindows(docs, budget = 10).collect()
     assert(pw.length === 3)
-    Dedup.releaseCaches()
+    Dedup.releaseAll()
     // sourceMixture: null text aggregates as zero tokens, no crash
     val mix = TextAnalysis.sourceMixture(docs).collect()
     assert(mix.length === 2)
@@ -225,7 +225,7 @@ class TextAnalysisSpec extends SparkSuite {
     // stratified sample + batching: null text scores minimum, still sampled
     assert(TextAnalysis.stratifiedSample(docs, kPerStratum = 5).count() >= 1L)
     assert(TextAnalysis.lengthBucketBatches(docs).count() >= 1L)
-    Dedup.releaseCaches()
+    Dedup.releaseAll()
   }
 
   test("tokenPmi ranks a planted collocation above independent tokens") {

@@ -18,7 +18,7 @@ class InfluenceSpec extends SparkSuite {
   private def rankMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
     val m = df.collect()
       .map(r => r.getAs[String]("user_id") -> r.getAs[Long]("pr_units")).toMap
-    graft.ext.Dedup.releaseCaches()
+    graft.ext.Dedup.releaseAll()
     m
   }
 
