@@ -141,6 +141,7 @@ object Bpe {
         .repartition(statePartitions))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rounds = 0
+    var sinceCkpt = 0 // merges applied since the last lineage truncation
     var done = false
     while (merges.size < numMerges && !done) {
       // adjacent symbol pairs weighted by word frequency; the symbol
@@ -191,10 +192,17 @@ object Bpe {
           val (pat, rep) = mergePattern(m._1, m._2)
           st.withColumn("ws", replace(col("ws"), lit(pat), lit(rep)))
         }
+        // truncate by MERGES applied, not rounds: a full batch adds
+        // |batch| nested replace() calls to the state plan, so a
+        // rounds-based cadence would let checkpointEvery × batchSize
+        // expressions accumulate — the plan-depth cost the cadence
+        // exists to bound
+        sinceCkpt += kept.length
         state =
-          if (rounds % checkpointEvery == 0 && merges.size < numMerges)
+          if (sinceCkpt >= checkpointEvery && merges.size < numMerges) {
+            sinceCkpt = 0
             Dedup.checkpointed(next)
-          else next
+          } else next
       }
     }
     LearnResult(merges.toSeq, rounds)

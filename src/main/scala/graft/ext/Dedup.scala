@@ -627,12 +627,13 @@ object Dedup {
   private[ext] def keepBestQuality(
       docs: DataFrame,
       clusters: DataFrame): DataFrame = {
-    // quality on the raw docs scan FIRST (skinny doc_id+q projection),
-    // clusters joined after: the heavy text column never rides through
-    // the join or [[TextAnalysis.withQuality]]'s scan-parallel shuffle
-    val scored = TextAnalysis.withQuality(docs, "q")
-      .select(col("doc_id"), col("q"))
-      .join(clusters, Seq("doc_id"))
+    // clusters join FIRST, quality after: the cluster-member set is
+    // orders of magnitude smaller than the corpus at scale, so only
+    // members pay tokenize + the interpreted lexicon filter (and only
+    // member text rides withQuality's scan-parallel shuffle) — scoring
+    // the whole corpus to then keep members would invert the cost model
+    val scored = TextAnalysis
+      .withQuality(docs.join(clusters, Seq("doc_id")), "q")
       .select(col("doc_id"), col("cluster_id"), col("q"))
     val byQuality = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))

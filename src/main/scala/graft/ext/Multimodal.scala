@@ -285,14 +285,31 @@ object Multimodal {
     private val PngSig =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+    // CLASSIFICATION matches the Column twin byte-for-byte: a format is
+    // recognized when its signature/fourCC bytes are present, however
+    // short the payload (the Column parser classifies on the same
+    // substrings). Fixed-offset FIELDS read whatever bytes exist — the
+    // exact value a hex-substring read yields on a truncated header
+    // (missing high bytes contribute nothing); a field with no bytes at
+    // all is None (the substring is empty → conv is null). The one
+    // residual asymmetry: JPEG dims inside a truncated SOF segment stay
+    // None here where the Column twin reads the partial hex.
     def parse(p: Array[Byte]): Meta = {
-      if (p == null || p.length < 24) return Unknown
-      if (p.take(8).sameElements(PngSig))
-        Meta("png", Some(be(p, 16, 4)), Some(be(p, 20, 4)), Some(1), None, None)
-      else if (new String(p, 0, 6, "US-ASCII") == "GIF89a" ||
-          new String(p, 0, 6, "US-ASCII") == "GIF87a")
-        Meta("gif", Some(le(p, 6, 2)), Some(le(p, 8, 2)), Some(1), None, None)
-      else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      if (p == null) return Unknown
+      def tagIs(off: Int, t: String) =
+        p.length >= off + 4 && tag(p, off) == t
+      def beOpt(off: Int, n: Int): Option[Int] =
+        if (p.length <= off) None else Some(be(p, off, math.min(n, p.length - off)))
+      def leOpt(off: Int, n: Int): Option[Int] =
+        if (p.length <= off) None else Some(le(p, off, math.min(n, p.length - off)))
+      if (p.length >= 8 && p.take(8).sameElements(PngSig))
+        Meta("png", beOpt(16, 4), beOpt(20, 4), Some(1), None, None)
+      else if (p.length >= 6 && {
+        val s = new String(p, 0, 6, "US-ASCII")
+        s == "GIF89a" || s == "GIF87a"
+      })
+        Meta("gif", leOpt(6, 2), leOpt(8, 2), Some(1), None, None)
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
         // marker-segment walk, same bound as the Column twin: at most 8
         // ADVANCES, so segments 1..9 are INSPECTED — the Column form is
         // 8 advance steps plus a final at-SOF check, and a check-bounded
@@ -312,17 +329,13 @@ object Multimodal {
         Meta("jpeg", dims.map(_._1), dims.map(_._2), Some(1), None, None)
       // RIFF fields only trusted behind the expected fourCCs at the
       // assumed offsets — same guards as the Column twin (ADVICE r6)
-      } else if (tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE" &&
-          p.length >= 28 && tag(p, 12) == "fmt ")
-        Meta("wav", None, None, None, Some(le(p, 24, 4)), Some(le(p, 22, 2)))
-      else if (tag(p, 0) == "RIFF" && tag(p, 8) == "AVI " &&
-          p.length >= 72 && tag(p, 12) == "LIST" &&
-          tag(p, 20) == "hdrl" && tag(p, 24) == "avih")
-        Meta("avi", Some(le(p, 64, 4)), Some(le(p, 68, 4)),
-          Some(le(p, 48, 4)), None, None)
-      else if (tag(p, 0) == "RIFF" && tag(p, 8) == "WEBP" &&
-          p.length >= 30 && tag(p, 12) == "VP8X")
-        Meta("webp", Some(le(p, 24, 3) + 1), Some(le(p, 27, 3) + 1),
+      } else if (tagIs(0, "RIFF") && tagIs(8, "WAVE") && tagIs(12, "fmt "))
+        Meta("wav", None, None, None, leOpt(24, 4), leOpt(22, 2))
+      else if (tagIs(0, "RIFF") && tagIs(8, "AVI ") && tagIs(12, "LIST") &&
+          tagIs(20, "hdrl") && tagIs(24, "avih"))
+        Meta("avi", leOpt(64, 4), leOpt(68, 4), leOpt(48, 4), None, None)
+      else if (tagIs(0, "RIFF") && tagIs(8, "WEBP") && tagIs(12, "VP8X"))
+        Meta("webp", leOpt(24, 3).map(_ + 1), leOpt(27, 3).map(_ + 1),
           Some(1), None, None)
       else Unknown
     }

@@ -374,33 +374,48 @@ ORDER BY user_id, rn"""))),
       Some(OracleCte.withCdc(personalizedInfluenceSql(10))))
   )
 
-  /** Unrolled DuckDB twin of [[graft.serve.Influence.pageRank]]:
-    * p0..p`n` rank states + sp1..sp`n` spill scalars, all integer ops.
+  /** The follow-graph CTE block both influence oracles share (twin of
+    * `Influence.followGraph`), and the per-round spill/contrib kernel
+    * (twin of `Influence.spillOf`/`contribOf`) — one definition, so an
+    * integer-discipline fix cannot leave a variant behind.
     * MATERIALIZED — each round references the previous state twice
     * (spill + contributions), so inlined CTEs would expand
     * exponentially (the BPE-oracle lesson). */
-  private def influenceSql(iters: Int): String = {
-    val m = graft.serve.Influence.Mass
-    val rounds = (1 to iters).map { r =>
-      s"""sp$r AS MATERIALIZED (SELECT coalesce(sum(
-    CASE WHEN o.outdeg IS NULL THEN p.pr ELSE p.pr % o.outdeg END), 0)::BIGINT AS spill
-  FROM p${r - 1} p LEFT JOIN odg o ON p.id = o.src),
-p$r AS MATERIALIZED (SELECT n.id,
-    ((15 * $m) // 100) // (SELECT n FROM nn)
-      + (85 * (coalesce(c.contrib, 0)
-               + (SELECT spill FROM sp$r) // (SELECT n FROM nn))) // 100 AS pr
-  FROM nd n LEFT JOIN (
-    SELECT e.dst, sum(p.pr // e.outdeg)::BIGINT AS contrib
-    FROM ewd e JOIN p${r - 1} p ON e.src = p.id GROUP BY e.dst) c
-    ON n.id = c.dst)"""
-    }.mkString(",\n")
-    s""", ed AS MATERIALIZED (
+  // lazy: referenced from `defs`, which initializes before this point in
+  // declaration order — a strict val would still be null there
+  private lazy val influenceGraphCtes =
+    """, ed AS MATERIALIZED (
   SELECT DISTINCT follower_id AS src, following_id AS dst
   FROM followers_cdc WHERE __op = 'c' AND follower_id <> following_id),
 nd AS MATERIALIZED (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
 odg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY src),
 ewd AS MATERIALIZED (SELECT ed.src, ed.dst, odg.outdeg
-  FROM ed JOIN odg ON ed.src = odg.src),
+  FROM ed JOIN odg ON ed.src = odg.src)"""
+
+  /** One unrolled round: sp`r` spill scalar + p`r` state, with the
+    * variant supplying only the new-rank arithmetic over (n.id,
+    * c.contrib, sp`r`). */
+  private def influenceRounds(iters: Int, prExpr: Int => String): String =
+    (1 to iters).map { r =>
+      s"""sp$r AS MATERIALIZED (SELECT coalesce(sum(
+    CASE WHEN o.outdeg IS NULL THEN p.pr ELSE p.pr % o.outdeg END), 0)::BIGINT AS spill
+  FROM p${r - 1} p LEFT JOIN odg o ON p.id = o.src),
+p$r AS MATERIALIZED (SELECT n.id, ${prExpr(r)} AS pr
+  FROM nd n LEFT JOIN (
+    SELECT e.dst, sum(p.pr // e.outdeg)::BIGINT AS contrib
+    FROM ewd e JOIN p${r - 1} p ON e.src = p.id GROUP BY e.dst) c
+    ON n.id = c.dst)"""
+    }.mkString(",\n")
+
+  /** Unrolled DuckDB twin of [[graft.serve.Influence.pageRank]]:
+    * p0..p`n` rank states + sp1..sp`n` spill scalars, all integer ops. */
+  private def influenceSql(iters: Int): String = {
+    val m = graft.serve.Influence.Mass
+    val rounds = influenceRounds(iters, r =>
+      s"""((15 * $m) // 100) // (SELECT n FROM nn)
+      + (85 * (coalesce(c.contrib, 0)
+               + (SELECT spill FROM sp$r) // (SELECT n FROM nn))) // 100""")
+    s"""$influenceGraphCtes,
 nn AS (SELECT count(*)::BIGINT AS n FROM nd),
 p0 AS MATERIALIZED (SELECT id, ($m // (SELECT n FROM nn))::BIGINT AS pr FROM nd),
 $rounds
@@ -410,32 +425,16 @@ SELECT id AS user_id, pr AS pr_units FROM p$iters ORDER BY user_id"""
   /** Unrolled DuckDB twin of
     * [[graft.serve.Influence.personalizedPageRank]] (source = the
     * lexicographic min node id): teleport and spill both go to the
-    * source — integer ops only, no divide-by-n. Same MATERIALIZED
-    * discipline as [[influenceSql]]. */
+    * source — integer ops only, no divide-by-n. */
   private def personalizedInfluenceSql(iters: Int): String = {
     val m = graft.serve.Influence.Mass
     val t = m * 15L / 100L
-    val rounds = (1 to iters).map { r =>
-      s"""sp$r AS MATERIALIZED (SELECT coalesce(sum(
-    CASE WHEN o.outdeg IS NULL THEN p.pr ELSE p.pr % o.outdeg END), 0)::BIGINT AS spill
-  FROM p${r - 1} p LEFT JOIN odg o ON p.id = o.src),
-p$r AS MATERIALIZED (SELECT n.id,
-    (CASE WHEN n.id = (SELECT s FROM src) THEN $t ELSE 0 END
+    val rounds = influenceRounds(iters, r =>
+      s"""(CASE WHEN n.id = (SELECT s FROM src) THEN $t ELSE 0 END
       + (85 * (coalesce(c.contrib, 0)
                + CASE WHEN n.id = (SELECT s FROM src)
-                 THEN (SELECT spill FROM sp$r) ELSE 0 END)) // 100)::BIGINT AS pr
-  FROM nd n LEFT JOIN (
-    SELECT e.dst, sum(p.pr // e.outdeg)::BIGINT AS contrib
-    FROM ewd e JOIN p${r - 1} p ON e.src = p.id GROUP BY e.dst) c
-    ON n.id = c.dst)"""
-    }.mkString(",\n")
-    s""", ed AS MATERIALIZED (
-  SELECT DISTINCT follower_id AS src, following_id AS dst
-  FROM followers_cdc WHERE __op = 'c' AND follower_id <> following_id),
-nd AS MATERIALIZED (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
-odg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY src),
-ewd AS MATERIALIZED (SELECT ed.src, ed.dst, odg.outdeg
-  FROM ed JOIN odg ON ed.src = odg.src),
+                 THEN (SELECT spill FROM sp$r) ELSE 0 END)) // 100)::BIGINT""")
+    s"""$influenceGraphCtes,
 src AS (SELECT min(id) AS s FROM nd),
 p0 AS MATERIALIZED (SELECT id,
   (CASE WHEN id = (SELECT s FROM src) THEN $m ELSE 0 END)::BIGINT AS pr FROM nd),

@@ -57,6 +57,23 @@ object Influence {
   /** (user_id, pr_units) after `iterations` damped rounds, one row per
     * node of the creates-only, self-loop-free, deduplicated follow graph.
     * `followers` is the CDC branch frame ([[graft.sources.CdcSource]]). */
+  /** One damped round's shared frames — THE integer-discipline kernel
+    * both variants (and their DuckDB twins) must agree on: spill =
+    * dangling mass + per-node division remainders (a broadcast
+    * single-row aggregate, kept IN-PLAN so each round is exactly ONE
+    * Spark job — a driver-collected scalar doubled the per-round job
+    * count for no informational gain); contrib = dst-keyed sum of
+    * integer-divided shares. */
+  private def spillOf(pr: DataFrame, outdeg: DataFrame): DataFrame =
+    pr.join(outdeg, pr("id") === outdeg("src"), "left")
+      .agg(coalesce(sum(when(col("outdeg").isNull, col("pr"))
+        .otherwise(expr("pr % outdeg"))), lit(0L)).as("spill"))
+
+  private def contribOf(ewd: DataFrame, pr: DataFrame): DataFrame =
+    ewd.join(pr, ewd("src") === pr("id"))
+      .select(col("dst"), expr("pr div outdeg").as("share"))
+      .groupBy("dst").agg(sum("share").as("contrib"))
+
   def pageRank(followers: DataFrame, iterations: Int = 10): DataFrame = {
     val FollowGraph(nodes, outdeg, ewd) = followGraph(followers)
     val n = nodes.count()
@@ -71,21 +88,9 @@ object Influence {
     var pr = Dedup.checkpointed(
       nodes.select(col("id"), lit(Mass / n).as("pr")))
     for (it <- 1 to iterations) {
-      // spill = dangling mass + per-node division remainders, shared out
-      // uniformly — kept IN-PLAN as a broadcast single-row aggregate, so
-      // each round is exactly ONE Spark job (the state checkpoint); a
-      // driver-collected scalar doubled the per-round job count for no
-      // informational gain
-      val spillF = pr
-        .join(outdeg, pr("id") === outdeg("src"), "left")
-        .agg(coalesce(sum(when(col("outdeg").isNull, col("pr"))
-          .otherwise(expr("pr % outdeg"))), lit(0L)).as("spill"))
-      val contrib = ewd.join(pr, ewd("src") === pr("id"))
-        .select(col("dst"), expr("pr div outdeg").as("share"))
-        .groupBy("dst").agg(sum("share").as("contrib"))
       val next = nodes
-        .join(contrib, nodes("id") === contrib("dst"), "left")
-        .crossJoin(broadcast(spillF))
+        .join(contribOf(ewd, pr), nodes("id") === col("dst"), "left")
+        .crossJoin(broadcast(spillOf(pr, outdeg)))
         .select(col("id"),
           expr(s"$baseUnit + (85 * (coalesce(contrib, 0) + spill div $n)) div 100")
             .as("pr"))
@@ -132,16 +137,9 @@ object Influence {
           when(col("id") === col("src_id"), lit(Mass))
             .otherwise(lit(0L)).as("pr")))
     for (it <- 1 to iterations) {
-      val spillF = pr
-        .join(outdeg, pr("id") === outdeg("src"), "left")
-        .agg(coalesce(sum(when(col("outdeg").isNull, col("pr"))
-          .otherwise(expr("pr % outdeg"))), lit(0L)).as("spill"))
-      val contrib = ewd.join(pr, ewd("src") === pr("id"))
-        .select(col("dst"), expr("pr div outdeg").as("share"))
-        .groupBy("dst").agg(sum("share").as("contrib"))
       val next = nodes
-        .join(contrib, nodes("id") === contrib("dst"), "left")
-        .crossJoin(broadcast(spillF))
+        .join(contribOf(ewd, pr), nodes("id") === col("dst"), "left")
+        .crossJoin(broadcast(spillOf(pr, outdeg)))
         .crossJoin(broadcast(srcF))
         .select(col("id"),
           expr(s"CASE WHEN id = src_id THEN ${teleport}L ELSE 0L END" +

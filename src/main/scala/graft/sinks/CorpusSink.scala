@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   *    that streams docs into a packer.
   *
   * The streamed frame is [[graft.streaming.CorpusIngest.cleanStream]]'s
-  * output (doc_id, source, fp, quality_r, event_ts) — fp rides along so
-  * an exactly-once reader can `dropDuplicates("fp")` across the replay
-  * window plain parquet appends leave open ([[BucketedSink.runToTable]]).
+  * output. Run the gate with `keepText = true` to land TRAINING SHARDS
+  * (text included — what a tokenizer/packer reads directly); the default
+  * skinny frame lands the cleaned-corpus MANIFEST (doc_id, source, fp,
+  * quality_r, event_ts), which consumers join back to raw storage or to
+  * embeddings/scores on the aligned doc_id buckets. fp rides along in
+  * both forms so an exactly-once reader can `dropDuplicates("fp")`
+  * across the replay window plain parquet appends leave open
+  * ([[BucketedSink.runToTable]]).
   */
 object CorpusSink {
 

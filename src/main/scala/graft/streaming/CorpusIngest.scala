@@ -40,12 +40,22 @@ object CorpusIngest {
     * fingerprint appears in the probe set are dropped entirely — a
     * benchmark document itself must not survive into training data, so
     * unlike the reporting-oriented [[TextAnalysis.contamination]] there
-    * is no self-exclusion. */
+    * is no self-exclusion.
+    *
+    * `keepText = true` appends the document text to the output — the
+    * TRAINING-SHARD form a [[graft.sinks.CorpusSink]] table should land
+    * so a tokenizer/packer can read shards directly; the default skinny
+    * form is the cleaned-corpus MANIFEST (ids + fingerprints + quality)
+    * the batch twin `corpus_clean` oracles. */
   def cleanStream(
       docs: DataFrame,
       probeFps: DataFrame,
       minQuality: Double = 0.3,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      keepText: Boolean = false): DataFrame = {
+    val outCols = Seq(col("doc_id"), col("source"), col("fp"),
+      round(col("quality"), 6).as("quality_r"), col("event_ts")) ++
+      (if (keepText) Seq(col("text")) else Nil)
     TextAnalysis.withQuality(
       // Per-stage observe() metrics (the A2 pattern, ActivitySink): one
       // CollectMetrics count after each gate, surfaced per micro-batch in
@@ -64,8 +74,8 @@ object CorpusIngest {
       .observe("graft_corpus_dedup", count(lit(1)).as("dedup_survivors"))
       .join(broadcast(probeFps.select("fp")), Seq("fp"), "left_anti")
       .observe("graft_corpus_out", count(lit(1)).as("docs_out"))
-      .select(col("doc_id"), col("source"), col("fp"),
-        round(col("quality"), 6).as("quality_r"), col("event_ts"))
+      .select(outCols: _*)
+  }
 
   /** Axis-hyperplane sign pattern of an embedding — the coarse LSH cell
     * (each coordinate axis is a hyperplane; the sign vector IS the

@@ -160,24 +160,42 @@ class MediaHeadersSpec extends SparkSuite {
     assert(jvm(infoAvi).format === "unknown")
   }
 
-  test("truncated and garbage payloads parse as unknown and never throw") {
+  test("truncated and garbage payloads never throw, and the two parsers " +
+      "CLASSIFY identically (signature present = recognized, fields " +
+      "best-effort)") {
     val garbage = Seq[Array[Byte]](
       null,
       Array[Byte](),
       "plain text payload, no container header".getBytes("UTF-8"),
-      Array[Byte](0xff.toByte, 0xd8.toByte), // bare SOI, truncated
-      "RIFF1234WAV".getBytes("UTF-8")) // truncated RIFF
+      "RIFF1234WAV".getBytes("UTF-8")) // truncated RIFF: no WAVE tag
     garbage.foreach { p =>
       val m = Multimodal.HeaderCodec.parse(p)
       assert(m.format === "unknown", s"payload ${Option(p).map(_.length)}")
     }
-    // Column parser on the same shapes (short/odd hex strings)
-    val hxs = Seq("", "FFD8", "5249464631323334574156",
-      "706C61696E2074657874")
+    // bare SOI classifies as jpeg in BOTH parsers (signature present),
+    // with no dims — the aligned-classification contract
+    val soi = Multimodal.HeaderCodec.parse(
+      Array[Byte](0xff.toByte, 0xd8.toByte))
+    assert(soi.format === "jpeg" && soi.width === None)
+    // a VP8X WebP cut before its height bytes still classifies as webp
+    // in both parsers (the Column twin keys on the same fourCCs)
+    val cutWebp = "52494646" + "24000000" + "57454250" + "56503858" +
+      "0A000000" + "00000000" + "7E02"
+    val jvmCut = Multimodal.HeaderCodec.parse(
+      cutWebp.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    assert(jvmCut.format === "webp")
+    assert(jvmCut.height === None, "no height bytes at all")
     import spark.implicits._
+    val hxs = Seq("", "FFD8", "5249464631323334574156",
+      "706C61696E2074657874", cutWebp)
     val out = Multimodal.withHeaderMeta(hxs.toDF("hx"), col("hx"))
-      .select(col("format")).collect().map(_.getString(0))
-    assert(out.forall(f => f == "unknown" || f == "jpeg"))
+      .select(col("hx"), col("format")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("") === "unknown")
+    assert(out("FFD8") === "jpeg")
+    assert(out("5249464631323334574156") === "unknown")
+    assert(out("706C61696E2074657874") === "unknown")
+    assert(out(cutWebp) === "webp")
   }
 
   test("extractFeatures and resize consume the parsed dims") {

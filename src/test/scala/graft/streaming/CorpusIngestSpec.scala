@@ -257,7 +257,8 @@ class CorpusIngestSpec extends SparkSuite {
     def run(): Unit = {
       val q = CorpusSink.runToCorpusTable(
         CorpusIngest.cleanStream(
-          mem.toDF().toDF("doc_id", "text", "source", "event_ts"), probeFps),
+          mem.toDF().toDF("doc_id", "text", "source", "event_ts"), probeFps,
+          keepText = true), // training-shard form: text lands in the table
         table, ckpt, buckets = 8)
       q.awaitTermination()
     }
@@ -287,6 +288,8 @@ class CorpusIngestSpec extends SparkSuite {
       .orderBy("doc_id").collect().toSeq
     assert(afterRestart === before, "clean restart must not duplicate")
     assert(before.map(_.getAs[Long]("doc_id")) === Seq(1L, 5L, 7L))
+    // training-shard form: the text itself landed, readable by a packer
+    assert(before.map(_.getAs[String]("text")).forall(_.nonEmpty))
 
     // bucket column is consistent with the partitioning function
     val bad = CorpusSink.read(spark, table).where(
