@@ -442,6 +442,80 @@ object Similarity {
       .orderBy("method", "cluster_size")
   }
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * memory-reduction path brute-force ANN needs at 100 TB (4 bytes/dim
+    * float32 → 1 byte/dim int8 cuts scan bandwidth and cache footprint
+    * 4×; with 64-dim vectors a page of quantized codes holds 4× the
+    * candidates). One global scale `s = max |x|` over the corpus keeps
+    * cosine rank-equivalent up to rounding (a single positive scalar
+    * cancels in the cosine), unlike per-dimension scales which reweight
+    * the space.
+    *
+    * Determinism contract: `s` is an order-free max; codes are
+    * `floor(x·127/s + 0.5)` on IEEE doubles both engines compute
+    * identically, so the int8 codes — and everything ranked on them —
+    * are bit-identical to the DuckDB oracle. Codes lie in [-127, 127]
+    * by construction (|x| ≤ s), so `tinyint` never saturates.
+    *
+    * Scale: one aggregate (the max) broadcast back as a single-row
+    * cross join — the in-plan scalar pattern used everywhere else; the
+    * quantize pass itself is one projection. */
+  def quantize(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sc = base.agg(
+      max(array_max(transform(col("v"), x => abs(x)))).as("s"))
+    base.crossJoin(broadcast(sc))
+      .select(col("vec_id"), col("v"), col("s"),
+        transform(col("v"),
+          x => floor(x * lit(127.0) / col("s") + lit(0.5)).cast("tinyint"))
+          .as("qv"))
+  }
+
+  /** Brute-force cosine top-k over the int8 codes ([[quantize]]) — the
+    * quantized twin of [[cosineTopK]]. Codes upcast to double for the
+    * codegen'd [[cosine]] kernel: products ≤ 127² and 64-term sums stay
+    * far below 2⁵³, so the integer arithmetic is EXACT in doubles — the
+    * similarity itself is deterministic, not merely close. Ties (more
+    * likely than in float space — distinct vectors can share codes)
+    * break by vec_id in both engines. */
+  def quantizedTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q8 = quantize(embeddings).select(
+      col("vec_id"), transform(col("qv"), x => x.cast("double")).as("qd"))
+    val queries = q8
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    q8.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("qq"), col("qd")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Recall@k of the int8 path vs the float exact top-k, per query —
+    * the measured cost of the 4× compression. Fully deterministic (both
+    * sides are), so unlike [[annRecall]] it carries a complete DuckDB
+    * oracle: the quantization loss is quantified every run. */
+  def quantizeRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, numQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = quantizedTopK(embeddings, numQueries, k)
+      .select(col("q_id").as("aq"), col("neighbor_id").as("approx_id"))
+    exact
+      .join(approx,
+        exact("q_id") === col("aq") &&
+          col("neighbor_id") === col("approx_id"),
+        "left")
+      .groupBy(exact("q_id").as("qid"))
+      .agg(round(count(col("approx_id")).cast("double") / k, 6)
+        .as("recall_r"))
+      .orderBy("qid")
+  }
+
   /** Recall@k of the LSH path vs the exact brute force, per query —
     * the honest quality metric for the approximate path. */
   def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {

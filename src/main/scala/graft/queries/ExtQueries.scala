@@ -1713,6 +1713,58 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
         Similarity.annRecall(embs(s, d), numQueries = 10, k = 10),
       None),
 
+    // int8-quantized brute-force top-k: symmetric global scale (cancels
+    // in the cosine), codes floor(x·127/s + 0.5) — exact integers in
+    // doubles, so the quantized similarity is deterministic and the
+    // oracle is complete. The 100 TB story is bandwidth: 4× smaller
+    // scans for the same candidate math.
+    ("embed_quantized_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.quantizedTopK(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e),
+q8 AS (SELECT vec_id, list_transform(v, x -> floor(x * 127.0 / s + 0.5)) AS qd
+       FROM e CROSS JOIN sc),
+n AS (SELECT vec_id, qd, sqrt(${dotSql("qd", "qd")}) AS nrm FROM q8),
+q AS (SELECT vec_id AS q_id, qd AS qq, nrm AS qn FROM n WHERE vec_id < 10),
+sx AS (SELECT q.q_id, n.vec_id, (${dotSql("qq", "qd")}) / (q.qn * n.nrm) AS sim
+       FROM q JOIN n ON n.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sx)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
+    // Measured recall of the int8 path vs float exact — deterministic on
+    // both sides (unlike LSH), so the compression loss carries a full
+    // oracle instead of a prose claim.
+    ("embed_quantize_recall",
+      (s: SparkSession, d: String) =>
+        Similarity.quantizeRecall(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nf AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+qf AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nf WHERE vec_id < 10),
+ef AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.q_id
+                ORDER BY (${dotSql("qv", "v")}) / (q.qn * n.nrm) DESC, n.vec_id) AS rnk
+       FROM qf q JOIN nf n ON n.vec_id <> q.q_id),
+exact AS (SELECT q_id, neighbor_id FROM ef WHERE rnk <= 10),
+sc AS (SELECT max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e),
+q8 AS (SELECT vec_id, list_transform(v, x -> floor(x * 127.0 / s + 0.5)) AS qd
+       FROM e CROSS JOIN sc),
+nq AS (SELECT vec_id, qd, sqrt(${dotSql("qd", "qd")}) AS nrm FROM q8),
+qq AS (SELECT vec_id AS q_id, qd AS qv, nrm AS qn FROM nq WHERE vec_id < 10),
+aq AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.q_id
+                ORDER BY (${dotSql("qv", "qd")}) / (q.qn * n.nrm) DESC, n.vec_id) AS rnk
+       FROM qq q JOIN nq n ON n.vec_id <> q.q_id),
+approx AS (SELECT q_id, neighbor_id FROM aq WHERE rnk <= 10)
+SELECT e1.q_id AS qid,
+       round(count(a.neighbor_id)::DOUBLE / 10, 6) AS recall_r
+FROM exact e1
+LEFT JOIN approx a ON a.q_id = e1.q_id AND a.neighbor_id = e1.neighbor_id
+GROUP BY e1.q_id ORDER BY qid""")),
+
     // ---------------------------------------------- LM perplexity gates
     // Model-based quality: corpus-trained add-k n-gram LM, per-doc
     // perplexity. Log-probs truncate to DECIMAL(28,12) before the per-doc

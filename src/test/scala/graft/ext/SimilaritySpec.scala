@@ -171,4 +171,35 @@ class SimilaritySpec extends SparkSuite {
     assert(recalls.sum / recalls.length >= 0.5,
       s"mean recall ${recalls.sum / recalls.length} below floor")
   }
+
+  test("int8 quantization: codes bounded, scale-invariant ranking, " +
+      "extremes hit ±127 exactly") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (10L, Array(0.5f, 0.05f, 0f, 0f)),  // same direction as 0 → rank 1
+      (11L, Array(0.25f, 0.25f, 0f, 0f)), // 45°                → rank 2
+      (12L, Array(0f, -1f, 0f, 0f)))      // orthogonal-negative → last
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantize(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Byte]]("qv")).toMap
+    // global max |x| = 1.0 → the extreme components land on ±127 exactly
+    assert(q(0L).head === 127.toByte)
+    assert(q(12L)(1) === -127.toByte)
+    assert(q.values.forall(_.forall(b => b >= -127 && b <= 127)))
+    val got = Similarity.quantizedTopK(vecs, numQueries = 1, k = 3)
+      .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSeq === Seq((1, 10L), (2, 11L), (3, 12L)))
+  }
+
+  test("int8 recall ≥ 0.8 vs float exact on the fixture embeddings") {
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val recalls = Similarity.quantizeRecall(fx, numQueries = 10, k = 10)
+      .collect().map(_.getAs[Double]("recall_r"))
+    assert(recalls.length === 10)
+    val mean = recalls.sum / recalls.length
+    info(s"int8 mean recall@10 = $mean")
+    assert(mean >= 0.8, s"int8 mean recall $mean below floor")
+  }
 }
