@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture allocation for training-corpus assembly: decide how many
+  * documents each source contributes to a fixed budget, then materialize
+  * exactly that sample — the operation every multi-domain pretraining run
+  * performs before packing (reference: the per-table fan-in of
+  * codeshardlabs/user-feed-cdc's pipeline consumes whatever arrives; a
+  * training pipeline must instead RATION sources against a token/doc
+  * budget).
+  *
+  * Weights follow temperature sampling at τ = 2 (the multilingual-corpus
+  * standard, e.g. mT5): `w_i ∝ √n_i`, which up-weights rare domains
+  * relative to proportional sampling without letting any domain dominate.
+  * Seats are assigned by the largest-remainder (Hamilton) method, so
+  * `Σ alloc_i = budget` EXACTLY and every `alloc_i` is `base_i` or
+  * `base_i + 1` — no float apportionment drift.
+  *
+  * Determinism contract (cross-engine): `sqrt` is IEEE-754
+  * correctly-rounded in both the JVM and DuckDB — unlike `ln` — so
+  * `floor(sqrt(n)·10⁶)` is bit-identical; all seat arithmetic is integer
+  * (Spark DECIMAL(38,0) with `div`, DuckDB HUGEINT with `//`), and
+  * remainder ties break by source name. Nothing in the allocation can
+  * float-diverge.
+  *
+  * Scale: the corpus-sized work is one per-source count; the seat math
+  * runs on |sources| rows (bounded by design — domains number in the
+  * dozens) and DECIMAL(38,0) holds `budget × weight` up to ~10³⁸, far
+  * past any real corpus. The sampling pass ranks within source via the
+  * range-partitioned global prefix sum ([[Packing.withGlobalOffset]]),
+  * NOT a per-source window — a per-source `row_number` would sort each
+  * domain in one task, which dies exactly when one domain is 100 TB.
+  */
+object Mixture {
+
+  /** Per-source seat counts for `total div budgetDenom` documents:
+    * `(source, n_docs, weight, alloc)` with `Σ alloc = budget`. */
+  def allocation(docs: DataFrame, budgetDenom: Int = 2): DataFrame = {
+    require(budgetDenom >= 1, "budgetDenom must be >= 1")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.withColumn(
+      "weight", floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+    val totals = weighted.agg(
+      sum(col("n_docs")).as("total"), sum(col("weight")).as("w_sum"))
+    // all-integer seat math: prod/base/rem are exact in DECIMAL(38,0)
+    val seats = weighted.crossJoin(broadcast(totals))
+      .withColumn("budget", expr(s"total div $budgetDenom"))
+      .withColumn("prod",
+        col("budget").cast("decimal(38,0)") * col("weight").cast("decimal(38,0)"))
+      .withColumn("base", expr("prod div cast(w_sum as decimal(38,0))"))
+      .withColumn("rem",
+        (col("prod") - col("base").cast("decimal(38,0)") *
+          col("w_sum").cast("decimal(38,0)")).cast("long"))
+    val leftover = seats.agg(
+      (min(col("budget")) - sum(col("base"))).as("leftover"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    // the global window runs over |sources| rows — bounded, not data-sized
+    seats.crossJoin(broadcast(leftover))
+      .withColumn("rn", row_number().over(w))
+      .select(col("source"), col("n_docs"), col("weight"),
+        (col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
+  }
+
+  /** Materialized sample: the first `alloc_i` documents of each source in
+    * doc_id order — `(doc_id, source, rk)` with `rk` the 1-based
+    * within-source rank. Deterministic (doc_id order, exact seat counts),
+    * so the whole sample carries a full oracle.
+    *
+    * The rank comes from ONE range-partitioned global prefix sum over the
+    * composite key `source‖zero-padded doc_id` minus each source's first
+    * position (a |sources|-row broadcast) — no per-source sort task no
+    * matter how skewed the domains are. Requires non-negative doc_ids
+    * (the zero-padded key preserves numeric order only then). */
+  def sample(docs: DataFrame, budgetDenom: Int = 2): DataFrame = {
+    val alloc = allocation(docs, budgetDenom).select(col("source"), col("alloc"))
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .withColumn("__k",
+        concat(col("source"), lit("|"),
+          lpad(col("doc_id").cast("string"), 19, "0")))
+      .withColumn("__one", lit(1L))
+    val pos = Packing.withGlobalOffset(keyed, "__k", "__one", "__pos")
+    val firsts = pos.groupBy("source").agg(min(col("__pos")).as("__first"))
+    pos.join(broadcast(firsts), Seq("source"))
+      .withColumn("rk", col("__pos") - col("__first") + lit(1L))
+      .join(broadcast(alloc), Seq("source"))
+      .where(col("rk") <= col("alloc"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("doc_id")
+  }
+}

@@ -1765,6 +1765,59 @@ FROM exact e1
 LEFT JOIN approx a ON a.q_id = e1.q_id AND a.neighbor_id = e1.neighbor_id
 GROUP BY e1.q_id ORDER BY qid""")),
 
+    // ------------------------------------------------- domain mixture
+    // Temperature-weighted (τ=2, w ∝ √n) largest-remainder seat counts
+    // against a half-corpus budget: Σ alloc = budget EXACTLY, every
+    // alloc ∈ {base, base+1}. sqrt is correctly-rounded IEEE in both
+    // engines (unlike ln) and the seat math is all-integer
+    // (DECIMAL(38,0) div ≙ HUGEINT //), so nothing can float-diverge.
+    ("mixture_allocation",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.allocation(docs(s, d)),
+      Some("""WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, CAST(floor(sqrt(n_docs::DOUBLE) * 1e6) AS BIGINT) AS weight FROM c),
+t AS (SELECT sum(n_docs)::BIGINT AS total, sum(weight)::BIGINT AS w_sum FROM w),
+q AS (SELECT source, n_docs, weight,
+        (((total // 2)::HUGEINT) * weight) // w_sum AS base,
+        (((total // 2)::HUGEINT) * weight) % w_sum AS rem,
+        total // 2 AS budget
+      FROM w CROSS JOIN t),
+l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
+r AS (SELECT q.source, q.n_docs, q.weight, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
+f AS (SELECT source, n_docs, weight, base, leftover,
+             row_number() OVER (ORDER BY rem DESC, source) AS rn
+      FROM r)
+SELECT source, n_docs, weight,
+       (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM f ORDER BY source""")),
+
+    // The materialized sample: first alloc_i docs of each source in
+    // doc_id order, ranked via the range-partitioned global prefix sum
+    // (no per-source sort task at any skew).
+    ("mixture_sample",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.sample(docs(s, d)),
+      Some("""WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, CAST(floor(sqrt(n_docs::DOUBLE) * 1e6) AS BIGINT) AS weight FROM c),
+t AS (SELECT sum(n_docs)::BIGINT AS total, sum(weight)::BIGINT AS w_sum FROM w),
+q AS (SELECT source, weight,
+        (((total // 2)::HUGEINT) * weight) // w_sum AS base,
+        (((total // 2)::HUGEINT) * weight) % w_sum AS rem,
+        total // 2 AS budget
+      FROM w CROSS JOIN t),
+l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
+r AS (SELECT q.source, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
+a AS (SELECT source,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                              <= leftover THEN 1 ELSE 0 END AS alloc
+      FROM r),
+rk AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT AS rk
+       FROM documents)
+SELECT rk.doc_id, rk.source, rk.rk FROM rk
+JOIN a ON rk.source = a.source WHERE rk.rk <= a.alloc
+ORDER BY rk.doc_id""")),
+
     // ---------------------------------------------- LM perplexity gates
     // Model-based quality: corpus-trained add-k n-gram LM, per-doc
     // perplexity. Log-probs truncate to DECIMAL(28,12) before the per-doc

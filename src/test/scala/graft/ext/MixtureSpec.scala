@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkSuite
+
+/** Largest-remainder mixture allocation: exact seat totals on skewed
+  * domains, and the sample takes exactly the first alloc docs per source. */
+class MixtureSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // 3 sources with 100/25/4 docs: √-weights 10/5/2 ⇒ far from
+  // proportional, and a budget that forces remainder seats
+  private def skewed = {
+    val rows =
+      (0 until 100).map(i => (i.toLong, "big")) ++
+        (0 until 25).map(i => (1000L + i, "mid")) ++
+        (0 until 4).map(i => (2000L + i, "rare"))
+    rows.toDF("doc_id", "source")
+  }
+
+  test("allocation: Σalloc = budget, each alloc ∈ {base, base+1}, " +
+      "√-temperature up-weights rare domains vs proportional") {
+    val out = Mixture.allocation(skewed).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("weight"), r.getAs[Long]("alloc")))
+      .toMap
+    val budget = (100 + 25 + 4) / 2 // 64
+    assert(out.values.map(_._3).sum === budget)
+    // w = 10e6 / 5e6 / 2e6, W = 17e6: quotas 64·(10,5,2)/17 = 37.65/18.82/7.53
+    // bases 37/18/7, leftover 2 → two largest remainders (big .65, mid .82)
+    assert(out("big")._3 === 38L)
+    assert(out("mid")._3 === 19L)
+    assert(out("rare")._3 === 7L)
+    // τ=2 gives rare 10.9% of seats vs its 3.1% share of docs
+    assert(out("rare")._3.toDouble / budget > out("rare")._1.toDouble / 129)
+  }
+
+  test("sample: exactly the first alloc doc_ids of each source") {
+    val got = Mixture.sample(skewed).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("rk")))
+    Dedup.releaseAll()
+    val bySource = got.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    assert(bySource("big") === (0L until 38L).toArray)
+    assert(bySource("mid") === (1000L until 1019L).toArray)
+    assert(bySource("rare") === (2000L until 2004L).toArray)
+    // ranks are the 1-based within-source doc_id order
+    assert(got.filter(_._2 == "mid").map(_._3).sorted === (1L to 19L).toArray)
+  }
+}
