@@ -914,4 +914,41 @@ object TextAnalysis {
       .select("doc_id", "fp")
       .orderBy("doc_id")
   }
+
+  /** Per-source salient terms by TF-IDF — the "what is this domain
+    * about" dashboard next to [[sourceMixture]] and
+    * [[Lm.sourceLmDivergence]]. Each source is scored as one
+    * mega-document: `tf` its token count, `df` how many sources contain
+    * the term, and idf the BM25 rational `(S − df + 0.5)/(df + 0.5)` —
+    * deliberately log-free, because `ln` is not correctly-rounded
+    * cross-engine but an integer-fed divide is: `tf·(S − df + 0.5)` is
+    * exact in doubles (half-integers below 2⁵²) and one IEEE division
+    * ends the expression, so scores — and the ranking — are
+    * bit-identical to the oracle. Ties break by term.
+    *
+    * Scale: one token-keyed count shuffle (map-side combined), a
+    * term-keyed df aggregate of the already-small (source, term) frame,
+    * and a top-`topN` window per source over vocabulary-sized rows —
+    * nothing corpus-global, no data-sized window. */
+  def sourceTfIdf(docs: DataFrame, topN: Int = 10): DataFrame = {
+    val toks = scanParallel(docs)
+      .select(col("source"), wsTokens(lower(col("text"))).as("ts"))
+      .select(col("source"), explode(col("ts")).as("term"))
+    val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nSrc = tf.agg(countDistinct(col("source")).as("n_sources"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_sources") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topN)
+      .select(col("source"), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score_r"))
+      .orderBy("source", "rnk")
+  }
 }

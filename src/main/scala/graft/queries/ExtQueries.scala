@@ -1818,6 +1818,26 @@ SELECT rk.doc_id, rk.source, rk.rk FROM rk
 JOIN a ON rk.source = a.source WHERE rk.rk <= a.alloc
 ORDER BY rk.doc_id""")),
 
+    // Per-source salient terms by TF-IDF with the log-free BM25 rational
+    // idf — integer-fed arithmetic ends in ONE IEEE division, so the
+    // scores and the ranking are bit-identical cross-engine (ln would
+    // not be).
+    ("source_tfidf",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sourceTfIdf(docs(s, d)),
+      Some(s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
+tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY source, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+ns AS (SELECT count(DISTINCT source)::BIGINT AS n_sources FROM tf),
+sc AS (SELECT tf.source, tf.term, tf.tf, df.df,
+              tf.tf * (ns.n_sources - df.df + 0.5) / (df.df + 0.5) AS score
+       FROM tf JOIN df USING (term) CROSS JOIN ns),
+r AS (SELECT source, term, tf, df, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rnk
+      FROM sc)
+SELECT source, rnk, term, tf, df, score_r FROM r WHERE rnk <= 10
+ORDER BY source, rnk""")),
+
     // ---------------------------------------------- LM perplexity gates
     // Model-based quality: corpus-trained add-k n-gram LM, per-doc
     // perplexity. Log-probs truncate to DECIMAL(28,12) before the per-doc

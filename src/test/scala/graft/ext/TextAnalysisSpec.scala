@@ -303,4 +303,25 @@ class TextAnalysisSpec extends SparkSuite {
     assert(d2.getAs[Double]("top_bigram_char_frac") === 7.0 / 119)
     assert(d2.getAs[Boolean]("keep"))
   }
+
+  test("sourceTfIdf: source-exclusive terms beat shared ones, " +
+      "BM25-rational scores are exact") {
+    import spark.implicits._
+    // S=3; 'banana' in all sources (idf 0.5/3.5), exclusives (idf 2.5/1.5)
+    val docs = Seq(
+      (1L, "s1", "apple apple banana"),
+      (2L, "s2", "banana cherry"),
+      (3L, "s3", "banana date date date"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceTfIdf(docs, topN = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rnk")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("score_r")))
+      .toMap
+    assert(got(("s1", 1)) === ("apple", math.rint(2 * 2.5 / 1.5 * 1e6) / 1e6))
+    assert(got(("s2", 1)) === ("cherry", math.rint(1 * 2.5 / 1.5 * 1e6) / 1e6))
+    assert(got(("s3", 1)) === ("date", 5.0))
+    // the shared term ranks 2 everywhere with the same tiny idf
+    assert(Seq("s1", "s2", "s3").forall(s => got((s, 2))._1 == "banana"))
+    assert(got(("s2", 2))._2 === math.rint(0.5 / 3.5 * 1e6) / 1e6)
+  }
 }
