@@ -92,4 +92,40 @@ object Mixture {
       .select(col("doc_id"), col("source"), col("rk"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic stratified train/validation/test split with EXACT
+    * per-source counts: each source contributes `n div 10` test and
+    * `n div 10` validation documents, remainder train — unlike
+    * `randomSplit`, which is only proportional in expectation and not
+    * reproducible across engines. Docs are ordered within source by the
+    * md5 of a salted doc_id (a deterministic pseudo-random permutation
+    * both engines compute byte-identically), so membership is a pure
+    * function of the data: re-running, re-partitioning, or re-scaling
+    * the cluster cannot move a document across splits.
+    *
+    * Output: `(doc_id, source, split)`. Same rank machinery as
+    * [[sample]] — one range-partitioned prefix sum over
+    * `source‖hash‖doc_id`, no per-source sort task. */
+  def split(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("test_n", expr("n_docs div 10"))
+      .withColumn("val_n", expr("n_docs div 10"))
+      .select(col("source"), col("test_n"), col("val_n"))
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .withColumn("__h", md5(concat(col("doc_id").cast("string"), lit(":split"))))
+      .withColumn("__k",
+        concat(col("source"), lit("|"), col("__h"), lit("|"),
+          lpad(col("doc_id").cast("string"), 19, "0")))
+      .withColumn("__one", lit(1L))
+    val pos = Packing.withGlobalOffset(keyed, "__k", "__one", "__pos")
+    val firsts = pos.groupBy("source").agg(min(col("__pos")).as("__first"))
+    pos.join(broadcast(firsts), Seq("source"))
+      .withColumn("rk", col("__pos") - col("__first") + lit(1L))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        when(col("rk") <= col("test_n"), "test")
+          .when(col("rk") <= col("test_n") + col("val_n"), "validation")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
 }

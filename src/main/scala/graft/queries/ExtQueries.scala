@@ -1838,6 +1838,24 @@ r AS (SELECT source, term, tf, df, round(score, 6) AS score_r,
 SELECT source, rnk, term, tf, df, score_r FROM r WHERE rnk <= 10
 ORDER BY source, rnk""")),
 
+    // Deterministic stratified split: EXACT n div 10 test/validation per
+    // source, membership a pure function of a salted md5 permutation —
+    // reproducible across engines and cluster shapes, unlike randomSplit.
+    ("corpus_split",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.split(docs(s, d)),
+      Some("""WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+k AS (SELECT doc_id, source, md5(doc_id::VARCHAR || ':split') AS h FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS rk
+      FROM k)
+SELECT r.doc_id, r.source,
+       CASE WHEN rk <= n // 10 THEN 'test'
+            WHEN rk <= 2 * (n // 10) THEN 'validation'
+            ELSE 'train' END AS split
+FROM r JOIN c ON r.source = c.source
+ORDER BY r.doc_id""")),
+
     // ---------------------------------------------- LM perplexity gates
     // Model-based quality: corpus-trained add-k n-gram LM, per-doc
     // perplexity. Log-probs truncate to DECIMAL(28,12) before the per-doc

@@ -47,4 +47,25 @@ class MixtureSpec extends SparkSuite {
     // ranks are the 1-based within-source doc_id order
     assert(got.filter(_._2 == "mid").map(_._3).sorted === (1L to 19L).toArray)
   }
+
+  test("split: exact n div 10 test/validation per source, total coverage, " +
+      "and byte-deterministic membership across runs") {
+    def run() = Mixture.split(skewed).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("split")))
+    val a = run()
+    val b = run()
+    Dedup.releaseAll()
+    assert(a.toSet === b.toSet, "membership must be a pure function of the data")
+    assert(a.length === 129, "every document lands in exactly one split")
+    val bySrc = a.groupBy(_._2).view
+      .mapValues(_.groupBy(_._3).view.mapValues(_.length).toMap).toMap
+    assert(bySrc("big")("test") === 10 && bySrc("big")("validation") === 10 &&
+      bySrc("big")("train") === 80)
+    assert(bySrc("mid")("test") === 2 && bySrc("mid")("validation") === 2 &&
+      bySrc("mid")("train") === 21)
+    // n=4: 4 div 10 = 0 → everything trains; tiny strata never leak
+    // their few docs into eval splits
+    assert(bySrc("rare") === Map("train" -> 4))
+  }
 }
