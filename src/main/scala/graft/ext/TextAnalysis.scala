@@ -930,6 +930,34 @@ object TextAnalysis {
     * term-keyed df aggregate of the already-small (source, term) frame,
     * and a top-`topN` window per source over vocabulary-sized rows —
     * nothing corpus-global, no data-sized window. */
+  /** Per-document keyword extraction: the `topN` highest-TF-IDF terms of
+    * each doc under the same log-free BM25 rational idf as
+    * [[sourceTfIdf]] (df counted over documents here). The per-doc
+    * ranking window runs over each doc's DISTINCT terms — bounded by
+    * document length, never by corpus size — after one token-keyed
+    * count shuffle and a skinny df join. Ties break by term. */
+  def docKeywords(docs: DataFrame, topN: Int = 3): DataFrame = {
+    val toks = scanParallel(docs)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDoc = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDoc))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topN)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score_r"))
+      .orderBy("doc_id", "rnk")
+  }
+
   def sourceTfIdf(docs: DataFrame, topN: Int = 10): DataFrame = {
     val toks = scanParallel(docs)
       .select(col("source"), wsTokens(lower(col("text"))).as("ts"))

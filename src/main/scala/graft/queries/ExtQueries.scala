@@ -1856,6 +1856,24 @@ SELECT r.doc_id, r.source,
 FROM r JOIN c ON r.source = c.source
 ORDER BY r.doc_id""")),
 
+    // Per-doc keyword extraction under the same log-free rational idf;
+    // the ranking window is bounded by document length, not corpus size.
+    ("doc_keywords",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.docKeywords(docs(s, d)),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              tf.tf * (nd.n_docs - df.df + 0.5) / (df.df + 0.5) AS score
+       FROM tf JOIN df USING (term) CROSS JOIN nd),
+r AS (SELECT doc_id, term, tf, df, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM sc)
+SELECT doc_id, rnk, term, tf, df, score_r FROM r WHERE rnk <= 3
+ORDER BY doc_id, rnk""")),
+
     // ---------------------------------------------- LM perplexity gates
     // Model-based quality: corpus-trained add-k n-gram LM, per-doc
     // perplexity. Log-probs truncate to DECIMAL(28,12) before the per-doc
