@@ -930,6 +930,37 @@ object TextAnalysis {
     * term-keyed df aggregate of the already-small (source, term) frame,
     * and a top-`topN` window per source over vocabulary-sized rows —
     * nothing corpus-global, no data-sized window. */
+  /** Cross-source duplication matrix: for every source pair, how many
+    * distinct 3-token shingles they share and the containment
+    * `|A∩B| / min(|A|,|B|)` — the corpus-level view of the doc-level
+    * near-dup gates, read when deciding whether two crawls/domains are
+    * re-hosting each other before mixing them. Pairs sharing no shingle
+    * are omitted (their containment is 0).
+    *
+    * Scale: an inverted-index join — shingle-keyed, never all-pairs; a
+    * shingle shared by k sources contributes k(k−1)/2 candidate rows
+    * bounded by |sources|², and the (source, shingle) frame is already
+    * distinct so hot shingles count once per source pair. Everything
+    * after the join is |sources|²-sized. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val grams = scanParallel(docs)
+      .select(col("source"), wsTokens(lower(col("text"))).as("ts"))
+      .select(col("source"), explode(shingles(col("ts"), 3)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val a = grams.select(col("source").as("src_a"), col("g"))
+    val b = grams.select(col("source").as("src_b"), col("g").as("g2"))
+    a.join(b, col("g") === col("g2") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("containment_r"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Per-document keyword extraction: the `topN` highest-TF-IDF terms of
     * each doc under the same log-free BM25 rational idf as
     * [[sourceTfIdf]] (df counted over documents here). The per-doc

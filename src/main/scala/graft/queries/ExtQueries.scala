@@ -1874,6 +1874,24 @@ r AS (SELECT doc_id, term, tf, df, round(score, 6) AS score_r,
 SELECT doc_id, rnk, term, tf, df, score_r FROM r WHERE rnk <= 3
 ORDER BY doc_id, rnk""")),
 
+    // Cross-source duplication matrix: distinct-shingle containment per
+    // source pair via the inverted-index join — never all-pairs over
+    // docs; candidate rows are bounded by |sources|² per shingle.
+    ("source_overlap",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sourceOverlap(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+sh AS (SELECT source, $shinglesSql AS sh FROM t),
+g AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh),
+sz AS (SELECT source, count(*)::BIGINT AS n_sh FROM g GROUP BY source),
+p AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source)
+SELECT p.src_a, p.src_b, p.n_common,
+       round(p.n_common::DOUBLE / least(x.n_sh, y.n_sh), 6) AS containment_r
+FROM p JOIN sz x ON x.source = p.src_a JOIN sz y ON y.source = p.src_b
+ORDER BY src_a, src_b""")),
+
     // ---------------------------------------------- LM perplexity gates
     // Model-based quality: corpus-trained add-k n-gram LM, per-doc
     // perplexity. Log-probs truncate to DECIMAL(28,12) before the per-doc

@@ -336,4 +336,23 @@ class TextAnalysisSpec extends SparkSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
     assert(got === Map(1L -> "apple", 2L -> "cherry", 3L -> "date"))
   }
+
+  test("sourceOverlap: shared shingles produce one ordered pair with " +
+      "min-normalized containment; disjoint and sub-shingle sources drop") {
+    import spark.implicits._
+    val docs = Seq(
+      // s1: shingles {a b c, b c d}; s2 re-hosts "a b c" plus its own
+      (1L, "s1", "a b c d"),
+      (2L, "s2", "a b c"),
+      (3L, "s2", "x y z w"),  // s2 also has {x y z, y z w} → |s2| = 3
+      (4L, "s3", "p q r"),    // disjoint from everyone
+      (5L, "s4", "q r"))      // < 3 tokens → no shingles at all
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceOverlap(docs).collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        (r.getAs[Long]("n_common"), r.getAs[Double]("containment_r"))))
+      .toMap
+    // only (s1, s2) share anything: "a b c"; min(|s1|,|s2|) = min(2,3)
+    assert(got === Map(("s1", "s2") -> ((1L, 0.5))))
+  }
 }
