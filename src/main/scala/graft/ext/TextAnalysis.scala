@@ -930,6 +930,34 @@ object TextAnalysis {
     * term-keyed df aggregate of the already-small (source, term) frame,
     * and a top-`topN` window per source over vocabulary-sized rows —
     * nothing corpus-global, no data-sized window. */
+  /** PII patterns — restricted to the Java-regex ∩ RE2 common subset
+    * (character classes, bounded quantifiers, `\b`; no alternation, no
+    * lookaround) so Spark and the DuckDB oracle match byte-identically.
+    * Email per the usual liberal RFC-lite form; IPv4 dotted quads;
+    * phone as E.164-ish `+` digits with space/dash separators. */
+  val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePat = "\\+\\d[\\d -]{5,13}\\d"
+
+  /** PII triage + redaction: per-pattern hit counts on the RAW text and
+    * the text with emails → `<EMAIL>`, then IPv4s → `<IP>`, then phones
+    * → `<PHONE>` substituted, in that fixed order (an email's local
+    * part may contain a `+digits` run; counting on raw text keeps the
+    * three counts independent of substitution order). Pure codegen'd
+    * regexp expressions — one scan, no shuffle, no UDF: the shape that
+    * runs at full scan bandwidth on any corpus size. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    scanParallel(docs).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailPat)).as("n_emails"),
+      regexp_count(col("text"), lit(phonePat)).as("n_phones"),
+      regexp_count(col("text"), lit(ipv4Pat)).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          ipv4Pat, "<IP>"),
+        phonePat, "<PHONE>").as("redacted"))
+
   /** Cross-source duplication matrix: for every source pair, how many
     * distinct 3-token shingles they share and the containment
     * `|A∩B| / min(|A|,|B|)` — the corpus-level view of the doc-level

@@ -1892,6 +1892,27 @@ SELECT p.src_a, p.src_b, p.n_common,
 FROM p JOIN sz x ON x.source = p.src_a JOIN sz y ON y.source = p.src_b
 ORDER BY src_a, src_b""")),
 
+    // PII scan + redaction digest: patterns live in the Java-regex ∩ RE2
+    // common subset so both engines match byte-identically; the fixture
+    // corpus is PII-free by construction (the gate proves the scan runs
+    // and alters nothing), while TextAnalysisSpec proves the planted-PII
+    // semantics.
+    ("pii_scan",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.piiRedact(docs(s, d))
+          .selectExpr("doc_id", "n_emails", "n_phones", "n_ips",
+            "md5(redacted) AS redacted_md5")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+       len(regexp_extract_all(text, '${TextAnalysis.emailPat}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '${TextAnalysis.phonePat}'))::INT AS n_phones,
+       len(regexp_extract_all(text, '${TextAnalysis.ipv4Pat}'))::INT AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '${TextAnalysis.emailPat}', '<EMAIL>', 'g'),
+         '${TextAnalysis.ipv4Pat}', '<IP>', 'g'),
+         '${TextAnalysis.phonePat}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents ORDER BY doc_id""")),
+
     // ---------------------------------------------- LM perplexity gates
     // Model-based quality: corpus-trained add-k n-gram LM, per-doc
     // perplexity. Log-probs truncate to DECIMAL(28,12) before the per-doc

@@ -355,4 +355,23 @@ class TextAnalysisSpec extends SparkSuite {
     // only (s1, s2) share anything: "a b c"; min(|s1|,|s2|) = min(2,3)
     assert(got === Map(("s1", "s2") -> ((1L, 0.5))))
   }
+
+  test("piiRedact: planted email/phone/IP are counted and substituted; " +
+      "clean text passes through byte-identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail alice@example.com and bob.smith+x@sub.domain.org today"),
+      (2L, "call +1 415 555 1234 or +4930123456 now"),
+      (3L, "host 10.0.0.1 peered with 192.168.255.7"),
+      (4L, "no pii here, just text with numbers 12 34"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+          r.getAs[Int]("n_ips")), r.getAs[String]("redacted"))).toMap
+    assert(got(1L) === (((2, 0, 0), "mail <EMAIL> and <EMAIL> today")))
+    assert(got(2L) === (((0, 2, 0), "call <PHONE> or <PHONE> now")))
+    assert(got(3L) === (((0, 0, 2), "host <IP> peered with <IP>")))
+    assert(got(4L) === (((0, 0, 0), "no pii here, just text with numbers 12 34")))
+  }
 }
