@@ -930,31 +930,31 @@ object TextAnalysis {
     * term-keyed df aggregate of the already-small (source, term) frame,
     * and a top-`topN` window per source over vocabulary-sized rows —
     * nothing corpus-global, no data-sized window. */
-  /** PII patterns — restricted to the Java-regex ∩ RE2 common subset
-    * (character classes, bounded quantifiers, `\b`; no alternation, no
-    * lookaround) so Spark and the DuckDB oracle match byte-identically.
-    * Email per the usual liberal RFC-lite form; IPv4 dotted quads;
-    * phone as E.164-ish `+` digits with space/dash separators. */
-  val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  /** Structured-identifier PII patterns completing [[piiScrub]]'s
+    * email/URL gate: IPv4 dotted quads and E.164-ish `+`-digit phones.
+    * Like [[emailPattern]], restricted to the Java-regex ∩ RE2 common
+    * subset (character classes, bounded quantifiers, `\b`; no
+    * alternation, no lookaround) so Spark and the DuckDB oracle match
+    * byte-identically. */
   val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phonePat = "\\+\\d[\\d -]{5,13}\\d"
 
-  /** PII triage + redaction: per-pattern hit counts on the RAW text and
-    * the text with emails → `<EMAIL>`, then IPv4s → `<IP>`, then phones
-    * → `<PHONE>` substituted, in that fixed order (an email's local
-    * part may contain a `+digits` run; counting on raw text keeps the
-    * three counts independent of substitution order). Pure codegen'd
-    * regexp expressions — one scan, no shuffle, no UDF: the shape that
-    * runs at full scan bandwidth on any corpus size. */
+  /** Full PII triage + redaction: per-pattern hit counts on the RAW
+    * text and the text with emails → `<EMAIL>`, then IPv4s → `<IP>`,
+    * then phones → `<PHONE>` substituted, in that fixed order (an
+    * email's local part may contain a `+digits` run; counting on raw
+    * text keeps the three counts independent of substitution order).
+    * Pure codegen'd regexp expressions — one scan, no shuffle, no UDF:
+    * the shape that runs at full scan bandwidth on any corpus size. */
   def piiRedact(docs: DataFrame): DataFrame =
     scanParallel(docs).select(
       col("doc_id"),
-      regexp_count(col("text"), lit(emailPat)).as("n_emails"),
+      regexp_count(col("text"), lit(emailPattern)).as("n_emails"),
       regexp_count(col("text"), lit(phonePat)).as("n_phones"),
       regexp_count(col("text"), lit(ipv4Pat)).as("n_ips"),
       regexp_replace(
         regexp_replace(
-          regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          regexp_replace(col("text"), emailPattern, "<EMAIL>"),
           ipv4Pat, "<IP>"),
         phonePat, "<PHONE>").as("redacted"))
 
@@ -987,34 +987,6 @@ object TextAnalysis {
         round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 6)
           .as("containment_r"))
       .orderBy("src_a", "src_b")
-  }
-
-  /** Per-document keyword extraction: the `topN` highest-TF-IDF terms of
-    * each doc under the same log-free BM25 rational idf as
-    * [[sourceTfIdf]] (df counted over documents here). The per-doc
-    * ranking window runs over each doc's DISTINCT terms — bounded by
-    * document length, never by corpus size — after one token-keyed
-    * count shuffle and a skinny df join. Ties break by term. */
-  def docKeywords(docs: DataFrame, topN: Int = 3): DataFrame = {
-    val toks = scanParallel(docs)
-      .select(col("doc_id"), wsTokens(lower(col("text"))).as("ts"))
-      .select(col("doc_id"), explode(col("ts")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDoc = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(df, "term")
-      .crossJoin(broadcast(nDoc))
-      .withColumn("score",
-        col("tf").cast("double") * (col("n_docs") - col("df") + lit(0.5))
-          / (col("df") + lit(0.5)))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= topN)
-      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
-        round(col("score"), 6).as("score_r"))
-      .orderBy("doc_id", "rnk")
   }
 
   def sourceTfIdf(docs: DataFrame, topN: Int = 10): DataFrame = {

@@ -1856,24 +1856,6 @@ SELECT r.doc_id, r.source,
 FROM r JOIN c ON r.source = c.source
 ORDER BY r.doc_id""")),
 
-    // Per-doc keyword extraction under the same log-free rational idf;
-    // the ranking window is bounded by document length, not corpus size.
-    ("doc_keywords",
-      (s: SparkSession, d: String) =>
-        TextAnalysis.docKeywords(docs(s, d)),
-      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
-df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
-sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-              tf.tf * (nd.n_docs - df.df + 0.5) / (df.df + 0.5) AS score
-       FROM tf JOIN df USING (term) CROSS JOIN nd),
-r AS (SELECT doc_id, term, tf, df, round(score, 6) AS score_r,
-             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
-      FROM sc)
-SELECT doc_id, rnk, term, tf, df, score_r FROM r WHERE rnk <= 3
-ORDER BY doc_id, rnk""")),
-
     // Cross-source duplication matrix: distinct-shingle containment per
     // source pair via the inverted-index join — never all-pairs over
     // docs; candidate rows are bounded by |sources|² per shingle.
@@ -1892,11 +1874,11 @@ SELECT p.src_a, p.src_b, p.n_common,
 FROM p JOIN sz x ON x.source = p.src_a JOIN sz y ON y.source = p.src_b
 ORDER BY src_a, src_b""")),
 
-    // PII scan + redaction digest: patterns live in the Java-regex ∩ RE2
-    // common subset so both engines match byte-identically; the fixture
-    // corpus is PII-free by construction (the gate proves the scan runs
-    // and alters nothing), while TextAnalysisSpec proves the planted-PII
-    // semantics.
+    // PII scan completing pii_scrub's email/URL gate with phone + IPv4:
+    // patterns live in the Java-regex ∩ RE2 common subset so both
+    // engines match byte-identically; the fixture corpus is PII-free by
+    // construction (the gate proves the scan runs and alters nothing),
+    // while TextAnalysisSpec proves the planted-PII semantics.
     ("pii_scan",
       (s: SparkSession, d: String) =>
         TextAnalysis.piiRedact(docs(s, d))
@@ -1904,11 +1886,11 @@ ORDER BY src_a, src_b""")),
             "md5(redacted) AS redacted_md5")
           .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
-       len(regexp_extract_all(text, '${TextAnalysis.emailPat}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '${TextAnalysis.emailPattern}'))::INT AS n_emails,
        len(regexp_extract_all(text, '${TextAnalysis.phonePat}'))::INT AS n_phones,
        len(regexp_extract_all(text, '${TextAnalysis.ipv4Pat}'))::INT AS n_ips,
        md5(regexp_replace(regexp_replace(regexp_replace(text,
-         '${TextAnalysis.emailPat}', '<EMAIL>', 'g'),
+         '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
          '${TextAnalysis.ipv4Pat}', '<IP>', 'g'),
          '${TextAnalysis.phonePat}', '<PHONE>', 'g')) AS redacted_md5
 FROM documents ORDER BY doc_id""")),

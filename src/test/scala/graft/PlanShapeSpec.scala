@@ -193,6 +193,52 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("corpus_split: the doc-sized rank path is the range-partitioned " +
+      "prefix sum — no single-partition window anywhere") {
+    val p = plan("corpus_split")
+    assert(!p.contains("SinglePartition"), "global-window collapse detected")
+    assert(p.contains("Window"), "per-partition running sum is a Window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mixture_sample: doc-sized frames only meet broadcast seat/offset " +
+      "tables; no cartesian") {
+    val p = plan("mixture_sample")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("embed_quantized_topk: scale is one broadcast row; top-k limit " +
+      "pushed below the window exchange") {
+    val p = plan("embed_quantized_topk")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("source_tfidf: map-side combined counts; df join is an " +
+      "equi-join; no cartesian") {
+    val p = plan("source_tfidf")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("source_overlap: inverted-index equi-join on the shingle key; " +
+      "size tables broadcast; no BNL, no cartesian") {
+    val p = plan("source_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("pii_scan: one corpus scan, regexes stay in the projection — " +
+      "no join, no aggregate shuffle") {
+    val p = plan("pii_scan")
+    assert(p.contains("Scan parquet"))
+    assert(!p.contains("HashAggregate"))
+    assert(!p.contains("Join"))
+  }
+
   test("media_dims: the JPEG walk stays a chain of projections (the " +
       "shape that keeps codegen under the Janino method limit)") {
     // a single recursive expression inlines the walk cursor ~5× per

@@ -325,18 +325,6 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(("s2", 2))._2 === math.rint(0.5 / 3.5 * 1e6) / 1e6)
   }
 
-  test("docKeywords: doc-exclusive terms outrank corpus-wide ones") {
-    import spark.implicits._
-    val docs = Seq(
-      (1L, "x", "apple apple banana"),
-      (2L, "x", "banana cherry"),
-      (3L, "x", "banana date date date"))
-      .toDF("doc_id", "source", "text")
-    val got = TextAnalysis.docKeywords(docs, topN = 1).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
-    assert(got === Map(1L -> "apple", 2L -> "cherry", 3L -> "date"))
-  }
-
   test("sourceOverlap: shared shingles produce one ordered pair with " +
       "min-normalized containment; disjoint and sub-shingle sources drop") {
     import spark.implicits._
