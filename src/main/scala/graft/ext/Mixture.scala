@@ -96,8 +96,10 @@ object Mixture {
   /** Deterministic stratified train/validation/test split with EXACT
     * per-source counts: each source contributes `n div 10` test and
     * `n div 10` validation documents, remainder train — unlike
-    * `randomSplit`, which is only proportional in expectation and not
-    * reproducible across engines. Docs are ordered within source by the
+    * `randomSplit` or the hash-threshold
+    * [[TextAnalysis.trainValSplit]], which are proportional only in
+    * expectation (and unstratified: a small source can land entirely
+    * in one split). Docs are ordered within source by the
     * md5 of a salted doc_id (a deterministic pseudo-random permutation
     * both engines compute byte-identically), so membership is a pure
     * function of the data: re-running, re-partitioning, or re-scaling

@@ -1859,6 +1859,9 @@ ORDER BY r.doc_id""")),
     // Cross-source duplication matrix: distinct-shingle containment per
     // source pair via the inverted-index join — never all-pairs over
     // docs; candidate rows are bounded by |sources|² per shingle.
+    // Complements source_vocab_overlap (top-50 unigram Jaccard — vocab
+    // DRIFT): shared 3-token phrases detect literal RE-HOSTING that two
+    // sources with similar vocabularies don't imply.
     ("source_overlap",
       (s: SparkSession, d: String) =>
         TextAnalysis.sourceOverlap(docs(s, d)),
