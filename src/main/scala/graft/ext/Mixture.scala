@@ -35,15 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** Per-source seat counts for `total div budgetDenom` documents:
-    * `(source, n_docs, weight, alloc)` with `Σ alloc = budget`. */
-  def allocation(docs: DataFrame, budgetDenom: Int = 2): DataFrame = {
+  /** Largest-remainder seat assignment over a per-source size frame
+    * `(source, <nCol>)`: √-temperature weights, `total div budgetDenom`
+    * budget, all-integer math. Shared by the doc-count and token-count
+    * allocations. */
+  private def allocateSeats(
+      counts: DataFrame, nCol: String, budgetDenom: Int): DataFrame = {
     require(budgetDenom >= 1, "budgetDenom must be >= 1")
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val weighted = counts.withColumn(
-      "weight", floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+      "weight", floor(sqrt(col(nCol).cast("double")) * lit(1e6)).cast("long"))
     val totals = weighted.agg(
-      sum(col("n_docs")).as("total"), sum(col("weight")).as("w_sum"))
+      sum(col(nCol)).as("total"), sum(col("weight")).as("w_sum"))
     // all-integer seat math: prod/base/rem are exact in DECIMAL(38,0)
     val seats = weighted.crossJoin(broadcast(totals))
       .withColumn("budget", expr(s"total div $budgetDenom"))
@@ -60,11 +62,29 @@ object Mixture {
     // the global window runs over |sources| rows — bounded, not data-sized
     seats.crossJoin(broadcast(leftover))
       .withColumn("rn", row_number().over(w))
-      .select(col("source"), col("n_docs"), col("weight"),
+      .select(col("source"), col(nCol), col("weight"),
         (col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
           .as("alloc"))
       .orderBy("source")
   }
+
+  /** Per-source seat counts for `total div budgetDenom` documents:
+    * `(source, n_docs, weight, alloc)` with `Σ alloc = budget`. */
+  def allocation(docs: DataFrame, budgetDenom: Int = 2): DataFrame =
+    allocateSeats(
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs")),
+      "n_docs", budgetDenom)
+
+  /** The token-budget twin of [[allocation]]: seats are TOKENS, the unit
+    * a pretraining run actually budgets. `(source, n_tokens, weight,
+    * alloc)` with `Σ alloc = total_tokens div budgetDenom` exactly;
+    * weights are √-temperature over per-source token mass. */
+  def allocationTokens(docs: DataFrame, budgetDenom: Int = 2): DataFrame =
+    allocateSeats(
+      docs.select(col("source"),
+        size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum(col("n_tok")).as("n_tokens")),
+      "n_tokens", budgetDenom)
 
   /** Materialized sample: the first `alloc_i` documents of each source in
     * doc_id order — `(doc_id, source, rk)` with `rk` the 1-based
@@ -90,6 +110,36 @@ object Mixture {
       .join(broadcast(alloc), Seq("source"))
       .where(col("rk") <= col("alloc"))
       .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("doc_id")
+  }
+
+  /** Materialized token-budget sample: each source contributes its
+    * doc_id-order prefix of documents until its token allocation
+    * ([[allocationTokens]]) is covered — a document whose EXCLUSIVE
+    * token prefix is still below the allocation is kept, so the
+    * boundary document straddles the budget (the same straddle
+    * convention as [[Packing.packWindows]]). `(doc_id, source, n_tok,
+    * tok_pfx)`, all exact integers.
+    *
+    * Scale: identical machinery to [[sample]], but the prefix sum runs
+    * over REAL token counts instead of ones — still one
+    * range-partitioned pass and two |sources|-row broadcasts. */
+  def sampleTokens(docs: DataFrame, budgetDenom: Int = 2): DataFrame = {
+    val alloc = allocationTokens(docs, budgetDenom)
+      .select(col("source"), col("alloc"))
+    val keyed = docs
+      .select(col("doc_id"), col("source"),
+        size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tok"))
+      .withColumn("__k",
+        concat(col("source"), lit("|"),
+          lpad(col("doc_id").cast("string"), 19, "0")))
+    val pos = Packing.withGlobalOffset(keyed, "__k", "n_tok", "__pos")
+    val firsts = pos.groupBy("source").agg(min(col("__pos")).as("__first"))
+    pos.join(broadcast(firsts), Seq("source"))
+      .withColumn("tok_pfx", col("__pos") - col("__first"))
+      .join(broadcast(alloc), Seq("source"))
+      .where(col("tok_pfx") < col("alloc"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("tok_pfx"))
       .orderBy("doc_id")
   }
 

@@ -1838,6 +1838,57 @@ r AS (SELECT source, term, tf, df, round(score, 6) AS score_r,
 SELECT source, rnk, term, tf, df, score_r FROM r WHERE rnk <= 10
 ORDER BY source, rnk""")),
 
+    // The token-budget twin: seats are tokens (the unit a pretraining
+    // run budgets), weights √-temperature over per-source token mass.
+    ("mixture_allocation_tokens",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.allocationTokens(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source, len($toksSql)::BIGINT AS n_tok FROM documents),
+c AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY source),
+w AS (SELECT source, n_tokens, CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT) AS weight FROM c),
+tt AS (SELECT sum(n_tokens)::BIGINT AS total, sum(weight)::BIGINT AS w_sum FROM w),
+q AS (SELECT source, n_tokens, weight,
+        (((total // 2)::HUGEINT) * weight) // w_sum AS base,
+        (((total // 2)::HUGEINT) * weight) % w_sum AS rem,
+        total // 2 AS budget
+      FROM w CROSS JOIN tt),
+l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
+r AS (SELECT q.source, q.n_tokens, q.weight, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
+f AS (SELECT source, n_tokens, weight, base, leftover,
+             row_number() OVER (ORDER BY rem DESC, source) AS rn
+      FROM r)
+SELECT source, n_tokens, weight,
+       (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM f ORDER BY source""")),
+
+    // Greedy doc_id-order prefix fill of each source's token seats; the
+    // boundary doc straddles (pack_windows' convention). All-integer.
+    ("mixture_sample_tokens",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.sampleTokens(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source, len($toksSql)::BIGINT AS n_tok FROM documents),
+c AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY source),
+w AS (SELECT source, n_tokens, CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT) AS weight FROM c),
+tt AS (SELECT sum(n_tokens)::BIGINT AS total, sum(weight)::BIGINT AS w_sum FROM w),
+q AS (SELECT source, weight,
+        (((total // 2)::HUGEINT) * weight) // w_sum AS base,
+        (((total // 2)::HUGEINT) * weight) % w_sum AS rem,
+        total // 2 AS budget
+      FROM w CROSS JOIN tt),
+l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
+r AS (SELECT q.source, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
+a AS (SELECT source,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                              <= leftover THEN 1 ELSE 0 END AS alloc
+      FROM r),
+p AS (SELECT doc_id, source, n_tok,
+        coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_pfx
+      FROM t)
+SELECT p.doc_id, p.source, p.n_tok, p.tok_pfx FROM p
+JOIN a ON p.source = a.source WHERE p.tok_pfx < a.alloc
+ORDER BY p.doc_id""")),
+
     // Deterministic stratified split: EXACT n div 10 test/validation per
     // source, membership a pure function of a salted md5 permutation —
     // reproducible across engines and cluster shapes, unlike randomSplit.

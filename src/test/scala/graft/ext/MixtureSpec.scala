@@ -48,6 +48,26 @@ class MixtureSpec extends SparkSuite {
     assert(got.filter(_._2 == "mid").map(_._3).sorted === (1L to 19L).toArray)
   }
 
+  test("token allocation + sample: seats are tokens, prefix fill " +
+      "straddles the boundary doc") {
+    val rows =
+      (0 until 10).map(i => (i.toLong, "big", Seq.fill(10)("t").mkString(" "))) ++
+        Seq((100L, "rare", "t t"), (101L, "rare", "t t"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    // tokens: big 100, rare 4 → weights 10e6/2e6, budget 52
+    // quotas 52·10/12=43.33, 52·2/12=8.67 → bases 43/8, leftover 1 to rare
+    val alloc = Mixture.allocationTokens(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    assert(alloc === Map("big" -> 43L, "rare" -> 9L))
+    val got = Mixture.sampleTokens(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_pfx")))
+    Dedup.releaseAll()
+    // big: exclusive prefixes 0,10..90 → docs 0-4 kept (doc 4 straddles
+    // 43 with pfx 40); rare: both docs fit in 9
+    assert(got.map(_._1).sorted === Array(0L, 1L, 2L, 3L, 4L, 100L, 101L))
+    assert(got.toMap.apply(4L) === 40L)
+  }
+
   test("split: exact n div 10 test/validation per source, total coverage, " +
       "and byte-deterministic membership across runs") {
     def run() = Mixture.split(skewed).collect()
