@@ -3,12 +3,12 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Domain-mixture allocation for training-corpus assembly: decide how many
-  * documents each source contributes to a fixed budget, then materialize
-  * exactly that sample — the operation every multi-domain pretraining run
-  * performs before packing (reference: the per-table fan-in of
-  * codeshardlabs/user-feed-cdc's pipeline consumes whatever arrives; a
-  * training pipeline must instead RATION sources against a token/doc
+/** Domain-mixture allocation for training-corpus assembly: decide how much
+  * each source contributes to a fixed budget (documents or tokens), then
+  * materialize exactly that sample — the operation every multi-domain
+  * pretraining run performs before packing (reference: the per-table
+  * fan-in of codeshardlabs/user-feed-cdc's pipeline consumes whatever
+  * arrives; a training pipeline must instead RATION sources against a
   * budget).
   *
   * Weights follow temperature sampling at τ = 2 (the multilingual-corpus
@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   * relative to proportional sampling without letting any domain dominate.
   * Seats are assigned by the largest-remainder (Hamilton) method, so
   * `Σ alloc_i = budget` EXACTLY and every `alloc_i` is `base_i` or
-  * `base_i + 1` — no float apportionment drift.
+  * `base_i + 1` — no float apportionment drift. Because up-weighting can
+  * hand a rare source more seats than it has items, the allocation also
+  * reports `granted = least(alloc, n_i)` — the seats the source can
+  * actually FILL; the sample queries materialize `granted`, and under
+  * extreme skew `Σ granted < budget` is visible in the allocation table
+  * rather than a silent sample shortfall.
   *
   * Determinism contract (cross-engine): `sqrt` is IEEE-754
   * correctly-rounded in both the JVM and DuckDB — unlike `ln` — so
@@ -25,12 +30,15 @@ import org.apache.spark.sql.functions._
   * remainder ties break by source name. Nothing in the allocation can
   * float-diverge.
   *
-  * Scale: the corpus-sized work is one per-source count; the seat math
-  * runs on |sources| rows (bounded by design — domains number in the
-  * dozens) and DECIMAL(38,0) holds `budget × weight` up to ~10³⁸, far
-  * past any real corpus. The sampling pass ranks within source via the
-  * range-partitioned global prefix sum ([[Packing.withGlobalOffset]]),
-  * NOT a per-source window — a per-source `row_number` would sort each
+  * Scale: the corpus-sized work is one per-source aggregate (and, for
+  * the samples, one range-partitioned prefix sum); the seat math runs on
+  * |sources| rows (bounded by design — domains number in the dozens)
+  * and DECIMAL(38,0) holds `budget × weight` up to ~10³⁸, far past any
+  * real corpus. Per-source ranks come from
+  * [[Packing.withGlobalOffsetBy]] over the COMPOSITE key
+  * `(source, …)` — tuple-wise ordering, immune to separator characters
+  * in source names — plus a |sources|-row broadcast of first positions,
+  * NOT a per-source window: a per-source `row_number` would sort each
   * domain in one task, which dies exactly when one domain is 100 TB.
   */
 object Mixture {
@@ -62,14 +70,31 @@ object Mixture {
     // the global window runs over |sources| rows — bounded, not data-sized
     seats.crossJoin(broadcast(leftover))
       .withColumn("rn", row_number().over(w))
-      .select(col("source"), col(nCol), col("weight"),
-        (col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
-          .as("alloc"))
+      .withColumn("alloc",
+        col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col(nCol), col("weight"), col("alloc"),
+        least(col("alloc"), col(nCol)).as("granted"))
       .orderBy("source")
   }
 
+  /** 1-based within-source rank (or running `valueCol` prefix when it is
+    * not the constant 1) in ascending `orderCols` order, via ONE
+    * range-partitioned global prefix sum plus a |sources|-row broadcast
+    * of each source's first global position. `orderCols` must lead with
+    * `source` so each source's rows are contiguous in the total order. */
+  private def perSourcePrefix(
+      df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outCol: String): DataFrame = {
+    val pos = Packing.withGlobalOffsetBy(df, orderCols, valueCol, "__pos")
+    val firsts = pos.groupBy("source").agg(min(col("__pos")).as("__first"))
+    pos.join(broadcast(firsts), Seq("source"))
+      .withColumn(outCol, col("__pos") - col("__first"))
+      .drop("__pos", "__first")
+  }
+
   /** Per-source seat counts for `total div budgetDenom` documents:
-    * `(source, n_docs, weight, alloc)` with `Σ alloc = budget`. */
+    * `(source, n_docs, weight, alloc, granted)` with `Σ alloc = budget`
+    * and `granted = least(alloc, n_docs)`. */
   def allocation(docs: DataFrame, budgetDenom: Int = 2): DataFrame =
     allocateSeats(
       docs.groupBy("source").agg(count(lit(1)).as("n_docs")),
@@ -77,68 +102,58 @@ object Mixture {
 
   /** The token-budget twin of [[allocation]]: seats are TOKENS, the unit
     * a pretraining run actually budgets. `(source, n_tokens, weight,
-    * alloc)` with `Σ alloc = total_tokens div budgetDenom` exactly;
-    * weights are √-temperature over per-source token mass. */
+    * alloc, granted)` with `Σ alloc = total_tokens div budgetDenom`
+    * exactly; weights are √-temperature over per-source token mass. */
   def allocationTokens(docs: DataFrame, budgetDenom: Int = 2): DataFrame =
-    allocateSeats(
-      docs.select(col("source"),
-        size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tok"))
-        .groupBy("source").agg(sum(col("n_tok")).as("n_tokens")),
+    allocateSeats(tokenCounts(docs)
+      .groupBy("source").agg(sum(col("n_tok")).as("n_tokens")),
       "n_tokens", budgetDenom)
 
-  /** Materialized sample: the first `alloc_i` documents of each source in
-    * doc_id order — `(doc_id, source, rk)` with `rk` the 1-based
-    * within-source rank. Deterministic (doc_id order, exact seat counts),
-    * so the whole sample carries a full oracle.
-    *
-    * The rank comes from ONE range-partitioned global prefix sum over the
-    * composite key `source‖zero-padded doc_id` minus each source's first
-    * position (a |sources|-row broadcast) — no per-source sort task no
-    * matter how skewed the domains are. Requires non-negative doc_ids
-    * (the zero-padded key preserves numeric order only then). */
+  /** One tokenize pass shared by the token allocation and sample. */
+  private def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tok"))
+
+  /** Materialized sample: the first `granted_i` documents of each source
+    * in doc_id order — `(doc_id, source, rk)` with `rk` the 1-based
+    * within-source rank. Deterministic (doc_id order, exact seat
+    * counts), so the whole sample carries a full oracle; its size is
+    * `Σ granted` (= budget unless a source cannot fill its seats —
+    * see [[allocation]]). */
   def sample(docs: DataFrame, budgetDenom: Int = 2): DataFrame = {
-    val alloc = allocation(docs, budgetDenom).select(col("source"), col("alloc"))
+    val alloc = allocation(docs, budgetDenom).select(col("source"), col("granted"))
     val keyed = docs.select(col("doc_id"), col("source"))
-      .withColumn("__k",
-        concat(col("source"), lit("|"),
-          lpad(col("doc_id").cast("string"), 19, "0")))
       .withColumn("__one", lit(1L))
-    val pos = Packing.withGlobalOffset(keyed, "__k", "__one", "__pos")
-    val firsts = pos.groupBy("source").agg(min(col("__pos")).as("__first"))
-    pos.join(broadcast(firsts), Seq("source"))
-      .withColumn("rk", col("__pos") - col("__first") + lit(1L))
+    perSourcePrefix(keyed, Seq("source", "doc_id"), "__one", "__pfx")
+      .withColumn("rk", col("__pfx") + lit(1L))
       .join(broadcast(alloc), Seq("source"))
-      .where(col("rk") <= col("alloc"))
+      .where(col("rk") <= col("granted"))
       .select(col("doc_id"), col("source"), col("rk"))
       .orderBy("doc_id")
   }
 
   /** Materialized token-budget sample: each source contributes its
-    * doc_id-order prefix of documents until its token allocation
-    * ([[allocationTokens]]) is covered — a document whose EXCLUSIVE
-    * token prefix is still below the allocation is kept, so the
-    * boundary document straddles the budget (the same straddle
-    * convention as [[Packing.packWindows]]). `(doc_id, source, n_tok,
-    * tok_pfx)`, all exact integers.
+    * doc_id-order prefix of documents until its granted token seats
+    * ([[allocationTokens]]) are covered — a document whose EXCLUSIVE
+    * token prefix is still below the grant is kept, so the boundary
+    * document straddles the budget (the same straddle convention as
+    * [[Packing.packWindows]]). `(doc_id, source, n_tok, tok_pfx)`, all
+    * exact integers.
     *
     * Scale: identical machinery to [[sample]], but the prefix sum runs
     * over REAL token counts instead of ones — still one
-    * range-partitioned pass and two |sources|-row broadcasts. */
+    * range-partitioned pass and two |sources|-row broadcasts, and the
+    * corpus is tokenized once (the allocation aggregates the same
+    * per-doc counts frame the prefix sum consumes). */
   def sampleTokens(docs: DataFrame, budgetDenom: Int = 2): DataFrame = {
-    val alloc = allocationTokens(docs, budgetDenom)
-      .select(col("source"), col("alloc"))
-    val keyed = docs
-      .select(col("doc_id"), col("source"),
-        size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tok"))
-      .withColumn("__k",
-        concat(col("source"), lit("|"),
-          lpad(col("doc_id").cast("string"), 19, "0")))
-    val pos = Packing.withGlobalOffset(keyed, "__k", "n_tok", "__pos")
-    val firsts = pos.groupBy("source").agg(min(col("__pos")).as("__first"))
-    pos.join(broadcast(firsts), Seq("source"))
-      .withColumn("tok_pfx", col("__pos") - col("__first"))
+    val perDoc = tokenCounts(docs)
+    val alloc = allocateSeats(
+      perDoc.groupBy("source").agg(sum(col("n_tok")).as("n_tokens")),
+      "n_tokens", budgetDenom)
+      .select(col("source"), col("granted"))
+    perSourcePrefix(perDoc, Seq("source", "doc_id"), "n_tok", "tok_pfx")
       .join(broadcast(alloc), Seq("source"))
-      .where(col("tok_pfx") < col("alloc"))
+      .where(col("tok_pfx") < col("granted"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("tok_pfx"))
       .orderBy("doc_id")
   }
@@ -149,15 +164,15 @@ object Mixture {
     * `randomSplit` or the hash-threshold
     * [[TextAnalysis.trainValSplit]], which are proportional only in
     * expectation (and unstratified: a small source can land entirely
-    * in one split). Docs are ordered within source by the
-    * md5 of a salted doc_id (a deterministic pseudo-random permutation
-    * both engines compute byte-identically), so membership is a pure
+    * in one split). Docs are ordered within source by the md5 of a
+    * salted doc_id (a deterministic pseudo-random permutation both
+    * engines compute byte-identically), so membership is a pure
     * function of the data: re-running, re-partitioning, or re-scaling
     * the cluster cannot move a document across splits.
     *
     * Output: `(doc_id, source, split)`. Same rank machinery as
-    * [[sample]] — one range-partitioned prefix sum over
-    * `source‖hash‖doc_id`, no per-source sort task. */
+    * [[sample]] — one range-partitioned prefix sum over the composite
+    * `(source, hash, doc_id)` key, no per-source sort task. */
   def split(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("test_n", expr("n_docs div 10"))
@@ -165,14 +180,9 @@ object Mixture {
       .select(col("source"), col("test_n"), col("val_n"))
     val keyed = docs.select(col("doc_id"), col("source"))
       .withColumn("__h", md5(concat(col("doc_id").cast("string"), lit(":split"))))
-      .withColumn("__k",
-        concat(col("source"), lit("|"), col("__h"), lit("|"),
-          lpad(col("doc_id").cast("string"), 19, "0")))
       .withColumn("__one", lit(1L))
-    val pos = Packing.withGlobalOffset(keyed, "__k", "__one", "__pos")
-    val firsts = pos.groupBy("source").agg(min(col("__pos")).as("__first"))
-    pos.join(broadcast(firsts), Seq("source"))
-      .withColumn("rk", col("__pos") - col("__first") + lit(1L))
+    perSourcePrefix(keyed, Seq("source", "__h", "doc_id"), "__one", "__pfx")
+      .withColumn("rk", col("__pfx") + lit(1L))
       .join(broadcast(counts), Seq("source"))
       .select(col("doc_id"), col("source"),
         when(col("rk") <= col("test_n"), "test")

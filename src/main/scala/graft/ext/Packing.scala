@@ -37,6 +37,18 @@ object Packing {
       orderCol: String,
       valueCol: String,
       outCol: String,
+      parts: Int = 0): DataFrame =
+    withGlobalOffsetBy(df, Seq(orderCol), valueCol, outCol, parts)
+
+  /** [[withGlobalOffset]] over a COMPOSITE ascending order key. The
+    * multi-column form orders tuple-wise — unlike concatenating the
+    * columns into one string key, which corrupts the total order
+    * whenever a separator character can appear in the data. */
+  def withGlobalOffsetBy(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      outCol: String,
       parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n =
@@ -53,8 +65,8 @@ object Packing {
     // after that release the returned plan is dead (same contract as
     // Dedup.checkpointed — don't reuse across a release boundary).
     val ranged =
-      df.repartitionByRange(n, col(orderCol))
-        .sortWithinPartitions(orderCol)
+      df.repartitionByRange(n, orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
         .withColumn("__pid", spark_partition_id())
         .transform(Dedup.checkpointed)
     val partSums: Map[Int, Long] = ranged
@@ -67,7 +79,8 @@ object Packing {
     val prefix: Map[Int, Long] = pids
       .zip(pids.scanLeft(0L)((acc, p) => acc + partSums(p)))
       .toMap
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    val w = Window.partitionBy("__pid")
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged
       .withColumn(outCol,

@@ -479,22 +479,14 @@ object Similarity {
     * similarity itself is deterministic, not merely close. Ties (more
     * likely than in float space — distinct vectors can share codes)
     * break by vec_id in both engines. */
-  def quantizedTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val q8 = quantize(embeddings).select(
-      col("vec_id"), transform(col("qv"), x => x.cast("double")).as("qd"))
-    val queries = q8
-      .where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("qd").as("qq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    q8.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("qq"), col("qd")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("sim_r"))
-      .orderBy("q_id", "rnk")
-  }
+  def quantizedTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
+    // literally cosineTopK over the code table: asDouble upcasts the
+    // tinyint codes exactly, so the float kernel IS the integer kernel —
+    // one implementation, no drift between the twins
+    cosineTopK(
+      quantize(embeddings).select(col("vec_id"), col("qv").as("embedding")),
+      numQueries, k)
+      .withColumnRenamed("rank", "rnk")
 
   /** Recall@k of the int8 path vs the float exact top-k, per query —
     * the measured cost of the 4× compression. Fully deterministic (both

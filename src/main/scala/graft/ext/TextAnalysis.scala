@@ -915,21 +915,6 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Per-source salient terms by TF-IDF — the "what is this domain
-    * about" dashboard next to [[sourceMixture]] and
-    * [[Lm.sourceLmDivergence]]. Each source is scored as one
-    * mega-document: `tf` its token count, `df` how many sources contain
-    * the term, and idf the BM25 rational `(S − df + 0.5)/(df + 0.5)` —
-    * deliberately log-free, because `ln` is not correctly-rounded
-    * cross-engine but an integer-fed divide is: `tf·(S − df + 0.5)` is
-    * exact in doubles (half-integers below 2⁵²) and one IEEE division
-    * ends the expression, so scores — and the ranking — are
-    * bit-identical to the oracle. Ties break by term.
-    *
-    * Scale: one token-keyed count shuffle (map-side combined), a
-    * term-keyed df aggregate of the already-small (source, term) frame,
-    * and a top-`topN` window per source over vocabulary-sized rows —
-    * nothing corpus-global, no data-sized window. */
   /** Structured-identifier PII patterns completing [[piiScrub]]'s
     * email/URL gate: IPv4 dotted quads and E.164-ish `+`-digit phones.
     * Like [[emailPattern]], restricted to the Java-regex ∩ RE2 common
@@ -941,11 +926,15 @@ object TextAnalysis {
 
   /** Full PII triage + redaction: per-pattern hit counts on the RAW
     * text and the text with emails → `<EMAIL>`, then IPv4s → `<IP>`,
-    * then phones → `<PHONE>` substituted, in that fixed order (an
-    * email's local part may contain a `+digits` run; counting on raw
-    * text keeps the three counts independent of substitution order).
-    * Pure codegen'd regexp expressions — one scan, no shuffle, no UDF:
-    * the shape that runs at full scan bandwidth on any corpus size. */
+    * then phones → `<PHONE>` substituted, in that fixed order. The
+    * counts are INDEPENDENT detectors, not substitution tallies: a
+    * span inside an earlier-redacted match counts but does not
+    * substitute (`a+1234567@b.com` → n_emails=1 AND n_phones=1, one
+    * `<EMAIL>` in the output; likewise a dotted quad inside an email
+    * domain). Triage policies should read the counts as "pattern
+    * present", not "tokens replaced". Pure codegen'd regexp
+    * expressions — one scan, no shuffle, no UDF: the shape that runs
+    * at full scan bandwidth on any corpus size. */
   def piiRedact(docs: DataFrame): DataFrame =
     scanParallel(docs).select(
       col("doc_id"),
@@ -989,6 +978,21 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** Per-source salient terms by TF-IDF — the "what is this domain
+    * about" dashboard next to [[sourceMixture]] and
+    * [[Lm.sourceLmDivergence]]. Each source is scored as one
+    * mega-document: `tf` its token count, `df` how many sources contain
+    * the term, and idf the BM25 rational `(S − df + 0.5)/(df + 0.5)` —
+    * deliberately log-free, because `ln` is not correctly-rounded
+    * cross-engine but an integer-fed divide is: `tf·(S − df + 0.5)` is
+    * exact in doubles (half-integers below 2⁵²) and one IEEE division
+    * ends the expression, so scores — and the ranking — are
+    * bit-identical to the oracle. Ties break by term.
+    *
+    * Scale: one token-keyed count shuffle (map-side combined), a
+    * term-keyed df aggregate of the already-small (source, term) frame,
+    * and a top-`topN` window per source over vocabulary-sized rows —
+    * nothing corpus-global, no data-sized window. */
   def sourceTfIdf(docs: DataFrame, topN: Int = 10): DataFrame = {
     val toks = scanParallel(docs)
       .select(col("source"), wsTokens(lower(col("text"))).as("ts"))

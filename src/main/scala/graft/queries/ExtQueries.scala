@@ -1784,11 +1784,11 @@ q AS (SELECT source, n_docs, weight,
       FROM w CROSS JOIN t),
 l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
 r AS (SELECT q.source, q.n_docs, q.weight, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
-f AS (SELECT source, n_docs, weight, base, leftover,
-             row_number() OVER (ORDER BY rem DESC, source) AS rn
+f AS (SELECT source, n_docs, weight,
+             (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                               <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
       FROM r)
-SELECT source, n_docs, weight,
-       (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+SELECT source, n_docs, weight, alloc, least(alloc, n_docs) AS granted
 FROM f ORDER BY source""")),
 
     // The materialized sample: first alloc_i docs of each source in
@@ -1807,15 +1807,16 @@ q AS (SELECT source, weight,
       FROM w CROSS JOIN t),
 l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
 r AS (SELECT q.source, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
-a AS (SELECT source,
-             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
-                              <= leftover THEN 1 ELSE 0 END AS alloc
-      FROM r),
+a AS (SELECT r2.source,
+             least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, r2.source)
+                               <= leftover THEN 1 ELSE 0 END,
+                   c.n_docs) AS granted
+      FROM r r2 JOIN c ON c.source = r2.source),
 rk AS (SELECT doc_id, source,
               row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT AS rk
        FROM documents)
 SELECT rk.doc_id, rk.source, rk.rk FROM rk
-JOIN a ON rk.source = a.source WHERE rk.rk <= a.alloc
+JOIN a ON rk.source = a.source WHERE rk.rk <= a.granted
 ORDER BY rk.doc_id""")),
 
     // Per-source salient terms by TF-IDF with the log-free BM25 rational
@@ -1854,11 +1855,11 @@ q AS (SELECT source, n_tokens, weight,
       FROM w CROSS JOIN tt),
 l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
 r AS (SELECT q.source, q.n_tokens, q.weight, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
-f AS (SELECT source, n_tokens, weight, base, leftover,
-             row_number() OVER (ORDER BY rem DESC, source) AS rn
+f AS (SELECT source, n_tokens, weight,
+             (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                               <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
       FROM r)
-SELECT source, n_tokens, weight,
-       (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+SELECT source, n_tokens, weight, alloc, least(alloc, n_tokens) AS granted
 FROM f ORDER BY source""")),
 
     // Greedy doc_id-order prefix fill of each source's token seats; the
@@ -1877,16 +1878,17 @@ q AS (SELECT source, weight,
       FROM w CROSS JOIN tt),
 l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
 r AS (SELECT q.source, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
-a AS (SELECT source,
-             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
-                              <= leftover THEN 1 ELSE 0 END AS alloc
-      FROM r),
+a AS (SELECT r2.source,
+             least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, r2.source)
+                               <= leftover THEN 1 ELSE 0 END,
+                   c.n_tokens) AS granted
+      FROM r r2 JOIN c ON c.source = r2.source),
 p AS (SELECT doc_id, source, n_tok,
         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_pfx
       FROM t)
 SELECT p.doc_id, p.source, p.n_tok, p.tok_pfx FROM p
-JOIN a ON p.source = a.source WHERE p.tok_pfx < a.alloc
+JOIN a ON p.source = a.source WHERE p.tok_pfx < a.granted
 ORDER BY p.doc_id""")),
 
     // Deterministic stratified split: EXACT n div 10 test/validation per

@@ -22,7 +22,8 @@ class MixtureSpec extends SparkSuite {
       "√-temperature up-weights rare domains vs proportional") {
     val out = Mixture.allocation(skewed).collect()
       .map(r => r.getAs[String]("source") ->
-        (r.getAs[Long]("n_docs"), r.getAs[Long]("weight"), r.getAs[Long]("alloc")))
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("weight"),
+          r.getAs[Long]("alloc"), r.getAs[Long]("granted"))))
       .toMap
     val budget = (100 + 25 + 4) / 2 // 64
     assert(out.values.map(_._3).sum === budget)
@@ -31,6 +32,10 @@ class MixtureSpec extends SparkSuite {
     assert(out("big")._3 === 38L)
     assert(out("mid")._3 === 19L)
     assert(out("rare")._3 === 7L)
+    // rare cannot FILL 7 seats with 4 docs: the infeasibility is surfaced
+    // in granted, not discovered as a silent sample shortfall
+    assert(out("rare")._4 === 4L)
+    assert(out("big")._4 === 38L && out("mid")._4 === 19L)
     // τ=2 gives rare 10.9% of seats vs its 3.1% share of docs
     assert(out("rare")._3.toDouble / budget > out("rare")._1.toDouble / 129)
   }
@@ -57,8 +62,10 @@ class MixtureSpec extends SparkSuite {
     // tokens: big 100, rare 4 → weights 10e6/2e6, budget 52
     // quotas 52·10/12=43.33, 52·2/12=8.67 → bases 43/8, leftover 1 to rare
     val alloc = Mixture.allocationTokens(docs).collect()
-      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
-    assert(alloc === Map("big" -> 43L, "rare" -> 9L))
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("alloc"), r.getAs[Long]("granted")))).toMap
+    // rare's 9 token seats exceed its 4 tokens → granted caps at 4
+    assert(alloc === Map("big" -> ((43L, 43L)), "rare" -> ((9L, 4L))))
     val got = Mixture.sampleTokens(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_pfx")))
     Dedup.releaseAll()
@@ -66,6 +73,28 @@ class MixtureSpec extends SparkSuite {
     // 43 with pfx 40); rare: both docs fit in 9
     assert(got.map(_._1).sorted === Array(0L, 1L, 2L, 3L, 4L, 100L, 101L))
     assert(got.toMap.apply(4L) === 40L)
+  }
+
+  test("per-source ranks are immune to separator-hostile source names " +
+      "(tuple-wise composite ordering, no string key concat)") {
+    // "a|!" sorts BETWEEN "a"-prefixed concat keys ('!' < '0') — the
+    // shape that corrupts a string-concatenated composite key
+    val rows = (0 until 10).map(i => (i.toLong, "a")) ++
+      (0 until 10).map(i => (100L + i, "a|!"))
+    val docs = rows.toDF("doc_id", "source")
+    val strata = Mixture.split(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val sampleBySrc = Mixture.sample(docs).collect()
+      .map(r => r.getAs[String]("source"))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    Dedup.releaseAll()
+    Seq("a", "a|!").foreach { s =>
+      assert(strata((s, "test")) === 1 && strata((s, "validation")) === 1 &&
+        strata((s, "train")) === 8)
+    }
+    // equal sizes → equal √-weights → 5 granted docs each of budget 10
+    assert(sampleBySrc === Map("a" -> 5, "a|!" -> 5))
   }
 
   test("split: exact n div 10 test/validation per source, total coverage, " +
