@@ -488,6 +488,21 @@ object Similarity {
       numQueries, k)
       .withColumnRenamed("rank", "rnk")
 
+  /** The full 100 TB ANN shape: IVF's sublinear candidate lists over
+    * int8 codes' 4×-denser scans — [[ivfTopK]] run on the [[quantize]]d
+    * table (cell assignment, probe ranking, and re-rank all in exact
+    * integer-fed arithmetic, so the composition keeps the complete
+    * DuckDB oracle both parents have). */
+  def quantizedIvfTopK(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      stride: Int = ivfStride,
+      nprobe: Int = ivfProbes): DataFrame =
+    ivfTopK(
+      quantize(embeddings).select(col("vec_id"), col("qv").as("embedding")),
+      numQueries, k, stride, nprobe)
+
   /** Recall@k of the int8 path vs the float exact top-k, per query —
     * the measured cost of the 4× compression. Fully deterministic (both
     * sides are), so unlike [[annRecall]] it carries a complete DuckDB

@@ -1735,6 +1735,41 @@ r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
 SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
 ORDER BY q_id, rnk""")),
 
+    // The composed 100 TB ANN: IVF sublinear probes over int8 codes —
+    // both parents deterministic, so the composition keeps the full
+    // oracle (centroids, assignment, probe list, and re-rank all
+    // integer-fed).
+    ("sim_topk_ivf_q8",
+      (s: SparkSession, d: String) =>
+        Similarity.quantizedIvfTopK(embs(s, d), numQueries = 10, k = 10)
+          .withColumnRenamed("rank", "rnk"),
+      Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+sc AS (SELECT max(list_aggregate(list_transform(v0, x -> abs(x)), 'max')) AS s FROM e0),
+e AS (SELECT vec_id, list_transform(v0, x -> floor(x * 127.0 / s + 0.5)) AS v
+      FROM e0 CROSS JOIN sc),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+p AS (SELECT q.q_id, q.qv, q.qn, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (${dotSql("qv", "cv")}) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN c),
+pr AS (SELECT q_id, qv, qn, cell FROM p WHERE rn <= 8),
+sx AS (SELECT pr.q_id, asg.vec_id, (${dotSql("qv", "v")}) / (pr.qn * asg.nrm) AS sim
+       FROM pr JOIN asg ON asg.cell = pr.cell
+       WHERE asg.vec_id <> pr.q_id),
+r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sx)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
     // Measured recall of the int8 path vs float exact — deterministic on
     // both sides (unlike LSH), so the compression loss carries a full
     // oracle instead of a prose claim.

@@ -193,6 +193,20 @@ class SimilaritySpec extends SparkSuite {
     assert(got.toSeq === Seq((1, 10L), (2, 11L), (3, 12L)))
   }
 
+  test("quantized IVF: deterministic across runs, neighbor overlap with " +
+      "float IVF ≥ 0.7 on the fixture") {
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def run() = Similarity.quantizedIvfTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val a = run()
+    assert(a.toSeq === run().toSeq, "composition must be deterministic")
+    val fl = Similarity.ivfTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val overlap = a.count(fl.contains).toDouble / a.length
+    info(s"quantized-IVF vs float-IVF neighbor overlap = $overlap")
+    assert(overlap >= 0.7, s"overlap $overlap below floor")
+  }
+
   test("int8 recall ≥ 0.8 vs float exact on the fixture embeddings") {
     val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val recalls = Similarity.quantizeRecall(fx, numQueries = 10, k = 10)
