@@ -158,6 +158,19 @@ object Mixture {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end corpus-assembly composition: ration sources against
+    * the token budget ([[sampleTokens]]), then pack the selected
+    * documents into fixed-size context windows
+    * ([[Packing.packWindowsCounted]]) — sample → pack is exactly the
+    * assembly step between "cleaned corpus" and "training batches".
+    * The sample already carries each doc's token count, so packing
+    * adds no extra tokenize pass. */
+  def samplePacked(
+      docs: DataFrame, budgetDenom: Int = 2, windowTokens: Int = 512): DataFrame =
+    Packing.packWindowsCounted(
+      sampleTokens(docs, budgetDenom).select(col("doc_id"), col("n_tok")),
+      windowTokens)
+
   /** Deterministic stratified train/validation/test split with EXACT
     * per-source counts: each source contributes `n div 10` test and
     * `n div 10` validation documents, remainder train — unlike

@@ -1926,6 +1926,45 @@ SELECT p.doc_id, p.source, p.n_tok, p.tok_pfx FROM p
 JOIN a ON p.source = a.source WHERE p.tok_pfx < a.granted
 ORDER BY p.doc_id""")),
 
+    // sample → pack: the assembly step between "cleaned corpus" and
+    // "training batches", composed end-to-end with one tokenize pass
+    // and both parents' full oracles.
+    ("mixture_pack",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.samplePacked(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source, len($toksSql)::BIGINT AS n_tok FROM documents),
+c AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY source),
+w AS (SELECT source, n_tokens, CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT) AS weight FROM c),
+tt AS (SELECT sum(n_tokens)::BIGINT AS total, sum(weight)::BIGINT AS w_sum FROM w),
+q AS (SELECT source, weight,
+        (((total // 2)::HUGEINT) * weight) // w_sum AS base,
+        (((total // 2)::HUGEINT) * weight) % w_sum AS rem,
+        total // 2 AS budget
+      FROM w CROSS JOIN tt),
+l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
+r AS (SELECT q.source, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
+a AS (SELECT r2.source,
+             least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, r2.source)
+                               <= leftover THEN 1 ELSE 0 END,
+                   c.n_tokens) AS granted
+      FROM r r2 JOIN c ON c.source = r2.source),
+p AS (SELECT doc_id, source, n_tok,
+        coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_pfx
+      FROM t),
+sel AS (SELECT p.doc_id, p.n_tok FROM p
+        JOIN a ON p.source = a.source WHERE p.tok_pfx < a.granted),
+o AS (SELECT doc_id, n_tok,
+        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+      FROM sel)
+SELECT doc_id, n_tok, tok_offset,
+       (tok_offset // 512)::BIGINT AS win_first,
+       ((tok_offset + greatest(n_tok, 1) - 1) // 512)::BIGINT AS win_last,
+       ((tok_offset + greatest(n_tok, 1) - 1) // 512
+         - tok_offset // 512 + 1)::BIGINT AS n_windows
+FROM o ORDER BY doc_id""")),
+
     // Deterministic stratified split: EXACT n div 10 test/validation per
     // source, membership a pure function of a salted md5 permutation —
     // reproducible across engines and cluster shapes, unlike randomSplit.
