@@ -935,17 +935,27 @@ object TextAnalysis {
     * present", not "tokens replaced". Pure codegen'd regexp
     * expressions — one scan, no shuffle, no UDF: the shape that runs
     * at full scan bandwidth on any corpus size. */
+  /** Total PII hits (all three detectors) on raw `text`. */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)) +
+      regexp_count(text, lit(phonePat)) +
+      regexp_count(text, lit(ipv4Pat))
+
+  /** `text` with the fixed-order email → IP → phone substitution. */
+  def piiRedacted(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pat, "<IP>"),
+      phonePat, "<PHONE>")
+
   def piiRedact(docs: DataFrame): DataFrame =
     scanParallel(docs).select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailPattern)).as("n_emails"),
       regexp_count(col("text"), lit(phonePat)).as("n_phones"),
       regexp_count(col("text"), lit(ipv4Pat)).as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), emailPattern, "<EMAIL>"),
-          ipv4Pat, "<IP>"),
-        phonePat, "<PHONE>").as("redacted"))
+      piiRedacted(col("text")).as("redacted"))
 
   /** Cross-source duplication matrix: for every source pair, how many
     * distinct 3-token shingles they share and the containment

@@ -1033,6 +1033,37 @@ SELECT doc_id, source, fp, round(quality, 6) AS quality_r
 FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
 ORDER BY doc_id""")),
 
+    // The gate's training-shard form with PII redacted at the output:
+    // fingerprints key on RAW bytes (stream/batch twins stay identical;
+    // docs differing only inside a redacted span stay distinct), the
+    // landed text substitutes emails/IPs/phones.
+    ("corpus_clean_redacted",
+      (s: SparkSession, d: String) =>
+        graft.streaming.CorpusIngest.cleanBatchRedacted(docs(s, d)),
+      Some(s"""WITH q AS (SELECT doc_id, source, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+sc AS (SELECT doc_id, source, text, md5($normSql) AS fp,
+         least(len(toks), 256)::DOUBLE / 256 * 0.4
+           + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+           + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2
+           AS quality
+       FROM q),
+f AS (SELECT * FROM sc WHERE quality >= 0.3),
+r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+p AS (SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id, source, fp, round(quality, 6) AS quality_r,
+       (len(regexp_extract_all(text, '${TextAnalysis.emailPattern}'))
+        + len(regexp_extract_all(text, '${TextAnalysis.phonePat}'))
+        + len(regexp_extract_all(text, '${TextAnalysis.ipv4Pat}')))::INT AS n_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+         '${TextAnalysis.ipv4Pat}', '<IP>', 'g'),
+         '${TextAnalysis.phonePat}', '<PHONE>', 'g')) AS redacted_md5
+FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
+ORDER BY doc_id""")),
+
     // Perplexity-gated corpus cleaning: the LM stage composed into the
     // gate chain — quality floor, drop the worst-10% avg-NLL tail under
     // the corpus-trained unigram LM (self-calibrating cutoff), exact-fp

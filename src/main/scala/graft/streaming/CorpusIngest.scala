@@ -77,6 +77,37 @@ object CorpusIngest {
       .select(outCols: _*)
   }
 
+  /** [[cleanStream]]'s training-shard form with PII REDACTED at the
+    * output projection: the landed text substitutes emails/IPs/phones
+    * ([[TextAnalysis.piiRedacted]]) while the fingerprint — and
+    * therefore dedup and decontamination — still keys on the RAW bytes,
+    * so the stream stays semantically identical to the `corpus_clean`
+    * batch twin and two docs differing only inside a redacted span
+    * remain distinct. A per-batch `pii_docs` observe() metric counts
+    * how many landed docs carried any PII — the redaction dashboard
+    * next to the stage-drop counts. */
+  def cleanStreamRedacted(
+      docs: DataFrame,
+      probeFps: DataFrame,
+      minQuality: Double = 0.3,
+      watermark: String = "1 hour"): DataFrame =
+    TextAnalysis.withQuality(
+      docs.observe("graft_corpus_in", count(lit(1)).as("docs_in")))
+      .where(col("quality") >= minQuality)
+      .observe("graft_corpus_quality", count(lit(1)).as("quality_passed"))
+      .withColumn("fp", fingerprint)
+      .withColumn("n_pii", TextAnalysis.piiCount(col("text")))
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .observe("graft_corpus_dedup", count(lit(1)).as("dedup_survivors"))
+      .join(broadcast(probeFps.select("fp")), Seq("fp"), "left_anti")
+      .observe("graft_corpus_pii",
+        count(lit(1)).as("docs_out"),
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("pii_docs"))
+      .select(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r"), col("event_ts"),
+        col("n_pii"), TextAnalysis.piiRedacted(col("text")).as("text"))
+
   /** Axis-hyperplane sign pattern of an embedding — the coarse LSH cell
     * (each coordinate axis is a hyperplane; the sign vector IS the
     * SimHash of the embedding under those planes), encoded as a '0'/'1'
@@ -330,4 +361,16 @@ object CorpusIngest {
       minQuality: Double = 0.3,
       probeModulus: Int = 50): DataFrame =
     corpusGate(docs, docs, minQuality, probeModulus)
+
+  /** Batch twin of [[cleanStreamRedacted]]: the `corpus_clean` gate plus
+    * the PII count and the md5 of the redacted text (hashed to keep the
+    * oracle payload small — the stream lands the full redacted text). */
+  def cleanBatchRedacted(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      probeModulus: Int = 50): DataFrame =
+    corpusGate(docs, docs, minQuality, probeModulus,
+      stage = _.withColumn("n_pii", TextAnalysis.piiCount(col("text"))),
+      extraOut = Seq(col("n_pii"),
+        md5(TextAnalysis.piiRedacted(col("text"))).as("redacted_md5")))
 }

@@ -309,4 +309,48 @@ class CorpusIngestSpec extends SparkSuite {
         r.getAs[String]("fp"), r.getAs[Double]("quality_r"))),
       "compaction must preserve content")
   }
+
+  test("redacted stream: landed text substitutes PII, fingerprints key " +
+      "on raw bytes, pii_docs metric counts carriers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val probeFps = Seq(benchText).toDF("text")
+      .select(CorpusIngest.fingerprint.as("fp"))
+    val piiText =
+      "please contact our support team at help@example.com about the new cluster node 10.0.0.7 today"
+    // identical except inside the to-be-redacted spans: must stay
+    // DISTINCT (fingerprint reads raw bytes, not redacted ones)
+    val piiText2 =
+      "please contact our support team at other@example.com about the new cluster node 10.0.0.8 today"
+    val out = tmpDir("corpus_redacted_out")
+    mem.addData(
+      doc(1, piiText, 1000),
+      doc(2, piiText2, 1010),
+      doc(3, goodText, 1020))
+    val q = CorpusIngest.cleanStreamRedacted(
+        mem.toDF().toDF("doc_id", "text", "source", "event_ts"), probeFps)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("corpus_redacted_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L),
+      "PII-only differences must not collapse as duplicates")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("text"), r.getAs[Int]("n_pii"))).toMap
+    val redactedExpected =
+      "please contact our support team at <EMAIL> about the new cluster node <IP> today"
+    assert(byId(1L) === ((redactedExpected, 2)))
+    assert(byId(2L) === ((redactedExpected, 2)),
+      "both variants redact to the same shard text")
+    assert(byId(3L)._2 === 0)
+    assert(byId(3L)._1 === goodText, "clean text lands byte-identical")
+    val pii = q.recentProgress.toSeq
+      .flatMap(_.observedMetrics.asScala.get("graft_corpus_pii"))
+      .map(r => r.getAs[Long]("pii_docs")).sum
+    assert(pii === 2L, "pii_docs metric counts the carriers")
+  }
 }
