@@ -75,7 +75,12 @@ object Lm {
   // half-up vs half-away differ on negatives across engines). Integer
   // sums are exact and order-free, so a streaming mapPartitions scorer
   // with a broadcast hash map produces BIT-IDENTICAL scores to the
-  // batch explode+join twin and to the DuckDB oracle.
+  // batch explode+join twin — and to the DuckDB oracle UP TO the one
+  // stated bound: the per-token quantization itself can sit 1 nano-nat
+  // apart cross-engine when a 1-ulp ln difference straddles a grid
+  // boundary (see [[lpNano]] — the JVM twins share Math.log, so the
+  // stream/batch identity is unconditional; only the cross-ENGINE
+  // claim carries the ulp caveat).
 
   /** Nano-nat log-prob of an in-vocab token under the add-k model.
     * KNOWN FLOAT EDGE (ADVICE r6): floor(ln·1e9) makes the SUMS exact

@@ -459,12 +459,21 @@ object Similarity {
     *
     * Scale: one aggregate (the max) broadcast back as a single-row
     * cross join — the in-plan scalar pattern used everywhere else; the
-    * quantize pass itself is one projection. */
+    * quantize pass itself is one projection.
+    *
+    * Degenerate corpus (ADVICE r7): an all-zero corpus has `s = 0`, and
+    * `x·127/0` would emit NaN codes that silently propagate through
+    * every quantized ranking. The scale is therefore floored at
+    * `Double.MinPositiveValue` (`greatest(s, tiny)` — the qLen
+    * guard-the-corpus idiom): zero corpora quantize to all-zero codes
+    * instead of NaN, and any corpus with one nonzero component is
+    * untouched (s ≥ tiny already). The oracle applies the same floor. */
   def quantize(embeddings: DataFrame): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), asDouble(col("embedding")).as("v"))
     val sc = base.agg(
-      max(array_max(transform(col("v"), x => abs(x)))).as("s"))
+      greatest(max(array_max(transform(col("v"), x => abs(x)))),
+        lit(java.lang.Double.MIN_VALUE)).as("s"))
     base.crossJoin(broadcast(sc))
       .select(col("vec_id"), col("v"), col("s"),
         transform(col("v"),

@@ -920,7 +920,19 @@ object TextAnalysis {
     * Like [[emailPattern]], restricted to the Java-regex ∩ RE2 common
     * subset (character classes, bounded quantifiers, `\b`; no
     * alternation, no lookaround) so Spark and the DuckDB oracle match
-    * byte-identically. */
+    * byte-identically.
+    *
+    * KNOWN FALSE-POSITIVE CLASSES (ADVICE r7 — the price of the
+    * no-alternation subset): `ipv4Pat` accepts out-of-range quads
+    * (`999.999.999.999`, and version-like strings `10.2.300.4000` hit
+    * on a 1-3-digit window), and `phonePat` greedily spans any
+    * `+`-led digit/space/hyphen run of 7-15 digits, so numeric ranges
+    * like `+1 2024-2026 100` can match. Both err toward REDACTING
+    * non-PII, never toward leaking PII — acceptable for a triage/
+    * redaction gate (a dropped version string costs recall of nothing
+    * sensitive); a policy needing exact octet bounds would move to
+    * alternation `(25[0-5]|2[0-4]\d|1?\d?\d)` and give up the shared
+    * oracle subset. */
   val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phonePat = "\\+\\d[\\d -]{5,13}\\d"
 

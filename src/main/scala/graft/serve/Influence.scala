@@ -126,6 +126,15 @@ object Influence {
       source: Option[String] = None,
       iterations: Int = 10): DataFrame = {
     val FollowGraph(nodes, outdeg, ewd) = followGraph(followers)
+    // An explicit source absent from the graph would silently drain ALL
+    // mass (teleport and spill target a node no edge reaches, so every
+    // rank decays to 0 with no error — ADVICE r7). Fail fast instead:
+    // one limit-1 lookup on the node frame, the same bounded-driver-
+    // action class as the loop's own convergence reads.
+    source.foreach { s =>
+      require(!nodes.where(col("id") === s).limit(1).isEmpty,
+        s"personalizedPageRank source '$s' is not a node of the follow graph")
+    }
     val srcF = source match {
       case Some(s) => nodes.sparkSession.range(1).select(lit(s).as("src_id"))
       case None => nodes.agg(min(col("id")).as("src_id"))

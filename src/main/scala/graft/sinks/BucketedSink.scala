@@ -61,11 +61,17 @@ private[sinks] object BucketedSink {
   /** Compact an appended table back to the canonical one-file-per-bucket
     * clustered layout and GC the `_batches` markers. The rewrite goes to
     * a sibling directory first (the write materializes the read of the
-    * old files before the swap deletes them), then swaps. Run BETWEEN
-    * streaming runs, not concurrently with an active writer: the markers
-    * only guard foreachBatch retries within a run (committed batches are
-    * already fenced by the checkpoint), so a quiesced stream loses
-    * nothing by their removal. */
+    * old files before the swap deletes them), then swaps via
+    * rename-aside (ADVICE r7 — a delete-then-rename swap had a crash
+    * window that lost the table): the live dir moves to `path__old`,
+    * the rewrite renames into place, and only then is the old copy
+    * deleted — a crash at any step leaves a complete copy recoverable
+    * by hand (`path__old` if the second rename never ran, `path`
+    * otherwise). A leftover `path__old` from a crashed prior compact is
+    * cleared first. Run BETWEEN streaming runs, not concurrently with
+    * an active writer: the markers only guard foreachBatch retries
+    * within a run (committed batches are already fenced by the
+    * checkpoint), so a quiesced stream loses nothing by their removal. */
   def compact(
       spark: SparkSession,
       path: String,
@@ -73,9 +79,12 @@ private[sinks] object BucketedSink {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
     rewrite(spark.read.parquet(path), tmp.toString)
-    fs.delete(hPath, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(hPath, old)
     fs.rename(tmp, hPath)
+    fs.delete(old, true)
     ()
   }
 }

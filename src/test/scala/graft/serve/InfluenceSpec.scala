@@ -105,4 +105,14 @@ class InfluenceSpec extends SparkSuite {
     assert(fromX("x") > 0L && fromX("y") > 0L)
     assert(fromX("a") === 0L && fromX("b") === 0L && fromX("c") === 0L)
   }
+
+  test("personalized PageRank fails fast on a source absent from the " +
+      "graph (ADVICE r7: it previously drained all mass silently)") {
+    val g = followersOf("a" -> "b")
+    val e = intercept[IllegalArgumentException] {
+      Influence.personalizedPageRank(g, source = Some("nobody"))
+    }
+    assert(e.getMessage.contains("nobody"))
+    graft.ext.Dedup.releaseAll()
+  }
 }
