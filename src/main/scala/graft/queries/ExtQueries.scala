@@ -35,6 +35,38 @@ object ExtQueries {
   private def dotSql(a: String, b: String): String =
     (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
 
+  // Shared by sim_topk_ivf_q8 (in-plan) and sim_topk_ivf_indexed (the
+  // persisted-index probe): the two queries are bit-identical by design,
+  // so they carry ONE oracle — the driver's hash check then pins
+  // table-probe ≡ in-plan every round.
+  private lazy val ivfQ8Sql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+sc AS (SELECT greatest(max(list_aggregate(list_transform(v0, x -> abs(x)), 'max')), 4.9e-324) AS s FROM e0),
+e AS (SELECT vec_id, list_transform(v0, x -> floor(x * 127.0 / s + 0.5)) AS v
+      FROM e0 CROSS JOIN sc),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+p AS (SELECT q.q_id, q.qv, q.qn, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (${dotSql("qv", "cv")}) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN c),
+pr AS (SELECT q_id, qv, qn, cell FROM p WHERE rn <= 8),
+sx AS (SELECT pr.q_id, asg.vec_id, (${dotSql("qv", "v")}) / (pr.qn * asg.nrm) AS sim
+       FROM pr JOIN asg ON asg.cell = pr.cell
+       WHERE asg.vec_id <> pr.q_id),
+r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sx)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk"""
+
   // --- media-header twins (graft.ext.Multimodal.mediaWithHeaders /
   //     headerMetaFromHex). Keep every constant and offset in lockstep. ---
   private def le32Sql(e: String): String = {
@@ -1753,7 +1785,7 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
       (s: SparkSession, d: String) =>
         Similarity.quantizedTopK(embs(s, d), numQueries = 10, k = 10),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sc AS (SELECT max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e),
+sc AS (SELECT greatest(max(list_aggregate(list_transform(v, x -> abs(x)), 'max')), 4.9e-324) AS s FROM e),
 q8 AS (SELECT vec_id, list_transform(v, x -> floor(x * 127.0 / s + 0.5)) AS qd
        FROM e CROSS JOIN sc),
 n AS (SELECT vec_id, qd, sqrt(${dotSql("qd", "qd")}) AS nrm FROM q8),
@@ -1774,32 +1806,21 @@ ORDER BY q_id, rnk""")),
       (s: SparkSession, d: String) =>
         Similarity.quantizedIvfTopK(embs(s, d), numQueries = 10, k = 10)
           .withColumnRenamed("rank", "rnk"),
-      Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
-sc AS (SELECT max(list_aggregate(list_transform(v0, x -> abs(x)), 'max')) AS s FROM e0),
-e AS (SELECT vec_id, list_transform(v0, x -> floor(x * 127.0 / s + 0.5)) AS v
-      FROM e0 CROSS JOIN sc),
-n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
-a AS (SELECT n.vec_id, c.cent_id,
-             row_number() OVER (PARTITION BY n.vec_id
-               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
-      FROM n CROSS JOIN c),
-asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
-        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
-q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
-p AS (SELECT q.q_id, q.qv, q.qn, c.cent_id AS cell,
-             row_number() OVER (PARTITION BY q.q_id
-               ORDER BY (${dotSql("qv", "cv")}) / (q.qn * c.cn) DESC, c.cent_id) AS rn
-      FROM q CROSS JOIN c),
-pr AS (SELECT q_id, qv, qn, cell FROM p WHERE rn <= 8),
-sx AS (SELECT pr.q_id, asg.vec_id, (${dotSql("qv", "v")}) / (pr.qn * asg.nrm) AS sim
-       FROM pr JOIN asg ON asg.cell = pr.cell
-       WHERE asg.vec_id <> pr.q_id),
-r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
-             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
-      FROM sx)
-SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
-ORDER BY q_id, rnk""")),
+      Some(ivfQ8Sql)),
+
+    // The index LIFECYCLE form of the same operator (graft.sinks.AnnIndex):
+    // centroids + assignments built ONCE into a cell-bucketed table, then
+    // PROBED from disk — the build/probe/append split a serving system
+    // runs (the in-plan sim_topk_ivf_q8 re-derives the index per call).
+    // Probe over a fresh build is bit-identical to quantizedIvfTopK, so
+    // this carries the SAME full oracle — the driver's hash check pins
+    // table-probe ≡ in-plan, and AnnIndexSpec pins probe-after-append.
+    ("sim_topk_ivf_indexed",
+      (s: SparkSession, d: String) =>
+        graft.sinks.AnnIndex.probe(
+          s, graft.sinks.AnnIndex.materialized(s, d), numQueries = 10, k = 10)
+          .withColumnRenamed("rank", "rnk"),
+      Some(ivfQ8Sql)),
 
     // Measured recall of the int8 path vs float exact — deterministic on
     // both sides (unlike LSH), so the compression loss carries a full
@@ -1815,7 +1836,7 @@ ef AS (SELECT q.q_id, n.vec_id AS neighbor_id,
                 ORDER BY (${dotSql("qv", "v")}) / (q.qn * n.nrm) DESC, n.vec_id) AS rnk
        FROM qf q JOIN nf n ON n.vec_id <> q.q_id),
 exact AS (SELECT q_id, neighbor_id FROM ef WHERE rnk <= 10),
-sc AS (SELECT max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e),
+sc AS (SELECT greatest(max(list_aggregate(list_transform(v, x -> abs(x)), 'max')), 4.9e-324) AS s FROM e),
 q8 AS (SELECT vec_id, list_transform(v, x -> floor(x * 127.0 / s + 0.5)) AS qd
        FROM e CROSS JOIN sc),
 nq AS (SELECT vec_id, qd, sqrt(${dotSql("qd", "qd")}) AS nrm FROM q8),

@@ -1,0 +1,97 @@
+package graft.sinks
+
+import graft.SparkSuite
+import graft.ext.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted ANN index lifecycle (VERDICT r7 item 1): build ≡ the
+  * in-plan operator, probe-after-append sees appended vectors with NO
+  * rebuild, compaction preserves results, appends saturate against the
+  * frozen build-time scale. */
+class AnnIndexSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def embs: DataFrame =
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  private def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.select(col("q_id"), col("rank").cast("int"), col("neighbor_id"),
+      col("sim_r"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+
+  // array<tinyint> columns come back as Seq[Byte] rows, not BINARY
+  private def centMap(path: String): Map[Long, Array[Byte]] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+
+  test("probe over a fresh build is bit-identical to quantizedIvfTopK") {
+    val path = tmpDir("annidx_full")
+    AnnIndex.build(embs, path)
+    val indexed = rows(AnnIndex.probe(spark, path, numQueries = 10, k = 10))
+    val inPlan = rows(
+      Similarity.quantizedIvfTopK(embs, numQueries = 10, k = 10))
+    assert(indexed === inPlan)
+  }
+
+  test("probe-after-append sees appended vectors; centroids and meta " +
+      "untouched (assignment-only append, no rebuild)") {
+    val path = tmpDir("annidx_append")
+    // build on the even half only: centroids sample every 20th vec_id of
+    // the build set, so the centroid set is a pure function of the evens
+    AnnIndex.build(embs.where(col("vec_id") % 2 === 0), path)
+    val centsBefore = centMap(path)
+    val before = rows(AnnIndex.probe(spark, path, numQueries = 10, k = 10))
+    assert(before.forall(_._3 % 2 == 0)) // only evens exist yet
+    AnnIndex.append(embs.where(col("vec_id") % 2 === 1), path)
+    val after = rows(AnnIndex.probe(spark, path, numQueries = 10, k = 10))
+    // appended (odd) vectors are now probe candidates…
+    assert(after.exists(_._3 % 2 == 1),
+      "no appended vector surfaced in any probe's top-k")
+    // …and the codebook is frozen: identical centroid codes
+    val centsAfter = centMap(path)
+    assert(centsAfter.keySet === centsBefore.keySet)
+    assert(centsAfter.forall { case (id, cv) =>
+      java.util.Arrays.equals(cv, centsBefore(id)) })
+    // an even-only query set over the union index: every pre-existing
+    // neighbor either survives or was outranked by an appended one
+    assert(after.map(r => (r._1, r._3)).toSet
+      .intersect(before.map(r => (r._1, r._3)).toSet).nonEmpty)
+  }
+
+  test("compaction after appends preserves probe results exactly") {
+    val path = tmpDir("annidx_compact")
+    AnnIndex.build(embs.where(col("vec_id") % 2 === 0), path)
+    AnnIndex.append(embs.where(col("vec_id") % 2 === 1), path)
+    val before = rows(AnnIndex.probe(spark, path, numQueries = 10, k = 10))
+    AnnIndex.compact(spark, path)
+    val after = rows(AnnIndex.probe(spark, path, numQueries = 10, k = 10))
+    assert(after === before)
+    // compaction collapsed the per-append files: at most one parquet
+    // file per bucket directory remains
+    val vecRoot = new java.io.File(s"$path/vectors")
+    val perBucket = vecRoot.listFiles().filter(_.getName.startsWith("cell_bucket="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perBucket.nonEmpty && perBucket.forall(_ <= 1))
+  }
+
+  test("appends quantize with the FROZEN build-time scale, saturating " +
+      "at ±127 for out-of-range components") {
+    val path = tmpDir("annidx_sat")
+    // build-time corpus has max |x| = 1.0 → s = 1.0
+    val base = Seq((0L, Array.fill(64)(1.0f)), (20L, Array.fill(64)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.build(base, path)
+    // appended vector has |x| = 3.0 > s: codes must clamp to ±127, not wrap
+    val big = Seq((101L, Array.fill(64)(3.0f)), (102L, Array.fill(64)(-3.0f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.append(big, path)
+    val codes = spark.read.parquet(s"$path/vectors")
+      .where(col("vec_id") >= 101L)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+    assert(codes(101L).forall(_ == 127.toByte))
+    assert(codes(102L).forall(_ == -127.toByte))
+  }
+}
