@@ -173,4 +173,73 @@ class BpeSpec extends SparkSuite {
     info(s"${r.merges.size} merges in ${r.rounds} driver rounds " +
       f"(${r.merges.size.toDouble / r.rounds}%.2f merges/round)")
   }
+
+  test("ValidRun mode is a VALID sequential BPE run under a different " +
+      "tie order: every accepted merge is an arg-max of its own " +
+      "sequential state, with its true state count") {
+    // NOTE (vs VERDICT r7 item 3's literal 'merge SET matches
+    // sequential'): set equality does NOT hold on natural text — an
+    // equal-count tie taken in the other order CASCADES into different
+    // merge paths for the same words (seq builds "customer" as
+    // cust+o, custo+mer; relaxed as o+mer, cust+omer), so the honest
+    // contract, pinned here, is validity-as-a-sequential-run plus the
+    // saturated-tokenization agreement below.
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(80)
+    val rel = Bpe.learnWithStats(docs, numMerges = 24, batchSize = 16,
+      mode = Bpe.BatchMode.ValidRun)
+    Bpe.sequentialValidity(docs, rel.merges).foreach {
+      case (m, actual, mx) =>
+        assert(actual === m.pair_n,
+          s"merge ${m.merge_rank} ${(m.left_sym, m.right_sym)} recorded " +
+            s"count ${m.pair_n} but its sequential state holds $actual")
+        assert(actual === mx,
+          s"merge ${m.merge_rank} ${(m.left_sym, m.right_sym)} has count " +
+            s"$actual but the state's max is $mx — not an arg-max step")
+    }
+    graft.ext.Dedup.releaseAll()
+  }
+
+  test("DeferConflicts mode records EXACT counts (disjointness keeps " +
+      "chained ≡ simultaneous): every merge's count equals its " +
+      "sequential-replay state count, and none is dead") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(80)
+    val rel = Bpe.learnWithStats(docs, numMerges = 24, batchSize = 16,
+      mode = Bpe.BatchMode.DeferConflicts)
+    Bpe.sequentialValidity(docs, rel.merges).foreach {
+      case (m, actual, _) =>
+        assert(actual === m.pair_n && actual > 0,
+          s"merge ${m.merge_rank} ${(m.left_sym, m.right_sym)} recorded " +
+            s"count ${m.pair_n} but its sequential state holds $actual")
+    }
+    graft.ext.Dedup.releaseAll()
+  }
+
+  test("production mode at vocab scale: saturated tokenization matches " +
+      "sequential exactly, at ≥4 merges/round (VERDICT r7 item 3)") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val seq = Bpe.learnWithStats(docs, numMerges = 200, batchSize = 1)
+    val rel = Bpe.learnWithStats(docs, numMerges = 200, batchSize = 16,
+      mode = Bpe.BatchMode.DeferConflicts)
+    // both saturate the fixture (numMerges=200 > learnable merges), and
+    // the same words collapse either way: the tokenization — the thing
+    // a training pipeline consumes — is identical despite the tables
+    // diverging downstream of ties
+    val tokSeq = Bpe.tokenize(docs, seq.merges)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val tokRel = Bpe.tokenize(docs, rel.merges)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(tokRel === tokSeq)
+    val seqSet = seq.merges.map(m => (m.left_sym, m.right_sym)).toSet
+    val relSet = rel.merges.map(m => (m.left_sym, m.right_sym)).toSet
+    val rate = rel.merges.size.toDouble / rel.rounds
+    assert(rate >= 4.0,
+      f"expected ≥4 merges/round in production mode, measured $rate%.2f " +
+        s"(${rel.merges.size} merges in ${rel.rounds} rounds)")
+    info(f"production mode: ${rel.merges.size} merges in ${rel.rounds} " +
+      f"rounds ($rate%.2f merges/round) vs sequential ${seq.rounds} " +
+      f"rounds; ${(relSet -- seqSet).size} of ${rel.merges.size} pairs " +
+      "diverge from the lex-tie table (tie cascades)")
+  }
 }
