@@ -145,8 +145,20 @@ object Mixture {
     * range-partitioned pass and two |sources|-row broadcasts, and the
     * corpus is tokenized once (the allocation aggregates the same
     * per-doc counts frame the prefix sum consumes). */
-  def sampleTokens(docs: DataFrame, budgetDenom: Int = 2): DataFrame = {
-    val perDoc = tokenCounts(docs)
+  def sampleTokens(docs: DataFrame, budgetDenom: Int = 2): DataFrame =
+    sampleTokensCounted(tokenCounts(docs), budgetDenom)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("tok_pfx"))
+      .orderBy("doc_id")
+
+  /** The reusable core of [[sampleTokens]] over an ALREADY-COUNTED frame
+    * `(doc_id, source, n_tok, …extras)`: allocate token seats over the
+    * frame's own per-source mass, then keep each source's doc_id-order
+    * prefix while the EXCLUSIVE token prefix is below the grant (the
+    * straddle convention). Keeps every input column, adds `tok_pfx` and
+    * `granted`. Composed by
+    * [[graft.streaming.CorpusIngest.cleanBatchBudget]], where the
+    * counts come from the gated corpus rather than raw documents. */
+  def sampleTokensCounted(perDoc: DataFrame, budgetDenom: Int = 2): DataFrame = {
     val alloc = allocateSeats(
       perDoc.groupBy("source").agg(sum(col("n_tok")).as("n_tokens")),
       "n_tokens", budgetDenom)
@@ -154,8 +166,6 @@ object Mixture {
     perSourcePrefix(perDoc, Seq("source", "doc_id"), "n_tok", "tok_pfx")
       .join(broadcast(alloc), Seq("source"))
       .where(col("tok_pfx") < col("granted"))
-      .select(col("doc_id"), col("source"), col("n_tok"), col("tok_pfx"))
-      .orderBy("doc_id")
   }
 
   /** The end-to-end corpus-assembly composition: ration sources against

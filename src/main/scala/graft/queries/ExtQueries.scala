@@ -1096,6 +1096,53 @@ SELECT doc_id, source, fp, round(quality, 6) AS quality_r,
 FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
 ORDER BY doc_id""")),
 
+    // Token-budget-enforced corpus cleaning (VERDICT r7 item 4): the
+    // corpus_clean gate, then each source keeps its doc_id-order prefix
+    // until its √-temperature token grant over the CLEAN mass is
+    // covered (exclusive-prefix straddle) — the batch twin that pins
+    // cleanStreamBudget's online grant tracking.
+    ("corpus_clean_budget",
+      (s: SparkSession, d: String) =>
+        graft.streaming.CorpusIngest.cleanBatchBudget(docs(s, d)),
+      Some(s"""WITH q AS (SELECT doc_id, source, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+sc AS (SELECT doc_id, source, md5($normSql) AS fp,
+         least(len(toks), 256)::DOUBLE / 256 * 0.4
+           + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+           + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2
+           AS quality,
+         len(toks)::BIGINT AS n_tok
+       FROM q),
+f AS (SELECT * FROM sc WHERE quality >= 0.3),
+r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+p AS (SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 50 = 0),
+clean AS (SELECT doc_id, source, fp, round(quality, 6) AS quality_r, n_tok
+          FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)),
+c AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM clean GROUP BY source),
+w AS (SELECT source, n_tokens, CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT) AS weight FROM c),
+tt AS (SELECT sum(n_tokens)::BIGINT AS total, sum(weight)::BIGINT AS w_sum FROM w),
+qq AS (SELECT source, weight,
+        (((total // 2)::HUGEINT) * weight) // w_sum AS base,
+        (((total // 2)::HUGEINT) * weight) % w_sum AS rem,
+        total // 2 AS budget
+      FROM w CROSS JOIN tt),
+l AS (SELECT min(budget) - sum(base) AS leftover FROM qq),
+rr AS (SELECT qq.source, qq.base, qq.rem, l.leftover FROM qq CROSS JOIN l),
+a AS (SELECT r2.source,
+             least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, r2.source)
+                               <= leftover THEN 1 ELSE 0 END,
+                   c.n_tokens)::BIGINT AS granted
+      FROM rr r2 JOIN c ON c.source = r2.source),
+pf AS (SELECT clean.*,
+        coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_pfx
+      FROM clean)
+SELECT pf.doc_id, pf.source, pf.fp, pf.quality_r, pf.n_tok, pf.tok_pfx, a.granted
+FROM pf JOIN a ON pf.source = a.source WHERE pf.tok_pfx < a.granted
+ORDER BY pf.doc_id""")),
+
     // Perplexity-gated corpus cleaning: the LM stage composed into the
     // gate chain — quality floor, drop the worst-10% avg-NLL tail under
     // the corpus-trained unigram LM (self-calibrating cutoff), exact-fp

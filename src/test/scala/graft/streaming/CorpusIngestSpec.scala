@@ -353,4 +353,97 @@ class CorpusIngestSpec extends SparkSuite {
       .map(r => r.getAs[Long]("pii_docs")).sum
     assert(pii === 2L, "pii_docs metric counts the carriers")
   }
+
+  // --- token-budget gate (VERDICT r7 item 4) ---
+
+  // wordy unique texts that clear the 0.3 quality floor; 16 ws-tokens each
+  private def essay(i: Long): String =
+    s"this is a genuinely clean and reasonably long document number $i " +
+      "about the weather today"
+
+  test("budget stream: grants ration sources online, the boundary doc " +
+      "straddles, and the cumulative grant survives a RESTART") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val probeFps = Seq(benchText).toDF("text")
+      .select(CorpusIngest.fingerprint.as("fp"))
+    // each essay is 15 tokens: s1's grant admits doc 1 (pfx 0) and doc 3
+    // (pfx 15 < 20, straddling to 30); s2's grant admits only doc 2
+    // (pfx 0 < 5); s3 is absent from the map → grant 0, never admitted
+    val grants = Map("s1" -> 20L, "s2" -> 5L)
+    val out = tmpDir("corpus_budget_out")
+    val ckpt = tmpDir("corpus_budget_ckpt")
+    def run(): Unit = {
+      val q = CorpusIngest.cleanStreamBudget(
+          mem.toDF().toDF("doc_id", "text", "source", "event_ts"),
+          probeFps, grants)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mem.addData(
+      (1L, essay(1), "s1", new java.sql.Timestamp(1000000L)),
+      (2L, essay(2), "s2", new java.sql.Timestamp(1001000L)),
+      (3L, essay(3), "s1", new java.sql.Timestamp(1002000L)),
+      (9L, essay(9), "s3", new java.sql.Timestamp(1003000L)))
+    run()
+    val firstRun = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_pfx")))
+      .sortBy(_._1).toSeq
+    assert(firstRun === Seq((1L, 0L), (2L, 0L), (3L, 15L)),
+      "s1 straddles at doc 3, s2 stops after doc 2, s3 has no grant")
+    // RESTART: a new query over the same checkpoint. s1's state is 30
+    // ≥ 20 and s2's is 15 ≥ 5 — every further doc must be rejected,
+    // including a REPLAY of doc 1 (absorbed by dedup state, so it also
+    // must not double-count s1's intake).
+    mem.addData(
+      (1L, essay(1), "s1", new java.sql.Timestamp(1000000L)), // replay
+      (4L, essay(4), "s1", new java.sql.Timestamp(1004000L)),
+      (5L, essay(5), "s2", new java.sql.Timestamp(1005000L)))
+    run()
+    val afterRestart = spark.read.parquet(out)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(afterRestart === Seq(1L, 2L, 3L),
+      "restart must resume the CUMULATIVE grant, not reset it")
+  }
+
+  test("budget stream fed in doc_id order is row-identical to the " +
+      "cleanBatchBudget twin (minus the granted column)") {
+    implicit val sqlCtx = spark.sqlContext
+    val staticDocs = (1L to 12L).map(i =>
+      (i, essay(i), if (i % 3 == 0) "s2" else "s1",
+        new java.sql.Timestamp(1000000L + i * 1000)))
+    val docsDf = staticDocs.toDF("doc_id", "text", "source", "event_ts")
+    // the batch twin allocates over its own clean mass; hand the stream
+    // the SAME grants (the offline-allocation production shape)
+    val batch = CorpusIngest.cleanBatchBudget(docsDf, probeModulus = 1000)
+    val grants = batch.select("source", "granted").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val probeFps = spark.emptyDataset[String].toDF("text")
+      .select(CorpusIngest.fingerprint.as("fp"))
+    val out = tmpDir("corpus_budget_twin_out")
+    mem.addData(staticDocs: _*)
+    val q = CorpusIngest.cleanStreamBudget(
+        mem.toDF().toDF("doc_id", "text", "source", "event_ts"),
+        probeFps, grants)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("corpus_budget_twin_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("fp"), r.getAs[Double]("quality_r"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("tok_pfx"))
+    val streamed = spark.read.parquet(out).collect().map(key).sortBy(_._1).toSeq
+    val twin = batch.collect().map(key).sortBy(_._1).toSeq
+    assert(streamed === twin)
+  }
 }
