@@ -2103,6 +2103,16 @@ SELECT p.src_a, p.src_b, p.n_common,
 FROM p JOIN sz x ON x.source = p.src_a JOIN sz y ON y.source = p.src_b
 ORDER BY src_a, src_b""")),
 
+    // The sketch scale path for the same matrix (VERDICT r7 item 7):
+    // bottom-k (KMV) min-shingle-hash sketches bound the pair cost at
+    // |sources|·k rows at ANY corpus size; the exact form above stays
+    // the oracle baseline. Hash-specific estimates → rows-only;
+    // TextAnalysisSpec pins the error bound against the exact matrix.
+    ("source_overlap_sketch",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sourceOverlapSketch(docs(s, d)),
+      None),
+
     // PII scan completing pii_scrub's email/URL gate with phone + IPv4:
     // patterns live in the Java-regex ∩ RE2 common subset so both
     // engines match byte-identically; the fixture corpus is PII-free by

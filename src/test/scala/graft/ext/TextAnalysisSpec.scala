@@ -344,6 +344,65 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got === Map(("s1", "s2") -> ((1L, 0.5))))
   }
 
+  test("sourceOverlapSketch: sketches are exactly min(k, n_sh) hashes, " +
+      "estimates are deterministic, and small sources estimate EXACTLY " +
+      "(complete sketches)") {
+    import spark.implicits._
+    // planted 50% re-hosting, small enough that both sketches are
+    // complete → the KMV estimate must equal the exact containment
+    val docs = Seq(
+      (1L, "s1", "a b c d e f g h i"),       // 7 shingles
+      (2L, "s2", "a b c d e"),               // 3 shared with s1
+      (3L, "s2", "x y z w v u"))             // 4 own
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceOverlapSketch(docs, k = 256).collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("containment_est_r")))).toMap
+    val exact = TextAnalysis.sourceOverlap(docs).collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        r.getAs[Double]("containment_r"))).toMap
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (pair, (na, nb, est)) =>
+      assert(math.min(na, nb) <= 256, "both sketches complete by design")
+      assert(est === exact(pair),
+        s"$pair: complete sketches must estimate exactly")
+    }
+    // determinism: a second run is bit-identical
+    val again = TextAnalysis.sourceOverlapSketch(docs, k = 256).collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("containment_est_r")))).toMap
+    assert(again === got)
+  }
+
+  test("sourceOverlapSketch error bound vs the exact matrix on the " +
+      "fixture corpus: |est − exact| within 4σ of the KMV std-err, " +
+      "and every sketch holds exactly min(k, n_sh) hashes") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val k = 256
+    val exact = TextAnalysis.sourceOverlap(docs).collect()
+      .map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        r.getAs[Double]("containment_r"))).toMap
+    val sk = TextAnalysis.sourceOverlapSketch(docs, k).collect()
+    assert(sk.nonEmpty)
+    sk.foreach { r =>
+      val pair = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val est = r.getAs[Double]("containment_est_r")
+      val support = r.getAs[Int]("support")
+      val ex = exact.getOrElse(pair, 0.0)
+      // 4σ Bernoulli bound at the measured support (≥ 0.04 floor keeps
+      // the assertion meaningful when ex ≈ 0 or 1)
+      val tol = math.max(0.04, 4.0 * math.sqrt(ex * (1 - ex) / support))
+      assert(math.abs(est - ex) <= tol,
+        s"$pair: est $est vs exact $ex exceeds ±$tol (support $support)")
+      // support = small-side sketch entries below the other's kth min:
+      // bounded by the sketch size, and nonzero for every emitted pair
+      assert(support > 0 && support <= math.min(k.toLong,
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))))
+    }
+  }
+
   test("piiRedact: planted email/phone/IP are counted and substituted; " +
       "clean text passes through byte-identical") {
     import spark.implicits._
