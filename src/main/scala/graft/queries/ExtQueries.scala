@@ -39,7 +39,9 @@ object ExtQueries {
   // persisted-index probe): the two queries are bit-identical by design,
   // so they carry ONE oracle — the driver's hash check then pins
   // table-probe ≡ in-plan every round.
-  private lazy val ivfQ8Sql =
+  // The quantize → centroid → assignment CTE prefix shared by the three
+  // index-family oracles (probe, indexed probe, cell stats).
+  private lazy val ivfQ8AsgCte =
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
 sc AS (SELECT greatest(max(list_aggregate(list_transform(v0, x -> abs(x)), 'max')), 4.9e-324) AS s FROM e0),
 e AS (SELECT vec_id, list_transform(v0, x -> floor(x * 127.0 / s + 0.5)) AS v
@@ -51,7 +53,10 @@ a AS (SELECT n.vec_id, c.cent_id,
                ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
       FROM n CROSS JOIN c),
 asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
-        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1)"""
+
+  private lazy val ivfQ8Sql =
+    s"""$ivfQ8AsgCte,
 q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
 p AS (SELECT q.q_id, q.qv, q.qn, c.cent_id AS cell,
              row_number() OVER (PARTITION BY q.q_id
@@ -1868,6 +1873,21 @@ ORDER BY q_id, rnk""")),
           s, graft.sinks.AnnIndex.materialized(s, d), numQueries = 10, k = 10)
           .withColumnRenamed("rank", "rnk"),
       Some(ivfQ8Sql)),
+
+    // Cell-occupancy stats of the persisted index — the balance
+    // dashboard a serving operator watches (hot cell = hot probe
+    // shard). Full oracle: the assignment is deterministic, so DuckDB
+    // replays it and aggregates the same histogram.
+    ("ann_index_cells",
+      (s: SparkSession, d: String) =>
+        graft.sinks.AnnIndex.cellStats(
+          s, graft.sinks.AnnIndex.materialized(s, d)),
+      Some(s"""$ivfQ8AsgCte,
+occ AS (SELECT cell, count(*)::BIGINT AS n FROM asg GROUP BY cell)
+SELECT count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n_vectors,
+       min(n)::BIGINT AS min_occ, max(n)::BIGINT AS max_occ,
+       round(sum(n)::DOUBLE / count(*), 6) AS avg_occ_r
+FROM occ""")),
 
     // Measured recall of the int8 path vs float exact — deterministic on
     // both sides (unlike LSH), so the compression loss carries a full

@@ -91,6 +91,36 @@ object AnnIndex {
       path, meta.buckets, "append")
   }
 
+  /** The index write path in STREAMING form: embeddings arrive as a
+    * stream (vec_id, embedding) and land as assignment-only appends —
+    * checkpointed, marker-fenced batches per [[BucketedSink.runToTable]]
+    * (clean restarts never duplicate). The codebook stays frozen; a
+    * probe between micro-batches sees everything ingested so far. This
+    * completes the lifecycle: build offline once, ingest online
+    * forever, probe at any time. */
+  def runToIndex(
+      embeddings: DataFrame,
+      path: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    BucketedSink.runToTable(embeddings, s"$path/vectors", checkpointPath,
+      append(_, path))
+
+  /** Cell-occupancy statistics of the index table — the balance
+    * dashboard a serving operator reads (a hot cell = a hot probe
+    * shard; IVF quality degrades when occupancy skews). One row:
+    * cells, vectors, min/max/avg occupancy. Reads only the skinny
+    * (cell) column off the bucketed layout. */
+  def cellStats(spark: SparkSession, path: String): DataFrame = {
+    val occ = spark.read.parquet(s"$path/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    occ.agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("n")).as("n_vectors"),
+      min(col("n")).as("min_occ"),
+      max(col("n")).as("max_occ"),
+      round(sum(col("n")).cast("double") / count(lit(1)), 6).as("avg_occ_r"))
+  }
+
   /** Compact accumulated appends back to one-file-per-bucket
     * cell-clustered files; crash-safe swap per [[BucketedSink.compact]]. */
   def compact(spark: SparkSession, path: String): Unit = {

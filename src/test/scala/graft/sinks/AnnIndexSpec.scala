@@ -76,6 +76,45 @@ class AnnIndexSpec extends SparkSuite {
     assert(perBucket.nonEmpty && perBucket.forall(_ <= 1))
   }
 
+  test("streaming ingestion (runToIndex): micro-batches land as " +
+      "assignment-only appends, a restart never duplicates, probes see " +
+      "everything ingested so far") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir("annidx_stream")
+    val all = embs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (buildHalf, streamHalf) = all.partition(_._1 % 2 == 0)
+    AnnIndex.build(
+      spark.createDataFrame(buildHalf.toSeq).toDF("vec_id", "embedding"), path)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val ckpt = tmpDir("annidx_stream_ckpt")
+    def run(): Unit = {
+      val q = AnnIndex.runToIndex(
+        mem.toDF().toDF("vec_id", "embedding"), path, ckpt)
+      q.awaitTermination()
+    }
+    val (s1, s2) = streamHalf.splitAt(streamHalf.length / 2)
+    mem.addData(s1.toSeq: _*)
+    run()
+    val mid = spark.read.parquet(s"$path/vectors").count()
+    assert(mid === buildHalf.length + s1.length)
+    // restart with the second slice: the checkpoint fences batch 0
+    mem.addData(s2.toSeq: _*)
+    run()
+    assert(spark.read.parquet(s"$path/vectors").count() === all.length)
+    // and another restart with nothing new appends nothing
+    run()
+    assert(spark.read.parquet(s"$path/vectors").count() === all.length)
+    // the fully-ingested index probes like a fresh full build MINUS the
+    // frozen-codebook difference: codes quantized under the build-half
+    // scale. With the fixture's scale determined by a build-half vector
+    // the two probes coincide exactly.
+    val streamed = rows(AnnIndex.probe(spark, path, numQueries = 10, k = 10))
+    assert(streamed.nonEmpty &&
+      streamed.exists(_._3 % 2 == 1) && streamed.exists(_._3 % 2 == 0))
+  }
+
   test("appends quantize with the FROZEN build-time scale, saturating " +
       "at ±127 for out-of-range components") {
     val path = tmpDir("annidx_sat")
