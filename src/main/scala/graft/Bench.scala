@@ -51,6 +51,8 @@ object Bench {
     // is the point of a persisted index)
     graft.sinks.ActivitySink.materialized(spark, sfDir)
     graft.sinks.AnnIndex.materialized(spark, sfDir)
+    graft.sinks.DedupIndex.materialized(spark, sfDir)
+    graft.ext.Dedup.releaseAll()
     // warm the bench SF's parquet bytes into the OS page cache so the
     // timed pass measures engine work, not which query first touches a
     // cold file (the VM reclaims page cache aggressively; cold-read
@@ -74,6 +76,7 @@ object Bench {
     // the K1 activity table and ANN index live under java.io.tmpdir
     warmDir(s"${sys.props("java.io.tmpdir")}/graft_activity_${math.abs(sfDir.hashCode)}")
     warmDir(s"${sys.props("java.io.tmpdir")}/graft_annindex_${math.abs(sfDir.hashCode)}")
+    warmDir(s"${sys.props("java.io.tmpdir")}/graft_dedupindex_${math.abs(sfDir.hashCode)}")
     // NOISE NORMALIZER (VERDICT r5 item 7): round-over-round totals moved
     // ±9-40% on identical untouched queries from ambient VM noise alone,
     // making cross-round comparison untrustworthy. This pinned calibration

@@ -30,7 +30,7 @@ object Dedup {
   private val cachedHandles =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[ext] def cached(df: DataFrame): DataFrame = {
+  private[graft] def cached(df: DataFrame): DataFrame = {
     val p = df.persist()
     cachedHandles.add(p)
     p
@@ -158,15 +158,20 @@ object Dedup {
   /** Candidate pairs from LSH banding: docs sharing any (band_id, band hash)
     * bucket. Returns distinct (doc_a < doc_b) id pairs only — the scalable
     * shape: wide arrays stay out of the shuffle. */
-  def lshCandidates(signed: DataFrame): DataFrame = {
-    val banded = signed.select(
+  /** (doc_id, band_id, band_hash) rows of a signed frame — the skinny
+    * banding shared by [[lshCandidates]] and the persisted
+    * [[graft.sinks.DedupIndex]]. */
+  private[graft] def banded(signed: DataFrame): DataFrame =
+    signed.select(
       col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band_id", "band_hash")))
-    val a = banded.as("a")
-    val b = banded.as("b")
+
+  def lshCandidates(signed: DataFrame): DataFrame = {
+    val a = banded(signed).as("a")
+    val b = banded(signed).as("b")
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&

@@ -2123,6 +2123,22 @@ SELECT p.src_a, p.src_b, p.n_common,
 FROM p JOIN sz x ON x.source = p.src_a JOIN sz y ON y.source = p.src_b
 ORDER BY src_a, src_b""")),
 
+    // Incremental near-dup against the PERSISTED MinHash index: the
+    // doc_id-odd half probed against the indexed even half — the
+    // production question ("is this new batch a near-dup of the corpus
+    // I already hold?") answered from 768-byte signatures + 24-byte
+    // band rows, never a corpus text rescan. Signature-hash-specific →
+    // rows-only; DedupIndexSpec pins planted exact/near/novel behavior
+    // and the agreement-vs-true-Jaccard error.
+    ("dedup_incremental_indexed",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        graft.sinks.DedupIndex.probe(
+          docs(s, d).where(pmod(col("doc_id"), lit(2)) === 1),
+          graft.sinks.DedupIndex.materialized(s, d))
+      },
+      None),
+
     // The sketch scale path for the same matrix (VERDICT r7 item 7):
     // bottom-k (KMV) min-shingle-hash sketches bound the pair cost at
     // |sources|·k rows at ANY corpus size; the exact form above stays
