@@ -491,6 +491,38 @@ object Dedup {
   def nearDupSurvivorsQuality(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     keepBestQuality(docs, nearDupClusters(docs, threshold))
 
+  /** SOFT dedup — downweight instead of drop: every document gets a
+    * training weight `1 / |its near-dup cluster|`, singletons weight 1.
+    * Hard dedup ([[nearDupSurvivors]]) discards the information that a
+    * document was duplicated at all; a weighted-loss pipeline instead
+    * keeps every variant and scales its gradient contribution so each
+    * CONTENT is seen with equal total mass regardless of how many
+    * near-copies the crawl collected (the epoch-equivalent of keeping
+    * one copy, without betting on which variant survived a tie-break).
+    *
+    * Output: `(doc_id, cluster_id, cluster_size, weight_r)` for EVERY
+    * document — singletons carry `cluster_id = doc_id`, size 1.
+    *
+    * Scale: the cluster frame is the verified-near-dup set (orders of
+    * magnitude smaller than the corpus) in (doc_id, cluster_id) longs;
+    * its size histogram is one count per cluster; the corpus-side join
+    * is left outer against that skinny frame — AQE-broadcastable, the
+    * exact [[nearDupSurvivors]] anti-join shape with a weight column
+    * instead of a drop. */
+  def softDedupWeights(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val clusters = cached(nearDupClusters(docs, threshold))
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+    docs.select(col("doc_id"))
+      .join(clusters.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("csz")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("csz"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("csz"), lit(1L)), 6).as("weight_r"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- line-level dedup
 
   /** C4-style line-level exact dedup (Raffel et al. 2020 §2.2 deduplicate

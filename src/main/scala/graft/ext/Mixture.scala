@@ -181,6 +181,160 @@ object Mixture {
       sampleTokens(docs, budgetDenom).select(col("doc_id"), col("n_tok")),
       windowTokens)
 
+  /** Data-constrained repetition allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeating data up to
+    * ~4 epochs is nearly as good as fresh data; beyond that returns
+    * decay): apportion a token budget across sources by √-temperature
+    * weight, but CAP each source at `maxEpochs` passes over its unique
+    * mass and re-distribute what the capped sources cannot absorb to
+    * the uncapped ones — exact water-filling, the allocation a
+    * data-constrained pretraining run computes when the budget EXCEEDS
+    * some sources' unique tokens (the up-weighted rare domains repeat;
+    * the capped ones release their excess).
+    *
+    * Algorithm (all |sources|-row math): sort sources by saturation
+    * point `cap/weight` ascending — the order in which they hit their
+    * caps as the water level rises; the saturated set is always a
+    * PREFIX of this order. A source `j` saturates iff the budget left
+    * after filling the caps before it cannot cover `cap_j` at `j`'s
+    * weight share: `(B − C_{j−1})·w_j ≥ cap_j·(W_tot − W_{j−1})`, all
+    * exact DECIMAL(38,0) products (budget × weight ≤ 10³⁸ far past any
+    * real corpus). Unsaturated sources split the residual budget by
+    * largest remainder (the [[allocateSeats]] discipline), so
+    * `Σ alloc = B` exactly whenever `B ≤ Σ cap` — and when the budget
+    * exceeds even `maxEpochs` passes over everything, every source
+    * saturates and the shortfall `B − Σ cap` is VISIBLE in the table
+    * rather than silently absorbed.
+    *
+    * Output: `(source, n_tokens, weight, cap, alloc, epochs_r,
+    * saturated)` with `epochs_r = round(alloc/n_tokens, 6)` — > 1 means
+    * the source repeats.
+    *
+    * Determinism: the sort key `cap/weight` is one IEEE division both
+    * engines round identically; everything else is integer. */
+  def allocationEpochs(
+      docs: DataFrame, budgetDenom: Int = 1, maxEpochs: Int = 4): DataFrame = {
+    require(budgetDenom >= 1, "budgetDenom must be >= 1")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val weighted = tokenCounts(docs)
+      .groupBy("source").agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("cap", col("n_tokens") * lit(maxEpochs.toLong))
+    val totals = weighted.agg(
+      sum(col("n_tokens")).as("total"), sum(col("weight")).as("w_sum"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    // the water-filling order; every window below runs over |sources| rows
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy((col("cap").cast("double") / col("weight")).asc, col("source"))
+    val pfx = ord.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, -1)
+    val marked = weighted.crossJoin(broadcast(totals))
+      .withColumn("budget", expr(s"total div $budgetDenom"))
+      .withColumn("c_prev", coalesce(sum(col("cap")).over(pfx), lit(0L)))
+      .withColumn("w_prev", coalesce(sum(col("weight")).over(pfx), lit(0L)))
+      .withColumn("saturated",
+        (dec(col("budget")) - dec(col("c_prev"))) * dec(col("weight")) >=
+          dec(col("cap")) * (dec(col("w_sum")) - dec(col("w_prev"))))
+    val residual = marked.agg(
+      (min(col("budget")) -
+        sum(when(col("saturated"), col("cap")).otherwise(0L))).as("resid"),
+      sum(when(col("saturated"), 0L).otherwise(col("weight"))).as("w_unsat"))
+    // largest-remainder split of the residual among the unsaturated
+    val seats = marked.crossJoin(broadcast(residual))
+      .withColumn("prod",
+        when(col("saturated"), lit(null))
+          .otherwise(dec(col("resid")) * dec(col("weight"))))
+      .withColumn("base",
+        when(col("saturated"), col("cap"))
+          .otherwise(expr("cast(prod div cast(w_unsat as decimal(38,0)) as bigint)")))
+      .withColumn("rem",
+        when(col("saturated"), lit(-1L))
+          .otherwise((col("prod") - dec(col("base")) * dec(col("w_unsat")))
+            .cast("long")))
+    val leftover = seats.agg(
+      (min(col("resid")) -
+        sum(when(col("saturated"), 0L).otherwise(col("base")))).as("leftover"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    seats.crossJoin(broadcast(leftover))
+      .withColumn("rn", row_number().over(rw))
+      .withColumn("alloc",
+        col("base") + when(!col("saturated") && col("rn") <= col("leftover"),
+          1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("weight"), col("cap"),
+        col("alloc"),
+        round(col("alloc").cast("double") / col("n_tokens"), 6).as("epochs_r"),
+        col("saturated"))
+      .orderBy("source")
+  }
+
+  /** Deterministic sharded training order — the shuffle between "packed
+    * sample" and "what the trainer reads": each sampled document lands
+    * in a shard (`pmod` of a salted-md5 hash) at a pseudo-random but
+    * fully reproducible position, so every rank of a 1000-GPU job can
+    * open its shard and stream documents in a fixed order that
+    * interleaves sources (a crawl's per-domain runs would otherwise
+    * serialize gradient exposure). Membership and order are pure
+    * functions of the data — the [[split]] md5 discipline — so a re-run
+    * or re-partition cannot reorder a shard.
+    *
+    * Output: `(doc_id, source, shard, pos)` with `pos` 0-based within
+    * shard, ordered by the hash. `shards` is the output-file count — at
+    * 100 TB thousands, each loader-window-sized; positions come from
+    * ONE range-partitioned prefix sum over `(shard, hash)` plus a
+    * |shards|-row broadcast of first positions, NOT a per-shard window
+    * (the per-source-sort trap, avoided the [[sample]] way). */
+  def trainingOrder(
+      docs: DataFrame, budgetDenom: Int = 2, shards: Int = 8): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val keyed = sampleTokens(docs, budgetDenom)
+      .select(col("doc_id"), col("source"))
+      .withColumn("__h",
+        md5(concat(col("doc_id").cast("string"), lit(":order"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("__one", lit(1L))
+    val pos = Packing.withGlobalOffsetBy(
+      keyed, Seq("shard", "__h", "doc_id"), "__one", "__pos")
+    val firsts = pos.groupBy("shard").agg(min(col("__pos")).as("__first"))
+    pos.join(broadcast(firsts), Seq("shard"))
+      .select(col("doc_id"), col("source"), col("shard"),
+        (col("__pos") - col("__first")).as("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  /** Interleave audit of [[trainingOrder]]: per shard, the longest
+    * consecutive same-source run, the run count, and the document
+    * count — the dashboard that catches a broken shuffle (one domain
+    * streaming back-to-back into a trainer). Runs come from the
+    * gaps-and-islands identity `pos − rank-within-(shard, source)`:
+    * both ranks are prefix sums over the SAME hash order, so
+    * consecutive same-source docs share a group id. No data-sized
+    * window: the second rank is another range-partitioned prefix sum,
+    * and the aggregates are run-keyed. */
+  def trainingOrderRuns(
+      docs: DataFrame, budgetDenom: Int = 2, shards: Int = 8): DataFrame = {
+    val ordered = trainingOrder(docs, budgetDenom, shards)
+      .withColumn("__h",
+        md5(concat(col("doc_id").cast("string"), lit(":order"))))
+      .withColumn("__one", lit(1L))
+    val ssPos = Packing.withGlobalOffsetBy(
+      ordered, Seq("shard", "source", "__h", "doc_id"), "__one", "__sspos")
+    val ssFirsts = ssPos.groupBy("shard", "source")
+      .agg(min(col("__sspos")).as("__ssfirst"))
+    ssPos.join(broadcast(ssFirsts), Seq("shard", "source"))
+      .withColumn("grp", col("pos") - (col("__sspos") - col("__ssfirst")))
+      .groupBy(col("shard"), col("source"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("shard"))
+      .agg(max(col("run_len")).as("max_run"),
+        count(lit(1)).as("n_runs"),
+        sum(col("run_len")).as("n_docs"))
+      .orderBy("shard")
+  }
+
   /** Deterministic stratified train/validation/test split with EXACT
     * per-source counts: each source contributes `n div 10` test and
     * `n div 10` validation documents, remainder train — unlike

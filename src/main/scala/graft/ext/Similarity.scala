@@ -552,6 +552,52 @@ object Similarity {
       quantize(embeddings).select(col("vec_id"), col("qv").as("embedding")),
       numQueries, k, stride, nprobe)
 
+  /** Two-stage refined ANN — the FAISS `IndexRefineFlat`-over-SQ8
+    * serving pattern: the int8 IVF path ([[quantizedIvfTopK]]) GENERATES
+    * `refineFactor·k` candidates per query from its 4×-denser sublinear
+    * scans, then ONLY those candidates' float vectors are fetched and
+    * exactly re-ranked to the final top-k. The quantization's ranking
+    * error is confined to the candidate CUT (a true neighbor the int8
+    * ranking pushed below `refineFactor·k` stays lost); everything that
+    * survives the cut is ordered by exact float cosine, so reported
+    * similarities are the true ones and recall strictly dominates the
+    * unrefined path at the same probe budget.
+    *
+    * Scale: stage 1 is [[quantizedIvfTopK]]'s shape unchanged; stage 2
+    * touches |q|·refineFactor·k skinny (q_id, neighbor_id) rows, a
+    * broadcast of the query vectors, and ONE keyed fetch of the
+    * candidates' float rows (at serving scale, point-reads against a
+    * vec_id-bucketed table — the [[graft.sinks.AnnIndex]] layout
+    * discipline). Fully deterministic end-to-end (both stages are), so
+    * the composition keeps a complete DuckDB oracle — ties in float
+    * space break by vec_id, as everywhere. */
+  def quantizedIvfRefine(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      refineFactor: Int = 3,
+      stride: Int = ivfStride,
+      nprobe: Int = ivfProbes): DataFrame = {
+    val cands = quantizedIvfTopK(
+      embeddings, numQueries, k * refineFactor, stride, nprobe)
+      .select(col("q_id"), col("neighbor_id"))
+    val base = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .join(broadcast(base.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))), Seq("q_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("q"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Recall@k of the int8 path vs the float exact top-k, per query —
     * the measured cost of the 4× compression. Fully deterministic (both
     * sides are), so unlike [[annRecall]] it carries a complete DuckDB

@@ -398,6 +398,37 @@ r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
 SELECT u AS doc_id, (min(v))::BIGINT AS cluster_id
 FROM r GROUP BY u ORDER BY doc_id""")),
 
+    // SOFT dedup — downweight instead of drop: every doc gets training
+    // weight 1/|its near-dup cluster| (singletons 1.0), so each CONTENT
+    // is seen with equal total mass without betting on which variant a
+    // tie-break keeps. The corpus-side join is against the skinny
+    // (doc_id, cluster_id) cluster frame — the survivors anti-join
+    // shape with a weight column instead of a drop.
+    ("dedup_soft",
+      (s: SparkSession, d: String) =>
+        Dedup.softDedupWeights(docs(s, d), threshold = 0.8),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
+      UNION
+      SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+c AS (SELECT u AS doc_id, min(v)::BIGINT AS cluster_id FROM r GROUP BY u),
+cs AS (SELECT cluster_id, count(*)::BIGINT AS csz FROM c GROUP BY cluster_id)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+       coalesce(cs.csz, 1)::BIGINT AS cluster_size,
+       round(1.0::DOUBLE / coalesce(cs.csz, 1), 6) AS weight_r
+FROM documents d
+LEFT JOIN c ON c.doc_id = d.doc_id
+LEFT JOIN cs ON cs.cluster_id = c.cluster_id
+ORDER BY d.doc_id""")),
+
     // What the pipeline KEEPS under transitive near-dup semantics: drop
     // every non-representative cluster member (representative = min id).
     ("dedup_near_survivors",
@@ -1889,6 +1920,43 @@ SELECT count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n_vectors,
        round(sum(n)::DOUBLE / count(*), 6) AS avg_occ_r
 FROM occ""")),
 
+    // Two-stage refined ANN (FAISS IndexRefineFlat-over-SQ8): the int8
+    // IVF path generates 3·k candidates from its 4×-denser sublinear
+    // scans; only those candidates' FLOAT vectors are fetched and
+    // exactly re-ranked to top-k, so reported sims are the true ones
+    // and recall dominates the unrefined path at the same probe
+    // budget. Deterministic end-to-end → full oracle.
+    ("sim_topk_ivf_refined",
+      (s: SparkSession, d: String) =>
+        Similarity.quantizedIvfRefine(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""$ivfQ8AsgCte,
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+p AS (SELECT q.q_id, q.qv, q.qn, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (${dotSql("qv", "cv")}) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN c),
+pr AS (SELECT q_id, qv, qn, cell FROM p WHERE rn <= 8),
+sx AS (SELECT pr.q_id, asg.vec_id, (${dotSql("qv", "v")}) / (pr.qn * asg.nrm) AS sim
+       FROM pr JOIN asg ON asg.cell = pr.cell
+       WHERE asg.vec_id <> pr.q_id),
+cand AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id) AS rnk
+           FROM sx) WHERE rnk <= 30),
+f AS (SELECT vec_id, v0, sqrt(${dotSql("v0", "v0")}) AS fnrm FROM e0),
+fq AS (SELECT vec_id AS q_id, v0 AS fqv, fnrm AS fqn FROM f WHERE vec_id < 10),
+rr AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,
+              (${dotSql("fqv", "v0")}) / (fq.fqn * f.fnrm) AS sim
+       FROM cand JOIN fq ON fq.q_id = cand.q_id
+                 JOIN f ON f.vec_id = cand.vec_id),
+r2 AS (SELECT q_id, neighbor_id, round(sim, 6) AS sim_r,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, neighbor_id) AS rnk
+       FROM rr)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r2 WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
     // Measured recall of the int8 path vs float exact — deterministic on
     // both sides (unlike LSH), so the compression loss carries a full
     // oracle instead of a prose claim.
@@ -2044,6 +2112,129 @@ p AS (SELECT doc_id, source, n_tok,
 SELECT p.doc_id, p.source, p.n_tok, p.tok_pfx FROM p
 JOIN a ON p.source = a.source WHERE p.tok_pfx < a.granted
 ORDER BY p.doc_id""")),
+
+    // Data-constrained repetition allocation (Muennighoff et al. 2023):
+    // √-temperature token seats, each source CAPPED at 4 epochs over
+    // its unique mass, capped sources' excess re-distributed by exact
+    // water-filling (saturation order = cap/weight ascending; the
+    // saturated set is provably a prefix). All-integer seat math;
+    // epochs_r > 1 = the source repeats.
+    ("mixture_epochs",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.allocationEpochs(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source, len($toksSql)::BIGINT AS n_tok FROM documents),
+c AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY source),
+w AS (SELECT source, n_tokens, CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT) AS weight,
+             (n_tokens * 4)::BIGINT AS cap FROM c),
+tt AS (SELECT sum(n_tokens)::BIGINT AS total, sum(weight)::BIGINT AS w_sum FROM w),
+m AS (SELECT w.*, tt.total AS budget, tt.w_sum,
+             coalesce(sum(cap) OVER (ORDER BY cap::DOUBLE / weight, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS c_prev,
+             coalesce(sum(weight) OVER (ORDER BY cap::DOUBLE / weight, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS w_prev
+      FROM w CROSS JOIN tt),
+s AS (SELECT *, ((budget - c_prev)::HUGEINT * weight) >=
+                (cap::HUGEINT * (w_sum - w_prev)) AS saturated FROM m),
+res AS (SELECT min(budget) - sum(CASE WHEN saturated THEN cap ELSE 0 END) AS resid,
+               sum(CASE WHEN saturated THEN 0 ELSE weight END) AS w_unsat FROM s),
+b AS (SELECT s.*, res.resid, res.w_unsat,
+             CASE WHEN saturated THEN cap
+                  ELSE ((resid::HUGEINT * weight) // greatest(w_unsat, 1))::BIGINT
+             END AS base,
+             CASE WHEN saturated THEN -1
+                  ELSE ((resid::HUGEINT * weight) % greatest(w_unsat, 1))::BIGINT
+             END AS rem
+      FROM s CROSS JOIN res),
+l AS (SELECT min(resid) - sum(CASE WHEN saturated THEN 0 ELSE base END) AS leftover FROM b),
+f AS (SELECT b.*, l.leftover,
+             (base + CASE WHEN NOT saturated AND
+                row_number() OVER (ORDER BY rem DESC, source) <= leftover
+                THEN 1 ELSE 0 END)::BIGINT AS alloc
+      FROM b CROSS JOIN l)
+SELECT source, n_tokens, weight, cap, alloc,
+       round(alloc::DOUBLE / n_tokens, 6) AS epochs_r, saturated
+FROM f ORDER BY source""")),
+
+    // Deterministic sharded training order: each sampled doc lands in a
+    // shard at a pseudo-random but reproducible position (salted md5 —
+    // the corpus_split discipline), interleaving sources for the
+    // trainer. Positions via ONE range-partitioned prefix sum, not a
+    // per-shard window.
+    ("training_order",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.trainingOrder(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source, len($toksSql)::BIGINT AS n_tok FROM documents),
+c AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY source),
+w AS (SELECT source, n_tokens, CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT) AS weight FROM c),
+tt AS (SELECT sum(n_tokens)::BIGINT AS total, sum(weight)::BIGINT AS w_sum FROM w),
+q AS (SELECT source, weight,
+        (((total // 2)::HUGEINT) * weight) // w_sum AS base,
+        (((total // 2)::HUGEINT) * weight) % w_sum AS rem,
+        total // 2 AS budget
+      FROM w CROSS JOIN tt),
+l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
+r AS (SELECT q.source, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
+a AS (SELECT r2.source,
+             least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, r2.source)
+                               <= leftover THEN 1 ELSE 0 END,
+                   c.n_tokens) AS granted
+      FROM r r2 JOIN c ON c.source = r2.source),
+p AS (SELECT doc_id, source, n_tok,
+        coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_pfx
+      FROM t),
+sel AS (SELECT p.doc_id, p.source FROM p
+        JOIN a ON p.source = a.source WHERE p.tok_pfx < a.granted),
+k AS (SELECT doc_id, source, md5(doc_id::VARCHAR || ':order') AS h FROM sel),
+o AS (SELECT doc_id, source,
+             (CAST('0x' || substring(h, 1, 8) AS UBIGINT) % 8)::BIGINT AS shard, h
+      FROM k)
+SELECT doc_id, source, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT AS pos
+FROM o ORDER BY shard, pos""")),
+
+    // Interleave audit of training_order: per shard, the longest
+    // consecutive same-source run (gaps-and-islands on two prefix
+    // ranks over the SAME hash order) — catches a broken shuffle
+    // streaming one domain back-to-back into a trainer.
+    ("training_order_runs",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.trainingOrderRuns(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, source, len($toksSql)::BIGINT AS n_tok FROM documents),
+c AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY source),
+w AS (SELECT source, n_tokens, CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT) AS weight FROM c),
+tt AS (SELECT sum(n_tokens)::BIGINT AS total, sum(weight)::BIGINT AS w_sum FROM w),
+q AS (SELECT source, weight,
+        (((total // 2)::HUGEINT) * weight) // w_sum AS base,
+        (((total // 2)::HUGEINT) * weight) % w_sum AS rem,
+        total // 2 AS budget
+      FROM w CROSS JOIN tt),
+l AS (SELECT min(budget) - sum(base) AS leftover FROM q),
+r AS (SELECT q.source, q.base, q.rem, l.leftover FROM q CROSS JOIN l),
+a AS (SELECT r2.source,
+             least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, r2.source)
+                               <= leftover THEN 1 ELSE 0 END,
+                   c.n_tokens) AS granted
+      FROM r r2 JOIN c ON c.source = r2.source),
+p AS (SELECT doc_id, source, n_tok,
+        coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_pfx
+      FROM t),
+sel AS (SELECT p.doc_id, p.source FROM p
+        JOIN a ON p.source = a.source WHERE p.tok_pfx < a.granted),
+k AS (SELECT doc_id, source, md5(doc_id::VARCHAR || ':order') AS h FROM sel),
+o AS (SELECT doc_id, source,
+             (CAST('0x' || substring(h, 1, 8) AS UBIGINT) % 8)::BIGINT AS shard, h
+      FROM k),
+pos AS (SELECT *,
+          (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT AS pos,
+          (row_number() OVER (PARTITION BY shard, source ORDER BY h, doc_id) - 1)::BIGINT AS sspos
+        FROM o),
+runs AS (SELECT shard, source, pos - sspos AS grp, count(*)::BIGINT AS run_len
+         FROM pos GROUP BY shard, source, pos - sspos)
+SELECT shard, max(run_len)::BIGINT AS max_run, count(*)::BIGINT AS n_runs,
+       sum(run_len)::BIGINT AS n_docs
+FROM runs GROUP BY shard ORDER BY shard""")),
 
     // sample → pack: the assembly step between "cleaned corpus" and
     // "training batches", composed end-to-end with one tokenize pass

@@ -122,6 +122,26 @@ class DedupSpec extends SparkSuite {
     assert(kept === Set(1L, 3L))
   }
 
+  test("softDedupWeights: cluster members weigh 1/|cluster|, singletons 1.0, " +
+      "every doc appears exactly once") {
+    val out = Dedup.softDedupWeights(docs, threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Double]("weight_r"))))
+      .toMap
+    Dedup.releaseAll()
+    // docs 1, 2, 4 form one cluster (1~2 near, 1~4 exact modulo case):
+    // each weighs 1/3; unrelated doc 3 is a singleton at full weight
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    Seq(1L, 2L, 4L).foreach { id =>
+      assert(out(id) === ((1L, 3L, 0.333333)))
+    }
+    assert(out(3L) === ((3L, 1L, 1.0)))
+    // total training mass = one unit per CONTENT, not per copy
+    assert(math.abs(out.values.map(_._3).sum - 2.0) < 1e-5)
+  }
+
   test("SimHash: hamming orders near-dups below unrelated docs; exact dups collide") {
     import org.apache.spark.sql.functions._
     val fp = Dedup.simhashed(docs)

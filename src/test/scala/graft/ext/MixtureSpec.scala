@@ -97,6 +97,79 @@ class MixtureSpec extends SparkSuite {
     assert(sampleBySrc === Map("a" -> 5, "a|!" -> 5))
   }
 
+  test("allocationEpochs: capped sources release excess to uncapped ones, " +
+      "Σalloc = budget, epochs cap at maxEpochs") {
+    // tokens: big 100 (weight 10e6, cap 400), rare 4 (weight 2e6, cap 16);
+    // budget = 104 (denom 1). Saturation order by cap/weight: rare
+    // (8e-6) before big (4e-5). rare: 104·2e6 ≥ 16·12e6 → saturated at
+    // its 4-epoch cap; big: (104−16)·10e6 < 400·10e6 → unsaturated,
+    // takes the whole residual 88. Σ = 104 exactly.
+    val rows =
+      (0 until 10).map(i => (i.toLong, "big", Seq.fill(10)("t").mkString(" "))) ++
+        Seq((100L, "rare", "t t"), (101L, "rare", "t t"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    val out = Mixture.allocationEpochs(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("cap"), r.getAs[Long]("alloc"),
+          r.getAs[Double]("epochs_r"), r.getAs[Boolean]("saturated"))))
+      .toMap
+    assert(out("rare") === ((16L, 16L, 4.0, true)),
+      "up-weighted rare domain repeats to its epoch cap")
+    assert(out("big") === ((400L, 88L, 0.88, false)),
+      "uncapped source absorbs the residual budget")
+    assert(out.values.map(_._2).sum === 104L, "water-filling conserves budget")
+  }
+
+  test("allocationEpochs: maxEpochs=1 at full budget is the proportional " +
+      "identity — every source saturates at exactly its own mass") {
+    val rows =
+      (0 until 10).map(i => (i.toLong, "big", Seq.fill(10)("t").mkString(" "))) ++
+        Seq((100L, "rare", "t t"), (101L, "rare", "t t"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    val out = Mixture.allocationEpochs(docs, budgetDenom = 1, maxEpochs = 1)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("alloc"),
+          r.getAs[Double]("epochs_r"), r.getAs[Boolean]("saturated"))))
+      .toMap
+    out.values.foreach { case (n, alloc, e, sat) =>
+      assert(alloc === n && e === 1.0 && sat)
+    }
+  }
+
+  test("trainingOrder: reproducible, shard-contiguous 0-based positions; " +
+      "runs audit accounts for every sampled doc") {
+    val rows =
+      (0 until 40).map(i => (i.toLong, "big", "t t t")) ++
+        (0 until 40).map(i => (1000L + i, "mid", "t t t"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    def run() = Mixture.trainingOrder(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    val a = run()
+    val b = run()
+    assert(a.toSeq === b.toSeq, "order must be a pure function of the data")
+    // per shard: positions are exactly 0..n−1 in hash order
+    a.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted === (0L until rows.length).toArray)
+    }
+    // the sample is the token-budget sample, re-sharded — same doc set
+    val sampled = Mixture.sampleTokens(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(a.map(_._1).toSet === sampled)
+    val runs = Mixture.trainingOrderRuns(docs).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("max_run"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("n_docs")))
+    Dedup.releaseAll()
+    assert(runs.map(_._4).sum === a.length,
+      "every ordered doc lands in exactly one run")
+    val docsByShard = a.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    runs.foreach { case (shard, maxRun, nRuns, nDocs) =>
+      assert(nDocs === docsByShard(shard))
+      assert(maxRun >= 1L && nRuns >= 1L && maxRun <= nDocs)
+    }
+  }
+
   test("split: exact n div 10 test/validation per source, total coverage, " +
       "and byte-deterministic membership across runs") {
     def run() = Mixture.split(skewed).collect()

@@ -216,4 +216,36 @@ class SimilaritySpec extends SparkSuite {
     info(s"int8 mean recall@10 = $mean")
     assert(mean >= 0.8, s"int8 mean recall $mean below floor")
   }
+
+  test("refined ANN: reported sims are the TRUE float cosines, and recall " +
+      "dominates the unrefined int8 path at the same probe budget") {
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val refined = Similarity.quantizedIvfRefine(fx, numQueries = 10, k = 10)
+      .collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Double]("sim_r")))
+    // every reported similarity equals the exact float cosine for that
+    // pair — the refine stage's whole point (the unrefined path reports
+    // quantized sims)
+    val exactSims = Similarity.cosineTopK(fx, numQueries = 10, k = 1000)
+      .collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Double]("sim_r")))
+      .toMap
+    refined.foreach { case (pair, sim) =>
+      assert(exactSims.get(pair).contains(sim),
+        s"refined sim for $pair must be the exact float cosine")
+    }
+    // recall@10 vs float exact: refined ≥ unrefined (candidates at 3k
+    // can only add true neighbors the int8 top-k cut)
+    val exact10 = Similarity.cosineTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val unrefined = Similarity.quantizedIvfTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val rRec = refined.count(p => exact10.contains(p._1)).toDouble / refined.length
+    val uRec = unrefined.count(exact10.contains).toDouble / unrefined.length
+    info(s"refined recall@10 = $rRec vs unrefined $uRec")
+    assert(rRec >= uRec, "refinement must not lose recall")
+  }
 }
