@@ -592,6 +592,68 @@ object Dedup {
       sequence(lit(0), floor((size(toks) - 1) / lit(block)).cast("int")),
       b => concat_ws(" ", slice(toks, b * block + 1, lit(block))))
 
+  /** Exact-substring duplication metric (Lee et al. 2022, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better", ExactSubstr):
+    * an L-token window at EVERY offset of every document, flagged when the
+    * identical window occurs anywhere else in the corpus (including the
+    * same document — self-repetition is duplication too). Per doc:
+    * the flagged-window count and the number of tokens covered by the
+    * union of flagged windows (overlapping windows merged by the
+    * `Σ min(L, next_offset − offset)` telescope over offset order), as a
+    * fraction of the doc.
+    *
+    * This is the OVERLAPPING-window complement of [[lineDedup]]'s
+    * non-overlapping [[tokenBlockLines]] segments: segment dedup misses
+    * duplication at arbitrary alignment (a copied paragraph starting
+    * mid-block never matches — Lee et al. §2's argument for suffix-array
+    * dedup over line dedup); windows at every offset catch it. The true
+    * suffix-array construction is replaced by the rolling window at a
+    * fixed L — the same duplicates for span lengths ≥ L, at
+    * shuffle-friendly cost.
+    *
+    * Output: `(doc_id, n_tok, n_dup_spans, dup_tokens, dup_frac_r)` for
+    * every document (zeros when nothing repeats).
+    *
+    * Scale: |tokens| window rows of (doc_id, off, 16-byte md5) — the
+    * corpus re-keyed by span hash, one map-side-combined count, one
+    * skinny join back, one per-DOC window (bounded by document length,
+    * never corpus-sized partitions). md5 spans make the flags
+    * cross-engine reproducible; at 100 TB the same shape runs on
+    * xxhash64 to keep the exchange narrow. */
+  def exactSubstrSpans(docs: DataFrame, spanLen: Int = 10): DataFrame = {
+    val L = spanLen
+    // token array materialized behind its own projection (the
+    // interpreted-HOF rule: an inline split would re-tokenize per window)
+    val withToks = cached(TextOps.scanParallel(docs).select(
+      col("doc_id"), TextOps.wsTokens(lower(col("text"))).as("toks")))
+    val spans = withToks
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= L,
+          transform(sequence(lit(0), size(col("toks")) - L),
+            i => struct(i.cast("long").as("off"),
+              md5(concat_ws(" ", slice(col("toks"), i + 1, lit(L)))).as("h"))))
+          .otherwise(array().cast("array<struct<off:long,h:string>>"))).as("s"))
+      .select(col("doc_id"), col("s.off").as("off"), col("s.h").as("h"))
+    val repeated = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2).select("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("off")
+    val perDoc = spans.join(repeated, Seq("h"))
+      .withColumn("gap",
+        coalesce(lead(col("off"), 1).over(w) - col("off"), lit(L.toLong)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(least(col("gap"), lit(L.toLong))).as("dup_tokens"))
+    withToks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tok"), lit(1L)), 6).as("dup_frac_r"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ semantic dedup
 
   /** Intra-cluster semantic near-dup pairs — the candidate stage of

@@ -398,6 +398,36 @@ r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
 SELECT u AS doc_id, (min(v))::BIGINT AS cluster_id
 FROM r GROUP BY u ORDER BY doc_id""")),
 
+    // Exact-substring duplication (Lee et al. 2022 ExactSubstr): an
+    // L=10-token window at EVERY offset, flagged when the identical
+    // window recurs anywhere in the corpus; per-doc flagged count +
+    // union-coverage fraction. The overlapping-window complement of
+    // dedup_lines' non-overlapping segments — catches copied spans at
+    // arbitrary alignment.
+    ("dedup_exact_substr",
+      (s: SparkSession, d: String) =>
+        Dedup.exactSubstrSpans(docs(s, d), spanLen = 10),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+sp AS (SELECT doc_id, off::BIGINT AS off,
+              md5(array_to_string(toks[off+1:off+10], ' ')) AS h
+       FROM t, unnest(range(len(toks) - 9)) AS u(off)
+       WHERE len(toks) >= 10),
+r AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT sp.doc_id, sp.off FROM sp JOIN r USING (h)),
+g0 AS (SELECT doc_id, off,
+              coalesce(lead(off) OVER (PARTITION BY doc_id ORDER BY off)
+                - off, 10) AS gap
+       FROM d),
+g AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+             sum(least(gap, 10))::BIGINT AS dup_tokens
+      FROM g0 GROUP BY doc_id)
+SELECT t.doc_id, len(toks)::BIGINT AS n_tok,
+       coalesce(g.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(g.dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(coalesce(g.dup_tokens, 0)::DOUBLE / greatest(len(toks), 1), 6)
+         AS dup_frac_r
+FROM t LEFT JOIN g USING (doc_id) ORDER BY t.doc_id""")),
+
     // SOFT dedup — downweight instead of drop: every doc gets training
     // weight 1/|its near-dup cluster| (singletons 1.0), so each CONTENT
     // is seen with equal total mass without betting on which variant a

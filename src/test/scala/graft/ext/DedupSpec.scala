@@ -122,6 +122,50 @@ class DedupSpec extends SparkSuite {
     assert(kept === Set(1L, 3L))
   }
 
+  test("exactSubstrSpans flags a copied span at ARBITRARY alignment — " +
+      "where block-segment dedup finds nothing — and merges overlapping " +
+      "windows; self-repetition counts") {
+    import org.apache.spark.sql.functions._
+    val aToks = (0 until 30).map(i => s"a$i")
+    // doc 2 copies doc 1's tokens 4..19 (a 16-token span) behind a
+    // 7-token unique prefix — alignments 4 and 7 differ, so no 10-token
+    // BLOCK of one equals a block of the other
+    val bToks = (0 until 7).map(i => s"b$i") ++ aToks.slice(4, 20)
+    // doc 4 repeats its own first 10 tokens — self-duplication
+    val dToks = (0 until 10).map(i => s"x$i")
+    val docs = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, bToks.mkString(" ")),
+      (3L, "totally unrelated words only occurring here once each never repeated at all in corpus"),
+      (4L, (dToks ++ dToks).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(docs, spanLen = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac_r"))))
+      .toMap
+    // shared span: windows at offsets 4..10 in doc 1 (7 windows), union
+    // coverage = 6·1 + 10 = 16 tokens
+    assert(got(1L) === ((30L, 7L, 16L, 0.533333)))
+    assert(got(2L) === ((23L, 7L, 16L, 0.695652)))
+    assert(got(3L) === ((14L, 0L, 0L, 0.0)))
+    // offsets 0 and 10 hold the identical window: gap 10 telescopes to
+    // full coverage
+    assert(got(4L) === ((20L, 2L, 20L, 1.0)))
+    // the contrast that motivates the operator: non-overlapping 10-token
+    // segments see NO repetition in docs 1/2 (misaligned copy)
+    val withToks = docs.where(col("doc_id") <= 2)
+      .select(col("doc_id"),
+        graft.ext.TextOps.wsTokens(lower(col("text"))).as("__toks"))
+    val lines = Dedup.lineDedup(withToks,
+      Dedup.tokenBlockLines(col("__toks")), minDocs = 2).collect()
+    Dedup.releaseAll()
+    lines.foreach { r =>
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_lines"),
+        "segment dedup must miss the misaligned copy")
+    }
+  }
+
   test("softDedupWeights: cluster members weigh 1/|cluster|, singletons 1.0, " +
       "every doc appears exactly once") {
     val out = Dedup.softDedupWeights(docs, threshold = 0.5)
