@@ -508,13 +508,22 @@ object Similarity {
     * guard-the-corpus idiom): zero corpora quantize to all-zero codes
     * instead of NaN, and any corpus with one nonzero component is
     * untouched (s ≥ tiny already). The oracle applies the same floor. */
+  /** The one-row global-scale frame `(s)` [[quantize]] ranks on —
+    * exposed so [[graft.sinks.AnnIndex.build]] can persist the SAME
+    * scalar into its meta table without duplicating the expression
+    * (twin drift between "the scale quantize used" and "the scale the
+    * index stored" would silently skew every append). One row even on
+    * an empty corpus (ungrouped aggregate; greatest skips the null
+    * max → the floor). */
+  def quantizeScale(embeddings: DataFrame): DataFrame =
+    embeddings.select(asDouble(col("embedding")).as("v"))
+      .agg(greatest(max(array_max(transform(col("v"), x => abs(x)))),
+        lit(java.lang.Double.MIN_VALUE)).as("s"))
+
   def quantize(embeddings: DataFrame): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), asDouble(col("embedding")).as("v"))
-    val sc = base.agg(
-      greatest(max(array_max(transform(col("v"), x => abs(x)))),
-        lit(java.lang.Double.MIN_VALUE)).as("s"))
-    base.crossJoin(broadcast(sc))
+    base.crossJoin(broadcast(quantizeScale(embeddings)))
       .select(col("vec_id"), col("v"), col("s"),
         transform(col("v"),
           x => floor(x * lit(127.0) / col("s") + lit(0.5)).cast("tinyint"))

@@ -53,22 +53,29 @@ object AnnIndex {
   private def asD(c: org.apache.spark.sql.Column) = Similarity.asDouble(c)
 
   /** Build the index table from scratch: quantize (global scale),
-    * sample centroids, assign cells, land the bucketed layout. */
+    * sample centroids, assign cells, land the bucketed layout. The code
+    * table is CACHED across its three consumers (centroids write +
+    * both sides of the assignment join) — one corpus quantize pass, not
+    * four. The meta row aggregates [[Similarity.quantizeScale]]
+    * directly, so it exists — and later probes/appends fail loudly on
+    * geometry, not a bare empty-head — even when the corpus is empty
+    * (a `limit(1)` over the empty code table would write a ZERO-row
+    * meta). */
   def build(
       embeddings: DataFrame,
       path: String,
       stride: Int = Similarity.ivfStride,
       buckets: Int = defaultBuckets): Unit = {
-    val q = Similarity.quantize(embeddings) // (vec_id, v, s, qv)
-    q.select(col("s"), lit(stride).as("stride"), lit(buckets).as("buckets"))
-      .limit(1)
+    Similarity.quantizeScale(embeddings)
+      .select(col("s"), lit(stride).as("stride"), lit(buckets).as("buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    val q = graft.ext.Dedup.cached(
+      Similarity.quantize(embeddings).select(col("vec_id"), col("qv")))
     q.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cent_id"), col("qv").as("qcv"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     writeVectors(
-      assignCells(q.select(col("vec_id"), col("qv")),
-        readCentroids(embeddings.sparkSession, path)),
+      assignCells(q, readCentroids(embeddings.sparkSession, path)),
       path, buckets, "overwrite")
   }
 
@@ -112,6 +119,8 @@ object AnnIndex {
     * (cell) column off the bucketed layout. */
   def cellStats(spark: SparkSession, path: String): DataFrame = {
     val occ = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("cell"))
+      .dropDuplicates("vec_id") // the probe path's at-least-once reader rule
       .groupBy("cell").agg(count(lit(1)).as("n"))
     occ.agg(
       count(lit(1)).as("n_cells"),
@@ -135,40 +144,57 @@ object AnnIndex {
   /** Top-k probe for external query vectors `(q_id, q: array<double>)`
     * — already in CODE space (the caller quantized them, or they are
     * index rows' own codes upcast). Output matches
-    * [[Similarity.ivfTopK]]: `(q_id, rank, neighbor_id, sim_r)`. */
+    * [[Similarity.ivfTopK]]: `(q_id, rank, neighbor_id, sim_r)`.
+    *
+    * `excludeSelf` drops candidates with `vec_id == q_id` — ONLY
+    * correct when query ids ARE index vec_ids ([[probe]]'s fixture
+    * parity). External request ids live in their own id space: a
+    * collision with a corpus vec_id is meaningless there, and excluding
+    * it would silently drop a legitimate neighbor — so the default
+    * keeps every candidate.
+    *
+    * Reader contract: the vectors scan `dropDuplicates` on vec_id —
+    * [[BucketedSink.runToTable]]'s appends are at-least-once at the
+    * file level (a crash between a parquet append and its marker
+    * replays the batch), and replayed rows are byte-identical, so the
+    * deterministic-key dedup restores exactly-once at read time. */
   def probeWith(
       spark: SparkSession,
       path: String,
       queries: DataFrame,
       k: Int,
-      nprobe: Int = Similarity.ivfProbes): DataFrame = {
+      nprobe: Int = Similarity.ivfProbes,
+      excludeSelf: Boolean = false): DataFrame = {
+    val meta = readMeta(spark, path) // one bounded driver read per probe
     val cents = readCentroids(spark, path)
     val qw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cent_id"))
-    val probes = queries
+    // cached: the ranking feeds BOTH the driver-side pruning collect and
+    // the candidate join below — |q|·nprobe skinny rows, one computation
+    val probes = graft.ext.Dedup.cached(queries
       .crossJoin(broadcast(cents))
       .withColumn("qsim", Similarity.cosine(col("q"), col("cv")))
       .withColumn("qrn", row_number().over(qw))
       .where(col("qrn") <= nprobe)
-      .select(col("q_id"), col("q"), col("cent_id").as("cell"))
+      .select(col("q_id"), col("q"), col("cent_id").as("cell")))
     // the pruning predicate: probed cells + the directories they hash
     // into, computed in-plan and collected BOUNDED (≤ |q|·nprobe rows —
     // a serving system knows its request's cells driver-side; this is
     // the read that makes a persisted index sublinear)
     val probed = probes
-      .select(col("cell"),
-        pmod(hash(col("cell")), lit(readMeta(spark, path).buckets)).as("b"))
+      .select(col("cell"), pmod(hash(col("cell")), lit(meta.buckets)).as("b"))
       .distinct().collect()
     val cells = probed.map(_.getLong(0))
     val dirs = probed.map(_.getInt(1)).distinct
     val vecs = spark.read.parquet(s"$path/vectors")
       .where(col("cell_bucket").isin(dirs: _*) && col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("qv"), col("cell"))
+      .dropDuplicates("vec_id") // at-least-once appends, identical rows
       .select(col("vec_id"), asD(col("qv")).as("v"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    vecs
-      .join(broadcast(probes), Seq("cell"))
-      .where(col("vec_id") =!= col("q_id"))
+    val cands = vecs.join(broadcast(probes), Seq("cell"))
+    (if (excludeSelf) cands.where(col("vec_id") =!= col("q_id")) else cands)
       .withColumn("sim", Similarity.cosine(col("q"), col("v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -190,8 +216,9 @@ object AnnIndex {
     probeWith(spark, path,
       spark.read.parquet(s"$path/vectors")
         .where(col("vec_id") < numQueries)
+        .select(col("vec_id"), col("qv")).dropDuplicates("vec_id")
         .select(col("vec_id").as("q_id"), asD(col("qv")).as("q")),
-      k, nprobe)
+      k, nprobe, excludeSelf = true) // q_ids ARE vec_ids here
 
   /** `(cell, vec_id)`-keyed cell assignment by quantized-cosine argmax,
     * ties to the lowest cent_id — [[Similarity.ivfTopK]]'s exact
@@ -217,11 +244,14 @@ object AnnIndex {
     spark.read.parquet(s"$path/centroids")
       .select(col("cent_id"), asD(col("qcv")).as("cv"))
 
-  private final case class Meta(s: Double, stride: Int, buckets: Int)
+  // stride stays in the TABLE as format self-description (what geometry
+  // built the frozen centroids) but is not parsed: no consumer may
+  // re-apply it — re-deriving centroids would invalidate every cell.
+  private final case class Meta(s: Double, buckets: Int)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val r = spark.read.parquet(s"$path/meta").head() // bounded: 1 row
-    Meta(r.getAs[Double]("s"), r.getAs[Int]("stride"), r.getAs[Int]("buckets"))
+    Meta(r.getAs[Double]("s"), r.getAs[Int]("buckets"))
   }
 
   // One build per fixture dir per JVM (the ActivitySink.materialized

@@ -82,8 +82,15 @@ private[sinks] object BucketedSink {
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     rewrite(spark.read.parquet(path), tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(hPath, old)
-    fs.rename(tmp, hPath)
+    // Hadoop rename signals most failures by RETURNING FALSE, not
+    // throwing; an unchecked false on the first rename would leave the
+    // live dir in place and the second rename would nest the rewrite
+    // INSIDE it (copy-into-dest fallback) — silent corruption. Abort
+    // loudly instead: a failed swap leaves both complete copies.
+    require(fs.rename(hPath, old),
+      s"compact: rename $hPath -> $old failed; table unchanged, rewrite at $tmp")
+    require(fs.rename(tmp, hPath),
+      s"compact: rename $tmp -> $hPath failed; original preserved at $old")
     fs.delete(old, true)
     ()
   }

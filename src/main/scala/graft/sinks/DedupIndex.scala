@@ -69,8 +69,13 @@ object DedupIndex {
   /** Append a new batch's signatures + bands (they were computed for
     * the probe anyway — indexing the batch afterwards is one more
     * bucketed write, no recompute of anything existing). The two
-    * writes are not atomic together; [[runToIndex]]'s batch markers
-    * fence them as a unit for the streaming path. */
+    * writes are not atomic together, and [[runToIndex]]'s batch marker
+    * only SKIPS fully-committed batches — a crash between the sigs
+    * append and the marker replays the batch, re-appending identical
+    * rows (at-least-once, [[BucketedSink.runToTable]]'s stated
+    * contract). Readers restore exactly-once by deterministic-key
+    * dedup: [[probe]] dedups the sigs scan on doc_id, and its band
+    * candidates are `distinct` by construction. */
   def append(newDocs: DataFrame, path: String): Unit = {
     val buckets = newDocs.sparkSession.read.parquet(s"$path/meta")
       .head().getAs[Int]("buckets") // bounded: 1 row
@@ -86,6 +91,27 @@ object DedupIndex {
       checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
     BucketedSink.runToTable(docs, s"$path/bands", checkpointPath,
       append(_, path))
+
+  /** Compact accumulated appends in BOTH tables back to one-file-per-
+    * bucket clustered files and GC their batch markers — without this a
+    * continuously-ingesting index degrades linearly in batch count (the
+    * small-file problem [[BucketedSink.compact]] exists to solve); same
+    * quiesced-writer contract and crash-safe rename-aside swap. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val buckets = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("buckets") // bounded: 1 row
+    BucketedSink.compact(spark, s"$path/sigs",
+      (df, tmp) => BucketedSink.write(
+        df.drop("doc_bucket").select(col("doc_id"), col("sig")),
+        tmp, col("doc_id"), "doc_bucket", buckets,
+        Seq(col("doc_id").asc), "overwrite"))
+    BucketedSink.compact(spark, s"$path/bands",
+      (df, tmp) => BucketedSink.write(
+        df.drop("band_bucket")
+          .select(col("doc_id"), col("band_id"), col("band_hash")),
+        tmp, col("band_hash"), "band_bucket", buckets,
+        Seq(col("band_hash").asc, col("doc_id").asc), "overwrite"))
+  }
 
   /** Near-dup matches of an incoming batch against the index:
     * `(doc_id, dup_of, sig_agree_r)` — one row per (incoming doc,
@@ -108,6 +134,8 @@ object DedupIndex {
       .select(col("new_id"), col("old_id"))
       .distinct()
     val idxSigs = spark.read.parquet(s"$path/sigs")
+      .select(col("doc_id"), col("sig"))
+      .dropDuplicates("doc_id") // at-least-once appends, identical rows
       .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
     cands
       .join(incoming.select(col("doc_id").as("new_id"), col("sig")), Seq("new_id"))

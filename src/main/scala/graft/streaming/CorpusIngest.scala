@@ -426,10 +426,14 @@ object CorpusIngest {
     * differ exactly where the batch prefix would).
     *
     * Scale: the gate adds one keyed state exchange on `source` —
-    * |sources| state rows total. Source skew is real (one domain can
-    * dominate a crawl) but the per-group work is a counter update, not
-    * a buffer: the skewed task is I/O-bound on the rows it would
-    * shuffle anywhere. */
+    * |sources| state rows total, each ONE long. The in-batch doc_id
+    * normalization DOES buffer each source's slice of the current
+    * micro-batch in the group task (the sort needs the slice
+    * materialized), so under source skew the bound is per-source
+    * micro-batch rows, not a constant — the production lever is the
+    * trigger size (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`),
+    * which caps every group's slice; an arrival-order variant would
+    * drop the buffer at the cost of the batch-twin row identity. */
   def cleanStreamBudget(
       docs: DataFrame,
       probeFps: DataFrame,

@@ -115,6 +115,27 @@ class AnnIndexSpec extends SparkSuite {
       streamed.exists(_._3 % 2 == 1) && streamed.exists(_._3 % 2 == 0))
   }
 
+  test("probeWith: an external query id colliding with a corpus vec_id " +
+      "keeps that vector as a candidate (self-exclusion is opt-in, " +
+      "fixture-parity probe only)") {
+    val path = tmpDir("annidx_ext")
+    AnnIndex.build(embs, path)
+    // an external request whose id happens to equal corpus vec_id 3,
+    // carrying vector 3's own codes: its true nearest neighbor IS
+    // vector 3 (sim 1.0) and must not be silently dropped
+    val q = spark.read.parquet(s"$path/vectors")
+      .where(col("vec_id") === 3)
+      .select(col("vec_id").as("q_id"),
+        transform(col("qv"), x => x.cast("double")).as("q"))
+    val kept = rows(AnnIndex.probeWith(spark, path, q, k = 3))
+    assert(kept.head === ((3L, 1, 3L, 1.0)),
+      "external probe must keep the colliding corpus vector")
+    val excluded = rows(
+      AnnIndex.probeWith(spark, path, q, k = 3, excludeSelf = true))
+    assert(!excluded.exists(_._3 == 3L),
+      "fixture-parity mode must still exclude self")
+  }
+
   test("appends quantize with the FROZEN build-time scale, saturating " +
       "at ±127 for out-of-range components") {
     val path = tmpDir("annidx_sat")

@@ -73,6 +73,32 @@ class DedupIndexSpec extends SparkSuite {
     assert(got((7L, 5L)) === 1.0)
   }
 
+  test("compact after appends preserves probe results exactly and " +
+      "collapses per-append files") {
+    val path = tmpDir("dedupidx_compact")
+    DedupIndex.build(df(0L -> textA, 2L -> textB), path)
+    DedupIndex.append(df(10L -> textNovel), path)
+    Dedup.releaseAll()
+    val batch = df(1L -> textA, 3L -> textBNear, 11L -> textNovel)
+    val before = matches(DedupIndex.probe(batch, path, minAgree = 0.5))
+    Dedup.releaseAll()
+    def bandFiles() = {
+      val dir = new java.io.File(s"$path/bands")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = bandFiles()
+    DedupIndex.compact(spark, path)
+    val after = matches(DedupIndex.probe(batch, path, minAgree = 0.5))
+    Dedup.releaseAll()
+    assert(after === before, "compaction must not change probe results")
+    assert(before.keySet === Set((1L, 0L), (3L, 2L), (11L, 10L)),
+      "probe must see built AND appended docs")
+    assert(bandFiles() <= filesBefore,
+      "compaction must not increase the file count")
+  }
+
   test("streaming ingestion: marker-fenced batches, restart never " +
       "double-indexes (a re-probe after replay finds each doc once)") {
     implicit val sqlCtx = spark.sqlContext
