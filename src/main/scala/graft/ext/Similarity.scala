@@ -627,6 +627,106 @@ object Similarity {
       .orderBy("qid")
   }
 
+  // --------------------------------------------------- binary sign codes
+
+  /** Bit-position weights for one 32-bit word (`1L << i`, i = 0..31) —
+    * a literal array, so the packing fold needs no variable-shift
+    * builtin and stays inside whole-stage codegen. */
+  private val signPowers: Column = array((0 until 32).map(i => lit(1L << i)): _*)
+
+  /** Sign binarization: 64 float dims → 64 sign bits packed into two
+    * 32-bit words (`w0` = dims 1–32, `w1` = dims 33–64, bit i set iff
+    * component > 0). 32× compression over float32 — the most aggressive
+    * rung below [[quantize]]'s int8, and the cheapest possible distance:
+    * Hamming = two XOR+popcount ops per comparison. Deterministic (sign
+    * of a float survives the exact double upcast), so the whole family
+    * keeps full DuckDB oracles. Words stay < 2³² → the packing sum never
+    * overflows and needs no sign-bit care in either engine. */
+  def binarize(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"))
+    def word(lo: Int): Column =
+      aggregate(
+        zip_with(slice(col("v"), lo, 32), signPowers,
+          (x, p) => when(x > lit(0d), p).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b)
+    base.select(col("vec_id"), col("v"), word(1).as("w0"), word(33).as("w1"))
+  }
+
+  /** Brute-force Hamming top-k over the sign codes — [[cosineTopK]]'s
+    * shape at 1/32 the scan bytes: queries broadcast, corpus scanned
+    * once, per-query ranking window (WindowGroupLimit pushes the k-cut
+    * into the sort). Distance is an exact small integer → ties are
+    * common and break by vec_id in both engines. */
+  def binaryTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val b = binarize(embeddings).select("vec_id", "w0", "w1")
+    val q = b.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ham").asc, col("vec_id"))
+    b.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("int"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("ham"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The serving composition: Hamming scan shortlists `k·refineFactor`
+    * candidates, float cosine re-ranks to the final k — TRUE
+    * similarities out, 1/32-cost scan in. The float fetch touches only
+    * |q|·k·refineFactor corpus rows (point lookups against a bucketed
+    * layout at scale). Same provable property as [[quantizedIvfRefine]]:
+    * re-ranked order among surviving candidates is the exact float
+    * order, so recall can only improve over the raw binary ranking. */
+  def binaryRefineTopK(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      refineFactor: Int = 4): DataFrame = {
+    val cands = binaryTopK(embeddings, numQueries, k * refineFactor)
+      .select(col("q_id"), col("neighbor_id"))
+    val base = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .join(broadcast(base.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))), Seq("q_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("q"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Recall@k of the raw binary ranking vs the float exact top-k —
+    * the measured cost of 32× compression, fully deterministic on both
+    * sides so it carries a complete DuckDB oracle (the [[quantizeRecall]]
+    * discipline). */
+  def binaryRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(embeddings, numQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = binaryTopK(embeddings, numQueries, k)
+      .select(col("q_id").as("aq"), col("neighbor_id").as("approx_id"))
+    exact
+      .join(approx,
+        exact("q_id") === col("aq") &&
+          col("neighbor_id") === col("approx_id"),
+        "left")
+      .groupBy(exact("q_id").as("qid"))
+      .agg(round(count(col("approx_id")).cast("double") / k, 6)
+        .as("recall_r"))
+      .orderBy("qid")
+  }
+
   /** Recall@k of the LSH path vs the exact brute force, per query —
     * the honest quality metric for the approximate path. */
   def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {

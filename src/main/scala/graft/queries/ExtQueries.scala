@@ -41,6 +41,18 @@ object ExtQueries {
   // table-probe ≡ in-plan every round.
   // The quantize → centroid → assignment CTE prefix shared by the three
   // index-family oracles (probe, indexed probe, cell stats).
+  // Twin of Similarity.binarize: sign bits packed into two 32-bit words
+  // via a literal-power sum (no variable-shift overflow in either
+  // engine; list_sum's HUGEINT cast back down is exact, words < 2³²).
+  private lazy val binaryCodesCte =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bw AS (SELECT vec_id,
+         list_sum(list_transform(range(1, 33),
+           i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS w0,
+         list_sum(list_transform(range(33, 65),
+           i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END))::BIGINT AS w1
+       FROM e)"""
+
   private lazy val ivfQ8AsgCte =
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
 sc AS (SELECT greatest(max(list_aggregate(list_transform(v0, x -> abs(x)), 'max')), 4.9e-324) AS s FROM e0),
@@ -1910,6 +1922,76 @@ r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
       FROM sx)
 SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
 ORDER BY q_id, rnk""")),
+
+    // Sign-bit binary codes: the compression rung BELOW int8 — 64 dims
+    // → two 32-bit words, 32× smaller than float32, Hamming distance =
+    // two XOR+popcounts. Sign of a float survives the double upcast →
+    // deterministic, full oracles across the family.
+    ("embed_binary_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.binaryTopK(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""$binaryCodesCte,
+q AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM bw WHERE vec_id < 10),
+sx AS (SELECT q.q_id, b.vec_id,
+              (bit_count(xor(b.w0, q.qw0)) + bit_count(xor(b.w1, q.qw1)))::INT AS ham
+       FROM q JOIN bw b ON b.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id AS neighbor_id, ham,
+             row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk
+      FROM sx)
+SELECT q_id, rnk, neighbor_id, ham FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
+    // Hamming shortlist (4·k) → exact float re-rank: true cosines out of
+    // a 1/32-cost scan. Recall provably dominates the raw binary rank.
+    ("embed_binary_refined",
+      (s: SparkSession, d: String) =>
+        Similarity.binaryRefineTopK(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""$binaryCodesCte,
+q AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM bw WHERE vec_id < 10),
+sx AS (SELECT q.q_id, b.vec_id,
+              bit_count(xor(b.w0, q.qw0)) + bit_count(xor(b.w1, q.qw1)) AS ham
+       FROM q JOIN bw b ON b.vec_id <> q.q_id),
+c AS (SELECT q_id, vec_id AS neighbor_id
+      FROM (SELECT q_id, vec_id, row_number() OVER
+              (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk FROM sx) z
+      WHERE rnk <= 40),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+qv AS (SELECT vec_id AS q_id, v AS qvec, nrm AS qn FROM n WHERE vec_id < 10),
+s2 AS (SELECT c.q_id, c.neighbor_id,
+              (${dotSql("qvec", "n.v")}) / (qv.qn * n.nrm) AS sim
+       FROM c JOIN qv USING (q_id) JOIN n ON n.vec_id = c.neighbor_id),
+r2 AS (SELECT q_id, neighbor_id, round(sim, 6) AS sim_r,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+       FROM s2)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r2 WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
+    // Measured recall@10 of the raw binary ranking vs float exact —
+    // the honest price of 32× compression, deterministic both sides.
+    ("embed_binary_recall",
+      (s: SparkSession, d: String) =>
+        Similarity.binaryRecall(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""$binaryCodesCte,
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qvec, nrm AS qn FROM n WHERE vec_id < 10),
+sx AS (SELECT q.q_id, n.vec_id, (${dotSql("qvec", "n.v")}) / (q.qn * n.nrm) AS sim
+       FROM q JOIN n ON n.vec_id <> q.q_id),
+ex AS (SELECT q_id, vec_id AS neighbor_id
+       FROM (SELECT q_id, vec_id, row_number() OVER
+               (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM sx) z
+       WHERE rnk <= 10),
+bq AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM bw WHERE vec_id < 10),
+bs AS (SELECT bq.q_id, b.vec_id,
+              bit_count(xor(b.w0, bq.qw0)) + bit_count(xor(b.w1, bq.qw1)) AS ham
+       FROM bq JOIN bw b ON b.vec_id <> bq.q_id),
+ap AS (SELECT q_id, vec_id AS approx_id
+       FROM (SELECT q_id, vec_id, row_number() OVER
+               (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk FROM bs) z
+       WHERE rnk <= 10)
+SELECT ex.q_id AS qid,
+       round(count(ap.approx_id)::DOUBLE / 10, 6) AS recall_r
+FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.neighbor_id = ap.approx_id
+GROUP BY ex.q_id ORDER BY qid""")),
 
     // The composed 100 TB ANN: IVF sublinear probes over int8 codes —
     // both parents deterministic, so the composition keeps the full

@@ -46,6 +46,32 @@ object ParityQueries {
   private def followEdges(spark: SparkSession, dir: String): DataFrame =
     CdcEnvelope.admitted(CdcSource.followers(CdcSource.events(spark, dir)))
 
+  /** All four CDC tables as one keyed change stream — `pk = id % 250`
+    * folds the synthetic id space so keys genuinely see multiple
+    * versions (shared by `cdc_current_state` / `cdc_scd2` /
+    * `cdc_state_at`; twin of the oracle `u`/`k` CTEs). */
+  private def cdcKeyed(spark: SparkSession, dir: String): DataFrame = {
+    val (l, c, sh, f) = CdcSource.all(spark, dir)
+    Seq(l, c, sh, f)
+      .map(_.select(col("__source_table").as("tbl"), col("id"),
+        col("__op"), col("__source_ts_ms").as("ts_ms")))
+      .reduce(_ unionByName _)
+      .withColumn("pk", pmod(col("id"), lit(250)))
+  }
+
+  /** The SCD2 interval CTE both temporal oracles share (twin of
+    * [[graft.ingest.Scd2.history]] over [[cdcKeyed]]'s stream). */
+  private val scd2Ctes =
+    """, u AS (
+  SELECT 'likes' AS tbl, id, __op, ts_ms FROM likes_cdc
+  UNION ALL SELECT 'comments', id, __op, ts_ms FROM comments_cdc
+  UNION ALL SELECT 'shards', id, __op, ts_ms FROM shards_cdc
+  UNION ALL SELECT 'followers', id, __op, ts_ms FROM followers_cdc),
+h AS (SELECT tbl, id % 250 AS pk, id, __op, ts_ms,
+             lead(ts_ms) OVER (PARTITION BY tbl, id % 250
+                               ORDER BY ts_ms, id) AS valid_to_ms
+      FROM u)"""
+
   private val feedUid = "1"
   private val feedSql =
     s"""FROM activity
@@ -285,12 +311,7 @@ GROUP BY a.follower_id ORDER BY a.follower_id"""))),
     // keys genuinely see multiple versions and latest-wins is exercised.
     ("cdc_current_state",
       (s: SparkSession, d: String) => {
-        val (l, c, sh, f) = CdcSource.all(s, d)
-        val u = Seq(l, c, sh, f)
-          .map(_.select(col("__source_table").as("tbl"), col("id"),
-            col("__op"), col("__source_ts_ms").as("ts_ms")))
-          .reduce(_ unionByName _)
-          .withColumn("pk", pmod(col("id"), lit(250)))
+        val u = cdcKeyed(s, d)
         graft.ingest.CurrentState
           .currentState(u, Seq("tbl", "pk"), "ts_ms", tieBreak = Seq("id"))
           .select(col("tbl"), col("pk"), col("id").as("latest_id"),
@@ -371,7 +392,54 @@ ORDER BY user_id, rn"""))),
     ("feed_influence_personalized",
       (s: SparkSession, d: String) =>
         graft.serve.Influence.personalizedPageRank(followEdges(s, d)),
-      Some(OracleCte.withCdc(personalizedInfluenceSql(10))))
+      Some(OracleCte.withCdc(personalizedInfluenceSql(10)))),
+
+    // §2.10 extended: SCD Type-2 history — every c/u event becomes a
+    // validity interval, deletes close without reopening. The temporal
+    // complement of cdc_current_state (graft.ingest.Scd2): one keyed
+    // window pass, append-friendly at scale.
+    ("cdc_scd2",
+      (s: SparkSession, d: String) =>
+        graft.ingest.Scd2
+          .history(cdcKeyed(s, d), Seq("tbl", "pk"), "ts_ms", "__op",
+            tieBreak = Seq("id"))
+          .select(col("tbl"), col("pk"), col("id").as("version_id"),
+            col("__op").as("op"), col("valid_from").as("valid_from_ms"),
+            col("valid_to").as("valid_to_ms"),
+            col("is_current").cast("int").as("is_current"))
+          .orderBy("tbl", "pk", "valid_from_ms", "version_id"),
+      Some(OracleCte.withCdc(
+        s"""$scd2Ctes
+SELECT tbl, pk, id AS version_id, __op AS op, ts_ms AS valid_from_ms,
+       valid_to_ms, (valid_to_ms IS NULL)::INT AS is_current
+FROM h WHERE __op <> 'd'
+ORDER BY tbl, pk, valid_from_ms, version_id"""))),
+
+    // Point-in-time reconstruction over the SCD2 table: the state AS OF
+    // the corpus mid-time ((min+max) div 2, a broadcast scalar computed
+    // from the same stream — no wall-clock in the query). Half-open
+    // [from, to) semantics make stateAt(max ts) ≡ cdc_current_state
+    // (Scd2Spec pins it).
+    ("cdc_state_at",
+      (s: SparkSession, d: String) => {
+        val u = cdcKeyed(s, d)
+        val h = graft.ingest.Scd2
+          .history(u, Seq("tbl", "pk"), "ts_ms", "__op", tieBreak = Seq("id"))
+        val mid = u.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("t_mid"))
+        graft.ingest.Scd2.stateAt(h.crossJoin(broadcast(mid)), col("t_mid"))
+          .select(col("tbl"), col("pk"), col("id").as("version_id"),
+            col("__op").as("op"), col("valid_from").as("valid_from_ms"),
+            col("t_mid"))
+          .orderBy("tbl", "pk")
+      },
+      Some(OracleCte.withCdc(
+        s"""$scd2Ctes,
+tm AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_mid FROM u)
+SELECT tbl, pk, id AS version_id, __op AS op, ts_ms AS valid_from_ms, t_mid
+FROM h CROSS JOIN tm
+WHERE __op <> 'd' AND ts_ms <= t_mid
+  AND (valid_to_ms IS NULL OR valid_to_ms > t_mid)
+ORDER BY tbl, pk""")))
   )
 
   /** The follow-graph CTE block both influence oracles share (twin of
