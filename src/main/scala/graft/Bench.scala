@@ -48,10 +48,20 @@ object Bench {
     // build the K1 activity table and the ANN index for the bench SF
     // outside the timed region: both are one-time write-path costs, not
     // serve-path costs (the indexed probe query measures PROBING, which
-    // is the point of a persisted index)
-    graft.sinks.ActivitySink.materialized(spark, sfDir)
-    graft.sinks.AnnIndex.materialized(spark, sfDir)
-    graft.sinks.DedupIndex.materialized(spark, sfDir)
+    // is the point of a persisted index).
+    // Each warm-up is individually guarded (VERDICT r8 item 2): in r8 an
+    // unguarded materialized() escaped, killed the run before any timing
+    // printed, and zeroed the round's entire perf signal. A failed warm-up
+    // now only means its dependent queries fail inside force() (-1.0,
+    // excluded from the total) while everything else still reports.
+    def warmUp(label: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up $label failed: ${e.getMessage}")
+      }
+    warmUp("activity-sink")(graft.sinks.ActivitySink.materialized(spark, sfDir))
+    warmUp("ann-index")(graft.sinks.AnnIndex.materialized(spark, sfDir))
+    warmUp("dedup-index")(graft.sinks.DedupIndex.materialized(spark, sfDir))
     graft.ext.Dedup.releaseAll()
     // warm the bench SF's parquet bytes into the OS page cache so the
     // timed pass measures engine work, not which query first touches a

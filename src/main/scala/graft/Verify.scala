@@ -27,6 +27,12 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // Failures must be VISIBLE to the driver (VERDICT r8 item 3): a query
+    // that throws used to just never write its output dir, and the driver
+    // silently dropped it from CORRECTNESS (r8: 39 absences instead of 39
+    // err rows). Collect per-query messages and write errors.json beside
+    // oracle_sql.json so a regression shows up as an explicit failure.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -35,6 +41,8 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors.put(name,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
         }
       }
     }
@@ -58,6 +66,14 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so its absence vs emptiness
+    // is itself a signal; one entry per failed query.
+    val errJson = {
+      import scala.jdk.CollectionConverters._
+      errors.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

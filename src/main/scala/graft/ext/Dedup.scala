@@ -155,6 +155,27 @@ object Dedup {
   def signed(sh: DataFrame): DataFrame =
     sh.withColumn("sig", graft.expr.MinHashSignature(col("sh"), numHashes))
 
+  /** [[shingled]] with the md5-derived [[portableTokenHash]] as the
+    * element hash instead of the fused xxhash64 — the same trade
+    * `near_dup_simhash` makes: md5 is defined identically in every
+    * engine, so signatures built downstream (MinHash minima are
+    * splitmix64 mixes of these hashes — integer-exact everywhere) are
+    * reproducible in DuckDB, which is what lets the persisted-index
+    * probe `dedup_incremental_indexed` carry a FULL oracle instead of a
+    * rows-only check. The shingle strings here materialize briefly
+    * inside one projection (the fused path never builds them); identical
+    * distinct-3-gram semantics. */
+  def shingledPortable(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val shingleStrs = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"),
+      transform(shingleStrs, s => portableTokenHash(s)).as("sh"))
+  }
+
   /** Candidate pairs from LSH banding: docs sharing any (band_id, band hash)
     * bucket. Returns distinct (doc_a < doc_b) id pairs only — the scalable
     * shape: wide arrays stay out of the shuffle. */

@@ -2430,9 +2430,16 @@ ORDER BY src_a, src_b""")),
     // doc_id-odd half probed against the indexed even half — the
     // production question ("is this new batch a near-dup of the corpus
     // I already hold?") answered from 768-byte signatures + 24-byte
-    // band rows, never a corpus text rescan. Signature-hash-specific →
-    // rows-only; DedupIndexSpec pins planted exact/near/novel behavior
-    // and the agreement-vs-true-Jaccard error.
+    // band rows, never a corpus text rescan. The materialized index is
+    // built in PORTABLE hash mode (md5-derived shingle hashes; the
+    // near_dup_simhash precedent), so the oracle rebuilds the exact
+    // splitmix64 MinHash minima in SQL — 64-bit wraparound via 32-bit
+    // limb products in HUGEINT — and the probe carries a FULL oracle
+    // (VERDICT r8 item 7). Band candidates compare the minima triples
+    // directly where Spark compares their murmur hash: identical modulo
+    // 64-bit hash collisions (immaterial, same caveat as
+    // near_dup_jaccard). DedupIndexSpec additionally pins planted
+    // exact/near/novel behavior and the agreement-vs-true-Jaccard error.
     ("dedup_incremental_indexed",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
@@ -2440,7 +2447,52 @@ ORDER BY src_a, src_b""")),
           docs(s, d).where(pmod(col("doc_id"), lit(2)) === 1),
           graft.sinks.DedupIndex.materialized(s, d))
       },
-      None),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+th AS (SELECT doc_id,
+        CAST('0x' || substring(md5(g), 1, 8) AS UBIGINT) * 4294967296
+        + CAST('0x' || substring(md5(g), 9, 8) AS UBIGINT) AS h FROM e),
+js AS (SELECT unnest(range(96)) AS j),
+z0 AS (SELECT doc_id, j,
+        ((h::HUGEINT + j::HUGEINT * 11400714819323198485)
+          % 18446744073709551616)::UBIGINT AS z FROM th CROSS JOIN js),
+z1 AS (SELECT doc_id, j,
+        (((xor(z, z >> 30) % 4294967296)::HUGEINT * 13787848793156543929
+          + (((xor(z, z >> 30) // 4294967296)::HUGEINT
+              * 13787848793156543929) % 4294967296) * 4294967296)
+          % 18446744073709551616)::UBIGINT AS z FROM z0),
+z2 AS (SELECT doc_id, j,
+        (((xor(z, z >> 27) % 4294967296)::HUGEINT * 10723151780598845931
+          + (((xor(z, z >> 27) // 4294967296)::HUGEINT
+              * 10723151780598845931) % 4294967296) * 4294967296)
+          % 18446744073709551616)::UBIGINT AS z FROM z1),
+z3 AS (SELECT doc_id, j, xor(z, z >> 31) AS z FROM z2),
+mn AS (SELECT doc_id, j,
+        min(CASE WHEN z >= 9223372036854775808
+                 THEN (z::HUGEINT - 18446744073709551616)::BIGINT
+                 ELSE z::BIGINT END) AS m
+       FROM z3 GROUP BY doc_id, j),
+grid AS (SELECT d.doc_id, js.j
+         FROM (SELECT doc_id FROM documents) d CROSS JOIN js),
+sig AS (SELECT grid.doc_id, grid.j,
+         coalesce(mn.m, 9223372036854775807) AS m
+        FROM grid LEFT JOIN mn
+          ON mn.doc_id = grid.doc_id AND mn.j = grid.j),
+bnd AS (SELECT doc_id, j // 3 AS band_id,
+         string_agg(m::VARCHAR, ',' ORDER BY j) AS bk
+        FROM sig GROUP BY doc_id, j // 3),
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         FROM bnd a JOIN bnd b ON a.band_id = b.band_id AND a.bk = b.bk
+         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+agr AS (SELECT c.new_id, c.old_id,
+         sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::DOUBLE / 96 AS agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.new_id
+        JOIN sig sb ON sb.doc_id = c.old_id AND sb.j = sa.j
+        GROUP BY c.new_id, c.old_id)
+SELECT new_id AS doc_id, old_id AS dup_of, round(agree, 6) AS sig_agree_r
+FROM agr WHERE agree >= 0.8 ORDER BY doc_id, dup_of""")),
 
     // The sketch scale path for the same matrix (VERDICT r7 item 7):
     // bottom-k (KMV) min-shingle-hash sketches bound the pair cost at
@@ -2451,6 +2503,35 @@ ORDER BY src_a, src_b""")),
       (s: SparkSession, d: String) =>
         TextAnalysis.sourceOverlapSketch(docs(s, d)),
       None),
+
+    // The same sketch pipeline pinned in its provably-EXACT regime
+    // (VERDICT r8 item 8): with k ≥ every source's distinct-shingle
+    // count (fixture max: ~10.9k at sf0.1 < 16384), each bottom-k sketch
+    // IS its complete hash set — the prefilter threshold degenerates to
+    // MaxValue, the row_number cap never trims, and the estimate becomes
+    // exact containment of the smaller set. The oracle computes that
+    // containment on the shingle STRINGS (equal modulo 64-bit xxhash
+    // collisions, the near_dup_jaccard caveat) — so the sketch code path
+    // (prefilter, cap, sample/hits logic) gets a full DuckDB row while
+    // k=256 production estimates stay declared-approximate.
+    ("source_overlap_sketch_exact",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sourceOverlapSketch(docs(s, d), k = 16384),
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+sh AS (SELECT source, $shinglesSql AS sh FROM t),
+g AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh),
+sz AS (SELECT source, count(*)::BIGINT AS n_sh FROM g GROUP BY source),
+p AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source)
+SELECT x.source AS src_a, y.source AS src_b,
+       x.n_sh AS n_a, y.n_sh AS n_b,
+       least(x.n_sh, y.n_sh)::INT AS support,
+       round(coalesce(p.n_common, 0)::DOUBLE / least(x.n_sh, y.n_sh), 6)
+         AS containment_est_r
+FROM sz x JOIN sz y ON x.source < y.source
+LEFT JOIN p ON p.src_a = x.source AND p.src_b = y.source
+ORDER BY src_a, src_b""")),
 
     // PII scan completing pii_scrub's email/URL gate with phone + IPv4:
     // patterns live in the Java-regex ∩ RE2 common subset so both

@@ -46,8 +46,17 @@ object DedupIndex {
     * estimates (E[agree] = J, σ = √(J(1−J)/96) ≈ 0.04 at J=0.8). */
   val defaultMinAgree = 0.8
 
-  private def signedOf(docs: DataFrame): DataFrame =
-    Dedup.signed(Dedup.shingled(docs)).select(col("doc_id"), col("sig"))
+  /** `portable = false` (production): fused xxhash64 shingle hashing
+    * ([[Dedup.shingled]]) — fastest, Spark-only hash. `portable = true`:
+    * md5-derived element hashes ([[Dedup.shingledPortable]]) whose
+    * downstream splitmix64 minima are bit-exactly reproducible in DuckDB
+    * — the mode the registered `dedup_incremental_indexed` query uses so
+    * the driver can full-oracle the probe path. Build and probe MUST use
+    * the same mode (meta records it). */
+  private def signedOf(docs: DataFrame, portable: Boolean): DataFrame =
+    Dedup.signed(
+      if (portable) Dedup.shingledPortable(docs) else Dedup.shingled(docs))
+      .select(col("doc_id"), col("sig"))
 
   private def writeTables(
       signed: DataFrame, path: String, buckets: Int, mode: String): Unit = {
@@ -60,10 +69,13 @@ object DedupIndex {
 
   /** Build the index from scratch over a corpus `(doc_id, text, …)`. */
   def build(
-      docs: DataFrame, path: String, buckets: Int = defaultBuckets): Unit = {
-    docs.sparkSession.range(1).select(lit(buckets).as("buckets"))
+      docs: DataFrame, path: String, buckets: Int = defaultBuckets,
+      portable: Boolean = false): Unit = {
+    docs.sparkSession.range(1).select(lit(buckets).as("buckets"),
+      lit(portable).as("portable"))
       .write.mode("overwrite").parquet(s"$path/meta")
-    writeTables(Dedup.cached(signedOf(docs)), path, buckets, "overwrite")
+    writeTables(Dedup.cached(signedOf(docs, portable)), path, buckets,
+      "overwrite")
   }
 
   /** Append a new batch's signatures + bands (they were computed for
@@ -77,10 +89,17 @@ object DedupIndex {
     * dedup: [[probe]] dedups the sigs scan on doc_id, and its band
     * candidates are `distinct` by construction. */
   def append(newDocs: DataFrame, path: String): Unit = {
-    val buckets = newDocs.sparkSession.read.parquet(s"$path/meta")
-      .head().getAs[Int]("buckets") // bounded: 1 row
-    writeTables(Dedup.cached(signedOf(newDocs)), path, buckets, "append")
+    val meta = newDocs.sparkSession.read.parquet(s"$path/meta")
+      .head() // bounded: 1 row
+    writeTables(
+      Dedup.cached(signedOf(newDocs, metaPortable(meta))),
+      path, meta.getAs[Int]("buckets"), "append")
   }
+
+  /** `portable` from a meta row; absent on pre-flag indexes -> false. */
+  private def metaPortable(meta: org.apache.spark.sql.Row): Boolean =
+    meta.schema.fieldNames.contains("portable") &&
+      meta.getAs[Boolean]("portable")
 
   /** Streaming ingestion: marker-fenced, checkpointed micro-batch
     * appends per [[BucketedSink.runToTable]] — each batch's sigs+bands
@@ -124,7 +143,8 @@ object DedupIndex {
       path: String,
       minAgree: Double = defaultMinAgree): DataFrame = {
     val spark = newDocs.sparkSession
-    val incoming = Dedup.cached(signedOf(newDocs))
+    val incoming = Dedup.cached(signedOf(newDocs,
+      metaPortable(spark.read.parquet(s"$path/meta").head())))
     val newBands = Dedup.banded(incoming)
       .select(col("doc_id").as("new_id"), col("band_id"), col("band_hash"))
     val idxBands = spark.read.parquet(s"$path/bands")
@@ -165,13 +185,16 @@ object DedupIndex {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build-once path for a fixture dir, indexing the doc_id-even half
-    * of `documents`; `dedup_incremental_indexed` probes the odd half. */
+    * of `documents`; `dedup_incremental_indexed` probes the odd half.
+    * Built in PORTABLE hash mode so the probe carries a full DuckDB
+    * oracle (the splitmix64 minima over md5-derived shingle hashes are
+    * reproducible in SQL; VERDICT r8 item 7). */
   def materialized(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir, { _ =>
       val path =
         s"${sys.props("java.io.tmpdir")}/graft_dedupindex_${math.abs(sfDir.hashCode)}"
       build(graft.sources.Tables(spark, sfDir, "documents")
-        .where(pmod(col("doc_id"), lit(2)) === 0), path)
+        .where(pmod(col("doc_id"), lit(2)) === 0), path, portable = true)
       path
     })
 }

@@ -57,6 +57,30 @@ class DedupIndexSpec extends SparkSuite {
     assert(novel === Seq(5L))
   }
 
+  test("portable hash mode: same match set and exact-copy agreement as " +
+      "the xxhash64 mode; meta records the mode so append/probe follow") {
+    val path = tmpDir("dedupidx_portable")
+    DedupIndex.build(df(0L -> textA, 2L -> textB), path, portable = true)
+    val batch = df(1L -> textA, 3L -> textBNear, 5L -> textNovel)
+    val got = matches(DedupIndex.probe(batch, path, minAgree = 0.5))
+    Dedup.releaseAll()
+    // same planted structure as the default-mode test: the exact copy at
+    // 1.0, the near-dup near its true Jaccard, the novel doc absent —
+    // only the element-hash family differs, so agreement values may move
+    // within the MinHash σ but the decision set must not
+    assert(got.keySet === Set((1L, 0L), (3L, 2L)), s"match set: $got")
+    assert(got((1L, 0L)) === 1.0)
+    assert(math.abs(got((3L, 2L)) - 35.0 / 41.0) <= 0.15)
+    // append inherits the recorded mode: an appended doc's exact copy
+    // probes at 1.0, which can only happen if both sides signed with the
+    // same (portable) hash family
+    DedupIndex.append(df(5L -> textNovel), path)
+    Dedup.releaseAll()
+    val got2 = matches(DedupIndex.probe(df(7L -> textNovel), path))
+    Dedup.releaseAll()
+    assert(got2.get((7L, 5L)) === Some(1.0))
+  }
+
   test("append-then-probe: the indexed batch's docs are now matchable " +
       "without any rebuild") {
     val path = tmpDir("dedupidx_append")
