@@ -165,16 +165,11 @@ object Dedup {
     * rows-only check. The shingle strings here materialize briefly
     * inside one projection (the fused path never builds them); identical
     * distinct-3-gram semantics. */
-  def shingledPortable(docs: DataFrame): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
-    val shingleStrs = when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"),
-      transform(shingleStrs, s => portableTokenHash(s)).as("sh"))
-  }
+  def shingledPortable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.expr.PortableShingleHashes(wsTokens(lower(col("text"))), 3)
+        .as("sh"))
 
   /** Candidate pairs from LSH banding: docs sharing any (band_id, band hash)
     * bucket. Returns distinct (doc_a < doc_b) id pairs only — the scalable

@@ -2533,6 +2533,133 @@ FROM sz x JOIN sz y ON x.source < y.source
 LEFT JOIN p ON p.src_a = x.source AND p.src_b = y.source
 ORDER BY src_a, src_b""")),
 
+    // BM25 top-k retrieval against the PERSISTED inverted index
+    // (sinks/TextIndex) — the lexical member of the persisted-index
+    // family (AnnIndex dense, DedupIndex near-dup). Queries are the
+    // 8-token prefixes of every 50th document; the probe reads only the
+    // term-bucket dirs the query terms hash into and computes exact df
+    // from those postings. Scores follow the Lm decimal discipline
+    // (per-term BM25 truncated to DECIMAL(28,12) before the order-free
+    // sum), so the oracle reproduces them bit-for-bit; constants are
+    // decimal literals in both engines.
+    ("bm25_topk_indexed",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val qs = docs(s, d).where(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(
+              slice(graft.ext.TextOps.wsTokens(lower(col("text"))), 1, 8),
+              " ").as("qtext"))
+        graft.sinks.TextIndex.bm25TopK(qs,
+          graft.sinks.TextIndex.materialized(s, d), k = 10)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+post AS (SELECT doc_id, unnest(toks) AS term FROM t),
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM post GROUP BY term, doc_id),
+dlen AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dlen),
+q AS (SELECT doc_id AS query_id, list_distinct(toks[1:8]) AS qt
+      FROM t WHERE doc_id % 50 = 0),
+qt AS (SELECT query_id, unnest(qt) AS term FROM q),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM p
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+sc AS (SELECT qt.query_id, p.doc_id,
+        CAST(ln(1.0 + (st.n_docs::DOUBLE - dfs.df::DOUBLE + 0.5)
+                      / (dfs.df::DOUBLE + 0.5))
+             * ((p.tf::DOUBLE * 2.2)
+                / (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+                    (dlen.dl::DOUBLE
+                     / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))))
+          AS DECIMAL(28,12)) AS term_score
+       FROM qt JOIN p ON p.term = qt.term
+       JOIN dfs ON dfs.term = qt.term
+       JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN st),
+agg AS (SELECT query_id, doc_id, sum(term_score) AS score
+        FROM sc GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, score,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS rank
+      FROM agg)
+SELECT query_id, rank, doc_id, round(score::DOUBLE, 6) AS score_r
+FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // Hybrid sparse+dense retrieval: the BM25 run above fused with an
+    // exact dense cosine run by Reciprocal Rank Fusion (1/(60+rank),
+    // Cormack et al. SIGIR'09) — the standard RAG retrieval shape. Both
+    // runs take top-20 candidates, the fused list keeps top-10. Integer
+    // ranks → each reciprocal is one IEEE division and the two-term sum
+    // has fixed association, so the fused scores are bit-exact in both
+    // engines.
+    ("hybrid_topk_rrf",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val qs = docs(s, d).where(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(
+              slice(graft.ext.TextOps.wsTokens(lower(col("text"))), 1, 8),
+              " ").as("qtext"))
+        val e = embs(s, d)
+        val qv = e.where(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("query_id"),
+            graft.ext.Similarity.asDouble(col("embedding")).as("qv"))
+        val cv = e.select(col("vec_id"),
+          graft.ext.Similarity.asDouble(col("embedding")).as("v"))
+        graft.sinks.TextIndex.hybridRrfTopK(qs, qv, cv,
+          graft.sinks.TextIndex.materialized(s, d), k = 10, kPerRun = 20)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+post AS (SELECT doc_id, unnest(toks) AS term FROM t),
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM post GROUP BY term, doc_id),
+dlen AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dlen),
+q AS (SELECT doc_id AS query_id, list_distinct(toks[1:8]) AS qt
+      FROM t WHERE doc_id % 50 = 0),
+qt AS (SELECT query_id, unnest(qt) AS term FROM q),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM p
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+sc AS (SELECT qt.query_id, p.doc_id,
+        CAST(ln(1.0 + (st.n_docs::DOUBLE - dfs.df::DOUBLE + 0.5)
+                      / (dfs.df::DOUBLE + 0.5))
+             * ((p.tf::DOUBLE * 2.2)
+                / (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+                    (dlen.dl::DOUBLE
+                     / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))))
+          AS DECIMAL(28,12)) AS term_score
+       FROM qt JOIN p ON p.term = qt.term
+       JOIN dfs ON dfs.term = qt.term
+       JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN st),
+agg AS (SELECT query_id, doc_id, sum(term_score) AS score
+        FROM sc GROUP BY query_id, doc_id),
+lexr AS (SELECT query_id, doc_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS lex_rank
+         FROM agg),
+lex AS (SELECT query_id, doc_id, lex_rank FROM lexr WHERE lex_rank <= 20),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+qv AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn
+       FROM n WHERE vec_id % 50 = 0),
+ds AS (SELECT qv.query_id, n.vec_id AS doc_id,
+        (${dotSql("qvec", "v")}) / (qv.qn * n.nrm) AS sim
+       FROM qv CROSS JOIN n),
+dsr AS (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id) AS dense_rank
+        FROM ds),
+dr AS (SELECT query_id, doc_id, dense_rank FROM dsr WHERE dense_rank <= 20),
+f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       coalesce(l.doc_id, d.doc_id) AS doc_id,
+       coalesce(1.0 / (60.0 + l.lex_rank::DOUBLE), 0.0)
+         + coalesce(1.0 / (60.0 + d.dense_rank::DOUBLE), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN dr d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+r AS (SELECT query_id, doc_id, rrf,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY rrf DESC, doc_id) AS rank
+      FROM f)
+SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_r
+FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // PII scan completing pii_scrub's email/URL gate with phone + IPv4:
     // patterns live in the Java-regex ∩ RE2 common subset so both
     // engines match byte-identically; the fixture corpus is PII-free by

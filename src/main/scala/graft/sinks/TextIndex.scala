@@ -1,0 +1,262 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index + BM25 retrieval — the LEXICAL member
+  * of the persisted-index family ([[AnnIndex]] dense vectors,
+  * [[DedupIndex]] near-dup signatures, this one term postings). A
+  * training-data / RAG pipeline asks "which corpus documents match this
+  * query batch?" continuously; re-deriving term statistics per query
+  * batch would rescan the corpus, so the index lands them ONCE and
+  * serves forever, same build/append/probe/compact lifecycle as its
+  * siblings.
+  *
+  * The reference has no retrieval tier at all (its only read path is
+  * the feed's partition-key lookup, app/main.py:129-140); this is the
+  * text-side capability a corpus engine needs that the reference's
+  * serving store cannot express.
+  *
+  * Layout under `path`:
+  *  - `meta/` — one row: bucket count.
+  *  - `postings/` — `(term, doc_id, tf)` bucketed
+  *    `pmod(hash(term), buckets)`, files sorted (term, doc_id): the
+  *    classic inverted file. A probe for |T| terms reads only the
+  *    term-bucket directories those terms hash into — at 100 TB the
+  *    scan is proportional to the probed terms' postings, never the
+  *    corpus.
+  *  - `doclens/` — `(doc_id, dl)` bucketed by doc_id: the BM25 length
+  *    normalizer. One skinny row per document.
+  *
+  * Scoring is classic BM25 (Robertson et al., TREC-3; k1 = 1.2,
+  * b = 0.75) with Lucene's non-negative idf `ln(1 + (N−df+0.5)/(df+0.5))`.
+  * Cross-engine determinism follows [[graft.ext.Lm]]'s discipline: each
+  * per-term score truncates to DECIMAL(28,12) BEFORE the per-(query,doc)
+  * sum, so aggregation is exact and order-free and the DuckDB oracle
+  * reproduces scores bit-for-bit; ties rank by doc_id.
+  *
+  * df is computed AT PROBE TIME from the probed terms' own postings
+  * (they are all present in the pruned scan by construction) — exact
+  * global document frequency without a separate terms table to keep
+  * transactionally consistent across appends.
+  */
+object TextIndex {
+
+  val defaultBuckets = 32
+  val k1 = 1.2
+  val b = 0.75
+
+  /** Whitespace tokens of lowercased text — the corpus-wide convention
+    * ([[graft.ext.TextOps.wsTokens]]; DuckDB twin `string_split_regex`). */
+  private def toks(text: org.apache.spark.sql.Column) =
+    graft.ext.TextOps.wsTokens(lower(text))
+
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  private def doclensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+
+  private def writeTables(
+      docs: DataFrame, path: String, buckets: Int, mode: String): Unit = {
+    BucketedSink.write(postingsOf(docs), s"$path/postings", col("term"),
+      "term_bucket", buckets, Seq(col("term").asc, col("doc_id").asc), mode)
+    BucketedSink.write(doclensOf(docs), s"$path/doclens", col("doc_id"),
+      "doc_bucket", buckets, Seq(col("doc_id").asc), mode)
+  }
+
+  /** Build the index from scratch over a corpus `(doc_id, text, …)`. */
+  def build(
+      docs: DataFrame, path: String, buckets: Int = defaultBuckets): Unit = {
+    docs.sparkSession.range(1).select(lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    writeTables(docs, path, buckets, "overwrite")
+  }
+
+  /** Append a new batch of documents (doc_ids disjoint from indexed
+    * ones — the ingest contract shared with [[AnnIndex]]/[[DedupIndex]]).
+    * Postings merge by construction: a term's new `(term, doc_id, tf)`
+    * rows land in the same term-bucket directory its existing rows
+    * occupy, and probe-time df/N/avgdl read the union — appended docs
+    * are retrievable immediately, no rebuild, no stats refresh step. */
+  def append(newDocs: DataFrame, path: String): Unit = {
+    val buckets = newDocs.sparkSession.read.parquet(s"$path/meta")
+      .head().getAs[Int]("buckets") // bounded: 1 row
+    writeTables(newDocs, path, buckets, "append")
+  }
+
+  /** Streaming ingestion: marker-fenced, checkpointed micro-batch
+    * appends per [[BucketedSink.runToTable]]. */
+  def runToIndex(
+      docs: DataFrame,
+      path: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    BucketedSink.runToTable(docs, s"$path/postings", checkpointPath,
+      append(_, path))
+
+  /** Compact accumulated appends back to one-file-per-bucket clustered
+    * files in both tables ([[BucketedSink.compact]] small-file GC). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val buckets = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("buckets") // bounded: 1 row
+    BucketedSink.compact(spark, s"$path/postings",
+      (df, tmp) => BucketedSink.write(
+        df.drop("term_bucket").select(col("term"), col("doc_id"), col("tf")),
+        tmp, col("term"), "term_bucket", buckets,
+        Seq(col("term").asc, col("doc_id").asc), "overwrite"))
+    BucketedSink.compact(spark, s"$path/doclens",
+      (df, tmp) => BucketedSink.write(
+        df.drop("doc_bucket").select(col("doc_id"), col("dl")),
+        tmp, col("doc_id"), "doc_bucket", buckets,
+        Seq(col("doc_id").asc), "overwrite"))
+  }
+
+  /** BM25 top-k over the index for a query batch `(query_id, qtext)` →
+    * `(query_id, rank, doc_id, score_r)`.
+    *
+    * Probe shape at scale: the batch's distinct terms broadcast to a
+    * postings scan PRUNED to the term-bucket directories those terms
+    * hash into — the driver-side `collect()` is bounded by the distinct
+    * bucket ids (≤ buckets values, ≤ |query terms| rows), the
+    * serving-side pruning read that makes a persisted index sublinear
+    * (same bounded-collect contract as [[AnnIndex.probeWith]]). df for
+    * each probed term aggregates from that pruned scan (every posting
+    * of a probed term lives in its bucket — exact global df); N and
+    * avgdl aggregate once over the skinny doclens table. Candidates are
+    * the probed terms' postings joined back to the broadcast query
+    * terms; the per-query top-k window partitions by query — nothing
+    * corpus-global shuffles. */
+  def bm25TopK(
+      queries: DataFrame, path: String, k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    val qterms = graft.ext.Dedup.cached(
+      queries.select(col("query_id"),
+          explode(toks(col("qtext"))).as("term"))
+        .distinct())
+    val meta = spark.read.parquet(s"$path/meta").head() // bounded: 1 row
+    val buckets = meta.getAs[Int]("buckets")
+    // bounded collect: distinct bucket dirs of the probed terms
+    val dirs = qterms
+      .select(pmod(hash(col("term")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("term_bucket").isin(dirs: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+      // at-least-once appends replay identical rows (BucketedSink
+      // contract); deterministic-key dedup restores exactly-once
+      .dropDuplicates("term", "doc_id")
+    // postings of the probed terms only — reused for df AND candidates
+    val probed = graft.ext.Dedup.cached(
+      postings.join(broadcast(qterms.select("term").distinct()), Seq("term")))
+    val dfs = probed.groupBy("term").agg(count(lit(1)).as("df"))
+    val doclens = spark.read.parquet(s"$path/doclens")
+      .select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+    val stats = doclens.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val scored = probed
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .join(doclens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // expression tree mirrored EXACTLY in the DuckDB oracle — each
+      // operation is one IEEE double op, so scores agree bit-for-bit
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+      // constants appear as DECIMAL LITERALS (2.2, 1.2, 0.25, 0.75), not
+      // arithmetic like k1+1.0: both engines parse "2.2" to the same
+      // nearest double, while 1.2+1.0 computed in doubles can land on
+      // the neighboring representable value
+      .withColumn("tfn",
+        (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      // truncate BEFORE the sum: decimal addition is exact and
+      // order-free (the Lm discipline), so the aggregate is
+      // shuffle-order-independent and oracle-exact
+      .withColumn("term_score",
+        (col("idf") * col("tfn")).cast("decimal(28,12)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score").cast("double"), 6).as("score_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hybrid retrieval: the BM25 lexical run fused with an exact dense
+    * cosine run by Reciprocal Rank Fusion (Cormack et al., SIGIR'09:
+    * `rrf(d) = Σ_runs 1/(60 + rank_run(d))`) — the standard
+    * training-free fusion, and the production shape of modern RAG
+    * retrieval (sparse + dense, union of top-`kPerRun` candidates,
+    * re-ranked by reciprocal rank). A document absent from one run
+    * contributes 0 for it. Determinism: ranks are integers, each
+    * reciprocal is one IEEE division, and the two-term sum has a fixed
+    * association — scores reproduce bit-for-bit in the oracle; ties
+    * rank by doc_id.
+    *
+    * `queries` is `(query_id, qtext)`; `queryVecs`/`corpusVecs` carry
+    * `(query_id|vec_id, v: array<double>)` with vec_id ≙ doc_id (the
+    * fixture convention). Scale: the lexical run probes the persisted
+    * index; the dense run broadcasts |q| query vectors against the
+    * corpus scan (swap in [[AnnIndex.probeWith]] for an indexed dense
+    * run — same output contract). */
+  def hybridRrfTopK(
+      queries: DataFrame,
+      queryVecs: DataFrame,
+      corpusVecs: DataFrame,
+      path: String,
+      k: Int = 10,
+      kPerRun: Int = 20): DataFrame = {
+    import graft.ext.Similarity
+    val lex = bm25TopK(queries, path, kPerRun)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc) // vec_id ≙ doc_id
+    val dense = corpusVecs
+      .crossJoin(broadcast(queryVecs.select(col("query_id"), col("qv"))))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("v")))
+      .withColumn("dense_rank", row_number().over(dw))
+      .where(col("dense_rank") <= kPerRun)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("dense_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("dense_rank").cast("double")),
+            lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  // One build per fixture dir per JVM (the materialized pattern of the
+  // sibling indexes): the full documents table is indexed; registered
+  // queries probe with prefixes of every 50th document.
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once path for a fixture dir, indexing all of `documents`. */
+  def materialized(spark: SparkSession, sfDir: String): String =
+    built.computeIfAbsent(sfDir, { _ =>
+      val path =
+        s"${sys.props("java.io.tmpdir")}/graft_textindex_${math.abs(sfDir.hashCode)}"
+      build(graft.sources.Tables(spark, sfDir, "documents"), path)
+      path
+    })
+}
