@@ -2537,11 +2537,13 @@ ORDER BY src_a, src_b""")),
     // (sinks/TextIndex) — the lexical member of the persisted-index
     // family (AnnIndex dense, DedupIndex near-dup). Queries are the
     // 8-token prefixes of every 50th document; the probe reads only the
-    // term-bucket dirs the query terms hash into and computes exact df
-    // from those postings. Scores follow the Lm decimal discipline
-    // (per-term BM25 truncated to DECIMAL(28,12) before the order-free
-    // sum), so the oracle reproduces them bit-for-bit; constants are
-    // decimal literals in both engines.
+    // term-bucket dirs the query terms hash into, computes exact df
+    // from those postings, and scores each query's 4 most selective
+    // terms (max-score selection, df asc / term asc — exact integer
+    // rule the oracle repeats). Per-term BM25 truncates to fixed-point
+    // longs (floor(x*1e12)) before the order-free sum, so the oracle
+    // reproduces scores bit-for-bit; constants are decimal literals in
+    // both engines.
     ("bm25_topk_indexed",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
@@ -2563,16 +2565,21 @@ q AS (SELECT doc_id AS query_id, list_distinct(toks[1:8]) AS qt
 qt AS (SELECT query_id, unnest(qt) AS term FROM q),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM p
         WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
-sc AS (SELECT qt.query_id, p.doc_id,
-        CAST(ln(1.0 + (st.n_docs::DOUBLE - dfs.df::DOUBLE + 0.5)
+qsel AS (SELECT query_id, term FROM (
+  SELECT qt.query_id, qt.term,
+         row_number() OVER (PARTITION BY qt.query_id
+                            ORDER BY dfs.df ASC, qt.term ASC) AS trn
+  FROM qt JOIN dfs ON dfs.term = qt.term) WHERE trn <= 4),
+sc AS (SELECT qsel.query_id, p.doc_id,
+        CAST(floor(ln(1.0 + (st.n_docs::DOUBLE - dfs.df::DOUBLE + 0.5)
                       / (dfs.df::DOUBLE + 0.5))
              * ((p.tf::DOUBLE * 2.2)
                 / (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 *
                     (dlen.dl::DOUBLE
                      / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))))
-          AS DECIMAL(28,12)) AS term_score
-       FROM qt JOIN p ON p.term = qt.term
-       JOIN dfs ON dfs.term = qt.term
+             * 1000000000000.0) AS BIGINT) AS term_score
+       FROM qsel JOIN p ON p.term = qsel.term
+       JOIN dfs ON dfs.term = qsel.term
        JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN st),
 agg AS (SELECT query_id, doc_id, sum(term_score) AS score
         FROM sc GROUP BY query_id, doc_id),
@@ -2580,7 +2587,8 @@ r AS (SELECT query_id, doc_id, score,
         row_number() OVER (PARTITION BY query_id
                            ORDER BY score DESC, doc_id) AS rank
       FROM agg)
-SELECT query_id, rank, doc_id, round(score::DOUBLE, 6) AS score_r
+SELECT query_id, rank, doc_id,
+       round(score::DOUBLE / 1000000000000.0, 6) AS score_r
 FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // Hybrid sparse+dense retrieval: the BM25 run above fused with an
@@ -2617,16 +2625,21 @@ q AS (SELECT doc_id AS query_id, list_distinct(toks[1:8]) AS qt
 qt AS (SELECT query_id, unnest(qt) AS term FROM q),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM p
         WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
-sc AS (SELECT qt.query_id, p.doc_id,
-        CAST(ln(1.0 + (st.n_docs::DOUBLE - dfs.df::DOUBLE + 0.5)
+qsel AS (SELECT query_id, term FROM (
+  SELECT qt.query_id, qt.term,
+         row_number() OVER (PARTITION BY qt.query_id
+                            ORDER BY dfs.df ASC, qt.term ASC) AS trn
+  FROM qt JOIN dfs ON dfs.term = qt.term) WHERE trn <= 4),
+sc AS (SELECT qsel.query_id, p.doc_id,
+        CAST(floor(ln(1.0 + (st.n_docs::DOUBLE - dfs.df::DOUBLE + 0.5)
                       / (dfs.df::DOUBLE + 0.5))
              * ((p.tf::DOUBLE * 2.2)
                 / (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 *
                     (dlen.dl::DOUBLE
                      / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))))
-          AS DECIMAL(28,12)) AS term_score
-       FROM qt JOIN p ON p.term = qt.term
-       JOIN dfs ON dfs.term = qt.term
+             * 1000000000000.0) AS BIGINT) AS term_score
+       FROM qsel JOIN p ON p.term = qsel.term
+       JOIN dfs ON dfs.term = qsel.term
        JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN st),
 agg AS (SELECT query_id, doc_id, sum(term_score) AS score
         FROM sc GROUP BY query_id, doc_id),

@@ -55,6 +55,20 @@ class TextIndexSpec extends SparkSuite {
     assert(got === 0L)
   }
 
+  test("max-score term selection: a query with more than maxTermsPerQuery " +
+      "terms scores only its lowest-df terms") {
+    val path = tmpDir("textidx_maxscore")
+    TextIndex.build(df(corpus), path)
+    // 5 distinct terms; the four df=1 terms win the R=4 slots and the
+    // df=4 filler "the" is dropped — docs matching ONLY "the" never
+    // become candidates
+    val got = TextIndex.bm25TopK(
+      q(9L -> "catalyst optimizer plans the watermark"), path, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    graft.ext.Dedup.releaseAll()
+    assert(got === Set(2L, 3L), s"candidates: $got")
+  }
+
   test("append-then-probe: appended docs are retrievable immediately " +
       "and df/N/avgdl reflect the union") {
     val path = tmpDir("textidx_append")
@@ -65,7 +79,8 @@ class TextIndexSpec extends SparkSuite {
     graft.ext.Dedup.releaseAll()
     assert(got.head.getAs[Long]("doc_id") === 9L)
     // "the" now occurs in 3 docs: stats must see the union. Probe a
-    // pure-filler query: every holder of "the" scores, none excluded.
+    // pure-filler query: every holder of "the" scores, none excluded
+    // (max-score selection caps terms per query, it never empties one).
     val filler = TextIndex.bm25TopK(q(2L -> "the"), path, k = 10).count()
     graft.ext.Dedup.releaseAll()
     assert(filler === 3L)
