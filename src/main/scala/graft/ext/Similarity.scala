@@ -68,8 +68,10 @@ object Similarity {
     * gate. Exact (for the oracle); the scale path for this op is
     * [[lshTopK]]-style bucketing. */
   def nearPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val base = embeddings.select(
-      col("vec_id"), asDouble(col("embedding")).as("v"))
+    // scanParallel: the pair join below is a broadcast nested-loop whose
+    // parallelism is this scan's partition count (see [[knnGraphRecall]])
+    val base = TextOps.scanParallel(embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v")))
     val a = base.select(col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = base.select(col("vec_id").as("id_b"), col("v").as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -377,7 +379,12 @@ object Similarity {
       nprobe: Int = knnProbes): DataFrame = {
     val approx = knnGraph(embeddings, k, stride, nprobe)
       .select(col("vec_id"), col("nbr_id"))
-    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // scanParallel on the PROBE side: the exact pass is a broadcast
+    // nested-loop join whose parallelism is the left scan's partition
+    // count — a single-file fixture scan would run all N² cosines on
+    // one task (measured: a 3.4 s straggler job at sf0.1)
+    val base = TextOps.scanParallel(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nbr_id"))
     val exact = base
