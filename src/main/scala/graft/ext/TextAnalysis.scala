@@ -748,6 +748,46 @@ object TextAnalysis {
     * grams once and semi-joins at scan speed, the same shape as
     * [[contamination]]. Grams join as md5 digests (16 bytes, portable);
     * the n-gram strings never ride an exchange. */
+  /** Per-document MEMORIZATION RATE: for each held-out document, the
+    * fraction of its distinct word n-grams that also occur anywhere in
+    * the training half — the data-leakage measure behind the
+    * memorization literature (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499; Carlini et
+    * al. 2022's n-gram overlap memorization proxies). A held-out doc
+    * with rate ≈ 1 is effectively IN the training set (a split leak);
+    * elevated corpus-wide rates mean the split is template-contaminated
+    * and eval numbers on it are optimistic. Complements
+    * [[contaminationNgram]] (which counts shared grams against a small
+    * probe set): this scores EVERY held-out doc against the FULL
+    * training half, as a rate.
+    *
+    * Grams ride as [[graft.expr.ShingleHashes]] xxhash64 digests (one
+    * fused pass, distinct per doc); the rate equals the string-set rate
+    * modulo 64-bit collisions (the house caveat), and the DuckDB oracle
+    * computes the string form. Docs with fewer than `n` tokens have no
+    * grams and emit no row — both engines agree.
+    *
+    * Scale: gram-keyed hash join of the held-out explode against the
+    * training half's distinct-gram set — never doc-pairs; both sides
+    * are skinny 8-byte digests, and the per-doc aggregate partitions
+    * with the held-out corpus. */
+  def memorizationRate(
+      docs: DataFrame, isTrain: Column, n: Int = 8): DataFrame = {
+    val grams = scanParallel(docs).select(
+      col("doc_id"), isTrain.as("train"),
+      explode(graft.expr.ShingleHashes(wsTokens(lower(col("text"))), n))
+        .as("g"))
+    val trainSet = grams.where(col("train")).select("g").distinct()
+    grams.where(!col("train"))
+      .join(trainSet.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_memorized"))
+      .withColumn("mem_rate_r",
+        round(col("n_memorized").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
   def contaminationNgram(
       docs: DataFrame,
       n: Int = 13,

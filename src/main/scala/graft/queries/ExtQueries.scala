@@ -1597,6 +1597,34 @@ SELECT h.doc_id, count(DISTINCT h.gh) AS n_shared
 FROM h JOIN p ON h.gh = p.gh AND h.doc_id <> p.probe_id
 GROUP BY h.doc_id ORDER BY h.doc_id""")),
 
+    // Per-held-out-doc memorization rate (Lee et al. 2022; Carlini-style
+    // n-gram overlap proxy): fraction of each odd doc's distinct 8-grams
+    // present anywhere in the even (training) half. Gram-keyed digest
+    // join, never doc-pairs; the oracle computes the string-gram form
+    // (equal modulo 64-bit hash collisions — the house caveat).
+    ("memorization_rate",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        TextAnalysis.memorizationRate(docs(s, d),
+          pmod(col("doc_id"), lit(2)) === 0)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+g AS (SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 8
+               THEN list_distinct(list_transform(range(1, len(toks)-6),
+                      i -> array_to_string(list_slice(toks, i, i+7), ' ')))
+               ELSE [] END) AS gram
+      FROM t),
+tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+j AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+          AS n_memorized
+      FROM g LEFT JOIN tr ON tr.gram = g.gram
+      WHERE g.doc_id % 2 = 1 GROUP BY g.doc_id)
+SELECT doc_id, n_grams, n_memorized,
+       round(n_memorized::DOUBLE / n_grams, 6) AS mem_rate_r
+FROM j ORDER BY doc_id""")),
+
     // One-row contamination report across the three deterministic
     // methods — the eval-hygiene accounting a pipeline logs per run.
     ("contamination_summary",

@@ -279,6 +279,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(wb > 0.2 && wb < 0.5, s"and boosts the small one: $wb")
   }
 
+  test("memorizationRate: a verbatim split leak scores 1.0, a half-copied " +
+      "doc scores its overlap fraction, novel text scores 0") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")          // 40 tokens
+    val half = ((1 to 20).map(i => s"w$i") ++ (1 to 20).map(i => s"x$i")).mkString(" ")
+    val novel = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      0L -> words,   // train
+      1L -> words,   // held-out verbatim leak
+      3L -> half,    // first 20 tokens shared -> 13 of 33 8-grams hit
+      5L -> novel)   // no shared 8-gram
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.memorizationRate(docs, pmod(col("doc_id"), lit(2)) === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_memorized"),
+          r.getAs[Double]("mem_rate_r")))).toMap
+    assert(got(1L) === ((33L, 33L, 1.0)))
+    // half: 33 grams; grams starting at positions 1..13 lie fully in the
+    // shared 20-token prefix (13 hits), the straddling ones don't
+    assert(got(3L)._1 === 33L && got(3L)._2 === 13L)
+    assert(got(5L) === ((33L, 0L, 0.0)))
+  }
+
   test("repetitionStats: hand-computed fractions and keep thresholds") {
     // doc 1: tokens [aa bb aa bb cc], len 14
     //   n=1: aa:2 bb:2 cc:1 → dup_token_frac = 4/5
