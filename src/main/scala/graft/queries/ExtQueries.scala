@@ -2701,6 +2701,100 @@ r AS (SELECT query_id, doc_id, rrf,
 SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_r
 FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // The fully-INDEXED hybrid: the same RRF fusion with BOTH runs served
+    // from persisted indexes — TextIndex lexical + AnnIndex quantized-IVF
+    // dense (sinks/AnnIndex.probeWith; include-self, kPerRun=20). This is
+    // the complete serving composition a RAG stack runs: no in-plan
+    // re-derivation anywhere, every probe sublinear via its index's
+    // bucket pruning. Both parents are deterministic with full oracles,
+    // so the composition keeps one: the IVF assignment CTEs (ivfQ8AsgCte)
+    // + the BM25 chain (score CTE renamed scb — the quantize prefix
+    // already owns `sc`) + the reciprocal-rank fusion.
+    ("hybrid_topk_rrf_indexed",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val qs = docs(s, d).where(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(
+              slice(graft.ext.TextOps.wsTokens(lower(col("text"))), 1, 8),
+              " ").as("qtext"))
+        val lex = graft.sinks.TextIndex.bm25TopK(qs,
+            graft.sinks.TextIndex.materialized(s, d), k = 20)
+          .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+        val annPath = graft.sinks.AnnIndex.materialized(s, d)
+        val qv = s.read.parquet(s"$annPath/vectors")
+          .where(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id"), col("qv")).dropDuplicates("vec_id")
+          .select(col("vec_id").as("q_id"),
+            graft.ext.Similarity.asDouble(col("qv")).as("q"))
+        val dense = graft.sinks.AnnIndex.probeWith(s, annPath, qv, k = 20)
+          .select(col("q_id").as("query_id"),
+            col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+        graft.sinks.TextIndex.rrfFuse(lex, dense, k = 10)
+      },
+      Some(s"""$ivfQ8AsgCte,
+dq AS (SELECT vec_id AS query_id, v AS dqv, nrm AS dqn
+       FROM n WHERE vec_id % 50 = 0),
+dp AS (SELECT dq.query_id, dq.dqv, dq.dqn, c.cent_id AS cell,
+        row_number() OVER (PARTITION BY dq.query_id
+          ORDER BY (${dotSql("dqv", "cv")}) / (dq.dqn * c.cn) DESC,
+                   c.cent_id) AS rn
+       FROM dq CROSS JOIN c),
+dpr AS (SELECT query_id, dqv, dqn, cell FROM dp WHERE rn <= 8),
+dsx AS (SELECT dpr.query_id, asg.vec_id,
+         (${dotSql("dqv", "v")}) / (dpr.dqn * asg.nrm) AS sim
+        FROM dpr JOIN asg ON asg.cell = dpr.cell),
+ddr AS (SELECT query_id, vec_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS dense_rank
+        FROM dsx),
+dr AS (SELECT query_id, doc_id, dense_rank FROM ddr WHERE dense_rank <= 20),
+t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+post AS (SELECT doc_id, unnest(toks) AS term FROM t),
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM post GROUP BY term, doc_id),
+dlen AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dlen),
+q AS (SELECT doc_id AS query_id, list_distinct(toks[1:8]) AS qt
+      FROM t WHERE doc_id % 50 = 0),
+qt AS (SELECT query_id, unnest(qt) AS term FROM q),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM p
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+qsel AS (SELECT query_id, term FROM (
+  SELECT qt.query_id, qt.term,
+         row_number() OVER (PARTITION BY qt.query_id
+                            ORDER BY dfs.df ASC, qt.term ASC) AS trn
+  FROM qt JOIN dfs ON dfs.term = qt.term) WHERE trn <= 4),
+scb AS (SELECT qsel.query_id, p.doc_id,
+        CAST(floor(ln(1.0 + (st.n_docs::DOUBLE - dfs.df::DOUBLE + 0.5)
+                      / (dfs.df::DOUBLE + 0.5))
+             * ((p.tf::DOUBLE * 2.2)
+                / (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+                    (dlen.dl::DOUBLE
+                     / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))))
+             * 1000000000000.0) AS BIGINT) AS term_score
+       FROM qsel JOIN p ON p.term = qsel.term
+       JOIN dfs ON dfs.term = qsel.term
+       JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN st),
+agg AS (SELECT query_id, doc_id, sum(term_score) AS score
+        FROM scb GROUP BY query_id, doc_id),
+lexr AS (SELECT query_id, doc_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS lex_rank
+         FROM agg),
+lex AS (SELECT query_id, doc_id, lex_rank FROM lexr WHERE lex_rank <= 20),
+f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       coalesce(l.doc_id, d.doc_id) AS doc_id,
+       coalesce(1.0 / (60.0 + l.lex_rank::DOUBLE), 0.0)
+         + coalesce(1.0 / (60.0 + d.dense_rank::DOUBLE), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN dr d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+r AS (SELECT query_id, doc_id, rrf,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY rrf DESC, doc_id) AS rank
+      FROM f)
+SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_r
+FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // PII scan completing pii_scrub's email/URL gate with phone + IPv4:
     // patterns live in the Java-regex ∩ RE2 common subset so both
     // engines match byte-identically; the fixture corpus is PII-free by

@@ -267,6 +267,15 @@ object TextIndex {
       .withColumn("dense_rank", row_number().over(dw))
       .where(col("dense_rank") <= kPerRun)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("dense_rank"))
+    rrfFuse(lex, dense, k)
+  }
+
+  /** RRF fusion of two rank runs: `lex` is `(query_id, doc_id,
+    * lex_rank)`, `dense` is `(query_id, doc_id, dense_rank)`; output is
+    * the fused `(query_id, rank, doc_id, rrf_r)` top-`k`. Shared by the
+    * in-plan dense variant ([[hybridRrfTopK]]) and the fully-indexed
+    * composition (TextIndex lexical + [[AnnIndex.probeWith]] dense). */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("doc_id").asc)

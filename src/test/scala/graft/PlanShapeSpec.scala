@@ -239,6 +239,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"))
   }
 
+  test("bm25_topk_indexed: postings scan is bucket-pruned to the probed " +
+      "terms' dirs; query-term joins broadcast; top-k limit pushed down") {
+    val p = plan("bm25_topk_indexed")
+    // the serving-side pruning read that makes the persisted index
+    // sublinear: the physical scan carries a term_bucket partition filter
+    assert(p.contains("term_bucket"), "postings scan must be bucket-pruned")
+    assert(p.contains("PartitionFilters"))
+    assert(p.contains("BroadcastExchange"), "query terms must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"), "per-query top-k pushdown")
+  }
+
+  test("memorization_rate: gram-keyed equi-join — no doc-pair nested loop") {
+    val p = plan("memorization_rate")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("media_dims: the JPEG walk stays a chain of projections (the " +
       "shape that keeps codegen under the Janino method limit)") {
     // a single recursive expression inlines the walk cursor ~5× per
