@@ -2701,6 +2701,27 @@ r AS (SELECT query_id, doc_id, rrf,
 SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_r
 FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // Index health dashboard — the lexical twin of ann_index_cells:
+    // vocabulary size, postings volume, df skew (this fixture's 31-term
+    // vocabulary shows max_df ≈ n_docs — the shape that makes max-score
+    // term selection load-bearing), and the BM25 length inputs. Full
+    // oracle: the stats are pure aggregates of the indexed corpus.
+    ("text_index_stats",
+      (s: SparkSession, d: String) =>
+        graft.sinks.TextIndex.stats(s,
+          graft.sinks.TextIndex.materialized(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+post AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+dl AS (SELECT count(*)::BIGINT AS n_docs,
+        round(sum(len(toks))::DOUBLE / count(*), 6) AS avg_dl_r FROM t)
+SELECT (SELECT count(*) FROM dfs)::BIGINT AS n_terms,
+       (SELECT sum(df) FROM dfs)::BIGINT AS n_postings,
+       (SELECT min(df) FROM dfs)::BIGINT AS min_df,
+       (SELECT max(df) FROM dfs)::BIGINT AS max_df,
+       dl.n_docs, dl.avg_dl_r
+FROM dl""")),
+
     // The fully-INDEXED hybrid: the same RRF fusion with BOTH runs served
     // from persisted indexes — TextIndex lexical + AnnIndex quantized-IVF
     // dense (sinks/AnnIndex.probeWith; include-self, kPerRun=20). This is

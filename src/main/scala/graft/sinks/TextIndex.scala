@@ -292,6 +292,31 @@ object TextIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** One-row health dashboard of the index — the balance stats a
+    * serving operator watches, the lexical twin of
+    * [[AnnIndex.cellStats]]: vocabulary size, postings volume, the df
+    * skew (a pathological max_df ≈ n_docs vocabulary makes every probe
+    * fan wide — exactly this fixture's shape), and the BM25 length
+    * normalizer inputs. Reads only the two index tables; the replayed-
+    * append dedup mirrors [[bm25TopK]]'s reader contract. */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("term"), col("doc_id"))
+      .dropDuplicates("term", "doc_id")
+    val doclens = spark.read.parquet(s"$path/doclens")
+      .select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    dfs.agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("df")).as("n_postings"),
+        min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"))
+      .crossJoin(broadcast(doclens.agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("dl")).cast("double") / count(lit(1)), 6)
+          .as("avg_dl_r"))))
+  }
+
   // One build per fixture dir per JVM (the materialized pattern of the
   // sibling indexes): the full documents table is indexed; registered
   // queries probe with prefixes of every 50th document.

@@ -86,6 +86,20 @@ class TextIndexSpec extends SparkSuite {
     assert(filler === 3L)
   }
 
+  test("stats: counts reflect the union after append and survive compact") {
+    val path = tmpDir("textidx_stats")
+    TextIndex.build(df(corpus.take(2)), path)
+    TextIndex.append(df(corpus.drop(2)), path)
+    def snap() = TextIndex.stats(spark, path).collect().head
+    val s1 = snap()
+    assert(s1.getAs[Long]("n_docs") === 4L)
+    // "the" spans all 4 docs; every doc has >= 6 distinct terms
+    assert(s1.getAs[Long]("max_df") === 4L && s1.getAs[Long]("min_df") === 1L)
+    assert(s1.getAs[Long]("n_terms") > 20L)
+    TextIndex.compact(spark, path)
+    assert(snap() === s1)
+  }
+
   test("compact after appends preserves probe results exactly") {
     val path = tmpDir("textidx_compact")
     TextIndex.build(df(corpus.take(2)), path)
