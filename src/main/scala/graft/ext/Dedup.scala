@@ -792,6 +792,33 @@ object Dedup {
     * would drop — the before/after accounting a pipeline logs per run.
     * Each count is a 1-row aggregate of an already-skinny survivor frame;
     * the joins are broadcast single-row crosses. */
+  /** Corpus snapshot diff — the dataset-versioning primitive: one row
+    * per document whose membership or content CHANGED between two
+    * snapshots of a corpus (`added` — in curr only; `removed` — in prev
+    * only; `changed` — in both with different content md5). Unchanged
+    * docs emit nothing, so the output is |delta|-sized however large the
+    * corpus — what makes an incremental pipeline auditable (which docs
+    * does today's training set gain/lose vs the one we trained on last
+    * week?) and re-processable (feed `added`+`changed` to the index
+    * appends; tombstone `removed`).
+    *
+    * Scale: one doc_id-keyed full-outer hash join of two fingerprint
+    * projections — 16-byte md5 per row rides the shuffle, never the
+    * text. Snapshots stored via [[graft.sinks.CorpusSink]]-style
+    * doc-bucketed layouts co-locate this join for free. */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), md5(col("text")).as("fp_prev"))
+    val b = curr.select(col("doc_id"), md5(col("text")).as("fp_curr"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("fp_curr").isNull, lit("removed"))
+          .when(col("fp_prev").isNull, lit("added"))
+          .when(col("fp_prev") =!= col("fp_curr"), lit("changed")))
+      .where(col("change").isNotNull)
+      .select(col("doc_id"), col("change"))
+      .orderBy("doc_id")
+  }
+
   def dedupSummary(docs: DataFrame, embeddings: DataFrame): DataFrame = {
     def c(df: DataFrame, name: String) =
       df.agg(count(lit(1)).cast("long").as(name))

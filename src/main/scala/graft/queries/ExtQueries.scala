@@ -1597,6 +1597,41 @@ SELECT h.doc_id, count(DISTINCT h.gh) AS n_shared
 FROM h JOIN p ON h.gh = p.gh AND h.doc_id <> p.probe_id
 GROUP BY h.doc_id ORDER BY h.doc_id""")),
 
+    // Dataset-versioning diff: membership/content delta between two
+    // corpus snapshots by content md5 — |delta|-sized output however
+    // large the corpus. The fixture has one snapshot, so "current" is a
+    // deterministic synthetic revision: every %10==0 doc removed,
+    // every %10==5 doc revised (suffix), every %10==3 doc re-added
+    // under a fresh id — exercising all three change classes.
+    ("corpus_snapshot_diff",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val prev = docs(s, d).select(col("doc_id"), col("text"))
+        val curr = prev.where(pmod(col("doc_id"), lit(10)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(10)) === 5,
+              concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+          .unionByName(prev.where(pmod(col("doc_id"), lit(10)) === 3)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              col("text")))
+        Dedup.snapshotDiff(prev, curr)
+      },
+      Some("""WITH prev AS (SELECT doc_id, text FROM documents),
+curr AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 5 THEN text || ' [rev2]' ELSE text END AS text
+         FROM documents WHERE doc_id % 10 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text
+         FROM documents WHERE doc_id % 10 = 3),
+a AS (SELECT doc_id, md5(text) AS fp_prev FROM prev),
+b AS (SELECT doc_id, md5(text) AS fp_curr FROM curr),
+j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        CASE WHEN b.doc_id IS NULL THEN 'removed'
+             WHEN a.doc_id IS NULL THEN 'added'
+             WHEN a.fp_prev <> b.fp_curr THEN 'changed' END AS change
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT doc_id, change FROM j WHERE change IS NOT NULL ORDER BY doc_id""")),
+
     // Per-held-out-doc memorization rate (Lee et al. 2022; Carlini-style
     // n-gram overlap proxy): fraction of each odd doc's distinct 8-grams
     // present anywhere in the even (training) half. Gram-keyed digest

@@ -345,6 +345,17 @@ class DedupSpec extends SparkSuite {
     assert(got === Set((1L, 2L, 0.8), (2L, 1L, 0.8)))
   }
 
+  test("snapshotDiff: planted add/remove/change classified; unchanged " +
+      "docs emit nothing") {
+    val prev = Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+      .toDF("doc_id", "text")
+    val curr = Seq(1L -> "alpha", 2L -> "beta REVISED", 9L -> "delta")
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(prev, curr).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("change")).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 9L -> "added"))
+  }
+
   test("approx distinct within 5% of exact on the fixture corpus") {
     val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = TextAnalysis.distinctExact(fx).collect().head.getAs[Long]("distinct_norm_texts")
