@@ -285,6 +285,34 @@ object Mixture {
     * ONE range-partitioned prefix sum over `(shard, hash)` plus a
     * |shards|-row broadcast of first positions, NOT a per-shard window
     * (the per-source-sort trap, avoided the [[sample]] way). */
+  /** Length-based curriculum ordering — Bengio et al. 2009's
+    * easy-to-hard schedule in its most widely deployed deterministic
+    * form (short sequences first, also the warm-up ordering that
+    * stabilizes early training under packed batching): every document
+    * ranked by (n_tokens asc, doc_id) and cut into fixed-size training
+    * batches. The complement of [[trainingOrder]]'s decorrelating
+    * shuffle: that op destroys ordering structure, this one imposes a
+    * specific curriculum structure — a pipeline typically applies the
+    * curriculum across epochs 0–1 and switches to the shuffle after.
+    *
+    * Scale: the global ordinal is a range-partitioned prefix COUNT
+    * ([[Packing.withGlobalOffsetBy]]) — no single-partition window at
+    * any corpus size; batch assignment is integer div/mod on the
+    * ordinal, exact in both engines. */
+  def curriculumOrder(docs: DataFrame, batchSize: Int = 32): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val counted = docs.select(
+        col("doc_id"),
+        size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tokens"))
+      .withColumn("__one", lit(1L))
+    Packing.withGlobalOffsetBy(
+        counted, Seq("n_tokens", "doc_id"), "__one", "__ord")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__ord div $batchSize").as("batch_id"),
+        pmod(col("__ord"), lit(batchSize.toLong)).as("pos"))
+      .orderBy("batch_id", "pos")
+  }
+
   def trainingOrder(
       docs: DataFrame, budgetDenom: Int = 2, shards: Int = 8): DataFrame = {
     require(shards >= 1, "shards must be >= 1")

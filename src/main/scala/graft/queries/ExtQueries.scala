@@ -2330,6 +2330,22 @@ SELECT source, n_tokens, weight, cap, alloc,
        round(alloc::DOUBLE / n_tokens, 6) AS epochs_r, saturated
 FROM f ORDER BY source""")),
 
+    // Length-based curriculum (Bengio et al. 2009, short-first): every
+    // doc ranked (n_tokens asc, doc_id) and cut into 32-doc training
+    // batches — the easy-to-hard complement of training_order's
+    // decorrelating shuffle. Global ordinal via the range-partitioned
+    // prefix count; batch assignment is exact integer div/mod.
+    ("training_order_curriculum",
+      (s: SparkSession, d: String) =>
+        graft.ext.Mixture.curriculumOrder(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id,
+        len($toksSql)::BIGINT AS n_tokens FROM documents),
+r AS (SELECT doc_id, n_tokens,
+        row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS ord FROM t)
+SELECT doc_id, n_tokens, (ord // 32)::BIGINT AS batch_id,
+       (ord % 32)::BIGINT AS pos
+FROM r ORDER BY batch_id, pos""")),
+
     // Deterministic sharded training order: each sampled doc lands in a
     // shard at a pseudo-random but reproducible position (salted md5 —
     // the corpus_split discipline), interleaving sources for the

@@ -137,6 +137,23 @@ class MixtureSpec extends SparkSuite {
     }
   }
 
+  test("curriculumOrder: short docs first, exact batch boundaries, " +
+      "doc_id tie-break") {
+    // 5 docs, lengths 1,2,2,3,4 -> ordinal order 10,20,30,40,50
+    // (the two length-2 docs tie-break by doc_id)
+    val docs = Seq(
+      10L -> "a", 30L -> "b b", 20L -> "c c", 40L -> "d d d",
+      50L -> "e e e e").toDF("doc_id", "text")
+    val got = Mixture.curriculumOrder(docs, batchSize = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("batch_id"), r.getAs[Long]("pos")))
+    assert(got.toSeq === Seq(
+      (10L, 1L, 0L, 0L), (20L, 2L, 0L, 1L),
+      (30L, 2L, 1L, 0L), (40L, 3L, 1L, 1L),
+      (50L, 4L, 2L, 0L)))
+    graft.ext.Dedup.releaseAll()
+  }
+
   test("trainingOrder: reproducible, shard-contiguous 0-based positions; " +
       "runs audit accounts for every sampled doc") {
     val rows =
