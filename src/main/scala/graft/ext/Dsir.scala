@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): score every raw document by how much more likely its tokens are
+  * under a TARGET distribution than under the RAW corpus distribution,
+  * then sample the corpus proportionally to those importance weights. The
+  * reference pipeline has nothing like it; for an LLM training-data
+  * engine it is the standard "make 100 TB of crawl look like Wikipedia"
+  * selection step, sitting between the quality gates ([[TextAnalysis]],
+  * [[Lm]]) and the mixture allocator ([[Mixture]]).
+  *
+  * Both distributions are add-k unigram LMs ([[Lm]]'s construction, k =
+  * 0.5): the target LM trains on the docs matching `targetLang`, the raw
+  * LM on the whole corpus. A doc's log importance weight is the sum over
+  * its token INSTANCES of lp_target(t) − lp_raw(t); tokens outside the
+  * target vocabulary take the target unknown-token log-prob (raw OOV is
+  * impossible — every scored doc is part of the raw corpus). The reported
+  * per-token average removes the length bias the raw sum carries.
+  *
+  * Cross-engine float discipline (exactly [[Lm]]'s): each per-token-type
+  * log-ratio truncates to DECIMAL(28,12) BEFORE the per-doc sum, so the
+  * groupBy aggregation is exact and order-free under any partitioning in
+  * either engine.
+  *
+  * Resampling is Gumbel-top-k (Vieira 2014): sampling k docs without
+  * replacement with probability ∝ exp(avg_logw) ≡ taking the top k by
+  * avg_logw + Gumbel noise, where the "noise" is the deterministic
+  * content-md5 uniform of [[TextAnalysis.weightedSample]] pushed through
+  * −ln(−ln(u)) — reproducible across engines, runs, and cluster sizes,
+  * and overflow-free where exponentiating the weights would not be.
+  *
+  * Scale: two token-count shuffles (target vocab auto-broadcasts — it is
+  * a FILTERED corpus), one token-keyed join, one doc-keyed rollup, and a
+  * TakeOrderedAndProject for the sample — no windows over the corpus, no
+  * driver loops, nothing corpus-global but two single-row totals frames.
+  */
+object Dsir {
+
+  import TextOps._
+
+  private val K = 0.5
+  private val LpDec = "decimal(28,12)"
+
+  private def toks(docs: DataFrame): Seq[String] => DataFrame = cols =>
+    scanParallel(docs)
+      .select(col("doc_id") +: cols.map(col) :+
+        explode(wsTokens(lower(col("text")))).as("t"): _*)
+
+  /** (t, lp) add-k log-prob table + one-row totals for a token frame. */
+  private def lm(tokens: DataFrame): (DataFrame, DataFrame) = {
+    val v = tokens.groupBy("t").agg(count(lit(1)).as("n"))
+    val tot = v.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
+    val lp = v.crossJoin(broadcast(tot))
+      .select(col("t"),
+        log((col("n") + K) / (col("total") + (col("vsz") + 1) * K)).as("lp"))
+    (lp, tot)
+  }
+
+  /** Per-doc DSIR importance weights against the `targetLang` slice:
+    * `logw_r` the decimal-exact log weight, `avg_logw_r` its per-token
+    * mean (the length-debiased score [[resample]] ranks on). */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val all = toks(docs)(Seq("lang"))
+    val (rawLp, _) = lm(all.select("doc_id", "t"))
+    val (tgtLp, tgtTot) = lm(all.where(col("lang") === targetLang).select("doc_id", "t"))
+    // target unknown-token log-prob, one row, broadcast everywhere
+    val unk = broadcast(tgtTot.select(
+      log(lit(K) / (col("total") + (col("vsz") + 1) * K)).as("unk_lp")))
+    all
+      .join(rawLp.withColumnRenamed("lp", "lp_raw"), Seq("t"))
+      .join(tgtLp.withColumnRenamed("lp", "lp_tgt"), Seq("t"), "left")
+      .crossJoin(unk)
+      .withColumn("ratio",
+        (coalesce(col("lp_tgt"), col("unk_lp")) - col("lp_raw")).cast(LpDec))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("ratio").as("slw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("slw").cast("double"), 6).as("logw_r"),
+        round(col("slw").cast("double") / col("n_tokens"), 6).as("avg_logw_r"))
+      .orderBy("doc_id")
+  }
+
+  /** Gumbel-top-k importance resample: top `k` docs by avg_logw +
+    * (−ln(−ln(u))) with u the content-md5 uniform — a deterministic draw
+    * of k docs without replacement with probability ∝ exp(avg_logw). */
+  def resample(docs: DataFrame, k: Int = 60, targetLang: String = "en"): DataFrame = {
+    val u: Column = conv(substring(md5(normText(col("text"))), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    val gumbel = docs.select(col("doc_id"), col("lang"), col("source"),
+      (-log(-log(u))).as("g"))
+    importanceWeights(docs, targetLang)
+      .join(gumbel, Seq("doc_id"))
+      .withColumn("gk_key_r", round(col("avg_logw_r") + col("g"), 6))
+      .orderBy(col("gk_key_r").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("avg_logw_r"), col("gk_key_r"))
+  }
+
+  /** Selection audit: per (lang, source) how many docs the top-`k`
+    * resample kept vs the stratum size — the drift dashboard that shows
+    * DSIR actually pulling the corpus toward the target slice (target-lang
+    * strata should over-index) without collapsing onto it entirely (the
+    * Gumbel noise keeps tail mass). */
+  def selectionAudit(docs: DataFrame, k: Int = 60, targetLang: String = "en"): DataFrame = {
+    val kept = resample(docs, k, targetLang)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("keep_share_r"))
+      .orderBy("lang")
+  }
+}

@@ -35,6 +35,92 @@ object ExtQueries {
   private def dotSql(a: String, b: String): String =
     (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
 
+  // 8-dim twin for the product-quantization subvectors.
+  private def dot8Sql(a: String, b: String): String =
+    (1 to 8).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  // Product-quantization shared prefix (twin of graft.ext.Pq): int8
+  // quantize → 8×8-dim subvectors → data-sampled sub-codebooks (every
+  // 2nd vector donates, capped at 256 codewords) → per-(vector, subspace)
+  // nearest codeword by exact-integer L2 (ties → lowest cw_id) → ADC
+  // ranking: per-query LUT dots summed per candidate, normalized by the
+  // exact int8 query norm × reconstruction norm. Every product/sum is a
+  // sub-2⁵³ integer in a double, so the whole chain is bit-deterministic.
+  private lazy val pqCte =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT greatest(max(list_aggregate(list_transform(v, x -> abs(x)), 'max')), 4.9e-324) AS s FROM e),
+q8 AS (SELECT vec_id, list_transform(v, x -> floor(x * 127.0 / s + 0.5)) AS qd
+       FROM e CROSS JOIN sc),
+sub AS (SELECT vec_id, t.j, qd[(t.j*8+1):(t.j*8+8)] AS sv
+        FROM q8 CROSS JOIN range(8) t(j)),
+cb AS (SELECT j, vec_id AS cw_id, sv AS cw, ${dot8Sql("sv", "sv")} AS cwdot
+       FROM sub WHERE vec_id % 2 = 0 AND vec_id < 512),
+enc AS (SELECT s2.vec_id, s2.j, c.cw_id,
+               row_number() OVER (PARTITION BY s2.vec_id, s2.j
+                 ORDER BY (${dot8Sql("s2.sv", "s2.sv")}) - 2*(${dot8Sql("s2.sv", "c.cw")}) + c.cwdot, c.cw_id) AS rn
+        FROM sub s2 JOIN cb c ON c.j = s2.j),
+cds AS (SELECT vec_id, j, cw_id AS code FROM enc WHERE rn = 1),
+recon AS (SELECT cd.vec_id, sum(c.cwdot) AS recon2
+          FROM cds cd JOIN cb c ON c.j = cd.j AND c.cw_id = cd.code
+          GROUP BY cd.vec_id),
+qn AS (SELECT vec_id AS q_id, sqrt(${dotSql("qd", "qd")}) AS qn FROM q8 WHERE vec_id < 10),
+lut AS (SELECT s2.vec_id AS q_id, s2.j, c.cw_id, ${dot8Sql("s2.sv", "c.cw")} AS pdot
+        FROM sub s2 JOIN cb c ON c.j = s2.j WHERE s2.vec_id < 10),
+ad AS (SELECT l.q_id, cd.vec_id, sum(l.pdot) AS adot
+       FROM cds cd JOIN lut l ON l.j = cd.j AND l.cw_id = cd.code AND cd.vec_id <> l.q_id
+       GROUP BY l.q_id, cd.vec_id),
+adc AS (SELECT ad.q_id, ad.vec_id,
+               ad.adot / greatest(q.qn * sqrt(r.recon2), 4.9e-324) AS asim
+        FROM ad JOIN qn q ON q.q_id = ad.q_id JOIN recon r ON r.vec_id = ad.vec_id),
+adcr AS (SELECT q_id, vec_id AS neighbor_id, asim, round(asim, 6) AS asim_r,
+                row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, vec_id) AS rnk
+         FROM adc)"""
+
+  // DSIR importance-weight CTE chain (twin of graft.ext.Dsir
+  // .importanceWeights, target = lang 'en'): add-k unigram LMs for the
+  // target slice and the raw corpus; per-token-instance log-ratio
+  // truncated to DECIMAL(28,12) before the order-free per-doc sum.
+  private lazy val dsirWeightCtes =
+    s"""WITH toks AS (SELECT doc_id, lang, unnest($toksSql) AS t FROM documents),
+rv AS (SELECT t, count(*)::BIGINT AS n FROM toks GROUP BY t),
+rtot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vsz FROM rv),
+rlp AS (SELECT t, ln((n + 0.5) / (total + 0.5*(vsz+1))) AS lp_raw FROM rv CROSS JOIN rtot),
+tv AS (SELECT t, count(*)::BIGINT AS n FROM toks WHERE lang = 'en' GROUP BY t),
+ttot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vsz FROM tv),
+tlp AS (SELECT t, ln((n + 0.5) / (total + 0.5*(vsz+1))) AS lp_tgt FROM tv CROSS JOIN ttot),
+unk AS (SELECT ln(0.5 / (total + 0.5*(vsz+1))) AS unk_lp FROM ttot),
+pt AS (SELECT toks.doc_id,
+              CAST(coalesce(tlp.lp_tgt, unk.unk_lp) - rlp.lp_raw AS DECIMAL(28,12)) AS ratio
+       FROM toks JOIN rlp ON toks.t = rlp.t
+       LEFT JOIN tlp ON toks.t = tlp.t CROSS JOIN unk),
+sw AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(ratio) AS slw FROM pt GROUP BY doc_id)"""
+
+  // Float-vector IVF top-k prefix (twin of Similarity.ivfTopK) with the
+  // query count and over-fetch depth as parameters — shared by the
+  // contrastive-mining oracles, same construction as sim_topk_ivf's.
+  private def ivfTopSql(numQ: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv2, nrm AS qn FROM n WHERE vec_id < $numQ),
+p AS (SELECT q.q_id, q.qv2, q.qn, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (${dotSql("qv2", "cv")}) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN c),
+pr AS (SELECT q_id, qv2, qn, cell FROM p WHERE rn <= 8),
+sx AS (SELECT pr.q_id, asg.vec_id, (${dotSql("qv2", "v")}) / (pr.qn * asg.nrm) AS sim
+       FROM pr JOIN asg ON asg.cell = pr.cell
+       WHERE asg.vec_id <> pr.q_id),
+top AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM sx)"""
+
   // Shared by sim_topk_ivf_q8 (in-plan) and sim_topk_ivf_indexed (the
   // persisted-index probe): the two queries are bit-identical by design,
   // so they carry ONE oracle — the driver's hash check then pins
@@ -3123,7 +3209,147 @@ FROM r ORDER BY media_id""")),
       Some("""WITH md AS (SELECT doc_id AS media_id, 1 + doc_id % 32 AS nf
   FROM documents WHERE doc_id % 3 = 2)
 SELECT media_id, CAST(unnest(range(0, nf, 4)) AS INT) AS frame_idx
-FROM md ORDER BY media_id, frame_idx"""))
+FROM md ORDER BY media_id, frame_idx""")),
+
+    // ---------------------------------------------- product quantization
+    // PQ/ADC (Jégou et al. 2011): 64 dims → 8 one-byte codeword ids — 32×
+    // compression with per-subspace directional fidelity (vs the sign
+    // bits' 1 bit/dim). Runs over the int8 codes so every distance is
+    // exact integer arithmetic → complete oracle.
+    ("sim_topk_pq",
+      (s: SparkSession, d: String) =>
+        graft.ext.Pq.adcTopK(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""$pqCte
+SELECT q_id, rnk, neighbor_id, asim_r FROM adcr WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
+    // ADC shortlist (4k) → exact float re-rank: true cosines from a
+    // 32×-cheap scan; the FAISS refine pattern on PQ codes.
+    ("sim_topk_pq_refined",
+      (s: SparkSession, d: String) =>
+        graft.ext.Pq.adcRefineTopK(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""$pqCte,
+c40 AS (SELECT q_id, neighbor_id FROM adcr WHERE rnk <= 40),
+nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+qv AS (SELECT vec_id AS q_id, v AS qvec, nrm AS qnn FROM nn WHERE vec_id < 10),
+s3 AS (SELECT c40.q_id, c40.neighbor_id,
+              (${dotSql("qvec", "nn.v")}) / (qv.qnn * nn.nrm) AS sim
+       FROM c40 JOIN qv USING (q_id) JOIN nn ON nn.vec_id = c40.neighbor_id),
+r3 AS (SELECT q_id, neighbor_id, round(sim, 6) AS sim_r,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+       FROM s3)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r3 WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
+    // Measured recall@10 of raw ADC vs float exact — the compression
+    // ladder float→int8→PQ→binary quantified, deterministic both sides.
+    ("pq_recall",
+      (s: SparkSession, d: String) =>
+        graft.ext.Pq.adcRecall(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""$pqCte,
+nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+qv AS (SELECT vec_id AS q_id, v AS qvec, nrm AS qnn FROM nn WHERE vec_id < 10),
+ex AS (SELECT qv.q_id, nn.vec_id,
+              row_number() OVER (PARTITION BY qv.q_id
+                ORDER BY (${dotSql("qvec", "nn.v")}) / (qv.qnn * nn.nrm) DESC, nn.vec_id) AS rnk
+       FROM qv JOIN nn ON nn.vec_id <> qv.q_id),
+exk AS (SELECT q_id, vec_id FROM ex WHERE rnk <= 10),
+apk AS (SELECT q_id, neighbor_id FROM adcr WHERE rnk <= 10)
+SELECT exk.q_id AS qid,
+       round(count(apk.neighbor_id)::DOUBLE / 10, 6) AS recall_r
+FROM exk LEFT JOIN apk ON apk.q_id = exk.q_id AND apk.neighbor_id = exk.vec_id
+GROUP BY exk.q_id ORDER BY qid""")),
+
+    // ------------------------------------------------------------- DSIR
+    // Importance weights vs the English target slice: decimal-exact
+    // per-token log-ratio sums (Lm's float discipline), full oracle.
+    ("dsir_weights",
+      (s: SparkSession, d: String) =>
+        graft.ext.Dsir.importanceWeights(docs(s, d)),
+      Some(s"""$dsirWeightCtes
+SELECT doc_id, n_tokens, round(slw::DOUBLE, 6) AS logw_r,
+       round(slw::DOUBLE / n_tokens, 6) AS avg_logw_r
+FROM sw ORDER BY doc_id""")),
+
+    // Gumbel-top-k importance resample (∝ exp(avg_logw), deterministic
+    // content-md5 Gumbel noise) + its per-lang selection audit.
+    ("dsir_resample",
+      (s: SparkSession, d: String) =>
+        graft.ext.Dsir.resample(docs(s, d)),
+      Some(s"""$dsirWeightCtes,
+gm AS (SELECT doc_id, lang, source,
+              -ln(-ln(CAST('0x' || substring(md5($normSql), 1, 13) AS UBIGINT)::DOUBLE
+                      / 4503599627370496)) AS g
+       FROM documents),
+sel AS (SELECT sw.doc_id, gm.lang, gm.source,
+               round(sw.slw::DOUBLE / sw.n_tokens, 6) AS avg_logw_r,
+               round(round(sw.slw::DOUBLE / sw.n_tokens, 6) + gm.g, 6) AS gk_key_r
+        FROM sw JOIN gm ON gm.doc_id = sw.doc_id)
+SELECT doc_id, lang, source, avg_logw_r, gk_key_r
+FROM sel ORDER BY gk_key_r DESC, doc_id LIMIT 60""")),
+
+    ("dsir_selection_audit",
+      (s: SparkSession, d: String) =>
+        graft.ext.Dsir.selectionAudit(docs(s, d)),
+      Some(s"""$dsirWeightCtes,
+gm AS (SELECT doc_id, lang, source,
+              -ln(-ln(CAST('0x' || substring(md5($normSql), 1, 13) AS UBIGINT)::DOUBLE
+                      / 4503599627370496)) AS g
+       FROM documents),
+sel AS (SELECT sw.doc_id, gm.lang,
+               round(round(sw.slw::DOUBLE / sw.n_tokens, 6) + gm.g, 6) AS gk_key_r
+        FROM sw JOIN gm ON gm.doc_id = sw.doc_id),
+kept AS (SELECT lang, count(*)::BIGINT AS n_kept
+         FROM (SELECT lang FROM sel ORDER BY gk_key_r DESC, doc_id LIMIT 60) z
+         GROUP BY lang),
+ld AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang)
+SELECT ld.lang, ld.n_docs, coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
+       round(coalesce(kept.n_kept, 0)::DOUBLE / ld.n_docs, 6) AS keep_share_r
+FROM ld LEFT JOIN kept ON kept.lang = ld.lang ORDER BY ld.lang""")),
+
+    // -------------------------------------------- contrastive pair mining
+    // IVF-mined (anchor, positive, hard-negative) triples with margins;
+    // negatives are near-misses UNDER the dup ceiling (never duplicates).
+    ("contrastive_pairs",
+      (s: SparkSession, d: String) =>
+        graft.ext.Contrastive.pairs(embs(s, d)),
+      Some(s"""${ivfTopSql(20)},
+t16 AS (SELECT * FROM top WHERE rnk <= 16),
+pos AS (SELECT q_id, neighbor_id AS pos_id, sim_r AS pos_sim_r FROM t16 WHERE rnk = 1),
+ng AS (SELECT q_id, neighbor_id AS neg_id, sim_r AS neg_sim_r,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS neg_rnk
+       FROM t16 WHERE rnk > 1 AND sim_r < 0.95),
+sel AS (SELECT pos.q_id, pos.pos_id, pos.pos_sim_r, ng.neg_rnk, ng.neg_id, ng.neg_sim_r,
+               round(pos.pos_sim_r - ng.neg_sim_r, 6) AS margin_r
+        FROM pos JOIN ng ON ng.q_id = pos.q_id WHERE ng.neg_rnk <= 5)
+SELECT q_id, pos_id, pos_sim_r, neg_rnk, neg_id, neg_sim_r, margin_r
+FROM sel ORDER BY q_id, neg_rnk""")),
+
+    // Mining health vs the held-out label column: false-negative share
+    // per anchor (same-label items mined as negatives).
+    ("contrastive_label_audit",
+      (s: SparkSession, d: String) =>
+        graft.ext.Contrastive.labelAudit(embs(s, d)),
+      Some(s"""${ivfTopSql(20)},
+t16 AS (SELECT * FROM top WHERE rnk <= 16),
+pos AS (SELECT q_id, neighbor_id AS pos_id, sim_r AS pos_sim_r FROM t16 WHERE rnk = 1),
+ng AS (SELECT q_id, neighbor_id AS neg_id, sim_r AS neg_sim_r,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS neg_rnk
+       FROM t16 WHERE rnk > 1 AND sim_r < 0.95),
+sel AS (SELECT pos.q_id, pos.pos_id, ng.neg_rnk, ng.neg_id
+        FROM pos JOIN ng ON ng.q_id = pos.q_id WHERE ng.neg_rnk <= 5),
+lb AS (SELECT vec_id, label FROM embeddings),
+au AS (SELECT sel.q_id,
+              count(*)::BIGINT AS n_negs,
+              max(CASE WHEN pl.label = ql.label THEN 1 ELSE 0 END)::INT AS pos_label_match,
+              sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)::BIGINT AS n_false_negs
+       FROM sel JOIN lb ql ON ql.vec_id = sel.q_id
+       JOIN lb pl ON pl.vec_id = sel.pos_id
+       JOIN lb nl ON nl.vec_id = sel.neg_id
+       GROUP BY sel.q_id)
+SELECT q_id, n_negs, pos_label_match, n_false_negs,
+       round(n_false_negs::DOUBLE / n_negs, 6) AS false_neg_share_r
+FROM au ORDER BY q_id"""))
   )
 
   val queries: Map[String, Q] =

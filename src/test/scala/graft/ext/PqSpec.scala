@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.SparkSuite
+
+/** Product-quantization contracts: code validity, the recall ladder vs
+  * exact float search, and refine dominance. */
+class PqSpec extends SparkSuite {
+
+  private lazy val fx =
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("codes assign every (vector, subspace) to a real codeword") {
+    val cds = Pq.codes(fx).collect()
+    val n = fx.count()
+    assert(cds.length === n * Pq.pqM, "m codes per vector, no drops")
+    val cwIds = Pq.codebook(fx).select("cw_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cds.forall(r => cwIds.contains(r.getAs[Long]("code"))),
+      "every assigned code is an existing codeword id")
+  }
+
+  test("ADC recall@10 clears a floor and refine strictly dominates") {
+    val raw = Pq.adcRecall(fx, numQueries = 10, k = 10)
+      .collect().map(r => r.getAs[Double]("recall_r"))
+    val meanRaw = raw.sum / raw.length
+    info(s"PQ ADC mean recall@10 = $meanRaw")
+    assert(meanRaw >= 0.5, s"ADC recall $meanRaw below floor")
+
+    // refine re-ranks a 4k shortlist with exact float cosine: its hit set
+    // vs the exact top-10 must be ≥ the raw ADC hit set per query
+    val exact = Similarity.cosineTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val adc = Pq.adcTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ref = Pq.adcRefineTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val adcHits = adc.count(exact.contains)
+    val refHits = ref.count(exact.contains)
+    info(s"hits vs exact: adc=$adcHits refined=$refHits of ${exact.size}")
+    assert(refHits >= adcHits, "refine must not lose recall vs raw ADC")
+  }
+
+  test("reported refined sims are true float cosines") {
+    // every (q, neighbor) the refined path reports must carry the same
+    // rounded sim the exact brute-force assigns that pair
+    val exactSims = Similarity.cosineTopK(fx, numQueries = 5, k = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim_r")).toMap
+    val refined = Pq.adcRefineTopK(fx, numQueries = 5, k = 10).collect()
+    refined.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      exactSims.get(key).foreach { s =>
+        assert(s === r.getAs[Double]("sim_r"),
+          s"refined sim for $key is not the true cosine")
+      }
+    }
+  }
+}
