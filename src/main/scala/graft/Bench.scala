@@ -63,6 +63,7 @@ object Bench {
     warmUp("ann-index")(graft.sinks.AnnIndex.materialized(spark, sfDir))
     warmUp("dedup-index")(graft.sinks.DedupIndex.materialized(spark, sfDir))
     warmUp("text-index")(graft.sinks.TextIndex.materialized(spark, sfDir))
+    warmUp("pq-index")(graft.sinks.PqIndex.materialized(spark, sfDir))
     graft.ext.Dedup.releaseAll()
     // warm the bench SF's parquet bytes into the OS page cache so the
     // timed pass measures engine work, not which query first touches a
@@ -89,6 +90,7 @@ object Bench {
     warmDir(s"${sys.props("java.io.tmpdir")}/graft_annindex_${math.abs(sfDir.hashCode)}")
     warmDir(s"${sys.props("java.io.tmpdir")}/graft_dedupindex_${math.abs(sfDir.hashCode)}")
     warmDir(s"${sys.props("java.io.tmpdir")}/graft_textindex_${math.abs(sfDir.hashCode)}")
+    warmDir(s"${sys.props("java.io.tmpdir")}/graft_pqindex_${math.abs(sfDir.hashCode)}")
     // NOISE NORMALIZER (VERDICT r5 item 7): round-over-round totals moved
     // ±9-40% on identical untouched queries from ambient VM noise alone,
     // making cross-round comparison untrustworthy. This pinned calibration

@@ -100,6 +100,82 @@ object Dsir {
         col("avg_logw_r"), col("gk_key_r"))
   }
 
+  /** The DEPLOYABLE fixed-vocab DSIR model ([[Lm.nanoModel]]'s shape):
+    * the corpus's top-`topK` tokens by raw count (ties → lexicographic)
+    * with nano-nat importance ratios `floor((lp_target − lp_raw)·1e9)`
+    * (target-OOV tokens take the target unk log-prob inside the ratio),
+    * plus the out-of-vocab ratio `floor((unk_target − unk_raw)·1e9)`.
+    * Driver-bounded: the collect is ≤ topK rows. The nano grid makes the
+    * streaming scorer's integer sums bit-identical to [[nanoRatioScores]]
+    * under any partitioning. */
+  def nanoRatioModel(
+      docs: DataFrame,
+      targetLang: String = "en",
+      topK: Int = 4096): (Map[String, Long], Long) = {
+    val all = toks(docs)(Seq("lang"))
+    val rv = all.groupBy("t").agg(count(lit(1)).as("n"))
+    val rt = rv.agg(sum("n").as("total"), count(lit(1)).as("vsz")).head()
+    val (totR, vszR) = (rt.getLong(0), rt.getLong(1))
+    val tv = all.where(col("lang") === targetLang)
+      .groupBy("t").agg(count(lit(1)).as("nt"))
+    val tt = tv.agg(sum("nt").as("total"), count(lit(1)).as("vsz")).head()
+    val (totT, vszT) = (tt.getLong(0), tt.getLong(1))
+    val ratioNano =
+      floor((log((coalesce(col("nt"), lit(0L)) + K) / (totT + (vszT + 1) * K))
+        - log((col("n") + K) / (totR + (vszR + 1) * K))) * 1e9).cast("long")
+    // top-K via orderBy+limit (TakeOrderedAndProject), the Lm.nanoModel
+    // shape — never a partitionless window over the vocabulary
+    val top = rv.join(tv, Seq("t"), "left")
+      .orderBy(col("n").desc, col("t")).limit(topK)
+      .select(col("t"), ratioNano.as("rn"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unk = math.floor((math.log(K / (totT + (vszT + 1) * K))
+      - math.log(K / (totR + (vszR + 1) * K))) * 1e9).toLong
+    (top, unk)
+  }
+
+  /** Batch scorer under the fixed-vocab ratio model, fully in-plan
+    * (explode + top-K join + exact long sum) — `(doc_id, n_tokens,
+    * avg_logw_r)` on the nano grid. The streaming mapPartitions scorer
+    * ([[Lm.scoreRow]] with the ratio model) reproduces these exactly. */
+  def nanoRatioScores(
+      docs: DataFrame,
+      targetLang: String = "en",
+      topK: Int = 4096): DataFrame = {
+    val all = toks(docs)(Seq("lang"))
+    val rv = all.groupBy("t").agg(count(lit(1)).as("n"))
+    val rt = rv.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
+    val tv = all.where(col("lang") === targetLang)
+      .groupBy("t").agg(count(lit(1)).as("nt"))
+    val tt = tv.agg(sum("nt").as("total"), count(lit(1)).as("vsz"))
+    val top = rv.join(tv, Seq("t"), "left")
+      .orderBy(col("n").desc, col("t")).limit(topK)
+      .crossJoin(broadcast(rt.select(col("total").as("totR"), col("vsz").as("vszR"))))
+      .crossJoin(broadcast(tt.select(col("total").as("totT"), col("vsz").as("vszT"))))
+      .select(col("t"),
+        floor((log((coalesce(col("nt"), lit(0L)) + K)
+            / (col("totT") + (col("vszT") + 1) * K))
+          - log((col("n") + K) / (col("totR") + (col("vszR") + 1) * K))) * 1e9)
+          .cast("long").as("rn"))
+    val unkRn = floor((log(lit(K) / (col("totT") + (col("vszT") + 1) * K))
+      - log(lit(K) / (col("totR") + (col("vszR") + 1) * K))) * 1e9)
+      .cast("long").as("unk_rn")
+    val unkFrame = broadcast(
+      rt.select(col("total").as("totR"), col("vsz").as("vszR"))
+        .crossJoin(tt.select(col("total").as("totT"), col("vsz").as("vszT")))
+        .select(unkRn))
+    all.select(col("doc_id"), col("t"))
+      .join(top, Seq("t"), "left")
+      .crossJoin(unkFrame)
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("rn"), col("unk_rn"))).as("s"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("s").cast("double") / 1e9) / col("n_tokens"), 6)
+          .as("avg_logw_r"))
+  }
+
   /** Selection audit: per (lang, source) how many docs the top-`k`
     * resample kept vs the stratum size — the drift dashboard that shows
     * DSIR actually pulling the corpus toward the target slice (target-lang

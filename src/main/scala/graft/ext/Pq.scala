@@ -74,45 +74,67 @@ object Pq {
 
   /** PQ encoding: per (vector, subspace) the nearest codeword by L2 over
     * the int8 subvectors (d² = ‖s‖² − 2·s·cw + ‖cw‖², every term an exact
-    * integer; ties → lowest cw_id). One scan × broadcast codebooks with a
-    * map-side-partial argmin — the N×C flops never become an N×C shuffle. */
-  def codes(embeddings: DataFrame, stride: Int = pqStride): DataFrame = {
-    val cb = codebook(embeddings, stride)
-    val subs = Similarity.quantize(embeddings)
-      .select(col("vec_id"), posexplode(subvectors(col("qv"))))
-      .select(col("vec_id"), col("pos").as("j"), col("col").as("sub"))
-    subs
-      .join(broadcast(cb), Seq("j"))
-      .withColumn("d2",
-        dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), col("cw"))
-          + col("cwdot"))
-      .groupBy("vec_id", "j")
-      .agg(max_by(col("cw_id"),
-        struct((-col("d2")).as("nd2"), (-col("cw_id")).as("nid"))).as("code"))
-  }
+    * integer; ties → lowest cw_id — ‖s‖² is constant per (vector,
+    * subspace), so the [[graft.expr.PqEncodeAll]] kernel ranks the
+    * identical `‖cw‖² − 2·s·cw`).
+    *
+    * The codebook is collected once (bounded: ≤ m·[[pqMaxCw]] = 2048
+    * rows — an index-build model artifact, the [[Lm.nanoModel]]
+    * precedent) and embedded as a flat literal, so encoding is ONE
+    * codegen projection over the corpus scan — no N×C join blow-up, no
+    * argmin shuffle; the only shuffle-bound rows are the final skinny
+    * (vec_id, j, code) triples. At 1000 executors the literal ships once
+    * per task closure, exactly how a trained PQ codebook deploys. */
+  /** The flat codebook-literal layout [[graft.expr.PqEncodeAll]] scans:
+    * per subspace j ascending, per codeword ascending cw_id, the 10
+    * doubles `[cw_id, cwdot, cw_0…cw_7]`. Bounded collect (≤ m·[[pqMaxCw]]
+    * = 2048 rows) — the codebook is an index-build model artifact, the
+    * [[Lm.nanoModel]] precedent; [[graft.sinks.PqIndex]] persists these
+    * same rows and re-flattens them so appends encode against the FROZEN
+    * build-time codebook. */
+  private[graft] def flatCodebook(cb: DataFrame): Array[Double] =
+    cb.select(col("j"), col("cw_id"), col("cwdot"), col("cw"))
+      .collect()
+      .map { r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getSeq[Double](3).toArray)
+      }
+      .sortBy { case (j, id, _, _) => (j, id) }
+      .flatMap { case (_, id, cwdot, cw) => id.toDouble +: cwdot +: cw }
 
-  /** ADC (asymmetric-style distance computation, here symmetric-int8)
-    * top-k: the query's int8 subvectors dot every codeword once into a
-    * `|q|·m·C` lookup table; each candidate then costs m table lookups
-    * summed — never a 64-dim dot. Similarity = ADC-dot / (‖q8‖·‖recon‖)
-    * with the reconstruction norm Σⱼ‖cw(codeⱼ)‖² (exact int), so the
-    * ranking is bit-deterministic and fully oracle-able. */
-  def adcTopK(
-      embeddings: DataFrame,
-      numQueries: Int,
+  /** One-projection encoder over pre-quantized `(vec_id, qv)` rows and a
+    * [[flatCodebook]] literal → skinny (vec_id, j, code) triples. */
+  private[graft] def encodeWith(q8: DataFrame, flat: Array[Double]): DataFrame =
+    q8.select(col("vec_id"),
+        posexplode(graft.expr.PqEncode.encodeAll(
+          transform(col("qv"), x => x.cast("double")), lit(flat))))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("code"))
+
+  def codes(embeddings: DataFrame, stride: Int = pqStride): DataFrame =
+    encodeWith(
+      Similarity.quantize(embeddings).select(col("vec_id"), col("qv")),
+      flatCodebook(codebook(embeddings, stride)))
+
+  /** The ADC scorer both the in-plan path and the persisted-index probe
+    * rank with: `cds` (vec_id, j, code) candidates against int8 queries
+    * `q8` (q_id, qv) under codebook `cb`. The query's subvectors dot
+    * every codeword once into a `|q|·m·C` lookup table; each candidate
+    * then costs m table lookups summed — never a 64-dim dot. Similarity
+    * = ADC-dot / (‖q8‖·‖recon‖) with reconstruction norm Σⱼ‖cw(codeⱼ)‖²
+    * (exact int) — bit-deterministic, fully oracle-able. */
+  private[graft] def adcRank(
+      cds: DataFrame,
+      cb: DataFrame,
+      q8: DataFrame,
       k: Int,
-      stride: Int = pqStride): DataFrame = {
-    val cb = codebook(embeddings, stride)
-    val cds = codes(embeddings, stride)
-    // query-side: int8 subvectors + exact int8 norm
-    val q8 = Similarity.quantize(embeddings)
-      .where(col("vec_id") < numQueries)
+      excludeSelf: Boolean = true): DataFrame = {
+    val qsubs = q8
       .select(col("vec_id").as("q_id"),
         sqrt(dot(transform(col("qv"), x => x.cast("double")),
           transform(col("qv"), x => x.cast("double")))).as("qn"),
         posexplode(subvectors(col("qv"))))
       .select(col("q_id"), col("qn"), col("pos").as("j"), col("col").as("qsub"))
-    val lut = q8
+    val lut = qsubs
       .join(broadcast(cb), Seq("j"))
       .select(col("q_id"), col("qn"), col("j"), col("cw_id"),
         dot(col("qsub"), col("cw")).as("pdot"))
@@ -127,7 +149,7 @@ object Pq {
     cds
       .join(broadcast(lut),
         cds("j") === lut("j") && cds("code") === lut("cw_id") &&
-          cds("vec_id") =!= lut("q_id"))
+          (if (excludeSelf) cds("vec_id") =!= lut("q_id") else lit(true)))
       .groupBy(col("q_id"), col("vec_id"), col("qn"))
       .agg(sum(col("pdot")).as("adot"))
       .join(recon, Seq("vec_id"))
@@ -139,6 +161,21 @@ object Pq {
         round(col("asim"), 6).as("asim_r"))
       .orderBy("q_id", "rnk")
   }
+
+  /** In-plan ADC top-k: encode the corpus, rank against the first
+    * `numQueries` vectors' own codes ([[adcRank]]). */
+  def adcTopK(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      stride: Int = pqStride): DataFrame =
+    adcRank(
+      codes(embeddings, stride),
+      codebook(embeddings, stride),
+      Similarity.quantize(embeddings)
+        .where(col("vec_id") < numQueries)
+        .select(col("vec_id"), col("qv")),
+      k)
 
   /** ADC shortlist (`refineFactor·k`) → exact float cosine re-rank — the
     * FAISS refine pattern over PQ codes: the 32×-cheap scan proposes,
@@ -167,6 +204,101 @@ object Pq {
         round(col("sim"), 6).as("sim_r"))
       .orderBy("q_id", "rnk")
   }
+
+  /** IVFADC — the full FAISS serving stack (Jégou et al. 2011, §IV) in
+    * one deterministic plan: IVF cell pruning (over the int8 codes, same
+    * cells as [[Similarity.quantizedIvfTopK]]) bounds WHICH vectors are
+    * scored, PQ/ADC lookups bound WHAT each score costs, and an exact
+    * float re-rank of the `refineFactor·k` survivors makes the reported
+    * similarities TRUE cosines. At 100 TB this is the only shape that
+    * works: scan cost = (nprobe/C)·N candidates × m byte-lookups each,
+    * with float vectors touched only for `|q|·refineFactor·k` point
+    * reads. Composes three independently-oracled parts, so it keeps a
+    * complete DuckDB oracle. */
+  def ivfAdcTopK(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      refineFactor: Int = 4,
+      ivfStride: Int = Similarity.ivfStride,
+      nprobe: Int = Similarity.ivfProbes,
+      stride: Int = pqStride): DataFrame = {
+    val q8 = Similarity.quantize(embeddings)
+      .select(col("vec_id"), col("qv").as("embedding"))
+    // cell-pruned candidate pairs under the int8 coarse quantizer
+    val cands = Similarity.ivfCandidates(q8, numQueries, ivfStride, nprobe)
+      .select(col("q_id"), col("vec_id"))
+    val cb = codebook(embeddings, stride)
+    val cds = codes(embeddings, stride)
+    val qn8 = Similarity.quantize(embeddings)
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"),
+        sqrt(dot(transform(col("qv"), x => x.cast("double")),
+          transform(col("qv"), x => x.cast("double")))).as("qn"))
+    val lut = Similarity.quantize(embeddings)
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), posexplode(subvectors(col("qv"))))
+      .select(col("q_id"), col("pos").as("j"), col("col").as("qsub"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("q_id"), col("j"), col("cw_id"),
+        dot(col("qsub"), col("cw")).as("pdot"))
+    val recon = cds
+      .join(broadcast(cb.select(col("j"), col("cw_id").as("code"), col("cwdot"))),
+        Seq("j", "code"))
+      .groupBy("vec_id")
+      .agg(sum("cwdot").as("recon2"))
+    // ADC score ONLY the cell-pruned pairs
+    val adc = cands
+      .join(cds, Seq("vec_id"))
+      .join(broadcast(lut),
+        cands("q_id") === lut("q_id") && cds("j") === lut("j") &&
+          cds("code") === lut("cw_id"))
+      .groupBy(cands("q_id").as("q_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"))
+      .join(recon, Seq("vec_id"))
+      .join(broadcast(qn8), Seq("q_id"))
+      .withColumn("asim",
+        col("adot") / greatest(col("qn") * sqrt(col("recon2")), lit(tiny)))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("asim").desc, col("vec_id"))
+    val shortlist = adc
+      .withColumn("arnk", row_number().over(sw))
+      .where(col("arnk") <= k * refineFactor)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    // exact float refine of the survivors
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(base.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))), Seq("q_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("q"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Per-subspace codebook health: how many codewords the encoding
+    * actually uses and how skewed the most popular one is — the index
+    * dashboard that catches a degenerate codebook (few codes used → the
+    * subspace quantizes everything onto a point and ADC loses all
+    * discrimination there). One skinny (j, code) aggregate. */
+  def codeStats(embeddings: DataFrame, stride: Int = pqStride): DataFrame =
+    codes(embeddings, stride)
+      .groupBy("j", "code")
+      .agg(count(lit(1)).as("pop"))
+      .groupBy("j")
+      .agg(
+        count(lit(1)).as("n_codes_used"),
+        sum("pop").as("n_vecs"),
+        max("pop").as("max_code_pop"))
+      .withColumn("max_share_r",
+        round(col("max_code_pop").cast("double") / col("n_vecs"), 6))
+      .orderBy("j")
 
   /** Recall@k of the raw ADC ranking vs the exact float top-k — the
     * honest price of 32× compression, deterministic on both sides (same

@@ -245,12 +245,15 @@ object Similarity {
     * (queries × nprobe) and broadcast back against the assigned cells. At
     * 1000 executors this is scan + two broadcasts + a final per-query
     * top-k window over ~nprobe/C of the corpus. */
-  def ivfTopK(
+  /** The IVF candidate generator [[ivfTopK]] ranks over, factored out so
+    * [[Pq.ivfAdcTopK]] can reuse the identical cell-pruning (assignment +
+    * probe list) under a different scorer: one `(q_id, q, vec_id, v)` row
+    * per (query, vector-in-a-probed-cell) pair, query excluded. */
+  private[ext] def ivfCandidates(
       embeddings: DataFrame,
       numQueries: Int,
-      k: Int,
-      stride: Int = ivfStride,
-      nprobe: Int = ivfProbes): DataFrame = {
+      stride: Int,
+      nprobe: Int): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = base.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
@@ -275,12 +278,21 @@ object Similarity {
       .withColumn("qrn", row_number().over(qw))
       .where(col("qrn") <= nprobe)
       .select(col("q_id"), col("q"), col("cent_id").as("cell"))
-    // candidates = vectors living in a probed cell; exact re-rank
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     assigned
       .join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q"), col("vec_id"), col("v"))
+  }
+
+  def ivfTopK(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      stride: Int = ivfStride,
+      nprobe: Int = ivfProbes): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    ivfCandidates(embeddings, numQueries, stride, nprobe)
       .withColumn("sim", cosine(col("q"), col("v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -76,6 +76,14 @@ adcr AS (SELECT q_id, vec_id AS neighbor_id, asim, round(asim, 6) AS asim_r,
                 row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, vec_id) AS rnk
          FROM adc)"""
 
+  // The ADC top-10 SELECT shared by sim_topk_pq (in-plan) and
+  // sim_topk_pq_indexed (the persisted-index probe): bit-identical by
+  // design, ONE oracle.
+  private lazy val pqTopSql =
+    s"""$pqCte
+SELECT q_id, rnk, neighbor_id, asim_r FROM adcr WHERE rnk <= 10
+ORDER BY q_id, rnk"""
+
   // DSIR importance-weight CTE chain (twin of graft.ext.Dsir
   // .importanceWeights, target = lang 'en'): add-k unigram LMs for the
   // target slice and the raw corpus; per-token-instance log-ratio
@@ -1379,6 +1387,51 @@ f AS (SELECT sc.*, pp.avg_nll_r FROM sc JOIN pp ON sc.doc_id = pp.doc_id
 r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
 p AS (SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 50 = 0)
 SELECT doc_id, source, fp, round(quality, 6) AS quality_r, avg_nll_r
+FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
+ORDER BY doc_id""")),
+
+    // DSIR-selected corpus gate (batch twin of cleanStreamDsir): quality
+    // → fixed-vocab nano-ratio DSIR score ≥ the corpus median → exact-fp
+    // dedup → decontamination. The deployable "make the firehose look
+    // like the target slice" stage, composed into the standard gate.
+    ("corpus_clean_dsir",
+      (s: SparkSession, d: String) =>
+        graft.streaming.CorpusIngest.cleanBatchDsir(docs(s, d)),
+      Some(s"""WITH toksn AS (SELECT doc_id, lang, unnest($toksSql) AS t FROM documents),
+rv AS (SELECT t, count(*)::BIGINT AS n FROM toksn GROUP BY t),
+rt AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS vsz FROM rv),
+tvv AS (SELECT t, count(*)::BIGINT AS nt FROM toksn WHERE lang = 'en' GROUP BY t),
+tt AS (SELECT sum(nt)::BIGINT AS total, count(*)::BIGINT AS vsz FROM tvv),
+topk AS (SELECT z.t,
+    CAST(floor((ln((coalesce(z.nt, 0) + 0.5) / (tt.total + (tt.vsz + 1) * 0.5))
+         - ln((z.n + 0.5) / (rt.total + (rt.vsz + 1) * 0.5))) * 1e9) AS BIGINT) AS rn
+  FROM (SELECT rv.t, rv.n, tvv.nt, row_number() OVER (ORDER BY rv.n DESC, rv.t) AS rk
+        FROM rv LEFT JOIN tvv ON rv.t = tvv.t) z
+  CROSS JOIN rt CROSS JOIN tt WHERE z.rk <= 4096),
+u AS (SELECT CAST(floor((ln(0.5 / (tt.total + (tt.vsz + 1) * 0.5))
+         - ln(0.5 / (rt.total + (rt.vsz + 1) * 0.5))) * 1e9) AS BIGINT) AS unk
+  FROM rt CROSS JOIN tt),
+sd AS (SELECT toksn.doc_id,
+         sum(coalesce(topk.rn, (SELECT unk FROM u)))::BIGINT AS s,
+         count(*)::BIGINT AS n_tokens
+       FROM toksn LEFT JOIN topk ON toksn.t = topk.t GROUP BY toksn.doc_id),
+ww AS (SELECT doc_id, round((s::DOUBLE / 1e9) / n_tokens, 6) AS avg_logw_r FROM sd),
+cut AS (SELECT quantile_cont(avg_logw_r, 0.5) AS cut FROM ww),
+q AS (SELECT doc_id, source, text, $toksSql AS toks,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+         len(list_filter($toksSql, t -> list_contains($enLex, t))) AS stops
+  FROM documents),
+sc AS (SELECT doc_id, source, md5($normSql) AS fp,
+         least(len(toks), 256)::DOUBLE / 256 * 0.4
+           + alpha::DOUBLE / greatest(length(text), 1) * 0.4
+           + least(stops::DOUBLE / greatest(len(toks), 1) * 5, 1.0) * 0.2
+           AS quality
+       FROM q),
+f AS (SELECT sc.*, ww.avg_logw_r FROM sc JOIN ww ON sc.doc_id = ww.doc_id
+      WHERE sc.quality >= 0.3 AND ww.avg_logw_r >= (SELECT cut FROM cut)),
+r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+p AS (SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id, source, fp, round(quality, 6) AS quality_r, avg_logw_r
 FROM r WHERE rn = 1 AND fp NOT IN (SELECT fp FROM p)
 ORDER BY doc_id""")),
 
@@ -3219,9 +3272,19 @@ FROM md ORDER BY media_id, frame_idx""")),
     ("sim_topk_pq",
       (s: SparkSession, d: String) =>
         graft.ext.Pq.adcTopK(embs(s, d), numQueries = 10, k = 10),
-      Some(s"""$pqCte
-SELECT q_id, rnk, neighbor_id, asim_r FROM adcr WHERE rnk <= 10
-ORDER BY q_id, rnk""")),
+      Some(pqTopSql)),
+
+    // The persisted-index probe (graft.sinks.PqIndex): bit-identical to
+    // the in-plan sim_topk_pq by construction (same codes, codebook, and
+    // ADC scorer read back off the bucketed table), so it carries the
+    // SAME oracle — the driver's hash check pins table-probe ≡ in-plan
+    // every round.
+    ("sim_topk_pq_indexed",
+      (s: SparkSession, d: String) =>
+        graft.sinks.PqIndex.probe(
+          embs(s, d), graft.sinks.PqIndex.materialized(s, d),
+          numQueries = 10, k = 10),
+      Some(pqTopSql)),
 
     // ADC shortlist (4k) → exact float re-rank: true cosines from a
     // 32×-cheap scan; the FAISS refine pattern on PQ codes.
@@ -3259,6 +3322,71 @@ SELECT exk.q_id AS qid,
        round(count(apk.neighbor_id)::DOUBLE / 10, 6) AS recall_r
 FROM exk LEFT JOIN apk ON apk.q_id = exk.q_id AND apk.neighbor_id = exk.vec_id
 GROUP BY exk.q_id ORDER BY qid""")),
+
+    // IVFADC — the full FAISS serving stack: IVF cell pruning bounds the
+    // candidate COUNT, ADC lookups bound the per-candidate COST, float
+    // refine makes reported sims true cosines. Three oracled parts
+    // composed → complete oracle.
+    ("sim_topk_ivfpq",
+      (s: SparkSession, d: String) =>
+        graft.ext.Pq.ivfAdcTopK(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""$ivfQ8AsgCte,
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+p AS (SELECT q.q_id, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (${dotSql("qv", "cv")}) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN c),
+pr AS (SELECT q_id, cell FROM p WHERE rn <= 8),
+cand AS (SELECT pr.q_id, asg.vec_id
+         FROM pr JOIN asg ON asg.cell = pr.cell WHERE asg.vec_id <> pr.q_id),
+sub AS (SELECT vec_id, t.j, v[(t.j*8+1):(t.j*8+8)] AS sv
+        FROM e CROSS JOIN range(8) t(j)),
+cb2 AS (SELECT j, vec_id AS cw_id, sv AS cw, ${dot8Sql("sv", "sv")} AS cwdot
+        FROM sub WHERE vec_id % 2 = 0 AND vec_id < 512),
+enc AS (SELECT s2.vec_id, s2.j, c2.cw_id,
+               row_number() OVER (PARTITION BY s2.vec_id, s2.j
+                 ORDER BY (${dot8Sql("s2.sv", "s2.sv")}) - 2*(${dot8Sql("s2.sv", "c2.cw")}) + c2.cwdot, c2.cw_id) AS rn
+        FROM sub s2 JOIN cb2 c2 ON c2.j = s2.j),
+cds AS (SELECT vec_id, j, cw_id AS code FROM enc WHERE rn = 1),
+recon AS (SELECT cd.vec_id, sum(c2.cwdot) AS recon2
+          FROM cds cd JOIN cb2 c2 ON c2.j = cd.j AND c2.cw_id = cd.code
+          GROUP BY cd.vec_id),
+lut AS (SELECT s2.vec_id AS q_id, s2.j, c2.cw_id, ${dot8Sql("s2.sv", "c2.cw")} AS pdot
+        FROM sub s2 JOIN cb2 c2 ON c2.j = s2.j WHERE s2.vec_id < 10),
+ad AS (SELECT cand.q_id, cand.vec_id, sum(l.pdot) AS adot
+       FROM cand JOIN cds cd ON cd.vec_id = cand.vec_id
+       JOIN lut l ON l.q_id = cand.q_id AND l.j = cd.j AND l.cw_id = cd.code
+       GROUP BY cand.q_id, cand.vec_id),
+sxa AS (SELECT ad.q_id, ad.vec_id,
+               ad.adot / greatest(q2.qn * sqrt(r.recon2), 4.9e-324) AS asim
+        FROM ad JOIN q q2 ON q2.q_id = ad.q_id
+        JOIN recon r ON r.vec_id = ad.vec_id),
+sl AS (SELECT q_id, vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, vec_id) AS arnk
+       FROM sxa),
+c40 AS (SELECT q_id, neighbor_id FROM sl WHERE arnk <= 40),
+nn0 AS (SELECT vec_id, v0, sqrt(${dotSql("v0", "v0")}) AS nrm0 FROM e0),
+qv0 AS (SELECT vec_id AS q_id, v0 AS qvec, nrm0 AS qn0 FROM nn0 WHERE vec_id < 10),
+s5 AS (SELECT c40.q_id, c40.neighbor_id,
+              (${dotSql("qvec", "nn0.v0")}) / (qv0.qn0 * nn0.nrm0) AS sim
+       FROM c40 JOIN qv0 USING (q_id) JOIN nn0 ON nn0.vec_id = c40.neighbor_id),
+r5 AS (SELECT q_id, neighbor_id, round(sim, 6) AS sim_r,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+       FROM s5)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r5 WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
+    // Codebook-health dashboard: per-subspace codeword utilization and
+    // the most-popular-code share (degenerate-codebook canary).
+    ("pq_code_stats",
+      (s: SparkSession, d: String) =>
+        graft.ext.Pq.codeStats(embs(s, d)),
+      Some(s"""$pqCte,
+pop AS (SELECT j, code, count(*)::BIGINT AS pop FROM cds GROUP BY j, code)
+SELECT j::INT AS j, count(*)::BIGINT AS n_codes_used, sum(pop)::BIGINT AS n_vecs,
+       max(pop)::BIGINT AS max_code_pop,
+       round(max(pop)::DOUBLE / sum(pop), 6) AS max_share_r
+FROM pop GROUP BY j ORDER BY j""")),
 
     // ------------------------------------------------------------- DSIR
     // Importance weights vs the English target slice: decimal-exact

@@ -217,6 +217,59 @@ object CorpusIngest {
         round(col("avg_nll"), 6).as("avg_nll_r"), col("event_ts"))
   }
 
+  /** [[cleanStream]] + a DSIR selection gate under a FIXED trained
+    * importance-ratio model ([[graft.ext.Dsir.nanoRatioModel]] — the
+    * deployable "make the firehose look like the target slice" filter,
+    * Xie et al. 2023): per-doc average nano-nat importance ratio scored
+    * row-local via the broadcast vocab ([[graft.ext.Lm.scoreRow]] — the
+    * SAME tokenizer/integer-sum seam the LM gate uses, so the documented
+    * bit-identical stream/batch contract carries over verbatim), gated at
+    * `logwCutoff` (set OFFLINE from the batch twin's percentile — a
+    * stream cannot know its own quantiles), then exact-fp dedup within
+    * the watermark and decontamination. Docs scoring ABOVE the cutoff
+    * pass: DSIR keeps what looks like the target. */
+  def cleanStreamDsir(
+      docs: DataFrame,
+      probeFps: DataFrame,
+      model: Map[String, Long],
+      unkRn: Long,
+      logwCutoff: Double,
+      minQuality: Double = 0.3,
+      watermark: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    // quality gate FIRST (the cleanStreamLm rationale: junk must not pay
+    // per-token scoring, and the filter cannot push through a typed map)
+    val scored = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("text"), col("source"), col("event_ts"),
+        col("quality"))
+      .observe("graft_corpus_dsir_in", count(lit(1)).as("docs_in"))
+      .where(col("quality") >= minQuality)
+      .as[(Long, String, String, java.sql.Timestamp, Double)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text, src, ts, q) =>
+          // ScoredDoc.nll_nano carries the importance-ratio nano sum here
+          val (s, n) = graft.ext.Lm.scoreRow(text, m, unkRn)
+          ScoredDoc(id, text, src, ts, q, s, math.max(n, 1))
+        }
+      }
+      .toDF()
+    scored
+      .withColumn("avg_logw",
+        (col("nll_nano").cast("double") / 1e9) / col("n_toks"))
+      .where(col("avg_logw") >= logwCutoff)
+      .observe("graft_corpus_dsir_passed", count(lit(1)).as("dsir_passed"))
+      .withColumn("fp", fingerprint)
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(broadcast(probeFps.select("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("fp"),
+        round(col("quality"), 6).as("quality_r"),
+        round(col("avg_logw"), 6).as("avg_logw_r"), col("event_ts"))
+  }
+
   /** The shared batch gate chain every `cleanBatch*` variant runs:
     * quality floor → `stage` (the variant's scoring/keying addition) →
     * exact-fp "first doc_id wins" → `afterDedup` (the variant's
@@ -293,6 +346,30 @@ object CorpusIngest {
         .crossJoin(broadcast(cut))
         .where(col("avg_nll_r") <= col("cut")),
       extraOut = Seq(col("ppl_r")))
+  }
+
+  /** Batch twin of [[cleanStreamDsir]], self-contained over the fixture:
+    * trains the fixed-vocab ratio model in-plan
+    * ([[graft.ext.Dsir.nanoRatioScores]] — exactly the stream's integer
+    * arithmetic), keeps the corpus's most-target-like `1−keepQuantile`
+    * tail by average importance ratio, then fp-dedup + decontamination.
+    * Fully oracle-able. */
+  def cleanBatchDsir(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      probeModulus: Int = 50,
+      targetLang: String = "en",
+      topK: Int = 4096,
+      keepQuantile: Double = 0.5): DataFrame = {
+    val scores = graft.ext.Dsir.nanoRatioScores(docs, targetLang, topK)
+      .select(col("doc_id"), col("avg_logw_r"))
+    val cut = scores.agg(
+      expr(s"percentile(avg_logw_r, $keepQuantile)").as("cut"))
+    corpusGate(docs, docs, minQuality, probeModulus,
+      stage = _.join(scores, "doc_id")
+        .crossJoin(broadcast(cut))
+        .where(col("avg_logw_r") >= col("cut")),
+      extraOut = Seq(col("avg_logw_r")))
   }
 
   /** Batch twin of [[cleanStreamSemantic]] over the `documents` ×

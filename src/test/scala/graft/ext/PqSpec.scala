@@ -40,6 +40,38 @@ class PqSpec extends SparkSuite {
     assert(refHits >= adcHits, "refine must not lose recall vs raw ADC")
   }
 
+  test("IVFADC candidates are cell-pruned yet recall survives the stack") {
+    // the IVFADC result must be a subset of the IVF candidate universe
+    // (cell pruning really prunes) and still overlap the exact top-10
+    val ivfpq = Pq.ivfAdcTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    assert(ivfpq.nonEmpty)
+    val q8 = Similarity.quantize(fx)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("qv").as("embedding"))
+    val cellCands = Similarity.ivfTopK(q8, numQueries = 10, k = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivfpq.forall(cellCands.contains),
+      "IVFADC returned a vector outside the probed cells")
+    val exact = Similarity.cosineTopK(fx, numQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ivfpq.count(exact.contains).toDouble / exact.size
+    info(s"IVFADC recall@10 = $recall")
+    assert(recall >= 0.4, s"IVFADC recall $recall below floor")
+  }
+
+  test("code stats cover all subspaces with sane utilization") {
+    val rows = Pq.codeStats(fx).collect()
+    assert(rows.map(_.getAs[Int]("j")).sorted.sameElements(0 until Pq.pqM))
+    val n = fx.count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === n, "every vector must carry a code")
+      assert(r.getAs[Long]("n_codes_used") > 1, "degenerate subspace codebook")
+      val share = r.getAs[Double]("max_share_r")
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
+
   test("reported refined sims are true float cosines") {
     // every (q, neighbor) the refined path reports must carry the same
     // rounded sim the exact brute-force assigns that pair

@@ -219,6 +219,90 @@ class CorpusIngestSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("DSIR stream gate: off-target doc dropped under a trained ratio " +
+      "model; stream scores are bit-identical to the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    // target slice: English-looking prose; off-target: a distinct vocab
+    val enDocs = (0 until 10).map(i =>
+      s"the quick brown fox jumps over the lazy dog in the sunny park $i")
+    val xxDocs = (0 until 10).map(i =>
+      s"zor mak tal vun qed rop lim hax fiw gun bex dol $i")
+    val trainDocs = (enDocs.map((_, "en")) ++ xxDocs.map((_, "xx")))
+      .zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val (model, unk) = graft.ext.Dsir.nanoRatioModel(trainDocs, "en", topK = 64)
+    def avgLogw(t: String): Double = {
+      val (s, n) = graft.ext.Lm.scoreRow(t, model, unk)
+      (s.toDouble / 1e9) / math.max(n, 1)
+    }
+    val worstEn = enDocs.map(avgLogw).min
+    val bestXx = xxDocs.map(avgLogw).max
+    assert(worstEn > bestXx, "the ratio model must separate the slices")
+    val cutoff = (worstEn + bestXx) / 2
+
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val probeFps = Seq(benchText).toDF("text")
+      .select(CorpusIngest.fingerprint.as("fp"))
+    val out = tmpDir("corpus_dsir_out")
+    val ckpt = tmpDir("corpus_dsir_ckpt")
+    def run(): Unit = {
+      val q = CorpusIngest.cleanStreamDsir(
+          mem.toDF().toDF("doc_id", "text", "source", "event_ts"),
+          probeFps, model, unk, logwCutoff = cutoff)
+        .writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(
+      doc(1, enDocs.head, 1000),
+      doc(2, xxDocs.head, 1010),  // passes quality, fails the DSIR gate
+      doc(3, junkText, 1020),     // fails quality before the model runs
+      doc(4, enDocs(1), 1040))
+    run()
+    mem.addData(doc(1, enDocs.head, 1000)) // replay absorbed
+    run()
+    val rows = spark.read.parquet(out).collect()
+    val kept = rows.map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept === Seq(1L, 4L),
+      s"off-target and junk dropped, replay absorbed: $kept")
+
+    // bit-identical arithmetic: streamed avg_logw equals the row scorer
+    // under the same fixed ratio model (integer nano sums)
+    val streamed = rows
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logw_r")).toMap
+    val batch = Seq((1L, enDocs.head), (4L, enDocs(1))).map { case (id, t) =>
+      val (s, n) = graft.ext.Lm.scoreRow(t, model, unk)
+      id -> BigDecimal((s.toDouble / 1e9) / math.max(n, 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(streamed === batch)
+  }
+
+  test("batch twin of the DSIR gate matches the in-plan scorer on the " +
+      "fixture corpus") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val cleaned = CorpusIngest.cleanBatchDsir(docs).collect()
+    assert(cleaned.nonEmpty)
+    // survivors all scored at/above the corpus median
+    val scores = graft.ext.Dsir.nanoRatioScores(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logw_r"))
+      .toMap
+    val cut = {
+      val sorted = scores.values.toArray.sorted
+      // percentile(0.5) interpolation on an even count = midpoint
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
+    }
+    cleaned.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("avg_logw_r") === scores(id))
+      assert(scores(id) >= cut, s"doc $id below the median cut survived")
+    }
+  }
+
   test("batch twin of the semantic gate (against the fixtures)") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val embs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
