@@ -257,6 +257,18 @@ object Similarity {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = base.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    ivfCandidatesWith(base, cents, numQueries, nprobe)
+  }
+
+  /** [[ivfCandidates]] against an ARBITRARY centroid frame `(cent_id,
+    * cv)` — what lets `ann_recall_lloyd` swap the data-sampled coarse
+    * quantizer for the Lloyd-refined one without touching the probe
+    * machinery. */
+  private[ext] def ivfCandidatesWith(
+      base: DataFrame,
+      cents: DataFrame,
+      numQueries: Int,
+      nprobe: Int): DataFrame = {
     // cell assignment: argmax cosine over centroids, ties → lowest cent_id.
     // max_by over struct(csim, -cent_id) = deterministic argmax with that
     // tie-break, computed with map-side partials (no N×C shuffle).
@@ -289,16 +301,134 @@ object Similarity {
       numQueries: Int,
       k: Int,
       stride: Int = ivfStride,
-      nprobe: Int = ivfProbes): DataFrame = {
+      nprobe: Int = ivfProbes): DataFrame =
+    rankCandidates(ivfCandidates(embeddings, numQueries, stride, nprobe), k)
+
+  private def rankCandidates(cands: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    ivfCandidates(embeddings, numQueries, stride, nprobe)
+    cands
       .withColumn("sim", cosine(col("q"), col("v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("sim"), 6).as("sim_r"))
       .orderBy("q_id", "rank")
+  }
+
+  /** [[ivfTopK]] under an arbitrary centroid frame. */
+  def ivfTopKWith(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      numQueries: Int,
+      k: Int,
+      nprobe: Int = ivfProbes): DataFrame =
+    rankCandidates(
+      ivfCandidatesWith(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        cents, numQueries, nprobe),
+      k)
+
+  /** Does training the coarse quantizer buy recall? Per query, IVF
+    * recall@k against exact search under (a) the data-sampled centroids
+    * and (b) the same centroids after ONE Lloyd step — the measured
+    * answer to "is [[lloydStep]] worth running", deterministic end to
+    * end and fully oracle-able. */
+  def lloydRecall(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      stride: Int = ivfStride,
+      nprobe: Int = ivfProbes): DataFrame = {
+    val exact = cosineTopK(embeddings, numQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    def hits(approx: DataFrame, name: String): DataFrame = exact
+      .join(approx.select(col("q_id").as("aq"), col("neighbor_id").as("aid")),
+        exact("q_id") === col("aq") && col("neighbor_id") === col("aid"),
+        "left")
+      .groupBy(exact("q_id").as("q_id"))
+      .agg(round(count(col("aid")).cast("double") / k, 6).as(name))
+    val sampled = hits(ivfTopK(embeddings, numQueries, k, stride, nprobe),
+      "recall_sampled_r")
+    val refined = hits(
+      ivfTopKWith(embeddings,
+        lloydCentroids(embeddings, stride)
+          .select(col("cent_id"), col("ncv").as("cv")),
+        numQueries, k, nprobe),
+      "recall_lloyd_r")
+    sampled.join(refined, Seq("q_id"))
+      .select(col("q_id").as("qid"), col("recall_sampled_r"),
+        col("recall_lloyd_r"))
+      .orderBy("qid")
+  }
+
+  /** One Lloyd (k-means) refinement step over the data-sampled IVF
+    * centroids — the missing half of "real" k-means, run IN-ENGINE as a
+    * single pass: assign every vector to its nearest centroid, replace
+    * each centroid with its cell's mean (fixed-point-exact sums — the
+    * 1e-12 long grid, so the means are order-free and oracle-able),
+    * re-assign, and report per-cell occupancy before/after plus the
+    * centroid's cosine shift. Empty cells keep their old centroid
+    * (standard Lloyd). Iterating this to convergence is just running the
+    * step k times — each step is one corpus scan + one skinny
+    * (cell, dim) aggregate + one broadcast re-assignment, the shape that
+    * holds at 100 TB (no driver-side loop TOUCHES the corpus; contrast
+    * a collect-and-iterate trainer).
+    *
+    * The reported `shift_cos_r` is the convergence dashboard: shifts
+    * ≈ 1 mean the sampled centroids were already near-stationary, and a
+    * cell with a low shift is where sampling misplaced a centroid. */
+  /** The refined centroid frame `(cent_id, ncv, cv)` one Lloyd step
+    * produces — factored out so [[lloydStep]] (the dashboard) and the
+    * recall measurement (`ann_recall_lloyd`, via [[ivfTopKWith]]) share
+    * one definition of "refined". */
+  def lloydCentroids(embeddings: DataFrame, stride: Int = ivfStride): DataFrame = {
+    val n12 = (c: Column) => floor(c * lit(1e12) + lit(0.5)).cast("long")
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = base.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val asg = assignTo(base, cents)
+    // per-(cell, dim) fixed-point mean → the refined centroid vectors
+    val means = base.join(asg, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos").as("i"))
+      .agg(sum(n12(col("col"))).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("mi", col("s") / lit(1e12) / col("cnt"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("mi")))).as("im"))
+      .select(col("cell"), transform(col("im"), x => x.getField("mi")).as("mv"))
+    // empty cells keep the old centroid
+    cents
+      .join(means, cents("cent_id") === means("cell"), "left")
+      .select(col("cent_id"), coalesce(col("mv"), col("cv")).as("ncv"), col("cv"))
+  }
+
+  /** Nearest-centroid assignment (argmax cosine, ties → lowest cent_id)
+    * of `base (vec_id, v)` against `c (cent_id, cv)`. */
+  private def assignTo(base: DataFrame, c: DataFrame): DataFrame = base
+    .crossJoin(broadcast(c))
+    .withColumn("csim", cosine(col("v"), col("cv")))
+    .groupBy("vec_id")
+    .agg(max_by(col("cent_id"),
+      struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell"))
+
+  def lloydStep(embeddings: DataFrame, stride: Int = ivfStride): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = base.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val nBefore = assignTo(base, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_before"))
+    val newCents = lloydCentroids(embeddings, stride)
+    val nAfter = assignTo(base, newCents.select(col("cent_id"), col("ncv").as("cv")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_after"))
+    newCents
+      .join(nBefore, col("cent_id") === nBefore("cell"), "left").drop("cell")
+      .join(nAfter, col("cent_id") === nAfter("cell"), "left").drop("cell")
+      .select(col("cent_id"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        round(cosine(col("cv"), col("ncv")), 6).as("shift_cos_r"))
+      .orderBy("cent_id")
   }
 
   /** Probe cells per k-NN-graph vector. */

@@ -84,6 +84,142 @@ adcr AS (SELECT q_id, vec_id AS neighbor_id, asim, round(asim, 6) AS asim_r,
 SELECT q_id, rnk, neighbor_id, asim_r FROM adcr WHERE rnk <= 10
 ORDER BY q_id, rnk"""
 
+  // PCA oracle prefix (twin of graft.ext.Pca): decimal-exact moments →
+  // covariance → UNROLLED power iteration (24 rounds × 2 components,
+  // with deflation) — the BPE-oracle precedent of replaying an
+  // iterative trainer as generated CTEs. Every sum is decimal-truncated
+  // first (order-free); every other op is an IEEE double op on
+  // identical inputs, so the eigenvectors match the driver loop
+  // bit-for-bit.
+  // Random-hyperplane LSH twin (graft.ext.Similarity.planeMatrix /
+  // HyperplaneBuckets): the 48×64 plane matrix is DETERMINISTIC
+  // (xxhash64-derived on the driver), so its VALUES embed as shortest-
+  // round-trip double literals — both engines parse them to identical
+  // doubles, the 64-term dot folds left-to-right exactly like the
+  // codegen kernel, and the whole LSH family stops being "hash-specific"
+  // and gains full oracles. `bk` = one (vec_id, table_id, bucket) row
+  // per vector per table.
+  private lazy val lshBucketsCte: String = {
+    val planes = graft.ext.Similarity.planeMatrix(64)
+    val bits = graft.ext.Similarity.bitsPerTable
+    def dotE(j: Int): String =
+      (0 until 64).map(i => s"v[${i + 1}]*(${planes(j)(i)})").mkString(" + ")
+    def bucketE(t: Int): String =
+      (0 until bits)
+        .map(b => s"CASE WHEN (${dotE(t * bits + b)}) > 0 THEN ${1 << b} ELSE 0 END")
+        .mkString(" + ")
+    val arr = (0 until graft.ext.Similarity.numTables).map(bucketE).mkString(", ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bks AS MATERIALIZED (SELECT vec_id, [$arr] AS bs FROM e),
+bk AS MATERIALIZED (SELECT vec_id, t.i::INT AS table_id, bs[t.i + 1] AS bucket
+      FROM bks CROSS JOIN range(${graft.ext.Similarity.numTables}) t(i))"""
+  }
+
+  // All-bit multi-probe list (the lshTopK convention: exact bucket +
+  // every 1-bit flip).
+  private lazy val lshProbeList: String =
+    "[bucket, " +
+      (0 until graft.ext.Similarity.bitsPerTable)
+        .map(b => s"xor(bucket, ${1 << b})").mkString(", ") + "]"
+
+  // The shared LSH top-10 ranking (candidates from the probe join, exact
+  // cosine re-rank) — suffix used by sim_topk_lsh and ann_recall.
+  private lazy val lshTopCte: String =
+    s"""$lshBucketsCte,
+qb AS (SELECT vec_id AS q_id, table_id, bucket FROM bk WHERE vec_id < 10),
+probes AS (SELECT q_id, table_id, unnest($lshProbeList) AS probe FROM qb),
+cand AS (SELECT DISTINCT p.q_id, bk.vec_id
+         FROM probes p JOIN bk ON bk.table_id = p.table_id AND bk.bucket = p.probe
+         WHERE bk.vec_id <> p.q_id),
+nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+sx AS (SELECT c.q_id, c.vec_id,
+              (${dotSql("qn.v", "nn.v")}) / (qn.nrm * nn.nrm) AS sim
+       FROM cand c JOIN nn qn ON qn.vec_id = c.q_id
+       JOIN nn ON nn.vec_id = c.vec_id),
+lsh AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM sx)"""
+
+  // n12 fixed-point grid: floor(x·1e12 + 0.5) as BIGINT, exact long
+  // sums, read back as ::DOUBLE / 1e12 — keep in lockstep with
+  // graft.ext.Pca.n12/n12Col.
+  private def n12Sum(expr: String): String =
+    s"sum(CAST(floor(($expr) * 1e12 + 0.5) AS BIGINT))::DOUBLE / 1e12"
+
+  private lazy val pcaCtes: String = {
+    val d = graft.ext.Pca.dim
+    val iters = graft.ext.Pca.iters
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS MATERIALIZED (SELECT vec_id, t.i::INT AS i, v[t.i + 1] AS xi FROM e CROSS JOIN range($d) t(i)),
+nn0 AS (SELECT count(*)::BIGINT AS n FROM e),
+s1 AS (SELECT i, ${n12Sum("xi")} AS s1 FROM x GROUP BY i),
+s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j, ${n12Sum("a.xi * b.xi")} AS s2
+       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY a.i, b.i),
+covu AS (SELECT s2.i, s2.j,
+                (s2.s2 - s1a.s1 * s1b.s1 / nn0.n) / nn0.n AS a
+         FROM s2 JOIN s1 s1a ON s1a.i = s2.i JOIN s1 s1b ON s1b.i = s2.j
+         CROSS JOIN nn0),
+a0 AS MATERIALIZED (SELECT i, j, a FROM covu UNION ALL SELECT j AS i, i AS j, a FROM covu WHERE i <> j),
+tv AS (SELECT ${n12Sum("a")} AS total_var FROM a0 WHERE i = j)"""
+    for (c <- 0 until graft.ext.Pca.numComponents) {
+      sb ++= s""",
+v${c}_0 AS (SELECT t.i::INT AS i, 0.125::DOUBLE AS v FROM range($d) t(i))"""
+      for (t <- 1 to iters) {
+        sb ++= s""",
+w${c}_$t AS MATERIALIZED (SELECT m.i, ${n12Sum("m.a * p.v")} AS w
+  FROM a$c m JOIN v${c}_${t - 1} p ON p.i = m.j GROUP BY m.i)"""
+        // Gram-Schmidt against every finished component (grid dot,
+        // plain-double axpy), mirroring the driver loop
+        val wSrc = (0 until c).foldLeft(s"w${c}_$t") { (src, q) =>
+          sb ++= s""",
+d${c}_${t}_$q AS MATERIALIZED (SELECT ${n12Sum(s"w.w * vq.v")} AS d
+  FROM $src w JOIN v${q}_$iters vq ON vq.i = w.i),
+g${c}_${t}_$q AS MATERIALIZED (SELECT w.i,
+  w.w - (SELECT d FROM d${c}_${t}_$q) * vq.v AS w
+  FROM $src w JOIN v${q}_$iters vq ON vq.i = w.i)"""
+          s"g${c}_${t}_$q"
+        }
+        sb ++= s""",
+n${c}_$t AS MATERIALIZED (SELECT sqrt(${n12Sum("w * w")}) AS nrm FROM $wSrc),
+v${c}_$t AS MATERIALIZED (SELECT i, w / (SELECT nrm FROM n${c}_$t) AS v FROM $wSrc)"""
+      }
+      if (c + 1 < graft.ext.Pca.numComponents)
+        sb ++= s""",
+a${c + 1} AS MATERIALIZED (SELECT m.i, m.j,
+  m.a - ((SELECT nrm FROM n${c}_$iters) * vi.v) * vj.v AS a
+  FROM a$c m JOIN v${c}_$iters vi ON vi.i = m.i JOIN v${c}_$iters vj ON vj.i = m.j)"""
+    }
+    sb.toString
+  }
+
+  // Label-relevance eval suffix (twin of graft.ext.RetrievalEval
+  // .evalRanking, k = 10): expects a `ranked (q_id, rnk, neighbor_id)`
+  // CTE upstream. DCG terms truncate to DECIMAL(28,12) before the
+  // order-free per-query sum; log2 is ln(x)/ln(2) in both engines.
+  private lazy val retrievalEvalSql =
+    """lb AS (SELECT vec_id, label FROM embeddings),
+cs AS (SELECT label, count(*)::BIGINT AS n_class FROM lb GROUP BY label),
+qr AS (SELECT lb.vec_id AS q_id, lb.label AS q_lbl, cs.n_class - 1 AS n_rel
+       FROM lb JOIN cs ON cs.label = lb.label),
+ideal AS (SELECT m, sum(term) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS idcg
+          FROM (SELECT i AS m, CAST(1.0 / (ln(i + 1) / ln(2)) AS DECIMAL(28,12)) AS term
+                FROM range(1, 11) t(i)) z),
+scx AS (SELECT r.q_id, qr.n_rel,
+              sum(CASE WHEN nl.label = qr.q_lbl THEN 1 ELSE 0 END)::BIGINT AS hits,
+              min(CASE WHEN nl.label = qr.q_lbl THEN r.rnk END) AS first_rel,
+              sum(CAST((CASE WHEN nl.label = qr.q_lbl THEN 1 ELSE 0 END)
+                       / (ln(r.rnk + 1) / ln(2)) AS DECIMAL(28,12))) AS dcg
+       FROM ranked r JOIN qr ON qr.q_id = r.q_id
+       JOIN lb nl ON nl.vec_id = r.neighbor_id
+       GROUP BY r.q_id, qr.n_rel)
+SELECT scx.q_id, scx.n_rel, scx.hits,
+       round(scx.hits::DOUBLE / least(10, scx.n_rel), 6) AS recall_r,
+       round(coalesce(1.0::DOUBLE / scx.first_rel, 0.0), 6) AS mrr_r,
+       round(coalesce(scx.dcg::DOUBLE / ideal.idcg::DOUBLE, 0.0), 6) AS ndcg_r
+FROM scx LEFT JOIN ideal ON ideal.m = least(10, scx.n_rel)
+ORDER BY scx.q_id"""
+
   // DSIR importance-weight CTE chain (twin of graft.ext.Dsir
   // .importanceWeights, target = lang 'en'): add-k unigram LMs for the
   // target slice and the raw corpus; per-token-instance log-ratio
@@ -1860,12 +1996,31 @@ SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
 ORDER BY q_id, rnk""")),
 
     // LSH-bucketed near-pairs (the 100 TB path for the same gate):
-    // precision 1.0 by exact re-score; hash-specific candidates → rows-only
-    // + SimilaritySpec recall floor vs the exact query above.
+    // precision 1.0 by exact re-score; full oracle since round 9 — the
+    // plane literals replay the buckets, the canonical bit-CLEARING
+    // probe set replays the candidate generation.
     ("embedding_near_pairs_lsh",
       (s: SparkSession, d: String) =>
         Similarity.lshNearPairs(embs(s, d), threshold = 0.45),
-      None),
+      Some(s"""WITH $lshBucketsCte,
+probes AS (SELECT vec_id, table_id, unnest(
+    list_prepend(bucket,
+      list_transform(
+        list_filter([${(0 until Similarity.bitsPerTable).mkString(", ")}],
+          j -> ((bucket >> j) & 1) = 1),
+        j -> xor(bucket, (1 << j))))) AS probe
+  FROM bk),
+cand AS (SELECT DISTINCT least(p.vec_id, bk.vec_id) AS id_a,
+                greatest(p.vec_id, bk.vec_id) AS id_b
+         FROM probes p JOIN bk ON bk.table_id = p.table_id AND bk.bucket = p.probe
+         WHERE bk.vec_id <> p.vec_id),
+nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+sx AS (SELECT c.id_a, c.id_b,
+              (${dotSql("na.v", "nb.v")}) / (na.nrm * nb.nrm) AS sim
+       FROM cand c JOIN nn na ON na.vec_id = c.id_a
+       JOIN nn nb ON nb.vec_id = c.id_b)
+SELECT id_a, id_b, round(sim, 6) AS sim_r FROM sx WHERE sim >= 0.45
+ORDER BY id_a, id_b""")),
 
     ("embedding_near_pairs",
       (s: SparkSession, d: String) =>
@@ -2092,16 +2247,32 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // LSH-bucketed ANN + its recall vs brute force: approximate by design,
     // rows-only + ScalaTest floor on recall.
+    // Full oracle since round 9: the deterministic plane matrix embeds
+    // as double literals, so the buckets — and everything ranked from
+    // them — replay exactly in DuckDB (the near_dup_simhash
+    // portable-hash precedent applied to the hyperplane family).
     ("sim_topk_lsh",
       (s: SparkSession, d: String) =>
         Similarity.lshTopK(embs(s, d), numQueries = 10, k = 10)
           .withColumnRenamed("rank", "rnk"),
-      None),
+      Some(s"""WITH $lshTopCte
+SELECT q_id, rnk, neighbor_id, sim_r FROM lsh WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
 
     ("ann_recall",
       (s: SparkSession, d: String) =>
         Similarity.annRecall(embs(s, d), numQueries = 10, k = 10),
-      None),
+      Some(s"""WITH $lshTopCte,
+qv AS (SELECT vec_id AS q_id, v AS qvec, nrm AS qnn FROM nn WHERE vec_id < 10),
+ex AS (SELECT qv.q_id, nn.vec_id,
+              row_number() OVER (PARTITION BY qv.q_id
+                ORDER BY (${dotSql("qvec", "nn.v")}) / (qv.qnn * nn.nrm) DESC, nn.vec_id) AS rnk
+       FROM qv JOIN nn ON nn.vec_id <> qv.q_id),
+exk AS (SELECT q_id, vec_id FROM ex WHERE rnk <= 10),
+apk AS (SELECT q_id, neighbor_id FROM lsh WHERE rnk <= 10)
+SELECT exk.q_id AS qid, count(apk.neighbor_id)::DOUBLE / 10 AS recall
+FROM exk LEFT JOIN apk ON apk.q_id = exk.q_id AND apk.neighbor_id = exk.vec_id
+GROUP BY exk.q_id ORDER BY qid""")),
 
     // int8-quantized brute-force top-k: symmetric global scale (cancels
     // in the cosine), codes floor(x·127/s + 0.5) — exact integers in
@@ -3387,6 +3558,172 @@ SELECT j::INT AS j, count(*)::BIGINT AS n_codes_used, sum(pop)::BIGINT AS n_vecs
        max(pop)::BIGINT AS max_code_pop,
        round(max(pop)::DOUBLE / sum(pop), 6) AS max_share_r
 FROM pop GROUP BY j ORDER BY j""")),
+
+    // One in-engine Lloyd refinement step over the IVF centroids:
+    // assign → fixed-point-exact cell means → re-assign, with per-cell
+    // occupancy and centroid-shift dashboard. No driver loop touches
+    // the corpus; k steps = run it k times.
+    ("ivf_lloyd_step",
+      (s: SparkSession, d: String) =>
+        Similarity.lloydStep(embs(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+nb AS (SELECT cell, count(*)::BIGINT AS n_before FROM asg GROUP BY cell),
+mx AS (SELECT asg.cell, t.i, asg.v[t.i + 1] AS xi
+       FROM asg CROSS JOIN range(64) t(i)),
+sm AS (SELECT cell, i,
+              sum(CAST(floor(xi * 1e12 + 0.5) AS BIGINT))::DOUBLE / 1e12 AS s,
+              count(*)::BIGINT AS cnt
+       FROM mx GROUP BY cell, i),
+mv AS (SELECT cell, list(s / cnt ORDER BY i) AS m FROM sm GROUP BY cell),
+nc AS (SELECT c.cent_id, coalesce(mv.m, c.cv) AS ncv, c.cv
+       FROM c LEFT JOIN mv ON mv.cell = c.cent_id),
+n2 AS (SELECT cent_id, ncv, sqrt(${dotSql("ncv", "ncv")}) AS ncn FROM nc),
+a2 AS (SELECT n.vec_id, n2.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY (${dotSql("v", "ncv")}) / (n.nrm * n2.ncn) DESC, n2.cent_id) AS rn
+       FROM n CROSS JOIN n2),
+na AS (SELECT cent_id AS cell, count(*)::BIGINT AS n_after
+       FROM a2 WHERE rn = 1 GROUP BY cent_id)
+SELECT nc.cent_id, coalesce(nb.n_before, 0)::BIGINT AS n_before,
+       coalesce(na.n_after, 0)::BIGINT AS n_after,
+       round((${dotSql("cv", "ncv")})
+             / (sqrt(${dotSql("cv", "cv")}) * sqrt(${dotSql("ncv", "ncv")})), 6)
+         AS shift_cos_r
+FROM nc LEFT JOIN nb ON nb.cell = nc.cent_id LEFT JOIN na ON na.cell = nc.cent_id
+ORDER BY nc.cent_id""")),
+
+    // Does training the coarse quantizer buy recall? Per-query IVF
+    // recall@10 vs exact under the data-sampled centroids AND under the
+    // same centroids after one Lloyd step — the measured answer to
+    // "is ivf_lloyd_step worth running".
+    ("ann_recall_lloyd",
+      (s: SparkSession, d: String) =>
+        Similarity.lloydRecall(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""${ivfTopSql(10)},
+mx AS (SELECT asg.cell, t.i, asg.v[t.i + 1] AS xi
+       FROM asg CROSS JOIN range(64) t(i)),
+sm AS (SELECT cell, i,
+              sum(CAST(floor(xi * 1e12 + 0.5) AS BIGINT))::DOUBLE / 1e12 AS s,
+              count(*)::BIGINT AS cnt
+       FROM mx GROUP BY cell, i),
+mv AS (SELECT cell, list(s / cnt ORDER BY i) AS m FROM sm GROUP BY cell),
+nc AS (SELECT c.cent_id, coalesce(mv.m, c.cv) AS ncv
+       FROM c LEFT JOIN mv ON mv.cell = c.cent_id),
+n2 AS (SELECT cent_id, ncv, sqrt(${dotSql("ncv", "ncv")}) AS ncn FROM nc),
+a2 AS (SELECT n.vec_id, n2.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY (${dotSql("v", "ncv")}) / (n.nrm * n2.ncn) DESC, n2.cent_id) AS rn
+       FROM n CROSS JOIN n2),
+asg2 AS (SELECT n.vec_id, n.v, n.nrm, a2.cent_id AS cell
+         FROM a2 JOIN n ON n.vec_id = a2.vec_id WHERE a2.rn = 1),
+p2 AS (SELECT q.q_id, q.qv2, q.qn, n2.cent_id AS cell,
+              row_number() OVER (PARTITION BY q.q_id
+                ORDER BY (${dotSql("qv2", "ncv")}) / (q.qn * n2.ncn) DESC, n2.cent_id) AS rn
+       FROM q CROSS JOIN n2),
+pr2 AS (SELECT q_id, qv2, qn, cell FROM p2 WHERE rn <= 8),
+sx2 AS (SELECT pr2.q_id, asg2.vec_id,
+               (${dotSql("qv2", "v")}) / (pr2.qn * asg2.nrm) AS sim
+        FROM pr2 JOIN asg2 ON asg2.cell = pr2.cell
+        WHERE asg2.vec_id <> pr2.q_id),
+top2 AS (SELECT q_id, vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+         FROM sx2),
+exr AS (SELECT q.q_id, n.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY (${dotSql("qv2", "n.v")}) / (q.qn * n.nrm) DESC, n.vec_id) AS rnk
+        FROM q JOIN n ON n.vec_id <> q.q_id),
+exk AS (SELECT q_id, vec_id FROM exr WHERE rnk <= 10),
+aps AS (SELECT q_id, neighbor_id FROM top WHERE rnk <= 10),
+apl AS (SELECT q_id, neighbor_id FROM top2 WHERE rnk <= 10)
+SELECT exk.q_id AS qid,
+       round(count(aps.neighbor_id)::DOUBLE / 10, 6) AS recall_sampled_r,
+       round(count(apl.neighbor_id)::DOUBLE / 10, 6) AS recall_lloyd_r
+FROM exk
+LEFT JOIN aps ON aps.q_id = exk.q_id AND aps.neighbor_id = exk.vec_id
+LEFT JOIN apl ON apl.q_id = exk.q_id AND apl.neighbor_id = exk.vec_id
+GROUP BY exk.q_id ORDER BY qid""")),
+
+    // ----------------------------------------------------- embedding PCA
+    // Top-2 principal components of the embedding covariance: one
+    // decimal-exact moments pass (64 + 2080 skinny rows), power
+    // iteration on the bounded 64×64 model driver-side — no corpus
+    // rescan per iteration — replayed in the oracle as unrolled CTEs.
+    ("embed_pca_components",
+      (s: SparkSession, d: String) =>
+        graft.ext.Pca.components(embs(s, d)),
+      Some(s"""$pcaCtes
+SELECT comp, i, w_r, eigval_r, evr_r FROM (
+  SELECT 0::INT AS comp, i, round(v, 6) AS w_r,
+         round((SELECT nrm FROM n0_${graft.ext.Pca.iters}), 6) AS eigval_r,
+         round((SELECT nrm FROM n0_${graft.ext.Pca.iters})
+               / (SELECT total_var FROM tv), 6) AS evr_r
+  FROM v0_${graft.ext.Pca.iters}
+  UNION ALL
+  SELECT 1::INT AS comp, i, round(v, 6) AS w_r,
+         round((SELECT nrm FROM n1_${graft.ext.Pca.iters}), 6) AS eigval_r,
+         round((SELECT nrm FROM n1_${graft.ext.Pca.iters})
+               / (SELECT total_var FROM tv), 6) AS evr_r
+  FROM v1_${graft.ext.Pca.iters}) z
+ORDER BY comp, i""")),
+
+    // Corpus projected onto the components (mean-centered, decimal-exact
+    // per-vector sums) — the reduced representation downstream ANN
+    // would index.
+    ("embed_pca_project",
+      (s: SparkSession, d: String) =>
+        graft.ext.Pca.project(embs(s, d)),
+      Some(s"""$pcaCtes,
+mu AS (SELECT i, s1 / (SELECT n FROM nn0) AS mu FROM s1),
+cw AS (SELECT 0 AS comp, i, v AS w FROM v0_${graft.ext.Pca.iters}
+       UNION ALL SELECT 1 AS comp, i, v AS w FROM v1_${graft.ext.Pca.iters}),
+pr AS (SELECT x.vec_id, cw.comp,
+              ${n12Sum("(x.xi - mu.mu) * cw.w")} AS pc
+       FROM x JOIN mu ON mu.i = x.i JOIN cw ON cw.i = x.i
+       GROUP BY x.vec_id, cw.comp)
+SELECT vec_id,
+       round(max(CASE WHEN comp = 0 THEN pc END), 6) AS pc0_r,
+       round(max(CASE WHEN comp = 1 THEN pc END), 6) AS pc1_r
+FROM pr GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ------------------------------------------- retrieval quality eval
+    // Label-based retrieval metrics (Recall@10 / MRR@10 / NDCG@10, BEIR
+    // shape): each query's class = its relevance set. The dense row is
+    // the reference; the PQ row prices 32× compression in END metrics.
+    ("retrieval_label_eval",
+      (s: SparkSession, d: String) =>
+        graft.ext.RetrievalEval.denseEval(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+qv AS (SELECT vec_id AS q_id, v AS qvec, nrm AS qnn FROM nn WHERE vec_id < 10),
+ex AS (SELECT qv.q_id, nn.vec_id,
+              row_number() OVER (PARTITION BY qv.q_id
+                ORDER BY (${dotSql("qvec", "nn.v")}) / (qv.qnn * nn.nrm) DESC, nn.vec_id) AS rnk
+       FROM qv JOIN nn ON nn.vec_id <> qv.q_id),
+ranked AS (SELECT q_id, rnk, vec_id AS neighbor_id FROM ex WHERE rnk <= 10),
+$retrievalEvalSql""")),
+
+    ("retrieval_label_eval_pq",
+      (s: SparkSession, d: String) =>
+        graft.ext.RetrievalEval.pqEval(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""$pqCte,
+c40 AS (SELECT q_id, neighbor_id FROM adcr WHERE rnk <= 40),
+nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+qv AS (SELECT vec_id AS q_id, v AS qvec, nrm AS qnn FROM nn WHERE vec_id < 10),
+s3 AS (SELECT c40.q_id, c40.neighbor_id,
+              (${dotSql("qvec", "nn.v")}) / (qv.qnn * nn.nrm) AS sim
+       FROM c40 JOIN qv USING (q_id) JOIN nn ON nn.vec_id = c40.neighbor_id),
+ranked AS (SELECT q_id, neighbor_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM s3 QUALIFY rnk <= 10),
+$retrievalEvalSql""")),
 
     // ------------------------------------------------------------- DSIR
     // Importance weights vs the English target slice: decimal-exact

@@ -248,4 +248,46 @@ class SimilaritySpec extends SparkSuite {
     info(s"refined recall@10 = $rRec vs unrefined $uRec")
     assert(rRec >= uRec, "refinement must not lose recall")
   }
+
+  test("lloydStep conserves mass and pulls sampled centroids to cluster " +
+      "means on planted clusters") {
+    import spark.implicits._
+    // ids 0..19 hug axis 1, ids 20..39 hug axis 2 → sampled centroids
+    // (ids 0 and 20) are noisy members of each cluster
+    val vecs = (0 until 40).map { k =>
+      val arr = Array.fill(8)(0f)
+      if (k < 20) { arr(0) = 1f; arr(1) = 0.05f * (k % 5) }
+      else { arr(2) = 1f; arr(3) = 0.05f * (k % 5) }
+      (k.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.lloydStep(vecs, stride = 20).collect()
+    assert(out.map(_.getAs[Long]("cent_id")).sorted.sameElements(Seq(0L, 20L)))
+    assert(out.map(_.getAs[Long]("n_before")).sum === 40L)
+    assert(out.map(_.getAs[Long]("n_after")).sum === 40L)
+    out.foreach { r =>
+      // stable planted clusters: refinement must not shed members, and
+      // the refined centroid stays inside its cluster's cone
+      assert(r.getAs[Long]("n_after") === 20L)
+      assert(r.getAs[Double]("shift_cos_r") > 0.9)
+    }
+    // fixture sanity: mass conserved there too
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val fxOut = Similarity.lloydStep(fx).collect()
+    val n = fx.count()
+    assert(fxOut.map(_.getAs[Long]("n_before")).sum === n)
+    assert(fxOut.map(_.getAs[Long]("n_after")).sum === n)
+    // and the recall measurement is well-formed for both quantizers
+    val rec = Similarity.lloydRecall(fx, numQueries = 10, k = 10).collect()
+    assert(rec.length === 10)
+    val (ms, ml) = (
+      rec.map(_.getAs[Double]("recall_sampled_r")).sum / 10,
+      rec.map(_.getAs[Double]("recall_lloyd_r")).sum / 10)
+    info(s"mean recall@10: sampled=$ms lloyd=$ml")
+    rec.foreach { r =>
+      Seq("recall_sampled_r", "recall_lloyd_r").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0)
+      }
+    }
+  }
 }
