@@ -162,7 +162,7 @@ object Pca {
 
   /** Corpus projected onto the top-`p` components (mean-centered), the
     * in-plan pass: broadcast the (comp, i, weight, mean) frame, one
-    * decimal-exact aggregate per (vec, comp), pivot to columns. */
+    * fixed-point-exact aggregate per (vec, comp), pivot to columns. */
   def project(embeddings: DataFrame, p: Int = numComponents): DataFrame = {
     val m = fit(embeddings, p)
     val spark = embeddings.sparkSession

@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   * there is no trained model to ship: bit-reproducible on any cluster.
   *
   * Scale shape (the FAISS serving layout, re-expressed in Spark):
-  *  - codebooks are `m·C` tiny rows — broadcast everywhere, never shuffled;
-  *  - encoding is one corpus scan × broadcast codebooks with a map-side
-  *    partial argmin (`max_by` over a struct) — the vectors never shuffle;
+  *  - codebooks are `m·C` tiny rows — collected once (bounded) into a
+  *    flat literal, never shuffled;
+  *  - encoding is ONE codegen projection ([[graft.expr.PqEncodeAll]])
+  *    over the corpus scan — the vectors never shuffle;
   *  - an ADC query builds a `|q|·m·C` lookup table (broadcast), scans ONLY
   *    the 8-byte code rows, and reduces per (query, vector) with map-side
   *    partials — the float vectors are touched by nothing but the final
@@ -72,19 +73,6 @@ object Pq {
     array((0 until pqM).map(j =>
       slice(transform(qv, x => x.cast("double")), j * pqSubDim + 1, pqSubDim)): _*)
 
-  /** PQ encoding: per (vector, subspace) the nearest codeword by L2 over
-    * the int8 subvectors (d² = ‖s‖² − 2·s·cw + ‖cw‖², every term an exact
-    * integer; ties → lowest cw_id — ‖s‖² is constant per (vector,
-    * subspace), so the [[graft.expr.PqEncodeAll]] kernel ranks the
-    * identical `‖cw‖² − 2·s·cw`).
-    *
-    * The codebook is collected once (bounded: ≤ m·[[pqMaxCw]] = 2048
-    * rows — an index-build model artifact, the [[Lm.nanoModel]]
-    * precedent) and embedded as a flat literal, so encoding is ONE
-    * codegen projection over the corpus scan — no N×C join blow-up, no
-    * argmin shuffle; the only shuffle-bound rows are the final skinny
-    * (vec_id, j, code) triples. At 1000 executors the literal ships once
-    * per task closure, exactly how a trained PQ codebook deploys. */
   /** The flat codebook-literal layout [[graft.expr.PqEncodeAll]] scans:
     * per subspace j ascending, per codeword ascending cw_id, the 10
     * doubles `[cw_id, cwdot, cw_0…cw_7]`. Bounded collect (≤ m·[[pqMaxCw]]
@@ -110,6 +98,15 @@ object Pq {
           transform(col("qv"), x => x.cast("double")), lit(flat))))
       .select(col("vec_id"), col("pos").as("j"), col("col").as("code"))
 
+  /** PQ encoding: per (vector, subspace) the nearest codeword by L2 over
+    * the int8 subvectors (d² = ‖s‖² − 2·s·cw + ‖cw‖², every term an exact
+    * integer; ties → lowest cw_id — ‖s‖² is constant per (vector,
+    * subspace), so the [[graft.expr.PqEncodeAll]] kernel ranks the
+    * identical `‖cw‖² − 2·s·cw`). One codegen projection over the corpus
+    * scan against the [[flatCodebook]] literal — no N×C join blow-up, no
+    * argmin shuffle; the only shuffle-bound rows are the final skinny
+    * (vec_id, j, code) triples. At 1000 executors the literal ships once
+    * per task closure, exactly how a trained PQ codebook deploys. */
   def codes(embeddings: DataFrame, stride: Int = pqStride): DataFrame =
     encodeWith(
       Similarity.quantize(embeddings).select(col("vec_id"), col("qv")),
@@ -280,6 +277,39 @@ object Pq {
       .select(col("q_id"), col("rnk"), col("neighbor_id"),
         round(col("sim"), 6).as("sim_r"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** Near-duplicate candidate pairs by PQ-code collision — the embedding
+    * twin of MinHash banding, running on 8 BYTES per vector: two vectors
+    * sharing ≥ `minShared` of their m subspace codes are candidates
+    * (each shared code is one band hit), then ONLY candidates pay an
+    * exact float cosine and survive at ≥ `threshold`. Precision is 1.0
+    * by construction; the code table is the same artifact
+    * [[graft.sinks.PqIndex]] serves, so at scale this is a self-join of
+    * the 8-byte code rows keyed by (subspace, code) — bucket-bounded,
+    * never all-pairs, and far cheaper than re-sketching the corpus. */
+  def codeNearDup(
+      embeddings: DataFrame,
+      minShared: Int = 2,
+      threshold: Double = 0.3,
+      stride: Int = pqStride): DataFrame = {
+    val cds = codes(embeddings, stride)
+    val pairs = cds.as("a")
+      .join(cds.as("b"),
+        col("a.j") === col("b.j") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    pairs
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Per-subspace codebook health: how many codewords the encoding

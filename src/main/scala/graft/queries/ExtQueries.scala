@@ -3547,6 +3547,26 @@ r5 AS (SELECT q_id, neighbor_id, round(sim, 6) AS sim_r,
 SELECT q_id, rnk, neighbor_id, sim_r FROM r5 WHERE rnk <= 10
 ORDER BY q_id, rnk""")),
 
+    // Near-dup candidates by PQ-code collision (MinHash-banding shape on
+    // 8 bytes/vector), exact-cosine verified — precision 1.0; candidates
+    // bucket-bounded by (subspace, code).
+    ("near_dup_pq_codes",
+      (s: SparkSession, d: String) =>
+        graft.ext.Pq.codeNearDup(embs(s, d)),
+      Some(s"""$pqCte,
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, count(*)::BIGINT AS n_shared
+          FROM cds a JOIN cds b
+            ON a.j = b.j AND a.code = b.code AND a.vec_id < b.vec_id
+          GROUP BY a.vec_id, b.vec_id
+          HAVING count(*) >= 2),
+nn2 AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+sx2 AS (SELECT p.id_a, p.id_b, p.n_shared,
+               (${dotSql("na.v", "nb.v")}) / (na.nrm * nb.nrm) AS sim
+        FROM pairs p JOIN nn2 na ON na.vec_id = p.id_a
+        JOIN nn2 nb ON nb.vec_id = p.id_b)
+SELECT id_a, id_b, n_shared, round(sim, 6) AS sim_r
+FROM sx2 WHERE sim >= 0.3 ORDER BY id_a, id_b""")),
+
     // Codebook-health dashboard: per-subspace codeword utilization and
     // the most-popular-code share (degenerate-codebook canary).
     ("pq_code_stats",

@@ -72,6 +72,27 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("codeNearDup finds a planted near-duplicate with precision 1.0") {
+    import spark.implicits._
+    // vec 59 is vec 58 with one dimension nudged — a true near-dup whose
+    // subspace codes mostly agree; all other vectors are far apart
+    def shape(k: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(0.1 * (k + 1) * (i + 1)).toFloat)
+    val vecs = (0 until 60).map { k =>
+      val arr =
+        if (k == 59) shape(58).updated(0, shape(58)(0) + 0.001f)
+        else shape(k)
+      (k.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val pairs = Pq.codeNearDup(vecs, minShared = 4, threshold = 0.9)
+      .collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("id_a") === 58L && r.getAs[Long]("id_b") === 59L),
+      "the planted near-dup pair must surface")
+    pairs.foreach(r => assert(r.getAs[Double]("sim_r") >= 0.9,
+      "every reported pair is exact-verified (precision 1.0)"))
+  }
+
   test("reported refined sims are true float cosines") {
     // every (q, neighbor) the refined path reports must carry the same
     // rounded sim the exact brute-force assigns that pair
