@@ -28,11 +28,13 @@ import org.apache.spark.sql.types._
   * Replaces an N·m×C join+groupBy (4M wide intermediate rows at bench
   * scale) with one codegen loop per vector — no shuffle, no explode until
   * the final skinny (vec_id, j, code) projection. */
-case class PqEncodeAll(left: Expression, right: Expression)
+case class PqEncodeAll(
+    left: Expression,
+    right: Expression,
+    m: Int = 8,
+    subDim: Int = 8)
     extends BinaryExpression {
 
-  private val m = 8
-  private val subDim = 8
   private val rec = 2 + subDim // doubles per codeword record
 
   override def prettyName: String = "pq_encode_all"
@@ -53,6 +55,11 @@ case class PqEncodeAll(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val cb = b.asInstanceOf[ArrayData]
+    // fail-closed on ragged vectors (the HyperplaneBuckets rule): a
+    // short/corrupt row gets sentinel codes that match NO codeword, so
+    // it drops out of ADC joins instead of encoding from garbage reads
+    if (v.numElements() != m * subDim)
+      return new GenericArrayData(Array.fill(m)(-1L))
     val c = cb.numElements() / (m * rec)
     val out = new Array[Long](m)
     var j = 0
@@ -95,6 +102,9 @@ case class PqEncodeAll(left: Expression, right: Expression)
       s"""
          |int $c = $b.numElements() / ${m * rec};
          |long[] $out = new long[$m];
+         |if ($a.numElements() != ${m * subDim}) {
+         |  java.util.Arrays.fill($out, -1L); // ragged vector: fail closed
+         |} else {
          |for (int $j = 0; $j < $m; $j++) {
          |  double $best = 0.0; long $bestId = -1L;
          |  for (int $ci = 0; $ci < $c; $ci++) {
@@ -110,6 +120,7 @@ case class PqEncodeAll(left: Expression, right: Expression)
          |  }
          |  $out[$j] = $bestId;
          |}
+         |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
@@ -120,6 +131,7 @@ case class PqEncodeAll(left: Expression, right: Expression)
 }
 
 object PqEncode {
-  def encodeAll(v: Column, codebook: Column): Column =
-    Shim.toColumn(PqEncodeAll(Shim.toExpression(v), Shim.toExpression(codebook)))
+  def encodeAll(v: Column, codebook: Column, m: Int = 8, subDim: Int = 8): Column =
+    Shim.toColumn(
+      PqEncodeAll(Shim.toExpression(v), Shim.toExpression(codebook), m, subDim))
 }

@@ -49,10 +49,15 @@ object Dsir {
       .select(col("doc_id") +: cols.map(col) :+
         explode(wsTokens(lower(col("text")))).as("t"): _*)
 
-  /** (t, lp) add-k log-prob table + one-row totals for a token frame. */
+  /** (t, lp) add-k log-prob table + one-row totals for a token frame.
+    * Totals coalesce to 0 so an EMPTY slice (e.g. a targetLang with no
+    * docs) yields unk = ln(K/(0+1·K)) = 0 and finite weights — every doc
+    * ranks by raw improbability alone — instead of all-null scores (the
+    * quantizeScale degenerate-corpus rule). */
   private def lm(tokens: DataFrame): (DataFrame, DataFrame) = {
     val v = tokens.groupBy("t").agg(count(lit(1)).as("n"))
-    val tot = v.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
+    val tot = v.agg(coalesce(sum("n"), lit(0L)).as("total"),
+      count(lit(1)).as("vsz"))
     val lp = v.crossJoin(broadcast(tot))
       .select(col("t"),
         log((col("n") + K) / (col("total") + (col("vsz") + 1) * K)).as("lp"))
@@ -112,13 +117,18 @@ object Dsir {
       docs: DataFrame,
       targetLang: String = "en",
       topK: Int = 4096): (Map[String, Long], Long) = {
-    val all = toks(docs)(Seq("lang"))
+    // three actions read the token frame (raw totals, target totals,
+    // top-K collect) — persist it once, scoped (the Pca.fit rule: no
+    // global release inside a library call)
+    val all = toks(docs)(Seq("lang")).persist()
     val rv = all.groupBy("t").agg(count(lit(1)).as("n"))
-    val rt = rv.agg(sum("n").as("total"), count(lit(1)).as("vsz")).head()
+    val rt = rv.agg(coalesce(sum("n"), lit(0L)).as("total"),
+      count(lit(1)).as("vsz")).head()
     val (totR, vszR) = (rt.getLong(0), rt.getLong(1))
     val tv = all.where(col("lang") === targetLang)
       .groupBy("t").agg(count(lit(1)).as("nt"))
-    val tt = tv.agg(sum("nt").as("total"), count(lit(1)).as("vsz")).head()
+    val tt = tv.agg(coalesce(sum("nt"), lit(0L)).as("total"),
+      count(lit(1)).as("vsz")).head()
     val (totT, vszT) = (tt.getLong(0), tt.getLong(1))
     val ratioNano =
       floor((log((coalesce(col("nt"), lit(0L)) + K) / (totT + (vszT + 1) * K))
@@ -132,6 +142,7 @@ object Dsir {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val unk = math.floor((math.log(K / (totT + (vszT + 1) * K))
       - math.log(K / (totR + (vszR + 1) * K))) * 1e9).toLong
+    all.unpersist(blocking = false)
     (top, unk)
   }
 
@@ -148,7 +159,8 @@ object Dsir {
     val rt = rv.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
     val tv = all.where(col("lang") === targetLang)
       .groupBy("t").agg(count(lit(1)).as("nt"))
-    val tt = tv.agg(sum("nt").as("total"), count(lit(1)).as("vsz"))
+    val tt = tv.agg(coalesce(sum("nt"), lit(0L)).as("total"),
+      count(lit(1)).as("vsz"))
     val top = rv.join(tv, Seq("t"), "left")
       .orderBy(col("n").desc, col("t")).limit(topK)
       .crossJoin(broadcast(rt.select(col("total").as("totR"), col("vsz").as("vszR"))))

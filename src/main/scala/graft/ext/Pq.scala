@@ -59,14 +59,19 @@ object Pq {
   /** Per-subspace int8 codebooks: every `stride`-th vector donates its j-th
     * subvector, codeword id = donor vec_id. `cwdot` (‖cw‖², exact int) rides
     * along so encoders and ADC both read it instead of recomputing. */
-  def codebook(embeddings: DataFrame, stride: Int = pqStride): DataFrame = {
-    val q8 = Similarity.quantize(embeddings).select(col("vec_id"), col("qv"))
+  /** The int8 code frame `(vec_id, qv)` the whole family derives from. */
+  private def q8Of(embeddings: DataFrame): DataFrame =
+    Similarity.quantize(embeddings).select(col("vec_id"), col("qv"))
+
+  private[graft] def codebookFrom(q8: DataFrame, stride: Int): DataFrame =
     q8.where(pmod(col("vec_id"), lit(stride)) === 0 &&
         col("vec_id") < stride.toLong * pqMaxCw)
       .select(col("vec_id").as("cw_id"), posexplode(subvectors(col("qv"))))
       .select(col("pos").as("j"), col("cw_id"),
         col("col").as("cw"), dot(col("col"), col("col")).as("cwdot"))
-  }
+
+  def codebook(embeddings: DataFrame, stride: Int = pqStride): DataFrame =
+    codebookFrom(q8Of(embeddings), stride)
 
   /** array(64 int8-as-double) → array of `pqM` 8-dim subvectors. */
   private def subvectors(qv: Column): Column =
@@ -95,7 +100,7 @@ object Pq {
   private[graft] def encodeWith(q8: DataFrame, flat: Array[Double]): DataFrame =
     q8.select(col("vec_id"),
         posexplode(graft.expr.PqEncode.encodeAll(
-          transform(col("qv"), x => x.cast("double")), lit(flat))))
+          transform(col("qv"), x => x.cast("double")), lit(flat), pqM, pqSubDim)))
       .select(col("vec_id"), col("pos").as("j"), col("col").as("code"))
 
   /** PQ encoding: per (vector, subspace) the nearest codeword by L2 over
@@ -107,10 +112,10 @@ object Pq {
     * argmin shuffle; the only shuffle-bound rows are the final skinny
     * (vec_id, j, code) triples. At 1000 executors the literal ships once
     * per task closure, exactly how a trained PQ codebook deploys. */
-  def codes(embeddings: DataFrame, stride: Int = pqStride): DataFrame =
-    encodeWith(
-      Similarity.quantize(embeddings).select(col("vec_id"), col("qv")),
-      flatCodebook(codebook(embeddings, stride)))
+  def codes(embeddings: DataFrame, stride: Int = pqStride): DataFrame = {
+    val q8 = q8Of(embeddings)
+    encodeWith(q8, flatCodebook(codebookFrom(q8, stride)))
+  }
 
   /** The ADC scorer both the in-plan path and the persisted-index probe
     * rank with: `cds` (vec_id, j, code) candidates against int8 queries
@@ -160,19 +165,21 @@ object Pq {
   }
 
   /** In-plan ADC top-k: encode the corpus, rank against the first
-    * `numQueries` vectors' own codes ([[adcRank]]). */
+    * `numQueries` vectors' own codes ([[adcRank]]). The int8 frame is
+    * CACHED across its three consumers (codebook collect, encode scan,
+    * query slice) — one quantize pass, not three; plain cache blocks
+    * only (evictable-safe), released by Bench between queries. */
   def adcTopK(
       embeddings: DataFrame,
       numQueries: Int,
       k: Int,
-      stride: Int = pqStride): DataFrame =
+      stride: Int = pqStride): DataFrame = {
+    val q8 = Dedup.cached(q8Of(embeddings))
+    val cb = codebookFrom(q8, stride)
     adcRank(
-      codes(embeddings, stride),
-      codebook(embeddings, stride),
-      Similarity.quantize(embeddings)
-        .where(col("vec_id") < numQueries)
-        .select(col("vec_id"), col("qv")),
-      k)
+      encodeWith(q8, flatCodebook(cb)), cb,
+      q8.where(col("vec_id") < numQueries), k)
+  }
 
   /** ADC shortlist (`refineFactor·k`) → exact float cosine re-rank — the
     * FAISS refine pattern over PQ codes: the 32×-cheap scan proposes,
@@ -220,19 +227,21 @@ object Pq {
       ivfStride: Int = Similarity.ivfStride,
       nprobe: Int = Similarity.ivfProbes,
       stride: Int = pqStride): DataFrame = {
-    val q8 = Similarity.quantize(embeddings)
-      .select(col("vec_id"), col("qv").as("embedding"))
-    // cell-pruned candidate pairs under the int8 coarse quantizer
-    val cands = Similarity.ivfCandidates(q8, numQueries, ivfStride, nprobe)
+    // ONE cached quantize pass feeds the cell pruning, codebook collect,
+    // encode scan, and query-side norm/LUT slices
+    val q8 = Dedup.cached(q8Of(embeddings))
+    val cands = Similarity.ivfCandidates(
+        q8.select(col("vec_id"), col("qv").as("embedding")),
+        numQueries, ivfStride, nprobe)
       .select(col("q_id"), col("vec_id"))
-    val cb = codebook(embeddings, stride)
-    val cds = codes(embeddings, stride)
-    val qn8 = Similarity.quantize(embeddings)
+    val cb = codebookFrom(q8, stride)
+    val cds = encodeWith(q8, flatCodebook(cb))
+    val qn8 = q8
       .where(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"),
         sqrt(dot(transform(col("qv"), x => x.cast("double")),
           transform(col("qv"), x => x.cast("double")))).as("qn"))
-    val lut = Similarity.quantize(embeddings)
+    val lut = q8
       .where(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), posexplode(subvectors(col("qv"))))
       .select(col("q_id"), col("pos").as("j"), col("col").as("qsub"))
@@ -293,7 +302,8 @@ object Pq {
       minShared: Int = 2,
       threshold: Double = 0.3,
       stride: Int = pqStride): DataFrame = {
-    val cds = codes(embeddings, stride)
+    val q8 = Dedup.cached(q8Of(embeddings))
+    val cds = encodeWith(q8, flatCodebook(codebookFrom(q8, stride)))
     val pairs = cds.as("a")
       .join(cds.as("b"),
         col("a.j") === col("b.j") && col("a.code") === col("b.code") &&

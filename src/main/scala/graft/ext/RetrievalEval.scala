@@ -70,8 +70,11 @@ object RetrievalEval {
       .join(broadcast(ideal),
         col("m") === least(lit(k.toLong), col("n_rel")), "left")
       .select(col("q_id"), col("n_rel"), col("hits"),
+        // greatest(…, 1): a singleton label class has n_rel = 0 and
+        // hits = 0 — recall reads 0, never NaN (the tiny-floor rule)
         round(col("hits").cast("double") /
-          least(lit(k.toLong), col("n_rel")), 6).as("recall_r"),
+          greatest(least(lit(k.toLong), col("n_rel")), lit(1L)), 6)
+          .as("recall_r"),
         round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr_r"),
         round(coalesce(
           col("dcg").cast("double") / col("idcg").cast("double"),

@@ -269,16 +269,10 @@ object Similarity {
       cents: DataFrame,
       numQueries: Int,
       nprobe: Int): DataFrame = {
-    // cell assignment: argmax cosine over centroids, ties → lowest cent_id.
-    // max_by over struct(csim, -cent_id) = deterministic argmax with that
-    // tie-break, computed with map-side partials (no N×C shuffle).
-    val assignedCells = base
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("v"), col("cv")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"),
-        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell"))
-    val assigned = base.join(assignedCells, Seq("vec_id"))
+    // cell assignment: [[assignTo]] — ONE definition of the argmax/
+    // tie-break shared with the Lloyd tier (a divergent copy here would
+    // silently split IVF probing from Lloyd assignment)
+    val assigned = base.join(assignTo(base, cents), Seq("vec_id"))
     // probe list: each query's nprobe nearest centroids
     val queries = base.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q"))

@@ -214,7 +214,7 @@ scx AS (SELECT r.q_id, qr.n_rel,
        JOIN lb nl ON nl.vec_id = r.neighbor_id
        GROUP BY r.q_id, qr.n_rel)
 SELECT scx.q_id, scx.n_rel, scx.hits,
-       round(scx.hits::DOUBLE / least(10, scx.n_rel), 6) AS recall_r,
+       round(scx.hits::DOUBLE / greatest(least(10, scx.n_rel), 1), 6) AS recall_r,
        round(coalesce(1.0::DOUBLE / scx.first_rel, 0.0), 6) AS mrr_r,
        round(coalesce(scx.dcg::DOUBLE / ideal.idcg::DOUBLE, 0.0), 6) AS ndcg_r
 FROM scx LEFT JOIN ideal ON ideal.m = least(10, scx.n_rel)
