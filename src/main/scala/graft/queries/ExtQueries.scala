@@ -26,6 +26,16 @@ object ExtQueries {
               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
        ELSE [] END"""
 
+  // The exact Jaccard-pair ground truth (the `ug`/`ic`/`p` triplet used
+  // by every near-dup oracle) runs in streaming form: unnest to
+  // (doc, shingle) rows, hash-join on shingle EQUALITY, count the
+  // intersection per candidate pair, then filter |∩|/(|A|+|B|−|∩|).
+  // A pair at Jaccard ≥ 0.8 shares a shingle by definition (and the
+  // empty-shingle 0/0 case is NaN, which never passed the old filter),
+  // so the pair set is identical to the inequality-join form — but the
+  // old form made DuckDB buffer both list-typed sides of a join with no
+  // equality key, which is what kept tipping the driver's memory-
+  // constrained verify host over (VERDICT r9 item 1).
   private def lexSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -42,7 +52,10 @@ object ExtQueries {
   // Product-quantization shared prefix (twin of graft.ext.Pq): int8
   // quantize → 8×8-dim subvectors → data-sampled sub-codebooks (every
   // 2nd vector donates, capped at 256 codewords) → per-(vector, subspace)
-  // nearest codeword by exact-integer L2 (ties → lowest cw_id) → ADC
+  // nearest codeword by exact-integer L2 (ties → lowest cw_id; computed
+  // as an order-free min over dist*512+cw_id — the L2 is a sub-2^29
+  // integer, so the packed key is exact and the lexicographic
+  // (dist, cw_id) argmin needs no 12M-row window sort) → ADC
   // ranking: per-query LUT dots summed per candidate, normalized by the
   // exact int8 query norm × reconstruction norm. Every product/sum is a
   // sub-2⁵³ integer in a double, so the whole chain is bit-deterministic.
@@ -55,11 +68,10 @@ sub AS (SELECT vec_id, t.j, qd[(t.j*8+1):(t.j*8+8)] AS sv
         FROM q8 CROSS JOIN range(8) t(j)),
 cb AS (SELECT j, vec_id AS cw_id, sv AS cw, ${dot8Sql("sv", "sv")} AS cwdot
        FROM sub WHERE vec_id % 2 = 0 AND vec_id < 512),
-enc AS (SELECT s2.vec_id, s2.j, c.cw_id,
-               row_number() OVER (PARTITION BY s2.vec_id, s2.j
-                 ORDER BY (${dot8Sql("s2.sv", "s2.sv")}) - 2*(${dot8Sql("s2.sv", "c.cw")}) + c.cwdot, c.cw_id) AS rn
-        FROM sub s2 JOIN cb c ON c.j = s2.j),
-cds AS (SELECT vec_id, j, cw_id AS code FROM enc WHERE rn = 1),
+cds AS (SELECT s2.vec_id, s2.j,
+               min(((${dot8Sql("s2.sv", "s2.sv")}) - 2*(${dot8Sql("s2.sv", "c.cw")}) + c.cwdot) * 512 + c.cw_id)::BIGINT % 512 AS code
+        FROM sub s2 JOIN cb c ON c.j = s2.j
+        GROUP BY s2.vec_id, s2.j),
 recon AS (SELECT cd.vec_id, sum(c.cwdot) AS recon2
           FROM cds cd JOIN cb c ON c.j = cd.j AND c.cw_id = cd.code
           GROUP BY cd.vec_id),
@@ -527,10 +539,14 @@ SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""")),
           .orderBy("doc_a", "doc_b"),
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.sh, b.sh))::DOUBLE /
-             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ug a JOIN ug b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT ic.doc_a, ic.doc_b,
+             ic.inter::DOUBLE / (len(la.sh) + len(lb.sh) - ic.inter) AS jaccard
+      FROM ic JOIN sh la ON la.doc_id = ic.doc_a
+      JOIN sh lb ON lb.doc_id = ic.doc_b)
 SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
 ORDER BY doc_a, doc_b""")),
 
@@ -607,10 +623,14 @@ ORDER BY doc_a, doc_b""")),
         Dedup.nearDupFused(docs(s, d), embs(s, d), threshold = 0.8),
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.sh, b.sh))::DOUBLE /
-             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ug a JOIN ug b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT ic.doc_a, ic.doc_b,
+             ic.inter::DOUBLE / (len(la.sh) + len(lb.sh) - ic.inter) AS jaccard
+      FROM ic JOIN sh la ON la.doc_id = ic.doc_a
+      JOIN sh lb ON lb.doc_id = ic.doc_b),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)
 SELECT p.doc_a, p.doc_b, p.jaccard,
@@ -628,10 +648,14 @@ ORDER BY doc_a, doc_b""")),
         Dedup.nearDupClusters(docs(s, d), threshold = 0.8).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ug a JOIN ug b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT ic.doc_a, ic.doc_b
+      FROM ic JOIN sh la ON la.doc_id = ic.doc_a
+      JOIN sh lb ON lb.doc_id = ic.doc_b
+      WHERE ic.inter::DOUBLE / (len(la.sh) + len(lb.sh) - ic.inter) >= 0.8),
 e AS (SELECT doc_a AS u, doc_b AS v FROM p
       UNION ALL SELECT doc_b, doc_a FROM p),
 r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
@@ -681,10 +705,14 @@ FROM t LEFT JOIN g USING (doc_id) ORDER BY t.doc_id""")),
         Dedup.softDedupWeights(docs(s, d), threshold = 0.8),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ug a JOIN ug b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT ic.doc_a, ic.doc_b
+      FROM ic JOIN sh la ON la.doc_id = ic.doc_a
+      JOIN sh lb ON lb.doc_id = ic.doc_b
+      WHERE ic.inter::DOUBLE / (len(la.sh) + len(lb.sh) - ic.inter) >= 0.8),
 e AS (SELECT doc_a AS u, doc_b AS v FROM p
       UNION ALL SELECT doc_b, doc_a FROM p),
 r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
@@ -708,10 +736,14 @@ ORDER BY d.doc_id""")),
         Dedup.nearDupSurvivors(docs(s, d), threshold = 0.8),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ug a JOIN ug b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT ic.doc_a, ic.doc_b
+      FROM ic JOIN sh la ON la.doc_id = ic.doc_a
+      JOIN sh lb ON lb.doc_id = ic.doc_b
+      WHERE ic.inter::DOUBLE / (len(la.sh) + len(lb.sh) - ic.inter) >= 0.8),
 e AS (SELECT doc_a AS u, doc_b AS v FROM p
       UNION ALL SELECT doc_b, doc_a FROM p),
 r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
@@ -731,10 +763,14 @@ ORDER BY d.doc_id""")),
         Dedup.nearDupSurvivorsQuality(docs(s, d), threshold = 0.8),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ug a JOIN ug b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT ic.doc_a, ic.doc_b
+      FROM ic JOIN sh la ON la.doc_id = ic.doc_a
+      JOIN sh lb ON lb.doc_id = ic.doc_b
+      WHERE ic.inter::DOUBLE / (len(la.sh) + len(lb.sh) - ic.inter) >= 0.8),
 e AS (SELECT doc_a AS u, doc_b AS v FROM p
       UNION ALL SELECT doc_b, doc_a FROM p),
 r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
@@ -923,10 +959,14 @@ ORDER BY d.doc_id""")),
             .select("doc_a", "doc_b")),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ug a JOIN ug b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT ic.doc_a, ic.doc_b
+      FROM ic JOIN sh la ON la.doc_id = ic.doc_a
+      JOIN sh lb ON lb.doc_id = ic.doc_b
+      WHERE ic.inter::DOUBLE / (len(la.sh) + len(lb.sh) - ic.inter) >= 0.8),
 e AS (SELECT doc_a AS u, doc_b AS v FROM p
       UNION ALL SELECT doc_b, doc_a FROM p),
 r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
@@ -943,10 +983,14 @@ FROM s GROUP BY sz ORDER BY cluster_size""")),
         Dedup.dedupSummary(docs(s, d), embs(s, d)),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ug a JOIN ug b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT ic.doc_a, ic.doc_b
+      FROM ic JOIN sh la ON la.doc_id = ic.doc_a
+      JOIN sh lb ON lb.doc_id = ic.doc_b
+      WHERE ic.inter::DOUBLE / (len(la.sh) + len(lb.sh) - ic.inter) >= 0.8),
 e AS (SELECT doc_a AS u, doc_b AS v FROM p
       UNION ALL SELECT doc_b, doc_a FROM p),
 r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
@@ -1637,16 +1681,38 @@ ORDER BY vec_id, rnk""")),
 
     // Measured recall of the multi-probe graph vs the exact quadratic
     // k-NN graph — the approximation quantified every run (full oracle).
+    // The exact top-3 ground truth runs as 3 order-free max-of-[sim,-id]
+    // passes (k sequential hash aggregates, each excluding the prior
+    // winners) instead of one row_number window over all N² pairs: the
+    // window had to materialize and sort the whole cross product, which
+    // OOMed the driver's memory-constrained DuckDB host (VERDICT r9
+    // item 1); the k-pass form streams with per-group constant state and
+    // picks the identical (sim DESC, nbr_id ASC) winners.
     ("knn_graph_recall",
       (s: SparkSession, d: String) =>
         Similarity.knnGraphRecall(embs(s, d), k = 3),
       Some(s"""WITH $knnGraphCtes,
 gr AS (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3),
-ex AS (SELECT x.vec_id, y.vec_id AS nbr_id,
-             row_number() OVER (PARTITION BY x.vec_id
-               ORDER BY (${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm) DESC, y.vec_id) AS rk
-      FROM n x JOIN n y ON x.vec_id <> y.vec_id),
-exk AS (SELECT vec_id, nbr_id FROM ex WHERE rk <= 3),
+x1 AS (SELECT x.vec_id,
+             max([(${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm), -(y.vec_id::DOUBLE)]) AS w
+      FROM n x JOIN n y ON x.vec_id <> y.vec_id
+      GROUP BY x.vec_id),
+x2 AS (SELECT x.vec_id,
+             max([(${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm), -(y.vec_id::DOUBLE)]) AS w
+      FROM n x JOIN n y ON x.vec_id <> y.vec_id
+      JOIN x1 p1 ON p1.vec_id = x.vec_id
+      WHERE y.vec_id <> (-p1.w[2])::BIGINT
+      GROUP BY x.vec_id),
+x3 AS (SELECT x.vec_id,
+             max([(${dotSql("x.v", "y.v")}) / (x.nrm * y.nrm), -(y.vec_id::DOUBLE)]) AS w
+      FROM n x JOIN n y ON x.vec_id <> y.vec_id
+      JOIN x1 p1 ON p1.vec_id = x.vec_id
+      JOIN x2 p2 ON p2.vec_id = x.vec_id
+      WHERE y.vec_id <> (-p1.w[2])::BIGINT AND y.vec_id <> (-p2.w[2])::BIGINT
+      GROUP BY x.vec_id),
+exk AS (SELECT vec_id, (-w[2])::BIGINT AS nbr_id FROM x1
+        UNION ALL SELECT vec_id, (-w[2])::BIGINT FROM x2
+        UNION ALL SELECT vec_id, (-w[2])::BIGINT FROM x3),
 pv AS (SELECT e.vec_id,
              sum(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
                / count(*) AS recall
@@ -1720,10 +1786,14 @@ ORDER BY method, cluster_size""")),
       (s: SparkSession, d: String) => TextAnalysis.splitLeakage(docs(s, d)),
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ug a JOIN ug b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT ic.doc_a, ic.doc_b
+      FROM ic JOIN sh la ON la.doc_id = ic.doc_a
+      JOIN sh lb ON lb.doc_id = ic.doc_b
+      WHERE ic.inter::DOUBLE / (len(la.sh) + len(lb.sh) - ic.inter) >= 0.8),
 sp AS (SELECT doc_id,
               CASE WHEN substring(md5($normSql), 1, 2) < 'f3'
                    THEN 'train' ELSE 'val' END AS split
@@ -3514,11 +3584,10 @@ sub AS (SELECT vec_id, t.j, v[(t.j*8+1):(t.j*8+8)] AS sv
         FROM e CROSS JOIN range(8) t(j)),
 cb2 AS (SELECT j, vec_id AS cw_id, sv AS cw, ${dot8Sql("sv", "sv")} AS cwdot
         FROM sub WHERE vec_id % 2 = 0 AND vec_id < 512),
-enc AS (SELECT s2.vec_id, s2.j, c2.cw_id,
-               row_number() OVER (PARTITION BY s2.vec_id, s2.j
-                 ORDER BY (${dot8Sql("s2.sv", "s2.sv")}) - 2*(${dot8Sql("s2.sv", "c2.cw")}) + c2.cwdot, c2.cw_id) AS rn
-        FROM sub s2 JOIN cb2 c2 ON c2.j = s2.j),
-cds AS (SELECT vec_id, j, cw_id AS code FROM enc WHERE rn = 1),
+cds AS (SELECT s2.vec_id, s2.j,
+               min(((${dot8Sql("s2.sv", "s2.sv")}) - 2*(${dot8Sql("s2.sv", "c2.cw")}) + c2.cwdot) * 512 + c2.cw_id)::BIGINT % 512 AS code
+        FROM sub s2 JOIN cb2 c2 ON c2.j = s2.j
+        GROUP BY s2.vec_id, s2.j),
 recon AS (SELECT cd.vec_id, sum(c2.cwdot) AS recon2
           FROM cds cd JOIN cb2 c2 ON c2.j = cd.j AND c2.cw_id = cd.code
           GROUP BY cd.vec_id),
@@ -3840,6 +3909,15 @@ FROM au ORDER BY q_id"""))
   val queries: Map[String, Q] =
     defs.map { case (n, q, _) => n -> q }.toMap
 
+  /** The similarity tier's oracles (everything probing `embeddings`) ship
+    * in StagedOracle's temp-table form: the deep CTE chains kept OOM-ing
+    * the driver's memory-constrained DuckDB (VERDICT r9 item 1 — 8 err
+    * rows, all engine-correct on adjudication). Staging bounds peak RAM
+    * to one stage and lets the rest spill; values are bit-identical (the
+    * family's sums are order-free by design).
+    */
   val oracleSql: Map[String, String] =
-    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+    defs.collect { case (n, _, Some(sql)) =>
+      n -> (if (sql.contains("embeddings")) StagedOracle.rewrite(sql) else sql)
+    }.toMap
 }
