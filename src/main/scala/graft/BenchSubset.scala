@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Local timing harness for individual registered queries — Bench's
+  * timed region (noop write + releaseAll between queries) over an
+  * explicit subset, with the same sf0.001 warm-up, so a single query's
+  * plan change can be measured without a full 180-query run.
+  * Usage: runMain graft.BenchSubset <sfDir> <queryName>...
+  */
+object BenchSubset {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    for (n <- args.drop(1)) { // warm-up, untimed
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      graft.ext.Dedup.releaseAll()
+    }
+    for (n <- args.drop(1)) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      graft.ext.Dedup.releaseAll()
+      println(f"TIMED $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

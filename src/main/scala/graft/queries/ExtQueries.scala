@@ -1731,7 +1731,7 @@ FROM pv""")),
     // reachable id ≡ the operator's min-label fixpoint).
     ("knn_clusters",
       (s: SparkSession, d: String) =>
-        Similarity.knnClusters(embs(s, d), k = 3, threshold = 0.4),
+        Similarity.knnClustersAt(s, d, k = 3, threshold = 0.4),
       Some(s"""WITH RECURSIVE $knnGraphCtes,
 g AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3 AND sim_r >= 0.4),
 ed AS MATERIALIZED (SELECT vec_id AS u, nbr_id AS v FROM g
@@ -1747,7 +1747,7 @@ FROM cc GROUP BY u ORDER BY doc_id""")),
     // components SemDeDup uses; the policy-choice comparison view.
     ("knn_cluster_stats",
       (s: SparkSession, d: String) =>
-        Similarity.knnVsCellClusters(embs(s, d), k = 3, threshold = 0.4),
+        Similarity.knnVsCellClustersAt(s, d, k = 3, threshold = 0.4),
       Some(s"""WITH RECURSIVE $knnGraphCtes,
 g AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3 AND sim_r >= 0.4),
 ed AS MATERIALIZED (SELECT vec_id AS u, nbr_id AS v FROM g
