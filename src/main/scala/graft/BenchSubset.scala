@@ -15,6 +15,16 @@ object BenchSubset {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // same one-time write-path warm-ups Bench performs outside the timed
+    // region, so index-probing queries measure probing, not building
+    def warmUp(body: => Any): Unit =
+      try body catch { case e: Throwable => System.err.println(e.getMessage) }
+    warmUp(graft.sinks.ActivitySink.materialized(spark, dir))
+    warmUp(graft.sinks.AnnIndex.materialized(spark, dir))
+    warmUp(graft.sinks.DedupIndex.materialized(spark, dir))
+    warmUp(graft.sinks.TextIndex.materialized(spark, dir))
+    warmUp(graft.sinks.PqIndex.materialized(spark, dir))
+    graft.ext.Dedup.releaseAll()
     for (n <- args.drop(1)) { // warm-up, untimed
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()

