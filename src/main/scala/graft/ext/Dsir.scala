@@ -92,8 +92,14 @@ object Dsir {
     * (−ln(−ln(u))) with u the content-md5 uniform — a deterministic draw
     * of k docs without replacement with probability ∝ exp(avg_logw). */
   def resample(docs: DataFrame, k: Int = 60, targetLang: String = "en"): DataFrame = {
-    val u: Column = conv(substring(md5(normText(col("text"))), 1, 13), 16, 10)
-      .cast("double") / math.pow(16.0, 13)
+    // clamp u away from 0 (ADVICE r9): an all-zero md5 13-hex prefix is
+    // a 16^-13 event, but Spark's log(0) is NULL while DuckDB's ln(0)
+    // is -inf — the clamp (min subnormal double, identical literal in
+    // the oracle) keeps the bit-identical contract even if it ever hits
+    val u: Column = greatest(
+      conv(substring(md5(normText(col("text"))), 1, 13), 16, 10)
+        .cast("double") / math.pow(16.0, 13),
+      lit(4.9e-324))
     val gumbel = docs.select(col("doc_id"), col("lang"), col("source"),
       (-log(-log(u))).as("g"))
     importanceWeights(docs, targetLang)

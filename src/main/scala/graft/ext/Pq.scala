@@ -303,7 +303,12 @@ object Pq {
       threshold: Double = 0.3,
       stride: Int = pqStride): DataFrame = {
     val q8 = Dedup.cached(q8Of(embeddings))
+    // Drop PqEncodeAll's fail-closed ragged-vector sentinel (-1 in every
+    // subspace) BEFORE the self-join: two corrupt vectors would collide
+    // on all 8 (j, -1) keys and surface as a bogus n_shared=8 candidate,
+    // then feed a cosine over mismatched-length arrays (ADVICE r9).
     val cds = encodeWith(q8, flatCodebook(codebookFrom(q8, stride)))
+      .where(col("code") >= 0)
     val pairs = cds.as("a")
       .join(cds.as("b"),
         col("a.j") === col("b.j") && col("a.code") === col("b.code") &&

@@ -3740,7 +3740,7 @@ GROUP BY exk.q_id ORDER BY qid""")),
     // rescan per iteration — replayed in the oracle as unrolled CTEs.
     ("embed_pca_components",
       (s: SparkSession, d: String) =>
-        graft.ext.Pca.components(embs(s, d)),
+        graft.ext.Pca.componentsAt(s, d),
       Some(s"""$pcaCtes
 SELECT comp, i, w_r, eigval_r, evr_r FROM (
   SELECT 0::INT AS comp, i, round(v, 6) AS w_r,
@@ -3761,7 +3761,7 @@ ORDER BY comp, i""")),
     // would index.
     ("embed_pca_project",
       (s: SparkSession, d: String) =>
-        graft.ext.Pca.project(embs(s, d)),
+        graft.ext.Pca.projectAt(s, d),
       Some(s"""$pcaCtes,
 mu AS (SELECT i, s1 / (SELECT n FROM nn0) AS mu FROM s1),
 cw AS (SELECT 0 AS comp, i, v AS w FROM v0_${graft.ext.Pca.iters}
@@ -3825,8 +3825,9 @@ FROM sw ORDER BY doc_id""")),
         graft.ext.Dsir.resample(docs(s, d)),
       Some(s"""$dsirWeightCtes,
 gm AS (SELECT doc_id, lang, source,
-              -ln(-ln(CAST('0x' || substring(md5($normSql), 1, 13) AS UBIGINT)::DOUBLE
-                      / 4503599627370496)) AS g
+              -ln(-ln(greatest(
+                  CAST('0x' || substring(md5($normSql), 1, 13) AS UBIGINT)::DOUBLE
+                      / 4503599627370496, 4.9e-324))) AS g
        FROM documents),
 sel AS (SELECT sw.doc_id, gm.lang, gm.source,
                round(sw.slw::DOUBLE / sw.n_tokens, 6) AS avg_logw_r,
@@ -3840,8 +3841,9 @@ FROM sel ORDER BY gk_key_r DESC, doc_id LIMIT 60""")),
         graft.ext.Dsir.selectionAudit(docs(s, d)),
       Some(s"""$dsirWeightCtes,
 gm AS (SELECT doc_id, lang, source,
-              -ln(-ln(CAST('0x' || substring(md5($normSql), 1, 13) AS UBIGINT)::DOUBLE
-                      / 4503599627370496)) AS g
+              -ln(-ln(greatest(
+                  CAST('0x' || substring(md5($normSql), 1, 13) AS UBIGINT)::DOUBLE
+                      / 4503599627370496, 4.9e-324))) AS g
        FROM documents),
 sel AS (SELECT sw.doc_id, gm.lang,
                round(round(sw.slw::DOUBLE / sw.n_tokens, 6) + gm.g, 6) AS gk_key_r

@@ -93,6 +93,26 @@ class PqSpec extends SparkSuite {
       "every reported pair is exact-verified (precision 1.0)"))
   }
 
+  test("codeNearDup never pairs ragged vectors on the -1 sentinel") {
+    import spark.implicits._
+    // two corrupt (short) vectors encode to the fail-closed -1 sentinel
+    // in every subspace; before the sentinel filter they collided on all
+    // 8 (j, -1) keys and surfaced as a bogus n_shared=8 candidate whose
+    // verify cosine then ran over mismatched-length arrays (ADVICE r9)
+    def shape(k: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(0.1 * (k + 1) * (i + 1)).toFloat)
+    val vecs = (0 until 40).map { k =>
+      val arr =
+        if (k >= 38) Array.tabulate(17)(i => shape(k)(i)) // ragged
+        else shape(k)
+      (k.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val pairs = Pq.codeNearDup(vecs, minShared = 2, threshold = 0.0).collect()
+    assert(!pairs.exists(r =>
+      r.getAs[Long]("id_a") >= 38L || r.getAs[Long]("id_b") >= 38L),
+      "ragged vectors must not surface as near-dup candidates")
+  }
+
   test("reported refined sims are true float cosines") {
     // every (q, neighbor) the refined path reports must carry the same
     // rounded sim the exact brute-force assigns that pair
