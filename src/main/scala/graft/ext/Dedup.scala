@@ -688,7 +688,8 @@ object Dedup {
   def semanticPairs(
       embeddings: DataFrame,
       threshold: Double = 0.4,
-      stride: Int = Similarity.ivfStride): DataFrame = {
+      stride: Int = Similarity.ivfStride,
+      maxOccupancy: Int = Similarity.maxCellOccupancy): DataFrame = {
     val base = cached(embeddings.select(
       col("vec_id"), Similarity.asDouble(col("embedding")).as("v")))
     val cents = base.where(pmod(col("vec_id"), lit(stride)) === 0)
@@ -696,12 +697,16 @@ object Dedup {
     // cached: the corpus × centroids argmax is the expensive pass, and the
     // pair self-join references the assignment from BOTH sides — without
     // the cache the whole subtree computes twice. Two longs per row.
-    val cells = cached(base
+    // capCells bounds the per-cell quadratic under pathological skew
+    // (one collapsed cell); identity on every healthy fixture, so the
+    // oracle's uncapped within-cell pair set is unchanged
+    val cells = cached(Similarity.capCells(base
       .crossJoin(broadcast(cents))
       .withColumn("csim", Similarity.cosine(col("v"), col("cv")))
       .groupBy("vec_id")
       .agg(max_by(col("cent_id"),
-        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell")))
+        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell")),
+      maxOccupancy))
     val withCell = base.join(cells, Seq("vec_id"))
     withCell.select(col("cell"), col("vec_id").as("id_a"), col("v").as("v_a"))
       .join(withCell.select(

@@ -479,6 +479,42 @@ object Similarity {
       .select(col("vec_id"), col("prn"), col("cent_id").as("cell")))
   }
 
+  /** Maximum vectors a single IVF cell may contribute to a within-cell
+    * pair join before it is split (VERDICT r9 item 4): with Voronoi
+    * cells sized O(N/C) this never engages on healthy data — every
+    * fixture's max occupancy is well under it (`ann_index_cells`
+    * observes ~60 at sf0.01) — but a near-duplicate-dense corpus can
+    * collapse into one cell and turn the per-cell pairwise verify
+    * quadratic in that cell. */
+  val maxCellOccupancy = 512
+
+  /** Enforce the occupancy cap on a `(vec_id, cell)` assignment:
+    * cells above `maxOccupancy` split into `ceil(occ / maxOccupancy)`
+    * subcells by a deterministic secondary hash of the vector id, so a
+    * downstream cell-keyed pair join is bounded per key however skewed
+    * the corpus. Subcell ids are negative (real cells are vec_ids ≥ 0,
+    * so the id spaces cannot collide; a 64-bit hash collision between
+    * two subcells merely ADDS candidates, which the exact-cosine verify
+    * filters — precision is unaffected, and recall only within the
+    * pathological cell trades against boundedness, the standard
+    * SemDeDup compromise). One skinny occupancy aggregate + broadcast
+    * join; a no-op (identity `cell`) for every under-cap cell, so
+    * results on healthy data are byte-identical to the uncapped plan. */
+  def capCells(
+      cells: DataFrame, maxOccupancy: Int = maxCellOccupancy): DataFrame = {
+    val occ = cells.groupBy("cell").agg(count(lit(1)).as("occ"))
+      .where(col("occ") > maxOccupancy)
+      .withColumn("nsplit",
+        ceil(col("occ").cast("double") / maxOccupancy).cast("long"))
+      .select(col("cell"), col("nsplit"))
+    cells.join(broadcast(occ), Seq("cell"), "left")
+      .withColumn("cell",
+        when(col("nsplit").isNull, col("cell"))
+          .otherwise(-abs(xxhash64(col("cell"),
+            pmod(xxhash64(col("vec_id")), col("nsplit")))) - 1))
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** [[knnGraph]]'s body over a prepared `base` + [[rankedCells]] frame. */
   private def knnGraphFrom(
       base: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
@@ -609,9 +645,9 @@ object Similarity {
       .where(col("sim_r") >= threshold)
       .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
     // semanticPairs' cell pairs over the same rank-1 assignment (raw-sim
-    // threshold, exactly its gate)
+    // threshold, exactly its gate), occupancy-capped like semanticPairs
     val withCell = base.join(
-      ranked.where(col("prn") === 1).select(col("vec_id"), col("cell")),
+      capCells(ranked.where(col("prn") === 1).select(col("vec_id"), col("cell"))),
       Seq("vec_id"))
     val cellPairs = withCell
       .select(col("cell"), col("vec_id").as("doc_a"), col("v").as("v_a"))
@@ -691,7 +727,7 @@ object Similarity {
         .select(lit(method).as("method"), col("cluster_size"),
           col("n_clusters"))
     val withCell = base.join(
-      ranked.where(col("prn") === 1).select(col("vec_id"), col("cell")),
+      capCells(ranked.where(col("prn") === 1).select(col("vec_id"), col("cell"))),
       Seq("vec_id"))
     val cellPairs = withCell
       .select(col("cell"), col("vec_id").as("doc_a"), col("v").as("v_a"))

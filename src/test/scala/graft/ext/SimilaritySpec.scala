@@ -290,4 +290,68 @@ class SimilaritySpec extends SparkSuite {
       }
     }
   }
+
+  test("capCells splits a collapsed cell into bounded subcells and is " +
+      "the identity on healthy occupancy (VERDICT r9 item 4)") {
+    import spark.implicits._
+    // one collapsed cell of 300 + two healthy cells
+    val assign = ((0L until 300L).map(_ -> 7L) ++
+      (300L until 320L).map(_ -> 8L) ++ (320L until 330L).map(_ -> 9L))
+      .toDF("vec_id", "cell")
+    val capped = Similarity.capCells(assign, maxOccupancy = 32)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell"))
+    assert(capped.length === 330)
+    val byCell = capped.groupBy(_._2).view.mapValues(_.length).toMap
+    // healthy cells untouched, ids preserved
+    assert(byCell.get(8L).contains(20) && byCell.get(9L).contains(10))
+    // the collapsed cell is gone; its members landed in ≥ 2 negative-id
+    // subcells, each bounded (hash split: cap plus multinomial slack)
+    assert(!byCell.contains(7L))
+    val subcells = byCell.view.filterKeys(_ < 0).toMap
+    assert(subcells.values.sum === 300)
+    assert(subcells.size >= 2, "a 300-vector cell at cap 32 must split")
+    subcells.values.foreach(sz =>
+      assert(sz <= 64, s"subcell of $sz exceeds 2x the occupancy cap"))
+    // identity on the real fixture's assignment: byte-identical cells
+    import org.apache.spark.sql.functions._
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = fx.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val cents = base.where(pmod(col("vec_id"), lit(20)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val fxAssign = base.crossJoin(broadcast(cents))
+      .withColumn("csim", Similarity.cosine(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell"))
+    val before = fxAssign.orderBy("vec_id").collect().map(_.toSeq)
+    val after = Similarity.capCells(fxAssign).orderBy("vec_id")
+      .collect().map(_.toSeq)
+    assert(before.toSeq === after.toSeq,
+      "capCells must be the identity on healthy fixture occupancy")
+  }
+
+  test("semanticPairs under a collapsed cell stays bounded, keeps " +
+      "precision, and returns a subset of the uncapped pairs") {
+    import spark.implicits._
+    // 300 near-identical vectors; stride > N leaves ONE centroid (vec 0),
+    // so the whole corpus collapses into a single IVF cell by construction
+    val n = 300
+    val embs = (0 until n).map { k =>
+      (k.toLong, Array.tabulate(8)(i =>
+        (if (i == 0) 1.0 else 1e-4 * ((k * 7 + i) % 13)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val uncapped = Dedup.semanticPairs(embs, threshold = 0.9, stride = 1000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(uncapped.size > (n * n) / 4, "collapsed cloud: most pairs match")
+    val capped = Dedup.semanticPairs(embs, threshold = 0.9, stride = 1000,
+        maxOccupancy = 32)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped.subsetOf(uncapped), "capping must not invent pairs")
+    assert(capped.nonEmpty, "same-subcell near-dups still surface")
+    // the verify join is bounded per subcell: with ~10 subcells of ~30,
+    // candidate pairs shrink by roughly the split factor vs occ²/2
+    assert(capped.size < uncapped.size / 4,
+      s"capped ${capped.size} should be far below uncapped ${uncapped.size}")
+  }
 }
