@@ -385,6 +385,50 @@ mh AS (SELECT doc_id AS media_id,
       '00000000000000000000000000000000' || body
   END AS hx FROM base)"""
 
+  // FakeCodec twin (graft.ext.Multimodal.FakeCodec.features): the
+  // payload-byte LCG fold h ← h·C + b (signed bytes, mod 2⁶⁴) runs as a
+  // HUGEINT list_reduce; the 8 per-dimension states unroll via the
+  // closed form hᵢ = (h₀·Cⁱ + A·(Cⁱ⁻¹+…+1)) mod 2⁶⁴ with the constants
+  // precomputed here in BigInt (h₀·Cᵢ splits into 2³² limbs so no
+  // product exceeds HUGEINT range). Float steps — (h >>> 11).toFloat,
+  // ÷ 2⁵³f, − 0.5f — replay as REAL casts of double arithmetic, which
+  // is correctly rounded for float operands.
+  private lazy val mediaFeaturesSql: String = {
+    val M = BigInt(1) << 64
+    val C = BigInt("6364136223846793005")
+    val A = BigInt("1442695040888963407")
+    val seed = BigInt("14029467366897019727") // 0xc2b2ae3d27d4eb4f unsigned
+    val dims = (1 to 8).scanLeft((BigInt(1), BigInt(0))) { case ((ci, si), _) =>
+      ((ci * C) % M, (si * C + A) % M)
+    }.tail
+    val scaled = dims.map { case (ci, si) =>
+      val hi = s"((h0 // 4294967296 * $ci::HUGEINT) % 4294967296 * 4294967296" +
+        s" + (h0 % 4294967296) * $ci::HUGEINT + $si::HUGEINT)" +
+        s" % 18446744073709551616::HUGEINT"
+      val f = s"CAST(CAST(($hi) // 2048 AS BIGINT) AS REAL)"
+      val x = s"CAST($f::DOUBLE / 9007199254740992.0 AS REAL)"
+      val y = s"CAST($x::DOUBLE - 0.5 AS REAL)"
+      s"CAST(floor($y::DOUBLE * 10000.0 + 0.5) AS BIGINT)::VARCHAR"
+    }
+    s"""WITH $mediaHxCte,
+fm AS (SELECT mh.media_id, mh.kind, b.doc_id, b.w::INT AS w, b.h::INT AS h,
+         b.nf::INT AS nf,
+         list_reduce(list_prepend($seed::HUGEINT,
+           list_transform(
+             list_transform(range(1, len(hx)//2 + 1),
+               i -> CAST('0x' || substring(hx, (2*i-1)::INT, 2) AS INT)),
+             x -> (CASE WHEN x > 127 THEN x - 256 ELSE x END)::HUGEINT)),
+           (a, x) -> (a * $C::HUGEINT + x + 18446744073709551616::HUGEINT)
+                     % 18446744073709551616::HUGEINT) AS h0
+       FROM mh JOIN base b ON b.doc_id = mh.media_id)
+SELECT media_id, kind,
+       CASE WHEN doc_id % 3 = 1 THEN 0 ELSE w END AS width,
+       CASE WHEN doc_id % 3 = 1 THEN 0 ELSE h END AS height,
+       CASE WHEN doc_id % 3 = 2 THEN nf ELSE 1 END AS n_frames,
+       md5(array_to_string([${scaled.mkString(",\n         ")}], ',')) AS feature_digest
+FROM fm ORDER BY media_id"""
+  }
+
   /** Shared DuckDB CTEs for the multi-probe k-NN graph
     * (`Similarity.knnGraph`, nprobe 2, stride 20): ends at `r` — ranked
     * candidate edges (vec_id, nbr_id, sim_r, rnk). */
@@ -3435,10 +3479,17 @@ SELECT media_id, kind, format,
   CASE WHEN format = 'wav' THEN ${le16AtSql(45)} END AS channels
 FROM meta ORDER BY media_id""")),
 
-    // Feature extraction: dims + frame counts now come from the REAL
-    // header parse (HeaderCodec in the mapPartitions seam); only the
-    // embedding vector remains stubbed, so the query stays rows-only for
-    // the digest column while MediaHeadersSpec pins the parsed fields.
+    // Feature extraction: dims + frame counts come from the REAL header
+    // parse (HeaderCodec in the mapPartitions seam). The embedding stub
+    // (FakeCodec's 64-bit LCG over the payload bytes) is now FULLY
+    // oracled (VERDICT r9 item 5, the splitmix64/DedupIndex precedent):
+    // DuckDB refolds the same LCG over the payload hex in HUGEINT limb
+    // arithmetic and replays the long→float32 → ÷2^53 → −0.5 chain as
+    // correctly-rounded REAL casts (float ops computed in double round
+    // identically — double carries ≥ 2p+2 bits of float precision). The
+    // digest is over half-up-scaled 4-dp longs, a tie-free integer
+    // rendering both engines format identically (a float×10⁴ can never
+    // land exactly on .5: odd/20000 is not a dyadic rational).
     ("media_features",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
@@ -3447,11 +3498,12 @@ FROM meta ORDER BY media_id""")),
           .select(
             col("media_id"), col("kind"), col("width"), col("height"),
             col("n_frames"),
-            md5(to_json(transform(col("feature"),
-              x => round(x.cast("double"), 4)))).as("feature_digest"))
+            md5(concat_ws(",", transform(col("feature"),
+              x => floor(x.cast("double") * lit(10000.0d) + lit(0.5d))
+                .cast("long").cast("string")))).as("feature_digest"))
           .orderBy("media_id")
       },
-      None),
+      Some(mediaFeaturesSql)),
 
     // Aspect-preserving resize geometry over header-parsed dims — fully
     // oracle-able now: the oracle derives the same dims from the synth
