@@ -64,6 +64,88 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Metadata-filtered exact top-k — the "similar items within a
+    * predicate" serving shape (FAISS `IDSelector`, the filter clause of
+    * every production vector store): candidates are restricted to
+    * corpus rows sharing the query's `label` BEFORE any ranking. The
+    * exact form is the ground truth [[filteredAnnRecall]] grades
+    * [[ivfTopKFiltered]] against. Same plan as [[cosineTopK]] with the
+    * label equality folded into the broadcast-join condition, so the
+    * filter prunes rows before a single cosine is evaluated. */
+  def cosineTopKFiltered(
+      embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val queries = base.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"),
+        col("label").as("qlabel"))
+    val scored = base
+      .join(broadcast(queries),
+        col("vec_id") =!= col("q_id") && col("label") === col("qlabel"))
+      .withColumn("sim", cosine(col("q"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** PRE-filtered IVF: the label predicate applies to the probed cells'
+    * candidates before any cosine is scored — selective filters cut
+    * scoring cost proportionally, and (unlike POST-filtering, which
+    * takes the unfiltered top-k and then drops non-matching rows) the
+    * result can never starve below k while matching vectors exist in
+    * the probed cells. At scale the label rides the assigned frame, so
+    * the predicate pushes into the candidates scan the same way any
+    * column filter does; the residual approximation — matches outside
+    * the probed cells — is exactly IVF's, and [[filteredAnnRecall]]
+    * measures it per query instead of leaving it implicit. */
+  def ivfTopKFiltered(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      stride: Int = ivfStride,
+      nprobe: Int = ivfProbes): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val qlabels = labels.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("qlabel"))
+    val cands = ivfCandidates(embeddings, numQueries, stride, nprobe)
+      .join(labels, Seq("vec_id"))
+      .join(broadcast(qlabels), Seq("q_id"))
+      .where(col("label") === col("qlabel"))
+      .select(col("q_id"), col("q"), col("vec_id"), col("v"))
+    rankCandidates(cands, k)
+  }
+
+  /** Per-query report card of the filtered IVF: exact-filtered truth
+    * size (a small label class can hold fewer than k matches), hit
+    * count, and recall — the measured answer to "does cell probing
+    * still find the in-predicate neighbors". */
+  def filteredAnnRecall(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      stride: Int = ivfStride,
+      nprobe: Int = ivfProbes): DataFrame = {
+    val exact = cosineTopKFiltered(embeddings, numQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = ivfTopKFiltered(embeddings, numQueries, k, stride, nprobe)
+      .select(col("q_id").as("aq"), col("neighbor_id").as("aid"))
+    exact
+      .join(approx,
+        exact("q_id") === col("aq") && col("neighbor_id") === col("aid"),
+        "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("aid")).as("n_hits"))
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall_r"))
+      .orderBy("q_id")
+  }
+
   /** All vector pairs with cosine ≥ threshold — the embedding near-dup
     * gate. Exact (for the oracle); the scale path for this op is
     * [[lshTopK]]-style bucketing. */

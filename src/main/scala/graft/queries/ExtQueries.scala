@@ -2109,6 +2109,80 @@ r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
 SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
 ORDER BY q_id, rnk""")),
 
+    // ------------------------------------------------- filtered ANN
+    // Metadata-filtered vector search (the filter clause of every
+    // production vector store): exact same-label top-k as ground truth,
+    // the PRE-filtered IVF (predicate applied to probed-cell candidates
+    // before any cosine — never starves below k while matches exist,
+    // unlike post-filtering), and the per-query recall report card.
+    ("sim_topk_filtered",
+      (s: SparkSession, d: String) =>
+        Similarity.cosineTopKFiltered(embs(s, d), numQueries = 10, k = 10)
+          .withColumnRenamed("rank", "rnk"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, label AS ql FROM n WHERE vec_id < 10),
+s AS (SELECT q.q_id, n.vec_id, (${dotSql("qv", "v")}) / (q.qn * n.nrm) AS sim
+      FROM q JOIN n ON n.vec_id <> q.q_id AND n.label = q.ql),
+r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM s)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
+    ("sim_topk_ivf_filtered",
+      (s: SparkSession, d: String) =>
+        Similarity.ivfTopKFiltered(embs(s, d), numQueries = 10, k = 10)
+          .withColumnRenamed("rank", "rnk"),
+      Some(s"""${ivfTopSql(10)},
+lb AS (SELECT vec_id, label FROM embeddings),
+fx AS (SELECT sx.q_id, sx.vec_id, sx.sim
+       FROM sx JOIN lb ON lb.vec_id = sx.vec_id
+       JOIN lb ql ON ql.vec_id = sx.q_id
+       WHERE lb.label = ql.label),
+fr AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+       FROM fx)
+SELECT q_id, rnk, neighbor_id, sim_r FROM fr WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
+    ("filtered_ann_recall",
+      (s: SparkSession, d: String) =>
+        Similarity.filteredAnnRecall(embs(s, d), numQueries = 10, k = 10),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, label AS ql FROM n WHERE vec_id < 10),
+s AS (SELECT q.q_id, n.vec_id, (${dotSql("qv", "v")}) / (q.qn * n.nrm) AS sim
+      FROM q JOIN n ON n.vec_id <> q.q_id AND n.label = q.ql),
+exk AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+          FROM s) z WHERE rnk <= 10),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dotSql("v", "cv")}) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, n.label, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+p AS (SELECT q.q_id, q.qv AS qv2, q.qn, q.ql, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (${dotSql("qv", "cv")}) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN c),
+pr AS (SELECT q_id, qv2, qn, ql, cell FROM p WHERE rn <= 8),
+fsx AS (SELECT pr.q_id, asg.vec_id, (${dotSql("qv2", "v")}) / (pr.qn * asg.nrm) AS sim
+        FROM pr JOIN asg ON asg.cell = pr.cell
+        WHERE asg.vec_id <> pr.q_id AND asg.label = pr.ql),
+apk AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+          FROM fsx) z WHERE rnk <= 10)
+SELECT exk.q_id, count(*)::BIGINT AS n_exact,
+       count(apk.vec_id)::BIGINT AS n_hits,
+       round(count(apk.vec_id)::DOUBLE / count(*), 6) AS recall_r
+FROM exk LEFT JOIN apk ON apk.q_id = exk.q_id AND apk.vec_id = exk.vec_id
+GROUP BY exk.q_id ORDER BY exk.q_id""")),
+
     // LSH-bucketed near-pairs (the 100 TB path for the same gate):
     // precision 1.0 by exact re-score; full oracle since round 9 — the
     // plane literals replay the buckets, the canonical bit-CLEARING

@@ -291,6 +291,46 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("filtered ANN: same-label only, and pre-filtering dominates " +
+      "post-filtering on result availability") {
+    import org.apache.spark.sql.functions._
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val labels = fx.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every returned neighbor shares its query's label — both tiers
+    Seq(Similarity.cosineTopKFiltered(fx, 10, 10),
+        Similarity.ivfTopKFiltered(fx, 10, 10)).foreach { df =>
+      df.collect().foreach { r =>
+        assert(labels(r.getAs[Long]("neighbor_id")) ===
+          labels(r.getAs[Long]("q_id")), "neighbor outside the predicate")
+      }
+    }
+    // pre-filter returns min(k, |matching candidates|) per query;
+    // post-filter (unfiltered top-k, THEN drop non-matching) can only
+    // ever return a subset of that — and on a mixed-label corpus it
+    // starves visibly
+    val pre = Similarity.ivfTopKFiltered(fx, 10, 10)
+      .groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val post = Similarity.ivfTopK(fx, 10, 10)
+      .collect()
+      .filter(r => labels(r.getAs[Long]("neighbor_id")) ==
+        labels(r.getAs[Long]("q_id")))
+      .groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length.toLong).toMap
+    pre.keys.foreach { q =>
+      assert(pre(q) >= post.getOrElse(q, 0L),
+        s"pre-filter returned fewer rows than post-filter for query $q")
+    }
+    assert(pre.values.sum > post.values.sum,
+      "pre-filtering must beat post-filtering somewhere on a mixed corpus")
+    // and the recall report is well-formed with a sane floor
+    val rec = Similarity.filteredAnnRecall(fx, 10, 10).collect()
+    assert(rec.length === 10)
+    val mean = rec.map(_.getAs[Double]("recall_r")).sum / rec.length
+    info(s"filtered IVF mean recall@10 = $mean")
+    assert(mean >= 0.5, s"filtered recall $mean below floor")
+  }
+
   test("capCells splits a collapsed cell into bounded subcells and is " +
       "the identity on healthy occupancy (VERDICT r9 item 4)") {
     import spark.implicits._
