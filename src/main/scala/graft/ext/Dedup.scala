@@ -699,14 +699,18 @@ object Dedup {
     // the cache the whole subtree computes twice. Two longs per row.
     // capCells bounds the per-cell quadratic under pathological skew
     // (one collapsed cell); identity on every healthy fixture, so the
-    // oracle's uncapped within-cell pair set is unchanged
-    val cells = cached(Similarity.capCells(base
+    // oracle's uncapped within-cell pair set is unchanged. The RAW
+    // assignment is cached FIRST: capCells' occupancy aggregate and the
+    // capped projection both read it, and an uncached subtree would run
+    // the N×C argmax twice (and re-display a second
+    // BroadcastNestedLoopJoin in the plan — PlanShapeSpec pins one).
+    val rawCells = cached(base
       .crossJoin(broadcast(cents))
       .withColumn("csim", Similarity.cosine(col("v"), col("cv")))
       .groupBy("vec_id")
       .agg(max_by(col("cent_id"),
-        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell")),
-      maxOccupancy))
+        struct(col("csim"), (-col("cent_id")).as("neg_id"))).as("cell")))
+    val cells = cached(Similarity.capCells(rawCells, maxOccupancy))
     val withCell = base.join(cells, Seq("vec_id"))
     withCell.select(col("cell"), col("vec_id").as("id_a"), col("v").as("v_a"))
       .join(withCell.select(

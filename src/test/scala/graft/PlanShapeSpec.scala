@@ -241,7 +241,14 @@ class PlanShapeSpec extends SparkSuite {
 
   test("bm25_topk_indexed: postings scan is bucket-pruned to the probed " +
       "terms' dirs; query-term joins broadcast; top-k limit pushed down") {
-    val p = plan("bm25_topk_indexed")
+    // the registered query reads the per-fixture lexical-run memo
+    // (round 10), so the PROBE plan under audit is built directly — the
+    // exact frame standardLexRun materializes on a memo miss
+    val df = graft.sinks.TextIndex.bm25TopK(
+      graft.sinks.TextIndex.standardQueries(spark, d),
+      graft.sinks.TextIndex.materialized(spark, d), k = 20)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // the serving-side pruning read that makes the persisted index
     // sublinear: the physical scan carries a term_bucket partition filter
     assert(p.contains("term_bucket"), "postings scan must be bucket-pruned")
