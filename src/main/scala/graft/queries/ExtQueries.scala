@@ -2578,6 +2578,46 @@ GROUP BY ex.q_id ORDER BY qid""")),
           .withColumnRenamed("rank", "rnk"),
       Some(ivfQ8Sql)),
 
+    // Filtered probe of the SAME persisted index: the label payload is
+    // stored beside each vector (the vector-store filtered-search
+    // contract — no join back to the source at probe time), and the
+    // predicate prunes the probed cells' candidates before any cosine.
+    // Deterministic end-to-end → full oracle (the q8 chain + the label
+    // equality on both sides).
+    ("sim_topk_ivf_filtered_indexed",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val path = graft.sinks.AnnIndex.materialized(s, d)
+        val qs = s.read.parquet(s"$path/vectors")
+          .where(col("vec_id") < 10)
+          .select(col("vec_id"), col("qv"), col("label"))
+          .dropDuplicates("vec_id")
+          .select(col("vec_id").as("q_id"),
+            graft.ext.Similarity.asDouble(col("qv")).as("q"),
+            col("label").as("qlabel"))
+        graft.sinks.AnnIndex
+          .probeWithFiltered(s, path, qs, k = 10, excludeSelf = true)
+          .withColumnRenamed("rank", "rnk")
+      },
+      Some(s"""$ivfQ8AsgCte,
+lb AS (SELECT vec_id, label FROM embeddings),
+q AS (SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qn, lb.label AS ql
+      FROM n JOIN lb ON lb.vec_id = n.vec_id WHERE n.vec_id < 10),
+p AS (SELECT q.q_id, q.qv, q.qn, q.ql, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (${dotSql("qv", "cv")}) / (q.qn * c.cn) DESC, c.cent_id) AS rn
+      FROM q CROSS JOIN c),
+pr AS (SELECT q_id, qv, qn, ql, cell FROM p WHERE rn <= 8),
+sx AS (SELECT pr.q_id, asg.vec_id, (${dotSql("qv", "v")}) / (pr.qn * asg.nrm) AS sim
+       FROM pr JOIN asg ON asg.cell = pr.cell
+       JOIN lb ON lb.vec_id = asg.vec_id
+       WHERE asg.vec_id <> pr.q_id AND lb.label = pr.ql),
+r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sx)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk""")),
+
     // Cell-occupancy stats of the persisted index — the balance
     // dashboard a serving operator watches (hot cell = hot probe
     // shard). Full oracle: the assignment is deterministic, so DuckDB

@@ -75,9 +75,21 @@ object AnnIndex {
       .select(col("vec_id").as("cent_id"), col("qv").as("qcv"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     writeVectors(
-      assignCells(q, readCentroids(embeddings.sparkSession, path)),
+      assignCells(q, readCentroids(embeddings.sparkSession, path))
+        .join(labelsOf(embeddings), Seq("vec_id")),
       path, buckets, "overwrite")
   }
+
+  /** Payload metadata stored BESIDE the vector (the filtered-search
+    * contract of every production vector store: the predicate column
+    * must live in the index row, never a join back to the source at
+    * probe time). Sources without a `label` column store null — the
+    * unfiltered probe path never reads it. */
+  private def labelsOf(embeddings: DataFrame): DataFrame =
+    if (embeddings.columns.contains("label"))
+      embeddings.select(col("vec_id"), col("label").cast("int").as("label"))
+    else
+      embeddings.select(col("vec_id"), lit(null).cast("int").as("label"))
 
   /** Assignment-only append: quantize `newEmbeddings` with the STORED
     * scale (saturating — the frozen-codebook contract documented above),
@@ -94,7 +106,9 @@ object AnnIndex {
           greatest(lit(-127.0),
             least(lit(127.0), floor(x * lit(127.0) / lit(meta.s) + lit(0.5))))
             .cast("tinyint")).as("qv"))
-    writeVectors(assignCells(codes, readCentroids(spark, path)),
+    writeVectors(
+      assignCells(codes, readCentroids(spark, path))
+        .join(labelsOf(newEmbeddings), Seq("vec_id")),
       path, meta.buckets, "append")
   }
 
@@ -136,7 +150,8 @@ object AnnIndex {
     val meta = readMeta(spark, path)
     BucketedSink.compact(spark, s"$path/vectors",
       (df, tmp) => BucketedSink.write(
-        df.drop("cell_bucket").select(col("vec_id"), col("qv"), col("cell")),
+        df.drop("cell_bucket")
+          .select(col("vec_id"), col("qv"), col("cell"), col("label")),
         tmp, col("cell"), "cell_bucket", meta.buckets,
         Seq(col("cell").asc, col("vec_id").asc), "overwrite"))
   }
@@ -203,6 +218,53 @@ object AnnIndex {
       .orderBy("q_id", "rank")
   }
 
+  /** [[probeWith]] under a stored-payload predicate: queries carry a
+    * `qlabel`, and only index rows whose stored `label` matches score —
+    * the filter applies to the probed cells' candidates BEFORE any
+    * cosine (pre-filtering), never starving below k while matches exist
+    * in the probed cells. The predicate column rides the SAME pruned
+    * bucket read the unfiltered probe does; no join back to the source
+    * table at probe time — the vector-store payload-filter contract. */
+  def probeWithFiltered(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = Similarity.ivfProbes,
+      excludeSelf: Boolean = false): DataFrame = {
+    val meta = readMeta(spark, path)
+    val cents = readCentroids(spark, path)
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cent_id"))
+    val probes = graft.ext.Dedup.cached(queries
+      .crossJoin(broadcast(cents))
+      .withColumn("qsim", Similarity.cosine(col("q"), col("cv")))
+      .withColumn("qrn", row_number().over(qw))
+      .where(col("qrn") <= nprobe)
+      .select(col("q_id"), col("q"), col("qlabel"), col("cent_id").as("cell")))
+    val probed = probes
+      .select(col("cell"), pmod(hash(col("cell")), lit(meta.buckets)).as("b"))
+      .distinct().collect() // bounded: ≤ |q|·nprobe rows
+    val cells = probed.map(_.getLong(0))
+    val dirs = probed.map(_.getInt(1)).distinct
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .where(col("cell_bucket").isin(dirs: _*) && col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("qv"), col("cell"), col("label"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), asD(col("qv")).as("v"), col("cell"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val cands = vecs.join(broadcast(probes), Seq("cell"))
+      .where(col("label") === col("qlabel"))
+    (if (excludeSelf) cands.where(col("vec_id") =!= col("q_id")) else cands)
+      .withColumn("sim", Similarity.cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Fixture-parity probe: queries are the index's own rows with
     * `vec_id < numQueries` (the `sim_topk_ivf_q8` convention), read
     * back from the vectors table. Over a freshly-built index this is
@@ -236,7 +298,7 @@ object AnnIndex {
   private def writeVectors(
       assigned: DataFrame, path: String, buckets: Int, mode: String): Unit =
     BucketedSink.write(
-      assigned.select(col("vec_id"), col("qv"), col("cell")),
+      assigned.select(col("vec_id"), col("qv"), col("cell"), col("label")),
       s"$path/vectors", col("cell"), "cell_bucket", buckets,
       Seq(col("cell").asc, col("vec_id").asc), mode)
 

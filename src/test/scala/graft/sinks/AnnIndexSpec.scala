@@ -154,4 +154,43 @@ class AnnIndexSpec extends SparkSuite {
     assert(codes(101L).forall(_ == 127.toByte))
     assert(codes(102L).forall(_ == -127.toByte))
   }
+
+  test("filtered probe: stored label payload gates candidates, appended " +
+      "labels included, labelless sources store null") {
+    val path = tmpDir("annidx_filt")
+    AnnIndex.build(embs, path) // fixture embeddings carry label
+    val labels = embs.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qs = spark.read.parquet(s"$path/vectors")
+      .where(col("vec_id") < 10)
+      .select(col("vec_id"), col("qv"), col("label"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("qv")).as("q"), col("label").as("qlabel"))
+    val out = AnnIndex.probeWithFiltered(spark, path, qs, k = 10,
+      excludeSelf = true).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) ===
+        labels(r.getAs[Long]("q_id")), "neighbor outside the predicate")
+    }
+    // appended vectors carry their label and become filter-visible
+    val extra = Seq((9001L, Array.fill(64)(0.5f), labels(0L)))
+      .toDF("vec_id", "embedding", "label")
+    AnnIndex.append(extra, path)
+    val stored = spark.read.parquet(s"$path/vectors")
+      .where(col("vec_id") === 9001L).select("label").head().getInt(0)
+    assert(stored === labels(0L))
+    // a labelless source stores null and never matches a filtered probe
+    val nolabel = Seq((9002L, Array.fill(64)(0.25f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.append(nolabel, path)
+    val nullStored = spark.read.parquet(s"$path/vectors")
+      .where(col("vec_id") === 9002L).select("label").head()
+    assert(nullStored.isNullAt(0))
+    val after = AnnIndex.probeWithFiltered(spark, path, qs, k = 1000,
+      excludeSelf = true).collect()
+    assert(!after.exists(_.getAs[Long]("neighbor_id") == 9002L),
+      "null-label rows must not match any label predicate")
+  }
 }
