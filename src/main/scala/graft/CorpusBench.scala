@@ -60,7 +60,7 @@ object CorpusBench {
     val t0 = System.nanoTime()
     // watermark wider than the fixture's synthetic event_ts span so no
     // doc is late-dropped — the landed count is then identical at every
-    // micro-batch cadence (4,223 at sf0.1), isolating THROUGHPUT as the
+    // micro-batch cadence (4,892 at sf0.1), isolating THROUGHPUT as the
     // only variable under measurement
     val q = graft.streaming.CorpusIngest
       .cleanStreamRedacted(streamIn, probeFps, watermark = "30 days")

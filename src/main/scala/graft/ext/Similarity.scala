@@ -98,11 +98,14 @@ object Similarity {
     * scoring cost proportionally, and (unlike POST-filtering, which
     * takes the unfiltered top-k and then drops non-matching rows) the
     * result can never starve below k while matching vectors exist in
-    * the probed cells. At scale the label rides the assigned frame, so
-    * the predicate pushes into the candidates scan the same way any
-    * column filter does; the residual approximation — matches outside
-    * the probed cells — is exactly IVF's, and [[filteredAnnRecall]]
-    * measures it per query instead of leaving it implicit. */
+    * the probed cells. The in-plan form attaches the skinny label
+    * column to the BOUNDED candidate set (|q| × probed-cell occupancy
+    * rows) with broadcast joins; the at-scale serving form is
+    * [[graft.sinks.AnnIndex.probeWithFiltered]], which stores the label
+    * payload beside each vector so the predicate rides the index read
+    * itself. The residual approximation — matches outside the probed
+    * cells — is exactly IVF's, and [[filteredAnnRecall]] measures it
+    * per query instead of leaving it implicit. */
   def ivfTopKFiltered(
       embeddings: DataFrame,
       numQueries: Int,
@@ -113,7 +116,7 @@ object Similarity {
     val qlabels = labels.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("label").as("qlabel"))
     val cands = ivfCandidates(embeddings, numQueries, stride, nprobe)
-      .join(labels, Seq("vec_id"))
+      .join(broadcast(labels), Seq("vec_id"))
       .join(broadcast(qlabels), Seq("q_id"))
       .where(col("label") === col("qlabel"))
       .select(col("q_id"), col("q"), col("vec_id"), col("v"))
@@ -764,9 +767,12 @@ object Similarity {
   private def knnComponentsPath(
       spark: SparkSession, sfDir: String, k: Int, threshold: Double,
       stride: Int, nprobe: Int)(edges: => DataFrame): String =
-    knnCompMemo.computeIfAbsent(s"$sfDir|$k|$threshold|$stride|$nprobe", { _ =>
+    knnCompMemo.computeIfAbsent(s"$sfDir|$k|$threshold|$stride|$nprobe", { key =>
+      // the FULL key is encoded into the path (not a 32-bit hashCode,
+      // whose collisions would silently serve one parameter set's
+      // labeling to another): distinct keys can never share a path
       val out = s"${sys.props("java.io.tmpdir")}/graft_knncomp_" +
-        math.abs((sfDir, k, threshold, stride, nprobe).hashCode)
+        key.replaceAll("[^A-Za-z0-9.]+", "_")
       Dedup.components(edges).write.mode("overwrite").parquet(out)
       out
     })

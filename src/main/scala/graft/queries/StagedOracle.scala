@@ -51,7 +51,8 @@ object StagedOracle {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  private final case class Cte(name: String, body: String, materialized: Boolean)
+  private final case class Cte(
+      name: String, body: String, materialized: Boolean, notMaterialized: Boolean)
 
   def rewrite(sql: String): String = {
     val s = sql
@@ -71,13 +72,15 @@ object StagedOracle {
       i = skipWs(s, afterName)
       require(wordAt(s, i, "AS"), s"oracle parse: expected AS after '$name'")
       i = skipWs(s, i + 2)
-      if (wordAt(s, i, "NOT")) i = skipWs(s, i + 3)
+      val not = wordAt(s, i, "NOT")
+      if (not) i = skipWs(s, i + 3)
       val mat = wordAt(s, i, "MATERIALIZED")
       if (mat) i = skipWs(s, i + "MATERIALIZED".length)
+      require(mat || !not, s"oracle parse: dangling NOT before '$name' body")
       require(i < s.length && s.charAt(i) == '(',
         s"oracle parse: expected ( for '$name' body")
       val close = matchParen(s, i)
-      ctes += Cte(name, s.substring(i + 1, close).trim, mat)
+      ctes += Cte(name, s.substring(i + 1, close).trim, mat && !not, mat && not)
       i = skipWs(s, close + 1)
       if (i < s.length && s.charAt(i) == ',') i = skipWs(s, i + 1)
       else done = true
@@ -90,18 +93,29 @@ object StagedOracle {
     val staged = ctes.take(splitAt)
     val inline = ctes.drop(splitAt)
 
-    // A stage survives only if the final statement (inline CTE bodies or
-    // the tail SELECT) reads it; everything else is dropped before the
-    // final statement so the driver's shared connection doesn't
-    // accumulate dead intermediates across 40+ staged oracles. Matching
-    // is word-boundary on the final statement's text — conservative: an
-    // alias that happens to share a stage's name keeps the table alive,
-    // never the reverse.
+    // TRANSITIVE liveness from the final statement (inline CTE bodies +
+    // the tail SELECT) backward through stage bodies: a stage nothing
+    // reachable reads is never CREATED at all — a shared-prefix oracle
+    // that embeds a chain's unused tail (e.g. ivfTopSql's global `top`
+    // ranking under a filtered re-rank) must not pay that stage's
+    // window-sort memory just to drop it. Matching is word-boundary on
+    // the consumer text — conservative: an alias sharing a stage's name
+    // keeps the stage alive, never the reverse. Live stages the final
+    // statement itself doesn't read are dropped after creation so the
+    // driver's shared connection doesn't accumulate intermediates
+    // across 40+ staged oracles.
     val finalText = inline.map(_.body).mkString("\n") + "\n" + tail
-    val dead = staged.filter(c => wordRegex(c.name).findFirstIn(finalText).isEmpty)
+    val live = scala.collection.mutable.Set.empty[String]
+    def mark(text: String): Unit =
+      staged.filter(c => !live.contains(c.name) &&
+          wordRegex(c.name).findFirstIn(text).isDefined)
+        .foreach { c => live += c.name; mark(c.body) }
+    mark(finalText)
+    val kept = staged.filter(c => live.contains(c.name))
+    val dead = kept.filter(c => wordRegex(c.name).findFirstIn(finalText).isEmpty)
 
     val sb = new StringBuilder
-    staged.foreach { c =>
+    kept.foreach { c =>
       sb ++= s"CREATE OR REPLACE TEMP TABLE ${c.name} AS (\n${c.body}\n);\n"
     }
     dead.foreach(c => sb ++= s"DROP TABLE IF EXISTS ${c.name};\n")
@@ -112,7 +126,10 @@ object StagedOracle {
       // inlines by default — the "Too many open files" failure mode).
       sb ++= "WITH RECURSIVE "
       sb ++= inline.map { c =>
-        val hint = if (c.materialized) "MATERIALIZED " else ""
+        val hint =
+          if (c.materialized) "MATERIALIZED "
+          else if (c.notMaterialized) "NOT MATERIALIZED "
+          else ""
         s"${c.name} AS $hint(\n${c.body}\n)"
       }.mkString(",\n")
       sb ++= "\n"

@@ -179,11 +179,26 @@ object AnnIndex {
       queries: DataFrame,
       k: Int,
       nprobe: Int = Similarity.ivfProbes,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false): DataFrame =
+    probeImpl(spark, path, queries, k, nprobe, excludeSelf, filtered = false)
+
+  /** One probe implementation under both surfaces: `filtered = true`
+    * threads the query's `qlabel` through the probe frame and gates the
+    * candidates on the stored `label` payload before any cosine. */
+  private def probeImpl(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      excludeSelf: Boolean,
+      filtered: Boolean): DataFrame = {
     val meta = readMeta(spark, path) // one bounded driver read per probe
     val cents = readCentroids(spark, path)
     val qw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cent_id"))
+    val probeCols = Seq(col("q_id"), col("q")) ++
+      (if (filtered) Seq(col("qlabel")) else Nil) :+ col("cent_id").as("cell")
     // cached: the ranking feeds BOTH the driver-side pruning collect and
     // the candidate join below — |q|·nprobe skinny rows, one computation
     val probes = graft.ext.Dedup.cached(queries
@@ -191,7 +206,7 @@ object AnnIndex {
       .withColumn("qsim", Similarity.cosine(col("q"), col("cv")))
       .withColumn("qrn", row_number().over(qw))
       .where(col("qrn") <= nprobe)
-      .select(col("q_id"), col("q"), col("cent_id").as("cell")))
+      .select(probeCols: _*))
     // the pruning predicate: probed cells + the directories they hash
     // into, computed in-plan and collected BOUNDED (≤ |q|·nprobe rows —
     // a serving system knows its request's cells driver-side; this is
@@ -201,15 +216,19 @@ object AnnIndex {
       .distinct().collect()
     val cells = probed.map(_.getLong(0))
     val dirs = probed.map(_.getInt(1)).distinct
+    val vecCols = Seq(col("vec_id"), col("qv"), col("cell")) ++
+      (if (filtered) Seq(col("label")) else Nil)
     val vecs = spark.read.parquet(s"$path/vectors")
       .where(col("cell_bucket").isin(dirs: _*) && col("cell").isin(cells: _*))
-      .select(col("vec_id"), col("qv"), col("cell"))
+      .select(vecCols: _*)
       .dropDuplicates("vec_id") // at-least-once appends, identical rows
-      .select(col("vec_id"), asD(col("qv")).as("v"), col("cell"))
+      .withColumn("v", asD(col("qv"))).drop("qv")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    val cands = vecs.join(broadcast(probes), Seq("cell"))
-    (if (excludeSelf) cands.where(col("vec_id") =!= col("q_id")) else cands)
+    val joined = vecs.join(broadcast(probes), Seq("cell"))
+    val gated = if (filtered) joined.where(col("label") === col("qlabel"))
+      else joined
+    (if (excludeSelf) gated.where(col("vec_id") =!= col("q_id")) else gated)
       .withColumn("sim", Similarity.cosine(col("q"), col("v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -231,39 +250,8 @@ object AnnIndex {
       queries: DataFrame,
       k: Int,
       nprobe: Int = Similarity.ivfProbes,
-      excludeSelf: Boolean = false): DataFrame = {
-    val meta = readMeta(spark, path)
-    val cents = readCentroids(spark, path)
-    val qw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cent_id"))
-    val probes = graft.ext.Dedup.cached(queries
-      .crossJoin(broadcast(cents))
-      .withColumn("qsim", Similarity.cosine(col("q"), col("cv")))
-      .withColumn("qrn", row_number().over(qw))
-      .where(col("qrn") <= nprobe)
-      .select(col("q_id"), col("q"), col("qlabel"), col("cent_id").as("cell")))
-    val probed = probes
-      .select(col("cell"), pmod(hash(col("cell")), lit(meta.buckets)).as("b"))
-      .distinct().collect() // bounded: ≤ |q|·nprobe rows
-    val cells = probed.map(_.getLong(0))
-    val dirs = probed.map(_.getInt(1)).distinct
-    val vecs = spark.read.parquet(s"$path/vectors")
-      .where(col("cell_bucket").isin(dirs: _*) && col("cell").isin(cells: _*))
-      .select(col("vec_id"), col("qv"), col("cell"), col("label"))
-      .dropDuplicates("vec_id")
-      .select(col("vec_id"), asD(col("qv")).as("v"), col("cell"), col("label"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    val cands = vecs.join(broadcast(probes), Seq("cell"))
-      .where(col("label") === col("qlabel"))
-    (if (excludeSelf) cands.where(col("vec_id") =!= col("q_id")) else cands)
-      .withColumn("sim", Similarity.cosine(col("q"), col("v")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("sim_r"))
-      .orderBy("q_id", "rank")
-  }
+      excludeSelf: Boolean = false): DataFrame =
+    probeImpl(spark, path, queries, k, nprobe, excludeSelf, filtered = true)
 
   /** Fixture-parity probe: queries are the index's own rows with
     * `vec_id < numQueries` (the `sim_topk_ivf_q8` convention), read

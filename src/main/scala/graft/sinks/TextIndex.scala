@@ -355,8 +355,9 @@ object TextIndex {
   /** The memoized [[standardQueries]] BM25 top-20 run for a fixture. */
   def standardLexRun(spark: SparkSession, sfDir: String): DataFrame = {
     val path = lexMemo.computeIfAbsent(sfDir, { _ =>
-      val out =
-        s"${sys.props("java.io.tmpdir")}/graft_lexrun_${math.abs(sfDir.hashCode)}"
+      // full key in the path, not a collidable 32-bit hashCode
+      val out = s"${sys.props("java.io.tmpdir")}/graft_lexrun_" +
+        sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
       bm25TopK(standardQueries(spark, sfDir), materialized(spark, sfDir), k = 20)
         .write.mode("overwrite").parquet(out)
       out
