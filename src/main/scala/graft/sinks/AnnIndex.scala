@@ -253,6 +253,26 @@ object AnnIndex {
       excludeSelf: Boolean = false): DataFrame =
     probeImpl(spark, path, queries, k, nprobe, excludeSelf, filtered = true)
 
+  /** The QUERY side of the lifecycle in streaming form — the mirror of
+    * [[runToIndex]]'s ingest side: query vectors arrive as a stream
+    * `(q_id, q: array<double>)` and each micro-batch probes the
+    * persisted index, landing `(q_id, rank, neighbor_id, sim_r)`
+    * results as marker-fenced parquet appends (clean restarts never
+    * duplicate a batch's results — [[BucketedSink.runToTable]]'s exact
+    * idempotence contract). A probe between ingest micro-batches sees
+    * everything landed so far; together the two streams are the full
+    * online serving loop: ingest forever, query forever, one index. */
+  def runProbes(
+      queries: DataFrame,
+      path: String,
+      outPath: String,
+      checkpointPath: String,
+      k: Int,
+      nprobe: Int = Similarity.ivfProbes): org.apache.spark.sql.streaming.StreamingQuery =
+    BucketedSink.runToTable(queries, outPath, checkpointPath,
+      batch => probeWith(batch.sparkSession, path, batch, k, nprobe)
+        .write.mode("append").parquet(s"$outPath/results"))
+
   /** Fixture-parity probe: queries are the index's own rows with
     * `vec_id < numQueries` (the `sim_topk_ivf_q8` convention), read
     * back from the vectors table. Over a freshly-built index this is

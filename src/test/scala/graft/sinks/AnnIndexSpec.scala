@@ -155,6 +155,38 @@ class AnnIndexSpec extends SparkSuite {
     assert(codes(102L).forall(_ == -127.toByte))
   }
 
+  test("streaming probes (runProbes): each query micro-batch lands the " +
+      "batch probeWith's exact rows; a restart never re-lands a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir("annidx_qstream")
+    AnnIndex.build(embs, path)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Double])]
+    val outPath = tmpDir("annidx_qstream_out")
+    val ckpt = tmpDir("annidx_qstream_ckpt")
+    def run(): Unit = {
+      val q = AnnIndex.runProbes(
+        mem.toDF().toDF("q_id", "q"), path, outPath, ckpt, k = 5)
+      q.awaitTermination()
+    }
+    val queryVecs = embs.where(col("vec_id") < 6).collect()
+      .map(r => (1000L + r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val (b1, b2) = queryVecs.splitAt(3)
+    mem.addData(b1.toSeq: _*)
+    run()
+    assert(spark.read.parquet(s"$outPath/results").count() === 3 * 5)
+    mem.addData(b2.toSeq: _*)
+    run()
+    run() // restart with nothing new: the marker fence holds
+    val streamed = rows(spark.read.parquet(s"$outPath/results")
+      .orderBy("q_id", "rank")).toSet
+    val direct = rows(AnnIndex.probeWith(spark, path,
+      spark.createDataFrame(queryVecs.toSeq).toDF("q_id", "q"), k = 5)).toSet
+    assert(streamed === direct,
+      "streamed results must equal the one-shot batch probe")
+  }
+
   test("filtered probe: stored label payload gates candidates, appended " +
       "labels included, labelless sources store null") {
     val path = tmpDir("annidx_filt")
