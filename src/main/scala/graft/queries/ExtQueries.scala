@@ -579,8 +579,7 @@ SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""")),
 
     ("near_dup_jaccard",
       (s: SparkSession, d: String) =>
-        Dedup.nearDupJaccard(docs(s, d), threshold = 0.8)
-          .orderBy("doc_a", "doc_b"),
+        Dedup.nearDupPairsAt(s, d).orderBy("doc_a", "doc_b"),
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
 ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -689,7 +688,7 @@ ORDER BY doc_a, doc_b""")),
     // min reachable id ≡ the min-label fixpoint the operator converges to.
     ("dedup_clusters",
       (s: SparkSession, d: String) =>
-        Dedup.nearDupClusters(docs(s, d), threshold = 0.8).orderBy("doc_id"),
+        Dedup.nearDupClustersAt(s, d),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
 ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -746,7 +745,7 @@ FROM t LEFT JOIN g USING (doc_id) ORDER BY t.doc_id""")),
     // shape with a weight column instead of a drop.
     ("dedup_soft",
       (s: SparkSession, d: String) =>
-        Dedup.softDedupWeights(docs(s, d), threshold = 0.8),
+        Dedup.softDedupWeightsAt(s, d),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
 ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -777,7 +776,7 @@ ORDER BY d.doc_id""")),
     // every non-representative cluster member (representative = min id).
     ("dedup_near_survivors",
       (s: SparkSession, d: String) =>
-        Dedup.nearDupSurvivors(docs(s, d), threshold = 0.8),
+        Dedup.nearDupSurvivorsAt(s, d),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
 ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -804,7 +803,7 @@ ORDER BY d.doc_id""")),
     // instead of blindly keeping the min id.
     ("dedup_near_survivors_quality",
       (s: SparkSession, d: String) =>
-        Dedup.nearDupSurvivorsQuality(docs(s, d), threshold = 0.8),
+        Dedup.nearDupSurvivorsQualityAt(s, d),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
 ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -895,7 +894,7 @@ ORDER BY id_a, id_b""")),
     // dedup family that catches paraphrases lexical ops provably miss.
     ("semantic_dedup",
       (s: SparkSession, d: String) =>
-        Dedup.semanticSurvivors(docs(s, d), embs(s, d), threshold = 0.4),
+        Dedup.semanticSurvivorsAt(s, d),
       Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
 c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
@@ -960,7 +959,7 @@ ORDER BY doc_a, doc_b""")),
     // clusters each keep their highest-quality member.
     ("semantic_dedup_quality",
       (s: SparkSession, d: String) =>
-        Dedup.semanticSurvivorsQuality(docs(s, d), embs(s, d), threshold = 0.4),
+        Dedup.semanticSurvivorsQualityAt(s, d),
       Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
 c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
@@ -998,9 +997,7 @@ ORDER BY d.doc_id""")),
     // pipeline inspects before choosing a survivor policy.
     ("dedup_cluster_stats",
       (s: SparkSession, d: String) =>
-        Dedup.clusterSizeStats(
-          Dedup.nearDupJaccard(docs(s, d), threshold = 0.8)
-            .select("doc_a", "doc_b")),
+        Dedup.clusterSizeStatsAt(s, d),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
 ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -1024,7 +1021,7 @@ FROM s GROUP BY sz ORDER BY cluster_size""")),
     // One-row corpus dedup report: survivors under each policy.
     ("dedup_summary",
       (s: SparkSession, d: String) =>
-        Dedup.dedupSummary(docs(s, d), embs(s, d)),
+        Dedup.dedupSummaryAt(s, d),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
 sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
 ug AS (SELECT doc_id, unnest(sh) AS g FROM sh),
