@@ -3494,13 +3494,13 @@ FROM agg ORDER BY doc_id""")),
     // DuckDB re-learns the identical merge table by replaying the rounds
     // as unrolled CTEs, so BOTH queries carry full oracles.
     ("bpe_vocab",
-      (s: SparkSession, d: String) => graft.ext.Bpe.vocab(docs(s, d), bpeMerges),
+      (s: SparkSession, d: String) => graft.ext.Bpe.vocabAt(s, d, bpeMerges),
       Some(bpeVocabSql(bpeMerges))),
 
     ("bpe_tokenize",
       (s: SparkSession, d: String) =>
         graft.ext.Bpe.tokenize(docs(s, d),
-          graft.ext.Bpe.learn(docs(s, d), bpeMerges)).orderBy("doc_id"),
+          graft.ext.Bpe.learnAt(s, d, bpeMerges)).orderBy("doc_id"),
       Some(bpeTokenizeSql(bpeMerges))),
 
     // Per-source tokenizer fit: characters per learned-BPE token — a
@@ -3508,7 +3508,7 @@ FROM agg ORDER BY doc_id""")),
     ("bpe_compression",
       (s: SparkSession, d: String) =>
         graft.ext.Bpe.compressionBySource(docs(s, d),
-          graft.ext.Bpe.learn(docs(s, d), bpeMerges)),
+          graft.ext.Bpe.learnAt(s, d, bpeMerges)),
       Some(s"""WITH ${bpeDocTokenCtes(bpeMerges)},
 tc AS (SELECT fin.doc_id,
   (CASE WHEN ts = '' THEN 0 ELSE len(string_split(ts, ' ')) END)::BIGINT AS n_tok,
@@ -3530,7 +3530,7 @@ FROM j GROUP BY source ORDER BY source""")),
         import org.apache.spark.sql.functions.col
         graft.ext.Packing.packWindowsCounted(
           graft.ext.Bpe.tokenize(docs(s, d),
-            graft.ext.Bpe.learn(docs(s, d), bpeMerges))
+            graft.ext.Bpe.learnAt(s, d, bpeMerges))
             .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok")),
           budget = 512)
       },
