@@ -3975,7 +3975,7 @@ $retrievalEvalSql""")),
     // per-token log-ratio sums (Lm's float discipline), full oracle.
     ("dsir_weights",
       (s: SparkSession, d: String) =>
-        graft.ext.Dsir.importanceWeights(docs(s, d)),
+        graft.ext.Dsir.importanceWeightsAt(s, d),
       Some(s"""$dsirWeightCtes
 SELECT doc_id, n_tokens, round(slw::DOUBLE, 6) AS logw_r,
        round(slw::DOUBLE / n_tokens, 6) AS avg_logw_r
@@ -3985,7 +3985,7 @@ FROM sw ORDER BY doc_id""")),
     // content-md5 Gumbel noise) + its per-lang selection audit.
     ("dsir_resample",
       (s: SparkSession, d: String) =>
-        graft.ext.Dsir.resample(docs(s, d)),
+        graft.ext.Dsir.resampleAt(s, d),
       Some(s"""$dsirWeightCtes,
 gm AS (SELECT doc_id, lang, source,
               -ln(-ln(greatest(
@@ -4001,7 +4001,7 @@ FROM sel ORDER BY gk_key_r DESC, doc_id LIMIT 60""")),
 
     ("dsir_selection_audit",
       (s: SparkSession, d: String) =>
-        graft.ext.Dsir.selectionAudit(docs(s, d)),
+        graft.ext.Dsir.selectionAuditAt(s, d),
       Some(s"""$dsirWeightCtes,
 gm AS (SELECT doc_id, lang, source,
               -ln(-ln(greatest(
