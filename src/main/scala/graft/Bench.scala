@@ -67,8 +67,9 @@ object Bench {
     // the round-10 shared-artifact memos are one-time build costs with
     // the same write-path character as the indexes above: built here so
     // the timed queries measure SERVING the shared artifact, not which
-    // consumer happened to run first (their build costs stay visible in
-    // outlier_first_timings on any cold run)
+    // consumer happened to run first. (Build costs are therefore NOT in
+    // the timed JSON at all — CorpusBench/BenchSubset or a failed
+    // warm-up line on stderr are where a build regression shows.)
     warmUp("knn-components")(
       graft.ext.Similarity.knnClustersAt(spark, sfDir).count())
     warmUp("lexical-run")(

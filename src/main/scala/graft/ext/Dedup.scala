@@ -525,8 +525,12 @@ object Dedup {
     * is left outer against that skinny frame — AQE-broadcastable, the
     * exact [[nearDupSurvivors]] anti-join shape with a weight column
     * instead of a drop. */
-  def softDedupWeights(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val clusters = cached(nearDupClusters(docs, threshold))
+  def softDedupWeights(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    softWeightsFrom(docs, cached(nearDupClusters(docs, threshold)))
+
+  /** [[softDedupWeights]]' body over ANY (doc_id, cluster_id) labeling —
+    * shared by the direct and memoized entry points. */
+  private def softWeightsFrom(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
     docs.select(col("doc_id"))
       .join(clusters.join(sizes, Seq("cluster_id"))
@@ -886,50 +890,47 @@ object Dedup {
   // to re-run the banded candidate generation and the multi-round
   // checkpointed components loop independently. Disk, not cache,
   // because the bench harness drops cache/checkpoint blocks between
-  // queries; paths encode the full sanitized key (never a collidable
-  // hashCode).
-  private val artifactMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def memoized(kind: String, key: String)(build: String => Unit): String =
-    artifactMemo.computeIfAbsent(s"$kind|$key", { _ =>
-      val out = s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
-        key.replaceAll("[^A-Za-z0-9.]+", "_")
-      build(out)
-      out
-    })
+  // queries; paths via [[graft.util.ArtifactMemo]] (full key + digest —
+  // distinct keys can never share a path).
 
   /** Memoized [[nearDupJaccard]] over a fixture's documents. */
   def nearDupPairsAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame =
-    spark.read.parquet(memoized("jacpairs", s"$sfDir|$threshold") { out =>
-      nearDupJaccard(graft.sources.Tables(spark, sfDir, "documents"), threshold)
-        .write.mode("overwrite").parquet(out)
-    })
+    spark.read.parquet(
+      graft.util.ArtifactMemo.path("jacpairs", s"$sfDir|$threshold") { out =>
+        nearDupJaccard(graft.sources.Tables(spark, sfDir, "documents"), threshold)
+          .write.mode("overwrite").parquet(out)
+      })
 
   /** Memoized component labeling of the verified Jaccard pair graph. */
   def nearDupComponentsAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame =
-    spark.read.parquet(memoized("jaccomp", s"$sfDir|$threshold") { out =>
-      components(nearDupPairsAt(spark, sfDir, threshold)
-          .select("doc_a", "doc_b"))
-        .write.mode("overwrite").parquet(out)
-    })
+      threshold: Double = 0.8): DataFrame = {
+    // the pairs memo resolves BEFORE the components build lambda — the
+    // ArtifactMemo contract: a nested computeIfAbsent on the shared map
+    // throws whenever the two keys hash into one bin
+    val pairs = nearDupPairsAt(spark, sfDir, threshold)
+    spark.read.parquet(
+      graft.util.ArtifactMemo.path("jaccomp", s"$sfDir|$threshold") { out =>
+        components(pairs.select("doc_a", "doc_b"))
+          .write.mode("overwrite").parquet(out)
+      })
+  }
 
   /** Memoized component labeling of the semantic (IVF-cell) pair graph. */
   def semanticComponentsAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
       threshold: Double = 0.4,
       stride: Int = Similarity.ivfStride): DataFrame =
-    spark.read.parquet(memoized("semcomp", s"$sfDir|$threshold|$stride") { out =>
-      components(
-        semanticPairs(graft.sources.Tables(spark, sfDir, "embeddings"),
-            threshold, stride)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
-        .write.mode("overwrite").parquet(out)
-    })
+    spark.read.parquet(
+      graft.util.ArtifactMemo.path("semcomp", s"$sfDir|$threshold|$stride") { out =>
+        components(
+          semanticPairs(graft.sources.Tables(spark, sfDir, "embeddings"),
+              threshold, stride)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+          .write.mode("overwrite").parquet(out)
+      })
 
   /** Min-id survivors of ANY (doc_id, cluster_id) labeling — the body
     * [[nearDupSurvivors]]/[[semanticSurvivors]] share. */
@@ -971,20 +972,9 @@ object Dedup {
 
   def softDedupWeightsAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame = {
-    val docs = graft.sources.Tables(spark, sfDir, "documents")
-    val clusters = nearDupComponentsAt(spark, sfDir, threshold)
-    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
-    docs.select(col("doc_id"))
-      .join(clusters.join(sizes, Seq("cluster_id"))
-          .select(col("doc_id"), col("cluster_id"), col("csz")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-        coalesce(col("csz"), lit(1L)).as("cluster_size"),
-        round(lit(1.0) / coalesce(col("csz"), lit(1L)), 6).as("weight_r"))
-      .orderBy("doc_id")
-  }
+      threshold: Double = 0.8): DataFrame =
+    softWeightsFrom(graft.sources.Tables(spark, sfDir, "documents"),
+      nearDupComponentsAt(spark, sfDir, threshold))
 
   def semanticSurvivorsAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,

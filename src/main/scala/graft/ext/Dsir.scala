@@ -91,7 +91,15 @@ object Dsir {
   /** Gumbel-top-k importance resample: top `k` docs by avg_logw +
     * (−ln(−ln(u))) with u the content-md5 uniform — a deterministic draw
     * of k docs without replacement with probability ∝ exp(avg_logw). */
-  def resample(docs: DataFrame, k: Int = 60, targetLang: String = "en"): DataFrame = {
+  def resample(docs: DataFrame, k: Int = 60, targetLang: String = "en"): DataFrame =
+    resampleFrom(docs, importanceWeights(docs, targetLang), k)
+
+  /** [[resample]]'s body over ANY weights frame — ONE definition of the
+    * Gumbel draw / clamp / rounding grid, shared by the direct and
+    * memoized entry points so the bit-identical oracle contract cannot
+    * drift between them. */
+  private def resampleFrom(
+      docs: DataFrame, weights: DataFrame, k: Int): DataFrame = {
     // clamp u away from 0 (ADVICE r9): an all-zero md5 13-hex prefix is
     // a 16^-13 event, but Spark's log(0) is NULL while DuckDB's ln(0)
     // is -inf — the clamp (min subnormal double, identical literal in
@@ -102,7 +110,7 @@ object Dsir {
       lit(4.9e-324))
     val gumbel = docs.select(col("doc_id"), col("lang"), col("source"),
       (-log(-log(u))).as("g"))
-    importanceWeights(docs, targetLang)
+    weights
       .join(gumbel, Seq("doc_id"))
       .withColumn("gk_key_r", round(col("avg_logw_r") + col("g"), 6))
       .orderBy(col("gk_key_r").desc, col("doc_id"))
@@ -199,11 +207,14 @@ object Dsir {
     * DSIR actually pulling the corpus toward the target slice (target-lang
     * strata should over-index) without collapsing onto it entirely (the
     * Gumbel noise keeps tail mass). */
-  def selectionAudit(docs: DataFrame, k: Int = 60, targetLang: String = "en"): DataFrame = {
-    val kept = resample(docs, k, targetLang)
-      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+  def selectionAudit(docs: DataFrame, k: Int = 60, targetLang: String = "en"): DataFrame =
+    auditFrom(docs, resample(docs, k, targetLang))
+
+  /** [[selectionAudit]]'s body over ANY resample output. */
+  private def auditFrom(docs: DataFrame, kept: DataFrame): DataFrame = {
+    val byLang = kept.groupBy("lang").agg(count(lit(1)).as("n_kept"))
     docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      .join(kept, Seq("lang"), "left")
+      .join(byLang, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs"), 6)
@@ -212,62 +223,39 @@ object Dsir {
   }
 
   // One weights pass per (fixture, target) per JVM, parquet-memoized
-  // (the Dedup artifact-memo pattern): dsir_weights, dsir_resample, and
+  // via the shared ArtifactMemo: dsir_weights, dsir_resample, and
   // dsir_selection_audit each consumed the same per-doc importance
   // frame but re-derived the two add-k LMs and the decimal-exact
   // per-token sum independently. Disk, not cache — the bench harness
   // drops cache blocks between queries.
-  private val weightsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** [[importanceWeights]] through the per-fixture memo. */
+  /** [[importanceWeights]] through the per-fixture memo. The orderBy is
+    * part of the contract: the memo parquet can span multiple files
+    * whose scan order is arbitrary, and the registered query's oracle
+    * compares rows positionally. */
   def importanceWeightsAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
       targetLang: String = "en"): DataFrame = {
-    val path = weightsMemo.computeIfAbsent(s"$sfDir|$targetLang", { key =>
-      val out = s"${sys.props("java.io.tmpdir")}/graft_dsirw_" +
-        key.replaceAll("[^A-Za-z0-9.]+", "_")
-      importanceWeights(
-        graft.sources.Tables(spark, sfDir, "documents"), targetLang)
-        .write.mode("overwrite").parquet(out)
-      out
-    })
-    spark.read.parquet(path)
+    val path = graft.util.ArtifactMemo.path("dsirw", s"$sfDir|$targetLang") {
+      out =>
+        importanceWeights(
+          graft.sources.Tables(spark, sfDir, "documents"), targetLang)
+          .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(path).orderBy("doc_id")
   }
 
   /** [[resample]] with the weights read through the memo. */
   def resampleAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      k: Int = 60, targetLang: String = "en"): DataFrame = {
-    val docs = graft.sources.Tables(spark, sfDir, "documents")
-    val u: Column = greatest(
-      conv(substring(md5(normText(col("text"))), 1, 13), 16, 10)
-        .cast("double") / math.pow(16.0, 13),
-      lit(4.9e-324))
-    val gumbel = docs.select(col("doc_id"), col("lang"), col("source"),
-      (-log(-log(u))).as("g"))
-    importanceWeightsAt(spark, sfDir, targetLang)
-      .join(gumbel, Seq("doc_id"))
-      .withColumn("gk_key_r", round(col("avg_logw_r") + col("g"), 6))
-      .orderBy(col("gk_key_r").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("avg_logw_r"), col("gk_key_r"))
-  }
+      k: Int = 60, targetLang: String = "en"): DataFrame =
+    resampleFrom(graft.sources.Tables(spark, sfDir, "documents"),
+      importanceWeightsAt(spark, sfDir, targetLang), k)
 
   /** [[selectionAudit]] over the memoized resample inputs. */
   def selectionAuditAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      k: Int = 60, targetLang: String = "en"): DataFrame = {
-    val docs = graft.sources.Tables(spark, sfDir, "documents")
-    val kept = resampleAt(spark, sfDir, k, targetLang)
-      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      .join(kept, Seq("lang"), "left")
-      .select(col("lang"), col("n_docs"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs"), 6)
-          .as("keep_share_r"))
-      .orderBy("lang")
-  }
+      k: Int = 60, targetLang: String = "en"): DataFrame =
+    auditFrom(graft.sources.Tables(spark, sfDir, "documents"),
+      resampleAt(spark, sfDir, k, targetLang))
 }

@@ -757,9 +757,6 @@ object Similarity {
   // dropped (and a checkpointed one KILLED) right when the second query
   // needs it; a parquet path survives, and rereading a 2-long-column
   // labeling is cheap.
-  private val knnCompMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** `edges` is by-name so a caller that already holds a cached `base` +
     * [[rankedCells]] frame (knnVsCellClustersAt shares them with its
     * cell method) can donate those to the build instead of paying the
@@ -767,15 +764,10 @@ object Similarity {
   private def knnComponentsPath(
       spark: SparkSession, sfDir: String, k: Int, threshold: Double,
       stride: Int, nprobe: Int)(edges: => DataFrame): String =
-    knnCompMemo.computeIfAbsent(s"$sfDir|$k|$threshold|$stride|$nprobe", { key =>
-      // the FULL key is encoded into the path (not a 32-bit hashCode,
-      // whose collisions would silently serve one parameter set's
-      // labeling to another): distinct keys can never share a path
-      val out = s"${sys.props("java.io.tmpdir")}/graft_knncomp_" +
-        key.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.util.ArtifactMemo.path(
+      "knncomp", s"$sfDir|$k|$threshold|$stride|$nprobe") { out =>
       Dedup.components(edges).write.mode("overwrite").parquet(out)
-      out
-    })
+    }
 
   private def thresholdEdges(graph: DataFrame, threshold: Double): DataFrame =
     graph.where(col("sim_r") >= threshold)

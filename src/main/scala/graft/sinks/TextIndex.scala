@@ -350,18 +350,17 @@ object TextIndex {
   // a k ≤ 20 consumer takes the rank ≤ k prefix, which IS bm25TopK(k)
   // (same scores, same total order). Disk, not cache, because Bench
   // releases all cache blocks between queries.
-  private val lexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The memoized [[standardQueries]] BM25 top-20 run for a fixture. */
   def standardLexRun(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = lexMemo.computeIfAbsent(sfDir, { _ =>
-      // full key in the path, not a collidable 32-bit hashCode
-      val out = s"${sys.props("java.io.tmpdir")}/graft_lexrun_" +
-        sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      bm25TopK(standardQueries(spark, sfDir), materialized(spark, sfDir), k = 20)
+    // resolve the index build BEFORE the memo lambda (ArtifactMemo's
+    // no-nested-computeIfAbsent contract is about ITS one map; the
+    // index's own registry is separate, but the hoist also keeps the
+    // lambda a pure write)
+    val idx = materialized(spark, sfDir)
+    val path = graft.util.ArtifactMemo.path("lexrun", sfDir) { out =>
+      bm25TopK(standardQueries(spark, sfDir), idx, k = 20)
         .write.mode("overwrite").parquet(out)
-      out
-    })
+    }
     spark.read.parquet(path)
   }
 
