@@ -1060,28 +1060,35 @@ object TextAnalysis {
     * survivors per source with undercount probability e^(−Θ(k·safety))
     * — vanishing at k=256 — and only THEN ranks the bounded survivor
     * set per source. Sources with n_sh ≤ k keep their complete hash
-    * set, making their membership tests exact. Hashes are
-    * sign-masked xxhash64 (uniform in [0, 2⁶³)) of the same 3-token
-    * shingles as the exact operator.
+    * set, making their membership tests exact. Hashes are the PORTABLE
+    * md5 60-bit prefix (uniform in [0, 2⁶⁰)) of the same 3-token
+    * shingles as the exact operator — the DedupIndex portable-hash
+    * precedent, which is what lets this sketch carry a FULL DuckDB
+    * oracle (round 10; previously the sign-masked xxhash64 made it
+    * hash-specific and rows-only): both engines derive bit-identical
+    * hash sets, so the k-min selection, the membership tests, and the
+    * estimate replay exactly.
     *
     * Output: `(src_a, src_b, n_a, n_b, support, containment_est_r)` for
-    * pairs with at least one sampled hit opportunity. Hash-specific →
-    * registered rows-only; TextAnalysisSpec pins the error bound
-    * against the exact matrix and the sketch-size invariant. */
+    * pairs with at least one sampled hit opportunity. TextAnalysisSpec
+    * additionally pins the error bound against the exact matrix and
+    * the sketch-size invariant. */
   def sourceOverlapSketch(
       docs: DataFrame, k: Int = 256, safety: Int = 4): DataFrame = {
     val grams = scanParallel(docs)
       .select(col("source"), wsTokens(lower(col("text"))).as("ts"))
       .select(col("source"), explode(shingles(col("ts"), 3)).as("g"))
       .select(col("source"),
-        xxhash64(col("g")).bitwiseAND(lit(Long.MaxValue)).as("hv"))
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("hv"))
       .distinct()
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_sh"))
     // coarse prefilter threshold: full range when the source fits in
-    // safety·k (its sketch is then its complete hash set)
+    // safety·k (its sketch is then its complete hash set). 2⁶⁰ and the
+    // product with safety·k are exact doubles; the long cast truncates
+    // toward zero in both engines (floor, values positive).
     val thr = sizes.withColumn("thr",
       when(col("n_sh") <= lit(safety.toLong * k), lit(Long.MaxValue))
-        .otherwise((lit(9.223372036854776e18) * lit((safety * k).toDouble) /
+        .otherwise((lit(math.pow(2.0, 60)) * lit((safety * k).toDouble) /
           col("n_sh")).cast("long")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("hv"))

@@ -3113,10 +3113,52 @@ FROM agr WHERE agree >= 0.8 ORDER BY doc_id, dup_of""")),
     // |sources|·k rows at ANY corpus size; the exact form above stays
     // the oracle baseline. Hash-specific estimates → rows-only;
     // TextAnalysisSpec pins the error bound against the exact matrix.
+    // FULL oracle since round 10: the sketch hashes are the portable
+    // md5 60-bit prefix (the DedupIndex precedent), so DuckDB derives
+    // the bit-identical hash sets and replays the deterministic
+    // prefilter (2⁶⁰·safety·k/n_sh, floor ≡ the positive-value long
+    // cast), the k-min selection, the exact-membership filter against
+    // the other side's kth minimum, and the hit-fraction estimate.
     ("source_overlap_sketch",
       (s: SparkSession, d: String) =>
         TextAnalysis.sourceOverlapSketch(docs(s, d)),
-      None),
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+sh AS (SELECT source, $shinglesSql AS sh FROM t),
+g AS (SELECT DISTINCT source,
+        CAST('0x' || substring(md5(gg), 1, 15) AS BIGINT) AS hv
+      FROM (SELECT source, unnest(sh) AS gg FROM sh) z),
+sz AS (SELECT source, count(*)::BIGINT AS n_sh FROM g GROUP BY source),
+th AS (SELECT source, n_sh,
+         CASE WHEN n_sh <= 1024 THEN 9223372036854775807
+              ELSE CAST(floor(1152921504606846976.0 * 1024.0 / n_sh) AS BIGINT)
+         END AS thr
+       FROM sz),
+sv AS (SELECT g.source, g.hv,
+         row_number() OVER (PARTITION BY g.source ORDER BY g.hv) AS rn
+       FROM g JOIN th ON th.source = g.source WHERE g.hv < th.thr),
+sk AS (SELECT sv.source, list(sv.hv ORDER BY sv.hv) AS sk,
+         any_value(th.n_sh) AS n_sh
+       FROM sv JOIN th ON th.source = sv.source WHERE sv.rn <= 256
+       GROUP BY sv.source),
+pr AS (SELECT a.source AS src_a, b.source AS src_b,
+              a.n_sh AS n_a, b.n_sh AS n_b, a.sk AS ska, b.sk AS skb
+       FROM sk a JOIN sk b ON a.source < b.source),
+est AS (SELECT src_a, src_b, n_a, n_b,
+          CASE WHEN n_a <= n_b THEN ska ELSE skb END AS small_sk,
+          CASE WHEN n_a <= n_b THEN skb ELSE ska END AS other_sk,
+          greatest(n_a, n_b) AS other_n
+        FROM pr),
+fx AS (SELECT src_a, src_b, n_a, n_b, other_sk,
+         list_filter(small_sk, h -> h <
+           CASE WHEN other_n > 256 THEN other_sk[256]
+                ELSE 9223372036854775807 END) AS sample
+       FROM est),
+res AS (SELECT src_a, src_b, n_a, n_b, len(sample)::INT AS support,
+          len(list_intersect(sample, other_sk))::INT AS hits
+        FROM fx)
+SELECT src_a, src_b, n_a, n_b, support,
+       round(hits::DOUBLE / support, 6) AS containment_est_r
+FROM res WHERE support > 0 ORDER BY src_a, src_b""")),
 
     // The same sketch pipeline pinned in its provably-EXACT regime
     // (VERDICT r8 item 8): with k ≥ every source's distinct-shingle
