@@ -54,11 +54,21 @@ object Bench {
     // printed, and zeroed the round's entire perf signal. A failed warm-up
     // now only means its dependent queries fail inside force() (-1.0,
     // excluded from the total) while everything else still reports.
-    def warmUp(label: String)(body: => Unit): Unit =
-      try body catch {
+    // Each warm-up build is individually TIMED (VERDICT r10 item 1): the
+    // per-query rows measure the serve path, but the artifact build IS the
+    // dominant cost for several memo-served queries (bpe_vocab,
+    // dsir_weights, *_clusters), so its seconds must stay diffable in the
+    // bench JSON rather than vanish into stderr. Failed builds record -1.
+    val artifactBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def warmUp(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { body; artifactBuilds(label) = (System.nanoTime() - t0) / 1e9 }
+      catch {
         case e: Throwable =>
+          artifactBuilds(label) = -1.0
           System.err.println(s"[bench] warm-up $label failed: ${e.getMessage}")
       }
+    }
     warmUp("activity-sink")(graft.sinks.ActivitySink.materialized(spark, sfDir))
     warmUp("ann-index")(graft.sinks.AnnIndex.materialized(spark, sfDir))
     warmUp("dedup-index")(graft.sinks.DedupIndex.materialized(spark, sfDir))
@@ -67,11 +77,15 @@ object Bench {
     // the round-10 shared-artifact memos are one-time build costs with
     // the same write-path character as the indexes above: built here so
     // the timed queries measure SERVING the shared artifact, not which
-    // consumer happened to run first. (Build costs are therefore NOT in
-    // the timed JSON at all — CorpusBench/BenchSubset or a failed
-    // warm-up line on stderr are where a build regression shows.)
+    // consumer happened to run first. Their build seconds land in the
+    // JSON's "artifact_builds" map and the "value_with_builds" total.
     warmUp("knn-components")(
       graft.ext.Similarity.knnClustersAt(spark, sfDir).count())
+    // also populates the ivf_cell-side components memo (r11): the knn
+    // memo above is already built, so this times the cell-pairs
+    // verify + components loop that knn_cluster_stats serves from
+    warmUp("knn-cell-components")(
+      graft.ext.Similarity.knnVsCellClustersAt(spark, sfDir).count())
     warmUp("lexical-run")(
       graft.sinks.TextIndex.standardLexRun(spark, sfDir).count())
     warmUp("neardup-components")(
@@ -144,6 +158,14 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
+    // A present-but-unparseable prior file silently disables the relative
+    // outlier trigger; make that state visible (VERDICT r10 item 7).
+    if (prior.isEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get("bench_queries.json")))
+      System.err.println(
+        "[bench] WARNING: bench_queries.json exists but parsed to an empty " +
+          "prior map — the relative outlier re-measure trigger is disabled " +
+          "this run")
     val firstPass = names.map(n => n -> force(n, sfDir))
     // Outlier re-measure, two triggers (min-of-2 on flagged queries only,
     // so the pass stays cheap and ordinary timings remain single-shot;
@@ -180,7 +202,13 @@ object Bench {
       .mkString("{", ",", "}")
     val rr = rerun.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ab = artifactBuilds.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val buildTotal = artifactBuilds.values.filter(_ >= 0).sum
     val total = results.map(_._2).filter(_ >= 0).sum
+    // serve-path total PLUS the one-time artifact builds: the number a
+    // build-path regression moves even when every serve-path row is flat
+    val totalWithBuilds = total + buildTotal
     // total normalized by the host-speed calibration (VERDICT r6 item 7):
     // the cross-round-comparable number, carried in the artifact itself
     // so the judge doesn't have to divide by hand
@@ -190,7 +218,7 @@ object Bench {
     // directly — the driver's bounded tail capture clipped 31 of 89
     // per-query timings out of BENCH_r04.json (VERDICT r4 item 6).
     val fileJson =
-      s"""{"queries":$qs,"outlier_first_timings":$rr,"calibration_sec":$calibration,"calibration_workload":"range(1e8).xxhash64.groupBy(mod97).sum, noop sink, median-of-3","metric":"total","value":$total,"total_calibrated":$totalCalibrated,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"queries":$qs,"outlier_first_timings":$rr,"artifact_builds":$ab,"artifact_builds_total":$buildTotal,"calibration_sec":$calibration,"calibration_workload":"range(1e8).xxhash64.groupBy(mod97).sum, noop sink, median-of-3","metric":"total","value":$total,"value_with_builds":$totalWithBuilds,"total_calibrated":$totalCalibrated,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -199,7 +227,7 @@ object Bench {
     // line so the total always survives a bounded tail capture
     // (VERDICT r3 item 1: BENCH_r03.json lost its total exactly this way).
     println(fileJson)
-    println(s"""{"metric":"total","value":$total,"total_calibrated":$totalCalibrated,"calibration_sec":$calibration,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"value_with_builds":$totalWithBuilds,"total_calibrated":$totalCalibrated,"calibration_sec":$calibration,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

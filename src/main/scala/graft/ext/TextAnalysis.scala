@@ -208,13 +208,45 @@ object TextAnalysis {
       countDistinct(col("source")).as("distinct_sources"),
       countDistinct(col("lang")).as("distinct_langs"))
 
-  /** Approximate distinct (HLL++) — declared-approximate, verified as a
-    * rows-only query plus a ScalaTest tolerance assertion vs the exact
-    * counts. */
+  /** Approximate distinct (HLL++) — declared-approximate; the registered
+    * query ships the SELF-VERIFYING form [[distinctApproxCheck]]. */
   def distinctApprox(docs: DataFrame): DataFrame =
     docs.agg(
       approx_count_distinct(normText(col("text"))).as("approx_norm_texts"),
       approx_count_distinct(col("source")).as("approx_sources"))
+
+  /** Self-verifying HLL++ distinct-count query (VERDICT r10 item 3): the
+    * output row carries the EXACT counts (DuckDB recomputes them) plus
+    * the error-bound check `|hll − exact| / exact ≤ tol` as booleans the
+    * oracle pins to TRUE — the sketch's engine-specific estimate never
+    * rides the hash, but its accuracy contract does, so a broken HLL
+    * merge shows up as a red row instead of passing rows-only. The 2%
+    * tolerance is far above HLL++'s behavior at fixture cardinality
+    * (sparse-mode estimates are exact to a few thousand distincts) yet
+    * far below any real regression (a lost register bank is ≥ 2^k off).
+    * The sketch runs at rsd = 0.01 (2^14 registers — the linear-counting
+    * regime for every fixture cardinality, where estimates are exact to
+    * ±1; the default rsd = 0.05's 512 registers measured off-by-one on a
+    * 20-distinct column, outside 2% relative), and the tolerance carries
+    * an absolute floor of 1 so tiny cardinalities aren't held to a
+    * sub-integer band. The exact twin here is the verification harness;
+    * the 100 TB serve path is [[distinctApprox]] alone. */
+  def distinctApproxCheck(docs: DataFrame, tol: Double = 0.02): DataFrame = {
+    def withinTol(approx: Column, exact: Column) =
+      abs(approx - exact).cast("double") <=
+        greatest(lit(1.0), lit(tol) * exact)
+    docs.agg(
+      countDistinct(normText(col("text"))).as("exact_norm_texts"),
+      countDistinct(col("source")).as("exact_sources"),
+      approx_count_distinct(normText(col("text")), 0.01).as("a_norm"),
+      approx_count_distinct(col("source"), 0.01).as("a_src"))
+      .select(
+        col("exact_norm_texts"), col("exact_sources"),
+        withinTol(col("a_norm"), col("exact_norm_texts"))
+          .as("norm_within_tol"),
+        withinTol(col("a_src"), col("exact_sources"))
+          .as("sources_within_tol"))
+  }
 
   /** Corpus vocabulary: top-k tokens by frequency (deterministic
     * tie-break on the token). The explode → count is the canonical
@@ -429,6 +461,36 @@ object TextAnalysis {
       .withColumn("keep",
         col("ratio") >= minRatio && col("ratio") <= maxRatio)
       .orderBy("doc_id")
+
+  /** Self-verifying deflate-band query (VERDICT r10 item 3): DuckDB has
+    * no deflate, but RFC 1950/1951 put HARD bounds on any conforming
+    * zlib stream, and those bounds are computable from text stats DuckDB
+    * shares:
+    *  - lower: a length/distance pair emits ≤ 258 bytes and costs ≥ 2
+    *    bits, so the deflate payload is ≥ len/1032 bytes; the zlib
+    *    wrapper (2-byte header + 4-byte adler + ≥ 2-byte empty stream)
+    *    puts an absolute floor of 8;
+    *  - upper: zlib's own `compressBound` — len + len/4096 + len/16384
+    *    + 13 covers the worst (incompressible) case at any level.
+    * The registered output carries the byte/char lengths (DuckDB
+    * recomputes: `strlen`/`length`) plus the band booleans pinned TRUE —
+    * the engine-specific deflate length never rides the hash, but a
+    * DeflateLen regression (truncated stream, wrong wrapper, garbage
+    * length) lands outside the band and turns the row red. The
+    * informational per-doc ratio/keep form stays [[compressionStats]]. */
+  def compressionBandCheck(docs: DataFrame): DataFrame = {
+    val lenB = octet_length(col("text"))
+    val dfl = graft.expr.DeflateLen(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      lenB.as("len_bytes"),
+      (dfl >= greatest(lit(8),
+        ceil(lenB.cast("double") / 1032).cast("int"))).as("deflate_ge_floor"),
+      (dfl <= lenB + floor(lenB / 4096) + floor(lenB / 16384) + lit(13))
+        .as("deflate_le_bound"))
+      .orderBy("doc_id")
+  }
 
   /** NFC canonical composition digest ([[graft.expr.NfcNormalize]]) —
     * run before content hashing so visually-identical strings ("é"
@@ -921,6 +983,45 @@ object TextAnalysis {
         "left_semi")
       .select("doc_id", "fp")
       .orderBy("doc_id")
+  }
+
+  /** Self-verifying form of the Bloom prefilter stage (VERDICT r10
+    * item 3): the sketch's candidate SET is engine-specific (false
+    * positives depend on the hash/bit layout), but its defining contract
+    * — NO false negatives — is exactly checkable: every document that
+    * provably must be in the filter (the probe docs themselves, whose
+    * fingerprints were inserted, and every exactly-contaminated doc,
+    * whose fingerprint equals an inserted one) must test might-contain.
+    * The output is that must-contain set (DuckDB recomputes it exactly)
+    * with the membership test pinned TRUE — a broken filter build, hash
+    * mismatch between build and probe, or truncated serialization turns
+    * rows red. Defaults to the NEAR fingerprint for the same reason
+    * `contamination_bloom_verified` does: the exact key has zero probe
+    * collisions in the fixture, and probes alone would under-exercise
+    * the hit path. */
+  def contaminationBloomNoFalseNeg(
+      docs: DataFrame,
+      probeModulus: Int = 50,
+      fpp: Double = 0.01,
+      expectedProbes: Long = 4096L,
+      near: Boolean = true): DataFrame = {
+    val candidates =
+      contaminationBloom(docs, probeModulus, fpp, expectedProbes, near)
+        .withColumn("in_bloom", lit(true))
+    // null fingerprints (a near-fp doc under the shingle width) never
+    // enter the filter, so they carry no membership obligation — exclude
+    // them from the must-set on BOTH engines (the oracle mirrors this)
+    val probes = docs
+      .where(pmod(col("doc_id"), lit(probeModulus)) === 0 &&
+        contaminationFp(near).isNotNull)
+      .select(col("doc_id"), lit("probe").as("kind"))
+    val hits = contamination(docs, probeModulus, near)
+      .select(col("doc_id"), lit("hit").as("kind"))
+    probes.unionByName(hits)
+      .join(candidates, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kind"),
+        coalesce(col("in_bloom"), lit(false)).as("in_bloom"))
+      .orderBy("kind", "doc_id")
   }
 
   /** Contamination check: corpus docs whose content fingerprint matches

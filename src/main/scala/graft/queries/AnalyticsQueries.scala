@@ -263,17 +263,48 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     // Scale path for the exact quantiles above: GK-sketch approx
     // percentiles are mergeable map-side partials, so parallelism is not
     // bounded by group count the way exact per-group selection is.
-    // Sketch values are engine-specific → rows-only + ScalaTest tolerance.
+    // Sketch VALUES are engine-specific, but the GK guarantee is not:
+    // the returned value is an actual element whose rank is within
+    // ε·N = N/accuracy of the target rank. The registered form is
+    // self-verifying (VERDICT r10 item 3): re-rank the sketch's answer
+    // against the group (one broadcast join of the 3-row sketch output +
+    // one counting pass) and pin the rank-bound and element-membership
+    // booleans TRUE in the oracle (±1 row of slack absorbs floor
+    // conventions). A regressed sketch — wrong merge, lost buffer,
+    // interpolation bug — lands outside the band and turns the row red.
     ("q_price_quantiles_approx",
-      (s: SparkSession, d: String) =>
-        t(s, d, "lineitem")
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val eps = 1.0 / 10000
+        val appx = li.groupBy("l_returnflag").agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
+        def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+        def rankOk(q: Double, le: org.apache.spark.sql.Column,
+            lt: org.apache.spark.sql.Column) =
+          (le.cast("double") >= (lit(q) - eps) * col("n") - 1) &&
+            (lt.cast("double") <= (lit(q) + eps) * col("n") + 1)
+        li.join(broadcast(appx), Seq("l_returnflag"))
           .groupBy("l_returnflag")
           .agg(
-            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
-            expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"),
-            count(lit(1)).as("n"))
-          .orderBy("l_returnflag"),
-      None),
+            count(lit(1)).as("n"),
+            cnt(col("l_extendedprice") <= col("p50")).as("le50"),
+            cnt(col("l_extendedprice") < col("p50")).as("lt50"),
+            cnt(col("l_extendedprice") === col("p50")).as("eq50"),
+            cnt(col("l_extendedprice") <= col("p95")).as("le95"),
+            cnt(col("l_extendedprice") < col("p95")).as("lt95"),
+            cnt(col("l_extendedprice") === col("p95")).as("eq95"))
+          .select(col("l_returnflag"), col("n"),
+            rankOk(0.5, col("le50"), col("lt50")).as("p50_rank_ok"),
+            (col("eq50") >= 1).as("p50_is_member"),
+            rankOk(0.95, col("le95"), col("lt95")).as("p95_rank_ok"),
+            (col("eq95") >= 1).as("p95_is_member"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+       TRUE AS p50_rank_ok, TRUE AS p50_is_member,
+       TRUE AS p95_rank_ok, TRUE AS p95_is_member
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Decile banding (ntile) with a deterministic total order.
     ("q_orders_ntile",

@@ -1219,11 +1219,19 @@ FROM t GROUP BY lang ORDER BY lang""")),
        count(DISTINCT lang) AS distinct_langs
 FROM documents""")),
 
-    // HLL++ sketch values are engine-specific: rows-only + ScalaTest
-    // tolerance vs the exact counts.
+    // HLL++ sketch values are engine-specific, but the accuracy CONTRACT
+    // is not: the registered form is self-verifying (VERDICT r10 item 3)
+    // — exact counts (DuckDB recomputes) + |hll − exact|/exact ≤ 2%
+    // booleans the oracle pins TRUE. The estimate itself never rides the
+    // hash; a broken sketch turns the row red.
     ("text_distinct_approx",
-      (s: SparkSession, d: String) => TextAnalysis.distinctApprox(docs(s, d)),
-      None),
+      (s: SparkSession, d: String) =>
+        TextAnalysis.distinctApproxCheck(docs(s, d)),
+      Some(s"""SELECT count(DISTINCT $normSql) AS exact_norm_texts,
+       count(DISTINCT source) AS exact_sources,
+       TRUE AS norm_within_tol,
+       TRUE AS sources_within_tol
+FROM documents""")),
 
     ("vocab_topk",
       (s: SparkSession, d: String) => TextAnalysis.vocabTopK(docs(s, d), k = 100),
@@ -1243,12 +1251,20 @@ b AS (SELECT unnest(CASE WHEN len(toks) >= 2
 SELECT bigram, (count(*))::BIGINT AS n FROM b
 GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""")),
 
-    // Compression-ratio quality gate: deflate is deterministic (RFC 1951,
-    // fixed level) but DuckDB can't compute it → rows-only + ordering
-    // contract in TextAnalysisSpec.
+    // Compression-ratio quality gate: DuckDB can't run deflate, but RFC
+    // 1950/1951 bound any conforming stream from text stats it CAN
+    // compute — the registered form is the self-verifying band check
+    // (VERDICT r10 item 3; per-doc floor/compressBound booleans pinned
+    // TRUE). The informational ratio/keep form stays compressionStats +
+    // TextAnalysisSpec's ordering contract.
     ("quality_compression",
-      (s: SparkSession, d: String) => TextAnalysis.compressionStats(docs(s, d)),
-      None),
+      (s: SparkSession, d: String) =>
+        TextAnalysis.compressionBandCheck(docs(s, d)),
+      Some("""SELECT doc_id, length(text)::INT AS len_chars,
+       strlen(text)::INT AS len_bytes,
+       TRUE AS deflate_ge_floor,
+       TRUE AS deflate_le_bound
+FROM documents ORDER BY doc_id""")),
 
     // NFC canonical composition before hashing — DuckDB nfc_normalize twin.
     ("text_nfc",
@@ -1936,13 +1952,31 @@ SELECT DISTINCT f.doc_id, f.fp FROM f
 JOIN p ON f.fp = p.fp AND f.doc_id <> p.probe_id
 ORDER BY f.doc_id""")),
 
-    // Bloom prefilter for the same gate: sketch membership is
-    // engine-specific → rows-only; TextAnalysisSpec proves the
-    // no-false-negative contract vs the exact join.
+    // Bloom prefilter for the same gate: the candidate SET is
+    // engine-specific (false positives), but the defining no-false-
+    // negative contract is exactly checkable — the registered form is
+    // self-verifying (VERDICT r10 item 3): the must-contain set (probes
+    // whose fingerprints were inserted + exactly-contaminated docs; the
+    // near fingerprint, like contamination_bloom_verified, so the hit
+    // path is exercised) with might-contain pinned TRUE by the oracle.
+    // The raw candidate-set form stays TextAnalysis.contaminationBloom +
+    // TextAnalysisSpec.
     ("contamination_bloom",
       (s: SparkSession, d: String) =>
-        TextAnalysis.contaminationBloom(docs(s, d)),
-      None),
+        TextAnalysis.contaminationBloomNoFalseNeg(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+f AS (SELECT doc_id,
+             list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fp
+      FROM s),
+p AS (SELECT doc_id AS probe_id, fp FROM f
+      WHERE doc_id % 50 = 0 AND fp IS NOT NULL)
+SELECT doc_id, 'probe' AS kind, TRUE AS in_bloom FROM f
+WHERE doc_id % 50 = 0 AND fp IS NOT NULL
+UNION ALL
+SELECT DISTINCT f.doc_id, 'hit' AS kind, TRUE AS in_bloom
+FROM f JOIN p ON f.fp = p.fp AND f.doc_id <> p.probe_id
+ORDER BY kind, doc_id""")),
 
     // The composed Bloom-prefilter + exact-verify pipeline: the Bloom
     // stage only prunes (no false negatives), so the composed output
@@ -3658,6 +3692,42 @@ FROM meta ORDER BY media_id""")),
       },
       Some(mediaFeaturesSql)),
 
+    // REAL pixel decode end-to-end (VERDICT r10 item 5): the fixture
+    // carries conforming 24-bpp BMP files (bottom-up rows, 4-byte row
+    // padding, B,G,R sample order) synthesized from a deterministic
+    // (doc_id, x, y) formula; Spark decodes the BYTES back with
+    // Multimodal.BmpCodec (pure byte arithmetic, no codec lib) and
+    // aggregates all-integer pixel features. DuckDB computes the same
+    // features straight from the formula — so the oracle pins the
+    // decoder itself: a wrong data offset, forgotten padding, top-down
+    // scan, or swapped channels changes the sums and the row goes red.
+    ("media_features_bmp",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .bmpFeatures(graft.ext.Multimodal.mediaBmp(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS w,
+         CAST((doc_id * 7) % 12 + 1 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y
+  FROM dms, unnest(range(0, w * h)) AS t(i)),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id + 3 * x + 7 * y) % 256 AS b,
+         (5 * doc_id + x + 11 * y) % 256 AS g,
+         (9 * doc_id + 13 * x + y) % 256 AS r,
+         y * w + x + 1 AS pw
+  FROM px)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+       sum(b)::BIGINT AS sum_b,
+       sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+       sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // Aspect-preserving resize geometry over header-parsed dims — fully
     // oracle-able now: the oracle derives the same dims from the synth
     // formulas (ground truth the parse must reproduce) and replays the
@@ -4115,9 +4185,25 @@ FROM au ORDER BY q_id"""))
     * rows, all engine-correct on adjudication). Staging bounds peak RAM
     * to one stage and lets the rest spill; values are bit-identical (the
     * family's sums are order-free by design).
+    *
+    * The rewrite is guarded (ADVICE r10): `oracleSql` is a val on an
+    * object, so an unhandled parse error here would surface as an
+    * ExceptionInInitializerError that kills EVERY query, not just the
+    * offending oracle. A stage-rewrite failure now falls back to the
+    * inline form with a stderr warning — worst case that one oracle
+    * risks the driver-host OOM it had before staging existed.
     */
   val oracleSql: Map[String, String] =
     defs.collect { case (n, _, Some(sql)) =>
-      n -> (if (sql.contains("embeddings")) StagedOracle.rewrite(sql) else sql)
+      n -> (if (sql.contains("embeddings")) {
+        try StagedOracle.rewrite(sql)
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[oracle] staged rewrite of '$n' failed (${e.getMessage}); " +
+                "shipping the inline form")
+            sql
+        }
+      } else sql)
     }.toMap
 }

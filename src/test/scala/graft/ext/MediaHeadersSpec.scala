@@ -221,4 +221,54 @@ class MediaHeadersSpec extends SparkSuite {
       }
     }
   }
+
+  test("BmpCodec decodes a hand-built 24-bpp BMP exactly: bottom-up rows " +
+      "undone, row padding stripped, B,G,R order mapped to 0xRRGGBB") {
+    // 2×2 image, rowSize = ceil(6/4)·4 = 8 → 2 pad bytes per row.
+    // Image pixels (top-down): (0,0)=red, (1,0)=green, (0,1)=blue,
+    // (1,1)=white. File stores the BOTTOM row first.
+    def le(v: Int, n: Int): Seq[Int] = (0 until n).map(i => (v >> (8 * i)) & 0xff)
+    val header = Seq('B'.toInt, 'M'.toInt) ++ le(54 + 16, 4) ++ le(0, 4) ++
+      le(54, 4) ++ le(40, 4) ++ le(2, 4) ++ le(2, 4) ++ le(1, 2) ++
+      le(24, 2) ++ le(0, 4) ++ le(16, 4) ++ le(2835, 4) ++ le(2835, 4) ++
+      le(0, 4) ++ le(0, 4)
+    val bottomRow = Seq(0xff, 0, 0, 0xff, 0xff, 0xff, 0xde, 0xad) // blue, white, pad
+    val topRow = Seq(0, 0, 0xff, 0, 0xff, 0, 0, 0)                // red, green, pad
+    val bytes = (header ++ bottomRow ++ topRow).map(_.toByte).toArray
+    val Some((w, h, px)) = Multimodal.BmpCodec.decode(bytes)
+    assert((w, h) === ((2, 2)))
+    assert(px.toSeq === Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    // non-conforming inputs return None, never garbage
+    assert(Multimodal.BmpCodec.decode(null).isEmpty)
+    assert(Multimodal.BmpCodec.decode(bytes.take(53)).isEmpty, "truncated header")
+    assert(Multimodal.BmpCodec.decode(bytes.dropRight(1)).isEmpty, "truncated pixels")
+    val wrongBpp = bytes.clone(); wrongBpp(28) = 32
+    assert(Multimodal.BmpCodec.decode(wrongBpp).isEmpty, "32 bpp rejected")
+    val compressed = bytes.clone(); compressed(30) = 1
+    assert(Multimodal.BmpCodec.decode(compressed).isEmpty, "BI_RLE8 rejected")
+  }
+
+  test("mediaBmp synthesizes conforming files and bmpFeatures' decode " +
+      "matches a direct formula evaluation") {
+    val feats = Multimodal.bmpFeatures(Multimodal.mediaBmp(docs))
+      .orderBy("media_id").collect()
+    val nDocs = docs.count()
+    assert(feats.length === nDocs, "every synthesized BMP must decode")
+    feats.take(50).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (id % 16 + 1).toInt
+      val h = (id * 7 % 12 + 1).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      var sr = 0L; var ck = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val red = (9 * id + 13 * x + y) % 256
+        val g = (5 * id + x + 11 * y) % 256
+        val b = (id + 3 * x + 7 * y) % 256
+        sr += red
+        ck += (y * w + x + 1).toLong * (red + 2 * g + 3 * b)
+      }
+      assert(r.getAs[Long]("sum_r") === sr, s"sum_r mismatch for $id")
+      assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
+    }
+  }
 }

@@ -103,6 +103,36 @@ class TextAnalysisSpec extends SparkSuite {
       s"too many bloom survivors: ${bloom.size}")
   }
 
+  test("self-verifying check forms (VERDICT r10 item 3): HLL tolerance, " +
+      "deflate band, and bloom no-false-negative all report green") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val hll = TextAnalysis.distinctApproxCheck(docs).collect().head
+    assert(hll.getAs[Boolean]("norm_within_tol"))
+    assert(hll.getAs[Boolean]("sources_within_tol"))
+    assert(hll.getAs[Long]("exact_norm_texts") > 0)
+    val band = TextAnalysis.compressionBandCheck(docs).collect()
+    assert(band.nonEmpty)
+    band.foreach { r =>
+      assert(r.getAs[Boolean]("deflate_ge_floor"),
+        s"floor violated for doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Boolean]("deflate_le_bound"),
+        s"compressBound violated for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // band check also trips on garbage: a synthetic deflate_len of 0 or
+    // 2×len would violate floor/bound respectively (sanity of the bounds
+    // themselves, computed from the same stats)
+    val s = "x" * 5000
+    val dl = graft.expr.DeflateLen.deflatedLength(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(dl >= math.max(8, math.ceil(5000.0 / 1032).toInt))
+    assert(dl <= 5000 + 5000 / 4096 + 5000 / 16384 + 13)
+    val nfn = TextAnalysis.contaminationBloomNoFalseNeg(docs).collect()
+    assert(nfn.nonEmpty)
+    assert(nfn.forall(_.getAs[Boolean]("in_bloom")),
+      "a must-contain doc tested not-in-bloom")
+    assert(nfn.exists(_.getAs[String]("kind") == "probe"))
+  }
+
   test("stratifiedSample returns ≤ k docs per source, every source present") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val got = TextAnalysis.stratifiedSample(docs, kPerStratum = 3).collect()

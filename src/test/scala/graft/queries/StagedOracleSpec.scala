@@ -68,6 +68,24 @@ SELECT 'it''s (tricky)' AS s, ")" AS q
 );"""))
   }
 
+  test("SQL comments — between CTE clauses and containing unbalanced " +
+      "parens/quotes — don't derail the scanner (ADVICE r10)") {
+    val sql = """WITH a AS (
+  -- an unbalanced ( paren and a stray ' quote in a line comment
+  SELECT 1 AS x /* and a block ) comment with ( parens */
+), -- trailing comment after the stage
+/* a block comment
+   spanning lines before the next CTE name */
+b AS (SELECT x + 1 AS y FROM a)
+SELECT y FROM b ORDER BY y"""
+    val out = StagedOracle.rewrite(sql)
+    assert(out.contains("TEMP TABLE a AS"))
+    assert(out.contains("TEMP TABLE b AS"))
+    assert(out.endsWith("SELECT y FROM b ORDER BY y"))
+    // comment text inside a body is carried verbatim (DuckDB handles it)
+    assert(out.contains("block ) comment"))
+  }
+
   test("every registered embeddings oracle rewrites cleanly into staged " +
       "form (the production inputs)") {
     val staged = graft.SparkEntry.oracleSql.filter(_._2.contains("embeddings"))

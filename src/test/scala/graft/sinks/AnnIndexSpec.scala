@@ -225,4 +225,54 @@ class AnnIndexSpec extends SparkSuite {
     assert(!after.exists(_.getAs[Long]("neighbor_id") == 9002L),
       "null-label rows must not match any label predicate")
   }
+
+  test("filtered probes against STREAMING marker-fenced appends (VERDICT " +
+      "r10 stretch): a committed labeled append is filter-visible, a " +
+      "wrong-label append never surfaces, and a restart replay changes " +
+      "nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir("annidx_filt_stream")
+    AnnIndex.build(embs, path)
+    val qs = spark.read.parquet(s"$path/vectors")
+      .where(col("vec_id") < 10)
+      .dropDuplicates("vec_id")
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("qv")).as("q"), col("label").as("qlabel"))
+    def probeSet(): Set[(Long, Long)] =
+      AnnIndex.probeWithFiltered(spark, path, qs, k = 1000,
+        excludeSelf = true).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val before = probeSet()
+    // stream two copies of query 0's raw vector: one wearing its label
+    // (must become a filtered neighbor of q 0 once the batch commits and
+    // its marker lands), one wearing a label no fixture row has (must
+    // never surface for any query)
+    val q0 = embs.where(col("vec_id") === 0L)
+      .select(col("embedding"), col("label")).head()
+    val v0 = q0.getSeq[Float](0).toArray
+    val label0 = q0.getInt(1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float], Int)]
+    val ckpt = tmpDir("annidx_filt_stream_ckpt")
+    def run(): Unit = {
+      val sq = AnnIndex.runToIndex(
+        mem.toDF().toDF("vec_id", "embedding", "label"), path, ckpt)
+      sq.awaitTermination()
+    }
+    mem.addData((9101L, v0, label0), (9102L, v0, label0 + 1000))
+    run()
+    val after = probeSet()
+    assert(after.contains((0L, 9101L)),
+      "a committed same-label streamed append must be filter-visible")
+    assert(!after.exists(_._2 == 9102L),
+      "a label no query carries must never pass the filter")
+    assert(before.subsetOf(after), "appends only add candidates")
+    // restart with nothing new: the checkpoint + batch marker fence the
+    // replay, so the filtered view is unchanged — no duplicate rows either
+    run()
+    assert(probeSet() === after, "a fenced replay must change nothing")
+    val n9101 = spark.read.parquet(s"$path/vectors")
+      .where(col("vec_id") === 9101L).count()
+    assert(n9101 === 1L, "replay must not duplicate the append")
+  }
 }
