@@ -16,6 +16,33 @@ import org.apache.spark.sql.SparkSession
   * the per-query timings.
   */
 object Bench {
+  /** Queries whose serve path READS a warm-up-built artifact (index or
+    * ArtifactMemo) — annotated in the bench JSON (ADVICE r10) so a
+    * reader knows which per-query rows measure probing/serving rather
+    * than the full build; the artifact_builds map carries the build
+    * seconds. GraftSpec pins every name here to an existing registry
+    * entry so a rename can't silently orphan the annotation. */
+  val memoServed: Seq[String] = Seq(
+    // persisted index sinks
+    "feed_page_materialized", "ann_index_cells", "sim_topk_ivf_indexed",
+    "sim_topk_ivf_filtered_indexed", "dedup_incremental_indexed",
+    "text_index_stats", "bm25_topk_indexed", "hybrid_topk_rrf_indexed",
+    "sim_topk_pq_indexed",
+    // knn components + cell-components memos
+    "knn_clusters", "knn_cluster_stats",
+    // lexical-run memo
+    "hybrid_topk_rrf",
+    // near-dup / semantic components memos
+    "dedup_clusters", "dedup_cluster_stats", "dedup_near_survivors",
+    "dedup_near_survivors_quality", "dedup_soft", "dedup_summary",
+    "semantic_dedup", "semantic_dedup_quality",
+    // BPE learner memo
+    "bpe_vocab", "bpe_tokenize", "bpe_compression", "pack_windows_bpe",
+    // DSIR weights memo
+    "dsir_weights", "dsir_resample", "dsir_selection_audit",
+    // PCA fit memo
+    "embed_pca_components", "embed_pca_project").sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -218,7 +245,7 @@ object Bench {
     // directly — the driver's bounded tail capture clipped 31 of 89
     // per-query timings out of BENCH_r04.json (VERDICT r4 item 6).
     val fileJson =
-      s"""{"queries":$qs,"outlier_first_timings":$rr,"artifact_builds":$ab,"artifact_builds_total":$buildTotal,"calibration_sec":$calibration,"calibration_workload":"range(1e8).xxhash64.groupBy(mod97).sum, noop sink, median-of-3","metric":"total","value":$total,"value_with_builds":$totalWithBuilds,"total_calibrated":$totalCalibrated,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"queries":$qs,"outlier_first_timings":$rr,"artifact_builds":$ab,"artifact_builds_total":$buildTotal,"memo_served":${memoServed.map("\"" + _ + "\"").mkString("[", ",", "]")},"calibration_sec":$calibration,"calibration_workload":"range(1e8).xxhash64.groupBy(mod97).sum, noop sink, median-of-3","metric":"total","value":$total,"value_with_builds":$totalWithBuilds,"total_calibrated":$totalCalibrated,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

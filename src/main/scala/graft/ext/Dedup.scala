@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   *    into `groupBy(band_id, band_hash)` — a shuffle whose key cardinality
   *    is O(docs × bands), followed by within-bucket pairing. Verification
   *    joins candidate id-pairs back to the shingle sets (so the wide shingle
-  *    arrays never ride through the band explode).
+  *    arrays never ride through the band explode). Exact duplicates — the
+  *    realistic bucket-skew case (a viral page crawled d times collides in
+  *    every band) — are collapsed to one representative per distinct
+  *    shingle set BEFORE banding and expanded back after verification
+  *    (exact, spec-pinned), so banding/verify work is bounded by distinct
+  *    content, never by duplicate multiplicity.
   *  - SimHash is one 64-bit fingerprint per doc; banding its 16-bit quarters
   *    gives candidates for hamming-distance verify (Manku et al., WWW'07).
   */
@@ -207,22 +212,60 @@ object Dedup {
     // They can never be near-dups, and the oracle agrees: NULL jaccard
     // never passes the threshold.
     val sh = cached(shingled(docs).where(size(col("sh")) > 0))
-    val cands = lshCandidates(signed(sh))
+    // IDENTICAL-CONTENT COLLAPSE (r11): exact duplicates — the realistic
+    // 100 TB skew, a viral page crawled d times — share a shingle SET,
+    // hence a signature, hence EVERY band bucket: uncollapsed banding
+    // emits d² candidate rows and drags two shingle arrays through the
+    // verify join for each of them. Collapsing identical sets to one
+    // representative (min doc_id — one extra shuffle of the per-doc set
+    // rows, each row traveling once) bounds banding AND verification by
+    // DISTINCT content; the expansion back to member pairs is exact:
+    //  - within a group every pair has Jaccard exactly 1.0 (identical
+    //    sets) and identical signatures collide in every band, so the
+    //    uncollapsed plan emitted each such pair too;
+    //  - across groups a member pair is a candidate iff its reps are
+    //    (identical signatures) and carries the reps' exact jaccard
+    //    (identical arrays) — expanding verified rep pairs over the two
+    //    member lists reproduces the uncollapsed output value-for-value
+    //    (NearDupCollapseSpec pins both claims on a planted corpus).
+    // The d²-shaped piece that remains is the OUTPUT pair list itself —
+    // inherent to pair semantics; it carries only (id, id, double), and
+    // the clustering consumers collapse it to component labels.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val withRep = cached(sh.select(col("doc_id"), col("sh"))
+      .withColumn("rep", min(col("doc_id")).over(w)))
+    val members = withRep.select(col("doc_id"), col("rep"))
+    val reps = withRep.where(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sh"))
+    val cands = lshCandidates(signed(reps))
     // |∩| in ONE merge pass over the ascending-sorted hash sets
     // (SortedIntersectCount); |∪| = |a|+|b|−|∩| by inclusion–exclusion on
     // distinct sets — replaces array_intersect + array_union, which built
     // two hash sets and materialized two arrays per candidate pair just
     // to take their sizes.
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    val repPairs = cands
+      .join(reps.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(reps.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("inter",
         graft.expr.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("doc_id").as("id_a"), col("rep").as("rep_a")),
+        Seq("rep_a"))
+      .join(members.select(col("doc_id").as("id_b"), col("rep").as("rep_b")),
+        Seq("rep_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+    val within = members.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(members.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   // --------------------------------------------------------------- SimHash

@@ -235,10 +235,13 @@ object TextAnalysis {
     def withinTol(approx: Column, exact: Column) =
       abs(approx - exact).cast("double") <=
         greatest(lit(1.0), lit(tol) * exact)
-    docs.agg(
-      countDistinct(normText(col("text"))).as("exact_norm_texts"),
+    // norm projected ONCE behind its own boundary: the exact and approx
+    // aggregates both consume it, and an inline normText would run the
+    // normalization chain twice per row
+    docs.select(normText(col("text")).as("norm"), col("source")).agg(
+      countDistinct(col("norm")).as("exact_norm_texts"),
       countDistinct(col("source")).as("exact_sources"),
-      approx_count_distinct(normText(col("text")), 0.01).as("a_norm"),
+      approx_count_distinct(col("norm"), 0.01).as("a_norm"),
       approx_count_distinct(col("source"), 0.01).as("a_src"))
       .select(
         col("exact_norm_texts"), col("exact_sources"),

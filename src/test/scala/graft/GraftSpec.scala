@@ -32,6 +32,12 @@ class GraftSpec extends SparkSuite {
     }
   }
 
+  test("Bench.memoServed names all resolve to registered queries") {
+    val missing = Bench.memoServed.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty,
+      s"memo-served annotation names unknown queries: $missing")
+  }
+
   test("registerViews exposes fixture, CDC, and activity views for SQL") {
     Graft.registerViews(spark, "/root/testdata/sf0.001")
     val page = spark.sql(
