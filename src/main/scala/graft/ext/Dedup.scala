@@ -205,7 +205,15 @@ object Dedup {
     * meets the threshold — |∩|/|∪| on the distinct shingle-hash sets
     * (equal to the string-set Jaccard modulo 64-bit collisions; the
     * DuckDB oracle computes the string form and hash-matches). */
-  def nearDupJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** The collapsed near-dup CORE: the identical-content membership map
+    * (doc_id, rep) and the verified representative pairs (rep_a, rep_b,
+    * jaccard). Both the full pair expansion ([[nearDupJaccard]]) and the
+    * linear clustering edge list ([[nearDupEdges]]) derive from these
+    * two skinny frames — and at 100 TB they are what a pipeline should
+    * persist: O(docs) + O(verified distinct-content pairs) rows, vs the
+    * Σ d² expanded pair list. */
+  private[ext] def nearDupCore(
+      docs: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
     // docs with < n tokens have EMPTY shingle sets — which hash to the
     // same all-max MinHash signature, collide in every band, and reach
     // the Jaccard verify as 0/0 (a job-killing error under ANSI mode).
@@ -254,6 +262,12 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
         col("jaccard"))
+    (members, repPairs)
+  }
+
+  /** [[nearDupCore]] → the full pair list (the uncollapsed output,
+    * value-for-value). */
+  private def expandPairs(members: DataFrame, repPairs: DataFrame): DataFrame = {
     val cross = repPairs
       .join(members.select(col("doc_id").as("id_a"), col("rep").as("rep_a")),
         Seq("rep_a"))
@@ -266,6 +280,38 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
     cross.unionByName(within)
+  }
+
+  /** [[nearDupCore]] → the linear clustering edge list (see
+    * [[nearDupEdges]] for the equivalence argument). */
+  private def edgesFrom(members: DataFrame, repPairs: DataFrame): DataFrame =
+    members.where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+      .unionByName(repPairs.select(
+        col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
+
+  def nearDupJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val (members, repPairs) = nearDupCore(docs, threshold)
+    expandPairs(members, repPairs)
+  }
+
+  /** Connectivity-equivalent LINEAR edge list for clustering: one star
+    * edge per non-representative group member (doc → its rep) plus the
+    * verified representative pairs. Connected components over these
+    * edges EQUAL components over [[nearDupJaccard]]'s full expansion —
+    * each identical-content group is connected through its rep, and
+    * cross-group reachability rides the rep pairs (a member pair exists
+    * in the expansion iff its rep pair exists here) — at
+    * O(docs + repPairs) rows instead of Σ d²: the input the components
+    * loop should see at 100 TB, where one viral duplicate group would
+    * otherwise quadratically dominate the edge list. Membership also
+    * matches: a non-rep member always has a within pair (group ≥ 2) and
+    * always has its star edge; a singleton's rep appears in either form
+    * iff it has a verified cross pair. NearDupCollapseSpec pins label
+    * equality on the planted corpus. */
+  def nearDupEdges(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val (members, repPairs) = nearDupCore(docs, threshold)
+    edgesFrom(members, repPairs)
   }
 
   // --------------------------------------------------------------- SimHash
@@ -516,9 +562,11 @@ object Dedup {
   /** Near-dup clusters end-to-end: LSH-verified Jaccard pairs →
     * connected components. Output: (doc_id, cluster_id = min doc_id in
     * the component), one row per doc that participates in any near-dup
-    * pair. */
+    * pair. The components loop runs over [[nearDupEdges]]' linear star +
+    * rep-pair edges, not the Σ d² expanded pair list — identical labels
+    * (spec-pinned), bounded input. */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    components(nearDupJaccard(docs, threshold).select("doc_a", "doc_b"))
+    components(nearDupEdges(docs, threshold))
 
   /** The docs a dedup pipeline KEEPS under transitive near-dup semantics:
     * everything except non-representative members of a near-dup cluster
@@ -900,9 +948,22 @@ object Dedup {
     * the fingerprint construction differs. 8-byte fingerprints are all
     * that ride the banding explode and verify joins. */
   private[ext] def hammingPairs64(fps: DataFrame, maxHamming: Int): DataFrame = {
-    val fp = cached(fps.withColumn("bands",
-      array((0 until 4).map(q =>
-        shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL)).cast("int")): _*)))
+    // identical-fingerprint collapse (r11, the nearDupJaccard argument
+    // specialized to a one-long key): equal fps collide in all 4 bands,
+    // so a d-copy group would emit d² candidate rows; collapsing to the
+    // min-doc_id representative bounds banding/verify by DISTINCT
+    // fingerprints, and the expansion is exact — within a group hamming
+    // is 0 (≤ any maxHamming ≥ 0), across groups a member pair is a
+    // candidate iff its reps are and carries the reps' exact hamming.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val withRep = cached(fps.select(col("doc_id"), col("fp"))
+      .withColumn("rep", min(col("doc_id")).over(w)))
+    val members = withRep.select(col("doc_id"), col("rep"))
+    val fp = withRep.where(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("fp"))
+      .withColumn("bands",
+        array((0 until 4).map(q =>
+          shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL)).cast("int")): _*))
     val banded = fp.select(
       col("doc_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_val")))
@@ -913,13 +974,26 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
+    val repPairs = cands
       .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
       .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("hamming"))
+    val cross = repPairs
+      .join(members.select(col("doc_id").as("id_a"), col("rep").as("rep_a")),
+        Seq("rep_a"))
+      .join(members.select(col("doc_id").as("id_b"), col("rep").as("rep_b")),
+        Seq("rep_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    val within = members.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(members.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   // ---- per-fixture disk memos for the shared dedup intermediates ----
@@ -936,27 +1010,51 @@ object Dedup {
   // queries; paths via [[graft.util.ArtifactMemo]] (full key + digest —
   // distinct keys can never share a path).
 
-  /** Memoized [[nearDupJaccard]] over a fixture's documents. */
+  /** Memoized [[nearDupCore]] — the members map and verified rep pairs
+    * written once per (fixture, threshold) under `$path/members` and
+    * `$path/reppairs`. The pair expansion AND the component labeling
+    * both derive from these two skinny tables, so one banding/verify
+    * run serves every dedup consumer — and what sits on disk is the
+    * O(docs + repPairs) core, not the Σ d² pair list. */
+  private def nearDupCorePathAt(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      threshold: Double): String =
+    graft.util.ArtifactMemo.path("jaccore", s"$sfDir|$threshold") { out =>
+      val (members, repPairs) = nearDupCore(
+        graft.sources.Tables(spark, sfDir, "documents"), threshold)
+      members.write.mode("overwrite").parquet(s"$out/members")
+      repPairs.write.mode("overwrite").parquet(s"$out/reppairs")
+    }
+
+  /** Memoized [[nearDupJaccard]] over a fixture's documents (expanded
+    * from the core memo). */
   def nearDupPairsAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8): DataFrame = {
+    // the core memo resolves BEFORE the pairs build lambda — the
+    // ArtifactMemo contract: a nested computeIfAbsent on the shared map
+    // throws whenever the two keys hash into one bin
+    val core = nearDupCorePathAt(spark, sfDir, threshold)
     spark.read.parquet(
       graft.util.ArtifactMemo.path("jacpairs", s"$sfDir|$threshold") { out =>
-        nearDupJaccard(graft.sources.Tables(spark, sfDir, "documents"), threshold)
+        expandPairs(
+          spark.read.parquet(s"$core/members"),
+          spark.read.parquet(s"$core/reppairs"))
           .write.mode("overwrite").parquet(out)
       })
+  }
 
-  /** Memoized component labeling of the verified Jaccard pair graph. */
+  /** Memoized component labeling of the verified Jaccard pair graph —
+    * the loop runs over the core's linear star + rep-pair edges. */
   def nearDupComponentsAt(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame = {
-    // the pairs memo resolves BEFORE the components build lambda — the
-    // ArtifactMemo contract: a nested computeIfAbsent on the shared map
-    // throws whenever the two keys hash into one bin
-    val pairs = nearDupPairsAt(spark, sfDir, threshold)
+    val core = nearDupCorePathAt(spark, sfDir, threshold)
     spark.read.parquet(
       graft.util.ArtifactMemo.path("jaccomp", s"$sfDir|$threshold") { out =>
-        components(pairs.select("doc_a", "doc_b"))
+        components(edgesFrom(
+          spark.read.parquet(s"$core/members"),
+          spark.read.parquet(s"$core/reppairs")))
           .write.mode("overwrite").parquet(out)
       })
   }

@@ -78,4 +78,59 @@ class NearDupCollapseSpec extends SparkSuite {
         "the duplicate-group quadratic from the verify stage")
     Dedup.releaseAll()
   }
+
+  test("nearDupEdges' linear star + rep-pair edges yield IDENTICAL " +
+      "component labels to the full pair expansion, at linear edge count") {
+    val docs = planted
+    val viaEdges = Dedup.components(Dedup.nearDupEdges(docs))
+      .as[(Long, Long)].collect().toSet
+    val viaPairs = Dedup.components(
+      Dedup.nearDupJaccard(docs).select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaEdges === viaPairs, "labels must match the expanded-pair graph")
+    // and the planted 31-member group carries cluster_id = min id = 1
+    val dupIds = Set(1L) ++ (10001L until 10031L)
+    assert(dupIds.forall(id => viaEdges.contains((id, 1L))))
+    // edge count is linear in the group (30 star edges), not quadratic
+    val nEdges = Dedup.nearDupEdges(docs).count()
+    val nPairs = Dedup.nearDupJaccard(docs).count()
+    assert(nPairs - nEdges >= 465 - 30,
+      s"edges=$nEdges pairs=$nPairs — the linear form must drop the " +
+        "duplicate-group quadratic")
+    Dedup.releaseAll()
+  }
+
+  test("SimHash path: identical fingerprints collapse the same way — " +
+      "within-group pairs at hamming 0, reference pair set reproduced") {
+    val docs = planted
+    val got = Dedup.nearDupSimhash(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    // uncollapsed reference: band ALL fps, verify every candidate
+    val fp = Dedup.simhashed(docs).select(col("doc_id"), col("fp"))
+      .withColumn("bands",
+        array((0 until 4).map(q =>
+          shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL)).cast("int")): _*))
+    val banded = fp.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    val want = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .where(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    val dupIds = Set(1L) ++ (10001L until 10031L)
+    val withinGroup = got.filter(p => dupIds(p._1) && dupIds(p._2))
+    assert(withinGroup.size === 31 * 30 / 2)
+    assert(withinGroup.forall(_._3 == 0))
+    Dedup.releaseAll()
+  }
 }
