@@ -43,6 +43,25 @@ object Bench {
     // PCA fit memo
     "embed_pca_components", "embed_pca_project").sorted
 
+  /** Extract the per-query map from a committed bench_queries.json.
+    * Regex-parsed — no JSON lib on the classpath, and the format is this
+    * class's own flat output; factored out so BenchPriorSpec can pin
+    * that a malformed hand-edit degrades to an EMPTY map (disabling the
+    * relative outlier trigger with a stderr warning in main) rather
+    * than throwing. */
+  private[graft] def parsePrior(s: String): Map[String, Double] = {
+    val start = s.indexOf("\"queries\":{")
+    val end = if (start < 0) -1 else s.indexOf('}', start)
+    if (end < 0) Map.empty
+    // the exponent part admits a sign: a sub-millisecond timing prints
+    // as 1.5E-4, and the old `[0-9.eE+]+` class stopped at the '-',
+    // leaving "1.5E" to throw and silently zero the whole prior map
+    // (caught by BenchPriorSpec's round-trip case)
+    else """"([^"]+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
+      .findAllMatchIn(s.substring(start + 11, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -174,16 +193,8 @@ object Bench {
     val prior: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("bench_queries.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val s = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val start = s.indexOf("\"queries\":{")
-        val end = if (start < 0) -1 else s.indexOf('}', start)
-        if (end < 0) Map.empty
-        else """"([^"]+)":(-?[0-9.eE+]+)""".r
-          .findAllMatchIn(s.substring(start + 11, end))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      else parsePrior(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => Map.empty }
     // A present-but-unparseable prior file silently disables the relative
     // outlier trigger; make that state visible (VERDICT r10 item 7).

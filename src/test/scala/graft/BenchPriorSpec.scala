@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench.parsePrior — the committed-priors reader behind the relative
+  * outlier re-measure trigger (VERDICT r10 item 7): well-formed output
+  * round-trips; malformed input degrades to an EMPTY map (main warns on
+  * stderr) instead of throwing and killing the bench. */
+class BenchPriorSpec extends AnyFunSuite {
+
+  test("round-trips its own output format, scientific notation included") {
+    val json =
+      """{"queries":{"q1":0.42,"q2":1.5e-2,"q3":-1.0},"calibration_sec":0.3,"value":2}"""
+    assert(Bench.parsePrior(json) ===
+      Map("q1" -> 0.42, "q2" -> 0.015, "q3" -> -1.0))
+  }
+
+  test("the committed bench_queries.json parses to a non-empty prior map") {
+    val p = java.nio.file.Paths.get("bench_queries.json")
+    assume(java.nio.file.Files.exists(p))
+    val prior = Bench.parsePrior(new String(
+      java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+    assert(prior.size > 100,
+      s"committed priors parsed to ${prior.size} entries — the relative " +
+        "outlier trigger would be effectively disabled")
+    assert(prior.values.forall(v => !v.isNaN))
+  }
+
+  test("malformed input degrades to empty, never throws") {
+    assert(Bench.parsePrior("").isEmpty)
+    assert(Bench.parsePrior("not json at all").isEmpty)
+    assert(Bench.parsePrior("""{"value":1.0}""").isEmpty)
+    assert(Bench.parsePrior("""{"queries":{""").isEmpty)
+  }
+}
