@@ -57,9 +57,12 @@ object Bench {
     // as 1.5E-4, and the old `[0-9.eE+]+` class stopped at the '-',
     // leaving "1.5E" to throw and silently zero the whole prior map
     // (caught by BenchPriorSpec's round-trip case)
+    // toDoubleOption, not toDouble: the character class admits tokens
+    // Double.parseDouble rejects (a hand-edited "1.2.3"), and one such
+    // value must skip its entry, not throw the whole map away
     else """"([^"]+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
       .findAllMatchIn(s.substring(start + 11, end))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,9 +132,11 @@ object Bench {
       graft.ext.Similarity.knnClustersAt(spark, sfDir).count())
     // also populates the ivf_cell-side components memo (r11): the knn
     // memo above is already built, so this times the cell-pairs
-    // verify + components loop that knn_cluster_stats serves from
+    // verify + components loop that knn_cluster_stats serves from —
+    // the memo builds ONLY (not the query's histograms/sort, which the
+    // timed knn_cluster_stats row measures)
     warmUp("knn-cell-components")(
-      graft.ext.Similarity.knnVsCellClustersAt(spark, sfDir).count())
+      graft.ext.Similarity.knnCellComponentPaths(spark, sfDir))
     warmUp("lexical-run")(
       graft.sinks.TextIndex.standardLexRun(spark, sfDir).count())
     warmUp("neardup-components")(

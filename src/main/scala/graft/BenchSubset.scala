@@ -29,7 +29,7 @@ object BenchSubset {
     // not in Bench, making the two harnesses incomparable for exactly
     // the memo-served queries this harness exists to remeasure
     warmUp(graft.ext.Similarity.knnClustersAt(spark, dir).count())
-    warmUp(graft.ext.Similarity.knnVsCellClustersAt(spark, dir).count())
+    warmUp(graft.ext.Similarity.knnCellComponentPaths(spark, dir))
     warmUp(graft.sinks.TextIndex.standardLexRun(spark, dir).count())
     warmUp(graft.ext.Dedup.nearDupComponentsAt(spark, dir).count())
     warmUp(graft.ext.Dedup.semanticComponentsAt(spark, dir).count())

@@ -218,8 +218,9 @@ object Dedup {
     // same all-max MinHash signature, collide in every band, and reach
     // the Jaccard verify as 0/0 (a job-killing error under ANSI mode).
     // They can never be near-dups, and the oracle agrees: NULL jaccard
-    // never passes the threshold.
-    val sh = cached(shingled(docs).where(size(col("sh")) > 0))
+    // never passes the threshold. Not cached: since the collapse, its
+    // single consumer is the window below (withRep carries the cache).
+    val sh = shingled(docs).where(size(col("sh")) > 0)
     // IDENTICAL-CONTENT COLLAPSE (r11): exact duplicates — the realistic
     // 100 TB skew, a viral page crawled d times — share a shingle SET,
     // hence a signature, hence EVERY band bucket: uncollapsed banding
@@ -265,22 +266,32 @@ object Dedup {
     (members, repPairs)
   }
 
-  /** [[nearDupCore]] → the full pair list (the uncollapsed output,
-    * value-for-value). */
-  private def expandPairs(members: DataFrame, repPairs: DataFrame): DataFrame = {
+  /** Expand a collapsed (members, verified rep pairs) core back to the
+    * full member-pair list: cross-group pairs carry the reps' exact
+    * verify value, within-group pairs carry `withinValue` (the identical-
+    * content identity: jaccard 1.0 / hamming 0). Shared by the Jaccard
+    * and SimHash paths — only the value column differs. */
+  private def expandMemberPairs(
+      members: DataFrame, repPairs: DataFrame,
+      valueName: String, withinValue: Column): DataFrame = {
     val cross = repPairs
       .join(members.select(col("doc_id").as("id_a"), col("rep").as("rep_a")),
         Seq("rep_a"))
       .join(members.select(col("doc_id").as("id_b"), col("rep").as("rep_b")),
         Seq("rep_b"))
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col(valueName))
     val within = members.select(col("rep"), col("doc_id").as("doc_a"))
       .join(members.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), withinValue.as(valueName))
     cross.unionByName(within)
   }
+
+  /** [[nearDupCore]] → the full pair list (the uncollapsed output,
+    * value-for-value). */
+  private def expandPairs(members: DataFrame, repPairs: DataFrame): DataFrame =
+    expandMemberPairs(members, repPairs, "jaccard", lit(1.0))
 
   /** [[nearDupCore]] → the linear clustering edge list (see
     * [[nearDupEdges]] for the equivalence argument). */
@@ -955,8 +966,14 @@ object Dedup {
     // fingerprints, and the expansion is exact — within a group hamming
     // is 0 (≤ any maxHamming ≥ 0), across groups a member pair is a
     // candidate iff its reps are and carries the reps' exact hamming.
+    // NULL fingerprints (a null-text doc simhashes to null) are dropped
+    // FIRST: the window would group them as one "identical" cluster
+    // (SQL grouping equates NULLs) where the replaced band equi-join
+    // never matched them (null band_val joins nothing) — the same guard
+    // nearDupCore's size(sh) > 0 filter provides for the Jaccard path.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val withRep = cached(fps.select(col("doc_id"), col("fp"))
+      .where(col("fp").isNotNull)
       .withColumn("rep", min(col("doc_id")).over(w)))
     val members = withRep.select(col("doc_id"), col("rep"))
     val fp = withRep.where(col("doc_id") === col("rep"))
@@ -982,18 +999,7 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
         col("hamming"))
-    val cross = repPairs
-      .join(members.select(col("doc_id").as("id_a"), col("rep").as("rep_a")),
-        Seq("rep_a"))
-      .join(members.select(col("doc_id").as("id_b"), col("rep").as("rep_b")),
-        Seq("rep_b"))
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
-    val within = members.select(col("rep"), col("doc_id").as("doc_a"))
-      .join(members.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
-    cross.unionByName(within)
+    expandMemberPairs(members, repPairs, "hamming", lit(0))
   }
 
   // ---- per-fixture disk memos for the shared dedup intermediates ----

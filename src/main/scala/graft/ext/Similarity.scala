@@ -792,28 +792,20 @@ object Similarity {
     spark.read.parquet(path).orderBy("doc_id")
   }
 
-  /** [[knnVsCellClusters]] with BOTH component passes resolved through
-    * per-fixture memos: the k-NN side reads the labeling `knnClustersAt`
-    * populates, and the cell side's pairwise-verify + components loop is
-    * memoized under its own key (VERDICT r10 item 2 — it used to run
-    * live inside the timed query every round, ~2 s of the query's 3 s at
-    * sf0.1, because its threshold differs from the semantic-dedup memo).
-    * The histograms are unchanged bit-for-bit — the oracle pins them. */
-  def knnVsCellClustersAt(
+  /** Resolve (building at most once per JVM) BOTH per-fixture component
+    * memos `knnVsCellClustersAt` serves from, returning (knnPath,
+    * cellPath). Public so Bench's "knn-cell-components" warm-up can time
+    * EXACTLY the memo builds — timing the full query there would fold
+    * serve-path work (memo reads + histograms + sort) into the reported
+    * build seconds and double-count it against the timed query row. */
+  def knnCellComponentPaths(
       spark: SparkSession, sfDir: String,
       k: Int = 3, threshold: Double = 0.4,
-      stride: Int = ivfStride, nprobe: Int = knnProbes): DataFrame = {
+      stride: Int = ivfStride, nprobe: Int = knnProbes): (String, String) = {
     val embeddings = graft.sources.Tables(spark, sfDir, "embeddings")
     val base = Dedup.cached(embeddings.select(
       col("vec_id"), asDouble(col("embedding")).as("v")))
     val ranked = rankedCells(base, stride, nprobe)
-    def histo(clusters: DataFrame, method: String) =
-      clusters
-        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz").as("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"))
-        .select(lit(method).as("method"), col("cluster_size"),
-          col("n_clusters"))
     val withCell = base.join(
       capCells(ranked.where(col("prn") === 1).select(col("vec_id"), col("cell"))),
       Seq("vec_id"))
@@ -837,6 +829,29 @@ object Similarity {
       "knncellcomp", s"$sfDir|$threshold|$stride|$nprobe") { out =>
       Dedup.components(cellPairs).write.mode("overwrite").parquet(out)
     }
+    (knnPath, cellPath)
+  }
+
+  /** [[knnVsCellClusters]] with BOTH component passes resolved through
+    * per-fixture memos: the k-NN side reads the labeling `knnClustersAt`
+    * populates, and the cell side's pairwise-verify + components loop is
+    * memoized under its own key (VERDICT r10 item 2 — it used to run
+    * live inside the timed query every round, ~2 s of the query's 3 s at
+    * sf0.1, because its threshold differs from the semantic-dedup memo).
+    * The histograms are unchanged bit-for-bit — the oracle pins them. */
+  def knnVsCellClustersAt(
+      spark: SparkSession, sfDir: String,
+      k: Int = 3, threshold: Double = 0.4,
+      stride: Int = ivfStride, nprobe: Int = knnProbes): DataFrame = {
+    val (knnPath, cellPath) =
+      knnCellComponentPaths(spark, sfDir, k, threshold, stride, nprobe)
+    def histo(clusters: DataFrame, method: String) =
+      clusters
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(method).as("method"), col("cluster_size"),
+          col("n_clusters"))
     histo(spark.read.parquet(knnPath), "knn_graph")
       .unionAll(histo(spark.read.parquet(cellPath), "ivf_cell"))
       .orderBy("method", "cluster_size")

@@ -32,5 +32,9 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(Bench.parsePrior("not json at all").isEmpty)
     assert(Bench.parsePrior("""{"value":1.0}""").isEmpty)
     assert(Bench.parsePrior("""{"queries":{""").isEmpty)
+    // a value the regex admits but parseDouble rejects skips only its
+    // own entry, never the map
+    assert(Bench.parsePrior("""{"queries":{"a":1.2.3,"b":0.5}}""") ===
+      Map("b" -> 0.5))
   }
 }
