@@ -544,6 +544,39 @@ object Multimodal {
       }
       Some((w, h, out))
     }
+
+    /** Encode (w, h, top-down `0xRRGGBB` pixels) as a conforming 24-bpp
+      * BMP — the exact inverse of [[decode]] (bottom-up rows, 4-byte
+      * padding, B,G,R order); decode(encode(w, h, px)) round-trips
+      * bit-for-bit (spec-pinned). */
+    def encode(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      require(px.length == w * h, "pixel array must be w*h")
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val size = 54 + rowSize * h
+      val b = new Array[Byte](size)
+      def putLe(off: Int, v: Int, n: Int): Unit = {
+        var i = 0
+        while (i < n) { b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      }
+      b(0) = 'B'.toByte; b(1) = 'M'.toByte
+      putLe(2, size, 4); putLe(10, 54, 4); putLe(14, 40, 4)
+      putLe(18, w, 4); putLe(22, h, 4); putLe(26, 1, 2); putLe(28, 24, 2)
+      putLe(34, rowSize * h, 4); putLe(38, 2835, 4); putLe(42, 2835, 4)
+      var y = 0
+      while (y < h) {
+        val base = 54 + (h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x)
+          b(base + 3 * x) = (p & 0xff).toByte
+          b(base + 3 * x + 1) = ((p >> 8) & 0xff).toByte
+          b(base + 3 * x + 2) = ((p >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      b
+    }
   }
 
   /** Pixel-level features decoded from REAL image bytes. All-integer
@@ -582,6 +615,60 @@ object Multimodal {
               i += 1
             }
             BmpFeatures(id, w, h, w.toLong * h, sr, sg, sb, luma, ck)
+          }
+        }
+      }.toDF()
+  }
+
+  /** REAL pixel resampling end-to-end (closing the "geometry-only"
+    * caveat on [[resize]] for the BMP path): decode the source bytes →
+    * nearest-neighbor resample to fit `maxDim`×`maxDim` (no upscaling;
+    * the [[resize]] scale/rounding contract: `max(1, round(dim·s))`) →
+    * RE-ENCODE as a conforming BMP → DECODE the re-encoded bytes →
+    * feature the re-decoded pixels. The features thus pin the whole
+    * decode→resample→encode→decode chain: a wrong source-pixel mapping,
+    * a broken encoder, or an asymmetric decode all change the sums.
+    * Nearest-neighbor uses pure integer arithmetic — source (x, y) =
+    * (x'·w ÷ w', y'·h ÷ h') with floor division — so DuckDB replays it
+    * exactly from the synth formula. Non-conforming payloads drop (row
+    * count pins it). */
+  def bmpResizeFeatures(media: DataFrame, maxDim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          BmpCodec.decode(payload).flatMap { case (w, h, px) =>
+            val s = math.min(1.0, maxDim.toDouble / math.max(w, h))
+            val tw = if (s >= 1.0) w else math.max(1, math.round(w * s).toInt)
+            val th = if (s >= 1.0) h else math.max(1, math.round(h * s).toInt)
+            val out = new Array[Int](tw * th)
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) {
+                out(y * tw + x) = px((y * h / th) * w + (x * w / tw))
+                x += 1
+              }
+              y += 1
+            }
+            BmpCodec.decode(BmpCodec.encode(tw, th, out)).map {
+              case (w2, h2, px2) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var luma = 0L; var ck = 0L
+                var i = 0
+                while (i < px2.length) {
+                  val r = (px2(i) >> 16) & 0xff
+                  val g = (px2(i) >> 8) & 0xff
+                  val b = px2(i) & 0xff
+                  sr += r; sg += g; sb += b
+                  luma += 299L * r + 587L * g + 114L * b
+                  ck += (i + 1).toLong * (r + 2L * g + 3L * b)
+                  i += 1
+                }
+                BmpFeatures(id, w2, h2, w2.toLong * h2, sr, sg, sb, luma, ck)
+            }
           }
         }
       }.toDF()

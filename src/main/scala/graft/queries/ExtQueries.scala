@@ -3728,6 +3728,47 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // REAL pixel RESAMPLING end-to-end: decode → integer nearest-
+    // neighbor to fit 8×8 (the resize scale/rounding contract) →
+    // re-ENCODE as a conforming BMP → decode again → integer features
+    // of the re-decoded pixels. DuckDB replays scale, rounding
+    // (floor(x+0.5) ≡ Math.round), the floor-division source-pixel
+    // mapping, and the channel formulas directly — the oracle pins the
+    // whole decode→resample→encode→decode chain.
+    ("media_resize_bmp",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .bmpResizeFeatures(graft.ext.Multimodal.mediaBmp(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS w,
+         CAST((doc_id * 7) % 12 + 1 AS INT) AS h
+  FROM documents),
+t AS (
+  SELECT doc_id, w, h,
+         CASE WHEN greatest(w, h) <= 8 THEN w
+              ELSE greatest(1, CAST(floor(w * (8.0 / greatest(w, h)) + 0.5) AS INT)) END AS tw,
+         CASE WHEN greatest(w, h) <= 8 THEN h
+              ELSE greatest(1, CAST(floor(h * (8.0 / greatest(w, h)) + 0.5) AS INT)) END AS th
+  FROM dms),
+px AS (
+  SELECT doc_id, w, h, tw, th, i % tw AS x, i // tw AS y
+  FROM t, unnest(range(0, tw * th)) AS u(i)),
+v AS (
+  SELECT doc_id, tw, th,
+         (doc_id + 3 * ((x * w) // tw) + 7 * ((y * h) // th)) % 256 AS b,
+         (5 * doc_id + ((x * w) // tw) + 11 * ((y * h) // th)) % 256 AS g,
+         (9 * doc_id + 13 * ((x * w) // tw) + ((y * h) // th)) % 256 AS r,
+         y * tw + x + 1 AS pw
+  FROM px)
+SELECT doc_id AS media_id, tw AS width, th AS height,
+       (tw * th)::BIGINT AS n_px,
+       sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+       sum(b)::BIGINT AS sum_b,
+       sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+       sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM v GROUP BY doc_id, tw, th ORDER BY media_id""")),
+
     // Aspect-preserving resize geometry over header-parsed dims — fully
     // oracle-able now: the oracle derives the same dims from the synth
     // formulas (ground truth the parse must reproduce) and replays the

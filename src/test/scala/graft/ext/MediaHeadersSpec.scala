@@ -248,6 +248,38 @@ class MediaHeadersSpec extends SparkSuite {
     assert(Multimodal.BmpCodec.decode(compressed).isEmpty, "BI_RLE8 rejected")
   }
 
+  test("BmpCodec.encode is decode's exact inverse, and bmpResizeFeatures " +
+      "picks the nearest-neighbor source pixels the formula predicts") {
+    // round-trip: arbitrary pixels, odd width (padding exercised)
+    val w = 5; val h = 3
+    val px = Array.tabulate(w * h)(i => (i * 2654435761L & 0xffffff).toInt)
+    val Some((w2, h2, px2)) =
+      Multimodal.BmpCodec.decode(Multimodal.BmpCodec.encode(w, h, px))
+    assert((w2, h2) === ((w, h)))
+    assert(px2.toSeq === px.toSeq)
+    // resample: a 16×2 image fits 8×8 by halving width (s = 0.5,
+    // tw = 8, th = max(1, round(2·0.5)) = 1); source x = x'·16/8 = 2x',
+    // source y = y'·2/1 = 0 — the formula's exact floor-division picks
+    val doc = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .where(col("doc_id") === 15L) // w = 15%16+1 = 16, h = 105%12+1 = 10
+    val feats = Multimodal.bmpFeatures(Multimodal.mediaBmp(doc)).head()
+    assert(feats.getAs[Int]("width") === 16 && feats.getAs[Int]("height") === 10)
+    val rs = Multimodal.bmpResizeFeatures(Multimodal.mediaBmp(doc)).head()
+    // s = 8/16 = 0.5 → tw 8, th max(1, round(10·0.5)) = 5
+    assert(rs.getAs[Int]("width") === 8 && rs.getAs[Int]("height") === 5)
+    // spot-check the checksum against a direct formula evaluation
+    val id = 15L
+    var ck = 0L
+    for (y <- 0 until 5; x <- 0 until 8) {
+      val sx = x * 16 / 8; val sy = y * 10 / 5
+      val r = (9 * id + 13 * sx + sy) % 256
+      val g = (5 * id + sx + 11 * sy) % 256
+      val b = (id + 3 * sx + 7 * sy) % 256
+      ck += (y * 8 + x + 1).toLong * (r + 2 * g + 3 * b)
+    }
+    assert(rs.getAs[Long]("checksum") === ck)
+  }
+
   test("mediaBmp synthesizes conforming files and bmpFeatures' decode " +
       "matches a direct formula evaluation") {
     val feats = Multimodal.bmpFeatures(Multimodal.mediaBmp(docs))
