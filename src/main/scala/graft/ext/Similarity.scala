@@ -857,6 +857,98 @@ object Similarity {
       .orderBy("method", "cluster_size")
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein, SIGIR '98)
+    * diversified re-ranking — the standard post-ANN diversification pass
+    * production retrieval stacks run so the top-k isn't k near-copies of
+    * the best hit: greedily select, from the top-`n` cosine candidates,
+    * the item maximizing `λ·sim(q, c) − (1−λ)·max_{s∈S} sim(c, s)`
+    * (ties → lowest id), until `k` are chosen.
+    *
+    * Determinism contract (what buys the full DuckDB oracle): the greedy
+    * operates on 6-dp ROUNDED similarities both engines compute
+    * identically (the repo's round-then-compare idiom), λ = 0.5 scales
+    * by an exact power of two, and the reported score is the exact
+    * integer micro-rendering `floor((qs − div)·10⁶ + 0.5)` — a rounded
+    * sim times 10⁶ is within ~1e-9 of an integer, never near a .5 tie.
+    * The oracle replays the selection as k unrolled argmax stages.
+    *
+    * Scale: candidate generation is the [[cosineTopK]] plan (broadcast
+    * queries, one window); the pairwise matrix is n² per query on the
+    * top-n ONLY (n = 20 → 190 skinny rows/query); the greedy itself is
+    * O(k·n) per query over those bounded, pre-aggregated lists — the
+    * one genuinely sequential step, run as a typed map over one row per
+    * query (never the corpus). */
+  def mmrTopK(
+      embeddings: DataFrame, numQueries: Int = 10, n: Int = 20,
+      k: Int = 10, lambdaRel: Double = 0.5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = Dedup.cached(embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v")))
+    val qframe = base.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val cand = Dedup.cached(base
+      .join(broadcast(qframe), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= n)
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round(col("sim"), 6).as("qs"), col("v")))
+    val pairs = cand.select(col("q_id"), col("cand_id").as("ca"), col("v").as("va"))
+      .join(cand.select(col("q_id"), col("cand_id").as("cb"), col("v").as("vb")),
+        Seq("q_id"))
+      .where(col("ca") < col("cb"))
+      .select(col("q_id"), col("ca"), col("cb"),
+        round(cosine(col("va"), col("vb")), 6).as("ps"))
+    val candAgg = cand.groupBy("q_id")
+      .agg(collect_list(struct(col("cand_id"), col("qs"))).as("cs"))
+    val pairAgg = pairs.groupBy("q_id")
+      .agg(collect_list(struct(col("ca"), col("cb"), col("ps"))).as("pp"))
+    candAgg.join(pairAgg, Seq("q_id"), "left")
+      .flatMap { row =>
+        val q = row.getLong(0)
+        val cs = row.getSeq[org.apache.spark.sql.Row](1)
+          .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+        val psim: Map[(Long, Long), Double] =
+          if (row.isNullAt(2)) Map.empty
+          else row.getSeq[org.apache.spark.sql.Row](2)
+            .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        def pairSim(a: Long, b: Long): Double =
+          if (a < b) psim((a, b)) else psim((b, a))
+        val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Long)]
+        while (selected.length < k && remaining.nonEmpty) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var bestMicro = 0L
+          var i = 0
+          while (i < remaining.length) {
+            val (id, qs) = remaining(i)
+            val div =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(s => pairSim(id, s)).max
+            val score = lambdaRel * qs - (1 - lambdaRel) * div
+            if (score > bestScore || (score == bestScore && id < bestId)) {
+              bestScore = score; bestId = id; bestIdx = i
+              bestMicro = math.floor((qs - div) * 1e6 + 0.5).toLong
+            }
+            i += 1
+          }
+          selected += bestId
+          out += ((q, selected.length, bestId, bestMicro))
+          remaining.remove(bestIdx)
+        }
+        out
+      }
+      .toDF("q_id", "rnk", "cand_id", "mmr2x_micro")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * memory-reduction path brute-force ANN needs at 100 TB (4 bytes/dim
     * float32 → 1 byte/dim int8 cuts scan bandwidth and cache footprint

@@ -49,6 +49,65 @@ object ExtQueries {
   private def dot8Sql(a: String, b: String): String =
     (1 to 8).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
 
+  /** MMR greedy selection unrolled as `k` argmax stages (the repo's
+    * unrolled-iteration oracle idiom): stage i ranks the not-yet-selected
+    * candidates by (qs − max sim to the selected set) — with λ = 0.5 the
+    * exact score ordering — and takes the row_number()=1 row, ties →
+    * lowest cand_id, exactly [[graft.ext.Similarity.mmrTopK]]'s greedy
+    * over the same 6-dp-rounded sims. */
+  private def mmrSql(n: Int, k: Int): String = {
+    val stages = (2 to k).map { i =>
+      s"""mx$i AS (
+  SELECT c.q_id, c.cand_id, c.qs, max(p.ps) AS mx
+  FROM cand c
+  JOIN selall${i - 1} s ON s.q_id = c.q_id
+  JOIN p ON p.q_id = c.q_id
+     AND p.ca = least(c.cand_id, s.cand_id)
+     AND p.cb = greatest(c.cand_id, s.cand_id)
+  WHERE NOT EXISTS (SELECT 1 FROM selall${i - 1} x
+                    WHERE x.q_id = c.q_id AND x.cand_id = c.cand_id)
+  GROUP BY c.q_id, c.cand_id, c.qs),
+sel$i AS (
+  SELECT q_id, cand_id,
+         CAST(floor((qs - mx) * 1e6 + 0.5) AS BIGINT) AS micro
+  FROM (SELECT mx$i.*,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY (qs - mx) DESC, cand_id) AS rn FROM mx$i)
+  WHERE rn = 1),
+selall$i AS (SELECT q_id, cand_id FROM selall${i - 1}
+             UNION ALL SELECT q_id, cand_id FROM sel$i)"""
+    }.mkString(",\n")
+    val unions = (1 to k)
+      .map(i => s"SELECT q_id, $i AS rnk, cand_id, micro AS mmr2x_micro FROM sel$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+s AS (SELECT q.q_id, n.vec_id, (${dotSql("qv", "v")}) / (q.qn * n.nrm) AS sim
+      FROM q JOIN n ON n.vec_id <> q.q_id),
+cand AS (SELECT q_id, cand_id, qs FROM (
+  SELECT q_id, vec_id AS cand_id, round(sim, 6) AS qs,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+  FROM s) WHERE rk <= $n),
+p AS (SELECT a.q_id, a.cand_id AS ca, b.cand_id AS cb,
+             round((${dotSql("va.v", "vb.v")}) / (va.nrm * vb.nrm), 6) AS ps
+      FROM cand a
+      JOIN cand b ON b.q_id = a.q_id AND b.cand_id > a.cand_id
+      JOIN n va ON va.vec_id = a.cand_id
+      JOIN n vb ON vb.vec_id = b.cand_id),
+sel1 AS (
+  SELECT q_id, cand_id,
+         CAST(floor(qs * 1e6 + 0.5) AS BIGINT) AS micro
+  FROM (SELECT cand.*,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY qs DESC, cand_id) AS rn FROM cand)
+  WHERE rn = 1),
+selall1 AS (SELECT q_id, cand_id FROM sel1),
+$stages
+$unions
+ORDER BY q_id, rnk"""
+  }
+
   // Product-quantization shared prefix (twin of graft.ext.Pq): int8
   // quantize → 8×8-dim subvectors → data-sampled sub-codebooks (every
   // 2nd vector donates, capped at 256 codewords) → per-(vector, subspace)
@@ -2125,6 +2184,17 @@ JOIN p ON f.fp = p.fp AND f.doc_id <> p.probe_id
 ORDER BY f.doc_id""")),
 
     // -------------------------------------------------------- similarity
+    // MMR diversified re-rank (Carbonell & Goldstein '98): greedy
+    // λ·rel − (1−λ)·redundancy selection over the top-n cosine
+    // candidates. The oracle replays the greedy as k unrolled argmax
+    // stages over the same 6-dp-rounded sims (λ = 0.5 scales by an
+    // exact power of two, so ordering by (qs − max_div) is the score
+    // ordering); the reported value is the exact integer micro-units.
+    ("sim_topk_mmr",
+      (s: SparkSession, d: String) =>
+        Similarity.mmrTopK(embs(s, d), numQueries = 10, n = 20, k = 10),
+      Some(mmrSql(n = 20, k = 10))),
+
     ("sim_topk",
       (s: SparkSession, d: String) =>
         Similarity.cosineTopK(embs(s, d), numQueries = 10, k = 10)

@@ -394,4 +394,46 @@ class SimilaritySpec extends SparkSuite {
     assert(capped.size < uncapped.size / 4,
       s"capped ${capped.size} should be far below uncapped ${uncapped.size}")
   }
+
+  test("mmrTopK diversifies: rank 1 equals the cosine top hit, every " +
+      "pick is from the candidate pool, and diversity beats plain top-k " +
+      "on redundancy") {
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val plain = Similarity.cosineTopK(fx, numQueries = 10, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("neighbor_id")).toSeq).toMap
+    val mmr = Similarity.mmrTopK(fx, numQueries = 10, n = 20, k = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rnk"))
+        .map(_.getAs[Long]("cand_id")).toSeq).toMap
+    assert(mmr.keySet === plain.keySet)
+    mmr.foreach { case (q, picks) =>
+      assert(picks.length === 10 && picks.distinct.length === 10)
+      // MMR's first pick IS the cosine argmax (empty-set diversity term)
+      assert(picks.head === plain(q).head, s"rank-1 must match for q=$q")
+    }
+    // redundancy: mean max-pairwise-sim inside the selected set must not
+    // exceed plain top-k's (MMR penalizes exactly that term; on a corpus
+    // with any clustered structure it strictly improves somewhere)
+    def meanMaxPair(sel: Map[Long, Seq[Long]]): Double = {
+      val vecs = fx.collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val per = sel.values.map { ids =>
+        (for { a <- ids; b <- ids if a < b } yield cos(vecs(a), vecs(b))).max
+      }
+      per.sum / per.size
+    }
+    val mmrRed = meanMaxPair(mmr)
+    val plainRed = meanMaxPair(plain)
+    info(f"mean max-pairwise sim: mmr $mmrRed%.4f vs plain $plainRed%.4f")
+    assert(mmrRed <= plainRed + 1e-9,
+      "MMR must not be MORE redundant than the undiversified top-k")
+  }
 }
