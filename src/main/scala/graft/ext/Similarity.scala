@@ -881,21 +881,51 @@ object Similarity {
   def mmrTopK(
       embeddings: DataFrame, numQueries: Int = 10, n: Int = 20,
       k: Int = 10, lambdaRel: Double = 0.5): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val base = Dedup.cached(embeddings.select(
       col("vec_id"), asDouble(col("embedding")).as("v")))
     val qframe = base.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    val cand = Dedup.cached(base
+    mmrFromCandidates(base
       .join(broadcast(qframe), col("vec_id") =!= col("q_id"))
       .withColumn("sim", cosine(col("q"), col("v")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= n)
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        round(col("sim"), 6).as("qs"), col("v")))
+        round(col("sim"), 6).as("qs"), col("v")),
+      k, lambdaRel)
+  }
+
+  /** [[mmrTopK]] with the candidate pool served by the IVF probe instead
+    * of the exact scan — the diversified-ANN composition a production
+    * stack actually runs (probe the index for ~2k candidates, MMR the
+    * page). Same greedy, same determinism contract; only candidate
+    * GENERATION differs, so the oracle splices the MMR stages onto the
+    * IVF replay's ranked candidates. */
+  def mmrTopKIvf(
+      embeddings: DataFrame, numQueries: Int = 10, n: Int = 20,
+      k: Int = 10, lambdaRel: Double = 0.5,
+      stride: Int = ivfStride, nprobe: Int = ivfProbes): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    mmrFromCandidates(
+      ivfCandidates(embeddings, numQueries, stride, nprobe)
+        .withColumn("sim", cosine(col("q"), col("v")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= n)
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(col("sim"), 6).as("qs"), col("v")),
+      k, lambdaRel)
+  }
+
+  /** The shared MMR greedy over a prepared candidate frame
+    * (q_id, cand_id, qs = 6-dp-rounded query sim, v). */
+  private def mmrFromCandidates(
+      cand0: DataFrame, k: Int, lambdaRel: Double): DataFrame = {
+    val spark = cand0.sparkSession
+    import spark.implicits._
+    val cand = Dedup.cached(cand0)
     val pairs = cand.select(col("q_id"), col("cand_id").as("ca"), col("v").as("va"))
       .join(cand.select(col("q_id"), col("cand_id").as("cb"), col("v").as("vb")),
         Seq("q_id"))

@@ -54,16 +54,20 @@ object ExtQueries {
     * candidates by (qs − max sim to the selected set) — with λ = 0.5 the
     * exact score ordering — and takes the row_number()=1 row, ties →
     * lowest cand_id, exactly [[graft.ext.Similarity.mmrTopK]]'s greedy
-    * over the same 6-dp-rounded sims. */
-  private def mmrSql(n: Int, k: Int): String = {
+    * over the same 6-dp-rounded sims. Prefix-agnostic: expects prior
+    * CTEs `n` (vec_id, v, nrm) and `cand` (q_id, cand_id, qs), so the
+    * same stages splice onto the brute-force AND the IVF candidate
+    * replays (the pairwise CTE is `mpp` — `p` is taken in the IVF
+    * prefix). */
+  private def mmrStagesSql(k: Int): String = {
     val stages = (2 to k).map { i =>
       s"""mx$i AS (
-  SELECT c.q_id, c.cand_id, c.qs, max(p.ps) AS mx
+  SELECT c.q_id, c.cand_id, c.qs, max(mpp.ps) AS mx
   FROM cand c
   JOIN selall${i - 1} s ON s.q_id = c.q_id
-  JOIN p ON p.q_id = c.q_id
-     AND p.ca = least(c.cand_id, s.cand_id)
-     AND p.cb = greatest(c.cand_id, s.cand_id)
+  JOIN mpp ON mpp.q_id = c.q_id
+     AND mpp.ca = least(c.cand_id, s.cand_id)
+     AND mpp.cb = greatest(c.cand_id, s.cand_id)
   WHERE NOT EXISTS (SELECT 1 FROM selall${i - 1} x
                     WHERE x.q_id = c.q_id AND x.cand_id = c.cand_id)
   GROUP BY c.q_id, c.cand_id, c.qs),
@@ -80,16 +84,7 @@ selall$i AS (SELECT q_id, cand_id FROM selall${i - 1}
     val unions = (1 to k)
       .map(i => s"SELECT q_id, $i AS rnk, cand_id, micro AS mmr2x_micro FROM sel$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
-s AS (SELECT q.q_id, n.vec_id, (${dotSql("qv", "v")}) / (q.qn * n.nrm) AS sim
-      FROM q JOIN n ON n.vec_id <> q.q_id),
-cand AS (SELECT q_id, cand_id, qs FROM (
-  SELECT q_id, vec_id AS cand_id, round(sim, 6) AS qs,
-         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
-  FROM s) WHERE rk <= $n),
-p AS (SELECT a.q_id, a.cand_id AS ca, b.cand_id AS cb,
+    s"""mpp AS (SELECT a.q_id, a.cand_id AS ca, b.cand_id AS cb,
              round((${dotSql("va.v", "vb.v")}) / (va.nrm * vb.nrm), 6) AS ps
       FROM cand a
       JOIN cand b ON b.q_id = a.q_id AND b.cand_id > a.cand_id
@@ -107,6 +102,26 @@ $stages
 $unions
 ORDER BY q_id, rnk"""
   }
+
+  private def mmrSql(n: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+s AS (SELECT q.q_id, n.vec_id, (${dotSql("qv", "v")}) / (q.qn * n.nrm) AS sim
+      FROM q JOIN n ON n.vec_id <> q.q_id),
+cand AS (SELECT q_id, cand_id, qs FROM (
+  SELECT q_id, vec_id AS cand_id, round(sim, 6) AS qs,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+  FROM s) WHERE rk <= $n),
+${mmrStagesSql(k)}"""
+
+  /** MMR over the IVF probe's candidates: the `top` CTE of the IVF
+    * replay, capped at `n`, feeds the same unrolled greedy. */
+  private def mmrIvfSql(n: Int, k: Int): String =
+    s"""${ivfTopSql(10)},
+cand AS (SELECT q_id, neighbor_id AS cand_id, sim_r AS qs
+         FROM top WHERE rnk <= $n),
+${mmrStagesSql(k)}"""
 
   // Product-quantization shared prefix (twin of graft.ext.Pq): int8
   // quantize → 8×8-dim subvectors → data-sampled sub-codebooks (every
@@ -2194,6 +2209,14 @@ ORDER BY f.doc_id""")),
       (s: SparkSession, d: String) =>
         Similarity.mmrTopK(embs(s, d), numQueries = 10, n = 20, k = 10),
       Some(mmrSql(n = 20, k = 10))),
+
+    // MMR over the IVF probe's candidate pool — the diversified-ANN
+    // composition a serving stack actually runs (probe, then MMR the
+    // page): same unrolled greedy spliced onto the IVF replay's `top`.
+    ("sim_topk_ivf_mmr",
+      (s: SparkSession, d: String) =>
+        Similarity.mmrTopKIvf(embs(s, d), numQueries = 10, n = 20, k = 10),
+      Some(mmrIvfSql(n = 20, k = 10))),
 
     ("sim_topk",
       (s: SparkSession, d: String) =>

@@ -435,5 +435,22 @@ class SimilaritySpec extends SparkSuite {
     info(f"mean max-pairwise sim: mmr $mmrRed%.4f vs plain $plainRed%.4f")
     assert(mmrRed <= plainRed + 1e-9,
       "MMR must not be MORE redundant than the undiversified top-k")
+    // the IVF-served variant: same shape, rank 1 = the IVF probe's top
+    // hit, every pick from the probe's candidate pool
+    val ivfTop = Similarity.ivfTopK(fx, numQueries = 10, k = 20).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("neighbor_id")).toSeq).toMap
+    val ivfMmr = Similarity.mmrTopKIvf(fx, numQueries = 10, n = 20, k = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rnk"))
+        .map(_.getAs[Long]("cand_id")).toSeq).toMap
+    ivfMmr.foreach { case (q, picks) =>
+      assert(picks.length === 10 && picks.distinct.length === 10)
+      assert(picks.head === ivfTop(q).head, s"rank-1 must be the probe top for q=$q")
+      assert(picks.toSet.subsetOf(ivfTop(q).toSet),
+        s"every pick must come from the probed candidate pool for q=$q")
+    }
   }
 }
