@@ -966,15 +966,22 @@ object Dedup {
     // fingerprints, and the expansion is exact — within a group hamming
     // is 0 (≤ any maxHamming ≥ 0), across groups a member pair is a
     // candidate iff its reps are and carries the reps' exact hamming.
-    // NULL fingerprints (a null-text doc simhashes to null) are dropped
-    // FIRST: the window would group them as one "identical" cluster
-    // (SQL grouping equates NULLs) where the replaced band equi-join
-    // never matched them (null band_val joins nothing) — the same guard
-    // nearDupCore's size(sh) > 0 filter provides for the Jaccard path.
+    // NULL fingerprints (a null-text doc simhashes to null) are dropped:
+    // the window would group them as one "identical" cluster (SQL
+    // grouping equates NULLs) where the replaced band equi-join never
+    // matched them (null band_val joins nothing). The filter sits ABOVE
+    // the cache, not below the window: pushed below, `isnotnull(fp)`
+    // substitutes the whole fingerprint expression into the predicate —
+    // for the media path that is an interpreted higher-order lambda
+    // (no codegen CSE, so fp computes TWICE) whose hex input then
+    // collapses into the per-gram transform (the O(n²) re-hex trap) —
+    // measured 0.9 s → 6.3 s on media_near_dup before this ordering.
+    // Nulls ride the window in their own harmless partition and are
+    // dropped from the cached output everywhere downstream.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val withRep = cached(fps.select(col("doc_id"), col("fp"))
-      .where(col("fp").isNotNull)
+    val withRep0 = cached(fps.select(col("doc_id"), col("fp"))
       .withColumn("rep", min(col("doc_id")).over(w)))
+    val withRep = withRep0.where(col("fp").isNotNull)
     val members = withRep.select(col("doc_id"), col("rep"))
     val fp = withRep.where(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("fp"))
