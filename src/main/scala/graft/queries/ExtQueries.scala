@@ -4307,7 +4307,93 @@ au AS (SELECT sel.q_id,
        GROUP BY sel.q_id)
 SELECT q_id, n_negs, pos_label_match, n_false_negs,
        round(n_false_negs::DOUBLE / n_negs, 6) AS false_neg_share_r
-FROM au ORDER BY q_id"""))
+FROM au ORDER BY q_id""")),
+
+    // ------------------------------------------------------ heavy hitters
+    // Misra–Gries frequent keys, registered in its self-verifying form
+    // (the contamination_bloom pattern): the row set is the guaranteed-
+    // survivor set — keys whose EXACT count clears N/(k+1), which DuckDB
+    // recomputes — and the sketch's three contracts (membership,
+    // no-overcount, undercount band) ride as oracle-pinned booleans in
+    // integer arithmetic. The key is the repo's fold idiom applied for
+    // skew: `1000 div (1 + event_id % 1000)` turns the uniform synthetic
+    // id stream into the power-law head (P(key=m) ≈ 1/m(m+1)) real
+    // traffic keys have — 62 distinct keys, so k=32 counters genuinely
+    // evict (see graft.ext.HeavyHitters for the bounds).
+    ("events_heavy_hitters",
+      (s: SparkSession, d: String) =>
+        graft.ext.HeavyHitters.heavyHittersCheck(
+          Tables(s, d, "events").selectExpr(
+            "cast(1000 div (1 + event_id % 1000) as string) as hh_key"),
+          k = 32),
+      Some("""WITH cc AS (
+  SELECT CAST(1000 // (1 + event_id % 1000) AS VARCHAR) AS key,
+         count(*)::BIGINT AS exact_n
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(exact_n)::BIGINT AS n_total FROM cc)
+SELECT key, exact_n, TRUE AS in_summary, TRUE AS no_overcount,
+       TRUE AS within_band
+FROM cc, tot WHERE exact_n * 33 > n_total ORDER BY key""")),
+
+    // -------------------------------------------------- entity resolution
+    // Blocked fuzzy name matching over the part catalog: head-noun
+    // blocking key, levenshtein verify INSIDE blocks only (the
+    // candidate-generation discipline of the LSH tier applied to ER).
+    // The oracle replays the same blocking — the registered semantics IS
+    // the blocked join, the production ER shape at catalog scale.
+    ("er_fuzzy_parts",
+      (s: SparkSession, d: String) =>
+        graft.ext.EntityResolution.fuzzyNameMatches(
+          Tables(s, d, "part"), maxDist = 2),
+      Some("""WITH n AS (
+  SELECT p_name AS name, count(*)::BIGINT AS n_rows,
+         string_split(p_name, ' ')[-1] AS blk
+  FROM part WHERE p_name IS NOT NULL GROUP BY p_name),
+m AS (SELECT a.name AS name_a, b.name AS name_b,
+             levenshtein(a.name, b.name)::INT AS dist,
+             a.n_rows AS n_a, b.n_rows AS n_b
+      FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 2)
+SELECT name_a, name_b, dist, n_a, n_b FROM m ORDER BY name_a, name_b""")),
+
+    // ------------------------------------------------------ table profile
+    // One-scan data census over orders: every column's null count, exact
+    // cardinality, and typed range from a single aggregate, unpivoted
+    // in-plan (see graft.ext.Profile — the per-column-scan profiler is
+    // the anti-pattern this replaces).
+    ("orders_profile",
+      (s: SparkSession, d: String) =>
+        graft.ext.Profile.profile(Tables(s, d, "orders")),
+      Some("""WITH s AS (SELECT
+  count(*)::BIGINT AS n_rows,
+  count(o_orderkey)::BIGINT AS nn1, count(DISTINCT o_orderkey)::BIGINT AS nd1,
+  CAST(min(o_orderkey) AS DOUBLE) AS mn1, CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+  count(o_custkey)::BIGINT AS nn2, count(DISTINCT o_custkey)::BIGINT AS nd2,
+  CAST(min(o_custkey) AS DOUBLE) AS mn2, CAST(max(o_custkey) AS DOUBLE) AS mx2,
+  count(o_orderstatus)::BIGINT AS nn3, count(DISTINCT o_orderstatus)::BIGINT AS nd3,
+  min(o_orderstatus) AS mns3, max(o_orderstatus) AS mxs3,
+  count(o_totalprice)::BIGINT AS nn4, count(DISTINCT o_totalprice)::BIGINT AS nd4,
+  min(o_totalprice) AS mn4, max(o_totalprice) AS mx4,
+  count(o_orderdate)::BIGINT AS nn5, count(DISTINCT o_orderdate)::BIGINT AS nd5,
+  CAST(epoch_ms(min(o_orderdate)) AS DOUBLE) AS mn5,
+  CAST(epoch_ms(max(o_orderdate)) AS DOUBLE) AS mx5,
+  count(o_orderpriority)::BIGINT AS nn6, count(DISTINCT o_orderpriority)::BIGINT AS nd6,
+  min(o_orderpriority) AS mns6, max(o_orderpriority) AS mxs6
+FROM orders)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name, n_rows, n_rows - nn1 AS n_nulls, nd1 AS n_distinct,
+         mn1 AS min_num, mx1 AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM s
+  UNION ALL
+  SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2, NULL, NULL FROM s
+  UNION ALL
+  SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, NULL, NULL, mns3, mxs3 FROM s
+  UNION ALL
+  SELECT 'o_totalprice', n_rows, n_rows - nn4, nd4, mn4, mx4, NULL, NULL FROM s
+  UNION ALL
+  SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5, NULL, NULL FROM s
+  UNION ALL
+  SELECT 'o_orderpriority', n_rows, n_rows - nn6, nd6, NULL, NULL, mns6, mxs6 FROM s
+) ORDER BY column_name"""))
   )
 
   val queries: Map[String, Q] =

@@ -302,6 +302,36 @@ FROM f a JOIN f b ON a.following_id = b.follower_id
 WHERE b.following_id <> a.follower_id
 GROUP BY a.follower_id ORDER BY a.follower_id"""))),
 
+    // §2.3 graph extension: per-vertex triangle counts — the mutual-
+    // connection signal. Spark side runs the degree-ordered wedge
+    // enumeration (O(m^1.5) wedge exchange — see graft.serve.GraphStats);
+    // the oracle enumerates by id order, which yields the identical
+    // per-vertex counts (any total order finds each triangle exactly
+    // once), so the hash compare pins the orientation plan's exactness.
+    ("feed_triangles",
+      (s: SparkSession, d: String) =>
+        graft.serve.GraphStats.triangles(followEdges(s, d)),
+      Some(OracleCte.withCdc(
+        """, f AS (SELECT DISTINCT least(follower_id, following_id) AS a,
+                       greatest(follower_id, following_id) AS b
+       FROM followers_cdc
+       WHERE __op = 'c' AND follower_id <> following_id),
+deg AS (SELECT v, count(*)::BIGINT AS degree
+        FROM (SELECT a AS v FROM f UNION ALL SELECT b AS v FROM f)
+        GROUP BY v),
+tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM f e1
+        JOIN f e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN f e3 ON e3.a = e1.b AND e3.b = e2.b),
+pv AS (SELECT vertex, count(*)::BIGINT AS triangles
+       FROM (SELECT u AS vertex FROM tri UNION ALL SELECT v FROM tri
+             UNION ALL SELECT w FROM tri)
+       GROUP BY vertex)
+SELECT d.v AS user_id, d.degree,
+       coalesce(p.triangles, 0)::BIGINT AS triangles
+FROM deg d LEFT JOIN pv p ON d.v = p.vertex
+ORDER BY user_id"""))),
+
     // CDC update/delete materialization: the current-state (upsert) view —
     // latest version per (table, pk) by source timestamp, deletes applied.
     // The one CDC query shape the reference's creates-only feed never

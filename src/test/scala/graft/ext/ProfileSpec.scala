@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkSuite
+import java.sql.Timestamp
+
+/** One-pass profiler: null counts, exact cardinalities, typed ranges per
+  * column type (numeric, string, timestamp), and the single-scan shape. */
+class ProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("profiles numerics, strings, and timestamps with nulls") {
+    val df = Seq(
+      (Some(1L), Some("b"), Some(Timestamp.valueOf("2020-01-01 00:00:00")), Some(2.5)),
+      (Some(3L), None, Some(Timestamp.valueOf("2020-01-02 00:00:00")), Some(1.5)),
+      (None, Some("a"), None, Some(2.5))
+    ).toDF("num", "str", "ts", "dbl")
+    val got = Profile.profile(df).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7)))
+    }.toList
+    assert(got === List(
+      ("dbl", 3L, 0L, 2L, Some(1.5), Some(2.5), None, None),
+      ("num", 3L, 1L, 2L, Some(1.0), Some(3.0), None, None),
+      ("str", 3L, 1L, 2L, None, None, Some("a"), Some("b")),
+      ("ts", 3L, 1L, 2L,
+        Some(1577836800000L.toDouble), Some(1577923200000L.toDouble),
+        None, None)))
+  }
+
+  test("an all-null column reports full nulls and zero distinct") {
+    val df = Seq((1L, None: Option[String]), (2L, None))
+      .toDF("id", "gone")
+    val row = Profile.profile(df).collect()
+      .find(_.getString(0) == "gone").get
+    assert(row.getLong(2) === 2L) // n_nulls
+    assert(row.getLong(3) === 0L) // n_distinct
+    assert(row.isNullAt(6) && row.isNullAt(7))
+  }
+
+  test("single scan: exactly one Scan node in the physical plan") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val plan = Profile.profile(df).queryExecution.executedPlan.toString
+    val scans = "Scan|LocalTableScan".r.findAllIn(plan).size
+    assert(scans === 1, s"expected one scan, plan:\n$plan")
+  }
+}
