@@ -35,16 +35,23 @@ object GraphStats {
     * set, deterministic). `followers` is the CDC branch frame
     * ([[graft.sources.CdcSource]]). */
   def triangles(followers: DataFrame): DataFrame = {
-    // undirected edge set: creates only, self-loops out, (lo, hi) canonical
-    val und = followers.where(col("__op") === "c")
-      .select(col("follower_id").as("x"), col("following_id").as("y"))
-      .where(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("v"))
-      .unionAll(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("degree"))
+    // undirected edge set: creates only, self-loops out, (lo, hi)
+    // canonical. Checkpointed (the Influence graph-frame pattern): the
+    // frame feeds FOUR consumers (both degree-union arms, orientation,
+    // wedge closure) and each would otherwise re-run the CDC parse →
+    // distinct chain
+    val und = graft.ext.Dedup.checkpointed(
+      followers.where(col("__op") === "c")
+        .select(col("follower_id").as("x"), col("following_id").as("y"))
+        .where(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct())
+    // degrees feed the two orientation joins and the final report
+    val deg = graft.ext.Dedup.checkpointed(
+      und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("degree")))
 
     // orient a→b toward the (degree, id)-larger endpoint
     val degA = deg.select(col("v").as("a"), col("degree").as("deg_a"))

@@ -37,10 +37,19 @@ class ProfileSpec extends SparkSuite {
     assert(row.isNullAt(6) && row.isNullAt(7))
   }
 
-  test("single scan: exactly one Scan node in the physical plan") {
-    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
-    val plan = Profile.profile(df).queryExecution.executedPlan.toString
-    val scans = "Scan|LocalTableScan".r.findAllIn(plan).size
-    assert(scans === 1, s"expected one scan, plan:\n$plan")
+  test("per-column scans prune to exactly one parquet column each") {
+    val dir = tmpDir("profile_prune")
+    Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "d")
+      .write.mode("overwrite").parquet(dir)
+    val plan = Profile.profile(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(schemas.size === 3, s"expected 3 pruned scans, plan:\n$plan")
+    schemas.foreach { s =>
+      assert(!s.contains(","), s"scan reads more than one column: $s")
+    }
+    // and no Expand / no SortAggregate over expanded rows anywhere
+    assert(!plan.contains("Expand"), s"multi-distinct Expand present:\n$plan")
   }
 }
