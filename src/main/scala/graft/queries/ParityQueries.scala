@@ -332,6 +332,55 @@ SELECT d.v AS user_id, d.degree,
 FROM deg d LEFT JOIN pv p ON d.v = p.vertex
 ORDER BY user_id"""))),
 
+    // §2.3 graph extension: connected components of the follow graph —
+    // the dedup tier's label-propagation loop on social edges; the
+    // oracle is the recursive-CTE transitive closure (the dedup_clusters
+    // idiom on CDC edges).
+    ("feed_components",
+      (s: SparkSession, d: String) =>
+        graft.serve.GraphStats.followComponents(followEdges(s, d)),
+      Some(OracleCte.withCdc(
+        """, fe AS (SELECT DISTINCT CAST(follower_id AS BIGINT) AS u,
+                        CAST(following_id AS BIGINT) AS v
+        FROM followers_cdc
+        WHERE __op = 'c' AND follower_id <> following_id),
+e AS (SELECT u, v FROM fe UNION ALL SELECT v, u FROM fe),
+r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
+      UNION
+      SELECT r.u, e.v FROM r JOIN e ON r.v = e.u)
+SELECT u AS user_id, (min(v))::BIGINT AS component_id
+FROM r GROUP BY u ORDER BY user_id""").replace(
+        "WITH ev AS", "WITH RECURSIVE ev AS"))),
+
+    // §2.3 graph extension: co-engagement pairs ("users who liked X also
+    // liked") with the hot-item cap applied BEFORE the pair join — the
+    // d² fanout guard (see graft.serve.GraphStats.coEngagement). The
+    // oracle replays the cap's row_number so the semantics stay pinned
+    // even when the fixture never trips it.
+    ("feed_cooccurrence",
+      (s: SparkSession, d: String) => {
+        val ev = CdcSource.events(s, d)
+        val likesAct = flatten(graft.ingest.Adapters.likes(
+          CdcEnvelope.admitted(CdcSource.likes(ev))))
+          .select("user_id", "target_id")
+        graft.serve.GraphStats.coEngagement(likesAct,
+          perItemCap = 20, minCommon = 2)
+      },
+      Some(OracleCte.withCdc(
+        """, lk AS (SELECT DISTINCT user_id, target_id FROM act_likes),
+cap AS (SELECT user_id, target_id FROM (
+          SELECT user_id, target_id,
+                 row_number() OVER (PARTITION BY target_id
+                                    ORDER BY user_id) AS rn
+          FROM lk) z WHERE rn <= 20),
+p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+             count(*)::BIGINT AS n_common
+      FROM cap a JOIN cap b
+        ON a.target_id = b.target_id AND a.user_id < b.user_id
+      GROUP BY 1, 2)
+SELECT user_a, user_b, n_common FROM p
+WHERE n_common >= 2 ORDER BY user_a, user_b"""))),
+
     // CDC update/delete materialization: the current-state (upsert) view —
     // latest version per (table, pk) by source timestamp, deletes applied.
     // The one CDC query shape the reference's creates-only feed never

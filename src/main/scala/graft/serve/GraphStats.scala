@@ -86,4 +86,55 @@ object GraphStats {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .orderBy("user_id")
   }
+
+  /** Connected components of the undirected follow graph — the social-
+    * graph twin of the dedup tier's cluster labeling, riding the same
+    * label-propagation-with-pointer-jumping loop ([[graft.ext.Dedup
+    * .components]]: min-label init folded into round 0, decimal-sum
+    * fixpoint, lineage truncation every 4 rounds). Vertex ids are the
+    * CDC's numeric user-id strings; they cast to BIGINT for the loop's
+    * integer label discipline. One row per vertex that has any edge:
+    * (user_id, component_id = min user id in the component). */
+  def followComponents(followers: DataFrame): DataFrame = {
+    val edges = followers.where(col("__op") === "c")
+      .select(col("follower_id").cast("long").as("doc_a"),
+        col("following_id").cast("long").as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    graft.ext.Dedup.components(edges)
+      .select(col("doc_id").as("user_id"), col("cluster_id").as("component_id"))
+      .orderBy("user_id")
+  }
+
+  /** Co-engagement mining: user pairs that liked ≥ `minCommon` of the
+    * same shards — the "users who liked X also liked" item-CF signal.
+    * The scale hazard is the hot item: a shard with d likers emits d²
+    * pairs, so likers are CAPPED per item (first `perItemCap` by user id,
+    * deterministic) BEFORE the pair join — the industry-standard
+    * frequency-cap / saturation trick, bounding the join's fanout at
+    * cap² per item. The rank ≤ cap window compiles to WindowGroupLimit
+    * (map-side pruning before the per-item sort — the same pushdown
+    * feed_topk_per_user's audit pinned), so a hot item never materializes
+    * its full liker list in the sort task. Output:
+    * (user_a, user_b, n_common), user_a < user_b. */
+  def coEngagement(
+      likes: DataFrame,
+      perItemCap: Int = 20,
+      minCommon: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("target_id")).orderBy(col("user_id"))
+    val capped = likes
+      .select(col("user_id"), col("target_id")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perItemCap)
+      .select(col("user_id"), col("target_id"))
+    val a = capped.select(col("target_id"), col("user_id").as("user_a"))
+    val b = capped.select(col("target_id"), col("user_id").as("user_b"))
+    a.join(b, Seq("target_id"))
+      .where(col("user_a") < col("user_b"))
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+      .orderBy("user_a", "user_b")
+  }
 }

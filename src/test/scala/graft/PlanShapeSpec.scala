@@ -276,4 +276,30 @@ class PlanShapeSpec extends SparkSuite {
     // tree + detail section each print the scan once: one scan node
     assert("Scan parquet".r.findAllIn(p).length <= 2, "one corpus scan")
   }
+
+  test("feed_triangles: wedge and closure joins are equi-joins — the " +
+      "degree-ordered enumeration never plans a vertex-pair nested loop") {
+    val p = plan("feed_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "wedge closure is a semi-join")
+  }
+
+  test("er_fuzzy_parts: blocking key carries the join; levenshtein is a " +
+      "post-join filter, never a join condition driving a nested loop") {
+    val p = plan("er_fuzzy_parts")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_heavy_hitters: the summary merge and the sketch side " +
+      "broadcast; the exact recount is map-side combined") {
+    val p = plan("events_heavy_hitters")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+      "the single-row total may cross-join only as a broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "exact recount must partial-aggregate before the exchange")
+  }
 }
