@@ -41,11 +41,16 @@ object EntityResolution {
       col("n_rows").as("n_a"))
     val right = names.select(col("blk"), col("name").as("name_b"),
       col("n_rows").as("n_b"))
+    // threshold form: Spark's banded levenshtein abandons a pair the
+    // moment its running distance exceeds maxDist (returns -1) — O(d·n)
+    // per verify instead of O(n·m), exactly what a hot block needs; the
+    // returned value is the exact distance whenever it is ≤ maxDist
+    val banded = levenshtein(col("name_a"), col("name_b"), maxDist)
     left.join(right, Seq("blk"))
-      .where(col("name_a") < col("name_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= maxDist)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"),
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", banded)
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
         col("n_a"), col("n_b"))
       .orderBy("name_a", "name_b")
   }
