@@ -41,6 +41,31 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** THE Misra–Gries update rule — the one fold both the batch summary
+    * (per input partition) and the streaming twin ([[graft.streaming
+    * .StreamHeavyHitters]], per state bucket) run, so the two sketches
+    * cannot diverge by construction. Mutates `counters` in place;
+    * |counters| ≤ k throughout. */
+  private[graft] def mgFold(
+      counters: scala.collection.mutable.HashMap[String, Long],
+      arrivals: Iterator[String],
+      k: Int): Unit =
+    arrivals.foreach { key =>
+      counters.get(key) match {
+        case Some(c) => counters.update(key, c + 1L)
+        case None if counters.size < k => counters.update(key, 1L)
+        case None =>
+          // decrement-all round: the k resident counters and the
+          // arriving key each give up one unit — k+1 stream units
+          // retired, which is where the N/(k+1) bound comes from
+          val dead = List.newBuilder[String]
+          counters.foreach { case (t, c) =>
+            if (c == 1L) dead += t else counters.update(t, c - 1L)
+          }
+          dead.result().foreach(counters.remove)
+      }
+    }
+
   /** Per-partition Misra–Gries summaries merged in-plan: (key, est) with
     * est ≤ true count and true − est ≤ N/(k+1). At most partitions × k
     * rows. Null keys carry no frequency contract and are dropped up
@@ -55,21 +80,7 @@ object HeavyHitters {
       .as[String]
       .mapPartitions { iter =>
         val counters = scala.collection.mutable.HashMap.empty[String, Long]
-        iter.foreach { key =>
-          counters.get(key) match {
-            case Some(c) => counters.update(key, c + 1L)
-            case None if counters.size < k => counters.update(key, 1L)
-            case None =>
-              // decrement-all round: the k resident counters and the
-              // arriving key each give up one unit — k+1 stream units
-              // retired, which is where the N/(k+1) bound comes from
-              val dead = List.newBuilder[String]
-              counters.foreach { case (t, c) =>
-                if (c == 1L) dead += t else counters.update(t, c - 1L)
-              }
-              dead.result().foreach(counters.remove)
-          }
-        }
+        mgFold(counters, iter, k)
         counters.iterator
       }
       .toDF("key", "est_part")
@@ -95,7 +106,12 @@ object HeavyHitters {
       .select(col(keys.columns.head).cast("string").as("key"))
       .where(col("key").isNotNull)
     val est = mgSummary(keyed, k)
-    val exact = keyed.groupBy("key").agg(count(lit(1)).as("exact_n"))
+    // the exact recount feeds BOTH the survivor filter and the total —
+    // cache the key-cardinality-sized frame (Dedup's scoped registry;
+    // Bench releases between queries) so the source scans twice (sketch
+    // + recount), not three times
+    val exact = Dedup.cached(
+      keyed.groupBy("key").agg(count(lit(1)).as("exact_n")))
     val total = exact.agg(sum("exact_n").as("n_total"))
     exact
       .crossJoin(broadcast(total))

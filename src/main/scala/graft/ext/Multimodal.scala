@@ -590,6 +590,25 @@ object Multimodal {
       sum_r: Long, sum_g: Long, sum_b: Long,
       luma_milli: Long, checksum: Long)
 
+  /** The ONE pixel featurization both BMP queries share — a change to
+    * the feature definition (luma coefficients, checksum weights) lands
+    * in `media_features_bmp` and `media_resize_bmp` together or not at
+    * all. */
+  private def featurize(id: Long, w: Int, h: Int, px: Array[Int]): BmpFeatures = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var luma = 0L; var ck = 0L
+    var i = 0
+    while (i < px.length) {
+      val r = (px(i) >> 16) & 0xff
+      val g = (px(i) >> 8) & 0xff
+      val b = px(i) & 0xff
+      sr += r; sg += g; sb += b
+      luma += 299L * r + 587L * g + 114L * b
+      ck += (i + 1).toLong * (r + 2L * g + 3L * b)
+      i += 1
+    }
+    BmpFeatures(id, w, h, w.toLong * h, sr, sg, sb, luma, ck)
+  }
+
   /** Decode + featurize the BMP table ([[mediaBmp]] shape: media_id,
     * payload) partition-wise — the same mapPartitions codec seam as
     * [[extractFeatures]], but with the decode step REAL. Non-conforming
@@ -603,18 +622,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           BmpCodec.decode(payload).map { case (w, h, px) =>
-            var sr = 0L; var sg = 0L; var sb = 0L; var luma = 0L; var ck = 0L
-            var i = 0
-            while (i < px.length) {
-              val r = (px(i) >> 16) & 0xff
-              val g = (px(i) >> 8) & 0xff
-              val b = px(i) & 0xff
-              sr += r; sg += g; sb += b
-              luma += 299L * r + 587L * g + 114L * b
-              ck += (i + 1).toLong * (r + 2L * g + 3L * b)
-              i += 1
-            }
-            BmpFeatures(id, w, h, w.toLong * h, sr, sg, sb, luma, ck)
+            featurize(id, w, h, px)
           }
         }
       }.toDF()
@@ -654,20 +662,7 @@ object Multimodal {
               y += 1
             }
             BmpCodec.decode(BmpCodec.encode(tw, th, out)).map {
-              case (w2, h2, px2) =>
-                var sr = 0L; var sg = 0L; var sb = 0L
-                var luma = 0L; var ck = 0L
-                var i = 0
-                while (i < px2.length) {
-                  val r = (px2(i) >> 16) & 0xff
-                  val g = (px2(i) >> 8) & 0xff
-                  val b = px2(i) & 0xff
-                  sr += r; sg += g; sb += b
-                  luma += 299L * r + 587L * g + 114L * b
-                  ck += (i + 1).toLong * (r + 2L * g + 3L * b)
-                  i += 1
-                }
-                BmpFeatures(id, w2, h2, w2.toLong * h2, sr, sg, sb, luma, ck)
+              case (w2, h2, px2) => featurize(id, w2, h2, px2)
             }
           }
         }

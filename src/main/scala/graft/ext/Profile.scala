@@ -60,9 +60,14 @@ object Profile {
             (min(unix_millis(c.cast(TimestampType))).cast(DoubleType),
               max(unix_millis(c.cast(TimestampType))).cast(DoubleType),
               min(nullStr), max(nullStr))
+          // dates share the epoch-millis convention (days × 86,400,000)
+          // so DATE and TIMESTAMP ranges stay unit-comparable in one
+          // profile and match the epoch_ms oracle idiom
           case DateType =>
-            (min(datediff(c, lit("1970-01-01"))).cast(DoubleType),
-              max(datediff(c, lit("1970-01-01"))).cast(DoubleType),
+            (min(datediff(c, lit("1970-01-01")).cast(LongType) * 86400000L)
+              .cast(DoubleType),
+              max(datediff(c, lit("1970-01-01")).cast(LongType) * 86400000L)
+                .cast(DoubleType),
               min(nullStr), max(nullStr))
           case StringType =>
             (min(nullNum), max(nullNum), min(c), max(c))

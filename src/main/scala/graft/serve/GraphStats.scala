@@ -68,11 +68,12 @@ object GraphStats {
     val o2 = oriented.select(col("src"), col("dst").as("n2"))
     val wedges = o1.join(o2, Seq("src"))
       .where(col("n1") < col("n2"))
-    // close the wedge against the undirected set on the canonical pair key
+    // close the wedge against the undirected set: wedges already hold
+    // n1 < n2 and `und` is (lo, hi)-canonical, so the pair key is a
+    // direct column equi-join
     val tris = wedges.join(
       und,
-      least(col("n1"), col("n2")) === col("a") &&
-        greatest(col("n1"), col("n2")) === col("b"),
+      col("n1") === col("a") && col("n2") === col("b"),
       "left_semi")
 
     // attribute each triangle to its three corners

@@ -38,23 +38,13 @@ final case class HHBucketState(version: Long, counters: Map[String, Long])
 object StreamHeavyHitters {
 
   /** MG fold of one micro-batch's arrivals into a bucket's counters —
-    * the identical update rule the batch operator applies per partition. */
+    * THE batch operator's update rule, shared (not copied) so the two
+    * sketches cannot diverge. */
   private[streaming] def mgFold(
       counters: scala.collection.mutable.HashMap[String, Long],
       arrivals: Iterator[String],
       k: Int): Unit =
-    arrivals.foreach { key =>
-      counters.get(key) match {
-        case Some(c) => counters.update(key, c + 1L)
-        case None if counters.size < k => counters.update(key, 1L)
-        case None =>
-          val dead = List.newBuilder[String]
-          counters.foreach { case (t, c) =>
-            if (c == 1L) dead += t else counters.update(t, c - 1L)
-          }
-          dead.result().foreach(counters.remove)
-      }
-    }
+    graft.ext.HeavyHitters.mgFold(counters, arrivals, k)
 
   /** Continuous sharded-MG summary over a streaming frame whose first
     * column is the key. Update-mode output: every touched bucket emits

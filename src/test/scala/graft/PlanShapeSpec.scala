@@ -292,13 +292,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("events_heavy_hitters: the summary merge and the sketch side " +
-      "broadcast; the exact recount is map-side combined") {
+  test("events_heavy_hitters: only the single-row total rides a " +
+      "broadcast nested loop; the exact recount is map-side combined") {
     val p = plan("events_heavy_hitters")
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
-      "the single-row total may cross-join only as a broadcast")
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"))
+    // a non-broadcast cross join would surface as CartesianProduct
+    assert(!p.contains("CartesianProduct"))
+    // exactly one BNLJ is licensed: crossJoin(broadcast(total)) — a
+    // second one means the sketch or survivor join degraded
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the single-row total may nested-loop")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "exact recount must partial-aggregate before the exchange")
   }
