@@ -51,7 +51,23 @@ object Bench {
     * than throwing. */
   private[graft] def parsePrior(s: String): Map[String, Double] = {
     val start = s.indexOf("\"queries\":{")
-    val end = if (start < 0) -1 else s.indexOf('}', start)
+    // scan to the MATCHING close brace, not the first '}': the map is
+    // flat today, but a format drift that nests an object would
+    // otherwise silently truncate the prior map and quietly weaken the
+    // relative outlier trigger. (Keys are query names and values are
+    // numbers — no braces inside strings to confuse the depth scan.)
+    val end = if (start < 0) -1 else {
+      var i = start + 10; var depth = 0; var close = -1
+      while (close < 0 && i < s.length) {
+        s.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      close
+    }
     if (end < 0) Map.empty
     // the exponent part admits a sign: a sub-millisecond timing prints
     // as 1.5E-4, and the old `[0-9.eE+]+` class stopped at the '-',

@@ -214,6 +214,13 @@ object Dedup {
     * Σ d² expanded pair list. */
   private[ext] def nearDupCore(
       docs: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    // the identical-content collapse below treats within-group pairs
+    // (jaccard exactly 1.0) as unconditionally passing; a degenerate
+    // threshold > 1.0 would break that equivalence, so enforce the
+    // precondition rather than assume it
+    require(threshold <= 1.0,
+      s"near-dup threshold must be <= 1.0 (got $threshold): the " +
+        "identical-content collapse emits jaccard-1.0 pairs unconditionally")
     // docs with < n tokens have EMPTY shingle sets — which hash to the
     // same all-max MinHash signature, collide in every band, and reach
     // the Jaccard verify as 0/0 (a job-killing error under ANSI mode).
@@ -959,6 +966,12 @@ object Dedup {
     * the fingerprint construction differs. 8-byte fingerprints are all
     * that ride the banding explode and verify joins. */
   private[ext] def hammingPairs64(fps: DataFrame, maxHamming: Int): DataFrame = {
+    // the identical-fingerprint collapse treats within-group pairs
+    // (hamming exactly 0) as unconditionally passing; a negative
+    // maxHamming would break that equivalence — enforce it
+    require(maxHamming >= 0,
+      s"maxHamming must be >= 0 (got $maxHamming): the identical-" +
+        "fingerprint collapse emits hamming-0 pairs unconditionally")
     // identical-fingerprint collapse (r11, the nearDupJaccard argument
     // specialized to a one-long key): equal fps collide in all 4 bands,
     // so a d-copy group would emit d² candidate rows; collapsing to the

@@ -84,4 +84,13 @@ activity AS (
 
   /** Wrap a SELECT with the shared CTEs. */
   def withCdc(select: String): String = s"WITH $cdc\n$select"
+
+  /** [[withCdc]] with the chain declared RECURSIVE — DuckDB requires the
+    * keyword on the WITH itself even when only a caller-appended CTE
+    * recurses. A variant beats string-patching withCdc's output: a
+    * `.replace("WITH ...")` at the call site silently no-ops if this
+    * prefix ever changes, surfacing only as an opaque DuckDB parse error
+    * at adjudication time. */
+  def withCdcRecursive(select: String): String =
+    s"WITH RECURSIVE $cdc\n$select"
 }

@@ -339,7 +339,7 @@ ORDER BY user_id"""))),
     ("feed_components",
       (s: SparkSession, d: String) =>
         graft.serve.GraphStats.followComponents(followEdges(s, d)),
-      Some(OracleCte.withCdc(
+      Some(OracleCte.withCdcRecursive(
         """, fe AS (SELECT DISTINCT CAST(follower_id AS BIGINT) AS u,
                         CAST(following_id AS BIGINT) AS v
         FROM followers_cdc
@@ -349,8 +349,7 @@ r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) n
       UNION
       SELECT r.u, e.v FROM r JOIN e ON r.v = e.u)
 SELECT u AS user_id, (min(v))::BIGINT AS component_id
-FROM r GROUP BY u ORDER BY user_id""").replace(
-        "WITH ev AS", "WITH RECURSIVE ev AS"))),
+FROM r GROUP BY u ORDER BY user_id"""))),
 
     // §2.3 graph extension: co-engagement pairs ("users who liked X also
     // liked") with the hot-item cap applied BEFORE the pair join — the

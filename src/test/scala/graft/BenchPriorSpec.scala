@@ -37,4 +37,15 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(Bench.parsePrior("""{"queries":{"a":1.2.3,"b":0.5}}""") ===
       Map("b" -> 0.5))
   }
+
+  test("a nested object inside queries does not truncate the map " +
+      "(ADVICE r11: scan to the matching brace, not the first '}')") {
+    val json =
+      """{"queries":{"a":0.1,"x":{"inner":9.9},"b":0.2},"value":3}"""
+    val prior = Bench.parsePrior(json)
+    // 'b', AFTER the nested object, must survive; the old first-'}' scan
+    // dropped it silently
+    assert(prior.get("a") === Some(0.1))
+    assert(prior.get("b") === Some(0.2))
+  }
 }

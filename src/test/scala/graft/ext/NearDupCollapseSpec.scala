@@ -133,4 +133,18 @@ class NearDupCollapseSpec extends SparkSuite {
     assert(withinGroup.forall(_._3 == 0))
     Dedup.releaseAll()
   }
+
+  test("degenerate parameters that would break the collapse equivalence " +
+      "are rejected up front (ADVICE r11)") {
+    // within-group pairs are emitted unconditionally (jaccard 1.0 /
+    // hamming 0); a threshold > 1.0 or maxHamming < 0 would silently
+    // diverge from the uncollapsed plan — both must throw instead
+    val docs = planted
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupJaccard(docs, threshold = 1.1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupSimhash(docs, maxHamming = -1)
+    }
+  }
 }
