@@ -21,22 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
-  /** Last whitespace token — the head-noun blocking key for
-    * adjective–noun style product names. */
-  private def blockKey(name: Column): Column =
-    element_at(split(name, " "), -1)
+  /** Multi-pass blocking keys (VERDICT r11 item 5): the head noun (last
+    * token) alone never compares names that differ in the head — "steel
+    * anvil" vs "steel anvils" land in different blocks and the true
+    * match is silently unreachable. Standard multi-pass blocking fixes
+    * the recall hole with a second cheap key (first token: the leading
+    * adjective family); a pair is a candidate if it agrees on ANY key.
+    * array_distinct keeps one-token names from double-blocking with
+    * themselves. Still never all-pairs: each pass is an equi-join. */
+  private def blockKeys(name: Column): Column =
+    array_distinct(array(
+      element_at(split(name, " "), -1),
+      element_at(split(name, " "), 1)))
 
-  /** Distinct-name fuzzy match pairs within head-noun blocks:
-    * (name_a, name_b, dist, n_a, n_b) for levenshtein ≤ maxDist,
-    * name_a < name_b (each unordered pair once; identical names are
-    * exact-dedup's domain, not ER's). n_a/n_b carry each name's row
-    * support — the survivorship weight an ER merge uses. */
+  /** Distinct-name fuzzy match pairs within blocks (union of the
+    * head-noun and first-token passes): (name_a, name_b, dist, n_a, n_b)
+    * for levenshtein ≤ maxDist, name_a < name_b (each unordered pair
+    * once; identical names are exact-dedup's domain, not ER's). n_a/n_b
+    * carry each name's row support — the survivorship weight an ER merge
+    * uses. A pair blocking in BOTH passes is deduped BEFORE the verify,
+    * so the edit distance runs once per candidate pair. */
   def fuzzyNameMatches(parts: DataFrame, maxDist: Int = 2): DataFrame = {
     val names = parts
       .select(col("p_name").as("name"))
       .where(col("name").isNotNull)
       .groupBy("name").agg(count(lit(1)).as("n_rows"))
-      .withColumn("blk", blockKey(col("name")))
+      .withColumn("blk", explode(blockKeys(col("name"))))
     val left = names.select(col("blk"), col("name").as("name_a"),
       col("n_rows").as("n_a"))
     val right = names.select(col("blk"), col("name").as("name_b"),
@@ -48,6 +58,8 @@ object EntityResolution {
     val banded = levenshtein(col("name_a"), col("name_b"), maxDist)
     left.join(right, Seq("blk"))
       .where(col("name_a") < col("name_b"))
+      // n_a/n_b are functions of the names, so pair-dedup is exact
+      .dropDuplicates("name_a", "name_b")
       .withColumn("dist", banded)
       .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist"),

@@ -1240,4 +1240,42 @@ object Similarity {
       .agg((count(col("approx_id")).cast("double") / k).as("recall"))
       .orderBy("qid")
   }
+
+  /** Self-verifying recall CONTRACT for [[lshTopK]] (VERDICT r11 item 4 —
+    * the heavyHittersCheck pattern applied to the ANN tier): the exact
+    * brute-force top-k and the LSH top-k are both computed in-query, and
+    * the hashed output is the contract itself — query/neighbor counts
+    * from the EXACT side plus the boolean mean-recall floor. The DuckDB
+    * oracle computes only the exact side and asserts TRUE, so an LSH
+    * regression (plane drift, probe-set shrink, bucket-join bug) that
+    * drops mean recall below the floor hash-mismatches the correctness
+    * gate directly — no ScalaTest in the loop. Unlike [[annRecall]]
+    * (whose oracle REPLAYS the LSH ranking, pinning implementation
+    * equality), this pins the accuracy floor itself. */
+  def lshRecallCheck(embeddings: DataFrame, numQueries: Int, k: Int,
+      floor: Double): DataFrame =
+    annRecall(embeddings, numQueries, k)
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= floor).as("meets_floor"))
+
+  /** Recall contract for [[lshNearPairs]] against the exact [[nearPairs]]
+    * gate at the same threshold: precision is 1.0 by construction (every
+    * candidate is exact-rescored), so recall is the only free accuracy
+    * dimension — emit the exact-side pair count plus the boolean recall
+    * floor. Exact-side-only oracle, same rationale as [[lshRecallCheck]]. */
+  def lshPairsRecallCheck(embeddings: DataFrame, threshold: Double,
+      floor: Double): DataFrame = {
+    val exact = nearPairs(embeddings, threshold).select(col("id_a"), col("id_b"))
+    val approx = lshNearPairs(embeddings, threshold)
+      .select(col("id_a").as("a2"), col("id_b").as("b2"))
+    exact
+      .join(approx,
+        col("id_a") === col("a2") && col("id_b") === col("b2"), "left")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        // found/exact >= floor, with the empty-exact case vacuously true
+        (count(col("a2")).cast("double") >=
+          lit(floor) * count(lit(1))).as("meets_floor"))
+  }
 }

@@ -2586,6 +2586,35 @@ SELECT exk.q_id AS qid, count(apk.neighbor_id)::DOUBLE / 10 AS recall
 FROM exk LEFT JOIN apk ON apk.q_id = exk.q_id AND apk.neighbor_id = exk.vec_id
 GROUP BY exk.q_id ORDER BY qid""")),
 
+    // Self-verifying recall CONTRACT for the LSH ANN path (VERDICT r11
+    // item 4 — the heavyHittersCheck pattern, uniform across the
+    // approximate families): unlike ann_recall, whose oracle REPLAYS the
+    // LSH ranking (implementation equality), this oracle computes ONLY
+    // the exact side and asserts TRUE — so a recall regression below the
+    // floor hash-mismatches the gate itself. Floor 0.5 vs measured 0.81
+    // mean recall at sf0.01 (SimilaritySpec pins the margin).
+    ("sim_topk_lsh_check",
+      (s: SparkSession, d: String) =>
+        Similarity.lshRecallCheck(embs(s, d), numQueries = 10, k = 10,
+          floor = 0.5),
+      Some("""SELECT count(*)::BIGINT AS n_queries, TRUE AS meets_floor
+FROM embeddings WHERE vec_id < 10""")),
+
+    // Same contract for the LSH near-pair gate: precision is 1.0 by
+    // exact re-score, so the floor rides recall alone. Floor 0.9 vs
+    // measured 1.0 at sf0.01.
+    ("embedding_near_pairs_lsh_check",
+      (s: SparkSession, d: String) =>
+        Similarity.lshPairsRecallCheck(embs(s, d), threshold = 0.45,
+          floor = 0.9),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+sx AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              (${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm) AS sim
+       FROM nn a JOIN nn b ON a.vec_id < b.vec_id)
+SELECT count(*)::BIGINT AS n_exact, TRUE AS meets_floor
+FROM sx WHERE sim >= 0.45""")),
+
     // int8-quantized brute-force top-k: symmetric global scale (cancels
     // in the cosine), codes floor(x·127/s + 0.5) — exact integers in
     // doubles, so the quantized similarity is deterministic and the
@@ -4336,24 +4365,40 @@ SELECT key, exact_n, TRUE AS in_summary, TRUE AS no_overcount,
 FROM cc, tot WHERE exact_n * 33 > n_total ORDER BY key""")),
 
     // -------------------------------------------------- entity resolution
-    // Blocked fuzzy name matching over the part catalog: head-noun
-    // blocking key, levenshtein verify INSIDE blocks only (the
-    // candidate-generation discipline of the LSH tier applied to ER).
-    // The oracle replays the same blocking — the registered semantics IS
-    // the blocked join, the production ER shape at catalog scale.
+    // Blocked fuzzy name matching over the part catalog: MULTI-PASS
+    // blocking (head-noun + first-token keys, r11 item 5), levenshtein
+    // verify INSIDE blocks only (the candidate-generation discipline of
+    // the LSH tier applied to ER). The oracle replays the same blocking —
+    // the registered semantics IS the blocked join, the production ER
+    // shape at catalog scale. The planted head-noun-variant pair
+    // ("…anvil"/"…anvils") is one single-pass last-token blocking
+    // PROVABLY misses (different head nouns, shared first token) — its
+    // presence in the hashed output pins the second pass.
     ("er_fuzzy_parts",
-      (s: SparkSession, d: String) =>
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val planted = Seq("zzz planted anvil", "zzz planted anvils")
+          .toDF("p_name")
         graft.ext.EntityResolution.fuzzyNameMatches(
-          Tables(s, d, "part"), maxDist = 2),
-      Some("""WITH n AS (
-  SELECT p_name AS name, count(*)::BIGINT AS n_rows,
-         string_split(p_name, ' ')[-1] AS blk
-  FROM part WHERE p_name IS NOT NULL GROUP BY p_name),
-m AS (SELECT a.name AS name_a, b.name AS name_b,
-             levenshtein(a.name, b.name)::INT AS dist,
+          Tables(s, d, "part").select("p_name").unionByName(planted),
+          maxDist = 2)
+      },
+      Some("""WITH p2 AS (
+  SELECT p_name FROM part WHERE p_name IS NOT NULL
+  UNION ALL SELECT 'zzz planted anvil'
+  UNION ALL SELECT 'zzz planted anvils'),
+n AS (SELECT p_name AS name, count(*)::BIGINT AS n_rows
+      FROM p2 GROUP BY p_name),
+nb AS (SELECT name, n_rows,
+              unnest(list_distinct([string_split(name, ' ')[-1],
+                                    string_split(name, ' ')[1]])) AS blk
+       FROM n),
+c AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b,
              a.n_rows AS n_a, b.n_rows AS n_b
-      FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
-      WHERE levenshtein(a.name, b.name) <= 2)
+      FROM nb a JOIN nb b ON a.blk = b.blk AND a.name < b.name),
+m AS (SELECT name_a, name_b, levenshtein(name_a, name_b)::INT AS dist,
+             n_a, n_b
+      FROM c WHERE levenshtein(name_a, name_b) <= 2)
 SELECT name_a, name_b, dist, n_a, n_b FROM m ORDER BY name_a, name_b""")),
 
     // ------------------------------------------------------ table profile

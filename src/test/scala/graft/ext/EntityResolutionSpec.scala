@@ -25,11 +25,39 @@ class EntityResolutionSpec extends SparkSuite {
       ("old gear", "red gear", 2, 1L, 2L)))
   }
 
-  test("a near pair in DIFFERENT blocks is not generated — blocking semantics") {
-    // levenshtein("red bat","red cat") = 1 but the head nouns differ:
-    // the registered operator is the BLOCKED join, so no pair
-    val df = parts(Seq("red bat", "red cat"))
+  test("multi-pass blocking (r11 item 5): a head-noun variant the " +
+      "last-token pass provably misses is found via the first token") {
+    // "steel anvil" / "steel anvils": last tokens DIFFER (single-pass
+    // head-noun blocking never compares them) but the shared first
+    // token blocks them — the recall hole the second pass closes
+    val df = parts(Seq("steel anvil", "steel anvils"))
+    val got = EntityResolution.fuzzyNameMatches(df, maxDist = 2).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "steel anvil")
+    assert(got.head.getString(1) === "steel anvils")
+    assert(got.head.getInt(2) === 1)
+    // likewise "red bat"/"red cat" (head nouns differ, lev 1) now pair
+    val rb = parts(Seq("red bat", "red cat"))
+    assert(EntityResolution.fuzzyNameMatches(rb, maxDist = 2).count() === 1)
+  }
+
+  test("a near pair agreeing on NEITHER key is not generated — the " +
+      "documented residual blocking limit") {
+    // levenshtein("red bat","ted cat") = 2 but first AND last tokens
+    // differ: the registered operator is the BLOCKED join, so no pair
+    val df = parts(Seq("red bat", "ted cat"))
     assert(EntityResolution.fuzzyNameMatches(df, maxDist = 2).isEmpty)
+  }
+
+  test("a pair blocking in BOTH passes appears once (pair dedup before " +
+      "the verify)") {
+    // identical first AND last tokens with a middle edit → the pair is
+    // a candidate in BOTH blocking passes; the pre-verify dedup must
+    // collapse it to one output row
+    val df = parts(Seq("red big gear", "red bug gear"))
+    val got = EntityResolution.fuzzyNameMatches(df, maxDist = 2).collect()
+    assert(got.length === 1)
+    assert(got.head.getInt(2) === 1)
   }
 
   test("identical names and nulls never pair") {

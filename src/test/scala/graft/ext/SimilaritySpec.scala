@@ -172,6 +172,25 @@ class SimilaritySpec extends SparkSuite {
       s"mean recall ${recalls.sum / recalls.length} below floor")
   }
 
+  test("recall-contract forms hold at the correctness gate's SF " +
+      "(the registered floors, with margin reported)") {
+    // the registered sim_topk_lsh_check / embedding_near_pairs_lsh_check
+    // hash these booleans against exact-side-only oracles at sf0.01 —
+    // pin them here too so a floor regression fails fast in-suite
+    val e01 = graft.sources.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val mean = Similarity.annRecall(e01, numQueries = 10, k = 10)
+      .collect().map(_.getAs[Double]("recall")).sum / 10
+    info(s"sf0.01 mean LSH recall@10 = $mean (registered floor 0.5)")
+    val r = Similarity.lshRecallCheck(e01, numQueries = 10, k = 10,
+      floor = 0.5).head()
+    assert(r.getAs[Long]("n_queries") === 10L)
+    assert(r.getAs[Boolean]("meets_floor"), s"mean recall $mean")
+    val p = Similarity.lshPairsRecallCheck(e01, threshold = 0.45,
+      floor = 0.9).head()
+    info(s"sf0.01 exact near-pairs = ${p.getAs[Long]("n_exact")}")
+    assert(p.getAs[Boolean]("meets_floor"))
+  }
+
   test("int8 quantization: codes bounded, scale-invariant ranking, " +
       "extremes hit ±127 exactly") {
     import spark.implicits._
