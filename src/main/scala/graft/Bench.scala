@@ -49,15 +49,26 @@ object Bench {
     * that a malformed hand-edit degrades to an EMPTY map (disabling the
     * relative outlier trigger with a stderr warning in main) rather
     * than throwing. */
-  private[graft] def parsePrior(s: String): Map[String, Double] = {
-    val start = s.indexOf("\"queries\":{")
+  private[graft] def parsePrior(s: String): Map[String, Double] =
+    parseMap(s, "queries")
+
+  /** First numeric value at `"key":` — prior-round scalars for the trend
+    * block (same no-JSON-lib rationale as [[parseMap]]). */
+  private[graft] def parseScalar(s: String, key: String): Option[Double] =
+    ("\"" + java.util.regex.Pattern.quote(key) +
+        "\":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)").r
+      .findFirstMatchIn(s).flatMap(_.group(1).toDoubleOption)
+
+  private[graft] def parseMap(s: String, key: String): Map[String, Double] = {
+    val start = s.indexOf("\"" + key + "\":{")
     // scan to the MATCHING close brace, not the first '}': the map is
     // flat today, but a format drift that nests an object would
     // otherwise silently truncate the prior map and quietly weaken the
     // relative outlier trigger. (Keys are query names and values are
     // numbers — no braces inside strings to confuse the depth scan.)
+    val open = start + key.length + 3 // position of the '{'
     val end = if (start < 0) -1 else {
-      var i = start + 10; var depth = 0; var close = -1
+      var i = open; var depth = 0; var close = -1
       while (close < 0 && i < s.length) {
         s.charAt(i) match {
           case '{' => depth += 1
@@ -77,7 +88,7 @@ object Bench {
     // Double.parseDouble rejects (a hand-edited "1.2.3"), and one such
     // value must skip its entry, not throw the whole map away
     else """"([^"]+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
-      .findAllMatchIn(s.substring(start + 11, end))
+      .findAllMatchIn(s.substring(open + 1, end))
       .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
   }
 
@@ -211,15 +222,32 @@ object Bench {
     // Prior round's per-query map (the committed bench_queries.json):
     // the second re-measure trigger below. Regex-parsed — no JSON lib on
     // the classpath, and the file is this class's own flat output.
-    val prior: Map[String, Double] = try {
+    val priorTextAnySf: Option[String] = try {
       val p = java.nio.file.Paths.get("bench_queries.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else parsePrior(new String(java.nio.file.Files.readAllBytes(p),
+      if (!java.nio.file.Files.exists(p)) None
+      else Some(new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => None }
+    // SF guard (round 12, after a local sf0.001 smoke run silently
+    // clobbered the committed sf0.1 driver priors): a prior recorded at
+    // a DIFFERENT scale factor is not a prior — its per-query values
+    // would mass-trigger the relative re-measure rule and junk the trend
+    // block — so it is ignored for comparison, and this run's artifact
+    // goes to an SF-suffixed side file, preserving the committed one.
+    val priorSf: Option[String] = priorTextAnySf.flatMap(t =>
+      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(t).map(_.group(1)))
+    val sfMismatch = priorSf.exists(_ != sfDir)
+    if (sfMismatch)
+      System.err.println(s"[bench] prior bench_queries.json is for " +
+        s"${priorSf.get}, this run is $sfDir — prior comparison disabled, " +
+        "artifact redirected to an SF-suffixed side file")
+    val priorText: Option[String] =
+      if (sfMismatch) None else priorTextAnySf
+    val prior: Map[String, Double] =
+      priorText.map(parsePrior).getOrElse(Map.empty)
     // A present-but-unparseable prior file silently disables the relative
     // outlier trigger; make that state visible (VERDICT r10 item 7).
-    if (prior.isEmpty &&
+    if (prior.isEmpty && !sfMismatch &&
         java.nio.file.Files.exists(java.nio.file.Paths.get("bench_queries.json")))
       System.err.println(
         "[bench] WARNING: bench_queries.json exists but parsed to an empty " +
@@ -273,13 +301,48 @@ object Bench {
     // so the judge doesn't have to divide by hand
     val totalCalibrated =
       if (calibration > 0) total / calibration else -1.0
+    // Round-over-round TREND (VERDICT r11 item 8): the composition-
+    // change problem is that totals move when queries are added or
+    // their self-verification deepens, so the comparable signal is the
+    // COMMON set — queries (and artifact builds) present and valid in
+    // both this run and the committed prior. serve_ratio is raw wall
+    // clock; calibrated_serve_ratio divides both sides by their own
+    // run's calibration, the cross-host-comparable number. A missing or
+    // unparseable prior degrades every field to -1/empty, never throws.
+    val commonQ = results.filter { case (n, t) =>
+      t >= 0 && prior.get(n).exists(_ >= 0) }
+    val commonNow = commonQ.map(_._2).sum
+    val commonPrior = commonQ.map { case (n, _) => prior(n) }.sum
+    val priorBuilds =
+      priorText.map(parseMap(_, "artifact_builds")).getOrElse(Map.empty)
+    val commonB = artifactBuilds.toSeq.filter { case (n, t) =>
+      t >= 0 && priorBuilds.get(n).exists(_ >= 0) }
+    val buildsNow = commonB.map(_._2).sum
+    val buildsPrior = commonB.map { case (n, _) => priorBuilds(n) }.sum
+    val priorCal =
+      priorText.flatMap(parseScalar(_, "calibration_sec")).getOrElse(-1.0)
+    def ratio(a: Double, b: Double) = if (b > 0) a / b else -1.0
+    val calRatio =
+      if (commonPrior > 0 && priorCal > 0 && calibration > 0)
+        (commonNow / calibration) / (commonPrior / priorCal)
+      else -1.0
+    val trend =
+      s""""trend":{"common_n":${commonQ.size},"serve_sec":$commonNow,"serve_prior_sec":$commonPrior,"serve_ratio":${ratio(commonNow, commonPrior)},"builds_common_n":${commonB.size},"builds_sec":$buildsNow,"builds_prior_sec":$buildsPrior,"builds_ratio":${ratio(buildsNow, buildsPrior)},"calibrated_serve_ratio":$calRatio,"n_new_queries":${results.count(p => p._2 >= 0 && !prior.contains(p._1))}}"""
+    System.err.println(s"[bench] trend: common ${commonQ.size} serve " +
+      f"$commonNow%.1f s vs prior $commonPrior%.1f s (x${ratio(commonNow, commonPrior)}%.2f raw, " +
+      f"x$calRatio%.2f calibrated); builds $buildsNow%.1f vs $buildsPrior%.1f s")
     // The full per-query map also goes to a FILE the judge can read
     // directly — the driver's bounded tail capture clipped 31 of 89
     // per-query timings out of BENCH_r04.json (VERDICT r4 item 6).
     val fileJson =
-      s"""{"queries":$qs,"outlier_first_timings":$rr,"artifact_builds":$ab,"artifact_builds_total":$buildTotal,"memo_served":${memoServed.map("\"" + _ + "\"").mkString("[", ",", "]")},"calibration_sec":$calibration,"calibration_workload":"range(1e8).xxhash64.groupBy(mod97).sum, noop sink, median-of-3","metric":"total","value":$total,"value_with_builds":$totalWithBuilds,"total_calibrated":$totalCalibrated,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"queries":$qs,"outlier_first_timings":$rr,"artifact_builds":$ab,"artifact_builds_total":$buildTotal,$trend,"memo_served":${memoServed.map("\"" + _ + "\"").mkString("[", ",", "]")},"calibration_sec":$calibration,"calibration_workload":"range(1e8).xxhash64.groupBy(mod97).sum, noop sink, median-of-3","metric":"total","value":$total,"value_with_builds":$totalWithBuilds,"total_calibrated":$totalCalibrated,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+    val outFile =
+      if (sfMismatch)
+        "bench_queries." +
+          sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") + ".json"
+      else "bench_queries.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_queries.json"),
+      java.nio.file.Paths.get(outFile),
       fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Per-query map first (head-truncation of a tail capture eats the
     // front of this line), then a short standalone summary as the LAST

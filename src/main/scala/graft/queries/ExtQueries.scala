@@ -3850,6 +3850,37 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // Second REAL pixel format (r11 item 7): binary PGM — ASCII
+    // tokenized header (with # comment lines on every third doc, so
+    // comment-skipping rides the hash), exactly-one-whitespace raster
+    // boundary, top-down gray raster. Synth formula → bytes → PgmCodec
+    // decode → features; the oracle recomputes the features from the
+    // formula, so a header-parse or raster-offset bug is a red row.
+    ("media_features_pgm",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .pgmFeatures(graft.ext.Multimodal.mediaPgm(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 13 + 1 AS INT) AS w,
+         CAST((doc_id * 5) % 11 + 1 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y
+  FROM dms, unnest(range(0, w * h)) AS t(i)),
+v AS (
+  SELECT doc_id, w, h,
+         (3 * doc_id + 5 * x + 11 * y) % 256 AS gv,
+         y * w + x + 1 AS pw
+  FROM px)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(gv)::BIGINT AS sum_r, sum(gv)::BIGINT AS sum_g,
+       sum(gv)::BIGINT AS sum_b,
+       sum(1000 * gv)::BIGINT AS luma_milli,
+       sum(pw * 6 * gv)::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // REAL pixel RESAMPLING end-to-end: decode → integer nearest-
     // neighbor to fit 8×8 (the resize scale/rounding contract) →
     // re-ENCODE as a conforming BMP → decode again → integer features

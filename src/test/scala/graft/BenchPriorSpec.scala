@@ -38,6 +38,21 @@ class BenchPriorSpec extends AnyFunSuite {
       Map("b" -> 0.5))
   }
 
+  test("parseMap/parseScalar read the trend inputs from a real-shaped " +
+      "artifact (prior builds map and calibration scalar)") {
+    val json =
+      """{"queries":{"a":0.1},"artifact_builds":{"ann-index":2.5,"bpe-learner":-1.0},""" +
+        """"trend":{"serve_sec":9.9},"calibration_sec":0.31,"value":12.0}"""
+    assert(Bench.parseMap(json, "artifact_builds") ===
+      Map("ann-index" -> 2.5, "bpe-learner" -> -1.0))
+    assert(Bench.parseScalar(json, "calibration_sec") === Some(0.31))
+    // a key that is absent degrades to empty/None, never throws
+    assert(Bench.parseMap(json, "no_such_map").isEmpty)
+    assert(Bench.parseScalar(json, "no_such_scalar").isEmpty)
+    // the nested trend object must not confuse the queries scan
+    assert(Bench.parsePrior(json) === Map("a" -> 0.1))
+  }
+
   test("a nested object inside queries does not truncate the map " +
       "(ADVICE r11: scan to the matching brace, not the first '}')") {
     val json =

@@ -303,4 +303,58 @@ class MediaHeadersSpec extends SparkSuite {
       assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
     }
   }
+
+  test("PgmCodec decodes hand-built P5/P6 exactly: tokenized header, " +
+      "comment skipping, one-whitespace raster boundary, rejections") {
+    // P5 2x2 with a comment line; first raster byte is 0x0A — a decoder
+    // that eats header whitespace greedily shifts the whole raster
+    val p5 = "P5\n# hi\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0x0a, 1, 2, 3)
+    val Some((w, h, px)) = Multimodal.PgmCodec.decode(p5)
+    assert((w, h) === (2, 2))
+    assert(px.map(_ & 0xff).toSeq === Seq(0x0a, 1, 2, 3)) // gray = b channel
+    assert(px(0) === ((0x0a << 16) | (0x0a << 8) | 0x0a))
+    // P6 1x2 RGB
+    val p6 = "P6\n1 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val Some((w6, h6, px6)) = Multimodal.PgmCodec.decode(p6)
+    assert((w6, h6) === (1, 2))
+    assert(px6.toSeq === Seq((10 << 16) | (20 << 8) | 30,
+      (40 << 16) | (50 << 8) | 60))
+    // rejections: null, truncated raster, bad magic, maxval > 255
+    assert(Multimodal.PgmCodec.decode(null).isEmpty)
+    assert(Multimodal.PgmCodec.decode(p5.dropRight(1)).isEmpty,
+      "truncated raster")
+    assert(Multimodal.PgmCodec.decode(
+      "P4\n2 2\n255\n0000".getBytes("US-ASCII")).isEmpty, "P4 rejected")
+    assert(Multimodal.PgmCodec.decode(
+      ("P5\n2 2\n65535\n" + "00000000").getBytes("US-ASCII")).isEmpty,
+      "16-bit maxval rejected")
+    // round trip (value equality — Arrays compare by reference)
+    val gray = Array(0, 0x7f7f7f, 0xffffff, 0x0a0a0a)
+    val Some((rw, rh, rpx)) =
+      Multimodal.PgmCodec.decode(Multimodal.PgmCodec.encode(2, 2, gray))
+    assert((rw, rh) === (2, 2) && rpx.toSeq === gray.toSeq)
+  }
+
+  test("mediaPgm synthesizes conforming files (comments included) and " +
+      "pgmFeatures' decode matches a direct formula evaluation") {
+    val feats = Multimodal.pgmFeatures(Multimodal.mediaPgm(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count(), "every synthesized PGM must decode")
+    feats.take(50).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (id % 13 + 1).toInt
+      val h = (id * 5 % 11 + 1).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      var sv = 0L; var ck = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (3 * id + 5 * x + 11 * y) % 256
+        sv += v; ck += (y * w + x + 1).toLong * 6 * v
+      }
+      assert(r.getAs[Long]("sum_r") === sv, s"sum_r mismatch for $id")
+      assert(r.getAs[Long]("luma_milli") === 1000 * sv)
+      assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
+    }
+  }
 }
