@@ -3850,6 +3850,41 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // First real COMPRESSED pixel format (r12): BI_RLE8 BMP — the
+    // decoder walks a genuine run-length stream (encoded runs, EOL/EOF
+    // escapes) and resolves indices through the 1024-byte palette, rows
+    // bottom-up. The oracle recomputes the features from the run
+    // formula + palette arithmetic, so a wrong run count, palette
+    // stride, escape handling, or row direction is a red row.
+    ("media_features_rle",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .bmpRleFeatures(graft.ext.Multimodal.mediaBmpRle(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 14 + 2 AS INT) AS w,
+         CAST((doc_id * 3) % 10 + 1 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y
+  FROM dms, unnest(range(0, w * h)) AS t(i)),
+ix AS (
+  SELECT doc_id, w, h,
+         (3 * doc_id + 5 * (x // 4) + 11 * y) % 256 AS idx,
+         y * w + x + 1 AS pw
+  FROM px),
+v AS (
+  SELECT doc_id, w, h, pw,
+         (7 * idx) % 256 AS r, (5 * idx) % 256 AS g, (3 * idx) % 256 AS b
+  FROM ix)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+       sum(b)::BIGINT AS sum_b,
+       sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+       sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // Second REAL pixel format (r11 item 7): binary PGM — ASCII
     // tokenized header (with # comment lines on every third doc, so
     // comment-skipping rides the hash), exactly-one-whitespace raster
@@ -4394,6 +4429,40 @@ tot AS (SELECT sum(exact_n)::BIGINT AS n_total FROM cc)
 SELECT key, exact_n, TRUE AS in_summary, TRUE AS no_overcount,
        TRUE AS within_band
 FROM cc, tot WHERE exact_n * 33 > n_total ORDER BY key""")),
+
+    // Count–Min sketch over the same zipf-folded stream (r12): the
+    // point-frequency companion to the MG summary — d×w counter matrix
+    // built as one explode + one two-phase count, estimates as min over
+    // rows. The md5-portable row hashes let DuckDB REPLAY the exact
+    // matrix, so est_n is value-pinned AND the one-sided/band contracts
+    // ride as booleans (width 512 = 2^9: signed/unsigned hash residues
+    // provably agree — the mod only reads the low 9 bits).
+    ("events_cm_check",
+      (s: SparkSession, d: String) =>
+        graft.ext.CountMin.cmCheck(
+          Tables(s, d, "events").selectExpr(
+            "cast(1000 div (1 + event_id % 1000) as string) as cm_key"),
+          width = 512, depth = 4),
+      Some("""WITH k AS (
+  SELECT CAST(1000 // (1 + event_id % 1000) AS VARCHAR) AS key FROM events),
+cc AS (SELECT key, count(*)::BIGINT AS exact_n FROM k GROUP BY key),
+tot AS (SELECT sum(exact_n)::BIGINT AS n_total FROM cc),
+cells AS (
+  SELECT key, r.i::INT AS r,
+         CAST((CAST('0x' || substring(md5(r.i::VARCHAR || ':' || key), 1, 8) AS UBIGINT)
+                 * 4294967296
+               + CAST('0x' || substring(md5(r.i::VARCHAR || ':' || key), 9, 8) AS UBIGINT))
+              % 512 AS INT) AS c
+  FROM cc CROSS JOIN range(4) r(i)),
+sk AS (SELECT r, c, sum(cc.exact_n)::BIGINT AS n
+       FROM cells JOIN cc USING (key) GROUP BY r, c),
+est AS (SELECT cells.key, min(sk.n)::BIGINT AS est_n
+        FROM cells JOIN sk USING (r, c) GROUP BY cells.key)
+SELECT cc.key, cc.exact_n, est.est_n,
+       est.est_n >= cc.exact_n AS no_undercount,
+       est.est_n <= cc.exact_n + CAST(ceil(2.0 * tot.n_total / 512) AS BIGINT)
+         AS within_band
+FROM cc JOIN est USING (key) CROSS JOIN tot ORDER BY key""")),
 
     // -------------------------------------------------- entity resolution
     // Blocked fuzzy name matching over the part catalog: MULTI-PASS

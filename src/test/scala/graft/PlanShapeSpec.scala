@@ -324,4 +324,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(nodeCount(p, "HashAggregate") >= 2,
       "exact recount must partial-aggregate before the exchange")
   }
+
+  test("events_cm_check: the d×w matrix broadcasts into the estimate " +
+      "join; only the single-row total nested-loops; counts are " +
+      "map-side combined") {
+    val p = plan("events_cm_check")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"), "sketch matrix must broadcast")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1,
+      "only the single-row total may nested-loop")
+    assert(nodeCount(p, "HashAggregate") >= 2, "map-side combine")
+  }
 }

@@ -304,6 +304,82 @@ class MediaHeadersSpec extends SparkSuite {
     }
   }
 
+  test("decodeRle8 walks the full escape grammar on a hand-built " +
+      "stream: runs, absolute mode with word padding, delta background, " +
+      "early EOF, rejections") {
+    // 4x3 image, palette: idx 0 -> black, 1 -> red, 2 -> green, 3 -> blue
+    def bmp(data: Array[Int]): Array[Byte] = {
+      val pal = Array(
+        0, 0, 0, 0, /*1*/ 0, 0, 0xff, 0, /*2*/ 0, 0xff, 0, 0,
+        /*3*/ 0xff, 0, 0, 0) // stored B,G,R,0
+      val b = new Array[Byte](54 + 16 + data.length)
+      def putLe(off: Int, v: Int, n: Int): Unit = {
+        var i = 0
+        while (i < n) { b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      }
+      b(0) = 'B'.toByte; b(1) = 'M'.toByte
+      putLe(2, b.length, 4); putLe(10, 54 + 16, 4); putLe(14, 40, 4)
+      putLe(18, 4, 4); putLe(22, 3, 4); putLe(26, 1, 2); putLe(28, 8, 2)
+      putLe(30, 1, 4); putLe(34, data.length, 4); putLe(46, 4, 4)
+      pal.zipWithIndex.foreach { case (v, i) => b(54 + i) = v.toByte }
+      data.zipWithIndex.foreach { case (v, i) => b(70 + i) = v.toByte }
+      b
+    }
+    val red = 0xff0000; val green = 0x00ff00; val blue = 0x0000ff
+    // stored row 0 (image row 2): run of 4 red; EOL
+    // stored row 1 (image row 1): absolute mode 3 indices (2,3,2) + pad,
+    //   then run 1 blue; EOL
+    // stored row 2 (image row 0): delta (2,0) skips two (background),
+    //   run 2 green; EOF
+    val data = Array(
+      4, 1, 0, 0,
+      0, 3, 2, 3, 2, 0 /*pad*/, 1, 3, 0, 0,
+      0, 2, 2, 0, 2, 2, 0, 1)
+    val Some((w, h, px)) = Multimodal.BmpCodec.decodeRle8(bmp(data))
+    assert((w, h) === (4, 3))
+    assert(px.toSeq === Seq(
+      0, 0, green, green,          // image row 0: delta-skipped bg, then 2 green
+      green, blue, green, blue,    // image row 1: abs(2,3,2) + run 1 blue
+      red, red, red, red))         // image row 2: run of 4 red
+    // early EOF: everything after stays background (palette[0])
+    val Some((_, _, px2)) = Multimodal.BmpCodec.decodeRle8(
+      bmp(Array(2, 1, 0, 1)))
+    assert(px2.toSeq === Seq(0, 0, 0, 0, 0, 0, 0, 0, red, red, 0, 0))
+    // rejections: truncated stream (no EOF), run overflowing the row
+    // boundary, out-of-range palette index
+    assert(Multimodal.BmpCodec.decodeRle8(bmp(Array(4, 1, 0, 0))).isEmpty,
+      "stream without EOF must be rejected")
+    assert(Multimodal.BmpCodec.decodeRle8(bmp(Array(5, 1, 0, 1))).isEmpty,
+      "run past the row end must be rejected")
+    assert(Multimodal.BmpCodec.decodeRle8(bmp(Array(1, 9, 0, 1))).isEmpty,
+      "index beyond biClrUsed must be rejected")
+    assert(Multimodal.BmpCodec.decodeRle8(null).isEmpty)
+  }
+
+  test("mediaBmpRle synthesizes conforming RLE8 streams and " +
+      "bmpRleFeatures' decode matches a direct formula evaluation") {
+    val feats = Multimodal.bmpRleFeatures(Multimodal.mediaBmpRle(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count(), "every synthesized RLE8 must decode")
+    feats.take(50).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (id % 14 + 2).toInt
+      val h = (id * 3 % 10 + 1).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      var sr = 0L; var ck = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = (3 * id + 5 * (x / 4) + 11 * y) % 256
+        val red = (7 * idx) % 256
+        val g = (5 * idx) % 256
+        val b = (3 * idx) % 256
+        sr += red
+        ck += (y * w + x + 1).toLong * (red + 2 * g + 3 * b)
+      }
+      assert(r.getAs[Long]("sum_r") === sr, s"sum_r mismatch for $id")
+      assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
+    }
+  }
+
   test("PgmCodec decodes hand-built P5/P6 exactly: tokenized header, " +
       "comment skipping, one-whitespace raster boundary, rejections") {
     // P5 2x2 with a comment line; first raster byte is 0x0A — a decoder
