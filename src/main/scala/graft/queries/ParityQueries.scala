@@ -332,6 +332,30 @@ SELECT d.v AS user_id, d.degree,
 FROM deg d LEFT JOIN pv p ON d.v = p.vertex
 ORDER BY user_id"""))),
 
+    // §2.5 serve extension (r12): trending targets by half-life-decayed
+    // like counts — the exponentially-decayed counter every feed ranker
+    // runs, in fixed-point form (1e6 div 2^age_days): integer weights,
+    // order-free sums, bit-exact DuckDB replay (no libm exp()).
+    ("feed_trending",
+      (s: SparkSession, d: String) => {
+        val ev = CdcSource.events(s, d)
+        graft.serve.GraphStats.trendingTargets(
+          flatten(graft.ingest.Adapters.likes(
+            CdcEnvelope.admitted(CdcSource.likes(ev)))))
+      },
+      Some(OracleCte.withCdc(
+        """, l AS (SELECT target_id, epoch_ms(event_timestamp) AS ts
+     FROM act_likes),
+mx AS (SELECT max(ts) AS mt FROM l),
+ag AS (SELECT target_id,
+              CAST(least((mt - ts) // 86400000, 62) AS INT) AS age
+       FROM l CROSS JOIN mx),
+s AS (SELECT target_id, count(*)::BIGINT AS n_likes,
+             sum(1000000 // (1::BIGINT << age))::BIGINT AS score
+      FROM ag GROUP BY target_id)
+SELECT target_id, n_likes, score FROM s WHERE score > 0
+ORDER BY score DESC, target_id"""))),
+
     // §2.3 graph extension: connected components of the follow graph —
     // the dedup tier's label-propagation loop on social edges; the
     // oracle is the recursive-CTE transitive closure (the dedup_clusters

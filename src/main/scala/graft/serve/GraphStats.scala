@@ -138,4 +138,33 @@ object GraphStats {
       .where(col("n_common") >= minCommon)
       .orderBy("user_a", "user_b")
   }
+
+  /** Trending targets by half-life-decayed engagement: each like is
+    * weighted `1_000_000 div 2^age_days` (half-life one day, age
+    * relative to the stream's max event time) and weights sum per
+    * target — the classic exponentially-decayed counter every feed
+    * ranker runs, in FIXED-POINT form: division by a power of two is
+    * exact in any engine and the weights are integers, so the score is
+    * deterministic under any aggregation order and the DuckDB oracle
+    * replays it bit-for-bit (the same portability discipline as the
+    * sketch tier — no float `exp()` whose libm could differ). Weight
+    * underflows to 0 past ~20 half-lives; such rows drop, which is the
+    * semantics of trending. Scale: one max-ts aggregate (single-row
+    * broadcast, the licensed cross join) + one hash aggregation on
+    * target_id. Output: (target_id, n_likes, score), score desc. */
+  def trendingTargets(likesActivity: DataFrame): DataFrame = {
+    val l = likesActivity.select(col("target_id"),
+      unix_millis(col("event_timestamp")).as("ts"))
+    val mx = l.agg(max(col("ts")).as("mt"))
+    l.crossJoin(broadcast(mx))
+      // integer `div`, not float division+floor: day-boundary ages must
+      // be exact in both engines by construction, not by float luck
+      .withColumn("age",
+        expr("cast(least((mt - ts) div 86400000, 62) as int)"))
+      .withColumn("w", expr("1000000L div shiftleft(1L, age)"))
+      .groupBy("target_id")
+      .agg(count(lit(1)).as("n_likes"), sum(col("w")).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("target_id"))
+  }
 }

@@ -210,4 +210,92 @@ object PropertySpec extends Properties("graft") {
       }
     }
   }
+
+  property("count-min: never undercounts and every row conserves N, on " +
+      "random key streams") = {
+    val gen = Gen.listOfN(40, Gen.choose(0, 12).map(i => s"k$i"))
+    Prop.forAll(gen) { ks =>
+      ks.isEmpty || {
+        implicit val i = I.i
+        import i._
+        val chk = graft.ext.CountMin
+          .cmCheck(ks.toDF("cm_key"), width = 32, depth = 4)
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val exact = ks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val rows = graft.ext.CountMin
+          .sketch(ks.toDF("cm_key"), width = 32, depth = 4)
+          .collect().map(r => (r.getInt(0), r.getLong(2)))
+        chk.keySet == exact.keySet &&
+          chk.forall { case (k, (ex, est)) => ex == exact(k) && est >= ex } &&
+          (0 until 4).forall(r =>
+            rows.filter(_._1 == r).map(_._2).sum == ks.length.toLong)
+      }
+    }
+  }
+
+  property("pgm: decode(encode(img)) round-trips any gray image") = {
+    val gen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 9)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px)
+    Prop.forAll(gen) { case (w, h, px) =>
+      val gray = px.map(v => (v << 16) | (v << 8) | v).toArray
+      graft.ext.Multimodal.PgmCodec
+        .decode(graft.ext.Multimodal.PgmCodec.encode(w, h, gray))
+        .exists { case (w2, h2, px2) =>
+          w2 == w && h2 == h && px2.sameElements(gray)
+        }
+    }
+  }
+
+  property("incremental triangles equal driver brute force on random " +
+      "graphs under random micro-batch splits") = {
+    val gen = for {
+      n <- Gen.choose(3, 14)
+      m <- Gen.choose(2, 25)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(1L, n.toLong)
+        b <- Gen.choose(1L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      nSplits <- Gen.choose(2, 3)
+      marks <- Gen.listOfN(m, Gen.choose(0, nSplits - 1))
+    } yield (edges.distinct, marks)
+    Prop.forAll(gen) { case (edges, marks) =>
+      edges.isEmpty || {
+        implicit val i = I.i
+        import i._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_tri_prop").toString + "/state"
+        val batches = edges.zip(marks).groupBy(_._2).toSeq.sortBy(_._1)
+          .map(_._2.map(_._1))
+        batches.foreach { es =>
+          graft.streaming.StreamTriangles.foldBatch(
+            es.map { case (a, b) => (a.toString, b.toString, "c") }
+              .toDF("follower_id", "following_id", "__op"), path)
+        }
+        val got = graft.streaming.StreamTriangles
+          .readTriangles(spark, path)
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+        // driver brute force over the deduped undirected edge set
+        val es = edges.toSet
+        val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct
+        val deg = nodes.map(v =>
+          v -> es.count(e => e._1 == v || e._2 == v).toLong).toMap
+        val tri = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        val sorted = nodes.sorted
+        for {
+          ia <- sorted.indices; ib <- (ia + 1) until sorted.length
+          ic <- (ib + 1) until sorted.length
+          a = sorted(ia); b = sorted(ib); c = sorted(ic)
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } { tri(a) += 1; tri(b) += 1; tri(c) += 1 }
+        got == nodes.map(v => v -> ((deg(v), tri(v)))).toMap
+      }
+    }
+  }
 }
