@@ -325,6 +325,15 @@ class PlanShapeSpec extends SparkSuite {
       "exact recount must partial-aggregate before the exchange")
   }
 
+  test("feed_trending: only the single-row max-ts rides a broadcast " +
+      "nested loop; the decayed sum is map-side combined") {
+    val p = plan("feed_trending")
+    assert(!p.contains("CartesianProduct"))
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1,
+      "only the single-row max-ts may nested-loop")
+    assert(nodeCount(p, "HashAggregate") >= 2, "map-side combine")
+  }
+
   test("events_cm_check: the d×w matrix broadcasts into the estimate " +
       "join; only the single-row total nested-loops; counts are " +
       "map-side combined") {
