@@ -88,4 +88,37 @@ object Profile {
     }
     perCol.reduce(_ unionByName _).orderBy("column_name")
   }
+
+  /** Shuffle-skew diagnostic for a prospective groupBy/join key: the
+    * group-size distribution in log2 buckets plus each bucket's heaviest
+    * exemplar — the report that decides between a plain hash aggregate,
+    * AQE skew splitting, and explicit salting (and tells you WHICH keys
+    * to salt). Cost = the very aggregation being diagnosed (one two-phase
+    * count on the key) plus a ≤64-row histogram fold — the right price
+    * for a skew doctor. The bucket is `length(bin(n)) − 1` = ⌊log2 n⌋ in
+    * PURE INTEGER form: no float log whose boundary rounding could
+    * disagree between engines (DuckDB's `bin` matches Spark's, so the
+    * oracle replays bit-exactly). Output: (bucket, n_keys, n_rows,
+    * max_n, top_key) per occupied bucket, where top_key is the
+    * lexicographically-smallest key attaining the bucket's max — the
+    * exemplar you'd go look at. */
+  def skewReport(keys: DataFrame): DataFrame = {
+    val counts = graft.ext.Dedup.cached(
+      keys.select(col(keys.columns.head).cast("string").as("key"))
+        .where(col("key").isNotNull)
+        .groupBy("key").agg(count(lit(1)).as("n")))
+    val bucketed = counts
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast("int"))
+    val hist = bucketed.groupBy("bucket").agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_n"))
+    // ≤64 buckets: the exemplar join broadcasts the histogram side
+    val top = bucketed
+      .join(broadcast(hist.select(col("bucket"), col("max_n"))),
+        Seq("bucket"))
+      .where(col("n") === col("max_n"))
+      .groupBy("bucket").agg(min(col("key")).as("top_key"))
+    hist.join(top, Seq("bucket")).orderBy("bucket")
+  }
 }

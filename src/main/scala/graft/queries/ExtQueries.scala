@@ -4464,6 +4464,28 @@ SELECT cc.key, cc.exact_n, est.est_n,
          AS within_band
 FROM cc JOIN est USING (key) CROSS JOIN tot ORDER BY key""")),
 
+    // Shuffle-skew diagnostic (r12): the group-size histogram + per-
+    // bucket heaviest exemplar that decides between plain hash agg, AQE
+    // skew splitting, and explicit salting. ⌊log2 n⌋ computed as
+    // length(bin(n))−1 — pure integer, both engines' bin() agree, no
+    // float-log boundary risk.
+    ("events_skew_report",
+      (s: SparkSession, d: String) =>
+        graft.ext.Profile.skewReport(
+          Tables(s, d, "events").selectExpr(
+            "cast(1000 div (1 + event_id % 1000) as string) as sk_key")),
+      Some("""WITH k AS (
+  SELECT CAST(1000 // (1 + event_id % 1000) AS VARCHAR) AS key FROM events),
+cc AS (SELECT key, count(*)::BIGINT AS n FROM k GROUP BY key),
+b AS (SELECT key, n, (length(bin(n)) - 1)::INT AS bucket FROM cc),
+h AS (SELECT bucket, count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+             max(n)::BIGINT AS max_n
+      FROM b GROUP BY bucket),
+t AS (SELECT b.bucket, min(b.key) AS top_key
+      FROM b JOIN h USING (bucket) WHERE b.n = h.max_n GROUP BY b.bucket)
+SELECT h.bucket, h.n_keys, h.n_rows, h.max_n, t.top_key
+FROM h JOIN t USING (bucket) ORDER BY bucket""")),
+
     // -------------------------------------------------- entity resolution
     // Blocked fuzzy name matching over the part catalog: MULTI-PASS
     // blocking (head-noun + first-token keys, r11 item 5), levenshtein

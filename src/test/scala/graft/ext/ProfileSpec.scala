@@ -52,4 +52,21 @@ class ProfileSpec extends SparkSuite {
     // and no Expand / no SortAggregate over expanded rows anywhere
     assert(!plan.contains("Expand"), s"multi-distinct Expand present:\n$plan")
   }
+
+  test("skewReport: log2 buckets land on exact integer boundaries and " +
+      "each bucket's exemplar is the smallest max-count key") {
+    import spark.implicits._
+    // counts: a→1 (bucket 0), b→2, c→3 (bucket 1), d→4, e→7 (bucket 2);
+    // bucket 1's max is 3 (key c); bucket 2's max is 7 (key e)
+    val keys = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(4)("d") ++ Seq.fill(7)("e")).toDF("k")
+    val got = Profile.skewReport(keys).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toList
+    assert(got === List(
+      (0, 1L, 1L, 1L, "a"),
+      (1, 2L, 5L, 3L, "c"),
+      (2, 2L, 11L, 7L, "e")))
+    graft.ext.Dedup.releaseAll()
+  }
 }
