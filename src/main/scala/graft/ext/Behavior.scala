@@ -133,6 +133,38 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** Weekly event-type distribution DRIFT: add-half-smoothed
+    * KL(week's distribution ‖ the overall distribution) per ISO week —
+    * the drift monitor a data pipeline runs per ingest window to catch
+    * a source whose mix shifted (an instrumentation change, a bot wave)
+    * before it poisons downstream training mixes. Same portability
+    * discipline as [[Lm.sourceLmDivergence]]: per-term doubles cast to
+    * DECIMAL(28,18) so the sum is order-free, result rounded to 6 dp.
+    * Scale: one map-side-combined count on (week, type) — the shuffle
+    * never exceeds weeks × types keys — then broadcast folds of the
+    * type marginals (types-sized) and the single-row total. */
+  def driftWeekly(events: DataFrame): DataFrame = {
+    val wt = events
+      .groupBy(date_trunc("week", col("ts")).as("week"), col("event_type"))
+      .agg(count(lit(1)).as("nwt"))
+    val wk = wt.groupBy("week").agg(sum("nwt").as("nw"))
+    val ty = wt.groupBy("event_type").agg(sum("nwt").as("nt"))
+    val tot = ty.agg(sum("nt").as("n_total"), count(lit(1)).as("n_types"))
+    val p = (col("nwt") + lit(0.5)) /
+      (col("nw") + (col("n_types") + lit(1)) * lit(0.5))
+    val q = (col("nt") + lit(0.5)) /
+      (col("n_total") + (col("n_types") + lit(1)) * lit(0.5))
+    wt.join(wk, "week")
+      .join(broadcast(ty), "event_type")
+      .crossJoin(broadcast(tot))
+      .select(col("week"), col("nw"),
+        (p * (log(p) - log(q))).cast("decimal(28,18)").as("term"))
+      .groupBy("week")
+      .agg(max("nw").as("n_events"),
+        round(sum("term").cast("double"), 6).as("kl_r"))
+      .orderBy("week")
+  }
+
   /** Day-of-week × hour activity profile (dow 1=Monday … 7=Sunday, matching
     * DuckDB's isodow so the oracle compares directly). One map-side-combined
     * shuffle on a 168-key space; the DECIMAL sum keeps the aggregate exact

@@ -4486,6 +4486,29 @@ t AS (SELECT b.bucket, min(b.key) AS top_key
 SELECT h.bucket, h.n_keys, h.n_rows, h.max_n, t.top_key
 FROM h JOIN t USING (bucket) ORDER BY bucket""")),
 
+    // Distribution-drift monitor (r12): weekly event-type mix vs the
+    // overall mix as add-half-smoothed KL, the per-ingest-window check
+    // that catches a shifted source before it poisons a training mix.
+    // sourceLmDivergence's decimal-term discipline on the time axis.
+    ("events_drift_weekly",
+      (s: SparkSession, d: String) =>
+        graft.ext.Behavior.driftWeekly(Tables(s, d, "events")),
+      Some("""WITH wt AS (
+  SELECT date_trunc('week', ts) AS week, event_type, count(*)::BIGINT AS nwt
+  FROM events GROUP BY 1, 2),
+wk AS (SELECT week, sum(nwt)::BIGINT AS nw FROM wt GROUP BY week),
+ty AS (SELECT event_type, sum(nwt)::BIGINT AS nt FROM wt GROUP BY event_type),
+tot AS (SELECT sum(nt)::BIGINT AS n_total, count(*)::BIGINT AS n_types FROM ty),
+tm AS (SELECT wt.week, wk.nw,
+         CAST(((wt.nwt + 0.5) / (wk.nw + (tot.n_types + 1) * 0.5))
+           * (ln((wt.nwt + 0.5) / (wk.nw + (tot.n_types + 1) * 0.5))
+              - ln((ty.nt + 0.5) / (tot.n_total + (tot.n_types + 1) * 0.5)))
+           AS DECIMAL(28,18)) AS term
+       FROM wt JOIN wk USING (week) JOIN ty USING (event_type)
+       CROSS JOIN tot)
+SELECT week, max(nw)::BIGINT AS n_events, round(sum(term)::DOUBLE, 6) AS kl_r
+FROM tm GROUP BY week ORDER BY week""")),
+
     // -------------------------------------------------- entity resolution
     // Blocked fuzzy name matching over the part catalog: MULTI-PASS
     // blocking (head-noun + first-token keys, r11 item 5), levenshtein
