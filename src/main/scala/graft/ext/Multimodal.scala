@@ -466,7 +466,15 @@ object Multimodal {
     * padding per the format. Pure hex Column expressions (the
     * [[mediaWithHeaders]] idiom); images are ≤ 16×12 so the interpreted
     * per-pixel lambdas stay trivially cheap. */
-  def mediaBmp(docs: DataFrame): DataFrame = {
+  def mediaBmp(docs: DataFrame): DataFrame = mediaBmpImpl(docs, perturb00 = false)
+
+  /** [[mediaBmp]] with pixel (0, 0)'s B channel shifted by +16 (mod 256)
+    * — the "one pixel touched" near-duplicate a perceptual hash must
+    * still match ([[mediaPhashPairs]]'s planted case). */
+  def mediaBmpPerturbed(docs: DataFrame): DataFrame =
+    mediaBmpImpl(docs, perturb00 = true)
+
+  private def mediaBmpImpl(docs: DataFrame, perturb00: Boolean): DataFrame = {
     val id = col("doc_id")
     val w = (pmod(id, lit(16)) + 1).cast("int")
     val h = (pmod(id * 7, lit(12)) + 1).cast("int")
@@ -489,8 +497,12 @@ object Multimodal {
         concat(
           array_join(
             transform(sequence(lit(0), w - 1), { x =>
+              val bump =
+                if (perturb00)
+                  when(x === 0 && y === lit(0), lit(16)).otherwise(lit(0))
+                else lit(0)
               concat(
-                byteHex(id + x * 3 + y * 7),
+                byteHex(id + x * 3 + y * 7 + bump),
                 byteHex(id * 5 + x + y * 11),
                 byteHex(id * 9 + x * 13 + y))
             }), ""),
@@ -826,6 +838,79 @@ object Multimodal {
           }
         }
       }.toDF()
+  }
+
+  // -------------------------------------- perceptual-hash media near-dup
+  //
+  // The pixel-level near-dup gate ([[mediaNearDup]] is BYTE-level — it
+  // catches re-muxed copies but not "same image, one pixel touched"):
+  // average-hash over the REAL decode chain. Canonical 8×8 nearest-
+  // neighbor resample (up- or down-sampling — a perceptual hash needs a
+  // FIXED grid for comparability, unlike [[resize]]'s no-upscale
+  // contract) → BT.601 luma per cell → each bit = cell luma above the
+  // image mean (strict, integer form: l·64 > Σl — no float mean) → the
+  // 64-bit fingerprint rides the SAME banded hamming join as the
+  // SimHash family. Everything integer, everything replayed by the
+  // DuckDB oracle from the synth formula — resample indices, luma
+  // weights, threshold and banding included.
+
+  /** [[mediaBmp]] plus planted duplicate classes for every 25th doc: an
+    * exact byte copy (media_id + 100000 — hamming 0, the identical-fp
+    * collapse path) and a one-pixel perturbed copy (media_id + 200000 —
+    * the near-dup a perceptual hash exists to catch). */
+  def mediaBmpNearDups(docs: DataFrame): DataFrame = {
+    val planted = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+    mediaBmp(docs)
+      .unionByName(mediaBmp(planted)
+        .select((col("media_id") + 100000L).as("media_id"), col("payload")))
+      .unionByName(mediaBmpPerturbed(planted)
+        .select((col("media_id") + 200000L).as("media_id"), col("payload")))
+  }
+
+  /** aHash of decoded pixels: bit i (= qy·8 + qx) set iff the sampled
+    * cell's luma strictly exceeds the 64-cell mean. */
+  private def aHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val lum = new Array[Long](64)
+    var s = 0L
+    var qy = 0
+    while (qy < 8) {
+      var qx = 0
+      while (qx < 8) {
+        val p = px((qy * h / 8) * w + (qx * w / 8))
+        val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        lum(qy * 8 + qx) = l
+        s += l
+        qx += 1
+      }
+      qy += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (lum(i) * 64L > s) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  /** Perceptual near-dup pairs over a BMP media table: real decode →
+    * [[aHash64]] → the shared banded hamming self-join
+    * ([[graft.ext.Dedup.hammingPairs64]]: pigeonhole-complete at
+    * maxHamming ≤ 3, identical-fp groups collapsed before banding).
+    * Output (doc_a, doc_b, hamming). */
+  def mediaPhashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fps = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          BmpCodec.decode(payload).map { case (w, h, px) =>
+            (id, aHash64(w, h, px))
+          }
+        }
+      }.toDF("doc_id", "fp")
+    graft.ext.Dedup.hammingPairs64(fps, maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   // ----------------------------------------- real pixel decode: netpbm PGM

@@ -3850,6 +3850,57 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // Perceptual-hash near-dup over REAL decoded pixels (r12): aHash on
+    // the canonical 8×8 nearest-neighbor grid, integer mean threshold
+    // (l·64 > Σl — no float mean), banded hamming join. Planted classes:
+    // exact byte copies (+100000, hamming 0 via the identical-fp
+    // collapse) and one-pixel perturbations (+200000 — what a
+    // pixel-level hash exists to catch and the byte-level SimHash
+    // cannot). The oracle replays resample indices, luma, threshold,
+    // banding, and verify from the synth formula.
+    ("media_phash_pairs",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal.mediaPhashPairs(
+          graft.ext.Multimodal.mediaBmpNearDups(docs(s, d)), maxHamming = 3),
+      Some("""WITH ids AS (
+  SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, doc_id, 0 FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 200000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
+dms AS (SELECT doc_id, src, pert,
+               CAST(src % 16 + 1 AS INT) AS w,
+               CAST((src * 7) % 12 + 1 AS INT) AS h
+        FROM ids),
+sp AS (SELECT doc_id, src, pert,
+              ((i % 8) * w) // 8 AS x, ((i // 8) * h) // 8 AS y,
+              i AS bit
+       FROM dms, unnest(range(0, 64)) t(i)),
+lm AS (SELECT doc_id, bit,
+              299 * ((9 * src + 13 * x + y) % 256)
+            + 587 * ((5 * src + x + 11 * y) % 256)
+            + 114 * ((src + 3 * x + 7 * y
+                      + CASE WHEN pert = 1 AND x = 0 AND y = 0
+                             THEN 16 ELSE 0 END) % 256) AS l
+       FROM sp),
+tt AS (SELECT doc_id, sum(l)::BIGINT AS s FROM lm GROUP BY doc_id),
+fp AS (SELECT lm.doc_id,
+              bit_or(CASE WHEN lm.l * 64 > tt.s
+                          THEN CAST(1 AS UBIGINT) << lm.bit::INT
+                          ELSE CAST(0 AS UBIGINT) END) AS fp
+       FROM lm JOIN tt ON tt.doc_id = lm.doc_id GROUP BY lm.doc_id),
+bands AS (SELECT doc_id, q, (fp >> (16 * q)) & 65535 AS band_val
+          FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS q) qs),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.q = b.q AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b, bit_count(xor(fa.fp, fb.fp))::INT AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+ORDER BY doc_a, doc_b""")),
+
     // First real COMPRESSED pixel format (r12): BI_RLE8 BMP — the
     // decoder walks a genuine run-length stream (encoded runs, EOL/EOF
     // escapes) and resolves indices through the 1024-byte palette, rows

@@ -380,6 +380,29 @@ class MediaHeadersSpec extends SparkSuite {
     }
   }
 
+  test("mediaPhashPairs: planted exact copies pair at hamming 0; the " +
+      "one-pixel perturbed class is caught; all pairs inside the " +
+      "pigeonhole bound") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val pairs = Multimodal.mediaPhashPairs(
+      Multimodal.mediaBmpNearDups(docs), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dupIds = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(dupIds.nonEmpty)
+    dupIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100000L && p._3 == 0),
+        s"exact copy of $id must pair at hamming 0")
+    }
+    val perturbedCaught = dupIds.count(id =>
+      pairs.exists(p => p._1 == id && p._2 == id + 200000L))
+    info(s"perturbed copies caught: $perturbedCaught / ${dupIds.length}")
+    assert(perturbedCaught > 0,
+      "the one-pixel perturbation must be catchable at pixel level")
+    assert(pairs.forall(_._3 <= 3))
+    graft.ext.Dedup.releaseAll()
+  }
+
   test("PgmCodec decodes hand-built P5/P6 exactly: tokenized header, " +
       "comment skipping, one-whitespace raster boundary, rejections") {
     // P5 2x2 with a comment line; first raster byte is 0x0A — a decoder
