@@ -840,6 +840,137 @@ object Multimodal {
       }.toDF()
   }
 
+  // ------------------------------------------ real audio decode: PCM WAV
+  //
+  // The audio modality's REAL decode path (the image tier has BMP/RLE8/
+  // netpbm; WAV-contained PCM needs no codec library either — samples
+  // are little-endian int16 behind a RIFF chunk walk). The walk has the
+  // quirks a fake decoder gets wrong: chunks must be discovered by
+  // iteration (a JUNK chunk before `fmt ` shifts everything), odd-sized
+  // chunks are word-padded, and only PCM/mono/16-bit is in scope —
+  // anything else must reject, not decode garbage.
+
+  /** Synthesize a PCM WAV per document: n = id%200+50 mono 16-bit
+    * samples at 8 kHz, sample i = ((3·id + 17·i) mod 65536) − 32768 —
+    * full-range signed, stored two's-complement little-endian. Docs with
+    * id ≡ 0 (mod 4) carry a 4-byte JUNK chunk before `fmt `, so chunk
+    * iteration (not fixed offsets) rides the hashed oracle. */
+  def mediaWavPcm(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val n = (pmod(id, lit(200)) + 50).cast("int")
+    def le32(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 8, "0")
+      concat(substring(b, 7, 2), substring(b, 5, 2),
+        substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def le16(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 4, "0")
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def byteHex(c: Column) = lpad(conv(pmod(c, lit(256)), 10, 16), 2, "0")
+    // stored uint16 of the signed sample = (u + 32768) mod 65536 where
+    // u = (3·id + 17·i) mod 65536 is the pre-shift phase
+    val samplesHex = array_join(
+      transform(sequence(lit(0), n - 1), { i =>
+        val u = pmod(id * 3 + i * 17 + 32768, lit(65536))
+        concat(byteHex(u), byteHex(floor(u / 256)))
+      }), "")
+    val junk = when(pmod(id, lit(4)) === 0, lit("4A554E4B" + "04000000" + "00000000"))
+      .otherwise(lit("")) // "JUNK" + size 4 + 4 payload bytes
+    val junkBytes = when(pmod(id, lit(4)) === 0, lit(12)).otherwise(lit(0))
+    val dataBytes = n * 2
+    val hx = concat(
+      lit("52494646"), le32(dataBytes + 36 + junkBytes), lit("57415645"),
+      junk,
+      lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+      le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+      lit("64617461"), le32(dataBytes), samplesHex)
+    docs.select(id.as("media_id"), unhex(hx).as("payload"))
+  }
+
+  /** REAL PCM WAV decoder: RIFF/WAVE signature, chunk ITERATION (unknown
+    * chunks skipped with word padding), `fmt ` validated PCM/mono/16-bit,
+    * `data` decoded as little-endian int16. None on truncation, a missing
+    * chunk, or an out-of-scope format. */
+  object WavCodec {
+    private def le(b: Array[Byte], off: Int, n: Int): Int = {
+      var v = 0; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (b(off + i) & 0xff); i -= 1 }
+      v
+    }
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b.slice(off, off + 4), "US-ASCII")
+
+    def decodePcm16(p: Array[Byte]): Option[(Int, Array[Int])] = {
+      if (p == null || p.length < 44) return None
+      if (tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE") return None
+      var i = 12
+      var rate = -1
+      var fmtOk = false
+      var samples: Array[Int] = null
+      while (i + 8 <= p.length) {
+        val id = tag(p, i)
+        val size = le(p, i + 4, 4)
+        if (size < 0 || i + 8 + size > p.length) return None
+        id match {
+          case "fmt " =>
+            if (size < 16) return None
+            val codec = le(p, i + 8, 2)
+            val channels = le(p, i + 10, 2)
+            val bits = le(p, i + 22, 2)
+            if (codec != 1 || channels != 1 || bits != 16) return None
+            rate = le(p, i + 12, 4)
+            fmtOk = true
+          case "data" =>
+            if (!fmtOk) return None // fmt must precede data
+            if (size % 2 != 0) return None
+            val out = new Array[Int](size / 2)
+            var j = 0
+            while (j < out.length) {
+              val u = le(p, i + 8 + 2 * j, 2)
+              out(j) = if (u >= 32768) u - 65536 else u
+              j += 1
+            }
+            samples = out
+          case _ => () // JUNK/LIST/etc: skip
+        }
+        i += 8 + size + (size & 1) // odd chunks are word-padded
+      }
+      if (fmtOk && samples != null) Some((rate, samples)) else None
+    }
+  }
+
+  /** Integer-exact audio features per decoded clip: sample count, Σ|s|,
+    * max |s|, Σs² (the RMS numerator, exact in a long), and strict
+    * zero crossings (sign product < 0). */
+  case class WavFeatures(
+      media_id: Long, sample_rate: Int, n_samples: Long,
+      sum_abs: Long, max_abs: Long, sum_sq: Long, zero_crossings: Long)
+
+  /** Decode + featurize the PCM table — the same mapPartitions codec
+    * seam as the image paths. */
+  def wavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          WavCodec.decodePcm16(payload).map { case (rate, s) =>
+            var sa = 0L; var mx = 0L; var sq = 0L; var zc = 0L
+            var j = 0
+            while (j < s.length) {
+              val a = math.abs(s(j).toLong)
+              sa += a; if (a > mx) mx = a; sq += a * a
+              if (j > 0 && s(j - 1).toLong * s(j) < 0) zc += 1
+              j += 1
+            }
+            WavFeatures(id, rate, s.length.toLong, sa, mx, sq, zc)
+          }
+        }
+      }.toDF()
+  }
+
   // -------------------------------------- perceptual-hash media near-dup
   //
   // The pixel-level near-dup gate ([[mediaNearDup]] is BYTE-level — it

@@ -3850,6 +3850,31 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // REAL audio decode (r12): WAV-contained PCM — a chunk-ITERATED RIFF
+    // walk (planted JUNK chunks on every fourth doc shift fmt/data, so
+    // fixed-offset parsing fails the hash), little-endian int16 samples,
+    // integer-exact features (Σ|s|, max|s|, Σs², strict zero crossings).
+    // The oracle recomputes every feature from the sample formula.
+    ("media_audio_features",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .wavFeatures(graft.ext.Multimodal.mediaWavPcm(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH d AS (
+  SELECT doc_id, CAST(doc_id % 200 + 50 AS INT) AS n FROM documents),
+s AS (SELECT doc_id, i, ((3 * doc_id + 17 * i) % 65536) - 32768 AS v
+      FROM d, unnest(range(0, n)) t(i)),
+f AS (SELECT doc_id, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s)
+SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+       count(*)::BIGINT AS n_samples,
+       sum(abs(v))::BIGINT AS sum_abs, max(abs(v))::BIGINT AS max_abs,
+       sum(v * v)::BIGINT AS sum_sq,
+       sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END)::BIGINT
+         AS zero_crossings
+FROM f GROUP BY doc_id ORDER BY media_id""")),
+
     // Perceptual-hash near-dup over REAL decoded pixels (r12): aHash on
     // the canonical 8×8 nearest-neighbor grid, integer mean threshold
     // (l·64 > Σl — no float mean), banded hamming join. Planted classes:

@@ -380,6 +380,74 @@ class MediaHeadersSpec extends SparkSuite {
     }
   }
 
+  test("WavCodec decodes a hand-built PCM file through a chunk walk: " +
+      "JUNK skipped with word padding, stereo/truncation/float rejected") {
+    def wav(chunks: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](12 + chunks.length)
+      "RIFF".getBytes.copyToArray(b, 0)
+      val sz = 4 + chunks.length
+      (0 until 4).foreach(i => b(4 + i) = ((sz >> (8 * i)) & 0xff).toByte)
+      "WAVE".getBytes.copyToArray(b, 8)
+      chunks.copyToArray(b, 12)
+      b
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](8 + payload.length + (payload.length & 1))
+      id.getBytes.copyToArray(b, 0)
+      (0 until 4).foreach(i =>
+        b(4 + i) = ((payload.length >> (8 * i)) & 0xff).toByte)
+      payload.copyToArray(b, 8)
+      b // zero pad byte included when payload length is odd
+    }
+    def fmt(codec: Int, ch: Int, bits: Int): Array[Byte] = {
+      val p = new Array[Byte](16)
+      p(0) = codec.toByte; p(2) = ch.toByte
+      p(4) = 0x40; p(5) = 0x1f // 8000 LE
+      p(14) = bits.toByte
+      p
+    }
+    // samples: 1, -1, 2 → LE bytes; one strict crossing at (−1 → ... )
+    val data = Array[Byte](1, 0, -1, -1, 2, 0)
+    // odd-sized JUNK (3 bytes, padded to 4) before fmt — a fixed-offset
+    // parser reads garbage; the walk must land on fmt and data exactly
+    val good = wav(chunk("JUNK", Array[Byte](9, 9, 9)) ++
+      chunk("fmt ", fmt(1, 1, 16)) ++ chunk("data", data))
+    val Some((rate, s)) = Multimodal.WavCodec.decodePcm16(good)
+    assert(rate === 8000)
+    assert(s.toSeq === Seq(1, -1, 2))
+    assert(Multimodal.WavCodec.decodePcm16(
+      wav(chunk("fmt ", fmt(1, 2, 16)) ++ chunk("data", data))).isEmpty,
+      "stereo rejected")
+    assert(Multimodal.WavCodec.decodePcm16(
+      wav(chunk("fmt ", fmt(3, 1, 16)) ++ chunk("data", data))).isEmpty,
+      "float codec rejected")
+    assert(Multimodal.WavCodec.decodePcm16(
+      wav(chunk("data", data) ++ chunk("fmt ", fmt(1, 1, 16)))).isEmpty,
+      "data before fmt rejected")
+    assert(Multimodal.WavCodec.decodePcm16(good.dropRight(1)).isEmpty,
+      "truncated chunk rejected")
+    assert(Multimodal.WavCodec.decodePcm16(null).isEmpty)
+  }
+
+  test("mediaWavPcm synthesizes conforming PCM (JUNK included) and " +
+      "wavFeatures matches a direct formula evaluation") {
+    val feats = Multimodal.wavFeatures(Multimodal.mediaWavPcm(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count(), "every synthesized WAV must decode")
+    feats.take(50).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = (id % 200 + 50).toInt
+      val vs = (0 until n).map(i => ((3 * id + 17 * i) % 65536 - 32768).toInt)
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Long]("n_samples") === n.toLong)
+      assert(r.getAs[Long]("sum_abs") === vs.map(v => math.abs(v.toLong)).sum)
+      assert(r.getAs[Long]("max_abs") === vs.map(v => math.abs(v.toLong)).max)
+      assert(r.getAs[Long]("sum_sq") === vs.map(v => v.toLong * v).sum)
+      assert(r.getAs[Long]("zero_crossings") ===
+        vs.sliding(2).count(p => p(0).toLong * p(1) < 0).toLong)
+    }
+  }
+
   test("mediaPhashPairs: planted exact copies pair at hamming 0; the " +
       "one-pixel perturbed class is caught; all pairs inside the " +
       "pigeonhole bound") {
