@@ -840,6 +840,186 @@ object Multimodal {
       }.toDF()
   }
 
+  // ------------------------------- real video decode: AVI with DIB frames
+  //
+  // The video modality's REAL decode path, completing the triad (images:
+  // BMP/RLE8/netpbm/aHash; audio: PCM WAV): AVI containing UNCOMPRESSED
+  // 24-bpp DIB frames needs no codec either — the container is nested
+  // RIFF LISTs (hdrl → strl → strf BITMAPINFOHEADER for geometry, movi →
+  // `00db` chunks for the raw frames) and each frame is the BMP pixel
+  // array (bottom-up rows, 4-byte padding, B,G,R) without the file
+  // header. A fake decoder fails on the nesting (frame geometry lives
+  // two LISTs deep, not at a fixed offset) and on frame ORDER, which the
+  // (f+1)-weighted checksum pins.
+
+  /** Synthesize an uncompressed-DIB AVI per document: w = id%8+1,
+    * h = (3·id)%6+1, nf = id%5+2 frames; frame f pixel (x, y) channels
+    * B = (id + f + 3x + 7y) % 256, G = (5·id + 2f + x + 11y) % 256,
+    * R = (9·id + 3f + 13x + y) % 256. Conforming hdrl (avih + strl with
+    * `vids`/`DIB ` strh and a BITMAPINFOHEADER strf) + movi with one
+    * `00db` chunk per frame. */
+  def mediaAviDib(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = (pmod(id, lit(8)) + 1).cast("int")
+    val h = (pmod(id * 3, lit(6)) + 1).cast("int")
+    val nf = (pmod(id, lit(5)) + 2).cast("int")
+    val rowSize = (floor((w * 3 + 3) / lit(4)) * 4).cast("int")
+    val pad = rowSize - w * 3
+    val frameBytes = rowSize * h
+    def le32(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 8, "0")
+      concat(substring(b, 7, 2), substring(b, 5, 2),
+        substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def le16(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 4, "0")
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def byteHex(c: Column) = lpad(conv(pmod(c, lit(256)), 10, 16), 2, "0")
+    def zeros(n: Int) = lit("00" * n)
+    // strh: fccType 'vids', handler 'DIB ', rest zero (56 bytes)
+    val strh = concat(lit("73747268"), le32(lit(56)),
+      lit("76696473"), lit("44494220"), zeros(48))
+    val strf = concat(lit("73747266"), le32(lit(40)),
+      le32(lit(40)), le32(w), le32(h), le16(lit(1)), le16(lit(24)),
+      le32(lit(0)), le32(frameBytes), zeros(16))
+    val strl = concat(lit("4C495354"), le32(lit(4 + 64 + 48)),
+      lit("7374726C"), strh, strf)
+    val avih = concat(lit("61766968"), le32(lit(56)),
+      le32(lit(100000)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+      le32(nf), le32(lit(0)), le32(lit(1)), le32(lit(0)),
+      le32(w), le32(h), zeros(16))
+    val hdrl = concat(lit("4C495354"), le32(lit(4 + 64 + 124)),
+      lit("6864726C"), avih, strl)
+    val frames = array_join(
+      transform(sequence(lit(0), nf - 1), { f =>
+        concat(lit("30306462"), le32(frameBytes), array_join(
+          transform(sequence(lit(0), h - 1), { i =>
+            val y = h - 1 - i // stored bottom-up
+            concat(
+              array_join(
+                transform(sequence(lit(0), w - 1), { x =>
+                  concat(
+                    byteHex(id + f + x * 3 + y * 7),
+                    byteHex(id * 5 + f * 2 + x + y * 11),
+                    byteHex(id * 9 + f * 3 + x * 13 + y))
+                }), ""),
+              lit("000000").substr(lit(1), pad * 2))
+          }), ""))
+      }), "")
+    val movi = concat(lit("4C495354"),
+      le32(nf * (frameBytes + 8) + 4), lit("6D6F7669"), frames)
+    val hx = concat(
+      lit("52494646"),
+      le32(lit(4 + 8 + 4 + 64 + 124) + nf * (frameBytes + 8) + 12),
+      lit("41564920"), hdrl, movi)
+    docs.select(id.as("media_id"), unhex(hx).as("payload"))
+  }
+
+  /** REAL AVI/DIB decoder: RIFF walk → hdrl LIST → strl LIST → strf
+    * geometry (validated 24-bpp BI_RGB), then every `00db`/`00dc` movi
+    * chunk decoded exactly as a BMP pixel array (bottom-up undone,
+    * padding stripped, B,G,R → 0xRRGGBB). Returns top-down frames in
+    * stream order; None on truncation, missing geometry, or an
+    * out-of-scope format. */
+  object AviCodec {
+    private def le(b: Array[Byte], off: Int, n: Int): Int = {
+      var v = 0; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (b(off + i) & 0xff); i -= 1 }
+      v
+    }
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b.slice(off, off + 4), "US-ASCII")
+
+    def decodeDib(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+      if (p == null || p.length < 24) return None
+      if (tag(p, 0) != "RIFF" || tag(p, 8) != "AVI ") return None
+      var w = -1; var h = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      // iterate chunks in [from, to); recurse into LISTs
+      def walk(from: Int, to: Int): Boolean = {
+        var i = from
+        while (i + 8 <= to) {
+          val id = tag(p, i)
+          val size = le(p, i + 4, 4)
+          if (size < 0 || i + 8 + size > to) return false
+          if (id == "LIST") {
+            if (size < 4) return false
+            if (!walk(i + 12, i + 8 + size)) return false
+          } else if (id == "strf") {
+            if (size < 40) return false
+            val bpp = le(p, i + 8 + 14, 2)
+            val comp = le(p, i + 8 + 16, 4)
+            if (bpp != 24 || comp != 0) return false
+            w = le(p, i + 8 + 4, 4)
+            h = le(p, i + 8 + 8, 4)
+            if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16))
+              return false
+          } else if (id == "00db" || id == "00dc") {
+            if (w < 0) return false // geometry must precede frames
+            val rowSize = ((3 * w + 3) / 4) * 4
+            if (size != rowSize * h) return false
+            val out = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              val base = i + 8 + (h - 1 - y) * rowSize
+              var x = 0
+              while (x < w) {
+                val bb = p(base + 3 * x) & 0xff
+                val g = p(base + 3 * x + 1) & 0xff
+                val r = p(base + 3 * x + 2) & 0xff
+                out(y * w + x) = (r << 16) | (g << 8) | bb
+                x += 1
+              }
+              y += 1
+            }
+            frames += out
+          }
+          i += 8 + size + (size & 1)
+        }
+        true
+      }
+      if (!walk(12, p.length)) return None
+      if (w < 0 || frames.isEmpty) None else Some((w, h, frames.toArray))
+    }
+  }
+
+  /** Per-video features over decoded frames — all integer: the luma sum
+    * across frames and an (f+1)·(pos)·(r+2g+3b) checksum that pins frame
+    * ORDER, row order, padding, and channel order at once. */
+  case class VideoFeatures(
+      media_id: Long, width: Int, height: Int, n_frames: Long,
+      luma_milli: Long, checksum: Long)
+
+  def aviFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          AviCodec.decodeDib(payload).map { case (w, h, fs) =>
+            var luma = 0L; var ck = 0L
+            var f = 0
+            while (f < fs.length) {
+              val px = fs(f)
+              var i = 0
+              while (i < px.length) {
+                val r = (px(i) >> 16) & 0xff
+                val g = (px(i) >> 8) & 0xff
+                val b = px(i) & 0xff
+                luma += 299L * r + 587L * g + 114L * b
+                ck += (f + 1).toLong * (i + 1) * (r + 2L * g + 3L * b)
+                i += 1
+              }
+              f += 1
+            }
+            VideoFeatures(id, w, h, fs.length.toLong, luma, ck)
+          }
+        }
+      }.toDF()
+  }
+
   // ------------------------------------------ real audio decode: PCM WAV
   //
   // The audio modality's REAL decode path (the image tier has BMP/RLE8/

@@ -3850,6 +3850,36 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // REAL video decode (r12), completing the modality triad: AVI with
+    // uncompressed 24-bpp DIB frames — nested RIFF LIST walk (geometry
+    // lives two LISTs deep in strf), per-frame BMP pixel arrays
+    // (bottom-up, padded, B,G,R), frame ORDER pinned by the (f+1)-
+    // weighted checksum. Oracle recomputes from the frame formula.
+    ("media_video_features",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .aviFeatures(graft.ext.Multimodal.mediaAviDib(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH d AS (
+  SELECT doc_id, CAST(doc_id % 8 + 1 AS INT) AS w,
+         CAST((doc_id * 3) % 6 + 1 AS INT) AS h,
+         CAST(doc_id % 5 + 2 AS INT) AS nf
+  FROM documents),
+px AS (SELECT doc_id, w, h, nf, ff.f::INT AS f,
+              t.j % w AS x, t.j // w AS y
+       FROM d, unnest(range(0, nf)) AS ff(f),
+            unnest(range(0, w * h)) AS t(j)),
+v AS (SELECT doc_id, w, h, nf,
+             (doc_id + f + 3 * x + 7 * y) % 256 AS b,
+             (5 * doc_id + 2 * f + x + 11 * y) % 256 AS g,
+             (9 * doc_id + 3 * f + 13 * x + y) % 256 AS r,
+             (f + 1) * (y * w + x + 1) AS wgt
+      FROM px)
+SELECT doc_id AS media_id, w AS width, h AS height, nf::BIGINT AS n_frames,
+       sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+       sum(wgt * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h, nf ORDER BY media_id""")),
+
     // REAL audio decode (r12): WAV-contained PCM — a chunk-ITERATED RIFF
     // walk (planted JUNK chunks on every fourth doc shift fmt/data, so
     // fixed-offset parsing fails the hash), little-endian int16 samples,

@@ -380,6 +380,43 @@ class MediaHeadersSpec extends SparkSuite {
     }
   }
 
+  test("mediaAviDib synthesizes conforming AVIs and aviFeatures' nested " +
+      "LIST walk + frame decode matches a direct formula evaluation") {
+    val feats = Multimodal.aviFeatures(Multimodal.mediaAviDib(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count(), "every synthesized AVI must decode")
+    feats.take(40).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (id % 8 + 1).toInt
+      val h = (id * 3 % 6 + 1).toInt
+      val nf = (id % 5 + 2).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("n_frames") === nf.toLong)
+      var luma = 0L; var ck = 0L
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val b = (id + f + 3 * x + 7 * y) % 256
+        val g = (5 * id + 2 * f + x + 11 * y) % 256
+        val red = (9 * id + 3 * f + 13 * x + y) % 256
+        luma += 299 * red + 587 * g + 114 * b
+        ck += (f + 1).toLong * (y * w + x + 1) * (red + 2 * g + 3 * b)
+      }
+      assert(r.getAs[Long]("luma_milli") === luma, s"luma mismatch for $id")
+      assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
+    }
+    // rejections on the decoder directly: truncated payload; compressed
+    // strf (biCompression != 0) must refuse rather than decode garbage
+    val one = Multimodal.mediaAviDib(docs.limit(1))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.AviCodec.decodeDib(one.dropRight(1)).isEmpty)
+    val compressed = one.clone()
+    // strf payload starts after RIFF(12) + LIST hdrl hdr(12) + avih(64)
+    // + LIST strl hdr(12) + strh(64) + strf hdr(8); compression at +16
+    compressed(12 + 12 + 64 + 12 + 64 + 8 + 16) = 1
+    assert(Multimodal.AviCodec.decodeDib(compressed).isEmpty,
+      "compressed frames must be rejected")
+    assert(Multimodal.AviCodec.decodeDib(null).isEmpty)
+  }
+
   test("WavCodec decodes a hand-built PCM file through a chunk walk: " +
       "JUNK skipped with word padding, stereo/truncation/float rejected") {
     def wav(chunks: Array[Byte]): Array[Byte] = {
