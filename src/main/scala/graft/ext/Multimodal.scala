@@ -984,6 +984,106 @@ object Multimodal {
     }
   }
 
+  /** [[mediaAviDib]]'s container with SCENE semantics: frames are
+    * STATIC per scene (no per-frame drift — drift wraps mod 256 at
+    * scattered pixels, which is itself a visual change and would blur
+    * the planted signal), and even-id videos INVERT every channel from
+    * the midpoint frame on (255 − v: a negative-film jump that reverses
+    * the luma ordering, so the hash flips wherever a cell sat away from
+    * the mean — a uniform additive bump would wrap whole channel
+    * windows uniformly and often leave the hash untouched). Odd-id
+    * videos are one static scene. */
+  def mediaAviScenes(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = (pmod(id, lit(8)) + 1).cast("int")
+    val h = (pmod(id * 5, lit(6)) + 1).cast("int")
+    val nf = (pmod(id, lit(5)) + 2).cast("int")
+    val rowSize = (floor((w * 3 + 3) / lit(4)) * 4).cast("int")
+    val pad = rowSize - w * 3
+    val frameBytes = rowSize * h
+    def le32(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 8, "0")
+      concat(substring(b, 7, 2), substring(b, 5, 2),
+        substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def le16(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 4, "0")
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def byteHex(c: Column) = lpad(conv(pmod(c, lit(256)), 10, 16), 2, "0")
+    def zeros(n: Int) = lit("00" * n)
+    val strh = concat(lit("73747268"), le32(lit(56)),
+      lit("76696473"), lit("44494220"), zeros(48))
+    val strf = concat(lit("73747266"), le32(lit(40)),
+      le32(lit(40)), le32(w), le32(h), le16(lit(1)), le16(lit(24)),
+      le32(lit(0)), le32(frameBytes), zeros(16))
+    val strl = concat(lit("4C495354"), le32(lit(4 + 64 + 48)),
+      lit("7374726C"), strh, strf)
+    val avih = concat(lit("61766968"), le32(lit(56)),
+      le32(lit(100000)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+      le32(nf), le32(lit(0)), le32(lit(1)), le32(lit(0)),
+      le32(w), le32(h), zeros(16))
+    val hdrl = concat(lit("4C495354"), le32(lit(4 + 64 + 124)),
+      lit("6864726C"), avih, strl)
+    val frames = array_join(
+      transform(sequence(lit(0), nf - 1), { f =>
+        val scene2 = pmod(id, lit(2)) === 0 && f >= floor(nf / 2)
+        def ch(base: Column) =
+          when(scene2, lit(255) - pmod(base, lit(256)))
+            .otherwise(pmod(base, lit(256)))
+        concat(lit("30306462"), le32(frameBytes), array_join(
+          transform(sequence(lit(0), h - 1), { i =>
+            val y = h - 1 - i
+            concat(
+              array_join(
+                transform(sequence(lit(0), w - 1), { x =>
+                  concat(
+                    byteHex(ch(id + x * 3 + y * 7)),
+                    byteHex(ch(id * 5 + x + y * 11)),
+                    byteHex(ch(id * 9 + x * 13 + y)))
+                }), ""),
+              lit("000000").substr(lit(1), pad * 2))
+          }), ""))
+      }), "")
+    val movi = concat(lit("4C495354"),
+      le32(nf * (frameBytes + 8) + 4), lit("6D6F7669"), frames)
+    val hx = concat(
+      lit("52494646"),
+      le32(lit(4 + 8 + 4 + 64 + 124) + nf * (frameBytes + 8) + 12),
+      lit("41564920"), hdrl, movi)
+    docs.select(id.as("media_id"), unhex(hx).as("payload"))
+  }
+
+  /** Shot-boundary detection over decoded frames: per-frame [[aHash64]],
+    * a cut wherever adjacent frames' hamming exceeds `threshold` — the
+    * standard perceptual-hash shot detector, over the REAL decode chain.
+    * Output per video: (media_id, n_frames, n_cuts, max_adj_hamming). */
+  case class SceneCuts(
+      media_id: Long, n_frames: Long, n_cuts: Long, max_adj_hamming: Int)
+
+  def sceneCuts(media: DataFrame, threshold: Int = 12): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          AviCodec.decodeDib(payload).map { case (w, h, fs) =>
+            val fps = fs.map(aHash64(w, h, _))
+            var cuts = 0L; var mx = 0
+            var f = 1
+            while (f < fps.length) {
+              val d = java.lang.Long.bitCount(fps(f - 1) ^ fps(f))
+              if (d > threshold) cuts += 1
+              if (d > mx) mx = d
+              f += 1
+            }
+            SceneCuts(id, fps.length.toLong, cuts, mx)
+          }
+        }
+      }.toDF()
+  }
+
   /** Per-video features over decoded frames — all integer: the luma sum
     * across frames and an (f+1)·(pos)·(r+2g+3b) checksum that pins frame
     * ORDER, row order, padding, and channel order at once. */

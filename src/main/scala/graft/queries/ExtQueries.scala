@@ -3850,6 +3850,53 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // Shot-boundary detection (r12): per-frame aHash over the real AVI
+    // decode chain, a cut wherever adjacent frames' hamming exceeds the
+    // threshold. Even-id videos plant a +128 scene jump at the midpoint
+    // frame; odd-id videos drift smoothly — the detector must fire on
+    // exactly the planted boundaries. Oracle replays per-frame aHash,
+    // the lag compare, and the threshold from the formula.
+    ("media_scene_cuts",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .sceneCuts(graft.ext.Multimodal.mediaAviScenes(docs(s, d)),
+            threshold = 3)
+          .orderBy("media_id"),
+      Some("""WITH d AS (
+  SELECT doc_id, CAST(doc_id % 8 + 1 AS INT) AS w,
+         CAST((doc_id * 5) % 6 + 1 AS INT) AS h,
+         CAST(doc_id % 5 + 2 AS INT) AS nf
+  FROM documents),
+sp AS (SELECT doc_id, w, h, nf, ff.f::INT AS f, t.i AS bit,
+              ((t.i % 8) * w) // 8 AS x, ((t.i // 8) * h) // 8 AS y
+       FROM d, unnest(range(0, nf)) AS ff(f), unnest(range(0, 64)) AS t(i)),
+lm AS (SELECT doc_id, nf, f, bit,
+         299 * (CASE WHEN inv THEN 255 - ((9 * doc_id + 13 * x + y) % 256)
+                     ELSE (9 * doc_id + 13 * x + y) % 256 END)
+       + 587 * (CASE WHEN inv THEN 255 - ((5 * doc_id + x + 11 * y) % 256)
+                     ELSE (5 * doc_id + x + 11 * y) % 256 END)
+       + 114 * (CASE WHEN inv THEN 255 - ((doc_id + 3 * x + 7 * y) % 256)
+                     ELSE (doc_id + 3 * x + 7 * y) % 256 END) AS l
+       FROM (SELECT *,
+               (doc_id % 2 = 0 AND f >= nf // 2) AS inv
+             FROM sp) z),
+tt AS (SELECT doc_id, f, sum(l)::BIGINT AS s FROM lm GROUP BY doc_id, f),
+fp AS (SELECT lm.doc_id, lm.nf, lm.f,
+              bit_or(CASE WHEN lm.l * 64 > tt.s
+                          THEN CAST(1 AS UBIGINT) << lm.bit::INT
+                          ELSE CAST(0 AS UBIGINT) END) AS fp
+       FROM lm JOIN tt ON tt.doc_id = lm.doc_id AND tt.f = lm.f
+       GROUP BY lm.doc_id, lm.nf, lm.f),
+adj AS (SELECT doc_id, nf, f, fp,
+               lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+        FROM fp)
+SELECT doc_id AS media_id, max(nf)::BIGINT AS n_frames,
+       sum(CASE WHEN pv IS NOT NULL AND bit_count(xor(pv, fp)) > 3
+                THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+       max(CASE WHEN pv IS NULL THEN 0
+                ELSE bit_count(xor(pv, fp)) END)::INT AS max_adj_hamming
+FROM adj GROUP BY doc_id ORDER BY media_id""")),
+
     // REAL video decode (r12), completing the modality triad: AVI with
     // uncompressed 24-bpp DIB frames — nested RIFF LIST walk (geometry
     // lives two LISTs deep in strf), per-frame BMP pixel arrays

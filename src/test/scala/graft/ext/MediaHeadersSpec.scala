@@ -417,6 +417,25 @@ class MediaHeadersSpec extends SparkSuite {
     assert(Multimodal.AviCodec.decodeDib(null).isEmpty)
   }
 
+  test("sceneCuts fires on the planted midpoint jumps and stays quiet " +
+      "on smooth drift") {
+    val cuts = Multimodal.sceneCuts(Multimodal.mediaAviScenes(docs),
+      threshold = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    val odd = cuts.filter(_._1 % 2 == 1).values
+    val even = cuts.filter(_._1 % 2 == 0).values
+    assert(odd.forall(_._1 == 0L),
+      "smooth (odd-id) videos must report zero cuts")
+    val fired = even.count(_._1 >= 1L)
+    info(s"even-id videos with a detected cut: $fired / ${even.size}")
+    // flat videos (1×1 etc.) legitimately can't show a visual jump; the
+    // majority of planted jumps must fire
+    assert(fired * 2 > even.size, "most planted scene jumps must fire")
+    assert(even.count(_._1 == 1L) === fired,
+      "a single planted jump must yield exactly one cut when detected")
+  }
+
   test("WavCodec decodes a hand-built PCM file through a chunk walk: " +
       "JUNK skipped with word padding, stereo/truncation/float rejected") {
     def wav(chunks: Array[Byte]): Array[Byte] = {
