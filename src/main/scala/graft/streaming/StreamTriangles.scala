@@ -62,9 +62,13 @@ object StreamTriangles {
           lit(0L).as("triangles")).limit(0)
     // new edges only: already-present arrivals (and replays of a
     // completed fold) contribute nothing. Cached — En feeds T1, T2, T3,
-    // the degree delta, and the edge-table merge.
-    val en = graft.ext.Dedup.cached(
-      canonicalEdges(batch).join(oldEdges, Seq("a", "b"), "left_anti"))
+    // the degree delta, and the edge-table merge. Plain persist(), NOT
+    // Dedup.cached: that registry holds a STRONG handle per entry until
+    // releaseAll, which a long-running stream never calls — one leaked
+    // reference per fold, forever. Scoped persist/unpersist on our own
+    // frame is the documented streaming-safe pattern.
+    val en = canonicalEdges(batch)
+      .join(oldEdges, Seq("a", "b"), "left_anti").persist()
     // old adjacency, both directions (edges are (lo, hi)-canonical)
     val adjOld = oldEdges.select(col("a").as("v"), col("b").as("w"))
       .unionAll(oldEdges.select(col("b").as("v"), col("a").as("w")))
