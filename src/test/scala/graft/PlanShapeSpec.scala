@@ -334,6 +334,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(nodeCount(p, "HashAggregate") >= 2, "map-side combine")
   }
 
+  test("media decode chains: one documents scan each; the phash band " +
+      "join is an equi-join, never a pair nested loop") {
+    for (q <- Seq("media_audio_features", "media_video_features",
+        "media_scene_cuts")) {
+      val p = plan(q)
+      assert(nodeCount(p, "Scan parquet") <= 1, s"$q: one synth scan")
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+    val p = plan("media_phash_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "banded hamming join must stay an equi-join")
+  }
+
   test("events_cm_check: the d×w matrix broadcasts into the estimate " +
       "join; only the single-row total nested-loops; counts are " +
       "map-side combined") {
