@@ -154,8 +154,15 @@ object Behavior {
       (col("nw") + (col("n_types") + lit(1)) * lit(0.5))
     val q = (col("nt") + lit(0.5)) /
       (col("n_total") + (col("n_types") + lit(1)) * lit(0.5))
-    wt.join(wk, "week")
-      .join(broadcast(ty), "event_type")
+    // the FULL week × type grid, not just observed pairs: a type with
+    // ZERO events in a week — a vanished source, exactly the drift this
+    // monitor exists to catch — must still contribute its smoothed term
+    // 0.5/(nw + …)·ln(p/q), which an observed-pairs join would drop.
+    // The grid is weeks × types rows (both marginals bounded); the type
+    // side broadcasts.
+    wk.crossJoin(broadcast(ty))
+      .join(wt, Seq("week", "event_type"), "left")
+      .withColumn("nwt", coalesce(col("nwt"), lit(0L)))
       .crossJoin(broadcast(tot))
       .select(col("week"), col("nw"),
         (p * (log(p) - log(q))).cast("decimal(28,18)").as("term"))

@@ -585,9 +585,15 @@ object Multimodal {
       val clrUsed = le(p, 46, 4)
       val nColors = if (clrUsed == 0) 256 else clrUsed
       if (nColors < 1 || nColors > 256) return None
-      val palOff = 14 + hdrSize
-      if (p.length < palOff + 4 * nColors || dataOffset < palOff + 4 * nColors)
+      // LONG arithmetic on header-supplied offsets: a hostile dataOffset
+      // or hdrSize near 2^31 must reject, not wrap the bounds checks
+      // into an ArrayIndexOutOfBounds (the BmpCodec.decode hardening)
+      if (hdrSize < 0 || dataOffset < 0 || dataOffset > p.length) return None
+      val palOffL = 14L + hdrSize
+      if (p.length.toLong < palOffL + 4L * nColors ||
+          dataOffset.toLong < palOffL + 4L * nColors)
         return None
+      val palOff = palOffL.toInt // validated ≤ p.length above
       val palette = new Array[Int](nColors)
       var c = 0
       while (c < nColors) {
@@ -852,16 +858,16 @@ object Multimodal {
   // two LISTs deep, not at a fixed offset) and on frame ORDER, which the
   // (f+1)-weighted checksum pins.
 
-  /** Synthesize an uncompressed-DIB AVI per document: w = id%8+1,
-    * h = (3·id)%6+1, nf = id%5+2 frames; frame f pixel (x, y) channels
-    * B = (id + f + 3x + 7y) % 256, G = (5·id + 2f + x + 11y) % 256,
-    * R = (9·id + 3f + 13x + y) % 256. Conforming hdrl (avih + strl with
-    * `vids`/`DIB ` strh and a BITMAPINFOHEADER strf) + movi with one
-    * `00db` chunk per frame. */
-  def mediaAviDib(docs: DataFrame): DataFrame = {
+  /** Shared AVI/DIB container builder — ONE copy of the RIFF size
+    * ledger (the nested strl/hdrl/movi sizes and the total) for both
+    * synth families, so a framing tweak cannot silently diverge them.
+    * `hMul` varies the height formula; `pixelHex(id, nf, f, x, y)`
+    * returns the 6-hex-char B,G,R cell. */
+  private def aviContainer(docs: DataFrame, hMul: Int,
+      pixelHex: (Column, Column, Column, Column, Column) => Column): DataFrame = {
     val id = col("doc_id")
     val w = (pmod(id, lit(8)) + 1).cast("int")
-    val h = (pmod(id * 3, lit(6)) + 1).cast("int")
+    val h = (pmod(id * hMul, lit(6)) + 1).cast("int")
     val nf = (pmod(id, lit(5)) + 2).cast("int")
     val rowSize = (floor((w * 3 + 3) / lit(4)) * 4).cast("int")
     val pad = rowSize - w * 3
@@ -875,7 +881,6 @@ object Multimodal {
       val b = lpad(conv(c.cast("long"), 10, 16), 4, "0")
       concat(substring(b, 3, 2), substring(b, 1, 2))
     }
-    def byteHex(c: Column) = lpad(conv(pmod(c, lit(256)), 10, 16), 2, "0")
     def zeros(n: Int) = lit("00" * n)
     // strh: fccType 'vids', handler 'DIB ', rest zero (56 bytes)
     val strh = concat(lit("73747268"), le32(lit(56)),
@@ -899,10 +904,7 @@ object Multimodal {
             concat(
               array_join(
                 transform(sequence(lit(0), w - 1), { x =>
-                  concat(
-                    byteHex(id + f + x * 3 + y * 7),
-                    byteHex(id * 5 + f * 2 + x + y * 11),
-                    byteHex(id * 9 + f * 3 + x * 13 + y))
+                  pixelHex(id, nf, f, x, y)
                 }), ""),
               lit("000000").substr(lit(1), pad * 2))
           }), ""))
@@ -915,6 +917,24 @@ object Multimodal {
       lit("41564920"), hdrl, movi)
     docs.select(id.as("media_id"), unhex(hx).as("payload"))
   }
+
+  /** Two-hex-char byte of `c` mod 256 — the media synthesizers' cell
+    * encoder. */
+  private def hexByte(c: Column): Column =
+    lpad(conv(pmod(c, lit(256)), 10, 16), 2, "0")
+
+  /** Synthesize an uncompressed-DIB AVI per document: w = id%8+1,
+    * h = (3·id)%6+1, nf = id%5+2 frames; frame f pixel (x, y) channels
+    * B = (id + f + 3x + 7y) % 256, G = (5·id + 2f + x + 11y) % 256,
+    * R = (9·id + 3f + 13x + y) % 256. Conforming hdrl (avih + strl with
+    * `vids`/`DIB ` strh and a BITMAPINFOHEADER strf) + movi with one
+    * `00db` chunk per frame. */
+  def mediaAviDib(docs: DataFrame): DataFrame =
+    aviContainer(docs, hMul = 3, (id, _, f, x, y) =>
+      concat(
+        hexByte(id + f + x * 3 + y * 7),
+        hexByte(id * 5 + f * 2 + x + y * 11),
+        hexByte(id * 9 + f * 3 + x * 13 + y)))
 
   /** REAL AVI/DIB decoder: RIFF walk → hdrl LIST → strl LIST → strf
     * geometry (validated 24-bpp BI_RGB), then every `00db`/`00dc` movi
@@ -942,7 +962,8 @@ object Multimodal {
         while (i + 8 <= to) {
           val id = tag(p, i)
           val size = le(p, i + 4, 4)
-          if (size < 0 || i + 8 + size > to) return false
+          // long bound: a size near 2^31 must reject, not wrap
+          if (size < 0 || i.toLong + 8 + size > to) return false
           if (id == "LIST") {
             if (size < 4) return false
             if (!walk(i + 12, i + 8 + size)) return false
@@ -958,7 +979,8 @@ object Multimodal {
           } else if (id == "00db" || id == "00dc") {
             if (w < 0) return false // geometry must precede frames
             val rowSize = ((3 * w + 3) / 4) * 4
-            if (size != rowSize * h) return false
+            // long product: rowSize·h can exceed 2^31 at the dim bound
+            if (size.toLong != rowSize.toLong * h) return false
             val out = new Array[Int](w * h)
             var y = 0
             while (y < h) {
@@ -993,66 +1015,17 @@ object Multimodal {
     * the mean — a uniform additive bump would wrap whole channel
     * windows uniformly and often leave the hash untouched). Odd-id
     * videos are one static scene. */
-  def mediaAviScenes(docs: DataFrame): DataFrame = {
-    val id = col("doc_id")
-    val w = (pmod(id, lit(8)) + 1).cast("int")
-    val h = (pmod(id * 5, lit(6)) + 1).cast("int")
-    val nf = (pmod(id, lit(5)) + 2).cast("int")
-    val rowSize = (floor((w * 3 + 3) / lit(4)) * 4).cast("int")
-    val pad = rowSize - w * 3
-    val frameBytes = rowSize * h
-    def le32(c: Column) = {
-      val b = lpad(conv(c.cast("long"), 10, 16), 8, "0")
-      concat(substring(b, 7, 2), substring(b, 5, 2),
-        substring(b, 3, 2), substring(b, 1, 2))
-    }
-    def le16(c: Column) = {
-      val b = lpad(conv(c.cast("long"), 10, 16), 4, "0")
-      concat(substring(b, 3, 2), substring(b, 1, 2))
-    }
-    def byteHex(c: Column) = lpad(conv(pmod(c, lit(256)), 10, 16), 2, "0")
-    def zeros(n: Int) = lit("00" * n)
-    val strh = concat(lit("73747268"), le32(lit(56)),
-      lit("76696473"), lit("44494220"), zeros(48))
-    val strf = concat(lit("73747266"), le32(lit(40)),
-      le32(lit(40)), le32(w), le32(h), le16(lit(1)), le16(lit(24)),
-      le32(lit(0)), le32(frameBytes), zeros(16))
-    val strl = concat(lit("4C495354"), le32(lit(4 + 64 + 48)),
-      lit("7374726C"), strh, strf)
-    val avih = concat(lit("61766968"), le32(lit(56)),
-      le32(lit(100000)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
-      le32(nf), le32(lit(0)), le32(lit(1)), le32(lit(0)),
-      le32(w), le32(h), zeros(16))
-    val hdrl = concat(lit("4C495354"), le32(lit(4 + 64 + 124)),
-      lit("6864726C"), avih, strl)
-    val frames = array_join(
-      transform(sequence(lit(0), nf - 1), { f =>
-        val scene2 = pmod(id, lit(2)) === 0 && f >= floor(nf / 2)
-        def ch(base: Column) =
-          when(scene2, lit(255) - pmod(base, lit(256)))
-            .otherwise(pmod(base, lit(256)))
-        concat(lit("30306462"), le32(frameBytes), array_join(
-          transform(sequence(lit(0), h - 1), { i =>
-            val y = h - 1 - i
-            concat(
-              array_join(
-                transform(sequence(lit(0), w - 1), { x =>
-                  concat(
-                    byteHex(ch(id + x * 3 + y * 7)),
-                    byteHex(ch(id * 5 + x + y * 11)),
-                    byteHex(ch(id * 9 + x * 13 + y)))
-                }), ""),
-              lit("000000").substr(lit(1), pad * 2))
-          }), ""))
-      }), "")
-    val movi = concat(lit("4C495354"),
-      le32(nf * (frameBytes + 8) + 4), lit("6D6F7669"), frames)
-    val hx = concat(
-      lit("52494646"),
-      le32(lit(4 + 8 + 4 + 64 + 124) + nf * (frameBytes + 8) + 12),
-      lit("41564920"), hdrl, movi)
-    docs.select(id.as("media_id"), unhex(hx).as("payload"))
-  }
+  def mediaAviScenes(docs: DataFrame): DataFrame =
+    aviContainer(docs, hMul = 5, (id, nf, f, x, y) => {
+      val scene2 = pmod(id, lit(2)) === 0 && f >= floor(nf / 2)
+      def ch(base: Column) =
+        when(scene2, lit(255) - pmod(base, lit(256)))
+          .otherwise(pmod(base, lit(256)))
+      concat(
+        hexByte(ch(id + x * 3 + y * 7)),
+        hexByte(ch(id * 5 + x + y * 11)),
+        hexByte(ch(id * 9 + x * 13 + y)))
+    })
 
   /** Shot-boundary detection over decoded frames: per-frame [[aHash64]],
     * a cut wherever adjacent frames' hamming exceeds `threshold` — the
@@ -1191,7 +1164,8 @@ object Multimodal {
       while (i + 8 <= p.length) {
         val id = tag(p, i)
         val size = le(p, i + 4, 4)
-        if (size < 0 || i + 8 + size > p.length) return None
+        // long bound: a chunk size near 2^31 must reject, not wrap
+        if (size < 0 || i.toLong + 8 + size > p.length) return None
         id match {
           case "fmt " =>
             if (size < 16) return None
@@ -1266,16 +1240,18 @@ object Multimodal {
   // weights, threshold and banding included.
 
   /** [[mediaBmp]] plus planted duplicate classes for every 25th doc: an
-    * exact byte copy (media_id + 100000 — hamming 0, the identical-fp
-    * collapse path) and a one-pixel perturbed copy (media_id + 200000 —
+    * exact byte copy (media_id + 10^11 — hamming 0, the identical-fp
+    * collapse path) and a one-pixel perturbed copy (media_id + 2·10^11 —
+    * offsets far above any realistic doc_id, so a planted id can never
+    * collide with a real document at larger fixtures —
     * the near-dup a perceptual hash exists to catch). */
   def mediaBmpNearDups(docs: DataFrame): DataFrame = {
     val planted = docs.where(pmod(col("doc_id"), lit(25)) === 0)
     mediaBmp(docs)
       .unionByName(mediaBmp(planted)
-        .select((col("media_id") + 100000L).as("media_id"), col("payload")))
+        .select((col("media_id") + 100000000000L).as("media_id"), col("payload")))
       .unionByName(mediaBmpPerturbed(planted)
-        .select((col("media_id") + 200000L).as("media_id"), col("payload")))
+        .select((col("media_id") + 200000000000L).as("media_id"), col("payload")))
   }
 
   /** aHash of decoded pixels: bit i (= qy·8 + qx) set iff the sampled

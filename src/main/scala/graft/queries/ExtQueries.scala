@@ -3852,9 +3852,11 @@ FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
     // Shot-boundary detection (r12): per-frame aHash over the real AVI
     // decode chain, a cut wherever adjacent frames' hamming exceeds the
-    // threshold. Even-id videos plant a +128 scene jump at the midpoint
-    // frame; odd-id videos drift smoothly — the detector must fire on
-    // exactly the planted boundaries. Oracle replays per-frame aHash,
+    // threshold. Even-id videos INVERT every channel (255 − v) from the
+    // midpoint frame on; odd-id videos are one static scene (drift was
+    // measured and rejected: mod-256 wraps are themselves visual
+    // changes, and a uniform additive bump often leaves the hash
+    // untouched — see mediaAviScenes). Oracle replays per-frame aHash,
     // the lag compare, and the threshold from the formula.
     ("media_scene_cuts",
       (s: SparkSession, d: String) =>
@@ -3955,8 +3957,8 @@ FROM f GROUP BY doc_id ORDER BY media_id""")),
     // Perceptual-hash near-dup over REAL decoded pixels (r12): aHash on
     // the canonical 8×8 nearest-neighbor grid, integer mean threshold
     // (l·64 > Σl — no float mean), banded hamming join. Planted classes:
-    // exact byte copies (+100000, hamming 0 via the identical-fp
-    // collapse) and one-pixel perturbations (+200000 — what a
+    // exact byte copies (+10^11, hamming 0 via the identical-fp
+    // collapse) and one-pixel perturbations (+2e11 — what a
     // pixel-level hash exists to catch and the byte-level SimHash
     // cannot). The oracle replays resample indices, luma, threshold,
     // banding, and verify from the synth formula.
@@ -3967,9 +3969,9 @@ FROM f GROUP BY doc_id ORDER BY media_id""")),
       Some("""WITH ids AS (
   SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
   UNION ALL
-  SELECT doc_id + 100000, doc_id, 0 FROM documents WHERE doc_id % 25 = 0
+  SELECT doc_id + 100000000000, doc_id, 0 FROM documents WHERE doc_id % 25 = 0
   UNION ALL
-  SELECT doc_id + 200000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
+  SELECT doc_id + 200000000000, doc_id, 1 FROM documents WHERE doc_id % 25 = 0),
 dms AS (SELECT doc_id, src, pert,
                CAST(src % 16 + 1 AS INT) AS w,
                CAST((src * 7) % 12 + 1 AS INT) AS h
@@ -4647,18 +4649,22 @@ FROM h JOIN t USING (bucket) ORDER BY bucket""")),
       (s: SparkSession, d: String) =>
         graft.ext.Behavior.driftWeekly(Tables(s, d, "events")),
       Some("""WITH wt AS (
-  SELECT date_trunc('week', ts) AS week, event_type, count(*)::BIGINT AS nwt
+  SELECT date_trunc('week', ts)::TIMESTAMP AS week, event_type,
+         count(*)::BIGINT AS nwt
   FROM events GROUP BY 1, 2),
 wk AS (SELECT week, sum(nwt)::BIGINT AS nw FROM wt GROUP BY week),
 ty AS (SELECT event_type, sum(nwt)::BIGINT AS nt FROM wt GROUP BY event_type),
 tot AS (SELECT sum(nt)::BIGINT AS n_total, count(*)::BIGINT AS n_types FROM ty),
-tm AS (SELECT wt.week, wk.nw,
-         CAST(((wt.nwt + 0.5) / (wk.nw + (tot.n_types + 1) * 0.5))
-           * (ln((wt.nwt + 0.5) / (wk.nw + (tot.n_types + 1) * 0.5))
-              - ln((ty.nt + 0.5) / (tot.n_total + (tot.n_types + 1) * 0.5)))
+g AS (SELECT wk.week, wk.nw, ty.event_type, ty.nt,
+             coalesce(wt.nwt, 0)::BIGINT AS nwt
+      FROM wk CROSS JOIN ty
+      LEFT JOIN wt ON wt.week = wk.week AND wt.event_type = ty.event_type),
+tm AS (SELECT g.week, g.nw,
+         CAST(((g.nwt + 0.5) / (g.nw + (tot.n_types + 1) * 0.5))
+           * (ln((g.nwt + 0.5) / (g.nw + (tot.n_types + 1) * 0.5))
+              - ln((g.nt + 0.5) / (tot.n_total + (tot.n_types + 1) * 0.5)))
            AS DECIMAL(28,18)) AS term
-       FROM wt JOIN wk USING (week) JOIN ty USING (event_type)
-       CROSS JOIN tot)
+       FROM g CROSS JOIN tot)
 SELECT week, max(nw)::BIGINT AS n_events, round(sum(term)::DOUBLE, 6) AS kl_r
 FROM tm GROUP BY week ORDER BY week""")),
 

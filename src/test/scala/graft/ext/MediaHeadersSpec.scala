@@ -515,11 +515,11 @@ class MediaHeadersSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0))
     assert(dupIds.nonEmpty)
     dupIds.foreach { id =>
-      assert(pairs.exists(p => p._1 == id && p._2 == id + 100000L && p._3 == 0),
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100000000000L && p._3 == 0),
         s"exact copy of $id must pair at hamming 0")
     }
     val perturbedCaught = dupIds.count(id =>
-      pairs.exists(p => p._1 == id && p._2 == id + 200000L))
+      pairs.exists(p => p._1 == id && p._2 == id + 200000000000L))
     info(s"perturbed copies caught: $perturbedCaught / ${dupIds.length}")
     assert(perturbedCaught > 0,
       "the one-pixel perturbation must be catchable at pixel level")
