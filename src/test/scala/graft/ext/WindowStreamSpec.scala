@@ -90,4 +90,48 @@ class WindowStreamSpec extends SparkSuite {
       s"finalized first session must carry the ordered digest; got $rows")
     assert(rows.contains((7L, 1L, md5Of("purchase"))))
   }
+
+  test("drift monitor's weekly counts bind to a watermarked stream: " +
+      "Monday-aligned 7-day windows reproduce date_trunc('week') exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // the drift monitor's (week, type) count matrix as a streaming agg:
+    // date_trunc is not a watermark-evictable window, but a 7-day
+    // tumbling window with a 4-day startTime offset IS Monday-aligned
+    // (epoch day 0 = Thursday), so window.start == date_trunc('week')
+    // for every ts after 1970-01-05 — the §2.9 same-plan binding for
+    // driftWeekly's shuffle stage, with bounded per-window state
+    val fx = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("event_type"))
+    val batchCounts = fx
+      .groupBy(date_trunc("week", col("ts")).as("week"), col("event_type"))
+      .agg(count(lit(1)).as("nwt"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(
+        window(col("ts"), "7 days", "7 days", "4 days").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("nwt"))
+      .select(col("w.start").as("week"), col("event_type"), col("nwt"))
+    val q = agg.writeStream
+      .format("memory").queryName("drift_counts")
+      .outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    fx.collect().grouped(2000).foreach { chunk =>
+      mem.addData(chunk.map(r =>
+        (r.getTimestamp(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("drift_counts")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batchCounts,
+      "streamed weekly counts must equal the batch date_trunc counts")
+  }
 }
