@@ -251,6 +251,47 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("decoders never throw: arbitrary bytes and bit-flipped valid " +
+      "files decode to Some or None, never an exception") = {
+    // the None contract under hostile input is what keeps a bad row from
+    // killing a whole Spark task (the r12 long-arithmetic hardening);
+    // fuzz both pure garbage and single-byte mutations of valid files
+    val validBmp = graft.ext.Multimodal.BmpCodec.encode(3, 2,
+      Array(1, 2, 3, 4, 5, 6))
+    val validPgm = graft.ext.Multimodal.PgmCodec.encode(2, 2,
+      Array(0x010101, 0x020202, 0x030303, 0x040404))
+    def decodeAll(bytes: Array[Byte]): Unit = {
+      val m = graft.ext.Multimodal
+      m.BmpCodec.decode(bytes)
+      m.BmpCodec.decodeRle8(bytes)
+      m.PgmCodec.decode(bytes)
+      m.WavCodec.decodePcm16(bytes)
+      m.AviCodec.decodeDib(bytes)
+    }
+    // each ScalaCheck case seeds a 500-mutation deterministic inner loop
+    // (pure JVM — cheap), so one suite run exercises thousands of
+    // garbage/mutated inputs, not the suite-wide 5
+    Prop.forAll(org.scalacheck.Gen.choose(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      (0 until 500).foreach { _ =>
+        val base = rnd.nextInt(3) match {
+          case 0 =>
+            val b = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(b); b
+          case 1 => validBmp.clone
+          case _ => validPgm.clone
+        }
+        // up to 3 byte mutations (header fields, sizes, raster)
+        (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+          if (base.nonEmpty)
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+        }
+        decodeAll(base)
+        decodeAll(base.take(rnd.nextInt(base.length + 1)))
+      }
+      true // reaching here without a throw IS the property
+    }
+  }
+
   property("incremental triangles equal driver brute force on random " +
       "graphs under random micro-batch splits") = {
     val gen = for {
