@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Z-order (Morton-curve) data layout — the multi-column clustering step
+  * a 100 TB table runs at WRITE time so that READ-time min/max file
+  * statistics can prune on EITHER clustered dimension (the `OPTIMIZE
+  * ZORDER BY` of Delta/Iceberg, re-expressed as pure Column bit
+  * arithmetic; see Morton 1966 and the linear-ordering discussion in the
+  * Bayer/Markl UB-tree papers, PAPERS.md).
+  *
+  * Why it matters at scale: a table sorted by ONE key gives perfect file
+  * skipping on that key and none on any other — every file's min/max for
+  * the second column spans the whole domain. Interleaving the bits of two
+  * normalized keys makes contiguous z-ranges (= files after a range
+  * partition on z) cover small axis-aligned rectangles, so BOTH columns'
+  * per-file min/max stay tight and a predicate on either one prunes most
+  * files before any byte is read. [[skippingReport]] states that contract
+  * as data: it simulates both layouts' file stats and emits the pruned /
+  * scanned counts plus the soundness booleans, all in exact integer
+  * arithmetic a DuckDB oracle replays bit-for-bit.
+  *
+  * Everything here is codegen-friendly Column bit ops (shift/and/or) —
+  * no UDFs, constant masks, O(log bits) operations per key via the
+  * classic parallel-bit-spread, so the z key costs a handful of ALU ops
+  * per row inside whole-stage codegen.
+  */
+object Layout {
+
+  /** Parallel bit-spread: the low 16 bits of `c` moved to the even bit
+    * positions of a 32-bit result (0bxxxx -> 0b0x0x0x0x). The standard
+    * O(log n) mask ladder; each step doubles the gap between live bits. */
+  def spread16(c: Column): Column = {
+    def step(x: Column, sh: Int, mask: Long): Column =
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    val x0 = c.cast(LongType).bitwiseAND(lit(0xFFFFL))
+    val x1 = step(x0, 8, 0x00FF00FFL)
+    val x2 = step(x1, 4, 0x0F0F0F0FL)
+    val x3 = step(x2, 2, 0x33333333L)
+    step(x3, 1, 0x55555555L)
+  }
+
+  /** Morton z-value of two 16-bit keys: x's bits on even positions, y's
+    * on odd — bit 31 is y15, bit 30 is x15, … so the top 2k bits of z
+    * name a k-bit quadrant of each axis. */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Normalize two raw long columns onto the shared [0, 65535] key domain
+    * via exact integer scaling against the observed min/max (one
+    * single-row aggregate, broadcast — the only non-map work). Returns
+    * (xk, yk) plus the originals, nulls dropped (a null key has no place
+    * on the curve; the caller's table contract decides where nulls live).
+    */
+  private def normalized(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val raw = df.select(x.cast(LongType).as("xr"), y.cast(LongType).as("yr"))
+      .where(col("xr").isNotNull && col("yr").isNotNull)
+    val mm = raw.agg(
+      min("xr").as("x_lo"), max("xr").as("x_hi"),
+      min("yr").as("y_lo"), max("yr").as("y_hi"))
+    // single-row broadcast: the licensed BNLJ shape (see PlanShapeSpec)
+    raw.crossJoin(broadcast(mm))
+      .withColumn("xk",
+        expr("((xr - x_lo) * 65535L) div greatest(x_hi - x_lo, 1L)"))
+      .withColumn("yk",
+        expr("((yr - y_lo) * 65535L) div greatest(y_hi - y_lo, 1L)"))
+  }
+
+  /** Per-cell layout statistics: rows bucketed by the top `cellBits` bits
+    * of their z-value (= the quadtree cell a z-range-partitioned file
+    * would hold), each cell's row count and per-axis key min/max — the
+    * exact stats a file-skipping reader consults. One two-phase hash
+    * aggregate over ≤ 2^cellBits groups. */
+  def cellStats(df: DataFrame, x: Column, y: Column, cellBits: Int)
+  : DataFrame = {
+    require(cellBits >= 2 && cellBits <= 32, s"cellBits out of range: $cellBits")
+    normalized(df, x, y)
+      .withColumn("cell", shiftright(zValue(col("xk"), col("yk")), 32 - cellBits))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        min("xk").as("x_min"), max("xk").as("x_max"),
+        min("yk").as("y_min"), max("yk").as("y_max"))
+      .orderBy("cell")
+  }
+
+  /** The skipping CONTRACT, stated as one self-verifying row: simulate
+    * file-level min/max pruning for a y-axis range predicate under (a)
+    * the z-order layout (cells = top `cellBits` z bits) and (b) a
+    * single-key layout clustered on x alone (cells = top `cellBits` x
+    * bits — what a plain `ORDER BY x` write produces), and report
+    *
+    *   rows_match                exact rows satisfying yk BETWEEN lo AND hi
+    *   z_cells / z_pruned /      occupied cells, cells whose [y_min,y_max]
+    *   z_rows_scanned            misses the predicate, rows in surviving cells
+    *   lin_cells / lin_pruned /  the same three for the x-clustered layout
+    *   lin_rows_scanned
+    *   z_sound / lin_sound       no matching row lived in a pruned cell
+    *   z_beats_linear            z scans strictly fewer rows for this
+    *                             second-dimension predicate
+    *
+    * The booleans ride the hashed output, so a layout regression (a z
+    * formula change that widens cell bounding boxes, a pruning rule that
+    * drops a matching row) fails the oracle gate itself, not just a spec.
+    * Cost: one scan into a cached 4-column key frame, three bounded
+    * aggregates over it (2 × ≤2^cellBits cells + one predicate count). */
+  def skippingReport(df: DataFrame, x: Column, y: Column, cellBits: Int,
+    yLo: Long, yHi: Long): DataFrame = {
+    require(cellBits >= 2 && cellBits <= 16, s"cellBits out of range: $cellBits")
+    val keys = Dedup.cached(
+      normalized(df, x, y)
+        .withColumn("zcell",
+          shiftright(zValue(col("xk"), col("yk")), 32 - cellBits))
+        .withColumn("lcell", shiftright(col("xk"), 16 - cellBits))
+        .select("xk", "yk", "zcell", "lcell"))
+
+    def layout(cellCol: String, prefix: String): DataFrame = {
+      val cells = keys.groupBy(cellCol).agg(
+        count(lit(1)).as("n"),
+        min("yk").as("y_min"), max("yk").as("y_max"),
+        // soundness witness: matching rows inside this cell
+        sum(when(col("yk").between(yLo, yHi), 1L).otherwise(0L)).as("m"))
+        .withColumn("pruned",
+          col("y_max") < lit(yLo) || col("y_min") > lit(yHi))
+      cells.agg(
+        count(lit(1)).as(s"${prefix}_cells"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as(s"${prefix}_pruned"),
+        sum(when(!col("pruned"), col("n")).otherwise(0L))
+          .as(s"${prefix}_rows_scanned"),
+        // a pruned cell holding a matching row would be a correctness bug
+        (sum(when(col("pruned"), col("m")).otherwise(0L)) === 0L)
+          .as(s"${prefix}_sound"))
+    }
+
+    val matches = keys.agg(
+      sum(when(col("yk").between(yLo, yHi), 1L).otherwise(0L))
+        .as("rows_match"))
+
+    matches
+      .crossJoin(broadcast(layout("zcell", "z")))
+      .crossJoin(broadcast(layout("lcell", "lin")))
+      .withColumn("z_beats_linear",
+        col("z_rows_scanned") < col("lin_rows_scanned"))
+      .select("rows_match",
+        "z_cells", "z_pruned", "z_rows_scanned",
+        "lin_cells", "lin_pruned", "lin_rows_scanned",
+        "z_sound", "lin_sound", "z_beats_linear")
+  }
+}

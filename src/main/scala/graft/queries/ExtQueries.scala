@@ -39,6 +39,32 @@ object ExtQueries {
   private def lexSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // DuckDB twin of graft.ext.Layout's key pipeline on orders: normalize
+  // (o_custkey, epoch-day(o_orderdate)) onto [0, 65535] by exact integer
+  // scaling, then interleave via the same constant-mask spread ladder
+  // (0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555 in decimal).
+  // Ends with CTE `z(xk, yk, zv)`. Keep in lockstep with Layout.spread16.
+  private val zorderKeyCte: String =
+    """WITH base AS (
+  SELECT o_custkey::BIGINT AS xr,
+         (epoch_ms(o_orderdate) // 86400000)::BIGINT AS yr
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+mm AS (SELECT min(xr) AS x_lo, max(xr) AS x_hi,
+              min(yr) AS y_lo, max(yr) AS y_hi FROM base),
+k AS (SELECT ((xr - x_lo) * 65535) // greatest(x_hi - x_lo, 1) AS xk,
+             ((yr - y_lo) * 65535) // greatest(y_hi - y_lo, 1) AS yk
+      FROM base CROSS JOIN mm),
+s0 AS (SELECT xk, yk, xk & 65535 AS xa, yk & 65535 AS ya FROM k),
+s1 AS (SELECT xk, yk, (xa | (xa << 8)) & 16711935 AS xb,
+              (ya | (ya << 8)) & 16711935 AS yb FROM s0),
+s2 AS (SELECT xk, yk, (xb | (xb << 4)) & 252645135 AS xc,
+              (yb | (yb << 4)) & 252645135 AS yc FROM s1),
+s3 AS (SELECT xk, yk, (xc | (xc << 2)) & 858993459 AS xd,
+              (yc | (yc << 2)) & 858993459 AS yd FROM s2),
+s4 AS (SELECT xk, yk, (xd | (xd << 1)) & 1431655765 AS xe,
+              (yd | (yd << 1)) & 1431655765 AS ye FROM s3),
+z AS (SELECT xk, yk, (xe | (ye << 1)) AS zv FROM s4)"""
+
   private val enLex = lexSql(graft.ext.TextOps.langLexica.toMap.apply("en"))
 
   // 64-dim literal dot products (left-to-right sum == Spark's left fold).
@@ -4667,6 +4693,71 @@ tm AS (SELECT g.week, g.nw,
        FROM g CROSS JOIN tot)
 SELECT week, max(nw)::BIGINT AS n_events, round(sum(term)::DOUBLE, 6) AS kl_r
 FROM tm GROUP BY week ORDER BY week""")),
+
+    // --------------------------------------------------------- data layout
+    // Z-order clustering (r12): the write-time multi-column layout step.
+    // Both orders keys normalize onto [0, 65535] by exact integer
+    // scaling, interleave via the O(log n) parallel-bit-spread (constant
+    // masks, pure shift/and/or — whole-stage codegen), and bucket by the
+    // top 6 z bits = the 8×8 quadtree cell a z-range-partitioned file
+    // would hold. Output = the per-cell min/max stats a file-skipping
+    // reader consults; the oracle replays the mask ladder bit-for-bit.
+    ("orders_zorder_cells",
+      (s: SparkSession, d: String) =>
+        graft.ext.Layout.cellStats(
+          Tables(s, d, "orders"),
+          org.apache.spark.sql.functions.col("o_custkey"),
+          org.apache.spark.sql.functions.expr(
+            "unix_millis(cast(o_orderdate as timestamp)) div 86400000"),
+          cellBits = 6),
+      Some(s"""$zorderKeyCte
+SELECT zv >> 26 AS cell, count(*)::BIGINT AS n,
+       min(xk) AS x_min, max(xk) AS x_max,
+       min(yk) AS y_min, max(yk) AS y_max
+FROM z GROUP BY 1 ORDER BY cell""")),
+
+    // The skipping CONTRACT as one self-verifying row: simulate min/max
+    // file pruning for a date-range predicate (yk in [20000, 29999] —
+    // deliberately NOT aligned to the cell grid, so boundary cells stay
+    // honest) under the z layout vs a plain ORDER BY o_custkey layout.
+    // The x-clustered layout cannot prune a y predicate (every x-file's
+    // y min/max spans the domain); z prunes every cell outside the two
+    // touched y-octants. Soundness booleans (no matching row inside a
+    // pruned cell) and z_beats_linear ride the hashed output — a z
+    // formula or pruning-rule regression fails the oracle gate itself.
+    ("orders_zorder_skipping",
+      (s: SparkSession, d: String) =>
+        graft.ext.Layout.skippingReport(
+          Tables(s, d, "orders"),
+          org.apache.spark.sql.functions.col("o_custkey"),
+          org.apache.spark.sql.functions.expr(
+            "unix_millis(cast(o_orderdate as timestamp)) div 86400000"),
+          cellBits = 6, yLo = 20000L, yHi = 29999L),
+      Some(s"""$zorderKeyCte,
+zc AS (SELECT zv >> 26 AS cell, count(*)::BIGINT AS n,
+              min(yk) AS y_min, max(yk) AS y_max,
+              sum(CASE WHEN yk BETWEEN 20000 AND 29999 THEN 1 ELSE 0 END)::BIGINT AS m
+       FROM z GROUP BY 1),
+za AS (SELECT count(*)::BIGINT AS z_cells,
+              sum(CASE WHEN y_max < 20000 OR y_min > 29999 THEN 1 ELSE 0 END)::BIGINT AS z_pruned,
+              sum(CASE WHEN NOT (y_max < 20000 OR y_min > 29999) THEN n ELSE 0 END)::BIGINT AS z_rows_scanned,
+              sum(CASE WHEN y_max < 20000 OR y_min > 29999 THEN m ELSE 0 END) = 0 AS z_sound
+       FROM zc),
+lc AS (SELECT xk >> 10 AS cell, count(*)::BIGINT AS n,
+              min(yk) AS y_min, max(yk) AS y_max,
+              sum(CASE WHEN yk BETWEEN 20000 AND 29999 THEN 1 ELSE 0 END)::BIGINT AS m
+       FROM z GROUP BY 1),
+la AS (SELECT count(*)::BIGINT AS lin_cells,
+              sum(CASE WHEN y_max < 20000 OR y_min > 29999 THEN 1 ELSE 0 END)::BIGINT AS lin_pruned,
+              sum(CASE WHEN NOT (y_max < 20000 OR y_min > 29999) THEN n ELSE 0 END)::BIGINT AS lin_rows_scanned,
+              sum(CASE WHEN y_max < 20000 OR y_min > 29999 THEN m ELSE 0 END) = 0 AS lin_sound
+       FROM lc),
+mt AS (SELECT sum(CASE WHEN yk BETWEEN 20000 AND 29999 THEN 1 ELSE 0 END)::BIGINT AS rows_match FROM z)
+SELECT rows_match, z_cells, z_pruned, z_rows_scanned,
+       lin_cells, lin_pruned, lin_rows_scanned,
+       z_sound, lin_sound,
+       z_rows_scanned < lin_rows_scanned AS z_beats_linear
+FROM mt CROSS JOIN za CROSS JOIN la""")),
 
     // -------------------------------------------------- entity resolution
     // Blocked fuzzy name matching over the part catalog: MULTI-PASS

@@ -1,0 +1,85 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: the Morton spread ladder against a bit-by-bit
+  * reference, quadrant containment of cell bounding boxes, and the
+  * skipping contract's soundness on a fixture with a known geometry. */
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Bit-by-bit reference interleave (the O(bits) definition the O(log)
+    * mask ladder must equal). */
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (z, i) =>
+      z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("spread-ladder zValue equals the bit-by-bit reference") {
+    // corners, axes, alternating patterns, and a PRNG sample
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L),
+      (0xAAAAL, 0x5555L), (1L, 2L), (32768L, 32767L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got === pts.map { case (x, y) => mortonRef(x, y) })
+  }
+
+  test("cell bounding boxes stay inside their quadrant") {
+    // 6 cell bits = 3 high bits of each axis -> an 8x8 grid of 8192-wide
+    // quadrants; every cell's min/max must sit inside the quadrant its
+    // id names (cell = y2 x2 y1 x1 y0 x0 from the top of z).
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(5000)(
+      (rnd.nextInt(100000).toLong, rnd.nextInt(3000).toLong))
+      .toDF("x", "y")
+    val rows = Layout.cellStats(df, col("x"), col("y"), cellBits = 6)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    assert(rows.map(_.getAs[Long]("n")).sum === 5000L)
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      // de-interleave the 6-bit cell id back to 3-bit axis prefixes
+      val xq = (cell & 1) | ((cell >> 1) & 2) | ((cell >> 2) & 4)
+      val yq = ((cell >> 1) & 1) | ((cell >> 2) & 2) | ((cell >> 3) & 4)
+      assert(r.getAs[Long]("x_min") >= xq * 8192 &&
+        r.getAs[Long]("x_max") < (xq + 1) * 8192,
+        s"cell $cell x range escapes quadrant $xq")
+      assert(r.getAs[Long]("y_min") >= yq * 8192 &&
+        r.getAs[Long]("y_max") < (yq + 1) * 8192,
+        s"cell $cell y range escapes quadrant $yq")
+    }
+  }
+
+  test("skipping contract: sound on both layouts, z prunes a y predicate") {
+    // a dense uniform grid: every cell occupied, so the pruned counts hit
+    // their geometric values exactly (predicate spans y-octants 1 and 2:
+    // 16 surviving z-cells, 48 pruned; the x layout prunes nothing)
+    val df = (for { x <- 0 until 256; y <- 0 until 256 }
+      yield (x.toLong * 257, y.toLong * 257)).toDF("x", "y")
+    val r = Layout.skippingReport(df, col("x"), col("y"),
+      cellBits = 6, yLo = 10000L, yHi = 20000L).collect().head
+    assert(r.getAs[Boolean]("z_sound") && r.getAs[Boolean]("lin_sound"))
+    assert(r.getAs[Boolean]("z_beats_linear"))
+    assert(r.getAs[Long]("z_cells") === 64L)
+    assert(r.getAs[Long]("z_pruned") === 48L)
+    assert(r.getAs[Long]("lin_pruned") === 0L)
+    assert(r.getAs[Long]("lin_rows_scanned") === 256L * 256L)
+    // every matching row lives in a surviving cell
+    assert(r.getAs[Long]("z_rows_scanned") >= r.getAs[Long]("rows_match"))
+  }
+
+  test("normalization puts both axes on [0, 65535] whatever the raw scale") {
+    val df = Seq((1000000L, -5L), (2000000L, 5L), (1500000L, 0L))
+      .toDF("x", "y")
+    val rows = Layout.cellStats(df, col("x"), col("y"), cellBits = 2)
+      .collect()
+    val xs = rows.flatMap(r => Seq(r.getAs[Long]("x_min"), r.getAs[Long]("x_max")))
+    val ys = rows.flatMap(r => Seq(r.getAs[Long]("y_min"), r.getAs[Long]("y_max")))
+    assert(xs.min === 0L && xs.max === 65535L)
+    assert(ys.min === 0L && ys.max === 65535L)
+  }
+}
