@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -147,4 +147,137 @@ object Layout {
         "lin_cells", "lin_pruned", "lin_rows_scanned",
         "z_sound", "lin_sound", "z_beats_linear")
   }
+
+  // ------------------------------------------------- the clustered table
+  // The simulated contract above, made physical: write rows into
+  // `zcell=` directories (Spark partition pruning = real file skipping —
+  // a pruned cell's files are never listed, opened, or read), read back
+  // through a driver-side quadrant intersection that turns a raw 2-D
+  // range predicate into the static cell list + the exact residual
+  // filter. The AnnIndex `cell_bucket=` pattern applied to layout.
+
+  private[graft] final case class TableMeta(xName: String, yName: String,
+    xLo: Long, xHi: Long, yLo: Long, yHi: Long, cellBits: Int)
+
+  private[graft] def readMeta(spark: SparkSession, path: String): TableMeta = {
+    val m = spark.read.parquet(s"$path/meta").head() // bounded: 1 row
+    TableMeta(m.getAs[String]("x_name"), m.getAs[String]("y_name"),
+      m.getAs[Long]("x_lo"), m.getAs[Long]("x_hi"),
+      m.getAs[Long]("y_lo"), m.getAs[Long]("y_hi"),
+      m.getAs[Int]("cell_bits"))
+  }
+
+  /** Write `df` z-clustered on two of its LONG columns (named, not
+    * expressions — the read path re-filters on them) into `path/data`'s
+    * `zcell=` directories, plus a one-row `path/meta` holding the
+    * normalization bounds the reader needs to map raw predicates onto
+    * the curve. 2^cellBits directories — bounded fan-out by construction
+    * (the 100 TB knob is cellBits, traded against files-per-cell). */
+  def writeClustered(df: DataFrame, path: String, xName: String,
+    yName: String, cellBits: Int): Unit = {
+    require(cellBits >= 2 && cellBits <= 16 && cellBits % 2 == 0,
+      s"cellBits must be even in [2,16]: $cellBits")
+    val rows = df.where(col(xName).isNotNull && col(yName).isNotNull)
+    // bounded driver materialization: exactly 4 longs
+    val mm = rows.agg(
+      min(col(xName).cast(LongType)), max(col(xName).cast(LongType)),
+      min(col(yName).cast(LongType)), max(col(yName).cast(LongType)))
+      .head()
+    val meta = TableMeta(xName, yName, mm.getLong(0), mm.getLong(1),
+      mm.getLong(2), mm.getLong(3), cellBits)
+    val xk = scaleKey(xName, meta.xLo, meta.xHi)
+    val yk = scaleKey(yName, meta.yLo, meta.yHi)
+    rows
+      .withColumn("zcell", shiftright(zValue(xk, yk), 32 - cellBits))
+      .repartition(col("zcell"))
+      .sortWithinPartitions(col(xName), col(yName))
+      .write.mode("overwrite").partitionBy("zcell").parquet(s"$path/data")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((meta.xName, meta.yName, meta.xLo, meta.xHi, meta.yLo, meta.yHi,
+      meta.cellBits))
+      .toDF("x_name", "y_name", "x_lo", "x_hi", "y_lo", "y_hi", "cell_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** `((v - lo) * 65535) div max(hi - lo, 1)` as exact integer SQL (the
+    * Column `/` is double division — not this). */
+  private def scaleKey(name: String, lo: Long, hi: Long): Column =
+    expr(s"((cast(`$name` as bigint) - ${lo}L) * 65535L) div " +
+      s"${math.max(hi - lo, 1L)}L")
+
+  /** The scaling formula on a driver-side long (must stay in lockstep
+    * with [[scaleKey]]). */
+  private def scaleRaw(v: Long, lo: Long, hi: Long): Long =
+    ((v - lo) * 65535L) / math.max(hi - lo, 1L)
+
+  /** Cells whose quadrant intersects the (optional) raw ranges: the
+    * driver-side loop is 2^cellBits iterations of pure bit arithmetic —
+    * the bounded work that makes the read sublinear in files touched. */
+  private[graft] def survivingCells(meta: TableMeta, xRange: Option[(Long, Long)],
+    yRange: Option[(Long, Long)]): Seq[Long] = {
+    val axisBits = meta.cellBits / 2
+    // raw range -> key range (scaling is monotone, so endpoints map the
+    // range) -> quadrant range; an empty clamp means no cell survives
+    def quadRange(r: Option[(Long, Long)], lo: Long, hi: Long)
+    : Option[(Long, Long)] = r match {
+      case None => Some((0L, (1L << axisBits) - 1))
+      case Some((a, b)) =>
+        if (b < lo || a > hi) None
+        else Some((
+          scaleRaw(math.max(a, lo), lo, hi) >> (16 - axisBits),
+          scaleRaw(math.min(b, hi), lo, hi) >> (16 - axisBits)))
+    }
+    (quadRange(xRange, meta.xLo, meta.xHi),
+      quadRange(yRange, meta.yLo, meta.yHi)) match {
+      case (Some((xq0, xq1)), Some((yq0, yq1))) =>
+        (0L until (1L << meta.cellBits)).filter { cell =>
+          // de-interleave the cell id back to axis quadrants (x on the
+          // even z bits, y on the odd — see zValue)
+          val xq = (0 until axisBits).foldLeft(0L)((q, i) =>
+            q | (((cell >> (2 * i)) & 1L) << i))
+          val yq = (0 until axisBits).foldLeft(0L)((q, i) =>
+            q | (((cell >> (2 * i + 1)) & 1L) << i))
+          xq >= xq0 && xq <= xq1 && yq >= yq0 && yq <= yq1
+        }
+      case _ => Seq.empty
+    }
+  }
+
+  /** Read the clustered table under a 2-D range predicate: the cell list
+    * becomes a STATIC partition filter (pruned `zcell=` directories are
+    * never opened), the raw ranges re-apply exactly as the residual
+    * filter, so the result is bit-identical to a full-scan WHERE — only
+    * the bytes touched differ. `None` leaves an axis unconstrained. */
+  def readPruned(spark: SparkSession, path: String,
+    xRange: Option[(Long, Long)], yRange: Option[(Long, Long)]): DataFrame = {
+    val meta = readMeta(spark, path)
+    val cells = survivingCells(meta, xRange, yRange)
+    def residual(name: String, r: Option[(Long, Long)]): Column =
+      r.map { case (a, b) => col(name).between(a, b) }.getOrElse(lit(true))
+    spark.read.parquet(s"$path/data")
+      .where(col("zcell").isin(cells: _*))
+      .where(residual(meta.xName, xRange) && residual(meta.yName, yRange))
+      .drop("zcell")
+  }
+
+  // One clustered-orders build per fixture dir per JVM (the
+  // AnnIndex.materialized pattern): fixture-derived and immutable, so
+  // reuse is sound; Bench warm-up times the build once, the registered
+  // query times the pruned READ — the point of a layout.
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once z-clustered orders table (x = o_custkey, y = epoch-day of
+    * o_orderdate as `o_day`); the registered `orders_zorder_pruned_read`
+    * query reads this. */
+  def clusteredOrdersAt(spark: SparkSession, sfDir: String): String =
+    built.computeIfAbsent(sfDir, { _ =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_zlayout_" +
+        math.abs(sfDir.hashCode)
+      val orders = graft.sources.Tables(spark, sfDir, "orders")
+        .withColumn("o_day",
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+      writeClustered(orders, path, "o_custkey", "o_day", cellBits = 6)
+      path
+    })
 }

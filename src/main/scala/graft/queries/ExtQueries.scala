@@ -4759,6 +4759,33 @@ SELECT rows_match, z_cells, z_pruned, z_rows_scanned,
        z_rows_scanned < lin_rows_scanned AS z_beats_linear
 FROM mt CROSS JOIN za CROSS JOIN la""")),
 
+    // The layout made PHYSICAL: orders written once into zcell=
+    // directories (Layout.clusteredOrdersAt — a Bench-visible artifact
+    // build), then read under a date-range predicate through the
+    // driver-side quadrant intersection, so the cell list is a STATIC
+    // partition filter (pruned directories never listed or opened;
+    // LayoutSpec pins PartitionFilters + the surviving-cell geometry)
+    // and the raw range re-applies as the exact residual. Semantics ==
+    // a plain WHERE (the oracle); only the bytes touched differ.
+    ("orders_zorder_pruned_read",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.{count, lit, min, max, col}
+        val path = graft.ext.Layout.clusteredOrdersAt(s, d)
+        graft.ext.Layout.readPruned(s, path,
+          xRange = None, yRange = Some((10000L, 10500L)))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_day")).as("d_min"), max(col("o_day")).as("d_max"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*)::BIGINT AS n,
+       min(epoch_ms(o_orderdate) // 86400000) AS d_min,
+       max(epoch_ms(o_orderdate) // 86400000) AS d_max
+FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  AND (epoch_ms(o_orderdate) // 86400000) BETWEEN 10000 AND 10500
+GROUP BY 1 ORDER BY 1""")),
+
     // -------------------------------------------------- entity resolution
     // Blocked fuzzy name matching over the part catalog: MULTI-PASS
     // blocking (head-noun + first-token keys, r11 item 5), levenshtein

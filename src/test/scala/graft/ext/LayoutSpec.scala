@@ -72,6 +72,59 @@ class LayoutSpec extends SparkSuite {
     assert(r.getAs[Long]("z_rows_scanned") >= r.getAs[Long]("rows_match"))
   }
 
+  test("clustered table: pruned read == full-scan filter, partitions pruned") {
+    val dir = tmpDir("zlayout")
+    val rnd = new scala.util.Random(3)
+    val df = (Seq((null.asInstanceOf[java.lang.Long], 5500L, -1L)) ++
+      Seq.tabulate(4000)(i =>
+        (java.lang.Long.valueOf(rnd.nextInt(1000).toLong),
+          5000L + rnd.nextInt(2000), i.toLong)))
+      .toDF("x", "y", "pay")
+    Layout.writeClustered(df, dir, "x", "y", cellBits = 6)
+
+    val got = Layout.readPruned(spark, dir,
+      xRange = Some((100L, 399L)), yRange = Some((5600L, 6100L)))
+    val expected = df
+      .where(col("x").isNotNull && col("x").between(100, 399) &&
+        col("y").between(5600, 6100))
+      .select("x", "y", "pay").as[(Long, Long, Long)].collect().sorted
+    assert(got.select("x", "y", "pay").as[(Long, Long, Long)]
+      .collect().sorted === expected)
+    assert(expected.nonEmpty) // the fixture must actually exercise the path
+
+    // the cell list is a STATIC partition filter on the zcell= dirs
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zcell"),
+      s"no partition pruning in plan:\n$plan")
+
+    // geometry: the surviving set matches an independent de-interleave
+    val meta = Layout.readMeta(spark, dir)
+    val cells = Layout.survivingCells(meta,
+      Some((100L, 399L)), Some((5600L, 6100L)))
+    assert(cells.nonEmpty && cells.size < 64,
+      s"expected a strict subset of cells, got ${cells.size}")
+    def quadOf(v: Long, lo: Long, hi: Long): Long =
+      (((v - lo) * 65535L) / math.max(hi - lo, 1L)) >> 13
+    val expectCells = (0L until 64L).filter { cell =>
+      val xq = (cell & 1) | ((cell >> 1) & 2) | ((cell >> 2) & 4)
+      val yq = ((cell >> 1) & 1) | ((cell >> 2) & 2) | ((cell >> 3) & 4)
+      xq >= quadOf(100, meta.xLo, meta.xHi) &&
+        xq <= quadOf(399, meta.xLo, meta.xHi) &&
+        yq >= quadOf(5600, meta.yLo, meta.yHi) &&
+        yq <= quadOf(6100, meta.yLo, meta.yHi)
+    }
+    assert(cells.sorted === expectCells.sorted)
+  }
+
+  test("clustered table: a range outside the data prunes every cell") {
+    val dir = tmpDir("zlayout_empty")
+    val df = Seq.tabulate(100)(i => (i.toLong, i.toLong)).toDF("x", "y")
+    Layout.writeClustered(df, dir, "x", "y", cellBits = 4)
+    val got = Layout.readPruned(spark, dir,
+      xRange = Some((1000L, 2000L)), yRange = None)
+    assert(got.count() === 0L)
+  }
+
   test("normalization puts both axes on [0, 65535] whatever the raw scale") {
     val df = Seq((1000000L, -5L), (2000000L, 5L), (1500000L, 0L))
       .toDF("x", "y")
