@@ -200,16 +200,22 @@ object Layout {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** `((v - lo) * 65535) div max(hi - lo, 1)` as exact integer SQL (the
-    * Column `/` is double division — not this). */
-  private def scaleKey(name: String, lo: Long, hi: Long): Column =
-    expr(s"((cast(`$name` as bigint) - ${lo}L) * 65535L) div " +
-      s"${math.max(hi - lo, 1L)}L")
+  /** `((clamp(v) - lo) * 65535) div max(hi - lo, 1)` as exact integer SQL
+    * (the Column `/` is double division — not this). Values are CLAMPED
+    * into the meta bounds first: the build sees only in-range values
+    * (bounds are its min/max), but appended batches may drift past the
+    * frozen normalization — those rows pile into the edge cells until a
+    * re-layout, exactly like a production z-ordered table whose OPTIMIZE
+    * hasn't rerun, and the reader's quadrant math clamps the same way so
+    * they are always found. */
+  private[graft] def scaleKey(name: String, lo: Long, hi: Long): Column =
+    expr(s"((least(greatest(cast(`$name` as bigint), ${lo}L), ${hi}L)" +
+      s" - ${lo}L) * 65535L) div ${math.max(hi - lo, 1L)}L")
 
   /** The scaling formula on a driver-side long (must stay in lockstep
-    * with [[scaleKey]]). */
+    * with [[scaleKey]], clamping included). */
   private def scaleRaw(v: Long, lo: Long, hi: Long): Long =
-    ((v - lo) * 65535L) / math.max(hi - lo, 1L)
+    ((math.min(math.max(v, lo), hi) - lo) * 65535L) / math.max(hi - lo, 1L)
 
   /** Cells whose quadrant intersects the (optional) raw ranges: the
     * driver-side loop is 2^cellBits iterations of pure bit arithmetic —
@@ -218,15 +224,18 @@ object Layout {
     yRange: Option[(Long, Long)]): Seq[Long] = {
     val axisBits = meta.cellBits / 2
     // raw range -> key range (scaling is monotone, so endpoints map the
-    // range) -> quadrant range; an empty clamp means no cell survives
+    // range) -> quadrant range. Endpoints CLAMP like the write path, so
+    // a range past the frozen bounds still reaches the edge cells where
+    // appended out-of-range rows live (at worst one conservative edge
+    // quadrant per axis — the residual filter keeps semantics exact).
+    // An inverted range selects nothing.
     def quadRange(r: Option[(Long, Long)], lo: Long, hi: Long)
     : Option[(Long, Long)] = r match {
       case None => Some((0L, (1L << axisBits) - 1))
       case Some((a, b)) =>
-        if (b < lo || a > hi) None
-        else Some((
-          scaleRaw(math.max(a, lo), lo, hi) >> (16 - axisBits),
-          scaleRaw(math.min(b, hi), lo, hi) >> (16 - axisBits)))
+        if (a > b) None
+        else Some((scaleRaw(a, lo, hi) >> (16 - axisBits),
+          scaleRaw(b, lo, hi) >> (16 - axisBits)))
     }
     (quadRange(xRange, meta.xLo, meta.xHi),
       quadRange(yRange, meta.yLo, meta.yHi)) match {

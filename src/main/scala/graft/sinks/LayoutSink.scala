@@ -1,0 +1,63 @@
+package graft.sinks
+
+import graft.ext.Layout
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming maintenance for a z-clustered table ([[Layout]]): appended
+  * micro-batches land in the SAME `zcell=` directory layout as the
+  * initial build, keyed against the build's frozen normalization bounds
+  * (drift past them clamps into the edge cells until a re-layout — see
+  * [[Layout.scaleKey]]), so the partition-pruned read path keeps working
+  * unchanged while the table grows. Delivery follows the house bucketed-
+  * sink posture: marker-fenced foreachBatch (at-least-once at the file
+  * level), deterministic keys restoring exactly-once via read-side dedup,
+  * and [[compact]] folding the small appended files back into the
+  * canonical one-file-per-cell clustering between runs.
+  */
+object LayoutSink {
+
+  /** Append one batch into `path`'s `zcell=` directories using the
+    * frozen meta bounds. */
+  def appendBatch(batch: DataFrame, path: String): Unit = {
+    val meta = Layout.readMeta(batch.sparkSession, path)
+    withCell(batch, meta)
+      .write.mode("append").partitionBy("zcell").parquet(s"$path/data")
+  }
+
+  private def withCell(df: DataFrame, meta: Layout.TableMeta): DataFrame =
+    df.where(col(meta.xName).isNotNull && col(meta.yName).isNotNull)
+      .withColumn("zcell", shiftright(
+        Layout.zValue(
+          Layout.scaleKey(meta.xName, meta.xLo, meta.xHi),
+          Layout.scaleKey(meta.yName, meta.yLo, meta.yHi)),
+        32 - meta.cellBits))
+
+  /** Checkpointed AvailableNow maintenance run: each micro-batch appends
+    * into the clustered layout behind a per-batch marker (a replayed
+    * batch that already committed is skipped). */
+  def run(stream: DataFrame, path: String, checkpointPath: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    BucketedSink.runToTable(stream, s"$path/data", checkpointPath,
+      batch => appendBatch(batch, path))
+
+  /** Partition-pruned read over a maintained table: [[Layout.readPruned]]
+    * plus the deterministic-key dedup that restores exactly-once over
+    * at-least-once file appends (the [[AnnIndex]] reader contract). */
+  def readPruned(spark: SparkSession, path: String, key: String,
+    xRange: Option[(Long, Long)], yRange: Option[(Long, Long)]): DataFrame =
+    Layout.readPruned(spark, path, xRange, yRange).dropDuplicates(key)
+
+  /** Fold accumulated appends back to one clustered file per cell and GC
+    * the batch markers; crash-safe swap per [[BucketedSink.compact]].
+    * Run BETWEEN streaming runs. Rows are deduplicated on `key` here so
+    * replayed appends stop paying their read-side dedup forever. */
+  def compact(spark: SparkSession, path: String, key: String): Unit = {
+    val meta = Layout.readMeta(spark, path)
+    BucketedSink.compact(spark, s"$path/data", (df, tmp) =>
+      withCell(df.drop("zcell").dropDuplicates(key), meta)
+        .repartition(col("zcell"))
+        .sortWithinPartitions(col(meta.xName), col(meta.yName))
+        .write.mode("overwrite").partitionBy("zcell").parquet(tmp))
+  }
+}

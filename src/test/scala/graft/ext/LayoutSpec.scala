@@ -116,13 +116,22 @@ class LayoutSpec extends SparkSuite {
     assert(cells.sorted === expectCells.sorted)
   }
 
-  test("clustered table: a range outside the data prunes every cell") {
+  test("clustered table: a range past the bounds clamps to the edge " +
+      "cells and the residual keeps the result exact (empty here)") {
     val dir = tmpDir("zlayout_empty")
     val df = Seq.tabulate(100)(i => (i.toLong, i.toLong)).toDF("x", "y")
     Layout.writeClustered(df, dir, "x", "y", cellBits = 4)
     val got = Layout.readPruned(spark, dir,
       xRange = Some((1000L, 2000L)), yRange = None)
     assert(got.count() === 0L)
+    // the clamp keeps the scan bounded to the top x-quadrant's cells
+    val cells = Layout.survivingCells(Layout.readMeta(spark, dir),
+      Some((1000L, 2000L)), None)
+    assert(cells.nonEmpty && cells.size <= 4,
+      s"expected only the edge column, got ${cells.size}")
+    // an inverted range selects nothing at all
+    assert(Layout.survivingCells(Layout.readMeta(spark, dir),
+      Some((50L, 10L)), None).isEmpty)
   }
 
   test("normalization puts both axes on [0, 65535] whatever the raw scale") {
