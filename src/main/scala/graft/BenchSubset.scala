@@ -36,6 +36,7 @@ object BenchSubset {
     warmUp(graft.ext.Bpe.learnAt(spark, dir))
     warmUp(graft.ext.Dsir.importanceWeightsAt(spark, dir).count())
     warmUp(graft.ext.Pca.componentsAt(spark, dir).count())
+    warmUp(graft.ext.Layout.clusteredOrdersAt(spark, dir))
     graft.ext.Dedup.releaseAll()
     for (n <- args.drop(1)) { // warm-up, untimed
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")

@@ -359,4 +359,41 @@ class PlanShapeSpec extends SparkSuite {
       "only the single-row total may nested-loop")
     assert(nodeCount(p, "HashAggregate") >= 2, "map-side combine")
   }
+
+  test("orders_zorder_cells: two pruned scans (bounds + keys), the " +
+      "single-row bounds broadcast, cells map-side combined") {
+    val p = plan("orders_zorder_cells")
+    assert(!p.contains("CartesianProduct"))
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1,
+      "only the single-row min/max bounds may nested-loop")
+    // both scans prune to exactly the two layout columns
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      s.contains("o_custkey") && s.contains("o_orderdate") &&
+        s.split(",").length == 2),
+      s"scans must read exactly the layout columns: $schemas")
+    assert(nodeCount(p, "HashAggregate") >= 2, "map-side combine")
+  }
+
+  test("orders_zorder_skipping: one cached key frame feeds three bounded" +
+      " aggregates; every nested loop is a single-row broadcast") {
+    val p = plan("orders_zorder_skipping")
+    assert(!p.contains("CartesianProduct"))
+    // bounds + the two single-row layout summaries + rows_match fold
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 3,
+      "only single-row frames may nested-loop")
+    assert(p.contains("InMemoryTableScan"),
+      "the key frame must be computed once and reused")
+  }
+
+  test("orders_zorder_pruned_read: the cell list is a static partition " +
+      "filter on the clustered table's scan") {
+    val p = plan("orders_zorder_pruned_read")
+    assert(p.contains("PartitionFilters") && p.contains("zcell"),
+      "read must prune zcell= directories")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(nodeCount(p, "HashAggregate") >= 2, "map-side combine")
+  }
 }
