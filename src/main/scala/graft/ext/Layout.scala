@@ -54,18 +54,28 @@ object Layout {
     * (xk, yk) plus the originals, nulls dropped (a null key has no place
     * on the curve; the caller's table contract decides where nulls live).
     */
+  /** Widest key domain the exact `(v - lo) * 65535` scaling can take
+    * without Long overflow (~1.4e14). Wider domains (e.g. raw 64-bit
+    * hashes) need a pre-scale by the caller; the guards below make the
+    * violation loud instead of silently non-monotone. */
+  private[graft] val maxDomain: Long = Long.MaxValue / 65535L
+
   private def normalized(df: DataFrame, x: Column, y: Column): DataFrame = {
     val raw = df.select(x.cast(LongType).as("xr"), y.cast(LongType).as("yr"))
       .where(col("xr").isNotNull && col("yr").isNotNull)
     val mm = raw.agg(
       min("xr").as("x_lo"), max("xr").as("x_hi"),
       min("yr").as("y_lo"), max("yr").as("y_hi"))
-    // single-row broadcast: the licensed BNLJ shape (see PlanShapeSpec)
+    // single-row broadcast: the licensed BNLJ shape (see PlanShapeSpec).
+    // The domain-width guard lives INSIDE the key expression (an unused
+    // guard column would be pruned away): overflow raises, never wraps.
+    def key(v: String, lo: String, hi: String) = expr(
+      s"if($hi - $lo <= ${maxDomain}L, " +
+        s"(($v - $lo) * 65535L) div greatest($hi - $lo, 1L), " +
+        s"raise_error('z-order key domain wider than ${maxDomain}'))")
     raw.crossJoin(broadcast(mm))
-      .withColumn("xk",
-        expr("((xr - x_lo) * 65535L) div greatest(x_hi - x_lo, 1L)"))
-      .withColumn("yk",
-        expr("((yr - y_lo) * 65535L) div greatest(y_hi - y_lo, 1L)"))
+      .withColumn("xk", key("xr", "x_lo", "x_hi"))
+      .withColumn("yk", key("yr", "y_lo", "y_hi"))
   }
 
   /** Per-cell layout statistics: rows bucketed by the top `cellBits` bits
@@ -183,8 +193,13 @@ object Layout {
       min(col(xName).cast(LongType)), max(col(xName).cast(LongType)),
       min(col(yName).cast(LongType)), max(col(yName).cast(LongType)))
       .head()
+    require(!mm.isNullAt(0) && !mm.isNullAt(2),
+      s"cannot cluster: no rows with both `$xName` and `$yName` non-null")
     val meta = TableMeta(xName, yName, mm.getLong(0), mm.getLong(1),
       mm.getLong(2), mm.getLong(3), cellBits)
+    require(meta.xHi - meta.xLo <= maxDomain &&
+      meta.yHi - meta.yLo <= maxDomain,
+      s"z-order key domain wider than $maxDomain — pre-scale the keys")
     val xk = scaleKey(xName, meta.xLo, meta.xHi)
     val yk = scaleKey(yName, meta.yLo, meta.yHi)
     rows
@@ -208,9 +223,12 @@ object Layout {
     * re-layout, exactly like a production z-ordered table whose OPTIMIZE
     * hasn't rerun, and the reader's quadrant math clamps the same way so
     * they are always found. */
-  private[graft] def scaleKey(name: String, lo: Long, hi: Long): Column =
+  private[graft] def scaleKey(name: String, lo: Long, hi: Long): Column = {
+    require(hi - lo >= 0 && hi - lo <= maxDomain,
+      s"z-order key domain wider than $maxDomain — pre-scale the keys")
     expr(s"((least(greatest(cast(`$name` as bigint), ${lo}L), ${hi}L)" +
       s" - ${lo}L) * 65535L) div ${math.max(hi - lo, 1L)}L")
+  }
 
   /** The scaling formula on a driver-side long (must stay in lockstep
     * with [[scaleKey]], clamping included). */

@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object LayoutSink {
 
+  // the bounds are FROZEN by contract (that's the clamp story), so one
+  // disk read per path per JVM — not one Spark job per micro-batch
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Layout.TableMeta]()
+
+  private def metaOf(spark: SparkSession, path: String): Layout.TableMeta =
+    metaCache.computeIfAbsent(path, Layout.readMeta(spark, _))
+
   /** Append one batch into `path`'s `zcell=` directories using the
     * frozen meta bounds. */
-  def appendBatch(batch: DataFrame, path: String): Unit = {
-    val meta = Layout.readMeta(batch.sparkSession, path)
-    withCell(batch, meta)
+  def appendBatch(batch: DataFrame, path: String): Unit =
+    withCell(batch, metaOf(batch.sparkSession, path))
       .write.mode("append").partitionBy("zcell").parquet(s"$path/data")
-  }
 
   private def withCell(df: DataFrame, meta: Layout.TableMeta): DataFrame =
     df.where(col(meta.xName).isNotNull && col(meta.yName).isNotNull)
@@ -53,7 +59,7 @@ object LayoutSink {
     * Run BETWEEN streaming runs. Rows are deduplicated on `key` here so
     * replayed appends stop paying their read-side dedup forever. */
   def compact(spark: SparkSession, path: String, key: String): Unit = {
-    val meta = Layout.readMeta(spark, path)
+    val meta = metaOf(spark, path)
     BucketedSink.compact(spark, s"$path/data", (df, tmp) =>
       withCell(df.drop("zcell").dropDuplicates(key), meta)
         .repartition(col("zcell"))

@@ -390,8 +390,11 @@ class PlanShapeSpec extends SparkSuite {
   test("orders_zorder_pruned_read: the cell list is a static partition " +
       "filter on the clustered table's scan") {
     val p = plan("orders_zorder_pruned_read")
-    assert(p.contains("PartitionFilters") && p.contains("zcell"),
-      "read must prune zcell= directories")
+    // the predicate must be INSIDE the brackets: a bare
+    // "PartitionFilters: []" plus zcell in the scan's Output would
+    // vacuously satisfy two independent contains checks
+    assert("PartitionFilters: \\[[^\\]]*zcell".r.findFirstIn(p).isDefined,
+      s"read must prune zcell= directories:\n$p")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(nodeCount(p, "HashAggregate") >= 2, "map-side combine")

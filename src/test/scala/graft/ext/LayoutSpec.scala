@@ -92,9 +92,11 @@ class LayoutSpec extends SparkSuite {
       .collect().sorted === expected)
     assert(expected.nonEmpty) // the fixture must actually exercise the path
 
-    // the cell list is a STATIC partition filter on the zcell= dirs
+    // the cell list is a STATIC partition filter on the zcell= dirs —
+    // the predicate must be INSIDE the brackets ("PartitionFilters: []"
+    // plus zcell in the scan Output would vacuously pass two contains)
     val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("zcell"),
+    assert("PartitionFilters: \\[[^\\]]*zcell".r.findFirstIn(plan).isDefined,
       s"no partition pruning in plan:\n$plan")
 
     // geometry: the surviving set matches an independent de-interleave
