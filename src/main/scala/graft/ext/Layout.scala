@@ -158,6 +158,79 @@ object Layout {
         "z_sound", "lin_sound", "z_beats_linear")
   }
 
+  // ------------------------------------------------------- Hilbert curve
+
+  /** Hilbert-curve index of grid cell `(xq, yq)` on the 2^bits × 2^bits
+    * grid — the classic iterative xy2d (top-down quadrant walk with
+    * reflect-and-swap rotation; see Hilbert 1891 and the public-domain
+    * Wikipedia formulation). The curve's defining property over z-order
+    * is LOCALITY: consecutive indices are always grid-adjacent (step
+    * distance exactly 1), so contiguous index ranges — files — cover
+    * connected, compact regions; z-order pays jump discontinuities of up
+    * to half the grid. The `hilbert_curve_contract` query pins exactly
+    * that theorem as hashed data.
+    *
+    * Bounded to small `bits` by construction: the rotation chain embeds
+    * each step's (x, y) expressions into the next, so the tree grows
+    * ~4× per step — fine for the ≤4-bit CELL grids it exists for (files
+    * are cell runs; key-level resolution stays with the z path), and a
+    * require() stops anything wider before it hits codegen. */
+  def hilbertIndex(xq: Column, yq: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 4, s"hilbertIndex is for cell grids: $bits")
+    val n = 1L << bits
+    var x = xq.cast(LongType)
+    var y = yq.cast(LongType)
+    var d: Column = lit(0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = when(x.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      // rotation: under ry == 0, reflect by n-1 when rx == 1, then swap
+      val xr = when(rx === 1, lit(n - 1) - x).otherwise(x)
+      val yr = when(rx === 1, lit(n - 1) - y).otherwise(y)
+      val nx = when(ry === 0, yr).otherwise(x)
+      val ny = when(ry === 0, xr).otherwise(y)
+      x = nx
+      y = ny
+      s /= 2
+    }
+    d
+  }
+
+  /** Per-FILE bounding-box stats for the SAME rows under both curves:
+    * files simulate as runs of `cellsPerFile` consecutive curve cells
+    * (a range partition on the curve index), and each file reports its
+    * row count and per-axis key min/max — the stats a skipping reader
+    * consults. Z files inherit the curve's jump discontinuities (a run
+    * crossing a z jump spans disconnected regions → wide boxes); Hilbert
+    * runs are always connected (unit steps), so its boxes stay compact.
+    * Output `(curve, file, n, x_min, x_max, y_min, y_max)`, both curves
+    * from ONE cached key frame. */
+  def curveFileStats(df: DataFrame, x: Column, y: Column, cellBits: Int,
+    cellsPerFile: Int): DataFrame = {
+    require(cellBits >= 2 && cellBits % 2 == 0 && cellBits / 2 <= 4,
+      s"cell grid out of hilbertIndex range: $cellBits")
+    require(cellsPerFile >= 1, s"cellsPerFile: $cellsPerFile")
+    val axisBits = cellBits / 2
+    val keys = Dedup.cached(normalized(df, x, y)
+      .withColumn("zcell",
+        shiftright(zValue(col("xk"), col("yk")), 32 - cellBits))
+      .withColumn("hcell", hilbertIndex(
+        shiftright(col("xk"), 16 - axisBits),
+        shiftright(col("yk"), 16 - axisBits), axisBits))
+      .select("xk", "yk", "zcell", "hcell"))
+    def files(cellCol: String, curve: String): DataFrame = keys
+      .withColumn("file", expr(s"$cellCol div $cellsPerFile"))
+      .groupBy("file").agg(count(lit(1)).as("n"),
+        min("xk").as("x_min"), max("xk").as("x_max"),
+        min("yk").as("y_min"), max("yk").as("y_max"))
+      .select(lit(curve).as("curve"), col("file"), col("n"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+    files("zcell", "z").unionByName(files("hcell", "h"))
+      .orderBy("curve", "file")
+  }
+
   // ------------------------------------------------- the clustered table
   // The simulated contract above, made physical: write rows into
   // `zcell=` directories (Spark partition pruning = real file skipping —

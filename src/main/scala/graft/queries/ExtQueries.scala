@@ -65,6 +65,34 @@ s4 AS (SELECT xk, yk, (xd | (xd << 1)) & 1431655765 AS xe,
               (yd | (yd << 1)) & 1431655765 AS ye FROM s3),
 z AS (SELECT xk, yk, (xe | (ye << 1)) AS zv FROM s4)"""
 
+  /** DuckDB twin of graft.ext.Layout.hilbertIndex: the iterative xy2d
+    * rotation chain, one generated CTE stage per level, over a source CTE
+    * `src` exposing (xq, yq) plus `carry` columns. Ends in a stage named
+    * `hfin(<carry>, xq, yq, hd)`. Keep in lockstep with hilbertIndex. */
+  private def hilbertSqlStages(src: String, bits: Int,
+    carry: Seq[String]): String = {
+    val n = 1 << bits
+    val cols = (carry :+ "xq" :+ "yq").mkString(", ")
+    val levels = Iterator.iterate(n / 2)(_ / 2).takeWhile(_ > 0).toSeq
+    val stages = levels.zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0)
+        s"(SELECT $cols, xq AS hx, yq AS hy, 0 AS hd FROM $src)"
+      else s"h$i"
+      val last = i == levels.size - 1
+      s"""h${i + 1} AS (
+  SELECT $cols, hd + ${s * s} * xor(3 * rx, ry) AS hd,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hy ELSE hy END)
+         ELSE hx END AS hx,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hx ELSE hx END)
+         ELSE hy END AS hy
+  FROM (SELECT *, CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+        FROM $prev))""" +
+        (if (last) s",\nhfin AS (SELECT $cols, hd FROM h${i + 1})" else "")
+    }
+    stages.mkString(",\n")
+  }
+
   private val enLex = lexSql(graft.ext.TextOps.langLexica.toMap.apply("en"))
 
   // 64-dim literal dot products (left-to-right sum == Spark's left fold).
@@ -4785,6 +4813,97 @@ FROM orders
 WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
   AND (epoch_ms(o_orderdate) // 86400000) BETWEEN 10000 AND 10500
 GROUP BY 1 ORDER BY 1""")),
+
+    // The Hilbert curve's locality THEOREM as hashed data: over the full
+    // 8×8 cell grid, every consecutive-index step is grid-adjacent
+    // (h_adj_steps = 63, h_max_step = 1) while the z curve pays jump
+    // discontinuities — so contiguous Hilbert index ranges (files) cover
+    // connected regions. Bijectivity rides along (h_distinct = 64). A
+    // wrong rotation anywhere breaks adjacency and fails the oracle gate
+    // itself; DuckDB replays the xy2d chain stage-for-stage.
+    ("hilbert_curve_contract",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val cells = s.range(64).select(
+          expr("id % 8").as("xq"), expr("id div 8").as("yq"))
+          .withColumn("hd",
+            graft.ext.Layout.hilbertIndex(col("xq"), col("yq"), 3))
+          .withColumn("zd", expr(
+            "(xq & 1) | ((yq & 1) << 1) | ((xq & 2) << 1) | " +
+              "((yq & 2) << 2) | ((xq & 4) << 2) | ((yq & 4) << 3)"))
+        def steps(dcol: String, p: String) = {
+          val a = cells.select(col(dcol).as("d"),
+            col("xq").as("x1"), col("yq").as("y1"))
+          val b = cells.select(col(dcol).as("d2"),
+            col("xq").as("x2"), col("yq").as("y2"))
+          a.join(b, col("d") + 1 === col("d2"))
+            .select((abs(col("x1") - col("x2")) +
+              abs(col("y1") - col("y2"))).as("step"))
+            .agg(sum(when(col("step") === 1, 1L).otherwise(0L))
+              .as(s"${p}_adj_steps"), max("step").as(s"${p}_max_step"))
+        }
+        cells.agg(count(lit(1)).as("n_cells"),
+          countDistinct("hd").as("h_distinct"),
+          countDistinct("zd").as("z_distinct"))
+          .crossJoin(broadcast(steps("hd", "h")))
+          .crossJoin(broadcast(steps("zd", "z")))
+          .select("n_cells", "h_distinct", "z_distinct",
+            "h_adj_steps", "h_max_step", "z_adj_steps", "z_max_step")
+      },
+      Some(s"""WITH g AS (
+  SELECT (id % 8)::BIGINT AS xq, (id // 8)::BIGINT AS yq FROM range(64) t(id)),
+${hilbertSqlStages("g", 3, Seq.empty)},
+c AS (SELECT xq, yq, hd,
+        ((xq & 1) | ((yq & 1) << 1) | ((xq & 2) << 1)
+         | ((yq & 2) << 2) | ((xq & 4) << 2) | ((yq & 4) << 3)) AS zd
+      FROM hfin),
+hs AS (SELECT sum(CASE WHEN abs(a.xq - b.xq) + abs(a.yq - b.yq) = 1
+                       THEN 1 ELSE 0 END)::BIGINT AS h_adj_steps,
+              max(abs(a.xq - b.xq) + abs(a.yq - b.yq))::BIGINT AS h_max_step
+       FROM c a JOIN c b ON a.hd + 1 = b.hd),
+zs AS (SELECT sum(CASE WHEN abs(a.xq - b.xq) + abs(a.yq - b.yq) = 1
+                       THEN 1 ELSE 0 END)::BIGINT AS z_adj_steps,
+              max(abs(a.xq - b.xq) + abs(a.yq - b.yq))::BIGINT AS z_max_step
+       FROM c a JOIN c b ON a.zd + 1 = b.zd),
+base AS (SELECT count(*)::BIGINT AS n_cells,
+                count(DISTINCT hd)::BIGINT AS h_distinct,
+                count(DISTINCT zd)::BIGINT AS z_distinct FROM c)
+SELECT n_cells, h_distinct, z_distinct,
+       h_adj_steps, h_max_step, z_adj_steps, z_max_step
+FROM base CROSS JOIN hs CROSS JOIN zs""")),
+
+    // The locality theorem's consequence, measured on real keys: the
+    // same orders rows filed as runs of SIX consecutive curve cells
+    // under both curves, each file reporting the bounding box a skipping
+    // reader would consult. Six deliberately: power-of-4-aligned runs
+    // are quads under BOTH curves (the degenerate tie), but real
+    // size-based file cuts land at arbitrary curve positions — and
+    // there Hilbert runs stay connected (unit steps; full-grid box area
+    // 72 cells) while z runs crossing a jump span disconnected regions
+    // (120 cells). HilbertSpec pins the inequality; the hashed output
+    // is the exact per-file stats. One cached key frame, two bounded
+    // aggregates; all values exact integers.
+    ("orders_curve_files",
+      (s: SparkSession, d: String) =>
+        graft.ext.Layout.curveFileStats(
+          Tables(s, d, "orders"),
+          org.apache.spark.sql.functions.col("o_custkey"),
+          org.apache.spark.sql.functions.expr(
+            "unix_millis(cast(o_orderdate as timestamp)) div 86400000"),
+          cellBits = 6, cellsPerFile = 6),
+      Some(s"""$zorderKeyCte,
+q AS (SELECT xk, yk, zv, xk >> 13 AS xq, yk >> 13 AS yq FROM z),
+${hilbertSqlStages("q", 3, Seq("xk", "yk", "zv"))},
+zf AS (SELECT 'z' AS curve, (zv >> 26) // 6 AS file, count(*)::BIGINT AS n,
+              min(xk) AS x_min, max(xk) AS x_max,
+              min(yk) AS y_min, max(yk) AS y_max
+       FROM hfin GROUP BY 2),
+hf AS (SELECT 'h' AS curve, hd // 6 AS file, count(*)::BIGINT AS n,
+              min(xk) AS x_min, max(xk) AS x_max,
+              min(yk) AS y_min, max(yk) AS y_max
+       FROM hfin GROUP BY 2)
+SELECT * FROM (SELECT * FROM zf UNION ALL SELECT * FROM hf)
+ORDER BY curve, file""")),
 
     // -------------------------------------------------- entity resolution
     // Blocked fuzzy name matching over the part catalog: MULTI-PASS
