@@ -339,4 +339,56 @@ object PropertySpec extends Properties("graft") {
       }
     }
   }
+
+  property("z-order skipping is sound on random data and predicates: " +
+      "both layouts' pruned cells hold no matching row") = {
+    val gen = for {
+      seed <- Gen.choose(0L, Long.MaxValue)
+      xSpan <- Gen.choose(10L, 200000L)
+      ySpan <- Gen.choose(10L, 200000L)
+      aFrac <- Gen.choose(0, 100)
+      bFrac <- Gen.choose(0, 100)
+    } yield (seed, xSpan, ySpan, math.min(aFrac, bFrac), math.max(aFrac, bFrac))
+    Prop.forAll(gen) { case (seed, xSpan, ySpan, aFrac, bFrac) =>
+      import I.i._
+      val rnd = new scala.util.Random(seed)
+      val pts = Seq.fill(800)((rnd.nextLong(xSpan), rnd.nextLong(ySpan)))
+      // predicate in NORMALIZED key space, like the registered query
+      val (yLo, yHi) = (655L * aFrac, 655L * bFrac + 654L)
+      val r = graft.ext.Layout.skippingReport(
+        pts.toDF("x", "y"), col("x"), col("y"),
+        cellBits = 6, yLo = yLo, yHi = yHi).collect().head
+      r.getAs[Boolean]("z_sound") && r.getAs[Boolean]("lin_sound") &&
+        r.getAs[Long]("z_rows_scanned") >= r.getAs[Long]("rows_match") &&
+        r.getAs[Long]("lin_rows_scanned") >= r.getAs[Long]("rows_match")
+    }
+  }
+
+  property("clustered write + pruned read equals a brute-force filter " +
+      "on random data and raw ranges (clamping included)") = {
+    val gen = for {
+      seed <- Gen.choose(0L, Long.MaxValue)
+      span <- Gen.choose(10L, 100000L)
+      // raw ranges may fall partly or wholly outside the data
+      x0 <- Gen.choose(-span, 2 * span); xw <- Gen.choose(0L, span)
+      y0 <- Gen.choose(-span, 2 * span); yw <- Gen.choose(0L, span)
+    } yield (seed, span, x0, x0 + xw, y0, y0 + yw)
+    Prop.forAll(gen) { case (seed, span, x0, x1, y0, y1) =>
+      import I.i._
+      val rnd = new scala.util.Random(seed)
+      val pts = Seq.tabulate(600)(i =>
+        (rnd.nextLong(span), rnd.nextLong(span), i.toLong))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_prop_zlayout").toString
+      graft.ext.Layout.writeClustered(
+        pts.toDF("x", "y", "pay"), dir, "x", "y", cellBits = 6)
+      val got = graft.ext.Layout.readPruned(spark, dir,
+        Some((x0, x1)), Some((y0, y1)))
+        .select("pay").as[Long].collect().toSet
+      val expected = pts.collect {
+        case (x, y, pay) if x >= x0 && x <= x1 && y >= y0 && y <= y1 => pay
+      }.toSet
+      got == expected
+    }
+  }
 }
