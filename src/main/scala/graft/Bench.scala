@@ -41,7 +41,9 @@ object Bench {
     // DSIR weights memo
     "dsir_weights", "dsir_resample", "dsir_selection_audit",
     // PCA fit memo
-    "embed_pca_components", "embed_pca_project").sorted
+    "embed_pca_components", "embed_pca_project",
+    // z-clustered orders layout
+    "orders_zorder_pruned_read").sorted
 
   /** Extract the per-query map from a committed bench_queries.json.
     * Regex-parsed — no JSON lib on the classpath, and the format is this

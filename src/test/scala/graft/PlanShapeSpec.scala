@@ -387,6 +387,16 @@ class PlanShapeSpec extends SparkSuite {
       "the key frame must be computed once and reused")
   }
 
+  test("orders_curve_files: one cached key frame feeds both curves' " +
+      "file aggregates; no nested loops beyond the single-row bounds") {
+    val p = plan("orders_curve_files")
+    assert(!p.contains("CartesianProduct"))
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1,
+      "only the single-row min/max bounds may nested-loop")
+    assert(p.contains("InMemoryTableScan"),
+      "the key frame must be computed once and reused")
+  }
+
   test("orders_zorder_pruned_read: the cell list is a static partition " +
       "filter on the clustered table's scan") {
     val p = plan("orders_zorder_pruned_read")
