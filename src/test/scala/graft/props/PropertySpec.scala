@@ -355,9 +355,10 @@ object PropertySpec extends Properties("graft") {
       val pts = Seq.fill(800)((rnd.nextLong(xSpan), rnd.nextLong(ySpan)))
       // predicate in NORMALIZED key space, like the registered query
       val (yLo, yHi) = (655L * aFrac, 655L * bFrac + 654L)
-      val r = graft.ext.Layout.skippingReport(
+      val r = try graft.ext.Layout.skippingReport(
         pts.toDF("x", "y"), col("x"), col("y"),
         cellBits = 6, yLo = yLo, yHi = yHi).collect().head
+      finally graft.ext.Dedup.releaseAll() // the report caches its key frame
       r.getAs[Boolean]("z_sound") && r.getAs[Boolean]("lin_sound") &&
         r.getAs[Long]("z_rows_scanned") >= r.getAs[Long]("rows_match") &&
         r.getAs[Long]("lin_rows_scanned") >= r.getAs[Long]("rows_match")
@@ -379,12 +380,18 @@ object PropertySpec extends Properties("graft") {
       val pts = Seq.tabulate(600)(i =>
         (rnd.nextLong(span), rnd.nextLong(span), i.toLong))
       val dir = java.nio.file.Files
-        .createTempDirectory("graft_prop_zlayout").toString
-      graft.ext.Layout.writeClustered(
-        pts.toDF("x", "y", "pay"), dir, "x", "y", cellBits = 6)
-      val got = graft.ext.Layout.readPruned(spark, dir,
-        Some((x0, x1)), Some((y0, y1)))
-        .select("pay").as[Long].collect().toSet
+        .createTempDirectory("graft_prop_zlayout")
+      val got = try {
+        graft.ext.Layout.writeClustered(
+          pts.toDF("x", "y", "pay"), dir.toString, "x", "y", cellBits = 6)
+        graft.ext.Layout.readPruned(spark, dir.toString,
+          Some((x0, x1)), Some((y0, y1)))
+          .select("pay").as[Long].collect().toSet
+      } finally { // one 64-partition table per trial — don't leak them
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
       val expected = pts.collect {
         case (x, y, pay) if x >= x0 && x <= x1 && y >= y0 && y <= y1 => pay
       }.toSet
