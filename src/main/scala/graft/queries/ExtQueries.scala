@@ -4125,6 +4125,44 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * 6 * gv)::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // Fourth REAL image format, and the first through a GENERAL
+    // compressor: PNG — IDAT is zlib, zlib lives in the JDK, so decode
+    // is chunk walk → java.util.zip.Inflater (which enforces the
+    // stream's adler32) → five-filter unfiltering. The synthesis builds
+    // conforming streams as pure Columns (zlib STORED blocks + a
+    // formula-computed adler32) with the row filter cycling through all
+    // five predictors including Paeth — so every filter's arithmetic,
+    // AND the checksum, ride the hashed oracle: a wrong Sub/Up/Average/
+    // Paeth on either side (synthesis filters, decode unfilters; the
+    // oracle recomputes from the RAW formula, so they cannot cancel) or
+    // a wrong adler (Inflater rejects → missing row) is a red row.
+    ("media_features_png",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .pngFeatures(graft.ext.Multimodal.mediaPng(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 7 + 1 AS INT) AS w,
+         CAST((doc_id * 3) % 6 + 1 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y
+  FROM dms, unnest(range(0, w * h)) AS t(i)),
+v AS (
+  SELECT doc_id, w, h,
+         (7 * doc_id + 5 * x + 11 * y) % 256 AS r,
+         (3 * doc_id + 13 * x + 2 * y) % 256 AS g,
+         (doc_id + x + 17 * y) % 256 AS b,
+         y * w + x + 1 AS pw
+  FROM px)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+       sum(b)::BIGINT AS sum_b,
+       sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+       sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // REAL pixel RESAMPLING end-to-end: decode → integer nearest-
     // neighbor to fit 8×8 (the resize scale/rounding contract) →
     // re-ENCODE as a conforming BMP → decode again → integer features

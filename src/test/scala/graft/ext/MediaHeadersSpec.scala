@@ -580,4 +580,57 @@ class MediaHeadersSpec extends SparkSuite {
       assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
     }
   }
+
+  test("PngCodec decodes a real-deflate file exactly and rejects " +
+      "non-conforming streams (adler, truncation, color type, filter)") {
+    val px = Array.tabulate(5 * 4)(i => (i * 37 + 11) * 131 & 0xffffff)
+    val file = Multimodal.PngCodec.encode(5, 4, px)
+    assert(Multimodal.PngCodec.decode(file)
+      .exists { case (w, h, p) => w == 5 && h == 4 && p.sameElements(px) })
+
+    // adler corruption: flip a byte INSIDE the deflate payload — the
+    // JDK Inflater's own integrity check must reject it (either a
+    // DataFormatException we map to None, or a checksum failure)
+    val idatStart = 8 + 25 + 8 // sig + IHDR chunk + IDAT len/type
+    val corrupt = file.clone
+    corrupt(idatStart + 6) = (corrupt(idatStart + 6) ^ 0x5a).toByte
+    assert(Multimodal.PngCodec.decode(corrupt).isEmpty)
+
+    // truncation anywhere must be None, never a throw
+    (1 until file.length by 7).foreach { k =>
+      assert(Multimodal.PngCodec.decode(file.take(k)).isEmpty)
+    }
+
+    // unsupported color type (grayscale = 0) rejects at the header
+    val gray = file.clone
+    gray(8 + 8 + 9) = 0 // IHDR color-type byte
+    assert(Multimodal.PngCodec.decode(gray).isEmpty)
+  }
+
+  test("mediaPng synthesizes conforming stored-block streams (adler " +
+      "included) and pngFeatures' decode matches the raw formula") {
+    val feats = Multimodal.pngFeatures(Multimodal.mediaPng(docs))
+      .orderBy("media_id").collect()
+    // every synthesized file must pass Inflater's adler32 AND the filter
+    // walk — a single miscomputed checksum or filter byte drops its row
+    assert(feats.length === docs.count(), "every synthesized PNG must decode")
+    feats.take(50).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (id % 7 + 1).toInt
+      val h = (id * 3 % 6 + 1).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rr = (7 * id + 5 * x + 11 * y) % 256
+        val gg = (3 * id + 13 * x + 2 * y) % 256
+        val bb = (id + x + 17 * y) % 256
+        sr += rr; sg += gg; sb += bb
+        ck += (y * w + x + 1).toLong * (rr + 2 * gg + 3 * bb)
+      }
+      assert(r.getAs[Long]("sum_r") === sr, s"sum_r mismatch for $id")
+      assert(r.getAs[Long]("sum_g") === sg, s"sum_g mismatch for $id")
+      assert(r.getAs[Long]("sum_b") === sb, s"sum_b mismatch for $id")
+      assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
+    }
+  }
 }

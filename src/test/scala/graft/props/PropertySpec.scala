@@ -251,6 +251,22 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("png: decode(encode(img)) round-trips any rgb image through " +
+      "real deflate and all five filters") = {
+    val gen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 9) // encode applies filter y % 5 — h up to 9
+      px <- Gen.listOfN(w * h, Gen.choose(0, 0xffffff))
+    } yield (w, h, px.toArray)
+    Prop.forAll(gen) { case (w, h, px) =>
+      graft.ext.Multimodal.PngCodec
+        .decode(graft.ext.Multimodal.PngCodec.encode(w, h, px))
+        .exists { case (w2, h2, px2) =>
+          w2 == w && h2 == h && px2.sameElements(px)
+        }
+    }
+  }
+
   property("decoders never throw: arbitrary bytes and bit-flipped valid " +
       "files decode to Some or None, never an exception") = {
     // the None contract under hostile input is what keeps a bad row from
@@ -260,11 +276,14 @@ object PropertySpec extends Properties("graft") {
       Array(1, 2, 3, 4, 5, 6))
     val validPgm = graft.ext.Multimodal.PgmCodec.encode(2, 2,
       Array(0x010101, 0x020202, 0x030303, 0x040404))
+    val validPng = graft.ext.Multimodal.PngCodec.encode(3, 2,
+      Array(0x112233, 0x445566, 0x778899, 0xaabbcc, 0xddeeff, 0x010203))
     def decodeAll(bytes: Array[Byte]): Unit = {
       val m = graft.ext.Multimodal
       m.BmpCodec.decode(bytes)
       m.BmpCodec.decodeRle8(bytes)
       m.PgmCodec.decode(bytes)
+      m.PngCodec.decode(bytes)
       m.WavCodec.decodePcm16(bytes)
       m.AviCodec.decodeDib(bytes)
     }
@@ -274,11 +293,12 @@ object PropertySpec extends Properties("graft") {
     Prop.forAll(org.scalacheck.Gen.choose(0L, Long.MaxValue)) { seed =>
       val rnd = new scala.util.Random(seed)
       (0 until 500).foreach { _ =>
-        val base = rnd.nextInt(3) match {
+        val base = rnd.nextInt(4) match {
           case 0 =>
             val b = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(b); b
           case 1 => validBmp.clone
-          case _ => validPgm.clone
+          case 2 => validPgm.clone
+          case _ => validPng.clone
         }
         // up to 3 byte mutations (header fields, sizes, raster)
         (0 until 1 + rnd.nextInt(3)).foreach { _ =>
