@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * ([[PgmCodec]]), PNG ([[PngCodec]] — chunk walk + the JDK's own zlib
   * inflate + five-filter unfiltering), and GIF ([[GifCodec]] — full
   * variable-width LZW, implemented from the arithmetic). Header/
-  * dimension parsing is real for JPEG/WebP/GIF/WAV/AVI ([[HeaderCodec]]).
+  * dimension parsing is real for PNG/JPEG/WebP/GIF/WAV/AVI
+  * ([[HeaderCodec]], the lightweight dims path that needs no pixels).
   * What remains STUBBED — this container has no DCT/VP8 codecs — is
   * [[FakeCodec]]'s remit: the content-embedding stub and pixel decode
   * for JPEG/WebP only, the marked seam where a real codec (JavaCV,
@@ -1991,7 +1992,15 @@ object Multimodal {
         }
         i += 1
       }
-      put(prev); put(end)
+      put(prev)
+      // the final data code adds NO encoder entry, so the one-entry lag
+      // that justifies the late bump rule above vanishes exactly here:
+      // the decoder adds an entry for this code and applies ITS bump
+      // rule (== 1<<width) before reading END — mirror it, or END is
+      // written at the pre-bump width at nextCode boundaries (256/512/…)
+      // and the decoder's wider read overruns the stream
+      if (nextCode == (1 << width) && width < 12) width += 1
+      put(end)
       if (curBits > 0) bits.write((cur & 0xff).toInt)
       val code = bits.toByteArray
       val out = new java.io.ByteArrayOutputStream()

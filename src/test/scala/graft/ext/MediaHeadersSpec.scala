@@ -651,16 +651,36 @@ class MediaHeadersSpec extends SparkSuite {
     (1 until file.length by 23).foreach { k =>
       assert(Multimodal.GifCodec.decode(file.take(k)).isEmpty)
     }
-    // a corrupted code stream (bad dictionary reference) is None
-    val corrupt = file.clone
+    // a DETERMINISTIC bad-dictionary-reference: a tiny all-8-bit-code
+    // stream ([clear, 5, 5, end]) with its first data code corrupted to
+    // 254 — not a root (< 128), beyond the dictionary → must be None
+    val tiny = Multimodal.GifCodec.encode(2, 1, Array(5, 5))
     val dataAt = 6 + 7 + 128 * 3 + 10 + 1 + 1 // header+LSD+GCT+desc+min+len
-    corrupt(dataAt + 3) = 0xff.toByte
-    assert(Multimodal.GifCodec.decode(corrupt).isEmpty ||
-      Multimodal.GifCodec.decode(corrupt).isDefined) // never throws
+    assert((tiny(dataAt) & 0xff) === 0x80, "expected the leading CLEAR")
+    val corrupt = tiny.clone
+    corrupt(dataAt + 1) = 0xfe.toByte
+    assert(Multimodal.GifCodec.decode(corrupt).isEmpty)
     // interlaced images are explicitly unsupported
     val inter = file.clone
     inter(6 + 7 + 128 * 3 + 9) = 0x40.toByte
     assert(Multimodal.GifCodec.decode(inter).isEmpty)
+  }
+
+  test("GifCodec width-bump parity at dictionary-size boundaries: END " +
+      "after exactly 126 added entries must read at the bumped width") {
+    // 127 distinct literals -> 126 encoder entries -> the decoder bumps
+    // to 9-bit reads right before END (the boundary the lag rule does
+    // NOT cover, since the final data code adds no encoder entry)
+    val palette = Array.tabulate(128)(i =>
+      (((i * 7) % 256) << 16) | (((i * 5) % 256) << 8) | ((i * 3) % 256))
+    for (n <- Seq(126, 127, 128, 201)) {
+      val idxs = Array.tabulate(n)(_ % 127)
+      val got = Multimodal.GifCodec.decode(
+        Multimodal.GifCodec.encode(n, 1, idxs))
+      assert(got.exists { case (w, h, px) =>
+        w == n && h == 1 && px.sameElements(idxs.map(palette))
+      }, s"boundary round-trip failed at n=$n")
+    }
   }
 
   test("mediaGif synthesizes conforming all-literal LZW streams and " +
