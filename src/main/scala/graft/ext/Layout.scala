@@ -69,8 +69,11 @@ object Layout {
     // single-row broadcast: the licensed BNLJ shape (see PlanShapeSpec).
     // The domain-width guard lives INSIDE the key expression (an unused
     // guard column would be pruned away): overflow raises, never wraps.
+    // The `>= 0` clause matters: for domains wider than 2^63 (raw 64-bit
+    // hash keys) the Long subtraction itself wraps negative, and a
+    // width-only check would pass the wrapped value through silently.
     def key(v: String, lo: String, hi: String) = expr(
-      s"if($hi - $lo <= ${maxDomain}L, " +
+      s"if($hi - $lo >= 0 AND $hi - $lo <= ${maxDomain}L, " +
         s"(($v - $lo) * 65535L) div greatest($hi - $lo, 1L), " +
         s"raise_error('z-order key domain wider than ${maxDomain}'))")
     raw.crossJoin(broadcast(mm))

@@ -1172,15 +1172,20 @@ object Multimodal {
         if (size < 0 || i.toLong + 8 + size > p.length) return None
         id match {
           case "fmt " =>
+            if (fmtOk) return None // reject a second fmt: no last-one-wins
             if (size < 16) return None
             val codec = le(p, i + 8, 2)
             val channels = le(p, i + 10, 2)
             val bits = le(p, i + 22, 2)
             if (codec != 1 || channels != 1 || bits != 16) return None
             rate = le(p, i + 12, 4)
+            // a hostile 4-byte rate >= 2^31 reads back negative from the
+            // int accumulator; reject like the BMP/PNG/GIF paths do
+            if (rate <= 0) return None
             fmtOk = true
           case "data" =>
             if (!fmtOk) return None // fmt must precede data
+            if (samples != null) return None // reject a second data chunk
             if (size % 2 != 0) return None
             val out = new Array[Int](size / 2)
             var j = 0

@@ -18,12 +18,26 @@ import org.apache.spark.sql.functions._
 object LayoutSink {
 
   // the bounds are FROZEN by contract (that's the clamp story), so one
-  // disk read per path per JVM — not one Spark job per micro-batch
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Layout.TableMeta]()
+  // disk read per path per JVM — not one Spark job per micro-batch. The
+  // cache is fingerprinted by `path/meta`'s modification time so a
+  // re-layout (writeClustered rerun with drifted bounds or different
+  // cellBits) in the same JVM invalidates it: one FS stat per call, no
+  // Spark job, and appends never key against a stale grid.
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Layout.TableMeta)]()
 
-  private def metaOf(spark: SparkSession, path: String): Layout.TableMeta =
-    metaCache.computeIfAbsent(path, Layout.readMeta(spark, _))
+  private def metaOf(spark: SparkSession, path: String): Layout.TableMeta = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = fs.getFileStatus(metaPath).getModificationTime
+    metaCache.compute(path, (p, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else (stamp, Layout.readMeta(spark, p)))._2
+  }
+
+  /** Drop the cached meta for `path` (a re-layout also invalidates
+    * automatically via the meta directory's modification stamp). */
+  def invalidateMeta(path: String): Unit = { metaCache.remove(path); () }
 
   /** Append one batch into `path`'s `zcell=` directories using the
     * frozen meta bounds. */

@@ -66,11 +66,23 @@ object StreamComponents {
     val out = merged
       .select(col("doc_id").as("user_id"), col("cluster_id").as("component_id"))
     val tmp = new org.apache.hadoop.fs.Path(path + "__next")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
     // writing the merge materializes the read of the old table before
-    // the swap deletes it
+    // the swap retires it
     out.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    // BucketedSink.compact posture: never a moment with no live table.
+    // A delete-then-rename swap has a crash window where the checkpoint
+    // replay would rebuild from an EMPTY graph — prior labels silently
+    // lost. Rename live -> __old, __next -> live (require: Hadoop rename
+    // signals failure by returning false), then drop __old.
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(hPath)) {
+      require(fs.rename(hPath, old),
+        s"foldBatch: rename $hPath -> $old failed; table unchanged, merge at $tmp")
+    }
+    require(fs.rename(tmp, hPath),
+      s"foldBatch: rename $tmp -> $hPath failed; prior table preserved at $old")
+    fs.delete(old, true)
     ()
   }
 

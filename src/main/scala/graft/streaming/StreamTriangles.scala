@@ -135,14 +135,24 @@ object StreamTriangles {
           .as("triangles"))
     val newEdges = oldEdges.unionByName(en)
 
-    // single root swap: edges + stats land together or not at all
+    // single root swap: edges + stats land together or not at all.
+    // BucketedSink.compact posture — never a moment with no live root:
+    // rename live -> __old, __next -> live (require: Hadoop rename
+    // signals failure by returning false), then drop __old.
     val tmp = new org.apache.hadoop.fs.Path(path + "__next")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
     fs.delete(tmp, true)
     newEdges.write.parquet(s"$tmp/edges")
     merged.write.parquet(s"$tmp/stats")
     en.unpersist()
-    fs.delete(root, true)
-    fs.rename(tmp, root)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(root)) {
+      require(fs.rename(root, old),
+        s"foldBatch: rename $root -> $old failed; table unchanged, fold at $tmp")
+    }
+    require(fs.rename(tmp, root),
+      s"foldBatch: rename $tmp -> $root failed; prior table preserved at $old")
+    fs.delete(old, true)
     ()
   }
 
