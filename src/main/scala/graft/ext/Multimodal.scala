@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   * chain), RLE8 BMP (a genuine run-length stream), binary netpbm P5/P6
   * ([[PgmCodec]]), PNG ([[PngCodec]] — chunk walk + the JDK's own zlib
   * inflate + five-filter unfiltering), and GIF ([[GifCodec]] — full
-  * variable-width LZW, implemented from the arithmetic). Header/
-  * dimension parsing is real for PNG/JPEG/WebP/GIF/WAV/AVI
+  * variable-width LZW, implemented from the arithmetic), and baseline
+  * JPEG ([[JpegCodec]] — canonical Huffman entropy decode, dequant,
+  * 8×8 inverse DCT, YCbCr→RGB, implemented from the T.81 arithmetic).
+  * Header/dimension parsing is real for PNG/JPEG/WebP/GIF/WAV/AVI
   * ([[HeaderCodec]], the lightweight dims path that needs no pixels).
-  * What remains STUBBED — this container has no DCT/VP8 codecs — is
+  * What remains STUBBED — this container has no VP8 codec — is
   * [[FakeCodec]]'s remit: the content-embedding stub and pixel decode
-  * for JPEG/WebP only, the marked seam where a real codec (JavaCV,
+  * for WebP only, the marked seam where a real codec (JavaCV,
   * TwelveMonkeys, ffmpeg-cli) plugs in.
   */
 object Multimodal {
@@ -2045,6 +2047,650 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           GifCodec.decode(payload).map { case (w, h, px) =>
+            featurize(id, w, h, px)
+          }
+        }
+      }.toDF()
+  }
+
+  // -------------------------------- real pixel decode: JPEG (baseline DCT)
+  //
+  // Baseline JPEG needs no codec library either — the whole pipeline is
+  // published arithmetic (ITU T.81): marker/segment walk, DQT/DHT table
+  // building (canonical Huffman via the BITS/HUFFVAL procedure), the
+  // MCU-interleaved entropy decode (DC prediction + EXTEND, run-length
+  // AC with ZRL/EOB, 0xFF00 byte unstuffing, DRI/RSTn restart resync),
+  // dequantization, the 8×8 inverse DCT, level shift, and YCbCr→RGB.
+  // [[JpegCodec.decode]] implements exactly the baseline interchange
+  // subset: SOF0, 8-bit samples, 1 or 3 components, sampling factors
+  // 1..2 (4:4:4 / 4:2:2 / 4:2:0); progressive (SOF2), extended (SOF1+),
+  // arithmetic coding, and 12-bit precision reject as None — honestly
+  // out of scope, not silently misdecoded. [[JpegCodec.encode]] is a
+  // REAL encoder — forward DCT, quantization, the public Annex K
+  // luminance Huffman tables written as real DHT segments, byte
+  // stuffing, optional restart markers — so the spec round-trips fully
+  // conforming files through a DIFFERENT table/shape than synthesis
+  // uses. JPEG is lossy by nature: the round-trip property is
+  // dims-exact + bounded per-channel error (all-1 quant tables leave
+  // only float DCT/IDCT and color-convert rounding).
+  //
+  // Synthesis ([[mediaJpeg]]) keeps the oracle EXACT the way PNG's
+  // stored blocks did: every block carries ONLY a DC coefficient (EOB
+  // immediately), and a DC-only block inverse-transforms to a flat 8×8
+  // tile of clamp(round(dc·Q0/8)+128) — with Q0 = 8 that is exactly
+  // dc + 128, integer arithmetic DuckDB replays as a cumulative sum
+  // over the per-block diff formula (DC is differentially coded, so the
+  // oracle's window sum IS the DC prediction chain). One-entry custom
+  // Huffman tables make each block's entropy coding exactly two bytes
+  // (4-bit DC category code 0000 + 4 magnitude bits, then the 8-bit
+  // EOB code 00000000) — byte-aligned and never 0xFF, so the scan is a
+  // pure Column concat with no stuffing. A wrong Huffman walk, EXTEND,
+  // prediction chain, dequant, IDCT constant, or level shift on the
+  // decode side is a red row against the formula.
+
+  /** Synthesize a grayscale baseline JPEG per document: wb = id%3+1 and
+    * hb = (5·id)%2+1 blocks (so w = 8·wb, h = 8·hb), block i's DC diff
+    * = ±(8 + (7·id+3·i)%8) with sign + iff (id+i)%2=0, quantizer Q0 = 8
+    * ⇒ block pixel value = Σdiff + 128 exactly. */
+  def mediaJpeg(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val wb = (pmod(id, lit(3)) + 1).cast("int")
+    val hb = (pmod(id * 5, lit(2)) + 1).cast("int")
+    def be16h(c: Column) = lpad(conv(c.cast("long"), 10, 16), 4, "0")
+    val nb = wb * hb
+    val scanHex = array_join(transform(sequence(lit(0), nb - 1), i => {
+      val mag = pmod(id * 7 + i * 3, lit(8)) + 8
+      val diff = when(pmod(id + i, lit(2)) === 0, mag).otherwise(-mag)
+      // category-4 magnitude bits: positive v → v (1000..1111),
+      // negative v → v + 2^4 - 1 (0000..0111) — the EXTEND inverse
+      val bitsVal = when(diff > 0, diff).otherwise(diff + 15)
+      concat(lpad(conv(bitsVal.cast("long"), 10, 16), 2, "0"), lit("00"))
+    }), "")
+    val jpg = concat(
+      lit("FFD8"), // SOI
+      // DQT: 8-bit table 0, Q0 = 8, the 63 unused AC quantizers = 1
+      lit("FFDB0043" + "00" + "08" + "01" * 63),
+      // SOF0: precision 8, 1 component (id 1, sampling 1x1, table 0)
+      lit("FFC0000B08"), be16h(hb * 8), be16h(wb * 8), lit("010111" + "00"),
+      // DHT DC 0: one code of length 4 → symbol 4 (category 4), code 0000
+      lit("FFC40014" + "00" + "00000001" + "00" * 12 + "04"),
+      // DHT AC 0: one code of length 8 → symbol 0x00 (EOB), code 00000000
+      lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"),
+      // SOS: 1 component, tables 0/0, Ss=0 Se=63 AhAl=0
+      lit("FFDA0008" + "01" + "0100" + "00" + "3F" + "00"),
+      scanHex,
+      lit("FFD9")) // EOI
+    docs.select(col("doc_id").as("media_id"), unhex(jpg).as("payload"))
+  }
+
+  object JpegCodec {
+    /** zigzag scan position k → natural (row-major) position. */
+    private val zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10,
+      17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34,
+      27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36,
+      29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46,
+      53, 60, 61, 54, 47, 55, 62, 63)
+
+    // basis(u)(x) = C(u)/2 · cos((2x+1)uπ/16): one separable pass; two
+    // passes give the DCT's 1/4 normalization (same table serves the
+    // forward transform by summing over the spatial index instead).
+    private val basis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+
+    /** Internal bail-out for the entropy decoder: control flow only,
+      * always caught inside [[decode]] — never escapes (ControlThrowable
+      * so the NonFatal backstop can never shadow it). */
+    private object Bail extends scala.util.control.ControlThrowable
+
+    /** Canonical Huffman decode tables per T.81 F.2.2.3. */
+    private final class Huff(bits: Array[Int], val huffval: Array[Int]) {
+      val maxcode = new Array[Int](17)
+      val mincode = new Array[Int](17)
+      val valptr = new Array[Int](17)
+      locally {
+        var code = 0; var k = 0; var l = 1
+        while (l <= 16) {
+          if (bits(l - 1) == 0) maxcode(l) = -1
+          else {
+            valptr(l) = k
+            mincode(l) = code
+            code += bits(l - 1); k += bits(l - 1)
+            maxcode(l) = code - 1
+          }
+          code <<= 1
+          l += 1
+        }
+      }
+    }
+
+    /** MSB-first reader over entropy-coded data: un-stuffs 0xFF00,
+      * bails on any marker mid-read, truncation, or an overlong code. */
+    private final class BitReader(p: Array[Byte], var pos: Int) {
+      private var acc = 0
+      private var cnt = 0
+      def bit(): Int = {
+        if (cnt == 0) {
+          if (pos >= p.length) throw Bail
+          val b = p(pos) & 0xff; pos += 1
+          if (b == 0xff) {
+            if (pos >= p.length) throw Bail
+            if ((p(pos) & 0xff) != 0) throw Bail // marker inside data
+            pos += 1 // stuffed zero
+          }
+          acc = b; cnt = 8
+        }
+        cnt -= 1
+        (acc >> cnt) & 1
+      }
+      def bits(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+      /** Byte-align and consume the expected RSTm marker. */
+      def restart(m: Int): Unit = {
+        cnt = 0
+        if (pos + 2 > p.length) throw Bail
+        if ((p(pos) & 0xff) != 0xff ||
+          (p(pos + 1) & 0xff) != (0xd0 + m)) throw Bail
+        pos += 2
+      }
+      def decodeHuff(t: Huff): Int = {
+        var code = bit()
+        var l = 1
+        while (code > t.maxcode(l)) {
+          if (l >= 16) throw Bail
+          code = (code << 1) | bit()
+          l += 1
+        }
+        val idx = t.valptr(l) + code - t.mincode(l)
+        if (idx < 0 || idx >= t.huffval.length) throw Bail
+        t.huffval(idx)
+      }
+    }
+
+    private def extend(v: Int, t: Int): Int =
+      if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    /** In-place dequantized-coefficient → clamped level-shifted pixel
+      * 8×8 inverse DCT (direct separable float form — exact for the
+      * DC-only oracle path; an AAN fixed-point ladder would be the
+      * throughput upgrade if decode ever dominates a profile). */
+    private def idct(coef: Array[Int], tmp: Array[Double]): Unit = {
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += basis(u)(x) * coef(v * 8 + u); u += 1 }
+          tmp(v * 8 + x) = s
+          x += 1
+        }
+        v += 1
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var vv = 0
+          while (vv < 8) { s += basis(vv)(y) * tmp(vv * 8 + x); vv += 1 }
+          val t = math.round(s).toInt + 128
+          coef(y * 8 + x) = if (t < 0) 0 else if (t > 255) 255 else t
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+    /** Decode a baseline JPEG (SOF0, 8-bit, 1 or 3 components, sampling
+      * factors 1..2). Returns top-down `0xRRGGBB` pixels; None on
+      * anything non-conforming or out of the supported envelope —
+      * garbage must surface as a missing row, never a task-killing
+      * throw (the marker walk bounds-checks via the bailing `u8`; the
+      * NonFatal catch is the fuzz backstop, not the contract). */
+    def decode(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (p == null || p.length < 4) return None
+      try decodeImpl(p)
+      catch {
+        case Bail => None
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    private def decodeImpl(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      def u8(i: Int): Int = { if (i < 0 || i >= p.length) throw Bail; p(i) & 0xff }
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      if (u8(0) != 0xff || u8(1) != 0xd8) return None
+      val qt = Array.ofDim[Int](4, 64)
+      val qtSeen = new Array[Boolean](4)
+      val dcTab = new Array[Huff](4)
+      val acTab = new Array[Huff](4)
+      var w = 0; var h = 0
+      var compH: Array[Int] = null
+      var compV: Array[Int] = null
+      var compQ: Array[Int] = null
+      var compDc: Array[Int] = null
+      var compAc: Array[Int] = null
+      var compIds: Array[Int] = null
+      var dri = 0
+      var off = 2
+      var scanAt = -1
+      while (scanAt < 0) {
+        if (u8(off) != 0xff) return None
+        var m = u8(off + 1)
+        off += 2
+        while (m == 0xff) { m = u8(off); off += 1 } // fill bytes
+        // standalone markers (TEM/RSTn/EOI) are malformed before SOS
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) return None
+        val len = u16(off)
+        if (len < 2 || off.toLong + len > p.length) return None
+        val end = off + len
+        var q = off + 2
+        m match {
+          case 0xdb => // DQT: one or more 8-bit tables
+            while (q < end) {
+              val pqTq = u8(q); q += 1
+              val pq = pqTq >> 4; val tq = pqTq & 15
+              if (pq != 0 || tq > 3) return None // 12-bit: out of scope
+              if (q + 64 > end) return None
+              var i = 0
+              while (i < 64) {
+                qt(tq)(i) = u8(q + i)
+                if (qt(tq)(i) == 0) return None
+                i += 1
+              }
+              qtSeen(tq) = true
+              q += 64
+            }
+          case 0xc4 => // DHT: one or more tables
+            while (q < end) {
+              val tcTh = u8(q); q += 1
+              val tc = tcTh >> 4; val th = tcTh & 15
+              if (tc > 1 || th > 3) return None
+              if (q + 16 > end) return None
+              val bits = Array.tabulate(16)(i => u8(q + i))
+              q += 16
+              val n = bits.sum
+              if (n == 0 || n > 256 || q + n > end) return None
+              val vals = Array.tabulate(n)(i => u8(q + i))
+              q += n
+              if (tc == 0) dcTab(th) = new Huff(bits, vals)
+              else acTab(th) = new Huff(bits, vals)
+            }
+          case 0xc0 => // SOF0: baseline sequential
+            if (compIds != null) return None
+            if (len < 11 || u8(q) != 8) return None
+            h = u16(q + 1); w = u16(q + 3)
+            val nc = u8(q + 5)
+            if (w <= 0 || h <= 0 || w > (1 << 12) || h > (1 << 12)) return None
+            if (w.toLong * h > (1L << 26)) return None
+            if (nc != 1 && nc != 3) return None
+            if (len != 8 + 3 * nc) return None
+            compIds = new Array[Int](nc); compH = new Array[Int](nc)
+            compV = new Array[Int](nc); compQ = new Array[Int](nc)
+            var c = 0
+            while (c < nc) {
+              compIds(c) = u8(q + 6 + 3 * c)
+              val hv = u8(q + 7 + 3 * c)
+              compH(c) = hv >> 4; compV(c) = hv & 15
+              // factors 1..2 cover 4:4:4 / 4:2:2 / 4:2:0 — the envelope
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return None
+              compQ(c) = u8(q + 8 + 3 * c)
+              if (compQ(c) > 3) return None
+              c += 1
+            }
+          case x if x >= 0xc1 && x <= 0xcf =>
+            return None // progressive/extended/arithmetic: out of scope
+          case 0xdd => // DRI
+            if (len != 4) return None
+            dri = u16(q)
+          case 0xda => // SOS
+            if (compIds == null) return None
+            val ns = u8(q); q += 1
+            // non-interleaved multi-scan is a progressive idiom: reject
+            if (ns != compIds.length) return None
+            compDc = new Array[Int](ns); compAc = new Array[Int](ns)
+            var s = 0
+            while (s < ns) {
+              val cs = u8(q); val tdta = u8(q + 1); q += 2
+              if (cs != compIds(s)) return None // frame order required
+              compDc(s) = tdta >> 4; compAc(s) = tdta & 15
+              if (compDc(s) > 3 || compAc(s) > 3) return None
+              s += 1
+            }
+            // spectral selection / successive approximation: baseline 0..63/0
+            if (u8(q) != 0 || u8(q + 1) != 63 || u8(q + 2) != 0) return None
+            scanAt = end
+          case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe => () // APPn/COM
+          case _ => return None
+        }
+        off = end
+      }
+      val nc = compIds.length
+      var hmax = 1; var vmax = 1
+      var c = 0
+      while (c < nc) {
+        if (!qtSeen(compQ(c))) return None
+        if (dcTab(compDc(c)) == null || acTab(compAc(c)) == null) return None
+        hmax = math.max(hmax, compH(c)); vmax = math.max(vmax, compV(c))
+        c += 1
+      }
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      val planeW = Array.tabulate(nc)(c => mcusX * compH(c) * 8)
+      val planes = Array.tabulate(nc)(c =>
+        new Array[Int](planeW(c) * mcusY * compV(c) * 8))
+      val br = new BitReader(p, scanAt)
+      val pred = new Array[Int](nc)
+      val coef = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var rst = 0
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+            br.restart(rst); rst = (rst + 1) & 7
+            java.util.Arrays.fill(pred, 0)
+          }
+          c = 0
+          while (c < nc) {
+            val qtab = qt(compQ(c))
+            val dct = dcTab(compDc(c)); val act = acTab(compAc(c))
+            var by = 0
+            while (by < compV(c)) {
+              var bx = 0
+              while (bx < compH(c)) {
+                java.util.Arrays.fill(coef, 0)
+                val t = br.decodeHuff(dct)
+                if (t > 11) throw Bail
+                val diff = if (t == 0) 0 else extend(br.bits(t), t)
+                pred(c) += diff
+                coef(0) = pred(c) * qtab(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = br.decodeHuff(act)
+                  val r = rs >> 4; val sb = rs & 15
+                  if (sb == 0) {
+                    if (r == 15) k += 16 else eob = true // ZRL / EOB
+                  } else {
+                    k += r
+                    if (k > 63) throw Bail
+                    coef(zigzag(k)) = extend(br.bits(sb), sb) * qtab(k)
+                    k += 1
+                  }
+                }
+                idct(coef, tmp)
+                val py0 = (my * compV(c) + by) * 8
+                val px0 = (mx * compH(c) + bx) * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    planes(c)((py0 + yy) * planeW(c) + px0 + xx) =
+                      coef(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            c += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      // trailing grammar: optional fill bytes, then EOI
+      var e = br.pos
+      while (e < p.length && (p(e) & 0xff) == 0xff &&
+        e + 1 < p.length && (p(e + 1) & 0xff) == 0xff) e += 1
+      if (e + 2 > p.length || (p(e) & 0xff) != 0xff ||
+        (p(e + 1) & 0xff) != 0xd9) return None
+      // upsample (nearest) + color convert + crop
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (nc == 1) {
+            val v0 = planes(0)(
+              (y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax)
+            px(y * w + x) = (v0 << 16) | (v0 << 8) | v0
+          } else {
+            val yv = planes(0)(
+              (y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax)
+            val cb = planes(1)(
+              (y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax) - 128
+            val cr = planes(2)(
+              (y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax) - 128
+            val r = clamp8(math.round(yv + 1.402 * cr).toInt)
+            val g = clamp8(math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
+            val b = clamp8(math.round(yv + 1.772 * cb).toInt)
+            px(y * w + x) = (r << 16) | (g << 8) | b
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, px))
+    }
+
+    // Annex K luminance Huffman tables (ITU T.81 tables K.3/K.5) — used
+    // for ALL components (a legal encoder choice that halves the
+    // constants; the tables ride real DHT segments, so decode still
+    // exercises full canonical table building).
+    private val kDcBits =
+      Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    private val kDcVals = Array.tabulate(12)(identity)
+    private val kAcBits =
+      Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+    private val kAcVals: Array[Int] =
+      ("010203000411051221314106135161072271" + // lengths 2..8
+        "14328191a1082342b1c11552d1f02433627282" + // lengths 9..12, 15
+        "090a161718191a25262728292a3435363738393a" + // length 16 from here
+        "434445464748494a535455565758595a636465666768696a" +
+        "737475767778797a838485868788898a92939495969798999a" +
+        "a2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9ca" +
+        "d2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa")
+        .grouped(2).map(Integer.parseInt(_, 16)).toArray
+    require(kAcVals.length == kAcBits.sum && kDcVals.length == kDcBits.sum,
+      "Annex K table transcription: BITS/HUFFVAL counts must agree")
+
+    /** Canonical encode tables: symbol → (code, length). */
+    private final class HuffEnc(bits: Array[Int], vals: Array[Int]) {
+      val codeOf = new Array[Int](256)
+      val lenOf = new Array[Int](256)
+      locally {
+        var code = 0; var k = 0; var l = 1
+        while (l <= 16) {
+          var i = 0
+          while (i < bits(l - 1)) {
+            codeOf(vals(k)) = code; lenOf(vals(k)) = l
+            code += 1; k += 1; i += 1
+          }
+          code <<= 1
+          l += 1
+        }
+      }
+    }
+    private lazy val kDcEnc = new HuffEnc(kDcBits, kDcVals)
+    private lazy val kAcEnc = new HuffEnc(kAcBits, kAcVals)
+
+    private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+      private var acc = 0; private var cnt = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >> i) & 1); cnt += 1
+          if (cnt == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0) // byte stuffing
+            acc = 0; cnt = 0
+          }
+          i -= 1
+        }
+      }
+      def flush(): Unit = while (cnt != 0) put(1, 1) // pad with 1s
+    }
+
+    private def category(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+    /** Encode top-down `0xRRGGBB` pixels as a conforming baseline JPEG:
+      * YCbCr 4:4:4, all-1 quantizers (so round-trip error is only float
+      * DCT/IDCT + color rounding — the spec pins a small bound), Annex K
+      * Huffman tables in real DHT segments, optional restart markers.
+      */
+    def encode(w: Int, h: Int, px: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+      require(w > 0 && h > 0 && px.length == w * h)
+      require(restartInterval >= 0 && restartInterval <= 65535)
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def seg(m: Int, body: Array[Int]): Unit = {
+        marker(m)
+        out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+        body.foreach(out.write)
+      }
+      marker(0xd8) // SOI
+      seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT: table 0, all 1s
+      seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)) // SOF0: 4:4:4
+      seg(0xc4, Array(0x00) ++ kDcBits ++ kDcVals) // DHT DC 0
+      seg(0xc4, Array(0x10) ++ kAcBits ++ kAcVals) // DHT AC 0
+      if (restartInterval > 0)
+        seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+      seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)) // SOS
+      val bw = new BitWriter(out)
+      val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+      val block = new Array[Double](64)
+      val coef = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      val pred = new Array[Int](3)
+      var rst = 0
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            bw.flush()
+            marker(0xd0 + rst); rst = (rst + 1) & 7
+            java.util.Arrays.fill(pred, 0)
+          }
+          var c = 0
+          while (c < 3) {
+            // component sample block, edge-replicated past the image
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val sx = math.min(mx * 8 + xx, w - 1)
+                val sy = math.min(my * 8 + yy, h - 1)
+                val v = px(sy * w + sx)
+                val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff
+                val b = v & 0xff
+                val s = c match {
+                  case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+                  case 1 => 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+                  case _ => 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+                }
+                block(yy * 8 + xx) = math.round(s).toDouble - 128.0
+                xx += 1
+              }
+              yy += 1
+            }
+            // forward DCT: same basis, summed over the spatial index
+            var v2 = 0
+            while (v2 < 8) {
+              var x2 = 0
+              while (x2 < 8) {
+                var s = 0.0
+                var y2 = 0
+                while (y2 < 8) { s += basis(v2)(y2) * block(y2 * 8 + x2); y2 += 1 }
+                tmp(v2 * 8 + x2) = s
+                x2 += 1
+              }
+              v2 += 1
+            }
+            var vv = 0
+            while (vv < 8) {
+              var uu = 0
+              while (uu < 8) {
+                var s = 0.0
+                var x2 = 0
+                while (x2 < 8) { s += basis(uu)(x2) * tmp(vv * 8 + x2); x2 += 1 }
+                coef(vv * 8 + uu) = math.round(s).toInt // quantizer = 1
+                uu += 1
+              }
+              vv += 1
+            }
+            // DC
+            val diff = coef(0) - pred(c)
+            pred(c) = coef(0)
+            val t = category(diff)
+            bw.put(kDcEnc.codeOf(t), kDcEnc.lenOf(t))
+            if (t > 0)
+              bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+            // AC in zigzag order with ZRL/EOB
+            var run = 0
+            var k = 1
+            while (k < 64) {
+              val ac = coef(zigzag(k))
+              if (ac == 0) run += 1
+              else {
+                while (run > 15) {
+                  bw.put(kAcEnc.codeOf(0xf0), kAcEnc.lenOf(0xf0)); run -= 16
+                }
+                val ts = category(ac)
+                val sym = (run << 4) | ts
+                bw.put(kAcEnc.codeOf(sym), kAcEnc.lenOf(sym))
+                bw.put(if (ac < 0) ac + (1 << ts) - 1 else ac, ts)
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) bw.put(kAcEnc.codeOf(0x00), kAcEnc.lenOf(0x00))
+            c += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+  }
+
+  /** Decode + featurize the JPEG table — the [[bmpFeatures]] contract
+    * through the baseline entropy-decode + IDCT path. */
+  def jpegFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          JpegCodec.decode(payload).map { case (w, h, px) =>
             featurize(id, w, h, px)
           }
         }

@@ -4202,6 +4202,53 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // Sixth REAL image format, through an entropy-coded TRANSFORM codec:
+    // baseline JPEG (T.81) — canonical Huffman entropy decode (DC
+    // prediction + EXTEND, run-length AC), dequantization, 8×8 inverse
+    // DCT, level shift. Synthesis keeps the oracle EXACT the way PNG's
+    // stored blocks did: DC-only blocks (a DC-only block IDCTs to a flat
+    // tile of dc·Q0/8 + 128; Q0 = 8 makes that dc + 128 in integers) and
+    // one-entry Huffman tables that byte-align each block's coding. DC
+    // is differentially coded, so the oracle's cumulative window sum IS
+    // the predictor chain — a wrong Huffman walk, EXTEND, prediction,
+    // dequant, IDCT constant, or level shift is a red row. The general
+    // paths synthesis can't reach (real Annex K tables, AC runs, byte
+    // stuffing, RSTn resync, 4:4:4 color) are spec-pinned by the
+    // JpegCodec.encode round-trip in MediaHeadersSpec.
+    ("media_features_jpeg",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .jpegFeatures(graft.ext.Multimodal.mediaJpeg(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS wb,
+         CAST((doc_id * 5) % 2 + 1 AS INT) AS hb
+  FROM documents),
+blocks AS (
+  SELECT doc_id, wb, hb, i AS bi,
+         (CASE WHEN (doc_id + i) % 2 = 0 THEN 1 ELSE -1 END)
+           * (8 + (doc_id * 7 + i * 3) % 8) AS diff
+  FROM dms, unnest(range(0, wb * hb)) AS t(i)),
+dcs AS (
+  SELECT doc_id, bi,
+         sum(diff) OVER (PARTITION BY doc_id ORDER BY bi) + 128 AS gv
+  FROM blocks),
+px AS (
+  SELECT doc_id, wb, hb, 8 * wb AS w, 8 * hb AS h,
+         i % (8 * wb) AS x, i // (8 * wb) AS y
+  FROM dms, unnest(range(0, 64 * wb * hb)) AS t(i)),
+v AS (
+  SELECT p.doc_id, p.w, p.h, d.gv, p.y * p.w + p.x + 1 AS pw
+  FROM px p JOIN dcs d
+    ON d.doc_id = p.doc_id AND d.bi = (p.y // 8) * p.wb + (p.x // 8))
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(gv)::BIGINT AS sum_r, sum(gv)::BIGINT AS sum_g,
+       sum(gv)::BIGINT AS sum_b,
+       sum(1000 * gv)::BIGINT AS luma_milli,
+       sum(pw * 6 * gv)::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // REAL pixel RESAMPLING end-to-end: decode → integer nearest-
     // neighbor to fit 8×8 (the resize scale/rounding contract) →
     // re-ENCODE as a conforming BMP → decode again → integer features

@@ -705,4 +705,107 @@ class MediaHeadersSpec extends SparkSuite {
       assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
     }
   }
+
+  test("JpegCodec round-trips a real encoded file within the lossy bound: " +
+      "dims exact, every channel within ±3 (all-1 quantizers leave only " +
+      "float DCT/IDCT + color-convert rounding)") {
+    val w = 19; val h = 13 // deliberately NOT multiples of 8: edge pad
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (((x * 37 + y * 11) % 256) << 16) |
+        (((x * 5 + y * 29) % 256) << 8) | ((x * 13 + y * 3) % 256)
+    }
+    val file = Multimodal.JpegCodec.encode(w, h, px)
+    val got = Multimodal.JpegCodec.decode(file)
+    assert(got.isDefined, "conforming encode must decode")
+    val (gw, gh, gpx) = got.get
+    assert(gw === w && gh === h)
+    var worst = 0
+    for (i <- px.indices; s <- 0 to 16 by 8) {
+      val d = math.abs(((px(i) >> s) & 0xff) - ((gpx(i) >> s) & 0xff))
+      worst = math.max(worst, d)
+    }
+    assert(worst <= 3, s"max channel error $worst exceeds the lossy bound")
+  }
+
+  test("JpegCodec restart markers: a DRI-2 stream resyncs at every RSTn " +
+      "and resets the DC prediction chain (same lossy bound)") {
+    val w = 33; val h = 17 // 5x3 MCUs -> 7 restart markers
+    val px = Array.tabulate(w * h)(i => (i * 2654435761L & 0xffffff).toInt)
+    val file = Multimodal.JpegCodec.encode(w, h, px, restartInterval = 2)
+    // the stream must actually contain RST markers, not just a DRI
+    assert(file.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7))
+    val got = Multimodal.JpegCodec.decode(file)
+    assert(got.isDefined)
+    val (gw, gh, gpx) = got.get
+    assert(gw === w && gh === h)
+    // hash-noise blocks round all 64 coefficients, so the reconstruction
+    // bound is wider than the smooth gradient's ±3
+    for (i <- px.indices; s <- 0 to 16 by 8) {
+      val d = math.abs(((px(i) >> s) & 0xff) - ((gpx(i) >> s) & 0xff))
+      assert(d <= 5, s"pixel $i channel $s error $d")
+    }
+  }
+
+  test("JpegCodec rejects non-conforming and out-of-envelope streams " +
+      "(truncation never throws; progressive is None, not misdecoded)") {
+    val px = Array.tabulate(16 * 8)(i => (i * 37 + 11) * 131 & 0xffffff)
+    val file = Multimodal.JpegCodec.encode(16, 8, px)
+    // truncation anywhere is None, never a throw
+    (1 until file.length by 5).foreach { k =>
+      assert(Multimodal.JpegCodec.decode(file.take(k)).isEmpty)
+    }
+    // progressive (SOF2) must reject at the header, not misdecode:
+    // SOF0 is the first FFC0 after SOI+DQT in the encoder's layout
+    var sof = 2
+    while (!((file(sof) & 0xff) == 0xff && (file(sof + 1) & 0xff) == 0xc0))
+      sof += 1
+    val prog = file.clone
+    prog(sof + 1) = 0xc2.toByte
+    assert(Multimodal.JpegCodec.decode(prog).isEmpty)
+    // entropy garbage: zero out the scan so the Huffman walk derails
+    // into an invalid code/length — must be None, never a throw
+    val mangled = file.clone
+    var i = file.length - 20
+    while (i < file.length - 2) { mangled(i) = 0x55.toByte; i += 1 }
+    assert(Multimodal.JpegCodec.decode(mangled).isEmpty ||
+      Multimodal.JpegCodec.decode(mangled).isDefined) // just: never throws
+    // null/garbage/bare-SOI
+    assert(Multimodal.JpegCodec.decode(null).isEmpty)
+    assert(Multimodal.JpegCodec.decode(Array[Byte]()).isEmpty)
+    assert(Multimodal.JpegCodec.decode(
+      "not a jpeg at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mediaJpeg synthesizes conforming DC-only baseline streams and " +
+      "jpegFeatures' decode matches the cumulative-diff formula") {
+    val feats = Multimodal.jpegFeatures(Multimodal.mediaJpeg(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count(), "every synthesized JPEG must decode")
+    feats.take(50).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val wb = (id % 3 + 1).toInt; val hb = (id * 5 % 2 + 1).toInt
+      val w = 8 * wb; val h = 8 * hb
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      // per-block value: DC prediction chain = cumulative diff sum + 128
+      val v = new Array[Long](wb * hb)
+      var dc = 0L
+      for (i <- 0 until wb * hb) {
+        val mag = 8 + (id * 7 + i * 3) % 8
+        dc += (if ((id + i) % 2 == 0) mag else -mag)
+        v(i) = dc + 128
+      }
+      var sr = 0L; var ck = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val gv = v((y / 8) * wb + (x / 8))
+        sr += gv
+        ck += (y * w + x + 1).toLong * 6L * gv
+      }
+      assert(r.getAs[Long]("sum_r") === sr, s"sum_r mismatch for $id")
+      assert(r.getAs[Long]("sum_g") === sr, s"sum_g mismatch for $id")
+      assert(r.getAs[Long]("luma_milli") === sr * 1000, s"luma for $id")
+      assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
+    }
+  }
 }
