@@ -177,6 +177,8 @@ object Bench {
       graft.ext.Dsir.importanceWeightsAt(spark, sfDir).count())
     warmUp("pca-fit")(graft.ext.Pca.componentsAt(spark, sfDir).count())
     warmUp("zorder-layout")(graft.ext.Layout.clusteredOrdersAt(spark, sfDir))
+    warmUp("hilbert-layout")(
+      graft.ext.Layout.clusteredOrdersHilbertAt(spark, sfDir))
     graft.ext.Dedup.releaseAll()
     // warm the bench SF's parquet bytes into the OS page cache so the
     // timed pass measures engine work, not which query first touches a

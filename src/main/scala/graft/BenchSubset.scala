@@ -37,6 +37,7 @@ object BenchSubset {
     warmUp(graft.ext.Dsir.importanceWeightsAt(spark, dir).count())
     warmUp(graft.ext.Pca.componentsAt(spark, dir).count())
     warmUp(graft.ext.Layout.clusteredOrdersAt(spark, dir))
+    warmUp(graft.ext.Layout.clusteredOrdersHilbertAt(spark, dir))
     graft.ext.Dedup.releaseAll()
     for (n <- args.drop(1)) { // warm-up, untimed
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")

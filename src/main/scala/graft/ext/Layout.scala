@@ -201,6 +201,75 @@ object Layout {
     d
   }
 
+  /** Hilbert index as a STAGED DataFrame transform: the same xy2d walk
+    * as [[hilbertIndex]], but each level's (x, y, d) land behind their
+    * own projection boundary (the CollapseProject idiom that fixed the
+    * PNG byte stream: the per-level aliases are non-cheap and read 3×
+    * by the next level, so the optimizer keeps the boundaries), giving
+    * O(bits) bounded stages instead of the Column form's ~4×-per-level
+    * expression tree — this is what lifts the 4-bit cap to full
+    * 16-bit-per-axis resolution and makes the Hilbert layout physical.
+    * Appends `out`; the temp columns never escape. */
+  def withHilbertIndex(df: DataFrame, xq: Column, yq: Column, bits: Int,
+    out: String): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
+    val temps = Seq("__h_x", "__h_y", "__h_d", "__h_rx", "__h_ry")
+    require(!temps.exists(df.columns.contains),
+      s"input frame reserves ${temps.mkString(", ")}")
+    val n = 1L << bits
+    var cur = df
+      .withColumn("__h_x", xq.cast(LongType))
+      .withColumn("__h_y", yq.cast(LongType))
+      .withColumn("__h_d", lit(0L))
+    var s = n / 2
+    while (s > 0) {
+      cur = cur
+        .withColumn("__h_rx",
+          when(col("__h_x").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__h_ry",
+          when(col("__h_y").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+      val rx = col("__h_rx"); val ry = col("__h_ry")
+      val x = col("__h_x"); val y = col("__h_y")
+      cur = cur.select(col("*"),
+        (col("__h_d") + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry))
+          .as("__h_d2"),
+        // rotation: under ry == 0, reflect by n-1 when rx == 1, then swap
+        when(ry === 0, when(rx === 1, lit(n - 1) - y).otherwise(y))
+          .otherwise(x).as("__h_x2"),
+        when(ry === 0, when(rx === 1, lit(n - 1) - x).otherwise(x))
+          .otherwise(y).as("__h_y2"))
+        .drop("__h_d", "__h_x", "__h_y", "__h_rx", "__h_ry")
+        .withColumnRenamed("__h_d2", "__h_d")
+        .withColumnRenamed("__h_x2", "__h_x")
+        .withColumnRenamed("__h_y2", "__h_y")
+      s /= 2
+    }
+    cur.withColumn(out, col("__h_d"))
+      .drop("__h_x", "__h_y", "__h_d")
+  }
+
+  /** Driver-side inverse (d2xy, the same public formulation): curve
+    * index → grid cell, the bounded loop the pruned reader uses to test
+    * each Hilbert cell against a quadrant box. */
+  private[graft] def d2xy(bits: Int, d: Long): (Long, Long) = {
+    var x = 0L; var y = 0L; var t = d
+    var s = 1L
+    val n = 1L << bits
+    while (s < n) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
   /** Per-FILE bounding-box stats for the SAME rows under both curves:
     * files simulate as runs of `cellsPerFile` consecutive curve cells
     * (a range partition on the curve index), and each file reports its
@@ -243,14 +312,61 @@ object Layout {
   // filter. The AnnIndex `cell_bucket=` pattern applied to layout.
 
   private[graft] final case class TableMeta(xName: String, yName: String,
-    xLo: Long, xHi: Long, yLo: Long, yHi: Long, cellBits: Int)
+    xLo: Long, xHi: Long, yLo: Long, yHi: Long, cellBits: Int,
+    curve: String = "z", cellsPerFile: Int = 1) {
+    /** The physical partition column (= file id when cellsPerFile > 1). */
+    def partitionCol: String = if (curve == "h") "hcell" else "zcell"
+    /** cell id → file id. Deliberately NOT restricted to powers of two:
+      * aligned (power-of-four) runs make z and Hilbert files the same
+      * quadrant blocks — the curves only separate on UNALIGNED runs,
+      * where a z file spans disconnected regions and a Hilbert file
+      * stays connected (the `orders_curve_files` theorem). */
+    def fileOf(cell: Long): Long = cell / cellsPerFile
+  }
 
   private[graft] def readMeta(spark: SparkSession, path: String): TableMeta = {
     val m = spark.read.parquet(s"$path/meta").head() // bounded: 1 row
+    val fields = m.schema.fieldNames.toSet
     TableMeta(m.getAs[String]("x_name"), m.getAs[String]("y_name"),
       m.getAs[Long]("x_lo"), m.getAs[Long]("x_hi"),
       m.getAs[Long]("y_lo"), m.getAs[Long]("y_hi"),
-      m.getAs[Int]("cell_bits"))
+      m.getAs[Int]("cell_bits"),
+      if (fields("curve")) m.getAs[String]("curve") else "z",
+      if (fields("cells_per_file")) m.getAs[Int]("cells_per_file") else 1)
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+    meta: TableMeta): Unit = {
+    import spark.implicits._
+    Seq((meta.xName, meta.yName, meta.xLo, meta.xHi, meta.yLo, meta.yHi,
+      meta.cellBits, meta.curve, meta.cellsPerFile))
+      .toDF("x_name", "y_name", "x_lo", "x_hi", "y_lo", "y_hi",
+        "cell_bits", "curve", "cells_per_file")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append `meta`'s physical partition column (cell id shifted down to
+    * the file id) to a raw frame — the one keying path shared by the
+    * initial build, streaming appends ([[graft.sinks.LayoutSink]]), and
+    * compaction, so all three bucket rows identically. */
+  private[graft] def withFileCol(df: DataFrame, meta: TableMeta): DataFrame = {
+    val xk = scaleKey(meta.xName, meta.xLo, meta.xHi)
+    val yk = scaleKey(meta.yName, meta.yLo, meta.yHi)
+    val rows =
+      df.where(col(meta.xName).isNotNull && col(meta.yName).isNotNull)
+    val keyed =
+      if (meta.curve == "h") {
+        val axisBits = meta.cellBits / 2
+        withHilbertIndex(rows,
+          shiftright(xk, 16 - axisBits), shiftright(yk, 16 - axisBits),
+          axisBits, "__file_cell")
+      } else
+        rows.withColumn("__file_cell",
+          shiftright(zValue(xk, yk), 32 - meta.cellBits))
+    keyed
+      .withColumn(meta.partitionCol,
+        expr(s"__file_cell div ${meta.cellsPerFile}"))
+      .drop("__file_cell")
   }
 
   /** Write `df` z-clustered on two of its LONG columns (named, not
@@ -260,9 +376,25 @@ object Layout {
     * the curve. 2^cellBits directories — bounded fan-out by construction
     * (the 100 TB knob is cellBits, traded against files-per-cell). */
   def writeClustered(df: DataFrame, path: String, xName: String,
-    yName: String, cellBits: Int): Unit = {
+    yName: String, cellBits: Int, cellsPerFile: Int = 1): Unit =
+    writeClusteredCurve(df, path, xName, yName, cellBits, "z", cellsPerFile)
+
+  /** [[writeClustered]]'s Hilbert twin: rows land in `hcell=` file
+    * directories keyed by the STAGED curve index ([[withHilbertIndex]] —
+    * the lift past the Column form's 4-bit cap), so contiguous file ids
+    * cover CONNECTED key regions (the `orders_curve_files` theorem made
+    * physical); [[readPruned]] dispatches on the meta's curve tag. */
+  def writeClusteredHilbert(df: DataFrame, path: String, xName: String,
+    yName: String, cellBits: Int, cellsPerFile: Int = 1): Unit =
+    writeClusteredCurve(df, path, xName, yName, cellBits, "h", cellsPerFile)
+
+  private def writeClusteredCurve(df: DataFrame, path: String,
+    xName: String, yName: String, cellBits: Int, curve: String,
+    cellsPerFile: Int): Unit = {
     require(cellBits >= 2 && cellBits <= 16 && cellBits % 2 == 0,
       s"cellBits must be even in [2,16]: $cellBits")
+    require(cellsPerFile >= 1 && cellsPerFile <= (1 << cellBits),
+      s"cellsPerFile must be in [1, 2^cellBits]: $cellsPerFile")
     val rows = df.where(col(xName).isNotNull && col(yName).isNotNull)
     // bounded driver materialization: exactly 4 longs
     val mm = rows.agg(
@@ -272,23 +404,75 @@ object Layout {
     require(!mm.isNullAt(0) && !mm.isNullAt(2),
       s"cannot cluster: no rows with both `$xName` and `$yName` non-null")
     val meta = TableMeta(xName, yName, mm.getLong(0), mm.getLong(1),
-      mm.getLong(2), mm.getLong(3), cellBits)
+      mm.getLong(2), mm.getLong(3), cellBits, curve, cellsPerFile)
     require(meta.xHi - meta.xLo <= maxDomain &&
       meta.yHi - meta.yLo <= maxDomain,
-      s"z-order key domain wider than $maxDomain — pre-scale the keys")
-    val xk = scaleKey(xName, meta.xLo, meta.xHi)
-    val yk = scaleKey(yName, meta.yLo, meta.yHi)
-    rows
-      .withColumn("zcell", shiftright(zValue(xk, yk), 32 - cellBits))
-      .repartition(col("zcell"))
-      .sortWithinPartitions(col(xName), col(yName))
-      .write.mode("overwrite").partitionBy("zcell").parquet(s"$path/data")
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((meta.xName, meta.yName, meta.xLo, meta.xHi, meta.yLo, meta.yHi,
-      meta.cellBits))
-      .toDF("x_name", "y_name", "x_lo", "x_hi", "y_lo", "y_hi", "cell_bits")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      s"curve key domain wider than $maxDomain — pre-scale the keys")
+    // two consumers (data + stats): persist so the curve keys and the
+    // input scan run once, not per consumer
+    val keyed = withFileCol(rows, meta).persist()
+    try {
+      keyed
+        .repartition(col(meta.partitionCol))
+        .sortWithinPartitions(col(xName), col(yName))
+        .write.mode("overwrite").partitionBy(meta.partitionCol)
+        .parquet(s"$path/data")
+      writeStats(keyed, path, meta)
+    } finally { keyed.unpersist(); () }
+    writeMeta(df.sparkSession, path, meta)
+  }
+
+  /** Per-file min/max manifest — the production skipping pattern
+    * (parquet footer stats / Delta add-file stats / Iceberg manifests):
+    * one row per file with raw-key bounds, ≤ 2^cellBits rows total.
+    * [[readPrunedByStats]] consults it; appends ADD rows (one per
+    * batch×file — sound: a file is scanned iff ANY of its stats rows
+    * intersects), compaction rewrites it back to one row per file. */
+  private[graft] def writeStats(keyed: DataFrame, path: String,
+    meta: TableMeta, mode: String = "overwrite"): Unit =
+    keyed.groupBy(meta.partitionCol).agg(
+      count(lit(1)).as("n"),
+      min(col(meta.xName).cast(LongType)).as("x_min"),
+      max(col(meta.xName).cast(LongType)).as("x_max"),
+      min(col(meta.yName).cast(LongType)).as("y_min"),
+      max(col(meta.yName).cast(LongType)).as("y_max"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/stats")
+
+  /** Read the clustered table under a range predicate by FILE STATS
+    * skipping — the manifest-driven path every lakehouse reader runs
+    * (no curve math needed at read time, appends included): a file is
+    * scanned iff its [min,max] box intersects the predicate, the raw
+    * ranges re-apply as the exact residual. Bit-identical to a
+    * full-scan WHERE; only the bytes touched differ. This is where the
+    * Hilbert layout physically beats z: with unaligned multi-cell
+    * files, z files span disconnected regions (wide boxes → fewer
+    * skips) while Hilbert files stay connected (tight boxes). */
+  def readPrunedByStats(spark: SparkSession, path: String,
+    xRange: Option[(Long, Long)], yRange: Option[(Long, Long)]): DataFrame = {
+    val meta = readMeta(spark, path)
+    val files = survivingFilesByStats(spark, path, meta, xRange, yRange)
+    def residual(name: String, r: Option[(Long, Long)]): Column =
+      r.map { case (a, b) => col(name).between(a, b) }.getOrElse(lit(true))
+    spark.read.parquet(s"$path/data")
+      .where(col(meta.partitionCol).isin(files: _*))
+      .where(residual(meta.xName, xRange) && residual(meta.yName, yRange))
+      .drop(meta.partitionCol)
+  }
+
+  /** The manifest consultation: bounded driver materialization (≤
+    * 2^cellBits stats rows, plus one per appended batch×file until a
+    * compact folds them back). */
+  private[graft] def survivingFilesByStats(spark: SparkSession,
+    path: String, meta: TableMeta, xRange: Option[(Long, Long)],
+    yRange: Option[(Long, Long)]): Seq[Long] = {
+    def hit(name: String, r: Option[(Long, Long)]): Column = r match {
+      case None => lit(true)
+      case Some((a, b)) => !(col(s"${name}_max") < a || col(s"${name}_min") > b)
+    }
+    spark.read.parquet(s"$path/stats")
+      .where(hit("x", xRange) && hit("y", yRange))
+      .select(col(meta.partitionCol).cast(LongType))
+      .distinct().collect().map(_.getLong(0)).toSeq
   }
 
   /** `((clamp(v) - lo) * 65535) div max(hi - lo, 1)` as exact integer SQL
@@ -335,12 +519,16 @@ object Layout {
       quadRange(yRange, meta.yLo, meta.yHi)) match {
       case (Some((xq0, xq1)), Some((yq0, yq1))) =>
         (0L until (1L << meta.cellBits)).filter { cell =>
-          // de-interleave the cell id back to axis quadrants (x on the
-          // even z bits, y on the odd — see zValue)
-          val xq = (0 until axisBits).foldLeft(0L)((q, i) =>
-            q | (((cell >> (2 * i)) & 1L) << i))
-          val yq = (0 until axisBits).foldLeft(0L)((q, i) =>
-            q | (((cell >> (2 * i + 1)) & 1L) << i))
+          // map the cell id back to axis quadrants: z de-interleaves
+          // (x on the even bits, y on the odd — see zValue), Hilbert
+          // walks the inverse rotation chain (d2xy)
+          val (xq, yq) =
+            if (meta.curve == "h") d2xy(axisBits, cell)
+            else (
+              (0 until axisBits).foldLeft(0L)((q, i) =>
+                q | (((cell >> (2 * i)) & 1L) << i)),
+              (0 until axisBits).foldLeft(0L)((q, i) =>
+                q | (((cell >> (2 * i + 1)) & 1L) << i)))
           xq >= xq0 && xq <= xq1 && yq >= yq0 && yq <= yq1
         }
       case _ => Seq.empty
@@ -355,13 +543,16 @@ object Layout {
   def readPruned(spark: SparkSession, path: String,
     xRange: Option[(Long, Long)], yRange: Option[(Long, Long)]): DataFrame = {
     val meta = readMeta(spark, path)
-    val cells = survivingCells(meta, xRange, yRange)
+    // surviving cells → surviving FILES (the partition dirs): with
+    // cellsPerFile > 1 a file survives iff ANY of its cells does
+    val files = survivingCells(meta, xRange, yRange)
+      .map(meta.fileOf).distinct
     def residual(name: String, r: Option[(Long, Long)]): Column =
       r.map { case (a, b) => col(name).between(a, b) }.getOrElse(lit(true))
     spark.read.parquet(s"$path/data")
-      .where(col("zcell").isin(cells: _*))
+      .where(col(meta.partitionCol).isin(files: _*))
       .where(residual(meta.xName, xRange) && residual(meta.yName, yRange))
-      .drop("zcell")
+      .drop(meta.partitionCol)
   }
 
   // One clustered-orders build per fixture dir per JVM (the
@@ -381,6 +572,19 @@ object Layout {
         .withColumn("o_day",
           expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
       writeClustered(orders, path, "o_custkey", "o_day", cellBits = 6)
+      path
+    })
+
+  /** Build-once HILBERT-clustered orders table (same keys as
+    * [[clusteredOrdersAt]]); `orders_hilbert_pruned_read` reads this. */
+  def clusteredOrdersHilbertAt(spark: SparkSession, sfDir: String): String =
+    built.computeIfAbsent(sfDir + ":h", { _ =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_hlayout_" +
+        math.abs(sfDir.hashCode)
+      val orders = graft.sources.Tables(spark, sfDir, "orders")
+        .withColumn("o_day",
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+      writeClusteredHilbert(orders, path, "o_custkey", "o_day", cellBits = 6)
       path
     })
 }

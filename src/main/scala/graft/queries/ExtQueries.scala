@@ -4938,6 +4938,34 @@ WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
   AND (epoch_ms(o_orderdate) // 86400000) BETWEEN 10000 AND 10500
 GROUP BY 1 ORDER BY 1""")),
 
+    // The HILBERT layout made physical (r12 item 2): same contract as
+    // orders_zorder_pruned_read but the table is clustered on the STAGED
+    // Hilbert index (Layout.withHilbertIndex — O(bits) projection stages
+    // lift the Column form's 4-bit cap) and the reader's driver-side
+    // intersection walks the inverse rotation chain (d2xy) per cell.
+    // A 2-D box exercises both axes of the quadrant math. Semantics ==
+    // a plain WHERE (the oracle); LayoutSpec pins the hcell partition
+    // filter and the fewer-files-than-z advantage on box reads.
+    ("orders_hilbert_pruned_read",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.{count, lit, min, max, col}
+        val path = graft.ext.Layout.clusteredOrdersHilbertAt(s, d)
+        graft.ext.Layout.readPruned(s, path,
+          xRange = Some((100L, 700L)), yRange = Some((9800L, 10300L)))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_day")).as("d_min"), max(col("o_day")).as("d_max"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*)::BIGINT AS n,
+       min(epoch_ms(o_orderdate) // 86400000) AS d_min,
+       max(epoch_ms(o_orderdate) // 86400000) AS d_max
+FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  AND o_custkey BETWEEN 100 AND 700
+  AND (epoch_ms(o_orderdate) // 86400000) BETWEEN 9800 AND 10300
+GROUP BY 1 ORDER BY 1""")),
+
     // The Hilbert curve's locality THEOREM as hashed data: over the full
     // 8×8 cell grid, every consecutive-index step is grid-adjacent
     // (h_adj_steps = 63, h_max_step = 1) while the z curve pays jump

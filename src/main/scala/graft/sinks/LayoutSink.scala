@@ -39,19 +39,22 @@ object LayoutSink {
     * automatically via the meta directory's modification stamp). */
   def invalidateMeta(path: String): Unit = { metaCache.remove(path); () }
 
-  /** Append one batch into `path`'s `zcell=` directories using the
-    * frozen meta bounds. */
-  def appendBatch(batch: DataFrame, path: String): Unit =
-    withCell(batch, metaOf(batch.sparkSession, path))
-      .write.mode("append").partitionBy("zcell").parquet(s"$path/data")
-
-  private def withCell(df: DataFrame, meta: Layout.TableMeta): DataFrame =
-    df.where(col(meta.xName).isNotNull && col(meta.yName).isNotNull)
-      .withColumn("zcell", shiftright(
-        Layout.zValue(
-          Layout.scaleKey(meta.xName, meta.xLo, meta.xHi),
-          Layout.scaleKey(meta.yName, meta.yLo, meta.yHi)),
-        32 - meta.cellBits))
+  /** Append one batch into `path`'s cell directories using the frozen
+    * meta bounds — [[Layout.withFileCol]] is the SAME keying path the
+    * initial build used, so appends bucket identically for either curve
+    * (z or Hilbert) and any cellsPerFile. */
+  def appendBatch(batch: DataFrame, path: String): Unit = {
+    val meta = metaOf(batch.sparkSession, path)
+    val keyed = Layout.withFileCol(batch, meta).persist()
+    try {
+      keyed.write.mode("append").partitionBy(meta.partitionCol)
+        .parquet(s"$path/data")
+      // the stats manifest grows one row per batch×file — sound for the
+      // stats reader (a file is scanned iff ANY of its rows intersects);
+      // compact() folds it back to one row per file
+      Layout.writeStats(keyed, path, meta, mode = "append")
+    } finally { keyed.unpersist(); () }
+  }
 
   /** Checkpointed AvailableNow maintenance run: each micro-batch appends
     * into the clustered layout behind a per-batch marker (a replayed
@@ -75,9 +78,16 @@ object LayoutSink {
   def compact(spark: SparkSession, path: String, key: String): Unit = {
     val meta = metaOf(spark, path)
     BucketedSink.compact(spark, s"$path/data", (df, tmp) =>
-      withCell(df.drop("zcell").dropDuplicates(key), meta)
-        .repartition(col("zcell"))
+      Layout.withFileCol(
+        df.drop(meta.partitionCol).dropDuplicates(key), meta)
+        .repartition(col(meta.partitionCol))
         .sortWithinPartitions(col(meta.xName), col(meta.yName))
-        .write.mode("overwrite").partitionBy("zcell").parquet(tmp))
+        .write.mode("overwrite").partitionBy(meta.partitionCol).parquet(tmp))
+    // fold the per-batch stats rows back to one row per file (reading
+    // the freshly compacted data keeps manifest and bytes in lockstep)
+    Layout.writeStats(
+      Layout.withFileCol(
+        spark.read.parquet(s"$path/data").drop(meta.partitionCol), meta),
+      path, meta)
   }
 }

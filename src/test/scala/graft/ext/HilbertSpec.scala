@@ -73,4 +73,53 @@ class HilbertSpec extends SparkSuite {
       }
     }
   }
+
+  test("staged withHilbertIndex equals the Column form on its whole " +
+      "4-bit range (the lift must not change the curve)") {
+    for (bits <- 1 to 4) {
+      val n = 1 << bits
+      val grid = spark.range(n.toLong * n)
+        .select((col("id") % n).as("xq"), (col("id") / n).cast("long").as("yq"))
+      val both = Layout.withHilbertIndex(
+        grid.withColumn("d_col",
+          Layout.hilbertIndex(col("xq"), col("yq"), bits)),
+        col("xq"), col("yq"), bits, "d_staged")
+      assert(both.where(col("d_col") =!= col("d_staged")).count() === 0L,
+        s"staged/Column divergence at bits=$bits")
+    }
+  }
+
+  test("staged index PAST the Column cap: bijective with unit steps over " +
+      "the full 8-bit (256x256) grid, and d2xy inverts it") {
+    val bits = 8; val n = 1 << bits
+    // localCheckpoint truncates the 8-stage lineage before the self-join
+    // below — joining two copies of the staged plan sends the optimizer's
+    // constraint propagation through every when() twice (minutes, not
+    // seconds); single-consumer plans (the production write path) run the
+    // staged index in ~1 s at any bits (measured 2..10)
+    val cells = Layout.withHilbertIndex(
+      spark.range(n.toLong * n)
+        .select((col("id") % n).as("xq"), (col("id") / n).cast("long").as("yq")),
+      col("xq"), col("yq"), bits, "d").localCheckpoint(true)
+    // bijectivity over all 65536 cells
+    val agg = cells.agg(
+      countDistinct(col("d")).as("nd"),
+      min(col("d")).as("d0"), max(col("d")).as("d1")).head()
+    assert(agg.getLong(0) === n.toLong * n)
+    assert(agg.getLong(1) === 0L && agg.getLong(2) === n.toLong * n - 1)
+    // unit-step locality: consecutive indices are grid-adjacent — the
+    // self-join keys on d+1 (one shuffle over 65536 rows)
+    val a = cells.select(col("d"), col("xq").as("x1"), col("yq").as("y1"))
+    val b = cells.select((col("d") - 1).as("d"),
+      col("xq").as("x2"), col("yq").as("y2"))
+    val bad = a.join(b, "d")
+      .where(abs(col("x1") - col("x2")) + abs(col("y1") - col("y2")) =!= 1)
+      .count()
+    assert(bad === 0L, "non-unit step past the 4-bit cap")
+    // d2xy is the exact inverse (spot-lattice, all quadrants included)
+    cells.where(col("d") % 997 === 0)
+      .as[(Long, Long, Long)].collect().foreach { case (x, y, d) =>
+        assert(Layout.d2xy(bits, d) === ((x, y)), s"d2xy mismatch at d=$d")
+      }
+  }
 }

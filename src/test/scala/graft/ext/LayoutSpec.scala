@@ -136,6 +136,98 @@ class LayoutSpec extends SparkSuite {
       Some((50L, 10L)), None).isEmpty)
   }
 
+  test("HILBERT clustered table: pruned read == full-scan filter, hcell " +
+      "partitions pruned, surviving cells match an independent d2xy replay") {
+    val dir = tmpDir("hlayout")
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(4000)(i =>
+      (rnd.nextInt(1000).toLong, 5000L + rnd.nextInt(2000), i.toLong))
+      .toDF("x", "y", "pay")
+    Layout.writeClusteredHilbert(df, dir, "x", "y", cellBits = 6)
+
+    val got = Layout.readPruned(spark, dir,
+      xRange = Some((100L, 399L)), yRange = Some((5600L, 6100L)))
+    val expected = df
+      .where(col("x").between(100, 399) && col("y").between(5600, 6100))
+      .select("x", "y", "pay").as[(Long, Long, Long)].collect().sorted
+    assert(got.select("x", "y", "pay").as[(Long, Long, Long)]
+      .collect().sorted === expected)
+    assert(expected.nonEmpty)
+
+    // static partition filter on the hcell= dirs
+    val plan = got.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*hcell".r.findFirstIn(plan).isDefined,
+      s"no partition pruning in plan:\n$plan")
+
+    // geometry: surviving set == independent quadrant-box walk via d2xy
+    val meta = Layout.readMeta(spark, dir)
+    assert(meta.curve === "h")
+    val cells = Layout.survivingCells(meta,
+      Some((100L, 399L)), Some((5600L, 6100L)))
+    assert(cells.nonEmpty && cells.size < 64,
+      s"expected a strict subset of cells, got ${cells.size}")
+    def quadOf(v: Long, lo: Long, hi: Long): Long =
+      (((v - lo) * 65535L) / math.max(hi - lo, 1L)) >> 13
+    val expectCells = (0L until 64L).filter { cell =>
+      val (xq, yq) = Layout.d2xy(3, cell)
+      xq >= quadOf(100, meta.xLo, meta.xHi) &&
+        xq <= quadOf(399, meta.xLo, meta.xHi) &&
+        yq >= quadOf(5600, meta.yLo, meta.yHi) &&
+        yq <= quadOf(6100, meta.yLo, meta.yHi)
+    }
+    assert(cells.sorted === expectCells.sorted)
+  }
+
+  test("stats-skipping reader: with UNALIGNED multi-cell files the " +
+      "Hilbert layout scans strictly fewer files than z for the same " +
+      "range predicate, and both reads equal the full-scan WHERE " +
+      "(the curveFileStats theorem as actual bytes-not-read)") {
+    // uniform grid so the layouts' geometry (not sampling noise) decides
+    val df = (for (x <- 0 until 128; y <- 0 until 128)
+      yield (x.toLong, y.toLong, (x * 128 + y).toLong))
+      .toDF("x", "y", "pay")
+    val zDir = tmpDir("zlayout_stats"); val hDir = tmpDir("hlayout_stats")
+    // cellsPerFile = 6: NOT a power of four, so files are unaligned cell
+    // runs — z runs span disconnected quadrants, hilbert runs stay
+    // connected (aligned runs would make the two file sets identical)
+    Layout.writeClustered(df, zDir, "x", "y", cellBits = 6, cellsPerFile = 6)
+    Layout.writeClusteredHilbert(
+      df, hDir, "x", "y", cellBits = 6, cellsPerFile = 6)
+
+    // sweep 2-D boxes against the collected manifests (bounded: ~11
+    // stats rows per layout) — the aggregate is the theorem; individual
+    // boxes can tie or even favor z, which is why the sweep, not a
+    // cherry-picked predicate, is what the test pins
+    def manifest(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(s"$dir/stats")
+        .select("x_min", "x_max", "y_min", "y_max")
+        .as[(Long, Long, Long, Long)].collect()
+    val zBoxes = manifest(zDir); val hBoxes = manifest(hDir)
+    def scanned(boxes: Array[(Long, Long, Long, Long)],
+      x0: Long, x1: Long, y0: Long, y1: Long): Int =
+      boxes.count { case (xm, xx, ym, yx) =>
+        !(xx < x0 || xm > x1 || yx < y0 || ym > y1)
+      }
+    var zTotal = 0; var hTotal = 0
+    for (y0 <- 0 until 120 by 4; yw <- Seq(8, 16, 24); x0 <- 0 until 120 by 24) {
+      zTotal += scanned(zBoxes, x0, x0 + 30, y0, y0 + yw)
+      hTotal += scanned(hBoxes, x0, x0 + 30, y0, y0 + yw)
+    }
+    assert(hTotal < zTotal,
+      s"hilbert must scan fewer files over the box sweep: h=$hTotal z=$zTotal")
+
+    // and the physical stats read stays exact on both layouts
+    val xR = Some((20L, 50L)); val yR = Some((48L, 60L))
+    val expected = df
+      .where(col("x").between(20, 50) && col("y").between(48, 60))
+      .select("pay").as[Long].collect().sorted
+    for (dir <- Seq(zDir, hDir)) {
+      val got = Layout.readPrunedByStats(spark, dir, xR, yR)
+        .select("pay").as[Long].collect().sorted
+      assert(got === expected, s"stats read differs from WHERE at $dir")
+    }
+  }
+
   test("normalization puts both axes on [0, 65535] whatever the raw scale") {
     val df = Seq((1000000L, -5L), (2000000L, 5L), (1500000L, 0L))
       .toDF("x", "y")

@@ -442,4 +442,44 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
   }
+
+  property("HILBERT clustered write + pruned read equals a brute-force " +
+      "filter on random data, ranges, cellsPerFile, and reader (geometry " +
+      "vs stats skipping)") = {
+    val gen = for {
+      seed <- Gen.choose(0L, Long.MaxValue)
+      span <- Gen.choose(10L, 100000L)
+      x0 <- Gen.choose(-span, 2 * span); xw <- Gen.choose(0L, span)
+      y0 <- Gen.choose(-span, 2 * span); yw <- Gen.choose(0L, span)
+      cpf <- Gen.oneOf(1, 3, 6) // unaligned runs included
+      byStats <- Gen.oneOf(true, false)
+    } yield (seed, span, x0, x0 + xw, y0, y0 + yw, cpf, byStats)
+    Prop.forAll(gen) { case (seed, span, x0, x1, y0, y1, cpf, byStats) =>
+      import I.i._
+      val rnd = new scala.util.Random(seed)
+      val pts = Seq.tabulate(600)(i =>
+        (rnd.nextLong(span), rnd.nextLong(span), i.toLong))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_prop_hlayout")
+      val got = try {
+        graft.ext.Layout.writeClusteredHilbert(
+          pts.toDF("x", "y", "pay"), dir.toString, "x", "y",
+          cellBits = 6, cellsPerFile = cpf)
+        val read =
+          if (byStats) graft.ext.Layout.readPrunedByStats(
+            spark, dir.toString, Some((x0, x1)), Some((y0, y1)))
+          else graft.ext.Layout.readPruned(
+            spark, dir.toString, Some((x0, x1)), Some((y0, y1)))
+        read.select("pay").as[Long].collect().toSet
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
+      val expected = pts.collect {
+        case (x, y, pay) if x >= x0 && x <= x1 && y >= y0 && y <= y1 => pay
+      }.toSet
+      got == expected
+    }
+  }
 }
