@@ -48,6 +48,51 @@ object Layout {
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  // ------------------------------------------------ k-dimensional z-order
+  // Real OPTIMIZE ZORDER BY takes N columns. Same constant-mask ladder,
+  // wider strides: 3 keys at 21 bits each fill bits 0..62 of one long,
+  // 4 keys at 15 bits each fill bits 0..59 (15, not 16, keeps the
+  // result out of the sign bit). Still O(log bits) shift/and/or per key
+  // inside whole-stage codegen.
+
+  /** 21-bit spread at stride 3 (x → 0b..x00x00x): the published 3-D
+    * Morton mask ladder. */
+  def spread21to3(c: Column): Column = {
+    def step(x: Column, sh: Int, mask: Long): Column =
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    val x0 = c.cast(LongType).bitwiseAND(lit(0x1fffffL))
+    val x1 = step(x0, 32, 0x1f00000000ffffL)
+    val x2 = step(x1, 16, 0x1f0000ff0000ffL)
+    val x3 = step(x2, 8, 0x100f00f00f00f00fL)
+    val x4 = step(x3, 4, 0x10c30c30c30c30c3L)
+    step(x4, 2, 0x1249249249249249L)
+  }
+
+  /** 15-bit spread at stride 4 (the 4-D ladder; 16-bit masks, input
+    * capped to 15 bits so four interleaved axes stay below bit 63). */
+  def spread15to4(c: Column): Column = {
+    def step(x: Column, sh: Int, mask: Long): Column =
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    val x0 = c.cast(LongType).bitwiseAND(lit(0x7fffL))
+    val x1 = step(x0, 24, 0x000000ff000000ffL)
+    val x2 = step(x1, 12, 0x000f000f000f000fL)
+    val x3 = step(x2, 6, 0x0303030303030303L)
+    step(x3, 3, 0x1111111111111111L)
+  }
+
+  /** 3-key Morton value (63 bits): x on bits ≡0 (mod 3), y ≡1, z ≡2. */
+  def zValue3(x: Column, y: Column, z: Column): Column =
+    spread21to3(x)
+      .bitwiseOR(shiftleft(spread21to3(y), 1))
+      .bitwiseOR(shiftleft(spread21to3(z), 2))
+
+  /** 4-key Morton value (60 bits): axes on bit positions ≡0..3 (mod 4). */
+  def zValue4(a: Column, b: Column, c: Column, d: Column): Column =
+    spread15to4(a)
+      .bitwiseOR(shiftleft(spread15to4(b), 1))
+      .bitwiseOR(shiftleft(spread15to4(c), 2))
+      .bitwiseOR(shiftleft(spread15to4(d), 3))
+
   /** Normalize two raw long columns onto the shared [0, 65535] key domain
     * via exact integer scaling against the observed min/max (one
     * single-row aggregate, broadcast — the only non-map work). Returns
@@ -159,6 +204,75 @@ object Layout {
         "z_cells", "z_pruned", "z_rows_scanned",
         "lin_cells", "lin_pruned", "lin_rows_scanned",
         "z_sound", "lin_sound", "z_beats_linear")
+  }
+
+  /** Widest domain the exact 21-bit scaling can take (~4.4e12). */
+  private[graft] val maxDomain3: Long = Long.MaxValue / 2097151L
+
+  /** [[skippingReport]] for THREE clustered keys: cells are the top
+    * `cellBits` bits of the 63-bit 3-key Morton value, the predicate
+    * lives on the THIRD axis (normalized [0, 2097151] space) — the axis
+    * a single-key layout is blindest to — and the single-key comparison
+    * layout clusters on x alone. Same self-verifying output shape:
+    * soundness booleans and scan counts ride the hashed oracle row. */
+  def skippingReport3(df: DataFrame, x: Column, y: Column, z: Column,
+    cellBits: Int, zLo: Long, zHi: Long): DataFrame = {
+    require(cellBits >= 3 && cellBits <= 21 && cellBits % 3 == 0,
+      s"cellBits must be a multiple of 3 in [3,21]: $cellBits")
+    val raw = df.select(x.cast(LongType).as("xr"), y.cast(LongType).as("yr"),
+      z.cast(LongType).as("zr"))
+      .where(col("xr").isNotNull && col("yr").isNotNull &&
+        col("zr").isNotNull)
+    val mm = raw.agg(
+      min("xr").as("x_lo"), max("xr").as("x_hi"),
+      min("yr").as("y_lo"), max("yr").as("y_hi"),
+      min("zr").as("z_lo"), max("zr").as("z_hi"))
+    // the same in-expression overflow guard as the 2-D path, at the
+    // 21-bit scale (wrapped differences must raise, never pass)
+    def key(v: String, lo: String, hi: String) = expr(
+      s"if($hi - $lo >= 0 AND $hi - $lo <= ${maxDomain3}L, " +
+        s"(($v - $lo) * 2097151L) div greatest($hi - $lo, 1L), " +
+        s"raise_error('3-key domain wider than ${maxDomain3}'))")
+    val keys = Dedup.cached(
+      raw.crossJoin(broadcast(mm))
+        .withColumn("xk", key("xr", "x_lo", "x_hi"))
+        .withColumn("yk", key("yr", "y_lo", "y_hi"))
+        .withColumn("zk", key("zr", "z_lo", "z_hi"))
+        .withColumn("cell3",
+          shiftright(zValue3(col("xk"), col("yk"), col("zk")),
+            63 - cellBits))
+        .withColumn("lcell", shiftright(col("xk"), 21 - cellBits))
+        .select("xk", "yk", "zk", "cell3", "lcell"))
+
+    def layout(cellCol: String, prefix: String): DataFrame = {
+      val cells = keys.groupBy(cellCol).agg(
+        count(lit(1)).as("n"),
+        min("zk").as("z_min"), max("zk").as("z_max"),
+        sum(when(col("zk").between(zLo, zHi), 1L).otherwise(0L)).as("m"))
+        .withColumn("pruned",
+          col("z_max") < lit(zLo) || col("z_min") > lit(zHi))
+      cells.agg(
+        count(lit(1)).as(s"${prefix}_cells"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as(s"${prefix}_pruned"),
+        sum(when(!col("pruned"), col("n")).otherwise(0L))
+          .as(s"${prefix}_rows_scanned"),
+        (sum(when(col("pruned"), col("m")).otherwise(0L)) === 0L)
+          .as(s"${prefix}_sound"))
+    }
+
+    val matches = keys.agg(
+      sum(when(col("zk").between(zLo, zHi), 1L).otherwise(0L))
+        .as("rows_match"))
+
+    matches
+      .crossJoin(broadcast(layout("cell3", "z3")))
+      .crossJoin(broadcast(layout("lcell", "lin")))
+      .withColumn("z3_beats_linear",
+        col("z3_rows_scanned") < col("lin_rows_scanned"))
+      .select("rows_match",
+        "z3_cells", "z3_pruned", "z3_rows_scanned",
+        "lin_cells", "lin_pruned", "lin_rows_scanned",
+        "z3_sound", "lin_sound", "z3_beats_linear")
   }
 
   // ------------------------------------------------------- Hilbert curve

@@ -4911,6 +4911,88 @@ SELECT rows_match, z_cells, z_pruned, z_rows_scanned,
        z_rows_scanned < lin_rows_scanned AS z_beats_linear
 FROM mt CROSS JOIN za CROSS JOIN la""")),
 
+    // k-DIMENSIONAL z-order (r12 item 3): real OPTIMIZE ZORDER BY takes
+    // N columns — three keys (custkey × day × totalprice) at 21 bits
+    // each fill one 63-bit long through the published 3-D mask ladder,
+    // and the skipping contract is stated on the THIRD axis (the one a
+    // single-key layout is blindest to). DuckDB replays the ladder as
+    // decimal constants stage by stage, so a wrong mask, stride, or
+    // normalization is a red row; z3_sound rides the hash.
+    ("orders_zorder3_skipping",
+      (s: SparkSession, d: String) =>
+        graft.ext.Layout.skippingReport3(
+          Tables(s, d, "orders"),
+          org.apache.spark.sql.functions.col("o_custkey"),
+          org.apache.spark.sql.functions.expr(
+            "unix_millis(cast(o_orderdate as timestamp)) div 86400000"),
+          org.apache.spark.sql.functions.expr(
+            "cast(floor(o_totalprice) as bigint)"),
+          cellBits = 6, zLo = 500000L, zHi = 899999L),
+      Some("""WITH base AS (
+  SELECT o_custkey::BIGINT AS xr,
+         (epoch_ms(o_orderdate) // 86400000)::BIGINT AS yr,
+         CAST(floor(o_totalprice) AS BIGINT) AS zr
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+mm AS (SELECT min(xr) AS x_lo, max(xr) AS x_hi,
+              min(yr) AS y_lo, max(yr) AS y_hi,
+              min(zr) AS z_lo, max(zr) AS z_hi FROM base),
+k AS (SELECT ((xr - x_lo) * 2097151) // greatest(x_hi - x_lo, 1) AS xk,
+             ((yr - y_lo) * 2097151) // greatest(y_hi - y_lo, 1) AS yk,
+             ((zr - z_lo) * 2097151) // greatest(z_hi - z_lo, 1) AS zk
+      FROM base CROSS JOIN mm),
+s0 AS (SELECT xk, yk, zk, xk & 2097151 AS xa, yk & 2097151 AS ya,
+              zk & 2097151 AS za FROM k),
+-- each stage in the overflow-free form (x & M) | ((x & (M >> sh)) << sh):
+-- DuckDB's << RAISES on 64-bit overflow (the JVM wraps, then masks), so
+-- the bits the mask would discard must never be shifted at all
+s1 AS (SELECT xk, yk, zk,
+              (xa & 8725724278095871) | ((xa & 2031616) << 32) AS xb,
+              (ya & 8725724278095871) | ((ya & 2031616) << 32) AS yb,
+              (za & 8725724278095871) | ((za & 2031616) << 32) AS zb FROM s0),
+s2 AS (SELECT xk, yk, zk,
+              (xb & 8725728556220671) | ((xb & 133144051456) << 16) AS xc,
+              (yb & 8725728556220671) | ((yb & 133144051456) << 16) AS yc,
+              (zb & 8725728556220671) | ((zb & 133144051456) << 16) AS zc FROM s1),
+s3 AS (SELECT xk, yk, zk,
+              (xc & 1157144660301377551) | ((xc & 4520096329302256) << 8) AS xd,
+              (yc & 1157144660301377551) | ((yc & 4520096329302256) << 8) AS yd,
+              (zc & 1157144660301377551) | ((zc & 4520096329302256) << 8) AS zd FROM s2),
+s4 AS (SELECT xk, yk, zk,
+              (xd & 1207822528635744451) | ((xd & 75488908039734028) << 4) AS xe,
+              (yd & 1207822528635744451) | ((yd & 75488908039734028) << 4) AS ye,
+              (zd & 1207822528635744451) | ((zd & 75488908039734028) << 4) AS ze FROM s3),
+s5 AS (SELECT xk, yk, zk,
+              (xe & 1317624576693539401) | ((xe & 329406144173384850) << 2) AS xf,
+              (ye & 1317624576693539401) | ((ye & 329406144173384850) << 2) AS yf,
+              (ze & 1317624576693539401) | ((ze & 329406144173384850) << 2) AS zf FROM s4),
+z AS (SELECT xk, yk, zk, (xf | (yf << 1) | (zf << 2)) AS zv FROM s5),
+zc3 AS (SELECT zv >> 57 AS cell, count(*)::BIGINT AS n,
+              min(zk) AS z_min, max(zk) AS z_max,
+              sum(CASE WHEN zk BETWEEN 500000 AND 899999 THEN 1 ELSE 0 END)::BIGINT AS m
+       FROM z GROUP BY 1),
+za AS (SELECT count(*)::BIGINT AS z3_cells,
+              sum(CASE WHEN z_max < 500000 OR z_min > 899999 THEN 1 ELSE 0 END)::BIGINT AS z3_pruned,
+              sum(CASE WHEN NOT (z_max < 500000 OR z_min > 899999) THEN n ELSE 0 END)::BIGINT AS z3_rows_scanned,
+              sum(CASE WHEN z_max < 500000 OR z_min > 899999 THEN m ELSE 0 END) = 0 AS z3_sound
+       FROM zc3),
+lc AS (SELECT xk >> 15 AS cell, count(*)::BIGINT AS n,
+              min(zk) AS z_min, max(zk) AS z_max,
+              sum(CASE WHEN zk BETWEEN 500000 AND 899999 THEN 1 ELSE 0 END)::BIGINT AS m
+       FROM z GROUP BY 1),
+la AS (SELECT count(*)::BIGINT AS lin_cells,
+              sum(CASE WHEN z_max < 500000 OR z_min > 899999 THEN 1 ELSE 0 END)::BIGINT AS lin_pruned,
+              sum(CASE WHEN NOT (z_max < 500000 OR z_min > 899999) THEN n ELSE 0 END)::BIGINT AS lin_rows_scanned,
+              sum(CASE WHEN z_max < 500000 OR z_min > 899999 THEN m ELSE 0 END) = 0 AS lin_sound
+       FROM lc),
+mt AS (SELECT sum(CASE WHEN zk BETWEEN 500000 AND 899999 THEN 1 ELSE 0 END)::BIGINT AS rows_match FROM z)
+SELECT rows_match, z3_cells, z3_pruned, z3_rows_scanned,
+       lin_cells, lin_pruned, lin_rows_scanned,
+       z3_sound, lin_sound,
+       z3_rows_scanned < lin_rows_scanned AS z3_beats_linear
+FROM mt CROSS JOIN za CROSS JOIN la""")),
+
     // The layout made PHYSICAL: orders written once into zcell=
     // directories (Layout.clusteredOrdersAt — a Bench-visible artifact
     // build), then read under a date-range predicate through the

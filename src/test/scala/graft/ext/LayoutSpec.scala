@@ -136,6 +136,49 @@ class LayoutSpec extends SparkSuite {
       Some((50L, 10L)), None).isEmpty)
   }
 
+  test("3-key and 4-key spread ladders equal the bit-by-bit reference") {
+    def refK(vals: Seq[Long], bitsPer: Int): Long =
+      vals.zipWithIndex.foldLeft(0L) { case (acc, (v, axis)) =>
+        (0 until bitsPer).foldLeft(acc)((a, i) =>
+          a | (((v >> i) & 1L) << (i * vals.size + axis)))
+      }
+    val rnd = new scala.util.Random(13)
+    val tri = Seq((0L, 0L, 0L), (2097151L, 2097151L, 2097151L),
+      (1L, 2L, 4L), (2097151L, 0L, 0L), (0L, 0L, 2097151L)) ++
+      Seq.fill(200)((rnd.nextInt(1 << 21).toLong,
+        rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong))
+    val got3 = tri.toDF("x", "y", "z")
+      .select(Layout.zValue3(col("x"), col("y"), col("z")).as("v"))
+      .as[Long].collect().toSeq
+    assert(got3 === tri.map { case (x, y, z) => refK(Seq(x, y, z), 21) })
+    val quad = Seq((0L, 0L, 0L, 0L), (32767L, 32767L, 32767L, 32767L),
+      (1L, 2L, 4L, 8L), (0L, 0L, 0L, 32767L)) ++
+      Seq.fill(200)((rnd.nextInt(1 << 15).toLong, rnd.nextInt(1 << 15).toLong,
+        rnd.nextInt(1 << 15).toLong, rnd.nextInt(1 << 15).toLong))
+    val got4 = quad.toDF("a", "b", "c", "d")
+      .select(Layout.zValue4(col("a"), col("b"), col("c"), col("d")).as("v"))
+      .as[Long].collect().toSeq
+    assert(got4 === quad.map { case (a, b, c, d) => refK(Seq(a, b, c, d), 15) })
+    // the 4-key value must never reach the sign bit
+    assert(got4.forall(_ >= 0L))
+  }
+
+  test("skippingReport3: sound on both layouts, the 3-key cells prune a " +
+      "third-axis predicate a single-key layout cannot") {
+    val rnd = new scala.util.Random(17)
+    val df = Seq.tabulate(6000)(i => (rnd.nextInt(1000).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)).toDF("x", "y", "z")
+    val r = try Layout.skippingReport3(df, col("x"), col("y"), col("z"),
+      cellBits = 6, zLo = 500000L, zHi = 1000000L).collect().head
+    finally Dedup.releaseAll()
+    assert(r.getAs[Boolean]("z3_sound") && r.getAs[Boolean]("lin_sound"))
+    assert(r.getAs[Long]("z3_rows_scanned") >= r.getAs[Long]("rows_match"))
+    // uniform data: x-clustered cells all span the z domain → no pruning
+    assert(r.getAs[Long]("lin_pruned") === 0L)
+    assert(r.getAs[Boolean]("z3_beats_linear"),
+      s"3-key layout must prune the third axis: $r")
+  }
+
   test("HILBERT clustered table: pruned read == full-scan filter, hcell " +
       "partitions pruned, surviving cells match an independent d2xy replay") {
     val dir = tmpDir("hlayout")
