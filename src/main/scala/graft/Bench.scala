@@ -179,6 +179,8 @@ object Bench {
     warmUp("zorder-layout")(graft.ext.Layout.clusteredOrdersAt(spark, sfDir))
     warmUp("hilbert-layout")(
       graft.ext.Layout.clusteredOrdersHilbertAt(spark, sfDir))
+    warmUp("drift-layout")(
+      graft.sinks.LayoutSink.driftedOrdersLayoutAt(spark, sfDir))
     graft.ext.Dedup.releaseAll()
     // warm the bench SF's parquet bytes into the OS page cache so the
     // timed pass measures engine work, not which query first touches a

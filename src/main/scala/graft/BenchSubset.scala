@@ -38,6 +38,7 @@ object BenchSubset {
     warmUp(graft.ext.Pca.componentsAt(spark, dir).count())
     warmUp(graft.ext.Layout.clusteredOrdersAt(spark, dir))
     warmUp(graft.ext.Layout.clusteredOrdersHilbertAt(spark, dir))
+    warmUp(graft.sinks.LayoutSink.driftedOrdersLayoutAt(spark, dir))
     graft.ext.Dedup.releaseAll()
     for (n <- args.drop(1)) { // warm-up, untimed
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")

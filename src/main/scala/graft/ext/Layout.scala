@@ -669,6 +669,32 @@ object Layout {
       .drop(meta.partitionCol)
   }
 
+  /** Layout health — the `ann_index_cells` twin for clustered tables:
+    * one bounded aggregate (≤ 2^cellBits groups) reporting total rows,
+    * rows whose RAW keys drifted outside the frozen normalization
+    * bounds (those clamp into edge cells until a re-layout — see
+    * [[scaleKey]]), occupied files, the fattest file, and the verdict
+    * `needs_relayout` = drifted fraction ≥ thresholdPct. The verdict is
+    * what [[graft.sinks.LayoutSink.maybeRecluster]] acts on; stated as
+    * data so the policy itself rides an oracle. */
+  def layoutHealth(spark: SparkSession, path: String,
+    thresholdPct: Int = 10): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct out of range: $thresholdPct")
+    val meta = readMeta(spark, path)
+    val drifted =
+      col(meta.xName) < meta.xLo || col(meta.xName) > meta.xHi ||
+        col(meta.yName) < meta.yLo || col(meta.yName) > meta.yHi
+    spark.read.parquet(s"$path/data")
+      .groupBy(meta.partitionCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(drifted, 1L).otherwise(0L)).as("d"))
+      .agg(sum("n").as("n_rows"), sum("d").as("drifted_rows"),
+        count(lit(1)).as("files"), max("n").as("max_file_rows"))
+      .withColumn("needs_relayout",
+        col("drifted_rows") * 100 >= col("n_rows") * thresholdPct)
+  }
+
   // One clustered-orders build per fixture dir per JVM (the
   // AnnIndex.materialized pattern): fixture-derived and immutable, so
   // reuse is sound; Bench warm-up times the build once, the registered

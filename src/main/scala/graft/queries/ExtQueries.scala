@@ -5020,6 +5020,56 @@ WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
   AND (epoch_ms(o_orderdate) // 86400000) BETWEEN 10000 AND 10500
 GROUP BY 1 ORDER BY 1""")),
 
+    // Layout HEALTH + the auto re-layout policy's trigger (r12 item 4):
+    // the drifted-orders fixture appends every 7th order with custkey
+    // shifted past the frozen x bound, so ~1/7 of the table clamps into
+    // edge cells. layoutHealth reports rows/drifted/files/fattest-file
+    // and the threshold verdict `needs_relayout` (what maybeRecluster
+    // acts on) in one bounded aggregate; DuckDB replays the frozen-bound
+    // clamp, the z ladder, and the cell occupancy exactly, so the policy
+    // trigger itself rides the hashed oracle. LayoutSinkSpec drives the
+    // full append → drift → recluster → health-restored cycle.
+    ("orders_layout_health",
+      (s: SparkSession, d: String) => graft.ext.Layout.layoutHealth(
+        s, graft.sinks.LayoutSink.driftedOrdersLayoutAt(s, d)),
+      Some("""WITH orig AS (
+  SELECT o_custkey::BIGINT AS xr,
+         (epoch_ms(o_orderdate) // 86400000)::BIGINT AS yr
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+mm AS (SELECT min(xr) AS x_lo, max(xr) AS x_hi,
+              min(yr) AS y_lo, max(yr) AS y_hi FROM orig),
+drift AS (
+  SELECT (o_custkey + x_hi + 1)::BIGINT AS xr,
+         (epoch_ms(o_orderdate) // 86400000)::BIGINT AS yr, 1 AS is_drift
+  FROM orders CROSS JOIN mm
+  WHERE o_orderkey % 7 = 0
+    AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+allr AS (SELECT xr, yr, 0 AS is_drift FROM orig
+         UNION ALL SELECT xr, yr, is_drift FROM drift),
+k AS (SELECT is_drift,
+        ((least(greatest(xr, x_lo), x_hi) - x_lo) * 65535)
+          // greatest(x_hi - x_lo, 1) AS xk,
+        ((least(greatest(yr, y_lo), y_hi) - y_lo) * 65535)
+          // greatest(y_hi - y_lo, 1) AS yk
+      FROM allr CROSS JOIN mm),
+s0 AS (SELECT is_drift, xk & 65535 AS xa, yk & 65535 AS ya FROM k),
+s1 AS (SELECT is_drift, (xa | (xa << 8)) & 16711935 AS xb,
+              (ya | (ya << 8)) & 16711935 AS yb FROM s0),
+s2 AS (SELECT is_drift, (xb | (xb << 4)) & 252645135 AS xc,
+              (yb | (yb << 4)) & 252645135 AS yc FROM s1),
+s3 AS (SELECT is_drift, (xc | (xc << 2)) & 858993459 AS xd,
+              (yc | (yc << 2)) & 858993459 AS yd FROM s2),
+s4 AS (SELECT is_drift, (xd | (xd << 1)) & 1431655765 AS xe,
+              (yd | (yd << 1)) & 1431655765 AS ye FROM s3),
+z AS (SELECT is_drift, (xe | (ye << 1)) AS zv FROM s4),
+pc AS (SELECT zv >> 26 AS cell, count(*)::BIGINT AS n,
+              sum(is_drift)::BIGINT AS d
+       FROM z GROUP BY 1)
+SELECT sum(n)::BIGINT AS n_rows, sum(d)::BIGINT AS drifted_rows,
+       count(*)::BIGINT AS files, max(n)::BIGINT AS max_file_rows,
+       sum(d) * 100 >= sum(n) * 10 AS needs_relayout
+FROM pc""")),
+
     // The HILBERT layout made physical (r12 item 2): same contract as
     // orders_zorder_pruned_read but the table is clustered on the STAGED
     // Hilbert index (Layout.withHilbertIndex — O(bits) projection stages

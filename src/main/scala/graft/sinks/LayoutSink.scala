@@ -90,4 +90,78 @@ object LayoutSink {
         spark.read.parquet(s"$path/data").drop(meta.partitionCol), meta),
       path, meta)
   }
+
+  /** Re-layout the whole table under FRESH normalization bounds — the
+    * OPTIMIZE rerun that resolves edge-cell pile-up from drifted
+    * appends. The rebuild (data + stats + new meta) lands in
+    * `path__next` while the live table stays readable, then swaps at
+    * the table ROOT with the [[BucketedSink.compact]] posture (rename
+    * live → __old, __next → live, both checked, then drop __old — a
+    * crash never leaves less than one complete table). Rows dedup on
+    * `key` so replayed appends are folded in the same pass. */
+  def recluster(spark: SparkSession, path: String, key: String): Unit = {
+    val meta = metaOf(spark, path)
+    val next = path + "__next"
+    val all = spark.read.parquet(s"$path/data")
+      .drop(meta.partitionCol).dropDuplicates(key)
+      // the rebuild re-reads the live table while overwriting __next:
+      // materialize the read before any write touches the filesystem
+      .localCheckpoint(true)
+    if (meta.curve == "h")
+      Layout.writeClusteredHilbert(
+        all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
+    else
+      Layout.writeClustered(
+        all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val nPath = new org.apache.hadoop.fs.Path(next)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(hPath, old),
+      s"recluster: rename $hPath -> $old failed; table unchanged, rebuild at $next")
+    require(fs.rename(nPath, hPath),
+      s"recluster: rename $next -> $hPath failed; original preserved at $old")
+    fs.delete(old, true)
+    invalidateMeta(path)
+  }
+
+  /** The threshold policy: consult [[Layout.layoutHealth]] and
+    * [[recluster]] iff the drifted fraction crossed `thresholdPct`.
+    * Returns whether a re-layout ran. Run BETWEEN streaming runs, next
+    * to [[compact]] — at 100 TB a re-layout is a full rewrite, so it
+    * must be drift-triggered, never unconditional. */
+  def maybeRecluster(spark: SparkSession, path: String, key: String,
+    thresholdPct: Int = 10): Boolean = {
+    val needs = Layout.layoutHealth(spark, path, thresholdPct)
+      .head().getAs[Boolean]("needs_relayout")
+    if (needs) recluster(spark, path, key)
+    needs
+  }
+
+  // one drifted-layout fixture per sf dir per JVM (the clusteredOrdersAt
+  // pattern): fixture-derived and immutable, so reuse is sound
+  private val driftBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once DRIFTED z-clustered orders: the base layout plus one
+    * appended batch whose custkeys all lie past the frozen x bound
+    * (every 7th order, custkey shifted by x_hi + 1). The appended rows
+    * clamp into edge cells — reads stay exact, and `orders_layout_health`
+    * reports the drift with `needs_relayout` riding the hashed oracle. */
+  def driftedOrdersLayoutAt(spark: SparkSession, sfDir: String): String =
+    driftBuilt.computeIfAbsent(sfDir, { _ =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_driftlayout_" +
+        math.abs(sfDir.hashCode)
+      val orders = graft.sources.Tables(spark, sfDir, "orders")
+        .withColumn("o_day",
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+      Layout.writeClustered(orders, path, "o_custkey", "o_day", cellBits = 6)
+      val meta = metaOf(spark, path)
+      appendBatch(
+        orders.where(expr("o_orderkey % 7 = 0"))
+          .withColumn("o_custkey", col("o_custkey") + lit(meta.xHi + 1)),
+        path)
+      path
+    })
 }

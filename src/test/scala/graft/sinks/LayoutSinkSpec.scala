@@ -62,4 +62,64 @@ class LayoutSinkSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/data")
       .select("pay").as[Long].collect().toSeq.sorted === expected)
   }
+
+  test("auto re-layout policy: append -> drift -> recluster -> health and " +
+      "pruning restored") {
+    val dir = tmpDir("zlayout_relayout")
+    val base = Seq.tabulate(1000)(i =>
+      ((i % 100).toLong, (i % 50).toLong, i.toLong)).toDF("x", "y", "pay")
+    Layout.writeClustered(base, dir, "x", "y", cellBits = 4)
+
+    // below threshold: a small in-range append must NOT trigger
+    LayoutSink.appendBatch(
+      Seq((10L, 10L, 5000L)).toDF("x", "y", "pay"), dir)
+    assert(!LayoutSink.maybeRecluster(spark, dir, "pay", thresholdPct = 10))
+
+    // drift 20% of the table past the frozen bounds: all those rows
+    // clamp into edge cells and the health verdict flips
+    val drifted = Seq.tabulate(250)(i =>
+      (1000L + i, 500L + i, 20000L + i)).toDF("x", "y", "pay")
+    LayoutSink.appendBatch(drifted, dir)
+    val before = Layout.layoutHealth(spark, dir).head()
+    assert(before.getAs[Long]("drifted_rows") === 250L)
+    assert(before.getAs[Boolean]("needs_relayout"))
+
+    val expected = ((0L until 1000L) ++ Seq(5000L) ++
+      (20000L until 20250L)).sorted
+    def allPays(): Seq[Long] = LayoutSink.readPruned(spark, dir, "pay",
+      None, None).select("pay").as[Long].collect().toSeq.sorted
+    assert(allPays() === expected, "clamped rows stay findable pre-recluster")
+
+    assert(LayoutSink.maybeRecluster(spark, dir, "pay", thresholdPct = 10))
+
+    // health restored: fresh bounds cover the drifted keys
+    val after = Layout.layoutHealth(spark, dir).head()
+    assert(after.getAs[Long]("drifted_rows") === 0L)
+    assert(!after.getAs[Boolean]("needs_relayout"))
+    assert(after.getAs[Long]("n_rows") === expected.size.toLong)
+    val meta = Layout.readMeta(spark, dir)
+    assert(meta.xHi === 1249L && meta.yHi === 749L)
+
+    // contents unchanged through the swap
+    assert(allPays() === expected)
+
+    // PRUNING restored: before the re-layout the drifted rows all hid in
+    // the one top-corner edge cell (any read touching it scanned all
+    // 250); now they spread across fresh cells, so a query for a slice
+    // of the drifted range prunes most of them
+    val cells = Layout.survivingCells(meta,
+      Some((1000L, 1050L)), Some((500L, 550L)))
+    assert(cells.size < 4, s"expected a corner slice, got ${cells.size} cells")
+    val got = LayoutSink.readPruned(spark, dir, "pay",
+      Some((1000L, 1050L)), Some((500L, 550L)))
+      .select("pay").as[Long].collect().toSeq.sorted
+    assert(got === (20000L to 20050L).toSeq)
+
+    // the stats manifest was rebuilt in lockstep: the stats reader
+    // agrees with the geometry reader
+    val viaStats = Layout.readPrunedByStats(spark, dir,
+      Some((1000L, 1050L)), Some((500L, 550L)))
+      .select("pay").as[Long].collect().toSeq.sorted
+    assert(viaStats === got)
+  }
 }
