@@ -2697,6 +2697,637 @@ object Multimodal {
       }.toDF()
   }
 
+  // ----------------------------- real pixel decode: WebP lossless (VP8L)
+  //
+  // VP8L is the last arithmetic-only image format in the fixture set:
+  // an LSB-first bitstream carrying canonical prefix codes (DEFLATE's
+  // two-level scheme — code lengths themselves prefix-coded, with the
+  // 16/17/18 repeat symbols), LZ77 backreferences with the shared
+  // length/distance prefix-value coding, a color cache (multiplicative
+  // hash), and the subtract-green transform. [[Vp8lCodec.decode]]
+  // implements exactly that envelope; the documented out-of-scope
+  // corners return None rather than misdecode: meta prefix groups
+  // (entropy images), the predictor / color / color-indexing
+  // transforms, and the 2-D close-neighborhood distance map (codes
+  // 1..120 — its 120-entry (dx,dy) table is spec data this offline
+  // environment cannot re-derive trustworthily, and a wrong table would
+  // round-trip silently; our encoder only emits direct distance codes,
+  // which express every distance). Lossless means the round-trip
+  // property is EXACT, unlike JPEG's bounded-error one.
+  //
+  // Synthesis ([[mediaWebpl]]) keeps the oracle exact with the format's
+  // own degenerate-but-legal corner (the stored-block trick again):
+  // simple 2-symbol prefix codes for G/R/B and 1-symbol (zero-bit)
+  // codes for alpha and distance make every pixel exactly 3 bits, and
+  // the whole stream a pure Column bit-fold. The general machinery the
+  // synthesis can't reach — full code-length-coded trees, LZ77 dist-1
+  // runs, the color cache — is spec-pinned by [[Vp8lCodec.encode]]
+  // round-trips and a hand-built backreference stream.
+
+  /** Synthesize a VP8L WebP per document: w = id%5+1, h = (3·id)%4+1;
+    * per-channel two-value palettes G ∈ {7id, 7id+13}, R ∈ {3id,
+    * 3id+29}, B ∈ {11id, 11id+71} (mod 256), selected per pixel by
+    * gsel = (id+3x+5y)%2, rsel = (id+7x+y)%2, bsel = (id+x+4y)%2. */
+  def mediaWebpl(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = (pmod(id, lit(5)) + 1).cast("int")
+    val h = (pmod(id * 3, lit(4)) + 1).cast("int")
+    // LSB-first bit writer as data: the stream is an array of bit
+    // Columns folded into bytes 8 at a time (bit b of byte j = stream
+    // bit 8j+b)
+    def valBits(v: Column, n: Int): Column =
+      array((0 until n).map(k =>
+        shiftright(v.cast("long"), k).bitwiseAND(lit(1L))): _*)
+    def constBits(bs: Int*): Column = array(bs.map(b => lit(b.toLong)): _*)
+    // a simple 2-symbol tree: simple=1, two-symbols=1, 8-bit-first=1,
+    // then both symbols as bytes
+    def tree2(s0: Column, s1: Column): Column =
+      concat(constBits(1, 1, 1), valBits(s0, 8), valBits(s1, 8))
+    // a 1-symbol tree (its codes cost ZERO bits per use)
+    def tree1(s0: Column): Column =
+      concat(constBits(1, 0, 1), valBits(s0, 8))
+    val g0 = pmod(id * 7, lit(256)); val g1 = pmod(id * 7 + 13, lit(256))
+    val r0 = pmod(id * 3, lit(256)); val r1 = pmod(id * 3 + 29, lit(256))
+    val b0 = pmod(id * 11, lit(256)); val b1 = pmod(id * 11 + 71, lit(256))
+    val pixelBits = flatten(transform(sequence(lit(0), h - 1), y =>
+      flatten(transform(sequence(lit(0), w - 1), x =>
+        // green code, then red, then blue (alpha: zero bits)
+        array(pmod(id + x * 3 + y * 5, lit(2)).cast("long"),
+          pmod(id + x * 7 + y, lit(2)).cast("long"),
+          pmod(id + x + y * 4, lit(2)).cast("long"))))))
+    val bits = concat(
+      valBits(w - 1, 14), valBits(h - 1, 14),
+      constBits(0), constBits(0, 0, 0), // alpha-hint, version=0
+      constBits(0), // no transforms
+      constBits(0), // no color cache
+      constBits(0), // no meta prefix groups
+      tree2(g0, g1), tree2(r0, r1), tree2(b0, b1),
+      tree1(lit(255)), // alpha
+      tree1(lit(0)), // distance (unused but mandatory)
+      pixelBits)
+    // pad to a byte boundary, then fold LSB-first into bytes
+    val staged = docs.select(id.as("media_id"), w.as("ww"), h.as("hh"),
+      concat(bits, array_repeat(lit(0L),
+        (lit(8) - pmod(size(bits), lit(8))).cast("int") % 8)).as("bits"))
+    val bs = col("bits")
+    val nBytes = (size(bs) / 8).cast("int")
+    // byte = fold over bit positions 7..0 (acc·2 + bit): the stream is
+    // LSB-first, so bit b of byte j is stream bit 8j+b
+    val payloadHex = array_join(
+      transform(sequence(lit(0), nBytes - 1), j =>
+        lpad(conv(aggregate(sequence(lit(7), lit(0), lit(-1)), lit(0L),
+          (acc, b) => acc * 2 +
+            element_at(bs, (j * 8 + b + 1).cast("int"))),
+          10, 16), 2, "0")), "")
+    def le32(c: Column) = {
+      val hx = lpad(conv(c.cast("long"), 10, 16), 8, "0")
+      concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2))
+    }
+    val vp8lLen = nBytes + 1 // signature byte + bitstream
+    val padded = concat(payloadHex,
+      when(pmod(vp8lLen, lit(2)) === 1, lit("00")).otherwise(lit(""))) // RIFF word pad
+    val riffLen = lit(4) + 8 + vp8lLen + pmod(vp8lLen, lit(2))
+    val hx = concat(
+      lit("52494646"), le32(riffLen), lit("57454250"), // RIFF....WEBP
+      lit("5650384C"), le32(vp8lLen), lit("2F"), // VP8L chunk + signature
+      padded)
+    staged.select(col("media_id"), unhex(hx).as("payload"))
+  }
+
+  object Vp8lCodec {
+    /** Internal bail-out: control flow only, caught in [[decode]]. */
+    private object Bail extends scala.util.control.ControlThrowable
+
+    /** LSB-first bit reader over the VP8L payload. */
+    private final class BitReader(p: Array[Byte], var pos: Int) {
+      private var acc = 0L
+      private var cnt = 0
+      def bit(): Int = {
+        if (cnt == 0) {
+          if (pos >= p.length) throw Bail
+          acc = p(pos) & 0xffL; pos += 1; cnt = 8
+        }
+        val b = (acc & 1L).toInt
+        acc >>= 1; cnt -= 1
+        b
+      }
+      /** n-bit value, LSB first (first bit read is the LSB). */
+      def bits(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v |= bit() << i; i += 1 }
+        v
+      }
+    }
+
+    /** Canonical prefix decode tables (JPEG-style mincode/maxcode per
+      * length; codes read MSB-first bit by bit — the DEFLATE storage
+      * convention VP8L inherits). Lengths up to 15. `pair` overrides the
+      * canonical symbol order for SIMPLE two-symbol codes, whose stream
+      * order (symbol0 → code 0) is authoritative even when symbol0 is
+      * numerically larger. */
+    private final class Tree(lengths: Array[Int],
+      pair: Array[Int] = null) {
+      // a "zero-bit" tree: exactly one symbol in the whole alphabet
+      val soleSymbol: Int = {
+        var s = -1; var n = 0; var i = 0
+        while (i < lengths.length) {
+          if (lengths(i) > 0) { s = i; n += 1 }; i += 1
+        }
+        if (n == 1) s else -1
+      }
+      val maxcode = Array.fill(16)(-1)
+      val mincode = new Array[Int](16)
+      val valptr = new Array[Int](16)
+      val syms: Array[Int] = {
+        val bySym = lengths.zipWithIndex.filter(_._1 > 0)
+        // Kraft check: an over-subscribed code set is malformed
+        if (bySym.map { case (l, _) => 1L << (15 - l) }.sum > (1L << 15))
+          throw Bail
+        val ordered =
+          if (pair != null) pair
+          else bySym.sortBy { case (l, s) => (l, s) }.map(_._2)
+        var code = 0; var k = 0
+        var l = 1
+        while (l <= 15) {
+          val n = bySym.count(_._1 == l)
+          if (n > 0) {
+            valptr(l) = k
+            mincode(l) = code
+            code += n; k += n
+            maxcode(l) = code - 1
+          }
+          code <<= 1
+          l += 1
+        }
+        ordered
+      }
+      def decode(br: BitReader): Int = {
+        if (soleSymbol >= 0) return soleSymbol // zero-bit code
+        var code = br.bit()
+        var l = 1
+        while (code > maxcode(l)) {
+          if (l >= 15) throw Bail
+          code = (code << 1) | br.bit()
+          l += 1
+        }
+        val idx = valptr(l) + code - mincode(l)
+        if (idx < 0 || idx >= syms.length) throw Bail
+        syms(idx)
+      }
+    }
+
+    /** kOrder for code-length-code lengths (the spec's fixed order). */
+    private val clOrder =
+      Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+    /** Read one prefix-code tree (simple or code-length-coded). */
+    private def readTree(br: BitReader, alphabetSize: Int): Tree = {
+      val lengths = new Array[Int](alphabetSize)
+      if (br.bit() == 1) { // simple
+        val numSymbols = br.bit() + 1
+        val first8 = br.bit()
+        val s0 = br.bits(if (first8 == 1) 8 else 1)
+        if (s0 >= alphabetSize) throw Bail
+        if (numSymbols == 1) { lengths(s0) = 1; return new Tree(lengths) }
+        val s1 = br.bits(8)
+        if (s1 >= alphabetSize || s1 == s0) throw Bail
+        lengths(s0) = 1; lengths(s1) = 1
+        // stream order is authoritative: symbol0 → code 0 always
+        return new Tree(lengths, pair = Array(s0, s1))
+      }
+      // full: code-length-code lengths in clOrder, then the CL-coded run
+      val numCl = 4 + br.bits(4)
+      if (numCl > clOrder.length) throw Bail
+      val clLengths = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLengths(clOrder(i)) = br.bits(3); i += 1 }
+      val clTree = new Tree(clLengths)
+      var maxSymbol =
+        if (br.bit() == 1) {
+          val nbits = 2 + 2 * br.bits(3)
+          val m = 2 + br.bits(nbits)
+          if (m > alphabetSize) throw Bail
+          m
+        } else alphabetSize
+      var symbol = 0
+      var prevLen = 8 // spec: the repeat-previous default before any code
+      while (symbol < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clTree.decode(br)
+        if (cl < 16) {
+          lengths(symbol) = cl; symbol += 1
+          if (cl != 0) prevLen = cl
+        } else {
+          val (repeat, len) = cl match {
+            case 16 => (3 + br.bits(2), prevLen)
+            case 17 => (3 + br.bits(3), 0)
+            case 18 => (11 + br.bits(7), 0)
+            case _ => throw Bail
+          }
+          if (symbol + repeat > alphabetSize) throw Bail
+          var r = 0
+          while (r < repeat) { lengths(symbol) = len; symbol += 1; r += 1 }
+        }
+      }
+      new Tree(lengths)
+    }
+
+    /** The shared length/distance prefix-value decode. */
+    private def prefixValue(br: BitReader, code: Int): Int =
+      if (code < 4) code + 1
+      else {
+        val eb = (code - 2) >> 1
+        val off = (2 + (code & 1)) << eb
+        off + br.bits(eb) + 1
+      }
+
+    private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+    /** Decode a VP8L (lossless WebP) within the documented envelope:
+      * no meta prefix groups, no predictor/color/color-indexing
+      * transforms (subtract-green IS supported), distances only via
+      * direct codes (> 120). Returns top-down `0xRRGGBB`; None on
+      * anything non-conforming or out of envelope. */
+    def decode(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (p == null || p.length < 21) return None
+      try decodeImpl(p)
+      catch {
+        case Bail => None
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    private def tag(p: Array[Byte], off: Int): String =
+      new String(p, off, 4, "US-ASCII")
+    private def le32(p: Array[Byte], off: Int): Long = {
+      var v = 0L; var i = 3
+      while (i >= 0) { v = (v << 8) | (p(off + i) & 0xffL); i -= 1 }
+      v
+    }
+
+    private def decodeImpl(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (tag(p, 0) != "RIFF" || tag(p, 8) != "WEBP") return None
+      // chunk walk to VP8L (word-padded sizes, hostile lengths as longs)
+      var off = 12L
+      var payloadAt = -1L; var payloadLen = 0L
+      while (payloadAt < 0 && off + 8 <= p.length) {
+        val id = tag(p, off.toInt)
+        val size = le32(p, off.toInt + 4)
+        if (size < 0 || off + 8 + size > p.length) return None
+        if (id == "VP8L") { payloadAt = off + 8; payloadLen = size }
+        off += 8 + size + (size & 1)
+      }
+      if (payloadAt < 0 || payloadLen < 5) return None
+      if ((p(payloadAt.toInt) & 0xff) != 0x2f) return None
+      // the reader sees EXACTLY the chunk payload: a malformed stream
+      // that would run into padding or a following chunk bails instead
+      val chunk = java.util.Arrays.copyOfRange(
+        p, payloadAt.toInt + 1, (payloadAt + payloadLen).toInt)
+      val br = new BitReader(chunk, 0)
+      val w = br.bits(14) + 1
+      val h = br.bits(14) + 1
+      br.bit() // alpha hint (informational)
+      if (br.bits(3) != 0) return None // version must be 0
+      if (w.toLong * h > (1L << 26)) return None
+      var subtractGreen = false
+      while (br.bit() == 1) { // transform loop
+        br.bits(2) match {
+          case 2 => subtractGreen = true
+          case _ => return None // predictor/color/indexing: out of scope
+        }
+      }
+      val cacheBits = if (br.bit() == 1) br.bits(4) else 0
+      if (cacheBits > 11) return None
+      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+      val cache = new Array[Int](math.max(cacheSize, 1))
+      if (br.bit() == 1) return None // meta prefix groups: out of scope
+      val greenTree = readTree(br, 256 + 24 + cacheSize)
+      val redTree = readTree(br, 256)
+      val blueTree = readTree(br, 256)
+      val alphaTree = readTree(br, 256)
+      val distTree = readTree(br, 40)
+      val n = w * h
+      val argb = new Array[Int](n)
+      var pos = 0
+      while (pos < n) {
+        val sym = greenTree.decode(br)
+        if (sym < 256) {
+          val g = sym
+          val r = redTree.decode(br)
+          val b = blueTree.decode(br)
+          val a = alphaTree.decode(br)
+          val px = (a << 24) | (r << 16) | (g << 8) | b
+          argb(pos) = px
+          if (cacheSize > 0)
+            cache(((0x1e35a7bd * px) >>> (32 - cacheBits)).toInt) = px
+          pos += 1
+        } else if (sym < 256 + 24) {
+          val length = prefixValue(br, sym - 256)
+          val distCode = prefixValue(br, distTree.decode(br))
+          // the 2-D close-neighborhood map (codes 1..120) is out of
+          // scope — see the section comment; direct codes express
+          // every distance
+          if (distCode <= 120) return None
+          val dist = distCode - 120
+          if (dist > pos || pos + length > n) throw Bail
+          var i = 0
+          while (i < length) {
+            val px = argb(pos - dist)
+            argb(pos) = px
+            if (cacheSize > 0)
+              cache(((0x1e35a7bd * px) >>> (32 - cacheBits)).toInt) = px
+            pos += 1; i += 1
+          }
+        } else {
+          val idx = sym - 256 - 24
+          if (idx >= cacheSize) throw Bail
+          argb(pos) = cache(idx)
+          pos += 1
+        }
+      }
+      // inverse subtract-green, then ARGB -> 0xRRGGBB
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val px = argb(i)
+        val g = (px >> 8) & 0xff
+        var r = (px >> 16) & 0xff
+        var b = px & 0xff
+        if (subtractGreen) { r = (r + g) & 0xff; b = (b + g) & 0xff }
+        out(i) = (r << 16) | (g << 8) | b
+        i += 1
+      }
+      Some((w, h, out))
+    }
+
+    // ------------------------------------------------------------ encoder
+
+    private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+      private var acc = 0; private var cnt = 0
+      /** n-bit value, LSB first. */
+      def bits(v: Int, n: Int): Unit = {
+        var i = 0
+        while (i < n) {
+          acc |= ((v >> i) & 1) << cnt; cnt += 1
+          if (cnt == 8) { out.write(acc); acc = 0; cnt = 0 }
+          i += 1
+        }
+      }
+      /** a canonical prefix code, MSB first (the storage convention). */
+      def code(c: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) { bits((c >> i) & 1, 1); i -= 1 }
+      }
+      def flush(): Unit = if (cnt > 0) { out.write(acc); acc = 0; cnt = 0 }
+    }
+
+    /** Code lengths for a histogram: plain two-least-merge Huffman with
+      * an equal-length fallback if any depth would exceed `maxLen`
+      * (valid, just not minimal — decoders accept any canonical set). */
+    private def huffLengths(freq: Array[Long], maxLen: Int): Array[Int] = {
+      val present = freq.zipWithIndex.filter(_._1 > 0).map(_._2)
+      val lengths = new Array[Int](freq.length)
+      if (present.isEmpty) return lengths
+      if (present.length == 1) { lengths(present(0)) = 1; return lengths }
+      // nodes: (weight, depth-tree as symbol list)
+      val pq = scala.collection.mutable.PriorityQueue.empty[
+        (Long, List[Int])](Ordering.by[(Long, List[Int]), Long](_._1).reverse)
+      present.foreach(s => pq.enqueue((freq(s), List(s))))
+      val depth = new Array[Int](freq.length)
+      while (pq.size > 1) {
+        val (w1, l1) = pq.dequeue(); val (w2, l2) = pq.dequeue()
+        (l1 ++ l2).foreach(s => depth(s) += 1)
+        pq.enqueue((w1 + w2, l1 ++ l2))
+      }
+      if (depth.max <= maxLen) depth
+      else {
+        val eq = math.max(1,
+          32 - Integer.numberOfLeadingZeros(present.length - 1))
+        if (eq > maxLen) throw new IllegalArgumentException(
+          s"alphabet too large for $maxLen-bit equal-length fallback")
+        present.foreach(s => lengths(s) = eq)
+        lengths
+      }
+    }
+
+    /** Canonical codes from lengths (same rule as [[Tree]]). */
+    private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+      val codes = new Array[Int](lengths.length)
+      var code = 0
+      var l = 1
+      while (l <= 15) {
+        var s = 0
+        while (s < lengths.length) {
+          if (lengths(s) == l) { codes(s) = code; code += 1 }
+          s += 1
+        }
+        code <<= 1
+        l += 1
+      }
+      codes
+    }
+
+    /** Write one tree in the FULL (code-length-coded) form: 19 fixed
+      * 3-bit CL lengths, then the symbol lengths as literals/0-runs
+      * (17/18) — the path that exercises the decoder's whole two-level
+      * machinery. CL codes use an equal-length canonical set over the
+      * CL symbols actually used. */
+    private def writeTree(bw: BitWriter, lengths: Array[Int]): Unit = {
+      // tokenize: literal lengths + zero runs (no 16-repeats — simpler,
+      // still legal)
+      val tokens = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < lengths.length) {
+        if (lengths(i) == 0) {
+          var run = 0
+          while (i < lengths.length && lengths(i) == 0 && run < 138) {
+            run += 1; i += 1
+          }
+          if (run < 3) { var r = 0; while (r < run) { tokens += ((0, 0)); r += 1 } }
+          else if (run < 11) tokens += ((17, run - 3))
+          else tokens += ((18, run - 11))
+        } else { tokens += ((lengths(i), 0)); i += 1 }
+      }
+      val clFreq = new Array[Long](19)
+      tokens.foreach { case (s, _) => clFreq(s) += 1 }
+      val used = clFreq.zipWithIndex.filter(_._1 > 0).map(_._2)
+      val clLen = new Array[Int](19)
+      val eq = math.max(1, 32 - Integer.numberOfLeadingZeros(
+        math.max(used.length - 1, 1)))
+      used.foreach(s => clLen(s) = eq)
+      val clCodes = canonicalCodes(clLen)
+      bw.bits(0, 1) // not simple
+      bw.bits(19 - 4, 4) // write all 19 CL lengths
+      clOrder.foreach(s => bw.bits(clLen(s), 3))
+      bw.bits(0, 1) // no max-symbol shortcut: the run covers everything
+      // a single-symbol CL tree is ZERO-bit (the decoder never reads a
+      // code for it) — only the repeat extras go to the stream then
+      val clMulti = used.length > 1
+      tokens.foreach {
+        case (17, extra) =>
+          if (clMulti) bw.code(clCodes(17), clLen(17))
+          bw.bits(extra, 3)
+        case (18, extra) =>
+          if (clMulti) bw.code(clCodes(18), clLen(18))
+          bw.bits(extra, 7)
+        case (s, _) => if (clMulti) bw.code(clCodes(s), clLen(s))
+      }
+    }
+
+    private def prefixEncode(v: Int): (Int, Int, Int) =
+      if (v <= 4) (v - 1, 0, 0)
+      else {
+        val x = v - 1
+        val hb = 31 - Integer.numberOfLeadingZeros(x)
+        val second = (x >> (hb - 1)) & 1
+        val code = 2 * hb + second
+        val off = (2 + second) << (hb - 1)
+        (code, hb - 1, x - off)
+      }
+
+    /** Encode top-down `0xRRGGBB` as a conforming VP8L file through the
+      * general machinery: full code-length-coded trees, greedy dist-1
+      * LZ77 runs (direct distance codes), optional color cache,
+      * optional subtract-green. Exact round-trip through [[decode]]. */
+    def encode(w: Int, h: Int, px: Array[Int], cacheBits: Int = 0,
+      subtractGreen: Boolean = false): Array[Byte] = {
+      require(w > 0 && h > 0 && w <= 16384 && h <= 16384 &&
+        px.length == w * h)
+      require(cacheBits >= 0 && cacheBits <= 11)
+      val n = px.length
+      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+      // pass 0: per-pixel ARGB after optional subtract-green
+      val argb = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val g = (px(i) >> 8) & 0xff
+        var r = (px(i) >> 16) & 0xff
+        var b = px(i) & 0xff
+        if (subtractGreen) { r = (r - g) & 0xff; b = (b - g) & 0xff }
+        argb(i) = (0xff << 24) | (r << 16) | (g << 8) | b
+        i += 1
+      }
+      // pass 1: tokenize (literal / cache-hit / dist-1 run) + histograms
+      sealed trait Tok
+      case class Lit(px: Int) extends Tok
+      case class Hit(idx: Int) extends Tok
+      case class Run(len: Int) extends Tok
+      val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+      val cache = new Array[Int](math.max(cacheSize, 1))
+      val cacheValid = new Array[Boolean](math.max(cacheSize, 1))
+      val gFreq = new Array[Long](256 + 24 + cacheSize)
+      val rFreq = new Array[Long](256); val bFreq = new Array[Long](256)
+      val aFreq = new Array[Long](256); val dFreq = new Array[Long](40)
+      def insert(v: Int): Unit = if (cacheSize > 0) {
+        val idx = ((0x1e35a7bd * v) >>> (32 - cacheBits)).toInt
+        cache(idx) = v; cacheValid(idx) = true
+      }
+      i = 0
+      while (i < n) {
+        val v = argb(i)
+        if (i > 0 && v == argb(i - 1)) {
+          var len = 0
+          // 4096 = the longest length the 24-code prefix alphabet holds
+          while (i + len < n && argb(i + len) == argb(i - 1) && len < 4096)
+            len += 1
+          toks += Run(len)
+          val (lc, _, _) = prefixEncode(len)
+          gFreq(256 + lc) += 1
+          val (dc, _, _) = prefixEncode(121) // dist 1, direct code
+          dFreq(dc) += 1
+          var j = 0
+          while (j < len) { insert(argb(i + j)); j += 1 }
+          i += len
+        } else {
+          val idx = if (cacheSize > 0)
+            ((0x1e35a7bd * v) >>> (32 - cacheBits)).toInt else 0
+          if (cacheSize > 0 && cacheValid(idx) && cache(idx) == v) {
+            toks += Hit(idx)
+            gFreq(256 + 24 + idx) += 1
+          } else {
+            toks += Lit(v)
+            gFreq((v >> 8) & 0xff) += 1
+            rFreq((v >> 16) & 0xff) += 1
+            bFreq(v & 0xff) += 1
+            aFreq((v >>> 24) & 0xff) += 1
+          }
+          insert(v)
+          i += 1
+        }
+      }
+      // pass 2: trees
+      val gLen = huffLengths(gFreq, 15); val gCode = canonicalCodes(gLen)
+      val rLen = huffLengths(rFreq, 15); val rCode = canonicalCodes(rLen)
+      val bLen = huffLengths(bFreq, 15); val bCode = canonicalCodes(bLen)
+      val aLen = huffLengths(aFreq, 15); val aCode = canonicalCodes(aLen)
+      val dLen = huffLengths(dFreq, 15); val dCode = canonicalCodes(dLen)
+      // pass 3: the bitstream
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0x2f)
+      val bw = new BitWriter(body)
+      bw.bits(w - 1, 14); bw.bits(h - 1, 14)
+      bw.bits(0, 1); bw.bits(0, 3)
+      if (subtractGreen) { bw.bits(1, 1); bw.bits(2, 2) }
+      bw.bits(0, 1) // end of transforms
+      if (cacheSize > 0) { bw.bits(1, 1); bw.bits(cacheBits, 4) }
+      else bw.bits(0, 1)
+      bw.bits(0, 1) // no meta prefix groups
+      writeTree(bw, gLen); writeTree(bw, rLen); writeTree(bw, bLen)
+      writeTree(bw, aLen); writeTree(bw, dLen)
+      // a sole-symbol tree costs zero bits (the decoder never reads)
+      val gMulti = gLen.count(_ > 0) > 1; val rMulti = rLen.count(_ > 0) > 1
+      val bMulti = bLen.count(_ > 0) > 1; val aMulti = aLen.count(_ > 0) > 1
+      val dMulti = dLen.count(_ > 0) > 1
+      toks.foreach {
+        case Lit(v) =>
+          if (gMulti) bw.code(gCode((v >> 8) & 0xff), gLen((v >> 8) & 0xff))
+          if (rMulti) bw.code(rCode((v >> 16) & 0xff), rLen((v >> 16) & 0xff))
+          if (bMulti) bw.code(bCode(v & 0xff), bLen(v & 0xff))
+          if (aMulti) bw.code(aCode((v >>> 24) & 0xff), aLen((v >>> 24) & 0xff))
+        case Hit(idx) =>
+          if (gMulti) bw.code(gCode(256 + 24 + idx), gLen(256 + 24 + idx))
+        case Run(len) =>
+          val (lc, leb, lev) = prefixEncode(len)
+          if (gMulti) bw.code(gCode(256 + lc), gLen(256 + lc))
+          if (leb > 0) bw.bits(lev, leb)
+          val (dc, deb, dev) = prefixEncode(121)
+          if (dMulti) bw.code(dCode(dc), dLen(dc))
+          if (deb > 0) bw.bits(dev, deb)
+      }
+      bw.flush()
+      val payload = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le32w(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      val padded = payload.length + (payload.length & 1)
+      ascii("RIFF"); le32w(4 + 8 + padded); ascii("WEBP")
+      ascii("VP8L"); le32w(payload.length)
+      out.write(payload)
+      if ((payload.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+  }
+
+  /** Decode + featurize the lossless-WebP table — the [[bmpFeatures]]
+    * contract through the VP8L prefix-code path. */
+  def webplFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          Vp8lCodec.decode(payload).map { case (w, h, px) =>
+            featurize(id, w, h, px)
+          }
+        }
+      }.toDF()
+  }
+
   // ----------------------------------------------------- byte-level dedup
 
   /** 64-bit SimHash over the payload's DISTINCT byte 4-grams — media

@@ -4249,6 +4249,43 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * 6 * gv)::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // Seventh REAL image format: lossless WebP (VP8L) — LSB-first
+    // bitstream, canonical prefix codes (simple two-symbol form here;
+    // the full DEFLATE-style code-length-coded form, LZ77 backrefs,
+    // color cache, and subtract-green are spec-pinned via the
+    // Vp8lCodec.encode round-trips). Synthesis uses the format's legal
+    // degenerate corner: 2-symbol codes for G/R/B and zero-bit codes
+    // for alpha/distance make every pixel exactly 3 bits, the whole
+    // stream a pure Column bit-fold. The oracle recomputes the
+    // two-value palette formula — a wrong bit order, tree read, or
+    // channel order is a red row.
+    ("media_features_webpl",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .webplFeatures(graft.ext.Multimodal.mediaWebpl(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 5 + 1 AS INT) AS w,
+         CAST((doc_id * 3) % 4 + 1 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y
+  FROM dms, unnest(range(0, w * h)) AS t(i)),
+v AS (
+  SELECT doc_id, w, h,
+         (3 * doc_id + 29 * ((doc_id + 7 * x + y) % 2)) % 256 AS r,
+         (7 * doc_id + 13 * ((doc_id + 3 * x + 5 * y) % 2)) % 256 AS g,
+         (11 * doc_id + 71 * ((doc_id + x + 4 * y) % 2)) % 256 AS b,
+         y * w + x + 1 AS pw
+  FROM px)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+       sum(b)::BIGINT AS sum_b,
+       sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+       sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // REAL pixel RESAMPLING end-to-end: decode → integer nearest-
     // neighbor to fit 8×8 (the resize scale/rounding contract) →
     // re-ENCODE as a conforming BMP → decode again → integer features

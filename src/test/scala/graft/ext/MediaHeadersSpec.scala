@@ -778,6 +778,84 @@ class MediaHeadersSpec extends SparkSuite {
       "not a jpeg at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("Vp8lCodec round-trips EXACTLY (lossless): full code-length-coded " +
+      "trees on noise, LZ77 runs + color cache + subtract-green on runs") {
+    // noise image: no runs, all-literal, full trees with 17/18 zero-runs
+    val w1 = 13; val h1 = 9
+    val noise = Array.tabulate(w1 * h1)(i =>
+      ((i * 2654435761L >> 7) & 0xffffff).toInt)
+    val f1 = Multimodal.Vp8lCodec.encode(w1, h1, noise)
+    assert(Multimodal.Vp8lCodec.decode(f1)
+      .exists { case (w, h, px) =>
+        w == w1 && h == h1 && px.sameElements(noise) },
+      "noise round-trip")
+
+    // runs image: long same-color spans -> dist-1 backrefs (length
+    // prefix codes with extra bits), plus cache hits on revisited
+    // colors, plus the subtract-green inverse
+    val w2 = 40; val h2 = 11
+    val runs = Array.tabulate(w2 * h2) { i =>
+      val band = (i / 17) % 5
+      Seq(0x102030, 0xa0b0c0, 0x102030, 0x445566, 0xa0b0c0)(band)
+    }
+    for (cacheBits <- Seq(0, 4); sg <- Seq(false, true)) {
+      val f = Multimodal.Vp8lCodec.encode(w2, h2, runs,
+        cacheBits = cacheBits, subtractGreen = sg)
+      assert(Multimodal.Vp8lCodec.decode(f)
+        .exists { case (w, h, px) =>
+          w == w2 && h == h2 && px.sameElements(runs) },
+        s"runs round-trip cacheBits=$cacheBits subtractGreen=$sg")
+    }
+    // the runs file must actually be smaller than all-literal coding
+    val fLit = Multimodal.Vp8lCodec.encode(w2, h2, noise.take(1) ++
+      Array.tabulate(w2 * h2 - 1)(i => (i * 7919) & 0xffffff))
+    val fRuns = Multimodal.Vp8lCodec.encode(w2, h2, runs)
+    assert(fRuns.length < fLit.length, "backrefs must compress the runs")
+  }
+
+  test("Vp8lCodec rejects non-conforming and out-of-envelope streams " +
+      "(truncation never throws; unsupported transform is None)") {
+    val px = Array.tabulate(24)(i => (i * 37 + 11) * 131 & 0xffffff)
+    val file = Multimodal.Vp8lCodec.encode(8, 3, px)
+    (1 until file.length by 3).foreach { k =>
+      assert(Multimodal.Vp8lCodec.decode(file.take(k)).isEmpty)
+    }
+    assert(Multimodal.Vp8lCodec.decode(null).isEmpty)
+    assert(Multimodal.Vp8lCodec.decode(Array[Byte]()).isEmpty)
+    assert(Multimodal.Vp8lCodec.decode(
+      "RIFFxxxxWEBPnope".getBytes("US-ASCII")).isEmpty)
+    // flip the version bits (last 3 of the 32-bit header after 0x2f):
+    // byte 20+1+3 holds them in its top bits
+    val vers = file.clone
+    vers(24) = (vers(24) | 0xe0).toByte
+    assert(Multimodal.Vp8lCodec.decode(vers).isEmpty, "version != 0")
+  }
+
+  test("mediaWebpl synthesizes conforming simple-code VP8L streams and " +
+      "webplFeatures' decode matches the two-value palette formula") {
+    val feats = Multimodal.webplFeatures(Multimodal.mediaWebpl(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count(), "every synthesized WebP must decode")
+    feats.take(50).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (id % 5 + 1).toInt
+      val h = (id * 3 % 4 + 1).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rr = (3 * id + 29 * ((id + 7 * x + y) % 2)) % 256
+        val gg = (7 * id + 13 * ((id + 3 * x + 5 * y) % 2)) % 256
+        val bb = (11 * id + 71 * ((id + x + 4 * y) % 2)) % 256
+        sr += rr; sg += gg; sb += bb
+        ck += (y * w + x + 1).toLong * (rr + 2 * gg + 3 * bb)
+      }
+      assert(r.getAs[Long]("sum_r") === sr, s"sum_r mismatch for $id")
+      assert(r.getAs[Long]("sum_g") === sg, s"sum_g mismatch for $id")
+      assert(r.getAs[Long]("sum_b") === sb, s"sum_b mismatch for $id")
+      assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
+    }
+  }
+
   test("mediaJpeg synthesizes conforming DC-only baseline streams and " +
       "jpegFeatures' decode matches the cumulative-diff formula") {
     val feats = Multimodal.jpegFeatures(Multimodal.mediaJpeg(docs))
