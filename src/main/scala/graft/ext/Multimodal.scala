@@ -2554,12 +2554,14 @@ object Multimodal {
       if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
     /** Encode top-down `0xRRGGBB` pixels as a conforming baseline JPEG:
-      * YCbCr 4:4:4, all-1 quantizers (so round-trip error is only float
-      * DCT/IDCT + color rounding — the spec pins a small bound), Annex K
-      * Huffman tables in real DHT segments, optional restart markers.
-      */
+      * YCbCr 4:4:4 (or 4:2:0 with `subsample420` — Y at 2×2 blocks per
+      * MCU, chroma as rounded 2×2-pixel averages, the path that
+      * exercises the decoder's upsampling), all-1 quantizers (so
+      * round-trip error is only float DCT/IDCT + color rounding — plus
+      * the chroma averaging itself under 4:2:0), Annex K Huffman tables
+      * in real DHT segments, optional restart markers. */
     def encode(w: Int, h: Int, px: Array[Int],
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0, subsample420: Boolean = false): Array[Byte] = {
       require(w > 0 && h > 0 && px.length == w * h)
       require(restartInterval >= 0 && restartInterval <= 65535)
       val out = new java.io.ByteArrayOutputStream()
@@ -2569,21 +2571,97 @@ object Multimodal {
         out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
         body.foreach(out.write)
       }
+      val yHV = if (subsample420) 0x22 else 0x11
       marker(0xd8) // SOI
       seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT: table 0, all 1s
       seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
-        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)) // SOF0: 4:4:4
+        1, yHV, 0, 2, 0x11, 0, 3, 0x11, 0)) // SOF0
       seg(0xc4, Array(0x00) ++ kDcBits ++ kDcVals) // DHT DC 0
       seg(0xc4, Array(0x10) ++ kAcBits ++ kAcVals) // DHT AC 0
       if (restartInterval > 0)
         seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
       seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)) // SOS
       val bw = new BitWriter(out)
-      val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
       val block = new Array[Double](64)
       val coef = new Array[Int](64)
       val tmp = new Array[Double](64)
       val pred = new Array[Int](3)
+      // component value of the (edge-replicated) pixel at (sx, sy)
+      def ycc(sx: Int, sy: Int, c: Int): Double = {
+        val v = px(math.min(sy, h - 1) * w + math.min(sx, w - 1))
+        val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff
+        val b = v & 0xff
+        c match {
+          case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+          case 1 => 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+          case _ => 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        }
+      }
+      // forward DCT + Huffman-emit one block of level-shifted samples
+      def emitBlock(sample: (Int, Int) => Double, c: Int): Unit = {
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            block(yy * 8 + xx) = math.round(sample(xx, yy)).toDouble - 128.0
+            xx += 1
+          }
+          yy += 1
+        }
+        // forward DCT: same basis, summed over the spatial index
+        var v2 = 0
+        while (v2 < 8) {
+          var x2 = 0
+          while (x2 < 8) {
+            var s = 0.0
+            var y2 = 0
+            while (y2 < 8) { s += basis(v2)(y2) * block(y2 * 8 + x2); y2 += 1 }
+            tmp(v2 * 8 + x2) = s
+            x2 += 1
+          }
+          v2 += 1
+        }
+        var vv = 0
+        while (vv < 8) {
+          var uu = 0
+          while (uu < 8) {
+            var s = 0.0
+            var x2 = 0
+            while (x2 < 8) { s += basis(uu)(x2) * tmp(vv * 8 + x2); x2 += 1 }
+            coef(vv * 8 + uu) = math.round(s).toInt // quantizer = 1
+            uu += 1
+          }
+          vv += 1
+        }
+        // DC
+        val diff = coef(0) - pred(c)
+        pred(c) = coef(0)
+        val t = category(diff)
+        bw.put(kDcEnc.codeOf(t), kDcEnc.lenOf(t))
+        if (t > 0)
+          bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        // AC in zigzag order with ZRL/EOB
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val ac = coef(zigzag(k))
+          if (ac == 0) run += 1
+          else {
+            while (run > 15) {
+              bw.put(kAcEnc.codeOf(0xf0), kAcEnc.lenOf(0xf0)); run -= 16
+            }
+            val ts = category(ac)
+            val sym = (run << 4) | ts
+            bw.put(kAcEnc.codeOf(sym), kAcEnc.lenOf(sym))
+            bw.put(if (ac < 0) ac + (1 << ts) - 1 else ac, ts)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(kAcEnc.codeOf(0x00), kAcEnc.lenOf(0x00))
+      }
+      val mcuPx = if (subsample420) 16 else 8
+      val mcusX = (w + mcuPx - 1) / mcuPx; val mcusY = (h + mcuPx - 1) / mcuPx
       var rst = 0
       var mcu = 0
       var my = 0
@@ -2595,80 +2673,35 @@ object Multimodal {
             marker(0xd0 + rst); rst = (rst + 1) & 7
             java.util.Arrays.fill(pred, 0)
           }
-          var c = 0
-          while (c < 3) {
-            // component sample block, edge-replicated past the image
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                val sx = math.min(mx * 8 + xx, w - 1)
-                val sy = math.min(my * 8 + yy, h - 1)
-                val v = px(sy * w + sx)
-                val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff
-                val b = v & 0xff
-                val s = c match {
-                  case 0 => 0.299 * r + 0.587 * g + 0.114 * b
-                  case 1 => 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-                  case _ => 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-                }
-                block(yy * 8 + xx) = math.round(s).toDouble - 128.0
-                xx += 1
-              }
-              yy += 1
+          if (!subsample420) {
+            var c = 0
+            while (c < 3) {
+              emitBlock((xx, yy) => ycc(mx * 8 + xx, my * 8 + yy, c), c)
+              c += 1
             }
-            // forward DCT: same basis, summed over the spatial index
-            var v2 = 0
-            while (v2 < 8) {
-              var x2 = 0
-              while (x2 < 8) {
-                var s = 0.0
-                var y2 = 0
-                while (y2 < 8) { s += basis(v2)(y2) * block(y2 * 8 + x2); y2 += 1 }
-                tmp(v2 * 8 + x2) = s
-                x2 += 1
+          } else {
+            // interleave order: the four Y blocks (row-major), Cb, Cr —
+            // the same comp-major/by/bx walk the decoder runs
+            var by = 0
+            while (by < 2) {
+              var bx = 0
+              while (bx < 2) {
+                emitBlock((xx, yy) =>
+                  ycc(mx * 16 + bx * 8 + xx, my * 16 + by * 8 + yy, 0), 0)
+                bx += 1
               }
-              v2 += 1
+              by += 1
             }
-            var vv = 0
-            while (vv < 8) {
-              var uu = 0
-              while (uu < 8) {
-                var s = 0.0
-                var x2 = 0
-                while (x2 < 8) { s += basis(uu)(x2) * tmp(vv * 8 + x2); x2 += 1 }
-                coef(vv * 8 + uu) = math.round(s).toInt // quantizer = 1
-                uu += 1
-              }
-              vv += 1
+            var c = 1
+            while (c < 3) {
+              emitBlock({ (xx, yy) =>
+                // chroma sample = rounded average of its 2×2 pixel group
+                val sx = (mx * 8 + xx) * 2; val sy = (my * 8 + yy) * 2
+                (ycc(sx, sy, c) + ycc(sx + 1, sy, c) +
+                  ycc(sx, sy + 1, c) + ycc(sx + 1, sy + 1, c)) / 4.0
+              }, c)
+              c += 1
             }
-            // DC
-            val diff = coef(0) - pred(c)
-            pred(c) = coef(0)
-            val t = category(diff)
-            bw.put(kDcEnc.codeOf(t), kDcEnc.lenOf(t))
-            if (t > 0)
-              bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-            // AC in zigzag order with ZRL/EOB
-            var run = 0
-            var k = 1
-            while (k < 64) {
-              val ac = coef(zigzag(k))
-              if (ac == 0) run += 1
-              else {
-                while (run > 15) {
-                  bw.put(kAcEnc.codeOf(0xf0), kAcEnc.lenOf(0xf0)); run -= 16
-                }
-                val ts = category(ac)
-                val sym = (run << 4) | ts
-                bw.put(kAcEnc.codeOf(sym), kAcEnc.lenOf(sym))
-                bw.put(if (ac < 0) ac + (1 << ts) - 1 else ac, ts)
-                run = 0
-              }
-              k += 1
-            }
-            if (run > 0) bw.put(kAcEnc.codeOf(0x00), kAcEnc.lenOf(0x00))
-            c += 1
           }
           mcu += 1
           mx += 1
@@ -3310,6 +3343,33 @@ object Multimodal {
       if ((payload.length & 1) == 1) out.write(0)
       out.toByteArray
     }
+  }
+
+  /** Run-rich VP8L files through the REAL encoder (full code-length-
+    * coded trees, LZ77 dist-1 backreferences, color cache, subtract-
+    * green): per doc, w = id%6+3, h = (7·id)%5+2, pixels in bands of 4
+    * identical colors (band = raster_index div 4, color = palette
+    * ((id+band)%3) with channel formulas the oracle replays). Encoding
+    * is deterministic, decode is lossless, so the decode→featurize
+    * output is an exact function of the formula — the whole general
+    * machinery rides the hashed oracle, not just the spec round-trip. */
+  def mediaWebplRuns(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 6 + 3).toInt
+        val h = (id * 7 % 5 + 2).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val c = ((id + i / 4) % 3).toInt
+          val r = ((id * 5 + c * 77) % 256).toInt
+          val g = ((id * 3 + c * 113) % 256).toInt
+          val b = ((id * 11 + c * 41) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        (id, Vp8lCodec.encode(w, h, px, cacheBits = 4, subtractGreen = true))
+      }
+    }.toDF("media_id", "payload")
   }
 
   /** Decode + featurize the lossless-WebP table — the [[bmpFeatures]]

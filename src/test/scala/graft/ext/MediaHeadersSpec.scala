@@ -748,6 +748,46 @@ class MediaHeadersSpec extends SparkSuite {
     }
   }
 
+  test("JpegCodec 4:2:0: subsampled encode decodes through the chroma " +
+      "upsampling path — exact-chroma content within the float band, a " +
+      "gentle gradient within the averaging bound") {
+    // grayscale content: Cb = Cr = 128 everywhere, so 2x2 averaging is
+    // exact and only the float DCT/IDCT + color rounding band remains
+    val w = 21; val h = 11 // not multiples of 16: edge-replicated MCUs
+    val gray = Array.tabulate(w * h) { i =>
+      val v = (i * 7) % 256; (v << 16) | (v << 8) | v
+    }
+    val f = Multimodal.JpegCodec.encode(w, h, gray, subsample420 = true)
+    // the SOF must really declare 2x2 luma sampling (byte 82 in the
+    // encoder's fixed segment layout: SOI+DQT then SOF comp 1 HV)
+    assert((f(82) & 0xff) === 0x22, "SOF0 must declare 4:2:0")
+    val got = Multimodal.JpegCodec.decode(f)
+    assert(got.isDefined, "4:2:0 stream must decode")
+    val (gw, gh, gpx) = got.get
+    assert(gw === w && gh === h)
+    for (i <- gray.indices; s <- 0 to 16 by 8) {
+      val d = math.abs(((gray(i) >> s) & 0xff) - ((gpx(i) >> s) & 0xff))
+      assert(d <= 3, s"gray pixel $i channel $s error $d")
+    }
+    // gentle color gradient: chroma slope ~1/px, so subsampling itself
+    // costs a few counts on top of the float band
+    val grad = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((100 + 2 * x) << 16) | ((80 + 2 * y) << 8) | 120
+    }
+    val f2 = Multimodal.JpegCodec.encode(w, h, grad, subsample420 = true)
+    val (g2w, g2h, g2px) = Multimodal.JpegCodec.decode(f2).get
+    assert(g2w === w && g2h === h)
+    for (i <- grad.indices; s <- 0 to 16 by 8) {
+      val d = math.abs(((grad(i) >> s) & 0xff) - ((g2px(i) >> s) & 0xff))
+      assert(d <= 6, s"gradient pixel $i channel $s error $d")
+    }
+    // and 4:2:0 composes with restart markers
+    val f3 = Multimodal.JpegCodec.encode(w, h, grad,
+      restartInterval = 1, subsample420 = true)
+    assert(Multimodal.JpegCodec.decode(f3).exists(_._1 == w))
+  }
+
   test("JpegCodec rejects non-conforming and out-of-envelope streams " +
       "(truncation never throws; progressive is None, not misdecoded)") {
     val px = Array.tabulate(16 * 8)(i => (i * 37 + 11) * 131 & 0xffffff)

@@ -63,6 +63,49 @@ class LayoutSinkSpec extends SparkSuite {
       .select("pay").as[Long].collect().toSeq.sorted === expected)
   }
 
+  test("HILBERT table maintenance: appends bucket into hcell dirs via the " +
+      "shared keying path, pruned reads stay exact, recluster keeps the " +
+      "curve tag") {
+    val dir = tmpDir("hlayout_sink")
+    val base = Seq.tabulate(1000)(i =>
+      ((i % 100).toLong, (i % 50).toLong, i.toLong)).toDF("x", "y", "pay")
+    Layout.writeClusteredHilbert(base, dir, "x", "y", cellBits = 4)
+
+    // in-range and clamped appends, through the same appendBatch
+    LayoutSink.appendBatch(
+      Seq((10L, 10L, 10000L), (500L, 200L, 10001L)).toDF("x", "y", "pay"),
+      dir)
+    val far = LayoutSink.readPruned(spark, dir, "pay",
+      Some((450L, 600L)), None).select("pay").as[Long].collect()
+    assert(far.toSet === Set(10001L), "clamped row findable via hcell math")
+    def allPays(): Seq[Long] = LayoutSink.readPruned(spark, dir, "pay",
+      None, None).select("pay").as[Long].collect().toSeq.sorted
+    val expected = (0L until 1000L) ++ Seq(10000L, 10001L)
+    assert(allPays() === expected)
+
+    // appended files land in hcell= dirs, never zcell=
+    val dirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("hcell=")), dirs.toSeq)
+
+    // drift enough to trigger, recluster, curve tag survives the swap
+    LayoutSink.appendBatch(Seq.tabulate(250)(i =>
+      (1000L + i, 500L + i, 20000L + i)).toDF("x", "y", "pay"), dir)
+    assert(LayoutSink.maybeRecluster(spark, dir, "pay", thresholdPct = 10))
+    val meta = Layout.readMeta(spark, dir)
+    assert(meta.curve === "h" && meta.xHi === 1249L)
+    assert(Layout.layoutHealth(spark, dir).head()
+      .getAs[Long]("drifted_rows") === 0L)
+    val after = LayoutSink.readPruned(spark, dir, "pay",
+      Some((1000L, 1050L)), Some((500L, 550L)))
+      .select("pay").as[Long].collect().toSeq.sorted
+    assert(after === (20000L to 20050L).toSeq)
+    // the rebuilt stats manifest agrees with the geometry reader
+    assert(Layout.readPrunedByStats(spark, dir,
+      Some((1000L, 1050L)), Some((500L, 550L)))
+      .select("pay").as[Long].collect().toSeq.sorted === after)
+  }
+
   test("auto re-layout policy: append -> drift -> recluster -> health and " +
       "pruning restored") {
     val dir = tmpDir("zlayout_relayout")
