@@ -417,6 +417,56 @@ object Layout {
       .orderBy("curve", "file")
   }
 
+  /** The z-vs-Hilbert FILE-skipping comparison as one self-verifying
+    * row: files simulate as runs of `cellsPerFile` consecutive curve
+    * cells (UNALIGNED runs — power-of-four runs make the two curves'
+    * files the same quadrant blocks, so this is where they separate), a
+    * file is scanned iff its y min/max box intersects the band (the
+    * [[readPrunedByStats]] manifest contract), soundness = no matching
+    * row in a skipped file. Both curves from ONE cached key frame;
+    * `yLo`/`yHi` in normalized [0, 65535] space. */
+  def curveSkippingReport(df: DataFrame, x: Column, y: Column,
+    cellBits: Int, cellsPerFile: Int, yLo: Long, yHi: Long): DataFrame = {
+    require(cellBits >= 2 && cellBits % 2 == 0 && cellBits / 2 <= 4,
+      s"cell grid out of hilbertIndex range: $cellBits")
+    require(cellsPerFile >= 1, s"cellsPerFile: $cellsPerFile")
+    val axisBits = cellBits / 2
+    val keys = Dedup.cached(normalized(df, x, y)
+      .withColumn("zcell",
+        shiftright(zValue(col("xk"), col("yk")), 32 - cellBits))
+      .withColumn("hcell", hilbertIndex(
+        shiftright(col("xk"), 16 - axisBits),
+        shiftright(col("yk"), 16 - axisBits), axisBits))
+      .select("xk", "yk", "zcell", "hcell"))
+    def layout(cellCol: String, prefix: String): DataFrame = {
+      val files = keys
+        .withColumn("file", expr(s"$cellCol div $cellsPerFile"))
+        .groupBy("file").agg(count(lit(1)).as("n"),
+          min("yk").as("y_min"), max("yk").as("y_max"),
+          sum(when(col("yk").between(yLo, yHi), 1L).otherwise(0L)).as("m"))
+        .withColumn("skipped",
+          col("y_max") < lit(yLo) || col("y_min") > lit(yHi))
+      files.agg(
+        count(lit(1)).as(s"${prefix}_files"),
+        sum(when(col("skipped"), 1L).otherwise(0L)).as(s"${prefix}_skipped"),
+        sum(when(!col("skipped"), col("n")).otherwise(0L))
+          .as(s"${prefix}_rows_scanned"),
+        (sum(when(col("skipped"), col("m")).otherwise(0L)) === 0L)
+          .as(s"${prefix}_sound"))
+    }
+    val matches = keys.agg(
+      sum(when(col("yk").between(yLo, yHi), 1L).otherwise(0L))
+        .as("rows_match"))
+    matches
+      .crossJoin(broadcast(layout("zcell", "z")))
+      .crossJoin(broadcast(layout("hcell", "h")))
+      .withColumn("h_beats_z",
+        col("h_rows_scanned") < col("z_rows_scanned"))
+      .select("rows_match", "z_files", "z_skipped", "z_rows_scanned",
+        "h_files", "h_skipped", "h_rows_scanned",
+        "z_sound", "h_sound", "h_beats_z")
+  }
+
   // ------------------------------------------------- the clustered table
   // The simulated contract above, made physical: write rows into
   // `zcell=` directories (Spark partition pruning = real file skipping —

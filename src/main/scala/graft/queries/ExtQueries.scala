@@ -5263,6 +5263,48 @@ hf AS (SELECT 'h' AS curve, hd // 6 AS file, count(*)::BIGINT AS n,
 SELECT * FROM (SELECT * FROM zf UNION ALL SELECT * FROM hf)
 ORDER BY curve, file""")),
 
+    // The curves' FILE-SKIPPING separation as one self-verifying row:
+    // unaligned 6-cell file runs (aligned runs make z and Hilbert files
+    // identical quadrant blocks), a y-band predicate, stats skipping by
+    // per-file min/max (the readPrunedByStats manifest contract). The
+    // scan counts AND both soundness booleans ride the hashed oracle;
+    // DuckDB replays the z ladder and the full hilbert rotation chain
+    // per row, then the same per-file aggregation.
+    ("orders_curve_pruned_files",
+      (s: SparkSession, d: String) =>
+        graft.ext.Layout.curveSkippingReport(
+          Tables(s, d, "orders"),
+          org.apache.spark.sql.functions.col("o_custkey"),
+          org.apache.spark.sql.functions.expr(
+            "unix_millis(cast(o_orderdate as timestamp)) div 86400000"),
+          cellBits = 6, cellsPerFile = 6, yLo = 20000L, yHi = 29999L),
+      Some(s"""$zorderKeyCte,
+q AS (SELECT xk, yk, zv, xk >> 13 AS xq, yk >> 13 AS yq FROM z),
+${hilbertSqlStages("q", 3, Seq("xk", "yk", "zv"))},
+zfc AS (SELECT (zv >> 26) // 6 AS file, count(*)::BIGINT AS n,
+               min(yk) AS y_min, max(yk) AS y_max,
+               sum(CASE WHEN yk BETWEEN 20000 AND 29999 THEN 1 ELSE 0 END)::BIGINT AS m
+        FROM hfin GROUP BY 1),
+za AS (SELECT count(*)::BIGINT AS z_files,
+              sum(CASE WHEN y_max < 20000 OR y_min > 29999 THEN 1 ELSE 0 END)::BIGINT AS z_skipped,
+              sum(CASE WHEN NOT (y_max < 20000 OR y_min > 29999) THEN n ELSE 0 END)::BIGINT AS z_rows_scanned,
+              sum(CASE WHEN y_max < 20000 OR y_min > 29999 THEN m ELSE 0 END) = 0 AS z_sound
+       FROM zfc),
+hfc AS (SELECT hd // 6 AS file, count(*)::BIGINT AS n,
+               min(yk) AS y_min, max(yk) AS y_max,
+               sum(CASE WHEN yk BETWEEN 20000 AND 29999 THEN 1 ELSE 0 END)::BIGINT AS m
+        FROM hfin GROUP BY 1),
+ha AS (SELECT count(*)::BIGINT AS h_files,
+              sum(CASE WHEN y_max < 20000 OR y_min > 29999 THEN 1 ELSE 0 END)::BIGINT AS h_skipped,
+              sum(CASE WHEN NOT (y_max < 20000 OR y_min > 29999) THEN n ELSE 0 END)::BIGINT AS h_rows_scanned,
+              sum(CASE WHEN y_max < 20000 OR y_min > 29999 THEN m ELSE 0 END) = 0 AS h_sound
+       FROM hfc),
+mt AS (SELECT sum(CASE WHEN yk BETWEEN 20000 AND 29999 THEN 1 ELSE 0 END)::BIGINT AS rows_match FROM hfin)
+SELECT rows_match, z_files, z_skipped, z_rows_scanned,
+       h_files, h_skipped, h_rows_scanned, z_sound, h_sound,
+       h_rows_scanned < z_rows_scanned AS h_beats_z
+FROM mt CROSS JOIN za CROSS JOIN ha""")),
+
     // -------------------------------------------------- entity resolution
     // Blocked fuzzy name matching over the part catalog: MULTI-PASS
     // blocking (head-noun + first-token keys, r11 item 5), levenshtein
