@@ -3023,18 +3023,101 @@ object Multimodal {
       br.bit() // alpha hint (informational)
       if (br.bits(3) != 0) return None // version must be 0
       if (w.toLong * h > (1L << 26)) return None
-      var subtractGreen = false
+      // transform list in STREAM order; inverses apply in reverse below
+      sealed trait Xf
+      case object SubGreen extends Xf
+      final case class ColorIndex(palette: Array[Int], widthBits: Int,
+        wBefore: Int) extends Xf
+      var xfs = List.empty[Xf]
+      var curW = w
       while (br.bit() == 1) { // transform loop
         br.bits(2) match {
-          case 2 => subtractGreen = true
-          case _ => return None // predictor/color/indexing: out of scope
+          case 2 =>
+            if (xfs.exists(_ == SubGreen)) throw Bail // each at most once
+            xfs ::= SubGreen
+          case 3 => // color-indexing: palette as its own image stream
+            if (xfs.exists(_.isInstanceOf[ColorIndex])) throw Bail
+            val palSize = br.bits(8) + 1
+            val raw = decodePixels(br, palSize, 1, level0 = false)
+            val palette = new Array[Int](palSize)
+            palette(0) = raw(0)
+            var i = 1
+            while (i < palSize) {
+              palette(i) = addPixels(raw(i), palette(i - 1)) // delta-coded
+              i += 1
+            }
+            val widthBits =
+              if (palSize <= 2) 3
+              else if (palSize <= 4) 2
+              else if (palSize <= 16) 1
+              else 0
+            xfs ::= ColorIndex(palette, widthBits, curW)
+            curW = (curW + (1 << widthBits) - 1) >> widthBits
+          case _ => return None // predictor/color transform: out of scope
         }
       }
+      var argb = decodePixels(br, curW, h, level0 = true)
+      // inverses in reverse stream order (xfs is already reversed by ::)
+      xfs.foreach {
+        case SubGreen =>
+          var i = 0
+          while (i < argb.length) {
+            val px = argb(i)
+            val g = (px >> 8) & 0xff
+            val r = ((px >> 16) + g) & 0xff
+            val b = (px + g) & 0xff
+            argb(i) = (px & 0xff000000) | (r << 16) | (g << 8) | b
+            i += 1
+          }
+        case ColorIndex(palette, widthBits, wBefore) =>
+          val packedW = (wBefore + (1 << widthBits) - 1) >> widthBits
+          val bitsPer = 8 >> widthBits
+          val mask = (1 << widthBits) - 1
+          val outPx = new Array[Int](wBefore * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < wBefore) {
+              val g = (argb(y * packedW + (x >> widthBits)) >> 8) & 0xff
+              val idx = (g >> ((x & mask) * bitsPer)) & ((1 << bitsPer) - 1)
+              if (idx >= palette.length) throw Bail
+              outPx(y * wBefore + x) = palette(idx)
+              x += 1
+            }
+            y += 1
+          }
+          argb = outPx
+      }
+      // ARGB -> 0xRRGGBB
+      val out = new Array[Int](w * h)
+      var i = 0
+      while (i < out.length) {
+        out(i) = argb(i) & 0xffffff
+        i += 1
+      }
+      Some((w, h, out))
+    }
+
+    /** Component-wise byte addition (the palette delta decode). */
+    private def addPixels(a: Int, b: Int): Int =
+      (((a >>> 24) + (b >>> 24)) & 0xff) << 24 |
+        ((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff) << 16 |
+        ((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff) << 8 |
+        (((a & 0xff) + (b & 0xff)) & 0xff)
+
+    /** One entropy-coded image stream (the recursive unit: the main
+      * image and the palette sub-image both run through here): color
+      * cache bit, meta-prefix bit (level0 only — out of scope), the 5
+      * trees, and the literal/backref/cache pixel loop. Returns ARGB. */
+    private def decodePixels(br: BitReader, w: Int, h: Int,
+      level0: Boolean): Array[Int] = {
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) throw Bail
       val cacheBits = if (br.bit() == 1) br.bits(4) else 0
-      if (cacheBits > 11) return None
+      if (cacheBits > 11) throw Bail
       val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
       val cache = new Array[Int](math.max(cacheSize, 1))
-      if (br.bit() == 1) return None // meta prefix groups: out of scope
+      if (level0 && br.bit() == 1)
+        throw Bail // meta prefix groups: out of scope
       val greenTree = readTree(br, 256 + 24 + cacheSize)
       val redTree = readTree(br, 256)
       val blueTree = readTree(br, 256)
@@ -3061,7 +3144,7 @@ object Multimodal {
           // the 2-D close-neighborhood map (codes 1..120) is out of
           // scope — see the section comment; direct codes express
           // every distance
-          if (distCode <= 120) return None
+          if (distCode <= 120) throw Bail
           val dist = distCode - 120
           if (dist > pos || pos + length > n) throw Bail
           var i = 0
@@ -3079,19 +3162,7 @@ object Multimodal {
           pos += 1
         }
       }
-      // inverse subtract-green, then ARGB -> 0xRRGGBB
-      val out = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        val px = argb(i)
-        val g = (px >> 8) & 0xff
-        var r = (px >> 16) & 0xff
-        var b = px & 0xff
-        if (subtractGreen) { r = (r + g) & 0xff; b = (b + g) & 0xff }
-        out(i) = (r << 16) | (g << 8) | b
-        i += 1
-      }
-      Some((w, h, out))
+      argb
     }
 
     // ------------------------------------------------------------ encoder
@@ -3222,25 +3293,111 @@ object Multimodal {
     /** Encode top-down `0xRRGGBB` as a conforming VP8L file through the
       * general machinery: full code-length-coded trees, greedy dist-1
       * LZ77 runs (direct distance codes), optional color cache,
-      * optional subtract-green. Exact round-trip through [[decode]]. */
+      * optional subtract-green, optional color-indexing (`usePalette`:
+      * the distinct colors become a delta-coded palette sub-image and
+      * the main image carries bit-packed indices — the graphics-image
+      * mode). Exact round-trip through [[decode]]. */
     def encode(w: Int, h: Int, px: Array[Int], cacheBits: Int = 0,
-      subtractGreen: Boolean = false): Array[Byte] = {
+      subtractGreen: Boolean = false,
+      usePalette: Boolean = false): Array[Byte] = {
       require(w > 0 && h > 0 && w <= 16384 && h <= 16384 &&
         px.length == w * h)
       require(cacheBits >= 0 && cacheBits <= 11)
-      val n = px.length
-      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-      // pass 0: per-pixel ARGB after optional subtract-green
-      val argb = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        val g = (px(i) >> 8) & 0xff
-        var r = (px(i) >> 16) & 0xff
-        var b = px(i) & 0xff
-        if (subtractGreen) { r = (r - g) & 0xff; b = (b - g) & 0xff }
-        argb(i) = (0xff << 24) | (r << 16) | (g << 8) | b
-        i += 1
+      require(!(usePalette && subtractGreen),
+        "compose palette with subtract-green by hand if ever needed")
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0x2f)
+      val bw = new BitWriter(body)
+      bw.bits(w - 1, 14); bw.bits(h - 1, 14)
+      bw.bits(0, 1); bw.bits(0, 3)
+      if (usePalette) {
+        val palette = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+        px.foreach { v =>
+          val c = 0xff000000 | v
+          if (!palette.contains(c)) palette(c) = palette.size
+        }
+        require(palette.size <= 256,
+          s"palette mode needs <= 256 distinct colors: ${palette.size}")
+        val pal = palette.keys.toArray
+        bw.bits(1, 1); bw.bits(3, 2) // transform: color-indexing
+        bw.bits(pal.length - 1, 8)
+        // delta-code the palette and ship it as its own image stream
+        val deltas = Array.tabulate(pal.length)(i =>
+          if (i == 0) pal(0) else subPixels(pal(i), pal(i - 1)))
+        emitImageStream(bw, deltas, cacheBits = 0, level0 = false)
+        bw.bits(0, 1) // end of transforms
+        val widthBits =
+          if (pal.length <= 2) 3
+          else if (pal.length <= 4) 2
+          else if (pal.length <= 16) 1
+          else 0
+        val bitsPer = 8 >> widthBits
+        val packedW = (w + (1 << widthBits) - 1) >> widthBits
+        val idxImg = new Array[Int](packedW * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val idx = palette(0xff000000 | px(y * w + x))
+            val cell = y * packedW + (x >> widthBits)
+            val sh = (x & ((1 << widthBits) - 1)) * bitsPer
+            idxImg(cell) |= idx << sh
+            x += 1
+          }
+          y += 1
+        }
+        // packed indices ride the GREEN channel of an opaque image
+        var j = 0
+        while (j < idxImg.length) {
+          idxImg(j) = 0xff000000 | (idxImg(j) << 8)
+          j += 1
+        }
+        emitImageStream(bw, idxImg, cacheBits, level0 = true)
+      } else {
+        if (subtractGreen) { bw.bits(1, 1); bw.bits(2, 2) }
+        bw.bits(0, 1) // end of transforms
+        val argb = new Array[Int](px.length)
+        var i = 0
+        while (i < px.length) {
+          val g = (px(i) >> 8) & 0xff
+          var r = (px(i) >> 16) & 0xff
+          var b = px(i) & 0xff
+          if (subtractGreen) { r = (r - g) & 0xff; b = (b - g) & 0xff }
+          argb(i) = (0xff << 24) | (r << 16) | (g << 8) | b
+          i += 1
+        }
+        emitImageStream(bw, argb, cacheBits, level0 = true)
       }
+      bw.flush()
+      val payload = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le32w(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      val padded = payload.length + (payload.length & 1)
+      ascii("RIFF"); le32w(4 + 8 + padded); ascii("WEBP")
+      ascii("VP8L"); le32w(payload.length)
+      out.write(payload)
+      if ((payload.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+
+    /** Component-wise byte subtraction (palette delta coding). */
+    private def subPixels(a: Int, b: Int): Int =
+      (((a >>> 24) - (b >>> 24)) & 0xff) << 24 |
+        ((((a >> 16) & 0xff) - ((b >> 16) & 0xff)) & 0xff) << 16 |
+        ((((a >> 8) & 0xff) - ((b >> 8) & 0xff)) & 0xff) << 8 |
+        (((a & 0xff) - (b & 0xff)) & 0xff)
+
+    /** Tokenize + build trees + emit ONE image stream of ARGB pixels
+      * (cache bit, meta bit when level0, 5 trees, pixel tokens) — the
+      * shared unit behind the main image and the palette sub-image. */
+    private def emitImageStream(bw: BitWriter, argb: Array[Int],
+      cacheBits: Int, level0: Boolean): Unit = {
+      val n = argb.length
+      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
       // pass 1: tokenize (literal / cache-hit / dist-1 run) + histograms
       sealed trait Tok
       case class Lit(px: Int) extends Tok
@@ -3256,7 +3413,7 @@ object Multimodal {
         val idx = ((0x1e35a7bd * v) >>> (32 - cacheBits)).toInt
         cache(idx) = v; cacheValid(idx) = true
       }
-      i = 0
+      var i = 0
       while (i < n) {
         val v = argb(i)
         if (i > 0 && v == argb(i - 1)) {
@@ -3295,17 +3452,10 @@ object Multimodal {
       val bLen = huffLengths(bFreq, 15); val bCode = canonicalCodes(bLen)
       val aLen = huffLengths(aFreq, 15); val aCode = canonicalCodes(aLen)
       val dLen = huffLengths(dFreq, 15); val dCode = canonicalCodes(dLen)
-      // pass 3: the bitstream
-      val body = new java.io.ByteArrayOutputStream()
-      body.write(0x2f)
-      val bw = new BitWriter(body)
-      bw.bits(w - 1, 14); bw.bits(h - 1, 14)
-      bw.bits(0, 1); bw.bits(0, 3)
-      if (subtractGreen) { bw.bits(1, 1); bw.bits(2, 2) }
-      bw.bits(0, 1) // end of transforms
+      // pass 3: the stream
       if (cacheSize > 0) { bw.bits(1, 1); bw.bits(cacheBits, 4) }
       else bw.bits(0, 1)
-      bw.bits(0, 1) // no meta prefix groups
+      if (level0) bw.bits(0, 1) // no meta prefix groups
       writeTree(bw, gLen); writeTree(bw, rLen); writeTree(bw, bLen)
       writeTree(bw, aLen); writeTree(bw, dLen)
       // a sole-symbol tree costs zero bits (the decoder never reads)
@@ -3328,20 +3478,6 @@ object Multimodal {
           if (dMulti) bw.code(dCode(dc), dLen(dc))
           if (deb > 0) bw.bits(dev, deb)
       }
-      bw.flush()
-      val payload = body.toByteArray
-      val out = new java.io.ByteArrayOutputStream()
-      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
-      def le32w(v: Int): Unit = {
-        out.write(v & 0xff); out.write((v >> 8) & 0xff)
-        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
-      }
-      val padded = payload.length + (payload.length & 1)
-      ascii("RIFF"); le32w(4 + 8 + padded); ascii("WEBP")
-      ascii("VP8L"); le32w(payload.length)
-      out.write(payload)
-      if ((payload.length & 1) == 1) out.write(0)
-      out.toByteArray
     }
   }
 
@@ -3368,6 +3504,30 @@ object Multimodal {
           (r << 16) | (g << 8) | b
         }
         (id, Vp8lCodec.encode(w, h, px, cacheBits = 4, subtractGreen = true))
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** The same run-rich pixel formula, COLOR-INDEXED: ≤3 distinct colors
+    * per doc become a delta-coded palette sub-image and a bit-packed
+    * index image — the graphics-image VP8L mode. Same oracle as
+    * [[mediaWebplRuns]] (lossless decode of the same pixels), entirely
+    * different machinery under the hash. */
+  def mediaWebplPalette(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 6 + 3).toInt
+        val h = (id * 7 % 5 + 2).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val c = ((id + i / 4) % 3).toInt
+          val r = ((id * 5 + c * 77) % 256).toInt
+          val g = ((id * 3 + c * 113) % 256).toInt
+          val b = ((id * 11 + c * 41) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        (id, Vp8lCodec.encode(w, h, px, usePalette = true))
       }
     }.toDF("media_id", "payload")
   }

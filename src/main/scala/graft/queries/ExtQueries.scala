@@ -4323,6 +4323,40 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // The COLOR-INDEXING (palette) VP8L mode under the oracle gate:
+    // same pixel formula as media_features_webpl_runs, but the encoder
+    // ships a delta-coded palette sub-image (its own recursive image
+    // stream) and a bit-packed index image. Lossless decode of the same
+    // pixels => the same oracle SQL; a regression in palette delta
+    // coding, the sub-image stream, or index unpacking is a red row.
+    ("media_features_webpl_palette",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .webplFeatures(graft.ext.Multimodal.mediaWebplPalette(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 6 + 3 AS INT) AS w,
+         CAST((doc_id * 7) % 5 + 2 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y,
+         (doc_id + i // 4) % 3 AS c, i
+  FROM dms, unnest(range(0, w * h)) AS t(i)),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 5 + c * 77) % 256 AS r,
+         (doc_id * 3 + c * 113) % 256 AS g,
+         (doc_id * 11 + c * 41) % 256 AS b,
+         y * w + x + 1 AS pw
+  FROM px)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+       sum(b)::BIGINT AS sum_b,
+       sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+       sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // REAL pixel RESAMPLING end-to-end: decode → integer nearest-
     // neighbor to fit 8×8 (the resize scale/rounding contract) →
     // re-ENCODE as a conforming BMP → decode again → integer features

@@ -853,6 +853,41 @@ class MediaHeadersSpec extends SparkSuite {
     assert(fRuns.length < fLit.length, "backrefs must compress the runs")
   }
 
+  test("Vp8lCodec color-indexing: palette sizes across every packing " +
+      "width round-trip exactly (delta-coded palette sub-image + " +
+      "bit-packed index unpacking)") {
+    // palette sizes straddling all four widthBits regimes: 2 colors
+    // (8 px/byte), 3-4 (4 px/byte), 5-16 (2 px/byte), 17+ (1 px/byte)
+    for (nColors <- Seq(2, 3, 4, 7, 16, 17, 200)) {
+      val w = 23; val h = 5 // w not a multiple of any pack factor
+      val colors = Array.tabulate(nColors)(i =>
+        (((i * 37 + 11) % 256) << 16) | (((i * 73 + 5) % 256) << 8) |
+          ((i * 151 + 2) % 256))
+      val px = Array.tabulate(w * h)(i => colors((i * 7 + i / w) % nColors))
+      val f = Multimodal.Vp8lCodec.encode(w, h, px, usePalette = true)
+      assert(Multimodal.Vp8lCodec.decode(f)
+        .exists { case (gw, gh, gpx) =>
+          gw == w && gh == h && gpx.sameElements(px) },
+        s"palette round-trip failed at $nColors colors")
+    }
+    // at enough pixels, packing must actually compress: an alternating
+    // 2-color image packs to a CONSTANT byte (0x55) the index image
+    // then run-length-codes, while literal coding pays ~3 bits/px
+    val w2 = 64; val h2 = 16
+    val alt = Array.tabulate(w2 * h2)(i => if (i % 2 == 0) 0x102030 else 0xa0b0c0)
+    val fPal = Multimodal.Vp8lCodec.encode(w2, h2, alt, usePalette = true)
+    val fLit2 = Multimodal.Vp8lCodec.encode(w2, h2, alt)
+    assert(fPal.length < fLit2.length,
+      s"palette must compress the 2-color image: ${fPal.length} vs ${fLit2.length}")
+    // palette + color cache compose
+    val pxc = Array.tabulate(40 * 3)(i => Seq(0x112233, 0x445566, 0x778899)(i % 3))
+    val fc = Multimodal.Vp8lCodec.encode(40, 3, pxc,
+      cacheBits = 2, usePalette = true)
+    assert(Multimodal.Vp8lCodec.decode(fc)
+      .exists { case (gw, gh, gpx) =>
+        gw == 40 && gh == 3 && gpx.sameElements(pxc) })
+  }
+
   test("Vp8lCodec rejects non-conforming and out-of-envelope streams " +
       "(truncation never throws; unsupported transform is None)") {
     val px = Array.tabulate(24)(i => (i * 37 + 11) * 131 & 0xffffff)
