@@ -3028,10 +3028,19 @@ object Multimodal {
       case object SubGreen extends Xf
       final case class ColorIndex(palette: Array[Int], widthBits: Int,
         wBefore: Int) extends Xf
+      final case class Predictor(modes: Array[Int], sizeBits: Int,
+        wAtRead: Int) extends Xf
       var xfs = List.empty[Xf]
       var curW = w
       while (br.bit() == 1) { // transform loop
         br.bits(2) match {
+          case 0 => // predictor: per-tile modes as their own image stream
+            if (xfs.exists(_.isInstanceOf[Predictor])) throw Bail
+            val sizeBits = br.bits(3) + 2
+            val tw = (curW + (1 << sizeBits) - 1) >> sizeBits
+            val th = (h + (1 << sizeBits) - 1) >> sizeBits
+            val modes = decodePixels(br, tw, th, level0 = false)
+            xfs ::= Predictor(modes, sizeBits, curW)
           case 2 =>
             if (xfs.exists(_ == SubGreen)) throw Bail // each at most once
             xfs ::= SubGreen
@@ -3053,7 +3062,8 @@ object Multimodal {
               else 0
             xfs ::= ColorIndex(palette, widthBits, curW)
             curW = (curW + (1 << widthBits) - 1) >> widthBits
-          case _ => return None // predictor/color transform: out of scope
+          case _ => return None // the color (cross-channel) transform:
+          // out of scope (the one remaining transform)
         }
       }
       var argb = decodePixels(br, curW, h, level0 = true)
@@ -3087,6 +3097,38 @@ object Multimodal {
             y += 1
           }
           argb = outPx
+        case Predictor(modes, sizeBits, wAtRead) =>
+          // inverses run in reverse-read order, so the image is back at
+          // exactly the width this transform was read against
+          val ww = wAtRead
+          if (argb.length != ww * h) throw Bail
+          val tw = (ww + (1 << sizeBits) - 1) >> sizeBits
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < ww) {
+              val i = y * ww + x
+              val pred =
+                if (x == 0 && y == 0) 0xff000000
+                else if (y == 0) argb(i - 1) // top row: always L
+                else if (x == 0) argb(i - ww) // left column: always T
+                else {
+                  val mode = (modes(
+                    (y >> sizeBits) * tw + (x >> sizeBits)) >> 8) & 0xff
+                  if (mode > 13) throw Bail
+                  val l = argb(i - 1); val t = argb(i - ww)
+                  val tl = argb(i - ww - 1)
+                  // rightmost column: TR is the leftmost pixel of the
+                  // CURRENT row (the contiguous-buffer convention)
+                  val tr = if (x == ww - 1) argb(y * ww)
+                  else argb(i - ww + 1)
+                  predict(mode, l, t, tl, tr)
+                }
+              argb(i) = addPixels(argb(i), pred)
+              x += 1
+            }
+            y += 1
+          }
       }
       // ARGB -> 0xRRGGBB
       val out = new Array[Int](w * h)
@@ -3097,6 +3139,61 @@ object Multimodal {
       }
       Some((w, h, out))
     }
+
+    /** The 14 spatial predictors (spec §4.2): componentwise ARGB
+      * arithmetic on the already-reconstructed neighbors. */
+    private def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int =
+      mode match {
+        case 0 => 0xff000000
+        case 1 => l
+        case 2 => t
+        case 3 => tr
+        case 4 => tl
+        case 5 => avg2(avg2(l, tr), t)
+        case 6 => avg2(l, tl)
+        case 7 => avg2(l, t)
+        case 8 => avg2(tl, t)
+        case 9 => avg2(t, tr)
+        case 10 => avg2(avg2(l, tl), avg2(t, tr))
+        case 11 => // Select: the neighbor closer to the gradient estimate
+          var pL = 0; var pT = 0
+          var s = 0
+          while (s < 32) {
+            val lc = (l >>> s) & 0xff; val tc = (t >>> s) & 0xff
+            val tlc = (tl >>> s) & 0xff
+            val p = lc + tc - tlc
+            pL += math.abs(p - lc); pT += math.abs(p - tc)
+            s += 8
+          }
+          if (pL < pT) l else t
+        case 12 => // ClampAddSubtractFull
+          var out = 0
+          var s = 0
+          while (s < 32) {
+            val v = ((l >>> s) & 0xff) + ((t >>> s) & 0xff) -
+              ((tl >>> s) & 0xff)
+            out |= (if (v < 0) 0 else if (v > 255) 255 else v) << s
+            s += 8
+          }
+          out
+        case _ => // 13: ClampAddSubtractHalf (C-truncating /2 on the delta)
+          var out = 0
+          var s = 0
+          while (s < 32) {
+            val ave = (((l >>> s) & 0xff) + ((t >>> s) & 0xff)) >> 1
+            val v = ave + (ave - ((tl >>> s) & 0xff)) / 2
+            out |= (if (v < 0) 0 else if (v > 255) 255 else v) << s
+            s += 8
+          }
+          out
+      }
+
+    /** Component-wise floor average. */
+    private def avg2(a: Int, b: Int): Int =
+      ((((a >>> 24) + (b >>> 24)) >> 1) << 24) |
+        (((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) >> 1) << 16) |
+        (((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) >> 1) << 8) |
+        ((((a & 0xff) + (b & 0xff)) >> 1))
 
     /** Component-wise byte addition (the palette delta decode). */
     private def addPixels(a: Int, b: Int): Int =
@@ -3299,12 +3396,15 @@ object Multimodal {
       * mode). Exact round-trip through [[decode]]. */
     def encode(w: Int, h: Int, px: Array[Int], cacheBits: Int = 0,
       subtractGreen: Boolean = false,
-      usePalette: Boolean = false): Array[Byte] = {
+      usePalette: Boolean = false,
+      usePredictor: Boolean = false): Array[Byte] = {
       require(w > 0 && h > 0 && w <= 16384 && h <= 16384 &&
         px.length == w * h)
       require(cacheBits >= 0 && cacheBits <= 11)
       require(!(usePalette && subtractGreen),
         "compose palette with subtract-green by hand if ever needed")
+      require(!(usePalette && usePredictor),
+        "palette images predict poorly; compose by hand if ever needed")
       val body = new java.io.ByteArrayOutputStream()
       body.write(0x2f)
       val bw = new BitWriter(body)
@@ -3355,7 +3455,6 @@ object Multimodal {
         emitImageStream(bw, idxImg, cacheBits, level0 = true)
       } else {
         if (subtractGreen) { bw.bits(1, 1); bw.bits(2, 2) }
-        bw.bits(0, 1) // end of transforms
         val argb = new Array[Int](px.length)
         var i = 0
         while (i < px.length) {
@@ -3366,7 +3465,75 @@ object Multimodal {
           argb(i) = (0xff << 24) | (r << 16) | (g << 8) | b
           i += 1
         }
-        emitImageStream(bw, argb, cacheBits, level0 = true)
+        if (usePredictor) {
+          // per-tile best-of-14 spatial prediction on 4x4 tiles (small
+          // enough that fixture images span multiple tiles)
+          val sizeBits = 2
+          bw.bits(1, 1); bw.bits(0, 2); bw.bits(sizeBits - 2, 3)
+          val tw = (w + 3) >> sizeBits; val th = (h + 3) >> sizeBits
+          def residualFor(x: Int, y: Int, mode: Int): Int = {
+            val j = y * w + x
+            val pred =
+              if (x == 0 && y == 0) 0xff000000
+              else if (y == 0) argb(j - 1)
+              else if (x == 0) argb(j - w)
+              else {
+                val l = argb(j - 1); val t = argb(j - w)
+                val tl = argb(j - w - 1)
+                val tr = if (x == w - 1) argb(y * w) else argb(j - w + 1)
+                predict(mode, l, t, tl, tr)
+              }
+            subPixels(argb(j), pred)
+          }
+          val modesImg = new Array[Int](tw * th)
+          val residuals = new Array[Int](px.length)
+          var ty = 0
+          while (ty < th) {
+            var tx = 0
+            while (tx < tw) {
+              var best = 0; var bestCost = Long.MaxValue
+              var mode = 0
+              while (mode < 14) {
+                var cost = 0L
+                var y = ty << sizeBits
+                while (y < math.min((ty + 1) << sizeBits, h)) {
+                  var x = tx << sizeBits
+                  while (x < math.min((tx + 1) << sizeBits, w)) {
+                    val r = residualFor(x, y, mode)
+                    var s = 0
+                    while (s < 32) {
+                      val c = (r >>> s) & 0xff
+                      cost += math.min(c, 256 - c) // wrap distance to 0
+                      s += 8
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+                if (cost < bestCost) { bestCost = cost; best = mode }
+                mode += 1
+              }
+              modesImg(ty * tw + tx) = 0xff000000 | (best << 8)
+              var y = ty << sizeBits
+              while (y < math.min((ty + 1) << sizeBits, h)) {
+                var x = tx << sizeBits
+                while (x < math.min((tx + 1) << sizeBits, w)) {
+                  residuals(y * w + x) = residualFor(x, y, best)
+                  x += 1
+                }
+                y += 1
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          emitImageStream(bw, modesImg, cacheBits = 0, level0 = false)
+          bw.bits(0, 1) // end of transforms
+          emitImageStream(bw, residuals, cacheBits, level0 = true)
+        } else {
+          bw.bits(0, 1) // end of transforms
+          emitImageStream(bw, argb, cacheBits, level0 = true)
+        }
       }
       bw.flush()
       val payload = body.toByteArray
@@ -3528,6 +3695,30 @@ object Multimodal {
           (r << 16) | (g << 8) | b
         }
         (id, Vp8lCodec.encode(w, h, px, usePalette = true))
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** Gradient pixels through the PREDICTOR transform: per doc,
+    * w = id%7+4, h = (3·id)%5+3, channels are linear ramps
+    * R=(40+3x+2y+id)%256, G=(60+2x+4y+3id)%256, B=(90+x+y+7id)%256 —
+    * the content spatial prediction exists for. Deterministic encode
+    * (per-tile best-of-14 search), lossless decode ⇒ exact oracle. */
+  def mediaWebplPred(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 7 + 4).toInt
+        val h = (id * 3 % 5 + 3).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          val r = ((40 + 3 * x + 2 * y + id) % 256).toInt
+          val g = ((60 + 2 * x + 4 * y + 3 * id) % 256).toInt
+          val b = ((90 + x + y + 7 * id) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        (id, Vp8lCodec.encode(w, h, px, usePredictor = true))
       }
     }.toDF("media_id", "payload")
   }

@@ -4357,6 +4357,41 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // The PREDICTOR transform under the oracle gate: gradient pixels
+    // (the content spatial prediction exists for) -> per-tile
+    // best-of-14 mode search, the mode sub-image as its own recursive
+    // stream, residual coding -> decode. Deterministic + lossless =>
+    // exact formula oracle; a regression in any of the 14 predictors,
+    // the edge rules (black corner, forced L/T on first row/column, the
+    // rightmost-column TR convention), or the mode-tile lookup is a
+    // red row.
+    ("media_features_webpl_pred",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .webplFeatures(graft.ext.Multimodal.mediaWebplPred(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 7 + 4 AS INT) AS w,
+         CAST((doc_id * 3) % 5 + 3 AS INT) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y
+  FROM dms, unnest(range(0, w * h)) AS t(i)),
+v AS (
+  SELECT doc_id, w, h,
+         (40 + 3 * x + 2 * y + doc_id) % 256 AS r,
+         (60 + 2 * x + 4 * y + 3 * doc_id) % 256 AS g,
+         (90 + x + y + 7 * doc_id) % 256 AS b,
+         y * w + x + 1 AS pw
+  FROM px)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+       sum(b)::BIGINT AS sum_b,
+       sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+       sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // REAL pixel RESAMPLING end-to-end: decode → integer nearest-
     // neighbor to fit 8×8 (the resize scale/rounding contract) →
     // re-ENCODE as a conforming BMP → decode again → integer features

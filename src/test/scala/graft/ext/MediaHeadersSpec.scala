@@ -888,6 +888,45 @@ class MediaHeadersSpec extends SparkSuite {
         gw == 40 && gh == 3 && gpx.sameElements(pxc) })
   }
 
+  test("Vp8lCodec predictor transform: per-tile best-of-14 spatial " +
+      "prediction round-trips exactly, alone and composed with " +
+      "subtract-green + cache, and actually compresses gradients") {
+    // smooth gradient: spatial predictors should leave near-zero
+    // residuals; 4x4 tiles over 19x9 = multiple tiles incl. partials
+    val w = 19; val h = 9
+    val grad = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((40 + 3 * x + 2 * y) << 16) | ((60 + 2 * x + 4 * y) << 8) |
+        (90 + x + y)
+    }
+    for (sg <- Seq(false, true); cb <- Seq(0, 3)) {
+      val f = Multimodal.Vp8lCodec.encode(w, h, grad,
+        cacheBits = cb, subtractGreen = sg, usePredictor = true)
+      assert(Multimodal.Vp8lCodec.decode(f)
+        .exists { case (gw, gh, gpx) =>
+          gw == w && gh == h && gpx.sameElements(grad) },
+        s"predictor round-trip failed sg=$sg cacheBits=$cb")
+    }
+    // prediction must beat literal coding on the gradient
+    val fPred = Multimodal.Vp8lCodec.encode(w, h, grad, usePredictor = true)
+    val fLit = Multimodal.Vp8lCodec.encode(w, h, grad)
+    assert(fPred.length < fLit.length,
+      s"prediction must compress the gradient: ${fPred.length} vs ${fLit.length}")
+    // noise (predictors can't help, the mode search must still be
+    // exact) and hard edges (Select/clamp modes in play): both exact
+    val noise = Array.tabulate(w * h)(i =>
+      ((i * 2654435761L >> 9) & 0xffffff).toInt)
+    assert(Multimodal.Vp8lCodec.decode(
+      Multimodal.Vp8lCodec.encode(w, h, noise, usePredictor = true))
+      .exists(_._3.sameElements(noise)))
+    val edges = Array.tabulate(w * h) { i =>
+      if ((i % w) < 10 ^ (i / w) < 5) 0xf0f0f0 else 0x101010
+    }
+    assert(Multimodal.Vp8lCodec.decode(
+      Multimodal.Vp8lCodec.encode(w, h, edges, usePredictor = true))
+      .exists(_._3.sameElements(edges)))
+  }
+
   test("Vp8lCodec rejects non-conforming and out-of-envelope streams " +
       "(truncation never throws; unsupported transform is None)") {
     val px = Array.tabulate(24)(i => (i * 37 + 11) * 131 & 0xffffff)
