@@ -2737,16 +2737,20 @@ object Multimodal {
   // two-level scheme — code lengths themselves prefix-coded, with the
   // 16/17/18 repeat symbols), LZ77 backreferences with the shared
   // length/distance prefix-value coding, a color cache (multiplicative
-  // hash), and the subtract-green transform. [[Vp8lCodec.decode]]
-  // implements exactly that envelope; the documented out-of-scope
-  // corners return None rather than misdecode: meta prefix groups
-  // (entropy images), the predictor / color / color-indexing
-  // transforms, and the 2-D close-neighborhood distance map (codes
-  // 1..120 — its 120-entry (dx,dy) table is spec data this offline
-  // environment cannot re-derive trustworthily, and a wrong table would
-  // round-trip silently; our encoder only emits direct distance codes,
-  // which express every distance). Lossless means the round-trip
-  // property is EXACT, unlike JPEG's bounded-error one.
+  // hash), and ALL FOUR transforms — subtract-green, the per-tile
+  // 14-mode spatial predictor, the per-tile signed cross-channel color
+  // transform, and color-indexing (delta-coded palette + bit-packed
+  // indices), each transform's tile data arriving as its own recursive
+  // image stream and inverses applied in reverse stream order.
+  // [[Vp8lCodec.decode]] implements exactly that envelope; the two
+  // documented out-of-scope corners return None rather than misdecode:
+  // meta prefix groups (entropy images), and the 2-D close-neighborhood
+  // distance map (codes 1..120 — its 120-entry (dx,dy) table is spec
+  // data this offline environment cannot re-derive trustworthily, and a
+  // wrong table would round-trip silently; our encoder only emits
+  // direct distance codes, which express every distance). Lossless
+  // means the round-trip property is EXACT, unlike JPEG's bounded-error
+  // one.
   //
   // Synthesis ([[mediaWebpl]]) keeps the oracle exact with the format's
   // own degenerate-but-legal corner (the stored-block trick again):
@@ -2754,8 +2758,9 @@ object Multimodal {
   // codes for alpha and distance make every pixel exactly 3 bits, and
   // the whole stream a pure Column bit-fold. The general machinery the
   // synthesis can't reach — full code-length-coded trees, LZ77 dist-1
-  // runs, the color cache — is spec-pinned by [[Vp8lCodec.encode]]
-  // round-trips and a hand-built backreference stream.
+  // runs, the color cache, the four transforms — is spec-pinned by
+  // [[Vp8lCodec.encode]] round-trips and oracle-gated by the
+  // `media_features_webpl_{runs,palette,pred}` encode→decode chains.
 
   /** Synthesize a VP8L WebP per document: w = id%5+1, h = (3·id)%4+1;
     * per-channel two-value palettes G ∈ {7id, 7id+13}, R ∈ {3id,
@@ -2978,10 +2983,11 @@ object Multimodal {
     private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
     /** Decode a VP8L (lossless WebP) within the documented envelope:
-      * no meta prefix groups, no predictor/color/color-indexing
-      * transforms (subtract-green IS supported), distances only via
-      * direct codes (> 120). Returns top-down `0xRRGGBB`; None on
-      * anything non-conforming or out of envelope. */
+      * all four transforms supported (subtract-green, predictor, color,
+      * color-indexing); no meta prefix groups; distances only via
+      * direct codes (> 120) — see the section comment for why. Returns
+      * top-down `0xRRGGBB`; None on anything non-conforming or out of
+      * envelope. */
     def decode(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
       if (p == null || p.length < 21) return None
       try decodeImpl(p)
@@ -3030,6 +3036,8 @@ object Multimodal {
         wBefore: Int) extends Xf
       final case class Predictor(modes: Array[Int], sizeBits: Int,
         wAtRead: Int) extends Xf
+      final case class ColorXf(elements: Array[Int], sizeBits: Int,
+        wAtRead: Int) extends Xf
       var xfs = List.empty[Xf]
       var curW = w
       while (br.bit() == 1) { // transform loop
@@ -3041,6 +3049,13 @@ object Multimodal {
             val th = (h + (1 << sizeBits) - 1) >> sizeBits
             val modes = decodePixels(br, tw, th, level0 = false)
             xfs ::= Predictor(modes, sizeBits, curW)
+          case 1 => // color transform: per-tile cross-channel elements
+            if (xfs.exists(_.isInstanceOf[ColorXf])) throw Bail
+            val sizeBits = br.bits(3) + 2
+            val tw = (curW + (1 << sizeBits) - 1) >> sizeBits
+            val th = (h + (1 << sizeBits) - 1) >> sizeBits
+            val elements = decodePixels(br, tw, th, level0 = false)
+            xfs ::= ColorXf(elements, sizeBits, curW)
           case 2 =>
             if (xfs.exists(_ == SubGreen)) throw Bail // each at most once
             xfs ::= SubGreen
@@ -3062,8 +3077,7 @@ object Multimodal {
               else 0
             xfs ::= ColorIndex(palette, widthBits, curW)
             curW = (curW + (1 << widthBits) - 1) >> widthBits
-          case _ => return None // the color (cross-channel) transform:
-          // out of scope (the one remaining transform)
+          case _ => throw Bail // 2-bit codes are exhaustive; unreachable
         }
       }
       var argb = decodePixels(br, curW, h, level0 = true)
@@ -3129,6 +3143,29 @@ object Multimodal {
             }
             y += 1
           }
+        case ColorXf(elements, sizeBits, wAtRead) =>
+          val ww = wAtRead
+          if (argb.length != ww * h) throw Bail
+          val tw = (ww + (1 << sizeBits) - 1) >> sizeBits
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < ww) {
+              val i = y * ww + x
+              val cte = elements((y >> sizeBits) * tw + (x >> sizeBits))
+              val g2r = (cte << 24) >> 24 // blue field, signed
+              val g2b = ((cte >> 8) << 24) >> 24 // green field, signed
+              val r2b = ((cte >> 16) << 24) >> 24 // red field, signed
+              val px = argb(i)
+              val gS = ((px >> 8) << 24) >> 24 // green as int8
+              val r = ((px >> 16) + ctDelta(g2r, gS)) & 0xff
+              val rS = (r << 24) >> 24
+              val b = (px + ctDelta(g2b, gS) + ctDelta(r2b, rS)) & 0xff
+              argb(i) = (px & 0xff00ff00) | (r << 16) | b
+              x += 1
+            }
+            y += 1
+          }
       }
       // ARGB -> 0xRRGGBB
       val out = new Array[Int](w * h)
@@ -3187,6 +3224,10 @@ object Multimodal {
           }
           out
       }
+
+    /** The color-transform delta: both the element and the channel are
+      * SIGNED 8-bit values, product arithmetic-shifted by 5 (spec). */
+    private def ctDelta(t: Int, c: Int): Int = (t * c) >> 5
 
     /** Component-wise floor average. */
     private def avg2(a: Int, b: Int): Int =
@@ -3397,13 +3438,14 @@ object Multimodal {
     def encode(w: Int, h: Int, px: Array[Int], cacheBits: Int = 0,
       subtractGreen: Boolean = false,
       usePalette: Boolean = false,
-      usePredictor: Boolean = false): Array[Byte] = {
+      usePredictor: Boolean = false,
+      useColorXf: Boolean = false): Array[Byte] = {
       require(w > 0 && h > 0 && w <= 16384 && h <= 16384 &&
         px.length == w * h)
       require(cacheBits >= 0 && cacheBits <= 11)
       require(!(usePalette && subtractGreen),
         "compose palette with subtract-green by hand if ever needed")
-      require(!(usePalette && usePredictor),
+      require(!(usePalette && (usePredictor || useColorXf)),
         "palette images predict poorly; compose by hand if ever needed")
       val body = new java.io.ByteArrayOutputStream()
       body.write(0x2f)
@@ -3464,6 +3506,80 @@ object Multimodal {
           if (subtractGreen) { r = (r - g) & 0xff; b = (b - g) & 0xff }
           argb(i) = (0xff << 24) | (r << 16) | (g << 8) | b
           i += 1
+        }
+        if (useColorXf) {
+          // per-tile greedy cross-channel elements on 4x4 tiles:
+          // g2r by red residual cost, then (g2b, r2b) jointly for blue
+          val sizeBits = 2
+          bw.bits(1, 1); bw.bits(1, 2); bw.bits(sizeBits - 2, 3)
+          val tw = (w + 3) >> sizeBits; val th = (h + 3) >> sizeBits
+          val cand = Array(-96, -64, -32, 0, 32, 64, 96)
+          val ctes = new Array[Int](tw * th)
+          def wrapCost(v: Int): Int = { val c = v & 0xff; math.min(c, 256 - c) }
+          var ty = 0
+          while (ty < th) {
+            var tx = 0
+            while (tx < tw) {
+              val x1 = math.min((tx + 1) << sizeBits, w)
+              val y1 = math.min((ty + 1) << sizeBits, h)
+              var bestR = 0; var bestRc = Long.MaxValue
+              for (t <- cand) {
+                var c = 0L
+                var y = ty << sizeBits
+                while (y < y1) {
+                  var x = tx << sizeBits
+                  while (x < x1) {
+                    val p = argb(y * w + x)
+                    val gS = ((p >> 8) << 24) >> 24
+                    c += wrapCost(((p >> 16) & 0xff) - ctDelta(t, gS))
+                    x += 1
+                  }
+                  y += 1
+                }
+                if (c < bestRc) { bestRc = c; bestR = t }
+              }
+              var bestGB = 0; var bestRB = 0; var bestBc = Long.MaxValue
+              for (tg <- cand; tr <- cand) {
+                var c = 0L
+                var y = ty << sizeBits
+                while (y < y1) {
+                  var x = tx << sizeBits
+                  while (x < x1) {
+                    val p = argb(y * w + x)
+                    val gS = ((p >> 8) << 24) >> 24
+                    val rS = ((p >> 16) << 24) >> 24
+                    c += wrapCost((p & 0xff) - ctDelta(tg, gS) - ctDelta(tr, rS))
+                    x += 1
+                  }
+                  y += 1
+                }
+                if (c < bestBc) { bestBc = c; bestGB = tg; bestRB = tr }
+              }
+              ctes(ty * tw + tx) = 0xff000000 | ((bestRB & 0xff) << 16) |
+                ((bestGB & 0xff) << 8) | (bestR & 0xff)
+              // apply the forward transform in place (blue uses the
+              // ORIGINAL red — the decoder restores red before blue)
+              var y = ty << sizeBits
+              while (y < y1) {
+                var x = tx << sizeBits
+                while (x < x1) {
+                  val j = y * w + x
+                  val p = argb(j)
+                  val gS = ((p >> 8) << 24) >> 24
+                  val rS = ((p >> 16) << 24) >> 24
+                  val r = (((p >> 16) & 0xff) - ctDelta(bestR, gS)) & 0xff
+                  val b = ((p & 0xff) - ctDelta(bestGB, gS) -
+                    ctDelta(bestRB, rS)) & 0xff
+                  argb(j) = (p & 0xff00ff00) | (r << 16) | b
+                  x += 1
+                }
+                y += 1
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          emitImageStream(bw, ctes, cacheBits = 0, level0 = false)
         }
         if (usePredictor) {
           // per-tile best-of-14 spatial prediction on 4x4 tiles (small
@@ -3699,12 +3815,14 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
-  /** Gradient pixels through the PREDICTOR transform: per doc,
+  /** Gradient pixels through the FULL transform chain (subtract-green →
+    * color transform → predictor, plus a color cache): per doc,
     * w = id%7+4, h = (3·id)%5+3, channels are linear ramps
     * R=(40+3x+2y+id)%256, G=(60+2x+4y+3id)%256, B=(90+x+y+7id)%256 —
-    * the content spatial prediction exists for. Deterministic encode
-    * (per-tile best-of-14 search), lossless decode ⇒ exact oracle. */
-  def mediaWebplPred(docs: DataFrame): DataFrame = {
+    * the content spatial prediction exists for, with channel
+    * correlation the color transform strips. Deterministic encode
+    * (per-tile searches), lossless decode ⇒ exact oracle. */
+  def mediaWebplChain(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -3718,7 +3836,8 @@ object Multimodal {
           val b = ((90 + x + y + 7 * id) % 256).toInt
           (r << 16) | (g << 8) | b
         }
-        (id, Vp8lCodec.encode(w, h, px, usePredictor = true))
+        (id, Vp8lCodec.encode(w, h, px, cacheBits = 3,
+          subtractGreen = true, usePredictor = true, useColorXf = true))
       }
     }.toDF("media_id", "payload")
   }

@@ -4357,18 +4357,20 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
-    // The PREDICTOR transform under the oracle gate: gradient pixels
-    // (the content spatial prediction exists for) -> per-tile
-    // best-of-14 mode search, the mode sub-image as its own recursive
-    // stream, residual coding -> decode. Deterministic + lossless =>
-    // exact formula oracle; a regression in any of the 14 predictors,
-    // the edge rules (black corner, forced L/T on first row/column, the
-    // rightmost-column TR convention), or the mode-tile lookup is a
-    // red row.
-    ("media_features_webpl_pred",
+    // The FULL VP8L transform chain under the oracle gate: gradient
+    // pixels -> subtract-green -> per-tile cross-channel color
+    // transform (signed elements, their own recursive stream) ->
+    // per-tile best-of-14 spatial prediction (mode sub-image, residual
+    // coding) -> color-cached entropy coding -> decode, inverses in
+    // reverse stream order. Deterministic + lossless => exact formula
+    // oracle; a regression in any of the 14 predictors, the signed
+    // ctDelta arithmetic, the edge rules (black corner, forced L/T on
+    // first row/column, the rightmost-column TR convention), or the
+    // tile lookups is a red row.
+    ("media_features_webpl_chain",
       (s: SparkSession, d: String) =>
         graft.ext.Multimodal
-          .webplFeatures(graft.ext.Multimodal.mediaWebplPred(docs(s, d)))
+          .webplFeatures(graft.ext.Multimodal.mediaWebplChain(docs(s, d)))
           .orderBy("media_id"),
       Some("""WITH dms AS (
   SELECT doc_id, CAST(doc_id % 7 + 4 AS INT) AS w,

@@ -927,6 +927,46 @@ class MediaHeadersSpec extends SparkSuite {
       .exists(_._3.sameElements(edges)))
   }
 
+  test("Vp8lCodec color transform: per-tile signed cross-channel elements " +
+      "round-trip exactly, alone and in the full SG+color+predictor chain") {
+    // channel-correlated content: red and blue track green, the
+    // relationship the cross-channel elements exist to strip
+    val w = 19; val h = 9
+    val corr = Array.tabulate(w * h) { i =>
+      val g = (i * 11) % 256
+      val r = (g + 40 + (i % 3)) % 256
+      val b = (g + (r >> 1) + 7) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val f = Multimodal.Vp8lCodec.encode(w, h, corr, useColorXf = true)
+    assert(Multimodal.Vp8lCodec.decode(f)
+      .exists { case (gw, gh, gpx) =>
+        gw == w && gh == h && gpx.sameElements(corr) },
+      "color-transform round-trip")
+    // the FULL transform chain the spec allows together, plus cache:
+    // subtract-green, color transform, predictor (stream order = the
+    // forward application order; inverses run reversed)
+    val grad = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((40 + 3 * x + 2 * y) << 16) | ((60 + 2 * x + 4 * y) << 8) |
+        (90 + x + y)
+    }
+    for (img <- Seq(corr, grad)) {
+      val fc = Multimodal.Vp8lCodec.encode(w, h, img, cacheBits = 3,
+        subtractGreen = true, usePredictor = true, useColorXf = true)
+      assert(Multimodal.Vp8lCodec.decode(fc)
+        .exists { case (gw, gh, gpx) =>
+          gw == w && gh == h && gpx.sameElements(img) },
+        "full-chain round-trip")
+    }
+    // noise stays exact through the element search
+    val noise = Array.tabulate(w * h)(i =>
+      ((i * 2654435761L >> 11) & 0xffffff).toInt)
+    assert(Multimodal.Vp8lCodec.decode(
+      Multimodal.Vp8lCodec.encode(w, h, noise, useColorXf = true))
+      .exists(_._3.sameElements(noise)))
+  }
+
   test("Vp8lCodec rejects non-conforming and out-of-envelope streams " +
       "(truncation never throws; unsupported transform is None)") {
     val px = Array.tabulate(24)(i => (i * 37 + 11) * 131 & 0xffffff)
