@@ -2741,16 +2741,17 @@ object Multimodal {
   // 14-mode spatial predictor, the per-tile signed cross-channel color
   // transform, and color-indexing (delta-coded palette + bit-packed
   // indices), each transform's tile data arriving as its own recursive
-  // image stream and inverses applied in reverse stream order.
-  // [[Vp8lCodec.decode]] implements exactly that envelope; the two
-  // documented out-of-scope corners return None rather than misdecode:
-  // meta prefix groups (entropy images), and the 2-D close-neighborhood
-  // distance map (codes 1..120 — its 120-entry (dx,dy) table is spec
-  // data this offline environment cannot re-derive trustworthily, and a
-  // wrong table would round-trip silently; our encoder only emits
-  // direct distance codes, which express every distance). Lossless
-  // means the round-trip property is EXACT, unlike JPEG's bounded-error
-  // one.
+  // image stream and inverses applied in reverse stream order — plus
+  // meta prefix groups (the entropy image maps tiles to independent
+  // tree sets, itself another recursive stream). [[Vp8lCodec.decode]]
+  // implements exactly that envelope; the ONE documented out-of-scope
+  // corner returns None rather than misdecode: the 2-D
+  // close-neighborhood distance map (codes 1..120 — its 120-entry
+  // (dx,dy) table is spec data this offline environment cannot
+  // re-derive trustworthily, and a wrong table would round-trip
+  // silently; our encoder only emits direct distance codes, which
+  // express every distance). Lossless means the round-trip property is
+  // EXACT, unlike JPEG's bounded-error one.
   //
   // Synthesis ([[mediaWebpl]]) keeps the oracle exact with the format's
   // own degenerate-but-legal corner (the stored-block trick again):
@@ -2983,11 +2984,10 @@ object Multimodal {
     private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
     /** Decode a VP8L (lossless WebP) within the documented envelope:
-      * all four transforms supported (subtract-green, predictor, color,
-      * color-indexing); no meta prefix groups; distances only via
-      * direct codes (> 120) — see the section comment for why. Returns
-      * top-down `0xRRGGBB`; None on anything non-conforming or out of
-      * envelope. */
+      * all four transforms and meta prefix groups supported; distances
+      * only via direct codes (> 120) — see the section comment for why.
+      * Returns top-down `0xRRGGBB`; None on anything non-conforming or
+      * out of envelope. */
     def decode(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
       if (p == null || p.length < 21) return None
       try decodeImpl(p)
@@ -3254,23 +3254,40 @@ object Multimodal {
       if (cacheBits > 11) throw Bail
       val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
       val cache = new Array[Int](math.max(cacheSize, 1))
-      if (level0 && br.bit() == 1)
-        throw Bail // meta prefix groups: out of scope
-      val greenTree = readTree(br, 256 + 24 + cacheSize)
-      val redTree = readTree(br, 256)
-      val blueTree = readTree(br, 256)
-      val alphaTree = readTree(br, 256)
-      val distTree = readTree(br, 40)
+      // meta prefix groups (level0 only): the entropy image is its own
+      // recursive stream; each tile's (red<<8|green) names the tree SET
+      // used for symbols starting inside that tile
+      var prefixBits = 0
+      var groups: Array[Int] = null
+      var groupsW = 0
+      var numGroups = 1
+      if (level0 && br.bit() == 1) {
+        prefixBits = br.bits(3) + 2
+        groupsW = (w + (1 << prefixBits) - 1) >> prefixBits
+        val th = (h + (1 << prefixBits) - 1) >> prefixBits
+        val ei = decodePixels(br, groupsW, th, level0 = false)
+        groups = ei.map(px => (px >> 8) & 0xffff)
+        numGroups = groups.max + 1
+        if (numGroups > 1024) throw Bail // sanity bound on tree sets
+      }
+      val treeSets = Array.fill(numGroups)(Array(
+        readTree(br, 256 + 24 + cacheSize),
+        readTree(br, 256), readTree(br, 256), readTree(br, 256),
+        readTree(br, 40)))
       val n = w * h
       val argb = new Array[Int](n)
       var pos = 0
       while (pos < n) {
-        val sym = greenTree.decode(br)
+        val set =
+          if (groups == null) treeSets(0)
+          else treeSets(groups(
+            ((pos / w) >> prefixBits) * groupsW + ((pos % w) >> prefixBits)))
+        val sym = set(0).decode(br)
         if (sym < 256) {
           val g = sym
-          val r = redTree.decode(br)
-          val b = blueTree.decode(br)
-          val a = alphaTree.decode(br)
+          val r = set(1).decode(br)
+          val b = set(2).decode(br)
+          val a = set(3).decode(br)
           val px = (a << 24) | (r << 16) | (g << 8) | b
           argb(pos) = px
           if (cacheSize > 0)
@@ -3278,7 +3295,7 @@ object Multimodal {
           pos += 1
         } else if (sym < 256 + 24) {
           val length = prefixValue(br, sym - 256)
-          val distCode = prefixValue(br, distTree.decode(br))
+          val distCode = prefixValue(br, set(4).decode(br))
           // the 2-D close-neighborhood map (codes 1..120) is out of
           // scope — see the section comment; direct codes express
           // every distance
@@ -3439,7 +3456,8 @@ object Multimodal {
       subtractGreen: Boolean = false,
       usePalette: Boolean = false,
       usePredictor: Boolean = false,
-      useColorXf: Boolean = false): Array[Byte] = {
+      useColorXf: Boolean = false,
+      useMetaGroups: Boolean = false): Array[Byte] = {
       require(w > 0 && h > 0 && w <= 16384 && h <= 16384 &&
         px.length == w * h)
       require(cacheBits >= 0 && cacheBits <= 11)
@@ -3581,6 +3599,7 @@ object Multimodal {
           }
           emitImageStream(bw, ctes, cacheBits = 0, level0 = false)
         }
+        var mainImg = argb
         if (usePredictor) {
           // per-tile best-of-14 spatial prediction on 4x4 tiles (small
           // enough that fixture images span multiple tiles)
@@ -3644,12 +3663,27 @@ object Multimodal {
             ty += 1
           }
           emitImageStream(bw, modesImg, cacheBits = 0, level0 = false)
-          bw.bits(0, 1) // end of transforms
-          emitImageStream(bw, residuals, cacheBits, level0 = true)
-        } else {
-          bw.bits(0, 1) // end of transforms
-          emitImageStream(bw, argb, cacheBits, level0 = true)
+          mainImg = residuals
         }
+        bw.bits(0, 1) // end of transforms
+        if (useMetaGroups) {
+          // two tree sets split by tile column (4x4 tiles): symbols
+          // starting in the left half use set 0, the right set 1 — the
+          // entropy image ships the split as its own recursive stream
+          val pb = 2
+          val tw = (w + 3) >> pb; val th = (h + 3) >> pb
+          val halfTiles = (tw + 1) / 2
+          emitImageStreamGrouped(bw, mainImg, cacheBits, level0 = true,
+            numGroups = 2,
+            groupAt = pos => if (((pos % w) >> pb) < halfTiles) 0 else 1,
+            writeMetaHeader = meta => {
+              meta.bits(1, 1); meta.bits(pb - 2, 3)
+              val ei = Array.tabulate(tw * th) { t =>
+                0xff000000 | ((if (t % tw < halfTiles) 0 else 1) << 8)
+              }
+              emitImageStream(meta, ei, cacheBits = 0, level0 = false)
+            })
+        } else emitImageStream(bw, mainImg, cacheBits, level0 = true)
       }
       bw.flush()
       val payload = body.toByteArray
@@ -3678,20 +3712,43 @@ object Multimodal {
       * (cache bit, meta bit when level0, 5 trees, pixel tokens) — the
       * shared unit behind the main image and the palette sub-image. */
     private def emitImageStream(bw: BitWriter, argb: Array[Int],
-      cacheBits: Int, level0: Boolean): Unit = {
+      cacheBits: Int, level0: Boolean): Unit =
+      emitImageStreamGrouped(bw, argb, cacheBits, level0, 1, _ => 0, null)
+
+    /** Per-group canonical codes for one tree set. */
+    private final class TreeSet(freqs: Array[Array[Long]]) {
+      val lens: Array[Array[Int]] = freqs.map(huffLengths(_, 15))
+      val codes: Array[Array[Int]] = lens.map(canonicalCodes)
+      val multi: Array[Boolean] = lens.map(_.count(_ > 0) > 1)
+      def emit(bw: BitWriter, tree: Int, sym: Int): Unit =
+        if (multi(tree)) bw.code(codes(tree)(sym), lens(tree)(sym))
+    }
+
+    /** The grouped form behind [[emitImageStream]]: tokens starting in
+      * different meta tiles use different tree SETS (`groupAt` maps a
+      * pixel position to its group). `writeMetaHeader` writes the meta
+      * bit + prefix bits + the entropy image at its stream position;
+      * null = single group (meta bit 0). */
+    private def emitImageStreamGrouped(bw: BitWriter, argb: Array[Int],
+      cacheBits: Int, level0: Boolean, numGroups: Int, groupAt: Int => Int,
+      writeMetaHeader: BitWriter => Unit): Unit = {
       val n = argb.length
       val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-      // pass 1: tokenize (literal / cache-hit / dist-1 run) + histograms
+      // pass 1: tokenize (literal / cache-hit / dist-1 run) + per-group
+      // histograms (the cache and run state are tree-independent, so
+      // one tokenization serves every group)
       sealed trait Tok
-      case class Lit(px: Int) extends Tok
-      case class Hit(idx: Int) extends Tok
-      case class Run(len: Int) extends Tok
+      case class Lit(px: Int, g: Int) extends Tok
+      case class Hit(idx: Int, g: Int) extends Tok
+      case class Run(len: Int, g: Int) extends Tok
       val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
       val cache = new Array[Int](math.max(cacheSize, 1))
       val cacheValid = new Array[Boolean](math.max(cacheSize, 1))
-      val gFreq = new Array[Long](256 + 24 + cacheSize)
-      val rFreq = new Array[Long](256); val bFreq = new Array[Long](256)
-      val aFreq = new Array[Long](256); val dFreq = new Array[Long](40)
+      val gFreq = Array.fill(numGroups)(new Array[Long](256 + 24 + cacheSize))
+      val rFreq = Array.fill(numGroups)(new Array[Long](256))
+      val bFreq = Array.fill(numGroups)(new Array[Long](256))
+      val aFreq = Array.fill(numGroups)(new Array[Long](256))
+      val dFreq = Array.fill(numGroups)(new Array[Long](40))
       def insert(v: Int): Unit = if (cacheSize > 0) {
         val idx = ((0x1e35a7bd * v) >>> (32 - cacheBits)).toInt
         cache(idx) = v; cacheValid(idx) = true
@@ -3699,16 +3756,17 @@ object Multimodal {
       var i = 0
       while (i < n) {
         val v = argb(i)
+        val grp = groupAt(i)
         if (i > 0 && v == argb(i - 1)) {
           var len = 0
           // 4096 = the longest length the 24-code prefix alphabet holds
           while (i + len < n && argb(i + len) == argb(i - 1) && len < 4096)
             len += 1
-          toks += Run(len)
+          toks += Run(len, grp)
           val (lc, _, _) = prefixEncode(len)
-          gFreq(256 + lc) += 1
+          gFreq(grp)(256 + lc) += 1
           val (dc, _, _) = prefixEncode(121) // dist 1, direct code
-          dFreq(dc) += 1
+          dFreq(grp)(dc) += 1
           var j = 0
           while (j < len) { insert(argb(i + j)); j += 1 }
           i += len
@@ -3716,49 +3774,49 @@ object Multimodal {
           val idx = if (cacheSize > 0)
             ((0x1e35a7bd * v) >>> (32 - cacheBits)).toInt else 0
           if (cacheSize > 0 && cacheValid(idx) && cache(idx) == v) {
-            toks += Hit(idx)
-            gFreq(256 + 24 + idx) += 1
+            toks += Hit(idx, grp)
+            gFreq(grp)(256 + 24 + idx) += 1
           } else {
-            toks += Lit(v)
-            gFreq((v >> 8) & 0xff) += 1
-            rFreq((v >> 16) & 0xff) += 1
-            bFreq(v & 0xff) += 1
-            aFreq((v >>> 24) & 0xff) += 1
+            toks += Lit(v, grp)
+            gFreq(grp)((v >> 8) & 0xff) += 1
+            rFreq(grp)((v >> 16) & 0xff) += 1
+            bFreq(grp)(v & 0xff) += 1
+            aFreq(grp)((v >>> 24) & 0xff) += 1
           }
           insert(v)
           i += 1
         }
       }
-      // pass 2: trees
-      val gLen = huffLengths(gFreq, 15); val gCode = canonicalCodes(gLen)
-      val rLen = huffLengths(rFreq, 15); val rCode = canonicalCodes(rLen)
-      val bLen = huffLengths(bFreq, 15); val bCode = canonicalCodes(bLen)
-      val aLen = huffLengths(aFreq, 15); val aCode = canonicalCodes(aLen)
-      val dLen = huffLengths(dFreq, 15); val dCode = canonicalCodes(dLen)
+      // pass 2: one tree set per group
+      val sets = Array.tabulate(numGroups)(g => new TreeSet(
+        Array(gFreq(g), rFreq(g), bFreq(g), aFreq(g), dFreq(g))))
       // pass 3: the stream
       if (cacheSize > 0) { bw.bits(1, 1); bw.bits(cacheBits, 4) }
       else bw.bits(0, 1)
-      if (level0) bw.bits(0, 1) // no meta prefix groups
-      writeTree(bw, gLen); writeTree(bw, rLen); writeTree(bw, bLen)
-      writeTree(bw, aLen); writeTree(bw, dLen)
-      // a sole-symbol tree costs zero bits (the decoder never reads)
-      val gMulti = gLen.count(_ > 0) > 1; val rMulti = rLen.count(_ > 0) > 1
-      val bMulti = bLen.count(_ > 0) > 1; val aMulti = aLen.count(_ > 0) > 1
-      val dMulti = dLen.count(_ > 0) > 1
+      if (level0) {
+        if (writeMetaHeader != null) writeMetaHeader(bw)
+        else bw.bits(0, 1) // no meta prefix groups
+      }
+      sets.foreach { s =>
+        writeTree(bw, s.lens(0)); writeTree(bw, s.lens(1))
+        writeTree(bw, s.lens(2)); writeTree(bw, s.lens(3))
+        writeTree(bw, s.lens(4))
+      }
       toks.foreach {
-        case Lit(v) =>
-          if (gMulti) bw.code(gCode((v >> 8) & 0xff), gLen((v >> 8) & 0xff))
-          if (rMulti) bw.code(rCode((v >> 16) & 0xff), rLen((v >> 16) & 0xff))
-          if (bMulti) bw.code(bCode(v & 0xff), bLen(v & 0xff))
-          if (aMulti) bw.code(aCode((v >>> 24) & 0xff), aLen((v >>> 24) & 0xff))
-        case Hit(idx) =>
-          if (gMulti) bw.code(gCode(256 + 24 + idx), gLen(256 + 24 + idx))
-        case Run(len) =>
+        case Lit(v, grp) =>
+          val s = sets(grp)
+          s.emit(bw, 0, (v >> 8) & 0xff)
+          s.emit(bw, 1, (v >> 16) & 0xff)
+          s.emit(bw, 2, v & 0xff)
+          s.emit(bw, 3, (v >>> 24) & 0xff)
+        case Hit(idx, grp) => sets(grp).emit(bw, 0, 256 + 24 + idx)
+        case Run(len, grp) =>
+          val s = sets(grp)
           val (lc, leb, lev) = prefixEncode(len)
-          if (gMulti) bw.code(gCode(256 + lc), gLen(256 + lc))
+          s.emit(bw, 0, 256 + lc)
           if (leb > 0) bw.bits(lev, leb)
           val (dc, deb, dev) = prefixEncode(121)
-          if (dMulti) bw.code(dCode(dc), dLen(dc))
+          s.emit(bw, 4, dc)
           if (deb > 0) bw.bits(dev, deb)
       }
     }

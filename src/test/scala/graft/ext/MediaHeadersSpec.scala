@@ -967,6 +967,35 @@ class MediaHeadersSpec extends SparkSuite {
       .exists(_._3.sameElements(noise)))
   }
 
+  test("Vp8lCodec meta prefix groups: two tree sets split by tile column " +
+      "(the entropy image as its own recursive stream) round-trip exactly") {
+    // left half dark/narrow palette, right half bright/wide: per-group
+    // trees actually differ, so a group-lookup regression misdecodes
+    val w = 22; val h = 10
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (x < 11) ((x * 3) << 16) | ((y * 5) << 8) | 20
+      else (((200 + x * 7) % 256) << 16) | (((150 + y * 11) % 256) << 8) |
+        ((128 + x * y) % 256)
+    }
+    for (cb <- Seq(0, 3)) {
+      val f = Multimodal.Vp8lCodec.encode(w, h, px,
+        cacheBits = cb, useMetaGroups = true)
+      assert(Multimodal.Vp8lCodec.decode(f)
+        .exists { case (gw, gh, gpx) =>
+          gw == w && gh == h && gpx.sameElements(px) },
+        s"meta-group round-trip failed cacheBits=$cb")
+    }
+    // composes with the transform chain
+    val fAll = Multimodal.Vp8lCodec.encode(w, h, px, cacheBits = 3,
+      subtractGreen = true, usePredictor = true, useColorXf = true,
+      useMetaGroups = true)
+    assert(Multimodal.Vp8lCodec.decode(fAll)
+      .exists { case (gw, gh, gpx) =>
+        gw == w && gh == h && gpx.sameElements(px) },
+      "meta-group + full-chain round-trip failed")
+  }
+
   test("Vp8lCodec rejects non-conforming and out-of-envelope streams " +
       "(truncation never throws; unsupported transform is None)") {
     val px = Array.tabulate(24)(i => (i * 37 + 11) * 131 & 0xffffff)
