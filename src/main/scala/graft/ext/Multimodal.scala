@@ -2350,8 +2350,11 @@ object Multimodal {
               if (compQ(c) > 3) return None
               c += 1
             }
+          case 0xc2 => // progressive: the multi-scan path owns the file
+            if (compIds != null) return None
+            return decodeProgressive(p)
           case x if x >= 0xc1 && x <= 0xcf =>
-            return None // progressive/extended/arithmetic: out of scope
+            return None // extended/arithmetic/hierarchical: out of scope
           case 0xdd => // DRI
             if (len != 4) return None
             dri = u16(q)
@@ -2463,7 +2466,15 @@ object Multimodal {
         e + 1 < p.length && (p(e + 1) & 0xff) == 0xff) e += 1
       if (e + 2 > p.length || (p(e) & 0xff) != 0xff ||
         (p(e + 1) & 0xff) != 0xd9) return None
-      // upsample (nearest) + color convert + crop
+      Some((w, h,
+        planesToPixels(planes, planeW, nc, compH, compV, hmax, vmax, w, h)))
+    }
+
+    /** Upsample (nearest) + color convert + crop — shared by the
+      * baseline and progressive paths. */
+    private def planesToPixels(planes: Array[Array[Int]],
+      planeW: Array[Int], nc: Int, compH: Array[Int], compV: Array[Int],
+      hmax: Int, vmax: Int, w: Int, h: Int): Array[Int] = {
       val px = new Array[Int](w * h)
       var y = 0
       while (y < h) {
@@ -2489,7 +2500,358 @@ object Multimodal {
         }
         y += 1
       }
-      Some((w, h, px))
+      px
+    }
+
+    /** natural (row-major) position → zigzag index. */
+    private val invZigzag: Array[Int] = {
+      val a = new Array[Int](64)
+      var k = 0
+      while (k < 64) { a(zigzag(k)) = k; k += 1 }
+      a
+    }
+
+    /** Progressive JPEG (SOF2): multi-scan decode — interleaved or
+      * single-component DC scans, single-component AC band scans with
+      * EOBRUN coding, successive-approximation FIRST passes (Al > 0
+      * point transforms), DHT redefinition between scans, DRI/RSTn
+      * resync inside scans. Raw coefficients accumulate per component
+      * across scans; dequantization + IDCT run once at EOI. Refinement
+      * scans (Ah > 0) are the documented phase-2 gap → None. */
+    private def decodeProgressive(
+      p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      def u8(i: Int): Int =
+        { if (i < 0 || i >= p.length) throw Bail; p(i) & 0xff }
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      val qt = Array.ofDim[Int](4, 64)
+      val qtSeen = new Array[Boolean](4)
+      val dcTab = new Array[Huff](4)
+      val acTab = new Array[Huff](4)
+      var w = 0; var h = 0
+      var compIds: Array[Int] = null
+      var compH: Array[Int] = null; var compV: Array[Int] = null
+      var compQ: Array[Int] = null
+      var hmax = 1; var vmax = 1
+      var mcusX = 0; var mcusY = 0
+      var bwArr: Array[Int] = null; var bhArr: Array[Int] = null
+      var coefs: Array[Array[Int]] = null // raw values, natural order
+      var sawScan = false
+      var dri = 0
+      var off = 2
+      var sawEoi = false
+      while (!sawEoi) {
+        if (u8(off) != 0xff) throw Bail
+        var m = u8(off + 1)
+        off += 2
+        while (m == 0xff) { m = u8(off); off += 1 } // fill bytes
+        if (m == 0xd9) sawEoi = true
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) throw Bail
+        else {
+          val len = u16(off)
+          if (len < 2 || off.toLong + len > p.length) throw Bail
+          val end = off + len
+          var q = off + 2
+          var nextOff = end
+          m match {
+            case 0xdb =>
+              while (q < end) {
+                val pqTq = u8(q); q += 1
+                if ((pqTq >> 4) != 0 || (pqTq & 15) > 3) throw Bail
+                if (q + 64 > end) throw Bail
+                var i = 0
+                while (i < 64) {
+                  qt(pqTq & 15)(i) = u8(q + i)
+                  if (qt(pqTq & 15)(i) == 0) throw Bail
+                  i += 1
+                }
+                qtSeen(pqTq & 15) = true
+                q += 64
+              }
+            case 0xc4 =>
+              while (q < end) {
+                val tcTh = u8(q); q += 1
+                val tc = tcTh >> 4; val th = tcTh & 15
+                if (tc > 1 || th > 3) throw Bail
+                if (q + 16 > end) throw Bail
+                val bits = Array.tabulate(16)(i => u8(q + i))
+                q += 16
+                val n = bits.sum
+                if (n == 0 || n > 256 || q + n > end) throw Bail
+                val vals = Array.tabulate(n)(i => u8(q + i))
+                q += n
+                if (tc == 0) dcTab(th) = new Huff(bits, vals)
+                else acTab(th) = new Huff(bits, vals)
+              }
+            case 0xc2 =>
+              if (compIds != null) throw Bail
+              if (len < 11 || u8(q) != 8) throw Bail
+              h = u16(q + 1); w = u16(q + 3)
+              val nc = u8(q + 5)
+              if (w <= 0 || h <= 0 || w > (1 << 12) || h > (1 << 12))
+                throw Bail
+              if (w.toLong * h > (1L << 26)) throw Bail
+              if (nc != 1 && nc != 3) throw Bail
+              if (len != 8 + 3 * nc) throw Bail
+              compIds = new Array[Int](nc); compH = new Array[Int](nc)
+              compV = new Array[Int](nc); compQ = new Array[Int](nc)
+              var c = 0
+              while (c < nc) {
+                compIds(c) = u8(q + 6 + 3 * c)
+                val hv = u8(q + 7 + 3 * c)
+                compH(c) = hv >> 4; compV(c) = hv & 15
+                if (compH(c) < 1 || compH(c) > 2 ||
+                  compV(c) < 1 || compV(c) > 2) throw Bail
+                compQ(c) = u8(q + 8 + 3 * c)
+                if (compQ(c) > 3) throw Bail
+                hmax = math.max(hmax, compH(c))
+                vmax = math.max(vmax, compV(c))
+                c += 1
+              }
+              mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+              mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+              bwArr = Array.tabulate(nc)(c => mcusX * compH(c))
+              bhArr = Array.tabulate(nc)(c => mcusY * compV(c))
+              coefs = Array.tabulate(nc)(c =>
+                new Array[Int](bwArr(c) * bhArr(c) * 64))
+            case 0xdd =>
+              if (len != 4) throw Bail
+              dri = u16(q)
+            case 0xda =>
+              if (compIds == null) throw Bail
+              val ns = u8(q); q += 1
+              if (ns < 1 || ns > compIds.length) throw Bail
+              val scomp = new Array[Int](ns)
+              val sdc = new Array[Int](ns); val sac = new Array[Int](ns)
+              var s = 0
+              while (s < ns) {
+                val cs = u8(q); val tdta = u8(q + 1); q += 2
+                val ci = compIds.indexOf(cs)
+                if (ci < 0) throw Bail
+                scomp(s) = ci
+                sdc(s) = tdta >> 4; sac(s) = tdta & 15
+                if (sdc(s) > 3 || sac(s) > 3) throw Bail
+                s += 1
+              }
+              val ss = u8(q); val se = u8(q + 1)
+              val ah = u8(q + 2) >> 4; val al = u8(q + 2) & 15
+              if (ss > 63 || se > 63 || ss > se || al > 13) throw Bail
+              if (ss == 0 && se != 0) throw Bail // DC scans are DC-only
+              if (ss > 0 && ns != 1) throw Bail // AC scans: one component
+              if (ah != 0 && ah != al + 1) throw Bail // one bit per pass
+              val br = new BitReader(p, end)
+              val pred = new Array[Int](compIds.length)
+              var eobrun = 0
+              var rst = 0
+              def checkRestart(unit: Int): Unit =
+                if (dri > 0 && unit > 0 && unit % dri == 0) {
+                  br.restart(rst); rst = (rst + 1) & 7
+                  java.util.Arrays.fill(pred, 0); eobrun = 0
+                }
+              def decodeDc(c: Int, tab: Huff, bx: Int, by: Int): Unit = {
+                val at = (by * bwArr(c) + bx) * 64
+                if (ah > 0) {
+                  // DC refinement: one raw bit per block, no Huffman
+                  if (br.bit() == 1) coefs(c)(at) |= 1 << al
+                } else {
+                  val t = br.decodeHuff(tab)
+                  if (t > 11) throw Bail
+                  val diff = if (t == 0) 0 else extend(br.bits(t), t)
+                  pred(c) += diff
+                  coefs(c)(at) = pred(c) << al
+                }
+              }
+              // AC refinement correction: a raw bit per already-nonzero
+              // coefficient; a 1 adds 1<<al toward the sign (G.1.2.3)
+              def correct(c: Int, at: Int): Unit =
+                if (br.bit() == 1 && (coefs(c)(at) & (1 << al)) == 0)
+                  coefs(c)(at) +=
+                    (if (coefs(c)(at) > 0) 1 << al else -(1 << al))
+              if (ss == 0 && ns > 1) {
+                // interleaved DC scan: the MCU walk
+                var mcu = 0; var my = 0
+                while (my < mcusY) {
+                  var mx = 0
+                  while (mx < mcusX) {
+                    checkRestart(mcu)
+                    var si = 0
+                    while (si < ns) {
+                      val c = scomp(si)
+                      val tab = dcTab(sdc(si))
+                      if (ah == 0 && tab == null) throw Bail
+                      var by = 0
+                      while (by < compV(c)) {
+                        var bx = 0
+                        while (bx < compH(c)) {
+                          decodeDc(c, tab,
+                            mx * compH(c) + bx, my * compV(c) + by)
+                          bx += 1
+                        }
+                        by += 1
+                      }
+                      si += 1
+                    }
+                    mcu += 1; mx += 1
+                  }
+                  my += 1
+                }
+              } else {
+                // single-component scan over the NON-padded block grid
+                val c = scomp(0)
+                val cw = (w * compH(c) + hmax - 1) / hmax
+                val ch = (h * compV(c) + vmax - 1) / vmax
+                val bwNI = (cw + 7) / 8; val bhNI = (ch + 7) / 8
+                val dTab = if (ss == 0) dcTab(sdc(0)) else null
+                val aTab = if (ss > 0) acTab(sac(0)) else null
+                if ((ss == 0 && ah == 0 && dTab == null) ||
+                  (ss > 0 && aTab == null)) throw Bail
+                var unit = 0
+                var byi = 0
+                while (byi < bhNI) {
+                  var bxi = 0
+                  while (bxi < bwNI) {
+                    checkRestart(unit)
+                    val base = (byi * bwArr(c) + bxi) * 64
+                    if (ss == 0) decodeDc(c, dTab, bxi, byi)
+                    else if (ah == 0) {
+                      // AC first pass (possibly point-transformed)
+                      if (eobrun > 0) eobrun -= 1
+                      else {
+                        var k = ss
+                        var done = false
+                        while (k <= se && !done) {
+                          val rs = br.decodeHuff(aTab)
+                          val r = rs >> 4; val sb = rs & 15
+                          if (sb == 0) {
+                            if (r < 15) {
+                              eobrun = (1 << r) - 1 +
+                                (if (r > 0) br.bits(r) else 0)
+                              done = true
+                            } else k += 16 // ZRL
+                          } else {
+                            k += r
+                            if (k > se) throw Bail
+                            coefs(c)(base + zigzag(k)) =
+                              extend(br.bits(sb), sb) << al
+                            k += 1
+                          }
+                        }
+                      }
+                    } else {
+                      // AC refinement (G.1.2.3): new ±1<<al placements
+                      // between correction bits for nonzero history
+                      var k = ss
+                      if (eobrun > 0) {
+                        eobrun -= 1
+                        while (k <= se) {
+                          if (coefs(c)(base + zigzag(k)) != 0)
+                            correct(c, base + zigzag(k))
+                          k += 1
+                        }
+                      } else {
+                        var done = false
+                        while (k <= se && !done) {
+                          val rs = br.decodeHuff(aTab)
+                          var r = rs >> 4; val sb = rs & 15
+                          var newVal = 0
+                          if (sb == 0) {
+                            if (r < 15) {
+                              eobrun = (1 << r) - 1 +
+                                (if (r > 0) br.bits(r) else 0)
+                              // corrections for the REST of this block
+                              while (k <= se) {
+                                if (coefs(c)(base + zigzag(k)) != 0)
+                                  correct(c, base + zigzag(k))
+                                k += 1
+                              }
+                              done = true
+                            } // r == 15: ZRL, advance 15+1 below
+                          } else {
+                            if (sb != 1) throw Bail // refinement sends ±1
+                            newVal =
+                              if (br.bit() == 1) 1 << al else -(1 << al)
+                          }
+                          if (!done) {
+                            // skip `r` ZERO-history positions (correcting
+                            // nonzero-history ones en route), stop AT the
+                            // next zero-history slot, place there
+                            var landed = false
+                            while (k <= se && !landed) {
+                              val at = base + zigzag(k)
+                              if (coefs(c)(at) != 0) { correct(c, at); k += 1 }
+                              else if (r == 0) landed = true
+                              else { r -= 1; k += 1 }
+                            }
+                            if (landed) {
+                              if (newVal != 0)
+                                coefs(c)(base + zigzag(k)) = newVal
+                              k += 1
+                            } else if (newVal != 0) throw Bail
+                          }
+                        }
+                      }
+                    }
+                    unit += 1; bxi += 1
+                  }
+                  byi += 1
+                }
+              }
+              sawScan = true
+              // resync: pad bits consumed with their byte; fill FFs next
+              var e2 = br.pos
+              while (e2 + 1 < p.length && (p(e2) & 0xff) == 0xff &&
+                (p(e2 + 1) & 0xff) == 0xff) e2 += 1
+              nextOff = e2
+            case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe => ()
+            case _ => throw Bail // SOF0/SOF1/DNL/... inside SOF2: reject
+          }
+          off = nextOff
+        }
+      }
+      if (coefs == null || !sawScan) throw Bail
+      val nc = compIds.length
+      var c = 0
+      while (c < nc) {
+        if (!qtSeen(compQ(c))) throw Bail
+        c += 1
+      }
+      // dequantize + IDCT every block, then the shared upsample tail
+      val planeW = Array.tabulate(nc)(c => bwArr(c) * 8)
+      val planes = Array.tabulate(nc)(c =>
+        new Array[Int](planeW(c) * bhArr(c) * 8))
+      val block = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      c = 0
+      while (c < nc) {
+        val qtab = qt(compQ(c))
+        var by = 0
+        while (by < bhArr(c)) {
+          var bx = 0
+          while (bx < bwArr(c)) {
+            val base = (by * bwArr(c) + bx) * 64
+            var j = 0
+            while (j < 64) {
+              block(j) = coefs(c)(base + j) * qtab(invZigzag(j))
+              j += 1
+            }
+            idct(block, tmp)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(c)((by * 8 + yy) * planeW(c) + bx * 8 + xx) =
+                  block(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      Some((w, h,
+        planesToPixels(planes, planeW, nc, compH, compV, hmax, vmax, w, h)))
     }
 
     // Annex K luminance Huffman tables (ITU T.81 tables K.3/K.5) — used
@@ -2712,6 +3074,333 @@ object Multimodal {
       marker(0xd9) // EOI
       out.toByteArray
     }
+
+    /** Encode as a PROGRESSIVE (SOF2) JPEG: one interleaved DC scan
+      * then two AC band scans per component (1..5, 6..63 — spectral
+      * selection), EOBRUN coding across blocks, per-scan optimal
+      * Huffman tables in fresh DHT segments (progressive symbol sets —
+      * EOBn runs — are not in the Annex K tables, exactly why real
+      * progressive encoders build their own). 4:4:4, all-1 quantizers:
+      * the same pipeline as the baseline encoder, so the decoded
+      * pixels are bit-identical to decoding the baseline file of the
+      * same image (the spec pins that). */
+    def encodeProgressive(w: Int, h: Int, px: Array[Int],
+      successive: Boolean = false): Array[Byte] = {
+      require(w > 0 && h > 0 && px.length == w * h)
+      // successive approximation: first passes carry the point-
+      // transformed coefficients (Al = 1), refinement scans send the
+      // low bit (Ah = 1, Al = 0)
+      val al0 = if (successive) 1 else 0
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def seg(m: Int, body: Array[Int]): Unit = {
+        marker(m)
+        out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+        body.foreach(out.write)
+      }
+      marker(0xd8)
+      seg(0xdb, Array(0x00) ++ Array.fill(64)(1))
+      seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+      // every coefficient up front (the multi-scan structure revisits
+      // blocks, unlike the baseline's single streaming pass)
+      val bX = (w + 7) / 8; val bY = (h + 7) / 8
+      val block = new Array[Double](64)
+      val tmp = new Array[Double](64)
+      val coefs = Array.ofDim[Int](3, bX * bY * 64)
+      var c = 0
+      while (c < 3) {
+        var by = 0
+        while (by < bY) {
+          var bx = 0
+          while (bx < bX) {
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val sx = math.min(bx * 8 + xx, w - 1)
+                val sy = math.min(by * 8 + yy, h - 1)
+                val v = px(sy * w + sx)
+                val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff
+                val b = v & 0xff
+                val s = c match {
+                  case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+                  case 1 => 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+                  case _ => 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+                }
+                block(yy * 8 + xx) = math.round(s).toDouble - 128.0
+                xx += 1
+              }
+              yy += 1
+            }
+            // the same separable forward DCT as the baseline path
+            var v2 = 0
+            while (v2 < 8) {
+              var x2 = 0
+              while (x2 < 8) {
+                var s = 0.0
+                var y2 = 0
+                while (y2 < 8) {
+                  s += basis(v2)(y2) * block(y2 * 8 + x2); y2 += 1
+                }
+                tmp(v2 * 8 + x2) = s
+                x2 += 1
+              }
+              v2 += 1
+            }
+            val base = ((by * bX) + bx) * 64
+            var vv = 0
+            while (vv < 8) {
+              var uu = 0
+              while (uu < 8) {
+                var s = 0.0
+                var x2 = 0
+                while (x2 < 8) {
+                  s += basis(uu)(x2) * tmp(vv * 8 + x2); x2 += 1
+                }
+                coefs(c)(base + vv * 8 + uu) = math.round(s).toInt
+                uu += 1
+              }
+              vv += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      final case class Tok(cls: Int, sym: Int, ev: Int, en: Int)
+      def valueBits(v: Int, s: Int): Int =
+        if (v < 0) v + (1 << s) - 1 else v
+      // per-scan optimal tables: lengths from the histogram (16-bit
+      // JPEG cap), HUFFVAL in canonical (length, symbol) order — the
+      // same order the decoder's Huff assigns codes in
+      def buildTable(freq: Array[Long]): (Array[Int], Array[Int]) = {
+        val lens = Vp8lCodec.huffLengths(freq, 16)
+        val pairs = lens.zipWithIndex.filter(_._1 > 0)
+          .sortBy { case (l, sym) => (l, sym) }
+        val bits = new Array[Int](16)
+        pairs.foreach { case (l, _) => bits(l - 1) += 1 }
+        (bits, pairs.map(_._2))
+      }
+      // scan 1: interleaved DC (luma table 0, shared chroma table 1)
+      val dcToks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+      val pred = new Array[Int](3)
+      var b = 0
+      while (b < bX * bY) {
+        var ci = 0
+        while (ci < 3) {
+          val dc = coefs(ci)(b * 64) >> al0 // ARITHMETIC shift (T.81 DC)
+          val diff = dc - pred(ci); pred(ci) = dc
+          val t = category(diff)
+          dcToks += Tok(if (ci == 0) 0 else 1, t, valueBits(diff, t), t)
+          ci += 1
+        }
+        b += 1
+      }
+      val dcFreq = Array.fill(2)(new Array[Long](256))
+      dcToks.foreach(t => dcFreq(t.cls)(t.sym) += 1)
+      val (lb, lv) = buildTable(dcFreq(0))
+      val (cbBits, cbVals) = buildTable(dcFreq(1))
+      seg(0xc4, Array(0x00) ++ lb ++ lv)
+      seg(0xc4, Array(0x01) ++ cbBits ++ cbVals)
+      val lEnc = new HuffEnc(lb, lv)
+      val cEnc = new HuffEnc(cbBits, cbVals)
+      seg(0xda, Array(3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, al0))
+      val bw1 = new BitWriter(out)
+      dcToks.foreach { t =>
+        val e = if (t.cls == 0) lEnc else cEnc
+        bw1.put(e.codeOf(t.sym), e.lenOf(t.sym))
+        if (t.en > 0) bw1.put(t.ev, t.en)
+      }
+      bw1.flush()
+      // AC band scans, one component at a time, EOBRUN across blocks
+      for (ci <- 0 until 3; band <- Seq((1, 5), (6, 63))) {
+        val (lo, hi) = band
+        val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+        var eobrun = 0
+        def flushEob(): Unit = while (eobrun > 0) {
+          val chunk = math.min(eobrun, 32767)
+          val r = 31 - Integer.numberOfLeadingZeros(chunk)
+          toks += Tok(0, r << 4, chunk - (1 << r), r)
+          eobrun -= chunk
+        }
+        var bb = 0
+        while (bb < bX * bY) {
+          val base = bb * 64
+          // point transform on AC is sign-magnitude: |v| >> Al
+          val nz = (lo to hi)
+            .map { k =>
+              val v = coefs(ci)(base + zigzag(k))
+              (k, if (v < 0) -((-v) >> al0) else v >> al0)
+            }
+            .filter(_._2 != 0)
+          if (nz.isEmpty) eobrun += 1
+          else {
+            flushEob()
+            var prevK = lo - 1
+            nz.foreach { case (k, v) =>
+              var run = k - prevK - 1
+              while (run > 15) { toks += Tok(0, 0xf0, 0, 0); run -= 16 }
+              val s = category(v)
+              toks += Tok(0, (run << 4) | s, valueBits(v, s), s)
+              prevK = k
+            }
+            if (prevK < hi) eobrun += 1 // trailing zeros: open an EOB run
+          }
+          bb += 1
+        }
+        flushEob()
+        val freq = new Array[Long](256)
+        toks.foreach(t => freq(t.sym) += 1)
+        val (ab, av) = buildTable(freq)
+        seg(0xc4, Array(0x10) ++ ab ++ av) // AC table 0, redefined per scan
+        val aEnc = new HuffEnc(ab, av)
+        seg(0xda, Array(1, ci + 1, 0x00, lo, hi, al0))
+        val bw = new BitWriter(out)
+        toks.foreach { t =>
+          bw.put(aEnc.codeOf(t.sym), aEnc.lenOf(t.sym))
+          if (t.en > 0) bw.put(t.ev, t.en)
+        }
+        bw.flush()
+      }
+      if (successive) {
+        // DC refinement (Ah=1, Al=0): one raw bit per block per comp —
+        // no Huffman coding at all, just the stuffing-aware writer
+        seg(0xda, Array(3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10))
+        val bwd = new BitWriter(out)
+        var bb = 0
+        while (bb < bX * bY) {
+          var ci = 0
+          while (ci < 3) {
+            bwd.put(coefs(ci)(bb * 64) & 1, 1)
+            ci += 1
+          }
+          bb += 1
+        }
+        bwd.flush()
+        // AC refinement per comp/band (G.1.2.3 mirror): newly
+        // significant ±1 placements interleaved with buffered
+        // correction bits; EOB runs carry their corrections
+        sealed trait Op
+        final case class Sym(sym: Int, ev: Int, en: Int) extends Op
+        final case class Raw(v: Int, n: Int) extends Op
+        for (ci <- 0 until 3; band <- Seq((1, 5), (6, 63))) {
+          val (lo, hi) = band
+          val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
+          var eobrun = 0
+          val eobBR = scala.collection.mutable.ArrayBuffer.empty[Int]
+          def flushEob(): Unit = {
+            while (eobrun > 0) {
+              val chunk = math.min(eobrun, 32767)
+              val r = 31 - Integer.numberOfLeadingZeros(chunk)
+              ops += Sym(r << 4, chunk - (1 << r), r)
+              eobrun -= chunk
+            }
+            eobBR.foreach(bit => ops += Raw(bit, 1))
+            eobBR.clear()
+          }
+          var bb2 = 0
+          while (bb2 < bX * bY) {
+            val base = bb2 * 64
+            // EOB = the last newly-significant position in the band
+            var eobK = lo - 1
+            var k0 = lo
+            while (k0 <= hi) {
+              if (math.abs(coefs(ci)(base + zigzag(k0))) == 1) eobK = k0
+              k0 += 1
+            }
+            var r = 0
+            val br2 = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var k = lo
+            while (k <= hi) {
+              val v = coefs(ci)(base + zigzag(k))
+              val a = math.abs(v)
+              if (a == 0) r += 1
+              else {
+                // ZRLs flush at ANY nonzero position (libjpeg's shape —
+                // deferring them past a history coefficient would strand
+                // its buffered correction bit on the wrong side of the
+                // ZRL span and desync the decoder's advance)
+                while (r > 15 && k <= eobK) {
+                  flushEob()
+                  ops += Sym(0xf0, 0, 0) // ZRL
+                  r -= 16
+                  br2.foreach(bit => ops += Raw(bit, 1)); br2.clear()
+                }
+                if (a > 1) br2 += (a & 1) // nonzero history: correction
+                else {
+                  // newly significant (|v| == 1)
+                  flushEob()
+                  ops += Sym((r << 4) | 1, 0, 0)
+                  ops += Raw(if (v > 0) 1 else 0, 1) // sign
+                  r = 0
+                  br2.foreach(bit => ops += Raw(bit, 1)); br2.clear()
+                }
+              }
+              k += 1
+            }
+            if (r > 0 || br2.nonEmpty) {
+              eobrun += 1
+              eobBR ++= br2 // this block's tail corrections ride the run
+            }
+            bb2 += 1
+          }
+          flushEob()
+          val freq = new Array[Long](256)
+          ops.foreach { case Sym(sy, _, _) => freq(sy) += 1; case _ => () }
+          // a scan can be pure raw bits (no symbols): give the table one
+          // dummy code so the DHT stays well-formed
+          if (freq.forall(_ == 0)) freq(0) = 1
+          val (ab, av) = buildTable(freq)
+          seg(0xc4, Array(0x10) ++ ab ++ av)
+          val aEnc = new HuffEnc(ab, av)
+          seg(0xda, Array(1, ci + 1, 0x00, lo, hi, 0x10))
+          val bw = new BitWriter(out)
+          ops.foreach {
+            case Sym(sy, ev, en) =>
+              bw.put(aEnc.codeOf(sy), aEnc.lenOf(sy))
+              if (en > 0) bw.put(ev, en)
+            case Raw(v, nb) => bw.put(v, nb)
+          }
+          bw.flush()
+        }
+      }
+      marker(0xd9)
+      out.toByteArray
+    }
+  }
+
+  /** The [[mediaJpeg]] pixel model (flat 8×8 blocks whose values walk
+    * the diff-cumsum formula) through the FULL progressive pipeline:
+    * encodeProgressive with successive approximation (point-transformed
+    * first passes, DC/AC refinement scans) → multi-scan decode. Flat
+    * blocks are DC-only, so the chain is EXACT and the baseline JPEG
+    * oracle SQL replays it unchanged. */
+  def mediaJpegProg(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val wb = (id % 3 + 1).toInt
+        val hb = (id * 5 % 2 + 1).toInt
+        val w = 8 * wb; val h = 8 * hb
+        val v = new Array[Int](wb * hb)
+        var dc = 0L
+        var i = 0
+        while (i < wb * hb) {
+          val mag = 8 + (id * 7 + i * 3) % 8
+          dc += (if ((id + i) % 2 == 0) mag else -mag)
+          v(i) = (dc + 128).toInt
+          i += 1
+        }
+        val px = Array.tabulate(w * h) { j =>
+          val g = v((j / w / 8) * wb + (j % w / 8))
+          (g << 16) | (g << 8) | g
+        }
+        (id, JpegCodec.encodeProgressive(w, h, px, successive = true))
+      }
+    }.toDF("media_id", "payload")
   }
 
   /** Decode + featurize the JPEG table — the [[bmpFeatures]] contract
@@ -3344,7 +4033,8 @@ object Multimodal {
     /** Code lengths for a histogram: plain two-least-merge Huffman with
       * an equal-length fallback if any depth would exceed `maxLen`
       * (valid, just not minimal — decoders accept any canonical set). */
-    private def huffLengths(freq: Array[Long], maxLen: Int): Array[Int] = {
+    private[ext] def huffLengths(freq: Array[Long],
+      maxLen: Int): Array[Int] = {
       val present = freq.zipWithIndex.filter(_._1 > 0).map(_._2)
       val lengths = new Array[Int](freq.length)
       if (present.isEmpty) return lengths
@@ -3371,7 +4061,7 @@ object Multimodal {
     }
 
     /** Canonical codes from lengths (same rule as [[Tree]]). */
-    private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    private[ext] def canonicalCodes(lengths: Array[Int]): Array[Int] = {
       val codes = new Array[Int](lengths.length)
       var code = 0
       var l = 1

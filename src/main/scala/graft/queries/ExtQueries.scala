@@ -4202,6 +4202,49 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum(pw * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
 
+    // PROGRESSIVE JPEG under the oracle gate: the same flat-block pixel
+    // model as media_features_jpeg, but through encodeProgressive with
+    // successive approximation — interleaved point-transformed DC scan,
+    // AC band scans with EOBRUN coding, DC raw-bit refinement, AC
+    // G.1.2.3 correction-bit refinement — then the multi-scan decoder.
+    // Flat blocks are DC-only, so the chain is EXACT and the baseline
+    // formula oracle replays it unchanged; a regression anywhere in the
+    // scan assembly, point transforms, or refinement bit protocol is a
+    // red row.
+    ("media_features_jpeg_prog",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .jpegFeatures(graft.ext.Multimodal.mediaJpegProg(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH dms AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS wb,
+         CAST((doc_id * 5) % 2 + 1 AS INT) AS hb
+  FROM documents),
+blocks AS (
+  SELECT doc_id, wb, hb, i AS bi,
+         (CASE WHEN (doc_id + i) % 2 = 0 THEN 1 ELSE -1 END)
+           * (8 + (doc_id * 7 + i * 3) % 8) AS diff
+  FROM dms, unnest(range(0, wb * hb)) AS t(i)),
+dcs AS (
+  SELECT doc_id, bi,
+         sum(diff) OVER (PARTITION BY doc_id ORDER BY bi) + 128 AS gv
+  FROM blocks),
+px AS (
+  SELECT doc_id, wb, hb, 8 * wb AS w, 8 * hb AS h,
+         i % (8 * wb) AS x, i // (8 * wb) AS y
+  FROM dms, unnest(range(0, 64 * wb * hb)) AS t(i)),
+v AS (
+  SELECT p.doc_id, p.w, p.h, d.gv, p.y * p.w + p.x + 1 AS pw
+  FROM px p JOIN dcs d
+    ON d.doc_id = p.doc_id AND d.bi = (p.y // 8) * p.wb + (p.x // 8))
+SELECT doc_id AS media_id, w AS width, h AS height,
+       (w * h)::BIGINT AS n_px,
+       sum(gv)::BIGINT AS sum_r, sum(gv)::BIGINT AS sum_g,
+       sum(gv)::BIGINT AS sum_b,
+       sum(1000 * gv)::BIGINT AS luma_milli,
+       sum(pw * 6 * gv)::BIGINT AS checksum
+FROM v GROUP BY doc_id, w, h ORDER BY media_id""")),
+
     // Sixth REAL image format, through an entropy-coded TRANSFORM codec:
     // baseline JPEG (T.81) — canonical Huffman entropy decode (DC
     // prediction + EXTEND, run-length AC), dequantization, 8×8 inverse

@@ -788,6 +788,54 @@ class MediaHeadersSpec extends SparkSuite {
     assert(Multimodal.JpegCodec.decode(f3).exists(_._1 == w))
   }
 
+  test("JpegCodec progressive (SOF2): multi-scan spectral selection " +
+      "decodes bit-identically to the baseline file of the same image") {
+    val w = 21; val h = 13 // partial edge blocks
+    for (img <- Seq(
+      // gradient: AC bands sparse, EOBRUN runs long
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((40 + 3 * x + 2 * y) << 16) | ((60 + 2 * x + 4 * y) << 8) |
+          (90 + x + y)
+      },
+      // noise: every band dense, ZRL and long coefficient runs
+      Array.tabulate(w * h)(i => (i * 2654435761L >> 13 & 0xffffff).toInt))) {
+      val prog = Multimodal.JpegCodec.encodeProgressive(w, h, img)
+      val base = Multimodal.JpegCodec.encode(w, h, img)
+      // both pipelines share fdct/quant/idct, so the decoded pixels
+      // must agree EXACTLY — a scan-assembly bug shows as a pixel diff
+      val dp = Multimodal.JpegCodec.decode(prog)
+      val db = Multimodal.JpegCodec.decode(base)
+      assert(dp.isDefined, "progressive stream must decode")
+      assert(db.isDefined)
+      assert(dp.get._1 === w && dp.get._2 === h)
+      assert(dp.get._3.sameElements(db.get._3),
+        "progressive and baseline decodes must be bit-identical")
+      // and within the lossy bound of the original
+      for (i <- img.indices; s <- 0 to 16 by 8) {
+        val d = math.abs(((img(i) >> s) & 0xff) - ((dp.get._3(i) >> s) & 0xff))
+        assert(d <= 5, s"pixel $i channel $s error $d")
+      }
+      // truncation anywhere is None, never a throw (scan boundaries,
+      // mid-DHT, mid-entropy-data all covered by the stride)
+      (1 until prog.length by 7).foreach { k =>
+        assert(Multimodal.JpegCodec.decode(prog.take(k)).isEmpty)
+      }
+      // SUCCESSIVE APPROXIMATION: point-transformed first passes +
+      // refinement scans (DC raw bits, AC G.1.2.3 correction bits) must
+      // reconstruct the very same coefficients — still bit-identical
+      val sa = Multimodal.JpegCodec.encodeProgressive(w, h, img,
+        successive = true)
+      val dsa = Multimodal.JpegCodec.decode(sa)
+      assert(dsa.isDefined, "successive-approximation stream must decode")
+      assert(dsa.get._3.sameElements(db.get._3),
+        "successive approximation must reconstruct identically")
+      (1 until sa.length by 11).foreach { k =>
+        assert(Multimodal.JpegCodec.decode(sa.take(k)).isEmpty)
+      }
+    }
+  }
+
   test("JpegCodec rejects non-conforming and out-of-envelope streams " +
       "(truncation never throws; progressive is None, not misdecoded)") {
     val px = Array.tabulate(16 * 8)(i => (i * 37 + 11) * 131 & 0xffffff)
