@@ -409,4 +409,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(nodeCount(p, "HashAggregate") >= 2, "map-side combine")
   }
+
+  test("codec chains are shuffle-free up to the final feature aggregate: " +
+      "one exchange (the groupBy), no join, no window") {
+    // synthesis -> mapPartitions decode -> featurize is per-row work;
+    // at 100 TB the ONLY exchange these queries may pay is the final
+    // per-media aggregate (and ORDER BY) — a scan-shaped pipeline
+    for (q <- Seq("media_features_jpeg_prog", "media_features_webpl_chain",
+      "media_features_webpl_palette")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("Window"), s"$q must not window")
+      assert(nodeCount(p, "Exchange") <= 2,
+        s"$q: only the feature aggregate + final sort may exchange:\n$p")
+    }
+  }
 }
