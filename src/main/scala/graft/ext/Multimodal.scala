@@ -2923,9 +2923,15 @@ object Multimodal {
       * the chroma averaging itself under 4:2:0), Annex K Huffman tables
       * in real DHT segments, optional restart markers. */
     def encode(w: Int, h: Int, px: Array[Int],
-      restartInterval: Int = 0, subsample420: Boolean = false): Array[Byte] = {
+      restartInterval: Int = 0, subsample420: Boolean = false,
+      lumaH: Int = 1, lumaV: Int = 1): Array[Byte] = {
       require(w > 0 && h > 0 && px.length == w * h)
       require(restartInterval >= 0 && restartInterval <= 65535)
+      // general luma sampling (1..2 per axis): (2,2) = 4:2:0,
+      // (2,1) = 4:2:2, (1,2) = 4:4:0; chroma averages hs x vs groups
+      val hs = if (subsample420) 2 else lumaH
+      val vs = if (subsample420) 2 else lumaV
+      require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2)
       val out = new java.io.ByteArrayOutputStream()
       def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
       def seg(m: Int, body: Array[Int]): Unit = {
@@ -2933,7 +2939,7 @@ object Multimodal {
         out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
         body.foreach(out.write)
       }
-      val yHV = if (subsample420) 0x22 else 0x11
+      val yHV = (hs << 4) | vs
       marker(0xd8) // SOI
       seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT: table 0, all 1s
       seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
@@ -3022,8 +3028,8 @@ object Multimodal {
         }
         if (run > 0) bw.put(kAcEnc.codeOf(0x00), kAcEnc.lenOf(0x00))
       }
-      val mcuPx = if (subsample420) 16 else 8
-      val mcusX = (w + mcuPx - 1) / mcuPx; val mcusY = (h + mcuPx - 1) / mcuPx
+      val mcusX = (w + 8 * hs - 1) / (8 * hs)
+      val mcusY = (h + 8 * vs - 1) / (8 * vs)
       var rst = 0
       var mcu = 0
       var my = 0
@@ -3035,21 +3041,21 @@ object Multimodal {
             marker(0xd0 + rst); rst = (rst + 1) & 7
             java.util.Arrays.fill(pred, 0)
           }
-          if (!subsample420) {
+          if (hs == 1 && vs == 1) {
             var c = 0
             while (c < 3) {
               emitBlock((xx, yy) => ycc(mx * 8 + xx, my * 8 + yy, c), c)
               c += 1
             }
           } else {
-            // interleave order: the four Y blocks (row-major), Cb, Cr —
-            // the same comp-major/by/bx walk the decoder runs
+            // interleave order: the hs x vs Y blocks (row-major), Cb,
+            // Cr — the same comp-major/by/bx walk the decoder runs
             var by = 0
-            while (by < 2) {
+            while (by < vs) {
               var bx = 0
-              while (bx < 2) {
-                emitBlock((xx, yy) =>
-                  ycc(mx * 16 + bx * 8 + xx, my * 16 + by * 8 + yy, 0), 0)
+              while (bx < hs) {
+                emitBlock((xx, yy) => ycc(mx * 8 * hs + bx * 8 + xx,
+                  my * 8 * vs + by * 8 + yy, 0), 0)
                 bx += 1
               }
               by += 1
@@ -3057,10 +3063,14 @@ object Multimodal {
             var c = 1
             while (c < 3) {
               emitBlock({ (xx, yy) =>
-                // chroma sample = rounded average of its 2×2 pixel group
-                val sx = (mx * 8 + xx) * 2; val sy = (my * 8 + yy) * 2
-                (ycc(sx, sy, c) + ycc(sx + 1, sy, c) +
-                  ycc(sx, sy + 1, c) + ycc(sx + 1, sy + 1, c)) / 4.0
+                // chroma sample = rounded average of its hs x vs group
+                val sx = (mx * 8 + xx) * hs; val sy = (my * 8 + yy) * vs
+                var sum = 0.0
+                var j = 0
+                while (j < hs * vs) {
+                  sum += ycc(sx + j % hs, sy + j / hs, c); j += 1
+                }
+                sum / (hs * vs)
               }, c)
               c += 1
             }

@@ -786,6 +786,24 @@ class MediaHeadersSpec extends SparkSuite {
     val f3 = Multimodal.JpegCodec.encode(w, h, grad,
       restartInterval = 1, subsample420 = true)
     assert(Multimodal.JpegCodec.decode(f3).exists(_._1 == w))
+    // 4:2:2 (2,1) and 4:4:0 (1,2): the one-axis upsampling paths,
+    // same bounds (gray exact-chroma, gradient within averaging)
+    for ((lh, lv) <- Seq((2, 1), (1, 2))) {
+      val fg = Multimodal.JpegCodec.encode(w, h, gray, lumaH = lh, lumaV = lv)
+      val (g1w, g1h, g1px) = Multimodal.JpegCodec.decode(fg).get
+      assert(g1w === w && g1h === h)
+      for (i <- gray.indices; s <- 0 to 16 by 8) {
+        val d = math.abs(((gray(i) >> s) & 0xff) - ((g1px(i) >> s) & 0xff))
+        assert(d <= 3, s"($lh,$lv) gray pixel $i channel $s error $d")
+      }
+      val fgr = Multimodal.JpegCodec.encode(w, h, grad, lumaH = lh, lumaV = lv)
+      val (g2w2, g2h2, g2px2) = Multimodal.JpegCodec.decode(fgr).get
+      assert(g2w2 === w && g2h2 === h)
+      for (i <- grad.indices; s <- 0 to 16 by 8) {
+        val d = math.abs(((grad(i) >> s) & 0xff) - ((g2px2(i) >> s) & 0xff))
+        assert(d <= 6, s"($lh,$lv) gradient pixel $i channel $s error $d")
+      }
+    }
   }
 
   test("JpegCodec progressive (SOF2): multi-scan spectral selection " +
