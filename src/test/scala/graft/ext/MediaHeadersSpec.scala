@@ -1080,6 +1080,40 @@ class MediaHeadersSpec extends SparkSuite {
     assert(Multimodal.Vp8lCodec.decode(vers).isEmpty, "version != 0")
   }
 
+  test("mutation fuzz: randomly corrupted JPEG (baseline, progressive, " +
+      "SA) and VP8L (full-chain) streams never throw — a hostile row " +
+      "must be a missing row, not a dead executor task") {
+    val w = 14; val h = 9
+    val img = Array.tabulate(w * h)(i => (i * 2654435761L >> 5 & 0xffffff).toInt)
+    val files = Seq(
+      Multimodal.JpegCodec.encode(w, h, img),
+      Multimodal.JpegCodec.encodeProgressive(w, h, img),
+      Multimodal.JpegCodec.encodeProgressive(w, h, img, successive = true),
+      Multimodal.Vp8lCodec.encode(w, h, img, cacheBits = 3,
+        subtractGreen = true, usePredictor = true, useColorXf = true,
+        useMetaGroups = true),
+      Multimodal.Vp8lCodec.encode(w, h, img, usePalette = false))
+    val rnd = new scala.util.Random(42)
+    files.foreach { f =>
+      var trial = 0
+      while (trial < 400) {
+        val m = f.clone
+        val flips = 1 + rnd.nextInt(4)
+        var i = 0
+        while (i < flips) {
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          i += 1
+        }
+        // decode must RETURN (Some or None), never throw: both codecs
+        // route every malformed path through the Bail/None contract
+        if (f(3) == 'F'.toByte || (f(0) & 0xff) == 0x52) // RIFF => VP8L
+          Multimodal.Vp8lCodec.decode(m)
+        else Multimodal.JpegCodec.decode(m)
+        trial += 1
+      }
+    }
+  }
+
   test("mediaWebpl synthesizes conforming simple-code VP8L streams and " +
       "webplFeatures' decode matches the two-value palette formula") {
     val feats = Multimodal.webplFeatures(Multimodal.mediaWebpl(docs))
