@@ -5099,6 +5099,32 @@ SELECT rows_match, z_cells, z_pruned, z_rows_scanned,
        z_rows_scanned < lin_rows_scanned AS z_beats_linear
 FROM mt CROSS JOIN za CROSS JOIN la""")),
 
+    // The MANIFEST (stats-skipping) reader under the oracle gate: the
+    // same physical hilbert table, read through readPrunedByStats — the
+    // parquet-footer/Delta/Iceberg path every lakehouse reader runs (no
+    // curve math at read time, appends covered). A file is scanned iff
+    // its per-file min/max box intersects the predicate; the residual
+    // keeps semantics exact, so the oracle is the same plain WHERE.
+    ("orders_hilbert_stats_read",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.{count, lit, min, max, col}
+        val path = graft.ext.Layout.clusteredOrdersHilbertAt(s, d)
+        graft.ext.Layout.readPrunedByStats(s, path,
+          xRange = Some((200L, 900L)), yRange = Some((9000L, 9700L)))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_day")).as("d_min"), max(col("o_day")).as("d_max"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*)::BIGINT AS n,
+       min(epoch_ms(o_orderdate) // 86400000) AS d_min,
+       max(epoch_ms(o_orderdate) // 86400000) AS d_max
+FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  AND o_custkey BETWEEN 200 AND 900
+  AND (epoch_ms(o_orderdate) // 86400000) BETWEEN 9000 AND 9700
+GROUP BY 1 ORDER BY 1""")),
+
     // k-DIMENSIONAL z-order (r12 item 3): real OPTIMIZE ZORDER BY takes
     // N columns — three keys (custkey × day × totalprice) at 21 bits
     // each fill one 63-bit long through the published 3-D mask ladder,
