@@ -864,11 +864,57 @@ object Multimodal {
   // two LISTs deep, not at a fixed offset) and on frame ORDER, which the
   // (f+1)-weighted checksum pins.
 
-  /** Shared AVI/DIB container builder — ONE copy of the RIFF size
-    * ledger (the nested strl/hdrl/movi sizes and the total) for both
-    * synth families, so a framing tweak cannot silently diverge them.
-    * `hMul` varies the height formula; `pixelHex(id, nf, f, x, y)`
-    * returns the 6-hex-char B,G,R cell. */
+  /** Shared RIFF/AVI wrapper — ONE copy of the RIFF size ledger (the
+    * nested strl/hdrl/movi sizes and the total) for every synth family
+    * (DIB and MJPEG), so a framing tweak cannot silently diverge them.
+    * `frameChunkHex(f)` returns one complete `00db`/`00dc` chunk
+    * (tag + size + body) of `frameBytes` body bytes (must be even —
+    * both families' sizes are even by construction, so no pad byte);
+    * `handlerHex` / `compressionHex` are the strh fccHandler and strf
+    * biCompression fourccs as 8 hex chars in FILE byte order. */
+  private def aviWrap(docs: DataFrame, w: Column, h: Column, nf: Column,
+      frameBytes: Column, handlerHex: String, compressionHex: String,
+      frameChunkHex: Column => Column): DataFrame = {
+    val id = col("doc_id")
+    def le32(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 8, "0")
+      concat(substring(b, 7, 2), substring(b, 5, 2),
+        substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def le16(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 4, "0")
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def zeros(n: Int) = lit("00" * n)
+    // strh: fccType 'vids', the family's handler fourcc, rest zero (56)
+    val strh = concat(lit("73747268"), le32(lit(56)),
+      lit("76696473"), lit(handlerHex), zeros(48))
+    val strf = concat(lit("73747266"), le32(lit(40)),
+      le32(lit(40)), le32(w), le32(h), le16(lit(1)), le16(lit(24)),
+      lit(compressionHex), le32(frameBytes), zeros(16))
+    val strl = concat(lit("4C495354"), le32(lit(4 + 64 + 48)),
+      lit("7374726C"), strh, strf)
+    val avih = concat(lit("61766968"), le32(lit(56)),
+      le32(lit(100000)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+      le32(nf), le32(lit(0)), le32(lit(1)), le32(lit(0)),
+      le32(w), le32(h), zeros(16))
+    val hdrl = concat(lit("4C495354"), le32(lit(4 + 64 + 124)),
+      lit("6864726C"), avih, strl)
+    val frames = array_join(
+      transform(sequence(lit(0), nf - 1), frameChunkHex), "")
+    val movi = concat(lit("4C495354"),
+      le32(nf * (frameBytes + 8) + 4), lit("6D6F7669"), frames)
+    val hx = concat(
+      lit("52494646"),
+      le32(lit(4 + 8 + 4 + 64 + 124) + nf * (frameBytes + 8) + 12),
+      lit("41564920"), hdrl, movi)
+    docs.select(id.as("media_id"), unhex(hx).as("payload"))
+  }
+
+  /** Shared AVI/DIB container builder over [[aviWrap]]: uncompressed
+    * 24-bpp bottom-up padded frames in `00db` chunks. `hMul` varies the
+    * height formula; `pixelHex(id, nf, f, x, y)` returns the
+    * 6-hex-char B,G,R cell. */
   private def aviContainer(docs: DataFrame, hMul: Int,
       pixelHex: (Column, Column, Column, Column, Column) => Column): DataFrame = {
     val id = col("doc_id")
@@ -883,27 +929,9 @@ object Multimodal {
       concat(substring(b, 7, 2), substring(b, 5, 2),
         substring(b, 3, 2), substring(b, 1, 2))
     }
-    def le16(c: Column) = {
-      val b = lpad(conv(c.cast("long"), 10, 16), 4, "0")
-      concat(substring(b, 3, 2), substring(b, 1, 2))
-    }
-    def zeros(n: Int) = lit("00" * n)
-    // strh: fccType 'vids', handler 'DIB ', rest zero (56 bytes)
-    val strh = concat(lit("73747268"), le32(lit(56)),
-      lit("76696473"), lit("44494220"), zeros(48))
-    val strf = concat(lit("73747266"), le32(lit(40)),
-      le32(lit(40)), le32(w), le32(h), le16(lit(1)), le16(lit(24)),
-      le32(lit(0)), le32(frameBytes), zeros(16))
-    val strl = concat(lit("4C495354"), le32(lit(4 + 64 + 48)),
-      lit("7374726C"), strh, strf)
-    val avih = concat(lit("61766968"), le32(lit(56)),
-      le32(lit(100000)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
-      le32(nf), le32(lit(0)), le32(lit(1)), le32(lit(0)),
-      le32(w), le32(h), zeros(16))
-    val hdrl = concat(lit("4C495354"), le32(lit(4 + 64 + 124)),
-      lit("6864726C"), avih, strl)
-    val frames = array_join(
-      transform(sequence(lit(0), nf - 1), { f =>
+    aviWrap(docs, w, h, nf, frameBytes,
+      handlerHex = "44494220", compressionHex = "00000000", // 'DIB ', BI_RGB
+      frameChunkHex = { f =>
         concat(lit("30306462"), le32(frameBytes), array_join(
           transform(sequence(lit(0), h - 1), { i =>
             val y = h - 1 - i // stored bottom-up
@@ -914,14 +942,7 @@ object Multimodal {
                 }), ""),
               lit("000000").substr(lit(1), pad * 2))
           }), ""))
-      }), "")
-    val movi = concat(lit("4C495354"),
-      le32(nf * (frameBytes + 8) + 4), lit("6D6F7669"), frames)
-    val hx = concat(
-      lit("52494646"),
-      le32(lit(4 + 8 + 4 + 64 + 124) + nf * (frameBytes + 8) + 12),
-      lit("41564920"), hdrl, movi)
-    docs.select(id.as("media_id"), unhex(hx).as("payload"))
+      })
   }
 
   /** Two-hex-char byte of `c` mod 256 — the media synthesizers' cell
@@ -957,10 +978,27 @@ object Multimodal {
     private def tag(b: Array[Byte], off: Int): String =
       new String(b.slice(off, off + 4), "US-ASCII")
 
-    def decodeDib(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+    /** 'MJPG' as the strf biCompression little-endian dword. */
+    private val MJPG = 0x47504a4d
+
+    def decodeDib(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] =
+      walkFrames(p, allowMjpeg = false)
+
+    /** [[decodeDib]] plus Motion JPEG: strf biCompression 'MJPG'
+      * dispatches every movi frame chunk through [[JpegCodec.decode]]
+      * (each `00dc` chunk is a complete baseline JPEG interchange
+      * file), with the decoded dims validated against the container
+      * geometry. Uncompressed 24-bpp BI_RGB still takes the DIB path,
+      * so every existing AVI consumer upgrades by switching here. */
+    def decodeFrames(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] =
+      walkFrames(p, allowMjpeg = true)
+
+    private def walkFrames(p: Array[Byte],
+        allowMjpeg: Boolean): Option[(Int, Int, Array[Array[Int]])] = {
       if (p == null || p.length < 24) return None
       if (tag(p, 0) != "RIFF" || tag(p, 8) != "AVI ") return None
       var w = -1; var h = -1
+      var mjpeg = false
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
       // iterate chunks in [from, to); recurse into LISTs
       def walk(from: Int, to: Int): Boolean = {
@@ -977,31 +1015,43 @@ object Multimodal {
             if (size < 40) return false
             val bpp = le(p, i + 8 + 14, 2)
             val comp = le(p, i + 8 + 16, 4)
-            if (bpp != 24 || comp != 0) return false
+            if (comp == MJPG && allowMjpeg) mjpeg = true
+            else if (bpp != 24 || comp != 0) return false
             w = le(p, i + 8 + 4, 4)
             h = le(p, i + 8 + 8, 4)
             if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16))
               return false
           } else if (id == "00db" || id == "00dc") {
             if (w < 0) return false // geometry must precede frames
-            val rowSize = ((3 * w + 3) / 4) * 4
-            // long product: rowSize·h can exceed 2^31 at the dim bound
-            if (size.toLong != rowSize.toLong * h) return false
-            val out = new Array[Int](w * h)
-            var y = 0
-            while (y < h) {
-              val base = i + 8 + (h - 1 - y) * rowSize
-              var x = 0
-              while (x < w) {
-                val bb = p(base + 3 * x) & 0xff
-                val g = p(base + 3 * x + 1) & 0xff
-                val r = p(base + 3 * x + 2) & 0xff
-                out(y * w + x) = (r << 16) | (g << 8) | bb
-                x += 1
+            if (mjpeg) {
+              // a frame that fails to decode or disagrees with the
+              // container geometry poisons the whole video — consistent
+              // with the DIB path's strictness, never a partial decode
+              JpegCodec.decode(
+                java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size)) match {
+                case Some((fw, fh, px)) if fw == w && fh == h => frames += px
+                case _ => return false
               }
-              y += 1
+            } else {
+              val rowSize = ((3 * w + 3) / 4) * 4
+              // long product: rowSize·h can exceed 2^31 at the dim bound
+              if (size.toLong != rowSize.toLong * h) return false
+              val out = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                val base = i + 8 + (h - 1 - y) * rowSize
+                var x = 0
+                while (x < w) {
+                  val bb = p(base + 3 * x) & 0xff
+                  val g = p(base + 3 * x + 1) & 0xff
+                  val r = p(base + 3 * x + 2) & 0xff
+                  out(y * w + x) = (r << 16) | (g << 8) | bb
+                  x += 1
+                }
+                y += 1
+              }
+              frames += out
             }
-            frames += out
           }
           i += 8 + size + (size & 1)
         }
@@ -1009,6 +1059,43 @@ object Multimodal {
       }
       if (!walk(12, p.length)) return None
       if (w < 0 || frames.isEmpty) None else Some((w, h, frames.toArray))
+    }
+
+    /** Byte-level MJPEG muxer — wraps already-encoded JPEG frames in
+      * the same RIFF ledger the synth families emit ('MJPG' strh
+      * handler + strf biCompression, one `00dc` chunk per frame,
+      * odd-sized chunks word-padded per the RIFF rule). Exists so the
+      * round-trip spec can drive REAL [[JpegCodec.encode]] output —
+      * whose sizes vary per frame and are frequently odd — through the
+      * composed container decode. */
+    def encodeMjpeg(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le32w(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum
+      ascii("RIFF"); le32w(4 + 8 + 4 + 64 + 124 + 12 + moviBody); ascii("AVI ")
+      ascii("LIST"); le32w(4 + 64 + 124); ascii("hdrl")
+      ascii("avih"); le32w(56)
+      le32w(100000); le32w(0); le32w(0); le32w(0)
+      le32w(frames.length); le32w(0); le32w(1); le32w(0)
+      le32w(w); le32w(h); (0 until 16).foreach(_ => out.write(0))
+      ascii("LIST"); le32w(4 + 64 + 48); ascii("strl")
+      ascii("strh"); le32w(56); ascii("vids"); ascii("MJPG")
+      (0 until 48).foreach(_ => out.write(0))
+      ascii("strf"); le32w(40)
+      le32w(40); le32w(w); le32w(h); le16w(1); le16w(24)
+      ascii("MJPG"); le32w(frames.map(_.length).maxOption.getOrElse(0))
+      (0 until 16).foreach(_ => out.write(0))
+      ascii("LIST"); le32w(4 + moviBody); ascii("movi")
+      frames.foreach { f =>
+        ascii("00dc"); le32w(f.length); out.write(f)
+        if ((f.length & 1) == 1) out.write(0) // RIFF word padding
+      }
+      out.toByteArray
     }
   }
 
@@ -1033,9 +1120,79 @@ object Multimodal {
         hexByte(ch(id * 9 + x * 13 + y)))
     })
 
+  // ----------------------- real video decode: MJPEG (JPEG frames in AVI)
+  //
+  // Real-world AVI video is never uncompressed: the ubiquitous
+  // self-contained form is Motion JPEG — every `00dc` chunk a complete
+  // baseline JPEG interchange file. The container walk and the frame
+  // codec both already exist; this tier COMPOSES them ([[AviCodec]]'s
+  // nested LIST walk dispatching on strf biCompression → [[JpegCodec]]
+  // per chunk), so a decoder that gets either layer wrong — the RIFF
+  // ledger, the MJPG fourcc dispatch, or any step of the T.81 entropy
+  // decode — is a red row against the formula oracle.
+
+  /** Synthesize a Motion-JPEG AVI per document: grayscale baseline
+    * JPEG frames (the [[mediaJpeg]] DC-only construction — wb = id%3+1,
+    * hb = 2 − id%2 blocks (evens are guaranteed ≥ 2 blocks, so the
+    * planted scene jump below is never aHash-blind on a single flat
+    * tile), Q0 = 8 so block pixel = Σdiff + 128 exactly, one-entry
+    * Huffman tables so the scan is byte-aligned
+    * two-byte blocks) in `00dc` chunks behind an 'MJPG' strh handler
+    * and strf biCompression. nf = id%5+2 frames with SCENE semantics:
+    * block i's base diff = ±(8 + (7·id+3·i)%8), sign + iff (id+i)%2=0;
+    * even-id videos NEGATE every diff from the midpoint frame on
+    * (block value reflects 128+S → 128−S, a negative-film jump exactly
+    * analogous to [[mediaAviScenes]]' inversion), odd-id videos are one
+    * static scene. |ΣS| ≤ 6·15 = 90 keeps every value in [38, 218] —
+    * no clamping, so the oracle replay is integer-exact. */
+  def mediaAviMjpeg(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val wb = (pmod(id, lit(3)) + 1).cast("int")
+    val hb = (lit(2) - pmod(id, lit(2))).cast("int")
+    val nf = (pmod(id, lit(5)) + 2).cast("int")
+    val nb = wb * hb
+    val frameBytes = lit(140) + nb * 2 // fixed segments + 2-byte blocks
+    def be16h(c: Column) = lpad(conv(c.cast("long"), 10, 16), 4, "0")
+    def le32(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 8, "0")
+      concat(substring(b, 7, 2), substring(b, 5, 2),
+        substring(b, 3, 2), substring(b, 1, 2))
+    }
+    aviWrap(docs, wb * 8, hb * 8, nf, frameBytes,
+      handlerHex = "4D4A5047", compressionHex = "4D4A5047", // 'MJPG' ×2
+      frameChunkHex = { f =>
+        val inv = pmod(id, lit(2)) === 0 && f >= floor(nf / 2)
+        val scanHex = array_join(transform(sequence(lit(0), nb - 1), i => {
+          val mag = pmod(id * 7 + i * 3, lit(8)) + 8
+          val pos = pmod(id + i, lit(2)) === 0 // base sign, pre-inversion
+          val diff = when(when(inv, !pos).otherwise(pos), mag).otherwise(-mag)
+          // category-4 magnitude bits: positive v → v (1000..1111),
+          // negative v → v + 2^4 - 1 (0000..0111) — the EXTEND inverse
+          val bitsVal = when(diff > 0, diff).otherwise(diff + 15)
+          concat(lpad(conv(bitsVal.cast("long"), 10, 16), 2, "0"), lit("00"))
+        }), "")
+        concat(lit("30306463"), le32(frameBytes), // '00dc'
+          lit("FFD8"), // SOI
+          // DQT: 8-bit table 0, Q0 = 8, the 63 unused AC quantizers = 1
+          lit("FFDB0043" + "00" + "08" + "01" * 63),
+          // SOF0: precision 8, 1 component (id 1, sampling 1x1, table 0)
+          lit("FFC0000B08"), be16h(hb * 8), be16h(wb * 8),
+          lit("010111" + "00"),
+          // DHT DC 0: one code of length 4 → symbol 4 (category 4)
+          lit("FFC40014" + "00" + "00000001" + "00" * 12 + "04"),
+          // DHT AC 0: one code of length 8 → symbol 0x00 (EOB)
+          lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"),
+          // SOS: 1 component, tables 0/0, Ss=0 Se=63 AhAl=0
+          lit("FFDA0008" + "01" + "0100" + "00" + "3F" + "00"),
+          scanHex,
+          lit("FFD9")) // EOI
+      })
+  }
+
   /** Shot-boundary detection over decoded frames: per-frame [[aHash64]],
     * a cut wherever adjacent frames' hamming exceeds `threshold` — the
-    * standard perceptual-hash shot detector, over the REAL decode chain.
+    * standard perceptual-hash shot detector, over the REAL decode chain
+    * ([[AviCodec.decodeFrames]]: DIB and Motion-JPEG containers alike).
     * Output per video: (media_id, n_frames, n_cuts, max_adj_hamming). */
   case class SceneCuts(
       media_id: Long, n_frames: Long, n_cuts: Long, max_adj_hamming: Int)
@@ -1047,7 +1204,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          AviCodec.decodeDib(payload).map { case (w, h, fs) =>
+          AviCodec.decodeFrames(payload).map { case (w, h, fs) =>
             val fps = fs.map(aHash64(w, h, _))
             var cuts = 0L; var mx = 0
             var f = 1
@@ -1063,7 +1220,8 @@ object Multimodal {
       }.toDF()
   }
 
-  /** Per-video features over decoded frames — all integer: the luma sum
+  /** Per-video features over decoded frames ([[AviCodec.decodeFrames]]:
+    * DIB and Motion-JPEG containers alike) — all integer: the luma sum
     * across frames and an (f+1)·(pos)·(r+2g+3b) checksum that pins frame
     * ORDER, row order, padding, and channel order at once. */
   case class VideoFeatures(
@@ -1077,7 +1235,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          AviCodec.decodeDib(payload).map { case (w, h, fs) =>
+          AviCodec.decodeFrames(payload).map { case (w, h, fs) =>
             var luma = 0L; var ck = 0L
             var f = 0
             while (f < fs.length) {

@@ -3983,6 +3983,101 @@ SELECT doc_id AS media_id, w AS width, h AS height, nf::BIGINT AS n_frames,
        sum(wgt * (r + 2 * g + 3 * b))::BIGINT AS checksum
 FROM v GROUP BY doc_id, w, h, nf ORDER BY media_id""")),
 
+    // COMPRESSED video (r14): Motion JPEG — every `00dc` chunk a complete
+    // baseline JPEG, the real-world self-contained AVI form. Composes the
+    // two existing real layers (AviCodec's nested RIFF walk dispatching
+    // on the MJPG strf fourcc → JpegCodec's full T.81 entropy decode per
+    // frame). Frames are the mediaJpeg DC-only construction, so the
+    // decode is integer-exact and the oracle replays the DC prediction
+    // chain (window sum) per frame: block value 128+S, negated from the
+    // midpoint frame on even ids (the planted scene jump). A wrong RIFF
+    // ledger, fourcc dispatch, Huffman walk, EXTEND, dequant, IDCT
+    // constant, or frame ORDER is a red row.
+    ("media_video_features_mjpeg",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .aviFeatures(graft.ext.Multimodal.mediaAviMjpeg(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS wb,
+         CAST(2 - doc_id % 2 AS INT) AS hb,
+         CAST(doc_id % 5 + 2 AS INT) AS nf
+  FROM documents),
+blk AS (
+  SELECT doc_id, wb, hb, nf, j,
+         sum(CASE WHEN (doc_id + j) % 2 = 0
+                  THEN 8 + (doc_id * 7 + j * 3) % 8
+                  ELSE -(8 + (doc_id * 7 + j * 3) % 8) END)
+           OVER (PARTITION BY doc_id ORDER BY j) AS s
+  FROM d, unnest(range(0, wb * hb)) AS t(j)),
+v AS (
+  -- gv: the frame's flat 8x8 tile value for block j; pw: the closed-form
+  -- sum of (y*w + x + 1) over the tile's 64 pixels (w = 8*wb)
+  SELECT doc_id, wb, hb, nf, ff.f::INT AS f,
+         128 + CASE WHEN doc_id % 2 = 0 AND ff.f >= nf // 2
+                    THEN -s ELSE s END AS gv,
+         64 * (8 * (j // wb) * (8 * wb) + 8 * (j % wb) + 1)
+           + 224 * (8 * wb + 1) AS pw
+  FROM blk, unnest(range(0, nf)) AS ff(f))
+SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
+       CAST(8 * hb AS INT) AS height, nf::BIGINT AS n_frames,
+       sum(64000 * gv)::BIGINT AS luma_milli,
+       sum((f + 1) * 6 * gv * pw)::BIGINT AS checksum
+FROM v GROUP BY doc_id, wb, hb, nf ORDER BY media_id""")),
+
+    // Shot-boundary detection through the COMPRESSED path (r14): the
+    // same aHash lag-compare as media_scene_cuts, but every frame first
+    // rides the full JPEG entropy decode. Even-id videos negate every DC
+    // diff from the midpoint frame (128+S → 128−S: the negative-film
+    // jump, which flips every hash bit whose sampled block sits strictly
+    // off the frame mean); odd-id videos are one static scene. Oracle
+    // replays the DC chain, the 8×8 sample grid (a cell's block is
+    // by·wb+bx), the integer mean threshold, and the lag compare.
+    ("media_scene_cuts_mjpeg",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .sceneCuts(graft.ext.Multimodal.mediaAviMjpeg(docs(s, d)),
+            threshold = 3)
+          .orderBy("media_id"),
+      Some("""WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS wb,
+         CAST(2 - doc_id % 2 AS INT) AS hb,
+         CAST(doc_id % 5 + 2 AS INT) AS nf
+  FROM documents),
+blk AS (
+  SELECT doc_id, wb, hb, nf, j,
+         sum(CASE WHEN (doc_id + j) % 2 = 0
+                  THEN 8 + (doc_id * 7 + j * 3) % 8
+                  ELSE -(8 + (doc_id * 7 + j * 3) % 8) END)
+           OVER (PARTITION BY doc_id ORDER BY j) AS s
+  FROM d, unnest(range(0, wb * hb)) AS t(j)),
+sp AS (
+  SELECT doc_id, nf, wb, hb, ff.f::INT AS f, t.i AS bit,
+         ((t.i % 8) * wb) // 8 AS bx, ((t.i // 8) * hb) // 8 AS by
+  FROM d, unnest(range(0, nf)) AS ff(f), unnest(range(0, 64)) AS t(i)),
+lm AS (
+  SELECT sp.doc_id, sp.nf, sp.f, sp.bit,
+         1000 * (128 + CASE WHEN sp.doc_id % 2 = 0 AND sp.f >= sp.nf // 2
+                            THEN -b.s ELSE b.s END) AS l
+  FROM sp JOIN blk b ON b.doc_id = sp.doc_id
+                    AND b.j = sp.by * sp.wb + sp.bx),
+tt AS (SELECT doc_id, f, sum(l)::BIGINT AS s FROM lm GROUP BY doc_id, f),
+fp AS (SELECT lm.doc_id, lm.nf, lm.f,
+              bit_or(CASE WHEN lm.l * 64 > tt.s
+                          THEN CAST(1 AS UBIGINT) << lm.bit::INT
+                          ELSE CAST(0 AS UBIGINT) END) AS fp
+       FROM lm JOIN tt ON tt.doc_id = lm.doc_id AND tt.f = lm.f
+       GROUP BY lm.doc_id, lm.nf, lm.f),
+adj AS (SELECT doc_id, nf, f, fp,
+               lag(fp) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+        FROM fp)
+SELECT doc_id AS media_id, max(nf)::BIGINT AS n_frames,
+       sum(CASE WHEN pv IS NOT NULL AND bit_count(xor(pv, fp)) > 3
+                THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+       max(CASE WHEN pv IS NULL THEN 0
+                ELSE bit_count(xor(pv, fp)) END)::INT AS max_adj_hamming
+FROM adj GROUP BY doc_id ORDER BY media_id""")),
+
     // REAL audio decode (r12): WAV-contained PCM — a chunk-ITERATED RIFF
     // walk (planted JUNK chunks on every fourth doc shift fmt/data, so
     // fixed-offset parsing fails the hash), little-endian int16 samples,

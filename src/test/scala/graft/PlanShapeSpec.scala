@@ -416,7 +416,8 @@ class PlanShapeSpec extends SparkSuite {
     // at 100 TB the ONLY exchange these queries may pay is the final
     // per-media aggregate (and ORDER BY) — a scan-shaped pipeline
     for (q <- Seq("media_features_jpeg_prog", "media_features_webpl_chain",
-      "media_features_webpl_palette")) {
+      "media_features_webpl_palette", "media_video_features_mjpeg",
+      "media_scene_cuts_mjpeg")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(!p.contains("Window"), s"$q must not window")

@@ -436,6 +436,126 @@ class MediaHeadersSpec extends SparkSuite {
       "a single planted jump must yield exactly one cut when detected")
   }
 
+  test("mediaAviMjpeg synthesizes conforming Motion-JPEG AVIs: the MJPG " +
+      "fourcc dispatch routes every 00dc chunk through the full JPEG " +
+      "entropy decode and matches the DC-chain formula") {
+    val feats = Multimodal.aviFeatures(Multimodal.mediaAviMjpeg(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count(), "every synthesized MJPEG must decode")
+    feats.take(40).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val wb = (id % 3 + 1).toInt; val hb = (2 - id % 2).toInt
+      val nf = (id % 5 + 2).toInt
+      val w = 8 * wb; val h = 8 * hb
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("n_frames") === nf.toLong)
+      // DC prediction chain: block j value = 128 + cumsum(diff), negated
+      // from the midpoint frame on even ids
+      val s = new Array[Int](wb * hb)
+      var acc = 0
+      for (j <- 0 until wb * hb) {
+        val mag = (8 + (id * 7 + j * 3) % 8).toInt
+        acc += (if ((id + j) % 2 == 0) mag else -mag)
+        s(j) = acc
+      }
+      var luma = 0L; var ck = 0L
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val inv = id % 2 == 0 && f >= nf / 2
+        val v = 128 + (if (inv) -s((y / 8) * wb + x / 8) else s((y / 8) * wb + x / 8))
+        luma += 1000L * v
+        ck += (f + 1).toLong * (y * w + x + 1) * (6L * v)
+      }
+      assert(r.getAs[Long]("luma_milli") === luma, s"luma mismatch for $id")
+      assert(r.getAs[Long]("checksum") === ck, s"checksum mismatch for $id")
+    }
+    // the strict decodeDib must still REJECT compressed streams — only
+    // the dispatching decodeFrames upgrade accepts MJPG
+    val one = Multimodal.mediaAviMjpeg(docs.limit(1))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.AviCodec.decodeDib(one).isEmpty,
+      "decodeDib must reject the MJPG fourcc")
+    assert(Multimodal.AviCodec.decodeFrames(one).isDefined)
+    assert(Multimodal.AviCodec.decodeFrames(one.dropRight(1)).isEmpty,
+      "a truncated final frame must poison the whole video")
+  }
+
+  test("sceneCuts through the COMPRESSED path: every even-id MJPEG video " +
+      "fires its single midpoint negative-film jump, odd ids stay quiet") {
+    val cuts = Multimodal.sceneCuts(Multimodal.mediaAviMjpeg(docs),
+      threshold = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(cuts.nonEmpty)
+    cuts.foreach { case (id, (n, _)) =>
+      if (id % 2 == 1) assert(n === 0L, s"static video $id must report 0 cuts")
+      // even ids always have hb = 2 (hb = 2 - id%2), so >= 2 blocks whose
+      // adjacent DC sums differ — the 128+S -> 128-S reflection moves
+      // every sampled cell off the frame mean on at least one side
+      else assert(n === 1L, s"planted jump in video $id must fire exactly once")
+    }
+  }
+
+  test("MJPEG round-trip: real JpegCodec.encode frames through the muxer " +
+      "and the composed container decode — dims exact, lossy bound per " +
+      "channel, frame order preserved, odd chunk sizes word-padded") {
+    val w = 19; val h = 13
+    // per-frame +12 ramp on a %200 base: never wraps (max 235), so frame
+    // means increase by 12·w·h = 2964 — far beyond the ±3/px lossy bound,
+    // making decode ORDER mean-distinguishable
+    val frames = (0 until 4).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((x * 37 + y * 11) % 200 + f * 12) << 16) |
+          (((x * 5 + y * 29) % 200 + f * 12) << 8) |
+          ((x * 13 + y * 3) % 200 + f * 12)
+      }
+    }
+    val raw = frames.map(Multimodal.JpegCodec.encode(w, h, _))
+    // flip frame 1's byte parity with a COM segment (skipped by the
+    // marker walk) so the fixture always exercises the RIFF pad rule
+    // whatever parity the encoder happens to emit
+    val jpegs = raw.zipWithIndex.map { case (j, i) =>
+      if (i == 1)
+        j.take(2) ++ Array(0xff.toByte, 0xfe.toByte, 0, 3, 7).map(_.toByte) ++
+          j.drop(2)
+      else j
+    }
+    assert(jpegs.exists(_.length % 2 == 1),
+      "fixture must exercise the RIFF odd-size pad rule")
+    val avi = Multimodal.AviCodec.encodeMjpeg(w, h, jpegs)
+    val got = Multimodal.AviCodec.decodeFrames(avi)
+    assert(got.isDefined, "conforming mux must decode")
+    val (gw, gh, gfs) = got.get
+    assert(gw === w && gh === h && gfs.length === frames.length)
+    for (f <- frames.indices) {
+      var worst = 0
+      for (i <- 0 until w * h; s <- 0 to 16 by 8) {
+        val d = math.abs(((frames(f)(i) >> s) & 0xff) - ((gfs(f)(i) >> s) & 0xff))
+        worst = math.max(worst, d)
+      }
+      assert(worst <= 3, s"frame $f max channel error $worst exceeds lossy bound")
+    }
+    // frame ORDER: the +12/frame ramp keeps means strictly increasing,
+    // so a swapped decode order would invert a mean pair
+    val means = gfs.map(px => px.map(p => (p >> 8) & 0xff).map(_.toLong).sum).toSeq
+    assert(means === means.sorted, "decoded frame order must match mux order")
+    // mutation fuzz over the COMPOSED container: a corrupted MJPEG AVI
+    // must return (Some or None), never throw — either layer may be hit
+    val rnd = new scala.util.Random(77)
+    var trial = 0
+    while (trial < 400) {
+      val m = avi.clone
+      val flips = 1 + rnd.nextInt(4)
+      var i = 0
+      while (i < flips) {
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        i += 1
+      }
+      Multimodal.AviCodec.decodeFrames(m)
+      trial += 1
+    }
+  }
+
   test("WavCodec decodes a hand-built PCM file through a chunk walk: " +
       "JUNK skipped with word padding, stereo/truncation/float rejected") {
     def wav(chunks: Array[Byte]): Array[Byte] = {
