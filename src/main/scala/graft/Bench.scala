@@ -225,7 +225,13 @@ object Bench {
     // hash join, string-keyed hash aggregate, noop sink. Same codegen,
     // scan, exchange, and broadcast machinery the timed queries pay.
     val calDir = s"${sys.props("java.io.tmpdir")}/graft_cal_v2"
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(calDir)))
+    // existence alone is not enough (ADVICE r13): a crashed first write
+    // leaves a PRESENT directory holding a truncated fixture, and every
+    // later run on the host would calibrate against (or die reading) it.
+    // Spark's committed writes end with a _SUCCESS marker — require it,
+    // rebuilding the fixture when absent (overwrite clears the partial).
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(calDir, "_SUCCESS")))
       spark.range(0, 4000000L, 1, cpus.toInt)
         .selectExpr("id", "cast(id % 1000 as string) AS s",
           "id % 97 AS k", "id * 1.5 AS v")

@@ -6,13 +6,39 @@ import org.apache.spark.sql.SparkSession
   * explicit subset, with the same sf0.001 warm-up, so a single query's
   * plan change can be measured without a full 180-query run.
   * Usage: runMain graft.BenchSubset <sfDir> <queryName>...
-  */
+  *
+  * SPARK_GRAFT_MASTER overrides the master — notably
+  * `local-cluster[4,8,4096]` (4 SEPARATE executor JVMs × 8 cores):
+  * real RPC, serialized shuffle blocks over the network stack, and
+  * closure/kryo costs that local[32]'s in-process block manager never
+  * pays. That is the SCALE_PROBE multi-node-exchange evidence mode (no
+  * cluster needed). The forked run JVM's full classpath is handed to
+  * the executors (graft classes aren't in SPARK_HOME's jars), plus the
+  * JDK-17 --add-opens set the driver itself needs. */
 object BenchSubset {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val builder = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // same one-time write-path warm-ups Bench performs outside the timed

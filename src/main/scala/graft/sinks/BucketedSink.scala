@@ -65,10 +65,10 @@ private[sinks] object BucketedSink {
     * rename-aside (ADVICE r7 — a delete-then-rename swap had a crash
     * window that lost the table): the live dir moves to `path__old`,
     * the rewrite renames into place, and only then is the old copy
-    * deleted — a crash at any step leaves a complete copy recoverable
-    * by hand (`path__old` if the second rename never ran, `path`
-    * otherwise). A leftover `path__old` from a crashed prior compact is
-    * cleared first. Run BETWEEN streaming runs, not concurrently with
+    * deleted — a crash at any step leaves a complete copy, and the next
+    * compact self-heals via [[graft.util.SwapDirs.restoreFromOld]]
+    * (`path__old` if the second rename never ran, `path` otherwise). A
+    * leftover `path__old` beside a complete live table is cleared first. Run BETWEEN streaming runs, not concurrently with
     * an active writer: the markers only guard foreachBatch retries
     * within a run (committed batches are already fenced by the
     * checkpoint), so a quiesced stream loses nothing by their removal. */
@@ -80,6 +80,9 @@ private[sinks] object BucketedSink {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
     val old = new org.apache.hadoop.fs.Path(path + "__old")
+    // a prior compact crashed between its two renames → the table lives
+    // only at __old; rename it back before reading
+    graft.util.SwapDirs.restoreFromOld(fs, hPath)
     rewrite(spark.read.parquet(path), tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     // Hadoop rename signals most failures by RETURNING FALSE, not

@@ -50,6 +50,9 @@ object StreamComponents {
     val spark = batch.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between the swap's two renames below leaves the table only
+    // at __old; heal before deciding "missing table = empty graph"
+    graft.util.SwapDirs.restoreFromOld(fs, hPath)
     val newEdges = batchEdges(batch)
     val merged =
       if (fs.exists(hPath)) {
@@ -70,11 +73,14 @@ object StreamComponents {
     // writing the merge materializes the read of the old table before
     // the swap retires it
     out.write.mode("overwrite").parquet(tmp.toString)
-    // BucketedSink.compact posture: never a moment with no live table.
-    // A delete-then-rename swap has a crash window where the checkpoint
-    // replay would rebuild from an EMPTY graph — prior labels silently
-    // lost. Rename live -> __old, __next -> live (require: Hadoop rename
-    // signals failure by returning false), then drop __old.
+    // BucketedSink.compact posture: a crash never LOSES the table. The
+    // live path is briefly absent between the two renames — a crash
+    // there leaves the data only at __old, which the restoreFromOld at
+    // the top of the next fold renames back before anything could
+    // rebuild from an empty graph. (A delete-then-rename swap had no
+    // such recovery: prior labels silently lost.) Rename live -> __old,
+    // __next -> live (require: Hadoop rename signals failure by
+    // returning false), then drop __old.
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(hPath)) {
       require(fs.rename(hPath, old),

@@ -51,6 +51,9 @@ object StreamTriangles {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between the swap's two renames below leaves the root only
+    // at __old; heal before deciding "missing root = empty state"
+    graft.util.SwapDirs.restoreFromOld(fs, root)
     val exists = fs.exists(root)
     val oldEdges =
       if (exists) spark.read.parquet(s"$path/edges")
@@ -136,9 +139,11 @@ object StreamTriangles {
     val newEdges = oldEdges.unionByName(en)
 
     // single root swap: edges + stats land together or not at all.
-    // BucketedSink.compact posture — never a moment with no live root:
-    // rename live -> __old, __next -> live (require: Hadoop rename
-    // signals failure by returning false), then drop __old.
+    // BucketedSink.compact posture — a crash never loses the root (the
+    // brief live-absent window between the renames is healed by the
+    // restoreFromOld at the top of the next fold): rename live -> __old,
+    // __next -> live (require: Hadoop rename signals failure by
+    // returning false), then drop __old.
     val tmp = new org.apache.hadoop.fs.Path(path + "__next")
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     fs.delete(tmp, true)

@@ -165,4 +165,62 @@ class LayoutSinkSpec extends SparkSuite {
       .select("pay").as[Long].collect().toSeq.sorted
     assert(viaStats === got)
   }
+
+  test("manifest bloat is bounded: many small appends keep the stats " +
+      "manifest within the fold factor without touching data files, and " +
+      "the stats reader stays exact") {
+    val dir = tmpDir("zlayout_statsfold")
+    val base = Seq.tabulate(500)(i =>
+      ((i % 100).toLong, (i % 50).toLong, i.toLong)).toDF("x", "y", "pay")
+    Layout.writeClustered(base, dir, "x", "y", cellBits = 4)
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data"))
+        .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val baseFiles = dataFiles()
+    // 16 appends, each landing in several cells: unbounded, the manifest
+    // would hold base + 16×(files hit) rows — far past the fold factor
+    for (b <- 0 until 16)
+      LayoutSink.appendBatch(Seq(((b * 7 % 100).toLong, (b * 3 % 50).toLong,
+        10000L + b)).toDF("x", "y", "pay"), dir)
+    val meta = Layout.readMeta(spark, dir)
+    val stats = spark.read.parquet(s"$dir/stats")
+    val files = stats.select(meta.partitionCol).distinct().count()
+    assert(stats.count() <= LayoutSink.statsFoldFactor * files,
+      s"manifest must stay within ${LayoutSink.statsFoldFactor}x the file " +
+        s"count, got ${stats.count()} rows over $files files")
+    // the folds never rewrote a data byte: every base file is still there
+    assert(baseFiles.subsetOf(dataFiles()),
+      "stats folding must be manifest-only")
+    // and the stats-pruned read is still bit-identical to a full scan
+    val viaStats = Layout.readPrunedByStats(spark, dir,
+      Some((0L, 20L)), None).select("pay").as[Long].collect().toSeq.sorted
+    val full = spark.read.parquet(s"$dir/data")
+      .where($"x".between(0L, 20L)).dropDuplicates("pay")
+      .select("pay").as[Long].collect().toSeq.sorted
+    assert(viaStats === full)
+  }
+
+  test("a crash in the recluster swap window self-heals: the table left " +
+      "only at __old is restored by the next maintenance entry") {
+    val dir = tmpDir("zlayout_heal")
+    val base = Seq.tabulate(200)(i =>
+      ((i % 100).toLong, (i % 50).toLong, i.toLong)).toDF("x", "y", "pay")
+    Layout.writeClustered(base, dir, "x", "y", cellBits = 4)
+    // simulate the crash: live renamed aside, second rename never ran
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LayoutSink.invalidateMeta(dir)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    // the next append heals the root through metaOf and lands normally
+    LayoutSink.appendBatch(Seq((10L, 10L, 9999L)).toDF("x", "y", "pay"), dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    val pays = LayoutSink.readPruned(spark, dir, "pay", None, None)
+      .select("pay").as[Long].collect().toSeq.sorted
+    assert(pays === ((0L until 200L) ++ Seq(9999L)).sorted)
+  }
 }

@@ -33,6 +33,15 @@ class StreamComponentsSpec extends SparkSuite {
     // star set already spans — labels must not move
     StreamComponents.foldBatch(fx.where(col("id") % 3 === 1), path)
     assert(labelsAt(path) === batchLabels)
+    // crash window between the swap's renames: the table left only at
+    // __old must be healed by the next fold, NOT treated as an empty
+    // graph (which a replayed empty batch would silently re-label from)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(path + "__old")))
+    StreamComponents.foldBatch(fx.limit(0), path)
+    assert(labelsAt(path) === batchLabels,
+      "a post-crash fold must restore the prior labels from __old")
   }
 
   test("streaming query maintains the table; a later bridge edge merges " +
