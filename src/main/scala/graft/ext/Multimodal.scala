@@ -384,18 +384,32 @@ object Multimodal {
     * correct, no codec — with the [[FakeCodec]] stub only for unrecognized
     * payloads and for the embedding vector (the one stage that truly needs
     * a model/codec this environment lacks). Deterministic given payloads. */
-  def extractFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
+  /** Fixed-shape features per media row. `realDecode = true` (the
+    * default, what a production caller gets) derives the embedding from
+    * DECODED PIXELS via [[decodeImage]]/[[pixelEmbeddingVec]] whenever a
+    * codec claims the payload, leaving [[FakeCodec.features]] only for
+    * truly-unknown formats. The `media_features` query pins
+    * `realDecode = false`: its [[mediaWithHeaders]] payloads are
+    * genuine-header + document-text hybrids whose BODIES are not pixel
+    * data — a text body can even accidentally satisfy a lenient decoder
+    * (a ',' is GIF's image-separator byte) — so that query's LCG-replay
+    * oracle intentionally measures the stub seam on undecodable rows. */
+  def extractFeatures(media: DataFrame, featureDim: Int = 8,
+      realDecode: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.map { r =>
-        val (w, h) = HeaderCodec.dims(r.payload)
+        val decoded = if (realDecode) decodeImage(r.payload) else None
+        val (w, h) = decoded.map(d => (d._2, d._3))
+          .orElse(HeaderCodec.dims(r.payload))
           .getOrElse(FakeCodec.dims(r.payload))
         MediaFeatures(
           r.media_id, r.kind, w, h,
           HeaderCodec.frames(r.payload)
             .getOrElse(FakeCodec.frameCount(r.payload, r.kind)),
-          FakeCodec.features(r.payload, featureDim))
+          decoded.map(d => pixelEmbeddingVec(d._2, d._3, d._4, featureDim))
+            .getOrElse(FakeCodec.features(r.payload, featureDim)))
       }
     }.toDF()
   }
@@ -4800,6 +4814,91 @@ object Multimodal {
     * higher-order functions run interpreted — an inline hex would re-hex
     * the whole payload for every gram window (the O(n²) trap
     * [[graft.ext.TextAnalysis.bigramTopK]] documents). */
+  // ------------------------------ content embeddings from DECODED pixels
+  //
+  // The embedding stub's remit shrinks (VERDICT r13 item 3): for every
+  // format with a real decoder the "embedding model" seam now runs over
+  // PIXELS, not payload bytes — a deterministic block-mean-luma grid,
+  // the classic thumbnail feature. Byte-level fabrication remains only
+  // for truly-unknown payloads (FakeCodec.features, the marked seam a
+  // real encoder model plugs into).
+
+  /** Magic-byte dispatch across every real image decoder in this file.
+    * Returns (format, w, h, pixels) or None when no codec claims the
+    * payload — the seam where [[FakeCodec]] remains. Video containers
+    * contribute their FIRST frame (the standard thumbnail-embedding
+    * choice). */
+  def decodeImage(p: Array[Byte]): Option[(String, Int, Int, Array[Int])] = {
+    if (p == null || p.length < 4) return None
+    def b(i: Int) = p(i) & 0xff
+    def ascii(off: Int, n: Int) = new String(p.slice(off, off + n), "US-ASCII")
+    if (b(0) == 'B' && b(1) == 'M')
+      BmpCodec.decode(p).map(("bmp", _)).orElse(
+        BmpCodec.decodeRle8(p).map(("bmp", _)))
+        .map { case (f, (w, h, px)) => (f, w, h, px) }
+    else if (b(0) == 'P' && b(1) == '5')
+      PgmCodec.decode(p).map { case (w, h, px) => ("pgm", w, h, px) }
+    else if (p.length >= 6 && ascii(0, 4) == "GIF8")
+      GifCodec.decode(p).map { case (w, h, px) => ("gif", w, h, px) }
+    else if (b(0) == 0x89 && p.length >= 8 && ascii(1, 3) == "PNG")
+      PngCodec.decode(p).map { case (w, h, px) => ("png", w, h, px) }
+    else if (b(0) == 0xff && b(1) == 0xd8)
+      JpegCodec.decode(p).map { case (w, h, px) => ("jpeg", w, h, px) }
+    else if (p.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WEBP")
+      Vp8lCodec.decode(p).map { case (w, h, px) => ("webp", w, h, px) }
+    else if (p.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ")
+      AviCodec.decodeFrames(p).collect {
+        case (w, h, fs) if fs.nonEmpty => ("avi", w, h, fs(0))
+      }
+    else None
+  }
+
+  /** `dim`-entry content embedding from decoded pixels: the image is
+    * bucketed on a ceil(√dim)-wide grid (gx = x·gw div w), each entry
+    * the integer MEAN milli-luma (Σ(299r+587g+114b) div count) of its
+    * bucket, 0 for buckets no pixel maps to (tiny images). All-integer
+    * values ≤ 255000 — exact in Float and exactly replayable in SQL. */
+  private[ext] def pixelEmbeddingVec(
+      w: Int, h: Int, px: Array[Int], dim: Int): Array[Float] = {
+    val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val gh = (dim + gw - 1) / gw
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        val cell = (y * gh / h) * gw + (x * gw / w)
+        sums(cell) += l; counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  /** Per-media content embedding over the REAL decode dispatch: one row
+    * per decodable payload with its format tag and the `dim`-entry
+    * pixel-derived vector (undecodable rows drop — the caller's
+    * FakeCodec fallback seam, see [[extractFeatures]]). */
+  def mediaEmbedding(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeImage(payload).map { case (fmt, w, h, px) =>
+            (id, fmt, pixelEmbeddingVec(w, h, px, dim))
+          }
+        }
+      }.toDF("media_id", "fmt", "embedding")
+  }
+
   def byteSimhash64(hx: Column): Column = {
     val nGrams = (length(hx) / 2 - 3).cast("int")
     val grams = when(nGrams >= 1,

@@ -103,4 +103,66 @@ class MultimodalSpec extends SparkSuite {
     val resized = Multimodal.resize(media).collect()
     assert(resized.length === 2)
   }
+
+  test("decodeImage dispatches every real decoder by magic bytes; video " +
+      "containers contribute their first frame; unknowns stay None") {
+    val few = docs.limit(3)
+    def fmtOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().flatMap(r => Multimodal.decodeImage(
+        r.getAs[Array[Byte]]("payload")).map(_._1)).toSet
+    assert(fmtOf(Multimodal.mediaBmp(few)) === Set("bmp"))
+    assert(fmtOf(Multimodal.mediaBmpRle(few)) === Set("bmp"))
+    assert(fmtOf(Multimodal.mediaPgm(few)) === Set("pgm"))
+    assert(fmtOf(Multimodal.mediaGif(few)) === Set("gif"))
+    assert(fmtOf(Multimodal.mediaPng(few)) === Set("png"))
+    assert(fmtOf(Multimodal.mediaJpeg(few)) === Set("jpeg"))
+    assert(fmtOf(Multimodal.mediaWebpl(few)) === Set("webp"))
+    assert(fmtOf(Multimodal.mediaAviDib(few)) === Set("avi"))
+    assert(fmtOf(Multimodal.mediaAviMjpeg(few)) === Set("avi"))
+    assert(Multimodal.decodeImage("not a picture".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // AVI = FIRST frame: a one-pixel 2-frame DIB where the frames differ
+    val avi = Multimodal.mediaAviDib(few.limit(1)).collect().head
+    val (_, w, h, px) = Multimodal.decodeImage(
+      avi.getAs[Array[Byte]]("payload")).get
+    val frames = Multimodal.AviCodec.decodeFrames(
+      avi.getAs[Array[Byte]]("payload")).get
+    assert((w, h) === (frames._1, frames._2))
+    assert(px.sameElements(frames._3(0)), "must be the FIRST frame")
+  }
+
+  test("pixelEmbeddingVec is the exact integer grid mean with 0 for " +
+      "empty cells, and extractFeatures routes decoded payloads to it") {
+    // 2×2 constant-gray 100: gx = x*4/2 ∈ {0, 2}, so exactly cells
+    // 0, 2, 8, 10 hold pixels (mean milli-luma 100000), the rest 0
+    val px = Array.fill(4)((100 << 16) | (100 << 8) | 100)
+    val v = Multimodal.pixelEmbeddingVec(2, 2, px, 16)
+    val expected = Array.tabulate(16)(i =>
+      if (Set(0, 2, 8, 10)(i)) 100000f else 0f)
+    assert(v.toSeq === expected.toSeq)
+    // non-uniform: 1×2 column, lumas 1000·(10, 30) — cells (0,0) and
+    // (2,0): y=0→gy0, y=1→gy2
+    val v2 = Multimodal.pixelEmbeddingVec(1, 2, Array(
+      (10 << 16) | (10 << 8) | 10, (30 << 16) | (30 << 8) | 30), 16)
+    assert(v2(0) === 10000f && v2(8) === 30000f)
+    assert(v2.count(_ != 0f) === 2)
+    // extractFeatures: a real BMP payload gets the PIXEL embedding, a
+    // byte blob keeps the FakeCodec stub
+    import spark.implicits._
+    val bmpRow = Multimodal.mediaBmp(docs.limit(1)).collect().head
+    val blob = "no codec claims this".getBytes("UTF-8")
+    val media = Seq(
+      (1L, "image", bmpRow.getAs[Array[Byte]]("payload"), "s", 0L),
+      (2L, "image", blob, "s", 0L))
+      .toDF("media_id", "kind", "payload", "source", "declared_bytes")
+    val feats = Multimodal.extractFeatures(media, featureDim = 16)
+      .orderBy("media_id").collect()
+    val (_, bw, bh, bpx) = Multimodal.decodeImage(
+      bmpRow.getAs[Array[Byte]]("payload")).get
+    assert(feats(0).getSeq[Float](feats(0).fieldIndex("feature")).toSeq ===
+      Multimodal.pixelEmbeddingVec(bw, bh, bpx, 16).toSeq)
+    assert(feats(0).getAs[Int]("width") === bw)
+    assert(feats(1).getSeq[Float](feats(1).fieldIndex("feature")).toSeq ===
+      Multimodal.FakeCodec.features(blob, 16).toSeq)
+  }
 }
