@@ -977,6 +977,103 @@ object Multimodal {
         hexByte(id * 5 + f * 2 + x + y * 11),
         hexByte(id * 9 + f * 3 + x * 13 + y)))
 
+  // ---------------------- real A/V demux: interleaved audio in the AVI
+  //
+  // Real-world AVIs interleave an AUDIO stream ('01wb' PCM chunks)
+  // between the video frames — the same container carries both
+  // modalities, and a demuxer must route chunks by STREAM NUMBER and
+  // associate strf headers with their streams by hdrl ORDER (the first
+  // strf describes stream 0, the second stream 1), not by chunk
+  // adjacency. [[mediaAviAv]] synthesizes conforming two-stream files;
+  // [[AviCodec.decodeAv]] demuxes both; [[avFeatures]]' cross-modal
+  // checksum ((f+1)-weighted per-CHUNK audio sums) pins the
+  // interleaving — a demuxer that concatenates audio in the wrong
+  // order, or attaches chunk f to the wrong frame, is a red row.
+
+  /** Synthesize an interleaved audio+video AVI per document: the
+    * [[mediaAviDib]] video formula (w = id%8+1, h = (3·id)%6+1,
+    * nf = id%5+2, 24-bpp DIB `00db` chunks) plus a mono 16-bit 8 kHz
+    * PCM stream in `01wb` chunks, spf = id%7+3 samples per chunk,
+    * chunk f carrying GLOBAL samples f·spf … (f+1)·spf−1 with the
+    * [[mediaWavPcm]] value formula s(k) = ((3·id + 17·k) mod 65536) −
+    * 32768. Two strl LISTs ride hdrl (vids 'DIB ' then auds PCM
+    * WAVEFORMATEX). */
+  def mediaAviAv(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = (pmod(id, lit(8)) + 1).cast("int")
+    val h = (pmod(id * 3, lit(6)) + 1).cast("int")
+    val nf = (pmod(id, lit(5)) + 2).cast("int")
+    val spf = (pmod(id, lit(7)) + 3).cast("int")
+    val rowSize = (floor((w * 3 + 3) / lit(4)) * 4).cast("int")
+    val pad = rowSize - w * 3
+    val frameBytes = rowSize * h
+    val audioBytes = spf * 2
+    def le32(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 8, "0")
+      concat(substring(b, 7, 2), substring(b, 5, 2),
+        substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def le16(c: Column) = {
+      val b = lpad(conv(c.cast("long"), 10, 16), 4, "0")
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def zeros(n: Int) = lit("00" * n)
+    val strhV = concat(lit("73747268"), le32(lit(56)),
+      lit("76696473"), lit("44494220"), zeros(48))
+    val strfV = concat(lit("73747266"), le32(lit(40)),
+      le32(lit(40)), le32(w), le32(h), le16(lit(1)), le16(lit(24)),
+      le32(lit(0)), le32(frameBytes), zeros(16))
+    val strlV = concat(lit("4C495354"), le32(lit(4 + 64 + 48)),
+      lit("7374726C"), strhV, strfV)
+    val strhA = concat(lit("73747268"), le32(lit(56)),
+      lit("61756473"), zeros(4), zeros(48)) // 'auds', no handler fourcc
+    // WAVEFORMATEX: PCM (1), mono, 8 kHz, 16000 B/s, align 2, 16 bits
+    val strfA = concat(lit("73747266"), le32(lit(16)),
+      le16(lit(1)), le16(lit(1)), le32(lit(8000)), le32(lit(16000)),
+      le16(lit(2)), le16(lit(16)))
+    val strlA = concat(lit("4C495354"), le32(lit(4 + 64 + 24)),
+      lit("7374726C"), strhA, strfA)
+    val avih = concat(lit("61766968"), le32(lit(56)),
+      le32(lit(100000)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+      le32(nf), le32(lit(0)), le32(lit(2)), le32(lit(0)), // 2 streams
+      le32(w), le32(h), zeros(16))
+    val hdrl = concat(lit("4C495354"), le32(lit(4 + 64 + 124 + 100)),
+      lit("6864726C"), avih, strlV, strlA)
+    val frames = array_join(
+      transform(sequence(lit(0), nf - 1), { f =>
+        val video = concat(lit("30306462"), le32(frameBytes), array_join(
+          transform(sequence(lit(0), h - 1), { i =>
+            val y = h - 1 - i // stored bottom-up
+            concat(
+              array_join(
+                transform(sequence(lit(0), w - 1), { x =>
+                  concat(
+                    hexByte(id + f + x * 3 + y * 7),
+                    hexByte(id * 5 + f * 2 + x + y * 11),
+                    hexByte(id * 9 + f * 3 + x * 13 + y))
+                }), ""),
+              lit("000000").substr(lit(1), pad * 2))
+          }), ""))
+        val audio = concat(lit("30317762"), le32(audioBytes), array_join(
+          transform(sequence(lit(0), spf - 1), { k =>
+            // two's-complement int16 little-endian of the global sample:
+            // value v = m - 32768 for m = (3id+17k) mod 65536 stores as
+            // (v + 2^16) mod 2^16 = (m + 32768) mod 2^16
+            le16(pmod(pmod(id * 3 + (f * spf + k) * 17, lit(65536))
+              + 32768, lit(65536)))
+          }), ""))
+        concat(video, audio)
+      }), "")
+    val moviBody = nf * (frameBytes + 8 + audioBytes + 8)
+    val movi = concat(lit("4C495354"),
+      le32(moviBody + 4), lit("6D6F7669"), frames)
+    val hx = concat(
+      lit("52494646"),
+      le32(lit(4 + 8 + 4 + 64 + 124 + 100) + moviBody + 12),
+      lit("41564920"), hdrl, movi)
+    docs.select(id.as("media_id"), unhex(hx).as("payload"))
+  }
+
   /** REAL AVI/DIB decoder: RIFF walk → hdrl LIST → strl LIST → strf
     * geometry (validated 24-bpp BI_RGB), then every `00db`/`00dc` movi
     * chunk decoded exactly as a BMP pixel array (bottom-up undone,
@@ -1073,6 +1170,90 @@ object Multimodal {
       }
       if (!walk(12, p.length)) return None
       if (w < 0 || frames.isEmpty) None else Some((w, h, frames.toArray))
+    }
+
+    /** Two-stream A/V demux: video frames exactly as [[decodeFrames]]
+      * (24-bpp DIB here — the A/V synth family is uncompressed) PLUS the
+      * interleaved `01wb` PCM audio, returned as per-CHUNK sample
+      * arrays so a consumer can pin the interleaving. strf headers
+      * attach to streams by hdrl ORDER: the first describes stream 0
+      * (video, BITMAPINFOHEADER), the second stream 1 (audio,
+      * WAVEFORMATEX — PCM/mono/16-bit validated, anything else None).
+      * Returns (w, h, frames, audioChunks); None on any malformation. */
+    def decodeAv(p: Array[Byte])
+    : Option[(Int, Int, Array[Array[Int]], Array[Array[Int]])] = {
+      if (p == null || p.length < 24) return None
+      if (tag(p, 0) != "RIFF" || tag(p, 8) != "AVI ") return None
+      var w = -1; var h = -1
+      var strfSeen = 0
+      var audioOk = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      val audio = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      def walk(from: Int, to: Int): Boolean = {
+        var i = from
+        while (i + 8 <= to) {
+          val id = tag(p, i)
+          val size = le(p, i + 4, 4)
+          if (size < 0 || i.toLong + 8 + size > to) return false
+          if (id == "LIST") {
+            if (size < 4) return false
+            if (!walk(i + 12, i + 8 + size)) return false
+          } else if (id == "strf") {
+            // hdrl order attaches headers to streams
+            if (strfSeen == 0) {
+              if (size < 40) return false
+              val bpp = le(p, i + 8 + 14, 2)
+              val comp = le(p, i + 8 + 16, 4)
+              if (bpp != 24 || comp != 0) return false
+              w = le(p, i + 8 + 4, 4)
+              h = le(p, i + 8 + 8, 4)
+              if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16))
+                return false
+            } else {
+              if (size < 16) return false
+              val fmt = le(p, i + 8, 2); val ch = le(p, i + 8 + 2, 2)
+              val bits = le(p, i + 8 + 14, 2)
+              if (fmt != 1 || ch != 1 || bits != 16) return false
+              audioOk = true
+            }
+            strfSeen += 1
+          } else if (id == "00db" || id == "00dc") {
+            if (w < 0) return false
+            val rowSize = ((3 * w + 3) / 4) * 4
+            if (size.toLong != rowSize.toLong * h) return false
+            val out = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              val base = i + 8 + (h - 1 - y) * rowSize
+              var x = 0
+              while (x < w) {
+                val bb = p(base + 3 * x) & 0xff
+                val g = p(base + 3 * x + 1) & 0xff
+                val r = p(base + 3 * x + 2) & 0xff
+                out(y * w + x) = (r << 16) | (g << 8) | bb
+                x += 1
+              }
+              y += 1
+            }
+            frames += out
+          } else if (id == "01wb") {
+            if (!audioOk || (size & 1) == 1) return false
+            val out = new Array[Int](size / 2)
+            var k = 0
+            while (k < out.length) {
+              // little-endian two's-complement int16
+              out(k) = (le(p, i + 8 + 2 * k, 2) << 16) >> 16
+              k += 1
+            }
+            audio += out
+          }
+          i += 8 + size + (size & 1)
+        }
+        true
+      }
+      if (!walk(12, p.length)) return None
+      if (w < 0 || !audioOk || frames.isEmpty) None
+      else Some((w, h, frames.toArray, audio.toArray))
     }
 
     /** Byte-level MJPEG muxer — wraps already-encoded JPEG frames in
@@ -1229,6 +1410,60 @@ object Multimodal {
               f += 1
             }
             SceneCuts(id, fps.length.toLong, cuts, mx)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Combined A/V features over the two-stream demux — all integer:
+    * the video luma sum + (f+1)-weighted checksum (frame order), the
+    * audio Σ|s| and Σs² over ALL samples, and the cross-modal
+    * `av_checksum` = Σ_chunk (f+1)·Σ|s within chunk f| — which only
+    * comes out right when audio chunk f really is the f-th interleaved
+    * chunk, pinning the demuxer's A/V association. */
+  case class AvFeatures(
+      media_id: Long, width: Int, height: Int, n_frames: Long,
+      n_samples: Long, luma_milli: Long, checksum: Long,
+      sum_abs: Long, sum_sq: Long, av_checksum: Long)
+
+  def avFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          AviCodec.decodeAv(payload).map { case (w, h, fs, au) =>
+            var luma = 0L; var ck = 0L
+            var f = 0
+            while (f < fs.length) {
+              val px = fs(f)
+              var i = 0
+              while (i < px.length) {
+                val r = (px(i) >> 16) & 0xff
+                val g = (px(i) >> 8) & 0xff
+                val b = px(i) & 0xff
+                luma += 299L * r + 587L * g + 114L * b
+                ck += (f + 1).toLong * (i + 1) * (r + 2L * g + 3L * b)
+                i += 1
+              }
+              f += 1
+            }
+            var sAbs = 0L; var sSq = 0L; var avCk = 0L; var n = 0L
+            var c = 0
+            while (c < au.length) {
+              var k = 0
+              var chunkAbs = 0L
+              while (k < au(c).length) {
+                val v = au(c)(k).toLong
+                chunkAbs += math.abs(v); sSq += v * v
+                k += 1; n += 1
+              }
+              sAbs += chunkAbs
+              avCk += (c + 1).toLong * chunkAbs
+              c += 1
+            }
+            AvFeatures(id, w, h, fs.length.toLong, n, luma, ck, sAbs, sSq, avCk)
           }
         }
       }.toDF()

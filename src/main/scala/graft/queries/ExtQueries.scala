@@ -4191,6 +4191,52 @@ SELECT d.media_id, d.fmt, d.i::INT AS i, COALESCE(mv.v, 0)::BIGINT AS v
 FROM dims d LEFT JOIN mv ON mv.media_id = d.media_id AND mv.cell = d.i
 ORDER BY d.media_id, d.i""")),
 
+    // Interleaved A/V demux (r14): one AVI carrying BOTH modalities —
+    // '00db' DIB frames and '01wb' PCM chunks, strf headers attached to
+    // streams by hdrl ORDER. The cross-modal av_checksum ((f+1)-weighted
+    // per-chunk |s| sums) pins the interleaving: concatenating audio in
+    // the wrong order, or routing a chunk to the wrong stream, is a red
+    // row. Oracle replays the video formula, the WAV sample formula on
+    // GLOBAL indices, and the chunk windowing (chunk f = k // spf).
+    ("media_av_features",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .avFeatures(graft.ext.Multimodal.mediaAviAv(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH d AS (
+  SELECT doc_id, CAST(doc_id % 8 + 1 AS INT) AS w,
+         CAST((doc_id * 3) % 6 + 1 AS INT) AS h,
+         CAST(doc_id % 5 + 2 AS INT) AS nf,
+         CAST(doc_id % 7 + 3 AS INT) AS spf
+  FROM documents),
+px AS (SELECT doc_id, w, h, nf, ff.f::INT AS f,
+              t.j % w AS x, t.j // w AS y
+       FROM d, unnest(range(0, nf)) AS ff(f),
+            unnest(range(0, w * h)) AS t(j)),
+v AS (SELECT doc_id, w, h, nf,
+             (doc_id + f + 3 * x + 7 * y) % 256 AS b,
+             (5 * doc_id + 2 * f + x + 11 * y) % 256 AS g,
+             (9 * doc_id + 3 * f + 13 * x + y) % 256 AS r,
+             (f + 1) * (y * w + x + 1) AS wgt
+      FROM px),
+vf AS (SELECT doc_id, w, h, nf,
+              sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_milli,
+              sum(wgt * (r + 2 * g + 3 * b))::BIGINT AS checksum
+       FROM v GROUP BY doc_id, w, h, nf),
+au AS (SELECT doc_id, spf, t.k,
+              ((3 * doc_id + 17 * t.k) % 65536) - 32768 AS s
+       FROM d, unnest(range(0, nf * spf)) AS t(k)),
+af AS (SELECT doc_id, count(*)::BIGINT AS n_samples,
+              sum(abs(s))::BIGINT AS sum_abs,
+              sum(s * s)::BIGINT AS sum_sq,
+              sum((k // spf + 1) * abs(s))::BIGINT AS av_checksum
+       FROM au GROUP BY doc_id)
+SELECT vf.doc_id AS media_id, vf.w AS width, vf.h AS height,
+       vf.nf::BIGINT AS n_frames, af.n_samples, vf.luma_milli,
+       vf.checksum, af.sum_abs, af.sum_sq, af.av_checksum
+FROM vf JOIN af ON af.doc_id = vf.doc_id
+ORDER BY media_id""")),
+
     // REAL audio decode (r12): WAV-contained PCM — a chunk-ITERATED RIFF
     // walk (planted JUNK chunks on every fourth doc shift fmt/data, so
     // fixed-offset parsing fails the hash), little-endian int16 samples,

@@ -417,7 +417,7 @@ class PlanShapeSpec extends SparkSuite {
     // per-media aggregate (and ORDER BY) — a scan-shaped pipeline
     for (q <- Seq("media_features_jpeg_prog", "media_features_webpl_chain",
       "media_features_webpl_palette", "media_video_features_mjpeg",
-      "media_scene_cuts_mjpeg", "media_embedding")) {
+      "media_scene_cuts_mjpeg", "media_embedding", "media_av_features")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(!p.contains("Window"), s"$q must not window")

@@ -479,6 +479,74 @@ class MediaHeadersSpec extends SparkSuite {
       "a truncated final frame must poison the whole video")
   }
 
+  test("mediaAviAv interleaves PCM audio beside DIB video in one RIFF: " +
+      "decodeAv demuxes both streams, attaches strf headers by hdrl " +
+      "order, and the cross-modal checksum pins the interleaving") {
+    val feats = Multimodal.avFeatures(Multimodal.mediaAviAv(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count(), "every synthesized A/V must decode")
+    feats.take(30).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (id % 8 + 1).toInt; val h = (id * 3 % 6 + 1).toInt
+      val nf = (id % 5 + 2).toInt; val spf = (id % 7 + 3).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("n_frames") === nf.toLong)
+      assert(r.getAs[Long]("n_samples") === (nf * spf).toLong)
+      var luma = 0L; var ck = 0L
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val b = (id + f + 3 * x + 7 * y) % 256
+        val g = (5 * id + 2 * f + x + 11 * y) % 256
+        val red = (9 * id + 3 * f + 13 * x + y) % 256
+        luma += 299 * red + 587 * g + 114 * b
+        ck += (f + 1).toLong * (y * w + x + 1) * (red + 2 * g + 3 * b)
+      }
+      assert(r.getAs[Long]("luma_milli") === luma)
+      assert(r.getAs[Long]("checksum") === ck)
+      var sAbs = 0L; var sSq = 0L; var avCk = 0L
+      for (k <- 0 until nf * spf) {
+        val s = ((3 * id + 17 * k) % 65536) - 32768
+        sAbs += math.abs(s); sSq += s * s
+        avCk += (k / spf + 1) * math.abs(s)
+      }
+      assert(r.getAs[Long]("sum_abs") === sAbs, s"audio sum for $id")
+      assert(r.getAs[Long]("sum_sq") === sSq)
+      assert(r.getAs[Long]("av_checksum") === avCk,
+        s"interleaving checksum for $id")
+    }
+    // pick a payload with >= 2 differing audio chunks and byte-swap two
+    // '01wb' chunks: same sample MULTISET, different interleaving — only
+    // av_checksum may move, and it MUST
+    val one = Multimodal.mediaAviAv(docs.where(col("doc_id") === 1))
+      .collect().head.getAs[Array[Byte]]("payload")
+    val base = Multimodal.AviCodec.decodeAv(one).get
+    assert(base._4.length >= 2 && !base._4(0).sameElements(base._4(1)))
+    def findChunk(p: Array[Byte], from: Int): Int = {
+      var i = from
+      while (!(p(i) == '0' && p(i + 1) == '1' && p(i + 2) == 'w' &&
+        p(i + 3) == 'b')) i += 1
+      i
+    }
+    val c1 = findChunk(one, 12)
+    val c2 = findChunk(one, c1 + 4)
+    val spf1 = (1 % 7 + 3) * 2 + 8 // bytes incl. header for doc 1
+    val swapped = one.clone()
+    Array.copy(one, c2, swapped, c1, spf1)
+    Array.copy(one, c1, swapped, c2, spf1)
+    val sw = Multimodal.AviCodec.decodeAv(swapped).get
+    assert(sw._4(0).sameElements(base._4(1)) && sw._4(1).sameElements(base._4(0)),
+      "chunk order must follow FILE order")
+    // rejections: stereo audio strf, odd-size 01wb, truncation
+    assert(Multimodal.AviCodec.decodeAv(one.dropRight(1)).isEmpty)
+    val stereo = one.clone()
+    // audio strf payload starts after RIFF(12) + hdrl LIST hdr(12) +
+    // avih(64) + strlV(8+116) + strlA hdr(12) + strh(64) + strf hdr(8);
+    // channels at +2
+    val strfAOff = 12 + 12 + 64 + 124 + 12 + 64 + 8
+    stereo(strfAOff + 2) = 2
+    assert(Multimodal.AviCodec.decodeAv(stereo).isEmpty,
+      "stereo must reject, not decode garbage")
+  }
+
   test("sceneCuts through the COMPRESSED path: every even-id MJPEG video " +
       "fires its single midpoint negative-film jump, odd ids stay quiet") {
     val cuts = Multimodal.sceneCuts(Multimodal.mediaAviMjpeg(docs),
