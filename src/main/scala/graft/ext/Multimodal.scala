@@ -20,10 +20,38 @@ import org.apache.spark.sql.functions._
   * 8×8 inverse DCT, YCbCr→RGB, implemented from the T.81 arithmetic).
   * Header/dimension parsing is real for PNG/JPEG/WebP/GIF/WAV/AVI
   * ([[HeaderCodec]], the lightweight dims path that needs no pixels).
-  * What remains STUBBED — this container has no VP8 codec — is
-  * [[FakeCodec]]'s remit: the content-embedding stub and pixel decode
-  * for WebP only, the marked seam where a real codec (JavaCV,
-  * TwelveMonkeys, ffmpeg-cli) plugs in.
+  * Content embeddings are derived from DECODED PIXELS for every format
+  * above ([[decodeImage]] → [[pixelEmbeddingVec]]); [[FakeCodec]]'s
+  * remaining remit is payloads no codec claims.
+  *
+  * ==Scope decision: lossy-WebP (VP8) pixel decode — deliberately out==
+  * The LAST undecodable format is VP8 (lossy WebP / intra keyframes,
+  * RFC 6386). Its ARITHMETIC is as public as JPEG's or VP8L's (boolean
+  * arithmetic coder, 4×4 DCT-ish transforms + WHT, intra predictors,
+  * in-loop deblocking filter) and would fit the house pattern. What
+  * does NOT fit: unlike JPEG (tables ship in each FILE as DHT/DQT
+  * segments) and VP8L (prefix codes ship in the stream), VP8's entropy
+  * decode is driven by ~3,100 NORMATIVE constants that live in the
+  * SPEC, not the stream — default coefficient probabilities
+  * (4·8·3·11 = 1056), their update probabilities (1056), keyframe
+  * B_PRED submode probabilities (10·10·9 = 900), plus the category
+  * extra-bit probabilities and dequant lookup tables. In this
+  * zero-egress container the RFC text is unavailable; transcribing the
+  * tables from memory WOULD be wrong somewhere, and a wrong-table
+  * "VP8" silently misdecodes every real-world file — strictly worse
+  * than an honest None, and unlike every other codec here it could not
+  * even be caught by a round-trip spec (an encoder sharing the same
+  * wrong tables round-trips perfectly). The container DOES ship
+  * `libwebp.so.7` (ctypes-callable WebPDecodeRGBA/WebPEncodeRGB, no
+  * exported table symbols), so the honest future path is concrete:
+  * recover the tables from `.rodata` with END-TO-END validation
+  * (candidate tables accepted only when this decoder reproduces
+  * libwebp's own decode bit-for-bit across many libwebp-ENCODED
+  * files), then implement bool-decoder/modes/tokens/reconstruction +
+  * the loop filter against that ground truth. That is a full round of
+  * work with its own conformance harness; until then VP8 rejects as
+  * None at [[Vp8lCodec.decode]]'s dispatch (the 'VP8 ' chunk tag), the
+  * documented seam where libwebp/JavaCV/ffmpeg plugs in.
   */
 object Multimodal {
 
