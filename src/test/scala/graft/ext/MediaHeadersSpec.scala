@@ -622,6 +622,21 @@ class MediaHeadersSpec extends SparkSuite {
       Multimodal.AviCodec.decodeFrames(m)
       trial += 1
     }
+    // and over the TWO-STREAM demux: corrupted A/V files likewise
+    val av = Multimodal.mediaAviAv(docs.limit(1))
+      .collect().head.getAs[Array[Byte]]("payload")
+    trial = 0
+    while (trial < 400) {
+      val m = av.clone
+      val flips = 1 + rnd.nextInt(4)
+      var i = 0
+      while (i < flips) {
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        i += 1
+      }
+      Multimodal.AviCodec.decodeAv(m)
+      trial += 1
+    }
   }
 
   test("WavCodec decodes a hand-built PCM file through a chunk walk: " +
