@@ -633,10 +633,40 @@ object Layout {
       case None => lit(true)
       case Some((a, b)) => !(col(s"${name}_max") < a || col(s"${name}_min") > b)
     }
-    spark.read.parquet(s"$path/stats")
-      .where(hit("x", xRange) && hit("y", yRange))
-      .select(col(meta.partitionCol).cast(LongType))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    readStatsResilient(spark, path) { statsDf =>
+      statsDf.where(hit("x", xRange) && hit("y", yRange))
+        .select(col(meta.partitionCol).cast(LongType))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    }
+  }
+
+  /** Run `body` over the stats manifest riding out the maintenance
+    * swap window: LayoutSink.compactStats briefly renames the live dir
+    * aside (live → `stats__old`, folded → live), so a concurrent
+    * reader can land when the live path is absent — the complete prior
+    * copy is at `__old` then, and if the writer finishes the swap
+    * mid-read (deleting `__old`) the retry lands on the fresh live
+    * dir. The whole read-to-collect runs inside the retry so a file
+    * vanishing between listing and scan also retries. Bounded; a
+    * manifest missing for any OTHER reason still surfaces as the
+    * original error on the last attempt. */
+  private def readStatsResilient[T](spark: SparkSession,
+    path: String)(body: DataFrame => T): T = {
+    val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val old = new org.apache.hadoop.fs.Path(s"$path/stats__old")
+    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (true) {
+      val target = if (fs.exists(stats) || !fs.exists(old)) stats else old
+      try return body(spark.read.parquet(target.toString))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= 5) throw e
+          attempt += 1
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** `((clamp(v) - lo) * 65535) div max(hi - lo, 1)` as exact integer SQL

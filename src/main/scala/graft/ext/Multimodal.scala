@@ -1121,7 +1121,7 @@ object Multimodal {
     private val MJPG = 0x47504a4d
 
     def decodeDib(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] =
-      walkFrames(p, allowMjpeg = false)
+      walk(p, allowMjpeg = false, withAudio = false).map(r => (r._1, r._2, r._3))
 
     /** [[decodeDib]] plus Motion JPEG: strf biCompression 'MJPG'
       * dispatches every movi frame chunk through [[JpegCodec.decode]]
@@ -1130,36 +1130,82 @@ object Multimodal {
       * geometry. Uncompressed 24-bpp BI_RGB still takes the DIB path,
       * so every existing AVI consumer upgrades by switching here. */
     def decodeFrames(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] =
-      walkFrames(p, allowMjpeg = true)
+      walk(p, allowMjpeg = true, withAudio = false).map(r => (r._1, r._2, r._3))
 
-    private def walkFrames(p: Array[Byte],
-        allowMjpeg: Boolean): Option[(Int, Int, Array[Array[Int]])] = {
+    /** First video frame only — the thumbnail path ([[decodeImage]]'s
+      * AVI arm): stops the walk at the first decoded frame instead of
+      * materializing every frame to then keep frame 0. Deliberately
+      * LENIENT about anything after that frame (a tail truncation the
+      * strict decoders reject is invisible here) — acceptable for a
+      * thumbnail, never used by the feature/scene oracles. */
+    def decodeFirstFrame(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      walk(p, allowMjpeg = true, withAudio = false, maxFrames = 1)
+        .map(r => (r._1, r._2, r._3(0)))
+
+    /** Two-stream A/V demux: video frames exactly as [[decodeFrames]]
+      * (DIB or Motion-JPEG) PLUS the interleaved `01wb` PCM audio,
+      * returned as per-CHUNK sample arrays so a consumer can pin the
+      * interleaving. strf headers attach to streams by hdrl ORDER: the
+      * first describes stream 0 (video), the second stream 1 (audio,
+      * WAVEFORMATEX — PCM/mono/16-bit validated, anything else None).
+      * Returns (w, h, frames, audioChunks); None on any malformation. */
+    def decodeAv(p: Array[Byte])
+    : Option[(Int, Int, Array[Array[Int]], Array[Array[Int]])] =
+      walk(p, allowMjpeg = true, withAudio = true)
+
+    /** ONE copy of the RIFF walk for every decode entry point (the
+      * synth side keeps its single ledger in [[aviWrap]] for the same
+      * reason): chunk iteration, LIST recursion, the strf-by-hdrl-order
+      * stream attachment, the bottom-up DIB row decode, the MJPG
+      * dispatch, and the PCM chunk decode all live here once.
+      * `withAudio = false` REJECTS a second strf (single-stream
+      * decoders must not silently ignore an audio stream they would
+      * drop); `maxFrames` stops the walk early for the thumbnail path. */
+    private def walk(p: Array[Byte], allowMjpeg: Boolean,
+        withAudio: Boolean, maxFrames: Int = Int.MaxValue)
+    : Option[(Int, Int, Array[Array[Int]], Array[Array[Int]])] = {
       if (p == null || p.length < 24) return None
       if (tag(p, 0) != "RIFF" || tag(p, 8) != "AVI ") return None
       var w = -1; var h = -1
       var mjpeg = false
+      var strfSeen = 0
+      var audioOk = false
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-      // iterate chunks in [from, to); recurse into LISTs
-      def walk(from: Int, to: Int): Boolean = {
+      val audio = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      // iterate chunks in [from, to); recurse into LISTs; stop early
+      // once maxFrames frames have decoded (every recursion level
+      // checks, so the unwind is natural)
+      def walkRange(from: Int, to: Int): Boolean = {
         var i = from
-        while (i + 8 <= to) {
+        while (i + 8 <= to && frames.length < maxFrames) {
           val id = tag(p, i)
           val size = le(p, i + 4, 4)
           // long bound: a size near 2^31 must reject, not wrap
           if (size < 0 || i.toLong + 8 + size > to) return false
           if (id == "LIST") {
             if (size < 4) return false
-            if (!walk(i + 12, i + 8 + size)) return false
+            if (!walkRange(i + 12, i + 8 + size)) return false
           } else if (id == "strf") {
-            if (size < 40) return false
-            val bpp = le(p, i + 8 + 14, 2)
-            val comp = le(p, i + 8 + 16, 4)
-            if (comp == MJPG && allowMjpeg) mjpeg = true
-            else if (bpp != 24 || comp != 0) return false
-            w = le(p, i + 8 + 4, 4)
-            h = le(p, i + 8 + 8, 4)
-            if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16))
-              return false
+            // hdrl ORDER attaches headers to streams
+            if (strfSeen == 0) {
+              if (size < 40) return false
+              val bpp = le(p, i + 8 + 14, 2)
+              val comp = le(p, i + 8 + 16, 4)
+              if (comp == MJPG && allowMjpeg) mjpeg = true
+              else if (bpp != 24 || comp != 0) return false
+              w = le(p, i + 8 + 4, 4)
+              h = le(p, i + 8 + 8, 4)
+              if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16))
+                return false
+            } else {
+              if (!withAudio) return false // a stream we would drop
+              if (size < 16) return false
+              val fmt = le(p, i + 8, 2); val ch = le(p, i + 8 + 2, 2)
+              val bits = le(p, i + 8 + 14, 2)
+              if (fmt != 1 || ch != 1 || bits != 16) return false
+              audioOk = true
+            }
+            strfSeen += 1
           } else if (id == "00db" || id == "00dc") {
             if (w < 0) return false // geometry must precede frames
             if (mjpeg) {
@@ -1191,80 +1237,7 @@ object Multimodal {
               }
               frames += out
             }
-          }
-          i += 8 + size + (size & 1)
-        }
-        true
-      }
-      if (!walk(12, p.length)) return None
-      if (w < 0 || frames.isEmpty) None else Some((w, h, frames.toArray))
-    }
-
-    /** Two-stream A/V demux: video frames exactly as [[decodeFrames]]
-      * (24-bpp DIB here — the A/V synth family is uncompressed) PLUS the
-      * interleaved `01wb` PCM audio, returned as per-CHUNK sample
-      * arrays so a consumer can pin the interleaving. strf headers
-      * attach to streams by hdrl ORDER: the first describes stream 0
-      * (video, BITMAPINFOHEADER), the second stream 1 (audio,
-      * WAVEFORMATEX — PCM/mono/16-bit validated, anything else None).
-      * Returns (w, h, frames, audioChunks); None on any malformation. */
-    def decodeAv(p: Array[Byte])
-    : Option[(Int, Int, Array[Array[Int]], Array[Array[Int]])] = {
-      if (p == null || p.length < 24) return None
-      if (tag(p, 0) != "RIFF" || tag(p, 8) != "AVI ") return None
-      var w = -1; var h = -1
-      var strfSeen = 0
-      var audioOk = false
-      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-      val audio = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-      def walk(from: Int, to: Int): Boolean = {
-        var i = from
-        while (i + 8 <= to) {
-          val id = tag(p, i)
-          val size = le(p, i + 4, 4)
-          if (size < 0 || i.toLong + 8 + size > to) return false
-          if (id == "LIST") {
-            if (size < 4) return false
-            if (!walk(i + 12, i + 8 + size)) return false
-          } else if (id == "strf") {
-            // hdrl order attaches headers to streams
-            if (strfSeen == 0) {
-              if (size < 40) return false
-              val bpp = le(p, i + 8 + 14, 2)
-              val comp = le(p, i + 8 + 16, 4)
-              if (bpp != 24 || comp != 0) return false
-              w = le(p, i + 8 + 4, 4)
-              h = le(p, i + 8 + 8, 4)
-              if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16))
-                return false
-            } else {
-              if (size < 16) return false
-              val fmt = le(p, i + 8, 2); val ch = le(p, i + 8 + 2, 2)
-              val bits = le(p, i + 8 + 14, 2)
-              if (fmt != 1 || ch != 1 || bits != 16) return false
-              audioOk = true
-            }
-            strfSeen += 1
-          } else if (id == "00db" || id == "00dc") {
-            if (w < 0) return false
-            val rowSize = ((3 * w + 3) / 4) * 4
-            if (size.toLong != rowSize.toLong * h) return false
-            val out = new Array[Int](w * h)
-            var y = 0
-            while (y < h) {
-              val base = i + 8 + (h - 1 - y) * rowSize
-              var x = 0
-              while (x < w) {
-                val bb = p(base + 3 * x) & 0xff
-                val g = p(base + 3 * x + 1) & 0xff
-                val r = p(base + 3 * x + 2) & 0xff
-                out(y * w + x) = (r << 16) | (g << 8) | bb
-                x += 1
-              }
-              y += 1
-            }
-            frames += out
-          } else if (id == "01wb") {
+          } else if (id == "01wb" && withAudio) {
             if (!audioOk || (size & 1) == 1) return false
             val out = new Array[Int](size / 2)
             var k = 0
@@ -1279,8 +1252,8 @@ object Multimodal {
         }
         true
       }
-      if (!walk(12, p.length)) return None
-      if (w < 0 || !audioOk || frames.isEmpty) None
+      if (!walkRange(12, p.length)) return None
+      if (w < 0 || frames.isEmpty || (withAudio && !audioOk)) None
       else Some((w, h, frames.toArray, audio.toArray))
     }
 
@@ -5110,23 +5083,26 @@ object Multimodal {
     else if (p.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WEBP")
       Vp8lCodec.decode(p).map { case (w, h, px) => ("webp", w, h, px) }
     else if (p.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ")
-      AviCodec.decodeFrames(p).collect {
-        case (w, h, fs) if fs.nonEmpty => ("avi", w, h, fs(0))
-      }
+      // first-frame walk: the thumbnail path must not entropy-decode
+      // every frame of a long video only to keep frame 0
+      AviCodec.decodeFirstFrame(p).map { case (w, h, px) => ("avi", w, h, px) }
     else None
   }
 
   /** `dim`-entry content embedding from decoded pixels: the image is
     * bucketed on a ceil(√dim)-wide grid (gx = x·gw div w), each entry
     * the integer MEAN milli-luma (Σ(299r+587g+114b) div count) of its
-    * bucket, 0 for buckets no pixel maps to (tiny images). All-integer
+    * bucket, 0 for buckets no pixel maps to (tiny images). For a
+    * non-square `dim` the grid's trailing cells (index ≥ dim) FOLD
+    * into the last entry rather than dropping their pixels — every
+    * pixel contributes to exactly one entry at any dim. All-integer
     * values ≤ 255000 — exact in Float and exactly replayable in SQL. */
   private[ext] def pixelEmbeddingVec(
       w: Int, h: Int, px: Array[Int], dim: Int): Array[Float] = {
     val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
     val gh = (dim + gw - 1) / gw
-    val sums = new Array[Long](gw * gh)
-    val counts = new Array[Long](gw * gh)
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
     var y = 0
     while (y < h) {
       var x = 0
@@ -5134,7 +5110,8 @@ object Multimodal {
         val p = px(y * w + x)
         val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
           114L * (p & 0xff)
-        val cell = (y * gh / h) * gw + (x * gw / w)
+        val raw = (y * gh / h) * gw + (x * gw / w)
+        val cell = if (raw >= dim) dim - 1 else raw
         sums(cell) += l; counts(cell) += 1
         x += 1
       }

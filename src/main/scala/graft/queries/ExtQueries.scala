@@ -4770,7 +4770,12 @@ FROM r ORDER BY media_id""")),
       (s: SparkSession, d: String) =>
         graft.ext.Multimodal.sampleFrames(
           graft.ext.Multimodal
-            .extractFeatures(graft.ext.Multimodal.mediaWithHeaders(docs(s, d))))
+            // realDecode = false: only kind/n_frames are consumed, both
+            // header-derived — a pixel-decode attempt per hybrid payload
+            // would be pure waste (same stub-seam fixture as
+            // media_features)
+            .extractFeatures(graft.ext.Multimodal.mediaWithHeaders(docs(s, d)),
+              realDecode = false))
           .orderBy("media_id", "frame_idx"),
       Some("""WITH md AS (SELECT doc_id AS media_id, 1 + doc_id % 32 AS nf
   FROM documents WHERE doc_id % 3 = 2)

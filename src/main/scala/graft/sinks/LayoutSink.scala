@@ -49,6 +49,18 @@ object LayoutSink {
     * (z or Hilbert) and any cellsPerFile. */
   def appendBatch(batch: DataFrame, path: String): Unit = {
     val meta = metaOf(batch.sparkSession, path)
+    // heal a compactStats that crashed between its renames BEFORE the
+    // append: writing mode="append" into a freshly-recreated empty
+    // stats dir would otherwise strand the complete manifest at
+    // stats__old forever (the next compactStats would see a live dir,
+    // skip the restore, and DELETE __old — silent loss of every
+    // pre-crash file's stats rows)
+    locally {
+      val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
+      val fs = stats.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      graft.util.SwapDirs.restoreFromOld(fs, stats)
+    }
     val keyed = Layout.withFileCol(batch, meta).persist()
     try {
       keyed.write.mode("append").partitionBy(meta.partitionCol)
@@ -154,34 +166,41 @@ object LayoutSink {
     val meta = metaOf(spark, path) // also heals a crashed prior swap
     val next = path + "__next"
     val stage = path + "__stage"
-    // the rebuild re-reads the live table while overwriting __next:
-    // materialize the deduped read BEFORE any write touches the live
-    // files. To a temp parquet directory, not localCheckpoint(true) —
-    // an eager block-storage checkpoint of the ENTIRE table was the one
-    // unbounded-memory/disk step in an otherwise bounded design (ADVICE
-    // r13); a parquet stage spills to disk and streams back
-    spark.read.parquet(s"$path/data")
-      .drop(meta.partitionCol).dropDuplicates(key)
-      .write.mode("overwrite").parquet(stage)
-    val all = spark.read.parquet(stage)
-    if (meta.curve == "h")
-      Layout.writeClusteredHilbert(
-        all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
-    else
-      Layout.writeClustered(
-        all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val nPath = new org.apache.hadoop.fs.Path(next)
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(hPath, old),
-      s"recluster: rename $hPath -> $old failed; table unchanged, rebuild at $next")
-    require(fs.rename(nPath, hPath),
-      s"recluster: rename $next -> $hPath failed; original preserved at $old")
-    fs.delete(old, true)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    invalidateMeta(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // __stage is table-sized derived data: reclaim it on EVERY exit (a
+    // writeClustered error or a failed rename used to leak a complete
+    // deduped copy of the table until the next successful recluster)
+    try {
+      // the rebuild re-reads the live table while overwriting __next:
+      // materialize the deduped read BEFORE any write touches the live
+      // files. To a temp parquet directory, not localCheckpoint(true) —
+      // an eager block-storage checkpoint of the ENTIRE table was the
+      // one unbounded-memory/disk step in an otherwise bounded design
+      // (ADVICE r13); a parquet stage spills to disk and streams back
+      spark.read.parquet(s"$path/data")
+        .drop(meta.partitionCol).dropDuplicates(key)
+        .write.mode("overwrite").parquet(stage)
+      val all = spark.read.parquet(stage)
+      if (meta.curve == "h")
+        Layout.writeClusteredHilbert(
+          all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
+      else
+        Layout.writeClustered(
+          all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val nPath = new org.apache.hadoop.fs.Path(next)
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(hPath, old),
+        s"recluster: rename $hPath -> $old failed; table unchanged, rebuild at $next")
+      require(fs.rename(nPath, hPath),
+        s"recluster: rename $next -> $hPath failed; original preserved at $old")
+      fs.delete(old, true)
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      invalidateMeta(path)
+    }
   }
 
   /** The threshold policy: consult [[Layout.layoutHealth]] and

@@ -146,6 +146,17 @@ class MultimodalSpec extends SparkSuite {
       (10 << 16) | (10 << 8) | 10, (30 << 16) | (30 << 8) | 30), 16)
     assert(v2(0) === 10000f && v2(8) === 30000f)
     assert(v2.count(_ != 0f) === 2)
+    // non-square dim: a 3x3 grid serving dim=8 FOLDS cell 8 into entry
+    // 7 — the bottom-right region must still contribute (it used to be
+    // silently discarded). 3x3 image, only the bottom-right pixel lit:
+    val br = Array.tabulate(9)(i =>
+      if (i == 8) (90 << 16) | (90 << 8) | 90 else 0)
+    val v3 = Multimodal.pixelEmbeddingVec(3, 3, br, 8)
+    // entry 7 pools raw cells 7 and 8: pixels (1,2) dark and (2,2) at
+    // 90 gray -> mean (0 + 90000) / 2
+    assert(v3(7) === 45000f,
+      "the folded last entry must carry the bottom-right region")
+    assert(v3.sum !== 0f)
     // extractFeatures: a real BMP payload gets the PIXEL embedding, a
     // byte blob keeps the FakeCodec stub
     import spark.implicits._

@@ -203,6 +203,44 @@ class LayoutSinkSpec extends SparkSuite {
     assert(viaStats === full)
   }
 
+  test("a compactStats crash between its renames self-heals: the manifest " +
+      "left only at stats__old is restored by the next append (not " +
+      "recreated empty), and a reader landing in the window falls back") {
+    val dir = tmpDir("zlayout_statsheal")
+    val base = Seq.tabulate(300)(i =>
+      ((i % 100).toLong, (i % 50).toLong, i.toLong)).toDF("x", "y", "pay")
+    Layout.writeClustered(base, dir, "x", "y", cellBits = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(a: String, b: String) = assert(fs.rename(
+      new org.apache.hadoop.fs.Path(a), new org.apache.hadoop.fs.Path(b)))
+    // simulate the crash window: live manifest renamed aside, second
+    // rename never ran
+    mv(s"$dir/stats", s"$dir/stats__old")
+    // a READER landing inside the window must still answer exactly
+    val inWindow = Layout.readPrunedByStats(spark, dir,
+      Some((0L, 10L)), None).select("pay").as[Long].collect().toSeq.sorted
+    val expect0 = spark.read.parquet(s"$dir/data")
+      .where($"x".between(0L, 10L)).select("pay")
+      .as[Long].collect().toSeq.sorted
+    assert(inWindow === expect0, "stats__old fallback must serve the window")
+    // the next append must RESTORE the manifest before appending — a
+    // mode=append into a recreated-empty dir would strand the base
+    // files' stats at __old forever (and a later fold would delete them)
+    LayoutSink.appendBatch(Seq((10L, 10L, 9000L)).toDF("x", "y", "pay"), dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats__old")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")))
+    val files = spark.read.parquet(s"$dir/stats")
+      .select(Layout.readMeta(spark, dir).partitionCol).distinct().count()
+    assert(files >= spark.read.parquet(s"$dir/data").select("zcell")
+      .distinct().count(),
+      "restored manifest must still cover every base file")
+    val after = Layout.readPrunedByStats(spark, dir,
+      Some((0L, 10L)), None).select("pay").as[Long].collect().toSeq.sorted
+    assert(after === (expect0 :+ 9000L).sorted,
+      "post-heal stats read covers base files AND the new append")
+  }
+
   test("a crash in the recluster swap window self-heals: the table left " +
       "only at __old is restored by the next maintenance entry") {
     val dir = tmpDir("zlayout_heal")
