@@ -43,7 +43,9 @@ object Bench {
     // PCA fit memo
     "embed_pca_components", "embed_pca_project",
     // z-clustered orders layout
-    "orders_zorder_pruned_read").sorted
+    "orders_zorder_pruned_read",
+    // streamed media-embedding table
+    "media_embedding_materialized").sorted
 
   /** Extract the per-query map from a committed bench_queries.json.
     * Regex-parsed — no JSON lib on the classpath, and the format is this
@@ -152,6 +154,7 @@ object Bench {
     warmUp("dedup-index")(graft.sinks.DedupIndex.materialized(spark, sfDir))
     warmUp("text-index")(graft.sinks.TextIndex.materialized(spark, sfDir))
     warmUp("pq-index")(graft.sinks.PqIndex.materialized(spark, sfDir))
+    warmUp("media-sink")(graft.sinks.MediaSink.materialized(spark, sfDir))
     // the round-10 shared-artifact memos are one-time build costs with
     // the same write-path character as the indexes above: built here so
     // the timed queries measure SERVING the shared artifact, not which

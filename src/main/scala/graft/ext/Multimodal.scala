@@ -5122,9 +5122,9 @@ object Multimodal {
   }
 
   /** Per-media content embedding over the REAL decode dispatch: one row
-    * per decodable payload with its format tag and the `dim`-entry
-    * pixel-derived vector (undecodable rows drop — the caller's
-    * FakeCodec fallback seam, see [[extractFeatures]]). */
+    * per decodable payload with its format tag, decoded dims, and the
+    * `dim`-entry pixel-derived vector (undecodable rows drop — the
+    * caller's FakeCodec fallback seam, see [[extractFeatures]]). */
   def mediaEmbedding(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -5133,10 +5133,26 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           decodeImage(payload).map { case (fmt, w, h, px) =>
-            (id, fmt, pixelEmbeddingVec(w, h, px, dim))
+            (id, fmt, w, h, pixelEmbeddingVec(w, h, px, dim))
           }
         }
-      }.toDF("media_id", "fmt", "embedding")
+      }.toDF("media_id", "fmt", "width", "height", "embedding")
+  }
+
+  /** The five-real-decode-path media table (BMP, PGM, GIF, PNG, JPEG —
+    * ids offset by 10^11·k so the formats coexist): the shared fixture
+    * for [[mediaEmbedding]]'s oracle and the [[graft.sinks.MediaSink]]
+    * streaming ingest twin, defined ONCE so the batch query and the
+    * streamed table can never drift apart byte-wise. */
+  def mediaAllFormats(docs: DataFrame): DataFrame = {
+    def off(df: DataFrame, k: Long) = df.select(
+      (col("media_id") + lit(k * 100000000000L)).as("media_id"),
+      col("payload"))
+    off(mediaBmp(docs), 0)
+      .unionByName(off(mediaPgm(docs), 1))
+      .unionByName(off(mediaGif(docs), 2))
+      .unionByName(off(mediaPng(docs), 3))
+      .unionByName(off(mediaJpeg(docs), 4))
   }
 
   def byteSimhash64(hx: Column): Column = {
