@@ -182,12 +182,22 @@ object LayoutSink {
         .drop(meta.partitionCol).dropDuplicates(key)
         .write.mode("overwrite").parquet(stage)
       val all = spark.read.parquet(stage)
-      if (meta.curve == "h")
-        Layout.writeClusteredHilbert(
-          all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
-      else
-        Layout.writeClustered(
-          all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
+      // a FAILED rebuild write leaves unusable partial garbage at
+      // __next — delete it before rethrowing (a failed RENAME below
+      // deliberately keeps __next: it is complete there, and the
+      // require message points operators at it)
+      try {
+        if (meta.curve == "h")
+          Layout.writeClusteredHilbert(
+            all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
+        else
+          Layout.writeClustered(
+            all, next, meta.xName, meta.yName, meta.cellBits, meta.cellsPerFile)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          fs.delete(new org.apache.hadoop.fs.Path(next), true)
+          throw e
+      }
       val hPath = new org.apache.hadoop.fs.Path(path)
       val nPath = new org.apache.hadoop.fs.Path(next)
       val old = new org.apache.hadoop.fs.Path(path + "__old")

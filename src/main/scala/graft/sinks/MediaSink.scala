@@ -78,7 +78,12 @@ object MediaSink {
       val path = s"${sys.props("java.io.tmpdir")}/graft_mediasink_" +
         math.abs(sfDir.hashCode)
       val docs = graft.sources.Tables(spark, sfDir, "documents")
-      appendBatch(Multimodal.mediaAllFormats(docs), path)
+      // OVERWRITE, not append (the ActivitySink pattern): the tmp dir
+      // outlives the JVM, and an append here would stack a full
+      // duplicate copy per run — and serve STALE-schema rows after any
+      // embedding change, failing the oracle with no code bug present
+      write(Multimodal.mediaEmbedding(Multimodal.mediaAllFormats(docs)),
+        path, defaultBuckets, "overwrite")
       read(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
     })
 }

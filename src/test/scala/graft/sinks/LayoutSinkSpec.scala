@@ -228,8 +228,11 @@ class LayoutSinkSpec extends SparkSuite {
     // mode=append into a recreated-empty dir would strand the base
     // files' stats at __old forever (and a later fold would delete them)
     LayoutSink.appendBatch(Seq((10L, 10L, 9000L)).toDF("x", "y", "pay"), dir)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats__old")) ||
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")))
+    // the heal must have renamed __old back BEFORE the append — in the
+    // pre-fix bug a fresh stats dir coexisted with the stranded __old
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats__old")),
+      "appendBatch must restore the stranded manifest, not orphan it")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")))
     val files = spark.read.parquet(s"$dir/stats")
       .select(Layout.readMeta(spark, dir).partitionCol).distinct().count()
     assert(files >= spark.read.parquet(s"$dir/data").select("zcell")
