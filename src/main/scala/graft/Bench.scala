@@ -45,7 +45,7 @@ object Bench {
     // z-clustered orders layout
     "orders_zorder_pruned_read",
     // streamed media-embedding table
-    "media_embedding_materialized").sorted
+    "media_embedding_materialized", "media_embedding_topk_served").sorted
 
   /** Extract the per-query map from a committed bench_queries.json.
     * Regex-parsed — no JSON lib on the classpath, and the format is this

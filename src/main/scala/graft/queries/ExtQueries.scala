@@ -777,6 +777,46 @@ SELECT d.media_id, d.fmt, d.i::INT AS i, COALESCE(mv.v, 0)::BIGINT AS v
 FROM dims d LEFT JOIN mv ON mv.media_id = d.media_id AND mv.cell = d.i
 ORDER BY d.media_id, d.i"""
 
+  // shared by media_embedding_topk (computed in-plan) and its
+  // serving twin media_embedding_topk_served (probing the MediaSink
+  // table) - identical vectors, identical ranks, one oracle
+  private lazy val mediaTopkSql: String = """WITH px AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 16 + 1 AS INT) AS w,
+         CAST((doc_id * 7) % 12 + 1 AS INT) AS h,
+         i % (doc_id % 16 + 1) AS x, i // (doc_id % 16 + 1) AS y,
+         299 * ((9 * doc_id + 13 * (i % (doc_id % 16 + 1))
+                 + (i // (doc_id % 16 + 1))) % 256)
+       + 587 * ((5 * doc_id + (i % (doc_id % 16 + 1))
+                 + 11 * (i // (doc_id % 16 + 1))) % 256)
+       + 114 * ((doc_id + 3 * (i % (doc_id % 16 + 1))
+                 + 7 * (i // (doc_id % 16 + 1))) % 256) AS l
+  FROM documents,
+       unnest(range(0, (doc_id % 16 + 1) * ((doc_id * 7) % 12 + 1))) t(i)),
+mv AS (
+  SELECT media_id, ((y * 4) // h) * 4 + (x * 4) // w AS cell,
+         sum(l) // count(*) AS v
+  FROM px GROUP BY media_id, ((y * 4) // h) * 4 + (x * 4) // w),
+vecs AS (
+  SELECT d.media_id, list(COALESCE(mv.v, 0)::DOUBLE ORDER BY d.i) AS v
+  FROM (SELECT DISTINCT px.media_id, t.i
+        FROM px, unnest(range(0, 16)) t(i)) d
+  LEFT JOIN mv ON mv.media_id = d.media_id AND mv.cell = d.i
+  GROUP BY d.media_id),
+n AS (SELECT media_id AS vec_id, v,
+             sqrt(v[1]*v[1] + v[2]*v[2] + v[3]*v[3] + v[4]*v[4] + v[5]*v[5] + v[6]*v[6] + v[7]*v[7] + v[8]*v[8] + v[9]*v[9] + v[10]*v[10] + v[11]*v[11] + v[12]*v[12] + v[13]*v[13] + v[14]*v[14] + v[15]*v[15] + v[16]*v[16]) AS nrm
+      FROM vecs WHERE (v[1]*v[1] + v[2]*v[2] + v[3]*v[3] + v[4]*v[4] + v[5]*v[5] + v[6]*v[6] + v[7]*v[7] + v[8]*v[8] + v[9]*v[9] + v[10]*v[10] + v[11]*v[11] + v[12]*v[12] + v[13]*v[13] + v[14]*v[14] + v[15]*v[15] + v[16]*v[16]) > 0),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+s AS (SELECT q.q_id, n.vec_id,
+             (qv[1]*v[1] + qv[2]*v[2] + qv[3]*v[3] + qv[4]*v[4] + qv[5]*v[5] + qv[6]*v[6] + qv[7]*v[7] + qv[8]*v[8] + qv[9]*v[9] + qv[10]*v[10] + qv[11]*v[11] + qv[12]*v[12] + qv[13]*v[13] + qv[14]*v[14] + qv[15]*v[15] + qv[16]*v[16]) / (q.qn * n.nrm) AS sim
+      FROM q JOIN n ON n.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, vec_id) AS rnk
+      FROM s)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk"""
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ------------------------------------------------------------- dedup
@@ -4226,42 +4266,24 @@ FROM adj GROUP BY doc_id ORDER BY media_id""")),
         Similarity.cosineTopK(embs, numQueries = 8, k = 10)
           .withColumnRenamed("rank", "rnk")
       },
-      Some("""WITH px AS (
-  SELECT doc_id AS media_id,
-         CAST(doc_id % 16 + 1 AS INT) AS w,
-         CAST((doc_id * 7) % 12 + 1 AS INT) AS h,
-         i % (doc_id % 16 + 1) AS x, i // (doc_id % 16 + 1) AS y,
-         299 * ((9 * doc_id + 13 * (i % (doc_id % 16 + 1))
-                 + (i // (doc_id % 16 + 1))) % 256)
-       + 587 * ((5 * doc_id + (i % (doc_id % 16 + 1))
-                 + 11 * (i // (doc_id % 16 + 1))) % 256)
-       + 114 * ((doc_id + 3 * (i % (doc_id % 16 + 1))
-                 + 7 * (i // (doc_id % 16 + 1))) % 256) AS l
-  FROM documents,
-       unnest(range(0, (doc_id % 16 + 1) * ((doc_id * 7) % 12 + 1))) t(i)),
-mv AS (
-  SELECT media_id, ((y * 4) // h) * 4 + (x * 4) // w AS cell,
-         sum(l) // count(*) AS v
-  FROM px GROUP BY media_id, ((y * 4) // h) * 4 + (x * 4) // w),
-vecs AS (
-  SELECT d.media_id, list(COALESCE(mv.v, 0)::DOUBLE ORDER BY d.i) AS v
-  FROM (SELECT DISTINCT px.media_id, t.i
-        FROM px, unnest(range(0, 16)) t(i)) d
-  LEFT JOIN mv ON mv.media_id = d.media_id AND mv.cell = d.i
-  GROUP BY d.media_id),
-n AS (SELECT media_id AS vec_id, v,
-             sqrt(v[1]*v[1] + v[2]*v[2] + v[3]*v[3] + v[4]*v[4] + v[5]*v[5] + v[6]*v[6] + v[7]*v[7] + v[8]*v[8] + v[9]*v[9] + v[10]*v[10] + v[11]*v[11] + v[12]*v[12] + v[13]*v[13] + v[14]*v[14] + v[15]*v[15] + v[16]*v[16]) AS nrm
-      FROM vecs WHERE (v[1]*v[1] + v[2]*v[2] + v[3]*v[3] + v[4]*v[4] + v[5]*v[5] + v[6]*v[6] + v[7]*v[7] + v[8]*v[8] + v[9]*v[9] + v[10]*v[10] + v[11]*v[11] + v[12]*v[12] + v[13]*v[13] + v[14]*v[14] + v[15]*v[15] + v[16]*v[16]) > 0),
-q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
-s AS (SELECT q.q_id, n.vec_id,
-             (qv[1]*v[1] + qv[2]*v[2] + qv[3]*v[3] + qv[4]*v[4] + qv[5]*v[5] + qv[6]*v[6] + qv[7]*v[7] + qv[8]*v[8] + qv[9]*v[9] + qv[10]*v[10] + qv[11]*v[11] + qv[12]*v[12] + qv[13]*v[13] + qv[14]*v[14] + qv[15]*v[15] + qv[16]*v[16]) / (q.qn * n.nrm) AS sim
-      FROM q JOIN n ON n.vec_id <> q.q_id),
-r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY sim DESC, vec_id) AS rnk
-      FROM s)
-SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
-ORDER BY q_id, rnk""")),
+      Some(mediaTopkSql)),
+
+    // The same exact top-k SERVED from the streamed MediaSink table
+    // instead of computed from payloads in-plan: probe rows come out of
+    // the bucketed serving table (BMP rows are the < 10^11 id range),
+    // proving the persisted embeddings are byte-faithful to the decode
+    // path - identical ranks, one oracle.
+    ("media_embedding_topk_served",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val embs = graft.sinks.MediaSink.materialized(s, d)
+          .where(col("media_id") < 100000000000L) // the BMP range
+          .where(expr("aggregate(embedding, 0D, (a, x) -> a + x) > 0D"))
+          .select(col("media_id").as("vec_id"), col("embedding"))
+        Similarity.cosineTopK(embs, numQueries = 8, k = 10)
+          .withColumnRenamed("rank", "rnk")
+      },
+      Some(mediaTopkSql)),
 
     // Interleaved A/V demux (r14): one AVI carrying BOTH modalities —
     // '00db' DIB frames and '01wb' PCM chunks, strf headers attached to
