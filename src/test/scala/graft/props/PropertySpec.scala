@@ -483,15 +483,36 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  // The per-pixel lossy bound is ANALYTIC, derived from the codec the
+  // encoder actually writes (all-1 DQT, so the only error sources are
+  // roundings, each ≤ 0.5):
+  //   per-YCbCr-channel reconstruction error ≤
+  //     0.5                       (encoder rounds each spatial sample)
+  //   + 0.5 · S²                  (64 coefficient roundings through the
+  //                                IDCT; S = Σ_u |basis(u)(x)| =
+  //                                1/(2√2) + ½·Σ|cos((2x+1)uπ/16)| =
+  //                                2.6419 for EVERY x — odd multiples
+  //                                permute the |cos| multiset)
+  //   + 0.5                       (decoder rounds the IDCT output)
+  //   = 4.49
+  // and the worst RGB channel is B = Y + 1.772·Cb (+ 0.5 final round):
+  //   4.49 · (1 + 1.772) + 0.5 = 12.95  →  bound 13.
+  // Sharpness comes from a second leg: for frames with ≥ 64 pixels the
+  // MEAN abs error must stay ≤ 1.5 — measured max 0.63 over 200k
+  // random frames of this exact generator (r15 probe), so a codec
+  // regression that merely doubles typical error still fails.
+  // forAllNoShrink: the default integer shrinker escapes the
+  // Gen.choose(1,…) domain (r14 falsification reported (0,0,0,0)).
   property("mjpeg avi: mux(encode(frames)) demuxes to every frame within " +
-      "the lossy bound, any dims and frame count, odd sizes padded") = {
+      "the analytic lossy bound, any dims and frame count, odd sizes " +
+      "padded") = {
     val gen = for {
       w <- Gen.choose(1, 20)
       h <- Gen.choose(1, 14)
       nf <- Gen.choose(1, 4)
       seed <- Gen.choose(0, 1 << 20)
     } yield (w, h, nf, seed)
-    Prop.forAll(gen) { case (w, h, nf, seed) =>
+    Prop.forAllNoShrink(gen) { case (w, h, nf, seed) =>
       val frames = (0 until nf).map { f =>
         Array.tabulate(w * h) { i =>
           val v = (i * 2654435761L + seed + f * 7919) & 0xffffff
@@ -504,12 +525,16 @@ object PropertySpec extends Properties("graft") {
       got.exists { case (w2, h2, fs) =>
         w2 == w && h2 == h && fs.length == nf &&
           fs.indices.forall { f =>
-            (0 until w * h).forall { i =>
+            var sumErr = 0L
+            val pxOk = (0 until w * h).forall { i =>
               (0 to 16 by 8).forall { sft =>
-                math.abs(((frames(f)(i) >> sft) & 0xff) -
-                  ((fs(f)(i) >> sft) & 0xff)) <= 3
+                val e = math.abs(((frames(f)(i) >> sft) & 0xff) -
+                  ((fs(f)(i) >> sft) & 0xff))
+                sumErr += e
+                e <= 13
               }
             }
+            pxOk && (w * h < 64 || sumErr.toDouble / (3 * w * h) <= 1.5)
           }
       }
     }
