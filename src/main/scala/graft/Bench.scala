@@ -206,11 +206,12 @@ object Bench {
     }
     warmDir(sfDir)
     // the K1 activity table and ANN index live under java.io.tmpdir
-    warmDir(s"${sys.props("java.io.tmpdir")}/graft_activity_${math.abs(sfDir.hashCode)}")
-    warmDir(s"${sys.props("java.io.tmpdir")}/graft_annindex_${math.abs(sfDir.hashCode)}")
-    warmDir(s"${sys.props("java.io.tmpdir")}/graft_dedupindex_${math.abs(sfDir.hashCode)}")
-    warmDir(s"${sys.props("java.io.tmpdir")}/graft_textindex_${math.abs(sfDir.hashCode)}")
-    warmDir(s"${sys.props("java.io.tmpdir")}/graft_pqindex_${math.abs(sfDir.hashCode)}")
+    warmDir(graft.util.DirKeys.tmpPath("activity", sfDir))
+    warmDir(graft.util.DirKeys.tmpPath("annindex", sfDir))
+    warmDir(graft.util.DirKeys.tmpPath("dedupindex", sfDir))
+    warmDir(graft.util.DirKeys.tmpPath("textindex", sfDir))
+    warmDir(graft.util.DirKeys.tmpPath("pqindex", sfDir))
+    warmDir(graft.util.DirKeys.tmpPath("mediasink", sfDir))
     // NOISE NORMALIZER (VERDICT r5 item 7): round-over-round totals moved
     // ±9-40% on identical untouched queries from ambient VM noise alone,
     // making cross-round comparison untrustworthy. The calibration

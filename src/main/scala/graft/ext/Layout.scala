@@ -655,15 +655,21 @@ object Layout {
     val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
     val old = new org.apache.hadoop.fs.Path(s"$path/stats__old")
     val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 8 attempts with a geometric cap (~6.4 s total): a reader that
+    // keeps landing in repeated back-to-back fold swaps (per-batch
+    // folds under a fast appender) outlasts any realistic swap burst —
+    // each swap window is two renames, so the budget covers thousands
+    // of consecutive windows. The __old fallback is RE-CHECKED inside
+    // every attempt (the `target` probe below), including the last.
     var attempt = 0
     while (true) {
       val target = if (fs.exists(stats) || !fs.exists(old)) stats else old
       try return body(spark.read.parquet(target.toString))
       catch {
         case scala.util.control.NonFatal(e) =>
-          if (attempt >= 5) throw e
+          if (attempt >= 8) throw e
           attempt += 1
-          Thread.sleep(50L * attempt)
+          Thread.sleep(math.min(50L << attempt, 1600L))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -786,8 +792,7 @@ object Layout {
     * query reads this. */
   def clusteredOrdersAt(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir, { _ =>
-      val path = s"${sys.props("java.io.tmpdir")}/graft_zlayout_" +
-        math.abs(sfDir.hashCode)
+      val path = graft.util.DirKeys.tmpPath("zlayout", sfDir)
       val orders = graft.sources.Tables(spark, sfDir, "orders")
         .withColumn("o_day",
           expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
@@ -799,8 +804,7 @@ object Layout {
     * [[clusteredOrdersAt]]); `orders_hilbert_pruned_read` reads this. */
   def clusteredOrdersHilbertAt(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir + ":h", { _ =>
-      val path = s"${sys.props("java.io.tmpdir")}/graft_hlayout_" +
-        math.abs(sfDir.hashCode)
+      val path = graft.util.DirKeys.tmpPath("hlayout", sfDir)
       val orders = graft.sources.Tables(spark, sfDir, "orders")
         .withColumn("o_day",
           expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))

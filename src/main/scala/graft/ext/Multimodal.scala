@@ -1199,6 +1199,10 @@ object Multimodal {
                 return false
             } else {
               if (!withAudio) return false // a stream we would drop
+              // same strictness one stream up: a THIRD stream's chunks
+              // ('02wb'/'02dc') would be silently ignored below, so a
+              // 3-stream file must reject, not decode partially
+              if (strfSeen >= 2) return false
               if (size < 16) return false
               val fmt = le(p, i + 8, 2); val ch = le(p, i + 8 + 2, 2)
               val bits = le(p, i + 8 + 14, 2)

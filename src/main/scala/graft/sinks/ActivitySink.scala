@@ -102,7 +102,7 @@ object ActivitySink {
     * deterministic `activity_pk` tiebreak + `user_bucket`. */
   def materialized(spark: SparkSession, sfDir: String): DataFrame =
     cache.computeIfAbsent(sfDir, { _ =>
-      val path = s"${sys.props("java.io.tmpdir")}/graft_activity_${math.abs(sfDir.hashCode)}"
+      val path = graft.util.DirKeys.tmpPath("activity", sfDir)
       val (l, c, s, f) = CdcSource.all(spark, sfDir)
       // A2: observe() on the write-side plan — the Spark-native counterpart
       // of the reference's processed-events counter (connection_state.py:8-9,

@@ -333,7 +333,7 @@ object AnnIndex {
   def materialized(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir, { _ =>
       val path =
-        s"${sys.props("java.io.tmpdir")}/graft_annindex_${math.abs(sfDir.hashCode)}"
+        graft.util.DirKeys.tmpPath("annindex", sfDir)
       build(graft.sources.Tables(spark, sfDir, "embeddings"), path)
       path
     })

@@ -192,7 +192,7 @@ object DedupIndex {
   def materialized(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir, { _ =>
       val path =
-        s"${sys.props("java.io.tmpdir")}/graft_dedupindex_${math.abs(sfDir.hashCode)}"
+        graft.util.DirKeys.tmpPath("dedupindex", sfDir)
       build(graft.sources.Tables(spark, sfDir, "documents")
         .where(pmod(col("doc_id"), lit(2)) === 0), path, portable = true)
       path

@@ -83,6 +83,19 @@ object LayoutSink {
   private[sinks] val statsFoldFactor = 4L
 
   private def maybeCompactStats(spark: SparkSession, path: String): Unit = {
+    // cheap pre-gate (one FS listing, no Spark job): each append adds
+    // ≥1 parquet part to the stats dir holding ≤ distinct-file rows
+    // (writeStats emits one row per file group), and a fresh compact
+    // leaves one part with exactly distinct-file rows — so parquet
+    // parts ≤ statsFoldFactor implies rows ≤ statsFoldFactor × files
+    // and the exact row-count check cannot trip. Only when the listing
+    // exceeds the factor do we pay the aggregation job per batch.
+    val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      try fs.listStatus(statsDir).count(_.getPath.getName.endsWith(".parquet"))
+      catch { case _: java.io.FileNotFoundException => 0 }
+    if (parts <= statsFoldFactor) return
     val meta = metaOf(spark, path)
     val m = spark.read.parquet(s"$path/stats")
       .agg(count(lit(1)), countDistinct(col(meta.partitionCol))).head()
@@ -238,8 +251,7 @@ object LayoutSink {
     * reports the drift with `needs_relayout` riding the hashed oracle. */
   def driftedOrdersLayoutAt(spark: SparkSession, sfDir: String): String =
     driftBuilt.computeIfAbsent(sfDir, { _ =>
-      val path = s"${sys.props("java.io.tmpdir")}/graft_driftlayout_" +
-        math.abs(sfDir.hashCode)
+      val path = graft.util.DirKeys.tmpPath("driftlayout", sfDir)
       val orders = graft.sources.Tables(spark, sfDir, "orders")
         .withColumn("o_day",
           expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))

@@ -75,8 +75,7 @@ object MediaSink {
     * the streaming ingest runs, persisted for the serving queries. */
   def materialized(spark: SparkSession, sfDir: String): DataFrame =
     cache.computeIfAbsent(sfDir, { _ =>
-      val path = s"${sys.props("java.io.tmpdir")}/graft_mediasink_" +
-        math.abs(sfDir.hashCode)
+      val path = graft.util.DirKeys.tmpPath("mediasink", sfDir)
       val docs = graft.sources.Tables(spark, sfDir, "documents")
       // OVERWRITE, not append (the ActivitySink pattern): the tmp dir
       // outlives the JVM, and an append here would stack a full

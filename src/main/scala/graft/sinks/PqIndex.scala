@@ -148,7 +148,7 @@ object PqIndex {
   def materialized(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir, { _ =>
       val path =
-        s"${sys.props("java.io.tmpdir")}/graft_pqindex_${math.abs(sfDir.hashCode)}"
+        graft.util.DirKeys.tmpPath("pqindex", sfDir)
       build(graft.sources.Tables(spark, sfDir, "embeddings"), path)
       path
     })

@@ -368,7 +368,7 @@ object TextIndex {
   def materialized(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir, { _ =>
       val path =
-        s"${sys.props("java.io.tmpdir")}/graft_textindex_${math.abs(sfDir.hashCode)}"
+        graft.util.DirKeys.tmpPath("textindex", sfDir)
       build(graft.sources.Tables(spark, sfDir, "documents"), path)
       path
     })

@@ -547,6 +547,48 @@ class MediaHeadersSpec extends SparkSuite {
       "stereo must reject, not decode garbage")
   }
 
+  test("decodeAv rejects a THIRD stream: its chunks would be silently " +
+      "dropped, the same strictness the single-stream walk enforces") {
+    // minimal hand-rolled RIFF: the walk attaches strf headers by file
+    // order and does not require strh/LIST framing, so top-level chunks
+    // suffice to drive the stream-count logic
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val sz = payload.length
+      id.getBytes("US-ASCII") ++
+        Array[Byte](sz.toByte, (sz >> 8).toByte, (sz >> 16).toByte,
+          (sz >> 24).toByte) ++ payload ++
+        (if (sz % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    }
+    val strfV = {
+      val p = new Array[Byte](40)
+      p(4) = 1; p(8) = 1 // w = h = 1
+      p(14) = 24 // bpp, comp stays 0 (BI_RGB)
+      chunk("strf", p)
+    }
+    val strfA = {
+      val p = new Array[Byte](16)
+      p(0) = 1; p(2) = 1; p(14) = 16 // PCM, mono, 16-bit
+      chunk("strf", p)
+    }
+    val frame = chunk("00db", Array[Byte](10, 20, 30, 0)) // 1x1, row pad 4
+    val audio = chunk("01wb", Array[Byte](42, 0))
+    def riff(body: Array[Byte]): Array[Byte] = {
+      val sz = body.length + 4
+      "RIFF".getBytes("US-ASCII") ++
+        Array[Byte](sz.toByte, (sz >> 8).toByte, (sz >> 16).toByte,
+          (sz >> 24).toByte) ++ "AVI ".getBytes("US-ASCII") ++ body
+    }
+    val twoStreams = riff(strfV ++ strfA ++ frame ++ audio)
+    val got = Multimodal.AviCodec.decodeAv(twoStreams)
+    assert(got.nonEmpty, "the 2-stream control must decode")
+    val (w, h, fs, as) = got.get
+    assert(w === 1 && h === 1 && fs.length === 1 && as.length === 1)
+    assert(fs(0)(0) === ((30 << 16) | (20 << 8) | 10) && as(0)(0) === 42)
+    val threeStreams = riff(strfV ++ strfA ++ strfA ++ frame ++ audio)
+    assert(Multimodal.AviCodec.decodeAv(threeStreams).isEmpty,
+      "a third strf must reject: its '02wb' data would be dropped")
+  }
+
   test("sceneCuts through the COMPRESSED path: every even-id MJPEG video " +
       "fires its single midpoint negative-film jump, odd ids stay quiet") {
     val cuts = Multimodal.sceneCuts(Multimodal.mediaAviMjpeg(docs),
