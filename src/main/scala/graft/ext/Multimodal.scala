@@ -24,34 +24,27 @@ import org.apache.spark.sql.functions._
   * above ([[decodeImage]] → [[pixelEmbeddingVec]]); [[FakeCodec]]'s
   * remaining remit is payloads no codec claims.
   *
-  * ==Scope decision: lossy-WebP (VP8) pixel decode — deliberately out==
-  * The LAST undecodable format is VP8 (lossy WebP / intra keyframes,
-  * RFC 6386). Its ARITHMETIC is as public as JPEG's or VP8L's (boolean
-  * arithmetic coder, 4×4 DCT-ish transforms + WHT, intra predictors,
-  * in-loop deblocking filter) and would fit the house pattern. What
-  * does NOT fit: unlike JPEG (tables ship in each FILE as DHT/DQT
-  * segments) and VP8L (prefix codes ship in the stream), VP8's entropy
-  * decode is driven by ~3,100 NORMATIVE constants that live in the
-  * SPEC, not the stream — default coefficient probabilities
-  * (4·8·3·11 = 1056), their update probabilities (1056), keyframe
-  * B_PRED submode probabilities (10·10·9 = 900), plus the category
-  * extra-bit probabilities and dequant lookup tables. In this
-  * zero-egress container the RFC text is unavailable; transcribing the
-  * tables from memory WOULD be wrong somewhere, and a wrong-table
-  * "VP8" silently misdecodes every real-world file — strictly worse
-  * than an honest None, and unlike every other codec here it could not
-  * even be caught by a round-trip spec (an encoder sharing the same
-  * wrong tables round-trips perfectly). The container DOES ship
-  * `libwebp.so.7` (ctypes-callable WebPDecodeRGBA/WebPEncodeRGB, no
-  * exported table symbols), so the honest future path is concrete:
-  * recover the tables from `.rodata` with END-TO-END validation
-  * (candidate tables accepted only when this decoder reproduces
-  * libwebp's own decode bit-for-bit across many libwebp-ENCODED
-  * files), then implement bool-decoder/modes/tokens/reconstruction +
-  * the loop filter against that ground truth. That is a full round of
-  * work with its own conformance harness; until then VP8 rejects as
-  * None at [[Vp8lCodec.decode]]'s dispatch (the 'VP8 ' chunk tag), the
-  * documented seam where libwebp/JavaCV/ffmpeg plugs in.
+  * ==Lossy WebP (VP8) — REAL since r15, conformance-proved==
+  * VP8 (lossy WebP intra keyframes, RFC 6386) was the last undecodable
+  * format: its entropy decode rides ~3,100 NORMATIVE constants that
+  * live in the spec, not the stream, and a from-memory transcription
+  * would silently misdecode while round-tripping cleanly against its
+  * own encoder. r15 executed the ground-truth plan this note used to
+  * describe: the tables were recovered from the system libwebp's
+  * `.rodata` by STRUCTURAL signature (tools/vp8_extract_tables.py →
+  * [[Vp8Tables]]), and [[Vp8Codec]] (bool decoder, keyframe modes,
+  * tokens, dequant, WHT/iDCT, all 14 predictors, normal+simple loop
+  * filter) is accepted only because it reproduces libwebp's own
+  * `WebPDecodeYUV` BIT-FOR-BIT on 51 libwebp-encoded fixtures
+  * (content×size×quality) plus 34 hand-crafted streams covering what
+  * libwebp's encoder never emits — multi-partition, simple filter, LF
+  * deltas, per-segment quantizers (Vp8ConformanceSpec;
+  * tools/vp8_craft.py, whose from-scratch bool ENCODER's streams
+  * libwebp itself accepts, pinning the header layout from both sides).
+  * The differential harness also surfaced the one non-obvious fact:
+  * libwebp's `.rodata` B-mode probability table rows follow its
+  * INTERNAL mode numbering (RD=4, VR=5, LD=6), permuted at load into
+  * the RFC's (see [[Vp8Codec]].bModeProbsRfc).
   */
 object Multimodal {
 
@@ -1389,6 +1382,120 @@ object Multimodal {
       })
   }
 
+  /** JVM twin of [[mediaAviMjpeg]]'s per-frame JPEG (same bytes the
+    * Column synth emits): DC-only baseline JPEG, one 8×8-tile block
+    * grid, single length-4 DC code (category 4) + single EOB code, so
+    * each block's entropy data is exactly two bytes. Kept byte-
+    * compatible so the MP4 family reuses the AVI family's oracle. */
+  private def dcOnlyJpeg(id: Long, wb: Int, hb: Int, f: Int,
+    nf: Int): Array[Byte] = {
+    val nb = wb * hb
+    val out = new java.io.ByteArrayOutputStream(140 + nb * 2)
+    def hex(s: String): Unit = {
+      var i = 0
+      while (i < s.length) {
+        out.write(Integer.parseInt(s.substring(i, i + 2), 16)); i += 2
+      }
+    }
+    hex("FFD8")
+    hex("FFDB0043" + "00" + "08" + "01" * 63)
+    hex("FFC0000B08")
+    val h = hb * 8; val w = wb * 8
+    out.write(h >> 8); out.write(h & 0xff)
+    out.write(w >> 8); out.write(w & 0xff)
+    hex("010111" + "00")
+    hex("FFC40014" + "00" + "00000001" + "00" * 12 + "04")
+    hex("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00")
+    hex("FFDA0008" + "01" + "0100" + "00" + "3F" + "00")
+    val inv = id % 2 == 0 && f >= nf / 2
+    var i = 0
+    while (i < nb) {
+      val mag = ((id * 7 + i * 3) % 8 + 8).toInt
+      val pos = (id + i) % 2 == 0
+      val diff = if (if (inv) !pos else pos) mag else -mag
+      out.write(if (diff > 0) diff else diff + 15)
+      out.write(0)
+      i += 1
+    }
+    hex("FFD9")
+    out.toByteArray
+  }
+
+  /** The [[mediaAviMjpeg]] videos re-containered as MP4 (ISO-BMFF):
+    * same dims, frame count, and FRAME BYTES (the [[dcOnlyJpeg]] twin),
+    * muxed by [[Mp4Codec.encodeMjpeg]]'s full-stbl ledger — which is
+    * why `media_video_features_mp4` rides the AVI family's oracle
+    * verbatim. */
+  def mediaMp4Mjpeg(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val wb = (id % 3 + 1).toInt
+        val hb = (2 - id % 2).toInt
+        val nf = (id % 5 + 2).toInt
+        val jpegs = (0 until nf).map(f => dcOnlyJpeg(id, wb, hb, f, nf))
+        (id, Mp4Codec.encodeMjpeg(wb * 8, hb * 8, jpegs))
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** Pure-Column MP4 dims over [[mediaMp4Mjpeg]]'s files — the
+    * `media_dims` capability for ISO-BMFF. [[Mp4Codec.encodeMjpeg]]'s
+    * layout is deterministic given the mdat size, so the moov base is
+    * COMPUTED from the mdat box header and every later field sits at a
+    * fixed offset from it: tkhd's 16.16 width/height at moov+208/212,
+    * frame count from mvhd duration ÷ the 40-tick frame duration at
+    * moov+32. No UDF, codegen'd, same hex/substring/conv idiom as
+    * [[withHeaderMeta]]; Mp4DimsSpec pins agreement with the real JVM
+    * box walk. */
+  def mp4Dims(media: DataFrame): DataFrame = {
+    val hx = hex(col("payload"))
+    def be32At(byteOff: Column): Column =
+      conv(substring(hx, (byteOff * 2 + 1).cast("int"), lit(8)), 16, 10)
+        .cast("long")
+    def be16At(byteOff: Column): Column =
+      conv(substring(hx, (byteOff * 2 + 1).cast("int"), lit(4)), 16, 10)
+        .cast("int")
+    val mdatSz = be32At(lit(24L))
+    val base = lit(24L) + mdatSz // byte offset of moov
+    media.select(col("media_id"),
+      be16At(base + 208).as("width"),
+      be16At(base + 212).as("height"),
+      (be32At(base + 32) / 40).cast("long").as("n_frames"))
+  }
+
+  /** [[aviFeatures]]' contract through the MP4 box walk + sample-table
+    * resolution ([[Mp4Codec.decodeFrames]]). */
+  def mp4Features(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          Mp4Codec.decodeFrames(payload).map { case (w, h, fs) =>
+            var luma = 0L; var ck = 0L
+            var f = 0
+            while (f < fs.length) {
+              val px = fs(f)
+              var i = 0
+              while (i < px.length) {
+                val r = (px(i) >> 16) & 0xff
+                val g = (px(i) >> 8) & 0xff
+                val b = px(i) & 0xff
+                luma += 299L * r + 587L * g + 114L * b
+                ck += (f + 1).toLong * (i + 1) * (r + 2L * g + 3L * b)
+                i += 1
+              }
+              f += 1
+            }
+            VideoFeatures(id, w, h, fs.length.toLong, luma, ck)
+          }
+        }
+      }.toDF()
+  }
+
   /** Shot-boundary detection over decoded frames: per-frame [[aHash64]],
     * a cut wherever adjacent frames' hamming exceeds `threshold` — the
     * standard perceptual-hash shot detector, over the REAL decode chain
@@ -1615,6 +1722,243 @@ object Multimodal {
       }
       if (fmtOk && samples != null) Some((rate, samples)) else None
     }
+  }
+
+  // ------------------------------------ real audio decode: IMA-ADPCM
+  //
+  // Real-world WAV/AVI audio is rarely raw PCM (VERDICT r15 task 8);
+  // IMA/DVI ADPCM (WAV format tag 0x0011) is the classic 4-bit
+  // compressed form. Unlike VP8, its normative tables are SMALL and in
+  // every public spec restatement: the 89-entry step-size table and the
+  // 8-entry index-adjust table; the per-nibble arithmetic is
+  // diff = step>>3 (+ step>>2 | step>>1 | step per magnitude bit),
+  // sign bit subtracts, predictor clamps to int16, index clamps to
+  // 0..88. Fully verifiable WITHOUT a ground-truth library: the
+  // encoder mirrors the decoder's reconstruction exactly (the property
+  // tested), and the `media_audio_features_adpcm` oracle replays the
+  // whole recurrence as a recursive CTE.
+  object AdpcmCodec {
+    private[graft] val stepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+      1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+      4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    private[graft] val indexTable: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One nibble through the decoder recurrence: returns the new
+      * (predictor, index). */
+    @inline private def stepOne(pred: Int, idx: Int, n: Int): (Int, Int) = {
+      val step = stepTable(idx)
+      var diff = step >> 3
+      if ((n & 1) != 0) diff += step >> 2
+      if ((n & 2) != 0) diff += step >> 1
+      if ((n & 4) != 0) diff += step
+      val p0 = if ((n & 8) != 0) pred - diff else pred + diff
+      val p = if (p0 < -32768) -32768 else if (p0 > 32767) 32767 else p0
+      val i0 = idx + indexTable(n & 7)
+      (p, if (i0 < 0) 0 else if (i0 > 88) 88 else i0)
+    }
+
+    /** Decode an IMA-ADPCM WAV (format 0x0011, mono, 4-bit): RIFF walk
+      * with the house strictness (fmt-before-data, single chunks,
+      * word padding), per-block 4-byte headers (int16 predictor — the
+      * block's FIRST sample — plus the step index), low nibble first.
+      * samplesPerBlock must agree with blockAlign. None otherwise. */
+    def decode(p: Array[Byte]): Option[(Int, Array[Int])] = {
+      if (p == null || p.length < 48) return None
+      def le(off: Int, n: Int): Int = {
+        var v = 0; var i = n - 1
+        while (i >= 0) { v = (v << 8) | (p(off + i) & 0xff); i -= 1 }
+        v
+      }
+      def tag(off: Int) = new String(p.slice(off, off + 4), "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var i = 12
+      var rate = -1; var blockAlign = -1; var spb = -1
+      var fmtOk = false
+      var samples: Array[Int] = null
+      while (i + 8 <= p.length) {
+        val id = tag(i)
+        val size = le(i + 4, 4)
+        if (size < 0 || i.toLong + 8 + size > p.length) return None
+        id match {
+          case "fmt " =>
+            if (fmtOk) return None
+            if (size < 20) return None // needs the cbSize extension
+            if (le(i + 8, 2) != 0x11 || le(i + 10, 2) != 1 ||
+              le(i + 22, 2) != 4) return None // IMA, mono, 4-bit
+            rate = le(i + 12, 4)
+            blockAlign = le(i + 20, 2)
+            if (rate <= 0 || blockAlign < 5) return None
+            if (le(i + 24, 2) < 2) return None // cbSize
+            spb = le(i + 26, 2)
+            // header sample + two nibbles per data byte, exactly
+            if (spb != 2 * (blockAlign - 4) + 1) return None
+            fmtOk = true
+          case "data" =>
+            if (!fmtOk) return None
+            if (samples != null) return None
+            if (size % blockAlign != 0) return None
+            val nBlocks = size / blockAlign
+            val out = new Array[Int](nBlocks * spb)
+            var b = 0
+            while (b < nBlocks) {
+              val base = i + 8 + b * blockAlign
+              val u = le(base, 2)
+              var pred = if (u >= 32768) u - 65536 else u
+              var idx = le(base + 2, 1)
+              if (idx > 88 || (p(base + 3) & 0xff) != 0) return None
+              var o = b * spb
+              out(o) = pred; o += 1
+              var j = 0
+              while (j < blockAlign - 4) {
+                val byte = p(base + 4 + j) & 0xff
+                val (p1, i1) = stepOne(pred, idx, byte & 0xf) // low first
+                out(o) = p1; o += 1
+                val (p2, i2) = stepOne(p1, i1, byte >> 4)
+                out(o) = p2; o += 1
+                pred = p2; idx = i2
+                j += 1
+              }
+              b += 1
+            }
+            samples = out
+          case _ => ()
+        }
+        i += 8 + size + (size & 1)
+      }
+      if (fmtOk && samples != null) Some((rate, samples)) else None
+    }
+
+    /** REAL IMA-ADPCM encoder (the standard magnitude-bit quantizer),
+      * mirroring the decoder's reconstruction exactly — so
+      * decode(encode(x)) equals the encoder's own predicted signal
+      * BIT-FOR-BIT (the round-trip property; the recurrence is lossy
+      * against x but deterministic against itself). */
+    def encode(samples: Array[Int], rate: Int,
+      blockAlign: Int): Array[Byte] = {
+      require(blockAlign >= 5 && rate > 0)
+      val spb = 2 * (blockAlign - 4) + 1
+      require(samples.nonEmpty && samples.length % spb == 0)
+      val nBlocks = samples.length / spb
+      val data = new Array[Byte](nBlocks * blockAlign)
+      var idx = 0
+      var b = 0
+      while (b < nBlocks) {
+        val base = b * blockAlign
+        var pred = samples(b * spb)
+        data(base) = (pred & 0xff).toByte
+        data(base + 1) = ((pred >> 8) & 0xff).toByte
+        data(base + 2) = idx.toByte
+        data(base + 3) = 0
+        var j = 0
+        while (j < blockAlign - 4) {
+          var byte = 0
+          var half = 0
+          while (half < 2) {
+            val s = samples(b * spb + 1 + 2 * j + half)
+            val step = stepTable(idx)
+            var diff = s - pred
+            var nib = 0
+            if (diff < 0) { nib = 8; diff = -diff }
+            if (diff >= step) { nib |= 4; diff -= step }
+            if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+            if (diff >= (step >> 2)) nib |= 1
+            val (p1, i1) = stepOne(pred, idx, nib)
+            pred = p1; idx = i1
+            byte |= (nib << (4 * half)) // low nibble first
+            half += 1
+          }
+          data(base + 4 + j) = byte.toByte
+          j += 1
+        }
+        b += 1
+      }
+      wrapWav(rate, blockAlign, spb, data)
+    }
+
+    private[ext] def wrapWav(rate: Int, blockAlign: Int, spb: Int,
+      data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer
+        .allocate(12 + 8 + 20 + 8 + data.length + (data.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII"))
+        .putInt(4 + 28 + 8 + data.length + (data.length & 1))
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(20)
+        .putShort(0x11).putShort(1).putInt(rate)
+        .putInt(rate * blockAlign / spb) // nominal byte rate
+        .putShort(blockAlign.toShort).putShort(4)
+        .putShort(2).putShort(spb.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length)
+        .put(data)
+      out.array()
+    }
+  }
+
+  /** Synthesize an IMA-ADPCM WAV per document: blockAlign 12 → 17
+    * samples/block, id%3+1 blocks, block b seeded with predictor
+    * ((31·id + 911·b) mod 65536) − 32768 and step index (id + 7·b)
+    * mod 89, data NIBBLES n(b,j) = (id + 3·b + 5·j) mod 16 — the
+    * decoded signal is then exactly the normative recurrence the
+    * DuckDB oracle replays as a recursive CTE. */
+  def mediaWavAdpcm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val nb = (id % 3 + 1).toInt
+        val blockAlign = 12
+        val data = new Array[Byte](nb * blockAlign)
+        var b = 0
+        while (b < nb) {
+          val base = b * blockAlign
+          val pred = ((31 * id + 911 * b) % 65536 - 32768).toInt
+          data(base) = (pred & 0xff).toByte
+          data(base + 1) = ((pred >> 8) & 0xff).toByte
+          data(base + 2) = ((id + 7 * b) % 89).toByte
+          data(base + 3) = 0
+          var j = 0
+          while (j < 16) {
+            val n = ((id + 3 * b + 5 * j) % 16).toInt
+            if (j % 2 == 0) data(base + 4 + j / 2) = n.toByte
+            else data(base + 4 + j / 2) =
+              (data(base + 4 + j / 2) | (n << 4)).toByte
+            j += 1
+          }
+          b += 1
+        }
+        (id, AdpcmCodec.wrapWav(8000, blockAlign, 17, data))
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** [[wavFeatures]]' contract through the ADPCM recurrence. */
+  def adpcmFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          AdpcmCodec.decode(payload).map { case (rate, s) =>
+            var sa = 0L; var mx = 0L; var sq = 0L; var zc = 0L
+            var j = 0
+            while (j < s.length) {
+              val a = math.abs(s(j).toLong)
+              sa += a; if (a > mx) mx = a; sq += a * a
+              if (j > 0 && s(j - 1).toLong * s(j) < 0) zc += 1
+              j += 1
+            }
+            WavFeatures(id, rate, s.length.toLong, sa, mx, sq, zc)
+          }
+        }
+      }.toDF()
   }
 
   /** Integer-exact audio features per decoded clip: sample count, Σ|s|,
@@ -5028,6 +5372,55 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One REAL lossy-WebP (VP8 keyframe) per document, through
+    * [[Vp8Codec.encodeDcOnly]]'s arithmetic-coded DC-only family:
+    * dims (id%37+1)×((3id)%29+1) — cropping + 1..3×1..2 MB grids —
+    * quantizer index id%128 (the full dequant-table range, incl. the
+    * chroma-DC 132 clamp), per-MB Y2/U/V DC tokens derived from the id.
+    * The family is closed-form by construction, which is what buys the
+    * `media_features_vp8` DuckDB oracle; bitstream-level correctness is
+    * pinned separately by Vp8ConformanceSpec (bit-exact vs libwebp). */
+  def mediaWebpVp8(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 37 + 1).toInt
+        val h = ((3 * id) % 29 + 1).toInt
+        val qi = (id % 128).toInt
+        val n = ((w + 15) / 16) * ((h + 15) / 16)
+        val y2 = Array.tabulate(n)(k => ((id + 5 * k) % 23 - 11).toInt)
+        val u = Array.tabulate(n)(k => ((3 * id + 7 * k) % 19 - 9).toInt)
+        val v = Array.tabulate(n)(k => ((7 * id + 11 * k) % 17 - 8).toInt)
+        (id, Vp8Codec.encodeDcOnly(w, h, qi, y2, u, v))
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** Decode lossy WebP through the full VP8 path and reduce each file
+    * to plane sums — scan-shaped (one mapPartitions, no shuffle until
+    * the caller aggregates). */
+  def vp8Features(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, p) =>
+          Vp8Codec.vp8ChunkOf(p).flatMap(Vp8Codec.decodeYuv).map {
+            case (w, h, y, u, v) =>
+              var ys = 0L; var i = 0
+              while (i < y.length) { ys += y(i) & 0xff; i += 1 }
+              var us = 0L; i = 0
+              while (i < u.length) { us += u(i) & 0xff; i += 1 }
+              var vs = 0L; i = 0
+              while (i < v.length) { vs += v(i) & 0xff; i += 1 }
+              (id, w, h, ys, us, vs)
+          }
+        }
+      }.toDF("media_id", "width", "height", "y_sum", "u_sum", "v_sum")
+  }
+
   // ----------------------------------------------------- byte-level dedup
 
   /** 64-bit SimHash over the payload's DISTINCT byte 4-grams — media
@@ -5085,7 +5478,13 @@ object Multimodal {
     else if (b(0) == 0xff && b(1) == 0xd8)
       JpegCodec.decode(p).map { case (w, h, px) => ("jpeg", w, h, px) }
     else if (p.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WEBP")
+      // lossless (VP8L chunk) first, then lossy (VP8 keyframe, r15):
+      // both walk the container themselves, so whichever chunk is
+      // present claims the file
       Vp8lCodec.decode(p).map { case (w, h, px) => ("webp", w, h, px) }
+        .orElse(Vp8Codec.decode(p).map { case (w, h, px) =>
+          ("webp_vp8", w, h, px)
+        })
     else if (p.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ")
       // first-frame walk: the thumbnail path must not entropy-decode
       // every frame of a long video only to keep frame 0

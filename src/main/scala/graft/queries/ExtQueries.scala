@@ -103,6 +103,10 @@ z AS (SELECT xk, yk, (xe | (ye << 1)) AS zv FROM s4)"""
   private def dot8Sql(a: String, b: String): String =
     (1 to 8).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
 
+  // 16-dim twin for the media block-mean-luma embeddings.
+  private def dot16Sql(a: String, b: String): String =
+    (1 to 16).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
   /** MMR greedy selection unrolled as `k` argmax stages (the repo's
     * unrolled-iteration oracle idiom): stage i ranks the not-yet-selected
     * candidates by (qs − max sim to the selected set) — with λ = 0.5 the
@@ -814,6 +818,66 @@ r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
              row_number() OVER (PARTITION BY q_id
                ORDER BY sim DESC, vec_id) AS rnk
       FROM s)
+SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
+ORDER BY q_id, rnk"""
+
+  // media_embedding_topk_ann: the same media vectors through the
+  // persisted frozen-codebook IVF index (AnnIndex over the MediaSink
+  // serving table) — the q8 chain of ivfQ8Sql re-based onto the media
+  // vecs CTEs at their 16 dims.
+  private lazy val mediaAnnSql: String = """WITH px AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 16 + 1 AS INT) AS w,
+         CAST((doc_id * 7) % 12 + 1 AS INT) AS h,
+         i % (doc_id % 16 + 1) AS x, i // (doc_id % 16 + 1) AS y,
+         299 * ((9 * doc_id + 13 * (i % (doc_id % 16 + 1))
+                 + (i // (doc_id % 16 + 1))) % 256)
+       + 587 * ((5 * doc_id + (i % (doc_id % 16 + 1))
+                 + 11 * (i // (doc_id % 16 + 1))) % 256)
+       + 114 * ((doc_id + 3 * (i % (doc_id % 16 + 1))
+                 + 7 * (i // (doc_id % 16 + 1))) % 256) AS l
+  FROM documents,
+       unnest(range(0, (doc_id % 16 + 1) * ((doc_id * 7) % 12 + 1))) t(i)),
+mv AS (
+  SELECT media_id, ((y * 4) // h) * 4 + (x * 4) // w AS cell,
+         sum(l) // count(*) AS v
+  FROM px GROUP BY media_id, ((y * 4) // h) * 4 + (x * 4) // w),
+vecs AS (
+  SELECT d.media_id, list(COALESCE(mv.v, 0)::DOUBLE ORDER BY d.i) AS v0
+  FROM (SELECT DISTINCT px.media_id, t.i
+        FROM px, unnest(range(0, 16)) t(i)) d
+  LEFT JOIN mv ON mv.media_id = d.media_id AND mv.cell = d.i
+  GROUP BY d.media_id),
+e0 AS (SELECT media_id AS vec_id, v0 FROM vecs
+       WHERE list_aggregate(v0, 'sum') > 0),""" + s"""
+sc AS (SELECT greatest(max(list_aggregate(list_transform(v0, x -> abs(x)),
+  'max')), 4.9e-324) AS s FROM e0),
+e AS (SELECT vec_id, list_transform(v0, x -> floor(x * 127.0 / s + 0.5)) AS v
+      FROM e0 CROSS JOIN sc),
+n AS (SELECT vec_id, v, sqrt(${dot16Sql("v", "v")}) AS nrm FROM e),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 20 = 0),
+a AS (SELECT n.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY (${dot16Sql("v", "cv")}) / (n.nrm * c.cn) DESC,
+                        c.cent_id) AS rn
+      FROM n CROSS JOIN c),
+asg AS (SELECT n.vec_id, n.v, n.nrm, a.cent_id AS cell
+        FROM a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+p AS (SELECT q.q_id, q.qv, q.qn, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY (${dot16Sql("qv", "cv")}) / (q.qn * c.cn) DESC,
+                        c.cent_id) AS rn
+      FROM q CROSS JOIN c),
+pr AS (SELECT q_id, qv, qn, cell FROM p WHERE rn <= 8),
+sx AS (SELECT pr.q_id, asg.vec_id,
+              (${dot16Sql("qv", "v")}) / (pr.qn * asg.nrm) AS sim
+       FROM pr JOIN asg ON asg.cell = pr.cell
+       WHERE asg.vec_id <> pr.q_id),
+r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, vec_id) AS rnk
+      FROM sx)
 SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
 ORDER BY q_id, rnk"""
 
@@ -4225,6 +4289,224 @@ SELECT doc_id AS media_id, max(nf)::BIGINT AS n_frames,
                 ELSE bit_count(xor(pv, fp)) END)::INT AS max_adj_hamming
 FROM adj GROUP BY doc_id ORDER BY media_id""")),
 
+    // Lossy WebP through the REAL VP8 decoder (r15): one arithmetic-
+    // coded DC-only keyframe per document (Vp8Codec.encodeDcOnly —
+    // genuinely bool-coded, libwebp-decodable), decoded by the
+    // conformance-proved Vp8Codec (bit-exact vs libwebp's WebPDecodeYUV
+    // on 85 fixtures, Vp8ConformanceSpec). The family is closed-form:
+    // every MB reconstructs uniform — Y2 DC rides the WHT(+3>>3) then
+    // iDCT(+4>>3) ladder onto the DC16 prediction chain (128 at the
+    // origin, left/above/avg across MBs), chroma DCs ride iDCT alone
+    // onto the same chain shape with the 132-clamped uv quantizer. The
+    // oracle replays exactly that, dequant table inlined from
+    // Vp8Tables (itself recovered from libwebp's .rodata).
+    ("media_features_vp8",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .vp8Features(graft.ext.Multimodal.mediaWebpVp8(docs(s, d)))
+          .orderBy("media_id"),
+      Some {
+        val dcq = graft.ext.Vp8Tables.dcQLookup.zipWithIndex
+          .map { case (q, i) => s"($i,$q)" }.mkString(",")
+        s"""WITH dcq(i, q) AS (SELECT * FROM (VALUES $dcq) t(i, q)),
+d AS (
+  SELECT doc_id, CAST(doc_id % 37 + 1 AS INT) AS w,
+         CAST((3 * doc_id) % 29 + 1 AS INT) AS h,
+         CAST(doc_id % 128 AS INT) AS qi,
+         CAST((doc_id % 37 + 16) // 16 AS INT) AS mw,
+         CAST(((3 * doc_id) % 29 + 16) // 16 AS INT) AS mh
+  FROM documents),
+tok AS (
+  SELECT d.*, k,
+         CAST(floor((floor((((doc_id + 5 * k) % 23 - 11) * dcq.q * 2 + 3)
+           / 8.0) + 4) / 8.0) AS INT) AS yadd,
+         CAST(floor((((3 * doc_id + 7 * k) % 19 - 9)
+           * LEAST(dcq.q, 132) + 4) / 8.0) AS INT) AS uadd,
+         CAST(floor((((7 * doc_id + 11 * k) % 17 - 8)
+           * LEAST(dcq.q, 132) + 4) / 8.0) AS INT) AS vadd
+  FROM d JOIN dcq ON dcq.i = d.qi, unnest(range(0, 6)) AS tk(k)),
+piv AS (
+  SELECT doc_id, w, h, mw, mh, mw * mh AS nmb,
+         max(CASE WHEN k = 0 THEN yadd END) AS ya0,
+         max(CASE WHEN k = 1 THEN yadd END) AS ya1,
+         max(CASE WHEN k = 2 THEN yadd END) AS ya2,
+         max(CASE WHEN k = 3 THEN yadd END) AS ya3,
+         max(CASE WHEN k = 4 THEN yadd END) AS ya4,
+         max(CASE WHEN k = 5 THEN yadd END) AS ya5,
+         max(CASE WHEN k = 0 THEN uadd END) AS ua0,
+         max(CASE WHEN k = 1 THEN uadd END) AS ua1,
+         max(CASE WHEN k = 2 THEN uadd END) AS ua2,
+         max(CASE WHEN k = 3 THEN uadd END) AS ua3,
+         max(CASE WHEN k = 4 THEN uadd END) AS ua4,
+         max(CASE WHEN k = 5 THEN uadd END) AS ua5,
+         max(CASE WHEN k = 0 THEN vadd END) AS va0,
+         max(CASE WHEN k = 1 THEN vadd END) AS va1,
+         max(CASE WHEN k = 2 THEN vadd END) AS va2,
+         max(CASE WHEN k = 3 THEN vadd END) AS va3,
+         max(CASE WHEN k = 4 THEN vadd END) AS va4,
+         max(CASE WHEN k = 5 THEN vadd END) AS va5
+  FROM tok GROUP BY doc_id, w, h, mw, mh),
+-- the DC prediction chain: MB (0,0) predicts 128; row-0 MBs predict
+-- their left neighbor's uniform value; col-0 MBs their above; interior
+-- MBs (16*above + 16*left + 16) >> 5 = (above + left + 1) // 2. With
+-- mw <= 3 and mh <= 2 the k -> (mx,my) positions admit the explicit
+-- per-k CASEs below (k=2 is (1,0) only when mw=2; k=3 is (1,1) when
+-- mw=2 else (1,0); k=4,5 exist only at mw=3).
+chain AS (
+  SELECT doc_id, w, h, mw, mh, nmb,
+    GREATEST(0, LEAST(255, 128 + ya0)) AS ym0,
+    GREATEST(0, LEAST(255, ym0 + ya1)) AS ym1,
+    GREATEST(0, LEAST(255,
+      CASE WHEN mw = 2 THEN ym0 ELSE ym1 END + ya2)) AS ym2,
+    GREATEST(0, LEAST(255, CASE WHEN mw = 2
+      THEN (ym1 + ym2 + 1) // 2 ELSE ym0 END + ya3)) AS ym3,
+    GREATEST(0, LEAST(255, (ym1 + ym3 + 1) // 2 + ya4)) AS ym4,
+    GREATEST(0, LEAST(255, (ym2 + ym4 + 1) // 2 + ya5)) AS ym5,
+    GREATEST(0, LEAST(255, 128 + ua0)) AS um0,
+    GREATEST(0, LEAST(255, um0 + ua1)) AS um1,
+    GREATEST(0, LEAST(255,
+      CASE WHEN mw = 2 THEN um0 ELSE um1 END + ua2)) AS um2,
+    GREATEST(0, LEAST(255, CASE WHEN mw = 2
+      THEN (um1 + um2 + 1) // 2 ELSE um0 END + ua3)) AS um3,
+    GREATEST(0, LEAST(255, (um1 + um3 + 1) // 2 + ua4)) AS um4,
+    GREATEST(0, LEAST(255, (um2 + um4 + 1) // 2 + ua5)) AS um5,
+    GREATEST(0, LEAST(255, 128 + va0)) AS vm0,
+    GREATEST(0, LEAST(255, vm0 + va1)) AS vm1,
+    GREATEST(0, LEAST(255,
+      CASE WHEN mw = 2 THEN vm0 ELSE vm1 END + va2)) AS vm2,
+    GREATEST(0, LEAST(255, CASE WHEN mw = 2
+      THEN (vm1 + vm2 + 1) // 2 ELSE vm0 END + va3)) AS vm3,
+    GREATEST(0, LEAST(255, (vm1 + vm3 + 1) // 2 + va4)) AS vm4,
+    GREATEST(0, LEAST(255, (vm2 + vm4 + 1) // 2 + va5)) AS vm5
+  FROM piv)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  sum(CASE tk.k WHEN 0 THEN ym0 WHEN 1 THEN ym1 WHEN 2 THEN ym2
+      WHEN 3 THEN ym3 WHEN 4 THEN ym4 ELSE ym5 END
+    * LEAST(16, w - 16 * (tk.k % mw))
+    * LEAST(16, h - 16 * (tk.k // mw)))::BIGINT AS y_sum,
+  sum(CASE tk.k WHEN 0 THEN um0 WHEN 1 THEN um1 WHEN 2 THEN um2
+      WHEN 3 THEN um3 WHEN 4 THEN um4 ELSE um5 END
+    * LEAST(8, (w + 1) // 2 - 8 * (tk.k % mw))
+    * LEAST(8, (h + 1) // 2 - 8 * (tk.k // mw)))::BIGINT AS u_sum,
+  sum(CASE tk.k WHEN 0 THEN vm0 WHEN 1 THEN vm1 WHEN 2 THEN vm2
+      WHEN 3 THEN vm3 WHEN 4 THEN vm4 ELSE vm5 END
+    * LEAST(8, (w + 1) // 2 - 8 * (tk.k % mw))
+    * LEAST(8, (h + 1) // 2 - 8 * (tk.k // mw)))::BIGINT AS v_sum
+FROM chain, unnest(range(0, nmb)) AS tk(k)
+GROUP BY doc_id, w, h ORDER BY media_id"""
+      }),
+
+    // Real-world video is MP4, not AVI (r15): the SAME Motion-JPEG
+    // videos as media_video_features_mjpeg — byte-identical frames via
+    // the dcOnlyJpeg twin — re-containered as ISO-BMFF by
+    // Mp4Codec.encodeMjpeg's full-stbl ledger and decoded back through
+    // the general box walk + stsd/stts/stsc/stsz/stco sample-table
+    // resolution. Identical frames ⇒ the AVI family's oracle verbatim.
+    ("media_video_features_mp4",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .mp4Features(graft.ext.Multimodal.mediaMp4Mjpeg(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS wb,
+         CAST(2 - doc_id % 2 AS INT) AS hb,
+         CAST(doc_id % 5 + 2 AS INT) AS nf
+  FROM documents),
+blk AS (
+  SELECT doc_id, wb, hb, nf, j,
+         sum(CASE WHEN (doc_id + j) % 2 = 0
+                  THEN 8 + (doc_id * 7 + j * 3) % 8
+                  ELSE -(8 + (doc_id * 7 + j * 3) % 8) END)
+           OVER (PARTITION BY doc_id ORDER BY j) AS s
+  FROM d, unnest(range(0, wb * hb)) AS t(j)),
+v AS (
+  SELECT doc_id, wb, hb, nf, ff.f::INT AS f,
+         128 + CASE WHEN doc_id % 2 = 0 AND ff.f >= nf // 2
+                    THEN -s ELSE s END AS gv,
+         64 * (8 * (j // wb) * (8 * wb) + 8 * (j % wb) + 1)
+           + 224 * (8 * wb + 1) AS pw
+  FROM blk, unnest(range(0, nf)) AS ff(f))
+SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
+       CAST(8 * hb AS INT) AS height, nf::BIGINT AS n_frames,
+       sum(64000 * gv)::BIGINT AS luma_milli,
+       sum((f + 1) * 6 * gv * pw)::BIGINT AS checksum
+FROM v GROUP BY doc_id, wb, hb, nf ORDER BY media_id""")),
+
+    // MP4 dims via PURE-COLUMN parse (the media_dims capability for
+    // ISO-BMFF, kept a sibling query: the header-synth family's id→
+    // format map is pinned inside five existing oracles, so MP4 rides
+    // its own real-file family instead of reassigning that id space).
+    // The Spark side computes the moov base from the mdat box header
+    // and reads tkhd/mvhd fields at fixed offsets from it — real byte
+    // parsing, codegen'd, no UDF; the oracle pins the parsed values to
+    // the synth formulas, and Mp4DimsSpec pins Column-parse ≡ JVM walk.
+    ("media_dims_mp4",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .mp4Dims(graft.ext.Multimodal.mediaMp4Mjpeg(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+  CAST(8 * (doc_id % 3 + 1) AS INT) AS width,
+  CAST(8 * (2 - doc_id % 2) AS INT) AS height,
+  CAST(doc_id % 5 + 2 AS BIGINT) AS n_frames
+FROM documents ORDER BY media_id""")),
+
+    // Compressed audio (r15): IMA-ADPCM, the classic 4-bit WAV codec
+    // (format tag 0x0011). The synth seeds each block's header
+    // predictor/step-index and the data NIBBLES from id formulas, so
+    // the decoded signal is exactly the normative recurrence —
+    // diff = step>>3 (+step>>2|step>>1|step per magnitude bit), sign
+    // subtracts, int16-clamped predictor, 0..88-clamped index — which
+    // the oracle replays as a RECURSIVE CTE over the same step/index
+    // tables (inlined from AdpcmCodec).
+    ("media_audio_features_adpcm",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .adpcmFeatures(graft.ext.Multimodal.mediaWavAdpcm(docs(s, d)))
+          .orderBy("media_id"),
+      Some {
+        val steps = graft.ext.Multimodal.AdpcmCodec.stepTable.zipWithIndex
+          .map { case (v, i) => s"($i,$v)" }.mkString(",")
+        val nibExpr = "(r.doc_id + 3 * r.b + 5 * r.j) % 16"
+        s"""WITH RECURSIVE
+stept(i, v) AS (SELECT * FROM (VALUES $steps) t(i, v)),
+idxt(n, dd) AS (SELECT * FROM (VALUES (0,-1),(1,-1),(2,-1),(3,-1),
+  (4,2),(5,4),(6,6),(7,8)) t(n, dd)),
+d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS nb FROM documents),
+blocks AS (
+  SELECT doc_id, b.b::INT AS b,
+         CAST((31 * doc_id + 911 * b.b) % 65536 - 32768 AS INT) AS p0,
+         CAST((doc_id + 7 * b.b) % 89 AS INT) AS i0
+  FROM d, unnest(range(0, nb)) AS b(b)),
+rec(doc_id, b, j, pred, idx) AS (
+  SELECT doc_id, b, 0, p0, i0 FROM blocks
+  UNION ALL
+  SELECT r.doc_id, r.b, r.j + 1,
+    GREATEST(-32768, LEAST(32767,
+      r.pred + CASE WHEN $nibExpr >= 8 THEN -1 ELSE 1 END *
+        (s.v // 8
+         + CASE WHEN $nibExpr % 2 = 1 THEN s.v // 4 ELSE 0 END
+         + CASE WHEN ($nibExpr // 2) % 2 = 1 THEN s.v // 2 ELSE 0 END
+         + CASE WHEN ($nibExpr // 4) % 2 = 1 THEN s.v ELSE 0 END))),
+    GREATEST(0, LEAST(88, r.idx + it.dd))
+  FROM rec r
+  JOIN stept s ON s.i = r.idx
+  JOIN idxt it ON it.n = ($nibExpr) % 8
+  WHERE r.j < 16),
+samp AS (SELECT doc_id, b * 17 + j AS k, pred,
+                lag(pred) OVER (PARTITION BY doc_id ORDER BY b * 17 + j)
+                  AS prev
+         FROM rec)
+SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+       count(*)::BIGINT AS n_samples,
+       sum(abs(pred))::BIGINT AS sum_abs,
+       max(abs(pred))::BIGINT AS max_abs,
+       sum(pred::BIGINT * pred)::BIGINT AS sum_sq,
+       sum(CASE WHEN prev IS NOT NULL AND prev::BIGINT * pred < 0
+                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+FROM samp GROUP BY doc_id ORDER BY media_id"""
+      }),
+
     // Content embeddings from DECODED PIXELS (r14, VERDICT item 3): the
     // embedding seam runs over real pixels for every decodable format —
     // a 4×4 block-mean milli-luma grid (integer mean, empty grid cells
@@ -4284,6 +4566,19 @@ FROM adj GROUP BY doc_id ORDER BY media_id""")),
           .withColumnRenamed("rank", "rnk")
       },
       Some(mediaTopkSql)),
+
+    // The decode→embed→index→serve loop CLOSED (r15, VERDICT task 4):
+    // the served MediaSink embeddings through a PERSISTED AnnIndex
+    // (frozen int8 codebook + strided centroids, cell-bucketed layout,
+    // pruned probes) instead of the brute-force in-plan top-k. Every
+    // stage integer-fed and deterministic, so the full oracle holds:
+    // the q8 quantize/assign/probe chain over the media vectors.
+    ("media_embedding_topk_ann",
+      (s: SparkSession, d: String) =>
+        graft.sinks.AnnIndex.probe(
+          s, graft.sinks.MediaSink.annIndexed(s, d), numQueries = 8, k = 10)
+          .withColumnRenamed("rank", "rnk"),
+      Some(mediaAnnSql)),
 
     // Interleaved A/V demux (r14): one AVI carrying BOTH modalities —
     // '00db' DIB frames and '01wb' PCM chunks, strf headers attached to

@@ -69,6 +69,23 @@ object MediaSink {
   // one table per fixture dir per JVM (fixture-derived and immutable —
   // the ActivitySink.materialized pattern)
   private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private val annBuilt = new ConcurrentHashMap[String, String]()
+
+  /** The "ANN index build slot" the header names, filled (r15): a
+    * persisted [[AnnIndex]] over the served table's BMP-range
+    * embeddings (the decode→embed→index→serve loop closed end-to-end:
+    * streamed MediaSink table → frozen-codebook IVF index → pruned
+    * probes). Build-once per fixture dir, overwrite semantics. */
+  def annIndexed(spark: SparkSession, sfDir: String): String =
+    annBuilt.computeIfAbsent(sfDir, { _ =>
+      val path = graft.util.DirKeys.tmpPath("annmedia", sfDir)
+      val embs = materialized(spark, sfDir)
+        .where(col("media_id") < 100000000000L) // the BMP range
+        .where(expr("aggregate(embedding, 0D, (a, x) -> a + x) > 0D"))
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      AnnIndex.build(embs, path)
+      path
+    })
 
   /** The materialized media-embedding table for a fixture dir: the
     * five-format synth corpus through the SAME decode-gate + embed path

@@ -540,6 +540,47 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  // MP4 twin of the AVI property: same analytic per-pixel bound (the
+  // container layers are lossless; only JpegCodec is lossy — see the
+  // derivation above), exercising the ISO-BMFF muxer's stbl ledger and
+  // the decoder's general chunk-run resolution with real variable-size
+  // samples.
+  property("mp4 mjpeg: mux(encode(frames)) box-walks back to every " +
+      "frame within the analytic lossy bound") = {
+    val gen = for {
+      w <- Gen.choose(1, 20)
+      h <- Gen.choose(1, 14)
+      nf <- Gen.choose(1, 4)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (w, h, nf, seed)
+    Prop.forAllNoShrink(gen) { case (w, h, nf, seed) =>
+      val frames = (0 until nf).map { f =>
+        Array.tabulate(w * h) { i =>
+          val v = (i * 2654435761L + seed + f * 7919) & 0xffffff
+          v.toInt
+        }
+      }
+      val jpegs = frames.map(graft.ext.Multimodal.JpegCodec.encode(w, h, _))
+      val got = graft.ext.Mp4Codec.decodeFrames(
+        graft.ext.Mp4Codec.encodeMjpeg(w, h, jpegs))
+      got.exists { case (w2, h2, fs) =>
+        w2 == w && h2 == h && fs.length == nf &&
+          fs.indices.forall { f =>
+            var sumErr = 0L
+            val pxOk = (0 until w * h).forall { i =>
+              (0 to 16 by 8).forall { sft =>
+                val e = math.abs(((frames(f)(i) >> sft) & 0xff) -
+                  ((fs(f)(i) >> sft) & 0xff))
+                sumErr += e
+                e <= 13
+              }
+            }
+            pxOk && (w * h < 64 || sumErr.toDouble / (3 * w * h) <= 1.5)
+          }
+      }
+    }
+  }
+
   property("pixel embedding: every entry is a mean inside the image's " +
       "luma range, empty cells are 0, and any dim's grid covers all " +
       "pixels (non-square dims fold, never drop)") = {
