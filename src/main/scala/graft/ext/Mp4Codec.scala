@@ -63,50 +63,16 @@ object Mp4Codec {
     if (ok) found else None
   }
 
-  /** Decode every MJPEG sample of a one-video-trak MP4:
-    * (w, h, frames as 0xRRGGBB). None on anything non-conforming. */
-  def decodeFrames(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
-    if (p == null || p.length < 16) return None
-    try decodeImpl(p)
-    catch { case scala.util.control.NonFatal(_) => None }
-  }
+  /** Per-sample location resolved from one trak's sample tables:
+    * chunk index (the interleaving unit), absolute offset, size. */
+  private final case class Sample(chunk: Int, off: Long, size: Long)
 
-  // scalastyle:off method.length cyclomatic.complexity
-  private def decodeImpl(p: Array[Byte])
-  : Option[(Int, Int, Array[Array[Int]])] = {
-    // top level must lead with ftyp (house strictness: the files this
-    // engine claims are the files it can fully account for)
-    if (tag(p, 4) != "ftyp") return None
-    val moov = findBox(p, 0, p.length, "moov").getOrElse(return None)
-
-    // exactly one trak, and it must be video
-    var trak: Option[(Int, Int)] = None
-    var nTraks = 0
-    if (!walkBoxes(p, moov._1, moov._2) { (t, s, e) =>
-      if (t == "trak") { nTraks += 1; trak = Some((s, e)) }
-      true
-    }) return None
-    if (nTraks != 1) return None // a trak we would drop must reject
-    val (tkS, tkE) = trak.get
-
-    val mdia = findBox(p, tkS, tkE, "mdia").getOrElse(return None)
-    val hdlr = findBox(p, mdia._1, mdia._2, "hdlr").getOrElse(return None)
-    if (hdlr._2 - hdlr._1 < 12 || tag(p, hdlr._1 + 8) != "vide") return None
-    val minf = findBox(p, mdia._1, mdia._2, "minf").getOrElse(return None)
-    val stbl = findBox(p, minf._1, minf._2, "stbl").getOrElse(return None)
-
-    // stsd: one 'jpeg' VisualSampleEntry; dims at +24/+26 of the entry
-    val stsd = findBox(p, stbl._1, stbl._2, "stsd").getOrElse(return None)
-    if (be32(p, stsd._1 + 4) != 1L) return None // entry_count
-    val entry = stsd._1 + 8
-    if (entry + 86 > stsd._2) return None
-    if (tag(p, entry + 4) != "jpeg") return None
-    val w = ((p(entry + 32) & 0xff) << 8) | (p(entry + 33) & 0xff)
-    val h = ((p(entry + 34) & 0xff) << 8) | (p(entry + 35) & 0xff)
-    if (w <= 0 || h <= 0) return None
-
-    // stsz: per-sample sizes (or constant sample_size)
-    val stsz = findBox(p, stbl._1, stbl._2, "stsz").getOrElse(return None)
+  /** Resolve stts/stsc/stsz/stco into per-sample file locations — the
+    * general chunk-run algorithm. None on any disagreement (stts total
+    * vs stsz count, runs before chunk 1, offsets out of bounds). */
+  private def resolveSamples(p: Array[Byte], stblS: Int, stblE: Int)
+  : Option[Array[Sample]] = {
+    val stsz = findBox(p, stblS, stblE, "stsz").getOrElse(return None)
     val fixedSz = be32(p, stsz._1 + 4)
     val nSamples = be32(p, stsz._1 + 8).toInt
     if (nSamples <= 0 || nSamples > (1 << 20)) return None
@@ -115,7 +81,7 @@ object Mp4Codec {
       if (fixedSz != 0L) fixedSz else be32(p, stsz._1 + 12 + 4 * i)
 
     // stts sanity: total duration count must equal the sample count
-    val stts = findBox(p, stbl._1, stbl._2, "stts").getOrElse(return None)
+    val stts = findBox(p, stblS, stblE, "stts").getOrElse(return None)
     val sttsN = be32(p, stts._1 + 4).toInt
     if (sttsN < 0 || stts._1 + 8 + 8L * sttsN > stts._2) return None
     var sttsTotal = 0L
@@ -126,43 +92,34 @@ object Mp4Codec {
     }
     if (sttsTotal != nSamples) return None
 
-    // stsc chunk runs + stco offsets → per-sample file offsets
-    val stsc = findBox(p, stbl._1, stbl._2, "stsc").getOrElse(return None)
+    val stsc = findBox(p, stblS, stblE, "stsc").getOrElse(return None)
     val stscN = be32(p, stsc._1 + 4).toInt
     if (stscN <= 0 || stsc._1 + 8 + 12L * stscN > stsc._2) return None
-    val stco = findBox(p, stbl._1, stbl._2, "stco").getOrElse(return None)
+    val stco = findBox(p, stblS, stblE, "stco").getOrElse(return None)
     val stcoN = be32(p, stco._1 + 4).toInt
     if (stcoN <= 0 || stco._1 + 8 + 4L * stcoN > stco._2) return None
-    def chunkOff(c: Int): Long = be32(p, stco._1 + 8 + 4 * c)
 
-    val frames = new Array[Array[Int]](nSamples)
+    val out = new Array[Sample](nSamples)
     var sample = 0
     var run = 0
     var chunk = 0
     while (sample < nSamples) {
       if (chunk >= stcoN) return None
-      // samples_per_chunk for the run covering this chunk
       val runFirst = be32(p, stsc._1 + 8 + 12 * run).toInt - 1 // 0-based
       val nextFirst =
         if (run + 1 < stscN) be32(p, stsc._1 + 8 + 12 * (run + 1)).toInt - 1
         else Int.MaxValue
       if (chunk >= nextFirst) { run += 1 }
       else {
-        if (chunk < runFirst) return None // chunks before first run
+        if (chunk < runFirst) return None
         val perChunk = be32(p, stsc._1 + 8 + 12 * run + 4).toInt
         if (perChunk <= 0) return None
-        var off = chunkOff(chunk)
+        var off = be32(p, stco._1 + 8 + 4 * chunk)
         var s = 0
         while (s < perChunk && sample < nSamples) {
           val sz = sampleSize(sample)
           if (sz <= 0 || off + sz > p.length) return None
-          Multimodal.JpegCodec.decode(
-            java.util.Arrays.copyOfRange(p, off.toInt, (off + sz).toInt)
-          ) match {
-            case Some((fw, fh, px)) if fw == w && fh == h =>
-              frames(sample) = px
-            case _ => return None // poison, never partial
-          }
+          out(sample) = Sample(chunk, off, sz)
           off += sz
           sample += 1
           s += 1
@@ -170,9 +127,144 @@ object Mp4Codec {
         chunk += 1
       }
     }
-    Some((w, h, frames))
+    Some(out)
   }
-  // scalastyle:on method.length cyclomatic.complexity
+
+  /** One trak's handler ('vide'/'soun'/…) and its stbl payload span. */
+  private def trakInfo(p: Array[Byte], tkS: Int, tkE: Int)
+  : Option[(String, Int, Int)] = {
+    val mdia = findBox(p, tkS, tkE, "mdia").getOrElse(return None)
+    val hdlr = findBox(p, mdia._1, mdia._2, "hdlr").getOrElse(return None)
+    if (hdlr._2 - hdlr._1 < 12) return None
+    val handler = tag(p, hdlr._1 + 8)
+    val minf = findBox(p, mdia._1, mdia._2, "minf").getOrElse(return None)
+    val stbl = findBox(p, minf._1, minf._2, "stbl").getOrElse(return None)
+    Some((handler, stbl._1, stbl._2))
+  }
+
+  /** The 'jpeg' VisualSampleEntry's dims, or None on any other codec. */
+  private def videoDims(p: Array[Byte], stblS: Int, stblE: Int)
+  : Option[(Int, Int)] = {
+    val stsd = findBox(p, stblS, stblE, "stsd").getOrElse(return None)
+    if (be32(p, stsd._1 + 4) != 1L) return None // entry_count
+    val entry = stsd._1 + 8
+    if (entry + 86 > stsd._2) return None
+    if (tag(p, entry + 4) != "jpeg") return None
+    val w = ((p(entry + 32) & 0xff) << 8) | (p(entry + 33) & 0xff)
+    val h = ((p(entry + 34) & 0xff) << 8) | (p(entry + 35) & 0xff)
+    if (w <= 0 || h <= 0) None else Some((w, h))
+  }
+
+  /** Validate the 'sowt' (16-bit little-endian PCM) AudioSampleEntry:
+    * mono, 16-bit — anything else is a stream we would misdecode, so
+    * it rejects (the AVI walk's strictness). */
+  private def audioOk(p: Array[Byte], stblS: Int, stblE: Int): Boolean = {
+    val stsd = findBox(p, stblS, stblE, "stsd").getOrElse(return false)
+    if (be32(p, stsd._1 + 4) != 1L) return false
+    val entry = stsd._1 + 8
+    if (entry + 36 > stsd._2) return false
+    if (tag(p, entry + 4) != "sowt") return false
+    val channels = ((p(entry + 24) & 0xff) << 8) | (p(entry + 25) & 0xff)
+    val bits = ((p(entry + 26) & 0xff) << 8) | (p(entry + 27) & 0xff)
+    channels == 1 && bits == 16
+  }
+
+  private def decodeJpegSamples(p: Array[Byte], samples: Array[Sample],
+    w: Int, h: Int): Option[Array[Array[Int]]] = {
+    val frames = new Array[Array[Int]](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      Multimodal.JpegCodec.decode(
+        java.util.Arrays.copyOfRange(p, s.off.toInt, (s.off + s.size).toInt)
+      ) match {
+        case Some((fw, fh, px)) if fw == w && fh == h => frames(i) = px
+        case _ => return None // poison, never partial
+      }
+      i += 1
+    }
+    Some(frames)
+  }
+
+  /** Decode every MJPEG sample of a one-video-trak MP4:
+    * (w, h, frames as 0xRRGGBB). A file carrying ANY other trak —
+    * audio included — rejects here (a stream this entry point would
+    * silently drop); [[decodeAv]] is the two-stream entry point. */
+  def decodeFrames(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+    if (p == null || p.length < 16) return None
+    try decodeFramesImpl(p)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode a video+audio MP4: exactly one 'vide' (MJPEG) and one
+    * 'soun' ('sowt' PCM mono 16-bit) trak. Returns (w, h, frames,
+    * audio CHUNKS — the stsc/stco grouping, the interleaving unit the
+    * cross-modal checksum pins). None on anything non-conforming. */
+  def decodeAv(p: Array[Byte])
+  : Option[(Int, Int, Array[Array[Int]], Array[Array[Int]])] = {
+    if (p == null || p.length < 16) return None
+    try decodeAvImpl(p)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def traks(p: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    if (tag(p, 4) != "ftyp") return None
+    val moov = findBox(p, 0, p.length, "moov").getOrElse(return None)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    if (!walkBoxes(p, moov._1, moov._2) { (t, s, e) =>
+      if (t == "trak") found += ((s, e))
+      true
+    }) return None
+    Some(found.toSeq)
+  }
+
+  private def decodeFramesImpl(p: Array[Byte])
+  : Option[(Int, Int, Array[Array[Int]])] = {
+    val tk = traks(p).getOrElse(return None)
+    if (tk.size != 1) return None // a trak we would drop must reject
+    val (handler, stblS, stblE) = trakInfo(p, tk.head._1, tk.head._2)
+      .getOrElse(return None)
+    if (handler != "vide") return None
+    val (w, h) = videoDims(p, stblS, stblE).getOrElse(return None)
+    val samples = resolveSamples(p, stblS, stblE).getOrElse(return None)
+    decodeJpegSamples(p, samples, w, h).map((w, h, _))
+  }
+
+  private def decodeAvImpl(p: Array[Byte])
+  : Option[(Int, Int, Array[Array[Int]], Array[Array[Int]])] = {
+    val tk = traks(p).getOrElse(return None)
+    if (tk.size != 2) return None
+    val infos = tk.map { case (s, e) =>
+      trakInfo(p, s, e).getOrElse(return None)
+    }
+    val vide = infos.filter(_._1 == "vide")
+    val soun = infos.filter(_._1 == "soun")
+    if (vide.size != 1 || soun.size != 1) return None
+    val (w, h) = videoDims(p, vide.head._2, vide.head._3)
+      .getOrElse(return None)
+    val vSamples = resolveSamples(p, vide.head._2, vide.head._3)
+      .getOrElse(return None)
+    val frames = decodeJpegSamples(p, vSamples, w, h).getOrElse(return None)
+    if (!audioOk(p, soun.head._2, soun.head._3)) return None
+    val aSamples = resolveSamples(p, soun.head._2, soun.head._3)
+      .getOrElse(return None)
+    // 'sowt': each sample is one int16 LE; group by CHUNK
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var i = 0
+    while (i < aSamples.length) {
+      val c = aSamples(i).chunk
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (i < aSamples.length && aSamples(i).chunk == c) {
+        val s = aSamples(i)
+        if (s.size != 2) return None
+        val u = (p(s.off.toInt) & 0xff) | ((p(s.off.toInt + 1) & 0xff) << 8)
+        buf += ((u << 16) >> 16)
+        i += 1
+      }
+      chunks += buf.toArray
+    }
+    Some((w, h, frames, chunks.toArray))
+  }
 
   // ---------------------------------------------------------------
   // muxer
@@ -191,6 +283,99 @@ object Mp4Codec {
   private def u32(v: Long): Array[Byte] = Array(
     (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
   private def u16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+
+  /** Wrap JPEG frames PLUS mono 16-bit PCM audio as a two-trak MP4
+    * with a genuinely INTERLEAVED mdat: video chunk f (one frame) then
+    * audio chunk f (its samples), stco entries pointing into the
+    * interleaving — so the cross-modal checksum downstream pins the
+    * sample-table logic (stsc/stco chunk association), not physical
+    * order. Audio rides a 'sowt' AudioSampleEntry (little-endian PCM),
+    * all audio chunks must carry the same sample count (one stsc run). */
+  def encodeMjpegAv(w: Int, h: Int, jpegs: Seq[Array[Byte]],
+    audioChunks: Seq[Array[Int]], rate: Int = 8000): Array[Byte] = {
+    require(w > 0 && h > 0 && jpegs.nonEmpty &&
+      jpegs.length == audioChunks.length)
+    val spf = audioChunks.head.length
+    require(spf > 0 && audioChunks.forall(_.length == spf))
+    val nf = jpegs.length
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ u32(0x200) ++
+        "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+    // interleaved mdat payload + absolute chunk offsets
+    val mdatBody = new java.io.ByteArrayOutputStream()
+    val vOff = new Array[Long](nf)
+    val aOff = new Array[Long](nf)
+    val base = ftyp.length + 8L
+    var f = 0
+    while (f < nf) {
+      vOff(f) = base + mdatBody.size()
+      mdatBody.write(jpegs(f))
+      aOff(f) = base + mdatBody.size()
+      audioChunks(f).foreach { s =>
+        mdatBody.write(s & 0xff); mdatBody.write((s >> 8) & 0xff)
+      }
+      f += 1
+    }
+    val mdat = box("mdat", mdatBody.toByteArray)
+
+    val matrix = u32(0x10000) ++ u32(0) ++ u32(0) ++
+      u32(0) ++ u32(0x10000) ++ u32(0) ++
+      u32(0) ++ u32(0) ++ u32(0x40000000L)
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(nf.toLong * 40) ++ u32(0x10000) ++ u16(0x0100) ++ u16(0) ++
+      u32(0) ++ u32(0) ++ matrix ++ new Array[Byte](24) ++ u32(3))
+
+    // --- video trak (id 1): one sample per chunk, nf chunks ---
+    val tkhdV = box("tkhd", u32(3) ++ u32(0) ++ u32(0) ++ u32(1) ++
+      u32(0) ++ u32(nf.toLong * 40) ++ u32(0) ++ u32(0) ++
+      u16(0) ++ u16(0) ++ u16(0) ++ u16(0) ++ matrix ++
+      u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    val mdhdV = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(nf.toLong * 40) ++ u16(0x55c4) ++ u16(0))
+    val hdlrV = box("hdlr", u32(0) ++ u32(0) ++
+      "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array[Byte](0))
+    val vmhd = box("vmhd", u32(1) ++ u16(0) ++ u16(0) ++ u16(0) ++ u16(0))
+    val dref = box("dref", u32(0) ++ u32(1) ++ box("url ", u32(1)))
+    val entryV = box("jpeg", new Array[Byte](6) ++ u16(1) ++
+      new Array[Byte](16) ++ u16(w) ++ u16(h) ++
+      u32(0x480000) ++ u32(0x480000) ++ u32(0) ++ u16(1) ++
+      new Array[Byte](32) ++ u16(24) ++ u16(0xffff))
+    val stblV = box("stbl",
+      box("stsd", u32(0) ++ u32(1) ++ entryV) ++
+        box("stts", u32(0) ++ u32(1) ++ u32(nf) ++ u32(40)) ++
+        box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(1) ++ u32(1)) ++
+        box("stsz", u32(0) ++ u32(0) ++ u32(nf) ++
+          jpegs.toArray.flatMap(j => u32(j.length.toLong))) ++
+        box("stco", u32(0) ++ u32(nf) ++ vOff.flatMap(u32)))
+    val trakV = box("trak", tkhdV ++ box("mdia", mdhdV ++ hdlrV ++
+      box("minf", vmhd ++ box("dinf", dref) ++ stblV)))
+
+    // --- audio trak (id 2): spf samples per chunk, nf chunks ---
+    val nSamples = nf.toLong * spf
+    val tkhdA = box("tkhd", u32(3) ++ u32(0) ++ u32(0) ++ u32(2) ++
+      u32(0) ++ u32(nf.toLong * 40) ++ u32(0) ++ u32(0) ++
+      u16(0) ++ u16(0) ++ u16(0x0100) ++ u16(0) ++ matrix ++
+      u32(0) ++ u32(0))
+    val mdhdA = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(rate.toLong) ++
+      u32(nSamples) ++ u16(0x55c4) ++ u16(0))
+    val hdlrA = box("hdlr", u32(0) ++ u32(0) ++
+      "soun".getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array[Byte](0))
+    val smhd = box("smhd", u32(0) ++ u16(0) ++ u16(0))
+    val entryA = box("sowt", new Array[Byte](6) ++ u16(1) ++
+      u16(0) ++ u16(0) ++ u32(0) ++ // version/revision/vendor
+      u16(1) ++ u16(16) ++ u16(0) ++ u16(0) ++ // mono, 16-bit
+      u32(rate.toLong << 16))
+    val stblA = box("stbl",
+      box("stsd", u32(0) ++ u32(1) ++ entryA) ++
+        box("stts", u32(0) ++ u32(1) ++ u32(nSamples) ++ u32(1)) ++
+        box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(spf.toLong) ++ u32(1)) ++
+        box("stsz", u32(0) ++ u32(2) ++ u32(nSamples)) ++
+        box("stco", u32(0) ++ u32(nf) ++ aOff.flatMap(u32)))
+    val trakA = box("trak", tkhdA ++ box("mdia", mdhdA ++ hdlrA ++
+      box("minf", smhd ++ box("dinf", dref) ++ stblA)))
+
+    ftyp ++ mdat ++ box("moov", mvhd ++ trakV ++ trakA)
+  }
 
   /** Wrap already-encoded JPEG frames as a minimal conforming MP4:
     * ftyp + mdat(samples) + moov with the full stbl ledger (per-sample

@@ -1496,6 +1496,80 @@ object Multimodal {
       }.toDF()
   }
 
+  /** The [[mediaAviAv]] contract re-containered as a TWO-TRAK MP4:
+    * [[dcOnlyJpeg]] video frames + the SAME per-chunk PCM formula
+    * (sample k = ((3·id + 17·k) mod 65536) − 32768, spf = id%7+3,
+    * chunk f = samples [f·spf, (f+1)·spf)), interleaved in mdat by
+    * [[Mp4Codec.encodeMjpegAv]]. */
+  def mediaMp4Av(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val wb = (id % 3 + 1).toInt
+        val hb = (2 - id % 2).toInt
+        val nf = (id % 5 + 2).toInt
+        val spf = (id % 7 + 3).toInt
+        val jpegs = (0 until nf).map(f => dcOnlyJpeg(id, wb, hb, f, nf))
+        val audio = (0 until nf).map { f =>
+          Array.tabulate(spf) { j =>
+            val k = f * spf + j
+            ((3 * id + 17 * k) % 65536 - 32768).toInt
+          }
+        }
+        (id, Mp4Codec.encodeMjpegAv(wb * 8, hb * 8, jpegs, audio))
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** [[avFeatures]]' contract through the MP4 two-trak walk
+    * ([[Mp4Codec.decodeAv]]) — same cross-modal (f+1)-weighted
+    * checksum, pinning the stsc/stco chunk association instead of the
+    * AVI walk's physical chunk order. */
+  def mp4AvFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          Mp4Codec.decodeAv(payload).map { case (w, h, fs, as) =>
+            var luma = 0L; var ck = 0L
+            var f = 0
+            while (f < fs.length) {
+              val px = fs(f)
+              var i = 0
+              while (i < px.length) {
+                val r = (px(i) >> 16) & 0xff
+                val g = (px(i) >> 8) & 0xff
+                val b = px(i) & 0xff
+                luma += 299L * r + 587L * g + 114L * b
+                ck += (f + 1).toLong * (i + 1) * (r + 2L * g + 3L * b)
+                i += 1
+              }
+              f += 1
+            }
+            var sa = 0L; var sq = 0L; var avCk = 0L; var ns = 0L
+            var c = 0
+            while (c < as.length) {
+              var j = 0
+              var chunkAbs = 0L
+              while (j < as(c).length) {
+                val s = as(c)(j).toLong
+                sa += math.abs(s); sq += s * s
+                chunkAbs += math.abs(s)
+                j += 1
+              }
+              avCk += (c + 1).toLong * chunkAbs
+              ns += as(c).length
+              c += 1
+            }
+            AvFeatures(id, w, h, fs.length.toLong, ns, luma, ck, sa, sq, avCk)
+          }
+        }
+      }.toDF()
+  }
+
   /** Shot-boundary detection over decoded frames: per-frame [[aHash64]],
     * a cut wherever adjacent frames' hamming exceeds `threshold` — the
     * standard perceptual-hash shot detector, over the REAL decode chain

@@ -4432,6 +4432,61 @@ SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
        sum((f + 1) * 6 * gv * pw)::BIGINT AS checksum
 FROM v GROUP BY doc_id, wb, hb, nf ORDER BY media_id""")),
 
+    // Two-trak MP4 A/V (r15): real-world MP4s carry audio, and the
+    // video-only walk REJECTS them by design — decodeAv is the entry
+    // point that accepts exactly one 'vide' + one 'sowt' PCM trak. The
+    // mdat is genuinely interleaved and stco points into it, so the
+    // (f+1)-weighted av_checksum pins the stsc/stco CHUNK ASSOCIATION
+    // (the AVI twin pins physical chunk order). Video = the dcOnlyJpeg
+    // DC-chain formulas; audio = the AVI A/V family's PCM formula.
+    ("media_av_features_mp4",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .mp4AvFeatures(graft.ext.Multimodal.mediaMp4Av(docs(s, d)))
+          .orderBy("media_id"),
+      Some("""WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS wb,
+         CAST(2 - doc_id % 2 AS INT) AS hb,
+         CAST(doc_id % 5 + 2 AS INT) AS nf,
+         CAST(doc_id % 7 + 3 AS INT) AS spf
+  FROM documents),
+blk AS (
+  SELECT doc_id, wb, hb, nf, j,
+         sum(CASE WHEN (doc_id + j) % 2 = 0
+                  THEN 8 + (doc_id * 7 + j * 3) % 8
+                  ELSE -(8 + (doc_id * 7 + j * 3) % 8) END)
+           OVER (PARTITION BY doc_id ORDER BY j) AS s
+  FROM d, unnest(range(0, wb * hb)) AS t(j)),
+v AS (
+  SELECT doc_id, wb, hb, nf, ff.f::INT AS f,
+         128 + CASE WHEN doc_id % 2 = 0 AND ff.f >= nf // 2
+                    THEN -s ELSE s END AS gv,
+         64 * (8 * (j // wb) * (8 * wb) + 8 * (j % wb) + 1)
+           + 224 * (8 * wb + 1) AS pw
+  FROM blk, unnest(range(0, nf)) AS ff(f)),
+vid AS (
+  SELECT doc_id, CAST(8 * wb AS INT) AS width,
+         CAST(8 * hb AS INT) AS height, nf::BIGINT AS n_frames,
+         sum(64000 * gv)::BIGINT AS luma_milli,
+         sum((f + 1) * 6 * gv * pw)::BIGINT AS checksum
+  FROM v GROUP BY doc_id, wb, hb, nf),
+au AS (
+  SELECT d.doc_id,
+         count(*)::BIGINT AS n_samples,
+         sum(abs((3 * d.doc_id + 17 * t.k) % 65536 - 32768))::BIGINT
+           AS sum_abs,
+         sum(((3 * d.doc_id + 17 * t.k) % 65536 - 32768)
+           * ((3 * d.doc_id + 17 * t.k) % 65536 - 32768))::BIGINT AS sum_sq,
+         sum((t.k // d.spf + 1)
+           * abs((3 * d.doc_id + 17 * t.k) % 65536 - 32768))::BIGINT
+           AS av_checksum
+  FROM d, unnest(range(0, d.nf * d.spf)) AS t(k)
+  GROUP BY d.doc_id)
+SELECT vid.doc_id AS media_id, width, height, n_frames, n_samples,
+       luma_milli, checksum, sum_abs, sum_sq, av_checksum
+FROM vid JOIN au ON au.doc_id = vid.doc_id
+ORDER BY media_id""")),
+
     // MP4 dims via PURE-COLUMN parse (the media_dims capability for
     // ISO-BMFF, kept a sibling query: the header-synth family's id→
     // format map is pinned inside five existing oracles, so MP4 rides

@@ -55,6 +55,86 @@ class Mp4Spec extends SparkSuite {
     assert(colSide.toSeq === jvmSide.toSeq)
   }
 
+  test("decodeAv demuxes both traks from the interleaved mdat and the " +
+      "cross-modal checksum follows the stsc/stco chunk association") {
+    val feats = Multimodal.mp4AvFeatures(Multimodal.mediaMp4Av(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length === docs.count())
+    feats.take(20).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val nf = (id % 5 + 2).toInt; val spf = (id % 7 + 3).toInt
+      assert(r.getAs[Long]("n_frames") === nf.toLong)
+      assert(r.getAs[Long]("n_samples") === (nf * spf).toLong)
+      var sa = 0L; var avCk = 0L
+      for (k <- 0 until nf * spf) {
+        val s = (3 * id + 17 * k) % 65536 - 32768
+        sa += math.abs(s)
+        avCk += (k / spf + 1) * math.abs(s)
+      }
+      assert(r.getAs[Long]("sum_abs") === sa)
+      assert(r.getAs[Long]("av_checksum") === avCk, s"chunk assoc for $id")
+    }
+    // swap two equal-size audio chunks' BYTES in mdat: stco still maps
+    // chunk f to its (now swapped) location — the sample MULTISET is
+    // unchanged, av_checksum must move (unless the two chunks happen
+    // to carry equal |s| sums; pick an id where they differ)
+    val one = Multimodal.mediaMp4Av(docs.where(col("doc_id") === 1))
+      .collect().head.getAs[Array[Byte]]("payload")
+    val base = Mp4Codec.decodeAv(one).get
+    assert(base._4.length >= 2)
+    val c0 = base._4(0); val c1 = base._4(1)
+    assert(c0.map(math.abs(_)).sum != c1.map(math.abs(_)).sum)
+    // locate the two chunks in mdat: audio chunk f follows video
+    // frame f; find by byte pattern of chunk 0's samples
+    def bytesOf(c: Array[Int]): Array[Byte] =
+      c.flatMap(s => Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val b0 = bytesOf(c0); val b1 = bytesOf(c1)
+    def find(hay: Array[Byte], needle: Array[Byte]): Int =
+      (0 to hay.length - needle.length).find(i =>
+        needle.indices.forall(j => hay(i + j) == needle(j))).get
+    val i0 = find(one, b0); val i1 = find(one, b1)
+    val swapped = one.clone()
+    Array.copy(b1, 0, swapped, i0, b1.length)
+    Array.copy(b0, 0, swapped, i1, b0.length)
+    val sw = Mp4Codec.decodeAv(swapped).get
+    assert(sw._4(0).toSeq === c1.toSeq && sw._4(1).toSeq === c0.toSeq,
+      "chunk f must be whatever stco points at")
+  }
+
+  test("decodeAv strictness: a third trak, stereo audio, a non-sowt " +
+      "entry, and video-only files all reject") {
+    val av = Multimodal.mediaMp4Av(docs.where(col("doc_id") === 2))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Mp4Codec.decodeAv(av).nonEmpty, "control")
+    // video-only file: decodeAv needs exactly two traks
+    val vOnly = Multimodal.mediaMp4Mjpeg(docs.where(col("doc_id") === 2))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Mp4Codec.decodeAv(vOnly).isEmpty)
+    // and the A/V file must reject through the video-only entry point
+    assert(Mp4Codec.decodeFrames(av).isEmpty,
+      "an audio trak the video walk would drop must reject")
+    // stereo: channels field lives at entry+24 of the sowt box
+    val sowtAt = (0 until av.length - 4).find(i =>
+      av(i) == 's' && av(i + 1) == 'o' && av(i + 2) == 'w' &&
+        av(i + 3) == 't').get - 4
+    val stereo = av.clone()
+    stereo(sowtAt + 25) = 2
+    assert(Mp4Codec.decodeAv(stereo).isEmpty)
+    val notSowt = av.clone()
+    notSowt(sowtAt + 4) = 'x'
+    assert(Mp4Codec.decodeAv(notSowt).isEmpty)
+    // truncation + mutation fuzz through the A/V path
+    (1 until av.length by 11).foreach { k =>
+      Mp4Codec.decodeAv(java.util.Arrays.copyOf(av, k))
+    }
+    val rnd = new scala.util.Random(17)
+    (0 until 300).foreach { _ =>
+      val m = av.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Mp4Codec.decodeAv(m)
+    }
+  }
+
   test("strictness: second trak, non-jpeg codec, stts/stsz disagreement, " +
       "trailing garbage, and truncations all reject as None, never throw") {
     val one = Multimodal.mediaMp4Mjpeg(docs.where(col("doc_id") === 1))
