@@ -5495,6 +5495,71 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "y_sum", "u_sum", "v_sum")
   }
 
+  /** One all-keyframe V_VP8 WebM per document: nf = id%4+1 frames,
+    * each a [[Vp8Codec.encodeDcOnly]] keyframe with per-frame tokens
+    * (the per-MB DC formulas gain a ·f term), muxed by
+    * [[WebmCodec.encodeVp8]]. Same dims/quantizer family as
+    * `media_features_vp8`, so the closed form extends by one frame
+    * dimension. */
+  def mediaWebmVp8(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 37 + 1).toInt
+        val h = ((3 * id) % 29 + 1).toInt
+        val qi = (id % 128).toInt
+        val nf = (id % 4 + 1).toInt
+        val n = ((w + 15) / 16) * ((h + 15) / 16)
+        // SimpleBlocks carry the RAW VP8 frame, not the WebP container
+        val frames = (0 until nf).map { f =>
+          Vp8Codec.vp8ChunkOf(Vp8Codec.encodeDcOnly(w, h, qi,
+            Array.tabulate(n)(k => ((id + 5 * k + 13 * f) % 23 - 11).toInt),
+            Array.tabulate(n)(k => ((3 * id + 7 * k + 11 * f) % 19 - 9).toInt),
+            Array.tabulate(n)(k =>
+              ((7 * id + 11 * k + 17 * f) % 17 - 8).toInt))).get
+        }
+        (id, WebmCodec.encodeVp8(w, h, frames))
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  case class WebmFeatures(
+      media_id: Long, width: Int, height: Int, n_frames: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** Decode a WebM through the EBML walk + per-keyframe VP8 decode and
+    * reduce to RGB channel sums plus the (f+1)-weighted checksum that
+    * pins frame ORDER (SimpleBlock sequence). */
+  def webmFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          WebmCodec.decodeFrames(payload).map { case (w, h, fs) =>
+            var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+            var f = 0
+            while (f < fs.length) {
+              val px = fs(f)
+              var i = 0
+              while (i < px.length) {
+                val r = (px(i) >> 16) & 0xff
+                val g = (px(i) >> 8) & 0xff
+                val b = px(i) & 0xff
+                sr += r; sg += g; sb += b
+                ck += (f + 1).toLong * (r + 2L * g + 3L * b)
+                i += 1
+              }
+              f += 1
+            }
+            WebmFeatures(id, w, h, fs.length.toLong, sr, sg, sb, ck)
+          }
+        }
+      }.toDF()
+  }
+
   // ----------------------------------------------------- byte-level dedup
 
   /** 64-bit SimHash over the payload's DISTINCT byte 4-grams — media

@@ -4432,6 +4432,121 @@ SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
        sum((f + 1) * 6 * gv * pw)::BIGINT AS checksum
 FROM v GROUP BY doc_id, wb, hb, nf ORDER BY media_id""")),
 
+    // WebM/Matroska (r15): VP8's real-world container. EBML walk
+    // (vint IDs/sizes, nested masters, forward-compat skip of unknown
+    // elements) to the one V_VP8 track, every keyframe SimpleBlock
+    // through the conformance-proved Vp8Codec, then the house integer
+    // YUV->RGB. The oracle extends the media_features_vp8 closed form
+    // by a frame dimension (per-frame token formulas, per-frame DC
+    // chains) and replays the RGB conversion; the (f+1)-weighted
+    // checksum pins SimpleBlock ORDER.
+    ("media_video_features_webm",
+      (s: SparkSession, d: String) =>
+        graft.ext.Multimodal
+          .webmFeatures(graft.ext.Multimodal.mediaWebmVp8(docs(s, d)))
+          .orderBy("media_id"),
+      Some {
+        val dcq = graft.ext.Vp8Tables.dcQLookup.zipWithIndex
+          .map { case (q, i) => s"($i,$q)" }.mkString(",")
+        s"""WITH dcq(i, q) AS (SELECT * FROM (VALUES $dcq) t(i, q)),
+d AS (
+  SELECT doc_id, CAST(doc_id % 37 + 1 AS INT) AS w,
+         CAST((3 * doc_id) % 29 + 1 AS INT) AS h,
+         CAST(doc_id % 128 AS INT) AS qi,
+         CAST((doc_id % 37 + 16) // 16 AS INT) AS mw,
+         CAST(((3 * doc_id) % 29 + 16) // 16 AS INT) AS mh,
+         CAST(doc_id % 4 + 1 AS INT) AS nf
+  FROM documents),
+tok AS (
+  SELECT d.*, ff.f::INT AS f, k,
+         CAST(floor((floor((((doc_id + 5 * k + 13 * ff.f) % 23 - 11)
+           * dcq.q * 2 + 3) / 8.0) + 4) / 8.0) AS INT) AS yadd,
+         CAST(floor((((3 * doc_id + 7 * k + 11 * ff.f) % 19 - 9)
+           * LEAST(dcq.q, 132) + 4) / 8.0) AS INT) AS uadd,
+         CAST(floor((((7 * doc_id + 11 * k + 17 * ff.f) % 17 - 8)
+           * LEAST(dcq.q, 132) + 4) / 8.0) AS INT) AS vadd
+  FROM d JOIN dcq ON dcq.i = d.qi,
+       unnest(range(0, d.nf)) AS ff(f), unnest(range(0, 6)) AS tk(k)),
+piv AS (
+  SELECT doc_id, w, h, mw, mh, mw * mh AS nmb, nf, f,
+         max(CASE WHEN k = 0 THEN yadd END) AS ya0,
+         max(CASE WHEN k = 1 THEN yadd END) AS ya1,
+         max(CASE WHEN k = 2 THEN yadd END) AS ya2,
+         max(CASE WHEN k = 3 THEN yadd END) AS ya3,
+         max(CASE WHEN k = 4 THEN yadd END) AS ya4,
+         max(CASE WHEN k = 5 THEN yadd END) AS ya5,
+         max(CASE WHEN k = 0 THEN uadd END) AS ua0,
+         max(CASE WHEN k = 1 THEN uadd END) AS ua1,
+         max(CASE WHEN k = 2 THEN uadd END) AS ua2,
+         max(CASE WHEN k = 3 THEN uadd END) AS ua3,
+         max(CASE WHEN k = 4 THEN uadd END) AS ua4,
+         max(CASE WHEN k = 5 THEN uadd END) AS ua5,
+         max(CASE WHEN k = 0 THEN vadd END) AS va0,
+         max(CASE WHEN k = 1 THEN vadd END) AS va1,
+         max(CASE WHEN k = 2 THEN vadd END) AS va2,
+         max(CASE WHEN k = 3 THEN vadd END) AS va3,
+         max(CASE WHEN k = 4 THEN vadd END) AS va4,
+         max(CASE WHEN k = 5 THEN vadd END) AS va5
+  FROM tok GROUP BY doc_id, w, h, mw, mh, nf, f),
+chain AS (
+  SELECT doc_id, w, h, mw, mh, nmb, nf, f,
+    GREATEST(0, LEAST(255, 128 + ya0)) AS ym0,
+    GREATEST(0, LEAST(255, ym0 + ya1)) AS ym1,
+    GREATEST(0, LEAST(255,
+      CASE WHEN mw = 2 THEN ym0 ELSE ym1 END + ya2)) AS ym2,
+    GREATEST(0, LEAST(255, CASE WHEN mw = 2
+      THEN (ym1 + ym2 + 1) // 2 ELSE ym0 END + ya3)) AS ym3,
+    GREATEST(0, LEAST(255, (ym1 + ym3 + 1) // 2 + ya4)) AS ym4,
+    GREATEST(0, LEAST(255, (ym2 + ym4 + 1) // 2 + ya5)) AS ym5,
+    GREATEST(0, LEAST(255, 128 + ua0)) AS um0,
+    GREATEST(0, LEAST(255, um0 + ua1)) AS um1,
+    GREATEST(0, LEAST(255,
+      CASE WHEN mw = 2 THEN um0 ELSE um1 END + ua2)) AS um2,
+    GREATEST(0, LEAST(255, CASE WHEN mw = 2
+      THEN (um1 + um2 + 1) // 2 ELSE um0 END + ua3)) AS um3,
+    GREATEST(0, LEAST(255, (um1 + um3 + 1) // 2 + ua4)) AS um4,
+    GREATEST(0, LEAST(255, (um2 + um4 + 1) // 2 + ua5)) AS um5,
+    GREATEST(0, LEAST(255, 128 + va0)) AS vm0,
+    GREATEST(0, LEAST(255, vm0 + va1)) AS vm1,
+    GREATEST(0, LEAST(255,
+      CASE WHEN mw = 2 THEN vm0 ELSE vm1 END + va2)) AS vm2,
+    GREATEST(0, LEAST(255, CASE WHEN mw = 2
+      THEN (vm1 + vm2 + 1) // 2 ELSE vm0 END + va3)) AS vm3,
+    GREATEST(0, LEAST(255, (vm1 + vm3 + 1) // 2 + va4)) AS vm4,
+    GREATEST(0, LEAST(255, (vm2 + vm4 + 1) // 2 + va5)) AS vm5
+  FROM piv),
+-- per-MB RGB through the house integer BT.601 (Vp8Codec.yuvToRgb):
+-- every luma pixel of MB k shares (ym_k, um_k, vm_k), so the frame's
+-- sums weight each MB's converted RGB by its visible pixel count
+mbrgb AS (
+  SELECT doc_id, w, h, mw, nf, f,
+         LEAST(16, w - 16 * (tk.k % mw))
+           * LEAST(16, h - 16 * (tk.k // mw)) AS npx,
+         298 * ((CASE tk.k WHEN 0 THEN ym0 WHEN 1 THEN ym1
+                 WHEN 2 THEN ym2 WHEN 3 THEN ym3 WHEN 4 THEN ym4
+                 ELSE ym5 END) - 16) AS yy,
+         (CASE tk.k WHEN 0 THEN um0 WHEN 1 THEN um1 WHEN 2 THEN um2
+           WHEN 3 THEN um3 WHEN 4 THEN um4 ELSE um5 END) - 128 AS dd,
+         (CASE tk.k WHEN 0 THEN vm0 WHEN 1 THEN vm1 WHEN 2 THEN vm2
+           WHEN 3 THEN vm3 WHEN 4 THEN vm4 ELSE vm5 END) - 128 AS ee
+  FROM chain, unnest(range(0, nmb)) AS tk(k)),
+rgb AS (
+  SELECT doc_id, w, h, nf, f, npx,
+    GREATEST(0, LEAST(255,
+      CAST(floor((yy + 409 * ee + 128) / 256.0) AS INT))) AS r,
+    GREATEST(0, LEAST(255,
+      CAST(floor((yy - 100 * dd - 208 * ee + 128) / 256.0) AS INT))) AS g,
+    GREATEST(0, LEAST(255,
+      CAST(floor((yy + 516 * dd + 128) / 256.0) AS INT))) AS b
+  FROM mbrgb)
+SELECT doc_id AS media_id, w AS width, h AS height, nf::BIGINT AS n_frames,
+       sum(r * npx)::BIGINT AS sum_r,
+       sum(g * npx)::BIGINT AS sum_g,
+       sum(b * npx)::BIGINT AS sum_b,
+       sum((f + 1) * (r + 2 * g + 3 * b) * npx)::BIGINT AS checksum
+FROM rgb GROUP BY doc_id, w, h, nf ORDER BY media_id"""
+      }),
+
     // Two-trak MP4 A/V (r15): real-world MP4s carry audio, and the
     // video-only walk REJECTS them by design — decodeAv is the entry
     // point that accepts exactly one 'vide' + one 'sowt' PCM trak. The
