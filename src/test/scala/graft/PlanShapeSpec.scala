@@ -417,7 +417,12 @@ class PlanShapeSpec extends SparkSuite {
     // per-media aggregate (and ORDER BY) — a scan-shaped pipeline
     for (q <- Seq("media_features_jpeg_prog", "media_features_webpl_chain",
       "media_features_webpl_palette", "media_video_features_mjpeg",
-      "media_scene_cuts_mjpeg", "media_embedding", "media_av_features")) {
+      "media_scene_cuts_mjpeg", "media_embedding", "media_av_features",
+      // the r15 tiers keep the same scan shape: VP8, MP4 (video-only,
+      // A/V, Column dims), ADPCM, WebM
+      "media_features_vp8", "media_video_features_mp4",
+      "media_av_features_mp4", "media_dims_mp4",
+      "media_audio_features_adpcm", "media_video_features_webm")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(!p.contains("Window"), s"$q must not window")
