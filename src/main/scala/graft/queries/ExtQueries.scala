@@ -881,6 +881,76 @@ r AS (SELECT q_id, vec_id AS neighbor_id, round(sim, 6) AS sim_r,
 SELECT q_id, rnk, neighbor_id, sim_r FROM r WHERE rnk <= 10
 ORDER BY q_id, rnk"""
 
+  // ------------------------------------------------------------ web tier
+  // DuckDB twins of graft.ext.WebCodec's synth + extraction formulas.
+  // Keep in LOCKSTEP with WebCodec.{buildHtml,buildUrl,buildRequest,
+  // buildResponse,extractTextCol,titleCol,urlParts}. ASCII-only inputs
+  // (asserted over all SFs) make char-indexed ascii() replays byte-exact
+  // against the codec's byte checksums.
+  private val webHtmlExpr =
+    """'<html><head><title>Doc ' || doc_id::VARCHAR || ' [' || source || ']</title>'
+    || '<style>body {color: red;}</style>'
+    || '<script>var u = "x < y && z > 0";</script></head><body>'
+    || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
+    || '<h1>' || source || ' #' || doc_id::VARCHAR || '</h1>'
+    || '<p class="main">' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>'
+    || '<p>lang=&quot;' || lang || '&quot; &amp; id=&#39;' || doc_id::VARCHAR || '&#39;</p>'
+    || '<footer>site footer</footer></body></html>'"""
+
+  private val webUrlExpr =
+    """'https://WWW.' || source || '.Example' || (doc_id % 7)::VARCHAR
+    || '.COM:443/docs/' || doc_id::VARCHAR || '?lang=' || lang
+    || '&ref=feed#sec-' || (doc_id % 5)::VARCHAR"""
+
+  /** script/style removal → tag strip → entity decode (amp LAST) →
+    * whitespace collapse → trim, over column expression `h`. */
+  private def webExtractSql(h: String): String =
+    s"""trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace($h,
+          '<script[^>]*>.*?</script>', ' ', 'g'),
+          '<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&quot;', '"'), '&#39;', ''''), '&lt;', '<'), '&gt;', '>'),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g'))"""
+
+  private val webUrlPartsSql =
+    """p AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nofrag
+           FROM u),
+webq AS (SELECT doc_id,
+    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   ':443$', '', 'g') AS host,
+    regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+    regexp_extract(nofrag, '\?([^#]*)', 1) AS qs
+  FROM p)"""
+
+  // DuckDB twin of ArchiveCodec.docEntries: both archive walks must
+  // emit these exact names/sizes/checksums. LEFT JOIN + coalesce keeps
+  // a (hypothetical) empty entry at ck 0, matching weightedCk([]).
+  private val archiveEntriesSql =
+    """WITH j AS (SELECT doc_id, text,
+  '{"doc_id":' || doc_id::VARCHAR || ',"lang":"' || lang
+    || '","source":"' || source || '"}' AS meta
+  FROM documents),
+e AS (
+  SELECT doc_id, CAST(0 AS INT) AS entry_index,
+         'docs/' || doc_id::VARCHAR || '.txt' AS name, text AS data FROM j
+  UNION ALL
+  SELECT doc_id, CAST(1 AS INT), 'meta/' || doc_id::VARCHAR || '.json',
+         meta FROM j),
+chars AS (SELECT doc_id, entry_index, u.i AS i,
+                 ascii(substr(data, (u.i + 1)::INT, 1)) AS c
+          FROM e, unnest(range(0, strlen(data))) AS u(i)),
+cks AS (SELECT doc_id, entry_index, sum((i + 1) * c)::BIGINT AS data_ck
+        FROM chars GROUP BY 1, 2)
+SELECT e.doc_id AS media_id, e.entry_index, e.name,
+       strlen(e.data)::BIGINT AS n_bytes,
+       coalesce(k.data_ck, 0)::BIGINT AS data_ck
+FROM e LEFT JOIN cks k USING (doc_id, entry_index)
+ORDER BY media_id, entry_index"""
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ------------------------------------------------------------- dedup
@@ -6337,7 +6407,210 @@ SELECT * FROM (
   SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5, NULL, NULL FROM s
   UNION ALL
   SELECT 'o_orderpriority', n_rows, n_rows - nn6, nd6, NULL, NULL, mns6, mxs6 FROM s
-) ORDER BY column_name"""))
+) ORDER BY column_name""")),
+
+    // ------------------------------------------------------- web ingestion
+    // The front door of a 100 TB training pipeline: WARC archives (the
+    // format real web corpora arrive in) through the full byte walk —
+    // gzip member parse (header grammar + CRC32/ISIZE, one member per
+    // record per the WARC convention; variants: plain / hand-rolled
+    // STORED deflate / JDK Deflater dynamic-Huffman + FNAME) → WARC 1.0
+    // record framing → per-record features. The (i+1)-weighted byte
+    // checksum pins content AND order through both compression paths;
+    // the oracle rebuilds the exact HTTP payload strings and replays the
+    // checksum per-character (ASCII ⇒ byte-exact).
+    ("web_warc_records",
+      (s: SparkSession, d: String) =>
+        graft.ext.WebCodec.warcRecords(
+          graft.ext.WebCodec.webWarc(docs(s, d)))
+          .orderBy("media_id", "rec_index"),
+      Some(s"""WITH crlfv AS (SELECT chr(13) || chr(10) AS crlf),
+h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents),
+b AS (SELECT h.doc_id, $webUrlExpr AS uri,
+        'GET /docs/' || doc_id::VARCHAR || '?lang=' || lang
+          || '&ref=feed HTTP/1.1' || crlf || 'Host: www.' || source
+          || '.example' || (doc_id % 7)::VARCHAR || '.com' || crlf || crlf
+          AS req,
+        'HTTP/1.1 200 OK' || crlf
+          || 'Content-Type: text/html; charset=utf-8' || crlf
+          || 'Content-Length: ' || strlen(html)::VARCHAR || crlf
+          || 'X-Doc: ' || doc_id::VARCHAR || crlf || crlf || html AS rsp
+      FROM h, crlfv),
+recs AS (
+  SELECT doc_id, CAST(0 AS INT) AS rec_index, 'request' AS warc_type,
+         uri, req AS payload FROM b
+  UNION ALL
+  SELECT doc_id, CAST(1 AS INT), 'response', uri, rsp FROM b),
+chars AS (SELECT doc_id, rec_index, u.i AS i,
+                 ascii(substr(payload, (u.i + 1)::INT, 1)) AS c
+          FROM recs, unnest(range(0, strlen(payload))) AS u(i)),
+cks AS (SELECT doc_id, rec_index, sum((i + 1) * c)::BIGINT AS payload_ck
+        FROM chars GROUP BY 1, 2)
+SELECT r.doc_id AS media_id, r.rec_index, r.warc_type,
+       r.uri AS target_uri, strlen(r.payload)::BIGINT AS content_length,
+       CAST(CASE WHEN r.doc_id % 3 = 0 THEN 0 ELSE 2 END AS INT)
+         AS gzip_members,
+       k.payload_ck
+FROM recs r JOIN cks k USING (doc_id, rec_index)
+ORDER BY media_id, rec_index""")),
+
+    // HTML → text, entirely inside whole-stage codegen: the synth and
+    // the extraction (script/style removal, tag strip, entity decode
+    // with amp LAST, whitespace collapse) are pure-Column regex chains
+    // chosen to be dialect-identical between java.util.regex and RE2 —
+    // the oracle runs the SAME chain over the SAME SQL-built html.
+    ("web_html_text",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        docs(s, d)
+          .select(col("doc_id").as("media_id"),
+            W.htmlCol(col("doc_id"), col("text"), col("lang"),
+              col("source")).as("html"))
+          .select(col("media_id"), W.titleCol(col("html")).as("title"),
+            W.extractTextCol(col("html")).as("body"))
+          .select(col("media_id"), col("title"), col("body"),
+            length(col("body")).cast("long").as("n_chars_ext"),
+            size(split(col("body"), "\\s+")).cast("long").as("n_words"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, $webHtmlExpr AS html FROM documents),
+x AS (SELECT doc_id, html, ${webExtractSql("html")} AS body FROM h)
+SELECT doc_id AS media_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       body, strlen(body)::BIGINT AS n_chars_ext,
+       len(string_split_regex(body, '\\s+'))::BIGINT AS n_words
+FROM x ORDER BY media_id""")),
+
+    // URL normalization (fragment drop, scheme/host lowercase, https
+    // default-port strip) + component split + registered-domain
+    // extraction — the C4/CCNet-style URL hygiene pass, pure-Column.
+    ("web_url_parts",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val base = docs(s, d).select(col("doc_id").as("media_id"),
+          W.urlCol(col("doc_id"), col("lang"), col("source")).as("url"))
+        val parts = W.urlParts(col("url")).map { case (n, c) => c.as(n) }
+        base.select(col("media_id") +: parts: _*).orderBy("media_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $webUrlExpr AS url FROM documents),
+$webUrlPartsSql
+SELECT doc_id AS media_id,
+  scheme || '://' || host || path ||
+    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_norm,
+  scheme, host, path, qs,
+  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+FROM webq ORDER BY media_id""")),
+
+    // Per-registered-domain corpus rollup over the normalized hosts —
+    // the grouping key a real crawl-dedup/budget pass partitions on.
+    ("web_domain_stats",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val base = docs(s, d).select(col("doc_id"), col("n_chars"),
+          col("source"),
+          W.urlCol(col("doc_id"), col("lang"), col("source")).as("url"))
+        val domain = W.urlParts(col("url")).toMap.apply("domain")
+        base.select(domain.as("domain"), col("n_chars"), col("source"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            countDistinct("source").cast("long").as("n_sources"))
+          .orderBy("domain")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, n_chars, source,
+             $webUrlExpr AS url FROM documents),
+$webUrlPartsSql
+SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       count(*)::BIGINT AS n_docs,
+       sum(n.n_chars)::BIGINT AS sum_chars,
+       count(DISTINCT n.source)::BIGINT AS n_sources
+FROM webq JOIN u n USING (doc_id)
+GROUP BY 1 ORDER BY domain""")),
+
+    // The composed pipeline — the whole front door in ONE query:
+    // WARC bytes → gzip members → record walk → HTTP response parse →
+    // HTML extraction → quality gates (word count + alpha ratio, the
+    // integer-milli form both engines floor identically). Codec layers
+    // run in the mapPartitions seam; everything after the parse is
+    // pure-Column. The oracle replays ALL of it from `documents`.
+    ("web_pipeline",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val resp = W.warcResponses(W.webWarc(docs(s, d)))
+        val host = W.urlParts(col("target_uri")).toMap.apply("host")
+        resp.select(col("media_id"), host.as("host"), col("http_status"),
+            W.extractTextCol(col("body")).as("text_ext"))
+          .select(col("media_id"), col("host"), col("http_status"),
+            size(split(col("text_ext"), "\\s+")).cast("long").as("n_words"),
+            expr("CAST((1000 * length(regexp_replace(text_ext, " +
+              "'[^a-zA-Z ]', ''))) DIV length(text_ext) AS BIGINT)")
+              .as("alpha_milli"))
+          .withColumn("kept",
+            col("n_words") >= 40 && col("alpha_milli") >= 900)
+          .orderBy("media_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+           FROM documents),
+x AS (SELECT doc_id, source, ${webExtractSql("html")} AS body FROM h),
+g AS (SELECT doc_id,
+        'www.' || source || '.example' || (doc_id % 7)::VARCHAR || '.com'
+          AS host,
+        CAST(200 AS INT) AS http_status,
+        len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
+        (1000 * strlen(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
+          // strlen(body) AS alpha_milli
+      FROM x)
+SELECT doc_id AS media_id, host, http_status, n_words,
+       alpha_milli::BIGINT AS alpha_milli,
+       (n_words >= 40 AND alpha_milli >= 900) AS kept
+FROM g ORDER BY media_id""")),
+
+    // ------------------------------------------------- archive containers
+    // The other way corpora ship: document bundles. TAR = ustar 512-byte
+    // block arithmetic (octal fields, blanked-checksum header sum, two
+    // zero-block terminator); ZIP = EOCD → central directory → local
+    // headers, STORED + DEFLATE entries CRC32-verified, central/local
+    // agreement enforced. Same per-entry output shape through two
+    // completely different byte paths, one shared oracle formula.
+    ("archive_tar_entries",
+      (s: SparkSession, d: String) =>
+        graft.ext.ArchiveCodec.tarEntries(
+          graft.ext.ArchiveCodec.docTars(docs(s, d)))
+          .orderBy("media_id", "entry_index"),
+      Some(archiveEntriesSql)),
+
+    // The ZIP twin rides the SAME oracle: entry names, sizes, and byte
+    // checksums must come out identical whether the bytes traveled
+    // through ustar block padding or a CRC-gated DEFLATE stream (the
+    // text entry is DEFLATEd for odd ids, STORED for even; the json
+    // entry the reverse — both verify paths exercised on every row).
+    ("archive_zip_entries",
+      (s: SparkSession, d: String) =>
+        graft.ext.ArchiveCodec.zipEntries(
+          graft.ext.ArchiveCodec.docZips(docs(s, d)))
+          .orderBy("media_id", "entry_index"),
+      Some(archiveEntriesSql)),
+
+    // Round-trip fidelity stated as bluntly as possible: the document
+    // TEXT itself, recovered through zip→inflate→string, compared
+    // verbatim (plus the tokenization the downstream gates run on).
+    ("archive_zip_text",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        graft.ext.ArchiveCodec.zipTexts(
+          graft.ext.ArchiveCodec.docZips(docs(s, d)))
+          .select(col("media_id"), col("name"), col("text"),
+            size(split(col("text"), "\\s+")).cast("long").as("n_words"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+       'docs/' || doc_id::VARCHAR || '.txt' AS name, text,
+       len(string_split_regex(text, '\s+'))::BIGINT AS n_words
+FROM documents ORDER BY media_id"""))
   )
 
   val queries: Map[String, Q] =

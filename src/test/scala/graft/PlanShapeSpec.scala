@@ -430,4 +430,34 @@ class PlanShapeSpec extends SparkSuite {
         s"$q: only the feature aggregate + final sort may exchange:\n$p")
     }
   }
+
+  test("web ingestion chains are scan-shaped: per-row codec/regex work, " +
+      "no join, no window, only the rollup + final sort may exchange") {
+    // WARC parse and HTML extraction are per-row; at 100 TB a web-corpus
+    // pass must stream archive splits through executors with zero
+    // cross-partition traffic before the (optional) rollup
+    for (q <- Seq("web_warc_records", "web_html_text", "web_url_parts",
+      "web_domain_stats", "web_pipeline", "archive_tar_entries",
+      "archive_zip_entries", "archive_zip_text")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("Window"), s"$q must not window")
+      // domain_stats pays one extra exchange by design: its EXACT
+      // per-domain distinct-source count is the textbook two-phase
+      // (expand) aggregate — keyed by domain throughout, so both
+      // shuffles stay long-only and partition-bounded at 100 TB
+      val cap = if (q == "web_domain_stats") 3 else 2
+      assert(nodeCount(p, "Exchange") <= cap,
+        s"$q: only the rollup + final sort may exchange:\n$p")
+    }
+    // the pure-Column chains must stay projection-only (codegen-able
+    // end to end): no typed/object seam anywhere in the plan
+    for (q <- Seq("web_html_text", "web_url_parts")) {
+      val p = plan(q)
+      assert(p.contains("Scan parquet"), s"$q reads the table directly")
+      assert(!p.contains("MapPartitions") && !p.contains("MapElements") &&
+        !p.contains("DeserializeToObject"),
+        s"$q is pure-Column; no imperative seam expected:\n$p")
+    }
+  }
 }

@@ -1,0 +1,210 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Web ingestion tier: gzip member walk (RFC 1952 header grammar,
+  * CRC32/ISIZE, multi-member), WARC 1.0 record framing, HTTP response
+  * parse, and the JVM-twin ↔ pure-Column lockstep the oracles rest on.
+  * House strictness: every malformed byte stream poisons to None, never
+  * throws, never misframes. */
+class WebCodecSpec extends SparkSuite {
+  import WebCodec._
+
+  private val docsSample = Seq(
+    (0L, "the quick brown fox", "en", "src0"),
+    (7L, "alpha & beta < gamma > delta", "de", "src3"),
+    (12L, "one two three four five six seven eight", "zh", "src1"))
+
+  // ------------------------------------------------------------- gzip
+
+  test("gzip: stored and deflate members round-trip, multi-member walks") {
+    val a = "hello warc world".getBytes("ISO-8859-1")
+    val b = Array.tabulate(70000)(i => (i * 31 % 251).toByte) // >1 block
+    assert(gunzipMembers(gzipStored(a)).get.map(_.toSeq) == Vector(a.toSeq))
+    assert(gunzipMembers(gzipStored(b)).get.map(_.toSeq) == Vector(b.toSeq))
+    assert(gunzipMembers(gzipDeflate(a, "a.http")).get.map(_.toSeq)
+      == Vector(a.toSeq))
+    val multi = gzipStored(a) ++ gzipDeflate(b, "b.bin") ++ gzipStored(a)
+    assert(gunzipMembers(multi).get.map(_.toSeq)
+      == Vector(a.toSeq, b.toSeq, a.toSeq))
+    assert(gunzipMembers(gzipStored(Array.emptyByteArray)).get
+      .map(_.length) == Vector(0))
+  }
+
+  test("gzip strictness: magic, method, reserved flags, CRC, ISIZE, " +
+      "truncation, trailing garbage all poison") {
+    val ok = gzipStored("payload bytes".getBytes("ISO-8859-1"))
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val c = ok.clone(); c(i) = v.toByte; c
+    }
+    assert(gunzipMembers(mut(0, 0x1e)).isEmpty) // magic
+    assert(gunzipMembers(mut(2, 9)).isEmpty) // CM != 8
+    assert(gunzipMembers(mut(3, 0x80)).isEmpty) // reserved flag bit
+    assert(gunzipMembers(mut(ok.length - 6, ok(ok.length - 6) ^ 1))
+      .isEmpty) // CRC32
+    assert(gunzipMembers(mut(ok.length - 1, ok(ok.length - 1) ^ 1))
+      .isEmpty) // ISIZE
+    assert(gunzipMembers(ok.dropRight(3)).isEmpty) // truncated trailer
+    assert(gunzipMembers(ok ++ Array[Byte](0, 1, 2)).isEmpty) // garbage
+  }
+
+  // ------------------------------------------------------------- WARC
+
+  test("warc: all three compression variants demux to the same two " +
+      "records (request then response) with byte-identical payloads") {
+    val ref = (0L to 2L).map { v =>
+      // ids 0,1,2 hit variants plain/stored/deflate respectively
+      val bytes = buildWarcFile(v, "sample text words", "en", "src0")
+      val recs = parseWarc(bytes).get
+      assert(recs.map(_.warcType) == Vector("request", "response"))
+      assert(recs.forall(_.targetUri == buildUrl(v, "en", "src0")))
+      recs.map(r => weightedCk(r.payload))
+    }
+    // payload content is id-dependent, so compare against the formulas
+    for (v <- 0L to 2L) {
+      val req = buildRequest(v, "en", "src0").getBytes("ISO-8859-1")
+      val rsp = buildResponse(v, "sample text words", "en", "src0")
+        .getBytes("ISO-8859-1")
+      assert(ref(v.toInt) == Vector(weightedCk(req), weightedCk(rsp)))
+    }
+  }
+
+  test("warc strictness: version drift, length mismatch, lost " +
+      "terminator, trailing garbage, junk header line all poison") {
+    val plain = buildWarcFile(0L, "words here", "en", "src0") // plain variant
+    val s = new String(plain, "ISO-8859-1")
+    assert(parseWarc(s.replaceFirst("WARC/1.0", "WARC/1.1")
+      .getBytes("ISO-8859-1")).isEmpty)
+    // Content-Length off by one on the first record
+    val cl = "Content-Length: "
+    val i = s.indexOf(cl) + cl.length
+    val n = s.substring(i, s.indexOf('\r', i)).toInt
+    assert(parseWarc((s.substring(0, i) + (n + 1) +
+      s.substring(s.indexOf('\r', i))).getBytes("ISO-8859-1")).isEmpty)
+    assert(parseWarc(plain.dropRight(2)).isEmpty) // lost final CRLF
+    assert(parseWarc(plain ++ "x".getBytes).isEmpty) // trailing garbage
+    assert(parseWarc(s.replaceFirst("WARC-Type: ", "WARCTypeNoColon")
+      .getBytes("ISO-8859-1")).isEmpty)
+    assert(parseWarc(Array.emptyByteArray).isEmpty)
+    // gzip variant: one member holding TWO records is rejected (the
+    // one-member-per-record WARC convention is enforced)
+    val both = gzipStored(plain)
+    assert(parseWarc(both).isEmpty)
+  }
+
+  test("http response parse: status + exact-length body; strictness") {
+    val rsp = buildResponse(5L, "alpha beta", "fr", "src2")
+    val (status, body) = parseHttpResponse(rsp.getBytes("ISO-8859-1")).get
+    assert(status == 200)
+    assert(new String(body, "ISO-8859-1")
+      == buildHtml(5L, "alpha beta", "fr", "src2"))
+    assert(parseHttpResponse((rsp + "x").getBytes("ISO-8859-1")).isEmpty)
+    assert(parseHttpResponse(rsp.getBytes("ISO-8859-1").dropRight(1))
+      .isEmpty)
+    assert(parseHttpResponse(rsp.replaceFirst("HTTP/1.1 200", "ICY 200")
+      .getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("mutation fuzz: random single-byte flips never throw and never " +
+      "misframe (gzip variants poison via CRC; plain either poisons or " +
+      "keeps exact record framing)") {
+    val rnd = new scala.util.Random(20260816)
+    for (id <- 0L to 5L; _ <- 0 until 40) {
+      val ok = buildWarcFile(id, "some words in a row", "en", "src1")
+      val c = ok.clone()
+      val at = rnd.nextInt(c.length)
+      c(at) = (c(at) ^ (1 << rnd.nextInt(8))).toByte
+      parseWarc(c) match {
+        case None => ()
+        case Some(recs) =>
+          // a surviving parse must still be two well-framed records
+          assert(recs.length == 2)
+          assert(recs.forall(_.payload != null))
+      }
+    }
+  }
+
+  // ----------------------------------------- JVM twin ↔ Column lockstep
+
+  test("htmlCol/urlCol are exact Column twins of buildHtml/buildUrl") {
+    val sp = spark
+    import sp.implicits._
+    val df = docsSample.toDF("doc_id", "text", "lang", "source")
+    val rows = df.select(col("doc_id"),
+      htmlCol(col("doc_id"), col("text"), col("lang"), col("source")),
+      urlCol(col("doc_id"), col("lang"), col("source")))
+      .collect()
+    for (r <- rows) {
+      val (id, h, u) = (r.getLong(0), r.getString(1), r.getString(2))
+      val doc = docsSample.find(_._1 == id).get
+      assert(h == buildHtml(id, doc._2, doc._3, doc._4))
+      assert(u == buildUrl(id, doc._3, doc._4))
+    }
+  }
+
+  test("extractTextCol: scripts/styles vanish, tags strip, entities " +
+      "decode in the amp-last order, whitespace collapses") {
+    val sp = spark
+    import sp.implicits._
+    val html = "<html><head><title>T</title><style>b {x}</style>" +
+      "<script>if (a < b && c > d) { run(); }</script></head>" +
+      "<body><p>one&nbsp;two</p> <p>&amp;lt; stays</p>" +
+      "<div>it&#39;s &quot;q&quot; &lt;tag&gt;</div></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(extractTextCol(col("h"))).head().getString(0)
+    // &amp;lt; decodes to &lt; (literal), NOT to < — amp runs last
+    assert(out == "T one two &lt; stays it's \"q\" <tag>")
+    val title = Seq(html).toDF("h")
+      .select(titleCol(col("h"))).head().getString(0)
+    assert(title == "T")
+  }
+
+  test("urlParts: fragment dropped, host lowercased, default port " +
+      "stripped, components split, registered domain extracted") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      "https://WWW.src3.Example5.COM:443/docs/7?lang=de&ref=feed#sec-2",
+      "http://Plain.Host.ORG/a/b").toDF("url")
+    val parts = urlParts(col("url")).map { case (n, c) => c.as(n) }
+    val rows = df.select(parts: _*).collect()
+    assert(rows(0).getString(0)
+      == "https://www.src3.example5.com/docs/7?lang=de&ref=feed")
+    assert(rows(0).getString(2) == "www.src3.example5.com")
+    assert(rows(0).getString(5) == "example5.com")
+    assert(rows(1).getString(0) == "http://plain.host.org/a/b")
+    assert(rows(1).getString(4) == "") // no query string
+    assert(rows(1).getString(5) == "host.org")
+  }
+
+  test("warcRecords/warcResponses DataFrame seams: per-record rows with " +
+      "the formula checksums; responses carry the parsed html") {
+    val sp = spark
+    import sp.implicits._
+    val docs = docsSample.toDF("doc_id", "text", "lang", "source")
+    val recs = warcRecords(webWarc(docs)).orderBy("media_id", "rec_index")
+      .collect()
+    assert(recs.length == 6)
+    for (r <- recs) {
+      val id = r.getAs[Long]("media_id")
+      val doc = docsSample.find(_._1 == id).get
+      val payload = (if (r.getAs[Int]("rec_index") == 0)
+        buildRequest(id, doc._3, doc._4)
+      else buildResponse(id, doc._2, doc._3, doc._4))
+        .getBytes("ISO-8859-1")
+      assert(r.getAs[Long]("content_length") == payload.length.toLong)
+      assert(r.getAs[Long]("payload_ck") == weightedCk(payload))
+      assert(r.getAs[Int]("gzip_members") == (if (id % 3 == 0) 0 else 2))
+    }
+    val resp = warcResponses(webWarc(docs)).orderBy("media_id").collect()
+    assert(resp.length == 3)
+    for (r <- resp) {
+      val id = r.getAs[Long]("media_id")
+      val doc = docsSample.find(_._1 == id).get
+      assert(r.getAs[Int]("http_status") == 200)
+      assert(r.getAs[String]("body")
+        == buildHtml(id, doc._2, doc._3, doc._4))
+    }
+  }
+}
