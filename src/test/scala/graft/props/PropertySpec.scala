@@ -609,4 +609,78 @@ object PropertySpec extends Properties("graft") {
       v.length == dim && inRange && counts.sum == w.toLong * h
     }
   }
+
+  property("gzip: member walk round-trips any payload sequence through " +
+      "mixed STORED and Deflater members") = {
+    val gen = for {
+      n <- Gen.choose(1, 4)
+      payloads <- Gen.listOfN(n,
+        Gen.choose(0, 3000).flatMap(len =>
+          Gen.listOfN(len, Gen.choose(-128, 127).map(_.toByte))))
+      methods <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield (payloads.map(_.toArray), methods)
+    Prop.forAll(gen) { case (payloads, methods) =>
+      val stream = payloads.zip(methods).zipWithIndex.map {
+        case ((p, true), i) => graft.ext.WebCodec.gzipDeflate(p, s"m$i")
+        case ((p, false), _) => graft.ext.WebCodec.gzipStored(p)
+      }.foldLeft(Array.emptyByteArray)(_ ++ _)
+      graft.ext.WebCodec.gunzipMembers(stream).exists { got =>
+        got.length == payloads.length &&
+          got.zip(payloads).forall { case (a, b) => a.sameElements(b) }
+      }
+    }
+  }
+
+  property("warc: buildWarcFile parses back to exactly the request + " +
+      "response records with formula-exact payloads, all 3 variants") = {
+    val ascii = Gen.choose(32, 126).map(_.toChar)
+    val gen = for {
+      id <- Gen.choose(0L, 1000000L) // every id % 3 variant reachable
+      text <- Gen.listOf(ascii).map(_.mkString)
+      lang <- Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)
+      source <- Gen.choose(0, 99).map(n => s"src$n")
+    } yield (id, text, lang, source)
+    Prop.forAll(gen) { case (id, text, lang, source) =>
+      val W = graft.ext.WebCodec
+      W.parseWarc(W.buildWarcFile(id, text, lang, source)).exists { recs =>
+        recs.map(_.warcType) == Vector("request", "response") &&
+          recs.forall(_.targetUri == W.buildUrl(id, lang, source)) &&
+          recs(0).payload.sameElements(
+            W.buildRequest(id, lang, source).getBytes("ISO-8859-1")) &&
+          recs(1).payload.sameElements(
+            W.buildResponse(id, text, lang, source).getBytes("ISO-8859-1"))
+      }
+    }
+  }
+
+  property("tar + zip: entry walks round-trip arbitrary entry lists " +
+      "(empty data included, any zip method mix) preserving order") = {
+    val nameGen = for {
+      n <- Gen.choose(1, 30)
+      cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('/', '.',
+        '_', '-')))
+    } yield cs.mkString
+    val entryGen = for {
+      name <- nameGen
+      len <- Gen.choose(0, 1200)
+      data <- Gen.listOfN(len, Gen.choose(-128, 127).map(_.toByte))
+    } yield graft.ext.ArchiveCodec.Entry(name, data.toArray)
+    val gen = for {
+      es <- Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, entryGen))
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (es, seed)
+    Prop.forAll(gen) { case (es, seed) =>
+      val A = graft.ext.ArchiveCodec
+      val sameTar = A.tarParse(A.tarBuild(es)).exists { got =>
+        got.map(_.name) == es.map(_.name).toVector &&
+          got.zip(es).forall { case (a, b) => a.data.sameElements(b.data) }
+      }
+      val sameZip = A.zipParse(A.zipBuild(es, i => ((seed >> i) & 1) == 1))
+        .exists { got =>
+          got.map(_.name) == es.map(_.name).toVector &&
+            got.zip(es).forall { case (a, b) => a.data.sameElements(b.data) }
+        }
+      sameTar && sameZip
+    }
+  }
 }
