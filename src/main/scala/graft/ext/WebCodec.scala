@@ -237,6 +237,7 @@ object WebCodec {
     * convention) or plain concatenated records. All-or-nothing — any
     * bad member/record/trailing byte poisons the file. */
   def parseWarc(bytes: Array[Byte]): Option[Vector[WarcRecord]] = {
+    if (bytes == null) return None // a null cell drops at the gate
     if (bytes.length >= 2 &&
         (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
       gunzipMembers(bytes).flatMap { members =>
@@ -495,6 +496,25 @@ object WebCodec {
   /** `<title>` contents (first match; empty string when absent). */
   def titleCol(html: Column): Column =
     regexp_extract(html, "<title>([^<]*)</title>", 1)
+
+  /** The composed front door over a raw (media_id, payload) WARC table:
+    * parse gate (unparseable archives drop, the codec contract) → HTTP
+    * responses → pure-Column HTML extraction → quality gates. ONE code
+    * path shared by the batch query `web_pipeline` and the streaming
+    * [[graft.sinks.WebSink]] — which is what lets the streamed serving
+    * table ride the SAME DuckDB oracle as the batch operator. */
+  def pipeline(media: DataFrame): DataFrame = {
+    val resp = warcResponses(media)
+    val host = urlParts(col("target_uri")).toMap.apply("host")
+    resp.select(col("media_id"), host.as("host"), col("http_status"),
+        extractTextCol(col("body")).as("body"))
+      .select(col("media_id"), col("host"), col("http_status"), col("body"),
+        size(split(col("body"), "\\s+")).cast("long").as("n_words"),
+        expr("CAST((1000 * length(regexp_replace(body, " +
+          "'[^a-zA-Z ]', ''))) DIV length(body) AS BIGINT)")
+          .as("alpha_milli"))
+      .withColumn("kept", col("n_words") >= 40 && col("alpha_milli") >= 900)
+  }
 
   /** URL normalization: drop the fragment, lowercase scheme+host, strip
     * the https default port. Returns (normalized, scheme, host, path,

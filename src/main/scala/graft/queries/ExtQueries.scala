@@ -926,6 +926,27 @@ webq AS (SELECT doc_id,
     regexp_extract(nofrag, '\?([^#]*)', 1) AS qs
   FROM p)"""
 
+  // DuckDB twin of WebCodec.pipeline over the synth corpus — shared by
+  // the batch query and the WebSink serving query (one code path, one
+  // oracle). The gates floor identically in both engines (integer-milli
+  // via BIGINT // BIGINT vs Spark's `div`).
+  private lazy val webPipelineSql =
+    s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+           FROM documents),
+x AS (SELECT doc_id, source, ${webExtractSql("html")} AS body FROM h),
+g AS (SELECT doc_id,
+        'www.' || source || '.example' || (doc_id % 7)::VARCHAR || '.com'
+          AS host,
+        CAST(200 AS INT) AS http_status, body,
+        len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
+        (1000 * strlen(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
+          // strlen(body) AS alpha_milli
+      FROM x)
+SELECT doc_id AS media_id, host, http_status, body, n_words,
+       alpha_milli::BIGINT AS alpha_milli,
+       (n_words >= 40 AND alpha_milli >= 900) AS kept
+FROM g ORDER BY media_id"""
+
   // DuckDB twin of ArchiveCodec.docEntries: both archive walks must
   // emit these exact names/sizes/checksums. LEFT JOIN + coalesce keeps
   // a (hypothetical) empty entry at ck 0, matching weightedCk([]).
@@ -6537,37 +6558,25 @@ GROUP BY 1 ORDER BY domain""")),
     // run in the mapPartitions seam; everything after the parse is
     // pure-Column. The oracle replays ALL of it from `documents`.
     ("web_pipeline",
+      (s: SparkSession, d: String) =>
+        graft.ext.WebCodec.pipeline(
+          graft.ext.WebCodec.webWarc(docs(s, d)))
+          .orderBy("media_id"),
+      Some(webPipelineSql)),
+
+    // The same pipeline output SERVED from the streamed WebSink table
+    // instead of computed from archive bytes in-plan — cleaned corpus
+    // text out of a bucketed serving table, identical rows under the
+    // SAME oracle (streamed bytes and batch bytes share one code path).
+    ("web_pipeline_materialized",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
-        val W = graft.ext.WebCodec
-        val resp = W.warcResponses(W.webWarc(docs(s, d)))
-        val host = W.urlParts(col("target_uri")).toMap.apply("host")
-        resp.select(col("media_id"), host.as("host"), col("http_status"),
-            W.extractTextCol(col("body")).as("text_ext"))
-          .select(col("media_id"), col("host"), col("http_status"),
-            size(split(col("text_ext"), "\\s+")).cast("long").as("n_words"),
-            expr("CAST((1000 * length(regexp_replace(text_ext, " +
-              "'[^a-zA-Z ]', ''))) DIV length(text_ext) AS BIGINT)")
-              .as("alpha_milli"))
-          .withColumn("kept",
-            col("n_words") >= 40 && col("alpha_milli") >= 900)
+        graft.sinks.WebSink.materialized(s, d)
+          .select("media_id", "host", "http_status", "body", "n_words",
+            "alpha_milli", "kept")
           .orderBy("media_id")
       },
-      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
-           FROM documents),
-x AS (SELECT doc_id, source, ${webExtractSql("html")} AS body FROM h),
-g AS (SELECT doc_id,
-        'www.' || source || '.example' || (doc_id % 7)::VARCHAR || '.com'
-          AS host,
-        CAST(200 AS INT) AS http_status,
-        len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
-        (1000 * strlen(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
-          // strlen(body) AS alpha_milli
-      FROM x)
-SELECT doc_id AS media_id, host, http_status, n_words,
-       alpha_milli::BIGINT AS alpha_milli,
-       (n_words >= 40 AND alpha_milli >= 900) AS kept
-FROM g ORDER BY media_id""")),
+      Some(webPipelineSql)),
 
     // ------------------------------------------------- archive containers
     // The other way corpora ship: document bundles. TAR = ustar 512-byte

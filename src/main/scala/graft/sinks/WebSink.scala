@@ -1,0 +1,86 @@
+package graft.sinks
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.ext.WebCodec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Streaming WEB-CORPUS ingest — the crawl front door joins the
+  * streaming tier: a checkpointed stream of raw (media_id, payload)
+  * WARC archives is parse-GATED (every archive through
+  * [[WebCodec.pipeline]]'s real gzip/WARC/HTTP walk; archives the codec
+  * rejects drop at the gate, exactly the batch contract), HTML-extracted
+  * and quality-gated, and appended into a bucket-partitioned serving
+  * table in the house [[BucketedSink]] posture: marker-fenced
+  * foreachBatch (at-least-once at the file level), deterministic
+  * `media_id` keys restoring exactly-once via read-side dedup, and
+  * [[compact]] folding appended files back to one per bucket.
+  *
+  * The table serves (media_id, host, http_status, body, n_words,
+  * alpha_milli, kept) — cleaned corpus text plus its gate verdicts, the
+  * shape a downstream tokenize/pack/mix stage consumes — bucketed by
+  * `pmod(hash(media_id), N)` so a keyed lookup prunes to one directory
+  * at any table size.
+  */
+object WebSink {
+
+  val defaultBuckets = 32
+
+  private def write(rows: DataFrame, path: String, buckets: Int,
+      mode: String): Unit =
+    BucketedSink.write(rows, path, col("media_id"), "web_bucket",
+      buckets, Seq(col("media_id")), mode)
+
+  /** Parse-gate + extract + gate one micro-batch of raw archives and
+    * append it into the bucketed layout. The gate IS the batch pipeline
+    * operator — streamed bytes and batch bytes take the identical code
+    * path, which is what lets the streamed table ride the SAME DuckDB
+    * oracle as the batch `web_pipeline` query. */
+  def appendBatch(media: DataFrame, path: String,
+      buckets: Int = defaultBuckets): Unit =
+    write(WebCodec.pipeline(media), path, buckets, "append")
+
+  /** The streaming ingest: checkpointed foreachBatch of raw archive
+    * rows through the parse gate into the serving table. Delivery
+    * semantics per [[BucketedSink.runToTable]]; readers needing
+    * exactly-once apply `dropDuplicates("media_id")`. */
+  def runToWebTable(media: DataFrame, path: String, checkpointPath: String,
+      buckets: Int = defaultBuckets)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    BucketedSink.runToTable(media, path, checkpointPath,
+      appendBatch(_, path, buckets))
+
+  /** Fold accumulated appends back to one file per bucket; replayed
+    * rows are deduplicated here so they stop paying read-side dedup.
+    * Quiesced-writer contract per [[BucketedSink.compact]]. */
+  def compact(spark: SparkSession, path: String,
+      buckets: Int = defaultBuckets): Unit =
+    BucketedSink.compact(spark, path, (df, tmp) =>
+      write(df.drop("web_bucket").dropDuplicates("media_id"), tmp,
+        buckets, "overwrite"))
+
+  /** Exactly-once view over the at-least-once table. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).dropDuplicates("media_id")
+
+  // one table per fixture dir per JVM (fixture-derived and immutable —
+  // the ActivitySink.materialized pattern, collision-free DirKeys)
+  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The materialized cleaned-corpus table for a fixture dir: the synth
+    * WARC corpus through the SAME parse-gate + extract path the
+    * streaming ingest runs, persisted for the serving queries. */
+  def materialized(spark: SparkSession, sfDir: String): DataFrame =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val path = graft.util.DirKeys.tmpPath("websink", sfDir)
+      val docs = graft.sources.Tables(spark, sfDir, "documents")
+      // OVERWRITE, not append (the ActivitySink pattern): the tmp dir
+      // outlives the JVM; appending would stack duplicate copies per
+      // run and serve stale-schema rows after any pipeline change
+      write(WebCodec.pipeline(WebCodec.webWarc(docs)), path,
+        defaultBuckets, "overwrite")
+      read(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
+    })
+}
