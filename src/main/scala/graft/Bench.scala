@@ -45,7 +45,11 @@ object Bench {
     // z-clustered orders layout
     "orders_zorder_pruned_read",
     // streamed media-embedding table
-    "media_embedding_materialized", "media_embedding_topk_served").sorted
+    "media_embedding_materialized", "media_embedding_topk_served",
+    // ANN over the served media table
+    "media_embedding_topk_ann",
+    // streamed cleaned-web-corpus table
+    "web_pipeline_materialized").sorted
 
   /** Extract the per-query map from a committed bench_queries.json.
     * Regex-parsed — no JSON lib on the classpath, and the format is this
@@ -155,6 +159,8 @@ object Bench {
     warmUp("text-index")(graft.sinks.TextIndex.materialized(spark, sfDir))
     warmUp("pq-index")(graft.sinks.PqIndex.materialized(spark, sfDir))
     warmUp("media-sink")(graft.sinks.MediaSink.materialized(spark, sfDir))
+    warmUp("ann-media")(graft.sinks.MediaSink.annIndexed(spark, sfDir))
+    warmUp("web-sink")(graft.sinks.WebSink.materialized(spark, sfDir))
     // the round-10 shared-artifact memos are one-time build costs with
     // the same write-path character as the indexes above: built here so
     // the timed queries measure SERVING the shared artifact, not which
