@@ -516,6 +516,110 @@ object WebCodec {
       .withColumn("kept", col("n_words") >= 40 && col("alpha_milli") >= 900)
   }
 
+  // ------------------------------------------------------------------
+  // robots.txt — crawl politeness (RFC 9309 subset)
+  // ------------------------------------------------------------------
+
+  /** robots.txt parse + evaluation: User-agent groups, Allow/Disallow
+    * path rules, LONGEST-match-wins with allow preferred on ties, the
+    * most specific matching group (exact agent name beats `*`) selected
+    * exclusively, default-allow when nothing matches. Simplifications
+    * documented: no `*`/`$` wildcards inside paths, agent match is
+    * exact-or-star (the synth corpus needs no substring UA matching). */
+  object Robots {
+    final case class Rule(allow: Boolean, path: String)
+
+    /** Parse to agent → rules (groups merged per agent name; later
+      * groups for the same agent extend earlier ones, per the RFC). A
+      * rule line before any User-agent line is a grammar error → None. */
+    def parse(text: String): Option[Map[String, Vector[Rule]]] = {
+      val groups = scala.collection.mutable.Map.empty[String, Vector[Rule]]
+      var agents: List[String] = Nil
+      var inHeader = false // consecutive User-agent lines share a group
+      for (raw <- text.split("\n", -1)) {
+        val line = raw.takeWhile(_ != '#').trim
+        if (line.nonEmpty) {
+          val k = line.indexOf(':')
+          if (k <= 0) return None
+          val key = line.substring(0, k).trim.toLowerCase
+          val value = line.substring(k + 1).trim
+          key match {
+            case "user-agent" =>
+              if (value.isEmpty) return None
+              val a = value.toLowerCase
+              agents = if (inHeader) a :: agents else List(a)
+              inHeader = true
+              groups.getOrElseUpdate(a, Vector.empty)
+            case "allow" | "disallow" =>
+              if (agents.isEmpty) return None // rule outside any group
+              inHeader = false
+              if (value.nonEmpty) { // empty Disallow: = no rule
+                for (a <- agents)
+                  groups(a) = groups(a) :+ Rule(key == "allow", value)
+              }
+            case _ => inHeader = false // crawl-delay etc: tolerated
+          }
+        }
+      }
+      Some(groups.toMap)
+    }
+
+    /** (allowed, matched rule path — "" when no rule matched). */
+    def evaluate(groups: Map[String, Vector[Rule]], agent: String,
+        path: String): (Boolean, String) = {
+      val rules = groups.getOrElse(agent.toLowerCase,
+        groups.getOrElse("*", Vector.empty))
+      val hits = rules.filter(r => path.startsWith(r.path))
+      if (hits.isEmpty) (true, "")
+      else {
+        val best = hits.maxBy(r => (r.path.length, r.allow)) // allow ties
+        (best.allow, best.path)
+      }
+    }
+  }
+
+  /** Deterministic robots.txt for synth domain k — the JVM twin of the
+    * `web_robots_gate` oracle's decision table. Exercises group
+    * selection (graftbot group on k%5==0), allow-vs-disallow ties
+    * (k%3==0 Allow meets k%2==1 Disallow at equal length → allow wins),
+    * and default-allow. */
+  def buildRobots(k: Long): String = {
+    val sb = new StringBuilder
+    sb ++= "# synth robots for example" + k + ".com\n"
+    sb ++= "User-agent: *\n"
+    sb ++= "Disallow: /private/\n"
+    if (k % 2 == 1) sb ++= "Disallow: /docs/\n"
+    if (k % 3 == 0) sb ++= "Allow: /docs/\n"
+    sb ++= "Crawl-delay: " + (k + 1) + "\n"
+    if (k % 5 == 0) {
+      sb ++= "\nUser-agent: graftbot\n"
+      sb ++= "Disallow: /docs/9\n"
+    }
+    sb.result()
+  }
+
+  /** The crawl-politeness gate over the synth corpus: each document's
+    * URL path evaluated for agent "graftbot" against its domain's
+    * PARSED robots.txt (real parse per row — the codec seam), emitting
+    * the verdict and the matched rule. */
+  def robotsGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      // one parse per distinct domain per partition (7 domains)
+      val cache = scala.collection.mutable.Map
+        .empty[Long, Map[String, Vector[Robots.Rule]]]
+      ids.map { id =>
+        val k = id % 7
+        val groups = cache.getOrElseUpdate(k,
+          Robots.parse(buildRobots(k)).get)
+        val path = s"/docs/$id"
+        val (allowed, rule) = Robots.evaluate(groups, "graftbot", path)
+        (id, s"example$k.com", path, allowed, rule)
+      }
+    }.toDF("media_id", "domain", "path", "allowed", "matched_rule")
+  }
+
   /** URL normalization: drop the fragment, lowercase scheme+host, strip
     * the https default port. Returns (normalized, scheme, host, path,
     * query, registered domain) as a struct-free tuple of Columns via a

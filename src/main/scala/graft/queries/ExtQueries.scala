@@ -6578,6 +6578,31 @@ GROUP BY 1 ORDER BY domain""")),
       },
       Some(webPipelineSql)),
 
+    // The crawl-politeness gate: every document's URL path evaluated
+    // for agent "graftbot" against its domain's PARSED robots.txt
+    // (RFC 9309 subset: group selection with exact-agent-beats-star,
+    // longest-match-wins, allow preferred on ties, default-allow). The
+    // parse is real per-domain text parsing in the codec seam; the
+    // oracle replays the decision table the synth robots encode —
+    // k%5==0 domains carry a graftbot-specific group (Disallow /docs/9),
+    // k=1 is star-disallowed, k=3 is the equal-length allow/disallow
+    // TIE (allow wins), k=6 allow-only, k∈{2,4} no matching rule.
+    ("web_robots_gate",
+      (s: SparkSession, d: String) =>
+        graft.ext.WebCodec.robotsGate(docs(s, d)).orderBy("media_id"),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 7 AS k,
+           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9 FROM documents)
+SELECT doc_id AS media_id,
+  'example' || k::VARCHAR || '.com' AS domain,
+  '/docs/' || doc_id::VARCHAR AS path,
+  CASE WHEN k % 5 = 0 THEN NOT sw9
+       WHEN k = 1 THEN FALSE
+       ELSE TRUE END AS allowed,
+  CASE WHEN k % 5 = 0 THEN (CASE WHEN sw9 THEN '/docs/9' ELSE '' END)
+       WHEN k IN (1, 3, 6) THEN '/docs/'
+       ELSE '' END AS matched_rule
+FROM d ORDER BY media_id""")),
+
     // ------------------------------------------------- archive containers
     // The other way corpora ship: document bundles. TAR = ustar 512-byte
     // block arithmetic (octal fields, blanked-checksum header sum, two

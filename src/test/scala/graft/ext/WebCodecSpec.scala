@@ -178,6 +178,68 @@ class WebCodecSpec extends SparkSuite {
     assert(rows(1).getString(5) == "host.org")
   }
 
+  test("robots: group selection, longest-match, allow-tie-break, " +
+      "default-allow, comments, merged groups, grammar strictness") {
+    import WebCodec.Robots
+    val txt =
+      """# politeness
+        |User-agent: *
+        |Disallow: /a/
+        |Allow: /a/pub/
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /b/
+        |
+        |User-agent: graftbot
+        |Allow: /b/ok/
+        |Crawl-delay: 3
+        |Disallow:
+        |""".stripMargin
+    val g = Robots.parse(txt).get
+    // specific group beats *, later group for same agent MERGES
+    assert(Robots.evaluate(g, "graftbot", "/b/x") == ((false, "/b/")))
+    assert(Robots.evaluate(g, "graftbot", "/b/ok/x") == ((true, "/b/ok/")))
+    // the graftbot group is exclusive: /a/ rules do NOT apply to it
+    assert(Robots.evaluate(g, "graftbot", "/a/x") == ((true, "")))
+    // star group: longest match wins (allow /a/pub/ over disallow /a/)
+    assert(Robots.evaluate(g, "unknown", "/a/pub/x") == ((true, "/a/pub/")))
+    assert(Robots.evaluate(g, "unknown", "/a/x") == ((false, "/a/")))
+    assert(Robots.evaluate(g, "unknown", "/c") == ((true, "")))
+    // equal-length allow/disallow tie → allow
+    val tie = Robots.parse(
+      "User-agent: *\nDisallow: /d/\nAllow: /d/\n").get
+    assert(Robots.evaluate(tie, "any", "/d/x") == ((true, "/d/")))
+    // grammar strictness: a rule before any group, junk lines
+    assert(Robots.parse("Disallow: /x/\n").isEmpty)
+    assert(Robots.parse("User-agent: *\nnocolonhere\n").isEmpty)
+    assert(Robots.parse("User-agent:\nDisallow: /x/\n").isEmpty)
+    // empty Disallow: is legal and adds no rule
+    assert(Robots.evaluate(Robots.parse("User-agent: *\nDisallow:\n").get,
+      "a", "/x") == ((true, "")))
+  }
+
+  test("robotsGate seam matches Robots.evaluate over the synth corpus") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L to 40L).toDF("doc_id")
+    val rows = WebCodec.robotsGate(docs).orderBy("media_id").collect()
+    assert(rows.length == 41)
+    for (r <- rows) {
+      val id = r.getAs[Long]("media_id")
+      val g = WebCodec.Robots.parse(WebCodec.buildRobots(id % 7)).get
+      val (want, rule) = WebCodec.Robots.evaluate(g, "graftbot", s"/docs/$id")
+      assert(r.getAs[Boolean]("allowed") == want, s"id=$id")
+      assert(r.getAs[String]("matched_rule") == rule, s"id=$id")
+    }
+    // the graftbot-specific group actually fires: id=9, k=2? no —
+    // 9 % 7 = 2 (star group); id=35 → k=0 (graftbot) and "35" doesn't
+    // start with 9 → allowed; id=9009 → k=0, starts with 9 → blocked
+    val blocked = WebCodec.robotsGate(Seq(9009L).toDF("doc_id")).head()
+    assert(!blocked.getAs[Boolean]("allowed")
+      && blocked.getAs[String]("matched_rule") == "/docs/9")
+  }
+
   test("warcRecords/warcResponses DataFrame seams: per-record rows with " +
       "the formula checksums; responses carry the parsed html") {
     val sp = spark
