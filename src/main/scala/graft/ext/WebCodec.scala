@@ -264,9 +264,13 @@ object WebCodec {
     }
   }
 
-  /** HTTP/1.1 response parse: (status, body). Exact Content-Length
-    * consumption required — a body shorter or longer than declared
-    * poisons the payload. */
+  /** HTTP/1.1 response parse: (status, body). Two framings, strictly
+    * one per message: exact Content-Length consumption, or
+    * Transfer-Encoding: chunked de-chunked (hex size lines, CRLF after
+    * every chunk, the 0-chunk terminator ending the payload exactly; no
+    * trailer section, no chunk extensions — documented strict subset).
+    * Both headers present, neither present, an unknown TE value, bad
+    * hex, or trailing bytes all poison. */
   def parseHttpResponse(payload: Array[Byte]): Option[(Int, Array[Byte])] = {
     var pos = 0
     def readLine(): Option[String] = {
@@ -288,6 +292,7 @@ object WebCodec {
       case _ => return None
     }
     var clen = -1
+    var chunked = false
     var done = false
     while (!done) {
       readLine() match {
@@ -296,15 +301,47 @@ object WebCodec {
         case Some(line) =>
           val k = line.indexOf(':')
           if (k <= 0) return None
-          if (line.substring(0, k) == "Content-Length") {
-            val v = line.substring(k + 1).trim
-            if (!v.forall(_.isDigit) || v.isEmpty) return None
-            clen = v.toInt
+          line.substring(0, k) match {
+            case "Content-Length" =>
+              val v = line.substring(k + 1).trim
+              if (!v.forall(_.isDigit) || v.isEmpty) return None
+              clen = v.toInt
+            case "Transfer-Encoding" =>
+              if (line.substring(k + 1).trim.toLowerCase != "chunked")
+                return None // unknown codings unsupported → poison
+              chunked = true
+            case _ => ()
           }
       }
     }
-    if (clen < 0 || pos + clen != payload.length) return None
-    Some((status, java.util.Arrays.copyOfRange(payload, pos, pos + clen)))
+    if (chunked) {
+      if (clen >= 0) return None // both framings present
+      val body = new java.io.ByteArrayOutputStream()
+      while (true) {
+        val n = readLine() match {
+          case Some(sz) if sz.nonEmpty && sz.forall(c =>
+            c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')) =>
+            try Integer.parseInt(sz, 16)
+            catch { case _: NumberFormatException => return None }
+          case _ => return None
+        }
+        if (n == 0) {
+          // terminator: the final CRLF must END the payload exactly
+          if (pos + 2 != payload.length ||
+              payload(pos) != '\r' || payload(pos + 1) != '\n') return None
+          return Some((status, body.toByteArray))
+        }
+        if (pos + n + 2 > payload.length) return None
+        body.write(payload, pos, n)
+        pos += n
+        if (payload(pos) != '\r' || payload(pos + 1) != '\n') return None
+        pos += 2
+      }
+      None // unreachable
+    } else {
+      if (clen < 0 || pos + clen != payload.length) return None
+      Some((status, java.util.Arrays.copyOfRange(payload, pos, pos + clen)))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -334,10 +371,28 @@ object WebCodec {
     s"GET /docs/$id?lang=$lang&ref=feed HTTP/1.1$CRLF" +
       s"Host: www.$source.example${id % 7}.com$CRLF$CRLF"
 
+  /** Responses alternate framings on an axis independent of the gzip
+    * variant: id % 4 == 1 ships Transfer-Encoding: chunked (256-byte
+    * chunks, lowercase hex sizes, no trailers), everything else exact
+    * Content-Length — so the corpus exercises chunked-inside-gzip too. */
   def buildResponse(id: Long, text: String, lang: String, source: String): String = {
     val html = buildHtml(id, text, lang, source)
-    s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8$CRLF" +
-      s"Content-Length: ${html.length}${CRLF}X-Doc: $id$CRLF$CRLF$html"
+    if (id % 4 == 1) {
+      val sb = new StringBuilder
+      sb ++= s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8$CRLF"
+      sb ++= s"Transfer-Encoding: chunked${CRLF}X-Doc: $id$CRLF$CRLF"
+      var p = 0
+      while (p < html.length) {
+        val n = math.min(256, html.length - p)
+        sb ++= Integer.toHexString(n); sb ++= CRLF
+        sb ++= html.substring(p, p + n); sb ++= CRLF
+        p += n
+      }
+      sb ++= "0"; sb ++= CRLF; sb ++= CRLF
+      sb.result()
+    } else
+      s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8$CRLF" +
+        s"Content-Length: ${html.length}${CRLF}X-Doc: $id$CRLF$CRLF$html"
   }
 
   private def warcRecordBytes(

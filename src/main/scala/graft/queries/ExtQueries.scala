@@ -6447,16 +6447,31 @@ SELECT * FROM (
           .orderBy("media_id", "rec_index"),
       Some(s"""WITH crlfv AS (SELECT chr(13) || chr(10) AS crlf),
 h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents),
+pieces AS (SELECT h.doc_id, u.i AS i,
+             substr(h.html, (u.i * 256 + 1)::INT, 256) AS piece
+           FROM h, unnest(range(0, (strlen(h.html) + 255) // 256)) AS u(i)),
+ch AS (SELECT p2.doc_id AS cdoc, string_agg(
+         lower(to_hex(strlen(p2.piece))) || c.crlf || p2.piece || c.crlf,
+         '' ORDER BY p2.i) AS chunks
+       FROM pieces p2, crlfv c GROUP BY p2.doc_id),
 b AS (SELECT h.doc_id, $webUrlExpr AS uri,
         'GET /docs/' || doc_id::VARCHAR || '?lang=' || lang
           || '&ref=feed HTTP/1.1' || crlf || 'Host: www.' || source
           || '.example' || (doc_id % 7)::VARCHAR || '.com' || crlf || crlf
           AS req,
-        'HTTP/1.1 200 OK' || crlf
-          || 'Content-Type: text/html; charset=utf-8' || crlf
-          || 'Content-Length: ' || strlen(html)::VARCHAR || crlf
-          || 'X-Doc: ' || doc_id::VARCHAR || crlf || crlf || html AS rsp
-      FROM h, crlfv),
+        CASE WHEN h.doc_id % 4 = 1 THEN
+          'HTTP/1.1 200 OK' || crlf
+            || 'Content-Type: text/html; charset=utf-8' || crlf
+            || 'Transfer-Encoding: chunked' || crlf
+            || 'X-Doc: ' || doc_id::VARCHAR || crlf || crlf
+            || ch.chunks || '0' || crlf || crlf
+        ELSE
+          'HTTP/1.1 200 OK' || crlf
+            || 'Content-Type: text/html; charset=utf-8' || crlf
+            || 'Content-Length: ' || strlen(html)::VARCHAR || crlf
+            || 'X-Doc: ' || doc_id::VARCHAR || crlf || crlf || html
+        END AS rsp
+      FROM h, crlfv, ch WHERE ch.cdoc = h.doc_id),
 recs AS (
   SELECT doc_id, CAST(0 AS INT) AS rec_index, 'request' AS warc_type,
          uri, req AS payload FROM b

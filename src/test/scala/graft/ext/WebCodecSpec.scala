@@ -94,16 +94,46 @@ class WebCodecSpec extends SparkSuite {
   }
 
   test("http response parse: status + exact-length body; strictness") {
-    val rsp = buildResponse(5L, "alpha beta", "fr", "src2")
+    // id 4 → Content-Length framing (4 % 4 == 0)
+    val rsp = buildResponse(4L, "alpha beta", "fr", "src2")
     val (status, body) = parseHttpResponse(rsp.getBytes("ISO-8859-1")).get
     assert(status == 200)
     assert(new String(body, "ISO-8859-1")
-      == buildHtml(5L, "alpha beta", "fr", "src2"))
+      == buildHtml(4L, "alpha beta", "fr", "src2"))
     assert(parseHttpResponse((rsp + "x").getBytes("ISO-8859-1")).isEmpty)
     assert(parseHttpResponse(rsp.getBytes("ISO-8859-1").dropRight(1))
       .isEmpty)
     assert(parseHttpResponse(rsp.replaceFirst("HTTP/1.1 200", "ICY 200")
       .getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("http chunked transfer-encoding: de-chunks to the exact html " +
+      "(multi-chunk), and every framing violation poisons") {
+    // id 5 → chunked (5 % 4 == 1); long text forces several 256B chunks
+    val text = Array.fill(30)("lorem ipsum dolor sit amet").mkString(" ")
+    val rsp = buildResponse(5L, text, "fr", "src2")
+    assert(rsp.contains("Transfer-Encoding: chunked")
+      && !rsp.contains("Content-Length"))
+    val (status, body) = parseHttpResponse(rsp.getBytes("ISO-8859-1")).get
+    assert(status == 200)
+    val html = buildHtml(5L, text, "fr", "src2")
+    assert(html.length > 512, "must span 3+ chunks")
+    assert(new String(body, "ISO-8859-1") == html)
+    def poison(s: String): Unit =
+      assert(parseHttpResponse(s.getBytes("ISO-8859-1")).isEmpty, s.take(60))
+    poison(rsp + "x") // bytes after the 0-chunk terminator
+    poison(rsp.replaceFirst("100\r\n", "10g\r\n")) // non-hex size line
+    poison(rsp.replaceFirst("100\r\n", "ff\r\n")) // size lies → CRLF miss
+    poison(rsp.dropRight(2)) // lost final CRLF
+    poison(rsp.replaceFirst("Transfer-Encoding: chunked",
+      "Transfer-Encoding: gzip")) // unknown coding
+    poison(rsp.replaceFirst("Transfer-Encoding: chunked",
+      "Transfer-Encoding: chunked\r\nContent-Length: 3")) // both framings
+    // round-trip through the FULL stack: chunked response inside a
+    // gzip-deflate WARC member (id 5: gzip variant 2, chunked variant 1)
+    val recs = parseWarc(buildWarcFile(5L, text, "fr", "src2")).get
+    val (_, b2) = parseHttpResponse(recs(1).payload).get
+    assert(new String(b2, "ISO-8859-1") == html)
   }
 
   test("mutation fuzz: random single-byte flips never throw and never " +
