@@ -6618,6 +6618,80 @@ SELECT doc_id AS media_id,
        ELSE '' END AS matched_rule
 FROM d ORDER BY media_id""")),
 
+    // Sliding-window chunking — the RAG/embedding-index preprocessing
+    // step (64-word windows, stride 48, 16-word overlap): per-doc LOCAL
+    // work (explode over window starts, array slice, join), zero
+    // cross-row traffic before the final sort — the shape that chunks
+    // 100 TB by streaming partitions. Both engines slice and join the
+    // same token arrays; the chunk TEXT itself is in the output.
+    ("text_chunks_sliding",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val toks = split(trim(col("text")), "\\s+")
+        docs(s, d)
+          .select(col("doc_id").as("media_id"), toks.as("toks"))
+          .withColumn("n", size(col("toks")))
+          .where(col("n") > 0)
+          .select(col("media_id"), col("toks"),
+            explode(sequence(lit(0), ((col("n") - 1) / 48).cast("int")))
+              .as("chunk_index"))
+          .select(col("media_id"), col("chunk_index"),
+            (col("chunk_index") * 48).cast("long").as("start_word"),
+            slice(col("toks"), col("chunk_index") * 48 + 1, lit(64))
+              .as("chunk"))
+          .select(col("media_id"), col("chunk_index"), col("start_word"),
+            size(col("chunk")).cast("long").as("n_words"),
+            array_join(col("chunk"), " ").as("chunk_text"))
+          .orderBy("media_id", "chunk_index")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+           string_split_regex(trim(text), '\s+') AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, u.i::INT AS chunk_index
+      FROM n, unnest(range(0, (n - 1) // 48 + 1)) AS u(i)),
+s AS (SELECT doc_id, chunk_index,
+             list_slice(toks, chunk_index * 48 + 1,
+                        chunk_index * 48 + 64) AS chunk
+      FROM c)
+SELECT doc_id AS media_id, chunk_index,
+       (chunk_index * 48)::BIGINT AS start_word,
+       len(chunk)::BIGINT AS n_words,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM s ORDER BY media_id, chunk_index""")),
+
+    // JSONL — the corpus interchange format LLM pipelines actually
+    // exchange: serialize each document with the NATIVE to_json
+    // (codegen'd, no UDF), parse it back with from_json, and emit the
+    // round-tripped fields beside the raw line. The oracle rebuilds
+    // the exact line (to_json emits no whitespace; the ASCII corpus
+    // needs no escaping) and reads its own fields back.
+    ("corpus_jsonl_roundtrip",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val line = to_json(struct(col("doc_id"), col("lang"),
+          col("source"), col("text")))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, source STRING, text STRING")
+        docs(s, d)
+          .select(col("doc_id").as("media_id"), col("text").as("orig"),
+            line.as("line"))
+          .withColumn("p", from_json(col("line"), schema))
+          .select(col("media_id"), col("line"),
+            length(col("line")).cast("long").as("n_line_chars"),
+            col("p.lang").as("lang"), col("p.source").as("source"),
+            (col("p.text") === col("orig")).as("ok"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+       '{"doc_id":' || doc_id::VARCHAR || ',"lang":"' || lang
+         || '","source":"' || source || '","text":"' || text || '"}'
+         AS line,
+       strlen('{"doc_id":' || doc_id::VARCHAR || ',"lang":"' || lang
+         || '","source":"' || source || '","text":"' || text || '"}')::BIGINT
+         AS n_line_chars,
+       lang, source, TRUE AS ok
+FROM documents ORDER BY media_id""")),
+
     // ------------------------------------------------- archive containers
     // The other way corpora ship: document bundles. TAR = ustar 512-byte
     // block arithmetic (octal fields, blanked-checksum header sum, two
