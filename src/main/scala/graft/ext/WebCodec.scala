@@ -423,6 +423,74 @@ object WebCodec {
     }
   }
 
+  /** WET — Common Crawl's extracted-text sidecar format: the same WARC
+    * container, `WARC-Type: conversion` records whose payload is the
+    * PLAIN TEXT extracted from the page (here: the pure-Column
+    * extraction formula's output, so the WET text and `web_html_text`'s
+    * body column are definitionally equal). Same per-doc compression
+    * variants as [[buildWarcFile]]. */
+  def buildWetFile(
+      id: Long, text: String, lang: String, source: String): Array[Byte] = {
+    val uri = buildUrl(id, lang, source)
+    val extracted = extractedText(id, text, lang, source)
+    val rec = warcRecordBytes("conversion", uri, extracted)
+    (id % 3) match {
+      case 0 => rec
+      case 1 => gzipStored(rec)
+      case _ => gzipDeflate(rec, s"wet-$id.txt")
+    }
+  }
+
+  /** JVM twin of [[extractTextCol]] ∘ [[buildHtml]] — the extracted
+    * plain text of a synth page (kept in lockstep with the Column
+    * chain; WebCodecSpec asserts the equivalence row-for-row). */
+  def extractedText(
+      id: Long, text: String, lang: String, source: String): String = {
+    val html = buildHtml(id, text, lang, source)
+    val noScript = html.replaceAll("<script[^>]*>.*?</script>", " ")
+    val noStyle = noScript.replaceAll("<style[^>]*>.*?</style>", " ")
+    val noTags = noStyle.replaceAll("<[^>]*>", " ")
+    val ent = noTags.replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
+    ent.replaceAll("\\s+", " ").trim
+  }
+
+  /** (media_id, payload) synthesized WET archive table. */
+  def webWet(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, lang, source) =>
+          (id, buildWetFile(id, text, lang, source))
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  final case class WetRow(
+      media_id: Long, target_uri: String, text: String, n_chars: Long)
+
+  /** WET → conversion records → extracted text rows (the format a
+    * text-only consumer reads INSTEAD of re-extracting from HTML). */
+  def wetTexts(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          parseWarc(payload).iterator.flatMap { recs =>
+            recs.filter(_.warcType == "conversion").map { r =>
+              val t = new String(r.payload, "ISO-8859-1")
+              WetRow(id, r.targetUri, t, t.length.toLong)
+            }
+          }
+        }
+      }.toDF()
+  }
+
   /** Order-weighted byte checksum Σ (i+1)·b_i — pins content AND byte
     * order (the media tier's (f+1)-weighted trick at byte granularity).
     * ASCII payloads ⇒ the oracle's per-char ascii() replay is byte-exact. */

@@ -6618,6 +6618,24 @@ SELECT doc_id AS media_id,
        ELSE '' END AS matched_rule
 FROM d ORDER BY media_id""")),
 
+    // WET — Common Crawl's extracted-text sidecar: the same WARC
+    // container carrying WARC-Type: conversion records whose payload is
+    // the page's extracted PLAIN TEXT (what text-only consumers read
+    // instead of re-extracting from HTML). Same gzip variants; the
+    // text is definitionally the extraction formula's output, so the
+    // oracle replays the html build + the full extraction chain.
+    ("web_wet_text",
+      (s: SparkSession, d: String) =>
+        graft.ext.WebCodec.wetTexts(
+          graft.ext.WebCodec.webWet(docs(s, d)))
+          .orderBy("media_id"),
+      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+           FROM documents),
+x AS (SELECT doc_id, lang, source, ${webExtractSql("html")} AS body FROM h)
+SELECT doc_id AS media_id, $webUrlExpr AS target_uri, body AS text,
+       strlen(body)::BIGINT AS n_chars
+FROM x ORDER BY media_id""")),
+
     // Sliding-window chunking — the RAG/embedding-index preprocessing
     // step (64-word windows, stride 48, 16-word overlap): per-doc LOCAL
     // work (explode over window starts, array slice, join), zero

@@ -208,6 +208,35 @@ class WebCodecSpec extends SparkSuite {
     assert(rows(1).getString(5) == "host.org")
   }
 
+  test("wet: conversion records round-trip the extracted text across " +
+      "all gzip variants, and extractedText is the Column chain's twin") {
+    val sp = spark
+    import sp.implicits._
+    val df = docsSample.toDF("doc_id", "text", "lang", "source")
+    // JVM twin ≡ Column chain, row for row
+    val colRows = df.select(col("doc_id"),
+      extractTextCol(htmlCol(col("doc_id"), col("text"), col("lang"),
+        col("source")))).collect()
+    for (r <- colRows) {
+      val doc = docsSample.find(_._1 == r.getLong(0)).get
+      assert(r.getString(1) == extractedText(doc._1, doc._2, doc._3, doc._4))
+    }
+    // WET parse: one conversion record per doc, text byte-faithful
+    val rows = wetTexts(webWet(df)).orderBy("media_id").collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val doc = docsSample.find(_._1 == r.getAs[Long]("media_id")).get
+      assert(r.getAs[String]("text")
+        == extractedText(doc._1, doc._2, doc._3, doc._4))
+      assert(r.getAs[String]("target_uri") == buildUrl(doc._1, doc._3, doc._4))
+    }
+    // strictness rides the shared WARC walk: flip one byte of a STORED
+    // gzip member → CRC poisons the file
+    val wet = buildWetFile(1L, "some words", "en", "src0") // 1%3==1 stored
+    val bad = wet.clone(); bad(wet.length / 2) = (bad(wet.length / 2) ^ 1).toByte
+    assert(parseWarc(bad).isEmpty)
+  }
+
   test("robots: group selection, longest-match, allow-tie-break, " +
       "default-allow, comments, merged groups, grammar strictness") {
     import WebCodec.Robots
