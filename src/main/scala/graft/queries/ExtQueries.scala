@@ -6710,6 +6710,54 @@ FROM s ORDER BY media_id, chunk_index""")),
        lang, source, TRUE AS ok
 FROM documents ORDER BY media_id""")),
 
+    // The tiers COMPOSED end-to-end — the actual pre-training data run
+    // in one query: WARC bytes → gzip members → HTTP → HTML extraction
+    // → quality gates → kept docs only → sliding-window chunks. Codec
+    // work in the mapPartitions seam, everything after pure-Column,
+    // still scan-shaped (the gates and chunker are per-row). The oracle
+    // chains the pipeline CTEs with the chunk slicing.
+    ("web_chunks_e2e",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val cleaned = W.pipeline(W.webWarc(docs(s, d))).where(col("kept"))
+        cleaned
+          .select(col("media_id"), split(col("body"), "\\s+").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .where(col("n") > 0)
+          .select(col("media_id"), col("toks"),
+            explode(sequence(lit(0), ((col("n") - 1) / 48).cast("int")))
+              .as("chunk_index"))
+          .select(col("media_id"), col("chunk_index"),
+            slice(col("toks"), col("chunk_index") * 48 + 1, lit(64))
+              .as("chunk"))
+          .select(col("media_id"), col("chunk_index"),
+            size(col("chunk")).cast("long").as("n_words"),
+            array_join(col("chunk"), " ").as("chunk_text"))
+          .orderBy("media_id", "chunk_index")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+           FROM documents),
+x AS (SELECT doc_id, ${webExtractSql("html")} AS body FROM h),
+g AS (SELECT doc_id, body,
+        len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
+        (1000 * strlen(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
+          // strlen(body) AS alpha_milli
+      FROM x),
+k AS (SELECT doc_id, string_split_regex(body, '\\s+') AS toks
+      FROM g WHERE n_words >= 40 AND alpha_milli >= 900),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM k WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, u.i::INT AS chunk_index
+      FROM n, unnest(range(0, (n - 1) // 48 + 1)) AS u(i)),
+sl AS (SELECT doc_id, chunk_index,
+              list_slice(toks, chunk_index * 48 + 1,
+                         chunk_index * 48 + 64) AS chunk
+       FROM c)
+SELECT doc_id AS media_id, chunk_index,
+       len(chunk)::BIGINT AS n_words,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM sl ORDER BY media_id, chunk_index""")),
+
     // ------------------------------------------------- archive containers
     // The other way corpora ship: document bundles. TAR = ustar 512-byte
     // block arithmetic (octal fields, blanked-checksum header sum, two

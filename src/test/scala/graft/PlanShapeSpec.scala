@@ -438,8 +438,9 @@ class PlanShapeSpec extends SparkSuite {
     // cross-partition traffic before the (optional) rollup
     for (q <- Seq("web_warc_records", "web_html_text", "web_url_parts",
       "web_domain_stats", "web_pipeline", "web_pipeline_materialized",
-      "web_robots_gate", "web_wet_text", "archive_tar_entries",
-      "archive_zip_entries", "archive_zip_text")) {
+      "web_robots_gate", "web_wet_text", "web_chunks_e2e",
+      "text_chunks_sliding", "corpus_jsonl_roundtrip",
+      "archive_tar_entries", "archive_zip_entries", "archive_zip_text")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(!p.contains("Window"), s"$q must not window")
