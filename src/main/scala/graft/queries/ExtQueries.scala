@@ -6710,6 +6710,47 @@ FROM s ORDER BY media_id, chunk_index""")),
        lang, source, TRUE AS ok
 FROM documents ORDER BY media_id""")),
 
+    // Sitemap.xml — crawl URL discovery: each domain's sitemap is BUILT
+    // as real XML (per-domain aggregate of <url> entries, id-ordered),
+    // then PARSED back with regexp_extract_all (loc + lastmod extracted
+    // as parallel arrays, zipped, exploded) — build and parse both
+    // pure-Column, one aggregate exchange + the final sort. The oracle
+    // replays the per-doc formulas directly.
+    ("web_sitemap_urls",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val frag = concat(
+          lit("<url><loc>https://www.example"), col("k").cast("string"),
+          lit(".com/docs/"), col("doc_id").cast("string"),
+          lit("</loc><lastmod>2026-0"), ((col("doc_id") % 9) + 1).cast("string"),
+          lit("-01</lastmod></url>"))
+        val xml = docs(s, d)
+          .select(col("doc_id"), (col("doc_id") % 7).as("k"))
+          .select(col("k"), col("doc_id"), frag.as("frag"))
+          .groupBy("k")
+          .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("doc_id"), col("frag")))),
+              x => x.getField("frag")), ""),
+            lit("</urlset>")).as("sitemap"))
+        xml.select(col("k"),
+            regexp_extract_all(col("sitemap"),
+              lit("<loc>([^<]*)</loc>"), lit(1)).as("locs"),
+            regexp_extract_all(col("sitemap"),
+              lit("<lastmod>([^<]*)</lastmod>"), lit(1)).as("mods"))
+          .select(col("k"), explode(arrays_zip(col("locs"), col("mods")))
+            .as("u"))
+          .select(concat(lit("example"), col("k").cast("string"),
+              lit(".com")).as("domain"),
+            col("u.locs").as("url"), col("u.mods").as("lastmod"))
+          .orderBy("url")
+      },
+      Some("""SELECT 'example' || (doc_id % 7)::VARCHAR || '.com' AS domain,
+       'https://www.example' || (doc_id % 7)::VARCHAR || '.com/docs/'
+         || doc_id::VARCHAR AS url,
+       '2026-0' || ((doc_id % 9) + 1)::VARCHAR || '-01' AS lastmod
+FROM documents ORDER BY url""")),
+
     // The tiers COMPOSED end-to-end — the actual pre-training data run
     // in one query: WARC bytes → gzip members → HTTP → HTML extraction
     // → quality gates → kept docs only → sliding-window chunks. Codec
