@@ -309,19 +309,35 @@ object PropertySpec extends Properties("graft") {
       m.GifCodec.decode(bytes)
       m.WavCodec.decodePcm16(bytes)
       m.AviCodec.decodeDib(bytes)
+      // the ingestion walks share the contract (r15): poison, never throw
+      graft.ext.WebCodec.parseWarc(bytes)
+      graft.ext.WebCodec.gunzipMembers(bytes)
+      graft.ext.WebCodec.parseHttpResponse(bytes)
+      graft.ext.ArchiveCodec.tarParse(bytes)
+      graft.ext.ArchiveCodec.zipParse(bytes)
     }
     // each ScalaCheck case seeds a 500-mutation deterministic inner loop
     // (pure JVM — cheap), so one suite run exercises thousands of
     // garbage/mutated inputs, not the suite-wide 5
+    val validWarc = graft.ext.WebCodec
+      .buildWarcFile(5L, "mutation fuzz text", "en", "src1")
+    val validTar = graft.ext.ArchiveCodec.tarBuild(Seq(
+      graft.ext.ArchiveCodec.Entry("a.txt", "tar fuzz".getBytes)))
+    val validZip = graft.ext.ArchiveCodec.zipBuild(Seq(
+      graft.ext.ArchiveCodec.Entry("a.txt", "zip fuzz".getBytes)),
+      _ => true)
     Prop.forAll(org.scalacheck.Gen.choose(0L, Long.MaxValue)) { seed =>
       val rnd = new scala.util.Random(seed)
       (0 until 500).foreach { _ =>
-        val base = rnd.nextInt(5) match {
+        val base = rnd.nextInt(8) match {
           case 0 =>
             val b = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(b); b
           case 1 => validBmp.clone
           case 2 => validPgm.clone
           case 3 => validPng.clone
+          case 4 => validWarc.clone
+          case 5 => validTar.clone
+          case 6 => validZip.clone
           case _ => validGif.clone
         }
         // up to 3 byte mutations (header fields, sizes, raster)
