@@ -232,4 +232,71 @@ object Lm {
           (col("s1") + coalesce(col("s2"), lit(0).cast(LpDec))).as("slp"),
           (col("c1") + coalesce(col("c2"), lit(0L))).as("n_tokens")))
   }
+
+  /** Interpolated Kneser–Ney bigram perplexity — the canonical n-gram
+    * smoothing (discount D = 3/4):
+    *
+    *   p(b|a) = (n(a,b) − D)/n(a·) + D·N1+(a·)/n(a·) · pc(b)
+    *   pc(b)  = (N1+(·b) + K) / (B + K·(V+1))
+    *
+    * where N1+(a·)/N1+(·b) are distinct-continuation counts and B the
+    * number of distinct bigram types. Scoring the training corpus means
+    * n(a,b) ≥ 1 and n(a·) ≥ 1 for every scored bigram, so the raw KN
+    * terms need no unseen-event branch; the continuation distribution
+    * is add-K smoothed (K = 0.5 — a documented deviation from the
+    * textbook) so DOC-INITIAL-ONLY tokens, which never occur as a
+    * continuation, keep support when the first token scores under pc.
+    * Both engines evaluate the probability with the identical IEEE
+    * expression shape, then the same DECIMAL(28,12) truncation makes
+    * the per-doc sum exact and order-free (the file-header discipline).
+    *
+    * Scale: the same pair-keyed shuffles as [[perplexityBigram]] plus
+    * two distinct-continuation aggregates of the bigram-type frame —
+    * nothing corpus-global beyond two broadcastable scalar frames. */
+  def perplexityKn(docs: DataFrame): DataFrame = {
+    val D = 0.75
+    val tl = tokensOf(docs)
+    val toks = tl.select(col("doc_id"), explode(col("ts")).as("t"))
+    val vsz = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("vsz"))
+    val bg = tl
+      .select(col("doc_id"),
+        explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(
+              element_at(col("ts"), i).as("a"),
+              element_at(col("ts"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")))
+          .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val cc = cb.groupBy("a")
+      .agg(sum("nab").as("na"), count(lit(1)).as("n1a"))
+    val cw = cb.groupBy("b").agg(count(lit(1)).as("n1b"))
+    val btot = cb.agg(count(lit(1)).as("btypes"))
+    val pcDen = col("btypes") + lit(0.5) * (col("vsz") + 1)
+    val blp = cb.join(cc, "a").join(cw, "b")
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vsz))
+      .select(col("a"), col("b"),
+        log((col("nab") - D) / col("na")
+          + (lit(D) * col("n1a")) / col("na")
+            * ((col("n1b") + 0.5) / pcDen))
+          .cast(LpDec).as("lp"))
+    val first = tl.where(size(col("ts")) >= 1)
+      .select(col("doc_id"), element_at(col("ts"), 1).as("t"))
+    val flp = first.join(cw.withColumnRenamed("b", "t"), Seq("t"), "left")
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vsz))
+      .select(col("doc_id"),
+        log((coalesce(col("n1b"), lit(0L)) + 0.5) / pcDen)
+          .cast(LpDec).as("lp"))
+    val su = flp.groupBy("doc_id")
+      .agg(sum("lp").as("s1"), count(lit(1)).as("c1"))
+    val sb = bg.join(blp, Seq("a", "b"))
+      .groupBy("doc_id").agg(sum("lp").as("s2"), count(lit(1)).as("c2"))
+    report(
+      su.join(sb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("s1") + coalesce(col("s2"), lit(0).cast(LpDec))).as("slp"),
+          (col("c1") + coalesce(col("c2"), lit(0L))).as("n_tokens")))
+  }
 }

@@ -4037,6 +4037,50 @@ SELECT doc_id, n_tokens,
   round(exp(round(-(slp::DOUBLE)/n_tokens, 6)), 4) AS ppl_r
 FROM agg ORDER BY doc_id""")),
 
+    // Interpolated Kneser–Ney bigram perplexity — the canonical n-gram
+    // smoothing (D = 3/4; continuation distribution from distinct-
+    // continuation counts, add-K smoothed so doc-initial-only tokens
+    // keep support). Self-scoring keeps every KN term defined (nab ≥ 1,
+    // na ≥ 1); identical IEEE expression shape in both engines, then
+    // the DECIMAL(28,12) truncation makes per-doc sums order-free.
+    ("quality_perplexity_kn",
+      (s: SparkSession, d: String) =>
+        graft.ext.Lm.perplexityKn(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH tl AS (SELECT doc_id, $toksSql AS ts FROM documents),
+toks AS (SELECT doc_id, unnest(ts) AS t FROM tl),
+vt AS (SELECT count(DISTINCT t)::BIGINT AS vsz FROM toks),
+bg AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS a,
+              unnest(ts[2:len(ts)]) AS b FROM tl),
+cb AS (SELECT a, b, count(*)::BIGINT AS nab FROM bg GROUP BY a, b),
+cc AS (SELECT a, sum(nab)::BIGINT AS na, count(*)::BIGINT AS n1a
+       FROM cb GROUP BY a),
+cw AS (SELECT b, count(*)::BIGINT AS n1b FROM cb GROUP BY b),
+bt AS (SELECT count(*)::BIGINT AS btypes FROM cb),
+blp AS (SELECT cb.a, cb.b,
+  CAST(ln((nab - 0.75) / na
+          + (0.75 * n1a) / na
+            * ((n1b + 0.5) / (btypes + 0.5 * (vsz + 1))))
+       AS DECIMAL(28,12)) AS lp
+  FROM cb JOIN cc ON cb.a = cc.a JOIN cw ON cb.b = cw.b
+  CROSS JOIN bt CROSS JOIN vt),
+fst AS (SELECT doc_id, ts[1] AS t FROM tl WHERE len(ts) >= 1),
+flp AS (SELECT fst.doc_id,
+  CAST(ln((coalesce(cw.n1b, 0) + 0.5) / (btypes + 0.5 * (vsz + 1)))
+       AS DECIMAL(28,12)) AS lp
+  FROM fst LEFT JOIN cw ON fst.t = cw.b CROSS JOIN bt CROSS JOIN vt),
+su AS (SELECT doc_id, sum(lp) AS s1, count(*)::BIGINT AS c1
+       FROM flp GROUP BY doc_id),
+sb AS (SELECT bg.doc_id, sum(blp.lp) AS s2, count(*)::BIGINT AS c2
+  FROM bg JOIN blp ON bg.a = blp.a AND bg.b = blp.b GROUP BY bg.doc_id),
+agg AS (SELECT su.doc_id,
+  su.s1 + coalesce(sb.s2, CAST(0 AS DECIMAL(28,12))) AS slp,
+  su.c1 + coalesce(sb.c2, 0) AS n_tokens
+  FROM su LEFT JOIN sb ON su.doc_id = sb.doc_id)
+SELECT doc_id, n_tokens,
+  round(-(slp::DOUBLE)/n_tokens, 6) AS avg_nll_r,
+  round(exp(round(-(slp::DOUBLE)/n_tokens, 6)), 4) AS ppl_r
+FROM agg ORDER BY doc_id""")),
+
     // ----------------------------------------------------- BPE tokenizer
     // The learned-subword layer: a deterministic distributed BPE merge
     // learner (driver-paced fixpoint like `components`; state is the

@@ -63,6 +63,38 @@ class LmSpec extends SparkSuite {
     assert(bi(5L) > bi(0L), "bigram: the rare order costs more")
   }
 
+  test("Kneser–Ney: order-sensitive like add-k bigram, and the " +
+      "continuation distribution discounts high-frequency-one-context " +
+      "tokens where raw counts overrate them") {
+    // the classic KN motivation ("san francisco"): a token frequent in
+    // ONE context only should carry a LOW continuation probability even
+    // though its raw count is high. 'francisco' occurs 6 times but only
+    // ever after 'san' (N1+(·francisco)=1); 'end' occurs 4 times after
+    // 4 DIFFERENT contexts (N1+(·end)=4). The probe docs start with the
+    // probe token (scored under pc) and share an otherwise-identical
+    // rare bigram, so pc is the only discriminator.
+    val docs = docsOf(
+      "san francisco", "san francisco", "san francisco",
+      "san francisco", "san francisco", "san francisco",
+      "a end", "b end", "c end", "d end",
+      "francisco only", "end only")
+    val kn = Lm.perplexityKn(docs).select("doc_id", "ppl_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // docs 10 and 11 both start with a token seen 6+ raw times as a
+    // continuation... francisco: n1b = 1 (only after 'san'); end:
+    // n1b = 4 (after a,b,c,d). Both probe docs share the rare bigram
+    // '<x> only' (nab=1). KN must score 'end only' (diverse contexts)
+    // BETTER than 'francisco only' (one context), though raw counts
+    // say francisco (6) >> end (4).
+    assert(kn(11L) < kn(10L),
+      "diverse-context first token must beat one-context frequent token")
+    // and word order still matters end-to-end
+    val docs2 = docsOf("x y", "x y", "x y", "x y", "x y", "y x")
+    val kn2 = Lm.perplexityKn(docs2).select("doc_id", "ppl_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kn2(5L) > kn2(0L), "the rare order costs more under KN too")
+  }
+
   test("perplexity-gated corpus cleaning drops the gibberish the " +
       "heuristic gate admits") {
     val normal = (0 until 20).map(i =>
