@@ -38,6 +38,21 @@ class GraftSpec extends SparkSuite {
       s"memo-served annotation names unknown queries: $missing")
   }
 
+  test("query registry: no duplicate names (a dup would silently shadow " +
+      "in the Map), and every query carries an oracle") {
+    val names = graft.queries.ExtQueries.defs.map(_._1) ++
+      graft.queries.ParityQueries.defs.map(_._1) ++
+      graft.queries.AnalyticsQueries.defs.map(_._1) ++
+      graft.queries.BehaviorQueries.defs.map(_._1)
+    val dups = names.groupBy(identity).collect {
+      case (n, g) if g.size > 1 => n
+    }
+    assert(dups.isEmpty, s"duplicate registry names: $dups")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without a DuckDB oracle (rows-only): $noOracle")
+  }
+
   test("registerViews exposes fixture, CDC, and activity views for SQL") {
     Graft.registerViews(spark, "/root/testdata/sf0.001")
     val page = spark.sql(
