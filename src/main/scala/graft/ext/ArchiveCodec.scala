@@ -123,14 +123,18 @@ object ArchiveCodec {
         val want = parseOctal(h, 148, 8).getOrElse(return None)
         if (want != sum) return None
         val size = parseOctal(h, 124, 12).getOrElse(return None)
-        if (size > Int.MaxValue) return None
+        // bound by the BUFFER, not Int.MaxValue: `(size.toInt+511)/512`
+        // overflowed for sizes near 2^31, wrapping the truncation guard
+        // and attempting a 2 GB allocation from a 1.5 KB input
+        // (review r15 overflow hardening — all arithmetic in Long)
+        if (size > bytes.length.toLong) return None
         var nameEnd = 0
         while (nameEnd < 100 && h(nameEnd) != 0) nameEnd += 1
         val name = new String(h, 0, nameEnd, "ISO-8859-1")
         if (name.isEmpty) return None
         val dataStart = pos + 512
-        val padded = ((size.toInt + 511) / 512) * 512
-        if (dataStart + padded > bytes.length) return None
+        val padded = (((size + 511L) / 512L) * 512L).toInt
+        if (dataStart.toLong + padded > bytes.length) return None
         val data =
           java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + size.toInt)
         // padding must be zero (a smuggled byte is corruption)
@@ -150,19 +154,13 @@ object ArchiveCodec {
   // ZIP
   // ------------------------------------------------------------------
 
-  private def le16(b: Array[Byte], p: Int): Int =
-    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], p: Int): Long =
-    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
-      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-
-  private def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
-    o.write(v & 0xff); o.write((v >> 8) & 0xff)
-  }
-  private def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
-    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
-    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
-  }
+  // LE byte helpers live once in [[Le]] (shared with WebCodec)
+  private def le16(b: Array[Byte], p: Int): Int = Le.le16(b, p)
+  private def le32(b: Array[Byte], p: Int): Long = Le.le32(b, p)
+  private def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit =
+    Le.w16(o, v)
+  private def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit =
+    Le.w32(o, v)
 
   /** Serialize entries; `deflate(i)` picks method 8 (raw Deflater) vs 0
     * (STORED) per entry. */
@@ -229,6 +227,11 @@ object ArchiveCodec {
     if (cdStart + cdSize != ep.toLong) return None
     var cp = cdStart.toInt
     val out = Vector.newBuilder[Entry]
+    // every local entry's [header, data] span; the spans must tile
+    // [0, cdStart) exactly — smuggled bytes between entries poison,
+    // matching tarParse's zero-padding strictness and the documented
+    // "trailing bytes anywhere poison" contract (review r15)
+    val spans = Vector.newBuilder[(Int, Int)]
     var i = 0
     while (i < n) {
       if (cp + 46 > ep) return None
@@ -236,27 +239,41 @@ object ArchiveCodec {
       val method = le16(bytes, cp + 10)
       if (method != 0 && method != 8) return None
       val crcWant = le32(bytes, cp + 16)
-      val csize = le32(bytes, cp + 20).toInt
-      val usize = le32(bytes, cp + 24).toInt
+      // 32-bit fields stay LONG until range-checked against the buffer:
+      // a signed .toInt made 0x80000000+ values negative, slipping past
+      // the bound guards into copyOfRange/le32 crashes (review r15 —
+      // reachable by a single-byte mutation of a valid archive)
+      val csizeL = le32(bytes, cp + 20)
+      val usizeL = le32(bytes, cp + 24)
       val nameLen = le16(bytes, cp + 28)
       val extraLen = le16(bytes, cp + 30)
       val commentLen = le16(bytes, cp + 32)
-      val lho = le32(bytes, cp + 42).toInt
+      val lhoL = le32(bytes, cp + 42)
+      // csize is physical bytes in THIS buffer; usize only needs to fit
+      // an Int (a compressed archive is legitimately smaller than its
+      // contents) — the inflate loop below caps output at usize, so a
+      // lying header cannot zip-bomb the decoder either
+      if (csizeL > bytes.length.toLong || usizeL > Int.MaxValue.toLong ||
+          lhoL > cdStart) return None
+      val csize = csizeL.toInt
+      val usize = usizeL.toInt
+      val lho = lhoL.toInt
       if (cp + 46 + nameLen > ep) return None
       val name = new String(bytes, cp + 46, nameLen, "ISO-8859-1")
       // local header agreement
-      if (lho + 30 + nameLen > cdStart) return None
+      if (lhoL + 30 + nameLen > cdStart) return None
       if (le32(bytes, lho) != 0x04034b50L) return None
       if (le16(bytes, lho + 8) != method) return None
       if (le32(bytes, lho + 14) != crcWant) return None
-      if (le32(bytes, lho + 18).toInt != csize) return None
-      if (le32(bytes, lho + 22).toInt != usize) return None
+      if (le32(bytes, lho + 18) != csizeL) return None
+      if (le32(bytes, lho + 22) != usizeL) return None
       if (le16(bytes, lho + 26) != nameLen) return None
       val lExtra = le16(bytes, lho + 28)
       if (new String(bytes, lho + 30, nameLen, "ISO-8859-1") != name)
         return None
       val dataStart = lho + 30 + nameLen + lExtra
-      if (dataStart + csize > cdStart) return None
+      if (dataStart.toLong + csizeL > cdStart) return None
+      spans += ((lho, dataStart + csize))
       val comp = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + csize)
       val data =
         if (method == 0) comp
@@ -275,8 +292,11 @@ object ArchiveCodec {
                 catch {
                   case _: java.util.zip.DataFormatException => return None
                 }
-              if (k > 0) o.write(buf, 0, k)
-              else if (inf.needsInput()) return None
+              if (k > 0) {
+                o.write(buf, 0, k)
+                // zip-bomb cap: never inflate past the declared usize
+                if (o.size() > usize) return None
+              } else if (inf.needsInput()) return None
             }
             if (inf.getRemaining > 1) return None // compressed overrun
           } finally inf.end()
@@ -290,6 +310,13 @@ object ArchiveCodec {
       i += 1
     }
     if (cp != ep) return None // central directory must end at EOCD
+    val sorted = spans.result().sortBy(_._1)
+    var at = 0
+    for ((s, e) <- sorted) {
+      if (s != at) return None // gap or overlap before this entry
+      at = e
+    }
+    if (at.toLong != cdStart) return None // bytes between data and CD
     Some(out.result())
   }
 

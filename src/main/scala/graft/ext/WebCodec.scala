@@ -56,6 +56,7 @@ object WebCodec {
     var pos = 0
     val out = Vector.newBuilder[Array[Byte]]
     while (pos < bytes.length) {
+      val memberStart = pos
       if (pos + 10 > bytes.length) return None
       if ((bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b)
         return None
@@ -81,8 +82,13 @@ object WebCodec {
         pos += 1
       }
       if ((flg & FHCRC) != 0) {
+        // RFC 1952: CRC16 = low 16 bits of the CRC32 over every header
+        // byte so far — VERIFIED, not skipped (review r15)
+        if (pos + 2 > bytes.length) return None
+        val hc = new CRC32(); hc.update(bytes, memberStart, pos - memberStart)
+        val want = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+        if ((hc.getValue & 0xffffL).toInt != want) return None
         pos += 2
-        if (pos > bytes.length) return None
       }
       // raw DEFLATE body: JDK Inflater in nowrap mode (house precedent:
       // PngCodec's zlib inflate). Feed the remainder; the inflater tells
@@ -114,14 +120,9 @@ object WebCodec {
     Some(out.result())
   }
 
-  private def le32(b: Array[Byte], p: Int): Long =
-    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
-      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-
-  private def le32put(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
-    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
-    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
-  }
+  private def le32(b: Array[Byte], p: Int): Long = Le.le32(b, p)
+  private def le32put(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+    Le.w32(out, v)
 
   /** One gzip member holding `data` as hand-rolled STORED deflate blocks
     * (fully deterministic: no compressor involved — the same legal-
@@ -181,6 +182,21 @@ object WebCodec {
 
   private val CRLF = "\r\n"
 
+  /** Strict bounded decimal parse: digits only, no sign, and the value
+    * must fit an Int AND not exceed `cap` — anything else is None
+    * rather than a NumberFormatException (the never-throw contract). */
+  private def parseDecimal(value: String, cap: Long): Option[Int] = {
+    if (value.isEmpty || !value.forall(_.isDigit)) return None
+    var v = 0L
+    var i = 0
+    while (i < value.length) {
+      v = v * 10 + (value.charAt(i) - '0')
+      if (v > cap || v > Int.MaxValue) return None
+      i += 1
+    }
+    Some(v.toInt)
+  }
+
   /** Parse one record starting at `pos`; returns (record, nextPos) or
     * None on any grammar violation. */
   private def parseRecord(
@@ -217,14 +233,19 @@ object WebCodec {
             case "WARC-Type" => warcType = value
             case "WARC-Target-URI" => uri = value
             case "Content-Length" =>
-              if (!value.forall(_.isDigit) || value.isEmpty) return None
-              clen = value.toInt
+              // digits-only AND in-range: a 10+-digit value must poison,
+              // not throw from toInt; any value beyond the buffer can be
+              // rejected immediately (review r15: overflow hardening)
+              parseDecimal(value, b.length.toLong) match {
+                case Some(v) => clen = v
+                case None => return None
+              }
             case _ => () // other headers carried but not interpreted
           }
       }
     }
     if (warcType == null || uri == null || clen < 0) return None
-    if (pos + clen + 4 > b.length) return None
+    if (pos.toLong + clen + 4 > b.length) return None
     val payload = java.util.Arrays.copyOfRange(b, pos, pos + clen)
     pos += clen
     // mandatory two-CRLF record terminator
@@ -303,9 +324,11 @@ object WebCodec {
           if (k <= 0) return None
           line.substring(0, k) match {
             case "Content-Length" =>
-              val v = line.substring(k + 1).trim
-              if (!v.forall(_.isDigit) || v.isEmpty) return None
-              clen = v.toInt
+              parseDecimal(line.substring(k + 1).trim,
+                payload.length.toLong) match {
+                case Some(v) => clen = v
+                case None => return None
+              }
             case "Transfer-Encoding" =>
               if (line.substring(k + 1).trim.toLowerCase != "chunked")
                 return None // unknown codings unsupported → poison
@@ -331,7 +354,7 @@ object WebCodec {
               payload(pos) != '\r' || payload(pos + 1) != '\n') return None
           return Some((status, body.toByteArray))
         }
-        if (pos + n + 2 > payload.length) return None
+        if (pos.toLong + n + 2 > payload.length) return None
         body.write(payload, pos, n)
         pos += n
         if (payload(pos) != '\r' || payload(pos + 1) != '\n') return None
@@ -759,5 +782,23 @@ object WebCodec {
       when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
     Seq("url_norm" -> norm, "scheme" -> scheme, "host" -> host,
       "path" -> path, "qs" -> query, "domain" -> domain)
+  }
+}
+
+/** Little-endian byte helpers shared by the ingestion codecs (gzip
+  * trailers, zip headers) — one copy, package-private (review r15:
+  * WebCodec and ArchiveCodec each carried an identical private set). */
+private[ext] object Le {
+  def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  def le32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+  def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
   }
 }

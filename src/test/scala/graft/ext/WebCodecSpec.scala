@@ -155,6 +155,48 @@ class WebCodecSpec extends SparkSuite {
     }
   }
 
+  test("overflow hardening (review r15): oversized length fields poison " +
+      "instead of throwing or allocating") {
+    // WARC Content-Length: >Int digits used to throw NumberFormatException;
+    // near-Int.MaxValue values used to wrap the bound check into
+    // copyOfRange crashes
+    def warcWith(cl: String): Array[Byte] =
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        s"Content-Length: $cl\r\n\r\nx\r\n\r\n").getBytes("ISO-8859-1")
+    assert(parseWarc(warcWith("99999999999")).isEmpty)
+    assert(parseWarc(warcWith("2147483640")).isEmpty)
+    assert(parseWarc(warcWith("4294967295")).isEmpty)
+    // HTTP Content-Length: same two families
+    def httpWith(cl: String): Array[Byte] =
+      s"HTTP/1.1 200 OK\r\nContent-Length: $cl\r\n\r\nhi".getBytes("ISO-8859-1")
+    assert(parseHttpResponse(httpWith("99999999999")).isEmpty)
+    assert(parseHttpResponse(httpWith("2147483640")).isEmpty)
+    // chunked: a 7fffffff size line used to wrap the bound check into
+    // body.write crashing
+    assert(parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "7fffffff\r\nhi\r\n0\r\n\r\n").getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("gzip FHCRC header checksum is verified, not skipped (review r15)") {
+    // build a member with FHCRC set and the correct RFC 1952 CRC16
+    val payload = "fhcrc payload".getBytes("ISO-8859-1")
+    val base = gzipStored(payload)
+    val withHcrc = new java.io.ByteArrayOutputStream()
+    withHcrc.write(base, 0, 3)
+    withHcrc.write(base(3) | 2) // set FHCRC
+    withHcrc.write(base, 4, 6) // MTIME, XFL, OS
+    val hdr = withHcrc.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(hdr)
+    val c16 = (crc.getValue & 0xffffL).toInt
+    withHcrc.write(c16 & 0xff); withHcrc.write((c16 >> 8) & 0xff)
+    withHcrc.write(base, 10, base.length - 10) // deflate body + trailer
+    val good = withHcrc.toByteArray
+    assert(gunzipMembers(good).exists(_.head.sameElements(payload)))
+    val bad = good.clone(); bad(10) = (bad(10) ^ 1).toByte // corrupt CRC16
+    assert(gunzipMembers(bad).isEmpty)
+  }
+
   // ----------------------------------------- JVM twin ↔ Column lockstep
 
   test("htmlCol/urlCol are exact Column twins of buildHtml/buildUrl") {
