@@ -299,4 +299,98 @@ object Lm {
           (col("s1") + coalesce(col("s2"), lit(0).cast(LpDec))).as("slp"),
           (col("c1") + coalesce(col("c2"), lit(0L))).as("n_tokens")))
   }
+
+  /** Trigram interpolated Kneser–Ney — the full recursive chain:
+    *
+    *   p3(c|a,b) = (n(abc) − D)/n(ab·) + D·N1+(ab·)/n(ab·) · p2(c|b)
+    *
+    * with p2 EXACTLY [[perplexityKn]]'s bigram level (raw counts
+    * interpolated into the smoothed continuation distribution — using
+    * the raw-count rather than the continuation-count middle order is
+    * the documented deviation that keeps every denominator ≥ 1 under
+    * self-scoring: n(ab·) ≥ 1 because the scored trigram itself
+    * witnesses it, n(b·) ≥ 1 because bigram (b,c) exists). Per doc:
+    * token 1 under pc, token 2 under p2, tokens 3.. under p3. The p2
+    * probability is materialized as ONE double column and reused by
+    * both the second-token scores and the trigram interpolation, so
+    * both engines compose the identical IEEE value; ln then truncates
+    * to DECIMAL(28,12) as everywhere in this file. */
+  def perplexityKn3(docs: DataFrame): DataFrame = {
+    val D = 0.75
+    val tl = tokensOf(docs)
+    val toks = tl.select(col("doc_id"), explode(col("ts")).as("t"))
+    val vsz = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("vsz"))
+    val bg = tl
+      .select(col("doc_id"),
+        explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(
+              element_at(col("ts"), i).as("a"),
+              element_at(col("ts"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")))
+          .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val tg = tl
+      .select(col("doc_id"),
+        explode(when(size(col("ts")) >= 3,
+          transform(sequence(lit(1), size(col("ts")) - 2),
+            i => struct(
+              element_at(col("ts"), i).as("a"),
+              element_at(col("ts"), i + 1).as("b"),
+              element_at(col("ts"), i + 2).as("c"))))
+          .otherwise(array()
+            .cast("array<struct<a:string,b:string,c:string>>")))
+          .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.c").as("c"))
+    val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val cc = cb.groupBy("a")
+      .agg(sum("nab").as("na"), count(lit(1)).as("n1a"))
+    val cw = cb.groupBy("b").agg(count(lit(1)).as("n1b"))
+    val btot = cb.agg(count(lit(1)).as("btypes"))
+    val pcDen = col("btypes") + lit(0.5) * (col("vsz") + 1)
+    // the bigram KN probability as a reusable DOUBLE column
+    val p2tab = cb.join(cc, "a").join(cw, "b")
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vsz))
+      .select(col("a"), col("b"),
+        ((col("nab") - D) / col("na")
+          + (lit(D) * col("n1a")) / col("na")
+            * ((col("n1b") + 0.5) / pcDen)).as("p2"))
+    val t3 = tg.groupBy("a", "b", "c").agg(count(lit(1)).as("nabc"))
+    val t3c = t3.groupBy("a", "b")
+      .agg(sum("nabc").as("nabdot"), count(lit(1)).as("n1ab"))
+    val tlp = t3.join(t3c, Seq("a", "b"))
+      .join(p2tab.select(col("a").as("b"), col("b").as("c"), col("p2")),
+        Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"),
+        log((col("nabc") - D) / col("nabdot")
+          + (lit(D) * col("n1ab")) / col("nabdot") * col("p2"))
+          .cast(LpDec).as("lp"))
+    val blp2 = p2tab.select(col("a"), col("b"),
+      log(col("p2")).cast(LpDec).as("lp"))
+    val first = tl.where(size(col("ts")) >= 1)
+      .select(col("doc_id"), element_at(col("ts"), 1).as("t"))
+    val flp = first.join(cw.withColumnRenamed("b", "t"), Seq("t"), "left")
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(vsz))
+      .select(col("doc_id"),
+        log((coalesce(col("n1b"), lit(0L)) + 0.5) / pcDen)
+          .cast(LpDec).as("lp"))
+    val second = tl.where(size(col("ts")) >= 2)
+      .select(col("doc_id"), element_at(col("ts"), 1).as("a"),
+        element_at(col("ts"), 2).as("b"))
+    val s1 = flp.groupBy("doc_id")
+      .agg(sum("lp").as("s1"), count(lit(1)).as("c1"))
+    val s2 = second.join(blp2, Seq("a", "b"))
+      .groupBy("doc_id").agg(sum("lp").as("s2"), count(lit(1)).as("c2"))
+    val s3 = tg.join(tlp, Seq("a", "b", "c"))
+      .groupBy("doc_id").agg(sum("lp").as("s3"), count(lit(1)).as("c3"))
+    report(
+      s1.join(s2, Seq("doc_id"), "left").join(s3, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("s1") + coalesce(col("s2"), lit(0).cast(LpDec))
+            + coalesce(col("s3"), lit(0).cast(LpDec))).as("slp"),
+          (col("c1") + coalesce(col("c2"), lit(0L))
+            + coalesce(col("c3"), lit(0L))).as("n_tokens")))
+  }
 }

@@ -4081,6 +4081,69 @@ SELECT doc_id, n_tokens,
   round(exp(round(-(slp::DOUBLE)/n_tokens, 6)), 4) AS ppl_r
 FROM agg ORDER BY doc_id""")),
 
+    // The full trigram KN chain: p3 interpolates into the SAME bigram
+    // KN probability (materialized once as a double column, reused by
+    // second-token scores and the trigram backoff — both engines
+    // compose the identical IEEE value), which interpolates into the
+    // smoothed continuation distribution. Raw-count middle order is the
+    // documented deviation keeping every denominator >= 1 under
+    // self-scoring. Token 1 under pc, token 2 under p2, rest under p3.
+    ("quality_perplexity_kn3",
+      (s: SparkSession, d: String) =>
+        graft.ext.Lm.perplexityKn3(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH tl AS (SELECT doc_id, $toksSql AS ts FROM documents),
+toks AS (SELECT doc_id, unnest(ts) AS t FROM tl),
+vt AS (SELECT count(DISTINCT t)::BIGINT AS vsz FROM toks),
+bg AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS a,
+              unnest(ts[2:len(ts)]) AS b FROM tl),
+tg AS (SELECT doc_id, unnest(ts[1:len(ts)-2]) AS a,
+              unnest(ts[2:len(ts)-1]) AS b,
+              unnest(ts[3:len(ts)]) AS c FROM tl WHERE len(ts) >= 3),
+cb AS (SELECT a, b, count(*)::BIGINT AS nab FROM bg GROUP BY a, b),
+cc AS (SELECT a, sum(nab)::BIGINT AS na, count(*)::BIGINT AS n1a
+       FROM cb GROUP BY a),
+cw AS (SELECT b, count(*)::BIGINT AS n1b FROM cb GROUP BY b),
+bt AS (SELECT count(*)::BIGINT AS btypes FROM cb),
+p2tab AS (SELECT cb.a, cb.b,
+    (nab - 0.75) / na
+      + (0.75 * n1a) / na * ((n1b + 0.5) / (btypes + 0.5 * (vsz + 1)))
+      AS p2
+  FROM cb JOIN cc ON cb.a = cc.a JOIN cw ON cb.b = cw.b
+  CROSS JOIN bt CROSS JOIN vt),
+t3 AS (SELECT a, b, c, count(*)::BIGINT AS nabc FROM tg GROUP BY a, b, c),
+t3c AS (SELECT a, b, sum(nabc)::BIGINT AS nabdot,
+               count(*)::BIGINT AS n1ab FROM t3 GROUP BY a, b),
+tlp AS (SELECT t3.a, t3.b, t3.c,
+    CAST(ln((nabc - 0.75) / nabdot
+            + (0.75 * n1ab) / nabdot * p.p2) AS DECIMAL(28,12)) AS lp
+  FROM t3 JOIN t3c ON t3.a = t3c.a AND t3.b = t3c.b
+  JOIN p2tab p ON p.a = t3.b AND p.b = t3.c),
+blp2 AS (SELECT a, b, CAST(ln(p2) AS DECIMAL(28,12)) AS lp FROM p2tab),
+fst AS (SELECT doc_id, ts[1] AS t FROM tl WHERE len(ts) >= 1),
+flp AS (SELECT fst.doc_id,
+    CAST(ln((coalesce(cw.n1b, 0) + 0.5) / (btypes + 0.5 * (vsz + 1)))
+         AS DECIMAL(28,12)) AS lp
+  FROM fst LEFT JOIN cw ON fst.t = cw.b CROSS JOIN bt CROSS JOIN vt),
+snd AS (SELECT doc_id, ts[1] AS a, ts[2] AS b FROM tl WHERE len(ts) >= 2),
+s1 AS (SELECT doc_id, sum(lp) AS s1, count(*)::BIGINT AS c1
+       FROM flp GROUP BY doc_id),
+s2 AS (SELECT snd.doc_id, sum(blp2.lp) AS s2, count(*)::BIGINT AS c2
+  FROM snd JOIN blp2 ON snd.a = blp2.a AND snd.b = blp2.b
+  GROUP BY snd.doc_id),
+s3 AS (SELECT tg.doc_id, sum(tlp.lp) AS s3, count(*)::BIGINT AS c3
+  FROM tg JOIN tlp ON tg.a = tlp.a AND tg.b = tlp.b AND tg.c = tlp.c
+  GROUP BY tg.doc_id),
+agg AS (SELECT s1.doc_id,
+  s1.s1 + coalesce(s2.s2, CAST(0 AS DECIMAL(28,12)))
+        + coalesce(s3.s3, CAST(0 AS DECIMAL(28,12))) AS slp,
+  s1.c1 + coalesce(s2.c2, 0) + coalesce(s3.c3, 0) AS n_tokens
+  FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id
+  LEFT JOIN s3 ON s1.doc_id = s3.doc_id)
+SELECT doc_id, n_tokens,
+  round(-(slp::DOUBLE)/n_tokens, 6) AS avg_nll_r,
+  round(exp(round(-(slp::DOUBLE)/n_tokens, 6)), 4) AS ppl_r
+FROM agg ORDER BY doc_id""")),
+
     // ----------------------------------------------------- BPE tokenizer
     // The learned-subword layer: a deterministic distributed BPE merge
     // learner (driver-paced fixpoint like `components`; state is the

@@ -95,6 +95,28 @@ class LmSpec extends SparkSuite {
     assert(kn2(5L) > kn2(0L), "the rare order costs more under KN too")
   }
 
+  test("trigram KN sees third-order structure the bigram level cannot: " +
+      "a rare trigram over common bigrams costs more under kn3") {
+    // corpus: 'x y z' x5, 'w y q' x5, probe 'x y q' x1. At the bigram
+    // level the probe is unremarkable ((x,y) 6 occurrences, (y,q) 6);
+    // at the trigram level (x,y,q) occurs once vs (x,y,z) five times.
+    val docs = docsOf(
+      "x y z", "x y z", "x y z", "x y z", "x y z",
+      "w y q", "w y q", "w y q", "w y q", "w y q",
+      "x y q")
+    val kn3 = Lm.perplexityKn3(docs).select("doc_id", "ppl_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kn2 = Lm.perplexityKn(docs).select("doc_id", "ppl_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kn3(10L) > kn3(0L), "rare trigram must cost more under kn3")
+    // the discrimination ratio must be driven by the trigram order:
+    // bigram KN sees near-identical statistics for the two docs
+    val gap3 = kn3(10L) / kn3(0L)
+    val gap2 = kn2(10L) / kn2(0L)
+    assert(gap3 > gap2 * 1.1,
+      s"third-order structure must add discrimination (kn3 $gap3 vs kn2 $gap2)")
+  }
+
   test("perplexity-gated corpus cleaning drops the gibberish the " +
       "heuristic gate admits") {
     val normal = (0 until 20).map(i =>
