@@ -133,8 +133,11 @@ object ArchiveCodec {
         val name = new String(h, 0, nameEnd, "ISO-8859-1")
         if (name.isEmpty) return None
         val dataStart = pos + 512
-        val padded = (((size + 511L) / 512L) * 512L).toInt
-        if (dataStart.toLong + padded > bytes.length) return None
+        // padded stays LONG through the guard (a ~2 GB buffer with a
+        // near-2^31 size wrapped the Int form; review r15 second pass)
+        val paddedL = ((size + 511L) / 512L) * 512L
+        if (dataStart.toLong + paddedL > bytes.length) return None
+        val padded = paddedL.toInt
         val data =
           java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + size.toInt)
         // padding must be zero (a smuggled byte is corruption)
@@ -258,7 +261,7 @@ object ArchiveCodec {
       val csize = csizeL.toInt
       val usize = usizeL.toInt
       val lho = lhoL.toInt
-      if (cp + 46 + nameLen > ep) return None
+      if (cp.toLong + 46 + nameLen > ep) return None
       val name = new String(bytes, cp + 46, nameLen, "ISO-8859-1")
       // local header agreement
       if (lhoL + 30 + nameLen > cdStart) return None
@@ -269,10 +272,18 @@ object ArchiveCodec {
       if (le32(bytes, lho + 22) != usizeL) return None
       if (le16(bytes, lho + 26) != nameLen) return None
       val lExtra = le16(bytes, lho + 28)
+      // central/local agreement extends to the extra-field LENGTH; the
+      // field's content is opaque declared metadata (the gzip-FNAME
+      // posture), but an extra field declared only locally was a 64 KB
+      // smuggling channel inside the covered span (review r15 2nd pass)
+      if (lExtra != extraLen) return None
       if (new String(bytes, lho + 30, nameLen, "ISO-8859-1") != name)
         return None
-      val dataStart = lho + 30 + nameLen + lExtra
-      if (dataStart.toLong + csizeL > cdStart) return None
+      // Long until guarded: lho+30+nameLen+lExtra can wrap for ~2 GB
+      // archives (review r15 second pass)
+      val dataStartL = lhoL + 30L + nameLen + lExtra
+      if (dataStartL + csizeL > cdStart) return None
+      val dataStart = dataStartL.toInt
       spans += ((lho, dataStart + csize))
       val comp = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + csize)
       val data =

@@ -253,9 +253,20 @@ object Lm {
     * Scale: the same pair-keyed shuffles as [[perplexityBigram]] plus
     * two distinct-continuation aggregates of the bigram-type frame —
     * nothing corpus-global beyond two broadcastable scalar frames. */
-  def perplexityKn(docs: DataFrame): DataFrame = {
-    val D = 0.75
-    val tl = tokensOf(docs)
+  /** The KN discount (D = 3/4, textbook). */
+  private val KnD = 0.75
+
+  /** Bigram-level KN building blocks shared STRUCTURALLY by
+    * [[perplexityKn]] and [[perplexityKn3]] — one definition site, so
+    * the "p2 is EXACTLY the bigram level" invariant cannot drift by
+    * copy-paste (review r15 second pass). */
+  private case class KnFrames(bg: DataFrame, cb: DataFrame,
+      cw: DataFrame, btot: DataFrame, vsz: DataFrame, p2tab: DataFrame)
+
+  private def knPcDen: org.apache.spark.sql.Column =
+    col("btypes") + lit(0.5) * (col("vsz") + 1)
+
+  private def knFrames(tl: DataFrame): KnFrames = {
     val toks = tl.select(col("doc_id"), explode(col("ts")).as("t"))
     val vsz = toks.groupBy("t").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("vsz"))
@@ -274,24 +285,37 @@ object Lm {
       .agg(sum("nab").as("na"), count(lit(1)).as("n1a"))
     val cw = cb.groupBy("b").agg(count(lit(1)).as("n1b"))
     val btot = cb.agg(count(lit(1)).as("btypes"))
-    val pcDen = col("btypes") + lit(0.5) * (col("vsz") + 1)
-    val blp = cb.join(cc, "a").join(cw, "b")
+    // the bigram KN probability as ONE reusable DOUBLE column — both
+    // engines (and both KN orders) compose the identical IEEE value
+    val p2tab = cb.join(cc, "a").join(cw, "b")
       .crossJoin(broadcast(btot)).crossJoin(broadcast(vsz))
       .select(col("a"), col("b"),
-        log((col("nab") - D) / col("na")
-          + (lit(D) * col("n1a")) / col("na")
-            * ((col("n1b") + 0.5) / pcDen))
-          .cast(LpDec).as("lp"))
+        ((col("nab") - KnD) / col("na")
+          + (lit(KnD) * col("n1a")) / col("na")
+            * ((col("n1b") + 0.5) / knPcDen)).as("p2"))
+    KnFrames(bg, cb, cw, btot, vsz, p2tab)
+  }
+
+  /** First-token scores under the smoothed continuation distribution
+    * (LEFT join: a doc-initial-only token has no continuation row). */
+  private def knFirstLp(tl: DataFrame, f: KnFrames): DataFrame = {
     val first = tl.where(size(col("ts")) >= 1)
       .select(col("doc_id"), element_at(col("ts"), 1).as("t"))
-    val flp = first.join(cw.withColumnRenamed("b", "t"), Seq("t"), "left")
-      .crossJoin(broadcast(btot)).crossJoin(broadcast(vsz))
+    first.join(f.cw.withColumnRenamed("b", "t"), Seq("t"), "left")
+      .crossJoin(broadcast(f.btot)).crossJoin(broadcast(f.vsz))
       .select(col("doc_id"),
-        log((coalesce(col("n1b"), lit(0L)) + 0.5) / pcDen)
+        log((coalesce(col("n1b"), lit(0L)) + 0.5) / knPcDen)
           .cast(LpDec).as("lp"))
-    val su = flp.groupBy("doc_id")
+  }
+
+  def perplexityKn(docs: DataFrame): DataFrame = {
+    val tl = tokensOf(docs)
+    val f = knFrames(tl)
+    val blp = f.p2tab.select(col("a"), col("b"),
+      log(col("p2")).cast(LpDec).as("lp"))
+    val su = knFirstLp(tl, f).groupBy("doc_id")
       .agg(sum("lp").as("s1"), count(lit(1)).as("c1"))
-    val sb = bg.join(blp, Seq("a", "b"))
+    val sb = f.bg.join(blp, Seq("a", "b"))
       .groupBy("doc_id").agg(sum("lp").as("s2"), count(lit(1)).as("c2"))
     report(
       su.join(sb, Seq("doc_id"), "left")
@@ -316,21 +340,9 @@ object Lm {
     * both engines compose the identical IEEE value; ln then truncates
     * to DECIMAL(28,12) as everywhere in this file. */
   def perplexityKn3(docs: DataFrame): DataFrame = {
-    val D = 0.75
+    val D = KnD
     val tl = tokensOf(docs)
-    val toks = tl.select(col("doc_id"), explode(col("ts")).as("t"))
-    val vsz = toks.groupBy("t").agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("vsz"))
-    val bg = tl
-      .select(col("doc_id"),
-        explode(when(size(col("ts")) >= 2,
-          transform(sequence(lit(1), size(col("ts")) - 1),
-            i => struct(
-              element_at(col("ts"), i).as("a"),
-              element_at(col("ts"), i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>")))
-          .as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val f = knFrames(tl)
     val tg = tl
       .select(col("doc_id"),
         explode(when(size(col("ts")) >= 3,
@@ -344,42 +356,22 @@ object Lm {
           .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"),
         col("p.c").as("c"))
-    val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("nab"))
-    val cc = cb.groupBy("a")
-      .agg(sum("nab").as("na"), count(lit(1)).as("n1a"))
-    val cw = cb.groupBy("b").agg(count(lit(1)).as("n1b"))
-    val btot = cb.agg(count(lit(1)).as("btypes"))
-    val pcDen = col("btypes") + lit(0.5) * (col("vsz") + 1)
-    // the bigram KN probability as a reusable DOUBLE column
-    val p2tab = cb.join(cc, "a").join(cw, "b")
-      .crossJoin(broadcast(btot)).crossJoin(broadcast(vsz))
-      .select(col("a"), col("b"),
-        ((col("nab") - D) / col("na")
-          + (lit(D) * col("n1a")) / col("na")
-            * ((col("n1b") + 0.5) / pcDen)).as("p2"))
     val t3 = tg.groupBy("a", "b", "c").agg(count(lit(1)).as("nabc"))
     val t3c = t3.groupBy("a", "b")
       .agg(sum("nabc").as("nabdot"), count(lit(1)).as("n1ab"))
     val tlp = t3.join(t3c, Seq("a", "b"))
-      .join(p2tab.select(col("a").as("b"), col("b").as("c"), col("p2")),
+      .join(f.p2tab.select(col("a").as("b"), col("b").as("c"), col("p2")),
         Seq("b", "c"))
       .select(col("a"), col("b"), col("c"),
         log((col("nabc") - D) / col("nabdot")
           + (lit(D) * col("n1ab")) / col("nabdot") * col("p2"))
           .cast(LpDec).as("lp"))
-    val blp2 = p2tab.select(col("a"), col("b"),
+    val blp2 = f.p2tab.select(col("a"), col("b"),
       log(col("p2")).cast(LpDec).as("lp"))
-    val first = tl.where(size(col("ts")) >= 1)
-      .select(col("doc_id"), element_at(col("ts"), 1).as("t"))
-    val flp = first.join(cw.withColumnRenamed("b", "t"), Seq("t"), "left")
-      .crossJoin(broadcast(btot)).crossJoin(broadcast(vsz))
-      .select(col("doc_id"),
-        log((coalesce(col("n1b"), lit(0L)) + 0.5) / pcDen)
-          .cast(LpDec).as("lp"))
     val second = tl.where(size(col("ts")) >= 2)
       .select(col("doc_id"), element_at(col("ts"), 1).as("a"),
         element_at(col("ts"), 2).as("b"))
-    val s1 = flp.groupBy("doc_id")
+    val s1 = knFirstLp(tl, f).groupBy("doc_id")
       .agg(sum("lp").as("s1"), count(lit(1)).as("c1"))
     val s2 = second.join(blp2, Seq("a", "b"))
       .groupBy("doc_id").agg(sum("lp").as("s2"), count(lit(1)).as("c2"))

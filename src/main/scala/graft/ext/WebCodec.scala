@@ -186,7 +186,11 @@ object WebCodec {
     * must fit an Int AND not exceed `cap` — anything else is None
     * rather than a NumberFormatException (the never-throw contract). */
   private def parseDecimal(value: String, cap: Long): Option[Int] = {
-    if (value.isEmpty || !value.forall(_.isDigit)) return None
+    // ASCII '0'..'9' ONLY — Char.isDigit also admits Unicode decimal
+    // digits (U+0663 …) whose charAt-'0' arithmetic would be garbage
+    // (review r15 second pass)
+    if (value.isEmpty ||
+        !value.forall(c => c >= '0' && c <= '9')) return None
     var v = 0L
     var i = 0
     while (i < value.length) {
