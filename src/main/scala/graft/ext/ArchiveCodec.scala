@@ -168,6 +168,11 @@ object ArchiveCodec {
   /** Serialize entries; `deflate(i)` picks method 8 (raw Deflater) vs 0
     * (STORED) per entry. */
   def zipBuild(entries: Seq[Entry], deflate: Int => Boolean): Array[Byte] = {
+    // EOCD entry counts are 16-bit; silently wrapping >65535 would emit
+    // an archive the hardened zipParse rejects (or truncates) — refuse
+    // loudly on the build side, mirroring tarHeader's name-length require
+    require(entries.length <= 0xffff,
+      s"zip entry count ${entries.length} exceeds the 16-bit EOCD field")
     val out = new java.io.ByteArrayOutputStream()
     val centrals = Vector.newBuilder[Array[Byte]]
     entries.zipWithIndex.foreach { case (e, i) =>

@@ -178,7 +178,8 @@ object WebCodec {
   // ------------------------------------------------------------------
 
   final case class WarcRecord(
-      warcType: String, targetUri: String, payload: Array[Byte])
+      warcType: String, targetUri: String, payload: Array[Byte],
+      refersTo: String = "", payloadDigest: String = "")
 
   private val CRLF = "\r\n"
 
@@ -222,6 +223,8 @@ object WebCodec {
     }
     var warcType: String = null
     var uri: String = null
+    var refersTo = ""
+    var digest = ""
     var clen: Int = -1
     var done = false
     while (!done) {
@@ -236,6 +239,8 @@ object WebCodec {
           name match {
             case "WARC-Type" => warcType = value
             case "WARC-Target-URI" => uri = value
+            case "WARC-Refers-To-Target-URI" => refersTo = value
+            case "WARC-Payload-Digest" => digest = value
             case "Content-Length" =>
               // digits-only AND in-range: a 10+-digit value must poison,
               // not throw from toInt; any value beyond the buffer can be
@@ -255,7 +260,7 @@ object WebCodec {
     // mandatory two-CRLF record terminator
     if (!(b(pos) == '\r' && b(pos + 1) == '\n' &&
           b(pos + 2) == '\r' && b(pos + 3) == '\n')) return None
-    Some((WarcRecord(warcType, uri, payload), pos + 4))
+    Some((WarcRecord(warcType, uri, payload, refersTo, digest), pos + 4))
   }
 
   /** Parse a WARC file: gzip (one member per record, per the WARC
@@ -289,14 +294,52 @@ object WebCodec {
     }
   }
 
-  /** HTTP/1.1 response parse: (status, body). Two framings, strictly
-    * one per message: exact Content-Length consumption, or
-    * Transfer-Encoding: chunked de-chunked (hex size lines, CRLF after
-    * every chunk, the 0-chunk terminator ending the payload exactly; no
-    * trailer section, no chunk extensions — documented strict subset).
-    * Both headers present, neither present, an unknown TE value, bad
-    * hex, or trailing bytes all poison. */
-  def parseHttpResponse(payload: Array[Byte]): Option[(Int, Array[Byte])] = {
+  /** A parsed HTTP/1.1 response. `body` is the entity AFTER
+    * content-decoding (gunzip when Content-Encoding: gzip); `charset`
+    * is the Content-Type's declared charset parameter (lowercased, ""
+    * when absent); `contentEncoding`/`chunked` record the wire form the
+    * message arrived in (the downstream outputs must be invariant to
+    * both — framing invariance). */
+  final case class HttpResponse(status: Int, charset: String,
+      contentEncoding: String, chunked: Boolean,
+      contentLengthHdr: Long, body: Array[Byte]) {
+    /** The body as text, decoded per [[WebCodec.decodeText]]. */
+    def bodyText: String = decodeText(body, charset)
+  }
+
+  /** Strict UTF-8 decode: None on any malformed/unmappable sequence
+    * (the JDK's default decoder silently substitutes U+FFFD — that
+    * would turn mojibake into hash mismatches downstream). */
+  def strictUtf8(bytes: Array[Byte]): Option[String] = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
+  /** Charset-aware text decode (VERDICT r15 item 1): honor a declared
+    * ISO-8859-1/Latin-1; otherwise (utf-8 declared, unknown, or absent)
+    * try strict UTF-8 and FALL BACK to Latin-1 — the deterministic
+    * sniff real pipelines use (Latin-1 maps every byte 1:1 to a
+    * codepoint, so the fallback never fails). */
+  def decodeText(bytes: Array[Byte], declared: String): String = {
+    val cs = declared.toLowerCase
+    if (cs == "iso-8859-1" || cs == "latin-1" || cs == "latin1")
+      new String(bytes, "ISO-8859-1")
+    else strictUtf8(bytes).getOrElse(new String(bytes, "ISO-8859-1"))
+  }
+
+  /** HTTP/1.1 response parse. Two transfer framings, strictly one per
+    * message: exact Content-Length consumption, or Transfer-Encoding:
+    * chunked (hex size lines, CRLF after every chunk, the 0-chunk
+    * terminator ending the payload exactly; no trailers, no chunk
+    * extensions — documented strict subset). Entity bodies may be
+    * Content-Encoding: gzip (inflated through the same member walk the
+    * WARC layer uses); identity/absent passes through; any other
+    * coding poisons. Both framings present, neither present, bad hex,
+    * or trailing bytes all poison. */
+  def parseHttpResponse(payload: Array[Byte]): Option[HttpResponse] = {
     var pos = 0
     def readLine(): Option[String] = {
       var i = pos
@@ -318,6 +361,8 @@ object WebCodec {
     }
     var clen = -1
     var chunked = false
+    var gzipped = false
+    var charset = ""
     var done = false
     while (!done) {
       readLine() match {
@@ -337,38 +382,104 @@ object WebCodec {
               if (line.substring(k + 1).trim.toLowerCase != "chunked")
                 return None // unknown codings unsupported → poison
               chunked = true
+            case "Content-Encoding" =>
+              line.substring(k + 1).trim.toLowerCase match {
+                case "gzip" => gzipped = true
+                case "identity" => ()
+                case _ => return None // unsupported coding → poison
+              }
+            case "Content-Type" =>
+              // charset parameter, case-insensitive, token up to ; or EOL
+              val v = line.substring(k + 1).toLowerCase
+              val ci = v.indexOf("charset=")
+              if (ci >= 0)
+                charset = v.substring(ci + 8)
+                  .takeWhile(c => c != ';' && c != ' ').trim
             case _ => ()
           }
       }
     }
-    if (chunked) {
-      if (clen >= 0) return None // both framings present
-      val body = new java.io.ByteArrayOutputStream()
-      while (true) {
-        val n = readLine() match {
-          case Some(sz) if sz.nonEmpty && sz.forall(c =>
-            c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')) =>
-            try Integer.parseInt(sz, 16)
-            catch { case _: NumberFormatException => return None }
-          case _ => return None
+    val framed: Array[Byte] =
+      if (chunked) {
+        if (clen >= 0) return None // both framings present
+        val body = new java.io.ByteArrayOutputStream()
+        while (true) {
+          val n = readLine() match {
+            case Some(sz) if sz.nonEmpty && sz.forall(c =>
+              c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')) =>
+              try Integer.parseInt(sz, 16)
+              catch { case _: NumberFormatException => return None }
+            case _ => return None
+          }
+          if (n == 0) {
+            // terminator: the final CRLF must END the payload exactly
+            if (pos + 2 != payload.length ||
+                payload(pos) != '\r' || payload(pos + 1) != '\n') return None
+            val b = body.toByteArray
+            val entity =
+              if (gzipped) gunzipMembers(b) match {
+                case Some(ms) => ms.toArray.flatten
+                case None => return None
+              } else b
+            return Some(HttpResponse(status, charset,
+              if (gzipped) "gzip" else "identity", chunked = true,
+              -1L, entity))
+          }
+          if (pos.toLong + n + 2 > payload.length) return None
+          body.write(payload, pos, n)
+          pos += n
+          if (payload(pos) != '\r' || payload(pos + 1) != '\n') return None
+          pos += 2
         }
-        if (n == 0) {
-          // terminator: the final CRLF must END the payload exactly
-          if (pos + 2 != payload.length ||
-              payload(pos) != '\r' || payload(pos + 1) != '\n') return None
-          return Some((status, body.toByteArray))
-        }
-        if (pos.toLong + n + 2 > payload.length) return None
-        body.write(payload, pos, n)
-        pos += n
-        if (payload(pos) != '\r' || payload(pos + 1) != '\n') return None
-        pos += 2
+        return None // unreachable
+      } else {
+        if (clen < 0 || pos + clen != payload.length) return None
+        java.util.Arrays.copyOfRange(payload, pos, pos + clen)
       }
-      None // unreachable
-    } else {
-      if (clen < 0 || pos + clen != payload.length) return None
-      Some((status, java.util.Arrays.copyOfRange(payload, pos, pos + clen)))
+    val entity =
+      if (gzipped) gunzipMembers(framed) match {
+        case Some(ms) => ms.toArray.flatten
+        case None => return None
+      } else framed
+    Some(HttpResponse(status, charset, if (gzipped) "gzip" else "identity",
+      chunked = false, clen.toLong, entity))
+  }
+
+  /** HTTP/1.1 request parse: (method, target). Request line + headers,
+    * then the payload must END exactly (the synth corpus carries no
+    * request bodies — a body poisons rather than misframes). */
+  def parseHttpRequest(payload: Array[Byte]): Option[(String, String)] = {
+    var pos = 0
+    def readLine(): Option[String] = {
+      var i = pos
+      while (i + 1 < payload.length &&
+             !(payload(i) == '\r' && payload(i + 1) == '\n')) i += 1
+      if (i + 1 >= payload.length) None
+      else {
+        val s = new String(payload, pos, i - pos, "ISO-8859-1")
+        pos = i + 2
+        Some(s)
+      }
     }
+    val (method, target) = readLine() match {
+      case Some(rl) =>
+        val parts = rl.split(" ", -1)
+        if (parts.length != 3 || parts(2) != "HTTP/1.1") return None
+        if (parts(0).isEmpty || !parts(0).forall(c => c >= 'A' && c <= 'Z'))
+          return None
+        (parts(0), parts(1))
+      case None => return None
+    }
+    var done = false
+    while (!done) {
+      readLine() match {
+        case None => return None
+        case Some("") => done = true
+        case Some(line) => if (line.indexOf(':') <= 0) return None
+      }
+    }
+    if (pos != payload.length) return None
+    Some((method, target))
   }
 
   // ------------------------------------------------------------------
@@ -380,6 +491,36 @@ object WebCodec {
   def escapeHtml(text: String): String =
     text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** The four i18n phrases (r16 non-ASCII axis): numeric character
+    * references (decimal + hex, incl. a supplementary-plane emoji)
+    * mixed with literal non-ASCII text. Index 0/1 are Latin-1-
+    * representable (after ref decode) so the iso-8859-1 charset axis
+    * can carry them on the wire; 2/3 need UTF-8. Shared verbatim by
+    * [[i18nPhrase]], [[htmlCol]], and the ExtQueries oracle CASE —
+    * keep all three in lockstep. */
+  val i18nPhrases: IndexedSeq[String] = IndexedSeq(
+    "na&#239;ve fa&#231;ade Caf&#233; ±5°",
+    "Gr&#252;&#223;e se&#241;or «café»",
+    "&#x4E2D;&#x6587; 測試 — тест",
+    "&#128512; emoji αβγ ∑√∞")
+
+  /** Phrase selector: latin-1-charset docs (id%5==2) are restricted to
+    * the Latin-1-safe phrases, everything else cycles all four. */
+  def i18nPhrase(id: Long): String =
+    if (id % 5 == 2) i18nPhrases((id % 2).toInt)
+    else i18nPhrases((id % 4).toInt)
+
+  /** Wire charset axis: id%5==2 ships ISO-8859-1 (declared in the
+    * Content-Type), everything else UTF-8. */
+  def charsetOf(id: Long): String =
+    if (id % 5 == 2) "iso-8859-1" else "utf-8"
+
+  /** Content-Encoding axis: id%5∈{3,4} gzip the entity body (3 =
+    * hand-rolled STORED, 4 = Deflater dynamic-Huffman) — independent of
+    * the transfer-framing axis (id%4==1 chunked), so chunked+encoded
+    * co-occurs (e.g. id 13). */
+  def contentGzip(id: Long): Boolean = id % 5 == 3 || id % 5 == 4
+
   def buildHtml(id: Long, text: String, lang: String, source: String): String =
     s"""<html><head><title>Doc $id [$source]</title>""" +
       """<style>body {color: red;}</style>""" +
@@ -388,6 +529,9 @@ object WebCodec {
       s"""<h1>$source #$id</h1>""" +
       s"""<p class="main">${escapeHtml(text)}</p>""" +
       s"""<p>lang=&quot;$lang&quot; &amp; id=&#39;$id&#39;</p>""" +
+      s"""<p class="i18n">${i18nPhrase(id)}</p>""" +
+      """<div class="links"><a href="/t/0">tag zero</a> """ +
+      """<a href="/t/1">tag one</a> <a href="/t/2">tag two</a></div>""" +
       """<footer>site footer</footer></body></html>"""
 
   def buildUrl(id: Long, lang: String, source: String): String =
@@ -398,56 +542,189 @@ object WebCodec {
     s"GET /docs/$id?lang=$lang&ref=feed HTTP/1.1$CRLF" +
       s"Host: www.$source.example${id % 7}.com$CRLF$CRLF"
 
-  /** Responses alternate framings on an axis independent of the gzip
-    * variant: id % 4 == 1 ships Transfer-Encoding: chunked (256-byte
-    * chunks, lowercase hex sizes, no trailers), everything else exact
-    * Content-Length — so the corpus exercises chunked-inside-gzip too. */
-  def buildResponse(id: Long, text: String, lang: String, source: String): String = {
-    val html = buildHtml(id, text, lang, source)
-    if (id % 4 == 1) {
-      val sb = new StringBuilder
-      sb ++= s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8$CRLF"
-      sb ++= s"Transfer-Encoding: chunked${CRLF}X-Doc: $id$CRLF$CRLF"
-      var p = 0
-      while (p < html.length) {
-        val n = math.min(256, html.length - p)
-        sb ++= Integer.toHexString(n); sb ++= CRLF
-        sb ++= html.substring(p, p + n); sb ++= CRLF
-        p += n
-      }
-      sb ++= "0"; sb ++= CRLF; sb ++= CRLF
-      sb.result()
-    } else
-      s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8$CRLF" +
-        s"Content-Length: ${html.length}${CRLF}X-Doc: $id$CRLF$CRLF$html"
+  /** Split `s` into pieces of `n` CODEPOINTS (not UTF-16 units — a
+    * surrogate pair never splits, so each piece re-encodes as valid
+    * UTF-8; the oracle replays pieces as substr(s, i*n+1, n), which is
+    * codepoint-indexed in both engines). */
+  def cpChunks(s: String, n: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val cps = math.min(n, s.codePointCount(i, s.length))
+      val j = s.offsetByCodePoints(i, cps)
+      out += s.substring(i, j)
+      i = j
+    }
+    out.result()
   }
 
-  private def warcRecordBytes(
-      warcType: String, uri: String, payload: String): Array[Byte] = {
-    val s = s"WARC/1.0${CRLF}WARC-Type: $warcType$CRLF" +
+  /** Responses vary along THREE independent axes: transfer framing
+    * (id%4==1 chunked: lowercase hex sizes, no trailers; else exact
+    * Content-Length), wire charset (id%5==2 ISO-8859-1, else UTF-8 —
+    * declared in Content-Type), and entity Content-Encoding (id%5∈{3,4}
+    * gzip). Text entities chunk at 256-CODEPOINT boundaries so the
+    * oracle replays piece byte-sizes as strlen/length of substr pieces;
+    * gzip entities chunk at 256-byte boundaries (opaque to the oracle —
+    * checked at the decoded level). Content-Length counts BYTES of the
+    * (possibly encoded) entity. */
+  def buildResponse(
+      id: Long, text: String, lang: String, source: String): Array[Byte] = {
+    val html = buildHtml(id, text, lang, source)
+    val cs = charsetOf(id)
+    val htmlBytes =
+      html.getBytes(if (cs == "utf-8") "UTF-8" else "ISO-8859-1")
+    val (entity, ceHdr) =
+      if (contentGzip(id))
+        ((if (id % 5 == 3) gzipStored(htmlBytes)
+          else gzipDeflate(htmlBytes, s"body-$id.html")),
+          s"Content-Encoding: gzip$CRLF")
+      else (htmlBytes, "")
+    val head =
+      s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=$cs$CRLF$ceHdr"
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    if (id % 4 == 1) {
+      ascii(head + s"Transfer-Encoding: chunked${CRLF}X-Doc: $id$CRLF$CRLF")
+      val pieces: Vector[Array[Byte]] =
+        if (contentGzip(id)) entity.grouped(256).toVector
+        else cpChunks(html, 256)
+          .map(_.getBytes(if (cs == "utf-8") "UTF-8" else "ISO-8859-1"))
+      for (p <- pieces) {
+        ascii(Integer.toHexString(p.length)); ascii(CRLF)
+        out.write(p); ascii(CRLF)
+      }
+      ascii("0"); ascii(CRLF); ascii(CRLF)
+    } else {
+      ascii(head + s"Content-Length: ${entity.length}${CRLF}X-Doc: $id$CRLF$CRLF")
+      out.write(entity)
+    }
+    out.toByteArray
+  }
+
+  private def warcRecordBytes(warcType: String, uri: String,
+      payload: Array[Byte], extraHeaders: String = ""): Array[Byte] = {
+    val head = s"WARC/1.0${CRLF}WARC-Type: $warcType$CRLF" +
       s"WARC-Target-URI: $uri$CRLF" +
       s"WARC-Record-ID: <urn:graft:$warcType:${uri.length}>$CRLF" +
+      extraHeaders +
       s"Content-Type: application/http$CRLF" +
-      s"Content-Length: ${payload.length}$CRLF$CRLF$payload$CRLF$CRLF"
-    s.getBytes("ISO-8859-1")
+      s"Content-Length: ${payload.length}$CRLF$CRLF"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.getBytes("ISO-8859-1"))
+    out.write(payload)
+    out.write(s"$CRLF$CRLF".getBytes("ISO-8859-1"))
+    out.toByteArray
   }
 
-  /** One WARC file per document: a request record then the response
-    * record, compression variant keyed by doc_id % 3 —
-    * 0 = plain, 1 = gzip STORED (hand-rolled), 2 = gzip Deflater+FNAME.
-    * One gzip member per record, per the WARC convention. */
+  /** The crawl-metadata sidecar payload for docs on the id%6==3 axis
+    * (WARC-fields style, pure ASCII — the oracle replays it verbatim). */
+  def metadataFields(id: Long): String =
+    s"fetchDurationMs: ${(id * 37) % 900 + 100}$CRLF" +
+      s"charsetDetected: ${charsetOf(id)}$CRLF"
+
+  /** One WARC file per document: a request record, the response record,
+    * and (id%6==3) a metadata record; compression variant keyed by
+    * doc_id % 3 — 0 = plain, 1 = gzip STORED (hand-rolled), 2 = gzip
+    * Deflater+FNAME. One gzip member per record, per the WARC
+    * convention. */
   def buildWarcFile(
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
     val uri = buildUrl(id, lang, source)
-    val req = warcRecordBytes("request", uri, buildRequest(id, lang, source))
-    val rsp =
-      warcRecordBytes("response", uri, buildResponse(id, text, lang, source))
+    val recs = Vector(
+      warcRecordBytes("request", uri,
+        buildRequest(id, lang, source).getBytes("ISO-8859-1")),
+      warcRecordBytes("response", uri,
+        buildResponse(id, text, lang, source))) ++
+      (if (id % 6 == 3)
+        Vector(warcRecordBytes("metadata", uri,
+          metadataFields(id).getBytes("ISO-8859-1")))
+      else Vector.empty)
     (id % 3) match {
-      case 0 => req ++ rsp
-      case 1 => gzipStored(req) ++ gzipStored(rsp)
-      case _ => gzipDeflate(req, s"rec-$id-0.http") ++
-        gzipDeflate(rsp, s"rec-$id-1.http")
+      case 0 => recs.toArray.flatten
+      case 1 => recs.map(gzipStored).toArray.flatten
+      case _ => recs.zipWithIndex
+        .map { case (r, i) => gzipDeflate(r, s"rec-$id-$i.http") }
+        .toArray.flatten
     }
+  }
+
+  /** The SECOND crawl of the corpus (r16): docs whose content is
+    * unchanged since crawl 1 (id%2==0) ship a `revisit` record — Common
+    * Crawl's crawl-time URL dedup signal — carrying WARC-Refers-To-
+    * Target-URI (the crawl-1 capture) and a WARC-Payload-Digest of the
+    * unchanged content (the deterministic "graft:ck:<codepoint-ck>"
+    * scheme, so the oracle can replay it); changed docs (id%2==1) ship
+    * a full response. Same per-doc compression variants as
+    * [[buildWarcFile]]. */
+  def buildRecrawlFile(
+      id: Long, text: String, lang: String, source: String): Array[Byte] = {
+    val uri = buildUrl(id, lang, source)
+    val req = warcRecordBytes("request", uri,
+      buildRequest(id, lang, source).getBytes("ISO-8859-1"))
+    val second =
+      if (id % 2 == 0) {
+        val html = buildHtml(id, text, lang, source)
+        warcRecordBytes("revisit", uri,
+          s"HTTP/1.1 200 OK${CRLF}Content-Length: 0$CRLF$CRLF"
+            .getBytes("ISO-8859-1"),
+          extraHeaders = s"WARC-Refers-To-Target-URI: $uri$CRLF" +
+            s"WARC-Payload-Digest: graft:ck:${cpWeightedCk(html)}$CRLF")
+      } else
+        warcRecordBytes("response", uri, buildResponse(id, text, lang, source))
+    val recs = Vector(req, second)
+    (id % 3) match {
+      case 0 => recs.toArray.flatten
+      case 1 => recs.map(gzipStored).toArray.flatten
+      case _ => recs.zipWithIndex
+        .map { case (r, i) => gzipDeflate(r, s"re-$id-$i.http") }
+        .toArray.flatten
+    }
+  }
+
+  /** (media_id, payload): the synthesized crawl-2 WARC table. */
+  def webWarcRecrawl(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, lang, source) =>
+          (id, buildRecrawlFile(id, text, lang, source))
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  final case class RecrawlRow(
+      media_id: Long, target_uri: String, fetched: String,
+      refers_to: String, digest: String, n_chars: Long, body_ck: Long)
+
+  /** Crawl-2 fetch rows: `response` records parse to their decoded body
+    * (chars + codepoint ck); `revisit` records carry the referral URI +
+    * payload digest and NO body — the dedup join fills it from crawl 1. */
+  def recrawlRecords(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          parseWarc(payload).toSeq.flatMap { recs =>
+            recs.flatMap {
+              case r if r.warcType == "response" =>
+                parseHttpResponse(r.payload).map { m =>
+                  val text = m.bodyText
+                  RecrawlRow(id, r.targetUri, "response", "", "",
+                    text.codePointCount(0, text.length).toLong,
+                    cpWeightedCk(text))
+                }
+              case r if r.warcType == "revisit" =>
+                Some(RecrawlRow(id, r.targetUri, "revisit",
+                  r.refersTo, r.payloadDigest, 0L, 0L))
+              case _ => None // requests carry no fetch row
+            }
+          }
+        }
+      }.toDF()
   }
 
   /** WET — Common Crawl's extracted-text sidecar format: the same WARC
@@ -460,7 +737,9 @@ object WebCodec {
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
     val uri = buildUrl(id, lang, source)
     val extracted = extractedText(id, text, lang, source)
-    val rec = warcRecordBytes("conversion", uri, extracted)
+    // WET text payloads are UTF-8 by convention (Common Crawl ships
+    // UTF-8 WET regardless of the page's wire charset)
+    val rec = warcRecordBytes("conversion", uri, extracted.getBytes("UTF-8"))
     (id % 3) match {
       case 0 => rec
       case 1 => gzipStored(rec)
@@ -468,18 +747,54 @@ object WebCodec {
     }
   }
 
+  private val NumRefPattern =
+    java.util.regex.Pattern.compile("&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});")
+
+  /** Decode decimal (&#233;) and hex (&#x4E2D;) numeric character
+    * references — GENERIC over any codepoint, incl. supplementary
+    * planes. Invalid codepoints (0, surrogates, > U+10FFFF) become
+    * U+FFFD per the HTML5 rule (the C1-remap table is a documented
+    * non-goal). JVM twin of [[decodeNumRefsCol]]. */
+  def decodeNumRefs(s: String): String = {
+    val m = NumRefPattern.matcher(s)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    do {
+      sb.append(s, last, m.start())
+      val g = m.group(1)
+      // group bounds (≤7 decimal digits / ≤6 hex digits) keep the parse
+      // inside Long — no overflow path
+      val cp =
+        if (g.charAt(0) == 'x') java.lang.Long.parseLong(g.substring(1), 16)
+        else java.lang.Long.parseLong(g)
+      if (cp == 0 || cp > 0x10ffffL || (cp >= 0xd800L && cp <= 0xdfffL))
+        sb.append('�')
+      else sb.appendCodePoint(cp.toInt)
+      last = m.end()
+    } while (m.find())
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
   /** JVM twin of [[extractTextCol]] ∘ [[buildHtml]] — the extracted
     * plain text of a synth page (kept in lockstep with the Column
     * chain; WebCodecSpec asserts the equivalence row-for-row). */
   def extractedText(
-      id: Long, text: String, lang: String, source: String): String = {
-    val html = buildHtml(id, text, lang, source)
+      id: Long, text: String, lang: String, source: String): String =
+    extractText(buildHtml(id, text, lang, source))
+
+  /** The extraction chain over any html string: script/style removal →
+    * tag strip → named entities (quot, lt, gt, nbsp) → NUMERIC refs →
+    * amp LAST (so &amp;#39; yields the literal &#39;, the standard
+    * no-double-decode order) → whitespace collapse. */
+  def extractText(html: String): String = {
     val noScript = html.replaceAll("<script[^>]*>.*?</script>", " ")
     val noStyle = noScript.replaceAll("<style[^>]*>.*?</style>", " ")
     val noTags = noStyle.replaceAll("<[^>]*>", " ")
-    val ent = noTags.replace("&quot;", "\"").replace("&#39;", "'")
+    val named = noTags.replace("&quot;", "\"")
       .replace("&lt;", "<").replace("&gt;", ">").replace("&nbsp;", " ")
-      .replace("&amp;", "&")
+    val ent = decodeNumRefs(named).replace("&amp;", "&")
     ent.replaceAll("\\s+", " ").trim
   }
 
@@ -500,7 +815,10 @@ object WebCodec {
       media_id: Long, target_uri: String, text: String, n_chars: Long)
 
   /** WET → conversion records → extracted text rows (the format a
-    * text-only consumer reads INSTEAD of re-extracting from HTML). */
+    * text-only consumer reads INSTEAD of re-extracting from HTML).
+    * Payloads decode as UTF-8 (strict, Latin-1 fallback — the WET
+    * convention); n_chars counts CODEPOINTS, matching the oracle's
+    * length(). */
   def wetTexts(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -510,8 +828,9 @@ object WebCodec {
         rows.flatMap { case (id, payload) =>
           parseWarc(payload).iterator.flatMap { recs =>
             recs.filter(_.warcType == "conversion").map { r =>
-              val t = new String(r.payload, "ISO-8859-1")
-              WetRow(id, r.targetUri, t, t.length.toLong)
+              val t = decodeText(r.payload, "")
+              WetRow(id, r.targetUri, t,
+                t.codePointCount(0, t.length).toLong)
             }
           }
         }
@@ -525,6 +844,21 @@ object WebCodec {
     var s = 0L; var i = 0
     while (i < b.length) { s += (i + 1).toLong * (b(i) & 0xff); i += 1 }
     s
+  }
+
+  /** Order-weighted CODEPOINT checksum Σ (i+1)·cp_i over a decoded
+    * string — the text-level twin of [[weightedCk]] for the UTF-8 era:
+    * DuckDB replays it as sum((i+1) * ascii(substr(s, i+1, 1))) since
+    * its ascii()/substr() are codepoint-indexed. */
+  def cpWeightedCk(s: String): Long = {
+    var sum = 0L; var i = 0; var n = 1L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sum += n * cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    sum
   }
 
   // ------------------------------------------------------------------
@@ -546,9 +880,17 @@ object WebCodec {
 
   final case class WarcRow(
       media_id: Long, rec_index: Int, warc_type: String, target_uri: String,
-      content_length: Long, gzip_members: Int, payload_ck: Long)
+      gzip_members: Int, http_status: Int, http_method: String,
+      transfer: String, content_encoding: String, charset: String,
+      body_bytes: Long, body_chars: Long, body_ck: Long)
 
-  /** Per-record features through the full gzip→WARC walk. */
+  /** Per-record HTTP-level features through the full gzip→WARC→HTTP
+    * walk. Response records parse down to the content-decoded entity
+    * (so the view is INVARIANT to transfer framing, entity gzip, and
+    * wire charset — the oracle replays the logical content plus the
+    * axis metadata, never compressed bytes); request records parse the
+    * request line; metadata/conversion payloads are treated as text.
+    * body_chars/body_ck are codepoint-level over the decoded text. */
   def warcRecords(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -559,10 +901,33 @@ object WebCodec {
           val gz = payload.length >= 2 &&
             (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b
           parseWarc(payload).toSeq.flatMap { recs =>
-            recs.zipWithIndex.map { case (r, i) =>
-              WarcRow(id, i, r.warcType, r.targetUri,
-                r.payload.length.toLong, if (gz) recs.length else 0,
-                weightedCk(r.payload))
+            recs.zipWithIndex.flatMap { case (r, i) =>
+              val members = if (gz) recs.length else 0
+              r.warcType match {
+                case "response" =>
+                  parseHttpResponse(r.payload).map { m =>
+                    val text = m.bodyText
+                    WarcRow(id, i, r.warcType, r.targetUri, members,
+                      m.status, "",
+                      if (m.chunked) "chunked" else "identity",
+                      m.contentEncoding, m.charset,
+                      m.body.length.toLong,
+                      text.codePointCount(0, text.length).toLong,
+                      cpWeightedCk(text))
+                  }
+                case "request" =>
+                  parseHttpRequest(r.payload).map { case (method, _) =>
+                    WarcRow(id, i, r.warcType, r.targetUri, members,
+                      0, method, "", "", "", 0L, 0L, 0L)
+                  }
+                case _ => // metadata / conversion / revisit: text payload
+                  val text = decodeText(r.payload, "")
+                  Some(WarcRow(id, i, r.warcType, r.targetUri, members,
+                    0, "", "", "", "",
+                    r.payload.length.toLong,
+                    text.codePointCount(0, text.length).toLong,
+                    cpWeightedCk(text)))
+              }
             }
           }
         }
@@ -572,9 +937,9 @@ object WebCodec {
   final case class WebDoc(
       media_id: Long, target_uri: String, http_status: Int, body: String)
 
-  /** WARC → response records → HTTP parse → HTML body as a string
-    * column (the codec half of the pipeline; the text half is the
-    * pure-Column chain below). */
+  /** WARC → response records → HTTP parse → content-decoded,
+    * charset-decoded HTML body as a string column (the codec half of
+    * the pipeline; the text half is the pure-Column chain below). */
   def warcResponses(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -584,9 +949,44 @@ object WebCodec {
         rows.flatMap { case (id, payload) =>
           parseWarc(payload).toSeq.flatMap { recs =>
             recs.filter(_.warcType == "response").flatMap { r =>
-              parseHttpResponse(r.payload).map { case (status, body) =>
-                WebDoc(id, r.targetUri, status, new String(body, "ISO-8859-1"))
+              parseHttpResponse(r.payload).map { m =>
+                WebDoc(id, r.targetUri, m.status, m.bodyText)
               }
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  final case class FramingRow(
+      media_id: Long, transfer: String, charset: String,
+      content_length_hdr: Long, payload_chars: Long, payload_ck: Long)
+
+  /** RAW transfer-framing view over the TEXT subset of the corpus (no
+    * Content-Encoding — those payloads contain compressed bytes no SQL
+    * oracle can rebuild): the response record's payload decoded as a
+    * whole (headers are ASCII; the body follows the wire charset, so
+    * strict-UTF-8-else-Latin-1 reproduces the exact message string)
+    * and checksummed codepoint-by-codepoint — this pins the chunk size
+    * lines, CRLF placement, and Content-Length header byte-for-byte. */
+  def httpFraming(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          parseWarc(payload).toSeq.flatMap { recs =>
+            recs.filter(_.warcType == "response").flatMap { r =>
+              parseHttpResponse(r.payload)
+                .filter(_.contentEncoding != "gzip").map { m =>
+                  val text = decodeText(r.payload, "")
+                  FramingRow(id,
+                    if (m.chunked) "chunked" else "identity",
+                    m.charset, m.contentLengthHdr,
+                    text.codePointCount(0, text.length).toLong,
+                    cpWeightedCk(text))
+                }
             }
           }
         }
@@ -597,6 +997,16 @@ object WebCodec {
   // Pure-Column text layer (dialect-identical Spark/DuckDB regexes;
   // DuckDB twins live in ExtQueries' web* oracles — keep in lockstep)
   // ------------------------------------------------------------------
+
+  /** Column twin of [[i18nPhrase]]. */
+  def i18nPhraseCol(id: Column): Column =
+    when(id % 5 === 2,
+      when(id % 2 === 0, lit(i18nPhrases(0))).otherwise(lit(i18nPhrases(1))))
+      .otherwise(
+        when(id % 4 === 0, lit(i18nPhrases(0)))
+          .when(id % 4 === 1, lit(i18nPhrases(1)))
+          .when(id % 4 === 2, lit(i18nPhrases(2)))
+          .otherwise(lit(i18nPhrases(3))))
 
   /** Column twin of [[buildHtml]] — used by the pure-Column queries so
     * the whole chain (build + extract) stays inside codegen. */
@@ -614,7 +1024,57 @@ object WebCodec {
       lit("<p class=\"main\">"), etext, lit("</p>"),
       lit("<p>lang=&quot;"), lang, lit("&quot; &amp; id=&#39;"),
       id.cast("string"), lit("&#39;</p>"),
+      lit("<p class=\"i18n\">"), i18nPhraseCol(id), lit("</p>"),
+      lit("<div class=\"links\"><a href=\"/t/0\">tag zero</a> " +
+        "<a href=\"/t/1\">tag one</a> <a href=\"/t/2\">tag two</a></div>"),
       lit("<footer>site footer</footer></body></html>"))
+  }
+
+  /** UTF-8 bytes of a codepoint as a hex string, built with pure
+    * Column bit arithmetic — the bridge that lets a computed codepoint
+    * become a string without a UDF (`decode(unhex(hex), 'UTF-8')`).
+    * Invalid codepoints (0, surrogates, > U+10FFFF) yield U+FFFD
+    * (EFBFBD), mirroring [[decodeNumRefs]]. */
+  private def cpToUtf8Col(cp: Column): Column = {
+    def b(v: Column): Column = lpad(hex(v.cast("int")), 2, "0")
+    val cont = (sh: Int) =>
+      b(lit(0x80) + shiftright(cp, sh).bitwiseAND(lit(0x3fL)).cast("int"))
+    val hexStr =
+      when(cp === 0 || cp > 0x10ffffL ||
+        (cp >= 0xd800L && cp <= 0xdfffL), lit("EFBFBD"))
+        .when(cp < 0x80L, b(cp.cast("int")))
+        .when(cp < 0x800L,
+          concat(b(lit(0xc0) + shiftright(cp, 6).cast("int")), cont(0)))
+        .when(cp < 0x10000L,
+          concat(b(lit(0xe0) + shiftright(cp, 12).cast("int")),
+            cont(6), cont(0)))
+        .otherwise(
+          concat(b(lit(0xf0) + shiftright(cp, 18).cast("int")),
+            cont(12), cont(6), cont(0)))
+    decode(unhex(hexStr), "UTF-8")
+  }
+
+  /** Column twin of [[decodeNumRefs]]: mark each numeric reference with
+    * \u0001body\u0002 sentinels in ONE regex pass, split on \u0001, and
+    * rebuild — segments containing \u0002 carry (ref body, literal
+    * tail). Generic over any codepoint; scalar (no explode); the DuckDB
+    * twin uses the same sentinel trick with string_split +
+    * list_transform. Sentinel safety: \u0001/\u0002 are control chars
+    * the corpus never contains (asserted in WebCodecSpec). */
+  def decodeNumRefsCol(c: Column): Column = {
+    val marked = regexp_replace(c,
+      "&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});", "\u0001$1\u0002")
+    val parts = split(marked, "\u0001", -1)
+    val dec = transform(parts, s => {
+      val refBody = substring_index(s, "\u0002", 1)
+      val tail = substring_index(s, "\u0002", -1)
+      val cp = when(substring(refBody, 1, 1) === "x",
+        conv(substring(refBody, 2, 6), 16, 10).cast("long"))
+        .otherwise(refBody.cast("long"))
+      when(instr(s, "\u0002") > 0, concat(cpToUtf8Col(cp), tail))
+        .otherwise(s)
+    })
+    array_join(dec, "")
   }
 
   /** Column twin of [[buildUrl]]. */
@@ -624,10 +1084,12 @@ object WebCodec {
       id.cast("string"), lit("?lang="), lang, lit("&ref=feed#sec-"),
       (id % 5).cast("string"))
 
-  /** script/style block removal → tag strip → entity decode (quot, #39,
-    * lt, gt, nbsp, then amp LAST — the standard order that avoids
-    * double-decoding) → whitespace collapse → trim. Every step uses
-    * regex constructs RE2 and java.util.regex agree on. */
+  /** script/style block removal → tag strip → named entity decode
+    * (quot, lt, gt, nbsp) → NUMERIC character references (generic,
+    * [[decodeNumRefsCol]]) → amp LAST (the standard order that avoids
+    * double-decoding: &amp;#39; yields the literal &#39;) → whitespace
+    * collapse → trim. Every regex step uses constructs RE2 and
+    * java.util.regex agree on; JVM twin: [[extractText]]. */
   def extractTextCol(html: Column): Column = {
     val noScript =
       regexp_replace(html, "<script[^>]*>.*?</script>", " ")
@@ -635,10 +1097,10 @@ object WebCodec {
       regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
     val ent1 = regexp_replace(noTags, "&quot;", "\"")
-    val ent2 = regexp_replace(ent1, "&#39;", "'")
-    val ent3 = regexp_replace(ent2, "&lt;", "<")
-    val ent4 = regexp_replace(ent3, "&gt;", ">")
-    val ent5 = regexp_replace(ent4, "&nbsp;", " ")
+    val ent2 = regexp_replace(ent1, "&lt;", "<")
+    val ent3 = regexp_replace(ent2, "&gt;", ">")
+    val ent4 = regexp_replace(ent3, "&nbsp;", " ")
+    val ent5 = decodeNumRefsCol(ent4)
     val ent6 = regexp_replace(ent5, "&amp;", "&")
     trim(regexp_replace(ent6, "\\s+", " "))
   }
@@ -646,6 +1108,46 @@ object WebCodec {
   /** `<title>` contents (first match; empty string when absent). */
   def titleCol(html: Column): Column =
     regexp_extract(html, "<title>([^<]*)</title>", 1)
+
+  /** Block-level segmentation for MAIN-CONTENT extraction (the
+    * boilerplate-removal gate real LLM pipelines run between tag-strip
+    * and dedup, jusText/trafilatura-style): split the page into block
+    * elements, score each by LINK DENSITY (codepoints inside <a> vs the
+    * block's extracted text) and text LENGTH, keep blocks that are long
+    * enough (≥ 15 chars) and link-light (link chars × 2 < text chars).
+    * Nav bars and link farms fail the density test; short footers and
+    * headings fail the length test; tag-strip alone keeps all of them.
+    * Alternation instead of backreferences so the same regex runs on
+    * RE2 (DuckDB) and java.util.regex. */
+  private val blockRe = "(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>" +
+    "|<div[^>]*>.*?</div>|<footer>.*?</footer>)"
+  private val linkRe = "<a [^>]*>([^<]*)</a>"
+
+  /** struct(main_text, n_blocks, n_kept, boiler_chars) per page —
+    * pure-Column (nested higher-order functions, no explode): the
+    * DuckDB oracle replays the IDENTICAL generic algorithm via
+    * list_transform/list_filter, not a per-block case table. */
+  def mainContentStruct(html: Column): Column = {
+    val blocks = regexp_extract_all(html, lit(blockRe), lit(1))
+    val scored = transform(blocks, b => {
+      val btext = extractTextCol(b)
+      val ltext = array_join(
+        regexp_extract_all(b, lit(linkRe), lit(1)), " ")
+      struct(btext.as("btext"),
+        (length(btext) >= 15 && length(ltext) * 2 < length(btext))
+          .as("keep"))
+    })
+    val kept = filter(scored, e => e.getField("keep"))
+    val dropped = filter(scored, e => !e.getField("keep"))
+    struct(
+      array_join(transform(kept, _.getField("btext")), " ")
+        .as("main_text"),
+      size(blocks).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      coalesce(aggregate(dropped, lit(0L),
+        (acc, e) => acc + length(e.getField("btext")).cast("long")),
+        lit(0L)).as("boiler_chars"))
+  }
 
   /** The composed front door over a raw (media_id, payload) WARC table:
     * parse gate (unparseable archives drop, the codec contract) → HTTP
@@ -660,8 +1162,11 @@ object WebCodec {
         extractTextCol(col("body")).as("body"))
       .select(col("media_id"), col("host"), col("http_status"), col("body"),
         size(split(col("body"), "\\s+")).cast("long").as("n_words"),
-        expr("CAST((1000 * length(regexp_replace(body, " +
-          "'[^a-zA-Z ]', ''))) DIV length(body) AS BIGINT)")
+        // multiply in BIGINT: 1000 * length() in INT arithmetic silently
+        // wraps past ~2.1M chars under non-ANSI mode, diverging from the
+        // oracle's 64-bit math (ADVICE r15)
+        expr("(CAST(1000 AS BIGINT) * length(regexp_replace(body, " +
+          "'[^a-zA-Z ]', ''))) DIV length(body)")
           .as("alpha_milli"))
       .withColumn("kept", col("n_words") >= 40 && col("alpha_milli") >= 900)
   }
@@ -670,14 +1175,49 @@ object WebCodec {
   // robots.txt — crawl politeness (RFC 9309 subset)
   // ------------------------------------------------------------------
 
-  /** robots.txt parse + evaluation: User-agent groups, Allow/Disallow
-    * path rules, LONGEST-match-wins with allow preferred on ties, the
-    * most specific matching group (exact agent name beats `*`) selected
-    * exclusively, default-allow when nothing matches. Simplifications
-    * documented: no `*`/`$` wildcards inside paths, agent match is
-    * exact-or-star (the synth corpus needs no substring UA matching). */
+  /** robots.txt parse + evaluation per RFC 9309: User-agent groups,
+    * Allow/Disallow path rules with `*` (any sequence) and trailing `$`
+    * (end anchor) wildcards (§2.2.3), longest-PATTERN-wins with allow
+    * preferred on ties, case-insensitive product-token group matching
+    * (the named group whose name is the longest prefix of the agent's
+    * product token wins exclusively — the Googlebot-News → googlebot
+    * fallback shape), star-group fallback, default-allow when nothing
+    * matches. Remaining documented deviation: precedence length counts
+    * the raw pattern octets including `*`/`$` (the common-crawler
+    * behavior), not the matched text. */
   object Robots {
     final case class Rule(allow: Boolean, path: String)
+
+    /** RFC 9309 §2.2.3 pattern match: split on '*', greedy linear scan;
+      * a trailing '$' anchors the end, otherwise prefix semantics. */
+    def pathMatches(pattern: String, path: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val pat = if (anchored) pattern.dropRight(1) else pattern
+      val segs = pat.split("\\*", -1)
+      if (!path.startsWith(segs.head)) return false
+      var pos = segs.head.length
+      var i = 1
+      while (i < segs.length) {
+        val s = segs(i)
+        if (i == segs.length - 1 && anchored)
+          // final segment must end the path (the preceding '*' absorbs
+          // the gap); also covers the "/x*$" ⇒ s == "" case
+          return path.length - s.length >= pos && path.endsWith(s)
+        if (s.nonEmpty) {
+          val at = path.indexOf(s, pos)
+          if (at < 0) return false
+          pos = at + s.length
+        }
+        i += 1
+      }
+      // no '*' at all: anchored means exact match, plain means prefix
+      if (anchored && segs.length == 1) pos == path.length else true
+    }
+
+    /** The UA product token: chars up to the first '/' or space,
+      * lowercased ("GraftBot/1.7 (+https://…)" → "graftbot"). */
+    def productToken(agent: String): String =
+      agent.toLowerCase.takeWhile(c => c != '/' && c != ' ')
 
     /** Parse to agent → rules (groups merged per agent name; later
       * groups for the same agent extend earlier ones, per the RFC). A
@@ -714,12 +1254,19 @@ object WebCodec {
       Some(groups.toMap)
     }
 
-    /** (allowed, matched rule path — "" when no rule matched). */
+    /** (allowed, matched rule pattern — "" when no rule matched).
+      * Group selection: longest named group that is a prefix of the
+      * agent's product token, else the `*` group, else default-allow;
+      * rule selection: longest pattern wins, allow preferred on ties. */
     def evaluate(groups: Map[String, Vector[Rule]], agent: String,
         path: String): (Boolean, String) = {
-      val rules = groups.getOrElse(agent.toLowerCase,
-        groups.getOrElse("*", Vector.empty))
-      val hits = rules.filter(r => path.startsWith(r.path))
+      val token = productToken(agent)
+      val named = groups.keysIterator
+        .filter(n => n != "*" && token.startsWith(n)).toSeq
+      val rules =
+        if (named.nonEmpty) groups(named.maxBy(_.length))
+        else groups.getOrElse("*", Vector.empty)
+      val hits = rules.filter(r => pathMatches(r.path, path))
       if (hits.isEmpty) (true, "")
       else {
         val best = hits.maxBy(r => (r.path.length, r.allow)) // allow ties
@@ -730,28 +1277,41 @@ object WebCodec {
 
   /** Deterministic robots.txt for synth domain k — the JVM twin of the
     * `web_robots_gate` oracle's decision table. Exercises group
-    * selection (graftbot group on k%5==0), allow-vs-disallow ties
-    * (k%3==0 Allow meets k%2==1 Disallow at equal length → allow wins),
-    * and default-allow. */
+    * selection via the mixed-case "GraftBot" group on k%5==0 (the
+    * agent string is "GraftBot/1.7" — product-token + case folding),
+    * `*`/`$` wildcard rules with pattern-length precedence (k%3==1:
+    * the star-7-anchor Disallow outweighs the plain "docs" Disallow;
+    * k%3==0: the star-9-anchor Disallow outweighs the Allow), the
+    * equal-length allow/disallow TIE (k=3: allow wins), an uppercase
+    * directive key, a never-matching wildcard rule on every domain,
+    * and default-allow. (Rule text spelled out here to keep the
+    * literal slash-star sequence out of this NESTING block comment.) */
   def buildRobots(k: Long): String = {
     val sb = new StringBuilder
     sb ++= "# synth robots for example" + k + ".com\n"
-    sb ++= "User-agent: *\n"
+    sb ++= "User-Agent: *\n"
     sb ++= "Disallow: /private/\n"
+    sb ++= "Disallow: /*.tmp$\n"
     if (k % 2 == 1) sb ++= "Disallow: /docs/\n"
     if (k % 3 == 0) sb ++= "Allow: /docs/\n"
+    if (k % 3 == 1) sb ++= "DISALLOW: /docs/*7$\n"
+    if (k % 3 == 0) sb ++= "Disallow: /docs/*9$\n"
     sb ++= "Crawl-delay: " + (k + 1) + "\n"
     if (k % 5 == 0) {
-      sb ++= "\nUser-agent: graftbot\n"
+      sb ++= "\nUser-agent: GraftBot\n"
       sb ++= "Disallow: /docs/9\n"
     }
     sb.result()
   }
 
+  /** The agent string the synth gate crawls as — version + comment
+    * exercise the product-token extraction and case folding. */
+  val crawlAgent = "GraftBot/1.7 (+https://graft.invalid/bot)"
+
   /** The crawl-politeness gate over the synth corpus: each document's
-    * URL path evaluated for agent "graftbot" against its domain's
-    * PARSED robots.txt (real parse per row — the codec seam), emitting
-    * the verdict and the matched rule. */
+    * URL path evaluated for [[crawlAgent]] against its domain's PARSED
+    * robots.txt (real parse per row — the codec seam), emitting the
+    * verdict and the matched rule pattern. */
   def robotsGate(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -764,10 +1324,112 @@ object WebCodec {
         val groups = cache.getOrElseUpdate(k,
           Robots.parse(buildRobots(k)).get)
         val path = s"/docs/$id"
-        val (allowed, rule) = Robots.evaluate(groups, "graftbot", path)
+        val (allowed, rule) = Robots.evaluate(groups, crawlAgent, path)
         (id, s"example$k.com", path, allowed, rule)
       }
     }.toDF("media_id", "domain", "path", "allowed", "matched_rule")
+  }
+
+  // ------------------------------------------------------------------
+  // sitemap discovery — <sitemapindex> → gzipped <urlset> files (r16)
+  // ------------------------------------------------------------------
+
+  /** One `<url>` entry — keep in lockstep with the `web_sitemap_urls`
+    * query and the frontier oracle. */
+  def sitemapEntryCol(id: Column): Column = concat(
+    lit("<url><loc>https://www.example"), (id % 7).cast("string"),
+    lit(".com/docs/"), id.cast("string"),
+    lit("</loc><lastmod>2026-0"), ((id % 9) + 1).cast("string"),
+    lit("-01</lastmod></url>"))
+
+  /** The two-level sitemap corpus, the shape real discovery crawls hit:
+    * per domain k, a PLAIN `<sitemapindex>` naming two GZIPPED
+    * `<urlset>` files (part = (doc_id DIV 7) % 2; part 0 hand-rolled
+    * STORED, part 1 Deflater — both inflate paths exercised), each
+    * urlset holding its docs' entries id-ordered. Rows:
+    * (domain_k, kind ∈ {index, urlset-0, urlset-1}, payload). The
+    * per-domain aggregate is bounded by the sitemap spec's 50k-URLs-
+    * per-file cap at any corpus size — a real crawl shards into more
+    * parts, which this layout already models. */
+  def sitemapTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = docs
+      .select((col("doc_id") % 7).as("domain_k"),
+        expr("(doc_id DIV 7) % 2").as("part"), col("doc_id"),
+        sitemapEntryCol(col("doc_id")).as("frag"))
+      .groupBy("domain_k", "part")
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(sort_array(
+          collect_list(struct(col("doc_id"), col("frag")))),
+          x => x.getField("frag")), ""),
+        lit("</urlset>")).as("xml"))
+    val urlsets = parts.select(col("domain_k"), col("part"), col("xml"))
+      .as[(Long, Long, String)]
+      .mapPartitions(_.map { case (k, p, xml) =>
+        val data = xml.getBytes("UTF-8")
+        (k, s"urlset-$p",
+          if (p == 0L) gzipStored(data)
+          else gzipDeflate(data, s"sitemap-$p.xml"))
+      }).toDF("domain_k", "kind", "payload")
+    val index = docs.select((col("doc_id") % 7).as("domain_k")).distinct()
+      .as[Long].mapPartitions(_.map { k =>
+        val xml = "<?xml version=\"1.0\"?><sitemapindex>" +
+          (0 to 1).map(p =>
+            s"<sitemap><loc>https://www.example$k.com/sitemap-$p" +
+              ".xml.gz</loc></sitemap>").mkString +
+          "</sitemapindex>"
+        (k, "index", xml.getBytes("UTF-8"))
+      }).toDF("domain_k", "kind", "payload")
+    urlsets.unionByName(index)
+  }
+
+  private val SitemapUrlRe =
+    "<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod></url>".r
+
+  /** The crawl-frontier composition — discovery chained into the
+    * politeness gate in ONE query: parse each domain's sitemapindex →
+    * resolve the gzipped urlset refs (broadcast join against the tiny
+    * per-domain sitemap table) → inflate + parse each urlset → one row
+    * per URL, evaluated against the domain's PARSED robots.txt for
+    * [[crawlAgent]]. Output is exactly the frontier a fetcher would
+    * enqueue: url + lastmod + allowed + matched rule. */
+  def crawlFrontier(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = sitemapTable(docs)
+    val refs = table.where(col("kind") === "index")
+      .select(col("domain_k"),
+        explode(regexp_extract_all(decode(col("payload"), "UTF-8"),
+          lit("<loc>([^<]*)</loc>"), lit(1))).as("sitemap_url"))
+      .select(col("domain_k"), col("sitemap_url"),
+        concat(lit("urlset-"), regexp_extract(col("sitemap_url"),
+          "sitemap-([0-9]+)\\.xml\\.gz$", 1)).as("kind"))
+    val joined = refs.join(
+      broadcast(table.where(col("kind") =!= "index")),
+      Seq("domain_k", "kind"))
+    joined.select(col("domain_k"), col("sitemap_url"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val cache = scala.collection.mutable.Map
+          .empty[Long, Map[String, Vector[Robots.Rule]]]
+        rows.flatMap { case (k, smUrl, payload) =>
+          gunzipMembers(payload).toSeq.flatMap { members =>
+            val xml = new String(members.toArray.flatten, "UTF-8")
+            SitemapUrlRe.findAllMatchIn(xml).map { m =>
+              val url = m.group(1)
+              val lastmod = m.group(2)
+              val path = url.replaceFirst("^https://[^/]+", "")
+              val g = cache.getOrElseUpdate(k,
+                Robots.parse(buildRobots(k)).get)
+              val (allowed, rule) = Robots.evaluate(g, crawlAgent, path)
+              val id = url.substring(url.lastIndexOf('/') + 1).toLong
+              (id, s"example$k.com", smUrl, url, lastmod, allowed, rule)
+            }
+          }
+        }
+      }.toDF("media_id", "domain", "sitemap_url", "url", "lastmod",
+        "allowed", "matched_rule")
   }
 
   /** URL normalization: drop the fragment, lowercase scheme+host, strip

@@ -884,36 +884,87 @@ ORDER BY q_id, rnk"""
   // ------------------------------------------------------------ web tier
   // DuckDB twins of graft.ext.WebCodec's synth + extraction formulas.
   // Keep in LOCKSTEP with WebCodec.{buildHtml,buildUrl,buildRequest,
-  // buildResponse,extractTextCol,titleCol,urlParts}. ASCII-only inputs
-  // (asserted over all SFs) make char-indexed ascii() replays byte-exact
-  // against the codec's byte checksums.
+  // buildResponse,extractTextCol,titleCol,urlParts,i18nPhrases}.
+  // Since r16 the corpus carries a NON-ASCII axis (i18n phrases with
+  // literal multi-byte text + numeric character references) and the
+  // replays are CODEPOINT-indexed: DuckDB's length()/substr()/ascii()
+  // all operate on codepoints, exactly matching Spark's length()/
+  // substring() over UTF8String and the JVM twins' codePoint walks.
+  // strlen() appears ONLY where wire BYTES are meant (UTF-8 byte
+  // lengths — DuckDB strings are UTF-8, so strlen IS the encoded size).
+
+  // the four i18n phrases — verbatim twins of WebCodec.i18nPhrases
+  private val webI18nCase =
+    """CASE WHEN doc_id % 5 = 2 THEN
+      (CASE WHEN doc_id % 2 = 0 THEN 'na&#239;ve fa&#231;ade Caf&#233; ±5°'
+            ELSE 'Gr&#252;&#223;e se&#241;or «café»' END)
+    ELSE
+      (CASE WHEN doc_id % 4 = 0 THEN 'na&#239;ve fa&#231;ade Caf&#233; ±5°'
+            WHEN doc_id % 4 = 1 THEN 'Gr&#252;&#223;e se&#241;or «café»'
+            WHEN doc_id % 4 = 2 THEN '&#x4E2D;&#x6587; 測試 — тест'
+            ELSE '&#128512; emoji αβγ ∑√∞' END)
+    END"""
+
   private val webHtmlExpr =
-    """'<html><head><title>Doc ' || doc_id::VARCHAR || ' [' || source || ']</title>'
+    s"""'<html><head><title>Doc ' || doc_id::VARCHAR || ' [' || source || ']</title>'
     || '<style>body {color: red;}</style>'
     || '<script>var u = "x < y && z > 0";</script></head><body>'
     || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
     || '<h1>' || source || ' #' || doc_id::VARCHAR || '</h1>'
     || '<p class="main">' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>'
     || '<p>lang=&quot;' || lang || '&quot; &amp; id=&#39;' || doc_id::VARCHAR || '&#39;</p>'
+    || '<p class="i18n">' || ($webI18nCase) || '</p>'
+    || '<div class="links"><a href="/t/0">tag zero</a> <a href="/t/1">tag one</a> <a href="/t/2">tag two</a></div>'
     || '<footer>site footer</footer></body></html>'"""
+
+  /** Charset / Content-Encoding / transfer axes — twins of
+    * WebCodec.{charsetOf,contentGzip} and the id%4 framing pick. */
+  private val webCharsetCase =
+    "CASE WHEN doc_id % 5 = 2 THEN 'iso-8859-1' ELSE 'utf-8' END"
+  private val webCeCase =
+    "CASE WHEN doc_id % 5 IN (3, 4) THEN 'gzip' ELSE 'identity' END"
+  private val webTransferCase =
+    "CASE WHEN doc_id % 4 = 1 THEN 'chunked' ELSE 'identity' END"
 
   private val webUrlExpr =
     """'https://WWW.' || source || '.Example' || (doc_id % 7)::VARCHAR
     || '.COM:443/docs/' || doc_id::VARCHAR || '?lang=' || lang
     || '&ref=feed#sec-' || (doc_id % 5)::VARCHAR"""
 
-  /** script/style removal → tag strip → entity decode (amp LAST) →
-    * whitespace collapse → trim, over column expression `h`. */
-  private def webExtractSql(h: String): String =
-    s"""trim(regexp_replace(
-      replace(replace(replace(replace(replace(replace(
+  /** Numeric character reference decode over expression `x` — the
+    * DuckDB twin of WebCodec.decodeNumRefsCol: ONE regex pass marks
+    * each ref as chr(1) body chr(2), string_split on chr(1), and a
+    * scalar list_transform rebuilds segments (a segment containing
+    * chr(2) is "refBody chr(2) literalTail"). chr(cp) is DuckDB's
+    * native codepoint→string; hex refs parse via the '0x' string cast.
+    * Stays a SCALAR expression (no explode) so it composes inside any
+    * oracle CTE chain. */
+  private def webNumRefSql(x: String): String =
+    s"""list_aggregate(list_transform(
+      string_split(regexp_replace($x,
+        '&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});',
+        chr(1) || '\\1' || chr(2), 'g'), chr(1)),
+      seg -> CASE WHEN contains(seg, chr(2)) THEN
+        chr((CASE WHEN substr(split_part(seg, chr(2), 1), 1, 1) = 'x'
+          THEN ('0x' || substr(split_part(seg, chr(2), 1), 2))::BIGINT
+          ELSE split_part(seg, chr(2), 1)::BIGINT END)::INT)
+        || split_part(seg, chr(2), 2)
+      ELSE seg END), 'string_agg', '')"""
+
+  /** script/style removal → tag strip → named entities (quot, lt, gt,
+    * nbsp) → numeric refs → amp LAST → whitespace collapse → trim,
+    * over column expression `h`. Twin of WebCodec.extractTextCol. */
+  private def webExtractSql(h: String): String = {
+    val named = s"""replace(replace(replace(replace(
         regexp_replace(regexp_replace(regexp_replace($h,
           '<script[^>]*>.*?</script>', ' ', 'g'),
           '<style[^>]*>.*?</style>', ' ', 'g'),
           '<[^>]*>', ' ', 'g'),
-        '&quot;', '"'), '&#39;', ''''), '&lt;', '<'), '&gt;', '>'),
-        '&nbsp;', ' '), '&amp;', '&'),
+        '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' ')"""
+    s"""trim(regexp_replace(
+      replace(${webNumRefSql(named)}, '&amp;', '&'),
       '\\s+', ' ', 'g'))"""
+  }
 
   private val webUrlPartsSql =
     """p AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nofrag
@@ -935,12 +986,15 @@ webq AS (SELECT doc_id,
            FROM documents),
 x AS (SELECT doc_id, source, ${webExtractSql("html")} AS body FROM h),
 g AS (SELECT doc_id,
-        'www.' || source || '.example' || (doc_id % 7)::VARCHAR || '.com'
-          AS host,
+        -- lower(): the Spark side derives host via lower() over the
+        -- parsed URL, so the twin must hold for any fixture casing
+        -- (ADVICE r15)
+        'www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
+          || '.com' AS host,
         CAST(200 AS INT) AS http_status, body,
         len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
-        (1000 * strlen(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
-          // strlen(body) AS alpha_milli
+        (1000 * length(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
+          // length(body) AS alpha_milli
       FROM x)
 SELECT doc_id AS media_id, host, http_status, body, n_words,
        alpha_milli::BIGINT AS alpha_milli,
@@ -6543,10 +6597,15 @@ SELECT * FROM (
     // gzip member parse (header grammar + CRC32/ISIZE, one member per
     // record per the WARC convention; variants: plain / hand-rolled
     // STORED deflate / JDK Deflater dynamic-Huffman + FNAME) → WARC 1.0
-    // record framing → per-record features. The (i+1)-weighted byte
-    // checksum pins content AND order through both compression paths;
-    // the oracle rebuilds the exact HTTP payload strings and replays the
-    // checksum per-character (ASCII ⇒ byte-exact).
+    // record framing → HTTP parse → per-record HTTP-LEVEL features.
+    // Since r16 the corpus spans three more axes (wire charset, entity
+    // Content-Encoding: gzip, metadata sidecar records), so this view
+    // reports the DECODED level — status/method/framing/encoding/charset
+    // plus codepoint-indexed body length and (i+1)-weighted codepoint
+    // checksum — which the oracle replays exactly for every axis
+    // combination (compressed wire bytes never need SQL replay; the
+    // raw-byte framing pin lives in web_http_framing over the text
+    // subset).
     ("web_warc_records",
       (s: SparkSession, d: String) =>
         graft.ext.WebCodec.warcRecords(
@@ -6554,48 +6613,102 @@ SELECT * FROM (
           .orderBy("media_id", "rec_index"),
       Some(s"""WITH crlfv AS (SELECT chr(13) || chr(10) AS crlf),
 h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents),
-pieces AS (SELECT h.doc_id, u.i AS i,
-             substr(h.html, (u.i * 256 + 1)::INT, 256) AS piece
-           FROM h, unnest(range(0, (strlen(h.html) + 255) // 256)) AS u(i)),
-ch AS (SELECT p2.doc_id AS cdoc, string_agg(
-         lower(to_hex(strlen(p2.piece))) || c.crlf || p2.piece || c.crlf,
-         '' ORDER BY p2.i) AS chunks
-       FROM pieces p2, crlfv c GROUP BY p2.doc_id),
-b AS (SELECT h.doc_id, $webUrlExpr AS uri,
-        'GET /docs/' || doc_id::VARCHAR || '?lang=' || lang
-          || '&ref=feed HTTP/1.1' || crlf || 'Host: www.' || source
-          || '.example' || (doc_id % 7)::VARCHAR || '.com' || crlf || crlf
-          AS req,
-        CASE WHEN h.doc_id % 4 = 1 THEN
-          'HTTP/1.1 200 OK' || crlf
-            || 'Content-Type: text/html; charset=utf-8' || crlf
-            || 'Transfer-Encoding: chunked' || crlf
-            || 'X-Doc: ' || doc_id::VARCHAR || crlf || crlf
-            || ch.chunks || '0' || crlf || crlf
-        ELSE
-          'HTTP/1.1 200 OK' || crlf
-            || 'Content-Type: text/html; charset=utf-8' || crlf
-            || 'Content-Length: ' || strlen(html)::VARCHAR || crlf
-            || 'X-Doc: ' || doc_id::VARCHAR || crlf || crlf || html
-        END AS rsp
-      FROM h, crlfv, ch WHERE ch.cdoc = h.doc_id),
+axes AS (SELECT h.doc_id, h.html, $webUrlExpr AS uri,
+    $webCharsetCase AS charset,
+    $webCeCase AS content_encoding,
+    $webTransferCase AS transfer,
+    CASE WHEN h.doc_id % 5 = 2 THEN length(h.html)
+         ELSE strlen(h.html) END AS body_bytes
+  FROM h),
 recs AS (
   SELECT doc_id, CAST(0 AS INT) AS rec_index, 'request' AS warc_type,
-         uri, req AS payload FROM b
+         uri, '' AS txt, 0 AS body_bytes, 0 AS http_status,
+         'GET' AS http_method, '' AS transfer, '' AS content_encoding,
+         '' AS charset
+  FROM axes
   UNION ALL
-  SELECT doc_id, CAST(1 AS INT), 'response', uri, rsp FROM b),
+  SELECT doc_id, CAST(1 AS INT), 'response', uri, html, body_bytes,
+         200, '', transfer, content_encoding, charset
+  FROM axes
+  UNION ALL
+  SELECT a.doc_id, CAST(2 AS INT), 'metadata', a.uri,
+         'fetchDurationMs: ' || ((a.doc_id * 37) % 900 + 100)::VARCHAR
+           || c.crlf || 'charsetDetected: ' || a.charset || c.crlf,
+         -1, 0, '', '', '', ''
+  FROM axes a, crlfv c WHERE a.doc_id % 6 = 3),
 chars AS (SELECT doc_id, rec_index, u.i AS i,
-                 ascii(substr(payload, (u.i + 1)::INT, 1)) AS c
-          FROM recs, unnest(range(0, strlen(payload))) AS u(i)),
-cks AS (SELECT doc_id, rec_index, sum((i + 1) * c)::BIGINT AS payload_ck
+                 ascii(substr(txt, (u.i + 1)::INT, 1)) AS c
+          FROM recs, unnest(range(0, length(txt))) AS u(i)),
+cks AS (SELECT doc_id, rec_index, sum((i + 1) * c)::BIGINT AS body_ck
         FROM chars GROUP BY 1, 2)
-SELECT r.doc_id AS media_id, r.rec_index, r.warc_type,
-       r.uri AS target_uri, strlen(r.payload)::BIGINT AS content_length,
-       CAST(CASE WHEN r.doc_id % 3 = 0 THEN 0 ELSE 2 END AS INT)
+SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
+       r.uri AS target_uri,
+       CAST(CASE WHEN r.doc_id % 3 = 0 THEN 0
+                 WHEN r.doc_id % 6 = 3 THEN 3 ELSE 2 END AS INT)
          AS gzip_members,
-       k.payload_ck
-FROM recs r JOIN cks k USING (doc_id, rec_index)
+       CAST(r.http_status AS INT) AS http_status, r.http_method,
+       r.transfer, r.content_encoding, r.charset,
+       (CASE WHEN r.body_bytes = -1 THEN strlen(r.txt)
+             ELSE r.body_bytes END)::BIGINT AS body_bytes,
+       length(r.txt)::BIGINT AS body_chars,
+       coalesce(k.body_ck, 0)::BIGINT AS body_ck
+FROM recs r LEFT JOIN cks k USING (doc_id, rec_index)
 ORDER BY media_id, rec_index""")),
+
+    // RAW transfer-framing pin over the TEXT subset (no entity gzip —
+    // compressed bytes can't be rebuilt in SQL): the whole response
+    // payload — status line, Content-Type with its charset parameter,
+    // Content-Length (BYTES of the charset-encoded body) or the full
+    // chunked framing with per-piece byte sizes in lowercase hex —
+    // rebuilt as ONE string and checksummed codepoint-by-codepoint.
+    // Text pieces chunk at 256-CODEPOINT boundaries, so a piece's byte
+    // size is strlen (UTF-8 wire) or length (Latin-1 wire) of the
+    // substr piece. This is the byte-exactness evidence for the framing
+    // writer+parser pair; everything downstream is framing-INVARIANT.
+    ("web_http_framing",
+      (s: SparkSession, d: String) =>
+        graft.ext.WebCodec.httpFraming(
+          graft.ext.WebCodec.webWarc(docs(s, d)))
+          .orderBy("media_id"),
+      Some(s"""WITH crlfv AS (SELECT chr(13) || chr(10) AS crlf),
+h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents
+      WHERE doc_id % 5 NOT IN (3, 4)),
+f AS (SELECT h.doc_id, h.html, $webCharsetCase AS charset,
+    $webTransferCase AS transfer,
+    CASE WHEN h.doc_id % 5 = 2 THEN length(h.html)
+         ELSE strlen(h.html) END AS body_bytes
+  FROM h),
+pieces AS (SELECT f.doc_id, u.i AS i,
+             substr(f.html, (u.i * 256 + 1)::INT, 256) AS piece
+           FROM f, unnest(range(0, (length(f.html) + 255) // 256)) AS u(i)),
+ch AS (SELECT p.doc_id AS cdoc, string_agg(
+         lower(to_hex(CASE WHEN p.doc_id % 5 = 2 THEN length(p.piece)
+                           ELSE strlen(p.piece) END))
+           || c.crlf || p.piece || c.crlf, '' ORDER BY p.i) AS chunks
+       FROM pieces p, crlfv c GROUP BY p.doc_id),
+msg AS (SELECT f.doc_id, f.transfer, f.charset, f.body_bytes,
+    'HTTP/1.1 200 OK' || c.crlf
+      || 'Content-Type: text/html; charset=' || f.charset || c.crlf
+      || CASE WHEN f.doc_id % 4 = 1 THEN
+           'Transfer-Encoding: chunked' || c.crlf
+             || 'X-Doc: ' || f.doc_id::VARCHAR || c.crlf || c.crlf
+             || ch.chunks || '0' || c.crlf || c.crlf
+         ELSE
+           'Content-Length: ' || f.body_bytes::VARCHAR || c.crlf
+             || 'X-Doc: ' || f.doc_id::VARCHAR || c.crlf || c.crlf || f.html
+         END AS payload
+  FROM f JOIN ch ON ch.cdoc = f.doc_id, crlfv c),
+chars AS (SELECT doc_id, u.i AS i,
+                 ascii(substr(payload, (u.i + 1)::INT, 1)) AS c
+          FROM msg, unnest(range(0, length(payload))) AS u(i)),
+cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS payload_ck
+        FROM chars GROUP BY 1)
+SELECT m.doc_id AS media_id, m.transfer, m.charset,
+       (CASE WHEN m.doc_id % 4 = 1 THEN -1
+             ELSE m.body_bytes END)::BIGINT AS content_length_hdr,
+       length(m.payload)::BIGINT AS payload_chars, k.payload_ck
+FROM msg m JOIN cks k USING (doc_id)
+ORDER BY media_id""")),
 
     // HTML → text, entirely inside whole-stage codegen: the synth and
     // the extraction (script/style removal, tag strip, entity decode
@@ -6621,9 +6734,57 @@ ORDER BY media_id, rec_index""")),
 x AS (SELECT doc_id, html, ${webExtractSql("html")} AS body FROM h)
 SELECT doc_id AS media_id,
        regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
-       body, strlen(body)::BIGINT AS n_chars_ext,
+       body, length(body)::BIGINT AS n_chars_ext,
        len(string_split_regex(body, '\\s+'))::BIGINT AS n_words
 FROM x ORDER BY media_id""")),
+
+    // MAIN-CONTENT extraction (r16) — the boilerplate-removal gate real
+    // LLM pipelines run between tag-strip and dedup (jusText/
+    // trafilatura-style): block segmentation, link-density + length
+    // scoring, keep only content blocks. The planted nav bar, link-farm
+    // div, and footer — which tag-strip alone provably keeps (they're
+    // in web_html_text's body) — are dropped here. The oracle replays
+    // the IDENTICAL generic algorithm (regexp_extract_all blocks →
+    // list_transform scoring → list_filter), not a per-block case
+    // table; coalesce('') mirrors Spark's array_join-on-empty.
+    ("web_main_content",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        docs(s, d)
+          .select(col("doc_id").as("media_id"),
+            W.mainContentStruct(W.htmlCol(col("doc_id"), col("text"),
+              col("lang"), col("source"))).as("mc"))
+          .select(col("media_id"), col("mc.main_text").as("main_text"),
+            col("mc.n_blocks").as("n_blocks"),
+            col("mc.n_kept").as("n_kept"),
+            col("mc.boiler_chars").as("boiler_chars"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, $webHtmlExpr AS html FROM documents),
+b AS (SELECT doc_id, regexp_extract_all(html,
+        '(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>|<div[^>]*>.*?</div>|<footer>.*?</footer>)',
+        1) AS blocks FROM h),
+s AS (SELECT doc_id, len(blocks) AS nb, list_transform(blocks,
+        blk -> struct_pack(
+          btext := ${webExtractSql("blk")},
+          ltext := coalesce(array_to_string(
+            regexp_extract_all(blk, '<a [^>]*>([^<]*)</a>', 1), ' '), '')))
+        AS ev FROM b),
+k AS (SELECT doc_id, nb,
+        list_filter(ev, e -> length(e.btext) >= 15
+          AND 2 * length(e.ltext) < length(e.btext)) AS keptl,
+        list_filter(ev, e -> NOT (length(e.btext) >= 15
+          AND 2 * length(e.ltext) < length(e.btext))) AS dropl
+      FROM s)
+SELECT doc_id AS media_id,
+  coalesce(array_to_string(
+    list_transform(keptl, e -> e.btext), ' '), '') AS main_text,
+  nb::BIGINT AS n_blocks, len(keptl)::BIGINT AS n_kept,
+  coalesce(list_aggregate(
+    list_transform(dropl, e -> length(e.btext)), 'sum'), 0)::BIGINT
+    AS boiler_chars
+FROM k ORDER BY media_id""")),
 
     // URL normalization (fragment drop, scheme/host lowercase, https
     // default-port strip) + component split + registered-domain
@@ -6701,29 +6862,83 @@ GROUP BY 1 ORDER BY domain""")),
       Some(webPipelineSql)),
 
     // The crawl-politeness gate: every document's URL path evaluated
-    // for agent "graftbot" against its domain's PARSED robots.txt
-    // (RFC 9309 subset: group selection with exact-agent-beats-star,
-    // longest-match-wins, allow preferred on ties, default-allow). The
-    // parse is real per-domain text parsing in the codec seam; the
-    // oracle replays the decision table the synth robots encode —
-    // k%5==0 domains carry a graftbot-specific group (Disallow /docs/9),
-    // k=1 is star-disallowed, k=3 is the equal-length allow/disallow
-    // TIE (allow wins), k=6 allow-only, k∈{2,4} no matching rule.
+    // for agent "GraftBot/1.7 (+https://graft.invalid/bot)" against its
+    // domain's PARSED robots.txt — full RFC 9309 matching since r16:
+    // `*`/`$` wildcards in path rules with longest-PATTERN precedence,
+    // case-insensitive product-token group selection (the mixed-case
+    // "GraftBot" group on k%5==0 wins exclusively), allow on ties,
+    // default-allow. The parse is real per-domain text parsing in the
+    // codec seam; the oracle replays the decision table the synth
+    // robots encode — k∈{0,5} named group (Disallow /docs/9 prefix);
+    // k=1 star-disallowed with /docs/*7$ (9 octets) outweighing /docs/
+    // (6) on ids ending in 7; k=3 the equal-length TIE (allow wins)
+    // except ids ending in 9 where /docs/*9$ outweighs; k=4
+    // wildcard-only; k=6 allow + /docs/*9$; k=2 no matching rule.
     ("web_robots_gate",
       (s: SparkSession, d: String) =>
         graft.ext.WebCodec.robotsGate(docs(s, d)).orderBy("media_id"),
       Some("""WITH d AS (SELECT doc_id, doc_id % 7 AS k,
-           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9 FROM documents)
+           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
+           doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9 FROM documents)
 SELECT doc_id AS media_id,
   'example' || k::VARCHAR || '.com' AS domain,
   '/docs/' || doc_id::VARCHAR AS path,
   CASE WHEN k % 5 = 0 THEN NOT sw9
        WHEN k = 1 THEN FALSE
+       WHEN k = 3 THEN NOT e9
+       WHEN k = 4 THEN NOT e7
+       WHEN k = 6 THEN NOT e9
        ELSE TRUE END AS allowed,
   CASE WHEN k % 5 = 0 THEN (CASE WHEN sw9 THEN '/docs/9' ELSE '' END)
-       WHEN k IN (1, 3, 6) THEN '/docs/'
+       WHEN k = 1 THEN (CASE WHEN e7 THEN '/docs/*7$' ELSE '/docs/' END)
+       WHEN k = 3 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
+       WHEN k = 4 THEN (CASE WHEN e7 THEN '/docs/*7$' ELSE '' END)
+       WHEN k = 6 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
        ELSE '' END AS matched_rule
 FROM d ORDER BY media_id""")),
+
+    // REVISIT-aware crawl dedup (r16): crawl 2's unchanged docs ship
+    // WARC revisit records (Common Crawl's crawl-time URL dedup signal)
+    // pointing at the crawl-1 capture with a payload digest; changed
+    // docs ship full responses. The query serves the UNIFIED corpus:
+    // live bodies from crawl 2, reused bodies joined in from crawl 1 by
+    // the referral URI (at scale this IS the dedup shape: one keyed
+    // shuffle join on the referral key), with the digest verified
+    // against the reused content. The oracle replays the axis + the
+    // html codepoint checksums.
+    ("web_revisit_dedup",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val crawl2 = W.recrawlRecords(W.webWarcRecrawl(docs(s, d)))
+        val live = crawl2.where(col("fetched") === "response")
+          .select(col("media_id"), col("fetched"), col("n_chars"),
+            col("body_ck"), lit(true).as("digest_ok"))
+        val crawl1 = W.warcRecords(W.webWarc(docs(s, d)))
+          .where(col("warc_type") === "response")
+          .select(col("target_uri").as("c1_uri"),
+            col("body_chars").as("c1_chars"), col("body_ck").as("c1_ck"))
+        val reused = crawl2.where(col("fetched") === "revisit")
+          .join(crawl1, col("refers_to") === col("c1_uri"))
+          .select(col("media_id"), col("fetched"),
+            col("c1_chars").as("n_chars"), col("c1_ck").as("body_ck"),
+            (col("digest") === concat(lit("graft:ck:"), col("c1_ck")))
+              .as("digest_ok"))
+        live.unionByName(reused).orderBy("media_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+           FROM documents),
+chars AS (SELECT doc_id, u.i AS i,
+                 ascii(substr(html, (u.i + 1)::INT, 1)) AS c
+          FROM h, unnest(range(0, length(html))) AS u(i)),
+cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS ck
+        FROM chars GROUP BY 1)
+SELECT h.doc_id AS media_id,
+       CASE WHEN h.doc_id % 2 = 0 THEN 'revisit' ELSE 'response' END
+         AS fetched,
+       length(h.html)::BIGINT AS n_chars, k.ck AS body_ck,
+       TRUE AS digest_ok
+FROM h JOIN cks k USING (doc_id) ORDER BY media_id""")),
 
     // WET — Common Crawl's extracted-text sidecar: the same WARC
     // container carrying WARC-Type: conversion records whose payload is
@@ -6740,7 +6955,7 @@ FROM d ORDER BY media_id""")),
            FROM documents),
 x AS (SELECT doc_id, lang, source, ${webExtractSql("html")} AS body FROM h)
 SELECT doc_id AS media_id, $webUrlExpr AS target_uri, body AS text,
-       strlen(body)::BIGINT AS n_chars
+       length(body)::BIGINT AS n_chars
 FROM x ORDER BY media_id""")),
 
     // Sliding-window chunking — the RAG/embedding-index preprocessing
@@ -6807,15 +7022,18 @@ FROM s ORDER BY media_id, chunk_index""")),
             (col("p.text") === col("orig")).as("ok"))
           .orderBy("media_id")
       },
-      Some("""SELECT doc_id AS media_id,
-       '{"doc_id":' || doc_id::VARCHAR || ',"lang":"' || lang
-         || '","source":"' || source || '","text":"' || text || '"}'
-         AS line,
-       strlen('{"doc_id":' || doc_id::VARCHAR || ',"lang":"' || lang
-         || '","source":"' || source || '","text":"' || text || '"}')::BIGINT
-         AS n_line_chars,
+      Some("""WITH j AS (SELECT doc_id, lang, source,
+  -- replay to_json's escaping of backslash-then-quote (ADVICE r15:
+  -- ASCII includes both; raw concatenation would silently diverge on
+  -- any fixture text containing them)
+  '{"doc_id":' || doc_id::VARCHAR || ',"lang":"' || lang
+    || '","source":"' || source || '","text":"'
+    || replace(replace(text, '\', '\\'), '"', '\"') || '"}' AS line
+  FROM documents)
+SELECT doc_id AS media_id, line,
+       length(line)::BIGINT AS n_line_chars,
        lang, source, TRUE AS ok
-FROM documents ORDER BY media_id""")),
+FROM j ORDER BY media_id""")),
 
     // Sitemap.xml — crawl URL discovery: each domain's sitemap is BUILT
     // as real XML (per-domain aggregate of <url> entries, id-ordered),
@@ -6858,6 +7076,42 @@ FROM documents ORDER BY media_id""")),
        '2026-0' || ((doc_id % 9) + 1)::VARCHAR || '-01' AS lastmod
 FROM documents ORDER BY url""")),
 
+    // The crawl FRONTIER (r16): two-level sitemap discovery — plain
+    // <sitemapindex> per domain naming two GZIPPED <urlset> parts
+    // (stored + deflater, both real inflate paths) — resolved via a
+    // broadcast join against the tiny sitemap table, urlsets parsed in
+    // the codec seam, then CHAINED into the RFC 9309 robots gate per
+    // URL: exactly what a fetcher enqueues. The oracle replays the
+    // per-doc url/lastmod/part formulas plus the robots decision table
+    // (same table as web_robots_gate).
+    ("web_crawl_frontier",
+      (s: SparkSession, d: String) =>
+        graft.ext.WebCodec.crawlFrontier(docs(s, d)).orderBy("media_id"),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 7 AS k,
+           (doc_id // 7) % 2 AS part,
+           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
+           doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9 FROM documents)
+SELECT doc_id AS media_id,
+  'example' || k::VARCHAR || '.com' AS domain,
+  'https://www.example' || k::VARCHAR || '.com/sitemap-' || part::VARCHAR
+    || '.xml.gz' AS sitemap_url,
+  'https://www.example' || k::VARCHAR || '.com/docs/' || doc_id::VARCHAR
+    AS url,
+  '2026-0' || ((doc_id % 9) + 1)::VARCHAR || '-01' AS lastmod,
+  CASE WHEN k % 5 = 0 THEN NOT sw9
+       WHEN k = 1 THEN FALSE
+       WHEN k = 3 THEN NOT e9
+       WHEN k = 4 THEN NOT e7
+       WHEN k = 6 THEN NOT e9
+       ELSE TRUE END AS allowed,
+  CASE WHEN k % 5 = 0 THEN (CASE WHEN sw9 THEN '/docs/9' ELSE '' END)
+       WHEN k = 1 THEN (CASE WHEN e7 THEN '/docs/*7$' ELSE '/docs/' END)
+       WHEN k = 3 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
+       WHEN k = 4 THEN (CASE WHEN e7 THEN '/docs/*7$' ELSE '' END)
+       WHEN k = 6 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
+       ELSE '' END AS matched_rule
+FROM d ORDER BY media_id""")),
+
     // The tiers COMPOSED end-to-end — the actual pre-training data run
     // in one query: WARC bytes → gzip members → HTTP → HTML extraction
     // → quality gates → kept docs only → sliding-window chunks. Codec
@@ -6889,8 +7143,8 @@ FROM documents ORDER BY url""")),
 x AS (SELECT doc_id, ${webExtractSql("html")} AS body FROM h),
 g AS (SELECT doc_id, body,
         len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
-        (1000 * strlen(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
-          // strlen(body) AS alpha_milli
+        (1000 * length(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
+          // length(body) AS alpha_milli
       FROM x),
 k AS (SELECT doc_id, string_split_regex(body, '\\s+') AS toks
       FROM g WHERE n_words >= 40 AND alpha_milli >= 900),

@@ -454,12 +454,44 @@ class PlanShapeSpec extends SparkSuite {
     }
     // the pure-Column chains must stay projection-only (codegen-able
     // end to end): no typed/object seam anywhere in the plan
-    for (q <- Seq("web_html_text", "web_url_parts")) {
+    // (web_main_content r16: block segmentation via nested HOFs is
+    // still pure-Column — no explode, no imperative seam)
+    for (q <- Seq("web_html_text", "web_url_parts", "web_main_content")) {
       val p = plan(q)
       assert(p.contains("Scan parquet"), s"$q reads the table directly")
       assert(!p.contains("MapPartitions") && !p.contains("MapElements") &&
         !p.contains("DeserializeToObject"),
         s"$q is pure-Column; no imperative seam expected:\n$p")
+    }
+    // r16 additions that stay scan-shaped
+    for (q <- Seq("web_http_framing", "web_main_content")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("Window"), s"$q must not window")
+      assert(nodeCount(p, "Exchange") <= 2,
+        s"$q: only the final sort may exchange:\n$p")
+    }
+    // the frontier resolves urlset refs against the per-domain sitemap
+    // table — that side is tiny (3 rows per domain) and MUST broadcast;
+    // a shuffle join here would serialize the whole fetch queue through
+    // one key space at 100 TB
+    locally {
+      val p = plan("web_crawl_frontier")
+      assert(p.contains("BroadcastHashJoin"),
+        s"web_crawl_frontier: sitemap-ref join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"web_crawl_frontier: no shuffle/cartesian join:\n$p")
+      assert(!p.contains("Window"))
+    }
+    // revisit dedup joins crawl 2's referral URIs against crawl 1's
+    // captures — BOTH sides scale with the corpus, so a keyed shuffle
+    // join is the intended shape (never cartesian, never windowed)
+    locally {
+      val p = plan("web_revisit_dedup")
+      assert(p.contains("Join"), s"web_revisit_dedup joins by design:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"web_revisit_dedup: no cartesian:\n$p")
+      assert(!p.contains("Window"))
     }
   }
 }

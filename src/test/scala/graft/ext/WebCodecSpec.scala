@@ -51,8 +51,9 @@ class WebCodecSpec extends SparkSuite {
 
   // ------------------------------------------------------------- WARC
 
-  test("warc: all three compression variants demux to the same two " +
-      "records (request then response) with byte-identical payloads") {
+  test("warc: all three compression variants demux to the same records " +
+      "(request, response, + metadata on id%6==3) with byte-identical " +
+      "payloads") {
     val ref = (0L to 2L).map { v =>
       // ids 0,1,2 hit variants plain/stored/deflate respectively
       val bytes = buildWarcFile(v, "sample text words", "en", "src0")
@@ -65,9 +66,13 @@ class WebCodecSpec extends SparkSuite {
     for (v <- 0L to 2L) {
       val req = buildRequest(v, "en", "src0").getBytes("ISO-8859-1")
       val rsp = buildResponse(v, "sample text words", "en", "src0")
-        .getBytes("ISO-8859-1")
       assert(ref(v.toInt) == Vector(weightedCk(req), weightedCk(rsp)))
     }
+    // the metadata sidecar axis: id 9 (9%6==3) carries a third record
+    val recs9 = parseWarc(buildWarcFile(9L, "t", "en", "src0")).get
+    assert(recs9.map(_.warcType)
+      == Vector("request", "response", "metadata"))
+    assert(new String(recs9(2).payload, "ISO-8859-1") == metadataFields(9L))
   }
 
   test("warc strictness: version drift, length mismatch, lost " +
@@ -94,31 +99,93 @@ class WebCodecSpec extends SparkSuite {
   }
 
   test("http response parse: status + exact-length body; strictness") {
-    // id 4 → Content-Length framing (4 % 4 == 0)
-    val rsp = buildResponse(4L, "alpha beta", "fr", "src2")
-    val (status, body) = parseHttpResponse(rsp.getBytes("ISO-8859-1")).get
-    assert(status == 200)
-    assert(new String(body, "ISO-8859-1")
-      == buildHtml(4L, "alpha beta", "fr", "src2"))
-    assert(parseHttpResponse((rsp + "x").getBytes("ISO-8859-1")).isEmpty)
-    assert(parseHttpResponse(rsp.getBytes("ISO-8859-1").dropRight(1))
-      .isEmpty)
-    assert(parseHttpResponse(rsp.replaceFirst("HTTP/1.1 200", "ICY 200")
-      .getBytes("ISO-8859-1")).isEmpty)
+    // id 0 → Content-Length framing (0 % 4 == 0), utf-8, no entity gzip
+    val rspB = buildResponse(0L, "alpha beta", "fr", "src2")
+    val rsp = new String(rspB, "ISO-8859-1")
+    val m = parseHttpResponse(rspB).get
+    assert(m.status == 200 && m.charset == "utf-8"
+      && m.contentEncoding == "identity" && !m.chunked)
+    assert(m.bodyText == buildHtml(0L, "alpha beta", "fr", "src2"))
+    def bytes(s: String) = s.getBytes("ISO-8859-1")
+    assert(parseHttpResponse(bytes(rsp + "x")).isEmpty)
+    assert(parseHttpResponse(rspB.dropRight(1)).isEmpty)
+    assert(parseHttpResponse(bytes(rsp.replaceFirst("HTTP/1.1 200",
+      "ICY 200"))).isEmpty)
+  }
+
+  test("http charset axis: iso-8859-1 bodies decode via the declared " +
+      "charset; utf-8 bodies strict-decode; the sniff fallback handles " +
+      "an UNdeclared latin-1 body") {
+    // id 12 → %5 == 2: declared iso-8859-1, Content-Length in BYTES ==
+    // chars, phrase index 12%2==0 (Latin-1-safe)
+    val html12 = buildHtml(12L, "words", "en", "src0")
+    val m12 = parseHttpResponse(buildResponse(12L, "words", "en", "src0")).get
+    assert(m12.charset == "iso-8859-1")
+    assert(m12.body.length == html12.length) // Latin-1: 1 byte per char
+    assert(m12.bodyText == html12)
+    // id 2 → %5 == 2? no: 2%5==2 → latin1 too; id 6 → %5==1 utf-8 with
+    // the 中文 phrase (6%4==2): multi-byte wire, body_bytes > chars
+    val html6 = buildHtml(6L, "words", "en", "src0")
+    val m6 = parseHttpResponse(buildResponse(6L, "words", "en", "src0")).get
+    assert(m6.charset == "utf-8")
+    assert(m6.body.length
+      == html6.getBytes("UTF-8").length)
+    assert(m6.body.length > html6.codePointCount(0, html6.length))
+    assert(m6.bodyText == html6)
+    // sniff: latin-1 bytes with NO declared charset fall back cleanly
+    val latin = "café ±5°".getBytes("ISO-8859-1")
+    val undeclared = ("HTTP/1.1 200 OK\r\nContent-Length: " +
+      latin.length + "\r\n\r\n").getBytes("ISO-8859-1") ++ latin
+    assert(parseHttpResponse(undeclared).get.bodyText
+      == "café ±5°")
+    // and valid UTF-8 with no declared charset decodes as UTF-8
+    val utf = "café 中文".getBytes("UTF-8")
+    val undeclaredU = ("HTTP/1.1 200 OK\r\nContent-Length: " +
+      utf.length + "\r\n\r\n").getBytes("ISO-8859-1") ++ utf
+    assert(parseHttpResponse(undeclaredU).get.bodyText
+      == "café 中文")
+  }
+
+  test("http content-encoding axis: gzip entities inflate through the " +
+      "member walk (stored id%5==3, deflater id%5==4), compose with " +
+      "chunked framing, and corrupt/unknown codings poison") {
+    for (id <- Seq(3L, 4L, 8L, 13L, 14L)) { // 13 ≡ chunked AND gzip
+      val html = buildHtml(id, "gzip body words", "en", "src1")
+      val m = parseHttpResponse(
+        buildResponse(id, "gzip body words", "en", "src1")).get
+      assert(m.contentEncoding == "gzip", s"id=$id")
+      assert(m.chunked == (id % 4 == 1), s"id=$id")
+      assert(m.bodyText == html, s"id=$id")
+    }
+    // unknown coding poisons
+    assert(parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
+        "Content-Length: 2\r\n\r\nhi").getBytes("ISO-8859-1")).isEmpty)
+    // declared gzip but non-gzip bytes poisons
+    assert(parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+        "Content-Length: 2\r\n\r\nhi").getBytes("ISO-8859-1")).isEmpty)
+    // corrupt gzip entity (CRC flip) poisons
+    val ok = buildResponse(8L, "words", "en", "src1") // 8%5==3 stored gzip
+    val bad = ok.clone()
+    bad(bad.length - 6) = (bad(bad.length - 6) ^ 1).toByte
+    assert(parseHttpResponse(bad).isEmpty)
   }
 
   test("http chunked transfer-encoding: de-chunks to the exact html " +
       "(multi-chunk), and every framing violation poisons") {
-    // id 5 → chunked (5 % 4 == 1); long text forces several 256B chunks
+    // id 5 → chunked (5 % 4 == 1), utf-8, no entity gzip (5 % 5 == 0);
+    // long text forces several 256-codepoint chunks
     val text = Array.fill(30)("lorem ipsum dolor sit amet").mkString(" ")
-    val rsp = buildResponse(5L, text, "fr", "src2")
+    val rspB = buildResponse(5L, text, "fr", "src2")
+    val rsp = new String(rspB, "ISO-8859-1")
     assert(rsp.contains("Transfer-Encoding: chunked")
       && !rsp.contains("Content-Length"))
-    val (status, body) = parseHttpResponse(rsp.getBytes("ISO-8859-1")).get
-    assert(status == 200)
+    val m = parseHttpResponse(rspB).get
+    assert(m.status == 200 && m.chunked)
     val html = buildHtml(5L, text, "fr", "src2")
     assert(html.length > 512, "must span 3+ chunks")
-    assert(new String(body, "ISO-8859-1") == html)
+    assert(m.bodyText == html)
     def poison(s: String): Unit =
       assert(parseHttpResponse(s.getBytes("ISO-8859-1")).isEmpty, s.take(60))
     poison(rsp + "x") // bytes after the 0-chunk terminator
@@ -126,14 +193,19 @@ class WebCodecSpec extends SparkSuite {
     poison(rsp.replaceFirst("100\r\n", "ff\r\n")) // size lies → CRLF miss
     poison(rsp.dropRight(2)) // lost final CRLF
     poison(rsp.replaceFirst("Transfer-Encoding: chunked",
-      "Transfer-Encoding: gzip")) // unknown coding
+      "Transfer-Encoding: deflate")) // unknown transfer coding
     poison(rsp.replaceFirst("Transfer-Encoding: chunked",
       "Transfer-Encoding: chunked\r\nContent-Length: 3")) // both framings
     // round-trip through the FULL stack: chunked response inside a
     // gzip-deflate WARC member (id 5: gzip variant 2, chunked variant 1)
     val recs = parseWarc(buildWarcFile(5L, text, "fr", "src2")).get
-    val (_, b2) = parseHttpResponse(recs(1).payload).get
-    assert(new String(b2, "ISO-8859-1") == html)
+    assert(parseHttpResponse(recs(1).payload).get.bodyText == html)
+    // chunk boundaries are CODEPOINT-aligned: a multi-byte phrase doc
+    // (id 13: chunked + gzip-stored entity; id 21: chunked, utf-8 wire,
+    // 21%4==1, 21%5==1, phrase 21%4==1) still decodes exactly
+    val html21 = buildHtml(21L, text, "fr", "src2")
+    assert(parseHttpResponse(
+      buildResponse(21L, text, "fr", "src2")).get.bodyText == html21)
   }
 
   test("mutation fuzz: random single-byte flips never throw and never " +
@@ -148,8 +220,9 @@ class WebCodecSpec extends SparkSuite {
       parseWarc(c) match {
         case None => ()
         case Some(recs) =>
-          // a surviving parse must still be two well-framed records
-          assert(recs.length == 2)
+          // a surviving parse must still be well-framed records
+          // (2, or 3 on the metadata axis id%6==3)
+          assert(recs.length == (if (id % 6 == 3) 3 else 2))
           assert(recs.forall(_.payload != null))
       }
     }
@@ -320,6 +393,59 @@ class WebCodecSpec extends SparkSuite {
       "a", "/x") == ((true, "")))
   }
 
+  test("robots RFC 9309 wildcards: * spans, $ anchors, precedence is " +
+      "pattern octets, and exotic shapes match linearly") {
+    import WebCodec.Robots.pathMatches
+    assert(pathMatches("/docs/*7$", "/docs/17"))
+    assert(!pathMatches("/docs/*7$", "/docs/171"))
+    assert(pathMatches("/docs/*7$", "/docs/7")) // '*' matches empty
+    assert(pathMatches("/*.tmp$", "/a/b/x.tmp"))
+    assert(!pathMatches("/*.tmp$", "/a/b/x.tmpx"))
+    assert(pathMatches("/a/*/c", "/a/b/c/d")) // prefix semantics
+    assert(!pathMatches("/a/*/c", "/a/bc"))
+    assert(pathMatches("/a*b*c", "/aXXbYYcZZ"))
+    assert(pathMatches("/exact$", "/exact"))
+    assert(!pathMatches("/exact$", "/exactx"))
+    assert(pathMatches("/p*$", "/p/anything"))
+    assert(pathMatches("/**x", "/zzzx")) // collapsed double star
+    // greedy-scan soundness: first-match segment placement must not
+    // miss a later valid placement ("a*bc$" on "abXbc")
+    assert(pathMatches("/a*bc$", "/abXbc"))
+    // precedence: the RAW pattern length (incl * and $) decides
+    val g = WebCodec.Robots.parse(
+      "User-agent: *\nAllow: /docs/\nDisallow: /docs/*9$\n").get
+    assert(WebCodec.Robots.evaluate(g, "any", "/docs/19")
+      == ((false, "/docs/*9$")))
+    assert(WebCodec.Robots.evaluate(g, "any", "/docs/18")
+      == ((true, "/docs/")))
+  }
+
+  test("robots RFC 9309 UA matching: case-insensitive product token, " +
+      "longest named-group prefix wins, star fallback") {
+    import WebCodec.Robots
+    val g = Robots.parse(
+      """User-agent: GraftBot
+        |Disallow: /a/
+        |
+        |User-agent: graftbot-news
+        |Disallow: /b/
+        |
+        |User-agent: *
+        |Disallow: /c/
+        |""".stripMargin).get
+    // product token strips version + comment, folds case
+    assert(Robots.productToken("GraftBot/1.7 (+https://x)") == "graftbot")
+    assert(Robots.evaluate(g, "GraftBot/1.7 (+https://x)", "/a/z")
+      == ((false, "/a/")))
+    // longest prefix: graftbot-news token prefers its own group and
+    // does NOT inherit the shorter group's rules
+    assert(Robots.evaluate(g, "GraftBot-News/2.0", "/b/z")
+      == ((false, "/b/")))
+    assert(Robots.evaluate(g, "GraftBot-News/2.0", "/a/z") == ((true, "")))
+    // unrelated agents fall back to *
+    assert(Robots.evaluate(g, "OtherBot/1.0", "/c/z") == ((false, "/c/")))
+  }
+
   test("robotsGate seam matches Robots.evaluate over the synth corpus") {
     val sp = spark
     import sp.implicits._
@@ -329,45 +455,226 @@ class WebCodecSpec extends SparkSuite {
     for (r <- rows) {
       val id = r.getAs[Long]("media_id")
       val g = WebCodec.Robots.parse(WebCodec.buildRobots(id % 7)).get
-      val (want, rule) = WebCodec.Robots.evaluate(g, "graftbot", s"/docs/$id")
+      val (want, rule) =
+        WebCodec.Robots.evaluate(g, WebCodec.crawlAgent, s"/docs/$id")
       assert(r.getAs[Boolean]("allowed") == want, s"id=$id")
       assert(r.getAs[String]("matched_rule") == rule, s"id=$id")
     }
-    // the graftbot-specific group actually fires: id=9, k=2? no —
-    // 9 % 7 = 2 (star group); id=35 → k=0 (graftbot) and "35" doesn't
-    // start with 9 → allowed; id=9009 → k=0, starts with 9 → blocked
+    // the GraftBot-specific group actually fires (mixed-case group vs
+    // "GraftBot/1.7 …" agent): id=9009 → k=0, starts with 9 → blocked
     val blocked = WebCodec.robotsGate(Seq(9009L).toDF("doc_id")).head()
     assert(!blocked.getAs[Boolean]("allowed")
       && blocked.getAs[String]("matched_rule") == "/docs/9")
+    // the wildcard rules fire through the seam:
+    // 17 → k=3, not ending 9 → the TIE, allow '/docs/'
+    // 29 → k=1, not ending 7 → star disallow '/docs/'
+    // 57 → k=1, ends in 7 → '/docs/*7$' (9 octets) beats '/docs/' (6)
+    // 67 → k=4, ends in 7 → wildcard-only domain blocks
+    // 69 → k=6, ends in 9 → '/docs/*9$' beats the Allow
+    // 39 → k=4, ends in 9 → no matching rule → default-allow
+    val w = WebCodec
+      .robotsGate(Seq(17L, 29L, 57L, 67L, 69L, 39L).toDF("doc_id"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[String]("matched_rule"))))
+      .toMap
+    assert(w(17L) == ((true, "/docs/")))
+    assert(w(29L) == ((false, "/docs/")))
+    assert(w(57L) == ((false, "/docs/*7$")))
+    assert(w(67L) == ((false, "/docs/*7$")))
+    assert(w(69L) == ((false, "/docs/*9$")))
+    assert(w(39L) == ((true, "")))
   }
 
-  test("warcRecords/warcResponses DataFrame seams: per-record rows with " +
-      "the formula checksums; responses carry the parsed html") {
+  test("warcRecords/warcResponses DataFrame seams: per-record HTTP-level " +
+      "rows with codepoint checksums; responses carry the decoded html") {
     val sp = spark
     import sp.implicits._
-    val docs = docsSample.toDF("doc_id", "text", "lang", "source")
+    // 0: plain/utf8/CL; 7: stored-gz/LATIN1/CL; 12: plain/latin1/CL;
+    // add 9 (metadata axis, 9%6==3) and 13 (chunked + entity gzip)
+    val sample = docsSample ++ Seq(
+      (9L, "nine words here", "en", "src2"),
+      (13L, "thirteen words here", "fr", "src0"))
+    val docs = sample.toDF("doc_id", "text", "lang", "source")
     val recs = warcRecords(webWarc(docs)).orderBy("media_id", "rec_index")
       .collect()
-    assert(recs.length == 6)
+    assert(recs.length == sample.map(d => if (d._1 % 6 == 3) 3 else 2).sum)
     for (r <- recs) {
       val id = r.getAs[Long]("media_id")
-      val doc = docsSample.find(_._1 == id).get
-      val payload = (if (r.getAs[Int]("rec_index") == 0)
-        buildRequest(id, doc._3, doc._4)
-      else buildResponse(id, doc._2, doc._3, doc._4))
-        .getBytes("ISO-8859-1")
-      assert(r.getAs[Long]("content_length") == payload.length.toLong)
-      assert(r.getAs[Long]("payload_ck") == weightedCk(payload))
-      assert(r.getAs[Int]("gzip_members") == (if (id % 3 == 0) 0 else 2))
+      val doc = sample.find(_._1 == id).get
+      val members =
+        if (id % 3 == 0) 0 else (if (id % 6 == 3) 3 else 2)
+      assert(r.getAs[Int]("gzip_members") == members, s"id=$id")
+      r.getAs[String]("warc_type") match {
+        case "request" =>
+          assert(r.getAs[String]("http_method") == "GET")
+          assert(r.getAs[Long]("body_chars") == 0L
+            && r.getAs[Long]("body_ck") == 0L)
+        case "response" =>
+          val html = buildHtml(id, doc._2, doc._3, doc._4)
+          assert(r.getAs[Int]("http_status") == 200)
+          assert(r.getAs[String]("charset") == charsetOf(id))
+          assert(r.getAs[String]("content_encoding")
+            == (if (contentGzip(id)) "gzip" else "identity"))
+          assert(r.getAs[String]("transfer")
+            == (if (id % 4 == 1) "chunked" else "identity"))
+          val wireBytes = html.getBytes(
+            if (charsetOf(id) == "utf-8") "UTF-8" else "ISO-8859-1")
+          assert(r.getAs[Long]("body_bytes") == wireBytes.length.toLong)
+          assert(r.getAs[Long]("body_chars")
+            == html.codePointCount(0, html.length).toLong)
+          assert(r.getAs[Long]("body_ck") == cpWeightedCk(html))
+        case "metadata" =>
+          val mt = metadataFields(id)
+          assert(r.getAs[Long]("body_bytes") == mt.length.toLong)
+          assert(r.getAs[Long]("body_ck") == cpWeightedCk(mt))
+        case other => fail(s"unexpected type $other")
+      }
     }
     val resp = warcResponses(webWarc(docs)).orderBy("media_id").collect()
-    assert(resp.length == 3)
+    assert(resp.length == sample.length)
     for (r <- resp) {
       val id = r.getAs[Long]("media_id")
-      val doc = docsSample.find(_._1 == id).get
+      val doc = sample.find(_._1 == id).get
       assert(r.getAs[Int]("http_status") == 200)
       assert(r.getAs[String]("body")
         == buildHtml(id, doc._2, doc._3, doc._4))
+    }
+  }
+
+  test("httpFraming seam: raw payload codepoint checksum over the text " +
+      "subset matches a by-hand decode, and gzip-entity rows are excluded") {
+    val sp = spark
+    import sp.implicits._
+    val sample = (0L to 14L).map(i => (i, s"some words $i", "en", "src1"))
+    val docs = sample.toDF("doc_id", "text", "lang", "source")
+    val rows = httpFraming(webWarc(docs)).orderBy("media_id").collect()
+    // ids with id%5 in {3,4} are content-encoded → excluded
+    assert(rows.map(_.getAs[Long]("media_id")).toSeq
+      == (0L to 14L).filterNot(contentGzip))
+    for (r <- rows) {
+      val id = r.getAs[Long]("media_id")
+      val payload = parseWarc(
+        buildWarcFile(id, s"some words $id", "en", "src1")).get
+        .find(_.warcType == "response").get.payload
+      val text = decodeText(payload, "")
+      assert(r.getAs[Long]("payload_chars")
+        == text.codePointCount(0, text.length).toLong)
+      assert(r.getAs[Long]("payload_ck") == cpWeightedCk(text))
+      assert(r.getAs[Long]("content_length_hdr")
+        == (if (id % 4 == 1) -1L
+            else buildHtml(id, s"some words $id", "en", "src1")
+              .getBytes(if (charsetOf(id) == "utf-8") "UTF-8"
+                else "ISO-8859-1").length.toLong))
+    }
+  }
+
+  test("numeric character references: JVM and Column decoders agree on " +
+      "decimal/hex/supplementary/invalid refs and the amp-last quirk") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      "plain text, no refs",
+      "it&#39;s here",
+      "caf&#233; and &#x4E2D;&#x6587;",
+      "emoji &#128512; end",
+      "back-to-back &#65;&#66;&#67;",
+      "id=&#39;7&#39;", // digit literal BETWEEN two refs (the seg trap)
+      "invalid &#0; &#xD800; &#1114112; kept",
+      "&#233;", // ref at string start
+      "tail &#233;", // ref at string end
+      "&amp;#39; stays literal")
+    val out = cases.toDF("s")
+      .select(decodeNumRefsCol(org.apache.spark.sql.functions.col("s")))
+      .collect().map(_.getString(0))
+    for ((c, got) <- cases.zip(out))
+      assert(got == decodeNumRefs(c), s"case: $c")
+    assert(decodeNumRefs("it&#39;s") == "it's")
+    assert(decodeNumRefs("caf&#233;") == "café")
+    assert(decodeNumRefs("&#x4E2D;") == "中")
+    assert(decodeNumRefs("&#128512;") == "😀")
+    assert(decodeNumRefs("id=&#39;7&#39;") == "id='7'")
+    assert(decodeNumRefs("&#0;x&#xD800;y&#1114112;")
+      == "�x�y�")
+    // full extraction chain: numeric runs BEFORE amp (the standard
+    // no-double-decode order): &amp;#233; → literal &#233;
+    assert(extractText("<p>&amp;#233; vs &#233;</p>") == "&#233; vs é")
+  }
+
+  test("sitemap discovery: index → gzipped urlsets → frontier rows, " +
+      "one per doc, robots-gated; both inflate paths exercised") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L to 30L).map(i => (i, s"t$i", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val table = WebCodec.sitemapTable(docs).collect()
+    // 7 domains × (1 index + up to 2 urlset parts)
+    assert(table.count(_.getAs[String]("kind") == "index") == 7)
+    val gz = table.filter(_.getAs[String]("kind").startsWith("urlset-"))
+    assert(gz.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b
+    })
+    val rows = WebCodec.crawlFrontier(docs).orderBy("media_id").collect()
+    assert(rows.length == 31) // one frontier row per doc
+    for (r <- rows) {
+      val id = r.getAs[Long]("media_id")
+      val k = id % 7
+      assert(r.getAs[String]("url")
+        == s"https://www.example$k.com/docs/$id")
+      assert(r.getAs[String]("sitemap_url")
+        == s"https://www.example$k.com/sitemap-${(id / 7) % 2}.xml.gz")
+      val g = WebCodec.Robots.parse(WebCodec.buildRobots(k)).get
+      val (want, rule) =
+        WebCodec.Robots.evaluate(g, WebCodec.crawlAgent, s"/docs/$id")
+      assert(r.getAs[Boolean]("allowed") == want, s"id=$id")
+      assert(r.getAs[String]("matched_rule") == rule, s"id=$id")
+    }
+  }
+
+  test("recrawl: revisit records carry referral + digest and no body; " +
+      "responses parse; a digest over DIFFERENT content would not verify") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((2L, "even doc text", "en", "src0"),
+      (3L, "odd doc text", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = WebCodec.recrawlRecords(WebCodec.webWarcRecrawl(docs))
+      .orderBy("media_id").collect()
+    assert(rows.length == 2)
+    val rev = rows(0)
+    assert(rev.getAs[String]("fetched") == "revisit")
+    assert(rev.getAs[String]("refers_to")
+      == WebCodec.buildUrl(2L, "en", "src0"))
+    val html2 = WebCodec.buildHtml(2L, "even doc text", "en", "src0")
+    assert(rev.getAs[String]("digest")
+      == s"graft:ck:${WebCodec.cpWeightedCk(html2)}")
+    assert(rev.getAs[Long]("n_chars") == 0L)
+    val live = rows(1)
+    assert(live.getAs[String]("fetched") == "response")
+    val html3 = WebCodec.buildHtml(3L, "odd doc text", "en", "src1")
+    assert(live.getAs[Long]("body_ck") == WebCodec.cpWeightedCk(html3))
+    // digest discrimination: different content → different ck
+    assert(WebCodec.cpWeightedCk(html2) != WebCodec.cpWeightedCk(html3))
+  }
+
+  test("i18n corpus axis: extracted text decodes the phrase refs; the " +
+      "corpus never contains the sentinel control chars") {
+    // phrase 0 (id 20: 20%5=0, 20%4=0)
+    assert(extractedText(20L, "t", "en", "s").contains("naïve façade Café ±5°"))
+    // phrase 2 via hex refs (id 6)
+    assert(extractedText(6L, "t", "en", "s").contains("中文 測試 — тест"))
+    // phrase 3 with the supplementary-plane emoji (id 7? 7%4=3, 7%5=2 →
+    // latin1 forces phrase 7%2=1; use id 11: 11%5=1, 11%4=3)
+    assert(extractedText(11L, "t", "en", "s").contains("😀 emoji αβγ ∑√∞"))
+    // latin-1 docs never get a non-Latin-1 phrase
+    for (id <- 0L to 100L if id % 5 == 2) {
+      val html = buildHtml(id, "t", "en", "s")
+      assert(html.forall(_ < 256), s"id=$id carries non-Latin-1 chars")
+    }
+    // sentinel safety for the Column decoder
+    for (id <- 0L to 100L) {
+      val html = buildHtml(id, "text", "en", "src0")
+      assert(!html.exists(c => c == '\u0001' || c == '\u0002'))
     }
   }
 }

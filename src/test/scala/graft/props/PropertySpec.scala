@@ -648,23 +648,37 @@ object PropertySpec extends Properties("graft") {
   }
 
   property("warc: buildWarcFile parses back to exactly the request + " +
-      "response records with formula-exact payloads, all 3 variants") = {
+      "response (+ metadata on its axis) records with formula-exact " +
+      "payloads, all 3 variants, and the response body round-trips " +
+      "through every charset/encoding/framing axis") = {
     val ascii = Gen.choose(32, 126).map(_.toChar)
     val gen = for {
-      id <- Gen.choose(0L, 1000000L) // every id % 3 variant reachable
+      id <- Gen.choose(0L, 1000000L) // every axis combination reachable
       text <- Gen.listOf(ascii).map(_.mkString)
       lang <- Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)
       source <- Gen.choose(0, 99).map(n => s"src$n")
     } yield (id, text, lang, source)
     Prop.forAll(gen) { case (id, text, lang, source) =>
       val W = graft.ext.WebCodec
+      val wantTypes =
+        if (id % 6 == 3) Vector("request", "response", "metadata")
+        else Vector("request", "response")
       W.parseWarc(W.buildWarcFile(id, text, lang, source)).exists { recs =>
-        recs.map(_.warcType) == Vector("request", "response") &&
+        recs.map(_.warcType) == wantTypes &&
           recs.forall(_.targetUri == W.buildUrl(id, lang, source)) &&
           recs(0).payload.sameElements(
             W.buildRequest(id, lang, source).getBytes("ISO-8859-1")) &&
           recs(1).payload.sameElements(
-            W.buildResponse(id, text, lang, source).getBytes("ISO-8859-1"))
+            W.buildResponse(id, text, lang, source)) &&
+          // the parse side undoes all three wire axes exactly
+          W.parseHttpResponse(recs(1).payload).exists { m =>
+            m.status == 200 &&
+              m.charset == W.charsetOf(id) &&
+              m.contentEncoding ==
+                (if (W.contentGzip(id)) "gzip" else "identity") &&
+              m.chunked == (id % 4 == 1) &&
+              m.bodyText == W.buildHtml(id, text, lang, source)
+          }
       }
     }
   }
