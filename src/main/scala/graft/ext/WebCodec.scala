@@ -49,6 +49,13 @@ object WebCodec {
   private val FNAME = 8
   private val FCOMMENT = 16
 
+  /** gzip-bomb cap (r16 review): ISIZE sits at the member's END, so a
+    * crafted high-ratio stream could demand gigabytes of inflate buffer
+    * before the size check ever runs. 256 MiB bounds any legitimate
+    * record/sitemap/entity in this tier by orders of magnitude —
+    * beyond it the member poisons (the zipParse usize-cap posture). */
+  private val MaxInflatedMember = 256 << 20
+
   /** Walk a (possibly multi-member) gzip stream; Some(payloads) only if
     * every member's header grammar, CRC32, and ISIZE check out and the
     * stream ends exactly at a member boundary. */
@@ -102,8 +109,10 @@ object WebCodec {
           val n =
             try inf.inflate(chunk)
             catch { case _: java.util.zip.DataFormatException => return None }
-          if (n > 0) buf.write(chunk, 0, n)
-          else if (inf.needsInput()) return None // truncated member
+          if (n > 0) {
+            if (buf.size() + n > MaxInflatedMember) return None // bomb
+            buf.write(chunk, 0, n)
+          } else if (inf.needsInput()) return None // truncated member
         }
         val consumed = (bytes.length - pos) - inf.getRemaining
         pos += consumed
@@ -550,8 +559,14 @@ object WebCodec {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < s.length) {
-      val cps = math.min(n, s.codePointCount(i, s.length))
-      val j = s.offsetByCodePoints(i, cps)
+      // advance one codepoint at a time (O(total) — a per-chunk
+      // codePointCount(i, length) rescan would be quadratic, r16 review)
+      var j = i
+      var c = 0
+      while (j < s.length && c < n) {
+        j += Character.charCount(s.codePointAt(j))
+        c += 1
+      }
       out += s.substring(i, j)
       i = j
     }
@@ -1124,9 +1139,13 @@ object WebCodec {
   private val linkRe = "<a [^>]*>([^<]*)</a>"
 
   /** struct(main_text, n_blocks, n_kept, boiler_chars) per page —
-    * pure-Column (nested higher-order functions, no explode): the
-    * DuckDB oracle replays the IDENTICAL generic algorithm via
-    * list_transform/list_filter, not a per-block case table. */
+    * pure-Column (nested higher-order functions, no explode). The four
+    * outputs fold out of ONE pass over the scored blocks: higher-order
+    * functions get no codegen subexpression elimination, so the
+    * earlier filter/filter/transform shape re-evaluated the whole
+    * per-block extraction chain 4× (measured 9.3 s → the fold's single
+    * evaluation at sf0.1). The DuckDB oracle replays the same generic
+    * algorithm (its list_filter form is value-identical). */
   def mainContentStruct(html: Column): Column = {
     val blocks = regexp_extract_all(html, lit(blockRe), lit(1))
     val scored = transform(blocks, b => {
@@ -1137,16 +1156,31 @@ object WebCodec {
         (length(btext) >= 15 && length(ltext) * 2 < length(btext))
           .as("keep"))
     })
-    val kept = filter(scored, e => e.getField("keep"))
-    val dropped = filter(scored, e => !e.getField("keep"))
-    struct(
-      array_join(transform(kept, _.getField("btext")), " ")
-        .as("main_text"),
-      size(blocks).cast("long").as("n_blocks"),
-      size(kept).cast("long").as("n_kept"),
-      coalesce(aggregate(dropped, lit(0L),
-        (acc, e) => acc + length(e.getField("btext")).cast("long")),
-        lit(0L)).as("boiler_chars"))
+    aggregate(scored,
+      struct(lit("").as("main_text"), lit(0L).as("n_kept"),
+        lit(0L).as("boiler_chars")),
+      (acc, e) => {
+        val keep = e.getField("keep")
+        val btext = e.getField("btext")
+        struct(
+          when(!keep, acc.getField("main_text"))
+            .when(acc.getField("main_text") === "", btext)
+            .otherwise(concat(acc.getField("main_text"), lit(" "), btext))
+            .as("main_text"),
+          (acc.getField("n_kept") +
+            when(keep, 1L).otherwise(0L)).as("n_kept"),
+          (acc.getField("boiler_chars") +
+            when(keep, 0L).otherwise(length(btext).cast("long")))
+            .as("boiler_chars"))
+      },
+      // finish: attach n_blocks so the WHOLE output is one aggregate
+      // expression — any sibling reference to the fold would
+      // re-evaluate the full per-block extraction chain
+      acc => struct(
+        acc.getField("main_text").as("main_text"),
+        size(blocks).cast("long").as("n_blocks"),
+        acc.getField("n_kept").as("n_kept"),
+        acc.getField("boiler_chars").as("boiler_chars")))
   }
 
   /** The composed front door over a raw (media_id, payload) WARC table:

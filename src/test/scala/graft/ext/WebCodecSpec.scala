@@ -251,6 +251,18 @@ class WebCodecSpec extends SparkSuite {
         "7fffffff\r\nhi\r\n0\r\n\r\n").getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("gzip bomb cap (review r16): a member inflating past the 256 MiB " +
+      "bound poisons instead of buffering gigabytes before ISIZE") {
+    // 257 MiB of zeros deflates to ~260 KB — a classic high-ratio bomb
+    val zeros = new Array[Byte]((257 << 20))
+    val bomb = gzipDeflate(zeros, "bomb.bin")
+    assert(bomb.length < (2 << 20), "bomb must be small on the wire")
+    assert(gunzipMembers(bomb).isEmpty)
+    // and a member just under any legitimate size still inflates fine
+    val ok = gzipDeflate(new Array[Byte](1 << 20), "ok.bin")
+    assert(gunzipMembers(ok).exists(_.head.length == (1 << 20)))
+  }
+
   test("gzip FHCRC header checksum is verified, not skipped (review r15)") {
     // build a member with FHCRC set and the correct RFC 1952 CRC16
     val payload = "fhcrc payload".getBytes("ISO-8859-1")

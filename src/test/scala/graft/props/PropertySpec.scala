@@ -313,6 +313,7 @@ object PropertySpec extends Properties("graft") {
       graft.ext.WebCodec.parseWarc(bytes)
       graft.ext.WebCodec.gunzipMembers(bytes)
       graft.ext.WebCodec.parseHttpResponse(bytes)
+      graft.ext.WebCodec.parseHttpRequest(bytes)
       graft.ext.ArchiveCodec.tarParse(bytes)
       graft.ext.ArchiveCodec.zipParse(bytes)
     }
