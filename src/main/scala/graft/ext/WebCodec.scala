@@ -253,7 +253,10 @@ object WebCodec {
             case "Content-Length" =>
               // digits-only AND in-range: a 10+-digit value must poison,
               // not throw from toInt; any value beyond the buffer can be
-              // rejected immediately (review r15: overflow hardening)
+              // rejected immediately (review r15: overflow hardening).
+              // A DUPLICATE Content-Length poisons — never last-wins
+              // (the smuggling ambiguity class, review r16)
+              if (clen >= 0) return None
               parseDecimal(value, b.length.toLong) match {
                 case Some(v) => clen = v
                 case None => return None
@@ -382,16 +385,21 @@ object WebCodec {
           if (k <= 0) return None
           line.substring(0, k) match {
             case "Content-Length" =>
+              // duplicate framing headers are the request-smuggling
+              // ambiguity class — poison, never last-wins (review r16)
+              if (clen >= 0) return None
               parseDecimal(line.substring(k + 1).trim,
                 payload.length.toLong) match {
                 case Some(v) => clen = v
                 case None => return None
               }
             case "Transfer-Encoding" =>
+              if (chunked) return None // duplicate framing header
               if (line.substring(k + 1).trim.toLowerCase != "chunked")
                 return None // unknown codings unsupported → poison
               chunked = true
             case "Content-Encoding" =>
+              if (gzipped) return None // duplicate coding header
               line.substring(k + 1).trim.toLowerCase match {
                 case "gzip" => gzipped = true
                 case "identity" => ()
@@ -1181,6 +1189,32 @@ object WebCodec {
         size(blocks).cast("long").as("n_blocks"),
         acc.getField("n_kept").as("n_kept"),
         acc.getField("boiler_chars").as("boiler_chars")))
+  }
+
+  /** The front door composed through MAIN-CONTENT extraction instead
+    * of whole-page text — the pass a real pre-training pipeline runs:
+    * WARC bytes → HTTP decode (all three wire axes) → block
+    * segmentation + boilerplate removal → quality gates over the MAIN
+    * text only. Boilerplate chars are reported beside the gates so a
+    * corpus budget can account for what the cleaner removed. */
+  def pipelineMain(media: DataFrame): DataFrame = {
+    val resp = warcResponses(media)
+    val host = urlParts(col("target_uri")).toMap.apply("host")
+    resp.select(col("media_id"), host.as("host"), col("http_status"),
+        mainContentStruct(col("body")).as("mc"))
+      .select(col("media_id"), col("host"), col("http_status"),
+        col("mc").getField("main_text").as("body"),
+        col("mc").getField("n_blocks").as("n_blocks"),
+        col("mc").getField("n_kept").as("n_kept"),
+        col("mc").getField("boiler_chars").as("boiler_chars"))
+      .select(col("media_id"), col("host"), col("http_status"),
+        col("body"), col("n_blocks"), col("n_kept"), col("boiler_chars"),
+        size(split(col("body"), "\\s+")).cast("long").as("n_words"),
+        when(length(col("body")) > 0,
+          expr("(CAST(1000 AS BIGINT) * length(regexp_replace(body, " +
+            "'[^a-zA-Z ]', ''))) DIV length(body)"))
+          .otherwise(lit(0L)).as("alpha_milli"))
+      .withColumn("kept", col("n_words") >= 40 && col("alpha_milli") >= 900)
   }
 
   /** The composed front door over a raw (media_id, payload) WARC table:

@@ -6847,6 +6847,57 @@ GROUP BY 1 ORDER BY domain""")),
           .orderBy("media_id"),
       Some(webPipelineSql)),
 
+    // The front door through MAIN-CONTENT extraction (r16) — the pass a
+    // real pre-training pipeline actually runs: WARC → HTTP decode
+    // (charset/encoding/framing axes) → boilerplate removal → quality
+    // gates over the MAIN text only, with the removed boilerplate
+    // accounted beside the gates. The oracle chains the generic
+    // main-content list replay into the gate formulas.
+    ("web_pipeline_main",
+      (s: SparkSession, d: String) =>
+        graft.ext.WebCodec.pipelineMain(
+          graft.ext.WebCodec.webWarc(docs(s, d)))
+          .orderBy("media_id"),
+      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+           FROM documents),
+b AS (SELECT doc_id, source, regexp_extract_all(html,
+        '(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>|<div[^>]*>.*?</div>|<footer>.*?</footer>)',
+        1) AS blocks FROM h),
+s AS (SELECT doc_id, source, len(blocks) AS nb, list_transform(blocks,
+        blk -> struct_pack(
+          btext := ${webExtractSql("blk")},
+          ltext := coalesce(array_to_string(
+            regexp_extract_all(blk, '<a [^>]*>([^<]*)</a>', 1), ' '), '')))
+        AS ev FROM b),
+k AS (SELECT doc_id, source, nb,
+        list_filter(ev, e -> length(e.btext) >= 15
+          AND 2 * length(e.ltext) < length(e.btext)) AS keptl,
+        list_filter(ev, e -> NOT (length(e.btext) >= 15
+          AND 2 * length(e.ltext) < length(e.btext))) AS dropl
+      FROM s),
+m AS (SELECT doc_id, source, nb, len(keptl) AS nk,
+        coalesce(array_to_string(
+          list_transform(keptl, e -> e.btext), ' '), '') AS body,
+        coalesce(list_aggregate(
+          list_transform(dropl, e -> length(e.btext)), 'sum'), 0) AS bc
+      FROM k),
+g AS (SELECT doc_id,
+        'www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
+          || '.com' AS host,
+        CAST(200 AS INT) AS http_status, body,
+        nb::BIGINT AS n_blocks, nk::BIGINT AS n_kept, bc::BIGINT
+          AS boiler_chars,
+        len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
+        CASE WHEN length(body) > 0 THEN
+          (1000 * length(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
+            // length(body)
+        ELSE 0 END AS alpha_milli
+      FROM m)
+SELECT doc_id AS media_id, host, http_status, body, n_blocks, n_kept,
+       boiler_chars, n_words, alpha_milli::BIGINT AS alpha_milli,
+       (n_words >= 40 AND alpha_milli >= 900) AS kept
+FROM g ORDER BY media_id""")),
+
     // The same pipeline output SERVED from the streamed WebSink table
     // instead of computed from archive bytes in-plan — cleaned corpus
     // text out of a bucketed serving table, identical rows under the

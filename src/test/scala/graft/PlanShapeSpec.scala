@@ -464,7 +464,8 @@ class PlanShapeSpec extends SparkSuite {
         s"$q is pure-Column; no imperative seam expected:\n$p")
     }
     // r16 additions that stay scan-shaped
-    for (q <- Seq("web_http_framing", "web_main_content")) {
+    for (q <- Seq("web_http_framing", "web_main_content",
+      "web_pipeline_main")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(!p.contains("Window"), s"$q must not window")

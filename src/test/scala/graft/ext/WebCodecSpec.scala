@@ -251,6 +251,30 @@ class WebCodecSpec extends SparkSuite {
         "7fffffff\r\nhi\r\n0\r\n\r\n").getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("duplicate framing headers poison — the smuggling ambiguity " +
+      "class is rejected, never last-wins (review r16)") {
+    def bytes(s: String) = s.getBytes("ISO-8859-1")
+    // two Content-Lengths (HTTP)
+    assert(parseHttpResponse(bytes(
+      "HTTP/1.1 200 OK\r\nContent-Length: 2\r\nContent-Length: 2\r\n\r\nhi"))
+      .isEmpty)
+    // two Transfer-Encodings
+    assert(parseHttpResponse(bytes(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n0\r\n\r\n")).isEmpty)
+    // two Content-Encodings
+    assert(parseHttpResponse(bytes(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+        "Content-Encoding: gzip\r\nContent-Length: 2\r\n\r\nhi")).isEmpty)
+    // two WARC Content-Lengths
+    assert(parseWarc(bytes(
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        "Content-Length: 1\r\nContent-Length: 1\r\n\r\nx\r\n\r\n")).isEmpty)
+    // the single-header forms still parse
+    assert(parseHttpResponse(bytes(
+      "HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi")).nonEmpty)
+  }
+
   test("gzip bomb cap (review r16): a member inflating past the 256 MiB " +
       "bound poisons instead of buffering gigabytes before ISIZE") {
     // 257 MiB of zeros deflates to ~260 KB — a classic high-ratio bomb
