@@ -308,16 +308,37 @@ object WebCodec {
 
   /** A parsed HTTP/1.1 response. `body` is the entity AFTER
     * content-decoding (gunzip when Content-Encoding: gzip); `charset`
-    * is the Content-Type's declared charset parameter (lowercased, ""
-    * when absent); `contentEncoding`/`chunked` record the wire form the
-    * message arrived in (the downstream outputs must be invariant to
-    * both — framing invariance). */
+    * is the RESOLVED charset (lowercased; "" when nothing declared
+    * anywhere — [[bodyText]] then sniffs) and `charsetSrc` records
+    * where it came from: "header" (Content-Type parameter), "meta"
+    * (in-document `<meta charset>` scanned in the first 1024 entity
+    * bytes, the browser rule), or "sniff" (neither declared);
+    * `contentEncoding`/`chunked` record the wire form the message
+    * arrived in (the downstream outputs must be invariant to both —
+    * framing invariance). */
   final case class HttpResponse(status: Int, charset: String,
-      contentEncoding: String, chunked: Boolean,
+      charsetSrc: String, contentEncoding: String, chunked: Boolean,
       contentLengthHdr: Long, body: Array[Byte]) {
     /** The body as text, decoded per [[WebCodec.decodeText]]. */
     def bodyText: String = decodeText(body, charset)
   }
+
+  private val MetaCharsetRe = java.util.regex.Pattern.compile(
+    "<meta\\s+charset=[\"']?([A-Za-z0-9_-]+)", java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** Resolve (charset, source) for an entity: the header-declared
+    * parameter wins; else the in-document meta declaration within the
+    * first 1024 bytes (scanned Latin-1 — the prelude is ASCII in any
+    * ASCII-compatible charset); else sniff. */
+  def resolveCharset(declared: String, entity: Array[Byte]): (String, String) =
+    if (declared.nonEmpty) (declared, "header")
+    else {
+      val prefix = new String(entity, 0, math.min(1024, entity.length),
+        "ISO-8859-1")
+      val m = MetaCharsetRe.matcher(prefix)
+      if (m.find()) (m.group(1).toLowerCase, "meta")
+      else ("", "sniff")
+    }
 
   /** Strict UTF-8 decode: None on any malformed/unmappable sequence
     * (the JDK's default decoder silently substitutes U+FFFD — that
@@ -438,7 +459,8 @@ object WebCodec {
                 case Some(ms) => ms.toArray.flatten
                 case None => return None
               } else b
-            return Some(HttpResponse(status, charset,
+            val (cs, src) = resolveCharset(charset, entity)
+            return Some(HttpResponse(status, cs, src,
               if (gzipped) "gzip" else "identity", chunked = true,
               -1L, entity))
           }
@@ -458,7 +480,9 @@ object WebCodec {
         case Some(ms) => ms.toArray.flatten
         case None => return None
       } else framed
-    Some(HttpResponse(status, charset, if (gzipped) "gzip" else "identity",
+    val (cs, src) = resolveCharset(charset, entity)
+    Some(HttpResponse(status, cs, src,
+      if (gzipped) "gzip" else "identity",
       chunked = false, clen.toLong, entity))
   }
 
@@ -538,8 +562,14 @@ object WebCodec {
     * co-occurs (e.g. id 13). */
   def contentGzip(id: Long): Boolean = id % 5 == 3 || id % 5 == 4
 
+  /** Whether the HTTP Content-Type omits its charset parameter (r16
+    * meta-resolution axis): those documents' charset resolves from the
+    * in-document `<meta charset>` declaration instead. */
+  def headerOmitsCharset(id: Long): Boolean = id % 7 == 2 || id % 7 == 5
+
   def buildHtml(id: Long, text: String, lang: String, source: String): String =
     s"""<html><head><title>Doc $id [$source]</title>""" +
+      s"""<meta charset="${charsetOf(id)}">""" +
       """<style>body {color: red;}</style>""" +
       """<script>var u = "x < y && z > 0";</script></head><body>""" +
       """<nav><a href="/home">Home</a> <a href="/about">About</a></nav>""" +
@@ -602,8 +632,10 @@ object WebCodec {
           else gzipDeflate(htmlBytes, s"body-$id.html")),
           s"Content-Encoding: gzip$CRLF")
       else (htmlBytes, "")
-    val head =
-      s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=$cs$CRLF$ceHdr"
+    val ctype =
+      if (headerOmitsCharset(id)) "Content-Type: text/html"
+      else s"Content-Type: text/html; charset=$cs"
+    val head = s"HTTP/1.1 200 OK$CRLF$ctype$CRLF$ceHdr"
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     if (id % 4 == 1) {
@@ -905,7 +937,7 @@ object WebCodec {
       media_id: Long, rec_index: Int, warc_type: String, target_uri: String,
       gzip_members: Int, http_status: Int, http_method: String,
       transfer: String, content_encoding: String, charset: String,
-      body_bytes: Long, body_chars: Long, body_ck: Long)
+      charset_src: String, body_bytes: Long, body_chars: Long, body_ck: Long)
 
   /** Per-record HTTP-level features through the full gzip→WARC→HTTP
     * walk. Response records parse down to the content-decoded entity
@@ -933,7 +965,7 @@ object WebCodec {
                     WarcRow(id, i, r.warcType, r.targetUri, members,
                       m.status, "",
                       if (m.chunked) "chunked" else "identity",
-                      m.contentEncoding, m.charset,
+                      m.contentEncoding, m.charset, m.charsetSrc,
                       m.body.length.toLong,
                       text.codePointCount(0, text.length).toLong,
                       cpWeightedCk(text))
@@ -941,12 +973,12 @@ object WebCodec {
                 case "request" =>
                   parseHttpRequest(r.payload).map { case (method, _) =>
                     WarcRow(id, i, r.warcType, r.targetUri, members,
-                      0, method, "", "", "", 0L, 0L, 0L)
+                      0, method, "", "", "", "", 0L, 0L, 0L)
                   }
                 case _ => // metadata / conversion / revisit: text payload
                   val text = decodeText(r.payload, "")
                   Some(WarcRow(id, i, r.warcType, r.targetUri, members,
-                    0, "", "", "", "",
+                    0, "", "", "", "", "",
                     r.payload.length.toLong,
                     text.codePointCount(0, text.length).toLong,
                     cpWeightedCk(text)))
@@ -1040,6 +1072,9 @@ object WebCodec {
     concat(
       lit("<html><head><title>Doc "), id.cast("string"),
       lit(" ["), source, lit("]</title>"),
+      lit("<meta charset=\""),
+      when(id % 5 === 2, lit("iso-8859-1")).otherwise(lit("utf-8")),
+      lit("\">"),
       lit("<style>body {color: red;}</style>"),
       lit("<script>var u = \"x < y && z > 0\";</script></head><body>"),
       lit("<nav><a href=\"/home\">Home</a> <a href=\"/about\">About</a></nav>"),

@@ -907,6 +907,8 @@ ORDER BY q_id, rnk"""
 
   private val webHtmlExpr =
     s"""'<html><head><title>Doc ' || doc_id::VARCHAR || ' [' || source || ']</title>'
+    || '<meta charset="' || (CASE WHEN doc_id % 5 = 2 THEN 'iso-8859-1'
+                                  ELSE 'utf-8' END) || '">'
     || '<style>body {color: red;}</style>'
     || '<script>var u = "x < y && z > 0";</script></head><body>'
     || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
@@ -925,6 +927,9 @@ ORDER BY q_id, rnk"""
     "CASE WHEN doc_id % 5 IN (3, 4) THEN 'gzip' ELSE 'identity' END"
   private val webTransferCase =
     "CASE WHEN doc_id % 4 = 1 THEN 'chunked' ELSE 'identity' END"
+  // twin of WebCodec.headerOmitsCharset → the resolution source
+  private val webCharsetSrcCase =
+    "CASE WHEN doc_id % 7 IN (2, 5) THEN 'meta' ELSE 'header' END"
 
   private val webUrlExpr =
     """'https://WWW.' || source || '.Example' || (doc_id % 7)::VARCHAR
@@ -950,6 +955,49 @@ ORDER BY q_id, rnk"""
           ELSE split_part(seg, chr(2), 1)::BIGINT END)::INT)
         || split_part(seg, chr(2), 2)
       ELSE seg END), 'string_agg', '')"""
+
+  /** The shared main-content CTE chain (documents → html → blocks →
+    * link-density scoring → main body + gates), ending in table `g`
+    * with (doc_id, host, http_status, body, n_blocks, n_kept,
+    * boiler_chars, n_words, alpha_milli). ONE definition feeding both
+    * web_pipeline_main and web_funnel — twin of WebCodec.pipelineMain
+    * ∘ mainContentStruct. */
+  private lazy val webMainChainSql =
+    s"""h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+           FROM documents),
+b AS (SELECT doc_id, source, regexp_extract_all(html,
+        '(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>|<div[^>]*>.*?</div>|<footer>.*?</footer>)',
+        1) AS blocks FROM h),
+s AS (SELECT doc_id, source, len(blocks) AS nb, list_transform(blocks,
+        blk -> struct_pack(
+          btext := ${webExtractSql("blk")},
+          ltext := coalesce(array_to_string(
+            regexp_extract_all(blk, '<a [^>]*>([^<]*)</a>', 1), ' '), '')))
+        AS ev FROM b),
+k AS (SELECT doc_id, source, nb,
+        list_filter(ev, e -> length(e.btext) >= 15
+          AND 2 * length(e.ltext) < length(e.btext)) AS keptl,
+        list_filter(ev, e -> NOT (length(e.btext) >= 15
+          AND 2 * length(e.ltext) < length(e.btext))) AS dropl
+      FROM s),
+m AS (SELECT doc_id, source, nb, len(keptl) AS nk,
+        coalesce(array_to_string(
+          list_transform(keptl, e -> e.btext), ' '), '') AS body,
+        coalesce(list_aggregate(
+          list_transform(dropl, e -> length(e.btext)), 'sum'), 0) AS bc
+      FROM k),
+g AS (SELECT doc_id,
+        'www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
+          || '.com' AS host,
+        CAST(200 AS INT) AS http_status, body,
+        nb::BIGINT AS n_blocks, nk::BIGINT AS n_kept, bc::BIGINT
+          AS boiler_chars,
+        len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
+        CASE WHEN length(body) > 0 THEN
+          (1000 * length(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
+            // length(body)
+        ELSE 0 END AS alpha_milli
+      FROM m)"""
 
   /** script/style removal → tag strip → named entities (quot, lt, gt,
     * nbsp) → numeric refs → amp LAST → whitespace collapse → trim,
@@ -6624,17 +6672,18 @@ recs AS (
   SELECT doc_id, CAST(0 AS INT) AS rec_index, 'request' AS warc_type,
          uri, '' AS txt, 0 AS body_bytes, 0 AS http_status,
          'GET' AS http_method, '' AS transfer, '' AS content_encoding,
-         '' AS charset
+         '' AS charset, '' AS charset_src
   FROM axes
   UNION ALL
   SELECT doc_id, CAST(1 AS INT), 'response', uri, html, body_bytes,
-         200, '', transfer, content_encoding, charset
+         200, '', transfer, content_encoding, charset,
+         $webCharsetSrcCase
   FROM axes
   UNION ALL
   SELECT a.doc_id, CAST(2 AS INT), 'metadata', a.uri,
          'fetchDurationMs: ' || ((a.doc_id * 37) % 900 + 100)::VARCHAR
            || c.crlf || 'charsetDetected: ' || a.charset || c.crlf,
-         -1, 0, '', '', '', ''
+         -1, 0, '', '', '', '', ''
   FROM axes a, crlfv c WHERE a.doc_id % 6 = 3),
 chars AS (SELECT doc_id, rec_index, u.i AS i,
                  ascii(substr(txt, (u.i + 1)::INT, 1)) AS c
@@ -6647,7 +6696,7 @@ SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
                  WHEN r.doc_id % 6 = 3 THEN 3 ELSE 2 END AS INT)
          AS gzip_members,
        CAST(r.http_status AS INT) AS http_status, r.http_method,
-       r.transfer, r.content_encoding, r.charset,
+       r.transfer, r.content_encoding, r.charset, r.charset_src,
        (CASE WHEN r.body_bytes = -1 THEN strlen(r.txt)
              ELSE r.body_bytes END)::BIGINT AS body_bytes,
        length(r.txt)::BIGINT AS body_chars,
@@ -6688,7 +6737,9 @@ ch AS (SELECT p.doc_id AS cdoc, string_agg(
        FROM pieces p, crlfv c GROUP BY p.doc_id),
 msg AS (SELECT f.doc_id, f.transfer, f.charset, f.body_bytes,
     'HTTP/1.1 200 OK' || c.crlf
-      || 'Content-Type: text/html; charset=' || f.charset || c.crlf
+      || 'Content-Type: text/html'
+      || CASE WHEN f.doc_id % 7 IN (2, 5) THEN ''
+              ELSE '; charset=' || f.charset END || c.crlf
       || CASE WHEN f.doc_id % 4 = 1 THEN
            'Transfer-Encoding: chunked' || c.crlf
              || 'X-Doc: ' || f.doc_id::VARCHAR || c.crlf || c.crlf
@@ -6858,41 +6909,75 @@ GROUP BY 1 ORDER BY domain""")),
         graft.ext.WebCodec.pipelineMain(
           graft.ext.WebCodec.webWarc(docs(s, d)))
           .orderBy("media_id"),
-      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
-           FROM documents),
-b AS (SELECT doc_id, source, regexp_extract_all(html,
-        '(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>|<div[^>]*>.*?</div>|<footer>.*?</footer>)',
-        1) AS blocks FROM h),
-s AS (SELECT doc_id, source, len(blocks) AS nb, list_transform(blocks,
-        blk -> struct_pack(
-          btext := ${webExtractSql("blk")},
-          ltext := coalesce(array_to_string(
-            regexp_extract_all(blk, '<a [^>]*>([^<]*)</a>', 1), ' '), '')))
-        AS ev FROM b),
-k AS (SELECT doc_id, source, nb,
-        list_filter(ev, e -> length(e.btext) >= 15
-          AND 2 * length(e.ltext) < length(e.btext)) AS keptl,
-        list_filter(ev, e -> NOT (length(e.btext) >= 15
-          AND 2 * length(e.ltext) < length(e.btext))) AS dropl
-      FROM s),
-m AS (SELECT doc_id, source, nb, len(keptl) AS nk,
-        coalesce(array_to_string(
-          list_transform(keptl, e -> e.btext), ' '), '') AS body,
-        coalesce(list_aggregate(
-          list_transform(dropl, e -> length(e.btext)), 'sum'), 0) AS bc
-      FROM k),
-g AS (SELECT doc_id,
-        'www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
-          || '.com' AS host,
-        CAST(200 AS INT) AS http_status, body,
-        nb::BIGINT AS n_blocks, nk::BIGINT AS n_kept, bc::BIGINT
-          AS boiler_chars,
-        len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
-        CASE WHEN length(body) > 0 THEN
-          (1000 * length(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
-            // length(body)
-        ELSE 0 END AS alpha_milli
-      FROM m)
+      Some(s"""WITH $webMainChainSql
+SELECT doc_id AS media_id, host, http_status, body, n_blocks, n_kept,
+       boiler_chars, n_words, alpha_milli::BIGINT AS alpha_milli,
+       (n_words >= 40 AND alpha_milli >= 900) AS kept
+FROM g ORDER BY media_id""")),
+
+    // The pipeline FUNNEL (r16) — the observability rollup a real
+    // 100 TB run watches: per domain, how many docs were fetched, how
+    // many the robots gate admits, how many survive main-content
+    // quality gating, and how much boilerplate the cleaner removed
+    // from admitted docs. Three tiers composed (politeness + parse +
+    // quality) through one enrichment join keyed by doc id, then a
+    // 7-group rollup. The oracle chains the shared main-content CTE
+    // with the robots decision table and aggregates.
+    ("web_funnel",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val gate = W.robotsGate(docs(s, d))
+          .select(col("media_id"), col("domain"), col("allowed"))
+        val pm = W.pipelineMain(W.webWarc(docs(s, d)))
+          .select(col("media_id"), col("kept"), col("boiler_chars"))
+        gate.join(pm, Seq("media_id"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("allowed").cast("long")).cast("long").as("n_allowed"),
+            sum((col("allowed") && col("kept")).cast("long")).cast("long")
+              .as("n_corpus"),
+            sum(when(col("allowed"), col("boiler_chars"))
+              .otherwise(lit(0L))).cast("long").as("boiler_removed"))
+          .orderBy("domain")
+      },
+      Some(s"""WITH $webMainChainSql,
+v AS (SELECT g.doc_id, g.boiler_chars,
+        (g.n_words >= 40 AND g.alpha_milli >= 900) AS kept,
+        doc_id % 7 AS kdom,
+        substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
+        doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9
+      FROM g),
+a AS (SELECT doc_id, kdom, boiler_chars, kept,
+        CASE WHEN kdom % 5 = 0 THEN NOT sw9
+             WHEN kdom = 1 THEN FALSE
+             WHEN kdom = 3 THEN NOT e9
+             WHEN kdom = 4 THEN NOT e7
+             WHEN kdom = 6 THEN NOT e9
+             ELSE TRUE END AS allowed
+      FROM v)
+SELECT 'example' || kdom::VARCHAR || '.com' AS domain,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+       sum(CASE WHEN allowed AND kept THEN 1 ELSE 0 END)::BIGINT
+         AS n_corpus,
+       sum(CASE WHEN allowed THEN boiler_chars ELSE 0 END)::BIGINT
+         AS boiler_removed
+FROM a GROUP BY 1 ORDER BY domain""")),
+
+    // The main-content pipeline SERVED from its streamed WebSink table
+    // (r16): same one-code-path posture as web_pipeline_materialized —
+    // streamed bytes and batch bytes share WebCodec.pipelineMain, so
+    // the serving table rides web_pipeline_main's oracle verbatim.
+    ("web_pipeline_main_materialized",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        graft.sinks.WebSink.materializedMain(s, d)
+          .select("media_id", "host", "http_status", "body", "n_blocks",
+            "n_kept", "boiler_chars", "n_words", "alpha_milli", "kept")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $webMainChainSql
 SELECT doc_id AS media_id, host, http_status, body, n_blocks, n_kept,
        boiler_chars, n_words, alpha_milli::BIGINT AS alpha_milli,
        (n_words >= 40 AND alpha_milli >= 900) AS kept

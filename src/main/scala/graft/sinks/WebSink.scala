@@ -65,9 +65,26 @@ object WebSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).dropDuplicates("media_id")
 
+  /** Streaming append for the MAIN-CONTENT variant: the identical
+    * mechanics, the [[WebCodec.pipelineMain]] gate (boilerplate
+    * removal + gates over main text) instead of whole-page extraction.
+    * Same code path as `web_pipeline_main`, so the streamed table
+    * rides that query's oracle verbatim. */
+  def appendBatchMain(media: DataFrame, path: String,
+      buckets: Int = defaultBuckets): Unit =
+    write(WebCodec.pipelineMain(media), path, buckets, "append")
+
+  /** Streaming ingest into the main-content serving table. */
+  def runToMainTable(media: DataFrame, path: String, checkpointPath: String,
+      buckets: Int = defaultBuckets)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    BucketedSink.runToTable(media, path, checkpointPath,
+      appendBatchMain(_, path, buckets))
+
   // one table per fixture dir per JVM (fixture-derived and immutable —
   // the ActivitySink.materialized pattern, collision-free DirKeys)
   private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private val mainCache = new ConcurrentHashMap[String, DataFrame]()
 
   /** The materialized cleaned-corpus table for a fixture dir: the synth
     * WARC corpus through the SAME parse-gate + extract path the
@@ -80,6 +97,17 @@ object WebSink {
       // outlives the JVM; appending would stack duplicate copies per
       // run and serve stale-schema rows after any pipeline change
       write(WebCodec.pipeline(WebCodec.webWarc(docs)), path,
+        defaultBuckets, "overwrite")
+      read(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** The materialized MAIN-CONTENT corpus table (r16) — the serving
+    * shape a tokenize/pack stage reads when the cleaner runs upstream. */
+  def materializedMain(spark: SparkSession, sfDir: String): DataFrame =
+    mainCache.computeIfAbsent(sfDir, { _ =>
+      val path = graft.util.DirKeys.tmpPath("websinkmain", sfDir)
+      val docs = graft.sources.Tables(spark, sfDir, "documents")
+      write(WebCodec.pipelineMain(WebCodec.webWarc(docs)), path,
         defaultBuckets, "overwrite")
       read(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
     })

@@ -465,7 +465,7 @@ class PlanShapeSpec extends SparkSuite {
     }
     // r16 additions that stay scan-shaped
     for (q <- Seq("web_http_framing", "web_main_content",
-      "web_pipeline_main")) {
+      "web_pipeline_main", "web_pipeline_main_materialized")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(!p.contains("Window"), s"$q must not window")
@@ -492,6 +492,14 @@ class PlanShapeSpec extends SparkSuite {
       assert(p.contains("Join"), s"web_revisit_dedup joins by design:\n$p")
       assert(!p.contains("CartesianProduct"),
         s"web_revisit_dedup: no cartesian:\n$p")
+      assert(!p.contains("Window"))
+    }
+    // the funnel is one keyed enrichment join + a 7-group rollup —
+    // never cartesian, never windowed
+    locally {
+      val p = plan("web_funnel")
+      assert(p.contains("Join"), s"web_funnel joins by design:\n$p")
+      assert(!p.contains("CartesianProduct"), s"web_funnel: no cartesian:\n$p")
       assert(!p.contains("Window"))
     }
   }

@@ -121,6 +121,9 @@ class WebCodecSpec extends SparkSuite {
     val html12 = buildHtml(12L, "words", "en", "src0")
     val m12 = parseHttpResponse(buildResponse(12L, "words", "en", "src0")).get
     assert(m12.charset == "iso-8859-1")
+    // 12 % 7 == 5: the header OMITS charset — resolution came from the
+    // in-document <meta charset> (r16 resolution chain)
+    assert(m12.charsetSrc == "meta")
     assert(m12.body.length == html12.length) // Latin-1: 1 byte per char
     assert(m12.bodyText == html12)
     // id 2 → %5 == 2? no: 2%5==2 → latin1 too; id 6 → %5==1 utf-8 with
@@ -128,16 +131,26 @@ class WebCodecSpec extends SparkSuite {
     val html6 = buildHtml(6L, "words", "en", "src0")
     val m6 = parseHttpResponse(buildResponse(6L, "words", "en", "src0")).get
     assert(m6.charset == "utf-8")
+    assert(m6.charsetSrc == "header") // 6 % 7 == 6: declared in header
     assert(m6.body.length
       == html6.getBytes("UTF-8").length)
     assert(m6.body.length > html6.codePointCount(0, html6.length))
     assert(m6.bodyText == html6)
-    // sniff: latin-1 bytes with NO declared charset fall back cleanly
+    // sniff: latin-1 bytes with NO header charset and NO meta tag fall
+    // back cleanly, reported as sniffed
     val latin = "café ±5°".getBytes("ISO-8859-1")
     val undeclared = ("HTTP/1.1 200 OK\r\nContent-Length: " +
       latin.length + "\r\n\r\n").getBytes("ISO-8859-1") ++ latin
-    assert(parseHttpResponse(undeclared).get.bodyText
-      == "café ±5°")
+    val ms = parseHttpResponse(undeclared).get
+    assert(ms.bodyText == "café ±5°" && ms.charsetSrc == "sniff")
+    // meta resolution: no header param, a meta tag inside the first KiB
+    val metaBody = ("<html><head><meta charset='ISO-8859-1'></head>" +
+      "<body>café</body></html>").getBytes("ISO-8859-1")
+    val metaMsg = parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: " +
+        metaBody.length + "\r\n\r\n").getBytes("ISO-8859-1") ++ metaBody).get
+    assert(metaMsg.charset == "iso-8859-1" && metaMsg.charsetSrc == "meta")
+    assert(metaMsg.bodyText.contains("café"))
     // and valid UTF-8 with no declared charset decodes as UTF-8
     val utf = "café 中文".getBytes("UTF-8")
     val undeclaredU = ("HTTP/1.1 200 OK\r\nContent-Length: " +

@@ -675,6 +675,8 @@ object PropertySpec extends Properties("graft") {
           W.parseHttpResponse(recs(1).payload).exists { m =>
             m.status == 200 &&
               m.charset == W.charsetOf(id) &&
+              m.charsetSrc ==
+                (if (W.headerOmitsCharset(id)) "meta" else "header") &&
               m.contentEncoding ==
                 (if (W.contentGzip(id)) "gzip" else "identity") &&
               m.chunked == (id % 4 == 1) &&

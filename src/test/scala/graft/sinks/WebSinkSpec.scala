@@ -76,6 +76,31 @@ class WebSinkSpec extends SparkSuite {
     assert(pruned.count() === 1L)
   }
 
+  test("streamed MAIN-CONTENT ingest equals the batch pipelineMain " +
+      "operator row-for-row (r16), gate included") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources
+      .Tables(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    val media = WebCodec.webWarc(docs)
+    val rows = media.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect()
+    def mainMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id", "body", "n_kept", "boiler_chars", "kept")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1),
+          r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val expected = mainMap(WebCodec.pipelineMain(media))
+    assert(expected.nonEmpty)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val dir = tmpDir("web_sink_main")
+    val ckpt = tmpDir("web_sink_main_ckpt")
+    mem.addData(rows.toSeq ++ Seq(
+      (900000001L, "not a warc either".getBytes("UTF-8"))): _*)
+    WebSink.runToMainTable(mem.toDF().toDF("media_id", "payload"),
+      dir, ckpt).awaitTermination()
+    assert(mainMap(WebSink.read(spark, dir)) === expected,
+      "streamed main-content table must equal the batch operator")
+  }
+
   test("null-payload handling in the gate: a batch of ONLY rejects " +
       "appends nothing and the table stays readable") {
     val dir = tmpDir("web_sink_rej")
