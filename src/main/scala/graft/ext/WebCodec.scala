@@ -1325,8 +1325,16 @@ object WebCodec {
     /** Parse to agent → rules (groups merged per agent name; later
       * groups for the same agent extend earlier ones, per the RFC). A
       * rule line before any User-agent line is a grammar error → None. */
-    def parse(text: String): Option[Map[String, Vector[Rule]]] = {
+    def parse(text: String): Option[Map[String, Vector[Rule]]] =
+      parseWithDelays(text).map(_._1)
+
+    /** Parse rules AND per-group Crawl-delay values (the de-facto
+      * politeness extension every large crawler honors; non-numeric
+      * values are tolerated and ignored, last numeric wins per group). */
+    def parseWithDelays(text: String)
+    : Option[(Map[String, Vector[Rule]], Map[String, Long])] = {
       val groups = scala.collection.mutable.Map.empty[String, Vector[Rule]]
+      val delays = scala.collection.mutable.Map.empty[String, Long]
       var agents: List[String] = Nil
       var inHeader = false // consecutive User-agent lines share a group
       for (raw <- text.split("\n", -1)) {
@@ -1350,11 +1358,28 @@ object WebCodec {
                 for (a <- agents)
                   groups(a) = groups(a) :+ Rule(key == "allow", value)
               }
-            case _ => inHeader = false // crawl-delay etc: tolerated
+            case "crawl-delay" =>
+              if (agents.isEmpty) return None // directive outside a group
+              inHeader = false
+              if (value.nonEmpty && value.length <= 9 &&
+                  value.forall(c => c >= '0' && c <= '9'))
+                for (a <- agents) delays(a) = value.toLong
+            case _ => inHeader = false // sitemap etc: tolerated
           }
         }
       }
-      Some(groups.toMap)
+      Some((groups.toMap, delays.toMap))
+    }
+
+    /** The group key the agent resolves to: longest named group that
+      * prefixes the product token, else "*", else "" (no group). */
+    def selectGroup(groupKeys: Iterable[String], agent: String): String = {
+      val token = productToken(agent)
+      val named = groupKeys.iterator
+        .filter(n => n != "*" && token.startsWith(n)).toSeq
+      if (named.nonEmpty) named.maxBy(_.length)
+      else if (groupKeys.exists(_ == "*")) "*"
+      else ""
     }
 
     /** (allowed, matched rule pattern — "" when no rule matched).
@@ -1363,12 +1388,8 @@ object WebCodec {
       * rule selection: longest pattern wins, allow preferred on ties. */
     def evaluate(groups: Map[String, Vector[Rule]], agent: String,
         path: String): (Boolean, String) = {
-      val token = productToken(agent)
-      val named = groups.keysIterator
-        .filter(n => n != "*" && token.startsWith(n)).toSeq
-      val rules =
-        if (named.nonEmpty) groups(named.maxBy(_.length))
-        else groups.getOrElse("*", Vector.empty)
+      val rules = groups.getOrElse(selectGroup(groups.keys, agent),
+        Vector.empty)
       val hits = rules.filter(r => pathMatches(r.path, path))
       if (hits.isEmpty) (true, "")
       else {
@@ -1403,6 +1424,7 @@ object WebCodec {
     if (k % 5 == 0) {
       sb ++= "\nUser-agent: GraftBot\n"
       sb ++= "Disallow: /docs/9\n"
+      sb ++= "Crawl-delay: 2\n" // the named group's own politeness rate
     }
     sb.result()
   }
@@ -1421,16 +1443,20 @@ object WebCodec {
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       // one parse per distinct domain per partition (7 domains)
       val cache = scala.collection.mutable.Map
-        .empty[Long, Map[String, Vector[Robots.Rule]]]
+        .empty[Long, (Map[String, Vector[Robots.Rule]], Map[String, Long])]
       ids.map { id =>
         val k = id % 7
-        val groups = cache.getOrElseUpdate(k,
-          Robots.parse(buildRobots(k)).get)
+        val (groups, delays) = cache.getOrElseUpdate(k,
+          Robots.parseWithDelays(buildRobots(k)).get)
         val path = s"/docs/$id"
         val (allowed, rule) = Robots.evaluate(groups, crawlAgent, path)
-        (id, s"example$k.com", path, allowed, rule)
+        // the SELECTED group's Crawl-delay (0 = none declared there)
+        val delay =
+          delays.getOrElse(Robots.selectGroup(groups.keys, crawlAgent), 0L)
+        (id, s"example$k.com", path, allowed, rule, delay)
       }
-    }.toDF("media_id", "domain", "path", "allowed", "matched_rule")
+    }.toDF("media_id", "domain", "path", "allowed", "matched_rule",
+      "crawl_delay")
   }
 
   // ------------------------------------------------------------------

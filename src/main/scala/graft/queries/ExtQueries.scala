@@ -7030,8 +7030,48 @@ SELECT doc_id AS media_id,
        WHEN k = 3 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
        WHEN k = 4 THEN (CASE WHEN e7 THEN '/docs/*7$' ELSE '' END)
        WHEN k = 6 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
-       ELSE '' END AS matched_rule
+       ELSE '' END AS matched_rule,
+  (CASE WHEN k % 5 = 0 THEN 2 ELSE k + 1 END)::BIGINT AS crawl_delay
 FROM d ORDER BY media_id""")),
+
+    // Crawl SCHEDULING (r16): the politeness budget a fetcher plans
+    // with — per domain, the SELECTED group's Crawl-delay (the named
+    // GraftBot group's own rate on k%5==0 domains, the star group's
+    // k+1 elsewhere), the admitted URL count, and the serial crawl
+    // time their product implies. The per-domain rate × admitted-count
+    // product is exactly how a frontier scheduler sizes its politeness
+    // queues.
+    ("web_crawl_schedule",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        graft.ext.WebCodec.robotsGate(docs(s, d))
+          .groupBy("domain")
+          .agg(max(col("crawl_delay")).as("crawl_delay"),
+            count(lit(1)).as("n_urls"),
+            sum(col("allowed").cast("long")).cast("long").as("n_allowed"))
+          .withColumn("est_crawl_seconds",
+            (col("crawl_delay") * col("n_allowed")).cast("long"))
+          .orderBy("domain")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 7 AS k,
+           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
+           doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9 FROM documents),
+a AS (SELECT k,
+        CASE WHEN k % 5 = 0 THEN NOT sw9
+             WHEN k = 1 THEN FALSE
+             WHEN k = 3 THEN NOT e9
+             WHEN k = 4 THEN NOT e7
+             WHEN k = 6 THEN NOT e9
+             ELSE TRUE END AS allowed,
+        CASE WHEN k % 5 = 0 THEN 2 ELSE k + 1 END AS delay
+      FROM d)
+SELECT 'example' || k::VARCHAR || '.com' AS domain,
+       max(delay)::BIGINT AS crawl_delay,
+       count(*)::BIGINT AS n_urls,
+       sum(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+       (max(delay) * sum(CASE WHEN allowed THEN 1 ELSE 0 END))::BIGINT
+         AS est_crawl_seconds
+FROM a GROUP BY k ORDER BY domain""")),
 
     // REVISIT-aware crawl dedup (r16): crawl 2's unchanged docs ship
     // WARC revisit records (Common Crawl's crawl-time URL dedup signal)

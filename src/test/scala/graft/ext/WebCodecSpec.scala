@@ -495,6 +495,36 @@ class WebCodecSpec extends SparkSuite {
     assert(Robots.evaluate(g, "OtherBot/1.0", "/c/z") == ((false, "/c/")))
   }
 
+  test("crawl-delay: parsed per group, resolved for the SELECTED group, " +
+      "non-numeric tolerated, directive outside a group poisons") {
+    import WebCodec.Robots
+    val (g, delays) = Robots.parseWithDelays(
+      """User-agent: graftbot
+        |Disallow: /a/
+        |Crawl-delay: 2
+        |
+        |User-agent: *
+        |Crawl-delay: 7
+        |Crawl-delay: nonsense
+        |""".stripMargin).get
+    assert(delays == Map("graftbot" -> 2L, "*" -> 7L))
+    assert(delays(Robots.selectGroup(g.keys, WebCodec.crawlAgent)) == 2L)
+    assert(delays(Robots.selectGroup(g.keys, "OtherBot/9")) == 7L)
+    // a Crawl-delay before any group is the grammar error class
+    assert(Robots.parseWithDelays("Crawl-delay: 3\n").isEmpty)
+    // the synth gate carries the resolved delay: named-group domains
+    // (k%5==0) use the GraftBot group's 2, others the star group's k+1
+    val sp = spark
+    import sp.implicits._
+    val rows = WebCodec.robotsGate((0L to 13L).toDF("doc_id"))
+      .select("media_id", "crawl_delay").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- 0L to 13L) {
+      val k = id % 7
+      assert(rows(id) == (if (k % 5 == 0) 2L else k + 1), s"id=$id")
+    }
+  }
+
   test("robotsGate seam matches Robots.evaluate over the synth corpus") {
     val sp = spark
     import sp.implicits._
