@@ -7034,6 +7034,60 @@ SELECT doc_id AS media_id,
   (CASE WHEN k % 5 = 0 THEN 2 ELSE k + 1 END)::BIGINT AS crawl_delay
 FROM d ORDER BY media_id""")),
 
+    // Language MIX of the cleaned web corpus (r16): the n-gram-lexicon
+    // lang-id (the text tier's existing scorer) run over the KEPT
+    // main-content bodies, rolled up per registered domain — exactly
+    // the signal a mixture-sampling stage consumes to balance
+    // languages. Web tier feeding the analysis tier: one scan-shaped
+    // pass (gate → score → argmax) into a tiny two-key rollup. The
+    // oracle chains the shared main-content CTE with the lexicon
+    // scoring CASE used by the lang_id oracles.
+    ("web_lang_mix",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val T = graft.ext.TextOps
+        val kept = W.pipelineMain(W.webWarc(docs(s, d)))
+          .where(col("kept"))
+          .select(col("media_id"),
+            regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"),
+            T.wsTokens(lower(col("body"))).as("toks"))
+        val langs = graft.ext.TextOps.langLexica.map(_._1)
+        val scored = kept.select(
+          (col("media_id") +: col("domain") +:
+            T.langLexica.map { case (l, lex) =>
+              T.lexiconHits(col("toks"), lex).as(s"s_$l") }): _*)
+        val predicted = langs.foldRight(lit("und")) { case (l, rest) =>
+          val isMax = langs.foldLeft(lit(true)) { case (acc, o) =>
+            acc && col(s"s_$l") >= col(s"s_$o") }
+          when(isMax, lit(l)).otherwise(rest)
+        }
+        scored.withColumn("predicted_lang", predicted)
+          .groupBy("domain", "predicted_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("domain", "predicted_lang")
+      },
+      Some {
+        val scores = graft.ext.TextOps.langLexica.map { case (l, lex) =>
+          s"len(list_filter(toks, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
+        }.mkString(",\n       ")
+        val langs = graft.ext.TextOps.langLexica.map(_._1)
+        val cases = langs.map { l =>
+          val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n         ")
+        s"""WITH $webMainChainSql,
+kd AS (SELECT doc_id, 'example' || (doc_id % 7)::VARCHAR || '.com'
+         AS domain,
+         string_split_regex(trim(lower(body)), '\\s+') AS toks
+       FROM g WHERE n_words >= 40 AND alpha_milli >= 900),
+sc AS (SELECT doc_id, domain, $scores FROM kd),
+pr AS (SELECT domain, CASE $cases ELSE 'und' END AS predicted_lang
+       FROM sc)
+SELECT domain, predicted_lang, count(*)::BIGINT AS n_docs
+FROM pr GROUP BY 1, 2 ORDER BY domain, predicted_lang"""
+      }),
+
     // Crawl SCHEDULING (r16): the politeness budget a fetcher plans
     // with — per domain, the SELECTED group's Crawl-delay (the named
     // GraftBot group's own rate on k%5==0 domains, the star group's

@@ -494,6 +494,15 @@ class PlanShapeSpec extends SparkSuite {
         s"web_revisit_dedup: no cartesian:\n$p")
       assert(!p.contains("Window"))
     }
+    // lang mix: gate → lexicon-score → argmax → two-key rollup; the
+    // rollup + final sort are its only exchanges
+    locally {
+      val p = plan("web_lang_mix")
+      assert(!p.contains("Join"), s"web_lang_mix must not join:\n$p")
+      assert(!p.contains("Window"))
+      assert(nodeCount(p, "Exchange") <= 3,
+        s"web_lang_mix: rollup + sort only:\n$p")
+    }
     // the funnel is one keyed enrichment join + a 7-group rollup —
     // never cartesian, never windowed
     locally {
