@@ -427,12 +427,22 @@ object WebCodec {
                 case _ => return None // unsupported coding → poison
               }
             case "Content-Type" =>
-              // charset parameter, case-insensitive, token up to ; or EOL
+              // charset parameter, case-insensitive, token up to ; or EOL;
+              // an optionally QUOTED value (charset="utf-8" — legal HTTP,
+              // common in real WARCs) is unwrapped, not reported verbatim
+              // (ADVICE r16)
               val v = line.substring(k + 1).toLowerCase
               val ci = v.indexOf("charset=")
-              if (ci >= 0)
-                charset = v.substring(ci + 8)
-                  .takeWhile(c => c != ';' && c != ' ').trim
+              if (ci >= 0) {
+                val tok = v.substring(ci + 8).trim
+                  .takeWhile(c => c != ';' && c != ' ')
+                charset =
+                  if (tok.length >= 2 &&
+                      ((tok.head == '"' && tok.last == '"') ||
+                       (tok.head == '\'' && tok.last == '\'')))
+                    tok.substring(1, tok.length - 1).trim
+                  else tok
+              }
             case _ => ()
           }
       }
@@ -671,14 +681,23 @@ object WebCodec {
     out.toByteArray
   }
 
-  /** The crawl-metadata sidecar payload for docs on the id%6==3 axis
-    * (WARC-fields style, pure ASCII — the oracle replays it verbatim). */
+  /** Whether the doc's WARC file carries a crawl-metadata sidecar
+    * record. id%6∈{3,4,5}: 3 co-occurs with the PLAIN file variant
+    * (id%3==0), 4 with gzip STORED (id%3==1), 5 with gzip Deflater
+    * (id%3==2) — so 3-member counting is exercised on BOTH gzip paths,
+    * not only the plain one (ADVICE r16: the old %6==3-only axis made
+    * the oracle's 3-member-gzip branch dead code). */
+  def hasMetadata(id: Long): Boolean = id % 6 >= 3
+
+  /** The crawl-metadata sidecar payload for docs on the [[hasMetadata]]
+    * axis (WARC-fields style, pure ASCII — the oracle replays it
+    * verbatim). */
   def metadataFields(id: Long): String =
     s"fetchDurationMs: ${(id * 37) % 900 + 100}$CRLF" +
       s"charsetDetected: ${charsetOf(id)}$CRLF"
 
   /** One WARC file per document: a request record, the response record,
-    * and (id%6==3) a metadata record; compression variant keyed by
+    * and (id%6∈{3,4,5}) a metadata record; compression variant keyed by
     * doc_id % 3 — 0 = plain, 1 = gzip STORED (hand-rolled), 2 = gzip
     * Deflater+FNAME. One gzip member per record, per the WARC
     * convention. */
@@ -690,7 +709,7 @@ object WebCodec {
         buildRequest(id, lang, source).getBytes("ISO-8859-1")),
       warcRecordBytes("response", uri,
         buildResponse(id, text, lang, source))) ++
-      (if (id % 6 == 3)
+      (if (hasMetadata(id))
         Vector(warcRecordBytes("metadata", uri,
           metadataFields(id).getBytes("ISO-8859-1")))
       else Vector.empty)

@@ -950,11 +950,19 @@ ORDER BY q_id, rnk"""
         '&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});',
         chr(1) || '\\1' || chr(2), 'g'), chr(1)),
       seg -> CASE WHEN contains(seg, chr(2)) THEN
-        chr((CASE WHEN substr(split_part(seg, chr(2), 1), 1, 1) = 'x'
-          THEN ('0x' || substr(split_part(seg, chr(2), 1), 2))::BIGINT
-          ELSE split_part(seg, chr(2), 1)::BIGINT END)::INT)
+        chr((CASE WHEN cp0 = 0 OR cp0 > 1114111
+                    OR (cp0 BETWEEN 55296 AND 57343) THEN 65533
+             ELSE cp0 END)::INT)
         || split_part(seg, chr(2), 2)
       ELSE seg END), 'string_agg', '')"""
+      // cp0: the raw parsed codepoint; invalid values (0, surrogates,
+      // > U+10FFFF) substitute U+FFFD BEFORE chr() — DuckDB's chr()
+      // raises on those where the JVM/Column twins emit U+FFFD
+      // (ADVICE r16), keeping the three decoders in true lockstep
+      .replace("cp0",
+        """(CASE WHEN substr(split_part(seg, chr(2), 1), 1, 1) = 'x'
+          THEN ('0x' || substr(split_part(seg, chr(2), 1), 2))::BIGINT
+          ELSE split_part(seg, chr(2), 1)::BIGINT END)""")
 
   /** The shared main-content CTE chain (documents → html → blocks →
     * link-density scoring → main body + gates), ending in table `g`
@@ -6684,7 +6692,7 @@ recs AS (
          'fetchDurationMs: ' || ((a.doc_id * 37) % 900 + 100)::VARCHAR
            || c.crlf || 'charsetDetected: ' || a.charset || c.crlf,
          -1, 0, '', '', '', '', ''
-  FROM axes a, crlfv c WHERE a.doc_id % 6 = 3),
+  FROM axes a, crlfv c WHERE a.doc_id % 6 >= 3),
 chars AS (SELECT doc_id, rec_index, u.i AS i,
                  ascii(substr(txt, (u.i + 1)::INT, 1)) AS c
           FROM recs, unnest(range(0, length(txt))) AS u(i)),
@@ -6692,8 +6700,12 @@ cks AS (SELECT doc_id, rec_index, sum((i + 1) * c)::BIGINT AS body_ck
         FROM chars GROUP BY 1, 2)
 SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
        r.uri AS target_uri,
+       -- plain files (id%3==0, covering id%6∈{0,3}) report 0 members;
+       -- metadata-axis gzip files (id%6∈{4,5} — STORED and Deflater
+       -- respectively) count 3; all other gzip files 2 (ADVICE r16:
+       -- multi-member counting now exercised on both inflate paths)
        CAST(CASE WHEN r.doc_id % 3 = 0 THEN 0
-                 WHEN r.doc_id % 6 = 3 THEN 3 ELSE 2 END AS INT)
+                 WHEN r.doc_id % 6 IN (4, 5) THEN 3 ELSE 2 END AS INT)
          AS gzip_members,
        CAST(r.http_status AS INT) AS http_status, r.http_method,
        r.transfer, r.content_encoding, r.charset, r.charset_src,

@@ -52,7 +52,7 @@ class WebCodecSpec extends SparkSuite {
   // ------------------------------------------------------------- WARC
 
   test("warc: all three compression variants demux to the same records " +
-      "(request, response, + metadata on id%6==3) with byte-identical " +
+      "(request, response, + metadata on id%6>=3) with byte-identical " +
       "payloads") {
     val ref = (0L to 2L).map { v =>
       // ids 0,1,2 hit variants plain/stored/deflate respectively
@@ -68,11 +68,16 @@ class WebCodecSpec extends SparkSuite {
       val rsp = buildResponse(v, "sample text words", "en", "src0")
       assert(ref(v.toInt) == Vector(weightedCk(req), weightedCk(rsp)))
     }
-    // the metadata sidecar axis: id 9 (9%6==3) carries a third record
-    val recs9 = parseWarc(buildWarcFile(9L, "t", "en", "src0")).get
-    assert(recs9.map(_.warcType)
-      == Vector("request", "response", "metadata"))
-    assert(new String(recs9(2).payload, "ISO-8859-1") == metadataFields(9L))
+    // the metadata sidecar axis (id%6>=3) rides all THREE file
+    // variants: 9%6==3 plain, 10%6==4 gzip STORED (3 members),
+    // 17%6==5 gzip Deflater (3 members) — ADVICE r16
+    for (id <- Seq(9L, 10L, 17L)) {
+      val recs = parseWarc(buildWarcFile(id, "t", "en", "src0")).get
+      assert(recs.map(_.warcType)
+        == Vector("request", "response", "metadata"), s"id=$id")
+      assert(new String(recs(2).payload, "ISO-8859-1")
+        == metadataFields(id), s"id=$id")
+    }
   }
 
   test("warc strictness: version drift, length mismatch, lost " +
@@ -234,8 +239,8 @@ class WebCodecSpec extends SparkSuite {
         case None => ()
         case Some(recs) =>
           // a surviving parse must still be well-framed records
-          // (2, or 3 on the metadata axis id%6==3)
-          assert(recs.length == (if (id % 6 == 3) 3 else 2))
+          // (2, or 3 on the metadata axis id%6>=3)
+          assert(recs.length == (if (hasMetadata(id)) 3 else 2))
           assert(recs.forall(_.payload != null))
       }
     }
@@ -569,19 +574,22 @@ class WebCodecSpec extends SparkSuite {
     val sp = spark
     import sp.implicits._
     // 0: plain/utf8/CL; 7: stored-gz/LATIN1/CL; 12: plain/latin1/CL;
-    // add 9 (metadata axis, 9%6==3) and 13 (chunked + entity gzip)
+    // add 9 (metadata axis, plain), 10/17 (metadata on BOTH gzip
+    // variants — 3-member files, ADVICE r16), 13 (chunked + entity gzip)
     val sample = docsSample ++ Seq(
       (9L, "nine words here", "en", "src2"),
+      (10L, "ten words here", "en", "src1"),
+      (17L, "seventeen words here", "es", "src3"),
       (13L, "thirteen words here", "fr", "src0"))
     val docs = sample.toDF("doc_id", "text", "lang", "source")
     val recs = warcRecords(webWarc(docs)).orderBy("media_id", "rec_index")
       .collect()
-    assert(recs.length == sample.map(d => if (d._1 % 6 == 3) 3 else 2).sum)
+    assert(recs.length == sample.map(d => if (hasMetadata(d._1)) 3 else 2).sum)
     for (r <- recs) {
       val id = r.getAs[Long]("media_id")
       val doc = sample.find(_._1 == id).get
       val members =
-        if (id % 3 == 0) 0 else (if (id % 6 == 3) 3 else 2)
+        if (id % 3 == 0) 0 else (if (hasMetadata(id)) 3 else 2)
       assert(r.getAs[Int]("gzip_members") == members, s"id=$id")
       r.getAs[String]("warc_type") match {
         case "request" =>
@@ -611,6 +619,15 @@ class WebCodecSpec extends SparkSuite {
     }
     val resp = warcResponses(webWarc(docs)).orderBy("media_id").collect()
     assert(resp.length == sample.length)
+    // quoted charset parameter (ADVICE r16): legal HTTP, unwrapped
+    val quoted = parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"utf-8\"\r\n" +
+        "Content-Length: 2\r\n\r\nhi").getBytes("ISO-8859-1")).get
+    assert(quoted.charset == "utf-8" && quoted.charsetSrc == "header")
+    val squoted = parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset='utf-8'\r\n" +
+        "Content-Length: 2\r\n\r\nhi").getBytes("ISO-8859-1")).get
+    assert(squoted.charset == "utf-8")
     for (r <- resp) {
       val id = r.getAs[Long]("media_id")
       val doc = sample.find(_._1 == id).get

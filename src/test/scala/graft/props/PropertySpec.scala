@@ -662,7 +662,7 @@ object PropertySpec extends Properties("graft") {
     Prop.forAll(gen) { case (id, text, lang, source) =>
       val W = graft.ext.WebCodec
       val wantTypes =
-        if (id % 6 == 3) Vector("request", "response", "metadata")
+        if (W.hasMetadata(id)) Vector("request", "response", "metadata")
         else Vector("request", "response")
       W.parseWarc(W.buildWarcFile(id, text, lang, source)).exists { recs =>
         recs.map(_.warcType) == wantTypes &&
