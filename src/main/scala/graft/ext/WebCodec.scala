@@ -542,18 +542,19 @@ object WebCodec {
   def escapeHtml(text: String): String =
     text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** The four i18n phrases (r16 non-ASCII axis): numeric character
-    * references (decimal + hex, incl. a supplementary-plane emoji)
-    * mixed with literal non-ASCII text. Index 0/1 are Latin-1-
-    * representable (after ref decode) so the iso-8859-1 charset axis
-    * can carry them on the wire; 2/3 need UTF-8. Shared verbatim by
+  /** The four i18n phrases (r16 non-ASCII axis; r17 adds NAMED entity
+    * references — &eacute; &mdash; &hellip; &copy; … — beside the
+    * numeric ones): character references mixed with literal non-ASCII
+    * text. Index 0/1 are Latin-1-representable as RAW text (refs are
+    * ASCII until extraction decodes them) so the latin-1/cp1252 wire
+    * charset axis can carry them; 2/3 need UTF-8. Shared verbatim by
     * [[i18nPhrase]], [[htmlCol]], and the ExtQueries oracle CASE —
     * keep all three in lockstep. */
   val i18nPhrases: IndexedSeq[String] = IndexedSeq(
-    "na&#239;ve fa&#231;ade Caf&#233; ±5°",
-    "Gr&#252;&#223;e se&#241;or «café»",
-    "&#x4E2D;&#x6587; 測試 — тест",
-    "&#128512; emoji αβγ ∑√∞")
+    "na&#239;ve fa&#231;ade Caf&eacute; ±5° &lsquo;ok&rsquo;",
+    "Gr&uuml;&szlig;e se&ntilde;or «caf&eacute;» &hellip;&copy;2026",
+    "&#x4E2D;&#x6587; 測試 &mdash; тест &euro;&trade;",
+    "&#128512; emoji αβγ ∑√∞ &laquo;&nbsp;&raquo;")
 
   /** Phrase selector: latin-1-charset docs (id%5==2) are restricted to
     * the Latin-1-safe phrases, everything else cycles all four. */
@@ -821,30 +822,67 @@ object WebCodec {
     }
   }
 
-  private val NumRefPattern =
-    java.util.regex.Pattern.compile("&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});")
+  /** The ~40 most common WHATWG named character references (r17,
+    * VERDICT r16 item 2). `nbsp` deliberately normalizes to a plain
+    * SPACE (not U+00A0): the extraction chain's `\s+` collapse is
+    * ASCII-only in BOTH regex dialects, so a literal NBSP would survive
+    * as an invisible non-collapsing char and pollute tokenization —
+    * exactly what a real cleaning pipeline normalizes away. Shared
+    * verbatim by [[decodeEntities]], [[decodeEntitiesCol]], and the
+    * ExtQueries `webEntitySql` CASE — keep all three in lockstep. */
+  val namedEntities: Seq[(String, String)] = Seq(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "trade" -> "™", "deg" -> "°", "plusmn" -> "±",
+    "middot" -> "·", "sect" -> "§", "para" -> "¶",
+    "laquo" -> "«", "raquo" -> "»", "ndash" -> "–",
+    "mdash" -> "—", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”", "hellip" -> "…",
+    "bull" -> "•", "dagger" -> "†", "euro" -> "€",
+    "times" -> "×", "divide" -> "÷", "szlig" -> "ß",
+    "agrave" -> "à", "auml" -> "ä", "aacute" -> "á",
+    "ccedil" -> "ç", "eacute" -> "é", "egrave" -> "è",
+    "iacute" -> "í", "ntilde" -> "ñ", "ouml" -> "ö",
+    "oacute" -> "ó", "uuml" -> "ü", "uacute" -> "ú")
+  private val namedEntityMap: Map[String, String] = namedEntities.toMap
 
-  /** Decode decimal (&#233;) and hex (&#x4E2D;) numeric character
-    * references — GENERIC over any codepoint, incl. supplementary
-    * planes. Invalid codepoints (0, surrogates, > U+10FFFF) become
-    * U+FFFD per the HTML5 rule (the C1-remap table is a documented
-    * non-goal). JVM twin of [[decodeNumRefsCol]]. */
-  def decodeNumRefs(s: String): String = {
-    val m = NumRefPattern.matcher(s)
+  /** One regex for BOTH reference kinds, applied in a single
+    * left-to-right pass (the HTML5 tokenizer shape — no re-scan of
+    * decoded output, so `&amp;#39;` yields the literal `&#39;`). */
+  private val EntityPattern = java.util.regex.Pattern.compile(
+    "&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
+
+  /** Decode character references in ONE pass: decimal (&#233;) and hex
+    * (&#x4E2D;) numeric references — GENERIC over any codepoint, incl.
+    * supplementary planes — plus the [[namedEntities]] table
+    * (&eacute; &mdash; &copy; …). Invalid numeric codepoints (0,
+    * surrogates, > U+10FFFF) become U+FFFD per the HTML5 rule (the
+    * C1-remap table is a documented non-goal); UNKNOWN named refs stay
+    * literal `&word;` (the HTML5 no-match behavior). Single-pass
+    * left-to-right matching makes amp-no-double-decode structural:
+    * decoded output is never re-scanned. JVM twin of
+    * [[decodeEntitiesCol]]. */
+  def decodeEntities(s: String): String = {
+    val m = EntityPattern.matcher(s)
     if (!m.find()) return s
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0
     do {
       sb.append(s, last, m.start())
       val g = m.group(1)
-      // group bounds (≤7 decimal digits / ≤6 hex digits) keep the parse
-      // inside Long — no overflow path
-      val cp =
-        if (g.charAt(0) == 'x') java.lang.Long.parseLong(g.substring(1), 16)
-        else java.lang.Long.parseLong(g)
-      if (cp == 0 || cp > 0x10ffffL || (cp >= 0xd800L && cp <= 0xdfffL))
-        sb.append('�')
-      else sb.appendCodePoint(cp.toInt)
+      if (g.charAt(0) == '#') {
+        // group bounds (≤7 decimal digits / ≤6 hex digits) keep the
+        // parse inside Long — no overflow path
+        val cp =
+          if (g.charAt(1) == 'x') java.lang.Long.parseLong(g.substring(2), 16)
+          else java.lang.Long.parseLong(g.substring(1))
+        if (cp == 0 || cp > 0x10ffffL || (cp >= 0xd800L && cp <= 0xdfffL))
+          sb.append('�')
+        else sb.appendCodePoint(cp.toInt)
+      } else namedEntityMap.get(g) match {
+        case Some(ch) => sb.append(ch)
+        case None => sb.append('&').append(g).append(';')
+      }
       last = m.end()
     } while (m.find())
     sb.append(s, last, s.length)
@@ -859,17 +897,15 @@ object WebCodec {
     extractText(buildHtml(id, text, lang, source))
 
   /** The extraction chain over any html string: script/style removal →
-    * tag strip → named entities (quot, lt, gt, nbsp) → NUMERIC refs →
-    * amp LAST (so &amp;#39; yields the literal &#39;, the standard
-    * no-double-decode order) → whitespace collapse. */
+    * tag strip → ONE entity-decode pass ([[decodeEntities]]: numeric +
+    * named refs, single left-to-right scan — &amp;#39; yields the
+    * literal &#39;, the HTML5 no-double-decode behavior) → whitespace
+    * collapse. */
   def extractText(html: String): String = {
     val noScript = html.replaceAll("<script[^>]*>.*?</script>", " ")
     val noStyle = noScript.replaceAll("<style[^>]*>.*?</style>", " ")
     val noTags = noStyle.replaceAll("<[^>]*>", " ")
-    val named = noTags.replace("&quot;", "\"")
-      .replace("&lt;", "<").replace("&gt;", ">").replace("&nbsp;", " ")
-    val ent = decodeNumRefs(named).replace("&amp;", "&")
-    ent.replaceAll("\\s+", " ").trim
+    decodeEntities(noTags).replaceAll("\\s+", " ").trim
   }
 
   /** (media_id, payload) synthesized WET archive table. */
@@ -1111,7 +1147,7 @@ object WebCodec {
     * Column bit arithmetic — the bridge that lets a computed codepoint
     * become a string without a UDF (`decode(unhex(hex), 'UTF-8')`).
     * Invalid codepoints (0, surrogates, > U+10FFFF) yield U+FFFD
-    * (EFBFBD), mirroring [[decodeNumRefs]]. */
+    * (EFBFBD), mirroring [[decodeEntities]]. */
   private def cpToUtf8Col(cp: Column): Column = {
     def b(v: Column): Column = lpad(hex(v.cast("int")), 2, "0")
     val cont = (sh: Int) =>
@@ -1131,24 +1167,37 @@ object WebCodec {
     decode(unhex(hexStr), "UTF-8")
   }
 
-  /** Column twin of [[decodeNumRefs]]: mark each numeric reference with
-    * \u0001body\u0002 sentinels in ONE regex pass, split on \u0001, and
-    * rebuild — segments containing \u0002 carry (ref body, literal
-    * tail). Generic over any codepoint; scalar (no explode); the DuckDB
-    * twin uses the same sentinel trick with string_split +
+  /** Column twin of [[decodeEntities]]: mark each reference (numeric OR
+    * named) with \u0001body\u0002 sentinels in ONE regex pass, split on
+    * \u0001, and rebuild — segments containing \u0002 carry (ref body,
+    * literal tail). Numeric bodies keep their '#' prefix, so the
+    * transform branches on it: numeric → pure-Column UTF-8 bit
+    * arithmetic ([[cpToUtf8Col]]); named → the [[namedEntities]] CASE
+    * chain, unknown names rebuilt literal. Scalar (no explode); the
+    * DuckDB twin uses the same sentinel trick with string_split +
     * list_transform. Sentinel safety: \u0001/\u0002 are control chars
     * the corpus never contains (asserted in WebCodecSpec). */
-  def decodeNumRefsCol(c: Column): Column = {
+  def decodeEntitiesCol(c: Column): Column = {
     val marked = regexp_replace(c,
-      "&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});", "\u0001$1\u0002")
+      "&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});",
+      "\u0001$1\u0002")
     val parts = split(marked, "\u0001", -1)
     val dec = transform(parts, s => {
-      val refBody = substring_index(s, "\u0002", 1)
+      val body = substring_index(s, "\u0002", 1)
       val tail = substring_index(s, "\u0002", -1)
-      val cp = when(substring(refBody, 1, 1) === "x",
-        conv(substring(refBody, 2, 6), 16, 10).cast("long"))
-        .otherwise(refBody.cast("long"))
-      when(instr(s, "\u0002") > 0, concat(cpToUtf8Col(cp), tail))
+      // numeric bodies keep their '#' prefix ("#x4E2D" / "#128512")
+      val cp = when(substring(body, 2, 1) === "x",
+        conv(substring(body, 3, 6), 16, 10).cast("long"))
+        .otherwise(substring(body, 2, 7).cast("long"))
+      // named refs: the shared table as a CASE chain; unknown names
+      // rebuild literal (the HTML5 no-match behavior)
+      val named = namedEntities.foldRight(
+        concat(lit("&"), body, lit(";")): Column) { case ((n, ch), rest) =>
+        when(body === n, lit(ch)).otherwise(rest)
+      }
+      val decoded = when(substring(body, 1, 1) === "#", cpToUtf8Col(cp))
+        .otherwise(named)
+      when(instr(s, "\u0002") > 0, concat(decoded, tail))
         .otherwise(s)
     })
     array_join(dec, "")
@@ -1161,25 +1210,18 @@ object WebCodec {
       id.cast("string"), lit("?lang="), lang, lit("&ref=feed#sec-"),
       (id % 5).cast("string"))
 
-  /** script/style block removal → tag strip → named entity decode
-    * (quot, lt, gt, nbsp) → NUMERIC character references (generic,
-    * [[decodeNumRefsCol]]) → amp LAST (the standard order that avoids
-    * double-decoding: &amp;#39; yields the literal &#39;) → whitespace
-    * collapse → trim. Every regex step uses constructs RE2 and
-    * java.util.regex agree on; JVM twin: [[extractText]]. */
+  /** script/style block removal → tag strip → ONE entity-decode pass
+    * ([[decodeEntitiesCol]]: numeric + named refs, single left-to-right
+    * scan — &amp;#39; yields the literal &#39;, no double-decode) →
+    * whitespace collapse → trim. Every regex step uses constructs RE2
+    * and java.util.regex agree on; JVM twin: [[extractText]]. */
   def extractTextCol(html: Column): Column = {
     val noScript =
       regexp_replace(html, "<script[^>]*>.*?</script>", " ")
     val noStyle =
       regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val ent1 = regexp_replace(noTags, "&quot;", "\"")
-    val ent2 = regexp_replace(ent1, "&lt;", "<")
-    val ent3 = regexp_replace(ent2, "&gt;", ">")
-    val ent4 = regexp_replace(ent3, "&nbsp;", " ")
-    val ent5 = decodeNumRefsCol(ent4)
-    val ent6 = regexp_replace(ent5, "&amp;", "&")
-    trim(regexp_replace(ent6, "\\s+", " "))
+    trim(regexp_replace(decodeEntitiesCol(noTags), "\\s+", " "))
   }
 
   /** `<title>` contents (first match; empty string when absent). */

@@ -894,16 +894,19 @@ ORDER BY q_id, rnk"""
   // lengths — DuckDB strings are UTF-8, so strlen IS the encoded size).
 
   // the four i18n phrases — verbatim twins of WebCodec.i18nPhrases
-  private val webI18nCase =
-    """CASE WHEN doc_id % 5 = 2 THEN
-      (CASE WHEN doc_id % 2 = 0 THEN 'na&#239;ve fa&#231;ade Caf&#233; ±5°'
-            ELSE 'Gr&#252;&#223;e se&#241;or «café»' END)
+  // (r17: named entity refs planted beside the numeric ones)
+  private val webI18nCase = {
+    val p = graft.ext.WebCodec.i18nPhrases.map(_.replace("'", "''"))
+    s"""CASE WHEN doc_id % 5 = 2 THEN
+      (CASE WHEN doc_id % 2 = 0 THEN '${p(0)}'
+            ELSE '${p(1)}' END)
     ELSE
-      (CASE WHEN doc_id % 4 = 0 THEN 'na&#239;ve fa&#231;ade Caf&#233; ±5°'
-            WHEN doc_id % 4 = 1 THEN 'Gr&#252;&#223;e se&#241;or «café»'
-            WHEN doc_id % 4 = 2 THEN '&#x4E2D;&#x6587; 測試 — тест'
-            ELSE '&#128512; emoji αβγ ∑√∞' END)
+      (CASE WHEN doc_id % 4 = 0 THEN '${p(0)}'
+            WHEN doc_id % 4 = 1 THEN '${p(1)}'
+            WHEN doc_id % 4 = 2 THEN '${p(2)}'
+            ELSE '${p(3)}' END)
     END"""
+  }
 
   private val webHtmlExpr =
     s"""'<html><head><title>Doc ' || doc_id::VARCHAR || ' [' || source || ']</title>'
@@ -936,33 +939,42 @@ ORDER BY q_id, rnk"""
     || '.COM:443/docs/' || doc_id::VARCHAR || '?lang=' || lang
     || '&ref=feed#sec-' || (doc_id % 5)::VARCHAR"""
 
-  /** Numeric character reference decode over expression `x` — the
-    * DuckDB twin of WebCodec.decodeNumRefsCol: ONE regex pass marks
-    * each ref as chr(1) body chr(2), string_split on chr(1), and a
-    * scalar list_transform rebuilds segments (a segment containing
-    * chr(2) is "refBody chr(2) literalTail"). chr(cp) is DuckDB's
-    * native codepoint→string; hex refs parse via the '0x' string cast.
-    * Stays a SCALAR expression (no explode) so it composes inside any
-    * oracle CTE chain. */
-  private def webNumRefSql(x: String): String =
+  /** Character reference decode over expression `x` — the DuckDB twin
+    * of WebCodec.decodeEntitiesCol (r17: numeric AND named refs in ONE
+    * left-to-right pass): the regex marks each ref as
+    * chr(1) body chr(2), string_split on chr(1), and a scalar
+    * list_transform rebuilds segments (a segment containing chr(2) is
+    * "body chr(2) literalTail"). Numeric bodies keep their '#' prefix;
+    * invalid codepoints (0, surrogates, > U+10FFFF) substitute U+FFFD
+    * BEFORE chr() — DuckDB's chr() raises on those where the JVM/
+    * Column twins emit U+FFFD (ADVICE r16). Named bodies map through
+    * the generated WebCodec.namedEntities CASE; unknown names rebuild
+    * literal. Stays a SCALAR expression (no explode) so it composes
+    * inside any oracle CTE chain. */
+  private lazy val webNamedEntityCase: String =
+    "CASE split_part(seg, chr(2), 1) " +
+      graft.ext.WebCodec.namedEntities.map { case (n, ch) =>
+        s"WHEN '$n' THEN '${ch.replace("'", "''")}'"
+      }.mkString(" ") +
+      " ELSE '&' || split_part(seg, chr(2), 1) || ';' END"
+
+  private def webEntitySql(x: String): String =
     s"""list_aggregate(list_transform(
       string_split(regexp_replace($x,
-        '&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});',
+        '&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});',
         chr(1) || '\\1' || chr(2), 'g'), chr(1)),
       seg -> CASE WHEN contains(seg, chr(2)) THEN
-        chr((CASE WHEN cp0 = 0 OR cp0 > 1114111
-                    OR (cp0 BETWEEN 55296 AND 57343) THEN 65533
-             ELSE cp0 END)::INT)
+        (CASE WHEN substr(split_part(seg, chr(2), 1), 1, 1) = '#' THEN
+          chr((CASE WHEN cp0 = 0 OR cp0 > 1114111
+                      OR (cp0 BETWEEN 55296 AND 57343) THEN 65533
+               ELSE cp0 END)::INT)
+         ELSE $webNamedEntityCase END)
         || split_part(seg, chr(2), 2)
       ELSE seg END), 'string_agg', '')"""
-      // cp0: the raw parsed codepoint; invalid values (0, surrogates,
-      // > U+10FFFF) substitute U+FFFD BEFORE chr() — DuckDB's chr()
-      // raises on those where the JVM/Column twins emit U+FFFD
-      // (ADVICE r16), keeping the three decoders in true lockstep
       .replace("cp0",
-        """(CASE WHEN substr(split_part(seg, chr(2), 1), 1, 1) = 'x'
-          THEN ('0x' || substr(split_part(seg, chr(2), 1), 2))::BIGINT
-          ELSE split_part(seg, chr(2), 1)::BIGINT END)""")
+        """(CASE WHEN substr(split_part(seg, chr(2), 1), 2, 1) = 'x'
+          THEN ('0x' || substr(split_part(seg, chr(2), 1), 3))::BIGINT
+          ELSE substr(split_part(seg, chr(2), 1), 2)::BIGINT END)""")
 
   /** The shared main-content CTE chain (documents → html → blocks →
     * link-density scoring → main body + gates), ending in table `g`
@@ -1007,18 +1019,17 @@ g AS (SELECT doc_id,
         ELSE 0 END AS alpha_milli
       FROM m)"""
 
-  /** script/style removal → tag strip → named entities (quot, lt, gt,
-    * nbsp) → numeric refs → amp LAST → whitespace collapse → trim,
-    * over column expression `h`. Twin of WebCodec.extractTextCol. */
+  /** script/style removal → tag strip → ONE entity-decode pass
+    * (numeric + named, single left-to-right scan, amp-no-double-decode
+    * structural) → whitespace collapse → trim, over column expression
+    * `h`. Twin of WebCodec.extractTextCol. */
   private def webExtractSql(h: String): String = {
-    val named = s"""replace(replace(replace(replace(
-        regexp_replace(regexp_replace(regexp_replace($h,
+    val stripped = s"""regexp_replace(regexp_replace(regexp_replace($h,
           '<script[^>]*>.*?</script>', ' ', 'g'),
           '<style[^>]*>.*?</style>', ' ', 'g'),
-          '<[^>]*>', ' ', 'g'),
-        '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' ')"""
+          '<[^>]*>', ' ', 'g')"""
     s"""trim(regexp_replace(
-      replace(${webNumRefSql(named)}, '&amp;', '&'),
+      ${webEntitySql(stripped)},
       '\\s+', ' ', 'g'))"""
   }
 

@@ -664,8 +664,9 @@ class WebCodecSpec extends SparkSuite {
     }
   }
 
-  test("numeric character references: JVM and Column decoders agree on " +
-      "decimal/hex/supplementary/invalid refs and the amp-last quirk") {
+  test("character references: JVM and Column decoders agree on decimal/" +
+      "hex/supplementary/invalid numeric refs, named refs, unknown " +
+      "names, and the single-pass no-double-decode behavior") {
     val sp = spark
     import sp.implicits._
     val cases = Seq(
@@ -678,22 +679,37 @@ class WebCodecSpec extends SparkSuite {
       "invalid &#0; &#xD800; &#1114112; kept",
       "&#233;", // ref at string start
       "tail &#233;", // ref at string end
-      "&amp;#39; stays literal")
+      "&amp;#39; stays literal",
+      // named refs (r17): known, mixed with numeric, unknown-literal
+      "caf&eacute; &mdash; &hellip; &copy;2026",
+      "AT&amp;T &lt;ok&gt; &quot;q&quot; &apos;a&apos;",
+      "&euro;9 se&ntilde;or Gr&uuml;&szlig;e",
+      "unknown &zzzqq; stays &verybiglongentityname; too",
+      "&amp;eacute; stays literal",
+      "&laquo;&nbsp;&raquo; and &#x4E2D;&eacute;&#233;")
     val out = cases.toDF("s")
-      .select(decodeNumRefsCol(org.apache.spark.sql.functions.col("s")))
+      .select(decodeEntitiesCol(org.apache.spark.sql.functions.col("s")))
       .collect().map(_.getString(0))
     for ((c, got) <- cases.zip(out))
-      assert(got == decodeNumRefs(c), s"case: $c")
-    assert(decodeNumRefs("it&#39;s") == "it's")
-    assert(decodeNumRefs("caf&#233;") == "café")
-    assert(decodeNumRefs("&#x4E2D;") == "中")
-    assert(decodeNumRefs("&#128512;") == "😀")
-    assert(decodeNumRefs("id=&#39;7&#39;") == "id='7'")
-    assert(decodeNumRefs("&#0;x&#xD800;y&#1114112;")
+      assert(got == decodeEntities(c), s"case: $c")
+    assert(decodeEntities("it&#39;s") == "it's")
+    assert(decodeEntities("caf&#233;") == "café")
+    assert(decodeEntities("&#x4E2D;") == "中")
+    assert(decodeEntities("&#128512;") == "😀")
+    assert(decodeEntities("id=&#39;7&#39;") == "id='7'")
+    assert(decodeEntities("&#0;x&#xD800;y&#1114112;")
       == "�x�y�")
-    // full extraction chain: numeric runs BEFORE amp (the standard
-    // no-double-decode order): &amp;#233; → literal &#233;
+    // named refs decode via the shared table; unknown names stay literal
+    assert(decodeEntities("caf&eacute; &mdash; ok") == "café — ok")
+    assert(decodeEntities("&euro;&copy;&hellip;") == "€©…")
+    assert(decodeEntities("&zzzqq; stays") == "&zzzqq; stays")
+    // single left-to-right pass, no re-scan of decoded output:
+    // &amp;#233; → '&' + literal '#233;'; &amp;eacute; → '&eacute;'
+    assert(decodeEntities("&amp;#233; vs &#233;") == "&#233; vs é")
+    assert(decodeEntities("&amp;eacute;") == "&eacute;")
+    // full extraction chain rides the same pass
     assert(extractText("<p>&amp;#233; vs &#233;</p>") == "&#233; vs é")
+    assert(extractText("<p>caf&eacute; &ndash; &trade;</p>") == "café – ™")
   }
 
   test("sitemap discovery: index → gzipped urlsets → frontier rows, " +
@@ -753,16 +769,24 @@ class WebCodecSpec extends SparkSuite {
     assert(WebCodec.cpWeightedCk(html2) != WebCodec.cpWeightedCk(html3))
   }
 
-  test("i18n corpus axis: extracted text decodes the phrase refs; the " +
-      "corpus never contains the sentinel control chars") {
-    // phrase 0 (id 20: 20%5=0, 20%4=0)
-    assert(extractedText(20L, "t", "en", "s").contains("naïve façade Café ±5°"))
-    // phrase 2 via hex refs (id 6)
-    assert(extractedText(6L, "t", "en", "s").contains("中文 測試 — тест"))
-    // phrase 3 with the supplementary-plane emoji (id 7? 7%4=3, 7%5=2 →
-    // latin1 forces phrase 7%2=1; use id 11: 11%5=1, 11%4=3)
-    assert(extractedText(11L, "t", "en", "s").contains("😀 emoji αβγ ∑√∞"))
-    // latin-1 docs never get a non-Latin-1 phrase
+  test("i18n corpus axis: extracted text decodes the phrase refs " +
+      "(numeric AND named); the corpus never contains the sentinel " +
+      "control chars") {
+    // phrase 0 (id 20: 20%5=0, 20%4=0) — &eacute;/&lsquo;/&rsquo; named
+    assert(extractedText(20L, "t", "en", "s")
+      .contains("naïve façade Café ±5° ‘ok’"))
+    // phrase 1 (id 21: 21%5=1, 21%4=1) — &uuml;/&szlig;/&ntilde;/&hellip;/&copy;
+    assert(extractedText(21L, "t", "en", "s")
+      .contains("Grüße señor «café» …©2026"))
+    // phrase 2 via hex refs + &mdash;/&euro;/&trade; (id 6)
+    assert(extractedText(6L, "t", "en", "s")
+      .contains("中文 測試 — тест €™"))
+    // phrase 3 with the supplementary-plane emoji (id 11: 11%5=1,
+    // 11%4=3); &nbsp; normalizes to a plain space between « »
+    assert(extractedText(11L, "t", "en", "s")
+      .contains("😀 emoji αβγ ∑√∞ « »"))
+    // latin-1-wire docs never get a non-Latin-1 RAW phrase (named refs
+    // are ASCII until extraction decodes them)
     for (id <- 0L to 100L if id % 5 == 2) {
       val html = buildHtml(id, "t", "en", "s")
       assert(html.forall(_ < 256), s"id=$id carries non-Latin-1 chars")
