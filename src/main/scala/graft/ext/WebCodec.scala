@@ -310,9 +310,11 @@ object WebCodec {
     * content-decoding (gunzip when Content-Encoding: gzip); `charset`
     * is the RESOLVED charset (lowercased; "" when nothing declared
     * anywhere — [[bodyText]] then sniffs) and `charsetSrc` records
-    * where it came from: "header" (Content-Type parameter), "meta"
-    * (in-document `<meta charset>` scanned in the first 1024 entity
-    * bytes, the browser rule), or "sniff" (neither declared);
+    * where it came from, in WHATWG precedence order: "bom" (a
+    * byte-order-mark signature, which outranks every declaration),
+    * "header" (Content-Type parameter), "meta" (in-document
+    * `<meta charset>` scanned in the first 1024 entity bytes, the
+    * browser rule), or "sniff" (nothing declared);
     * `contentEncoding`/`chunked` record the wire form the message
     * arrived in (the downstream outputs must be invariant to both —
     * framing invariance). */
@@ -326,18 +328,97 @@ object WebCodec {
   private val MetaCharsetRe = java.util.regex.Pattern.compile(
     "<meta\\s+charset=[\"']?([A-Za-z0-9_-]+)", java.util.regex.Pattern.CASE_INSENSITIVE)
 
-  /** Resolve (charset, source) for an entity: the header-declared
-    * parameter wins; else the in-document meta declaration within the
-    * first 1024 bytes (scanned Latin-1 — the prelude is ASCII in any
-    * ASCII-compatible charset); else sniff. */
+  // ------------------------------------------------------------------
+  // windows-1252 (WHATWG encoding standard) — the charset the real web
+  // means when it says "latin-1" (r17, VERDICT r16 item 1)
+  // ------------------------------------------------------------------
+
+  /** WHATWG windows-1252 high half: bytes 0x80–0x9F → codepoints.
+    * Clean-room from the published encoding-standard index; the five
+    * undefined bytes (0x81 0x8D 0x8F 0x90 0x9D) map to the matching C1
+    * controls per the WHATWG rule (the JDK's Cp1252 maps them to
+    * U+FFFD instead — a lossy choice this table avoids, keeping
+    * decode∘encode bijective). Bytes <0x80 and ≥0xA0 are identity. */
+  private val Cp1252High: Array[Char] = {
+    val a = Array.tabulate[Char](32)(i => (0x80 + i).toChar) // C1 default
+    for ((b, cp) <- Seq(
+      0x80 -> 0x20ac, 0x82 -> 0x201a, 0x83 -> 0x0192, 0x84 -> 0x201e,
+      0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02c6,
+      0x89 -> 0x2030, 0x8a -> 0x0160, 0x8b -> 0x2039, 0x8c -> 0x0152,
+      0x8e -> 0x017d, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201c,
+      0x94 -> 0x201d, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+      0x98 -> 0x02dc, 0x99 -> 0x2122, 0x9a -> 0x0161, 0x9b -> 0x203a,
+      0x9c -> 0x0153, 0x9e -> 0x017e))
+      a(b - 0x80) = cp.toChar
+    a
+  }
+  private val Cp1252Enc: Map[Char, Int] =
+    Cp1252High.zipWithIndex.map { case (c, i) => c -> (0x80 + i) }.toMap
+
+  /** WHATWG windows-1252 decode: every byte maps 1:1 to a codepoint,
+    * so this never fails — the deterministic sniff-fallback charset. */
+  def decodeCp1252(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sb.append(if (b >= 0x80 && b < 0xa0) Cp1252High(b - 0x80) else b.toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Whether every char of `s` is windows-1252-representable. */
+  def cp1252Encodable(s: String): Boolean =
+    s.forall(c => (c < 0x80) || (c >= 0xa0 && c < 0x100) ||
+      Cp1252Enc.contains(c))
+
+  /** windows-1252 encode; the synth REQUIRES encodability up front
+    * (ADVICE r16: getBytes' silent '?' substitution would diverge from
+    * the oracle) — the zipBuild fail-fast posture. */
+  def encodeCp1252(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      out(i) =
+        if (c < 0x80 || (c >= 0xa0 && c < 0x100)) c.toByte
+        else Cp1252Enc.getOrElse(c,
+          throw new IllegalArgumentException(
+            f"char U+${c.toInt}%04X is not windows-1252-representable")).toByte
+      i += 1
+    }
+    out
+  }
+
+  val Utf8Bom: Array[Byte] = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+
+  /** Byte-order-mark detection — per WHATWG, a BOM outranks EVERY
+    * declaration, including the HTTP header. */
+  def bomCharset(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+        (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      Some("utf-8")
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe &&
+        (bytes(1) & 0xff) == 0xff) Some("utf-16be")
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xfe) Some("utf-16le")
+    else None
+
+  /** Resolve (charset, source) for an entity, in WHATWG precedence
+    * order: BOM → header-declared parameter → in-document meta
+    * declaration within the first 1024 bytes (scanned Latin-1 — the
+    * prelude is ASCII in any ASCII-compatible charset) → sniff. */
   def resolveCharset(declared: String, entity: Array[Byte]): (String, String) =
-    if (declared.nonEmpty) (declared, "header")
-    else {
-      val prefix = new String(entity, 0, math.min(1024, entity.length),
-        "ISO-8859-1")
-      val m = MetaCharsetRe.matcher(prefix)
-      if (m.find()) (m.group(1).toLowerCase, "meta")
-      else ("", "sniff")
+    bomCharset(entity) match {
+      case Some(cs) => (cs, "bom")
+      case None if declared.nonEmpty => (declared, "header")
+      case None =>
+        val prefix = new String(entity, 0, math.min(1024, entity.length),
+          "ISO-8859-1")
+        val m = MetaCharsetRe.matcher(prefix)
+        if (m.find()) (m.group(1).toLowerCase, "meta")
+        else ("", "sniff")
     }
 
   /** Strict UTF-8 decode: None on any malformed/unmappable sequence
@@ -351,16 +432,36 @@ object WebCodec {
     catch { case _: java.nio.charset.CharacterCodingException => None }
   }
 
-  /** Charset-aware text decode (VERDICT r15 item 1): honor a declared
-    * ISO-8859-1/Latin-1; otherwise (utf-8 declared, unknown, or absent)
-    * try strict UTF-8 and FALL BACK to Latin-1 — the deterministic
-    * sniff real pipelines use (Latin-1 maps every byte 1:1 to a
-    * codepoint, so the fallback never fails). */
+  /** Charset-aware text decode (r17): a UTF-16 charset (from a BOM)
+    * decodes as such with the BOM stripped; latin-1-family labels AND
+    * windows-1252 labels decode via the WHATWG cp1252 table (pages
+    * labeled iso-8859-1 are overwhelmingly cp1252 on the real web —
+    * the encoding standard aliases latin-1 TO cp1252, so 0x80–0x9F
+    * bytes become curly quotes/dashes/€, not C1 controls); otherwise
+    * (utf-8 declared, unknown, or absent) a BOM is honored first, then
+    * strict UTF-8 with a cp1252 FALLBACK — the deterministic sniff
+    * real pipelines use (cp1252 maps every byte, so it never fails). */
   def decodeText(bytes: Array[Byte], declared: String): String = {
     val cs = declared.toLowerCase
-    if (cs == "iso-8859-1" || cs == "latin-1" || cs == "latin1")
-      new String(bytes, "ISO-8859-1")
-    else strictUtf8(bytes).getOrElse(new String(bytes, "ISO-8859-1"))
+    if (cs == "utf-16le" || cs == "utf-16be") {
+      val le = cs == "utf-16le"
+      val hasBom = bytes.length >= 2 &&
+        ((le && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) ||
+         (!le && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff))
+      val body =
+        if (hasBom) java.util.Arrays.copyOfRange(bytes, 2, bytes.length)
+        else bytes
+      new String(body, if (le) "UTF-16LE" else "UTF-16BE")
+    } else if (cs == "iso-8859-1" || cs == "latin-1" || cs == "latin1" ||
+               cs == "windows-1252" || cs == "cp1252")
+      decodeCp1252(bytes)
+    else bomCharset(bytes) match {
+      case Some(b16) if b16.startsWith("utf-16") => decodeText(bytes, b16)
+      case Some(_) => // UTF-8 BOM: a signature, stripped before decode
+        val body = java.util.Arrays.copyOfRange(bytes, 3, bytes.length)
+        strictUtf8(body).getOrElse(decodeCp1252(body))
+      case None => strictUtf8(bytes).getOrElse(decodeCp1252(bytes))
+    }
   }
 
   /** HTTP/1.1 response parse. Two transfer framings, strictly one per
@@ -551,21 +652,29 @@ object WebCodec {
     * [[i18nPhrase]], [[htmlCol]], and the ExtQueries oracle CASE —
     * keep all three in lockstep. */
   val i18nPhrases: IndexedSeq[String] = IndexedSeq(
-    "na&#239;ve fa&#231;ade Caf&eacute; ±5° &lsquo;ok&rsquo;",
-    "Gr&uuml;&szlig;e se&ntilde;or «caf&eacute;» &hellip;&copy;2026",
+    "na&#239;ve fa&#231;ade Caf&eacute; ±5° — ‘ok’",
+    "Gr&uuml;&szlig;e se&ntilde;or «caf&eacute;» “deal” €9 &hellip;&copy;2026",
     "&#x4E2D;&#x6587; 測試 &mdash; тест &euro;&trade;",
     "&#128512; emoji αβγ ∑√∞ &laquo;&nbsp;&raquo;")
 
-  /** Phrase selector: latin-1-charset docs (id%5==2) are restricted to
-    * the Latin-1-safe phrases, everything else cycles all four. */
+  /** Phrase selector: cp1252-wire docs (id%5==2) are restricted to the
+    * cp1252-representable phrases 0/1 — which deliberately carry
+    * LITERAL 0x80–0x9F punctuation on the wire (em-dash, curly quotes,
+    * €: the chars that make latin-1-labeled pages cp1252 in practice,
+    * r17) — everything else cycles all four. */
   def i18nPhrase(id: Long): String =
     if (id % 5 == 2) i18nPhrases((id % 2).toInt)
     else i18nPhrases((id % 4).toInt)
 
-  /** Wire charset axis: id%5==2 ships ISO-8859-1 (declared in the
-    * Content-Type), everything else UTF-8. */
+  /** Wire charset axis (r17): id%5==2 ships cp1252 bytes — half
+    * LABELED 'iso-8859-1' (the WHATWG-aliasing case every real crawl
+    * hits: latin-1-labeled bytes that are really cp1252) and half
+    * labeled 'windows-1252' outright (id%10==2); everything else
+    * UTF-8. The label is what Content-Type/meta declare; the DECODER
+    * treats both identically per the encoding standard. */
   def charsetOf(id: Long): String =
-    if (id % 5 == 2) "iso-8859-1" else "utf-8"
+    if (id % 5 == 2) { if (id % 10 == 2) "windows-1252" else "iso-8859-1" }
+    else "utf-8"
 
   /** Content-Encoding axis: id%5∈{3,4} gzip the entity body (3 =
     * hand-rolled STORED, 4 = Deflater dynamic-Huffman) — independent of
@@ -578,9 +687,25 @@ object WebCodec {
     * in-document `<meta charset>` declaration instead. */
   def headerOmitsCharset(id: Long): Boolean = id % 7 == 2 || id % 7 == 5
 
+  /** UTF-8 BOM axis (r17): these entities carry the EF BB BF signature,
+    * which outranks the meta declaration they also carry (their header
+    * omits the param: id%7==2 ⊂ headerOmitsCharset) — charset_src
+    * reports "bom". Restricted to UTF-8-wire docs; the cp1252 axis
+    * never co-occurs. */
+  def bomAxis(id: Long): Boolean = id % 7 == 2 && id % 5 != 2
+
+  /** Sniff axis (r17): these documents declare NOTHING — the header
+    * omits the charset param (id%7==5 ⊂ headerOmitsCharset) AND the
+    * page omits its meta tag — so resolution falls through to the
+    * content sniff (strict UTF-8, else cp1252): charset_src "sniff",
+    * charset "". The id%5==2 subset sniffs to cp1252 through REAL
+    * invalid-UTF-8 bytes. */
+  def metaOmitsCharset(id: Long): Boolean = id % 7 == 5 && id % 2 == 0
+
   def buildHtml(id: Long, text: String, lang: String, source: String): String =
     s"""<html><head><title>Doc $id [$source]</title>""" +
-      s"""<meta charset="${charsetOf(id)}">""" +
+      (if (metaOmitsCharset(id)) ""
+       else s"""<meta charset="${charsetOf(id)}">""") +
       """<style>body {color: red;}</style>""" +
       """<script>var u = "x < y && z > 0";</script></head><body>""" +
       """<nav><a href="/home">Home</a> <a href="/about">About</a></nav>""" +
@@ -622,21 +747,30 @@ object WebCodec {
     out.result()
   }
 
-  /** Responses vary along THREE independent axes: transfer framing
+  /** Responses vary along FOUR independent axes: transfer framing
     * (id%4==1 chunked: lowercase hex sizes, no trailers; else exact
-    * Content-Length), wire charset (id%5==2 ISO-8859-1, else UTF-8 —
-    * declared in Content-Type), and entity Content-Encoding (id%5∈{3,4}
-    * gzip). Text entities chunk at 256-CODEPOINT boundaries so the
-    * oracle replays piece byte-sizes as strlen/length of substr pieces;
-    * gzip entities chunk at 256-byte boundaries (opaque to the oracle —
+    * Content-Length), wire charset (id%5==2 cp1252 bytes labeled
+    * iso-8859-1 or windows-1252, else UTF-8), entity Content-Encoding
+    * (id%5∈{3,4} gzip), and a UTF-8 BOM signature ([[bomAxis]]). Text
+    * entities chunk at 256-CODEPOINT boundaries so the oracle replays
+    * piece byte-sizes as strlen/length of substr pieces — a BOM ships
+    * as its own 3-byte first chunk so the replay stays per-piece; gzip
+    * entities chunk at 256-byte boundaries (opaque to the oracle —
     * checked at the decoded level). Content-Length counts BYTES of the
-    * (possibly encoded) entity. */
+    * (possibly encoded) entity, BOM included. cp1252 encodability is
+    * REQUIRED up front — getBytes-style silent '?' substitution would
+    * diverge from the oracle (ADVICE r16). */
   def buildResponse(
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
     val html = buildHtml(id, text, lang, source)
     val cs = charsetOf(id)
+    val cp1252Wire = cs != "utf-8"
+    if (cp1252Wire) require(cp1252Encodable(html),
+      s"doc $id html is not windows-1252-representable")
+    val rawBytes =
+      if (cp1252Wire) encodeCp1252(html) else html.getBytes("UTF-8")
     val htmlBytes =
-      html.getBytes(if (cs == "utf-8") "UTF-8" else "ISO-8859-1")
+      if (bomAxis(id)) Utf8Bom ++ rawBytes else rawBytes
     val (entity, ceHdr) =
       if (contentGzip(id))
         ((if (id % 5 == 3) gzipStored(htmlBytes)
@@ -651,11 +785,14 @@ object WebCodec {
     def ascii(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     if (id % 4 == 1) {
       ascii(head + s"Transfer-Encoding: chunked${CRLF}X-Doc: $id$CRLF$CRLF")
-      val pieces: Vector[Array[Byte]] =
+      val textPieces: Vector[Array[Byte]] =
         if (contentGzip(id)) entity.grouped(256).toVector
-        else cpChunks(html, 256)
-          .map(_.getBytes(if (cs == "utf-8") "UTF-8" else "ISO-8859-1"))
-      for (p <- pieces) {
+        else {
+          val ps = cpChunks(html, 256).map(p =>
+            if (cp1252Wire) encodeCp1252(p) else p.getBytes("UTF-8"))
+          if (bomAxis(id)) Utf8Bom +: ps else ps
+        }
+      for (p <- textPieces) {
         ascii(Integer.toHexString(p.length)); ascii(CRLF)
         out.write(p); ascii(CRLF)
       }
@@ -1127,9 +1264,15 @@ object WebCodec {
     concat(
       lit("<html><head><title>Doc "), id.cast("string"),
       lit(" ["), source, lit("]</title>"),
-      lit("<meta charset=\""),
-      when(id % 5 === 2, lit("iso-8859-1")).otherwise(lit("utf-8")),
-      lit("\">"),
+      // meta tag: omitted on the sniff axis; charset label per the
+      // r17 wire axis (iso-8859-1 / windows-1252 / utf-8)
+      when((id % 7 === 5) && (id % 2 === 0), lit(""))
+        .otherwise(concat(lit("<meta charset=\""),
+          when(id % 5 === 2,
+            when(id % 10 === 2, lit("windows-1252"))
+              .otherwise(lit("iso-8859-1")))
+            .otherwise(lit("utf-8")),
+          lit("\">"))),
       lit("<style>body {color: red;}</style>"),
       lit("<script>var u = \"x < y && z > 0\";</script></head><body>"),
       lit("<nav><a href=\"/home\">Home</a> <a href=\"/about\">About</a></nav>"),

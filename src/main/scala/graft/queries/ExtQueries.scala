@@ -910,8 +910,12 @@ ORDER BY q_id, rnk"""
 
   private val webHtmlExpr =
     s"""'<html><head><title>Doc ' || doc_id::VARCHAR || ' [' || source || ']</title>'
-    || '<meta charset="' || (CASE WHEN doc_id % 5 = 2 THEN 'iso-8859-1'
-                                  ELSE 'utf-8' END) || '">'
+    || (CASE WHEN doc_id % 7 = 5 AND doc_id % 2 = 0 THEN ''
+        ELSE '<meta charset="' ||
+          (CASE WHEN doc_id % 5 = 2 THEN
+             (CASE WHEN doc_id % 10 = 2 THEN 'windows-1252'
+                   ELSE 'iso-8859-1' END)
+           ELSE 'utf-8' END) || '">' END)
     || '<style>body {color: red;}</style>'
     || '<script>var u = "x < y && z > 0";</script></head><body>'
     || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
@@ -922,17 +926,37 @@ ORDER BY q_id, rnk"""
     || '<div class="links"><a href="/t/0">tag zero</a> <a href="/t/1">tag one</a> <a href="/t/2">tag two</a></div>'
     || '<footer>site footer</footer></body></html>'"""
 
-  /** Charset / Content-Encoding / transfer axes — twins of
-    * WebCodec.{charsetOf,contentGzip} and the id%4 framing pick. */
+  /** Charset / Content-Encoding / transfer / BOM axes — twins of
+    * WebCodec.{charsetOf,contentGzip,bomAxis,metaOmitsCharset} and the
+    * id%4 framing pick. */
+  // the DECLARED label (Content-Type param / meta tag content)
   private val webCharsetCase =
-    "CASE WHEN doc_id % 5 = 2 THEN 'iso-8859-1' ELSE 'utf-8' END"
+    """CASE WHEN doc_id % 5 = 2 THEN
+         (CASE WHEN doc_id % 10 = 2 THEN 'windows-1252'
+               ELSE 'iso-8859-1' END)
+       ELSE 'utf-8' END"""
   private val webCeCase =
     "CASE WHEN doc_id % 5 IN (3, 4) THEN 'gzip' ELSE 'identity' END"
   private val webTransferCase =
     "CASE WHEN doc_id % 4 = 1 THEN 'chunked' ELSE 'identity' END"
-  // twin of WebCodec.headerOmitsCharset → the resolution source
+  // WHATWG resolution order: BOM (id%7==2 utf-8-wire docs) → header →
+  // meta (header omits the param on id%7∈{2,5}) → sniff (id%7==5 even
+  // docs omit the meta tag too) — twin of WebCodec.resolveCharset over
+  // the synth axes
   private val webCharsetSrcCase =
-    "CASE WHEN doc_id % 7 IN (2, 5) THEN 'meta' ELSE 'header' END"
+    """CASE WHEN doc_id % 7 = 2 AND doc_id % 5 <> 2 THEN 'bom'
+       WHEN doc_id % 7 = 5 AND doc_id % 2 = 0 THEN 'sniff'
+       WHEN doc_id % 7 IN (2, 5) THEN 'meta'
+       ELSE 'header' END"""
+  // the RESOLVED charset column: 'utf-8' from a BOM, '' when sniffed,
+  // the declared label otherwise
+  private val webCharsetResolvedCase =
+    s"""CASE WHEN doc_id % 7 = 2 AND doc_id % 5 <> 2 THEN 'utf-8'
+       WHEN doc_id % 7 = 5 AND doc_id % 2 = 0 THEN ''
+       ELSE ($webCharsetCase) END"""
+  // whether the entity carries the 3-byte UTF-8 BOM signature
+  private val webBomCase =
+    "CASE WHEN doc_id % 7 = 2 AND doc_id % 5 <> 2 THEN 3 ELSE 0 END"
 
   private val webUrlExpr =
     """'https://WWW.' || source || '.Example' || (doc_id % 7)::VARCHAR
@@ -6682,10 +6706,13 @@ SELECT * FROM (
 h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents),
 axes AS (SELECT h.doc_id, h.html, $webUrlExpr AS uri,
     $webCharsetCase AS charset,
+    $webCharsetResolvedCase AS charset_res,
     $webCeCase AS content_encoding,
     $webTransferCase AS transfer,
-    CASE WHEN h.doc_id % 5 = 2 THEN length(h.html)
-         ELSE strlen(h.html) END AS body_bytes
+    -- decoded-entity BYTES: 1/codepoint on the cp1252 wire, UTF-8
+    -- strlen otherwise, plus the 3-byte BOM signature on its axis
+    (CASE WHEN h.doc_id % 5 = 2 THEN length(h.html)
+          ELSE strlen(h.html) END) + ($webBomCase) AS body_bytes
   FROM h),
 recs AS (
   SELECT doc_id, CAST(0 AS INT) AS rec_index, 'request' AS warc_type,
@@ -6695,7 +6722,7 @@ recs AS (
   FROM axes
   UNION ALL
   SELECT doc_id, CAST(1 AS INT), 'response', uri, html, body_bytes,
-         200, '', transfer, content_encoding, charset,
+         200, '', transfer, content_encoding, charset_res,
          $webCharsetSrcCase
   FROM axes
   UNION ALL
@@ -6746,9 +6773,11 @@ ORDER BY media_id, rec_index""")),
 h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents
       WHERE doc_id % 5 NOT IN (3, 4)),
 f AS (SELECT h.doc_id, h.html, $webCharsetCase AS charset,
+    $webCharsetResolvedCase AS charset_res,
     $webTransferCase AS transfer,
-    CASE WHEN h.doc_id % 5 = 2 THEN length(h.html)
-         ELSE strlen(h.html) END AS body_bytes
+    ($webBomCase) AS bom,
+    (CASE WHEN h.doc_id % 5 = 2 THEN length(h.html)
+          ELSE strlen(h.html) END) + ($webBomCase) AS body_bytes
   FROM h),
 pieces AS (SELECT f.doc_id, u.i AS i,
              substr(f.html, (u.i * 256 + 1)::INT, 256) AS piece
@@ -6758,7 +6787,11 @@ ch AS (SELECT p.doc_id AS cdoc, string_agg(
                            ELSE strlen(p.piece) END))
            || c.crlf || p.piece || c.crlf, '' ORDER BY p.i) AS chunks
        FROM pieces p, crlfv c GROUP BY p.doc_id),
-msg AS (SELECT f.doc_id, f.transfer, f.charset, f.body_bytes,
+-- a BOM-axis entity leads with the 3-byte signature: its own first
+-- chunk under chunked framing, a chr(65279)=U+FEFF splice in the raw
+-- decoded payload (strict UTF-8 decodes EF BB BF mid-stream to one
+-- codepoint)
+msg AS (SELECT f.doc_id, f.transfer, f.charset_res, f.body_bytes,
     'HTTP/1.1 200 OK' || c.crlf
       || 'Content-Type: text/html'
       || CASE WHEN f.doc_id % 7 IN (2, 5) THEN ''
@@ -6766,10 +6799,13 @@ msg AS (SELECT f.doc_id, f.transfer, f.charset, f.body_bytes,
       || CASE WHEN f.doc_id % 4 = 1 THEN
            'Transfer-Encoding: chunked' || c.crlf
              || 'X-Doc: ' || f.doc_id::VARCHAR || c.crlf || c.crlf
+             || CASE WHEN f.bom = 3
+                THEN '3' || c.crlf || chr(65279) || c.crlf ELSE '' END
              || ch.chunks || '0' || c.crlf || c.crlf
          ELSE
            'Content-Length: ' || f.body_bytes::VARCHAR || c.crlf
-             || 'X-Doc: ' || f.doc_id::VARCHAR || c.crlf || c.crlf || f.html
+             || 'X-Doc: ' || f.doc_id::VARCHAR || c.crlf || c.crlf
+             || CASE WHEN f.bom = 3 THEN chr(65279) ELSE '' END || f.html
          END AS payload
   FROM f JOIN ch ON ch.cdoc = f.doc_id, crlfv c),
 chars AS (SELECT doc_id, u.i AS i,
@@ -6777,7 +6813,7 @@ chars AS (SELECT doc_id, u.i AS i,
           FROM msg, unnest(range(0, length(payload))) AS u(i)),
 cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS payload_ck
         FROM chars GROUP BY 1)
-SELECT m.doc_id AS media_id, m.transfer, m.charset,
+SELECT m.doc_id AS media_id, m.transfer, m.charset_res AS charset,
        (CASE WHEN m.doc_id % 4 = 1 THEN -1
              ELSE m.body_bytes END)::BIGINT AS content_length_hdr,
        length(m.payload)::BIGINT AS payload_chars, k.payload_ck

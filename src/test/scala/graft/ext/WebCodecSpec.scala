@@ -118,36 +118,60 @@ class WebCodecSpec extends SparkSuite {
       "ICY 200"))).isEmpty)
   }
 
-  test("http charset axis: iso-8859-1 bodies decode via the declared " +
-      "charset; utf-8 bodies strict-decode; the sniff fallback handles " +
-      "an UNdeclared latin-1 body") {
-    // id 12 → %5 == 2: declared iso-8859-1, Content-Length in BYTES ==
-    // chars, phrase index 12%2==0 (Latin-1-safe)
+  test("http charset axis (r17): cp1252 bodies decode via the WHATWG " +
+      "table whether labeled iso-8859-1 or windows-1252; utf-8 bodies " +
+      "strict-decode; a BOM outranks declarations; nothing-declared " +
+      "sniffs") {
+    // id 7 → %5==2 cp1252 wire LABELED iso-8859-1 (7%10==7), declared
+    // in the header (7%7==0); phrase 7%2==1 carries LITERAL 0x80–0x9F
+    // punctuation (€ “ ”) — the WHATWG-aliasing case
+    val html7 = buildHtml(7L, "words", "en", "src0")
+    val m7 = parseHttpResponse(buildResponse(7L, "words", "en", "src0")).get
+    assert(m7.charset == "iso-8859-1" && m7.charsetSrc == "header")
+    assert(m7.body.length == html7.length) // cp1252: 1 byte per char
+    assert(m7.body.exists(b => (b & 0xff) >= 0x80 && (b & 0xff) < 0xa0),
+      "the wire must actually carry 0x80-0x9F bytes")
+    assert(m7.bodyText == html7) // latin-1 label, cp1252 semantics
+    // id 2 → windows-1252 LABEL (2%10==2), header omits (2%7==2),
+    // resolved from the in-document meta tag
+    val html2 = buildHtml(2L, "words", "en", "src0")
+    val m2 = parseHttpResponse(buildResponse(2L, "words", "en", "src0")).get
+    assert(m2.charset == "windows-1252" && m2.charsetSrc == "meta")
+    assert(m2.bodyText == html2)
+    // id 12 → %7==5 AND even: header omits AND the page omits its meta
+    // tag → SNIFF; strict UTF-8 fails on the real cp1252 bytes and the
+    // fallback decodes them exactly
     val html12 = buildHtml(12L, "words", "en", "src0")
+    assert(!html12.contains("<meta"), "sniff-axis page carries no meta")
     val m12 = parseHttpResponse(buildResponse(12L, "words", "en", "src0")).get
-    assert(m12.charset == "iso-8859-1")
-    // 12 % 7 == 5: the header OMITS charset — resolution came from the
-    // in-document <meta charset> (r16 resolution chain)
-    assert(m12.charsetSrc == "meta")
-    assert(m12.body.length == html12.length) // Latin-1: 1 byte per char
+    assert(m12.charset == "" && m12.charsetSrc == "sniff")
+    assert(m12.body.length == html12.length)
     assert(m12.bodyText == html12)
-    // id 2 → %5 == 2? no: 2%5==2 → latin1 too; id 6 → %5==1 utf-8 with
-    // the 中文 phrase (6%4==2): multi-byte wire, body_bytes > chars
+    // id 6 → %5==1 utf-8 with the 中文 phrase (6%4==2): multi-byte
+    // wire, body_bytes > chars, header-declared (6%7==6)
     val html6 = buildHtml(6L, "words", "en", "src0")
     val m6 = parseHttpResponse(buildResponse(6L, "words", "en", "src0")).get
     assert(m6.charset == "utf-8")
-    assert(m6.charsetSrc == "header") // 6 % 7 == 6: declared in header
-    assert(m6.body.length
-      == html6.getBytes("UTF-8").length)
+    assert(m6.charsetSrc == "header")
+    assert(m6.body.length == html6.getBytes("UTF-8").length)
     assert(m6.body.length > html6.codePointCount(0, html6.length))
     assert(m6.bodyText == html6)
-    // sniff: latin-1 bytes with NO header charset and NO meta tag fall
-    // back cleanly, reported as sniffed
-    val latin = "café ±5°".getBytes("ISO-8859-1")
+    // id 30 → BOM axis (30%7==2, 30%5==0): the EF BB BF signature
+    // outranks the meta tag the page still carries; decode strips it
+    val html30 = buildHtml(30L, "words", "en", "src0")
+    val m30 = parseHttpResponse(buildResponse(30L, "words", "en", "src0")).get
+    assert(m30.charset == "utf-8" && m30.charsetSrc == "bom")
+    assert((m30.body(0) & 0xff) == 0xef && (m30.body(1) & 0xff) == 0xbb
+      && (m30.body(2) & 0xff) == 0xbf)
+    assert(m30.body.length == html30.getBytes("UTF-8").length + 3)
+    assert(m30.bodyText == html30) // BOM is a signature, not content
+    // sniff: cp1252 bytes with NO header charset and NO meta tag fall
+    // back cleanly, reported as sniffed — 0x80-0x9F decode per WHATWG
+    val latin = encodeCp1252("café ±5° — ‘x’ €")
     val undeclared = ("HTTP/1.1 200 OK\r\nContent-Length: " +
       latin.length + "\r\n\r\n").getBytes("ISO-8859-1") ++ latin
     val ms = parseHttpResponse(undeclared).get
-    assert(ms.bodyText == "café ±5°" && ms.charsetSrc == "sniff")
+    assert(ms.bodyText == "café ±5° — ‘x’ €" && ms.charsetSrc == "sniff")
     // meta resolution: no header param, a meta tag inside the first KiB
     val metaBody = ("<html><head><meta charset='ISO-8859-1'></head>" +
       "<body>café</body></html>").getBytes("ISO-8859-1")
@@ -162,6 +186,42 @@ class WebCodecSpec extends SparkSuite {
       utf.length + "\r\n\r\n").getBytes("ISO-8859-1") ++ utf
     assert(parseHttpResponse(undeclaredU).get.bodyText
       == "café 中文")
+  }
+
+  test("charset plumbing (r17): WHATWG cp1252 table is bijective on its " +
+      "repertoire, undefined bytes map to C1 controls, UTF-16 BOMs " +
+      "resolve and decode with the signature stripped") {
+    // the five undefined cp1252 bytes → matching C1 controls (WHATWG),
+    // NOT U+FFFD (the JDK Cp1252 choice) — keeps decode∘encode bijective
+    for (b <- Seq(0x81, 0x8d, 0x8f, 0x90, 0x9d))
+      assert(decodeCp1252(Array(b.toByte)).codePointAt(0) == b)
+    // spot values from the published index
+    assert(decodeCp1252(Array(0x80.toByte)) == "€")
+    assert(decodeCp1252(Array(0x91.toByte, 0x92.toByte)) == "‘’")
+    assert(decodeCp1252(Array(0x97.toByte)) == "—")
+    assert(decodeCp1252(Array(0x9e.toByte)) == "ž")
+    // full-byte-space round trip: decode then encode is identity
+    val all = Array.tabulate[Byte](256)(_.toByte)
+    assert(encodeCp1252(decodeCp1252(all)).sameElements(all))
+    assert(cp1252Encodable("€‘’“”–—…†•™ ±°«»ßñé"))
+    assert(!cp1252Encodable("中文"))
+    // encode of a non-representable char throws (fail-fast, never '?')
+    intercept[IllegalArgumentException] { encodeCp1252("中") }
+    // UTF-16 BOMs: resolution reports bom + the right endianness, and
+    // decode strips the signature
+    val le = Array(0xff.toByte, 0xfe.toByte) ++ "hé€".getBytes("UTF-16LE")
+    assert(bomCharset(le) == Some("utf-16le"))
+    assert(resolveCharset("", le) == (("utf-16le", "bom")))
+    assert(decodeText(le, "utf-16le") == "hé€")
+    val be = Array(0xfe.toByte, 0xff.toByte) ++ "hé€".getBytes("UTF-16BE")
+    assert(bomCharset(be) == Some("utf-16be"))
+    assert(decodeText(be, "utf-16be") == "hé€")
+    // the default path honors a UTF-16 BOM before the UTF-8 sniff
+    assert(decodeText(le, "") == "hé€")
+    assert(decodeText(be, "") == "hé€")
+    // a BOM outranks even an explicit header declaration (WHATWG)
+    assert(resolveCharset("iso-8859-1",
+      Utf8Bom ++ "x".getBytes("UTF-8")) == (("utf-8", "bom")))
   }
 
   test("http content-encoding axis: gzip entities inflate through the " +
@@ -599,14 +659,24 @@ class WebCodecSpec extends SparkSuite {
         case "response" =>
           val html = buildHtml(id, doc._2, doc._3, doc._4)
           assert(r.getAs[Int]("http_status") == 200)
-          assert(r.getAs[String]("charset") == charsetOf(id))
+          // resolution decision table (r17): bom → header → meta → sniff
+          val (wantCs, wantSrc) =
+            if (bomAxis(id)) ("utf-8", "bom")
+            else if (metaOmitsCharset(id)) ("", "sniff")
+            else if (headerOmitsCharset(id)) (charsetOf(id), "meta")
+            else (charsetOf(id), "header")
+          assert(r.getAs[String]("charset") == wantCs, s"id=$id")
+          assert(r.getAs[String]("charset_src") == wantSrc, s"id=$id")
           assert(r.getAs[String]("content_encoding")
             == (if (contentGzip(id)) "gzip" else "identity"))
           assert(r.getAs[String]("transfer")
             == (if (id % 4 == 1) "chunked" else "identity"))
-          val wireBytes = html.getBytes(
-            if (charsetOf(id) == "utf-8") "UTF-8" else "ISO-8859-1")
-          assert(r.getAs[Long]("body_bytes") == wireBytes.length.toLong)
+          val wireBytes =
+            if (charsetOf(id) == "utf-8") html.getBytes("UTF-8")
+            else encodeCp1252(html)
+          assert(r.getAs[Long]("body_bytes")
+            == wireBytes.length.toLong + (if (bomAxis(id)) 3 else 0),
+            s"id=$id")
           assert(r.getAs[Long]("body_chars")
             == html.codePointCount(0, html.length).toLong)
           assert(r.getAs[Long]("body_ck") == cpWeightedCk(html))
@@ -656,11 +726,13 @@ class WebCodecSpec extends SparkSuite {
       assert(r.getAs[Long]("payload_chars")
         == text.codePointCount(0, text.length).toLong)
       assert(r.getAs[Long]("payload_ck") == cpWeightedCk(text))
+      val html = buildHtml(id, s"some words $id", "en", "src1")
+      val wire =
+        if (charsetOf(id) == "utf-8") html.getBytes("UTF-8")
+        else encodeCp1252(html)
       assert(r.getAs[Long]("content_length_hdr")
         == (if (id % 4 == 1) -1L
-            else buildHtml(id, s"some words $id", "en", "src1")
-              .getBytes(if (charsetOf(id) == "utf-8") "UTF-8"
-                else "ISO-8859-1").length.toLong))
+            else wire.length.toLong + (if (bomAxis(id)) 3 else 0)))
     }
   }
 
@@ -772,12 +844,12 @@ class WebCodecSpec extends SparkSuite {
   test("i18n corpus axis: extracted text decodes the phrase refs " +
       "(numeric AND named); the corpus never contains the sentinel " +
       "control chars") {
-    // phrase 0 (id 20: 20%5=0, 20%4=0) — &eacute;/&lsquo;/&rsquo; named
+    // phrase 0 (id 20: 20%5=0, 20%4=0) — &eacute; named + literal — ‘ ’
     assert(extractedText(20L, "t", "en", "s")
-      .contains("naïve façade Café ±5° ‘ok’"))
-    // phrase 1 (id 21: 21%5=1, 21%4=1) — &uuml;/&szlig;/&ntilde;/&hellip;/&copy;
+      .contains("naïve façade Café ±5° — ‘ok’"))
+    // phrase 1 (id 21: 21%5=1, 21%4=1) — named refs + literal “ ” €
     assert(extractedText(21L, "t", "en", "s")
-      .contains("Grüße señor «café» …©2026"))
+      .contains("Grüße señor «café» “deal” €9 …©2026"))
     // phrase 2 via hex refs + &mdash;/&euro;/&trade; (id 6)
     assert(extractedText(6L, "t", "en", "s")
       .contains("中文 測試 — тест €™"))
@@ -785,11 +857,12 @@ class WebCodecSpec extends SparkSuite {
     // 11%4=3); &nbsp; normalizes to a plain space between « »
     assert(extractedText(11L, "t", "en", "s")
       .contains("😀 emoji αβγ ∑√∞ « »"))
-    // latin-1-wire docs never get a non-Latin-1 RAW phrase (named refs
-    // are ASCII until extraction decodes them)
+    // cp1252-wire docs never get a non-cp1252-representable RAW phrase
+    // (named refs are ASCII until extraction decodes them; the literal
+    // curly-quote/dash/€ chars are exactly the 0x80–0x9F wire axis)
     for (id <- 0L to 100L if id % 5 == 2) {
       val html = buildHtml(id, "t", "en", "s")
-      assert(html.forall(_ < 256), s"id=$id carries non-Latin-1 chars")
+      assert(cp1252Encodable(html), s"id=$id not cp1252-representable")
     }
     // sentinel safety for the Column decoder
     for (id <- 0L to 100L) {

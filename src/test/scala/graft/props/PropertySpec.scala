@@ -671,12 +671,16 @@ object PropertySpec extends Properties("graft") {
             W.buildRequest(id, lang, source).getBytes("ISO-8859-1")) &&
           recs(1).payload.sameElements(
             W.buildResponse(id, text, lang, source)) &&
-          // the parse side undoes all three wire axes exactly
+          // the parse side undoes all four wire axes exactly; charset
+          // resolution follows the WHATWG order bom→header→meta→sniff
           W.parseHttpResponse(recs(1).payload).exists { m =>
+            val (wantCs, wantSrc) =
+              if (W.bomAxis(id)) ("utf-8", "bom")
+              else if (W.metaOmitsCharset(id)) ("", "sniff")
+              else if (W.headerOmitsCharset(id)) (W.charsetOf(id), "meta")
+              else (W.charsetOf(id), "header")
             m.status == 200 &&
-              m.charset == W.charsetOf(id) &&
-              m.charsetSrc ==
-                (if (W.headerOmitsCharset(id)) "meta" else "header") &&
+              m.charset == wantCs && m.charsetSrc == wantSrc &&
               m.contentEncoding ==
                 (if (W.contentGzip(id)) "gzip" else "identity") &&
               m.chunked == (id % 4 == 1) &&
