@@ -182,6 +182,43 @@ object WebCodec {
     out.toByteArray
   }
 
+  /** One zlib (RFC 1950) stream holding `data` — the wire form of
+    * HTTP `Content-Encoding: deflate` per RFC 9110 (which means
+    * zlib-WRAPPED deflate, not raw). Synthesis twin of [[inflateZlib]]. */
+  def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new Deflater(6, false) // nowrap=false: zlib header + Adler-32
+    d.setInput(data); d.finish()
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Inflate one zlib stream: header + Adler-32 verified by the JDK
+    * Inflater, the 256 MiB bomb cap enforced, and the stream must end
+    * exactly at the payload boundary — trailing bytes, truncation, or
+    * corruption poison (None), the house never-throw contract. */
+  def inflateZlib(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater(false)
+    inf.setInput(bytes)
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(chunk)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n > 0) {
+          if (buf.size() + n > MaxInflatedMember) return None // bomb cap
+          buf.write(chunk, 0, n)
+        } else if (inf.needsInput()) return None // truncated stream
+      }
+      if (inf.getRemaining != 0) return None // trailing bytes
+      Some(buf.toByteArray)
+    } finally inf.end()
+  }
+
   // ------------------------------------------------------------------
   // WARC 1.0 record walk
   // ------------------------------------------------------------------
@@ -470,9 +507,19 @@ object WebCodec {
     * terminator ending the payload exactly; no trailers, no chunk
     * extensions — documented strict subset). Entity bodies may be
     * Content-Encoding: gzip (inflated through the same member walk the
-    * WARC layer uses); identity/absent passes through; any other
-    * coding poisons. Both framings present, neither present, bad hex,
+    * WARC layer uses) or deflate (zlib-wrapped per RFC 9110, r17);
+    * identity/absent passes through; any other coding poisons. Both framings present, neither present, bad hex,
     * or trailing bytes all poison. */
+  /** Content-decode an entity per its (already-validated) coding:
+    * gzip rides the shared member walk, deflate the zlib inflater,
+    * identity/absent passes through. */
+  private def decodeCoding(coding: String,
+      b: Array[Byte]): Option[Array[Byte]] = coding match {
+    case "gzip" => gunzipMembers(b).map(_.toArray.flatten)
+    case "deflate" => inflateZlib(b)
+    case _ => Some(b)
+  }
+
   def parseHttpResponse(payload: Array[Byte]): Option[HttpResponse] = {
     var pos = 0
     def readLine(): Option[String] = {
@@ -495,7 +542,7 @@ object WebCodec {
     }
     var clen = -1
     var chunked = false
-    var gzipped = false
+    var coding = "" // "" = header absent; "gzip"/"deflate"/"identity"
     var charset = ""
     var done = false
     while (!done) {
@@ -521,10 +568,9 @@ object WebCodec {
                 return None // unknown codings unsupported → poison
               chunked = true
             case "Content-Encoding" =>
-              if (gzipped) return None // duplicate coding header
+              if (coding.nonEmpty) return None // duplicate coding header
               line.substring(k + 1).trim.toLowerCase match {
-                case "gzip" => gzipped = true
-                case "identity" => ()
+                case c @ ("gzip" | "deflate" | "identity") => coding = c
                 case _ => return None // unsupported coding → poison
               }
             case "Content-Type" =>
@@ -565,14 +611,13 @@ object WebCodec {
             if (pos + 2 != payload.length ||
                 payload(pos) != '\r' || payload(pos + 1) != '\n') return None
             val b = body.toByteArray
-            val entity =
-              if (gzipped) gunzipMembers(b) match {
-                case Some(ms) => ms.toArray.flatten
-                case None => return None
-              } else b
+            val entity = decodeCoding(coding, b) match {
+              case Some(e) => e
+              case None => return None
+            }
             val (cs, src) = resolveCharset(charset, entity)
             return Some(HttpResponse(status, cs, src,
-              if (gzipped) "gzip" else "identity", chunked = true,
+              if (coding.isEmpty) "identity" else coding, chunked = true,
               -1L, entity))
           }
           if (pos.toLong + n + 2 > payload.length) return None
@@ -586,14 +631,13 @@ object WebCodec {
         if (clen < 0 || pos + clen != payload.length) return None
         java.util.Arrays.copyOfRange(payload, pos, pos + clen)
       }
-    val entity =
-      if (gzipped) gunzipMembers(framed) match {
-        case Some(ms) => ms.toArray.flatten
-        case None => return None
-      } else framed
+    val entity = decodeCoding(coding, framed) match {
+      case Some(e) => e
+      case None => return None
+    }
     val (cs, src) = resolveCharset(charset, entity)
     Some(HttpResponse(status, cs, src,
-      if (gzipped) "gzip" else "identity",
+      if (coding.isEmpty) "identity" else coding,
       chunked = false, clen.toLong, entity))
   }
 
@@ -676,11 +720,17 @@ object WebCodec {
     if (id % 5 == 2) { if (id % 10 == 2) "windows-1252" else "iso-8859-1" }
     else "utf-8"
 
-  /** Content-Encoding axis: id%5∈{3,4} gzip the entity body (3 =
-    * hand-rolled STORED, 4 = Deflater dynamic-Huffman) — independent of
-    * the transfer-framing axis (id%4==1 chunked), so chunked+encoded
-    * co-occurs (e.g. id 13). */
-  def contentGzip(id: Long): Boolean = id % 5 == 3 || id % 5 == 4
+  /** Content-Encoding axis (r17): id%5==3 gzips the entity body
+    * (hand-rolled STORED members), id%5==4 ships it as `deflate` —
+    * zlib-wrapped per RFC 9110, the second-most-common coding on the
+    * real web — independent of the transfer-framing axis (id%4==1
+    * chunked), so chunked+encoded co-occurs (e.g. id 13 gzip, id 9
+    * deflate+chunked+BOM). */
+  def contentCoding(id: Long): String =
+    if (id % 5 == 3) "gzip" else if (id % 5 == 4) "deflate" else "identity"
+
+  /** Whether the entity body is content-coded at all (gzip OR deflate). */
+  def contentCoded(id: Long): Boolean = id % 5 == 3 || id % 5 == 4
 
   /** Whether the HTTP Content-Type omits its charset parameter (r16
     * meta-resolution axis): those documents' charset resolves from the
@@ -771,12 +821,13 @@ object WebCodec {
       if (cp1252Wire) encodeCp1252(html) else html.getBytes("UTF-8")
     val htmlBytes =
       if (bomAxis(id)) Utf8Bom ++ rawBytes else rawBytes
-    val (entity, ceHdr) =
-      if (contentGzip(id))
-        ((if (id % 5 == 3) gzipStored(htmlBytes)
-          else gzipDeflate(htmlBytes, s"body-$id.html")),
-          s"Content-Encoding: gzip$CRLF")
-      else (htmlBytes, "")
+    val (entity, ceHdr) = contentCoding(id) match {
+      case "gzip" =>
+        (gzipStored(htmlBytes), s"Content-Encoding: gzip$CRLF")
+      case "deflate" =>
+        (zlibDeflate(htmlBytes), s"Content-Encoding: deflate$CRLF")
+      case _ => (htmlBytes, "")
+    }
     val ctype =
       if (headerOmitsCharset(id)) "Content-Type: text/html"
       else s"Content-Type: text/html; charset=$cs"
@@ -786,7 +837,7 @@ object WebCodec {
     if (id % 4 == 1) {
       ascii(head + s"Transfer-Encoding: chunked${CRLF}X-Doc: $id$CRLF$CRLF")
       val textPieces: Vector[Array[Byte]] =
-        if (contentGzip(id)) entity.grouped(256).toVector
+        if (contentCoded(id)) entity.grouped(256).toVector
         else {
           val ps = cpChunks(html, 256).map(p =>
             if (cp1252Wire) encodeCp1252(p) else p.getBytes("UTF-8"))
@@ -1226,7 +1277,7 @@ object WebCodec {
           parseWarc(payload).toSeq.flatMap { recs =>
             recs.filter(_.warcType == "response").flatMap { r =>
               parseHttpResponse(r.payload)
-                .filter(_.contentEncoding != "gzip").map { m =>
+                .filter(_.contentEncoding == "identity").map { m =>
                   val text = decodeText(r.payload, "")
                   FramingRow(id,
                     if (m.chunked) "chunked" else "identity",

@@ -927,7 +927,7 @@ ORDER BY q_id, rnk"""
     || '<footer>site footer</footer></body></html>'"""
 
   /** Charset / Content-Encoding / transfer / BOM axes — twins of
-    * WebCodec.{charsetOf,contentGzip,bomAxis,metaOmitsCharset} and the
+    * WebCodec.{charsetOf,contentCoding,bomAxis,metaOmitsCharset} and the
     * id%4 framing pick. */
   // the DECLARED label (Content-Type param / meta tag content)
   private val webCharsetCase =
@@ -936,7 +936,8 @@ ORDER BY q_id, rnk"""
                ELSE 'iso-8859-1' END)
        ELSE 'utf-8' END"""
   private val webCeCase =
-    "CASE WHEN doc_id % 5 IN (3, 4) THEN 'gzip' ELSE 'identity' END"
+    """CASE WHEN doc_id % 5 = 3 THEN 'gzip'
+       WHEN doc_id % 5 = 4 THEN 'deflate' ELSE 'identity' END"""
   private val webTransferCase =
     "CASE WHEN doc_id % 4 = 1 THEN 'chunked' ELSE 'identity' END"
   // WHATWG resolution order: BOM (id%7==2 utf-8-wire docs) → header →

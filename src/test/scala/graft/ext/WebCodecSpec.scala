@@ -224,17 +224,25 @@ class WebCodecSpec extends SparkSuite {
       Utf8Bom ++ "x".getBytes("UTF-8")) == (("utf-8", "bom")))
   }
 
-  test("http content-encoding axis: gzip entities inflate through the " +
-      "member walk (stored id%5==3, deflater id%5==4), compose with " +
-      "chunked framing, and corrupt/unknown codings poison") {
-    for (id <- Seq(3L, 4L, 8L, 13L, 14L)) { // 13 ≡ chunked AND gzip
-      val html = buildHtml(id, "gzip body words", "en", "src1")
+  test("http content-encoding axis: gzip (id%5==3) inflates through the " +
+      "member walk, deflate (id%5==4, zlib per RFC 9110) through the " +
+      "zlib inflater; both compose with chunked framing; corrupt/" +
+      "unknown codings poison") {
+    for (id <- Seq(3L, 4L, 8L, 13L, 14L, 9L)) { // 13 chunked+gzip,
+      // 9 chunked+deflate+BOM (9%4==1, 9%5==4, 9%7==2)
+      val html = buildHtml(id, "coded body words", "en", "src1")
       val m = parseHttpResponse(
-        buildResponse(id, "gzip body words", "en", "src1")).get
-      assert(m.contentEncoding == "gzip", s"id=$id")
+        buildResponse(id, "coded body words", "en", "src1")).get
+      assert(m.contentEncoding == contentCoding(id), s"id=$id")
       assert(m.chunked == (id % 4 == 1), s"id=$id")
       assert(m.bodyText == html, s"id=$id")
     }
+    // zlib round trip + strictness at the helper level
+    val data = "zlib payload bytes".getBytes("ISO-8859-1")
+    assert(inflateZlib(zlibDeflate(data)).exists(_.sameElements(data)))
+    assert(inflateZlib(zlibDeflate(data) ++ Array[Byte](1)).isEmpty) // trailing
+    assert(inflateZlib(zlibDeflate(data).dropRight(2)).isEmpty) // truncated
+    assert(inflateZlib(gzipStored(data)).isEmpty) // gzip bytes ≠ zlib
     // unknown coding poisons
     assert(parseHttpResponse(
       ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
@@ -243,11 +251,20 @@ class WebCodecSpec extends SparkSuite {
     assert(parseHttpResponse(
       ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
         "Content-Length: 2\r\n\r\nhi").getBytes("ISO-8859-1")).isEmpty)
+    // declared deflate but non-zlib bytes poisons
+    assert(parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+        "Content-Length: 2\r\n\r\nhi").getBytes("ISO-8859-1")).isEmpty)
     // corrupt gzip entity (CRC flip) poisons
     val ok = buildResponse(8L, "words", "en", "src1") // 8%5==3 stored gzip
     val bad = ok.clone()
     bad(bad.length - 6) = (bad(bad.length - 6) ^ 1).toByte
     assert(parseHttpResponse(bad).isEmpty)
+    // corrupt deflate entity (Adler flip) poisons
+    val okD = buildResponse(4L, "words", "en", "src1") // 4%5==4 deflate
+    val badD = okD.clone()
+    badD(badD.length - 1) = (badD(badD.length - 1) ^ 1).toByte
+    assert(parseHttpResponse(badD).isEmpty)
   }
 
   test("http chunked transfer-encoding: de-chunks to the exact html " +
@@ -668,7 +685,7 @@ class WebCodecSpec extends SparkSuite {
           assert(r.getAs[String]("charset") == wantCs, s"id=$id")
           assert(r.getAs[String]("charset_src") == wantSrc, s"id=$id")
           assert(r.getAs[String]("content_encoding")
-            == (if (contentGzip(id)) "gzip" else "identity"))
+            == contentCoding(id))
           assert(r.getAs[String]("transfer")
             == (if (id % 4 == 1) "chunked" else "identity"))
           val wireBytes =
@@ -716,7 +733,7 @@ class WebCodecSpec extends SparkSuite {
     val rows = httpFraming(webWarc(docs)).orderBy("media_id").collect()
     // ids with id%5 in {3,4} are content-encoded → excluded
     assert(rows.map(_.getAs[Long]("media_id")).toSeq
-      == (0L to 14L).filterNot(contentGzip))
+      == (0L to 14L).filterNot(contentCoded))
     for (r <- rows) {
       val id = r.getAs[Long]("media_id")
       val payload = parseWarc(

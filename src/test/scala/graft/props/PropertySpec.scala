@@ -681,8 +681,7 @@ object PropertySpec extends Properties("graft") {
               else (W.charsetOf(id), "header")
             m.status == 200 &&
               m.charset == wantCs && m.charsetSrc == wantSrc &&
-              m.contentEncoding ==
-                (if (W.contentGzip(id)) "gzip" else "identity") &&
+              m.contentEncoding == W.contentCoding(id) &&
               m.chunked == (id % 4 == 1) &&
               m.bodyText == W.buildHtml(id, text, lang, source)
           }
