@@ -1816,6 +1816,85 @@ object WebCodec {
         "allowed", "matched_rule")
   }
 
+  /** Percent-encoding normalization (RFC 3986 §6.2.2.1–2), pure
+    * Column: every %XX triplet is marked in ONE regex pass (the entity
+    * decoder's sentinel trick), then each either DECODES — when the
+    * octet is unreserved (ALPHA / DIGIT / '-' '.' '_' '~'), since
+    * "%41" and "A" identify the same resource — or re-emits with
+    * UPPERCASE hex. Reserved and non-ASCII octets stay encoded. */
+  def pctNormCol(c: Column): Column = {
+    val marked = regexp_replace(c, "%([0-9A-Fa-f]{2})", "\u0001$1\u0002")
+    val parts = split(marked, "\u0001", -1)
+    val dec = transform(parts, s => {
+      val hx = upper(substring_index(s, "\u0002", 1))
+      val tail = substring_index(s, "\u0002", -1)
+      val cp = conv(hx, 16, 10).cast("int")
+      val unreserved =
+        (cp >= 0x41 && cp <= 0x5a) || (cp >= 0x61 && cp <= 0x7a) ||
+          (cp >= 0x30 && cp <= 0x39) ||
+          cp === 0x2d || cp === 0x2e || cp === 0x5f || cp === 0x7e
+      val decoded = when(unreserved, decode(unhex(hx), "UTF-8"))
+        .otherwise(concat(lit("%"), hx))
+      when(instr(s, "\u0002") > 0, concat(decoded, tail)).otherwise(s)
+    })
+    array_join(dec, "")
+  }
+
+  /** Dot-segment removal (RFC 3986 §5.2.4 over an absolute path),
+    * pure Column: ONE aggregate() fold over the '/'-split segments
+    * with a stack accumulator — '.' drops, '..' pops, a TRAILING dot
+    * segment leaves the trailing slash (the RFC output), empty
+    * segments (double slashes, trailing slash) pass through
+    * unchanged. An empty path canonicalizes to "/" (§6.2.3). */
+  def dotSegRemoveCol(path: Column): Column = {
+    val segs = split(path, "/", -1)
+    val n = size(segs)
+    val paired = zip_with(segs, sequence(lit(1), n),
+      (s, i) => struct(s.as("s"), i.as("i")))
+    aggregate(paired,
+      struct(array().cast("array<string>").as("st"),
+        lit(false).as("slash")),
+      (acc, e) => {
+        val s = e.getField("s")
+        val i = e.getField("i")
+        val st = acc.getField("st")
+        val isLast = (i === n).as("slash")
+        // i==1 is the empty segment before the leading '/' (or the
+        // whole of an empty path) — structural, never content
+        when(i === 1, acc)
+          .when(s === ".", struct(st.as("st"), isLast))
+          .when(s === "..",
+            struct(when(size(st) > 0, slice(st, lit(1), size(st) - 1))
+              .otherwise(st).as("st"), isLast))
+          .otherwise(struct(concat(st, array(s)).as("st"),
+            lit(false).as("slash")))
+      },
+      acc => concat(lit("/"), array_join(acc.getField("st"), "/"),
+        when(acc.getField("slash") && size(acc.getField("st")) > 0,
+          lit("/")).otherwise(lit(""))))
+  }
+
+  /** Full RFC 3986 §6 syntax-based canonicalization, pure Column:
+    * fragment dropped, scheme+host lowercased, the scheme's default
+    * port stripped (https:443 / http:80), percent-encoding normalized
+    * over path AND query ([[pctNormCol]]), dot segments removed from
+    * the path ([[dotSegRemoveCol]]), empty path → "/". The frontier /
+    * revisit-dedup key: trivially-aliased URLs (case, default port,
+    * ./.. segments, %-encoded unreserved chars) collapse to one form. */
+  def urlCanonicalCol(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .otherwise(hostRaw)
+    val path = dotSegRemoveCol(pctNormCol(
+      regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)))
+    val query = pctNormCol(regexp_extract(noFrag, "\\?([^#]*)", 1))
+    concat(scheme, lit("://"), host, path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+  }
+
   /** URL normalization: drop the fragment, lowercase scheme+host, strip
     * the https default port. Returns (normalized, scheme, host, path,
     * query, registered domain) as a struct-free tuple of Columns via a

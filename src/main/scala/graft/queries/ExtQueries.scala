@@ -6918,6 +6918,48 @@ SELECT doc_id AS media_id,
   regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
 FROM webq ORDER BY media_id""")),
 
+    // Full RFC 3986 §6 URL canonicalization (r17): percent-encoding
+    // normalization (decode unreserved, uppercase the rest), dot-
+    // segment removal (aggregate-fold stack), scheme/host lowercase,
+    // default-port strip, fragment drop. Each doc gets a MESSY alias
+    // (uppercase scheme+host, explicit :443, /a/./../ segments, %64ocs
+    // and %66eed encodings, a fragment) that must collapse to exactly
+    // the canonical form of its primary URL — aliased URLs counting as
+    // distinct pages is how a frontier over-crawls at scale. The
+    // operator is the generic pure-Column algorithm; the oracle replays
+    // the per-doc expected form (the robots-gate decision-table
+    // posture).
+    ("web_url_canonical",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val alias = concat(
+          lit("HTTPS://WWW."), col("source"), lit(".Example"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".COM:443/a/./../%64ocs/"), col("doc_id").cast("string"),
+          lit("?lang="), col("lang"), lit("&ref=%66eed#frag-"),
+          (col("doc_id") % 3).cast("string"))
+        docs(s, d)
+          .select(col("doc_id").as("media_id"), alias.as("alias"),
+            W.urlCanonicalCol(alias).as("canonical"),
+            W.urlCanonicalCol(W.urlCol(col("doc_id"), col("lang"),
+              col("source"))).as("canonical_primary"))
+          .withColumn("collapses",
+            col("canonical") === col("canonical_primary"))
+          .orderBy("media_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+  'HTTPS://WWW.' || source || '.Example' || (doc_id % 7)::VARCHAR
+    || '.COM:443/a/./../%64ocs/' || doc_id::VARCHAR || '?lang=' || lang
+    || '&ref=%66eed#frag-' || (doc_id % 3)::VARCHAR AS alias,
+  'https://www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
+    || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
+    || '&ref=feed' AS canon
+  FROM documents)
+SELECT doc_id AS media_id, alias, canon AS canonical,
+       canon AS canonical_primary, TRUE AS collapses
+FROM u ORDER BY media_id""")),
+
     // Per-registered-domain corpus rollup over the normalized hosts —
     // the grouping key a real crawl-dedup/budget pass partitions on.
     ("web_domain_stats",

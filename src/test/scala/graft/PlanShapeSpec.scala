@@ -439,6 +439,7 @@ class PlanShapeSpec extends SparkSuite {
     for (q <- Seq("web_warc_records", "web_html_text", "web_url_parts",
       "web_domain_stats", "web_pipeline", "web_pipeline_materialized",
       "web_robots_gate", "web_wet_text", "web_chunks_e2e", "web_sitemap_urls",
+      "web_url_canonical",
       "text_chunks_sliding", "corpus_jsonl_roundtrip",
       "archive_tar_entries", "archive_zip_entries", "archive_zip_text")) {
       val p = plan(q)
@@ -456,7 +457,8 @@ class PlanShapeSpec extends SparkSuite {
     // end to end): no typed/object seam anywhere in the plan
     // (web_main_content r16: block segmentation via nested HOFs is
     // still pure-Column — no explode, no imperative seam)
-    for (q <- Seq("web_html_text", "web_url_parts", "web_main_content")) {
+    for (q <- Seq("web_html_text", "web_url_parts", "web_main_content",
+      "web_url_canonical")) {
       val p = plan(q)
       assert(p.contains("Scan parquet"), s"$q reads the table directly")
       assert(!p.contains("MapPartitions") && !p.contains("MapElements") &&

@@ -454,6 +454,39 @@ class WebCodecSpec extends SparkSuite {
     assert(rows(1).getString(5) == "host.org")
   }
 
+  test("urlCanonicalCol (r17): RFC 3986 §6 — pct-normalization, dot " +
+      "segments, case, default ports, empty path, fragments") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      // decode unreserved %-encodings, uppercase the reserved ones
+      "https://h.com/%64ocs/%7Euser%2Fx?q=%41%2f" ->
+        "https://h.com/docs/~user%2Fx?q=A%2F",
+      // dot segments: . drops, .. pops (not below root)
+      "https://h.com/a/./../docs/./7" -> "https://h.com/docs/7",
+      "https://h.com/../../a" -> "https://h.com/a",
+      // trailing dot segments leave the trailing slash (RFC output)
+      "https://h.com/a/b/.." -> "https://h.com/a/",
+      "https://h.com/a/." -> "https://h.com/a/",
+      // empty segments (double/trailing slashes) pass through
+      "https://h.com/a//b/" -> "https://h.com/a//b/",
+      // case + default port + fragment + empty path
+      "HTTPS://WWW.Ex.COM:443#frag" -> "https://www.ex.com/",
+      "HTTP://H.ORG:80/x" -> "http://h.org/x",
+      // NON-default port survives
+      "https://h.com:8443/x" -> "https://h.com:8443/x",
+      // query order and reserved encodings preserved
+      "https://h.com/p?b=2&a=%2f#s" -> "https://h.com/p?b=2&a=%2F")
+    val out = cases.map(_._1).toDF("url")
+      .select(urlCanonicalCol(col("url"))).collect().map(_.getString(0))
+    for (((in, want), got) <- cases.zip(out))
+      assert(got == want, s"url: $in")
+    // idempotence: canonical(canonical(u)) == canonical(u)
+    val twice = cases.map(_._2).toDF("url")
+      .select(urlCanonicalCol(col("url"))).collect().map(_.getString(0))
+    assert(twice.toSeq == cases.map(_._2))
+  }
+
   test("wet: conversion records round-trip the extracted text across " +
       "all gzip variants, and extractedText is the Column chain's twin") {
     val sp = spark
