@@ -357,7 +357,8 @@ object WebCodec {
     * framing invariance). */
   final case class HttpResponse(status: Int, charset: String,
       charsetSrc: String, contentEncoding: String, chunked: Boolean,
-      contentLengthHdr: Long, body: Array[Byte]) {
+      contentLengthHdr: Long, body: Array[Byte],
+      location: String = "") {
     /** The body as text, decoded per [[WebCodec.decodeText]]. */
     def bodyText: String = decodeText(body, charset)
   }
@@ -544,6 +545,7 @@ object WebCodec {
     var chunked = false
     var coding = "" // "" = header absent; "gzip"/"deflate"/"identity"
     var charset = ""
+    var location = ""
     var done = false
     while (!done) {
       readLine() match {
@@ -573,6 +575,8 @@ object WebCodec {
                 case c @ ("gzip" | "deflate" | "identity") => coding = c
                 case _ => return None // unsupported coding → poison
               }
+            case "Location" =>
+              location = line.substring(k + 1).trim
             case "Content-Type" =>
               // charset parameter, case-insensitive, token up to ; or EOL;
               // an optionally QUOTED value (charset="utf-8" — legal HTTP,
@@ -618,7 +622,7 @@ object WebCodec {
             val (cs, src) = resolveCharset(charset, entity)
             return Some(HttpResponse(status, cs, src,
               if (coding.isEmpty) "identity" else coding, chunked = true,
-              -1L, entity))
+              -1L, entity, location))
           }
           if (pos.toLong + n + 2 > payload.length) return None
           body.write(payload, pos, n)
@@ -638,7 +642,7 @@ object WebCodec {
     val (cs, src) = resolveCharset(charset, entity)
     Some(HttpResponse(status, cs, src,
       if (coding.isEmpty) "identity" else coding,
-      chunked = false, clen.toLong, entity))
+      chunked = false, clen.toLong, entity, location))
   }
 
   /** HTTP/1.1 request parse: (method, target). Request line + headers,
@@ -870,6 +874,48 @@ object WebCodec {
     out.toByteArray
   }
 
+  /** Redirect axis (r17): these docs' WARC files carry an EXTRA
+    * request/response pair — a fetch of the alias path `/r/<id>` that
+    * answered `301 Moved Permanently` with a Location pointing at the
+    * canonical document (in an ALIASED spelling: uppercase scheme,
+    * explicit :443 — the chase join must canonicalize to match it
+    * against the crawl's captures). A real crawl is 15–30% redirects;
+    * the pipeline's kept-gate must provably exclude these 3xx bodies. */
+  def redirectAxis(id: Long): Boolean = id % 9 == 4
+
+  /** The alias URI the redirecting fetch targeted. */
+  def redirectAliasUrl(id: Long, lang: String, source: String): String =
+    s"https://www.$source.example${id % 7}.com/r/$id"
+
+  /** The Location header value — deliberately a NON-canonical spelling
+    * of [[buildUrl]]'s document URL (scheme case + default port), so
+    * only [[urlCanonicalCol]] equates them. */
+  def redirectLocation(id: Long, lang: String, source: String): String =
+    s"HTTPS://www.$source.example${id % 7}.com:443/docs/$id" +
+      s"?lang=$lang&ref=feed"
+
+  /** The 3xx stub entity — tiny, block-free, charset-undeclared (it
+    * sniffs), exactly the body a crawler must NOT admit to the corpus. */
+  def redirectBody(id: Long): String =
+    s"<html><body>Moved to /docs/$id</body></html>"
+
+  /** The `301 Moved Permanently` wire message for the alias fetch:
+    * plain Content-Length framing, identity coding, a Location header. */
+  def buildRedirectResponse(
+      id: Long, lang: String, source: String): Array[Byte] = {
+    val body = redirectBody(id)
+    (s"HTTP/1.1 301 Moved Permanently$CRLF" +
+      s"Location: ${redirectLocation(id, lang, source)}$CRLF" +
+      s"Content-Type: text/html$CRLF" +
+      s"Content-Length: ${body.length}$CRLF$CRLF" + body)
+      .getBytes("ISO-8859-1")
+  }
+
+  private def buildAliasRequest(
+      id: Long, lang: String, source: String): String =
+    s"GET /r/$id HTTP/1.1$CRLF" +
+      s"Host: www.$source.example${id % 7}.com$CRLF$CRLF"
+
   /** Whether the doc's WARC file carries a crawl-metadata sidecar
     * record. id%6∈{3,4,5}: 3 co-occurs with the PLAIN file variant
     * (id%3==0), 4 with gzip STORED (id%3==1), 5 with gzip Deflater
@@ -886,9 +932,10 @@ object WebCodec {
       s"charsetDetected: ${charsetOf(id)}$CRLF"
 
   /** One WARC file per document: a request record, the response record,
-    * and (id%6∈{3,4,5}) a metadata record; compression variant keyed by
-    * doc_id % 3 — 0 = plain, 1 = gzip STORED (hand-rolled), 2 = gzip
-    * Deflater+FNAME. One gzip member per record, per the WARC
+    * (id%6∈{3,4,5}) a metadata record, and (id%9==4) a redirect
+    * request/response pair for the alias path; compression variant
+    * keyed by doc_id % 3 — 0 = plain, 1 = gzip STORED (hand-rolled),
+    * 2 = gzip Deflater+FNAME. One gzip member per record, per the WARC
     * convention. */
   def buildWarcFile(
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
@@ -901,7 +948,15 @@ object WebCodec {
       (if (hasMetadata(id))
         Vector(warcRecordBytes("metadata", uri,
           metadataFields(id).getBytes("ISO-8859-1")))
-      else Vector.empty)
+      else Vector.empty) ++
+      (if (redirectAxis(id)) {
+        val alias = redirectAliasUrl(id, lang, source)
+        Vector(
+          warcRecordBytes("request", alias,
+            buildAliasRequest(id, lang, source).getBytes("ISO-8859-1")),
+          warcRecordBytes("response", alias,
+            buildRedirectResponse(id, lang, source)))
+      } else Vector.empty)
     (id % 3) match {
       case 0 => recs.toArray.flatten
       case 1 => recs.map(gzipStored).toArray.flatten
@@ -1180,7 +1235,8 @@ object WebCodec {
       media_id: Long, rec_index: Int, warc_type: String, target_uri: String,
       gzip_members: Int, http_status: Int, http_method: String,
       transfer: String, content_encoding: String, charset: String,
-      charset_src: String, body_bytes: Long, body_chars: Long, body_ck: Long)
+      charset_src: String, location: String,
+      body_bytes: Long, body_chars: Long, body_ck: Long)
 
   /** Per-record HTTP-level features through the full gzip→WARC→HTTP
     * walk. Response records parse down to the content-decoded entity
@@ -1209,6 +1265,7 @@ object WebCodec {
                       m.status, "",
                       if (m.chunked) "chunked" else "identity",
                       m.contentEncoding, m.charset, m.charsetSrc,
+                      m.location,
                       m.body.length.toLong,
                       text.codePointCount(0, text.length).toLong,
                       cpWeightedCk(text))
@@ -1216,12 +1273,12 @@ object WebCodec {
                 case "request" =>
                   parseHttpRequest(r.payload).map { case (method, _) =>
                     WarcRow(id, i, r.warcType, r.targetUri, members,
-                      0, method, "", "", "", "", 0L, 0L, 0L)
+                      0, method, "", "", "", "", "", 0L, 0L, 0L)
                   }
                 case _ => // metadata / conversion / revisit: text payload
                   val text = decodeText(r.payload, "")
                   Some(WarcRow(id, i, r.warcType, r.targetUri, members,
-                    0, "", "", "", "", "",
+                    0, "", "", "", "", "", "",
                     r.payload.length.toLong,
                     text.codePointCount(0, text.length).toLong,
                     cpWeightedCk(text)))
@@ -1277,7 +1334,8 @@ object WebCodec {
           parseWarc(payload).toSeq.flatMap { recs =>
             recs.filter(_.warcType == "response").flatMap { r =>
               parseHttpResponse(r.payload)
-                .filter(_.contentEncoding == "identity").map { m =>
+                .filter(m => m.contentEncoding == "identity" &&
+                  m.status == 200).map { m =>
                   val text = decodeText(r.payload, "")
                   FramingRow(id,
                     if (m.chunked) "chunked" else "identity",
@@ -1486,7 +1544,9 @@ object WebCodec {
     * WARC bytes → HTTP decode (all three wire axes) → block
     * segmentation + boilerplate removal → quality gates over the MAIN
     * text only. Boilerplate chars are reported beside the gates so a
-    * corpus budget can account for what the cleaner removed. */
+    * corpus budget can account for what the cleaner removed. Since r17
+    * the fetch table includes 3xx redirect rows (one per alias fetch);
+    * the kept-gate excludes any non-200 status. */
   def pipelineMain(media: DataFrame): DataFrame = {
     val resp = warcResponses(media)
     val host = urlParts(col("target_uri")).toMap.apply("host")
@@ -1504,7 +1564,8 @@ object WebCodec {
           expr("(CAST(1000 AS BIGINT) * length(regexp_replace(body, " +
             "'[^a-zA-Z ]', ''))) DIV length(body)"))
           .otherwise(lit(0L)).as("alpha_milli"))
-      .withColumn("kept", col("n_words") >= 40 && col("alpha_milli") >= 900)
+      .withColumn("kept", col("http_status") === 200 &&
+        col("n_words") >= 40 && col("alpha_milli") >= 900)
   }
 
   /** The composed front door over a raw (media_id, payload) WARC table:
@@ -1526,7 +1587,11 @@ object WebCodec {
         expr("(CAST(1000 AS BIGINT) * length(regexp_replace(body, " +
           "'[^a-zA-Z ]', ''))) DIV length(body)")
           .as("alpha_milli"))
-      .withColumn("kept", col("n_words") >= 40 && col("alpha_milli") >= 900)
+      // the kept-gate provably excludes 3xx bodies (r17): a fetch row
+      // enters the corpus only when it IS the document (status 200)
+      // AND passes the quality gates
+      .withColumn("kept", col("http_status") === 200 &&
+        col("n_words") >= 40 && col("alpha_milli") >= 900)
   }
 
   // ------------------------------------------------------------------

@@ -964,6 +964,13 @@ ORDER BY q_id, rnk"""
     || '.COM:443/docs/' || doc_id::VARCHAR || '?lang=' || lang
     || '&ref=feed#sec-' || (doc_id % 5)::VARCHAR"""
 
+  /** The 3xx stub entity (twin of WebCodec.redirectBody) and the
+    * redirect-axis predicate — shared by every oracle that replays the
+    * r17 redirect fetch rows. */
+  private val webRedirectStubSql =
+    """'<html><body>Moved to /docs/' || doc_id::VARCHAR || '</body></html>'"""
+  private val webRedirectWhere = "doc_id % 9 = 4"
+
   /** Character reference decode over expression `x` — the DuckDB twin
     * of WebCodec.decodeEntitiesCol (r17: numeric AND named refs in ONE
     * left-to-right pass): the regex marks each ref as
@@ -1008,24 +1015,31 @@ ORDER BY q_id, rnk"""
     * web_pipeline_main and web_funnel — twin of WebCodec.pipelineMain
     * ∘ mainContentStruct. */
   private lazy val webMainChainSql =
-    s"""h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
-           FROM documents),
-b AS (SELECT doc_id, source, regexp_extract_all(html,
+    s"""h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html,
+           CAST(200 AS INT) AS hst FROM documents
+         UNION ALL
+         -- r17 redirect axis: the 301 stub rides the SAME block
+         -- segmentation (it has no block elements, so everything
+         -- falls out naturally: 0 blocks, empty main text)
+         SELECT doc_id, lang, source, $webRedirectStubSql AS html,
+           CAST(301 AS INT) AS hst FROM documents
+         WHERE $webRedirectWhere),
+b AS (SELECT doc_id, hst, source, regexp_extract_all(html,
         '(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>|<div[^>]*>.*?</div>|<footer>.*?</footer>)',
         1) AS blocks FROM h),
-s AS (SELECT doc_id, source, len(blocks) AS nb, list_transform(blocks,
+s AS (SELECT doc_id, hst, source, len(blocks) AS nb, list_transform(blocks,
         blk -> struct_pack(
           btext := ${webExtractSql("blk")},
           ltext := coalesce(array_to_string(
             regexp_extract_all(blk, '<a [^>]*>([^<]*)</a>', 1), ' '), '')))
         AS ev FROM b),
-k AS (SELECT doc_id, source, nb,
+k AS (SELECT doc_id, hst, source, nb,
         list_filter(ev, e -> length(e.btext) >= 15
           AND 2 * length(e.ltext) < length(e.btext)) AS keptl,
         list_filter(ev, e -> NOT (length(e.btext) >= 15
           AND 2 * length(e.ltext) < length(e.btext))) AS dropl
       FROM s),
-m AS (SELECT doc_id, source, nb, len(keptl) AS nk,
+m AS (SELECT doc_id, hst, source, nb, len(keptl) AS nk,
         coalesce(array_to_string(
           list_transform(keptl, e -> e.btext), ' '), '') AS body,
         coalesce(list_aggregate(
@@ -1034,7 +1048,7 @@ m AS (SELECT doc_id, source, nb, len(keptl) AS nk,
 g AS (SELECT doc_id,
         'www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
           || '.com' AS host,
-        CAST(200 AS INT) AS http_status, body,
+        hst AS http_status, body,
         nb::BIGINT AS n_blocks, nk::BIGINT AS n_kept, bc::BIGINT
           AS boiler_chars,
         len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
@@ -1074,24 +1088,31 @@ webq AS (SELECT doc_id,
   // oracle). The gates floor identically in both engines (integer-milli
   // via BIGINT // BIGINT vs Spark's `div`).
   private lazy val webPipelineSql =
-    s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
-           FROM documents),
-x AS (SELECT doc_id, source, ${webExtractSql("html")} AS body FROM h),
+    s"""WITH hh AS (SELECT doc_id, lang, source, $webHtmlExpr AS html,
+           CAST(200 AS INT) AS hst FROM documents
+         UNION ALL
+         -- r17 redirect axis: the alias fetch's 301 stub rides the
+         -- same extraction + gate formulas; only the kept-gate's
+         -- status clause excludes it
+         SELECT doc_id, lang, source, $webRedirectStubSql AS html,
+           CAST(301 AS INT) AS hst FROM documents
+         WHERE $webRedirectWhere),
+x AS (SELECT doc_id, source, hst, ${webExtractSql("html")} AS body FROM hh),
 g AS (SELECT doc_id,
         -- lower(): the Spark side derives host via lower() over the
         -- parsed URL, so the twin must hold for any fixture casing
         -- (ADVICE r15)
         'www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
           || '.com' AS host,
-        CAST(200 AS INT) AS http_status, body,
+        hst AS http_status, body,
         len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
         (1000 * length(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
           // length(body) AS alpha_milli
       FROM x)
 SELECT doc_id AS media_id, host, http_status, body, n_words,
        alpha_milli::BIGINT AS alpha_milli,
-       (n_words >= 40 AND alpha_milli >= 900) AS kept
-FROM g ORDER BY media_id"""
+       (http_status = 200 AND n_words >= 40 AND alpha_milli >= 900) AS kept
+FROM g ORDER BY media_id, http_status"""
 
   // DuckDB twin of ArchiveCodec.docEntries: both archive walks must
   // emit these exact names/sizes/checksums. LEFT JOIN + coalesce keeps
@@ -6719,19 +6740,45 @@ recs AS (
   SELECT doc_id, CAST(0 AS INT) AS rec_index, 'request' AS warc_type,
          uri, '' AS txt, 0 AS body_bytes, 0 AS http_status,
          'GET' AS http_method, '' AS transfer, '' AS content_encoding,
-         '' AS charset, '' AS charset_src
+         '' AS charset, '' AS charset_src, '' AS location
   FROM axes
   UNION ALL
   SELECT doc_id, CAST(1 AS INT), 'response', uri, html, body_bytes,
          200, '', transfer, content_encoding, charset_res,
-         $webCharsetSrcCase
+         $webCharsetSrcCase, ''
   FROM axes
   UNION ALL
   SELECT a.doc_id, CAST(2 AS INT), 'metadata', a.uri,
          'fetchDurationMs: ' || ((a.doc_id * 37) % 900 + 100)::VARCHAR
            || c.crlf || 'charsetDetected: ' || a.charset || c.crlf,
-         -1, 0, '', '', '', '', ''
-  FROM axes a, crlfv c WHERE a.doc_id % 6 >= 3),
+         -1, 0, '', '', '', '', '', ''
+  FROM axes a, crlfv c WHERE a.doc_id % 6 >= 3
+  UNION ALL
+  -- r17 redirect axis: the alias fetch's request + 301 response pair,
+  -- appended after the base records (rec_index shifts past the
+  -- metadata sidecar when present)
+  SELECT d.doc_id,
+         CAST(2 + (CASE WHEN d.doc_id % 6 >= 3 THEN 1 ELSE 0 END) AS INT),
+         'request',
+         'https://www.' || d.source || '.example'
+           || (d.doc_id % 7)::VARCHAR || '.com/r/' || d.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', ''
+  FROM documents d WHERE d.doc_id % 9 = 4
+  UNION ALL
+  SELECT d.doc_id,
+         CAST(3 + (CASE WHEN d.doc_id % 6 >= 3 THEN 1 ELSE 0 END) AS INT),
+         'response',
+         'https://www.' || d.source || '.example'
+           || (d.doc_id % 7)::VARCHAR || '.com/r/' || d.doc_id::VARCHAR,
+         '<html><body>Moved to /docs/' || d.doc_id::VARCHAR
+           || '</body></html>',
+         strlen('<html><body>Moved to /docs/' || d.doc_id::VARCHAR
+           || '</body></html>'),
+         301, '', 'identity', 'identity', '', 'sniff',
+         'HTTPS://www.' || d.source || '.example'
+           || (d.doc_id % 7)::VARCHAR || '.com:443/docs/'
+           || d.doc_id::VARCHAR || '?lang=' || d.lang || '&ref=feed'
+  FROM documents d WHERE d.doc_id % 9 = 4),
 chars AS (SELECT doc_id, rec_index, u.i AS i,
                  ascii(substr(txt, (u.i + 1)::INT, 1)) AS c
           FROM recs, unnest(range(0, length(txt))) AS u(i)),
@@ -6744,10 +6791,13 @@ SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
        -- respectively) count 3; all other gzip files 2 (ADVICE r16:
        -- multi-member counting now exercised on both inflate paths)
        CAST(CASE WHEN r.doc_id % 3 = 0 THEN 0
-                 WHEN r.doc_id % 6 IN (4, 5) THEN 3 ELSE 2 END AS INT)
+                 ELSE (CASE WHEN r.doc_id % 6 IN (4, 5) THEN 3 ELSE 2 END)
+                   + (CASE WHEN r.doc_id % 9 = 4 THEN 2 ELSE 0 END)
+            END AS INT)
          AS gzip_members,
        CAST(r.http_status AS INT) AS http_status, r.http_method,
        r.transfer, r.content_encoding, r.charset, r.charset_src,
+       r.location,
        (CASE WHEN r.body_bytes = -1 THEN strlen(r.txt)
              ELSE r.body_bytes END)::BIGINT AS body_bytes,
        length(r.txt)::BIGINT AS body_chars,
@@ -6997,7 +7047,7 @@ GROUP BY 1 ORDER BY domain""")),
       (s: SparkSession, d: String) =>
         graft.ext.WebCodec.pipeline(
           graft.ext.WebCodec.webWarc(docs(s, d)))
-          .orderBy("media_id"),
+          .orderBy("media_id", "http_status"),
       Some(webPipelineSql)),
 
     // The front door through MAIN-CONTENT extraction (r16) — the pass a
@@ -7010,12 +7060,12 @@ GROUP BY 1 ORDER BY domain""")),
       (s: SparkSession, d: String) =>
         graft.ext.WebCodec.pipelineMain(
           graft.ext.WebCodec.webWarc(docs(s, d)))
-          .orderBy("media_id"),
+          .orderBy("media_id", "http_status"),
       Some(s"""WITH $webMainChainSql
 SELECT doc_id AS media_id, host, http_status, body, n_blocks, n_kept,
        boiler_chars, n_words, alpha_milli::BIGINT AS alpha_milli,
-       (n_words >= 40 AND alpha_milli >= 900) AS kept
-FROM g ORDER BY media_id""")),
+       (http_status = 200 AND n_words >= 40 AND alpha_milli >= 900) AS kept
+FROM g ORDER BY media_id, http_status""")),
 
     // The pipeline FUNNEL (r16) — the observability rollup a real
     // 100 TB run watches: per domain, how many docs were fetched, how
@@ -7032,25 +7082,31 @@ FROM g ORDER BY media_id""")),
         val gate = W.robotsGate(docs(s, d))
           .select(col("media_id"), col("domain"), col("allowed"))
         val pm = W.pipelineMain(W.webWarc(docs(s, d)))
-          .select(col("media_id"), col("kept"), col("boiler_chars"))
+          .select(col("media_id"), col("http_status"), col("kept"),
+            col("boiler_chars"))
+        val ok = col("http_status") === 200
+        val redir = col("http_status") >= 300 && col("http_status") < 400
         gate.join(pm, Seq("media_id"))
           .groupBy("domain")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("allowed").cast("long")).cast("long").as("n_allowed"),
+          .agg(sum(ok.cast("long")).cast("long").as("n_docs"),
+            sum(redir.cast("long")).cast("long").as("n_redirects"),
+            sum((col("allowed") && ok).cast("long")).cast("long")
+              .as("n_allowed"),
             sum((col("allowed") && col("kept")).cast("long")).cast("long")
               .as("n_corpus"),
-            sum(when(col("allowed"), col("boiler_chars"))
+            sum(when(col("allowed") && ok, col("boiler_chars"))
               .otherwise(lit(0L))).cast("long").as("boiler_removed"))
           .orderBy("domain")
       },
       Some(s"""WITH $webMainChainSql,
-v AS (SELECT g.doc_id, g.boiler_chars,
-        (g.n_words >= 40 AND g.alpha_milli >= 900) AS kept,
+v AS (SELECT g.doc_id, g.http_status, g.boiler_chars,
+        (g.http_status = 200 AND g.n_words >= 40
+          AND g.alpha_milli >= 900) AS kept,
         doc_id % 7 AS kdom,
         substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
         doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9
       FROM g),
-a AS (SELECT doc_id, kdom, boiler_chars, kept,
+a AS (SELECT doc_id, http_status, kdom, boiler_chars, kept,
         CASE WHEN kdom % 5 = 0 THEN NOT sw9
              WHEN kdom = 1 THEN FALSE
              WHEN kdom = 3 THEN NOT e9
@@ -7059,13 +7115,78 @@ a AS (SELECT doc_id, kdom, boiler_chars, kept,
              ELSE TRUE END AS allowed
       FROM v)
 SELECT 'example' || kdom::VARCHAR || '.com' AS domain,
-       count(*)::BIGINT AS n_docs,
-       sum(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+       sum(CASE WHEN http_status = 200 THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs,
+       sum(CASE WHEN http_status >= 300 AND http_status < 400
+           THEN 1 ELSE 0 END)::BIGINT AS n_redirects,
+       sum(CASE WHEN allowed AND http_status = 200 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_allowed,
        sum(CASE WHEN allowed AND kept THEN 1 ELSE 0 END)::BIGINT
          AS n_corpus,
-       sum(CASE WHEN allowed THEN boiler_chars ELSE 0 END)::BIGINT
-         AS boiler_removed
+       sum(CASE WHEN allowed AND http_status = 200
+           THEN boiler_chars ELSE 0 END)::BIGINT AS boiler_removed
 FROM a GROUP BY 1 ORDER BY domain""")),
+
+    // Redirect CHASE (r17): every 3xx fetch's Location target, resolved
+    // for the frontier — canonicalize the (deliberately non-canonical)
+    // Location, join it against the CANONICAL keys of the crawl's 200
+    // captures (the revisit-dedup keyed-shuffle shape: both sides scale
+    // with the corpus) to decide already_fetched, and join the robots
+    // verdict for the target path. This is the hop a real crawler runs
+    // before enqueueing a redirect target; without canonicalization the
+    // aliased Location would never match the capture and every redirect
+    // would be re-fetched. The oracle replays the per-doc formulas +
+    // the robots decision table.
+    ("web_redirect_chase",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val recs = W.warcRecords(W.webWarc(docs(s, d)))
+        val redirects = recs
+          .where(col("http_status") >= 300 && col("http_status") < 400)
+          .select(col("media_id"), col("target_uri").as("alias_uri"),
+            col("location"),
+            W.urlCanonicalCol(col("location")).as("target_canonical"))
+        val fetched = recs.where(col("http_status") === 200)
+          .select(W.urlCanonicalCol(col("target_uri"))
+            .as("fetched_canonical"))
+          .distinct()
+        val gate = W.robotsGate(docs(s, d))
+          .select(col("media_id"), col("allowed"), col("matched_rule"))
+        redirects
+          .join(fetched,
+            col("target_canonical") === col("fetched_canonical"), "left")
+          .withColumn("already_fetched", col("fetched_canonical").isNotNull)
+          .drop("fetched_canonical")
+          .join(gate, Seq("media_id"))
+          .orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source, doc_id % 7 AS k,
+           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
+           doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9
+         FROM documents WHERE doc_id % 9 = 4)
+SELECT doc_id AS media_id,
+  'https://www.' || source || '.example' || k::VARCHAR || '.com/r/'
+    || doc_id::VARCHAR AS alias_uri,
+  'HTTPS://www.' || source || '.example' || k::VARCHAR || '.com:443/docs/'
+    || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed' AS location,
+  'https://www.' || lower(source) || '.example' || k::VARCHAR
+    || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed'
+    AS target_canonical,
+  TRUE AS already_fetched,
+  CASE WHEN k % 5 = 0 THEN NOT sw9
+       WHEN k = 1 THEN FALSE
+       WHEN k = 3 THEN NOT e9
+       WHEN k = 4 THEN NOT e7
+       WHEN k = 6 THEN NOT e9
+       ELSE TRUE END AS allowed,
+  CASE WHEN k % 5 = 0 THEN (CASE WHEN sw9 THEN '/docs/9' ELSE '' END)
+       WHEN k = 1 THEN (CASE WHEN e7 THEN '/docs/*7$' ELSE '/docs/' END)
+       WHEN k = 3 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
+       WHEN k = 4 THEN (CASE WHEN e7 THEN '/docs/*7$' ELSE '' END)
+       WHEN k = 6 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
+       ELSE '' END AS matched_rule
+FROM d ORDER BY media_id""")),
 
     // The main-content pipeline SERVED from its streamed WebSink table
     // (r16): same one-code-path posture as web_pipeline_materialized —
@@ -7077,13 +7198,13 @@ FROM a GROUP BY 1 ORDER BY domain""")),
         graft.sinks.WebSink.materializedMain(s, d)
           .select("media_id", "host", "http_status", "body", "n_blocks",
             "n_kept", "boiler_chars", "n_words", "alpha_milli", "kept")
-          .orderBy("media_id")
+          .orderBy("media_id", "http_status")
       },
       Some(s"""WITH $webMainChainSql
 SELECT doc_id AS media_id, host, http_status, body, n_blocks, n_kept,
        boiler_chars, n_words, alpha_milli::BIGINT AS alpha_milli,
-       (n_words >= 40 AND alpha_milli >= 900) AS kept
-FROM g ORDER BY media_id""")),
+       (http_status = 200 AND n_words >= 40 AND alpha_milli >= 900) AS kept
+FROM g ORDER BY media_id, http_status""")),
 
     // The same pipeline output SERVED from the streamed WebSink table
     // instead of computed from archive bytes in-plan — cleaned corpus
@@ -7095,7 +7216,7 @@ FROM g ORDER BY media_id""")),
         graft.sinks.WebSink.materialized(s, d)
           .select("media_id", "host", "http_status", "body", "n_words",
             "alpha_milli", "kept")
-          .orderBy("media_id")
+          .orderBy("media_id", "http_status")
       },
       Some(webPipelineSql)),
 
@@ -7182,7 +7303,8 @@ FROM d ORDER BY media_id""")),
 kd AS (SELECT doc_id, 'example' || (doc_id % 7)::VARCHAR || '.com'
          AS domain,
          string_split_regex(trim(lower(body)), '\\s+') AS toks
-       FROM g WHERE n_words >= 40 AND alpha_milli >= 900),
+       FROM g WHERE http_status = 200
+         AND n_words >= 40 AND alpha_milli >= 900),
 sc AS (SELECT doc_id, domain, $scores FROM kd),
 pr AS (SELECT domain, CASE $cases ELSE 'und' END AS predicted_lang
        FROM sc)

@@ -31,7 +31,7 @@ object WebSink {
   private def write(rows: DataFrame, path: String, buckets: Int,
       mode: String): Unit =
     BucketedSink.write(rows, path, col("media_id"), "web_bucket",
-      buckets, Seq(col("media_id")), mode)
+      buckets, Seq(col("media_id"), col("http_status")), mode)
 
   /** Parse-gate + extract + gate one micro-batch of raw archives and
     * append it into the bucketed layout. The gate IS the batch pipeline
@@ -45,7 +45,9 @@ object WebSink {
   /** The streaming ingest: checkpointed foreachBatch of raw archive
     * rows through the parse gate into the serving table. Delivery
     * semantics per [[BucketedSink.runToTable]]; readers needing
-    * exactly-once apply `dropDuplicates("media_id")`. */
+    * exactly-once apply `dropDuplicates("media_id", "http_status")` —
+    * since r17 a document's WARC can carry a 3xx fetch row beside its
+    * 200 row, so (media_id, http_status) is the row identity. */
   def runToWebTable(media: DataFrame, path: String, checkpointPath: String,
       buckets: Int = defaultBuckets)
   : org.apache.spark.sql.streaming.StreamingQuery =
@@ -58,12 +60,12 @@ object WebSink {
   def compact(spark: SparkSession, path: String,
       buckets: Int = defaultBuckets): Unit =
     BucketedSink.compact(spark, path, (df, tmp) =>
-      write(df.drop("web_bucket").dropDuplicates("media_id"), tmp,
-        buckets, "overwrite"))
+      write(df.drop("web_bucket").dropDuplicates("media_id", "http_status"),
+        tmp, buckets, "overwrite"))
 
   /** Exactly-once view over the at-least-once table. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).dropDuplicates("media_id")
+    spark.read.parquet(path).dropDuplicates("media_id", "http_status")
 
   /** Streaming append for the MAIN-CONTENT variant: the identical
     * mechanics, the [[WebCodec.pipelineMain]] gate (boilerplate

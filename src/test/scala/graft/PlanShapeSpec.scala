@@ -513,5 +513,16 @@ class PlanShapeSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"web_funnel: no cartesian:\n$p")
       assert(!p.contains("Window"))
     }
+    // the redirect chase joins canonicalized Location targets against
+    // the crawl's canonical capture keys (both corpus-sized — the
+    // revisit-dedup keyed-shuffle shape) plus the per-doc robots
+    // verdict — never cartesian, never windowed
+    locally {
+      val p = plan("web_redirect_chase")
+      assert(p.contains("Join"), s"web_redirect_chase joins by design:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"web_redirect_chase: no cartesian:\n$p")
+      assert(!p.contains("Window"))
+    }
   }
 }

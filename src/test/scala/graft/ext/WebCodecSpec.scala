@@ -316,8 +316,9 @@ class WebCodecSpec extends SparkSuite {
         case None => ()
         case Some(recs) =>
           // a surviving parse must still be well-framed records
-          // (2, or 3 on the metadata axis id%6>=3)
-          assert(recs.length == (if (hasMetadata(id)) 3 else 2))
+          // (2, +1 metadata on id%6>=3, +2 redirect pair on id%9==4)
+          assert(recs.length == (if (hasMetadata(id)) 3 else 2)
+            + (if (redirectAxis(id)) 2 else 0))
           assert(recs.forall(_.payload != null))
       }
     }
@@ -694,18 +695,36 @@ class WebCodecSpec extends SparkSuite {
     val docs = sample.toDF("doc_id", "text", "lang", "source")
     val recs = warcRecords(webWarc(docs)).orderBy("media_id", "rec_index")
       .collect()
-    assert(recs.length == sample.map(d => if (hasMetadata(d._1)) 3 else 2).sum)
+    assert(recs.length == sample.map(d =>
+      (if (hasMetadata(d._1)) 3 else 2)
+        + (if (redirectAxis(d._1)) 2 else 0)).sum)
     for (r <- recs) {
       val id = r.getAs[Long]("media_id")
       val doc = sample.find(_._1 == id).get
       val members =
-        if (id % 3 == 0) 0 else (if (hasMetadata(id)) 3 else 2)
+        if (id % 3 == 0) 0
+        else (if (hasMetadata(id)) 3 else 2) +
+          (if (redirectAxis(id)) 2 else 0)
       assert(r.getAs[Int]("gzip_members") == members, s"id=$id")
       r.getAs[String]("warc_type") match {
         case "request" =>
           assert(r.getAs[String]("http_method") == "GET")
           assert(r.getAs[Long]("body_chars") == 0L
             && r.getAs[Long]("body_ck") == 0L)
+        case "response" if r.getAs[Int]("http_status") == 301 =>
+          // the redirect fetch row (r17): alias target, Location
+          // surfaced, stub body, charset sniffed
+          assert(redirectAxis(id), s"id=$id")
+          assert(r.getAs[String]("target_uri")
+            == redirectAliasUrl(id, doc._3, doc._4))
+          assert(r.getAs[String]("location")
+            == redirectLocation(id, doc._3, doc._4))
+          assert(r.getAs[String]("charset") == ""
+            && r.getAs[String]("charset_src") == "sniff")
+          assert(r.getAs[String]("content_encoding") == "identity")
+          val stub = redirectBody(id)
+          assert(r.getAs[Long]("body_bytes") == stub.length.toLong)
+          assert(r.getAs[Long]("body_ck") == cpWeightedCk(stub))
         case "response" =>
           val html = buildHtml(id, doc._2, doc._3, doc._4)
           assert(r.getAs[Int]("http_status") == 200)
@@ -737,8 +756,10 @@ class WebCodecSpec extends SparkSuite {
         case other => fail(s"unexpected type $other")
       }
     }
-    val resp = warcResponses(webWarc(docs)).orderBy("media_id").collect()
-    assert(resp.length == sample.length)
+    val resp = warcResponses(webWarc(docs))
+      .orderBy("media_id", "http_status").collect()
+    assert(resp.length
+      == sample.length + sample.count(d => redirectAxis(d._1)))
     // quoted charset parameter (ADVICE r16): legal HTTP, unwrapped
     val quoted = parseHttpResponse(
       ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"utf-8\"\r\n" +
@@ -751,9 +772,13 @@ class WebCodecSpec extends SparkSuite {
     for (r <- resp) {
       val id = r.getAs[Long]("media_id")
       val doc = sample.find(_._1 == id).get
-      assert(r.getAs[Int]("http_status") == 200)
-      assert(r.getAs[String]("body")
-        == buildHtml(id, doc._2, doc._3, doc._4))
+      if (r.getAs[Int]("http_status") == 301)
+        assert(r.getAs[String]("body") == redirectBody(id))
+      else {
+        assert(r.getAs[Int]("http_status") == 200)
+        assert(r.getAs[String]("body")
+          == buildHtml(id, doc._2, doc._3, doc._4))
+      }
     }
   }
 

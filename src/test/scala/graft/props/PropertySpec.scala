@@ -661,12 +661,20 @@ object PropertySpec extends Properties("graft") {
     } yield (id, text, lang, source)
     Prop.forAll(gen) { case (id, text, lang, source) =>
       val W = graft.ext.WebCodec
-      val wantTypes =
+      val base =
         if (W.hasMetadata(id)) Vector("request", "response", "metadata")
         else Vector("request", "response")
+      val wantTypes = base ++
+        (if (W.redirectAxis(id)) Vector("request", "response")
+         else Vector.empty)
       W.parseWarc(W.buildWarcFile(id, text, lang, source)).exists { recs =>
         recs.map(_.warcType) == wantTypes &&
-          recs.forall(_.targetUri == W.buildUrl(id, lang, source)) &&
+          // base records target the doc URL; the appended redirect pair
+          // targets the alias
+          recs.take(base.length)
+            .forall(_.targetUri == W.buildUrl(id, lang, source)) &&
+          recs.drop(base.length).forall(
+            _.targetUri == W.redirectAliasUrl(id, lang, source)) &&
           recs(0).payload.sameElements(
             W.buildRequest(id, lang, source).getBytes("ISO-8859-1")) &&
           recs(1).payload.sameElements(

@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
 class WebSinkSpec extends SparkSuite {
   import spark.implicits._
 
+  // keyed by (media_id, http_status): since r17 a doc's WARC can carry
+  // a 3xx fetch row beside its 200 row
   private def rowMap(df: org.apache.spark.sql.DataFrame)
-  : Map[Long, (String, Int, String, Long, Long, Boolean)] =
+  : Map[(Long, Int), (String, String, Long, Long, Boolean)] =
     df.select("media_id", "host", "http_status", "body", "n_words",
       "alpha_milli", "kept").collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2),
+      .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getString(1),
         r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
       .toMap
 
@@ -71,8 +73,8 @@ class WebSinkSpec extends SparkSuite {
     val one = expected.keys.head
     val pruned = spark.read.parquet(dir)
       .where(col("web_bucket") ===
-        pmod(hash(lit(one)), lit(WebSink.defaultBuckets)))
-      .where(col("media_id") === one)
+        pmod(hash(lit(one._1)), lit(WebSink.defaultBuckets)))
+      .where(col("media_id") === one._1 && col("http_status") === one._2)
     assert(pruned.count() === 1L)
   }
 
@@ -85,9 +87,11 @@ class WebSinkSpec extends SparkSuite {
     val rows = media.select("media_id", "payload")
       .as[(Long, Array[Byte])].collect()
     def mainMap(df: org.apache.spark.sql.DataFrame) =
-      df.select("media_id", "body", "n_kept", "boiler_chars", "kept")
-        .collect().map(r => r.getLong(0) -> ((r.getString(1),
-          r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      df.select("media_id", "http_status", "body", "n_kept",
+        "boiler_chars", "kept")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4),
+            r.getBoolean(5)))).toMap
     val expected = mainMap(WebCodec.pipelineMain(media))
     assert(expected.nonEmpty)
     val mem = MemoryStream[(Long, Array[Byte])]
