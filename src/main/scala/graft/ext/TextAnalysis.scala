@@ -36,9 +36,12 @@ object TextAnalysis {
       col("n_chars"))
       .orderBy("doc_id")
 
-  /** Heuristic language ID: score each language by stopword-lexicon hits
-    * over the token stream; predict the max-scoring language with a fixed
-    * tie-break order (the lexica order). Deterministic by construction. */
+  /** Heuristic language ID (r17): token-lexicon hits for segmented
+    * languages PLUS script-range character counts for unsegmented ones
+    * (zh counts CJK Unified Ideographs — unsegmented Chinese is one
+    * whitespace token and would match no lexicon); predict the
+    * max-scoring language with a fixed tie-break order. Deterministic
+    * by construction. */
   // The token array is materialized behind its own projection (referenced
   // once per lexicon, so CollapseProject keeps the boundary) and the scan
   // is parallelized: an inline `wsTokens(...)` here would re-tokenize per
@@ -48,14 +51,15 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame = {
     val withToks = scanParallel(docs).select(
       col("doc_id"), col("lang").as("labeled_lang"),
-      wsTokens(lower(col("text"))).as("toks"))
+      wsTokens(lower(col("text"))).as("toks"), col("text").as("txt"))
     val scored = withToks.select(
       (col("doc_id") +: col("labeled_lang") +:
-        langLexica.map { case (l, lex) => lexiconHits(col("toks"), lex).as(s"s_$l") }): _*)
-    // predicted = first language (in lexica order) achieving the max score
-    val predicted = langLexica.map(_._1).foldRight(lit("und")) {
+        TextOps.langScores(col("toks"), col("txt"))
+          .map { case (l, c) => c.as(s"s_$l") }): _*)
+    // predicted = first language (in scorer order) achieving the max score
+    val predicted = TextOps.langNames.foldRight(lit("und")) {
       case (l, rest) =>
-        val isMax = langLexica.map(_._1).foldLeft(lit(true)) {
+        val isMax = TextOps.langNames.foldLeft(lit(true)) {
           case (acc, other) => acc && col(s"s_$l") >= col(s"s_$other")
         }
         when(isMax, lit(l)).otherwise(rest)

@@ -62,11 +62,46 @@ object TextOps {
 
   /** Small public stopword lexica for the lang-id heuristic (top function
     * words per language — common knowledge lists, not derived from any
-    * corpus). */
+    * corpus). Kept for the stopword-ratio features (quality scoring
+    * reads the "en" entry); lang-id scoring itself now goes through
+    * [[langScores]]. */
   val langLexica: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "es" -> Seq("el", "la", "que", "los", "una", "por", "con", "para"),
     "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "pour"),
     "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "他"))
+
+  /** Token-lexicon-scored languages: whitespace-segmented scripts where
+    * whole-token function-word hits are the discriminating signal. */
+  val tokenLangLexica: Seq[(String, Seq[String])] =
+    langLexica.filterNot(_._1 == "zh")
+
+  /** Script-range-scored languages (r17, VERDICT r16 item 4): for
+    * UNSEGMENTED writing systems, whole-token lexicon matching is
+    * structurally blind — an unsegmented Chinese sentence is ONE
+    * whitespace token and matches nothing, so real CJK text landed in
+    * `und`. Character-level script counting (the first stage of
+    * fastText-style lang-id: which script is this?) classifies it and
+    * is pure-Column in both regex dialects (`\x{...}` ranges are RE2-
+    * and java.util.regex-portable). zh counts CJK Unified Ideographs;
+    * the range is the public Unicode block, not a derived profile. */
+  val scriptLangRanges: Seq[(String, String)] = Seq(
+    "zh" -> "[\\x{4E00}-\\x{9FFF}]")
+
+  /** The ordered lang-id score columns over (whitespace tokens, raw
+    * text): token-lexicon hits for segmented languages, script-range
+    * char counts for unsegmented ones. Order defines the argmax
+    * tie-break (first wins), matching the pre-r17 lexica order.
+    * (DuckDB twins: `len(list_filter(toks, …))` /
+    * `len(regexp_extract_all(txt, range))`.) */
+  def langScores(toks: Column, txt: Column): Seq[(String, Column)] =
+    tokenLangLexica.map { case (l, lex) => l -> lexiconHits(toks, lex) } ++
+      scriptLangRanges.map { case (l, re) =>
+        l -> regexp_count(txt, lit(re)).cast("int")
+      }
+
+  /** The lang names in scoring/tie-break order. */
+  val langNames: Seq[String] =
+    tokenLangLexica.map(_._1) ++ scriptLangRanges.map(_._1)
 }

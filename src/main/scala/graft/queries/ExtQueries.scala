@@ -95,6 +95,29 @@ z AS (SELECT xk, yk, (xe | (ye << 1)) AS zv FROM s4)"""
 
   private val enLex = lexSql(graft.ext.TextOps.langLexica.toMap.apply("en"))
 
+  /** Shared lang-id scoring SQL (r17): token-lexicon hits for segmented
+    * languages, script-range char counts for unsegmented ones — twins
+    * of TextOps.langScores over (toksExpr, txtExpr). ONE generator
+    * feeding lang_id / lang_id_accuracy / lang_confusion /
+    * web_lang_mix(_served). */
+  private def langScoresSql(toksExpr: String, txtExpr: String): String =
+    (graft.ext.TextOps.tokenLangLexica.map { case (l, lex) =>
+      s"len(list_filter($toksExpr, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
+    } ++ graft.ext.TextOps.scriptLangRanges.map { case (l, re) =>
+      s"len(regexp_extract_all($txtExpr, '$re')) AS s_$l"
+    }).mkString(",\n       ")
+
+  private lazy val langColsSql: String =
+    graft.ext.TextOps.langNames.map("s_" + _).mkString(", ")
+
+  private lazy val langCaseSql: String = {
+    val langs = graft.ext.TextOps.langNames
+    langs.map { l =>
+      val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n         ")
+  }
+
   // 64-dim literal dot products (left-to-right sum == Spark's left fold).
   private def dotSql(a: String, b: String): String =
     (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
@@ -1139,6 +1162,107 @@ SELECT e.doc_id AS media_id, e.entry_index, e.name,
 FROM e LEFT JOIN cks k USING (doc_id, entry_index)
 ORDER BY media_id, entry_index"""
 
+  /** The language-mix rollup over a (kept-gated) main-content fetch
+    * table — shared by web_lang_mix (batch front door) and
+    * web_lang_mix_served (the streamed WebSink table): score each kept
+    * body with TextOps.langScores (token lexica + script ranges, r17),
+    * argmax with the fixed tie-break, roll up per registered domain. */
+  private def langMixOver(pm: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val T = graft.ext.TextOps
+    val kept = pm.where(col("kept"))
+      .select(col("media_id"),
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"),
+        T.wsTokens(lower(col("body"))).as("toks"), col("body"))
+    val scored = kept.select(
+      (col("media_id") +: col("domain") +:
+        T.langScores(col("toks"), col("body"))
+          .map { case (l, c) => c.as(s"s_$l") }): _*)
+    val predicted = T.langNames.foldRight(lit("und")) { case (l, rest) =>
+      val isMax = T.langNames.foldLeft(lit(true)) { case (acc, o) =>
+        acc && col(s"s_$l") >= col(s"s_$o") }
+      when(isMax, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted_lang", predicted)
+      .groupBy("domain", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("domain", "predicted_lang")
+  }
+
+  /** The shared web_lang_mix oracle (batch and served twins). */
+  private lazy val webLangMixSql: String =
+    s"""WITH $webMainChainSql,
+kd AS (SELECT doc_id, 'example' || (doc_id % 7)::VARCHAR || '.com'
+         AS domain, body,
+         string_split_regex(trim(lower(body)), '\\s+') AS toks
+       FROM g WHERE http_status = 200
+         AND n_words >= 40 AND alpha_milli >= 900),
+sc AS (SELECT doc_id, domain,
+         ${langScoresSql("toks", "body")} FROM kd),
+pr AS (SELECT domain, CASE $langCaseSql ELSE 'und' END AS predicted_lang
+       FROM sc)
+SELECT domain, predicted_lang, count(*)::BIGINT AS n_docs
+FROM pr GROUP BY 1, 2 ORDER BY domain, predicted_lang"""
+
+  /** The shared web_funnel oracle (batch and served twins). */
+  private lazy val webFunnelSql: String =
+    s"""WITH $webMainChainSql,
+v AS (SELECT g.doc_id, g.http_status, g.boiler_chars,
+        (g.http_status = 200 AND g.n_words >= 40
+          AND g.alpha_milli >= 900) AS kept,
+        doc_id % 7 AS kdom,
+        substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
+        doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9
+      FROM g),
+a AS (SELECT doc_id, http_status, kdom, boiler_chars, kept,
+        CASE WHEN kdom % 5 = 0 THEN NOT sw9
+             WHEN kdom = 1 THEN FALSE
+             WHEN kdom = 3 THEN NOT e9
+             WHEN kdom = 4 THEN NOT e7
+             WHEN kdom = 6 THEN NOT e9
+             ELSE TRUE END AS allowed
+      FROM v)
+SELECT 'example' || kdom::VARCHAR || '.com' AS domain,
+       sum(CASE WHEN http_status = 200 THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs,
+       sum(CASE WHEN http_status >= 300 AND http_status < 400
+           THEN 1 ELSE 0 END)::BIGINT AS n_redirects,
+       sum(CASE WHEN allowed AND http_status = 200 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_allowed,
+       sum(CASE WHEN allowed AND kept THEN 1 ELSE 0 END)::BIGINT
+         AS n_corpus,
+       sum(CASE WHEN allowed AND http_status = 200
+           THEN boiler_chars ELSE 0 END)::BIGINT AS boiler_removed
+FROM a GROUP BY 1 ORDER BY domain"""
+
+  /** The crawl funnel over a main-content fetch table — shared by
+    * web_funnel (batch front door) and web_funnel_served (streamed
+    * WebSink table): per domain — fetched (200), redirected (3xx),
+    * robots-admitted, quality-kept, boilerplate removed. */
+  private def funnelOver(s: SparkSession, d: String,
+      pm0: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gate = graft.ext.WebCodec.robotsGate(docs(s, d))
+      .select(col("media_id"), col("domain"), col("allowed"))
+    val pm = pm0.select(col("media_id"), col("http_status"), col("kept"),
+      col("boiler_chars"))
+    val ok = col("http_status") === 200
+    val redir = col("http_status") >= 300 && col("http_status") < 400
+    gate.join(pm, Seq("media_id"))
+      .groupBy("domain")
+      .agg(sum(ok.cast("long")).cast("long").as("n_docs"),
+        sum(redir.cast("long")).cast("long").as("n_redirects"),
+        sum((col("allowed") && ok).cast("long")).cast("long")
+          .as("n_allowed"),
+        sum((col("allowed") && col("kept")).cast("long")).cast("long")
+          .as("n_corpus"),
+        sum(when(col("allowed") && ok, col("boiler_chars"))
+          .otherwise(lit(0L))).cast("long").as("boiler_removed"))
+      .orderBy("domain")
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ------------------------------------------------------------- dedup
@@ -1655,69 +1779,44 @@ FROM documents ORDER BY doc_id""")),
 
     ("lang_id",
       (s: SparkSession, d: String) => TextAnalysis.langId(docs(s, d)),
-      Some {
-        val scores = graft.ext.TextOps.langLexica.map { case (l, lex) =>
-          s"len(list_filter(toks, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
-        }.mkString(",\n       ")
-        val langs = graft.ext.TextOps.langLexica.map(_._1)
-        val cases = langs.map { l =>
-          val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $conds THEN '$l'"
-        }.mkString("\n         ")
-        s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+           $toksSql AS toks FROM documents),
 sc AS (SELECT doc_id, labeled_lang,
-       $scores
+       ${langScoresSql("toks", "text")}
 FROM t)
-SELECT doc_id, labeled_lang, s_en, s_de, s_es, s_fr, s_zh,
-       CASE $cases
+SELECT doc_id, labeled_lang, $langColsSql,
+       CASE $langCaseSql
          ELSE 'und' END AS predicted_lang,
-       CASE WHEN (CASE $cases
+       CASE WHEN (CASE $langCaseSql
          ELSE 'und' END) = labeled_lang THEN 1 ELSE 0 END AS correct
-FROM sc ORDER BY doc_id"""
-      }),
+FROM sc ORDER BY doc_id""")),
 
     ("lang_id_accuracy",
       (s: SparkSession, d: String) => TextAnalysis.langIdAccuracy(docs(s, d)),
-      Some {
-        val langs = graft.ext.TextOps.langLexica.map(_._1)
-        val scores = graft.ext.TextOps.langLexica.map { case (l, lex) =>
-          s"len(list_filter(toks, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
-        }.mkString(",\n       ")
-        val cases = langs.map { l =>
-          val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $conds THEN '$l'"
-        }.mkString("\n         ")
-        s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents),
-sc AS (SELECT doc_id, labeled_lang, $scores FROM t),
+      Some(s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+           $toksSql AS toks FROM documents),
+sc AS (SELECT doc_id, labeled_lang,
+       ${langScoresSql("toks", "text")} FROM t),
 pr AS (SELECT labeled_lang,
-       CASE WHEN (CASE $cases ELSE 'und' END) = labeled_lang
+       CASE WHEN (CASE $langCaseSql ELSE 'und' END) = labeled_lang
             THEN 1 ELSE 0 END AS correct
 FROM sc)
 SELECT labeled_lang, count(*) AS n_docs, (sum(correct))::BIGINT AS n_correct,
        sum(correct)::DOUBLE / count(*) AS accuracy
-FROM pr GROUP BY labeled_lang ORDER BY labeled_lang"""
-      }),
+FROM pr GROUP BY labeled_lang ORDER BY labeled_lang""")),
 
     // Language-ID confusion matrix: which languages get mistaken for which.
     ("lang_confusion",
       (s: SparkSession, d: String) => TextAnalysis.langConfusion(docs(s, d)),
-      Some {
-        val langs = graft.ext.TextOps.langLexica.map(_._1)
-        val scores = graft.ext.TextOps.langLexica.map { case (l, lex) =>
-          s"len(list_filter(toks, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
-        }.mkString(",\n       ")
-        val cases = langs.map { l =>
-          val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $conds THEN '$l'"
-        }.mkString("\n         ")
-        s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents),
-sc AS (SELECT doc_id, labeled_lang, $scores FROM t),
+      Some(s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+           $toksSql AS toks FROM documents),
+sc AS (SELECT doc_id, labeled_lang,
+       ${langScoresSql("toks", "text")} FROM t),
 pr AS (SELECT labeled_lang,
-              CASE $cases ELSE 'und' END AS predicted_lang
+              CASE $langCaseSql ELSE 'und' END AS predicted_lang
        FROM sc)
 SELECT labeled_lang, predicted_lang, count(*) AS n_docs
-FROM pr GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang"""
-      }),
+FROM pr GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang""")),
 
     // Vocabulary coverage curve: token-occurrence share of the top-k
     // vocab for k ∈ {10, 50, 100, 500} — the vocab-sizing statistic.
@@ -7076,56 +7175,18 @@ FROM g ORDER BY media_id, http_status""")),
     // 7-group rollup. The oracle chains the shared main-content CTE
     // with the robots decision table and aggregates.
     ("web_funnel",
-      (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.functions._
-        val W = graft.ext.WebCodec
-        val gate = W.robotsGate(docs(s, d))
-          .select(col("media_id"), col("domain"), col("allowed"))
-        val pm = W.pipelineMain(W.webWarc(docs(s, d)))
-          .select(col("media_id"), col("http_status"), col("kept"),
-            col("boiler_chars"))
-        val ok = col("http_status") === 200
-        val redir = col("http_status") >= 300 && col("http_status") < 400
-        gate.join(pm, Seq("media_id"))
-          .groupBy("domain")
-          .agg(sum(ok.cast("long")).cast("long").as("n_docs"),
-            sum(redir.cast("long")).cast("long").as("n_redirects"),
-            sum((col("allowed") && ok).cast("long")).cast("long")
-              .as("n_allowed"),
-            sum((col("allowed") && col("kept")).cast("long")).cast("long")
-              .as("n_corpus"),
-            sum(when(col("allowed") && ok, col("boiler_chars"))
-              .otherwise(lit(0L))).cast("long").as("boiler_removed"))
-          .orderBy("domain")
-      },
-      Some(s"""WITH $webMainChainSql,
-v AS (SELECT g.doc_id, g.http_status, g.boiler_chars,
-        (g.http_status = 200 AND g.n_words >= 40
-          AND g.alpha_milli >= 900) AS kept,
-        doc_id % 7 AS kdom,
-        substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
-        doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9
-      FROM g),
-a AS (SELECT doc_id, http_status, kdom, boiler_chars, kept,
-        CASE WHEN kdom % 5 = 0 THEN NOT sw9
-             WHEN kdom = 1 THEN FALSE
-             WHEN kdom = 3 THEN NOT e9
-             WHEN kdom = 4 THEN NOT e7
-             WHEN kdom = 6 THEN NOT e9
-             ELSE TRUE END AS allowed
-      FROM v)
-SELECT 'example' || kdom::VARCHAR || '.com' AS domain,
-       sum(CASE WHEN http_status = 200 THEN 1 ELSE 0 END)::BIGINT
-         AS n_docs,
-       sum(CASE WHEN http_status >= 300 AND http_status < 400
-           THEN 1 ELSE 0 END)::BIGINT AS n_redirects,
-       sum(CASE WHEN allowed AND http_status = 200 THEN 1 ELSE 0 END)
-         ::BIGINT AS n_allowed,
-       sum(CASE WHEN allowed AND kept THEN 1 ELSE 0 END)::BIGINT
-         AS n_corpus,
-       sum(CASE WHEN allowed AND http_status = 200
-           THEN boiler_chars ELSE 0 END)::BIGINT AS boiler_removed
-FROM a GROUP BY 1 ORDER BY domain""")),
+      (s: SparkSession, d: String) =>
+        funnelOver(s, d, graft.ext.WebCodec.pipelineMain(
+          graft.ext.WebCodec.webWarc(docs(s, d)))),
+      Some(webFunnelSql)),
+
+    // The funnel SERVED from the streamed WebSink main table (r17) —
+    // observability without re-deriving the front door per query; same
+    // one-code-path posture, same oracle.
+    ("web_funnel_served",
+      (s: SparkSession, d: String) =>
+        funnelOver(s, d, graft.sinks.WebSink.materializedMain(s, d)),
+      Some(webFunnelSql)),
 
     // Redirect CHASE (r17): every 3xx fetch's Location target, resolved
     // for the frontier — canonicalize the (deliberately non-canonical)
@@ -7267,50 +7328,20 @@ FROM d ORDER BY media_id""")),
     // scoring CASE used by the lang_id oracles.
     ("web_lang_mix",
       (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.functions._
         val W = graft.ext.WebCodec
-        val T = graft.ext.TextOps
-        val kept = W.pipelineMain(W.webWarc(docs(s, d)))
-          .where(col("kept"))
-          .select(col("media_id"),
-            regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"),
-            T.wsTokens(lower(col("body"))).as("toks"))
-        val langs = graft.ext.TextOps.langLexica.map(_._1)
-        val scored = kept.select(
-          (col("media_id") +: col("domain") +:
-            T.langLexica.map { case (l, lex) =>
-              T.lexiconHits(col("toks"), lex).as(s"s_$l") }): _*)
-        val predicted = langs.foldRight(lit("und")) { case (l, rest) =>
-          val isMax = langs.foldLeft(lit(true)) { case (acc, o) =>
-            acc && col(s"s_$l") >= col(s"s_$o") }
-          when(isMax, lit(l)).otherwise(rest)
-        }
-        scored.withColumn("predicted_lang", predicted)
-          .groupBy("domain", "predicted_lang")
-          .agg(count(lit(1)).as("n_docs"))
-          .orderBy("domain", "predicted_lang")
+        langMixOver(W.pipelineMain(W.webWarc(docs(s, d))))
       },
-      Some {
-        val scores = graft.ext.TextOps.langLexica.map { case (l, lex) =>
-          s"len(list_filter(toks, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
-        }.mkString(",\n       ")
-        val langs = graft.ext.TextOps.langLexica.map(_._1)
-        val cases = langs.map { l =>
-          val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $conds THEN '$l'"
-        }.mkString("\n         ")
-        s"""WITH $webMainChainSql,
-kd AS (SELECT doc_id, 'example' || (doc_id % 7)::VARCHAR || '.com'
-         AS domain,
-         string_split_regex(trim(lower(body)), '\\s+') AS toks
-       FROM g WHERE http_status = 200
-         AND n_words >= 40 AND alpha_milli >= 900),
-sc AS (SELECT doc_id, domain, $scores FROM kd),
-pr AS (SELECT domain, CASE $cases ELSE 'und' END AS predicted_lang
-       FROM sc)
-SELECT domain, predicted_lang, count(*)::BIGINT AS n_docs
-FROM pr GROUP BY 1, 2 ORDER BY domain, predicted_lang"""
-      }),
+      Some(webLangMixSql)),
+
+    // The same language mix SERVED from the streamed WebSink main table
+    // (r17, VERDICT r16 item 5): the batch twin re-derives the whole
+    // front door per query (~5 s at sf0.1, correct for oracle honesty);
+    // serving reads the already-streamed main-content table — the
+    // media_embedding_topk_served pattern — under the SAME oracle.
+    ("web_lang_mix_served",
+      (s: SparkSession, d: String) =>
+        langMixOver(graft.sinks.WebSink.materializedMain(s, d)),
+      Some(webLangMixSql)),
 
     // Crawl SCHEDULING (r16): the politeness budget a fetcher plans
     // with — per domain, the SELECTED group's Crawl-delay (the named

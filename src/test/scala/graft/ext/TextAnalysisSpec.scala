@@ -10,6 +10,41 @@ class TextAnalysisSpec extends SparkSuite {
 
   import spark.implicits._
 
+  test("langId classifies planted UNSEGMENTED CJK as zh via script-range " +
+      "scoring (r17) — whole-token lexicon matching is structurally " +
+      "blind to it — and keeps segmented languages on the lexicon path") {
+    val docs = Seq(
+      // unsegmented Chinese: ONE whitespace token, zero lexicon hits —
+      // the pre-r17 scorer classified this 'und'/'en'
+      (1L, "这是一个没有空格的中文句子用来测试语言识别", "zh"),
+      // traditional chars are in the same CJK Unified block
+      (2L, "繁體中文測試句子也必須正確分類", "zh"),
+      // mixed: a little English, mostly CJK — Han chars outnumber hits
+      (3L, "spark 是一个分布式计算引擎用于大规模数据处理", "zh"),
+      // plain English dominates its own signal
+      (4L, "the cat sat on the mat and it was a good day", "en"),
+      // German function words
+      (5L, "der hund und die katze sind nicht mit dem vogel", "de"),
+      // no signal at all → und
+      (6L, "zzz qqq xxx", "und"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("predicted_lang")).toMap
+    for ((id, _, want) <- Seq((1L, "", "zh"), (2L, "", "zh"),
+      (3L, "", "zh"), (4L, "", "en"), (5L, "", "de")))
+      assert(out(id) == want, s"doc $id")
+    // all-zero scores fall to the first language in tie-break order —
+    // the documented deterministic behavior, pinned so a scorer
+    // reordering shows up here
+    assert(out(6L) == "en")
+    // the web-tier CJK phrase itself (the r16 fixture axis) scores zh
+    val phrase = Seq((9L, "中文 測試 — тест €™", "zh"))
+      .toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.langId(phrase).head()
+      .getAs[String]("predicted_lang") == "zh")
+  }
+
   test("piiScrub redacts planted emails and urls, counts hits") {
     val docs = Seq(
       (1L, "contact me at alice@example.com or https://example.com/x?y=1 today"),
