@@ -161,6 +161,11 @@ object Bench {
     warmUp("media-sink")(graft.sinks.MediaSink.materialized(spark, sfDir))
     warmUp("ann-media")(graft.sinks.MediaSink.annIndexed(spark, sfDir))
     warmUp("web-sink")(graft.sinks.WebSink.materialized(spark, sfDir))
+    // the r17 served twins (web_lang_mix_served / web_funnel_served /
+    // web_pipeline_main_materialized) read the MAIN-content table —
+    // built here so they time serving, not the build
+    warmUp("web-sink-main")(
+      graft.sinks.WebSink.materializedMain(spark, sfDir))
     // the round-10 shared-artifact memos are one-time build costs with
     // the same write-path character as the indexes above: built here so
     // the timed queries measure SERVING the shared artifact, not which
