@@ -363,8 +363,16 @@ object WebCodec {
     def bodyText: String = decodeText(body, charset)
   }
 
+  /** Both in-document charset declaration forms (r17): the HTML5
+    * `<meta charset=...>` AND the older — and on the real web far more
+    * common — `<meta http-equiv="Content-Type" content="text/html;
+    * charset=...">` pragma. One pattern, two capture groups; the
+    * prescan takes whichever matched first. */
   private val MetaCharsetRe = java.util.regex.Pattern.compile(
-    "<meta\\s+charset=[\"']?([A-Za-z0-9_-]+)", java.util.regex.Pattern.CASE_INSENSITIVE)
+    "<meta\\s+charset=[\"']?([A-Za-z0-9_-]+)" +
+      "|<meta\\s+http-equiv=[\"']?content-type[\"']?\\s+" +
+      "content=[\"']?[^\"'>]*charset=([A-Za-z0-9_-]+)",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
 
   // ------------------------------------------------------------------
   // windows-1252 (WHATWG encoding standard) — the charset the real web
@@ -455,7 +463,9 @@ object WebCodec {
         val prefix = new String(entity, 0, math.min(1024, entity.length),
           "ISO-8859-1")
         val m = MetaCharsetRe.matcher(prefix)
-        if (m.find()) (m.group(1).toLowerCase, "meta")
+        if (m.find())
+          ((if (m.group(1) != null) m.group(1) else m.group(2)).toLowerCase,
+            "meta")
         else ("", "sniff")
     }
 
@@ -759,6 +769,12 @@ object WebCodec {
   def buildHtml(id: Long, text: String, lang: String, source: String): String =
     s"""<html><head><title>Doc $id [$source]</title>""" +
       (if (metaOmitsCharset(id)) ""
+       // meta FORM axis (r17): id%3==0 declares via the http-equiv
+       // pragma (the older, more common form on the real web), the
+       // rest via HTML5 <meta charset>
+       else if (id % 3 == 0)
+         s"""<meta http-equiv="Content-Type" content="text/html; """ +
+           s"""charset=${charsetOf(id)}">"""
        else s"""<meta charset="${charsetOf(id)}">""") +
       """<style>body {color: red;}</style>""" +
       """<script>var u = "x < y && z > 0";</script></head><body>""" +
@@ -1373,15 +1389,19 @@ object WebCodec {
     concat(
       lit("<html><head><title>Doc "), id.cast("string"),
       lit(" ["), source, lit("]</title>"),
-      // meta tag: omitted on the sniff axis; charset label per the
-      // r17 wire axis (iso-8859-1 / windows-1252 / utf-8)
+      // meta tag: omitted on the sniff axis; http-equiv pragma form on
+      // id%3==0; charset label per the r17 wire axis
       when((id % 7 === 5) && (id % 2 === 0), lit(""))
-        .otherwise(concat(lit("<meta charset=\""),
-          when(id % 5 === 2,
+        .otherwise {
+          val label = when(id % 5 === 2,
             when(id % 10 === 2, lit("windows-1252"))
               .otherwise(lit("iso-8859-1")))
-            .otherwise(lit("utf-8")),
-          lit("\">"))),
+            .otherwise(lit("utf-8"))
+          when(id % 3 === 0,
+            concat(lit("<meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset="), label, lit("\">")))
+            .otherwise(concat(lit("<meta charset=\""), label, lit("\">")))
+        },
       lit("<style>body {color: red;}</style>"),
       lit("<script>var u = \"x < y && z > 0\";</script></head><body>"),
       lit("<nav><a href=\"/home\">Home</a> <a href=\"/about\">About</a></nav>"),

@@ -934,6 +934,12 @@ ORDER BY q_id, rnk"""
   private val webHtmlExpr =
     s"""'<html><head><title>Doc ' || doc_id::VARCHAR || ' [' || source || ']</title>'
     || (CASE WHEN doc_id % 7 = 5 AND doc_id % 2 = 0 THEN ''
+        WHEN doc_id % 3 = 0 THEN
+          '<meta http-equiv="Content-Type" content="text/html; charset=' ||
+          (CASE WHEN doc_id % 5 = 2 THEN
+             (CASE WHEN doc_id % 10 = 2 THEN 'windows-1252'
+                   ELSE 'iso-8859-1' END)
+           ELSE 'utf-8' END) || '">'
         ELSE '<meta charset="' ||
           (CASE WHEN doc_id % 5 = 2 THEN
              (CASE WHEN doc_id % 10 = 2 THEN 'windows-1252'

@@ -165,6 +165,27 @@ class WebCodecSpec extends SparkSuite {
       && (m30.body(2) & 0xff) == 0xbf)
     assert(m30.body.length == html30.getBytes("UTF-8").length + 3)
     assert(m30.bodyText == html30) // BOM is a signature, not content
+    // http-equiv pragma form (r17): id 72 → %7==2 (header omits),
+    // %5==2 + %10==2 (windows-1252 label), %3==0 (http-equiv form) —
+    // the charset resolves from the PRAGMA meta, not <meta charset>
+    val html72 = buildHtml(72L, "words", "en", "src0")
+    assert(html72.contains("http-equiv=\"Content-Type\"")
+      && !html72.contains("<meta charset"))
+    val m72 = parseHttpResponse(buildResponse(72L, "words", "en", "src0")).get
+    assert(m72.charset == "windows-1252" && m72.charsetSrc == "meta")
+    assert(m72.bodyText == html72)
+    // id 33 → %7==5 odd (meta-resolved), %3==0 (pragma), %5==3 (gzip
+    // entity): pragma meta through a content-coded body
+    val m33 = parseHttpResponse(buildResponse(33L, "words", "en", "src0")).get
+    assert(m33.charset == "utf-8" && m33.charsetSrc == "meta")
+    // standalone pragma parse, quoted + charset attr mixed case
+    val pragma = ("<html><head><meta http-equiv='Content-Type' " +
+      "content='text/html; charset=ISO-8859-1'></head>" +
+      "<body>café</body></html>").getBytes("ISO-8859-1")
+    val pm = parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nContent-Length: " + pragma.length +
+        "\r\n\r\n").getBytes("ISO-8859-1") ++ pragma).get
+    assert(pm.charset == "iso-8859-1" && pm.charsetSrc == "meta")
     // sniff: cp1252 bytes with NO header charset and NO meta tag fall
     // back cleanly, reported as sniffed — 0x80-0x9F decode per WHATWG
     val latin = encodeCp1252("café ±5° — ‘x’ €")
