@@ -903,11 +903,15 @@ object WebCodec {
   def redirectAliasUrl(id: Long, lang: String, source: String): String =
     s"https://www.$source.example${id % 7}.com/r/$id"
 
-  /** The Location header value — deliberately a NON-canonical spelling
-    * of [[buildUrl]]'s document URL (scheme case + default port), so
-    * only [[urlCanonicalCol]] equates them. */
+  /** The Location header value. Two real-web forms (r17): odd redirect
+    * ids ship a deliberately NON-canonical ABSOLUTE spelling (scheme
+    * case + default port — only [[urlCanonicalCol]] equates it with
+    * the capture); even ids ship a RELATIVE absolute-path reference
+    * ("/docs/<id>?…"), which the chase must RESOLVE against the alias
+    * base per RFC 3986 §5 before canonicalizing. */
   def redirectLocation(id: Long, lang: String, source: String): String =
-    s"HTTPS://www.$source.example${id % 7}.com:443/docs/$id" +
+    if (id % 2 == 0) s"/docs/$id?lang=$lang&ref=feed"
+    else s"HTTPS://www.$source.example${id % 7}.com:443/docs/$id" +
       s"?lang=$lang&ref=feed"
 
   /** The 3xx stub entity — tiny, block-free, charset-undeclared (it
@@ -1978,6 +1982,30 @@ object WebCodec {
     val query = pctNormCol(regexp_extract(noFrag, "\\?([^#]*)", 1))
     concat(scheme, lit("://"), host, path,
       when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+  }
+
+  /** RFC 3986 §5.2 reference resolution (syntax subset), pure Column:
+    * a ref with a scheme is already absolute; "//host/…" adopts the
+    * base scheme (network-path); "/…" adopts the base origin
+    * (absolute-path — the form real Location headers use); an empty
+    * ref is the base sans fragment; anything else is a relative path
+    * merged onto the base path's directory (§5.3 merge; the later
+    * [[urlCanonicalCol]] pass removes any dot segments the merge
+    * introduces). */
+  def urlResolveCol(base: Column, ref: Column): Column = {
+    val scheme = lower(regexp_extract(base, "^([A-Za-z]+)://", 1))
+    val origin = regexp_extract(base, "^([A-Za-z]+://[^/?#]+)", 1)
+    // base path up to and including its LAST '/' (greedy), fragment
+    // and query stripped first; empty (no path) merges at the root
+    val baseDir = regexp_extract(
+      regexp_replace(base, "[?#].*$", ""),
+      "^[A-Za-z]+://[^/?#]+(.*/)", 1)
+    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"), ref)
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(origin, ref))
+      .when(ref === "", regexp_replace(base, "#.*$", ""))
+      .otherwise(concat(origin,
+        when(baseDir === "", lit("/")).otherwise(baseDir), ref))
   }
 
   /** URL normalization: drop the fragment, lowercase scheme+host, strip

@@ -6880,9 +6880,14 @@ recs AS (
          strlen('<html><body>Moved to /docs/' || d.doc_id::VARCHAR
            || '</body></html>'),
          301, '', 'identity', 'identity', '', 'sniff',
-         'HTTPS://www.' || d.source || '.example'
-           || (d.doc_id % 7)::VARCHAR || '.com:443/docs/'
-           || d.doc_id::VARCHAR || '?lang=' || d.lang || '&ref=feed'
+         CASE WHEN d.doc_id % 2 = 0 THEN
+           '/docs/' || d.doc_id::VARCHAR || '?lang=' || d.lang
+             || '&ref=feed'
+         ELSE
+           'HTTPS://www.' || d.source || '.example'
+             || (d.doc_id % 7)::VARCHAR || '.com:443/docs/'
+             || d.doc_id::VARCHAR || '?lang=' || d.lang || '&ref=feed'
+         END
   FROM documents d WHERE d.doc_id % 9 = 4),
 chars AS (SELECT doc_id, rec_index, u.i AS i,
                  ascii(substr(txt, (u.i + 1)::INT, 1)) AS c
@@ -7213,7 +7218,10 @@ FROM g ORDER BY media_id, http_status""")),
           .where(col("http_status") >= 300 && col("http_status") < 400)
           .select(col("media_id"), col("target_uri").as("alias_uri"),
             col("location"),
-            W.urlCanonicalCol(col("location")).as("target_canonical"))
+            // resolve FIRST (relative Locations are legal and common),
+            // then canonicalize — the two-step a real chase runs
+            W.urlCanonicalCol(W.urlResolveCol(col("target_uri"),
+              col("location"))).as("target_canonical"))
         val fetched = recs.where(col("http_status") === 200)
           .select(W.urlCanonicalCol(col("target_uri"))
             .as("fetched_canonical"))
@@ -7235,8 +7243,12 @@ FROM g ORDER BY media_id, http_status""")),
 SELECT doc_id AS media_id,
   'https://www.' || source || '.example' || k::VARCHAR || '.com/r/'
     || doc_id::VARCHAR AS alias_uri,
-  'HTTPS://www.' || source || '.example' || k::VARCHAR || '.com:443/docs/'
-    || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed' AS location,
+  CASE WHEN doc_id % 2 = 0 THEN
+    '/docs/' || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed'
+  ELSE
+    'HTTPS://www.' || source || '.example' || k::VARCHAR || '.com:443/docs/'
+      || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed'
+  END AS location,
   'https://www.' || lower(source) || '.example' || k::VARCHAR
     || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed'
     AS target_canonical,

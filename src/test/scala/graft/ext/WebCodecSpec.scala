@@ -509,6 +509,39 @@ class WebCodecSpec extends SparkSuite {
     assert(twice.toSeq == cases.map(_._2))
   }
 
+  test("urlResolveCol (r17): RFC 3986 §5 reference resolution — scheme/" +
+      "network-path/absolute-path/empty/relative-path refs against a " +
+      "base, composing with canonicalization for dot segments") {
+    val sp = spark
+    import sp.implicits._
+    val base = "https://www.ex.com/r/17?q=1#frag"
+    val cases = Seq(
+      // absolute ref wins outright
+      "http://other.org/x" -> "http://other.org/x",
+      // network-path adopts the base scheme
+      "//cdn.ex.com/y" -> "https://cdn.ex.com/y",
+      // absolute-path adopts the base origin (the Location form)
+      "/docs/17?lang=en" -> "https://www.ex.com/docs/17?lang=en",
+      // empty ref = base sans fragment
+      "" -> "https://www.ex.com/r/17?q=1",
+      // relative path merges onto the base path's directory
+      "sub/page" -> "https://www.ex.com/r/sub/page",
+      "../docs/17" -> "https://www.ex.com/r/../docs/17")
+    val out = cases.map(_._1).toDF("ref")
+      .select(urlResolveCol(lit(base), col("ref")))
+      .collect().map(_.getString(0))
+    for (((in, want), got) <- cases.zip(out))
+      assert(got == want, s"ref: $in")
+    // a host-only base merges relative refs at the root
+    assert(Seq("p").toDF("r")
+      .select(urlResolveCol(lit("https://h.com"), col("r")))
+      .head().getString(0) == "https://h.com/p")
+    // resolve → canonicalize removes merge-introduced dot segments
+    assert(Seq("../docs/17").toDF("r")
+      .select(urlCanonicalCol(urlResolveCol(lit(base), col("r"))))
+      .head().getString(0) == "https://www.ex.com/docs/17")
+  }
+
   test("wet: conversion records round-trip the extracted text across " +
       "all gzip variants, and extractedText is the Column chain's twin") {
     val sp = spark
