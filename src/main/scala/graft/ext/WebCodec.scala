@@ -1715,6 +1715,24 @@ object WebCodec {
       Some((groups.toMap, delays.toMap))
     }
 
+    /** `Sitemap:` directive values (r17) — per RFC 9309 these are
+      * FILE-level lines, not group members: collected wherever they
+      * appear, case-insensitive key, order preserved. This is how a
+      * real crawler DISCOVERS the sitemap index; the frontier chains
+      * from here instead of assuming a location. */
+    def parseSitemapUrls(text: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      for (raw <- text.split("\n", -1)) {
+        val line = raw.takeWhile(_ != '#').trim
+        val k = line.indexOf(':')
+        if (k > 0 && line.substring(0, k).trim.toLowerCase == "sitemap") {
+          val v = line.substring(k + 1).trim
+          if (v.nonEmpty) out += v
+        }
+      }
+      out.result()
+    }
+
     /** The group key the agent resolves to: longest named group that
       * prefixes the product token, else "*", else "" (no group). */
     def selectGroup(groupKeys: Iterable[String], agent: String): String = {
@@ -1757,6 +1775,9 @@ object WebCodec {
   def buildRobots(k: Long): String = {
     val sb = new StringBuilder
     sb ++= "# synth robots for example" + k + ".com\n"
+    // the discovery entry point (r17): the sitemap INDEX is declared
+    // here, not assumed — crawlFrontier chains from this line
+    sb ++= "Sitemap: https://www.example" + k + ".com/sitemap-index.xml\n"
     sb ++= "User-Agent: *\n"
     sb ++= "Disallow: /private/\n"
     sb ++= "Disallow: /*.tmp$\n"
@@ -1861,7 +1882,9 @@ object WebCodec {
     "<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod></url>".r
 
   /** The crawl-frontier composition — discovery chained into the
-    * politeness gate in ONE query: parse each domain's sitemapindex →
+    * politeness gate in ONE query: parse each domain's robots.txt for
+    * its `Sitemap:` declaration (r17 — the index location is
+    * DISCOVERED, not assumed) → parse the declared sitemapindex →
     * resolve the gzipped urlset refs (broadcast join against the tiny
     * per-domain sitemap table) → inflate + parse each urlset → one row
     * per URL, evaluated against the domain's PARSED robots.txt for
@@ -1887,22 +1910,30 @@ object WebCodec {
         val cache = scala.collection.mutable.Map
           .empty[Long, Map[String, Vector[Robots.Rule]]]
         rows.flatMap { case (k, smUrl, payload) =>
-          gunzipMembers(payload).toSeq.flatMap { members =>
+          // discovery provenance (r17): the sitemap INDEX must be the
+          // one the domain's robots.txt DECLARES — a urlset whose index
+          // robots does not name is not discoverable and emits nothing
+          val robotsTxt = buildRobots(k)
+          val declared = Robots.parseSitemapUrls(robotsTxt)
+          val expectIndex = s"https://www.example$k.com/sitemap-index.xml"
+          if (!declared.contains(expectIndex)) Iterator.empty
+          else gunzipMembers(payload).toSeq.flatMap { members =>
             val xml = new String(members.toArray.flatten, "UTF-8")
             SitemapUrlRe.findAllMatchIn(xml).map { m =>
               val url = m.group(1)
               val lastmod = m.group(2)
               val path = url.replaceFirst("^https://[^/]+", "")
               val g = cache.getOrElseUpdate(k,
-                Robots.parse(buildRobots(k)).get)
+                Robots.parse(robotsTxt).get)
               val (allowed, rule) = Robots.evaluate(g, crawlAgent, path)
               val id = url.substring(url.lastIndexOf('/') + 1).toLong
-              (id, s"example$k.com", smUrl, url, lastmod, allowed, rule)
+              (id, s"example$k.com", expectIndex, smUrl, url, lastmod,
+                allowed, rule)
             }
           }
         }
-      }.toDF("media_id", "domain", "sitemap_url", "url", "lastmod",
-        "allowed", "matched_rule")
+      }.toDF("media_id", "domain", "robots_sitemap", "sitemap_url", "url",
+        "lastmod", "allowed", "matched_rule")
   }
 
   /** Percent-encoding normalization (RFC 3986 §6.2.2.1–2), pure

@@ -7596,6 +7596,8 @@ FROM documents ORDER BY url""")),
            doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9 FROM documents)
 SELECT doc_id AS media_id,
   'example' || k::VARCHAR || '.com' AS domain,
+  'https://www.example' || k::VARCHAR || '.com/sitemap-index.xml'
+    AS robots_sitemap,
   'https://www.example' || k::VARCHAR || '.com/sitemap-' || part::VARCHAR
     || '.xml.gz' AS sitemap_url,
   'https://www.example' || k::VARCHAR || '.com/docs/' || doc_id::VARCHAR

@@ -665,6 +665,25 @@ class WebCodecSpec extends SparkSuite {
     assert(Robots.evaluate(g, "OtherBot/1.0", "/c/z") == ((false, "/c/")))
   }
 
+  test("robots Sitemap: directives collect file-wide, any case, comments " +
+      "stripped; the synth robots declare the sitemap index (r17)") {
+    import WebCodec.Robots
+    assert(Robots.parseSitemapUrls(
+      """# c
+        |SITEMAP: https://a/s1.xml
+        |User-agent: *
+        |Disallow: /x/
+        |sitemap: https://a/s2.xml # trailing comment
+        |Sitemap:
+        |""".stripMargin) == Vector("https://a/s1.xml", "https://a/s2.xml"))
+    for (k <- 0L to 6L)
+      assert(Robots.parseSitemapUrls(WebCodec.buildRobots(k))
+        == Vector(s"https://www.example$k.com/sitemap-index.xml"))
+    // and the Sitemap line does not perturb rule parsing
+    val g = Robots.parse(WebCodec.buildRobots(1L)).get
+    assert(Robots.evaluate(g, "any", "/private/x") == ((false, "/private/")))
+  }
+
   test("crawl-delay: parsed per group, resolved for the SELECTED group, " +
       "non-numeric tolerated, directive outside a group poisons") {
     import WebCodec.Robots
@@ -934,6 +953,9 @@ class WebCodecSpec extends SparkSuite {
       val k = id % 7
       assert(r.getAs[String]("url")
         == s"https://www.example$k.com/docs/$id")
+      // discovery provenance (r17): the robots-declared index URL
+      assert(r.getAs[String]("robots_sitemap")
+        == s"https://www.example$k.com/sitemap-index.xml")
       assert(r.getAs[String]("sitemap_url")
         == s"https://www.example$k.com/sitemap-${(id / 7) % 2}.xml.gz")
       val g = WebCodec.Robots.parse(WebCodec.buildRobots(k)).get
