@@ -358,7 +358,7 @@ object WebCodec {
   final case class HttpResponse(status: Int, charset: String,
       charsetSrc: String, contentEncoding: String, chunked: Boolean,
       contentLengthHdr: Long, body: Array[Byte],
-      location: String = "") {
+      location: String = "", trailers: Int = 0) {
     /** The body as text, decoded per [[WebCodec.decodeText]]. */
     def bodyText: String = decodeText(body, charset)
   }
@@ -621,18 +621,30 @@ object WebCodec {
             case _ => return None
           }
           if (n == 0) {
-            // terminator: the final CRLF must END the payload exactly
-            if (pos + 2 != payload.length ||
-                payload(pos) != '\r' || payload(pos + 1) != '\n') return None
-            val b = body.toByteArray
-            val entity = decodeCoding(coding, b) match {
-              case Some(e) => e
-              case None => return None
+            // trailer section (RFC 9112 §7.1.2, r17): zero or more
+            // field lines after the 0-chunk, then the final empty
+            // line, which must END the payload exactly — a junk
+            // trailer line or trailing bytes still poison
+            var nTrailers = 0
+            while (true) {
+              readLine() match {
+                case Some("") =>
+                  if (pos != payload.length) return None
+                  val b = body.toByteArray
+                  val entity = decodeCoding(coding, b) match {
+                    case Some(e) => e
+                    case None => return None
+                  }
+                  val (cs, src) = resolveCharset(charset, entity)
+                  return Some(HttpResponse(status, cs, src,
+                    if (coding.isEmpty) "identity" else coding,
+                    chunked = true, -1L, entity, location, nTrailers))
+                case Some(line) if line.indexOf(':') > 0 =>
+                  nTrailers += 1
+                case _ => return None
+              }
             }
-            val (cs, src) = resolveCharset(charset, entity)
-            return Some(HttpResponse(status, cs, src,
-              if (coding.isEmpty) "identity" else coding, chunked = true,
-              -1L, entity, location))
+            return None // unreachable
           }
           if (pos.toLong + n + 2 > payload.length) return None
           body.write(payload, pos, n)
@@ -751,6 +763,13 @@ object WebCodec {
     * in-document `<meta charset>` declaration instead. */
   def headerOmitsCharset(id: Long): Boolean = id % 7 == 2 || id % 7 == 5
 
+  /** Chunked-trailer axis (r17): id%8==5 (a chunked subset) appends
+    * ONE trailer field line — `X-Graft-Trailer: <entity bytes>` —
+    * between the 0-chunk and the final CRLF, the RFC 9112 trailer
+    * section real servers use for checksums computed after streaming
+    * begins. */
+  def trailerAxis(id: Long): Boolean = id % 8 == 5
+
   /** UTF-8 BOM axis (r17): these entities carry the EF BB BF signature,
     * which outranks the meta declaration they also carry (their header
     * omits the param: id%7==2 ⊂ headerOmitsCharset) — charset_src
@@ -867,7 +886,10 @@ object WebCodec {
         ascii(Integer.toHexString(p.length)); ascii(CRLF)
         out.write(p); ascii(CRLF)
       }
-      ascii("0"); ascii(CRLF); ascii(CRLF)
+      ascii("0"); ascii(CRLF)
+      if (trailerAxis(id))
+        ascii(s"X-Graft-Trailer: ${entity.length}$CRLF")
+      ascii(CRLF)
     } else {
       ascii(head + s"Content-Length: ${entity.length}${CRLF}X-Doc: $id$CRLF$CRLF")
       out.write(entity)
@@ -1335,7 +1357,8 @@ object WebCodec {
 
   final case class FramingRow(
       media_id: Long, transfer: String, charset: String,
-      content_length_hdr: Long, payload_chars: Long, payload_ck: Long)
+      content_length_hdr: Long, trailers: Int,
+      payload_chars: Long, payload_ck: Long)
 
   /** RAW transfer-framing view over the TEXT subset of the corpus (no
     * Content-Encoding — those payloads contain compressed bytes no SQL
@@ -1359,7 +1382,7 @@ object WebCodec {
                   val text = decodeText(r.payload, "")
                   FramingRow(id,
                     if (m.chunked) "chunked" else "identity",
-                    m.charset, m.contentLengthHdr,
+                    m.charset, m.contentLengthHdr, m.trailers,
                     text.codePointCount(0, text.length).toLong,
                     cpWeightedCk(text))
                 }

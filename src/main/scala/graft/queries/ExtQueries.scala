@@ -6962,7 +6962,11 @@ msg AS (SELECT f.doc_id, f.transfer, f.charset_res, f.body_bytes,
              || 'X-Doc: ' || f.doc_id::VARCHAR || c.crlf || c.crlf
              || CASE WHEN f.bom = 3
                 THEN '3' || c.crlf || chr(65279) || c.crlf ELSE '' END
-             || ch.chunks || '0' || c.crlf || c.crlf
+             || ch.chunks || '0' || c.crlf
+             || CASE WHEN f.doc_id % 8 = 5 THEN
+                  'X-Graft-Trailer: ' || f.body_bytes::VARCHAR || c.crlf
+                ELSE '' END
+             || c.crlf
          ELSE
            'Content-Length: ' || f.body_bytes::VARCHAR || c.crlf
              || 'X-Doc: ' || f.doc_id::VARCHAR || c.crlf || c.crlf
@@ -6977,6 +6981,8 @@ cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS payload_ck
 SELECT m.doc_id AS media_id, m.transfer, m.charset_res AS charset,
        (CASE WHEN m.doc_id % 4 = 1 THEN -1
              ELSE m.body_bytes END)::BIGINT AS content_length_hdr,
+       CAST(CASE WHEN m.doc_id % 8 = 5 THEN 1 ELSE 0 END AS INT)
+         AS trailers,
        length(m.payload)::BIGINT AS payload_chars, k.payload_ck
 FROM msg m JOIN cks k USING (doc_id)
 ORDER BY media_id""")),

@@ -312,6 +312,20 @@ class WebCodecSpec extends SparkSuite {
       "Transfer-Encoding: deflate")) // unknown transfer coding
     poison(rsp.replaceFirst("Transfer-Encoding: chunked",
       "Transfer-Encoding: chunked\r\nContent-Length: 3")) // both framings
+    // trailer section (r17): id 5 is on the trailer axis (5%8==5) —
+    // the wire carries 'X-Graft-Trailer: <entity bytes>' between the
+    // 0-chunk and the final CRLF, the parse counts it, and the body
+    // is unchanged
+    assert(rsp.contains("0\r\nX-Graft-Trailer: "))
+    assert(m.trailers == 1)
+    // a trailer line without a colon poisons; a trailer AFTER the
+    // final CRLF is trailing garbage and poisons
+    poison(rsp.replaceFirst("X-Graft-Trailer: ", "XGraftTrailerNoColon"))
+    // non-trailer chunked docs still parse with zero trailers (id 21,
+    // 21%8==5? no: 21%8==5 → yes... use id 1: 1%4==1, 1%8==1)
+    val m1 = parseHttpResponse(
+      buildResponse(1L, "one words here", "en", "src0")).get
+    assert(m1.chunked && m1.trailers == 0)
     // round-trip through the FULL stack: chunked response inside a
     // gzip-deflate WARC member (id 5: gzip variant 2, chunked variant 1)
     val recs = parseWarc(buildWarcFile(5L, text, "fr", "src2")).get
