@@ -84,10 +84,15 @@ object TextOps {
     * `und`. Character-level script counting (the first stage of
     * fastText-style lang-id: which script is this?) classifies it and
     * is pure-Column in both regex dialects (`\x{...}` ranges are RE2-
-    * and java.util.regex-portable). zh counts CJK Unified Ideographs;
-    * the range is the public Unicode block, not a derived profile. */
+    * and java.util.regex-portable). zh counts CJK Unified Ideographs,
+    * ru the Cyrillic block, el the Greek/Coptic block — public Unicode
+    * blocks, not derived profiles. (Cyrillic/Greek ARE whitespace-
+    * segmented, but no token lexicon ships for them; script counting
+    * is the coarse first-stage signal a real identifier refines.) */
   val scriptLangRanges: Seq[(String, String)] = Seq(
-    "zh" -> "[\\x{4E00}-\\x{9FFF}]")
+    "zh" -> "[\\x{4E00}-\\x{9FFF}]",
+    "ru" -> "[\\x{0400}-\\x{04FF}]",
+    "el" -> "[\\x{0370}-\\x{03FF}]")
 
   /** The ordered lang-id score columns over (whitespace tokens, raw
     * text): token-lexicon hits for segmented languages, script-range

@@ -39,10 +39,21 @@ class TextAnalysisSpec extends SparkSuite {
     // reordering shows up here
     assert(out(6L) == "en")
     // the web-tier CJK phrase itself (the r16 fixture axis) scores zh
+    // (its 4 Han chars tie its 4 Cyrillic chars — zh wins on order)
     val phrase = Seq((9L, "中文 測試 — тест €™", "zh"))
       .toDF("doc_id", "text", "lang")
     assert(TextAnalysis.langId(phrase).head()
       .getAs[String]("predicted_lang") == "zh")
+    // Cyrillic and Greek script ranges (r17): dominant-script text
+    // classifies ru / el even with zero lexicon signal
+    val scripts = Seq(
+      (20L, "это русское предложение для проверки", "ru"),
+      (21L, "αυτή είναι μια ελληνική πρόταση", "el"))
+      .toDF("doc_id", "text", "lang")
+    val sOut = TextAnalysis.langId(scripts).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("predicted_lang")).toMap
+    assert(sOut(20L) == "ru" && sOut(21L) == "el")
   }
 
   test("piiScrub redacts planted emails and urls, counts hits") {
