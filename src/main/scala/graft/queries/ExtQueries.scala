@@ -7342,6 +7342,36 @@ SELECT doc_id AS media_id,
   (CASE WHEN k % 5 = 0 THEN 2 ELSE k + 1 END)::BIGINT AS crawl_delay
 FROM d ORDER BY media_id""")),
 
+    // Wire-axis CENSUS (r17): how the corpus actually arrived — the
+    // charset-resolution source (bom/header/meta/sniff), resolved
+    // charset, content coding, and transfer framing of every 200
+    // capture, counted. This is the crawl-health view that catches
+    // mislabeling drift (a spike in 'sniff' means upstream servers
+    // stopped declaring; a cp1252 surge under a utf-8 label means the
+    // decoder assumptions rotted). Scan → 4-key rollup, no joins; the
+    // oracle replays the axis decision tables.
+    ("web_charset_mix",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        W.warcRecords(W.webWarc(docs(s, d)))
+          .where(col("warc_type") === "response" &&
+            col("http_status") === 200)
+          .groupBy("charset_src", "charset", "content_encoding", "transfer")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("charset_src", "charset", "content_encoding", "transfer")
+      },
+      Some(s"""WITH a AS (SELECT
+    $webCharsetSrcCase AS charset_src,
+    $webCharsetResolvedCase AS charset,
+    $webCeCase AS content_encoding,
+    $webTransferCase AS transfer
+  FROM documents)
+SELECT charset_src, charset, content_encoding, transfer,
+       count(*)::BIGINT AS n_docs
+FROM a GROUP BY 1, 2, 3, 4
+ORDER BY charset_src, charset, content_encoding, transfer""")),
+
     // Language MIX of the cleaned web corpus (r16): the n-gram-lexicon
     // lang-id (the text tier's existing scorer) run over the KEPT
     // main-content bodies, rolled up per registered domain — exactly

@@ -439,7 +439,7 @@ class PlanShapeSpec extends SparkSuite {
     for (q <- Seq("web_warc_records", "web_html_text", "web_url_parts",
       "web_domain_stats", "web_pipeline", "web_pipeline_materialized",
       "web_robots_gate", "web_wet_text", "web_chunks_e2e", "web_sitemap_urls",
-      "web_url_canonical",
+      "web_url_canonical", "web_charset_mix",
       "text_chunks_sliding", "corpus_jsonl_roundtrip",
       "archive_tar_entries", "archive_zip_entries", "archive_zip_text")) {
       val p = plan(q)
