@@ -798,6 +798,12 @@ object WebCodec {
       """<style>body {color: red;}</style>""" +
       """<script>var u = "x < y && z > 0";</script></head><body>""" +
       """<nav><a href="/home">Home</a> <a href="/about">About</a></nav>""" +
+      // commented-out markup axis (r18): a full block element INSIDE a
+      // comment — an extractor that strips comments after (or never)
+      // leaks "retired navigation copy …" into the corpus and grows a
+      // phantom block; the correct output is invariant to this line
+      s"""<!-- <div class="legacy">retired navigation copy for doc """ +
+      s"""$id</div> <p>draft $id</p> -->""" +
       s"""<h1>$source #$id</h1>""" +
       s"""<p class="main">${escapeHtml(text)}</p>""" +
       s"""<p>lang=&quot;$lang&quot; &amp; id=&#39;$id&#39;</p>""" +
@@ -1181,13 +1187,15 @@ object WebCodec {
       id: Long, text: String, lang: String, source: String): String =
     extractText(buildHtml(id, text, lang, source))
 
-  /** The extraction chain over any html string: script/style removal →
-    * tag strip → ONE entity-decode pass ([[decodeEntities]]: numeric +
-    * named refs, single left-to-right scan — &amp;#39; yields the
-    * literal &#39;, the HTML5 no-double-decode behavior) → whitespace
-    * collapse. */
+  /** The extraction chain over any html string: comment removal (r18 —
+    * before tag-strip, or `<!-- <div>x</div> -->` leaks `x -->`) →
+    * script/style removal → tag strip → ONE entity-decode pass
+    * ([[decodeEntities]]: numeric + named refs, single left-to-right
+    * scan — &amp;#39; yields the literal &#39;, the HTML5
+    * no-double-decode behavior) → whitespace collapse. */
   def extractText(html: String): String = {
-    val noScript = html.replaceAll("<script[^>]*>.*?</script>", " ")
+    val noComment = html.replaceAll("<!--.*?-->", " ")
+    val noScript = noComment.replaceAll("<script[^>]*>.*?</script>", " ")
     val noStyle = noScript.replaceAll("<style[^>]*>.*?</style>", " ")
     val noTags = noStyle.replaceAll("<[^>]*>", " ")
     decodeEntities(noTags).replaceAll("\\s+", " ").trim
@@ -1432,6 +1440,9 @@ object WebCodec {
       lit("<style>body {color: red;}</style>"),
       lit("<script>var u = \"x < y && z > 0\";</script></head><body>"),
       lit("<nav><a href=\"/home\">Home</a> <a href=\"/about\">About</a></nav>"),
+      lit("<!-- <div class=\"legacy\">retired navigation copy for doc "),
+      id.cast("string"),
+      lit("</div> <p>draft "), id.cast("string"), lit("</p> -->"),
       lit("<h1>"), source, lit(" #"), id.cast("string"), lit("</h1>"),
       lit("<p class=\"main\">"), etext, lit("</p>"),
       lit("<p>lang=&quot;"), lang, lit("&quot; &amp; id=&#39;"),
@@ -1509,14 +1520,26 @@ object WebCodec {
       id.cast("string"), lit("?lang="), lang, lit("&ref=feed#sec-"),
       (id % 5).cast("string"))
 
-  /** script/style block removal → tag strip → ONE entity-decode pass
-    * ([[decodeEntitiesCol]]: numeric + named refs, single left-to-right
-    * scan — &amp;#39; yields the literal &#39;, no double-decode) →
-    * whitespace collapse → trim. Every regex step uses constructs RE2
-    * and java.util.regex agree on; JVM twin: [[extractText]]. */
+  /** Comment removal (r18, VERDICT r17 item 1): `<!-- ... -->` strips
+    * BEFORE tag-strip — the generic `<[^>]*>` regex otherwise eats a
+    * comment piecewise (`<!-- <div>` up to the first `>`), leaking
+    * commented-out markup text into the corpus. Shared by the
+    * whole-page chain and [[mainContentStruct]] (which must also strip
+    * before BLOCK segmentation, or a commented `<div>…</div>` becomes
+    * a phantom block). Non-greedy, no DOTALL — the same convention as
+    * the script/style steps, identical in RE2 and java.util.regex. */
+  def stripCommentsCol(html: Column): Column =
+    regexp_replace(html, "<!--.*?-->", " ")
+
+  /** comment removal → script/style block removal → tag strip → ONE
+    * entity-decode pass ([[decodeEntitiesCol]]: numeric + named refs,
+    * single left-to-right scan — &amp;#39; yields the literal &#39;,
+    * no double-decode) → whitespace collapse → trim. Every regex step
+    * uses constructs RE2 and java.util.regex agree on; JVM twin:
+    * [[extractText]]. */
   def extractTextCol(html: Column): Column = {
     val noScript =
-      regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+      regexp_replace(stripCommentsCol(html), "<script[^>]*>.*?</script>", " ")
     val noStyle =
       regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
@@ -1550,7 +1573,11 @@ object WebCodec {
     * evaluation at sf0.1). The DuckDB oracle replays the same generic
     * algorithm (its list_filter form is value-identical). */
   def mainContentStruct(html: Column): Column = {
-    val blocks = regexp_extract_all(html, lit(blockRe), lit(1))
+    // comments strip BEFORE block segmentation (r18): a commented-out
+    // <div>…</div> would otherwise match blockRe and surface as a
+    // phantom block whose text survives the link-density test
+    val blocks = regexp_extract_all(stripCommentsCol(html),
+      lit(blockRe), lit(1))
     val scored = transform(blocks, b => {
       val btext = extractTextCol(b)
       val ltext = array_join(

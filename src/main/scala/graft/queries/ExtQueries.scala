@@ -948,6 +948,9 @@ ORDER BY q_id, rnk"""
     || '<style>body {color: red;}</style>'
     || '<script>var u = "x < y && z > 0";</script></head><body>'
     || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
+    || '<!-- <div class="legacy">retired navigation copy for doc '
+    || doc_id::VARCHAR || '</div> <p>draft ' || doc_id::VARCHAR
+    || '</p> -->'
     || '<h1>' || source || ' #' || doc_id::VARCHAR || '</h1>'
     || '<p class="main">' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>'
     || '<p>lang=&quot;' || lang || '&quot; &amp; id=&#39;' || doc_id::VARCHAR || '&#39;</p>'
@@ -1053,7 +1056,10 @@ ORDER BY q_id, rnk"""
          SELECT doc_id, lang, source, $webRedirectStubSql AS html,
            CAST(301 AS INT) AS hst FROM documents
          WHERE $webRedirectWhere),
-b AS (SELECT doc_id, hst, source, regexp_extract_all(html,
+b AS (SELECT doc_id, hst, source, regexp_extract_all(
+        -- comments strip BEFORE block segmentation (r18): a commented
+        -- <div>…</div> must not surface as a phantom block
+        regexp_replace(html, '<!--.*?-->', ' ', 'g'),
         '(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>|<div[^>]*>.*?</div>|<footer>.*?</footer>)',
         1) AS blocks FROM h),
 s AS (SELECT doc_id, hst, source, len(blocks) AS nb, list_transform(blocks,
@@ -1087,12 +1093,15 @@ g AS (SELECT doc_id,
         ELSE 0 END AS alpha_milli
       FROM m)"""
 
-  /** script/style removal → tag strip → ONE entity-decode pass
+  /** comment removal (r18 — BEFORE tag-strip, which would otherwise
+    * eat `<!-- <div>` up to the first `>` and leak the commented text)
+    * → script/style removal → tag strip → ONE entity-decode pass
     * (numeric + named, single left-to-right scan, amp-no-double-decode
     * structural) → whitespace collapse → trim, over column expression
     * `h`. Twin of WebCodec.extractTextCol. */
   private def webExtractSql(h: String): String = {
-    val stripped = s"""regexp_replace(regexp_replace(regexp_replace($h,
+    val stripped = s"""regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace($h, '<!--.*?-->', ' ', 'g'),
           '<script[^>]*>.*?</script>', ' ', 'g'),
           '<style[^>]*>.*?</style>', ' ', 'g'),
           '<[^>]*>', ' ', 'g')"""
@@ -7039,7 +7048,8 @@ FROM x ORDER BY media_id""")),
           .orderBy("media_id")
       },
       Some(s"""WITH h AS (SELECT doc_id, $webHtmlExpr AS html FROM documents),
-b AS (SELECT doc_id, regexp_extract_all(html,
+b AS (SELECT doc_id, regexp_extract_all(
+        regexp_replace(html, '<!--.*?-->', ' ', 'g'),
         '(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>|<div[^>]*>.*?</div>|<footer>.*?</footer>)',
         1) AS blocks FROM h),
 s AS (SELECT doc_id, len(blocks) AS nb, list_transform(blocks,

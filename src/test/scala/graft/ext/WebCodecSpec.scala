@@ -472,6 +472,39 @@ class WebCodecSpec extends SparkSuite {
     assert(title == "T")
   }
 
+  test("comment stripping (r18): commented-out markup never reaches the " +
+      "extracted text, the main content, or the block census") {
+    val sp = spark
+    import sp.implicits._
+    // the exact leak VERDICT r17 pinned: tag-strip alone eats
+    // "<!-- <div>" up to the first '>' and leaves "old nav -->" behind
+    val html = "<html><body><p>keep this sentence of content here</p>" +
+      "<!-- <div class=\"x\">old nav copy that must never leak</div> " +
+      "<p>draft paragraph also hidden</p> -->" +
+      "<p>and keep this one too</p></body></html>"
+    assert(extractText(html) ==
+      "keep this sentence of content here and keep this one too")
+    val colOut = Seq(html).toDF("h")
+      .select(extractTextCol(col("h"))).head().getString(0)
+    assert(colOut == extractText(html))
+    // block segmentation: the commented <div>/<p> are NOT phantom
+    // blocks — 2 real blocks, both kept, zero boilerplate
+    val mc = Seq(html).toDF("h")
+      .select(mainContentStruct(col("h")).as("mc"))
+      .select(col("mc.main_text"), col("mc.n_blocks"), col("mc.n_kept"))
+      .head()
+    assert(mc.getString(0) ==
+      "keep this sentence of content here and keep this one too")
+    assert(mc.getLong(1) == 2L && mc.getLong(2) == 2L)
+    // the synth corpus carries the axis on every page: extracted text
+    // must not contain the commented strings
+    for ((id, text, lang, source) <- docsSample) {
+      val t = extractedText(id, text, lang, source)
+      assert(!t.contains("retired navigation"))
+      assert(!t.contains("draft"))
+    }
+  }
+
   test("urlParts: fragment dropped, host lowercased, default port " +
       "stripped, components split, registered domain extracted") {
     val sp = spark
