@@ -91,20 +91,46 @@ object TextOps {
     * is the coarse first-stage signal a real identifier refines.) */
   val scriptLangRanges: Seq[(String, String)] = Seq(
     "zh" -> "[\\x{4E00}-\\x{9FFF}]",
+    "ja" -> "[\\x{3040}-\\x{30FF}]",
+    "ko" -> "[\\x{AC00}-\\x{D7AF}]",
     "ru" -> "[\\x{0400}-\\x{04FF}]",
     "el" -> "[\\x{0370}-\\x{03FF}]")
 
+  /** ja/ko script scoring with KANA PRECEDENCE (r18, VERDICT r17
+    * item 2 of "what's missing"): Japanese text is mostly kana + kanji,
+    * and the kanji land in the CJK-Unified block — so plain per-block
+    * counting classifies kanji-heavy Japanese as zh. The documented
+    * precedence rule: when ANY kana is present (U+3040–30FF, a block
+    * only Japanese uses), the Han count is REASSIGNED from zh to ja —
+    * s_ja = kana + (kana>0 ? han : 0), s_zh = (kana>0 ? 0 : han).
+    * Hangul (U+AC00–D7AF) is Korean-only, no precedence needed.
+    * CJK-only text (zero kana) still scores zh untouched. The DuckDB
+    * twin (ExtQueries.langScoresSql) replays the identical CASEs —
+    * keep in lockstep. */
+  def scriptScores(txt: Column): Seq[(String, Column)] = {
+    val raw: Map[String, Column] = scriptLangRanges.map { case (l, re) =>
+      l -> regexp_count(txt, lit(re)).cast("int")
+    }.toMap
+    val kana = raw("ja")
+    scriptLangRanges.map { case (l, _) =>
+      l -> (l match {
+        case "zh" => when(kana > 0, lit(0)).otherwise(raw("zh"))
+        case "ja" => kana + when(kana > 0, raw("zh")).otherwise(lit(0))
+        case other => raw(other)
+      })
+    }
+  }
+
   /** The ordered lang-id score columns over (whitespace tokens, raw
     * text): token-lexicon hits for segmented languages, script-range
-    * char counts for unsegmented ones. Order defines the argmax
-    * tie-break (first wins), matching the pre-r17 lexica order.
-    * (DuckDB twins: `len(list_filter(toks, …))` /
-    * `len(regexp_extract_all(txt, range))`.) */
+    * char counts (with the zh/ja kana-precedence rule) for unsegmented
+    * ones. Order defines the argmax tie-break (first wins), matching
+    * the pre-r17 lexica order. (DuckDB twins:
+    * `len(list_filter(toks, …))` / `len(regexp_extract_all(txt,
+    * range))` with the same CASEs.) */
   def langScores(toks: Column, txt: Column): Seq[(String, Column)] =
     tokenLangLexica.map { case (l, lex) => l -> lexiconHits(toks, lex) } ++
-      scriptLangRanges.map { case (l, re) =>
-        l -> regexp_count(txt, lit(re)).cast("int")
-      }
+      scriptScores(txt)
 
   /** The lang names in scoring/tie-break order. */
   val langNames: Seq[String] =

@@ -725,16 +725,20 @@ object WebCodec {
     "na&#239;ve fa&#231;ade Caf&eacute; ±5° — ‘ok’",
     "Gr&uuml;&szlig;e se&ntilde;or «caf&eacute;» “deal” €9 &hellip;&copy;2026",
     "&#x4E2D;&#x6587; 測試 &mdash; тест &euro;&trade;",
-    "&#128512; emoji αβγ ∑√∞ &laquo;&nbsp;&raquo;")
+    "&#128512; emoji αβγ ∑√∞ &laquo;&nbsp;&raquo;",
+    // r18 ja/ko axes: kana + kanji (the kana-precedence case — plain
+    // Han counting would classify this zh) and Hangul syllables
+    "日本語のテスト &mdash; 完了です",
+    "한국어 테스트 문서 &copy; 준비 완료")
 
   /** Phrase selector: cp1252-wire docs (id%5==2) are restricted to the
     * cp1252-representable phrases 0/1 — which deliberately carry
     * LITERAL 0x80–0x9F punctuation on the wire (em-dash, curly quotes,
     * €: the chars that make latin-1-labeled pages cp1252 in practice,
-    * r17) — everything else cycles all four. */
+    * r17) — everything else cycles all six (r18 adds ja/ko). */
   def i18nPhrase(id: Long): String =
     if (id % 5 == 2) i18nPhrases((id % 2).toInt)
-    else i18nPhrases((id % 4).toInt)
+    else i18nPhrases((id % 6).toInt)
 
   /** Wire charset axis (r17): id%5==2 ships cp1252 bytes — half
     * LABELED 'iso-8859-1' (the WHATWG-aliasing case every real crawl
@@ -1410,10 +1414,12 @@ object WebCodec {
     when(id % 5 === 2,
       when(id % 2 === 0, lit(i18nPhrases(0))).otherwise(lit(i18nPhrases(1))))
       .otherwise(
-        when(id % 4 === 0, lit(i18nPhrases(0)))
-          .when(id % 4 === 1, lit(i18nPhrases(1)))
-          .when(id % 4 === 2, lit(i18nPhrases(2)))
-          .otherwise(lit(i18nPhrases(3))))
+        when(id % 6 === 0, lit(i18nPhrases(0)))
+          .when(id % 6 === 1, lit(i18nPhrases(1)))
+          .when(id % 6 === 2, lit(i18nPhrases(2)))
+          .when(id % 6 === 3, lit(i18nPhrases(3)))
+          .when(id % 6 === 4, lit(i18nPhrases(4)))
+          .otherwise(lit(i18nPhrases(5))))
 
   /** Column twin of [[buildHtml]] — used by the pure-Column queries so
     * the whole chain (build + extract) stays inside codegen. */

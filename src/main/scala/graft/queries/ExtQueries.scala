@@ -100,12 +100,26 @@ z AS (SELECT xk, yk, (xe | (ye << 1)) AS zv FROM s4)"""
     * of TextOps.langScores over (toksExpr, txtExpr). ONE generator
     * feeding lang_id / lang_id_accuracy / lang_confusion /
     * web_lang_mix(_served). */
-  private def langScoresSql(toksExpr: String, txtExpr: String): String =
+  private def langScoresSql(toksExpr: String, txtExpr: String): String = {
+    val ranges = graft.ext.TextOps.scriptLangRanges.toMap
+    def cnt(l: String) =
+      s"len(regexp_extract_all($txtExpr, '${ranges(l)}'))"
+    // zh/ja kana-precedence CASEs — twin of TextOps.scriptScores (r18):
+    // any kana present reassigns the Han count from zh to ja
+    def scriptSql(l: String): String = l match {
+      case "zh" =>
+        s"(CASE WHEN ${cnt("ja")} > 0 THEN 0 ELSE ${cnt("zh")} END)"
+      case "ja" =>
+        s"(${cnt("ja")} + (CASE WHEN ${cnt("ja")} > 0 " +
+          s"THEN ${cnt("zh")} ELSE 0 END))"
+      case other => cnt(other)
+    }
     (graft.ext.TextOps.tokenLangLexica.map { case (l, lex) =>
       s"len(list_filter($toksExpr, t -> list_contains(${lexSql(lex)}, t))) AS s_$l"
-    } ++ graft.ext.TextOps.scriptLangRanges.map { case (l, re) =>
-      s"len(regexp_extract_all($txtExpr, '$re')) AS s_$l"
+    } ++ graft.ext.TextOps.scriptLangRanges.map { case (l, _) =>
+      s"${scriptSql(l)} AS s_$l"
     }).mkString(",\n       ")
+  }
 
   private lazy val langColsSql: String =
     graft.ext.TextOps.langNames.map("s_" + _).mkString(", ")
@@ -916,7 +930,7 @@ ORDER BY q_id, rnk"""
   // strlen() appears ONLY where wire BYTES are meant (UTF-8 byte
   // lengths — DuckDB strings are UTF-8, so strlen IS the encoded size).
 
-  // the four i18n phrases — verbatim twins of WebCodec.i18nPhrases
+  // the six i18n phrases — verbatim twins of WebCodec.i18nPhrases
   // (r17: named entity refs planted beside the numeric ones)
   private val webI18nCase = {
     val p = graft.ext.WebCodec.i18nPhrases.map(_.replace("'", "''"))
@@ -924,10 +938,12 @@ ORDER BY q_id, rnk"""
       (CASE WHEN doc_id % 2 = 0 THEN '${p(0)}'
             ELSE '${p(1)}' END)
     ELSE
-      (CASE WHEN doc_id % 4 = 0 THEN '${p(0)}'
-            WHEN doc_id % 4 = 1 THEN '${p(1)}'
-            WHEN doc_id % 4 = 2 THEN '${p(2)}'
-            ELSE '${p(3)}' END)
+      (CASE WHEN doc_id % 6 = 0 THEN '${p(0)}'
+            WHEN doc_id % 6 = 1 THEN '${p(1)}'
+            WHEN doc_id % 6 = 2 THEN '${p(2)}'
+            WHEN doc_id % 6 = 3 THEN '${p(3)}'
+            WHEN doc_id % 6 = 4 THEN '${p(4)}'
+            ELSE '${p(5)}' END)
     END"""
   }
 

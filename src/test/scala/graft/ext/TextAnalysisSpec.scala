@@ -56,6 +56,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(sOut(20L) == "ru" && sOut(21L) == "el")
   }
 
+  test("langId ja/ko script ranges with kana precedence (r18): " +
+      "kanji-bearing Japanese classifies ja, Hangul classifies ko, " +
+      "CJK-only text stays zh") {
+    val docs = Seq(
+      // kanji-HEAVY Japanese: 12 kanji vs 10 kana — plain per-block
+      // counting would say zh; kana presence reassigns the Han count
+      (30L, "日本語の文章は漢字と仮名が混在する言語です", "ja"),
+      // katakana-heavy Japanese (loanwords)
+      (31L, "コンピュータ サイエンス の テスト", "ja"),
+      // the r18 web-fixture phrase itself
+      (32L, "日本語のテスト — 完了です", "ja"),
+      // Korean: Hangul syllable block, no precedence needed
+      (33L, "한국어 문서 분류 테스트 입니다", "ko"),
+      (34L, "한국어 테스트 문서 © 준비 완료", "ko"),
+      // CJK-only (zero kana) must STAY zh — the precedence rule's
+      // guard case
+      (35L, "这是一个没有空格的中文句子用来测试语言识别", "zh"),
+      (36L, "繁體中文測試句子也必須正確分類", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("predicted_lang")).toMap
+    for (id <- 30L to 32L) assert(out(id) == "ja", s"doc $id")
+    for (id <- 33L to 34L) assert(out(id) == "ko", s"doc $id")
+    for (id <- 35L to 36L) assert(out(id) == "zh", s"doc $id")
+  }
+
   test("piiScrub redacts planted emails and urls, counts hits") {
     val docs = Seq(
       (1L, "contact me at alice@example.com or https://example.com/x?y=1 today"),

@@ -1042,19 +1042,25 @@ class WebCodecSpec extends SparkSuite {
   test("i18n corpus axis: extracted text decodes the phrase refs " +
       "(numeric AND named); the corpus never contains the sentinel " +
       "control chars") {
-    // phrase 0 (id 20: 20%5=0, 20%4=0) — &eacute; named + literal — ‘ ’
-    assert(extractedText(20L, "t", "en", "s")
-      .contains("naïve façade Café ±5° — ‘ok’"))
-    // phrase 1 (id 21: 21%5=1, 21%4=1) — named refs + literal “ ” €
-    assert(extractedText(21L, "t", "en", "s")
-      .contains("Grüße señor «café» “deal” €9 …©2026"))
-    // phrase 2 via hex refs + &mdash;/&euro;/&trade; (id 6)
+    // phrase 0 (id 6: 6%5=1, 6%6=0) — &eacute; named + literal — ‘ ’
     assert(extractedText(6L, "t", "en", "s")
+      .contains("naïve façade Café ±5° — ‘ok’"))
+    // phrase 1 (id 25: 25%5=0, 25%6=1) — named refs + literal “ ” €
+    assert(extractedText(25L, "t", "en", "s")
+      .contains("Grüße señor «café» “deal” €9 …©2026"))
+    // phrase 2 via hex refs + &mdash;/&euro;/&trade; (id 20)
+    assert(extractedText(20L, "t", "en", "s")
       .contains("中文 測試 — тест €™"))
-    // phrase 3 with the supplementary-plane emoji (id 11: 11%5=1,
-    // 11%4=3); &nbsp; normalizes to a plain space between « »
-    assert(extractedText(11L, "t", "en", "s")
+    // phrase 3 with the supplementary-plane emoji (id 21: 21%5=1,
+    // 21%6=3); &nbsp; normalizes to a plain space between « »
+    assert(extractedText(21L, "t", "en", "s")
       .contains("😀 emoji αβγ ∑√∞ « »"))
+    // phrase 4 (r18 ja: id 28, 28%5=3, 28%6=4) — kana + kanji + &mdash;
+    assert(extractedText(28L, "t", "en", "s")
+      .contains("日本語のテスト — 完了です"))
+    // phrase 5 (r18 ko: id 11, 11%5=1, 11%6=5) — Hangul + &copy;
+    assert(extractedText(11L, "t", "en", "s")
+      .contains("한국어 테스트 문서 © 준비 완료"))
     // cp1252-wire docs never get a non-cp1252-representable RAW phrase
     // (named refs are ASCII until extraction decodes them; the literal
     // curly-quote/dash/€ chars are exactly the 0x80–0x9F wire axis)
