@@ -225,7 +225,8 @@ object WebCodec {
 
   final case class WarcRecord(
       warcType: String, targetUri: String, payload: Array[Byte],
-      refersTo: String = "", payloadDigest: String = "")
+      refersTo: String = "", payloadDigest: String = "",
+      date: String = "")
 
   private val CRLF = "\r\n"
 
@@ -271,6 +272,7 @@ object WebCodec {
     var uri: String = null
     var refersTo = ""
     var digest = ""
+    var date = ""
     var clen: Int = -1
     var done = false
     while (!done) {
@@ -287,6 +289,7 @@ object WebCodec {
             case "WARC-Target-URI" => uri = value
             case "WARC-Refers-To-Target-URI" => refersTo = value
             case "WARC-Payload-Digest" => digest = value
+            case "WARC-Date" => date = value
             case "Content-Length" =>
               // digits-only AND in-range: a 10+-digit value must poison,
               // not throw from toInt; any value beyond the buffer can be
@@ -309,7 +312,8 @@ object WebCodec {
     // mandatory two-CRLF record terminator
     if (!(b(pos) == '\r' && b(pos + 1) == '\n' &&
           b(pos + 2) == '\r' && b(pos + 3) == '\n')) return None
-    Some((WarcRecord(warcType, uri, payload, refersTo, digest), pos + 4))
+    Some((WarcRecord(warcType, uri, payload, refersTo, digest, date),
+      pos + 4))
   }
 
   /** Parse a WARC file: gzip (one member per record, per the WARC
@@ -358,7 +362,8 @@ object WebCodec {
   final case class HttpResponse(status: Int, charset: String,
       charsetSrc: String, contentEncoding: String, chunked: Boolean,
       contentLengthHdr: Long, body: Array[Byte],
-      location: String = "", trailers: Int = 0) {
+      location: String = "", trailers: Int = 0,
+      retryAfter: Long = 0L) {
     /** The body as text, decoded per [[WebCodec.decodeText]]. */
     def bodyText: String = decodeText(body, charset)
   }
@@ -556,6 +561,7 @@ object WebCodec {
     var coding = "" // "" = header absent; "gzip"/"deflate"/"identity"
     var charset = ""
     var location = ""
+    var retryAfter = 0L
     var done = false
     while (!done) {
       readLine() match {
@@ -587,6 +593,11 @@ object WebCodec {
               }
             case "Location" =>
               location = line.substring(k + 1).trim
+            case "Retry-After" =>
+              // RFC 9110 delay-seconds form; the http-date form (and
+              // any other non-digit value) reads as absent, not poison
+              retryAfter = parseDecimal(line.substring(k + 1).trim,
+                Int.MaxValue.toLong).map(_.toLong).getOrElse(0L)
             case "Content-Type" =>
               // charset parameter, case-insensitive, token up to ; or EOL;
               // an optionally QUOTED value (charset="utf-8" — legal HTTP,
@@ -638,7 +649,8 @@ object WebCodec {
                   val (cs, src) = resolveCharset(charset, entity)
                   return Some(HttpResponse(status, cs, src,
                     if (coding.isEmpty) "identity" else coding,
-                    chunked = true, -1L, entity, location, nTrailers))
+                    chunked = true, -1L, entity, location, nTrailers,
+                    retryAfter))
                 case Some(line) if line.indexOf(':') > 0 =>
                   nTrailers += 1
                 case _ => return None
@@ -664,7 +676,8 @@ object WebCodec {
     val (cs, src) = resolveCharset(charset, entity)
     Some(HttpResponse(status, cs, src,
       if (coding.isEmpty) "identity" else coding,
-      chunked = false, clen.toLong, entity, location))
+      chunked = false, clen.toLong, entity, location,
+      retryAfter = retryAfter))
   }
 
   /** HTTP/1.1 request parse: (method, target). Request line + headers,
@@ -713,7 +726,7 @@ object WebCodec {
   def escapeHtml(text: String): String =
     text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** The four i18n phrases (r16 non-ASCII axis; r17 adds NAMED entity
+  /** The six i18n phrases (r16 non-ASCII axis; r17 adds NAMED entity
     * references — &eacute; &mdash; &hellip; &copy; … — beside the
     * numeric ones): character references mixed with literal non-ASCII
     * text. Index 0/1 are Latin-1-representable as RAW text (refs are
@@ -908,10 +921,12 @@ object WebCodec {
   }
 
   private def warcRecordBytes(warcType: String, uri: String,
-      payload: Array[Byte], extraHeaders: String = ""): Array[Byte] = {
+      payload: Array[Byte], extraHeaders: String = "",
+      date: String = ""): Array[Byte] = {
     val head = s"WARC/1.0${CRLF}WARC-Type: $warcType$CRLF" +
       s"WARC-Target-URI: $uri$CRLF" +
       s"WARC-Record-ID: <urn:graft:$warcType:${uri.length}>$CRLF" +
+      (if (date.nonEmpty) s"WARC-Date: $date$CRLF" else "") +
       extraHeaders +
       s"Content-Type: application/http$CRLF" +
       s"Content-Length: ${payload.length}$CRLF$CRLF"
@@ -951,17 +966,117 @@ object WebCodec {
   def redirectBody(id: Long): String =
     s"<html><body>Moved to /docs/$id</body></html>"
 
-  /** The `301 Moved Permanently` wire message for the alias fetch:
-    * plain Content-Length framing, identity coding, a Location header. */
+  /** Shared 3xx wire message: plain Content-Length framing, identity
+    * coding, a Location header (r18: also serves the chain/loop hops). */
+  private def redirect3xx(
+      status: Int, reason: String, location: String,
+      body: String): Array[Byte] =
+    (s"HTTP/1.1 $status $reason$CRLF" +
+      s"Location: $location$CRLF" +
+      s"Content-Type: text/html$CRLF" +
+      s"Content-Length: ${body.length}$CRLF$CRLF" + body)
+      // Latin-1 covers the chain hop's planted unicode-IDN Location
+      // (ü = 0xFC); everything else on the redirect wire is ASCII
+      .getBytes("ISO-8859-1")
+
+  /** The `301 Moved Permanently` wire message for the alias fetch. */
   def buildRedirectResponse(
-      id: Long, lang: String, source: String): Array[Byte] = {
-    val body = redirectBody(id)
-    (s"HTTP/1.1 301 Moved Permanently$CRLF" +
-      s"Location: ${redirectLocation(id, lang, source)}$CRLF" +
+      id: Long, lang: String, source: String): Array[Byte] =
+    redirect3xx(301, "Moved Permanently",
+      redirectLocation(id, lang, source), redirectBody(id))
+
+  // ------------------------------------------------------------------
+  // r18 fetch-outcome axes (VERDICT r17 items 2/5/6): disjoint id%9
+  // classes beside the r17 redirect axis (4). A real crawl is ~20–30%
+  // non-200: dead URLs, transient errors, multi-hop chains, loops.
+  // ------------------------------------------------------------------
+
+  /** DEAD axis: these URLs answer 404/410 and have NO 200 capture at
+    * all — they never enter the corpus, and the frontier must learn to
+    * stop re-enqueueing them. */
+  def deadAxis(id: Long): Boolean = id % 9 == 7
+
+  /** 410 Gone on even ids (the permanent signal), 404 Not Found on odd. */
+  def errorStatus(id: Long): Int = if (id % 2 == 0) 410 else 404
+
+  /** The error stub entity — block-free, never corpus-admissible. */
+  def errorBody(id: Long): String =
+    s"<html><body>Error ${errorStatus(id)} for /docs/$id</body></html>"
+
+  /** The 404/410 wire message for a dead URL's only fetch. */
+  def buildErrorResponse(id: Long): Array[Byte] = {
+    val body = errorBody(id)
+    val reason = if (errorStatus(id) == 410) "Gone" else "Not Found"
+    (s"HTTP/1.1 ${errorStatus(id)} $reason$CRLF" +
       s"Content-Type: text/html$CRLF" +
       s"Content-Length: ${body.length}$CRLF$CRLF" + body)
       .getBytes("ISO-8859-1")
   }
+
+  /** RETRY axis: the fetch first answered `503 Service Unavailable`
+    * with a Retry-After header; the retry succeeded, so these docs
+    * carry BOTH the 503 attempt and their 200 capture. */
+  def retryAxis(id: Long): Boolean = id % 9 == 8
+
+  /** Deterministic Retry-After seconds (RFC 9110 delay-seconds form). */
+  def retryAfterOf(id: Long): Long = (id % 5 + 1) * 30
+
+  def retryBody(id: Long): String =
+    s"<html><body>Busy, retry /docs/$id</body></html>"
+
+  /** The `503 Service Unavailable` wire message for the failed attempt. */
+  def buildRetryResponse(id: Long): Array[Byte] = {
+    val body = retryBody(id)
+    (s"HTTP/1.1 503 Service Unavailable$CRLF" +
+      s"Retry-After: ${retryAfterOf(id)}$CRLF" +
+      s"Content-Type: text/html$CRLF" +
+      s"Content-Length: ${body.length}$CRLF$CRLF" + body)
+      .getBytes("ISO-8859-1")
+  }
+
+  /** CHAIN axis: a 2-hop redirect chain ending at the canonical doc —
+    * `/h2/<id>` 302→ `/h1/<id>` 301→ `/docs/<id>`. The intermediate
+    * hop exercises IDN folding (VERDICT r17 item 6): the /h2 Location
+    * spells the /h1 host in UNICODE (`zürich`) while the /h1 CAPTURE's
+    * WARC-Target-URI uses the punycode spelling real WARCs store —
+    * only an RFC 3490 toASCII fold joins hop 1 to hop 2. */
+  def chainAxis(id: Long): Boolean = id % 9 == 2
+
+  /** The planted IDN label pair (RFC 3492 punycode; generated with
+    * java.net.IDN and pinned by a spec asserting
+    * IDN.toASCII(unicode) == ascii — clean-room, JDK-derived). */
+  val IdnUnicodeLabel = "zürich"
+  val IdnAsciiLabel = "xn--zrich-kva"
+
+  def chainHop2Url(id: Long, source: String): String =
+    s"https://www.$source.example${id % 7}.com/h2/$id"
+  /** The /h1 Location spelling (unicode host) inside the /h2 response. */
+  def chainHop1LocationUnicode(id: Long): String =
+    s"https://www.$IdnUnicodeLabel.example${id % 7}.com/h1/$id"
+  /** The /h1 capture's WARC-Target-URI (punycode host). */
+  def chainHop1UrlAscii(id: Long): String =
+    s"https://www.$IdnAsciiLabel.example${id % 7}.com/h1/$id"
+  /** The /h1 hop's Location: the canonical doc in a deliberately messy
+    * absolute spelling (scheme case + default port). */
+  def chainFinalLocation(id: Long, lang: String, source: String): String =
+    s"HTTPS://www.$source.example${id % 7}.com:443/docs/$id" +
+      s"?lang=$lang&ref=feed"
+
+  /** LOOP axis: `/la/<id>` 301→ `/lb/<id>` 301→ `/la/<id>` — the A→B→A
+    * cycle a bounded chase must detect instead of following forever. */
+  def loopAxis(id: Long): Boolean = id % 9 == 5
+
+  def loopAUrl(id: Long, source: String): String =
+    s"https://www.$source.example${id % 7}.com/la/$id"
+  def loopBUrl(id: Long, source: String): String =
+    s"https://www.$source.example${id % 7}.com/lb/$id"
+
+  /** The crawl-1 capture instant (WARC-Date, one per doc's fetch batch)
+    * and the crawl-2 revisit instant — months staggered against the
+    * sitemap `<lastmod>` axis (month id%9+1) so the recrawl queue has
+    * both stale and fresh pages. */
+  def warcDateOf(id: Long): String = s"2026-0${id % 6 + 1}-15T00:00:00Z"
+  def recrawlDateOf(id: Long): String = s"2026-0${id % 6 + 1}-28T00:00:00Z"
 
   private def buildAliasRequest(
       id: Long, lang: String, source: String): String =
@@ -983,31 +1098,74 @@ object WebCodec {
     s"fetchDurationMs: ${(id * 37) % 900 + 100}$CRLF" +
       s"charsetDetected: ${charsetOf(id)}$CRLF"
 
-  /** One WARC file per document: a request record, the response record,
-    * (id%6∈{3,4,5}) a metadata record, and (id%9==4) a redirect
-    * request/response pair for the alias path; compression variant
-    * keyed by doc_id % 3 — 0 = plain, 1 = gzip STORED (hand-rolled),
-    * 2 = gzip Deflater+FNAME. One gzip member per record, per the WARC
-    * convention. */
+  /** One WARC file per document — the doc's fetch batch, stamped with
+    * one WARC-Date ([[warcDateOf]]): a request record, the response
+    * record (the 200 capture — or, on the DEAD axis id%9==7, a 404/410
+    * and NO 200 at all), (id%6∈{3,4,5}) a metadata record, then the
+    * fetch-outcome axis extras — (id%9==4) the r17 redirect alias pair,
+    * (id%9==8) a 503+Retry-After attempt pair, (id%9==2) the 2-hop
+    * chain pairs (with the punycode /h1 capture), (id%9==5) the A→B→A
+    * loop pairs. Compression variant keyed by doc_id % 3 — 0 = plain,
+    * 1 = gzip STORED (hand-rolled), 2 = gzip Deflater+FNAME. One gzip
+    * member per record, per the WARC convention. */
   def buildWarcFile(
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
     val uri = buildUrl(id, lang, source)
+    val dt = warcDateOf(id)
+    def req(u: String, reqLine: String): Array[Byte] =
+      warcRecordBytes("request", u, reqLine.getBytes("ISO-8859-1"),
+        date = dt)
+    def resp(u: String, payload: Array[Byte]): Array[Byte] =
+      warcRecordBytes("response", u, payload, date = dt)
+    def getReq(u: String): String = {
+      // request line + Host derived from the target URI
+      val noScheme = u.substring(u.indexOf("//") + 2)
+      val slash = noScheme.indexOf('/')
+      s"GET ${noScheme.substring(slash)} HTTP/1.1$CRLF" +
+        s"Host: ${noScheme.substring(0, slash)}$CRLF$CRLF"
+    }
     val recs = Vector(
-      warcRecordBytes("request", uri,
-        buildRequest(id, lang, source).getBytes("ISO-8859-1")),
-      warcRecordBytes("response", uri,
-        buildResponse(id, text, lang, source))) ++
+      req(uri, buildRequest(id, lang, source)),
+      resp(uri,
+        if (deadAxis(id)) buildErrorResponse(id)
+        else buildResponse(id, text, lang, source))) ++
       (if (hasMetadata(id))
         Vector(warcRecordBytes("metadata", uri,
-          metadataFields(id).getBytes("ISO-8859-1")))
+          metadataFields(id).getBytes("ISO-8859-1"), date = dt))
       else Vector.empty) ++
       (if (redirectAxis(id)) {
         val alias = redirectAliasUrl(id, lang, source)
         Vector(
-          warcRecordBytes("request", alias,
-            buildAliasRequest(id, lang, source).getBytes("ISO-8859-1")),
-          warcRecordBytes("response", alias,
-            buildRedirectResponse(id, lang, source)))
+          req(alias, buildAliasRequest(id, lang, source)),
+          resp(alias, buildRedirectResponse(id, lang, source)))
+      } else Vector.empty) ++
+      (if (retryAxis(id))
+        Vector(req(uri, buildRequest(id, lang, source)),
+          resp(uri, buildRetryResponse(id)))
+      else Vector.empty) ++
+      (if (chainAxis(id)) {
+        val h2 = chainHop2Url(id, source)
+        val h1 = chainHop1UrlAscii(id)
+        Vector(
+          req(h2, getReq(h2)),
+          resp(h2, redirect3xx(302, "Found",
+            chainHop1LocationUnicode(id),
+            s"<html><body>Moved to /h1/$id</body></html>")),
+          req(h1, getReq(h1)),
+          resp(h1, redirect3xx(301, "Moved Permanently",
+            chainFinalLocation(id, lang, source),
+            s"<html><body>Moved to /docs/$id</body></html>")))
+      } else Vector.empty) ++
+      (if (loopAxis(id)) {
+        val la = loopAUrl(id, source)
+        val lb = loopBUrl(id, source)
+        Vector(
+          req(la, getReq(la)),
+          resp(la, redirect3xx(301, "Moved Permanently", s"/lb/$id",
+            s"<html><body>Moved to /lb/$id</body></html>")),
+          req(lb, getReq(lb)),
+          resp(lb, redirect3xx(301, "Moved Permanently", s"/la/$id",
+            s"<html><body>Moved to /la/$id</body></html>")))
       } else Vector.empty)
     (id % 3) match {
       case 0 => recs.toArray.flatten
@@ -1029,18 +1187,25 @@ object WebCodec {
   def buildRecrawlFile(
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
     val uri = buildUrl(id, lang, source)
+    val dt = recrawlDateOf(id)
     val req = warcRecordBytes("request", uri,
-      buildRequest(id, lang, source).getBytes("ISO-8859-1"))
+      buildRequest(id, lang, source).getBytes("ISO-8859-1"), date = dt)
     val second =
-      if (id % 2 == 0) {
+      // dead URLs (r18) answer the same 404/410 on the recrawl — dead
+      // is dead; there is nothing to revisit-reference
+      if (deadAxis(id))
+        warcRecordBytes("response", uri, buildErrorResponse(id), date = dt)
+      else if (id % 2 == 0) {
         val html = buildHtml(id, text, lang, source)
         warcRecordBytes("revisit", uri,
           s"HTTP/1.1 200 OK${CRLF}Content-Length: 0$CRLF$CRLF"
             .getBytes("ISO-8859-1"),
           extraHeaders = s"WARC-Refers-To-Target-URI: $uri$CRLF" +
-            s"WARC-Payload-Digest: graft:ck:${cpWeightedCk(html)}$CRLF")
+            s"WARC-Payload-Digest: graft:ck:${cpWeightedCk(html)}$CRLF",
+          date = dt)
       } else
-        warcRecordBytes("response", uri, buildResponse(id, text, lang, source))
+        warcRecordBytes("response", uri,
+          buildResponse(id, text, lang, source), date = dt)
     val recs = Vector(req, second)
     (id % 3) match {
       case 0 => recs.toArray.flatten
@@ -1109,7 +1274,8 @@ object WebCodec {
     val extracted = extractedText(id, text, lang, source)
     // WET text payloads are UTF-8 by convention (Common Crawl ships
     // UTF-8 WET regardless of the page's wire charset)
-    val rec = warcRecordBytes("conversion", uri, extracted.getBytes("UTF-8"))
+    val rec = warcRecordBytes("conversion", uri, extracted.getBytes("UTF-8"),
+      date = warcDateOf(id))
     (id % 3) match {
       case 0 => rec
       case 1 => gzipStored(rec)
@@ -1205,11 +1371,14 @@ object WebCodec {
     decodeEntities(noTags).replaceAll("\\s+", " ").trim
   }
 
-  /** (media_id, payload) synthesized WET archive table. */
+  /** (media_id, payload) synthesized WET archive table. DEAD URLs
+    * (r18, id%9==7) have no 200 capture, so no WET conversion record
+    * exists for them — exactly Common Crawl's behavior. */
   def webWet(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+    docs.where(col("doc_id") % 9 =!= 7)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .as[(Long, String, String, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text, lang, source) =>
@@ -1290,7 +1459,8 @@ object WebCodec {
       gzip_members: Int, http_status: Int, http_method: String,
       transfer: String, content_encoding: String, charset: String,
       charset_src: String, location: String,
-      body_bytes: Long, body_chars: Long, body_ck: Long)
+      body_bytes: Long, body_chars: Long, body_ck: Long,
+      retry_after: Long, warc_date: String)
 
   /** Per-record HTTP-level features through the full gzip→WARC→HTTP
     * walk. Response records parse down to the content-decoded entity
@@ -1322,12 +1492,13 @@ object WebCodec {
                       m.location,
                       m.body.length.toLong,
                       text.codePointCount(0, text.length).toLong,
-                      cpWeightedCk(text))
+                      cpWeightedCk(text), m.retryAfter, r.date)
                   }
                 case "request" =>
                   parseHttpRequest(r.payload).map { case (method, _) =>
                     WarcRow(id, i, r.warcType, r.targetUri, members,
-                      0, method, "", "", "", "", "", 0L, 0L, 0L)
+                      0, method, "", "", "", "", "", 0L, 0L, 0L,
+                      0L, r.date)
                   }
                 case _ => // metadata / conversion / revisit: text payload
                   val text = decodeText(r.payload, "")
@@ -1335,7 +1506,7 @@ object WebCodec {
                     0, "", "", "", "", "", "",
                     r.payload.length.toLong,
                     text.codePointCount(0, text.length).toLong,
-                    cpWeightedCk(text)))
+                    cpWeightedCk(text), 0L, r.date))
               }
             }
           }
@@ -1344,7 +1515,8 @@ object WebCodec {
   }
 
   final case class WebDoc(
-      media_id: Long, target_uri: String, http_status: Int, body: String)
+      media_id: Long, target_uri: String, http_status: Int, body: String,
+      location: String)
 
   /** WARC → response records → HTTP parse → content-decoded,
     * charset-decoded HTML body as a string column (the codec half of
@@ -1359,7 +1531,7 @@ object WebCodec {
           parseWarc(payload).toSeq.flatMap { recs =>
             recs.filter(_.warcType == "response").flatMap { r =>
               parseHttpResponse(r.payload).map { m =>
-                WebDoc(id, r.targetUri, m.status, m.bodyText)
+                WebDoc(id, r.targetUri, m.status, m.bodyText, m.location)
               }
             }
           }
@@ -1630,14 +1802,20 @@ object WebCodec {
   def pipelineMain(media: DataFrame): DataFrame = {
     val resp = warcResponses(media)
     val host = urlParts(col("target_uri")).toMap.apply("host")
+    // target_uri + location ride along (r18): the fetch table doubles
+    // as the redirect-chase serving table — 3xx rows carry their
+    // Location, 200 rows their canonical keys
     resp.select(col("media_id"), host.as("host"), col("http_status"),
+        col("target_uri"), col("location"),
         mainContentStruct(col("body")).as("mc"))
       .select(col("media_id"), col("host"), col("http_status"),
+        col("target_uri"), col("location"),
         col("mc").getField("main_text").as("body"),
         col("mc").getField("n_blocks").as("n_blocks"),
         col("mc").getField("n_kept").as("n_kept"),
         col("mc").getField("boiler_chars").as("boiler_chars"))
       .select(col("media_id"), col("host"), col("http_status"),
+        col("target_uri"), col("location"),
         col("body"), col("n_blocks"), col("n_kept"), col("boiler_chars"),
         size(split(col("body"), "\\s+")).cast("long").as("n_words"),
         when(length(col("body")) > 0,
@@ -1658,8 +1836,10 @@ object WebCodec {
     val resp = warcResponses(media)
     val host = urlParts(col("target_uri")).toMap.apply("host")
     resp.select(col("media_id"), host.as("host"), col("http_status"),
+        col("target_uri"), col("location"),
         extractTextCol(col("body")).as("body"))
-      .select(col("media_id"), col("host"), col("http_status"), col("body"),
+      .select(col("media_id"), col("host"), col("http_status"),
+        col("target_uri"), col("location"), col("body"),
         size(split(col("body"), "\\s+")).cast("long").as("n_words"),
         // multiply in BIGINT: 1000 * length() in INT arithmetic silently
         // wraps past ~2.1M chars under non-ANSI mode, diverging from the

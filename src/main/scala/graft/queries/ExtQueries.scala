@@ -1017,6 +1017,102 @@ ORDER BY q_id, rnk"""
     * r17 redirect fetch rows. */
   private val webRedirectStubSql =
     """'<html><body>Moved to /docs/' || doc_id::VARCHAR || '</body></html>'"""
+
+  // ------------------------------------------------------------------
+  // r18 fetch-outcome axes — twins of WebCodec.{deadAxis,errorStatus,
+  // errorBody,retryAxis,retryAfterOf,retryBody,chainAxis,loopAxis,
+  // warcDateOf} and the chain's IDN host pair
+  // ------------------------------------------------------------------
+  private val webErrorStatusSql =
+    "CASE WHEN doc_id % 2 = 0 THEN 410 ELSE 404 END"
+  private val webErrorStubSql =
+    s"""'<html><body>Error ' || ($webErrorStatusSql)::VARCHAR ||
+      ' for /docs/' || doc_id::VARCHAR || '</body></html>'"""
+  private val webRetryStubSql =
+    """'<html><body>Busy, retry /docs/' || doc_id::VARCHAR
+      || '</body></html>'"""
+  private val webRetryAfterSql = "(doc_id % 5 + 1) * 30"
+  private val webWarcDateSql =
+    "'2026-0' || (doc_id % 6 + 1)::VARCHAR || '-15T00:00:00Z'"
+  // the doc's own host (lowercased, as urlParts derives it)
+  private val webHostSql = """'www.' || lower(source) || '.example'
+      || (doc_id % 7)::VARCHAR || '.com'"""
+  // the r17 redirect alias Location (relative on even ids, messy
+  // absolute on odd)
+  private val webRedirectLocSql =
+    """CASE WHEN doc_id % 2 = 0 THEN
+         '/docs/' || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed'
+       ELSE
+         'HTTPS://www.' || source || '.example' || (doc_id % 7)::VARCHAR
+           || '.com:443/docs/' || doc_id::VARCHAR || '?lang=' || lang
+           || '&ref=feed'
+       END"""
+  private val webChainFinalLocSql =
+    """'HTTPS://www.' || source || '.example' || (doc_id % 7)::VARCHAR
+      || '.com:443/docs/' || doc_id::VARCHAR || '?lang=' || lang
+      || '&ref=feed'"""
+
+  /** EVERY response record's logical fetch row — (doc_id, lang, source,
+    * html, hst, uri, loc, host) — the r18 union all wire-replay oracles
+    * build on: 200 captures (no dead docs), 404/410 dead fetches,
+    * the r17 301 alias pair, 503 retry attempts, the 2-hop chain
+    * (with the punycode /h1 capture host), and the A→B→A loop pair.
+    * Twin of the response records WebCodec.buildWarcFile emits. */
+  private lazy val webFetchRowsSql: String =
+    s"""SELECT doc_id, lang, source, $webHtmlExpr AS html,
+         CAST(200 AS INT) AS hst, $webUrlExpr AS uri, '' AS loc,
+         $webHostSql AS host
+       FROM documents WHERE doc_id % 9 <> 7
+     UNION ALL
+       SELECT doc_id, lang, source, $webErrorStubSql,
+         CAST($webErrorStatusSql AS INT), $webUrlExpr, '', $webHostSql
+       FROM documents WHERE doc_id % 9 = 7
+     UNION ALL
+       SELECT doc_id, lang, source, $webRedirectStubSql, CAST(301 AS INT),
+         'https://www.' || source || '.example' || (doc_id % 7)::VARCHAR
+           || '.com/r/' || doc_id::VARCHAR,
+         $webRedirectLocSql, $webHostSql
+       FROM documents WHERE doc_id % 9 = 4
+     UNION ALL
+       SELECT doc_id, lang, source, $webRetryStubSql, CAST(503 AS INT),
+         $webUrlExpr, '', $webHostSql
+       FROM documents WHERE doc_id % 9 = 8
+     UNION ALL
+       SELECT doc_id, lang, source,
+         '<html><body>Moved to /h1/' || doc_id::VARCHAR
+           || '</body></html>',
+         CAST(302 AS INT),
+         'https://www.' || source || '.example' || (doc_id % 7)::VARCHAR
+           || '.com/h2/' || doc_id::VARCHAR,
+         'https://www.zürich.example' || (doc_id % 7)::VARCHAR
+           || '.com/h1/' || doc_id::VARCHAR,
+         $webHostSql
+       FROM documents WHERE doc_id % 9 = 2
+     UNION ALL
+       SELECT doc_id, lang, source, $webRedirectStubSql, CAST(301 AS INT),
+         'https://www.xn--zrich-kva.example' || (doc_id % 7)::VARCHAR
+           || '.com/h1/' || doc_id::VARCHAR,
+         $webChainFinalLocSql,
+         'www.xn--zrich-kva.example' || (doc_id % 7)::VARCHAR || '.com'
+       FROM documents WHERE doc_id % 9 = 2
+     UNION ALL
+       SELECT doc_id, lang, source,
+         '<html><body>Moved to /lb/' || doc_id::VARCHAR
+           || '</body></html>',
+         CAST(301 AS INT),
+         'https://www.' || source || '.example' || (doc_id % 7)::VARCHAR
+           || '.com/la/' || doc_id::VARCHAR,
+         '/lb/' || doc_id::VARCHAR, $webHostSql
+       FROM documents WHERE doc_id % 9 = 5
+     UNION ALL
+       SELECT doc_id, lang, source,
+         '<html><body>Moved to /la/' || doc_id::VARCHAR
+           || '</body></html>',
+         CAST(301 AS INT),
+         'https://www.' || source || '.example' || (doc_id % 7)::VARCHAR
+           || '.com/lb/' || doc_id::VARCHAR,
+         '/la/' || doc_id::VARCHAR, $webHostSql
+       FROM documents WHERE doc_id % 9 = 5"""
   private val webRedirectWhere = "doc_id % 9 = 4"
 
   /** Character reference decode over expression `x` — the DuckDB twin
@@ -1063,43 +1159,34 @@ ORDER BY q_id, rnk"""
     * web_pipeline_main and web_funnel — twin of WebCodec.pipelineMain
     * ∘ mainContentStruct. */
   private lazy val webMainChainSql =
-    s"""h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html,
-           CAST(200 AS INT) AS hst FROM documents
-         UNION ALL
-         -- r17 redirect axis: the 301 stub rides the SAME block
-         -- segmentation (it has no block elements, so everything
-         -- falls out naturally: 0 blocks, empty main text)
-         SELECT doc_id, lang, source, $webRedirectStubSql AS html,
-           CAST(301 AS INT) AS hst FROM documents
-         WHERE $webRedirectWhere),
-b AS (SELECT doc_id, hst, source, regexp_extract_all(
+    s"""h AS ($webFetchRowsSql),
+b AS (SELECT doc_id, hst, uri, loc, host, regexp_extract_all(
         -- comments strip BEFORE block segmentation (r18): a commented
         -- <div>…</div> must not surface as a phantom block
         regexp_replace(html, '<!--.*?-->', ' ', 'g'),
         '(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>|<div[^>]*>.*?</div>|<footer>.*?</footer>)',
         1) AS blocks FROM h),
-s AS (SELECT doc_id, hst, source, len(blocks) AS nb, list_transform(blocks,
+s AS (SELECT doc_id, hst, uri, loc, host, len(blocks) AS nb,
+        list_transform(blocks,
         blk -> struct_pack(
           btext := ${webExtractSql("blk")},
           ltext := coalesce(array_to_string(
             regexp_extract_all(blk, '<a [^>]*>([^<]*)</a>', 1), ' '), '')))
         AS ev FROM b),
-k AS (SELECT doc_id, hst, source, nb,
+k AS (SELECT doc_id, hst, uri, loc, host, nb,
         list_filter(ev, e -> length(e.btext) >= 15
           AND 2 * length(e.ltext) < length(e.btext)) AS keptl,
         list_filter(ev, e -> NOT (length(e.btext) >= 15
           AND 2 * length(e.ltext) < length(e.btext))) AS dropl
       FROM s),
-m AS (SELECT doc_id, hst, source, nb, len(keptl) AS nk,
+m AS (SELECT doc_id, hst, uri, loc, host, nb, len(keptl) AS nk,
         coalesce(array_to_string(
           list_transform(keptl, e -> e.btext), ' '), '') AS body,
         coalesce(list_aggregate(
           list_transform(dropl, e -> length(e.btext)), 'sum'), 0) AS bc
       FROM k),
-g AS (SELECT doc_id,
-        'www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
-          || '.com' AS host,
-        hst AS http_status, body,
+g AS (SELECT doc_id, host,
+        hst AS http_status, uri AS target_uri, loc AS location, body,
         nb::BIGINT AS n_blocks, nk::BIGINT AS n_kept, bc::BIGINT
           AS boiler_chars,
         len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
@@ -1142,31 +1229,19 @@ webq AS (SELECT doc_id,
   // oracle). The gates floor identically in both engines (integer-milli
   // via BIGINT // BIGINT vs Spark's `div`).
   private lazy val webPipelineSql =
-    s"""WITH hh AS (SELECT doc_id, lang, source, $webHtmlExpr AS html,
-           CAST(200 AS INT) AS hst FROM documents
-         UNION ALL
-         -- r17 redirect axis: the alias fetch's 301 stub rides the
-         -- same extraction + gate formulas; only the kept-gate's
-         -- status clause excludes it
-         SELECT doc_id, lang, source, $webRedirectStubSql AS html,
-           CAST(301 AS INT) AS hst FROM documents
-         WHERE $webRedirectWhere),
-x AS (SELECT doc_id, source, hst, ${webExtractSql("html")} AS body FROM hh),
-g AS (SELECT doc_id,
-        -- lower(): the Spark side derives host via lower() over the
-        -- parsed URL, so the twin must hold for any fixture casing
-        -- (ADVICE r15)
-        'www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
-          || '.com' AS host,
-        hst AS http_status, body,
+    s"""WITH hh AS ($webFetchRowsSql),
+x AS (SELECT doc_id, hst, uri, loc, host,
+        ${webExtractSql("html")} AS body FROM hh),
+g AS (SELECT doc_id, host, hst AS http_status,
+        uri AS target_uri, loc AS location, body,
         len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
         (1000 * length(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))
           // length(body) AS alpha_milli
       FROM x)
-SELECT doc_id AS media_id, host, http_status, body, n_words,
-       alpha_milli::BIGINT AS alpha_milli,
+SELECT doc_id AS media_id, host, http_status, target_uri, location,
+       body, n_words, alpha_milli::BIGINT AS alpha_milli,
        (http_status = 200 AND n_words >= 40 AND alpha_milli >= 900) AS kept
-FROM g ORDER BY media_id, http_status"""
+FROM g ORDER BY media_id, http_status, target_uri"""
 
   // DuckDB twin of ArchiveCodec.docEntries: both archive walks must
   // emit these exact names/sizes/checksums. LEFT JOIN + coalesce keeps
@@ -1259,6 +1334,12 @@ SELECT 'example' || kdom::VARCHAR || '.com' AS domain,
          AS n_docs,
        sum(CASE WHEN http_status >= 300 AND http_status < 400
            THEN 1 ELSE 0 END)::BIGINT AS n_redirects,
+       -- r18 error tiers: total error fetches and the transient
+       -- (retryable 503) subset — a real crawl is 20–30% of these
+       sum(CASE WHEN http_status >= 400 THEN 1 ELSE 0 END)::BIGINT
+         AS n_errors,
+       sum(CASE WHEN http_status = 503 THEN 1 ELSE 0 END)::BIGINT
+         AS n_retryable,
        sum(CASE WHEN allowed AND http_status = 200 THEN 1 ELSE 0 END)
          ::BIGINT AS n_allowed,
        sum(CASE WHEN allowed AND kept THEN 1 ELSE 0 END)::BIGINT
@@ -1285,6 +1366,11 @@ FROM a GROUP BY 1 ORDER BY domain"""
       .groupBy("domain")
       .agg(sum(ok.cast("long")).cast("long").as("n_docs"),
         sum(redir.cast("long")).cast("long").as("n_redirects"),
+        // r18 error tiers: dead 404/410 fetches + transient 503s
+        sum((col("http_status") >= 400).cast("long")).cast("long")
+          .as("n_errors"),
+        sum((col("http_status") === 503).cast("long")).cast("long")
+          .as("n_retryable"),
         sum((col("allowed") && ok).cast("long")).cast("long")
           .as("n_allowed"),
         sum((col("allowed") && col("kept")).cast("long")).cast("long")
@@ -6856,7 +6942,7 @@ SELECT * FROM (
           .orderBy("media_id", "rec_index"),
       Some(s"""WITH crlfv AS (SELECT chr(13) || chr(10) AS crlf),
 h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents),
-axes AS (SELECT h.doc_id, h.html, $webUrlExpr AS uri,
+axes AS (SELECT h.doc_id, h.lang, h.source, h.html, $webUrlExpr AS uri,
     $webCharsetCase AS charset,
     $webCharsetResolvedCase AS charset_res,
     $webCeCase AS content_encoding,
@@ -6864,56 +6950,126 @@ axes AS (SELECT h.doc_id, h.html, $webUrlExpr AS uri,
     -- decoded-entity BYTES: 1/codepoint on the cp1252 wire, UTF-8
     -- strlen otherwise, plus the 3-byte BOM signature on its axis
     (CASE WHEN h.doc_id % 5 = 2 THEN length(h.html)
-          ELSE strlen(h.html) END) + ($webBomCase) AS body_bytes
+          ELSE strlen(h.html) END) + ($webBomCase) AS body_bytes,
+    -- extras (r17 redirect pair; r18 retry/chain/loop pairs) start
+    -- after the base records: request, response, and the metadata
+    -- sidecar when present
+    2 + (CASE WHEN h.doc_id % 6 >= 3 THEN 1 ELSE 0 END) AS ebase
   FROM h),
 recs AS (
   SELECT doc_id, CAST(0 AS INT) AS rec_index, 'request' AS warc_type,
          uri, '' AS txt, 0 AS body_bytes, 0 AS http_status,
          'GET' AS http_method, '' AS transfer, '' AS content_encoding,
-         '' AS charset, '' AS charset_src, '' AS location
+         '' AS charset, '' AS charset_src, '' AS location,
+         CAST(0 AS BIGINT) AS retry_after
   FROM axes
   UNION ALL
+  -- the 200 capture — except on the DEAD axis (r18), where the only
+  -- fetch answered 404/410 with the error stub
   SELECT doc_id, CAST(1 AS INT), 'response', uri, html, body_bytes,
          200, '', transfer, content_encoding, charset_res,
-         $webCharsetSrcCase, ''
-  FROM axes
+         $webCharsetSrcCase, '', 0
+  FROM axes WHERE doc_id % 9 <> 7
+  UNION ALL
+  SELECT doc_id, CAST(1 AS INT), 'response', uri, $webErrorStubSql,
+         -1, $webErrorStatusSql, '', 'identity', 'identity', '',
+         'sniff', '', 0
+  FROM axes WHERE doc_id % 9 = 7
   UNION ALL
   SELECT a.doc_id, CAST(2 AS INT), 'metadata', a.uri,
          'fetchDurationMs: ' || ((a.doc_id * 37) % 900 + 100)::VARCHAR
            || c.crlf || 'charsetDetected: ' || a.charset || c.crlf,
-         -1, 0, '', '', '', '', '', ''
+         -1, 0, '', '', '', '', '', '', 0
   FROM axes a, crlfv c WHERE a.doc_id % 6 >= 3
   UNION ALL
-  -- r17 redirect axis: the alias fetch's request + 301 response pair,
-  -- appended after the base records (rec_index shifts past the
-  -- metadata sidecar when present)
-  SELECT d.doc_id,
-         CAST(2 + (CASE WHEN d.doc_id % 6 >= 3 THEN 1 ELSE 0 END) AS INT),
-         'request',
-         'https://www.' || d.source || '.example'
-           || (d.doc_id % 7)::VARCHAR || '.com/r/' || d.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', ''
-  FROM documents d WHERE d.doc_id % 9 = 4
+  -- r17 redirect axis: the alias fetch's request + 301 response pair
+  SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/r/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 4
   UNION ALL
-  SELECT d.doc_id,
-         CAST(3 + (CASE WHEN d.doc_id % 6 >= 3 THEN 1 ELSE 0 END) AS INT),
-         'response',
-         'https://www.' || d.source || '.example'
-           || (d.doc_id % 7)::VARCHAR || '.com/r/' || d.doc_id::VARCHAR,
-         '<html><body>Moved to /docs/' || d.doc_id::VARCHAR
-           || '</body></html>',
-         strlen('<html><body>Moved to /docs/' || d.doc_id::VARCHAR
-           || '</body></html>'),
+  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/r/' || a.doc_id::VARCHAR,
+         $webRedirectStubSql, -1,
          301, '', 'identity', 'identity', '', 'sniff',
-         CASE WHEN d.doc_id % 2 = 0 THEN
-           '/docs/' || d.doc_id::VARCHAR || '?lang=' || d.lang
-             || '&ref=feed'
-         ELSE
-           'HTTPS://www.' || d.source || '.example'
-             || (d.doc_id % 7)::VARCHAR || '.com:443/docs/'
-             || d.doc_id::VARCHAR || '?lang=' || d.lang || '&ref=feed'
-         END
-  FROM documents d WHERE d.doc_id % 9 = 4),
+         $webRedirectLocSql, 0
+  FROM axes a WHERE a.doc_id % 9 = 4
+  UNION ALL
+  -- r18 retry axis: the failed 503 attempt pair (same target URI)
+  SELECT a.doc_id, CAST(a.ebase AS INT), 'request', a.uri,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 8
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response', a.uri,
+         $webRetryStubSql, -1,
+         503, '', 'identity', 'identity', '', 'sniff', '',
+         $webRetryAfterSql
+  FROM axes a WHERE a.doc_id % 9 = 8
+  UNION ALL
+  -- r18 chain axis: /h2 302 (unicode-IDN Location) then the /h1
+  -- capture at its punycode host, 301 to the canonical doc
+  SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/h2/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 2
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/h2/' || a.doc_id::VARCHAR,
+         '<html><body>Moved to /h1/' || a.doc_id::VARCHAR
+           || '</body></html>', -1,
+         302, '', 'identity', 'identity', '', 'sniff',
+         'https://www.zürich.example' || (a.doc_id % 7)::VARCHAR
+           || '.com/h1/' || a.doc_id::VARCHAR, 0
+  FROM axes a WHERE a.doc_id % 9 = 2
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 2 AS INT), 'request',
+         'https://www.xn--zrich-kva.example' || (a.doc_id % 7)::VARCHAR
+           || '.com/h1/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 2
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 3 AS INT), 'response',
+         'https://www.xn--zrich-kva.example' || (a.doc_id % 7)::VARCHAR
+           || '.com/h1/' || a.doc_id::VARCHAR,
+         $webRedirectStubSql, -1,
+         301, '', 'identity', 'identity', '', 'sniff',
+         $webChainFinalLocSql, 0
+  FROM axes a WHERE a.doc_id % 9 = 2
+  UNION ALL
+  -- r18 loop axis: /la 301→ /lb 301→ /la (relative Locations)
+  SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/la/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 5
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/la/' || a.doc_id::VARCHAR,
+         '<html><body>Moved to /lb/' || a.doc_id::VARCHAR
+           || '</body></html>', -1,
+         301, '', 'identity', 'identity', '', 'sniff',
+         '/lb/' || a.doc_id::VARCHAR, 0
+  FROM axes a WHERE a.doc_id % 9 = 5
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 2 AS INT), 'request',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/lb/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 5
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 3 AS INT), 'response',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/lb/' || a.doc_id::VARCHAR,
+         '<html><body>Moved to /la/' || a.doc_id::VARCHAR
+           || '</body></html>', -1,
+         301, '', 'identity', 'identity', '', 'sniff',
+         '/la/' || a.doc_id::VARCHAR, 0
+  FROM axes a WHERE a.doc_id % 9 = 5),
 chars AS (SELECT doc_id, rec_index, u.i AS i,
                  ascii(substr(txt, (u.i + 1)::INT, 1)) AS c
           FROM recs, unnest(range(0, length(txt))) AS u(i)),
@@ -6923,11 +7079,14 @@ SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
        r.uri AS target_uri,
        -- plain files (id%3==0, covering id%6∈{0,3}) report 0 members;
        -- metadata-axis gzip files (id%6∈{4,5} — STORED and Deflater
-       -- respectively) count 3; all other gzip files 2 (ADVICE r16:
-       -- multi-member counting now exercised on both inflate paths)
+       -- respectively) count 3; all other gzip files 2 (ADVICE r16);
+       -- the r17 redirect and r18 retry pairs add 2 records, the r18
+       -- chain/loop pairs add 4
        CAST(CASE WHEN r.doc_id % 3 = 0 THEN 0
                  ELSE (CASE WHEN r.doc_id % 6 IN (4, 5) THEN 3 ELSE 2 END)
-                   + (CASE WHEN r.doc_id % 9 = 4 THEN 2 ELSE 0 END)
+                   + (CASE WHEN r.doc_id % 9 IN (4, 8) THEN 2
+                           WHEN r.doc_id % 9 IN (2, 5) THEN 4
+                           ELSE 0 END)
             END AS INT)
          AS gzip_members,
        CAST(r.http_status AS INT) AS http_status, r.http_method,
@@ -6936,7 +7095,10 @@ SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
        (CASE WHEN r.body_bytes = -1 THEN strlen(r.txt)
              ELSE r.body_bytes END)::BIGINT AS body_bytes,
        length(r.txt)::BIGINT AS body_chars,
-       coalesce(k.body_ck, 0)::BIGINT AS body_ck
+       coalesce(k.body_ck, 0)::BIGINT AS body_ck,
+       r.retry_after::BIGINT AS retry_after,
+       '2026-0' || (r.doc_id % 6 + 1)::VARCHAR || '-15T00:00:00Z'
+         AS warc_date
 FROM recs r LEFT JOIN cks k USING (doc_id, rec_index)
 ORDER BY media_id, rec_index""")),
 
@@ -6957,7 +7119,8 @@ ORDER BY media_id, rec_index""")),
           .orderBy("media_id"),
       Some(s"""WITH crlfv AS (SELECT chr(13) || chr(10) AS crlf),
 h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents
-      WHERE doc_id % 5 NOT IN (3, 4)),
+      -- text subset only; dead URLs (r18) have no 200 capture
+      WHERE doc_id % 5 NOT IN (3, 4) AND doc_id % 9 <> 7),
 f AS (SELECT h.doc_id, h.html, $webCharsetCase AS charset,
     $webCharsetResolvedCase AS charset_res,
     $webTransferCase AS transfer,
@@ -7189,7 +7352,9 @@ GROUP BY 1 ORDER BY domain""")),
       (s: SparkSession, d: String) =>
         graft.ext.WebCodec.pipeline(
           graft.ext.WebCodec.webWarc(docs(s, d)))
-          .orderBy("media_id", "http_status"),
+          // target_uri completes the sort key (r18): the loop axis
+          // puts two 301 rows on one (media_id, status)
+          .orderBy("media_id", "http_status", "target_uri"),
       Some(webPipelineSql)),
 
     // The front door through MAIN-CONTENT extraction (r16) — the pass a
@@ -7202,12 +7367,13 @@ GROUP BY 1 ORDER BY domain""")),
       (s: SparkSession, d: String) =>
         graft.ext.WebCodec.pipelineMain(
           graft.ext.WebCodec.webWarc(docs(s, d)))
-          .orderBy("media_id", "http_status"),
+          .orderBy("media_id", "http_status", "target_uri"),
       Some(s"""WITH $webMainChainSql
-SELECT doc_id AS media_id, host, http_status, body, n_blocks, n_kept,
+SELECT doc_id AS media_id, host, http_status, target_uri, location,
+       body, n_blocks, n_kept,
        boiler_chars, n_words, alpha_milli::BIGINT AS alpha_milli,
        (http_status = 200 AND n_words >= 40 AND alpha_milli >= 900) AS kept
-FROM g ORDER BY media_id, http_status""")),
+FROM g ORDER BY media_id, http_status, target_uri""")),
 
     // The pipeline FUNNEL (r16) — the observability rollup a real
     // 100 TB run watches: per domain, how many docs were fetched, how
@@ -7266,38 +7432,98 @@ FROM g ORDER BY media_id, http_status""")),
           .withColumn("already_fetched", col("fetched_canonical").isNotNull)
           .drop("fetched_canonical")
           .join(gate, Seq("media_id"))
-          .orderBy("media_id")
+          // alias_uri completes the sort key (r18): chain/loop docs
+          // carry two 3xx fetches each
+          .orderBy("media_id", "alias_uri")
       },
       Some("""WITH d AS (SELECT doc_id, lang, source, doc_id % 7 AS k,
-           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
-           doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9
-         FROM documents WHERE doc_id % 9 = 4)
-SELECT doc_id AS media_id,
-  'https://www.' || source || '.example' || k::VARCHAR || '.com/r/'
-    || doc_id::VARCHAR AS alias_uri,
-  CASE WHEN doc_id % 2 = 0 THEN
-    '/docs/' || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed'
-  ELSE
-    'HTTPS://www.' || source || '.example' || k::VARCHAR || '.com:443/docs/'
-      || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed'
-  END AS location,
-  'https://www.' || lower(source) || '.example' || k::VARCHAR
-    || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed'
-    AS target_canonical,
-  TRUE AS already_fetched,
-  CASE WHEN k % 5 = 0 THEN NOT sw9
-       WHEN k = 1 THEN FALSE
-       WHEN k = 3 THEN NOT e9
-       WHEN k = 4 THEN NOT e7
-       WHEN k = 6 THEN NOT e9
-       ELSE TRUE END AS allowed,
-  CASE WHEN k % 5 = 0 THEN (CASE WHEN sw9 THEN '/docs/9' ELSE '' END)
-       WHEN k = 1 THEN (CASE WHEN e7 THEN '/docs/*7$' ELSE '/docs/' END)
-       WHEN k = 3 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
-       WHEN k = 4 THEN (CASE WHEN e7 THEN '/docs/*7$' ELSE '' END)
-       WHEN k = 6 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
-       ELSE '' END AS matched_rule
-FROM d ORDER BY media_id""")),
+           CASE WHEN (doc_id % 7) % 5 = 0 THEN
+                  NOT (substr(doc_id::VARCHAR, 1, 1) = '9')
+                WHEN doc_id % 7 = 1 THEN FALSE
+                WHEN doc_id % 7 = 3 THEN NOT (doc_id % 10 = 9)
+                WHEN doc_id % 7 = 4 THEN NOT (doc_id % 10 = 7)
+                WHEN doc_id % 7 = 6 THEN NOT (doc_id % 10 = 9)
+                ELSE TRUE END AS allowed,
+           CASE WHEN (doc_id % 7) % 5 = 0 THEN
+                  (CASE WHEN substr(doc_id::VARCHAR, 1, 1) = '9'
+                        THEN '/docs/9' ELSE '' END)
+                WHEN doc_id % 7 = 1 THEN
+                  (CASE WHEN doc_id % 10 = 7 THEN '/docs/*7$'
+                        ELSE '/docs/' END)
+                WHEN doc_id % 7 = 3 THEN
+                  (CASE WHEN doc_id % 10 = 9 THEN '/docs/*9$'
+                        ELSE '/docs/' END)
+                WHEN doc_id % 7 = 4 THEN
+                  (CASE WHEN doc_id % 10 = 7 THEN '/docs/*7$' ELSE '' END)
+                WHEN doc_id % 7 = 6 THEN
+                  (CASE WHEN doc_id % 10 = 9 THEN '/docs/*9$'
+                        ELSE '/docs/' END)
+                ELSE '' END AS matched_rule
+         FROM documents WHERE doc_id % 9 IN (2, 4, 5)),
+r AS (
+  -- r17 alias redirect: one hop straight to the (already fetched) doc
+  SELECT doc_id,
+    'https://www.' || source || '.example' || k::VARCHAR || '.com/r/'
+      || doc_id::VARCHAR AS alias_uri,
+    CASE WHEN doc_id % 2 = 0 THEN
+      '/docs/' || doc_id::VARCHAR || '?lang=' || lang || '&ref=feed'
+    ELSE
+      'HTTPS://www.' || source || '.example' || k::VARCHAR
+        || '.com:443/docs/' || doc_id::VARCHAR || '?lang=' || lang
+        || '&ref=feed'
+    END AS location,
+    'https://www.' || lower(source) || '.example' || k::VARCHAR
+      || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
+      || '&ref=feed' AS target_canonical,
+    TRUE AS already_fetched
+  FROM d WHERE doc_id % 9 = 4
+  UNION ALL
+  -- r18 chain hop 1 of 2: /h2 → the /h1 intermediate (captured only
+  -- as a 301, so NOT already fetched; unicode-IDN Location)
+  SELECT doc_id,
+    'https://www.' || source || '.example' || k::VARCHAR || '.com/h2/'
+      || doc_id::VARCHAR,
+    'https://www.zürich.example' || k::VARCHAR || '.com/h1/'
+      || doc_id::VARCHAR,
+    'https://www.zürich.example' || k::VARCHAR || '.com/h1/'
+      || doc_id::VARCHAR,
+    FALSE
+  FROM d WHERE doc_id % 9 = 2
+  UNION ALL
+  -- r18 chain hop 2 of 2: the punycode /h1 capture → the canonical doc
+  SELECT doc_id,
+    'https://www.xn--zrich-kva.example' || k::VARCHAR || '.com/h1/'
+      || doc_id::VARCHAR,
+    'HTTPS://www.' || source || '.example' || k::VARCHAR
+      || '.com:443/docs/' || doc_id::VARCHAR || '?lang=' || lang
+      || '&ref=feed',
+    'https://www.' || lower(source) || '.example' || k::VARCHAR
+      || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
+      || '&ref=feed',
+    TRUE
+  FROM d WHERE doc_id % 9 = 2
+  UNION ALL
+  -- r18 loop: /la ↔ /lb, neither ever fetched as content
+  SELECT doc_id,
+    'https://www.' || source || '.example' || k::VARCHAR || '.com/la/'
+      || doc_id::VARCHAR,
+    '/lb/' || doc_id::VARCHAR,
+    'https://www.' || lower(source) || '.example' || k::VARCHAR
+      || '.com/lb/' || doc_id::VARCHAR,
+    FALSE
+  FROM d WHERE doc_id % 9 = 5
+  UNION ALL
+  SELECT doc_id,
+    'https://www.' || source || '.example' || k::VARCHAR || '.com/lb/'
+      || doc_id::VARCHAR,
+    '/la/' || doc_id::VARCHAR,
+    'https://www.' || lower(source) || '.example' || k::VARCHAR
+      || '.com/la/' || doc_id::VARCHAR,
+    FALSE
+  FROM d WHERE doc_id % 9 = 5)
+SELECT r.doc_id AS media_id, r.alias_uri, r.location, r.target_canonical,
+       r.already_fetched, d.allowed, d.matched_rule
+FROM r JOIN d USING (doc_id) ORDER BY media_id, alias_uri""")),
 
     // The main-content pipeline SERVED from its streamed WebSink table
     // (r16): same one-code-path posture as web_pipeline_materialized —
@@ -7307,15 +7533,17 @@ FROM d ORDER BY media_id""")),
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         graft.sinks.WebSink.materializedMain(s, d)
-          .select("media_id", "host", "http_status", "body", "n_blocks",
+          .select("media_id", "host", "http_status", "target_uri",
+            "location", "body", "n_blocks",
             "n_kept", "boiler_chars", "n_words", "alpha_milli", "kept")
-          .orderBy("media_id", "http_status")
+          .orderBy("media_id", "http_status", "target_uri")
       },
       Some(s"""WITH $webMainChainSql
-SELECT doc_id AS media_id, host, http_status, body, n_blocks, n_kept,
+SELECT doc_id AS media_id, host, http_status, target_uri, location,
+       body, n_blocks, n_kept,
        boiler_chars, n_words, alpha_milli::BIGINT AS alpha_milli,
        (http_status = 200 AND n_words >= 40 AND alpha_milli >= 900) AS kept
-FROM g ORDER BY media_id, http_status""")),
+FROM g ORDER BY media_id, http_status, target_uri""")),
 
     // The same pipeline output SERVED from the streamed WebSink table
     // instead of computed from archive bytes in-plan — cleaned corpus
@@ -7325,9 +7553,10 @@ FROM g ORDER BY media_id, http_status""")),
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         graft.sinks.WebSink.materialized(s, d)
-          .select("media_id", "host", "http_status", "body", "n_words",
+          .select("media_id", "host", "http_status", "target_uri",
+            "location", "body", "n_words",
             "alpha_milli", "kept")
-          .orderBy("media_id", "http_status")
+          .orderBy("media_id", "http_status", "target_uri")
       },
       Some(webPipelineSql)),
 
@@ -7392,7 +7621,8 @@ FROM d ORDER BY media_id""")),
     $webCharsetResolvedCase AS charset,
     $webCeCase AS content_encoding,
     $webTransferCase AS transfer
-  FROM documents)
+  -- dead URLs (r18) have no 200 capture → no census row
+  FROM documents WHERE doc_id % 9 <> 7)
 SELECT charset_src, charset, content_encoding, transfer,
        count(*)::BIGINT AS n_docs
 FROM a GROUP BY 1, 2, 3, 4
@@ -7480,7 +7710,11 @@ FROM a GROUP BY k ORDER BY domain""")),
           .select(col("media_id"), col("fetched"), col("n_chars"),
             col("body_ck"), lit(true).as("digest_ok"))
         val crawl1 = W.warcRecords(W.webWarc(docs(s, d)))
-          .where(col("warc_type") === "response")
+          // 200 captures ONLY (r18): a revisit references the CONTENT
+          // capture — the retry axis puts a 503 row on the same URI,
+          // and joining it would double the reused rows
+          .where(col("warc_type") === "response" &&
+            col("http_status") === 200)
           .select(col("target_uri").as("c1_uri"),
             col("body_chars").as("c1_chars"), col("body_ck").as("c1_ck"))
         val reused = crawl2.where(col("fetched") === "revisit")
@@ -7491,7 +7725,11 @@ FROM a GROUP BY k ORDER BY domain""")),
               .as("digest_ok"))
         live.unionByName(reused).orderBy("media_id")
       },
-      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+      Some(s"""WITH h AS (SELECT doc_id, lang, source,
+           -- dead URLs (r18) answer the 404/410 stub again on the
+           -- recrawl; everything else re-fetches (or revisits) the doc
+           CASE WHEN doc_id % 9 = 7 THEN $webErrorStubSql
+                ELSE $webHtmlExpr END AS html
            FROM documents),
 chars AS (SELECT doc_id, u.i AS i,
                  ascii(substr(html, (u.i + 1)::INT, 1)) AS c
@@ -7499,7 +7737,9 @@ chars AS (SELECT doc_id, u.i AS i,
 cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS ck
         FROM chars GROUP BY 1)
 SELECT h.doc_id AS media_id,
-       CASE WHEN h.doc_id % 2 = 0 THEN 'revisit' ELSE 'response' END
+       CASE WHEN h.doc_id % 9 = 7 THEN 'response'
+            WHEN h.doc_id % 2 = 0 THEN 'revisit'
+            ELSE 'response' END
          AS fetched,
        length(h.html)::BIGINT AS n_chars, k.ck AS body_ck,
        TRUE AS digest_ok
@@ -7517,7 +7757,8 @@ FROM h JOIN cks k USING (doc_id) ORDER BY media_id""")),
           graft.ext.WebCodec.webWet(docs(s, d)))
           .orderBy("media_id"),
       Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
-           FROM documents),
+           -- no WET conversion record exists for a dead URL (r18)
+           FROM documents WHERE doc_id % 9 <> 7),
 x AS (SELECT doc_id, lang, source, ${webExtractSql("html")} AS body FROM h)
 SELECT doc_id AS media_id, $webUrlExpr AS target_uri, body AS text,
        length(body)::BIGINT AS n_chars
@@ -7706,7 +7947,8 @@ FROM d ORDER BY media_id""")),
           .orderBy("media_id", "chunk_index")
       },
       Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
-           FROM documents),
+           -- dead URLs (r18) never reach the corpus: no 200 capture
+           FROM documents WHERE doc_id % 9 <> 7),
 x AS (SELECT doc_id, ${webExtractSql("html")} AS body FROM h),
 g AS (SELECT doc_id, body,
         len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,

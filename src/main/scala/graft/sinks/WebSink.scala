@@ -31,7 +31,8 @@ object WebSink {
   private def write(rows: DataFrame, path: String, buckets: Int,
       mode: String): Unit =
     BucketedSink.write(rows, path, col("media_id"), "web_bucket",
-      buckets, Seq(col("media_id"), col("http_status")), mode)
+      buckets,
+      Seq(col("media_id"), col("http_status"), col("target_uri")), mode)
 
   /** Parse-gate + extract + gate one micro-batch of raw archives and
     * append it into the bucketed layout. The gate IS the batch pipeline
@@ -45,9 +46,12 @@ object WebSink {
   /** The streaming ingest: checkpointed foreachBatch of raw archive
     * rows through the parse gate into the serving table. Delivery
     * semantics per [[BucketedSink.runToTable]]; readers needing
-    * exactly-once apply `dropDuplicates("media_id", "http_status")` —
-    * since r17 a document's WARC can carry a 3xx fetch row beside its
-    * 200 row, so (media_id, http_status) is the row identity. */
+    * exactly-once apply `dropDuplicates("media_id", "http_status",
+    * "target_uri")` — a document's WARC can carry several fetch rows
+    * beside its 200 capture (3xx aliases since r17; r18 adds 503
+    * retries, 404/410 dead fetches, and chain/loop hops, where the
+    * loop pair shares one status — so the target URI completes the
+    * row identity). */
   def runToWebTable(media: DataFrame, path: String, checkpointPath: String,
       buckets: Int = defaultBuckets)
   : org.apache.spark.sql.streaming.StreamingQuery =
@@ -60,12 +64,12 @@ object WebSink {
   def compact(spark: SparkSession, path: String,
       buckets: Int = defaultBuckets): Unit =
     BucketedSink.compact(spark, path, (df, tmp) =>
-      write(df.drop("web_bucket").dropDuplicates("media_id", "http_status"),
+      write(df.drop("web_bucket").dropDuplicates("media_id", "http_status", "target_uri"),
         tmp, buckets, "overwrite"))
 
   /** Exactly-once view over the at-least-once table. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).dropDuplicates("media_id", "http_status")
+    spark.read.parquet(path).dropDuplicates("media_id", "http_status", "target_uri")
 
   /** Streaming append for the MAIN-CONTENT variant: the identical
     * mechanics, the [[WebCodec.pipelineMain]] gate (boilerplate

@@ -16,6 +16,15 @@ class WebCodecSpec extends SparkSuite {
     (7L, "alpha & beta < gamma > delta", "de", "src3"),
     (12L, "one two three four five six seven eight", "zh", "src1"))
 
+  /** Extra request/response pairs per doc (r17 redirect; r18 retry ×1
+    * pair, chain/loop ×2 pairs) — the expected-record-count twin of
+    * buildWarcFile's axis layout. */
+  private def extraRecs(id: Long): Int =
+    (if (redirectAxis(id) || retryAxis(id)) 2 else 0) +
+      (if (chainAxis(id) || loopAxis(id)) 4 else 0)
+  private def recCount(id: Long): Int =
+    (if (hasMetadata(id)) 3 else 2) + extraRecs(id)
+
   // ------------------------------------------------------------- gzip
 
   test("gzip: stored and deflate members round-trip, multi-member walks") {
@@ -56,11 +65,18 @@ class WebCodecSpec extends SparkSuite {
       "payloads") {
     val ref = (0L to 2L).map { v =>
       // ids 0,1,2 hit variants plain/stored/deflate respectively
+      // (id 2 is ALSO on the r18 chain axis — 2%9==2 — so its two hop
+      // pairs follow the base records; by construction every deflate
+      // file, id%3==2, carries a chain/loop/retry pair since 9 = 3·3)
       val bytes = buildWarcFile(v, "sample text words", "en", "src0")
       val recs = parseWarc(bytes).get
-      assert(recs.map(_.warcType) == Vector("request", "response"))
-      assert(recs.forall(_.targetUri == buildUrl(v, "en", "src0")))
-      recs.map(r => weightedCk(r.payload))
+      assert(recs.map(_.warcType) ==
+        Vector.fill(recCount(v) / 2)(Vector("request", "response"))
+          .flatten, s"id=$v")
+      assert(recs.take(2).forall(_.targetUri == buildUrl(v, "en", "src0")))
+      // every record is stamped with the doc's crawl instant (r18)
+      assert(recs.forall(_.date == warcDateOf(v)), s"id=$v")
+      recs.take(2).map(r => weightedCk(r.payload))
     }
     // payload content is id-dependent, so compare against the formulas
     for (v <- 0L to 2L) {
@@ -70,11 +86,13 @@ class WebCodecSpec extends SparkSuite {
     }
     // the metadata sidecar axis (id%6>=3) rides all THREE file
     // variants: 9%6==3 plain, 10%6==4 gzip STORED (3 members),
-    // 17%6==5 gzip Deflater (3 members) — ADVICE r16
+    // 17%6==5 gzip Deflater (17 is also on the r18 retry axis:
+    // 3 + its 503 attempt pair) — ADVICE r16
     for (id <- Seq(9L, 10L, 17L)) {
       val recs = parseWarc(buildWarcFile(id, "t", "en", "src0")).get
-      assert(recs.map(_.warcType)
+      assert(recs.map(_.warcType).take(3)
         == Vector("request", "response", "metadata"), s"id=$id")
+      assert(recs.length == recCount(id), s"id=$id")
       assert(new String(recs(2).payload, "ISO-8859-1")
         == metadataFields(id), s"id=$id")
     }
@@ -351,9 +369,8 @@ class WebCodecSpec extends SparkSuite {
         case None => ()
         case Some(recs) =>
           // a surviving parse must still be well-framed records
-          // (2, +1 metadata on id%6>=3, +2 redirect pair on id%9==4)
-          assert(recs.length == (if (hasMetadata(id)) 3 else 2)
-            + (if (redirectAxis(id)) 2 else 0))
+          // (2, +1 metadata on id%6>=3, + the axis pairs per r17/r18)
+          assert(recs.length == recCount(id))
           assert(recs.forall(_.payload != null))
       }
     }
@@ -602,9 +619,10 @@ class WebCodecSpec extends SparkSuite {
       val doc = docsSample.find(_._1 == r.getLong(0)).get
       assert(r.getString(1) == extractedText(doc._1, doc._2, doc._3, doc._4))
     }
-    // WET parse: one conversion record per doc, text byte-faithful
+    // WET parse: one conversion record per LIVE doc (dead URLs — r18,
+    // id 7 here — have no capture to convert), text byte-faithful
     val rows = wetTexts(webWet(df)).orderBy("media_id").collect()
-    assert(rows.length == 3)
+    assert(rows.length == docsSample.count(d => !deadAxis(d._1)))
     for (r <- rows) {
       val doc = docsSample.find(_._1 == r.getAs[Long]("media_id")).get
       assert(r.getAs[String]("text")
@@ -815,17 +833,14 @@ class WebCodecSpec extends SparkSuite {
     val docs = sample.toDF("doc_id", "text", "lang", "source")
     val recs = warcRecords(webWarc(docs)).orderBy("media_id", "rec_index")
       .collect()
-    assert(recs.length == sample.map(d =>
-      (if (hasMetadata(d._1)) 3 else 2)
-        + (if (redirectAxis(d._1)) 2 else 0)).sum)
+    assert(recs.length == sample.map(d => recCount(d._1)).sum)
     for (r <- recs) {
       val id = r.getAs[Long]("media_id")
       val doc = sample.find(_._1 == id).get
-      val members =
-        if (id % 3 == 0) 0
-        else (if (hasMetadata(id)) 3 else 2) +
-          (if (redirectAxis(id)) 2 else 0)
+      val members = if (id % 3 == 0) 0 else recCount(id)
       assert(r.getAs[Int]("gzip_members") == members, s"id=$id")
+      // every record carries the doc's crawl instant (r18)
+      assert(r.getAs[String]("warc_date") == warcDateOf(id), s"id=$id")
       r.getAs[String]("warc_type") match {
         case "request" =>
           assert(r.getAs[String]("http_method") == "GET")
@@ -844,6 +859,24 @@ class WebCodecSpec extends SparkSuite {
           assert(r.getAs[String]("content_encoding") == "identity")
           val stub = redirectBody(id)
           assert(r.getAs[Long]("body_bytes") == stub.length.toLong)
+          assert(r.getAs[Long]("body_ck") == cpWeightedCk(stub))
+        case "response" if Set(404, 410)(r.getAs[Int]("http_status")) =>
+          // the dead fetch row (r18): the URL's ONLY capture
+          assert(deadAxis(id), s"id=$id")
+          assert(r.getAs[Int]("http_status") == errorStatus(id))
+          assert(r.getAs[String]("target_uri")
+            == buildUrl(id, doc._3, doc._4))
+          val stub = errorBody(id)
+          assert(r.getAs[Long]("body_bytes") == stub.length.toLong)
+          assert(r.getAs[Long]("body_ck") == cpWeightedCk(stub))
+          assert(r.getAs[String]("charset_src") == "sniff")
+        case "response" if r.getAs[Int]("http_status") == 503 =>
+          // the failed attempt before the successful retry (r18)
+          assert(retryAxis(id), s"id=$id")
+          assert(r.getAs[String]("target_uri")
+            == buildUrl(id, doc._3, doc._4))
+          assert(r.getAs[Long]("retry_after") == retryAfterOf(id))
+          val stub = retryBody(id)
           assert(r.getAs[Long]("body_ck") == cpWeightedCk(stub))
         case "response" =>
           val html = buildHtml(id, doc._2, doc._3, doc._4)
@@ -878,8 +911,7 @@ class WebCodecSpec extends SparkSuite {
     }
     val resp = warcResponses(webWarc(docs))
       .orderBy("media_id", "http_status").collect()
-    assert(resp.length
-      == sample.length + sample.count(d => redirectAxis(d._1)))
+    assert(resp.length == sample.map(d => 1 + extraRecs(d._1) / 2).sum)
     // quoted charset parameter (ADVICE r16): legal HTTP, unwrapped
     val quoted = parseHttpResponse(
       ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"utf-8\"\r\n" +
@@ -892,12 +924,15 @@ class WebCodecSpec extends SparkSuite {
     for (r <- resp) {
       val id = r.getAs[Long]("media_id")
       val doc = sample.find(_._1 == id).get
-      if (r.getAs[Int]("http_status") == 301)
-        assert(r.getAs[String]("body") == redirectBody(id))
-      else {
-        assert(r.getAs[Int]("http_status") == 200)
-        assert(r.getAs[String]("body")
-          == buildHtml(id, doc._2, doc._3, doc._4))
+      r.getAs[Int]("http_status") match {
+        case 301 => assert(r.getAs[String]("body") == redirectBody(id))
+        case 404 | 410 =>
+          assert(r.getAs[String]("body") == errorBody(id))
+        case 503 => assert(r.getAs[String]("body") == retryBody(id))
+        case st =>
+          assert(st == 200)
+          assert(r.getAs[String]("body")
+            == buildHtml(id, doc._2, doc._3, doc._4))
       }
     }
   }
@@ -909,9 +944,10 @@ class WebCodecSpec extends SparkSuite {
     val sample = (0L to 14L).map(i => (i, s"some words $i", "en", "src1"))
     val docs = sample.toDF("doc_id", "text", "lang", "source")
     val rows = httpFraming(webWarc(docs)).orderBy("media_id").collect()
-    // ids with id%5 in {3,4} are content-encoded → excluded
+    // ids with id%5 in {3,4} are content-encoded → excluded; dead ids
+    // (r18, id%9==7) have no 200 capture at all
     assert(rows.map(_.getAs[Long]("media_id")).toSeq
-      == (0L to 14L).filterNot(contentCoded))
+      == (0L to 14L).filterNot(id => contentCoded(id) || deadAxis(id)))
     for (r <- rows) {
       val id = r.getAs[Long]("media_id")
       val payload = parseWarc(

@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
 class WebSinkSpec extends SparkSuite {
   import spark.implicits._
 
-  // keyed by (media_id, http_status): since r17 a doc's WARC can carry
-  // a 3xx fetch row beside its 200 row
+  // keyed by (media_id, http_status, target_uri): a doc's WARC carries
+  // several fetch rows beside its 200 capture (3xx aliases since r17;
+  // r18 chain/loop hops share one status, so the URI completes the key)
   private def rowMap(df: org.apache.spark.sql.DataFrame)
-  : Map[(Long, Int), (String, String, Long, Long, Boolean)] =
-    df.select("media_id", "host", "http_status", "body", "n_words",
-      "alpha_milli", "kept").collect()
-      .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getString(1),
-        r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+  : Map[(Long, Int, String), (String, String, Long, Long, Boolean)] =
+    df.select("media_id", "host", "http_status", "target_uri", "body",
+      "n_words", "alpha_milli", "kept").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3)) ->
+        ((r.getString(1),
+        r.getString(4), r.getLong(5), r.getLong(6), r.getBoolean(7))))
       .toMap
 
   test("streamed ingest equals the batch pipeline; gate drops garbage; " +
@@ -74,7 +76,8 @@ class WebSinkSpec extends SparkSuite {
     val pruned = spark.read.parquet(dir)
       .where(col("web_bucket") ===
         pmod(hash(lit(one._1)), lit(WebSink.defaultBuckets)))
-      .where(col("media_id") === one._1 && col("http_status") === one._2)
+      .where(col("media_id") === one._1 && col("http_status") === one._2
+        && col("target_uri") === one._3)
     assert(pruned.count() === 1L)
   }
 
@@ -87,11 +90,11 @@ class WebSinkSpec extends SparkSuite {
     val rows = media.select("media_id", "payload")
       .as[(Long, Array[Byte])].collect()
     def mainMap(df: org.apache.spark.sql.DataFrame) =
-      df.select("media_id", "http_status", "body", "n_kept",
+      df.select("media_id", "http_status", "target_uri", "body", "n_kept",
         "boiler_chars", "kept")
-        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
-          ((r.getString(2), r.getLong(3), r.getLong(4),
-            r.getBoolean(5)))).toMap
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)) ->
+          ((r.getString(3), r.getLong(4), r.getLong(5),
+            r.getBoolean(6)))).toMap
     val expected = mainMap(WebCodec.pipelineMain(media))
     assert(expected.nonEmpty)
     val mem = MemoryStream[(Long, Array[Byte])]
