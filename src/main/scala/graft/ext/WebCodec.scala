@@ -1048,6 +1048,15 @@ object WebCodec {
   val IdnUnicodeLabel = "zürich"
   val IdnAsciiLabel = "xn--zrich-kva"
 
+  /** The wider planted unicode↔punycode label table for the fold
+    * operator's oracle (same provenance: java.net.IDN output, pinned
+    * by WebCodecSpec asserting IDN.toASCII lockstep per pair). */
+  val idnLabels: IndexedSeq[(String, String)] = IndexedSeq(
+    "münchen" -> "xn--mnchen-3ya",
+    "zürich" -> "xn--zrich-kva",
+    "café" -> "xn--caf-dma",
+    "中文" -> "xn--fiq228c")
+
   def chainHop2Url(id: Long, source: String): String =
     s"https://www.$source.example${id % 7}.com/h2/$id"
   /** The /h1 Location spelling (unicode host) inside the /h2 response. */
@@ -2292,6 +2301,131 @@ object WebCodec {
     Seq("url_norm" -> norm, "scheme" -> scheme, "host" -> host,
       "path" -> path, "qs" -> query, "domain" -> domain)
   }
+
+  // ------------------------------------------------------------------
+  // IDN / punycode host folding (r18, VERDICT r17 item 6) — RFC 3490
+  // ToASCII via java.net.IDN (public JDK API; RFC 3492 punycode
+  // underneath). Runs in the codec seam: the per-label algorithm is
+  // not Column-expressible, and the fold is identity on the ASCII
+  // hosts that dominate any real corpus, so the seam is cheap.
+  // ------------------------------------------------------------------
+
+  /** RFC 3490 ToASCII over a host (port preserved, untouched).
+    * ASCII hosts — including already-punycode `xn--` labels — return
+    * unchanged; an unfoldable host returns unchanged rather than
+    * throwing (the never-throw codec contract). */
+  def idnHostToAscii(host: String): String = {
+    val colonAt = host.indexOf(':')
+    val (name, port) =
+      if (colonAt >= 0) (host.substring(0, colonAt), host.substring(colonAt))
+      else (host, "")
+    if (name.forall(_ < 0x80)) host
+    else {
+      val folded =
+        try java.net.IDN.toASCII(name).toLowerCase(java.util.Locale.ROOT)
+        catch { case _: IllegalArgumentException => name }
+      folded + port
+    }
+  }
+
+  /** [[idnHostToAscii]] over a URL's authority; non-URL strings (e.g.
+    * relative Location references, which have no host of their own)
+    * pass through unchanged. */
+  def idnUrlHostToAscii(url: String): String = {
+    val i = url.indexOf("//")
+    if (i < 0) return url
+    val hostStart = i + 2
+    var j = hostStart
+    while (j < url.length && url.charAt(j) != '/' &&
+      url.charAt(j) != '?' && url.charAt(j) != '#') j += 1
+    val host = url.substring(hostStart, j)
+    if (host.forall(_ < 0x80)) url
+    else url.substring(0, hostStart) + idnHostToAscii(host) +
+      url.substring(j)
+  }
+
+  /** Seam twin of [[idnHostToAscii]] over (media_id, unicode_host,
+    * punycode_host) rows — appends the folded host column. */
+  def idnFoldHosts(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("unicode_host"), col("punycode_host"))
+      .as[(Long, String, String)]
+      .map { case (id, u, p) => (id, u, p, idnHostToAscii(u)) }
+      .toDF("media_id", "unicode_host", "punycode_host", "folded_host")
+  }
+
+  final case class ChaseRow(
+      media_id: Long, start_uri: String, final_canonical: String,
+      hops: Int, loop: Boolean)
+
+  /** Multi-hop redirect CHASE (r18, VERDICT r17 item 5): every 3xx
+    * capture chased to its terminal — resolve the Location against its
+    * base (RFC 3986 §5), IDN-fold its host to the punycode spelling
+    * WARC captures store (so the unicode-Location → punycode-capture
+    * hop joins), canonicalize (§6), and follow while the target is
+    * itself a captured redirect, up to `maxHops`, flagging A→…→A
+    * LOOPS via a visited-set check per chased start. The iteration is
+    * the bounded pointer-jumping shape: `maxHops − 1` keyed joins
+    * against the (localCheckpoint-ed, parsed-once) edge table — at
+    * corpus scale each hop is one shuffle on the canonical-URL key,
+    * never a cartesian, never a driver-side walk. */
+  def redirectChaseMulti(docs: DataFrame, maxHops: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val recs = warcRecords(webWarc(docs))
+    val r3 = recs
+      .where(col("http_status") >= 300 && col("http_status") < 400)
+      .select(col("media_id"), col("target_uri"), col("location"))
+      // the seam: fold any non-ASCII Location host to its punycode
+      // form BEFORE resolution (absolute Locations carry the host;
+      // relative ones adopt the — already-ASCII — base host)
+      .as[(Long, String, String)]
+      .map { case (id, u, l) => (id, u, idnUrlHostToAscii(l)) }
+      .toDF("media_id", "target_uri", "location")
+    val edges = r3.select(col("media_id"),
+        col("target_uri").as("start_uri"),
+        urlCanonicalCol(col("target_uri")).as("alias_c"),
+        urlCanonicalCol(urlResolveCol(col("target_uri"), col("location")))
+          .as("target_c"))
+      // materialize ONCE: the corpus parse must not re-run per hop
+      .localCheckpoint(true)
+    val hop = broadcastableEdges(edges)
+    var state = edges.select(col("media_id"), col("start_uri"),
+      col("target_c").as("cur"),
+      lit(1).as("hops"), array(col("alias_c")).as("path"),
+      lit(false).as("loop"), lit(false).as("done"))
+    for (_ <- 2 to maxHops) {
+      state = state.join(hop, col("cur") === col("e_alias"), "left")
+        .select(col("media_id"), col("start_uri"),
+          when(col("done") || col("e_target").isNull, col("cur"))
+            .otherwise(col("e_target")).as("cur"),
+          when(col("done") || col("e_target").isNull, col("hops"))
+            .otherwise(col("hops") + 1).as("hops"),
+          when(col("done") || col("e_target").isNull, col("path"))
+            .otherwise(array_union(col("path"), array(col("cur"))))
+            .as("path"),
+          (col("loop") || (!col("done") && col("e_target").isNotNull &&
+            array_contains(col("path"), col("e_target")))).as("loop"),
+          (col("done") || col("e_target").isNull ||
+            array_contains(col("path"), col("e_target"))).as("done"))
+    }
+    val fetched = recs.where(col("http_status") === 200)
+      .select(urlCanonicalCol(col("target_uri")).as("fetched_c"))
+      .distinct()
+    state.select(col("media_id"), col("start_uri"),
+        col("cur").as("final_canonical"), col("hops"), col("loop"))
+      .join(fetched, col("final_canonical") === col("fetched_c"), "left")
+      .withColumn("already_fetched", col("fetched_c").isNotNull)
+      .drop("fetched_c")
+  }
+
+  /** The per-hop edge lookup side: tiny relative to the corpus (only
+    * 3xx captures), so it broadcasts — each hop is then a broadcast
+    * join, not a shuffle of the full chase state. */
+  private def broadcastableEdges(edges: DataFrame): DataFrame =
+    broadcast(edges.select(col("alias_c").as("e_alias"),
+      col("target_c").as("e_target")))
 }
 
 /** Little-endian byte helpers shared by the ingestion codecs (gzip

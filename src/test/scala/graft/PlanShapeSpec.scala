@@ -524,5 +524,30 @@ class PlanShapeSpec extends SparkSuite {
         s"web_redirect_chase: no cartesian:\n$p")
       assert(!p.contains("Window"))
     }
+    // the multi-hop chase (r18) is bounded pointer jumping: each hop
+    // joins the chase state against the (tiny, 3xx-only) edge table —
+    // every hop must BROADCAST, never shuffle the state, and the whole
+    // chase must never go cartesian
+    locally {
+      val p = plan("web_redirect_chase_multi")
+      assert(p.contains("BroadcastHashJoin"),
+        s"web_redirect_chase_multi: per-hop edge joins must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"web_redirect_chase_multi: no cartesian:\n$p")
+      assert(!p.contains("Window"))
+    }
+    // the served chase (r18) reads the WebSink fetch table instead of
+    // re-parsing the corpus twice — its plan must scan the serving
+    // table (parquet), never the WARC synthesis seam; the one
+    // remaining object seam is the (tiny, per-domain) robots gate
+    locally {
+      val p = plan("web_redirect_chase_served")
+      assert(p.contains("Join"),
+        s"web_redirect_chase_served joins by design:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"web_redirect_chase_served: no cartesian:\n$p")
+      assert(p.toLowerCase.contains("parquet"),
+        s"web_redirect_chase_served must read the serving table:\n$p")
+    }
   }
 }

@@ -606,6 +606,74 @@ class WebCodecSpec extends SparkSuite {
       .head().getString(0) == "https://www.ex.com/docs/17")
   }
 
+  test("IDN host folding (r18): the planted label table IS java.net.IDN " +
+      "output, ASCII hosts are identity, folding is idempotent, ports " +
+      "survive, relative refs pass through") {
+    // the committed punycode strings must be exactly what the JDK's
+    // RFC 3490 ToASCII produces — this pins the clean-room table
+    for ((uni, ascii) <- idnLabels) {
+      assert(java.net.IDN.toASCII(uni) == ascii, s"label $uni")
+      assert(idnHostToAscii(s"www.$uni.example3.com")
+        == s"www.$ascii.example3.com")
+      // already-folded (and any ASCII) hosts are identity
+      assert(idnHostToAscii(s"www.$ascii.example3.com")
+        == s"www.$ascii.example3.com")
+      // idempotence
+      assert(idnHostToAscii(idnHostToAscii(s"www.$uni.example3.com"))
+        == s"www.$ascii.example3.com")
+    }
+    assert(idnHostToAscii("www.plain.example.com")
+      == "www.plain.example.com")
+    // non-default port rides along unfolded
+    assert(idnHostToAscii("www.zürich.ex.com:8443")
+      == "www.xn--zrich-kva.ex.com:8443")
+    // URL-level fold touches ONLY the authority
+    assert(idnUrlHostToAscii("https://www.zürich.ex.com/p?q=zürich#f")
+      == "https://www.xn--zrich-kva.ex.com/p?q=zürich#f")
+    // a relative reference has no host — passes through
+    assert(idnUrlHostToAscii("/docs/7?lang=en") == "/docs/7?lang=en")
+    // an unfoldable host never throws (the codec contract)
+    assert(idnUrlHostToAscii("https://bad höst/x").nonEmpty)
+  }
+
+  test("redirectChaseMulti (r18): 1-hop alias resolves fetched, the " +
+      "2-hop chain crosses the unicode→punycode IDN hop, and the " +
+      "A→B→A loop is detected — never followed to the hop cap") {
+    val sp = spark
+    import sp.implicits._
+    // 13 → r17 alias (13%9=4); 2 → chain (2%9=2); 5 → loop (5%9=5)
+    val sample = Seq(
+      (13L, "thirteen words here", "fr", "src0"),
+      (2L, "two words here", "en", "src1"),
+      (5L, "five words here", "de", "src2"))
+    val docs = sample.toDF("doc_id", "text", "lang", "source")
+    val rows = redirectChaseMulti(docs).orderBy("media_id", "start_uri")
+      .collect()
+      .map(r => r.getAs[String]("start_uri") ->
+        ((r.getAs[String]("final_canonical"), r.getAs[Int]("hops"),
+          r.getAs[Boolean]("loop"), r.getAs[Boolean]("already_fetched"))))
+      .toMap
+    // alias: one hop to the (already captured) doc
+    assert(rows(redirectAliasUrl(13L, "fr", "src0")) ==
+      (("https://www.src0.example6.com/docs/13?lang=fr&ref=feed",
+        1, false, true)))
+    // chain /h2: two hops — the unicode Location folds to the punycode
+    // /h1 capture, whose own Location lands on the canonical doc
+    assert(rows(chainHop2Url(2L, "src1")) ==
+      (("https://www.src1.example2.com/docs/2?lang=en&ref=feed",
+        2, false, true)))
+    // chain /h1 start: one hop
+    assert(rows(chainHop1UrlAscii(2L)) ==
+      (("https://www.src1.example2.com/docs/2?lang=en&ref=feed",
+        1, false, true)))
+    // loop: both starts detect the cycle at hop 2 and stop
+    assert(rows(loopAUrl(5L, "src2")) ==
+      (("https://www.src2.example5.com/la/5", 2, true, false)))
+    assert(rows(loopBUrl(5L, "src2")) ==
+      (("https://www.src2.example5.com/lb/5", 2, true, false)))
+    assert(rows.size == 5)
+  }
+
   test("wet: conversion records round-trip the extracted text across " +
       "all gzip variants, and extractedText is the Column chain's twin") {
     val sp = spark
