@@ -2359,6 +2359,16 @@ object WebCodec {
       media_id: Long, start_uri: String, final_canonical: String,
       hops: Int, loop: Boolean)
 
+  /** The slim per-record FETCH LOG — what a real crawler materializes
+    * beside the payload store (status, Location, Retry-After, capture
+    * instant per target URI): the serving source for the frontier /
+    * recrawl / chase decision queries, so none of them re-parse
+    * archives. One projection of [[warcRecords]]; row identity
+    * (media_id, rec_index). */
+  def fetchLog(media: DataFrame): DataFrame =
+    warcRecords(media).select("media_id", "rec_index", "warc_type",
+      "target_uri", "http_status", "location", "retry_after", "warc_date")
+
   /** Multi-hop redirect CHASE (r18, VERDICT r17 item 5): every 3xx
     * capture chased to its terminal — resolve the Location against its
     * base (RFC 3986 §5), IDN-fold its host to the punycode spelling
@@ -2370,10 +2380,16 @@ object WebCodec {
     * against the (localCheckpoint-ed, parsed-once) edge table — at
     * corpus scale each hop is one shuffle on the canonical-URL key,
     * never a cartesian, never a driver-side walk. */
-  def redirectChaseMulti(docs: DataFrame, maxHops: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
+  def redirectChaseMulti(docs: DataFrame, maxHops: Int = 5): DataFrame =
+    chaseMultiOver(warcRecords(webWarc(docs)), maxHops)
+
+  /** The multi-hop chase over ANY fetch-shaped table — (media_id,
+    * target_uri, http_status, location) — so the served variant reads
+    * the streamed [[graft.sinks.WebSink]] fetch log instead of
+    * re-parsing archives. */
+  def chaseMultiOver(recs: DataFrame, maxHops: Int = 5): DataFrame = {
+    val spark = recs.sparkSession
     import spark.implicits._
-    val recs = warcRecords(webWarc(docs))
     val r3 = recs
       .where(col("http_status") >= 300 && col("http_status") < 400)
       .select(col("media_id"), col("target_uri"), col("location"))

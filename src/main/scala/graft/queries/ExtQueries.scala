@@ -1380,6 +1380,250 @@ FROM a GROUP BY 1 ORDER BY domain"""
       .orderBy("domain")
   }
 
+  /** The full fetch-record replay CTE chain (crlfv/h/axes/recs) —
+    * shared by web_warc_records (adds body checksums) and the slim
+    * web_fetch_log_served (r18). */
+  private lazy val webRecsCtesSql: String =
+    s"""crlfv AS (SELECT chr(13) || chr(10) AS crlf),
+h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents),
+axes AS (SELECT h.doc_id, h.lang, h.source, h.html, $webUrlExpr AS uri,
+    $webCharsetCase AS charset,
+    $webCharsetResolvedCase AS charset_res,
+    $webCeCase AS content_encoding,
+    $webTransferCase AS transfer,
+    -- decoded-entity BYTES: 1/codepoint on the cp1252 wire, UTF-8
+    -- strlen otherwise, plus the 3-byte BOM signature on its axis
+    (CASE WHEN h.doc_id % 5 = 2 THEN length(h.html)
+          ELSE strlen(h.html) END) + ($webBomCase) AS body_bytes,
+    -- extras (r17 redirect pair; r18 retry/chain/loop pairs) start
+    -- after the base records: request, response, and the metadata
+    -- sidecar when present
+    2 + (CASE WHEN h.doc_id % 6 >= 3 THEN 1 ELSE 0 END) AS ebase
+  FROM h),
+recs AS (
+  SELECT doc_id, CAST(0 AS INT) AS rec_index, 'request' AS warc_type,
+         uri, '' AS txt, 0 AS body_bytes, 0 AS http_status,
+         'GET' AS http_method, '' AS transfer, '' AS content_encoding,
+         '' AS charset, '' AS charset_src, '' AS location,
+         CAST(0 AS BIGINT) AS retry_after
+  FROM axes
+  UNION ALL
+  -- the 200 capture — except on the DEAD axis (r18), where the only
+  -- fetch answered 404/410 with the error stub
+  SELECT doc_id, CAST(1 AS INT), 'response', uri, html, body_bytes,
+         200, '', transfer, content_encoding, charset_res,
+         $webCharsetSrcCase, '', 0
+  FROM axes WHERE doc_id % 9 <> 7
+  UNION ALL
+  SELECT doc_id, CAST(1 AS INT), 'response', uri, $webErrorStubSql,
+         -1, $webErrorStatusSql, '', 'identity', 'identity', '',
+         'sniff', '', 0
+  FROM axes WHERE doc_id % 9 = 7
+  UNION ALL
+  SELECT a.doc_id, CAST(2 AS INT), 'metadata', a.uri,
+         'fetchDurationMs: ' || ((a.doc_id * 37) % 900 + 100)::VARCHAR
+           || c.crlf || 'charsetDetected: ' || a.charset || c.crlf,
+         -1, 0, '', '', '', '', '', '', 0
+  FROM axes a, crlfv c WHERE a.doc_id % 6 >= 3
+  UNION ALL
+  -- r17 redirect axis: the alias fetch's request + 301 response pair
+  SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/r/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 4
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/r/' || a.doc_id::VARCHAR,
+         $webRedirectStubSql, -1,
+         301, '', 'identity', 'identity', '', 'sniff',
+         $webRedirectLocSql, 0
+  FROM axes a WHERE a.doc_id % 9 = 4
+  UNION ALL
+  -- r18 retry axis: the failed 503 attempt pair (same target URI)
+  SELECT a.doc_id, CAST(a.ebase AS INT), 'request', a.uri,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 8
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response', a.uri,
+         $webRetryStubSql, -1,
+         503, '', 'identity', 'identity', '', 'sniff', '',
+         $webRetryAfterSql
+  FROM axes a WHERE a.doc_id % 9 = 8
+  UNION ALL
+  -- r18 chain axis: /h2 302 (unicode-IDN Location) then the /h1
+  -- capture at its punycode host, 301 to the canonical doc
+  SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/h2/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 2
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/h2/' || a.doc_id::VARCHAR,
+         '<html><body>Moved to /h1/' || a.doc_id::VARCHAR
+           || '</body></html>', -1,
+         302, '', 'identity', 'identity', '', 'sniff',
+         'https://www.zürich.example' || (a.doc_id % 7)::VARCHAR
+           || '.com/h1/' || a.doc_id::VARCHAR, 0
+  FROM axes a WHERE a.doc_id % 9 = 2
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 2 AS INT), 'request',
+         'https://www.xn--zrich-kva.example' || (a.doc_id % 7)::VARCHAR
+           || '.com/h1/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 2
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 3 AS INT), 'response',
+         'https://www.xn--zrich-kva.example' || (a.doc_id % 7)::VARCHAR
+           || '.com/h1/' || a.doc_id::VARCHAR,
+         $webRedirectStubSql, -1,
+         301, '', 'identity', 'identity', '', 'sniff',
+         $webChainFinalLocSql, 0
+  FROM axes a WHERE a.doc_id % 9 = 2
+  UNION ALL
+  -- r18 loop axis: /la 301→ /lb 301→ /la (relative Locations)
+  SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/la/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 5
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/la/' || a.doc_id::VARCHAR,
+         '<html><body>Moved to /lb/' || a.doc_id::VARCHAR
+           || '</body></html>', -1,
+         301, '', 'identity', 'identity', '', 'sniff',
+         '/lb/' || a.doc_id::VARCHAR, 0
+  FROM axes a WHERE a.doc_id % 9 = 5
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 2 AS INT), 'request',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/lb/' || a.doc_id::VARCHAR,
+         '', 0, 0, 'GET', '', '', '', '', '', 0
+  FROM axes a WHERE a.doc_id % 9 = 5
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ebase + 3 AS INT), 'response',
+         'https://www.' || source || '.example'
+           || (a.doc_id % 7)::VARCHAR || '.com/lb/' || a.doc_id::VARCHAR,
+         '<html><body>Moved to /la/' || a.doc_id::VARCHAR
+           || '</body></html>', -1,
+         301, '', 'identity', 'identity', '', 'sniff',
+         '/la/' || a.doc_id::VARCHAR, 0
+  FROM axes a WHERE a.doc_id % 9 = 5)"""
+
+  /** Multi-hop chase oracle — shared by the batch and served twins (r18). */
+  private lazy val webChaseMultiSql: String =
+    """WITH d AS (SELECT doc_id, lang, source, doc_id % 7 AS k
+         FROM documents WHERE doc_id % 9 IN (2, 4, 5)),
+r AS (
+  SELECT doc_id,
+    'https://www.' || source || '.example' || k::VARCHAR || '.com/r/'
+      || doc_id::VARCHAR AS start_uri,
+    'https://www.' || lower(source) || '.example' || k::VARCHAR
+      || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
+      || '&ref=feed' AS final_canonical,
+    1 AS hops, FALSE AS loop, TRUE AS already_fetched
+  FROM d WHERE doc_id % 9 = 4
+  UNION ALL
+  SELECT doc_id,
+    'https://www.' || source || '.example' || k::VARCHAR || '.com/h2/'
+      || doc_id::VARCHAR,
+    'https://www.' || lower(source) || '.example' || k::VARCHAR
+      || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
+      || '&ref=feed',
+    2, FALSE, TRUE
+  FROM d WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT doc_id,
+    'https://www.xn--zrich-kva.example' || k::VARCHAR || '.com/h1/'
+      || doc_id::VARCHAR,
+    'https://www.' || lower(source) || '.example' || k::VARCHAR
+      || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
+      || '&ref=feed',
+    1, FALSE, TRUE
+  FROM d WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT doc_id,
+    'https://www.' || source || '.example' || k::VARCHAR || '.com/la/'
+      || doc_id::VARCHAR,
+    'https://www.' || lower(source) || '.example' || k::VARCHAR
+      || '.com/la/' || doc_id::VARCHAR,
+    2, TRUE, FALSE
+  FROM d WHERE doc_id % 9 = 5
+  UNION ALL
+  SELECT doc_id,
+    'https://www.' || source || '.example' || k::VARCHAR || '.com/lb/'
+      || doc_id::VARCHAR,
+    'https://www.' || lower(source) || '.example' || k::VARCHAR
+      || '.com/lb/' || doc_id::VARCHAR,
+    2, TRUE, FALSE
+  FROM d WHERE doc_id % 9 = 5)
+SELECT doc_id AS media_id, start_uri, final_canonical,
+       CAST(hops AS INT) AS hops, loop, already_fetched
+FROM r ORDER BY media_id, start_uri"""
+
+  /** Dead-URL frontier oracle — shared by the batch and served twins (r18). */
+  private lazy val webFrontierDeadSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 7 AS k,
+           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
+           doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9 FROM documents)
+SELECT doc_id AS media_id,
+  'example' || k::VARCHAR || '.com' AS domain,
+  'https://www.example' || k::VARCHAR || '.com/docs/' || doc_id::VARCHAR
+    AS url,
+  CASE WHEN k % 5 = 0 THEN NOT sw9
+       WHEN k = 1 THEN FALSE
+       WHEN k = 3 THEN NOT e9
+       WHEN k = 4 THEN NOT e7
+       WHEN k = 6 THEN NOT e9
+       ELSE TRUE END AS allowed,
+  (doc_id % 9 = 7) AS dead,
+  ((CASE WHEN k % 5 = 0 THEN NOT sw9
+         WHEN k = 1 THEN FALSE
+         WHEN k = 3 THEN NOT e9
+         WHEN k = 4 THEN NOT e7
+         WHEN k = 6 THEN NOT e9
+         ELSE TRUE END) AND doc_id % 9 <> 7) AS enqueue
+FROM d ORDER BY media_id"""
+
+  /** lastmod recrawl-queue oracle — shared by the batch and served twins (r18). */
+  private lazy val webRecrawlQueueSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 7 AS k,
+           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
+           doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9
+         FROM documents),
+q AS (SELECT doc_id, 'example' || k::VARCHAR || '.com' AS domain,
+        'https://www.example' || k::VARCHAR || '.com/docs/'
+          || doc_id::VARCHAR AS url,
+        CAST('2026-0' || (doc_id % 9 + 1)::VARCHAR || '-01' AS DATE)
+          AS lastmod,
+        CAST('2026-0' || (doc_id % 6 + 1)::VARCHAR || '-15' AS DATE)
+          AS capture_date,
+        CASE WHEN k % 5 = 0 THEN NOT sw9
+             WHEN k = 1 THEN FALSE
+             WHEN k = 3 THEN NOT e9
+             WHEN k = 4 THEN NOT e7
+             WHEN k = 6 THEN NOT e9
+             ELSE TRUE END AS allowed,
+        CASE WHEN k % 5 = 0 THEN 2 ELSE k + 1 END AS crawl_delay
+      FROM d
+      -- dead URLs have no 200 capture to join
+      WHERE doc_id % 9 <> 7),
+st AS (SELECT *, date_diff('day', capture_date, lastmod)::BIGINT
+         AS staleness_days
+       FROM q WHERE allowed AND lastmod > capture_date),
+w AS (SELECT *, row_number() OVER (PARTITION BY domain
+        ORDER BY staleness_days DESC, url)::BIGINT AS queue_pos
+      FROM st)
+SELECT doc_id AS media_id, domain, url, lastmod, capture_date,
+       staleness_days, crawl_delay::BIGINT AS crawl_delay, queue_pos,
+       ((queue_pos - 1) * crawl_delay)::BIGINT AS est_start_seconds
+FROM w ORDER BY domain, queue_pos"""
+
   /** The single-hop redirect-chase oracle (r17 alias + r18 chain/
     * loop rows) — shared verbatim by web_redirect_chase (batch
     * re-parse) and web_redirect_chase_served (WebSink fetch table). */
@@ -7033,136 +7277,7 @@ SELECT * FROM (
         graft.ext.WebCodec.warcRecords(
           graft.ext.WebCodec.webWarc(docs(s, d)))
           .orderBy("media_id", "rec_index"),
-      Some(s"""WITH crlfv AS (SELECT chr(13) || chr(10) AS crlf),
-h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents),
-axes AS (SELECT h.doc_id, h.lang, h.source, h.html, $webUrlExpr AS uri,
-    $webCharsetCase AS charset,
-    $webCharsetResolvedCase AS charset_res,
-    $webCeCase AS content_encoding,
-    $webTransferCase AS transfer,
-    -- decoded-entity BYTES: 1/codepoint on the cp1252 wire, UTF-8
-    -- strlen otherwise, plus the 3-byte BOM signature on its axis
-    (CASE WHEN h.doc_id % 5 = 2 THEN length(h.html)
-          ELSE strlen(h.html) END) + ($webBomCase) AS body_bytes,
-    -- extras (r17 redirect pair; r18 retry/chain/loop pairs) start
-    -- after the base records: request, response, and the metadata
-    -- sidecar when present
-    2 + (CASE WHEN h.doc_id % 6 >= 3 THEN 1 ELSE 0 END) AS ebase
-  FROM h),
-recs AS (
-  SELECT doc_id, CAST(0 AS INT) AS rec_index, 'request' AS warc_type,
-         uri, '' AS txt, 0 AS body_bytes, 0 AS http_status,
-         'GET' AS http_method, '' AS transfer, '' AS content_encoding,
-         '' AS charset, '' AS charset_src, '' AS location,
-         CAST(0 AS BIGINT) AS retry_after
-  FROM axes
-  UNION ALL
-  -- the 200 capture — except on the DEAD axis (r18), where the only
-  -- fetch answered 404/410 with the error stub
-  SELECT doc_id, CAST(1 AS INT), 'response', uri, html, body_bytes,
-         200, '', transfer, content_encoding, charset_res,
-         $webCharsetSrcCase, '', 0
-  FROM axes WHERE doc_id % 9 <> 7
-  UNION ALL
-  SELECT doc_id, CAST(1 AS INT), 'response', uri, $webErrorStubSql,
-         -1, $webErrorStatusSql, '', 'identity', 'identity', '',
-         'sniff', '', 0
-  FROM axes WHERE doc_id % 9 = 7
-  UNION ALL
-  SELECT a.doc_id, CAST(2 AS INT), 'metadata', a.uri,
-         'fetchDurationMs: ' || ((a.doc_id * 37) % 900 + 100)::VARCHAR
-           || c.crlf || 'charsetDetected: ' || a.charset || c.crlf,
-         -1, 0, '', '', '', '', '', '', 0
-  FROM axes a, crlfv c WHERE a.doc_id % 6 >= 3
-  UNION ALL
-  -- r17 redirect axis: the alias fetch's request + 301 response pair
-  SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
-         'https://www.' || source || '.example'
-           || (a.doc_id % 7)::VARCHAR || '.com/r/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
-  FROM axes a WHERE a.doc_id % 9 = 4
-  UNION ALL
-  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
-         'https://www.' || source || '.example'
-           || (a.doc_id % 7)::VARCHAR || '.com/r/' || a.doc_id::VARCHAR,
-         $webRedirectStubSql, -1,
-         301, '', 'identity', 'identity', '', 'sniff',
-         $webRedirectLocSql, 0
-  FROM axes a WHERE a.doc_id % 9 = 4
-  UNION ALL
-  -- r18 retry axis: the failed 503 attempt pair (same target URI)
-  SELECT a.doc_id, CAST(a.ebase AS INT), 'request', a.uri,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
-  FROM axes a WHERE a.doc_id % 9 = 8
-  UNION ALL
-  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response', a.uri,
-         $webRetryStubSql, -1,
-         503, '', 'identity', 'identity', '', 'sniff', '',
-         $webRetryAfterSql
-  FROM axes a WHERE a.doc_id % 9 = 8
-  UNION ALL
-  -- r18 chain axis: /h2 302 (unicode-IDN Location) then the /h1
-  -- capture at its punycode host, 301 to the canonical doc
-  SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
-         'https://www.' || source || '.example'
-           || (a.doc_id % 7)::VARCHAR || '.com/h2/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
-  FROM axes a WHERE a.doc_id % 9 = 2
-  UNION ALL
-  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
-         'https://www.' || source || '.example'
-           || (a.doc_id % 7)::VARCHAR || '.com/h2/' || a.doc_id::VARCHAR,
-         '<html><body>Moved to /h1/' || a.doc_id::VARCHAR
-           || '</body></html>', -1,
-         302, '', 'identity', 'identity', '', 'sniff',
-         'https://www.zürich.example' || (a.doc_id % 7)::VARCHAR
-           || '.com/h1/' || a.doc_id::VARCHAR, 0
-  FROM axes a WHERE a.doc_id % 9 = 2
-  UNION ALL
-  SELECT a.doc_id, CAST(a.ebase + 2 AS INT), 'request',
-         'https://www.xn--zrich-kva.example' || (a.doc_id % 7)::VARCHAR
-           || '.com/h1/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
-  FROM axes a WHERE a.doc_id % 9 = 2
-  UNION ALL
-  SELECT a.doc_id, CAST(a.ebase + 3 AS INT), 'response',
-         'https://www.xn--zrich-kva.example' || (a.doc_id % 7)::VARCHAR
-           || '.com/h1/' || a.doc_id::VARCHAR,
-         $webRedirectStubSql, -1,
-         301, '', 'identity', 'identity', '', 'sniff',
-         $webChainFinalLocSql, 0
-  FROM axes a WHERE a.doc_id % 9 = 2
-  UNION ALL
-  -- r18 loop axis: /la 301→ /lb 301→ /la (relative Locations)
-  SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
-         'https://www.' || source || '.example'
-           || (a.doc_id % 7)::VARCHAR || '.com/la/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
-  FROM axes a WHERE a.doc_id % 9 = 5
-  UNION ALL
-  SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
-         'https://www.' || source || '.example'
-           || (a.doc_id % 7)::VARCHAR || '.com/la/' || a.doc_id::VARCHAR,
-         '<html><body>Moved to /lb/' || a.doc_id::VARCHAR
-           || '</body></html>', -1,
-         301, '', 'identity', 'identity', '', 'sniff',
-         '/lb/' || a.doc_id::VARCHAR, 0
-  FROM axes a WHERE a.doc_id % 9 = 5
-  UNION ALL
-  SELECT a.doc_id, CAST(a.ebase + 2 AS INT), 'request',
-         'https://www.' || source || '.example'
-           || (a.doc_id % 7)::VARCHAR || '.com/lb/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
-  FROM axes a WHERE a.doc_id % 9 = 5
-  UNION ALL
-  SELECT a.doc_id, CAST(a.ebase + 3 AS INT), 'response',
-         'https://www.' || source || '.example'
-           || (a.doc_id % 7)::VARCHAR || '.com/lb/' || a.doc_id::VARCHAR,
-         '<html><body>Moved to /la/' || a.doc_id::VARCHAR
-           || '</body></html>', -1,
-         301, '', 'identity', 'identity', '', 'sniff',
-         '/la/' || a.doc_id::VARCHAR, 0
-  FROM axes a WHERE a.doc_id % 9 = 5),
+      Some(s"""WITH $webRecsCtesSql,
 chars AS (SELECT doc_id, rec_index, u.i AS i,
                  ascii(substr(txt, (u.i + 1)::INT, 1)) AS c
           FROM recs, unnest(range(0, length(txt))) AS u(i)),
@@ -7629,54 +7744,36 @@ FROM g ORDER BY media_id, http_status, target_uri""")),
       (s: SparkSession, d: String) =>
         graft.ext.WebCodec.redirectChaseMulti(docs(s, d))
           .orderBy("media_id", "start_uri"),
-      Some("""WITH d AS (SELECT doc_id, lang, source, doc_id % 7 AS k
-         FROM documents WHERE doc_id % 9 IN (2, 4, 5)),
-r AS (
-  SELECT doc_id,
-    'https://www.' || source || '.example' || k::VARCHAR || '.com/r/'
-      || doc_id::VARCHAR AS start_uri,
-    'https://www.' || lower(source) || '.example' || k::VARCHAR
-      || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
-      || '&ref=feed' AS final_canonical,
-    1 AS hops, FALSE AS loop, TRUE AS already_fetched
-  FROM d WHERE doc_id % 9 = 4
-  UNION ALL
-  SELECT doc_id,
-    'https://www.' || source || '.example' || k::VARCHAR || '.com/h2/'
-      || doc_id::VARCHAR,
-    'https://www.' || lower(source) || '.example' || k::VARCHAR
-      || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
-      || '&ref=feed',
-    2, FALSE, TRUE
-  FROM d WHERE doc_id % 9 = 2
-  UNION ALL
-  SELECT doc_id,
-    'https://www.xn--zrich-kva.example' || k::VARCHAR || '.com/h1/'
-      || doc_id::VARCHAR,
-    'https://www.' || lower(source) || '.example' || k::VARCHAR
-      || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
-      || '&ref=feed',
-    1, FALSE, TRUE
-  FROM d WHERE doc_id % 9 = 2
-  UNION ALL
-  SELECT doc_id,
-    'https://www.' || source || '.example' || k::VARCHAR || '.com/la/'
-      || doc_id::VARCHAR,
-    'https://www.' || lower(source) || '.example' || k::VARCHAR
-      || '.com/la/' || doc_id::VARCHAR,
-    2, TRUE, FALSE
-  FROM d WHERE doc_id % 9 = 5
-  UNION ALL
-  SELECT doc_id,
-    'https://www.' || source || '.example' || k::VARCHAR || '.com/lb/'
-      || doc_id::VARCHAR,
-    'https://www.' || lower(source) || '.example' || k::VARCHAR
-      || '.com/lb/' || doc_id::VARCHAR,
-    2, TRUE, FALSE
-  FROM d WHERE doc_id % 9 = 5)
-SELECT doc_id AS media_id, start_uri, final_canonical,
-       CAST(hops AS INT) AS hops, loop, already_fetched
-FROM r ORDER BY media_id, start_uri""")),
+      Some(webChaseMultiSql)),
+
+    // The multi-hop chase SERVED from the streamed fetch log (r18):
+    // the batch twin re-parses the corpus twice; the served chase
+    // reads the slim (media_id, target_uri, http_status, location,
+    // warc_date) fetch table a real crawler materializes — same
+    // bounded pointer-jumping, same oracle verbatim.
+    ("web_redirect_chase_multi_served",
+      (s: SparkSession, d: String) =>
+        graft.ext.WebCodec.chaseMultiOver(
+          graft.sinks.WebSink.materializedFetch(s, d))
+          .orderBy("media_id", "start_uri"),
+      Some(webChaseMultiSql)),
+
+    // The fetch log itself, served: per-record fetch outcomes out of
+    // the bucketed streaming table — what the frontier/recrawl/chase
+    // tier reads at 100 TB instead of the archive store. The oracle is
+    // the warc-records replay minus the payload checksums.
+    ("web_fetch_log_served",
+      (s: SparkSession, d: String) =>
+        graft.sinks.WebSink.materializedFetch(s, d)
+          .drop("web_bucket")
+          .orderBy("media_id", "rec_index"),
+      Some(s"""WITH $webRecsCtesSql
+SELECT doc_id AS media_id, rec_index, warc_type, uri AS target_uri,
+       CAST(http_status AS INT) AS http_status, location,
+       retry_after::BIGINT AS retry_after,
+       '2026-0' || (doc_id % 6 + 1)::VARCHAR || '-15T00:00:00Z'
+         AS warc_date
+FROM recs ORDER BY media_id, rec_index""")),
 
     // The main-content pipeline SERVED from its streamed WebSink table
     // (r16): same one-code-path posture as web_pipeline_materialized —
@@ -7891,37 +7988,49 @@ FROM a GROUP BY k ORDER BY domain""")),
             "est_start_seconds")
           .orderBy("domain", "queue_pos")
       },
-      Some("""WITH d AS (SELECT doc_id, doc_id % 7 AS k,
-           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
-           doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9
-         FROM documents),
-q AS (SELECT doc_id, 'example' || k::VARCHAR || '.com' AS domain,
-        'https://www.example' || k::VARCHAR || '.com/docs/'
-          || doc_id::VARCHAR AS url,
-        CAST('2026-0' || (doc_id % 9 + 1)::VARCHAR || '-01' AS DATE)
-          AS lastmod,
-        CAST('2026-0' || (doc_id % 6 + 1)::VARCHAR || '-15' AS DATE)
-          AS capture_date,
-        CASE WHEN k % 5 = 0 THEN NOT sw9
-             WHEN k = 1 THEN FALSE
-             WHEN k = 3 THEN NOT e9
-             WHEN k = 4 THEN NOT e7
-             WHEN k = 6 THEN NOT e9
-             ELSE TRUE END AS allowed,
-        CASE WHEN k % 5 = 0 THEN 2 ELSE k + 1 END AS crawl_delay
-      FROM d
-      -- dead URLs have no 200 capture to join
-      WHERE doc_id % 9 <> 7),
-st AS (SELECT *, date_diff('day', capture_date, lastmod)::BIGINT
-         AS staleness_days
-       FROM q WHERE allowed AND lastmod > capture_date),
-w AS (SELECT *, row_number() OVER (PARTITION BY domain
-        ORDER BY staleness_days DESC, url)::BIGINT AS queue_pos
-      FROM st)
-SELECT doc_id AS media_id, domain, url, lastmod, capture_date,
-       staleness_days, crawl_delay::BIGINT AS crawl_delay, queue_pos,
-       ((queue_pos - 1) * crawl_delay)::BIGINT AS est_start_seconds
-FROM w ORDER BY domain, queue_pos""")),
+      Some(webRecrawlQueueSql)),
+
+    // Recrawl queue SERVED from the streamed fetch log (r18): the
+    // capture-date side reads the slim fetch table's WARC-Date column
+    // — no archive re-parse. Same oracle verbatim.
+    ("web_recrawl_queue_served",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val fr = W.crawlFrontier(docs(s, d))
+        val frPath = W.urlParts(col("url")).toMap.apply("path")
+        val cp = W.urlParts(col("target_uri")).toMap
+        val captures = graft.sinks.WebSink.materializedFetch(s, d)
+          .where(col("warc_type") === "response" &&
+            col("http_status") === 200)
+          .select(cp("domain").as("cap_domain"), cp("path").as("cap_path"),
+            to_date(substring(col("warc_date"), 1, 10)).as("capture_date"))
+        val delays = W.robotsGate(docs(s, d))
+          .groupBy("domain")
+          .agg(max("crawl_delay").as("crawl_delay"))
+        val stale = fr
+          .select(col("media_id"), col("domain"), col("url"),
+            frPath.as("path"), to_date(col("lastmod")).as("lastmod"),
+            col("allowed"))
+          .join(captures,
+            col("domain") === col("cap_domain") &&
+              col("path") === col("cap_path"))
+          .where(col("allowed") && col("lastmod") > col("capture_date"))
+          .withColumn("staleness_days",
+            datediff(col("lastmod"), col("capture_date")).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("domain")
+          .orderBy(col("staleness_days").desc, col("url"))
+        stale.join(broadcast(delays), Seq("domain"))
+          .withColumn("queue_pos", row_number().over(w).cast("long"))
+          .withColumn("est_start_seconds",
+            ((col("queue_pos") - 1) * col("crawl_delay")).cast("long"))
+          .select("media_id", "domain", "url", "lastmod", "capture_date",
+            "staleness_days", "crawl_delay", "queue_pos",
+            "est_start_seconds")
+          .orderBy("domain", "queue_pos")
+      },
+      Some(webRecrawlQueueSql)),
 
     // REVISIT-aware crawl dedup (r16): crawl 2's unchanged docs ship
     // WARC revisit records (Common Crawl's crawl-time URL dedup signal)
@@ -8152,27 +8261,36 @@ FROM documents ORDER BY url""")),
           .withColumn("enqueue", col("allowed") && !col("dead"))
           .orderBy("media_id")
       },
-      Some("""WITH d AS (SELECT doc_id, doc_id % 7 AS k,
-           substr(doc_id::VARCHAR, 1, 1) = '9' AS sw9,
-           doc_id % 10 = 7 AS e7, doc_id % 10 = 9 AS e9 FROM documents)
-SELECT doc_id AS media_id,
-  'example' || k::VARCHAR || '.com' AS domain,
-  'https://www.example' || k::VARCHAR || '.com/docs/' || doc_id::VARCHAR
-    AS url,
-  CASE WHEN k % 5 = 0 THEN NOT sw9
-       WHEN k = 1 THEN FALSE
-       WHEN k = 3 THEN NOT e9
-       WHEN k = 4 THEN NOT e7
-       WHEN k = 6 THEN NOT e9
-       ELSE TRUE END AS allowed,
-  (doc_id % 9 = 7) AS dead,
-  ((CASE WHEN k % 5 = 0 THEN NOT sw9
-         WHEN k = 1 THEN FALSE
-         WHEN k = 3 THEN NOT e9
-         WHEN k = 4 THEN NOT e7
-         WHEN k = 6 THEN NOT e9
-         ELSE TRUE END) AND doc_id % 9 <> 7) AS enqueue
-FROM d ORDER BY media_id""")),
+      Some(webFrontierDeadSql)),
+
+    // Dead-URL frontier SERVED from the streamed fetch log (r18): the
+    // dead side reads the slim fetch table — no archive re-parse; the
+    // frontier side stays the (tiny, broadcast) sitemap discovery.
+    // Same oracle verbatim.
+    ("web_frontier_dead_served",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val fr = W.crawlFrontier(docs(s, d))
+        val frPath = W.urlParts(col("url")).toMap.apply("path")
+        val dp = W.urlParts(col("target_uri")).toMap
+        val dead = graft.sinks.WebSink.materializedFetch(s, d)
+          .where(col("http_status").isin(404, 410))
+          .select(dp("domain").as("dead_domain"),
+            dp("path").as("dead_path"))
+          .distinct()
+        fr.select(col("media_id"), col("domain"), col("url"),
+            frPath.as("path"), col("allowed"))
+          .join(dead,
+            col("domain") === col("dead_domain") &&
+              col("path") === col("dead_path"),
+            "left")
+          .withColumn("dead", col("dead_path").isNotNull)
+          .drop("dead_domain", "dead_path", "path")
+          .withColumn("enqueue", col("allowed") && !col("dead"))
+          .orderBy("media_id")
+      },
+      Some(webFrontierDeadSql)),
 
     ("web_crawl_frontier",
       (s: SparkSession, d: String) =>

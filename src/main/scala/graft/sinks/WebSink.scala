@@ -87,10 +87,38 @@ object WebSink {
     BucketedSink.runToTable(media, path, checkpointPath,
       appendBatchMain(_, path, buckets))
 
+  /** The streamed FETCH LOG (r18): the slim per-record fetch table a
+    * real crawler materializes beside the payload store — (media_id,
+    * rec_index, warc_type, target_uri, http_status, location,
+    * retry_after, warc_date). The frontier / recrawl / chase serving
+    * queries read THIS instead of re-parsing archives. Row identity is
+    * (media_id, rec_index) — deterministic per archive, so replays
+    * dedup read-side like the other tables. */
+  private def writeFetch(rows: DataFrame, path: String, buckets: Int,
+      mode: String): Unit =
+    BucketedSink.write(rows, path, col("media_id"), "web_bucket",
+      buckets, Seq(col("media_id"), col("rec_index")), mode)
+
+  def appendBatchFetch(media: DataFrame, path: String,
+      buckets: Int = defaultBuckets): Unit =
+    writeFetch(WebCodec.fetchLog(media), path, buckets, "append")
+
+  /** Streaming ingest into the fetch-log table. */
+  def runToFetchTable(media: DataFrame, path: String,
+      checkpointPath: String, buckets: Int = defaultBuckets)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    BucketedSink.runToTable(media, path, checkpointPath,
+      appendBatchFetch(_, path, buckets))
+
+  /** Exactly-once view over the at-least-once fetch log. */
+  def readFetch(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).dropDuplicates("media_id", "rec_index")
+
   // one table per fixture dir per JVM (fixture-derived and immutable —
   // the ActivitySink.materialized pattern, collision-free DirKeys)
   private val cache = new ConcurrentHashMap[String, DataFrame]()
   private val mainCache = new ConcurrentHashMap[String, DataFrame]()
+  private val fetchCache = new ConcurrentHashMap[String, DataFrame]()
 
   /** The materialized cleaned-corpus table for a fixture dir: the synth
     * WARC corpus through the SAME parse-gate + extract path the
@@ -116,5 +144,15 @@ object WebSink {
       write(WebCodec.pipelineMain(WebCodec.webWarc(docs)), path,
         defaultBuckets, "overwrite")
       read(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** The materialized FETCH LOG (r18) for a fixture dir. */
+  def materializedFetch(spark: SparkSession, sfDir: String): DataFrame =
+    fetchCache.computeIfAbsent(sfDir, { _ =>
+      val path = graft.util.DirKeys.tmpPath("websinkfetch", sfDir)
+      val docs = graft.sources.Tables(spark, sfDir, "documents")
+      writeFetch(WebCodec.fetchLog(WebCodec.webWarc(docs)), path,
+        defaultBuckets, "overwrite")
+      readFetch(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
     })
 }

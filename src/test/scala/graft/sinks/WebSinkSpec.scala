@@ -108,6 +108,37 @@ class WebSinkSpec extends SparkSuite {
       "streamed main-content table must equal the batch operator")
   }
 
+  test("streamed FETCH LOG equals the batch fetchLog projection " +
+      "row-for-row (r18), gate included, replays fenced") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources
+      .Tables(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    val media = WebCodec.webWarc(docs)
+    val rows = media.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect()
+    def logMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id", "rec_index", "warc_type", "target_uri",
+        "http_status", "location", "retry_after", "warc_date")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getString(2), r.getString(3), r.getInt(4), r.getString(5),
+            r.getLong(6), r.getString(7)))).toMap
+    val expected = logMap(WebCodec.fetchLog(media))
+    assert(expected.nonEmpty)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val dir = tmpDir("web_sink_fetch")
+    val ckpt = tmpDir("web_sink_fetch_ckpt")
+    mem.addData(rows.toSeq ++ Seq(
+      (900000001L, "not a warc".getBytes("UTF-8"))): _*)
+    WebSink.runToFetchTable(mem.toDF().toDF("media_id", "payload"),
+      dir, ckpt).awaitTermination()
+    assert(logMap(WebSink.readFetch(spark, dir)) === expected,
+      "streamed fetch log must equal the batch projection")
+    // a replayed append dedups read-side on (media_id, rec_index)
+    WebSink.appendBatchFetch(
+      rows.take(5).toSeq.toDF("media_id", "payload"), dir)
+    assert(logMap(WebSink.readFetch(spark, dir)) === expected)
+  }
+
   test("null-payload handling in the gate: a batch of ONLY rejects " +
       "appends nothing and the table stays readable") {
     val dir = tmpDir("web_sink_rej")
