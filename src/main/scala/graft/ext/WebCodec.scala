@@ -226,7 +226,7 @@ object WebCodec {
   final case class WarcRecord(
       warcType: String, targetUri: String, payload: Array[Byte],
       refersTo: String = "", payloadDigest: String = "",
-      date: String = "")
+      date: String = "", truncated: String = "")
 
   private val CRLF = "\r\n"
 
@@ -273,6 +273,7 @@ object WebCodec {
     var refersTo = ""
     var digest = ""
     var date = ""
+    var truncated = ""
     var clen: Int = -1
     var done = false
     while (!done) {
@@ -290,6 +291,7 @@ object WebCodec {
             case "WARC-Refers-To-Target-URI" => refersTo = value
             case "WARC-Payload-Digest" => digest = value
             case "WARC-Date" => date = value
+            case "WARC-Truncated" => truncated = value
             case "Content-Length" =>
               // digits-only AND in-range: a 10+-digit value must poison,
               // not throw from toInt; any value beyond the buffer can be
@@ -312,8 +314,8 @@ object WebCodec {
     // mandatory two-CRLF record terminator
     if (!(b(pos) == '\r' && b(pos + 1) == '\n' &&
           b(pos + 2) == '\r' && b(pos + 3) == '\n')) return None
-    Some((WarcRecord(warcType, uri, payload, refersTo, digest, date),
-      pos + 4))
+    Some((WarcRecord(warcType, uri, payload, refersTo, digest, date,
+      truncated), pos + 4))
   }
 
   /** Parse a WARC file: gzip (one member per record, per the WARC
@@ -363,7 +365,7 @@ object WebCodec {
       charsetSrc: String, contentEncoding: String, chunked: Boolean,
       contentLengthHdr: Long, body: Array[Byte],
       location: String = "", trailers: Int = 0,
-      retryAfter: Long = 0L) {
+      retryAfter: Long = 0L, etag: String = "") {
     /** The body as text, decoded per [[WebCodec.decodeText]]. */
     def bodyText: String = decodeText(body, charset)
   }
@@ -536,7 +538,8 @@ object WebCodec {
     case _ => Some(b)
   }
 
-  def parseHttpResponse(payload: Array[Byte]): Option[HttpResponse] = {
+  def parseHttpResponse(payload: Array[Byte],
+      tolerateTruncated: Boolean = false): Option[HttpResponse] = {
     var pos = 0
     def readLine(): Option[String] = {
       var i = pos
@@ -562,6 +565,7 @@ object WebCodec {
     var charset = ""
     var location = ""
     var retryAfter = 0L
+    var etag = ""
     var done = false
     while (!done) {
       readLine() match {
@@ -575,8 +579,12 @@ object WebCodec {
               // duplicate framing headers are the request-smuggling
               // ambiguity class — poison, never last-wins (review r16)
               if (clen >= 0) return None
+              // a WARC-Truncated capture (r18) legitimately DECLARES
+              // more than it stores — cap on the declared length only
+              // when the capture claims to be complete
               parseDecimal(line.substring(k + 1).trim,
-                payload.length.toLong) match {
+                if (tolerateTruncated) Int.MaxValue.toLong
+                else payload.length.toLong) match {
                 case Some(v) => clen = v
                 case None => return None
               }
@@ -598,6 +606,9 @@ object WebCodec {
               // any other non-digit value) reads as absent, not poison
               retryAfter = parseDecimal(line.substring(k + 1).trim,
                 Int.MaxValue.toLong).map(_.toLong).getOrElse(0L)
+            case "ETag" =>
+              // kept verbatim incl. the quotes (they ARE the syntax)
+              etag = line.substring(k + 1).trim
             case "Content-Type" =>
               // charset parameter, case-insensitive, token up to ; or EOL;
               // an optionally QUOTED value (charset="utf-8" — legal HTTP,
@@ -650,7 +661,7 @@ object WebCodec {
                   return Some(HttpResponse(status, cs, src,
                     if (coding.isEmpty) "identity" else coding,
                     chunked = true, -1L, entity, location, nTrailers,
-                    retryAfter))
+                    retryAfter, etag))
                 case Some(line) if line.indexOf(':') > 0 =>
                   nTrailers += 1
                 case _ => return None
@@ -666,8 +677,15 @@ object WebCodec {
         }
         return None // unreachable
       } else {
-        if (clen < 0 || pos + clen != payload.length) return None
-        java.util.Arrays.copyOfRange(payload, pos, pos + clen)
+        if (clen < 0) return None
+        if (pos + clen != payload.length) {
+          // a WARC-Truncated capture (r18) legally stores a PREFIX of
+          // the declared entity; anything else is still misframing
+          if (!(tolerateTruncated && pos + clen > payload.length))
+            return None
+        }
+        java.util.Arrays.copyOfRange(payload, pos,
+          math.min(pos + clen, payload.length))
       }
     val entity = decodeCoding(coding, framed) match {
       case Some(e) => e
@@ -677,7 +695,7 @@ object WebCodec {
     Some(HttpResponse(status, cs, src,
       if (coding.isEmpty) "identity" else coding,
       chunked = false, clen.toLong, entity, location,
-      retryAfter = retryAfter))
+      retryAfter = retryAfter, etag = etag))
   }
 
   /** HTTP/1.1 request parse: (method, target). Request line + headers,
@@ -915,7 +933,16 @@ object WebCodec {
       ascii(CRLF)
     } else {
       ascii(head + s"Content-Length: ${entity.length}${CRLF}X-Doc: $id$CRLF$CRLF")
-      out.write(entity)
+      if (truncAxis(id)) {
+        // TRUNCATED capture (r18): the header declares the FULL entity
+        // but the stored payload carries only the prefix the transfer
+        // delivered — the WARC-Truncated contract (the record itself
+        // gains the header in buildWarcFile)
+        val kept = truncatedHtml(html)
+        if (bomAxis(id)) out.write(Utf8Bom)
+        out.write(
+          if (cp1252Wire) encodeCp1252(kept) else kept.getBytes("UTF-8"))
+      } else out.write(entity)
     }
     out.toByteArray
   }
@@ -1080,6 +1107,28 @@ object WebCodec {
   def loopBUrl(id: Long, source: String): String =
     s"https://www.$source.example${id % 7}.com/lb/$id"
 
+  /** TRUNCATED-capture axis (r18): Common Crawl cuts payloads at a
+    * size cap and records `WARC-Truncated: length` — the stored HTTP
+    * message declares the FULL Content-Length but carries only a
+    * prefix of the body. Restricted to odd ids (no revisit interplay),
+    * Content-Length framing, identity coding — truncating a chunked or
+    * gzip stream mid-flight poisons framing/inflate, which is a
+    * DIFFERENT failure class this corpus already covers. */
+  def truncAxis(id: Long): Boolean =
+    id % 18 == 1 && id % 4 != 1 && id % 5 < 3
+
+  /** The truncated decode: the first ⌈codepoints/2⌉ codepoints of the
+    * page (the synth "network" cuts on a character boundary — a
+    * documented simplification that keeps the decoded prefix exactly
+    * replayable as substr(html, 1, (length+1)//2) in both engines). */
+  def truncatedHtml(html: String): String = {
+    val n = html.codePointCount(0, html.length)
+    var keep = (n + 1) / 2
+    var i = 0
+    while (keep > 0) { i += Character.charCount(html.codePointAt(i)); keep -= 1 }
+    html.substring(0, i)
+  }
+
   /** The crawl-1 capture instant (WARC-Date, one per doc's fetch batch)
     * and the crawl-2 revisit instant — months staggered against the
     * sitemap `<lastmod>` axis (month id%9+1) so the recrawl queue has
@@ -1135,9 +1184,12 @@ object WebCodec {
     }
     val recs = Vector(
       req(uri, buildRequest(id, lang, source)),
-      resp(uri,
+      warcRecordBytes("response", uri,
         if (deadAxis(id)) buildErrorResponse(id)
-        else buildResponse(id, text, lang, source))) ++
+        else buildResponse(id, text, lang, source),
+        extraHeaders =
+          if (truncAxis(id)) s"WARC-Truncated: length$CRLF" else "",
+        date = dt)) ++
       (if (hasMetadata(id))
         Vector(warcRecordBytes("metadata", uri,
           metadataFields(id).getBytes("ISO-8859-1"), date = dt))
@@ -1197,8 +1249,19 @@ object WebCodec {
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
     val uri = buildUrl(id, lang, source)
     val dt = recrawlDateOf(id)
+    val conditional = !deadAxis(id) && id % 2 == 0
+    // the crawl-2 request is CONDITIONAL (r18) when crawl 1 captured
+    // the content: If-None-Match with crawl 1's ETag — the exchange
+    // that produces a 304 instead of a re-transfer
+    val reqLine =
+      if (conditional) {
+        val html = buildHtml(id, text, lang, source)
+        s"GET /docs/$id?lang=$lang&ref=feed HTTP/1.1$CRLF" +
+          s"Host: www.$source.example${id % 7}.com$CRLF" +
+          s"""If-None-Match: "graft:ck:${cpWeightedCk(html)}"$CRLF$CRLF"""
+      } else buildRequest(id, lang, source)
     val req = warcRecordBytes("request", uri,
-      buildRequest(id, lang, source).getBytes("ISO-8859-1"), date = dt)
+      reqLine.getBytes("ISO-8859-1"), date = dt)
     val second =
       // dead URLs (r18) answer the same 404/410 on the recrawl — dead
       // is dead; there is nothing to revisit-reference
@@ -1206,15 +1269,25 @@ object WebCodec {
         warcRecordBytes("response", uri, buildErrorResponse(id), date = dt)
       else if (id % 2 == 0) {
         val html = buildHtml(id, text, lang, source)
+        // the 304 Not Modified answer to the conditional request, its
+        // ETag restating the entity's validator (r18 — the wire form
+        // behind Common Crawl's revisit records)
         warcRecordBytes("revisit", uri,
-          s"HTTP/1.1 200 OK${CRLF}Content-Length: 0$CRLF$CRLF"
+          (s"HTTP/1.1 304 Not Modified$CRLF" +
+            s"""ETag: "graft:ck:${cpWeightedCk(html)}"$CRLF""" +
+            s"Content-Length: 0$CRLF$CRLF")
             .getBytes("ISO-8859-1"),
           extraHeaders = s"WARC-Refers-To-Target-URI: $uri$CRLF" +
             s"WARC-Payload-Digest: graft:ck:${cpWeightedCk(html)}$CRLF",
           date = dt)
       } else
         warcRecordBytes("response", uri,
-          buildResponse(id, text, lang, source), date = dt)
+          buildResponse(id, text, lang, source),
+          // the deterministic synth "network" truncates this URL's
+          // every transfer — crawl 2's re-fetch is cut like crawl 1's
+          extraHeaders =
+            if (truncAxis(id)) s"WARC-Truncated: length$CRLF" else "",
+          date = dt)
     val recs = Vector(req, second)
     (id % 3) match {
       case 0 => recs.toArray.flatten
@@ -1240,7 +1313,8 @@ object WebCodec {
 
   final case class RecrawlRow(
       media_id: Long, target_uri: String, fetched: String,
-      refers_to: String, digest: String, n_chars: Long, body_ck: Long)
+      refers_to: String, digest: String, n_chars: Long, body_ck: Long,
+      http_status: Int, etag: String)
 
   /** Crawl-2 fetch rows: `response` records parse to their decoded body
     * (chars + codepoint ck); `revisit` records carry the referral URI +
@@ -1255,15 +1329,21 @@ object WebCodec {
           parseWarc(payload).toSeq.flatMap { recs =>
             recs.flatMap {
               case r if r.warcType == "response" =>
-                parseHttpResponse(r.payload).map { m =>
+                parseHttpResponse(r.payload,
+                  tolerateTruncated = r.truncated.nonEmpty).map { m =>
                   val text = m.bodyText
                   RecrawlRow(id, r.targetUri, "response", "", "",
                     text.codePointCount(0, text.length).toLong,
-                    cpWeightedCk(text))
+                    cpWeightedCk(text), m.status, m.etag)
                 }
               case r if r.warcType == "revisit" =>
+                // the revisit payload is the real 304 exchange (r18):
+                // status + ETag validator parse like any response
+                val m = parseHttpResponse(r.payload)
                 Some(RecrawlRow(id, r.targetUri, "revisit",
-                  r.refersTo, r.payloadDigest, 0L, 0L))
+                  r.refersTo, r.payloadDigest, 0L, 0L,
+                  m.map(_.status).getOrElse(0),
+                  m.map(_.etag).getOrElse("")))
               case _ => None // requests carry no fetch row
             }
           }
@@ -1280,7 +1360,11 @@ object WebCodec {
   def buildWetFile(
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
     val uri = buildUrl(id, lang, source)
-    val extracted = extractedText(id, text, lang, source)
+    // a truncated capture (r18) converts only its received prefix —
+    // WET derives from the capture, not from the origin's full page
+    val page = buildHtml(id, text, lang, source)
+    val extracted = extractText(
+      if (truncAxis(id)) truncatedHtml(page) else page)
     // WET text payloads are UTF-8 by convention (Common Crawl ships
     // UTF-8 WET regardless of the page's wire charset)
     val rec = warcRecordBytes("conversion", uri, extracted.getBytes("UTF-8"),
@@ -1469,7 +1553,7 @@ object WebCodec {
       transfer: String, content_encoding: String, charset: String,
       charset_src: String, location: String,
       body_bytes: Long, body_chars: Long, body_ck: Long,
-      retry_after: Long, warc_date: String)
+      retry_after: Long, warc_date: String, truncated: Boolean)
 
   /** Per-record HTTP-level features through the full gzip→WARC→HTTP
     * walk. Response records parse down to the content-decoded entity
@@ -1492,7 +1576,8 @@ object WebCodec {
               val members = if (gz) recs.length else 0
               r.warcType match {
                 case "response" =>
-                  parseHttpResponse(r.payload).map { m =>
+                  parseHttpResponse(r.payload,
+                    tolerateTruncated = r.truncated.nonEmpty).map { m =>
                     val text = m.bodyText
                     WarcRow(id, i, r.warcType, r.targetUri, members,
                       m.status, "",
@@ -1501,13 +1586,14 @@ object WebCodec {
                       m.location,
                       m.body.length.toLong,
                       text.codePointCount(0, text.length).toLong,
-                      cpWeightedCk(text), m.retryAfter, r.date)
+                      cpWeightedCk(text), m.retryAfter, r.date,
+                      r.truncated.nonEmpty)
                   }
                 case "request" =>
                   parseHttpRequest(r.payload).map { case (method, _) =>
                     WarcRow(id, i, r.warcType, r.targetUri, members,
                       0, method, "", "", "", "", "", 0L, 0L, 0L,
-                      0L, r.date)
+                      0L, r.date, false)
                   }
                 case _ => // metadata / conversion / revisit: text payload
                   val text = decodeText(r.payload, "")
@@ -1515,7 +1601,7 @@ object WebCodec {
                     0, "", "", "", "", "", "",
                     r.payload.length.toLong,
                     text.codePointCount(0, text.length).toLong,
-                    cpWeightedCk(text), 0L, r.date))
+                    cpWeightedCk(text), 0L, r.date, false))
               }
             }
           }
@@ -1539,7 +1625,8 @@ object WebCodec {
         rows.flatMap { case (id, payload) =>
           parseWarc(payload).toSeq.flatMap { recs =>
             recs.filter(_.warcType == "response").flatMap { r =>
-              parseHttpResponse(r.payload).map { m =>
+              parseHttpResponse(r.payload,
+                tolerateTruncated = r.truncated.nonEmpty).map { m =>
                 WebDoc(id, r.targetUri, m.status, m.bodyText, m.location)
               }
             }
@@ -1568,7 +1655,8 @@ object WebCodec {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           parseWarc(payload).toSeq.flatMap { recs =>
-            recs.filter(_.warcType == "response").flatMap { r =>
+            recs.filter(r => r.warcType == "response" &&
+                r.truncated.isEmpty).flatMap { r =>
               parseHttpResponse(r.payload)
                 .filter(m => m.contentEncoding == "identity" &&
                   m.status == 200).map { m =>
@@ -2284,6 +2372,26 @@ object WebCodec {
         when(baseDir === "", lit("/")).otherwise(baseDir), ref))
   }
 
+  /** Tracking-parameter stripping (r18) — the step real crawl
+    * canonicalizers run BEYOND RFC 3986: `utm_*` / gclid / fbclid /
+    * msclkid query parameters identify campaigns, not resources, so
+    * URLs differing only in them are the same page and a frontier that
+    * keeps them over-crawls. Pure Column: filter the '&'-split query
+    * segments against the tracker pattern, rejoin, drop a now-empty
+    * '?'. Composes AFTER [[urlCanonicalCol]]; non-tracking params
+    * (and their order) are untouched. (DuckDB twin: list_filter +
+    * regexp_matches over the same pattern.) */
+  val trackingParamRe = "^(utm_[a-z0-9_]+|gclid|fbclid|msclkid)="
+  def stripTrackingParamsCol(url: Column): Column = {
+    val base = regexp_replace(url, "\\?.*$", "")
+    val qs = regexp_extract(url, "\\?(.*)$", 1)
+    val kept = filter(split(qs, "&"),
+      s => !s.rlike(trackingParamRe))
+    val newQs = array_join(kept, "&")
+    when(qs === "" || newQs === "", base)
+      .otherwise(concat(base, lit("?"), newQs))
+  }
+
   /** URL normalization: drop the fragment, lowercase scheme+host, strip
     * the https default port. Returns (normalized, scheme, host, path,
     * query, registered domain) as a struct-free tuple of Columns via a
@@ -2367,7 +2475,8 @@ object WebCodec {
     * (media_id, rec_index). */
   def fetchLog(media: DataFrame): DataFrame =
     warcRecords(media).select("media_id", "rec_index", "warc_type",
-      "target_uri", "http_status", "location", "retry_after", "warc_date")
+      "target_uri", "http_status", "location", "retry_after", "warc_date",
+      "truncated")
 
   /** Multi-hop redirect CHASE (r18, VERDICT r17 item 5): every 3xx
     * capture chased to its terminal — resolve the Location against its

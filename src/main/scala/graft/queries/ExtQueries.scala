@@ -1034,6 +1034,13 @@ ORDER BY q_id, rnk"""
   private val webRetryAfterSql = "(doc_id % 5 + 1) * 30"
   private val webWarcDateSql =
     "'2026-0' || (doc_id % 6 + 1)::VARCHAR || '-15T00:00:00Z'"
+  /** TRUNCATED-capture axis predicate + the received-prefix decode —
+    * twins of WebCodec.{truncAxis,truncatedHtml}. */
+  private val webTruncWhere =
+    "doc_id % 18 = 1 AND doc_id % 4 <> 1 AND doc_id % 5 < 3"
+  private def webTruncHtml(h: String): String =
+    s"""CASE WHEN $webTruncWhere THEN
+      substr($h, 1, ((length($h) + 1) // 2)::INT) ELSE $h END"""
   // the doc's own host (lowercased, as urlParts derives it)
   private val webHostSql = """'www.' || lower(source) || '.example'
       || (doc_id % 7)::VARCHAR || '.com'"""
@@ -1059,7 +1066,8 @@ ORDER BY q_id, rnk"""
     * (with the punycode /h1 capture host), and the A→B→A loop pair.
     * Twin of the response records WebCodec.buildWarcFile emits. */
   private lazy val webFetchRowsSql: String =
-    s"""SELECT doc_id, lang, source, $webHtmlExpr AS html,
+    s"""SELECT doc_id, lang, source,
+         ${webTruncHtml(webHtmlExpr)} AS html,
          CAST(200 AS INT) AS hst, $webUrlExpr AS uri, '' AS loc,
          $webHostSql AS host
        FROM documents WHERE doc_id % 9 <> 7
@@ -1385,7 +1393,10 @@ FROM a GROUP BY 1 ORDER BY domain"""
     * web_fetch_log_served (r18). */
   private lazy val webRecsCtesSql: String =
     s"""crlfv AS (SELECT chr(13) || chr(10) AS crlf),
-h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents),
+-- the r18 truncation axis stores only the received PREFIX: every
+-- downstream column (txt, body bytes/chars/ck) derives from it
+h AS (SELECT doc_id, lang, source,
+      ${webTruncHtml(webHtmlExpr)} AS html FROM documents),
 axes AS (SELECT h.doc_id, h.lang, h.source, h.html, $webUrlExpr AS uri,
     $webCharsetCase AS charset,
     $webCharsetResolvedCase AS charset_res,
@@ -7306,7 +7317,10 @@ SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
        coalesce(k.body_ck, 0)::BIGINT AS body_ck,
        r.retry_after::BIGINT AS retry_after,
        '2026-0' || (r.doc_id % 6 + 1)::VARCHAR || '-15T00:00:00Z'
-         AS warc_date
+         AS warc_date,
+       (r.warc_type = 'response' AND r.http_status = 200 AND
+        r.doc_id % 18 = 1 AND r.doc_id % 4 <> 1 AND r.doc_id % 5 < 3)
+         AS truncated
 FROM recs r LEFT JOIN cks k USING (doc_id, rec_index)
 ORDER BY media_id, rec_index""")),
 
@@ -7327,8 +7341,10 @@ ORDER BY media_id, rec_index""")),
           .orderBy("media_id"),
       Some(s"""WITH crlfv AS (SELECT chr(13) || chr(10) AS crlf),
 h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents
-      -- text subset only; dead URLs (r18) have no 200 capture
-      WHERE doc_id % 5 NOT IN (3, 4) AND doc_id % 9 <> 7),
+      -- text subset only; dead URLs (r18) have no 200 capture;
+      -- truncated captures are not well-framed messages by definition
+      WHERE doc_id % 5 NOT IN (3, 4) AND doc_id % 9 <> 7
+        AND NOT ($webTruncWhere)),
 f AS (SELECT h.doc_id, h.html, $webCharsetCase AS charset,
     $webCharsetResolvedCase AS charset_res,
     $webTransferCase AS transfer,
@@ -7574,6 +7590,50 @@ SELECT doc_id AS media_id, unicode_host, punycode_host,
 FROM d ORDER BY media_id"""
       })),
 
+    // Tracking-parameter stripping (r18): utm_*/gclid/fbclid/msclkid
+    // query params identify campaigns, not resources — aliases
+    // differing only in them are ONE page, and a frontier keeping them
+    // over-crawls. Each doc gets a campaign-decorated alias (trackers
+    // planted first / middle / last around the real params); after
+    // canonicalize → strip it must collapse to the primary's stripped
+    // canonical, with the real params' order untouched. Pure-Column
+    // both sides; the oracle replays the per-doc expected form.
+    ("web_url_tracking_strip",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val alias = concat(
+          lit("HTTPS://WWW."), col("source"), lit(".Example"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".COM:443/docs/"), col("doc_id").cast("string"),
+          lit("?utm_source=news"), lit("&lang="), col("lang"),
+          lit("&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+          lit("&ref=feed&fbclid=x"), col("doc_id").cast("string"),
+          lit("#frag"))
+        docs(s, d)
+          .select(col("doc_id").as("media_id"), alias.as("alias"),
+            W.stripTrackingParamsCol(W.urlCanonicalCol(alias))
+              .as("stripped"),
+            W.stripTrackingParamsCol(W.urlCanonicalCol(
+              W.urlCol(col("doc_id"), col("lang"), col("source"))))
+              .as("stripped_primary"))
+          .withColumn("collapses", col("stripped") === col("stripped_primary"))
+          .orderBy("media_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+  'HTTPS://WWW.' || source || '.Example' || (doc_id % 7)::VARCHAR
+    || '.COM:443/docs/' || doc_id::VARCHAR
+    || '?utm_source=news&lang=' || lang
+    || '&utm_campaign=c' || (doc_id % 3)::VARCHAR
+    || '&ref=feed&fbclid=x' || doc_id::VARCHAR || '#frag' AS alias,
+  'https://www.' || lower(source) || '.example' || (doc_id % 7)::VARCHAR
+    || '.com/docs/' || doc_id::VARCHAR || '?lang=' || lang
+    || '&ref=feed' AS want
+  FROM documents)
+SELECT doc_id AS media_id, alias, want AS stripped,
+       want AS stripped_primary, TRUE AS collapses
+FROM u ORDER BY media_id""")),
+
     // Per-registered-domain corpus rollup over the normalized hosts —
     // the grouping key a real crawl-dedup/budget pass partitions on.
     ("web_domain_stats",
@@ -7772,7 +7832,10 @@ SELECT doc_id AS media_id, rec_index, warc_type, uri AS target_uri,
        CAST(http_status AS INT) AS http_status, location,
        retry_after::BIGINT AS retry_after,
        '2026-0' || (doc_id % 6 + 1)::VARCHAR || '-15T00:00:00Z'
-         AS warc_date
+         AS warc_date,
+       (warc_type = 'response' AND http_status = 200 AND
+        doc_id % 18 = 1 AND doc_id % 4 <> 1 AND doc_id % 5 < 3)
+         AS truncated
 FROM recs ORDER BY media_id, rec_index""")),
 
     // The main-content pipeline SERVED from its streamed WebSink table
@@ -8067,9 +8130,11 @@ FROM a GROUP BY k ORDER BY domain""")),
       },
       Some(s"""WITH h AS (SELECT doc_id, lang, source,
            -- dead URLs (r18) answer the 404/410 stub again on the
-           -- recrawl; everything else re-fetches (or revisits) the doc
+           -- recrawl; truncated URLs (odd ids, so always the live
+           -- re-fetch branch) are cut again; everything else
+           -- re-fetches (or revisits) the doc
            CASE WHEN doc_id % 9 = 7 THEN $webErrorStubSql
-                ELSE $webHtmlExpr END AS html
+                ELSE ${webTruncHtml(webHtmlExpr)} END AS html
            FROM documents),
 chars AS (SELECT doc_id, u.i AS i,
                  ascii(substr(html, (u.i + 1)::INT, 1)) AS c
@@ -8091,13 +8156,65 @@ FROM h JOIN cks k USING (doc_id) ORDER BY media_id""")),
     // instead of re-extracting from HTML). Same gzip variants; the
     // text is definitionally the extraction formula's output, so the
     // oracle replays the html build + the full extraction chain.
+    // Conditional-recrawl exchange (r18): crawl 2 sends If-None-Match
+    // with crawl 1's ETag; unchanged pages answer `304 Not Modified`
+    // restating the validator (the wire behind Common Crawl's revisit
+    // records — the revisit payload IS the 304 message now). The query
+    // verifies each 304's ETag against the crawl-1 capture's content
+    // checksum (one keyed join — the revisit-dedup shape), beside the
+    // full-response and dead-again outcomes. The oracle replays the
+    // axis decision table + the validator formula.
+    ("web_recrawl_304",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val crawl2 = W.recrawlRecords(W.webWarcRecrawl(docs(s, d)))
+        val crawl1 = W.warcRecords(W.webWarc(docs(s, d)))
+          .where(col("warc_type") === "response" &&
+            col("http_status") === 200)
+          .select(col("target_uri").as("c1_uri"),
+            col("body_ck").as("c1_ck"))
+        crawl2
+          .join(crawl1, col("target_uri") === col("c1_uri"), "left")
+          .select(col("media_id"), col("fetched"), col("http_status"),
+            col("etag"),
+            when(col("fetched") === "revisit",
+              col("etag") === concat(lit("\"graft:ck:"),
+                col("c1_ck").cast("string"), lit("\"")))
+              .otherwise(lit(true)).as("etag_ok"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+           FROM documents WHERE doc_id % 9 <> 7 AND doc_id % 2 = 0),
+chars AS (SELECT doc_id, u.i AS i,
+                 ascii(substr(html, (u.i + 1)::INT, 1)) AS c
+          FROM h, unnest(range(0, length(html))) AS u(i)),
+cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS ck
+        FROM chars GROUP BY 1)
+SELECT d.doc_id AS media_id,
+       CASE WHEN d.doc_id % 9 = 7 THEN 'response'
+            WHEN d.doc_id % 2 = 0 THEN 'revisit'
+            ELSE 'response' END AS fetched,
+       CAST(CASE WHEN d.doc_id % 9 = 7 THEN
+              (CASE WHEN d.doc_id % 2 = 0 THEN 410 ELSE 404 END)
+            WHEN d.doc_id % 2 = 0 THEN 304
+            ELSE 200 END AS INT) AS http_status,
+       CASE WHEN d.doc_id % 9 <> 7 AND d.doc_id % 2 = 0 THEN
+         '"graft:ck:' || k.ck::VARCHAR || '"'
+       ELSE '' END AS etag,
+       TRUE AS etag_ok
+FROM documents d LEFT JOIN cks k ON k.doc_id = d.doc_id
+ORDER BY media_id""")),
+
     ("web_wet_text",
       (s: SparkSession, d: String) =>
         graft.ext.WebCodec.wetTexts(
           graft.ext.WebCodec.webWet(docs(s, d)))
           .orderBy("media_id"),
-      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
-           -- no WET conversion record exists for a dead URL (r18)
+      Some(s"""WITH h AS (SELECT doc_id, lang, source,
+           ${webTruncHtml(webHtmlExpr)} AS html
+           -- no WET conversion record exists for a dead URL (r18);
+           -- a truncated capture converts only its received prefix
            FROM documents WHERE doc_id % 9 <> 7),
 x AS (SELECT doc_id, lang, source, ${webExtractSql("html")} AS body FROM h)
 SELECT doc_id AS media_id, $webUrlExpr AS target_uri, body AS text,
@@ -8348,7 +8465,8 @@ FROM d ORDER BY media_id""")),
             array_join(col("chunk"), " ").as("chunk_text"))
           .orderBy("media_id", "chunk_index")
       },
-      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+      Some(s"""WITH h AS (SELECT doc_id, lang, source,
+           ${webTruncHtml(webHtmlExpr)} AS html
            -- dead URLs (r18) never reach the corpus: no 200 capture
            FROM documents WHERE doc_id % 9 <> 7),
 x AS (SELECT doc_id, ${webExtractSql("html")} AS body FROM h),

@@ -674,6 +674,84 @@ class WebCodecSpec extends SparkSuite {
     assert(rows.size == 5)
   }
 
+  test("WARC-Truncated captures (r18): the header gates tolerance — the " +
+      "declared full length with a stored prefix parses to exactly the " +
+      "received codepoints; an unmarked short payload still poisons") {
+    val sp = spark
+    import sp.implicits._
+    val id = 55L // 55%18==1, %4==3, %5==0 → the truncation axis
+    assert(truncAxis(id))
+    val text = "some words here for doc fifty five"
+    val html = buildHtml(id, text, "en", "src1")
+    val half = truncatedHtml(html)
+    assert(half.length < html.length &&
+      half == html.substring(0, half.length))
+    val recs = parseWarc(buildWarcFile(id, text, "en", "src1")).get
+    val resp = recs.find(_.warcType == "response").get
+    assert(resp.truncated == "length")
+    // tolerant parse: body = the received prefix; the header still
+    // declares the FULL entity
+    val m = parseHttpResponse(resp.payload,
+      tolerateTruncated = true).get
+    assert(m.bodyText == half)
+    assert(m.contentLengthHdr == html.getBytes("UTF-8").length.toLong)
+    // strictness survives: without the record-level header the same
+    // payload is misframed
+    assert(parseHttpResponse(resp.payload).isEmpty)
+    // an unmarked record with bytes chopped off still poisons the file
+    val plain = buildWarcFile(0L, text, "en", "src1")
+    assert(parseWarc(plain.dropRight(10)).isEmpty)
+    // the DataFrame seam surfaces the flag and the prefix checksums
+    val row = warcRecords(webWarc(
+      Seq((id, text, "en", "src1")).toDF("doc_id", "text", "lang",
+        "source")))
+      .where(col("warc_type") === "response").head()
+    assert(row.getAs[Boolean]("truncated"))
+    assert(row.getAs[Long]("body_chars")
+      == half.codePointCount(0, half.length).toLong)
+    assert(row.getAs[Long]("body_ck") == cpWeightedCk(half))
+  }
+
+  test("stripTrackingParamsCol (r18): utm_*/gclid/fbclid strip, real " +
+      "params and their order survive, empty results drop the '?'") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      "https://h.com/p?utm_source=a&lang=de&utm_campaign=b&ref=feed" ->
+        "https://h.com/p?lang=de&ref=feed",
+      "https://h.com/p?gclid=x&fbclid=y&msclkid=z" -> "https://h.com/p",
+      "https://h.com/p?a=1&b=2" -> "https://h.com/p?a=1&b=2",
+      "https://h.com/p" -> "https://h.com/p",
+      // a VALUE containing 'utm_' is not a tracking KEY
+      "https://h.com/p?q=utm_source&utm_term=x" -> "https://h.com/p?q=utm_source")
+    val out = cases.map(_._1).toDF("u")
+      .select(stripTrackingParamsCol(col("u"))).collect()
+      .map(_.getString(0))
+    for (((in, want), got) <- cases.zip(out)) assert(got == want, in)
+  }
+
+  test("conditional recrawl (r18): revisit payloads are real 304 " +
+      "exchanges — ETag restates the crawl-1 validator and the " +
+      "If-None-Match request carries it") {
+    val sp = spark
+    import sp.implicits._
+    val sample = Seq((12L, "twelve words here", "zh", "src1"))
+    val html = buildHtml(12L, "twelve words here", "zh", "src1")
+    val want = s""""graft:ck:${cpWeightedCk(html)}""""
+    val recs = parseWarc(
+      buildRecrawlFile(12L, "twelve words here", "zh", "src1")).get
+    val req = new String(recs.head.payload, "ISO-8859-1")
+    assert(req.contains(s"If-None-Match: $want"))
+    val m = parseHttpResponse(recs(1).payload).get
+    assert(m.status == 304 && m.etag == want && m.body.isEmpty)
+    val row = recrawlRecords(webWarcRecrawl(
+      sample.toDF("doc_id", "text", "lang", "source"))).head()
+    assert(row.getAs[String]("fetched") == "revisit")
+    assert(row.getAs[Int]("http_status") == 304)
+    assert(row.getAs[String]("etag") == want)
+    assert(row.getAs[String]("digest") == s"graft:ck:${cpWeightedCk(html)}")
+  }
+
   test("wet: conversion records round-trip the extracted text across " +
       "all gzip variants, and extractedText is the Column chain's twin") {
     val sp = spark
