@@ -166,9 +166,11 @@ object Bench {
     // built here so they time serving, not the build
     warmUp("web-sink-main")(
       graft.sinks.WebSink.materializedMain(spark, sfDir))
-    // the r18 fetch log feeds the served crawl-decision queries
+    // the r18 fetch logs feed the served crawl-decision queries
     warmUp("web-sink-fetch")(
       graft.sinks.WebSink.materializedFetch(spark, sfDir))
+    warmUp("web-sink-recrawl")(
+      graft.sinks.WebSink.materializedRecrawl(spark, sfDir))
     // the round-10 shared-artifact memos are one-time build costs with
     // the same write-path character as the indexes above: built here so
     // the timed queries measure SERVING the shared artifact, not which

@@ -55,6 +55,7 @@ object BenchSubset {
     warmUp(graft.sinks.WebSink.materialized(spark, dir))
     warmUp(graft.sinks.WebSink.materializedMain(spark, dir))
     warmUp(graft.sinks.WebSink.materializedFetch(spark, dir))
+    warmUp(graft.sinks.WebSink.materializedRecrawl(spark, dir))
     // mirror Bench's shared-artifact memo warm-ups (ADVICE r10): without
     // these, the first timed memoized query pays the full build here but
     // not in Bench, making the two harnesses incomparable for exactly

@@ -2476,7 +2476,11 @@ object WebCodec {
   def fetchLog(media: DataFrame): DataFrame =
     warcRecords(media).select("media_id", "rec_index", "warc_type",
       "target_uri", "http_status", "location", "retry_after", "warc_date",
-      "truncated")
+      "truncated",
+      // the content identity (codepoint count + order-weighted
+      // checksum) — what crawl-time dedup and revisit verification
+      // key on without touching the payload store
+      "body_chars", "body_ck")
 
   /** Multi-hop redirect CHASE (r18, VERDICT r17 item 5): every 3xx
     * capture chased to its terminal — resolve the Location against its

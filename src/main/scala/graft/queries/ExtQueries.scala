@@ -1635,6 +1635,54 @@ SELECT doc_id AS media_id, domain, url, lastmod, capture_date,
        ((queue_pos - 1) * crawl_delay)::BIGINT AS est_start_seconds
 FROM w ORDER BY domain, queue_pos"""
 
+  /** Revisit-dedup oracle — shared by the batch and served twins (r18). */
+  private lazy val webRevisitDedupSql: String =
+    s"""WITH h AS (SELECT doc_id, lang, source,
+           -- dead URLs (r18) answer the 404/410 stub again on the
+           -- recrawl; truncated URLs (odd ids, so always the live
+           -- re-fetch branch) are cut again; everything else
+           -- re-fetches (or revisits) the doc
+           CASE WHEN doc_id % 9 = 7 THEN $webErrorStubSql
+                ELSE ${webTruncHtml(webHtmlExpr)} END AS html
+           FROM documents),
+chars AS (SELECT doc_id, u.i AS i,
+                 ascii(substr(html, (u.i + 1)::INT, 1)) AS c
+          FROM h, unnest(range(0, length(html))) AS u(i)),
+cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS ck
+        FROM chars GROUP BY 1)
+SELECT h.doc_id AS media_id,
+       CASE WHEN h.doc_id % 9 = 7 THEN 'response'
+            WHEN h.doc_id % 2 = 0 THEN 'revisit'
+            ELSE 'response' END
+         AS fetched,
+       length(h.html)::BIGINT AS n_chars, k.ck AS body_ck,
+       TRUE AS digest_ok
+FROM h JOIN cks k USING (doc_id) ORDER BY media_id"""
+
+  /** Conditional-recrawl 304 oracle — shared by the batch and served twins (r18). */
+  private lazy val webRecrawl304Sql: String =
+    s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+           FROM documents WHERE doc_id % 9 <> 7 AND doc_id % 2 = 0),
+chars AS (SELECT doc_id, u.i AS i,
+                 ascii(substr(html, (u.i + 1)::INT, 1)) AS c
+          FROM h, unnest(range(0, length(html))) AS u(i)),
+cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS ck
+        FROM chars GROUP BY 1)
+SELECT d.doc_id AS media_id,
+       CASE WHEN d.doc_id % 9 = 7 THEN 'response'
+            WHEN d.doc_id % 2 = 0 THEN 'revisit'
+            ELSE 'response' END AS fetched,
+       CAST(CASE WHEN d.doc_id % 9 = 7 THEN
+              (CASE WHEN d.doc_id % 2 = 0 THEN 410 ELSE 404 END)
+            WHEN d.doc_id % 2 = 0 THEN 304
+            ELSE 200 END AS INT) AS http_status,
+       CASE WHEN d.doc_id % 9 <> 7 AND d.doc_id % 2 = 0 THEN
+         '"graft:ck:' || k.ck::VARCHAR || '"'
+       ELSE '' END AS etag,
+       TRUE AS etag_ok
+FROM documents d LEFT JOIN cks k ON k.doc_id = d.doc_id
+ORDER BY media_id"""
+
   /** The single-hop redirect-chase oracle (r17 alias + r18 chain/
     * loop rows) — shared verbatim by web_redirect_chase (batch
     * re-parse) and web_redirect_chase_served (WebSink fetch table). */
@@ -7827,16 +7875,25 @@ FROM g ORDER BY media_id, http_status, target_uri""")),
         graft.sinks.WebSink.materializedFetch(s, d)
           .drop("web_bucket")
           .orderBy("media_id", "rec_index"),
-      Some(s"""WITH $webRecsCtesSql
-SELECT doc_id AS media_id, rec_index, warc_type, uri AS target_uri,
-       CAST(http_status AS INT) AS http_status, location,
-       retry_after::BIGINT AS retry_after,
-       '2026-0' || (doc_id % 6 + 1)::VARCHAR || '-15T00:00:00Z'
+      Some(s"""WITH $webRecsCtesSql,
+chars AS (SELECT doc_id, rec_index, u.i AS i,
+                 ascii(substr(txt, (u.i + 1)::INT, 1)) AS c
+          FROM recs, unnest(range(0, length(txt))) AS u(i)),
+cks AS (SELECT doc_id, rec_index, sum((i + 1) * c)::BIGINT AS body_ck
+        FROM chars GROUP BY 1, 2)
+SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
+       r.uri AS target_uri,
+       CAST(r.http_status AS INT) AS http_status, r.location,
+       r.retry_after::BIGINT AS retry_after,
+       '2026-0' || (r.doc_id % 6 + 1)::VARCHAR || '-15T00:00:00Z'
          AS warc_date,
-       (warc_type = 'response' AND http_status = 200 AND
-        doc_id % 18 = 1 AND doc_id % 4 <> 1 AND doc_id % 5 < 3)
-         AS truncated
-FROM recs ORDER BY media_id, rec_index""")),
+       (r.warc_type = 'response' AND r.http_status = 200 AND
+        r.doc_id % 18 = 1 AND r.doc_id % 4 <> 1 AND r.doc_id % 5 < 3)
+         AS truncated,
+       length(r.txt)::BIGINT AS body_chars,
+       coalesce(k.body_ck, 0)::BIGINT AS body_ck
+FROM recs r LEFT JOIN cks k USING (doc_id, rec_index)
+ORDER BY media_id, rec_index""")),
 
     // The main-content pipeline SERVED from its streamed WebSink table
     // (r16): same one-code-path posture as web_pipeline_materialized —
@@ -8128,27 +8185,7 @@ FROM a GROUP BY k ORDER BY domain""")),
               .as("digest_ok"))
         live.unionByName(reused).orderBy("media_id")
       },
-      Some(s"""WITH h AS (SELECT doc_id, lang, source,
-           -- dead URLs (r18) answer the 404/410 stub again on the
-           -- recrawl; truncated URLs (odd ids, so always the live
-           -- re-fetch branch) are cut again; everything else
-           -- re-fetches (or revisits) the doc
-           CASE WHEN doc_id % 9 = 7 THEN $webErrorStubSql
-                ELSE ${webTruncHtml(webHtmlExpr)} END AS html
-           FROM documents),
-chars AS (SELECT doc_id, u.i AS i,
-                 ascii(substr(html, (u.i + 1)::INT, 1)) AS c
-          FROM h, unnest(range(0, length(html))) AS u(i)),
-cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS ck
-        FROM chars GROUP BY 1)
-SELECT h.doc_id AS media_id,
-       CASE WHEN h.doc_id % 9 = 7 THEN 'response'
-            WHEN h.doc_id % 2 = 0 THEN 'revisit'
-            ELSE 'response' END
-         AS fetched,
-       length(h.html)::BIGINT AS n_chars, k.ck AS body_ck,
-       TRUE AS digest_ok
-FROM h JOIN cks k USING (doc_id) ORDER BY media_id""")),
+      Some(webRevisitDedupSql)),
 
     // WET — Common Crawl's extracted-text sidecar: the same WARC
     // container carrying WARC-Type: conversion records whose payload is
@@ -8184,27 +8221,59 @@ FROM h JOIN cks k USING (doc_id) ORDER BY media_id""")),
               .otherwise(lit(true)).as("etag_ok"))
           .orderBy("media_id")
       },
-      Some(s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
-           FROM documents WHERE doc_id % 9 <> 7 AND doc_id % 2 = 0),
-chars AS (SELECT doc_id, u.i AS i,
-                 ascii(substr(html, (u.i + 1)::INT, 1)) AS c
-          FROM h, unnest(range(0, length(html))) AS u(i)),
-cks AS (SELECT doc_id, sum((i + 1) * c)::BIGINT AS ck
-        FROM chars GROUP BY 1)
-SELECT d.doc_id AS media_id,
-       CASE WHEN d.doc_id % 9 = 7 THEN 'response'
-            WHEN d.doc_id % 2 = 0 THEN 'revisit'
-            ELSE 'response' END AS fetched,
-       CAST(CASE WHEN d.doc_id % 9 = 7 THEN
-              (CASE WHEN d.doc_id % 2 = 0 THEN 410 ELSE 404 END)
-            WHEN d.doc_id % 2 = 0 THEN 304
-            ELSE 200 END AS INT) AS http_status,
-       CASE WHEN d.doc_id % 9 <> 7 AND d.doc_id % 2 = 0 THEN
-         '"graft:ck:' || k.ck::VARCHAR || '"'
-       ELSE '' END AS etag,
-       TRUE AS etag_ok
-FROM documents d LEFT JOIN cks k ON k.doc_id = d.doc_id
-ORDER BY media_id""")),
+      Some(webRecrawl304Sql)),
+
+    // The conditional-recrawl audit SERVED from the two streamed fetch
+    // logs (r18): crawl 2's revisit/response rows joined against crawl
+    // 1's 200 content identities — zero archive parses (the batch twin
+    // re-parses BOTH crawls; SCALE_PROBE §2f measured it ×7.2 at 10×
+    // data). Same oracle verbatim.
+    ("web_recrawl_304_served",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val crawl2 = graft.sinks.WebSink.materializedRecrawl(s, d)
+        val crawl1 = graft.sinks.WebSink.materializedFetch(s, d)
+          .where(col("warc_type") === "response" &&
+            col("http_status") === 200)
+          .select(col("target_uri").as("c1_uri"),
+            col("body_ck").as("c1_ck"))
+        crawl2
+          .join(crawl1, col("target_uri") === col("c1_uri"), "left")
+          .select(col("media_id"), col("fetched"), col("http_status"),
+            col("etag"),
+            when(col("fetched") === "revisit",
+              col("etag") === concat(lit("\"graft:ck:"),
+                col("c1_ck").cast("string"), lit("\"")))
+              .otherwise(lit(true)).as("etag_ok"))
+          .orderBy("media_id")
+      },
+      Some(webRecrawl304Sql)),
+
+    // Revisit dedup SERVED from the two fetch logs (r18): reused
+    // bodies' content identity joins in from crawl 1's log by the
+    // referral URI — the same keyed-shuffle shape, no archive parses.
+    // Same oracle verbatim.
+    ("web_revisit_dedup_served",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val crawl2 = graft.sinks.WebSink.materializedRecrawl(s, d)
+        val live = crawl2.where(col("fetched") === "response")
+          .select(col("media_id"), col("fetched"), col("n_chars"),
+            col("body_ck"), lit(true).as("digest_ok"))
+        val crawl1 = graft.sinks.WebSink.materializedFetch(s, d)
+          .where(col("warc_type") === "response" &&
+            col("http_status") === 200)
+          .select(col("target_uri").as("c1_uri"),
+            col("body_chars").as("c1_chars"), col("body_ck").as("c1_ck"))
+        val reused = crawl2.where(col("fetched") === "revisit")
+          .join(crawl1, col("refers_to") === col("c1_uri"))
+          .select(col("media_id"), col("fetched"),
+            col("c1_chars").as("n_chars"), col("c1_ck").as("body_ck"),
+            (col("digest") === concat(lit("graft:ck:"), col("c1_ck")))
+              .as("digest_ok"))
+        live.unionByName(reused).orderBy("media_id")
+      },
+      Some(webRevisitDedupSql)),
 
     ("web_wet_text",
       (s: SparkSession, d: String) =>

@@ -155,4 +155,23 @@ object WebSink {
         defaultBuckets, "overwrite")
       readFetch(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
     })
+
+  private val recrawlCache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The materialized CRAWL-2 fetch log (r18): recrawlRecords rows —
+    * live re-fetches with content identity, 304 revisits with their
+    * referral + validator — bucketed like the crawl-1 log. Row
+    * identity is target_uri (one fetch row per URL per crawl). */
+  def materializedRecrawl(spark: SparkSession, sfDir: String): DataFrame =
+    recrawlCache.computeIfAbsent(sfDir, { _ =>
+      val path = graft.util.DirKeys.tmpPath("websinkrecrawl", sfDir)
+      val docs = graft.sources.Tables(spark, sfDir, "documents")
+      BucketedSink.write(
+        WebCodec.recrawlRecords(WebCodec.webWarcRecrawl(docs)), path,
+        col("media_id"), "web_bucket", defaultBuckets,
+        Seq(col("media_id"), col("target_uri")), "overwrite")
+      spark.read.parquet(path)
+        .dropDuplicates("media_id", "target_uri")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 }
