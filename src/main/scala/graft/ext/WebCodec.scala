@@ -365,7 +365,8 @@ object WebCodec {
       charsetSrc: String, contentEncoding: String, chunked: Boolean,
       contentLengthHdr: Long, body: Array[Byte],
       location: String = "", trailers: Int = 0,
-      retryAfter: Long = 0L, etag: String = "") {
+      retryAfter: Long = 0L, etag: String = "",
+      mime: String = "") {
     /** The body as text, decoded per [[WebCodec.decodeText]]. */
     def bodyText: String = decodeText(body, charset)
   }
@@ -462,18 +463,25 @@ object WebCodec {
     * order: BOM → header-declared parameter → in-document meta
     * declaration within the first 1024 bytes (scanned Latin-1 — the
     * prelude is ASCII in any ASCII-compatible charset) → sniff. */
-  def resolveCharset(declared: String, entity: Array[Byte]): (String, String) =
+  def resolveCharset(declared: String, entity: Array[Byte],
+      allowMeta: Boolean = true): (String, String) =
     bomCharset(entity) match {
       case Some(cs) => (cs, "bom")
       case None if declared.nonEmpty => (declared, "header")
       case None =>
-        val prefix = new String(entity, 0, math.min(1024, entity.length),
-          "ISO-8859-1")
-        val m = MetaCharsetRe.matcher(prefix)
-        if (m.find())
-          ((if (m.group(1) != null) m.group(1) else m.group(2)).toLowerCase,
-            "meta")
-        else ("", "sniff")
+        // the 1 KiB meta prescan is an HTML rule — a text/plain (or
+        // any non-HTML) entity has no meta declaration to honor (r18)
+        val m = if (allowMeta) {
+          val prefix = new String(entity, 0,
+            math.min(1024, entity.length), "ISO-8859-1")
+          Some(MetaCharsetRe.matcher(prefix)).filter(_.find())
+        } else None
+        m match {
+          case Some(mm) =>
+            ((if (mm.group(1) != null) mm.group(1) else mm.group(2))
+              .toLowerCase, "meta")
+          case None => ("", "sniff")
+        }
     }
 
   /** Strict UTF-8 decode: None on any malformed/unmappable sequence
@@ -566,6 +574,7 @@ object WebCodec {
     var location = ""
     var retryAfter = 0L
     var etag = ""
+    var mime = ""
     var done = false
     while (!done) {
       readLine() match {
@@ -615,6 +624,9 @@ object WebCodec {
               // common in real WARCs) is unwrapped, not reported verbatim
               // (ADVICE r16)
               val v = line.substring(k + 1).toLowerCase
+              // the media type itself (r18): the routing key — HTML
+              // extracts, text/plain passes through, others are opaque
+              mime = v.split(';')(0).trim
               val ci = v.indexOf("charset=")
               if (ci >= 0) {
                 val tok = v.substring(ci + 8).trim
@@ -657,11 +669,12 @@ object WebCodec {
                     case Some(e) => e
                     case None => return None
                   }
-                  val (cs, src) = resolveCharset(charset, entity)
+                  val (cs, src) = resolveCharset(charset, entity,
+                    allowMeta = mime.isEmpty || mime == "text/html")
                   return Some(HttpResponse(status, cs, src,
                     if (coding.isEmpty) "identity" else coding,
                     chunked = true, -1L, entity, location, nTrailers,
-                    retryAfter, etag))
+                    retryAfter, etag, mime))
                 case Some(line) if line.indexOf(':') > 0 =>
                   nTrailers += 1
                 case _ => return None
@@ -691,11 +704,12 @@ object WebCodec {
       case Some(e) => e
       case None => return None
     }
-    val (cs, src) = resolveCharset(charset, entity)
+    val (cs, src) = resolveCharset(charset, entity,
+      allowMeta = mime.isEmpty || mime == "text/html")
     Some(HttpResponse(status, cs, src,
       if (coding.isEmpty) "identity" else coding,
       chunked = false, clen.toLong, entity, location,
-      retryAfter = retryAfter, etag = etag))
+      retryAfter = retryAfter, etag = etag, mime = mime))
   }
 
   /** HTTP/1.1 request parse: (method, target). Request line + headers,
@@ -892,11 +906,14 @@ object WebCodec {
     * diverge from the oracle (ADVICE r16). */
   def buildResponse(
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
-    val html = buildHtml(id, text, lang, source)
+    // the MIME axis (r18) serves the document's raw text as
+    // text/plain; every other wire axis applies to it unchanged
+    val html =
+      if (mimeAxis(id)) text else buildHtml(id, text, lang, source)
     val cs = charsetOf(id)
     val cp1252Wire = cs != "utf-8"
     if (cp1252Wire) require(cp1252Encodable(html),
-      s"doc $id html is not windows-1252-representable")
+      s"doc $id content is not windows-1252-representable")
     val rawBytes =
       if (cp1252Wire) encodeCp1252(html) else html.getBytes("UTF-8")
     val htmlBytes =
@@ -908,9 +925,10 @@ object WebCodec {
         (zlibDeflate(htmlBytes), s"Content-Encoding: deflate$CRLF")
       case _ => (htmlBytes, "")
     }
+    val mt = if (mimeAxis(id)) "text/plain" else "text/html"
     val ctype =
-      if (headerOmitsCharset(id)) "Content-Type: text/html"
-      else s"Content-Type: text/html; charset=$cs"
+      if (headerOmitsCharset(id)) s"Content-Type: $mt"
+      else s"Content-Type: $mt; charset=$cs"
     val head = s"HTTP/1.1 200 OK$CRLF$ctype$CRLF$ceHdr"
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -1107,6 +1125,15 @@ object WebCodec {
   def loopBUrl(id: Long, source: String): String =
     s"https://www.$source.example${id % 7}.com/lb/$id"
 
+  /** MIME axis (r18): these URLs serve `text/plain`, not HTML — a real
+    * crawl is far from HTML-only, and the pipeline must ROUTE on the
+    * parsed media type instead of tag-stripping everything. The plain
+    * entity is the document's raw text; all wire axes (charset,
+    * coding, framing, BOM) still apply. Note there is no in-document
+    * meta declaration to fall back to, so header-omitting plain docs
+    * resolve by SNIFF. */
+  def mimeAxis(id: Long): Boolean = id % 9 == 3
+
   /** TRUNCATED-capture axis (r18): Common Crawl cuts payloads at a
     * size cap and records `WARC-Truncated: length` — the stored HTTP
     * message declares the FULL Content-Length but carries only a
@@ -1252,13 +1279,15 @@ object WebCodec {
     val conditional = !deadAxis(id) && id % 2 == 0
     // the crawl-2 request is CONDITIONAL (r18) when crawl 1 captured
     // the content: If-None-Match with crawl 1's ETag — the exchange
-    // that produces a 304 instead of a re-transfer
+    // that produces a 304 instead of a re-transfer. The validator is
+    // over the served CONTENT (the raw text on the MIME axis).
+    def content: String =
+      if (mimeAxis(id)) text else buildHtml(id, text, lang, source)
     val reqLine =
       if (conditional) {
-        val html = buildHtml(id, text, lang, source)
         s"GET /docs/$id?lang=$lang&ref=feed HTTP/1.1$CRLF" +
           s"Host: www.$source.example${id % 7}.com$CRLF" +
-          s"""If-None-Match: "graft:ck:${cpWeightedCk(html)}"$CRLF$CRLF"""
+          s"""If-None-Match: "graft:ck:${cpWeightedCk(content)}"$CRLF$CRLF"""
       } else buildRequest(id, lang, source)
     val req = warcRecordBytes("request", uri,
       reqLine.getBytes("ISO-8859-1"), date = dt)
@@ -1268,17 +1297,16 @@ object WebCodec {
       if (deadAxis(id))
         warcRecordBytes("response", uri, buildErrorResponse(id), date = dt)
       else if (id % 2 == 0) {
-        val html = buildHtml(id, text, lang, source)
         // the 304 Not Modified answer to the conditional request, its
         // ETag restating the entity's validator (r18 — the wire form
         // behind Common Crawl's revisit records)
         warcRecordBytes("revisit", uri,
           (s"HTTP/1.1 304 Not Modified$CRLF" +
-            s"""ETag: "graft:ck:${cpWeightedCk(html)}"$CRLF""" +
+            s"""ETag: "graft:ck:${cpWeightedCk(content)}"$CRLF""" +
             s"Content-Length: 0$CRLF$CRLF")
             .getBytes("ISO-8859-1"),
           extraHeaders = s"WARC-Refers-To-Target-URI: $uri$CRLF" +
-            s"WARC-Payload-Digest: graft:ck:${cpWeightedCk(html)}$CRLF",
+            s"WARC-Payload-Digest: graft:ck:${cpWeightedCk(content)}$CRLF",
           date = dt)
       } else
         warcRecordBytes("response", uri,
@@ -1361,10 +1389,15 @@ object WebCodec {
       id: Long, text: String, lang: String, source: String): Array[Byte] = {
     val uri = buildUrl(id, lang, source)
     // a truncated capture (r18) converts only its received prefix —
-    // WET derives from the capture, not from the origin's full page
-    val page = buildHtml(id, text, lang, source)
-    val extracted = extractText(
-      if (truncAxis(id)) truncatedHtml(page) else page)
+    // WET derives from the capture, not from the origin's full page;
+    // a text/plain capture (r18 MIME axis) converts as a whitespace
+    // collapse, there is nothing to extract
+    val extracted =
+      if (mimeAxis(id)) text.replaceAll("\\s+", " ").trim
+      else {
+        val page = buildHtml(id, text, lang, source)
+        extractText(if (truncAxis(id)) truncatedHtml(page) else page)
+      }
     // WET text payloads are UTF-8 by convention (Common Crawl ships
     // UTF-8 WET regardless of the page's wire charset)
     val rec = warcRecordBytes("conversion", uri, extracted.getBytes("UTF-8"),
@@ -1553,7 +1586,8 @@ object WebCodec {
       transfer: String, content_encoding: String, charset: String,
       charset_src: String, location: String,
       body_bytes: Long, body_chars: Long, body_ck: Long,
-      retry_after: Long, warc_date: String, truncated: Boolean)
+      retry_after: Long, warc_date: String, truncated: Boolean,
+      content_type: String)
 
   /** Per-record HTTP-level features through the full gzip→WARC→HTTP
     * walk. Response records parse down to the content-decoded entity
@@ -1587,13 +1621,13 @@ object WebCodec {
                       m.body.length.toLong,
                       text.codePointCount(0, text.length).toLong,
                       cpWeightedCk(text), m.retryAfter, r.date,
-                      r.truncated.nonEmpty)
+                      r.truncated.nonEmpty, m.mime)
                   }
                 case "request" =>
                   parseHttpRequest(r.payload).map { case (method, _) =>
                     WarcRow(id, i, r.warcType, r.targetUri, members,
                       0, method, "", "", "", "", "", 0L, 0L, 0L,
-                      0L, r.date, false)
+                      0L, r.date, false, "")
                   }
                 case _ => // metadata / conversion / revisit: text payload
                   val text = decodeText(r.payload, "")
@@ -1601,7 +1635,7 @@ object WebCodec {
                     0, "", "", "", "", "", "",
                     r.payload.length.toLong,
                     text.codePointCount(0, text.length).toLong,
-                    cpWeightedCk(text), 0L, r.date, false))
+                    cpWeightedCk(text), 0L, r.date, false, ""))
               }
             }
           }
@@ -1611,7 +1645,7 @@ object WebCodec {
 
   final case class WebDoc(
       media_id: Long, target_uri: String, http_status: Int, body: String,
-      location: String)
+      location: String, content_type: String)
 
   /** WARC → response records → HTTP parse → content-decoded,
     * charset-decoded HTML body as a string column (the codec half of
@@ -1627,7 +1661,8 @@ object WebCodec {
             recs.filter(_.warcType == "response").flatMap { r =>
               parseHttpResponse(r.payload,
                 tolerateTruncated = r.truncated.nonEmpty).map { m =>
-                WebDoc(id, r.targetUri, m.status, m.bodyText, m.location)
+                WebDoc(id, r.targetUri, m.status, m.bodyText, m.location,
+                  m.mime)
               }
             }
           }
@@ -1902,9 +1937,17 @@ object WebCodec {
     // target_uri + location ride along (r18): the fetch table doubles
     // as the redirect-chase serving table — 3xx rows carry their
     // Location, 200 rows their canonical keys
+    // MIME routing (r18): block segmentation is an HTML concept —
+    // text/plain passes through collapsed, with no block census
+    val mc = when(col("content_type") === "text/plain",
+      struct(
+        trim(regexp_replace(col("body"), "\\s+", " ")).as("main_text"),
+        lit(0L).as("n_blocks"), lit(0L).as("n_kept"),
+        lit(0L).as("boiler_chars")))
+      .otherwise(mainContentStruct(col("body")))
     resp.select(col("media_id"), host.as("host"), col("http_status"),
         col("target_uri"), col("location"),
-        mainContentStruct(col("body")).as("mc"))
+        mc.as("mc"))
       .select(col("media_id"), col("host"), col("http_status"),
         col("target_uri"), col("location"),
         col("mc").getField("main_text").as("body"),
@@ -1932,9 +1975,16 @@ object WebCodec {
   def pipeline(media: DataFrame): DataFrame = {
     val resp = warcResponses(media)
     val host = urlParts(col("target_uri")).toMap.apply("host")
+    // MIME routing (r18): HTML extracts; text/plain passes through
+    // with whitespace collapse only — tag-stripping a plain document
+    // would be wrong on any '<' it legitimately contains
+    val extracted =
+      when(col("content_type") === "text/plain",
+        trim(regexp_replace(col("body"), "\\s+", " ")))
+        .otherwise(extractTextCol(col("body")))
     resp.select(col("media_id"), host.as("host"), col("http_status"),
         col("target_uri"), col("location"),
-        extractTextCol(col("body")).as("body"))
+        extracted.as("body"))
       .select(col("media_id"), col("host"), col("http_status"),
         col("target_uri"), col("location"), col("body"),
         size(split(col("body"), "\\s+")).cast("long").as("n_words"),
@@ -2476,7 +2526,7 @@ object WebCodec {
   def fetchLog(media: DataFrame): DataFrame =
     warcRecords(media).select("media_id", "rec_index", "warc_type",
       "target_uri", "http_status", "location", "retry_after", "warc_date",
-      "truncated",
+      "truncated", "content_type",
       // the content identity (codepoint count + order-weighted
       // checksum) — what crawl-time dedup and revisit verification
       // key on without touching the payload store

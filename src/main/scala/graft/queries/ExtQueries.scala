@@ -995,6 +995,8 @@ ORDER BY q_id, rnk"""
   private val webCharsetSrcCase =
     """CASE WHEN doc_id % 7 = 2 AND doc_id % 5 <> 2 THEN 'bom'
        WHEN doc_id % 7 = 5 AND doc_id % 2 = 0 THEN 'sniff'
+       -- r18 MIME axis: text/plain has no meta tag to fall back to
+       WHEN doc_id % 9 = 3 AND doc_id % 7 IN (2, 5) THEN 'sniff'
        WHEN doc_id % 7 IN (2, 5) THEN 'meta'
        ELSE 'header' END"""
   // the RESOLVED charset column: 'utf-8' from a BOM, '' when sniffed,
@@ -1002,6 +1004,7 @@ ORDER BY q_id, rnk"""
   private val webCharsetResolvedCase =
     s"""CASE WHEN doc_id % 7 = 2 AND doc_id % 5 <> 2 THEN 'utf-8'
        WHEN doc_id % 7 = 5 AND doc_id % 2 = 0 THEN ''
+       WHEN doc_id % 9 = 3 AND doc_id % 7 IN (2, 5) THEN ''
        ELSE ($webCharsetCase) END"""
   // whether the entity carries the 3-byte UTF-8 BOM signature
   private val webBomCase =
@@ -1038,6 +1041,11 @@ ORDER BY q_id, rnk"""
     * twins of WebCodec.{truncAxis,truncatedHtml}. */
   private val webTruncWhere =
     "doc_id % 18 = 1 AND doc_id % 4 <> 1 AND doc_id % 5 < 3"
+  /** MIME axis — twin of WebCodec.mimeAxis: text/plain captures whose
+    * entity is the document's raw text. */
+  private val webMimeWhere = "doc_id % 9 = 3"
+  private val webMimeCase =
+    "CASE WHEN doc_id % 9 = 3 THEN 'text/plain' ELSE 'text/html' END"
   private def webTruncHtml(h: String): String =
     s"""CASE WHEN $webTruncWhere THEN
       substr($h, 1, ((length($h) + 1) // 2)::INT) ELSE $h END"""
@@ -1067,23 +1075,25 @@ ORDER BY q_id, rnk"""
     * Twin of the response records WebCodec.buildWarcFile emits. */
   private lazy val webFetchRowsSql: String =
     s"""SELECT doc_id, lang, source,
-         ${webTruncHtml(webHtmlExpr)} AS html,
+         CASE WHEN $webMimeWhere THEN text
+              ELSE ${webTruncHtml(webHtmlExpr)} END AS html,
          CAST(200 AS INT) AS hst, $webUrlExpr AS uri, '' AS loc,
-         $webHostSql AS host
+         $webHostSql AS host, $webMimeCase AS mime
        FROM documents WHERE doc_id % 9 <> 7
      UNION ALL
        SELECT doc_id, lang, source, $webErrorStubSql,
-         CAST($webErrorStatusSql AS INT), $webUrlExpr, '', $webHostSql
+         CAST($webErrorStatusSql AS INT), $webUrlExpr, '', $webHostSql,
+         'text/html'
        FROM documents WHERE doc_id % 9 = 7
      UNION ALL
        SELECT doc_id, lang, source, $webRedirectStubSql, CAST(301 AS INT),
          'https://www.' || source || '.example' || (doc_id % 7)::VARCHAR
            || '.com/r/' || doc_id::VARCHAR,
-         $webRedirectLocSql, $webHostSql
+         $webRedirectLocSql, $webHostSql, 'text/html'
        FROM documents WHERE doc_id % 9 = 4
      UNION ALL
        SELECT doc_id, lang, source, $webRetryStubSql, CAST(503 AS INT),
-         $webUrlExpr, '', $webHostSql
+         $webUrlExpr, '', $webHostSql, 'text/html'
        FROM documents WHERE doc_id % 9 = 8
      UNION ALL
        SELECT doc_id, lang, source,
@@ -1094,14 +1104,15 @@ ORDER BY q_id, rnk"""
            || '.com/h2/' || doc_id::VARCHAR,
          'https://www.zürich.example' || (doc_id % 7)::VARCHAR
            || '.com/h1/' || doc_id::VARCHAR,
-         $webHostSql
+         $webHostSql, 'text/html'
        FROM documents WHERE doc_id % 9 = 2
      UNION ALL
        SELECT doc_id, lang, source, $webRedirectStubSql, CAST(301 AS INT),
          'https://www.xn--zrich-kva.example' || (doc_id % 7)::VARCHAR
            || '.com/h1/' || doc_id::VARCHAR,
          $webChainFinalLocSql,
-         'www.xn--zrich-kva.example' || (doc_id % 7)::VARCHAR || '.com'
+         'www.xn--zrich-kva.example' || (doc_id % 7)::VARCHAR || '.com',
+         'text/html'
        FROM documents WHERE doc_id % 9 = 2
      UNION ALL
        SELECT doc_id, lang, source,
@@ -1110,7 +1121,7 @@ ORDER BY q_id, rnk"""
          CAST(301 AS INT),
          'https://www.' || source || '.example' || (doc_id % 7)::VARCHAR
            || '.com/la/' || doc_id::VARCHAR,
-         '/lb/' || doc_id::VARCHAR, $webHostSql
+         '/lb/' || doc_id::VARCHAR, $webHostSql, 'text/html'
        FROM documents WHERE doc_id % 9 = 5
      UNION ALL
        SELECT doc_id, lang, source,
@@ -1119,7 +1130,7 @@ ORDER BY q_id, rnk"""
          CAST(301 AS INT),
          'https://www.' || source || '.example' || (doc_id % 7)::VARCHAR
            || '.com/lb/' || doc_id::VARCHAR,
-         '/la/' || doc_id::VARCHAR, $webHostSql
+         '/la/' || doc_id::VARCHAR, $webHostSql, 'text/html'
        FROM documents WHERE doc_id % 9 = 5"""
   private val webRedirectWhere = "doc_id % 9 = 4"
 
@@ -1168,28 +1179,36 @@ ORDER BY q_id, rnk"""
     * ∘ mainContentStruct. */
   private lazy val webMainChainSql =
     s"""h AS ($webFetchRowsSql),
-b AS (SELECT doc_id, hst, uri, loc, host, regexp_extract_all(
+b AS (SELECT doc_id, hst, uri, loc, host, mime,
+        -- MIME routing (r18): block segmentation is an HTML concept;
+        -- a text/plain capture has no blocks and passes through as a
+        -- whitespace collapse
+        CASE WHEN mime = 'text/plain' THEN trim(regexp_replace(html, '\\s+', ' ', 'g')) ELSE '' END AS plain_body,
+        CASE WHEN mime = 'text/plain' THEN CAST([] AS VARCHAR[])
+        ELSE regexp_extract_all(
         -- comments strip BEFORE block segmentation (r18): a commented
         -- <div>…</div> must not surface as a phantom block
         regexp_replace(html, '<!--.*?-->', ' ', 'g'),
         '(<p[^>]*>.*?</p>|<h1>.*?</h1>|<nav>.*?</nav>|<div[^>]*>.*?</div>|<footer>.*?</footer>)',
-        1) AS blocks FROM h),
-s AS (SELECT doc_id, hst, uri, loc, host, len(blocks) AS nb,
+        1) END AS blocks FROM h),
+s AS (SELECT doc_id, hst, uri, loc, host, mime, plain_body,
+        len(blocks) AS nb,
         list_transform(blocks,
         blk -> struct_pack(
           btext := ${webExtractSql("blk")},
           ltext := coalesce(array_to_string(
             regexp_extract_all(blk, '<a [^>]*>([^<]*)</a>', 1), ' '), '')))
         AS ev FROM b),
-k AS (SELECT doc_id, hst, uri, loc, host, nb,
+k AS (SELECT doc_id, hst, uri, loc, host, mime, plain_body, nb,
         list_filter(ev, e -> length(e.btext) >= 15
           AND 2 * length(e.ltext) < length(e.btext)) AS keptl,
         list_filter(ev, e -> NOT (length(e.btext) >= 15
           AND 2 * length(e.ltext) < length(e.btext))) AS dropl
       FROM s),
 m AS (SELECT doc_id, hst, uri, loc, host, nb, len(keptl) AS nk,
-        coalesce(array_to_string(
-          list_transform(keptl, e -> e.btext), ' '), '') AS body,
+        CASE WHEN mime = 'text/plain' THEN plain_body
+        ELSE coalesce(array_to_string(
+          list_transform(keptl, e -> e.btext), ' '), '') END AS body,
         coalesce(list_aggregate(
           list_transform(dropl, e -> length(e.btext)), 'sum'), 0) AS bc
       FROM k),
@@ -1239,7 +1258,9 @@ webq AS (SELECT doc_id,
   private lazy val webPipelineSql =
     s"""WITH hh AS ($webFetchRowsSql),
 x AS (SELECT doc_id, hst, uri, loc, host,
-        ${webExtractSql("html")} AS body FROM hh),
+        -- MIME routing (r18): text/plain collapses, HTML extracts
+        CASE WHEN mime = 'text/plain' THEN trim(regexp_replace(html, '\\s+', ' ', 'g'))
+             ELSE ${webExtractSql("html")} END AS body FROM hh),
 g AS (SELECT doc_id, host, hst AS http_status,
         uri AS target_uri, loc AS location, body,
         len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
@@ -1396,7 +1417,9 @@ FROM a GROUP BY 1 ORDER BY domain"""
 -- the r18 truncation axis stores only the received PREFIX: every
 -- downstream column (txt, body bytes/chars/ck) derives from it
 h AS (SELECT doc_id, lang, source,
-      ${webTruncHtml(webHtmlExpr)} AS html FROM documents),
+      CASE WHEN $webMimeWhere THEN text
+           ELSE ${webTruncHtml(webHtmlExpr)} END AS html
+      FROM documents),
 axes AS (SELECT h.doc_id, h.lang, h.source, h.html, $webUrlExpr AS uri,
     $webCharsetCase AS charset,
     $webCharsetResolvedCase AS charset_res,
@@ -1416,32 +1439,33 @@ recs AS (
          uri, '' AS txt, 0 AS body_bytes, 0 AS http_status,
          'GET' AS http_method, '' AS transfer, '' AS content_encoding,
          '' AS charset, '' AS charset_src, '' AS location,
-         CAST(0 AS BIGINT) AS retry_after
+         CAST(0 AS BIGINT) AS retry_after,
+         '' AS content_type
   FROM axes
   UNION ALL
   -- the 200 capture — except on the DEAD axis (r18), where the only
   -- fetch answered 404/410 with the error stub
   SELECT doc_id, CAST(1 AS INT), 'response', uri, html, body_bytes,
          200, '', transfer, content_encoding, charset_res,
-         $webCharsetSrcCase, '', 0
+         $webCharsetSrcCase, '', 0, $webMimeCase
   FROM axes WHERE doc_id % 9 <> 7
   UNION ALL
   SELECT doc_id, CAST(1 AS INT), 'response', uri, $webErrorStubSql,
          -1, $webErrorStatusSql, '', 'identity', 'identity', '',
-         'sniff', '', 0
+         'sniff', '', 0, 'text/html'
   FROM axes WHERE doc_id % 9 = 7
   UNION ALL
   SELECT a.doc_id, CAST(2 AS INT), 'metadata', a.uri,
          'fetchDurationMs: ' || ((a.doc_id * 37) % 900 + 100)::VARCHAR
            || c.crlf || 'charsetDetected: ' || a.charset || c.crlf,
-         -1, 0, '', '', '', '', '', '', 0
+         -1, 0, '', '', '', '', '', '', 0, ''
   FROM axes a, crlfv c WHERE a.doc_id % 6 >= 3
   UNION ALL
   -- r17 redirect axis: the alias fetch's request + 301 response pair
   SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
          'https://www.' || source || '.example'
            || (a.doc_id % 7)::VARCHAR || '.com/r/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
+         '', 0, 0, 'GET', '', '', '', '', '', 0, ''
   FROM axes a WHERE a.doc_id % 9 = 4
   UNION ALL
   SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
@@ -1449,18 +1473,18 @@ recs AS (
            || (a.doc_id % 7)::VARCHAR || '.com/r/' || a.doc_id::VARCHAR,
          $webRedirectStubSql, -1,
          301, '', 'identity', 'identity', '', 'sniff',
-         $webRedirectLocSql, 0
+         $webRedirectLocSql, 0, 'text/html'
   FROM axes a WHERE a.doc_id % 9 = 4
   UNION ALL
   -- r18 retry axis: the failed 503 attempt pair (same target URI)
   SELECT a.doc_id, CAST(a.ebase AS INT), 'request', a.uri,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
+         '', 0, 0, 'GET', '', '', '', '', '', 0, ''
   FROM axes a WHERE a.doc_id % 9 = 8
   UNION ALL
   SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response', a.uri,
          $webRetryStubSql, -1,
          503, '', 'identity', 'identity', '', 'sniff', '',
-         $webRetryAfterSql
+         $webRetryAfterSql, 'text/html'
   FROM axes a WHERE a.doc_id % 9 = 8
   UNION ALL
   -- r18 chain axis: /h2 302 (unicode-IDN Location) then the /h1
@@ -1468,7 +1492,7 @@ recs AS (
   SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
          'https://www.' || source || '.example'
            || (a.doc_id % 7)::VARCHAR || '.com/h2/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
+         '', 0, 0, 'GET', '', '', '', '', '', 0, ''
   FROM axes a WHERE a.doc_id % 9 = 2
   UNION ALL
   SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
@@ -1478,13 +1502,13 @@ recs AS (
            || '</body></html>', -1,
          302, '', 'identity', 'identity', '', 'sniff',
          'https://www.zürich.example' || (a.doc_id % 7)::VARCHAR
-           || '.com/h1/' || a.doc_id::VARCHAR, 0
+           || '.com/h1/' || a.doc_id::VARCHAR, 0, 'text/html'
   FROM axes a WHERE a.doc_id % 9 = 2
   UNION ALL
   SELECT a.doc_id, CAST(a.ebase + 2 AS INT), 'request',
          'https://www.xn--zrich-kva.example' || (a.doc_id % 7)::VARCHAR
            || '.com/h1/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
+         '', 0, 0, 'GET', '', '', '', '', '', 0, ''
   FROM axes a WHERE a.doc_id % 9 = 2
   UNION ALL
   SELECT a.doc_id, CAST(a.ebase + 3 AS INT), 'response',
@@ -1492,14 +1516,14 @@ recs AS (
            || '.com/h1/' || a.doc_id::VARCHAR,
          $webRedirectStubSql, -1,
          301, '', 'identity', 'identity', '', 'sniff',
-         $webChainFinalLocSql, 0
+         $webChainFinalLocSql, 0, 'text/html'
   FROM axes a WHERE a.doc_id % 9 = 2
   UNION ALL
   -- r18 loop axis: /la 301→ /lb 301→ /la (relative Locations)
   SELECT a.doc_id, CAST(a.ebase AS INT), 'request',
          'https://www.' || source || '.example'
            || (a.doc_id % 7)::VARCHAR || '.com/la/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
+         '', 0, 0, 'GET', '', '', '', '', '', 0, ''
   FROM axes a WHERE a.doc_id % 9 = 5
   UNION ALL
   SELECT a.doc_id, CAST(a.ebase + 1 AS INT), 'response',
@@ -1508,13 +1532,13 @@ recs AS (
          '<html><body>Moved to /lb/' || a.doc_id::VARCHAR
            || '</body></html>', -1,
          301, '', 'identity', 'identity', '', 'sniff',
-         '/lb/' || a.doc_id::VARCHAR, 0
+         '/lb/' || a.doc_id::VARCHAR, 0, 'text/html'
   FROM axes a WHERE a.doc_id % 9 = 5
   UNION ALL
   SELECT a.doc_id, CAST(a.ebase + 2 AS INT), 'request',
          'https://www.' || source || '.example'
            || (a.doc_id % 7)::VARCHAR || '.com/lb/' || a.doc_id::VARCHAR,
-         '', 0, 0, 'GET', '', '', '', '', '', 0
+         '', 0, 0, 'GET', '', '', '', '', '', 0, ''
   FROM axes a WHERE a.doc_id % 9 = 5
   UNION ALL
   SELECT a.doc_id, CAST(a.ebase + 3 AS INT), 'response',
@@ -1523,7 +1547,7 @@ recs AS (
          '<html><body>Moved to /la/' || a.doc_id::VARCHAR
            || '</body></html>', -1,
          301, '', 'identity', 'identity', '', 'sniff',
-         '/la/' || a.doc_id::VARCHAR, 0
+         '/la/' || a.doc_id::VARCHAR, 0, 'text/html'
   FROM axes a WHERE a.doc_id % 9 = 5)"""
 
   /** Multi-hop chase oracle — shared by the batch and served twins (r18). */
@@ -1643,6 +1667,7 @@ FROM w ORDER BY domain, queue_pos"""
            -- re-fetch branch) are cut again; everything else
            -- re-fetches (or revisits) the doc
            CASE WHEN doc_id % 9 = 7 THEN $webErrorStubSql
+                WHEN $webMimeWhere THEN text
                 ELSE ${webTruncHtml(webHtmlExpr)} END AS html
            FROM documents),
 chars AS (SELECT doc_id, u.i AS i,
@@ -1661,7 +1686,9 @@ FROM h JOIN cks k USING (doc_id) ORDER BY media_id"""
 
   /** Conditional-recrawl 304 oracle — shared by the batch and served twins (r18). */
   private lazy val webRecrawl304Sql: String =
-    s"""WITH h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html
+    s"""WITH h AS (SELECT doc_id, lang, source,
+           CASE WHEN $webMimeWhere THEN text
+                ELSE $webHtmlExpr END AS html
            FROM documents WHERE doc_id % 9 <> 7 AND doc_id % 2 = 0),
 chars AS (SELECT doc_id, u.i AS i,
                  ascii(substr(html, (u.i + 1)::INT, 1)) AS c
@@ -7368,7 +7395,8 @@ SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
          AS warc_date,
        (r.warc_type = 'response' AND r.http_status = 200 AND
         r.doc_id % 18 = 1 AND r.doc_id % 4 <> 1 AND r.doc_id % 5 < 3)
-         AS truncated
+         AS truncated,
+       r.content_type
 FROM recs r LEFT JOIN cks k USING (doc_id, rec_index)
 ORDER BY media_id, rec_index""")),
 
@@ -7388,7 +7416,9 @@ ORDER BY media_id, rec_index""")),
           graft.ext.WebCodec.webWarc(docs(s, d)))
           .orderBy("media_id"),
       Some(s"""WITH crlfv AS (SELECT chr(13) || chr(10) AS crlf),
-h AS (SELECT doc_id, lang, source, $webHtmlExpr AS html FROM documents
+h AS (SELECT doc_id, lang, source,
+      CASE WHEN $webMimeWhere THEN text ELSE $webHtmlExpr END AS html
+      FROM documents
       -- text subset only; dead URLs (r18) have no 200 capture;
       -- truncated captures are not well-framed messages by definition
       WHERE doc_id % 5 NOT IN (3, 4) AND doc_id % 9 <> 7
@@ -7414,7 +7444,8 @@ ch AS (SELECT p.doc_id AS cdoc, string_agg(
 -- codepoint)
 msg AS (SELECT f.doc_id, f.transfer, f.charset_res, f.body_bytes,
     'HTTP/1.1 200 OK' || c.crlf
-      || 'Content-Type: text/html'
+      || 'Content-Type: ' || (CASE WHEN f.doc_id % 9 = 3
+           THEN 'text/plain' ELSE 'text/html' END)
       || CASE WHEN f.doc_id % 7 IN (2, 5) THEN ''
               ELSE '; charset=' || f.charset END || c.crlf
       || CASE WHEN f.doc_id % 4 = 1 THEN
@@ -7891,7 +7922,8 @@ SELECT r.doc_id AS media_id, r.rec_index AS rec_index, r.warc_type,
         r.doc_id % 18 = 1 AND r.doc_id % 4 <> 1 AND r.doc_id % 5 < 3)
          AS truncated,
        length(r.txt)::BIGINT AS body_chars,
-       coalesce(k.body_ck, 0)::BIGINT AS body_ck
+       coalesce(k.body_ck, 0)::BIGINT AS body_ck,
+       r.content_type
 FROM recs r LEFT JOIN cks k USING (doc_id, rec_index)
 ORDER BY media_id, rec_index""")),
 
@@ -7982,21 +8014,25 @@ FROM d ORDER BY media_id""")),
         W.warcRecords(W.webWarc(docs(s, d)))
           .where(col("warc_type") === "response" &&
             col("http_status") === 200)
-          .groupBy("charset_src", "charset", "content_encoding", "transfer")
+          .groupBy("charset_src", "charset", "content_encoding",
+            "transfer", "content_type")
           .agg(count(lit(1)).as("n_docs"))
-          .orderBy("charset_src", "charset", "content_encoding", "transfer")
+          .orderBy("charset_src", "charset", "content_encoding",
+            "transfer", "content_type")
       },
       Some(s"""WITH a AS (SELECT
     $webCharsetSrcCase AS charset_src,
     $webCharsetResolvedCase AS charset,
     $webCeCase AS content_encoding,
-    $webTransferCase AS transfer
+    $webTransferCase AS transfer,
+    $webMimeCase AS content_type
   -- dead URLs (r18) have no 200 capture → no census row
   FROM documents WHERE doc_id % 9 <> 7)
-SELECT charset_src, charset, content_encoding, transfer,
+SELECT charset_src, charset, content_encoding, transfer, content_type,
        count(*)::BIGINT AS n_docs
-FROM a GROUP BY 1, 2, 3, 4
-ORDER BY charset_src, charset, content_encoding, transfer""")),
+FROM a GROUP BY 1, 2, 3, 4, 5
+ORDER BY charset_src, charset, content_encoding, transfer,
+         content_type""")),
 
     // Language MIX of the cleaned web corpus (r16): the n-gram-lexicon
     // lang-id (the text tier's existing scorer) run over the KEPT
@@ -8281,11 +8317,15 @@ FROM a GROUP BY k ORDER BY domain""")),
           graft.ext.WebCodec.webWet(docs(s, d)))
           .orderBy("media_id"),
       Some(s"""WITH h AS (SELECT doc_id, lang, source,
-           ${webTruncHtml(webHtmlExpr)} AS html
+           CASE WHEN $webMimeWhere THEN text
+                ELSE ${webTruncHtml(webHtmlExpr)} END AS html
            -- no WET conversion record exists for a dead URL (r18);
-           -- a truncated capture converts only its received prefix
+           -- a truncated capture converts only its received prefix;
+           -- a text/plain capture converts as a whitespace collapse
            FROM documents WHERE doc_id % 9 <> 7),
-x AS (SELECT doc_id, lang, source, ${webExtractSql("html")} AS body FROM h)
+x AS (SELECT doc_id, lang, source,
+      CASE WHEN $webMimeWhere THEN trim(regexp_replace(html, '\\s+', ' ', 'g'))
+           ELSE ${webExtractSql("html")} END AS body FROM h)
 SELECT doc_id AS media_id, $webUrlExpr AS target_uri, body AS text,
        length(body)::BIGINT AS n_chars
 FROM x ORDER BY media_id""")),
@@ -8535,10 +8575,12 @@ FROM d ORDER BY media_id""")),
           .orderBy("media_id", "chunk_index")
       },
       Some(s"""WITH h AS (SELECT doc_id, lang, source,
-           ${webTruncHtml(webHtmlExpr)} AS html
+           CASE WHEN $webMimeWhere THEN text
+                ELSE ${webTruncHtml(webHtmlExpr)} END AS html
            -- dead URLs (r18) never reach the corpus: no 200 capture
            FROM documents WHERE doc_id % 9 <> 7),
-x AS (SELECT doc_id, ${webExtractSql("html")} AS body FROM h),
+x AS (SELECT doc_id, CASE WHEN $webMimeWhere THEN trim(regexp_replace(html, '\\s+', ' ', 'g'))
+           ELSE ${webExtractSql("html")} END AS body FROM h),
 g AS (SELECT doc_id, body,
         len(string_split_regex(body, '\\s+'))::BIGINT AS n_words,
         (1000 * length(regexp_replace(body, '[^a-zA-Z ]', '', 'g')))

@@ -156,12 +156,13 @@ class WebCodecSpec extends SparkSuite {
     val m2 = parseHttpResponse(buildResponse(2L, "words", "en", "src0")).get
     assert(m2.charset == "windows-1252" && m2.charsetSrc == "meta")
     assert(m2.bodyText == html2)
-    // id 12 → %7==5 AND even: header omits AND the page omits its meta
+    // id 82 → %7==5 AND even: header omits AND the page omits its meta
     // tag → SNIFF; strict UTF-8 fails on the real cp1252 bytes and the
-    // fallback decodes them exactly
-    val html12 = buildHtml(12L, "words", "en", "src0")
+    // fallback decodes them exactly (82, not 12: 12 moved to the r18
+    // MIME axis — covered in its own test below)
+    val html12 = buildHtml(82L, "words", "en", "src0")
     assert(!html12.contains("<meta"), "sniff-axis page carries no meta")
-    val m12 = parseHttpResponse(buildResponse(12L, "words", "en", "src0")).get
+    val m12 = parseHttpResponse(buildResponse(82L, "words", "en", "src0")).get
     assert(m12.charset == "" && m12.charsetSrc == "sniff")
     assert(m12.body.length == html12.length)
     assert(m12.bodyText == html12)
@@ -174,10 +175,10 @@ class WebCodecSpec extends SparkSuite {
     assert(m6.body.length == html6.getBytes("UTF-8").length)
     assert(m6.body.length > html6.codePointCount(0, html6.length))
     assert(m6.bodyText == html6)
-    // id 30 → BOM axis (30%7==2, 30%5==0): the EF BB BF signature
+    // id 100 → BOM axis (100%7==2, 100%5==0): the EF BB BF signature
     // outranks the meta tag the page still carries; decode strips it
-    val html30 = buildHtml(30L, "words", "en", "src0")
-    val m30 = parseHttpResponse(buildResponse(30L, "words", "en", "src0")).get
+    val html30 = buildHtml(100L, "words", "en", "src0")
+    val m30 = parseHttpResponse(buildResponse(100L, "words", "en", "src0")).get
     assert(m30.charset == "utf-8" && m30.charsetSrc == "bom")
     assert((m30.body(0) & 0xff) == 0xef && (m30.body(1) & 0xff) == 0xbb
       && (m30.body(2) & 0xff) == 0xbf)
@@ -268,13 +269,18 @@ class WebCodecSpec extends SparkSuite {
       "zlib inflater; both compose with chunked framing; corrupt/" +
       "unknown codings poison") {
     for (id <- Seq(3L, 4L, 8L, 13L, 14L, 9L)) { // 13 chunked+gzip,
-      // 9 chunked+deflate+BOM (9%4==1, 9%5==4, 9%7==2)
-      val html = buildHtml(id, "coded body words", "en", "src1")
+      // 9 chunked+deflate+BOM (9%4==1, 9%5==4, 9%7==2); 3 is ALSO on
+      // the r18 MIME axis — a gzip-coded text/plain entity
+      val want =
+        if (mimeAxis(id)) "coded body words"
+        else buildHtml(id, "coded body words", "en", "src1")
       val m = parseHttpResponse(
         buildResponse(id, "coded body words", "en", "src1")).get
       assert(m.contentEncoding == contentCoding(id), s"id=$id")
       assert(m.chunked == (id % 4 == 1), s"id=$id")
-      assert(m.bodyText == html, s"id=$id")
+      assert(m.bodyText == want, s"id=$id")
+      assert(m.mime == (if (mimeAxis(id)) "text/plain" else "text/html"),
+        s"id=$id")
     }
     // zlib round trip + strictness at the helper level
     val data = "zlib payload bytes".getBytes("ISO-8859-1")
@@ -349,11 +355,11 @@ class WebCodecSpec extends SparkSuite {
     val recs = parseWarc(buildWarcFile(5L, text, "fr", "src2")).get
     assert(parseHttpResponse(recs(1).payload).get.bodyText == html)
     // chunk boundaries are CODEPOINT-aligned: a multi-byte phrase doc
-    // (id 13: chunked + gzip-stored entity; id 21: chunked, utf-8 wire,
-    // 21%4==1, 21%5==1, phrase 21%4==1) still decodes exactly
-    val html21 = buildHtml(21L, text, "fr", "src2")
+    // (id 1: chunked, utf-8 wire, 1%4==1, 1%5==1, phrase 1%6==1 with
+    // curly quotes + €) still decodes exactly
+    val html01 = buildHtml(1L, text, "fr", "src2")
     assert(parseHttpResponse(
-      buildResponse(21L, text, "fr", "src2")).get.bodyText == html21)
+      buildResponse(1L, text, "fr", "src2")).get.bodyText == html01)
   }
 
   test("mutation fuzz: random single-byte flips never throw and never " +
@@ -674,6 +680,43 @@ class WebCodecSpec extends SparkSuite {
     assert(rows.size == 5)
   }
 
+  test("MIME axis (r18): text/plain captures parse with their media " +
+      "type, skip the HTML meta prescan, and route through the pipeline " +
+      "as a whitespace collapse — never tag-stripped") {
+    val sp = spark
+    import sp.implicits._
+    val id = 12L // 12%9==3; ALSO cp1252-wire (12%5==2) + header omits
+    assert(mimeAxis(id))
+    val text = "plain   text with  <angle> brackets & ampersands"
+    // '<angle>' would be EATEN by the html extractor — text/plain
+    // must keep it (cp1252-encodable: all ASCII)
+    val m = parseHttpResponse(
+      buildResponse(id, text, "en", "src0")).get
+    assert(m.mime == "text/plain")
+    assert(m.bodyText == text)
+    // no meta prescan for non-HTML: header omits (12%7==5) → sniff
+    assert(m.charsetSrc == "sniff")
+    // pipeline routing: collapse only, the markup-ish chars survive
+    val pm = pipeline(webWarc(
+      Seq((id, text, "en", "src0")).toDF("doc_id", "text", "lang",
+        "source"))).head()
+    assert(pm.getAs[String]("body")
+      == "plain text with <angle> brackets & ampersands")
+    // main-content routing: no block census for plain text
+    val mc = pipelineMain(webWarc(
+      Seq((id, text, "en", "src0")).toDF("doc_id", "text", "lang",
+        "source"))).head()
+    assert(mc.getAs[String]("body")
+      == "plain text with <angle> brackets & ampersands")
+    assert(mc.getAs[Long]("n_blocks") == 0L
+      && mc.getAs[Long]("n_kept") == 0L
+      && mc.getAs[Long]("boiler_chars") == 0L)
+    // an html doc is unaffected: the meta prescan still runs
+    val mh = parseHttpResponse(
+      buildResponse(2L, "words", "en", "src0")).get
+    assert(mh.mime == "text/html" && mh.charsetSrc == "meta")
+  }
+
   test("WARC-Truncated captures (r18): the header gates tolerance — the " +
       "declared full length with a stored prefix parses to exactly the " +
       "received codepoints; an unmarked short payload still poisons") {
@@ -736,8 +779,10 @@ class WebCodecSpec extends SparkSuite {
     val sp = spark
     import sp.implicits._
     val sample = Seq((12L, "twelve words here", "zh", "src1"))
-    val html = buildHtml(12L, "twelve words here", "zh", "src1")
-    val want = s""""graft:ck:${cpWeightedCk(html)}""""
+    // id 12 is ALSO on the r18 MIME axis: the validator covers the
+    // SERVED content — the raw text, not an html rendering
+    val content = "twelve words here"
+    val want = s""""graft:ck:${cpWeightedCk(content)}""""
     val recs = parseWarc(
       buildRecrawlFile(12L, "twelve words here", "zh", "src1")).get
     val req = new String(recs.head.payload, "ISO-8859-1")
@@ -749,7 +794,8 @@ class WebCodecSpec extends SparkSuite {
     assert(row.getAs[String]("fetched") == "revisit")
     assert(row.getAs[Int]("http_status") == 304)
     assert(row.getAs[String]("etag") == want)
-    assert(row.getAs[String]("digest") == s"graft:ck:${cpWeightedCk(html)}")
+    assert(row.getAs[String]("digest")
+      == s"graft:ck:${cpWeightedCk(content)}")
   }
 
   test("wet: conversion records round-trip the extracted text across " +
@@ -766,13 +812,16 @@ class WebCodecSpec extends SparkSuite {
       assert(r.getString(1) == extractedText(doc._1, doc._2, doc._3, doc._4))
     }
     // WET parse: one conversion record per LIVE doc (dead URLs — r18,
-    // id 7 here — have no capture to convert), text byte-faithful
+    // id 7 here — have no capture to convert), text byte-faithful;
+    // MIME-axis docs (id 12) convert as a collapse of the raw text
     val rows = wetTexts(webWet(df)).orderBy("media_id").collect()
     assert(rows.length == docsSample.count(d => !deadAxis(d._1)))
     for (r <- rows) {
       val doc = docsSample.find(_._1 == r.getAs[Long]("media_id")).get
-      assert(r.getAs[String]("text")
-        == extractedText(doc._1, doc._2, doc._3, doc._4))
+      val want =
+        if (mimeAxis(doc._1)) doc._2.replaceAll("\\s+", " ").trim
+        else extractedText(doc._1, doc._2, doc._3, doc._4)
+      assert(r.getAs[String]("text") == want)
       assert(r.getAs[String]("target_uri") == buildUrl(doc._1, doc._3, doc._4))
     }
     // strictness rides the shared WARC walk: flip one byte of a STORED
@@ -1024,9 +1073,24 @@ class WebCodecSpec extends SparkSuite {
           assert(r.getAs[Long]("retry_after") == retryAfterOf(id))
           val stub = retryBody(id)
           assert(r.getAs[Long]("body_ck") == cpWeightedCk(stub))
+        case "response" if mimeAxis(id) =>
+          // the r18 MIME axis: text/plain, no meta fallback → the
+          // header-omitting subset sniffs; body is the raw text
+          assert(r.getAs[Int]("http_status") == 200)
+          assert(r.getAs[String]("content_type") == "text/plain")
+          assert(r.getAs[Long]("body_chars")
+            == doc._2.codePointCount(0, doc._2.length).toLong)
+          assert(r.getAs[Long]("body_ck") == cpWeightedCk(doc._2))
+          val (wantCs, wantSrc) =
+            if (bomAxis(id)) ("utf-8", "bom")
+            else if (headerOmitsCharset(id)) ("", "sniff")
+            else (charsetOf(id), "header")
+          assert(r.getAs[String]("charset") == wantCs, s"id=$id")
+          assert(r.getAs[String]("charset_src") == wantSrc, s"id=$id")
         case "response" =>
           val html = buildHtml(id, doc._2, doc._3, doc._4)
           assert(r.getAs[Int]("http_status") == 200)
+          assert(r.getAs[String]("content_type") == "text/html")
           // resolution decision table (r17): bom → header → meta → sniff
           val (wantCs, wantSrc) =
             if (bomAxis(id)) ("utf-8", "bom")
@@ -1077,8 +1141,9 @@ class WebCodecSpec extends SparkSuite {
         case 503 => assert(r.getAs[String]("body") == retryBody(id))
         case st =>
           assert(st == 200)
-          assert(r.getAs[String]("body")
-            == buildHtml(id, doc._2, doc._3, doc._4))
+          assert(r.getAs[String]("body") ==
+            (if (mimeAxis(id)) doc._2
+             else buildHtml(id, doc._2, doc._3, doc._4)))
       }
     }
   }
@@ -1103,10 +1168,13 @@ class WebCodecSpec extends SparkSuite {
       assert(r.getAs[Long]("payload_chars")
         == text.codePointCount(0, text.length).toLong)
       assert(r.getAs[Long]("payload_ck") == cpWeightedCk(text))
-      val html = buildHtml(id, s"some words $id", "en", "src1")
+      // MIME-axis docs (ids 3, 12) serve the raw text as text/plain
+      val content =
+        if (mimeAxis(id)) s"some words $id"
+        else buildHtml(id, s"some words $id", "en", "src1")
       val wire =
-        if (charsetOf(id) == "utf-8") html.getBytes("UTF-8")
-        else encodeCp1252(html)
+        if (charsetOf(id) == "utf-8") content.getBytes("UTF-8")
+        else encodeCp1252(content)
       assert(r.getAs[Long]("content_length_hdr")
         == (if (id % 4 == 1) -1L
             else wire.length.toLong + (if (bomAxis(id)) 3 else 0)))
@@ -1215,10 +1283,11 @@ class WebCodecSpec extends SparkSuite {
     assert(rev.getAs[Long]("n_chars") == 0L)
     val live = rows(1)
     assert(live.getAs[String]("fetched") == "response")
-    val html3 = WebCodec.buildHtml(3L, "odd doc text", "en", "src1")
-    assert(live.getAs[Long]("body_ck") == WebCodec.cpWeightedCk(html3))
+    // id 3 is on the r18 MIME axis: its re-fetch serves the raw text
+    val content3 = "odd doc text"
+    assert(live.getAs[Long]("body_ck") == WebCodec.cpWeightedCk(content3))
     // digest discrimination: different content → different ck
-    assert(WebCodec.cpWeightedCk(html2) != WebCodec.cpWeightedCk(html3))
+    assert(WebCodec.cpWeightedCk(html2) != WebCodec.cpWeightedCk(content3))
   }
 
   test("i18n corpus axis: extracted text decodes the phrase refs " +
