@@ -7897,6 +7897,68 @@ FROM g ORDER BY media_id, http_status, target_uri""")),
           .orderBy("media_id", "start_uri"),
       Some(webChaseMultiSql)),
 
+    // Crawl-health ROLLUP over the streamed fetch log (r18): per
+    // registered domain — fetch attempts, 200s, redirects, errors,
+    // retryables (with their total Retry-After wait), truncated
+    // captures, and plain-text captures. The dashboard a 100 TB crawl
+    // watches per tick: one scan of the slim log, a 7-group rollup,
+    // no joins, no archive bytes. The oracle replays the axis
+    // decision tables as per-domain sums. (The chain's punycode /h1
+    // host still registers under example<k>.com — registered-domain
+    // grouping is exactly why.)
+    ("web_fetch_stats_served",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val fl = graft.sinks.WebSink.materializedFetch(s, d)
+          .where(col("warc_type") === "response")
+        val domain = W.urlParts(col("target_uri")).toMap.apply("domain")
+        val st = col("http_status")
+        fl.select(domain.as("domain"), st.as("st"), col("truncated"),
+            col("content_type"), col("retry_after"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_fetches"),
+            sum((col("st") === 200).cast("long")).cast("long").as("n_ok"),
+            sum((col("st") >= 300 && col("st") < 400).cast("long"))
+              .cast("long").as("n_redirects"),
+            sum((col("st") >= 400).cast("long")).cast("long")
+              .as("n_errors"),
+            sum((col("st") === 503).cast("long")).cast("long")
+              .as("n_retryable"),
+            sum(col("retry_after")).cast("long").as("retry_wait_seconds"),
+            sum(col("truncated").cast("long")).cast("long")
+              .as("n_truncated"),
+            sum((col("content_type") === "text/plain" &&
+              col("st") === 200).cast("long")).cast("long").as("n_plain"))
+          .orderBy("domain")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 7 AS k FROM documents),
+a AS (SELECT k,
+        1 + (CASE WHEN doc_id % 9 IN (4, 8) THEN 1
+                  WHEN doc_id % 9 IN (2, 5) THEN 2 ELSE 0 END)
+          AS fetches,
+        CASE WHEN doc_id % 9 <> 7 THEN 1 ELSE 0 END AS ok,
+        CASE WHEN doc_id % 9 = 4 THEN 1
+             WHEN doc_id % 9 IN (2, 5) THEN 2 ELSE 0 END AS redirects,
+        CASE WHEN doc_id % 9 IN (7, 8) THEN 1 ELSE 0 END AS errors,
+        CASE WHEN doc_id % 9 = 8 THEN 1 ELSE 0 END AS retryable,
+        CASE WHEN doc_id % 9 = 8 THEN (doc_id % 5 + 1) * 30 ELSE 0 END
+          AS retry_wait,
+        CASE WHEN doc_id % 18 = 1 AND doc_id % 4 <> 1
+              AND doc_id % 5 < 3 THEN 1 ELSE 0 END AS truncated,
+        CASE WHEN doc_id % 9 = 3 THEN 1 ELSE 0 END AS plain
+      FROM d)
+SELECT 'example' || k::VARCHAR || '.com' AS domain,
+       sum(fetches)::BIGINT AS n_fetches,
+       sum(ok)::BIGINT AS n_ok,
+       sum(redirects)::BIGINT AS n_redirects,
+       sum(errors)::BIGINT AS n_errors,
+       sum(retryable)::BIGINT AS n_retryable,
+       sum(retry_wait)::BIGINT AS retry_wait_seconds,
+       sum(truncated)::BIGINT AS n_truncated,
+       sum(plain)::BIGINT AS n_plain
+FROM a GROUP BY k ORDER BY domain""")),
+
     // The fetch log itself, served: per-record fetch outcomes out of
     // the bucketed streaming table — what the frontier/recrawl/chase
     // tier reads at 100 TB instead of the archive store. The oracle is

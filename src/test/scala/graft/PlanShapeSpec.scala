@@ -524,6 +524,18 @@ class PlanShapeSpec extends SparkSuite {
         s"web_redirect_chase: no cartesian:\n$p")
       assert(!p.contains("Window"))
     }
+    // the crawl-health rollup (r18) is one scan of the slim fetch log
+    // into a 7-group rollup — no joins, no archive bytes, only the
+    // rollup + final-sort exchanges
+    locally {
+      val p = plan("web_fetch_stats_served")
+      assert(!p.contains("Join"),
+        s"web_fetch_stats_served must not join:\n$p")
+      assert(p.toLowerCase.contains("parquet"),
+        s"web_fetch_stats_served must read the fetch log:\n$p")
+      assert(nodeCount(p, "Exchange") <= 3,
+        s"web_fetch_stats_served: rollup + sort only:\n$p")
+    }
     // the multi-hop chase (r18) is bounded pointer jumping: each hop
     // joins the chase state against the (tiny, 3xx-only) edge table —
     // every hop must BROADCAST, never shuffle the state, and the whole
