@@ -91,6 +91,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("labeled_lang", "predicted_lang")
 
+  /** Lang-id CONFIDENCE (r18): the margin between the best and
+    * second-best scores — the thresholding signal a mixture-sampling
+    * stage uses to drop ambiguous documents instead of mislabeling
+    * them. Pure Column: the per-language scores sorted descending in
+    * an array, margin = top1 − top2; `confident` applies the
+    * conventional ≥3 cut. Rides [[langId]]'s scan shape. */
+  def langIdMargin(docs: DataFrame): DataFrame = {
+    val out = langId(docs)
+    val arr = sort_array(
+      array(TextOps.langNames.map(l => col(s"s_$l")): _*), asc = false)
+    out.select(col("doc_id"), col("labeled_lang"), col("predicted_lang"),
+        arr.getItem(0).cast("long").as("best_score"),
+        arr.getItem(1).cast("long").as("second_score"))
+      .withColumn("margin", (col("best_score") - col("second_score"))
+        .cast("long"))
+      .withColumn("confident", col("margin") >= 3)
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage curve: what fraction of all token OCCURRENCES
     * the top-k most frequent tokens cover, for a ladder of k — the
     * statistic that sizes a vocabulary (coverage saturating by k=1000

@@ -2331,6 +2331,30 @@ SELECT doc_id, labeled_lang, $langColsSql,
          ELSE 'und' END) = labeled_lang THEN 1 ELSE 0 END AS correct
 FROM sc ORDER BY doc_id""")),
 
+    // Lang-id CONFIDENCE margins (r18): best minus second-best score
+    // per doc — the cut a mixture sampler applies to drop ambiguous
+    // documents rather than mislabel them. Both engines sort the score
+    // list descending and difference the top two.
+    ("lang_id_margin",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.langIdMargin(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+           $toksSql AS toks FROM documents),
+sc AS (SELECT doc_id, labeled_lang,
+       ${langScoresSql("toks", "text")}
+FROM t),
+m AS (SELECT doc_id, labeled_lang,
+        CASE $langCaseSql
+          ELSE 'und' END AS predicted_lang,
+        list_sort([$langColsSql], 'DESC') AS sorted
+      FROM sc)
+SELECT doc_id, labeled_lang, predicted_lang,
+       sorted[1]::BIGINT AS best_score,
+       sorted[2]::BIGINT AS second_score,
+       (sorted[1] - sorted[2])::BIGINT AS margin,
+       (sorted[1] - sorted[2]) >= 3 AS confident
+FROM m ORDER BY doc_id""")),
+
     ("lang_id_accuracy",
       (s: SparkSession, d: String) => TextAnalysis.langIdAccuracy(docs(s, d)),
       Some(s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, text,

@@ -83,6 +83,29 @@ class TextAnalysisSpec extends SparkSuite {
     for (id <- 35L to 36L) assert(out(id) == "zh", s"doc $id")
   }
 
+  test("langIdMargin (r18): unambiguous text scores a wide margin, " +
+      "mixed-language text lands under the confidence cut") {
+    val docs = Seq(
+      // 6 en function words vs nothing → margin 6, confident
+      (1L, "the cat of the house and the dog in it", "en"),
+      // en vs de mixed: "the ... und die ist" — margins collapse
+      (2L, "the und die ist of it", "mixed"),
+      // pure Cyrillic: script count dominates
+      (3L, "это русское предложение для проверки системы", "ru"),
+      // no signal at all: everything zero, margin zero
+      (4L, "zzz qqq xxx", "und"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.langIdMargin(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("predicted_lang"), r.getAs[Long]("margin"),
+          r.getAs[Boolean]("confident")))).toMap
+    assert(rows(1L)._1 == "en" && rows(1L)._3,
+      s"unambiguous en must be confident: ${rows(1L)}")
+    assert(!rows(2L)._3, s"mixed en/de must not be confident: ${rows(2L)}")
+    assert(rows(3L)._1 == "ru" && rows(3L)._3)
+    assert(rows(4L)._2 == 0L && !rows(4L)._3)
+  }
+
   test("piiScrub redacts planted emails and urls, counts hits") {
     val docs = Seq(
       (1L, "contact me at alice@example.com or https://example.com/x?y=1 today"),
