@@ -1302,7 +1302,8 @@ ORDER BY media_id, entry_index"""
     * web_lang_mix_served (the streamed WebSink table): score each kept
     * body with TextOps.langScores (token lexica + script ranges, r17),
     * argmax with the fixed tie-break, roll up per registered domain. */
-  private def langMixOver(pm: org.apache.spark.sql.DataFrame)
+  private def langMixOver(pm: org.apache.spark.sql.DataFrame,
+      minMargin: Int = 0)
   : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val T = graft.ext.TextOps
@@ -1319,7 +1320,16 @@ ORDER BY media_id, entry_index"""
         acc && col(s"s_$l") >= col(s"s_$o") }
       when(isMax, lit(l)).otherwise(rest)
     }
-    scored.withColumn("predicted_lang", predicted)
+    // the r18 confidence cut: best − second-best margin over the
+    // sorted score array (langIdMargin's formula)
+    val sorted = sort_array(
+      array(T.langNames.map(l => col(s"s_$l")): _*), asc = false)
+    val base = scored.withColumn("predicted_lang", predicted)
+    val gated =
+      if (minMargin > 0)
+        base.where(sorted.getItem(0) - sorted.getItem(1) >= minMargin)
+      else base
+    gated
       .groupBy("domain", "predicted_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("domain", "predicted_lang")
@@ -1339,6 +1349,26 @@ pr AS (SELECT domain, CASE $langCaseSql ELSE 'und' END AS predicted_lang
        FROM sc)
 SELECT domain, predicted_lang, count(*)::BIGINT AS n_docs
 FROM pr GROUP BY 1, 2 ORDER BY domain, predicted_lang"""
+
+  /** The shared web_lang_mix_confident oracle (r18, batch and served
+    * twins): the mix restricted to documents whose classification
+    * margin clears the [[langIdMargin]] cut — what a mixture sampler
+    * actually consumes (ambiguous docs dropped, not mislabeled). */
+  private lazy val webLangMixConfidentSql: String =
+    s"""WITH $webMainChainSql,
+kd AS (SELECT doc_id, 'example' || (doc_id % 7)::VARCHAR || '.com'
+         AS domain, body,
+         string_split_regex(trim(lower(body)), '\\s+') AS toks
+       FROM g WHERE http_status = 200
+         AND n_words >= 40 AND alpha_milli >= 900),
+sc AS (SELECT doc_id, domain,
+         ${langScoresSql("toks", "body")} FROM kd),
+pr AS (SELECT domain, CASE $langCaseSql ELSE 'und' END AS predicted_lang,
+       list_sort([$langColsSql], 'DESC') AS sorted
+       FROM sc)
+SELECT domain, predicted_lang, count(*)::BIGINT AS n_docs
+FROM pr WHERE sorted[1] - sorted[2] >= 3
+GROUP BY 1, 2 ORDER BY domain, predicted_lang"""
 
   /** The shared web_funnel oracle (batch and served twins). */
   private lazy val webFunnelSql: String =
@@ -8144,6 +8174,24 @@ ORDER BY charset_src, charset, content_encoding, transfer,
       (s: SparkSession, d: String) =>
         langMixOver(graft.sinks.WebSink.materializedMain(s, d)),
       Some(webLangMixSql)),
+
+    // The language mix a mixture sampler ACTUALLY consumes (r18):
+    // restricted to docs whose classification margin clears the
+    // lang_id_margin cut — ambiguous pages are dropped, not
+    // mislabeled into a language budget. Batch + served twins under
+    // one oracle.
+    ("web_lang_mix_confident",
+      (s: SparkSession, d: String) => {
+        val W = graft.ext.WebCodec
+        langMixOver(W.pipelineMain(W.webWarc(docs(s, d))), minMargin = 3)
+      },
+      Some(webLangMixConfidentSql)),
+
+    ("web_lang_mix_confident_served",
+      (s: SparkSession, d: String) =>
+        langMixOver(graft.sinks.WebSink.materializedMain(s, d),
+          minMargin = 3),
+      Some(webLangMixConfidentSql)),
 
     // Crawl SCHEDULING (r16): the politeness budget a fetcher plans
     // with — per domain, the SELECTED group's Crawl-delay (the named
