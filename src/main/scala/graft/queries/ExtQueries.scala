@@ -949,6 +949,8 @@ ORDER BY q_id, rnk"""
 
   private val webHtmlExpr =
     s"""'<html><head><title>Doc ' || doc_id::VARCHAR || ' [' || source || ']</title>'
+    || '<base href="https://www.' || source || '.example'
+    || (doc_id % 7)::VARCHAR || '.com/rel/">'
     || (CASE WHEN doc_id % 7 = 5 AND doc_id % 2 = 0 THEN ''
         WHEN doc_id % 3 = 0 THEN
           '<meta http-equiv="Content-Type" content="text/html; charset=' ||
@@ -966,12 +968,20 @@ ORDER BY q_id, rnk"""
     || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
     || '<!-- <div class="legacy">retired navigation copy for doc '
     || doc_id::VARCHAR || '</div> <p>draft ' || doc_id::VARCHAR
-    || '</p> -->'
+    || '</p> <a href="/ghost/' || doc_id::VARCHAR || '"></a> -->'
     || '<h1>' || source || ' #' || doc_id::VARCHAR || '</h1>'
     || '<p class="main">' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>'
     || '<p>lang=&quot;' || lang || '&quot; &amp; id=&#39;' || doc_id::VARCHAR || '&#39;</p>'
     || '<p class="i18n">' || ($webI18nCase) || '</p>'
-    || '<div class="links"><a href="/t/0">tag zero</a> <a href="/t/1">tag one</a> <a href="/t/2">tag two</a></div>'
+    || '<div class="links"><a href="/t/0">tag zero</a> <a href="/t/1">tag one</a> <a href="/t/2">tag two</a> '
+    || '<a href="next/' || (doc_id % 5)::VARCHAR
+    || (CASE WHEN doc_id % 2 = 0 THEN '.tmp' ELSE '.html' END)
+    || '"></a> <a href="https://www.zürich.example'
+    || ((doc_id + 3) % 7)::VARCHAR || '.com/promo/'
+    || (doc_id % 9)::VARCHAR
+    || '"></a> <a href="HTTPS://www.' || source || '.Example'
+    || (doc_id % 7)::VARCHAR || '.COM:443/docs/' || doc_id::VARCHAR
+    || '?lang=' || lang || '&amp;ref=feed&amp;utm_source=plantednav#top"></a></div>'
     || '<footer>site footer</footer></body></html>'"""
 
   /** Charset / Content-Encoding / transfer / BOM axes — twins of
@@ -1133,6 +1143,172 @@ ORDER BY q_id, rnk"""
          '/la/' || doc_id::VARCHAR, $webHostSql, 'text/html'
        FROM documents WHERE doc_id % 9 = 5"""
   private val webRedirectWhere = "doc_id % 9 = 4"
+
+  /** RFC 3986 §6 canonicalization + tracking-param strip over URL
+    * expression `u` — DuckDB twin of
+    * stripTrackingParamsCol(urlCanonicalCol(…)) on the planted link
+    * inventory (no %-triplets or dot segments occur in it, so
+    * pctNorm/dotSegRemove are identity and elided). */
+  private def webUrlCanonSql(u: String): String = {
+    val keptQs = s"""array_to_string(list_filter(string_split(
+        regexp_extract(regexp_replace($u, '#.*$$', ''), '\\?([^#]*)', 1),
+        '&'),
+        x -> NOT regexp_matches(x,
+          '^(utm_[a-z0-9_]+|gclid|fbclid|msclkid)=')), '&')"""
+    s"""(lower(regexp_extract($u, '^([A-Za-z]+)://', 1)) || '://'
+      || regexp_replace(
+           lower(regexp_extract($u, '^[A-Za-z]+://([^/?#]+)', 1)),
+           ':443$$', '')
+      || regexp_extract(regexp_replace($u, '#.*$$', ''),
+           '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+      || (CASE WHEN ($keptQs) = '' THEN ''
+               ELSE '?' || ($keptQs) END))"""
+  }
+
+  /** Per-link CTE chain for the r19 outlink tier: build each eligible
+    * page (200 text/html captures only — dead and text/plain docs are
+    * excluded; TRUNCATED captures contribute whatever complete anchors
+    * their stored prefix retains), strip comments FIRST (the /ghost/
+    * anchor must not surface), extract `<a href>`s in document order,
+    * decode the &amp;-escaped attribute form, resolve against the
+    * page's `<base href>` per RFC 3986 §5 (page URL fallback), fold
+    * the one planted unicode IDN label (the java.net.IDN-pinned pair),
+    * canonicalize + strip tracking, and evaluate the domain's robots
+    * rules for the canonical PATH (the decision-table twin of
+    * WebCodec.buildRobots, extended beyond /docs/ to the planted
+    * /rel/next (.tmp hits the *.tmp$ wildcard) and /promo paths).
+    * `ofetched` is the
+    * canonicalized target of EVERY capture — the frontier dedup set. */
+  private lazy val webOutlinkCtesSql: String =
+    s"""opg AS (SELECT doc_id, lang, source, (doc_id % 7) AS k,
+         ${webTruncHtml(webHtmlExpr)} AS html
+       FROM documents WHERE doc_id % 9 <> 7 AND doc_id % 9 <> 3),
+onc AS (SELECT doc_id, lang, source, k,
+         regexp_replace(html, '<!--.*?-->', ' ', 'g') AS html_nc
+        FROM opg),
+olx AS (SELECT doc_id, lang, source, k,
+         regexp_extract_all(html_nc, '<a href="([^"]*)"', 1) AS hrefs,
+         regexp_extract(html_nc, '<base href="([^"]*)">', 1) AS base_href
+        FROM onc),
+ol AS (SELECT doc_id, u.i::INT AS link_index,
+         replace(hrefs[u.i + 1], '&amp;', '&') AS href,
+         CASE WHEN base_href <> '' THEN base_href
+              ELSE 'https://WWW.' || source || '.Example' || k::VARCHAR
+                || '.COM:443/docs/' || doc_id::VARCHAR || '?lang=' || lang
+                || '&ref=feed#sec-' || (doc_id % 5)::VARCHAR
+         END AS base_used
+       FROM olx, unnest(range(0, len(hrefs))) AS u(i)),
+ores AS (SELECT doc_id, link_index, href,
+         CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+                THEN href
+              WHEN href LIKE '//%' THEN
+                lower(regexp_extract(base_used, '^([A-Za-z]+)://', 1))
+                  || ':' || href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(base_used, '^([A-Za-z]+://[^/?#]+)', 1)
+                  || href
+              WHEN href = '' THEN regexp_replace(base_used, '#.*$$', '')
+              ELSE regexp_extract(base_used, '^([A-Za-z]+://[^/?#]+)', 1)
+                || (CASE WHEN regexp_extract(
+                        regexp_replace(base_used, '[?#].*$$', ''),
+                        '^[A-Za-z]+://[^/?#]+(.*/)', 1) = ''
+                      THEN '/'
+                      ELSE regexp_extract(
+                        regexp_replace(base_used, '[?#].*$$', ''),
+                        '^[A-Za-z]+://[^/?#]+(.*/)', 1) END)
+                || href
+         END AS resolved
+       FROM ol),
+ocan AS (SELECT doc_id, link_index, href,
+         ${webUrlCanonSql("replace(resolved, 'zürich', 'xn--zrich-kva')")}
+           AS canonical
+        FROM ores),
+overd AS (SELECT doc_id, link_index, href, canonical,
+         TRY_CAST(regexp_extract(
+           regexp_extract(canonical, '^[a-z]+://([^/?#]+)', 1),
+           'example([0-9]+)\\.com$$', 1) AS BIGINT) AS lk,
+         regexp_extract(canonical,
+           '^[a-z]+://[^/?#]+([^?#]*)', 1) AS cpath
+        FROM ocan),
+oa AS (SELECT doc_id, link_index, href, canonical, lk, cpath,
+         CASE WHEN lk % 5 = 0 THEN NOT (cpath LIKE '/docs/9%')
+              WHEN cpath LIKE '%.tmp' THEN FALSE
+              WHEN cpath LIKE '/docs/%' THEN
+                (CASE WHEN lk = 1 THEN FALSE
+                      WHEN lk = 3 THEN NOT (cpath LIKE '%9')
+                      WHEN lk = 4 THEN NOT (cpath LIKE '%7')
+                      WHEN lk = 6 THEN NOT (cpath LIKE '%9')
+                      ELSE TRUE END)
+              ELSE TRUE END AS allowed,
+         CASE WHEN lk % 5 = 0 THEN
+                (CASE WHEN cpath LIKE '/docs/9%' THEN '/docs/9'
+                      ELSE '' END)
+              WHEN cpath LIKE '%.tmp' THEN '/*.tmp$$'
+              WHEN cpath LIKE '/docs/%' THEN
+                (CASE WHEN lk = 1 THEN
+                        (CASE WHEN cpath LIKE '%7' THEN '/docs/*7$$'
+                              ELSE '/docs/' END)
+                      WHEN lk = 3 THEN
+                        (CASE WHEN cpath LIKE '%9' THEN '/docs/*9$$'
+                              ELSE '/docs/' END)
+                      WHEN lk = 4 THEN
+                        (CASE WHEN cpath LIKE '%7' THEN '/docs/*7$$'
+                              ELSE '' END)
+                      WHEN lk = 6 THEN
+                        (CASE WHEN cpath LIKE '%9' THEN '/docs/*9$$'
+                              ELSE '/docs/' END)
+                      ELSE '' END)
+              ELSE '' END AS matched_rule
+       FROM overd),
+ofetched AS (SELECT DISTINCT ${webUrlCanonSql("uri")} AS canonical
+             FROM ($webFetchRowsSql))"""
+
+  private lazy val webFrontierLinksSql: String =
+    s"""WITH $webOutlinkCtesSql
+SELECT oa.doc_id AS media_id, link_index, href, oa.canonical AS canonical,
+  'example' || lk::VARCHAR || '.com' AS domain,
+  (f.canonical IS NOT NULL) AS already_fetched,
+  allowed, matched_rule
+FROM oa LEFT JOIN ofetched f ON oa.canonical = f.canonical
+ORDER BY media_id, link_index"""
+
+  private lazy val webFrontierAllSql: String =
+    s"""WITH $webOutlinkCtesSql
+SELECT url, domain, via, n_sources, allowed, matched_rule FROM (
+  SELECT 'https://www.example' || (doc_id % 7)::VARCHAR || '.com/docs/'
+      || doc_id::VARCHAR AS url,
+    'example' || (doc_id % 7)::VARCHAR || '.com' AS domain,
+    'sitemap' AS via, 1::BIGINT AS n_sources,
+    CASE WHEN (doc_id % 7) % 5 = 0 THEN
+           NOT (substr(doc_id::VARCHAR, 1, 1) = '9')
+         WHEN doc_id % 7 = 1 THEN FALSE
+         WHEN doc_id % 7 = 3 THEN NOT (doc_id % 10 = 9)
+         WHEN doc_id % 7 = 4 THEN NOT (doc_id % 10 = 7)
+         WHEN doc_id % 7 = 6 THEN NOT (doc_id % 10 = 9)
+         ELSE TRUE END AS allowed,
+    CASE WHEN (doc_id % 7) % 5 = 0 THEN
+           (CASE WHEN substr(doc_id::VARCHAR, 1, 1) = '9'
+                 THEN '/docs/9' ELSE '' END)
+         WHEN doc_id % 7 = 1 THEN
+           (CASE WHEN doc_id % 10 = 7 THEN '/docs/*7$$'
+                 ELSE '/docs/' END)
+         WHEN doc_id % 7 = 3 THEN
+           (CASE WHEN doc_id % 10 = 9 THEN '/docs/*9$$'
+                 ELSE '/docs/' END)
+         WHEN doc_id % 7 = 4 THEN
+           (CASE WHEN doc_id % 10 = 7 THEN '/docs/*7$$' ELSE '' END)
+         WHEN doc_id % 7 = 6 THEN
+           (CASE WHEN doc_id % 10 = 9 THEN '/docs/*9$$'
+                 ELSE '/docs/' END)
+         ELSE '' END AS matched_rule
+  FROM documents
+  UNION ALL
+  SELECT oa.canonical, 'example' || lk::VARCHAR || '.com', 'link',
+    count(DISTINCT oa.doc_id)::BIGINT, allowed, matched_rule
+  FROM oa LEFT JOIN ofetched f ON oa.canonical = f.canonical
+  WHERE f.canonical IS NULL
+  GROUP BY oa.canonical, lk, allowed, matched_rule
+) ORDER BY url"""
 
   /** Character reference decode over expression `x` — the DuckDB twin
     * of WebCodec.decodeEntitiesCol (r17: numeric AND named refs in ONE
@@ -1302,19 +1478,45 @@ ORDER BY media_id, entry_index"""
     * web_lang_mix_served (the streamed WebSink table): score each kept
     * body with TextOps.langScores (token lexica + script ranges, r17),
     * argmax with the fixed tie-break, roll up per registered domain. */
+  /** The ONE scoring pass for the lang-mix twins: (domain, 9 score
+    * columns) per kept doc. Exposed (package-visible) so PlanShapeSpec
+    * can audit that THIS plan evaluates each scorer exactly once. */
+  private[graft] def langMixScored(pm: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val T = graft.ext.TextOps
+    // fence the kept (domain, toks, body) rows BEFORE scoring: the 9
+    // scorers each reference body/toks, and CollapseProject would
+    // otherwise inline the whole front-door body derivation into every
+    // scorer (~3× the extraction fold). One front-door pass, then 9
+    // scans over materialized strings — strictly cheaper at any scale.
+    val kept = pm.where(col("kept"))
+      .select(
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"),
+        col("body"))
+      .localCheckpoint(false)
+    kept.select(
+      (col("domain") +:
+        T.langScores(T.wsTokens(lower(col("body"))), col("body"))
+          .map { case (l, c) => c.as(s"s_$l") }): _*)
+  }
+
   private def langMixOver(pm: org.apache.spark.sql.DataFrame,
       minMargin: Int = 0)
   : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val T = graft.ext.TextOps
-    val kept = pm.where(col("kept"))
-      .select(col("media_id"),
-        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"),
-        T.wsTokens(lower(col("body"))).as("toks"), col("body"))
-    val scored = kept.select(
-      (col("media_id") +: col("domain") +:
-        T.langScores(col("toks"), col("body"))
-          .map { case (l, c) => c.as(s"s_$l") }): _*)
+    // Score once, then FENCE (lazy localCheckpoint — the chase's
+    // barrier pattern, WebCodec.chaseMultiOver): without it,
+    // CollapseProject + filter pushdown inline the 9 scorers into the
+    // argmax when-chain AND the margin predicate, re-evaluating the
+    // lexicon/script scans ~5× per row (VERDICT r18 item 3 — 15.4 s
+    // vs 6.4 s for the unconfident twin; the `lang_id` tokenize-once
+    // regression class r5 pinned). The fenced table is slim — one
+    // (domain, 9 longs) row per KEPT doc, ~100 B/row at any scale —
+    // so the materialization is negligible beside the scoring scan.
+    val scored = langMixScored(pm).localCheckpoint(false)
+    // argmax + margin are now cheap column refs over the fenced scores
     val predicted = T.langNames.foldRight(lit("und")) { case (l, rest) =>
       val isMax = T.langNames.foldLeft(lit(true)) { case (acc, o) =>
         acc && col(s"s_$l") >= col(s"s_$o") }
@@ -8681,6 +8883,48 @@ SELECT doc_id AS media_id,
        WHEN k = 6 THEN (CASE WHEN e9 THEN '/docs/*9$' ELSE '/docs/' END)
        ELSE '' END AS matched_rule
 FROM d ORDER BY media_id""")),
+
+    // In-page OUTLINK extraction (r19, VERDICT r18 "what's missing" 1):
+    // real crawls discover most URLs from <a href>, not sitemaps. Every
+    // synth page plants a relative link (resolved against <base href>,
+    // whose /rel/ dir differs from the page's /docs/ — base-honoring is
+    // load-bearing), a unicode-IDN cross-domain link (folded RFC 3490),
+    // a messy self link (case/port/tracking-param/fragment — collapses
+    // onto the fetched canonical: dedup must drop it), and a COMMENTED-
+    // OUT /ghost/ anchor that must never surface. Extraction/resolve/
+    // canonicalize are pure Column; IDN fold + robots verdict run in
+    // narrow seams. One row per (page, link_index), flagged against the
+    // canonicalized set of every capture's target.
+    ("web_frontier_links",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val W = graft.ext.WebCodec
+        val resp = W.warcResponses(W.webWarc(docs(s, d)))
+        val pages = resp.where(col("http_status") === 200 &&
+          col("content_type") === "text/html")
+        val fetched = resp.select(W.stripTrackingParamsCol(
+            W.urlCanonicalCol(col("target_uri"))).as("canonical"))
+          .distinct().withColumn("already_fetched", lit(true))
+        W.outlinkFrontierRows(pages)
+          .join(fetched, Seq("canonical"), "left")
+          .na.fill(value = false, Seq("already_fetched"))
+          .select(col("media_id"), col("link_index"), col("href"),
+            col("canonical"), col("domain"), col("already_fetched"),
+            col("allowed"), col("matched_rule"))
+          .orderBy("media_id", "link_index")
+      },
+      Some(webFrontierLinksSql)),
+
+    // The COMPLETE discovery frontier (r19): sitemap-declared URLs ∪
+    // link-discovered candidates, the link side deduped against every
+    // fetched canonical (keyed LEFT ANTI — both sides corpus-scale,
+    // shuffles on the canonical key, never broadcasts) and aggregated
+    // per canonical with the linking-page count real frontiers
+    // prioritize by. The robots gate covers BOTH discovery modes.
+    ("web_frontier_all",
+      (s: SparkSession, d: String) =>
+        graft.ext.WebCodec.crawlFrontierAll(docs(s, d)).orderBy("url"),
+      Some(webFrontierAllSql)),
 
     // The tiers COMPOSED end-to-end — the actual pre-training data run
     // in one query: WARC bytes → gzip members → HTTP → HTML extraction

@@ -182,6 +182,44 @@ class PlanShapeSpec extends SparkSuite {
     assert("split\\(".r.findAllIn(p).length === 1, p.take(2000))
   }
 
+  test("lang-mix twins: scorers evaluate exactly once — the scoring " +
+      "pass is fenced, argmax/margin never re-inline it") {
+    // the round-18 regression: CollapseProject + filter pushdown inlined
+    // the 9 lang scorers into the argmax when-chain and the confidence
+    // predicate (111 regexp_extract_all occurrences vs 23, 15.4 s vs
+    // 6.4 s). The fix scores once behind a localCheckpoint fence; these
+    // counts pin it.
+    import org.apache.spark.sql.functions.col
+    val T = graft.ext.TextOps
+    // the single-pass occurrence count, derived from the scorer
+    // expressions themselves (self-maintaining as scorers evolve):
+    // each `regexp_count` rewrites 1:1 to `size(regexp_extract_all)`
+    // in the optimized plan (RuntimeReplaceable)
+    val perPass = {
+      val s = T.langScores(col("toks"), col("body"))
+        .map(_._2.toString).mkString
+      "regexp_count".r.findAllIn(s).length
+    }
+    assert(perPass > 0)
+    val scored = graft.queries.ExtQueries.langMixScored(
+      graft.ext.WebCodec.pipelineMain(graft.ext.WebCodec.webWarc(
+        graft.sources.Tables(spark, d, "documents"))))
+    val sp = scored.queryExecution.optimizedPlan.toString
+    assert("regexp_extract_all".r.findAllIn(sp).length === perPass,
+      "scoring pass must evaluate each scorer exactly once")
+    // the registered batch twins: ALL scoring sits behind the fence —
+    // zero scorer expressions may survive in the final optimized plan.
+    // (The served twins ride the SAME langMixOver builder, but
+    // building them here would force WebSink's materialization cache
+    // and leak an InMemoryRelation into later plan-shape tests.)
+    for (q <- Seq("web_lang_mix", "web_lang_mix_confident")) {
+      val p = SparkEntry.queries(q)(spark, d)
+        .queryExecution.optimizedPlan.toString
+      assert("regexp_extract_all".r.findAllIn(p).isEmpty, q)
+      assert("regexp_count".r.findAllIn(p).isEmpty, q)
+    }
+  }
+
   test("bpe pair counting: no corpus-global window; one explode+count " +
       "shuffle feeds the learner") {
     // wordCounts is the learner's only corpus-wide pass
@@ -547,6 +585,27 @@ class PlanShapeSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"),
         s"web_redirect_chase_multi: no cartesian:\n$p")
       assert(!p.contains("Window"))
+    }
+    // the chase's 100 TB fallback (r19, VERDICT r18 caveat): past the
+    // broadcast size gate each hop joins KEYED on the canonical-URL
+    // key — a real join shape (shuffle hash / sort-merge), never a
+    // nested loop or cartesian
+    locally {
+      val W = graft.ext.WebCodec
+      val recs = W.warcRecords(W.webWarc(
+        graft.sources.Tables(spark, d, "documents")))
+      val p = W.chaseMultiOver(recs, maxBroadcastEdges = 0L)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // all 4 hop joins must be keyed shuffle-hash joins; only the
+      // final already-fetched attach may still broadcast at test scale
+      assert(nodeCount(p, "ShuffledHashJoin") >= 4,
+        s"gated chase: per-hop edge joins must be keyed:\n$p")
+      assert(nodeCount(p, "BroadcastHashJoin") <= 1,
+        s"gated chase: edge side must not broadcast:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"gated chase: keyed joins only:\n$p")
     }
     // the served chase (r18) reads the WebSink fetch table instead of
     // re-parsing the corpus twice — its plan must scan the serving

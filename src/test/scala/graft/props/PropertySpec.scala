@@ -648,10 +648,10 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
-  property("warc: buildWarcFile parses back to exactly the request + " +
-      "response (+ metadata on its axis) records with formula-exact " +
-      "payloads, all 3 variants, and the response body round-trips " +
-      "through every charset/encoding/framing axis") = {
+  property("warc: buildWarcFile parses back to exactly the modeled " +
+      "record sequence on EVERY fetch-outcome axis (dead/retry/chain/" +
+      "loop/redirect/truncated/MIME), all 3 compression variants, and " +
+      "each response round-trips its charset/coding/framing axes") = {
     val ascii = Gen.choose(32, 126).map(_.toChar)
     val gen = for {
       id <- Gen.choose(0L, 1000000L) // every axis combination reachable
@@ -659,41 +659,124 @@ object PropertySpec extends Properties("graft") {
       lang <- Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)
       source <- Gen.choose(0, 99).map(n => s"src$n")
     } yield (id, text, lang, source)
-    Prop.forAll(gen) { case (id, text, lang, source) =>
+    // each sample sweeps 18 consecutive ids — every id%9 fetch-outcome
+    // class × the id%2 parity axes is exercised on EVERY run (the r18
+    // regression class: a single random draw can miss an axis entirely)
+    def check(id: Long, text: String, lang: String,
+        source: String): Boolean = {
       val W = graft.ext.WebCodec
+      val uri = W.buildUrl(id, lang, source)
       val base =
         if (W.hasMetadata(id)) Vector("request", "response", "metadata")
         else Vector("request", "response")
+      // the r18 fetch-outcome extras: one request/response pair on the
+      // redirect and retry axes, two pairs on the chain and loop axes
+      val extraPairs =
+        if (W.redirectAxis(id) || W.retryAxis(id)) 1
+        else if (W.chainAxis(id) || W.loopAxis(id)) 2
+        else 0
       val wantTypes = base ++
-        (if (W.redirectAxis(id)) Vector("request", "response")
-         else Vector.empty)
+        Vector.fill(extraPairs)(Vector("request", "response")).flatten
+      val wantExtraUris: Vector[String] =
+        if (W.redirectAxis(id)) {
+          val a = W.redirectAliasUrl(id, lang, source); Vector(a, a)
+        } else if (W.retryAxis(id)) Vector(uri, uri)
+        else if (W.chainAxis(id)) {
+          val h2 = W.chainHop2Url(id, source)
+          val h1 = W.chainHop1UrlAscii(id) // punycode capture spelling
+          Vector(h2, h2, h1, h1)
+        } else if (W.loopAxis(id)) {
+          val la = W.loopAUrl(id, source)
+          val lb = W.loopBUrl(id, source)
+          Vector(la, la, lb, lb)
+        } else Vector.empty
       W.parseWarc(W.buildWarcFile(id, text, lang, source)).exists { recs =>
-        recs.map(_.warcType) == wantTypes &&
-          // base records target the doc URL; the appended redirect pair
-          // targets the alias
-          recs.take(base.length)
-            .forall(_.targetUri == W.buildUrl(id, lang, source)) &&
-          recs.drop(base.length).forall(
-            _.targetUri == W.redirectAliasUrl(id, lang, source)) &&
+        val shapeOk = recs.map(_.warcType) == wantTypes &&
+          recs.take(base.length).forall(_.targetUri == uri) &&
+          recs.drop(base.length).map(_.targetUri) == wantExtraUris &&
+          recs.forall(_.date == W.warcDateOf(id)) &&
+          recs(1).truncated == (if (W.truncAxis(id)) "length" else "") &&
           recs(0).payload.sameElements(
             W.buildRequest(id, lang, source).getBytes("ISO-8859-1")) &&
-          recs(1).payload.sameElements(
-            W.buildResponse(id, text, lang, source)) &&
-          // the parse side undoes all four wire axes exactly; charset
-          // resolution follows the WHATWG order bom→header→meta→sniff
-          W.parseHttpResponse(recs(1).payload).exists { m =>
-            val (wantCs, wantSrc) =
-              if (W.bomAxis(id)) ("utf-8", "bom")
-              else if (W.metaOmitsCharset(id)) ("", "sniff")
-              else if (W.headerOmitsCharset(id)) (W.charsetOf(id), "meta")
-              else (W.charsetOf(id), "header")
-            m.status == 200 &&
-              m.charset == wantCs && m.charsetSrc == wantSrc &&
-              m.contentEncoding == W.contentCoding(id) &&
-              m.chunked == (id % 4 == 1) &&
-              m.bodyText == W.buildHtml(id, text, lang, source)
-          }
+          (!W.hasMetadata(id) || recs(base.length - 1).payload
+            .sameElements(W.metadataFields(id).getBytes("ISO-8859-1")))
+        // the capture response: 404/410 on the DEAD axis (no 200 at
+        // all), otherwise the full wire-axis 200; a TRUNCATED capture
+        // must poison the strict parse and decode only under the
+        // WARC-Truncated contract
+        val respOk =
+          if (W.deadAxis(id))
+            recs(1).payload.sameElements(W.buildErrorResponse(id)) &&
+              W.parseHttpResponse(recs(1).payload).exists { m =>
+                m.status == W.errorStatus(id) &&
+                  m.charsetSrc == "sniff" &&
+                  m.bodyText == W.errorBody(id)
+              }
+          else recs(1).payload.sameElements(
+              W.buildResponse(id, text, lang, source)) &&
+            (!W.truncAxis(id) ||
+              W.parseHttpResponse(recs(1).payload).isEmpty) &&
+            W.parseHttpResponse(recs(1).payload,
+                tolerateTruncated = W.truncAxis(id)).exists { m =>
+              // charset resolution follows the WHATWG order
+              // bom→header→meta→sniff — and a text/plain entity has
+              // NO meta to honor, so header-omitting plain docs sniff
+              val plain = W.mimeAxis(id)
+              val (wantCs, wantSrc) =
+                if (W.bomAxis(id)) ("utf-8", "bom")
+                else if (plain && W.headerOmitsCharset(id)) ("", "sniff")
+                else if (W.metaOmitsCharset(id)) ("", "sniff")
+                else if (W.headerOmitsCharset(id)) (W.charsetOf(id), "meta")
+                else (W.charsetOf(id), "header")
+              val wantBody =
+                if (plain) text
+                else if (W.truncAxis(id))
+                  W.truncatedHtml(W.buildHtml(id, text, lang, source))
+                else W.buildHtml(id, text, lang, source)
+              m.status == 200 &&
+                m.mime == (if (plain) "text/plain" else "text/html") &&
+                m.charset == wantCs && m.charsetSrc == wantSrc &&
+                m.contentEncoding == W.contentCoding(id) &&
+                m.chunked == (id % 4 == 1) &&
+                m.trailers ==
+                  (if (id % 4 == 1 && W.trailerAxis(id)) 1 else 0) &&
+                m.bodyText == wantBody
+            }
+        // the fetch-outcome extras parse to their axis statuses
+        val extras = recs.drop(base.length)
+        val extraOk =
+          if (W.redirectAxis(id))
+            W.parseHttpResponse(extras(1).payload).exists(m =>
+              m.status == 301 &&
+                m.location == W.redirectLocation(id, lang, source) &&
+                m.bodyText == W.redirectBody(id))
+          else if (W.retryAxis(id))
+            extras(0).payload.sameElements(
+              W.buildRequest(id, lang, source).getBytes("ISO-8859-1")) &&
+              W.parseHttpResponse(extras(1).payload).exists(m =>
+                m.status == 503 &&
+                  m.retryAfter == W.retryAfterOf(id) &&
+                  m.bodyText == W.retryBody(id))
+          else if (W.chainAxis(id))
+            // hop 2 Location spells the hop-1 host in UNICODE; only
+            // the IDN fold joins it to the punycode capture above
+            W.parseHttpResponse(extras(1).payload).exists(m =>
+              m.status == 302 &&
+                m.location == W.chainHop1LocationUnicode(id)) &&
+              W.parseHttpResponse(extras(3).payload).exists(m =>
+                m.status == 301 &&
+                  m.location == W.chainFinalLocation(id, lang, source))
+          else if (W.loopAxis(id))
+            W.parseHttpResponse(extras(1).payload).exists(m =>
+              m.status == 301 && m.location == s"/lb/$id") &&
+              W.parseHttpResponse(extras(3).payload).exists(m =>
+                m.status == 301 && m.location == s"/la/$id")
+          else true
+        shapeOk && respOk && extraOk
       }
+    }
+    Prop.forAll(gen) { case (id, text, lang, source) =>
+      (0L until 18L).forall(k => check(id + k, text, lang, source))
     }
   }
 
