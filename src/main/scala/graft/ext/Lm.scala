@@ -42,7 +42,10 @@ object Lm {
 
   /** (t, lp) unigram log-prob table + the broadcastable totals frame. */
   private def unigramLp(toks: DataFrame): (DataFrame, DataFrame) = {
+    // vocab counts feed both the totals aggregate and the log-prob
+    // projection - fence so the token-count shuffle runs once
     val v = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val tot = v.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
     val lp = v.crossJoin(broadcast(tot))
       .select(col("t"),
@@ -116,8 +119,14 @@ object Lm {
     * top-K join + exact long sum): (doc_id, n_tokens, avg_nll_r). The
     * streaming mapPartitions scorer reproduces these values exactly. */
   def nanoScores(docs: DataFrame, topK: Int = 4096): DataFrame = {
+    // fence the VOCAB COUNTS only (r19 optimization, measured): v
+    // feeds the totals aggregate and the top-K selection - one token
+    // shuffle instead of two. The exploded-token frame stays unfenced:
+    // it is scan-shaped and cheap to recompute, and materializing
+    // every token cost more in barrier jobs than it saved.
     val toks = tokensOf(docs).select(col("doc_id"), explode(col("ts")).as("t"))
     val v = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val tot = v.agg(sum("n").as("total"), count(lit(1)).as("vsz"))
     // same top-K-without-a-global-window shape as nanoModel
     val top = v.orderBy(col("n").desc, col("t")).limit(topK)
@@ -126,7 +135,11 @@ object Lm {
     val unk = floor(log(lit(K) / (col("total") + (col("vsz") + 1) * K)) * 1e9)
       .cast("long").as("unk_lpn")
     toks
-      .join(top, Seq("t"), "left")
+      // top is <= topK rows by construction (limit) at ANY corpus
+      // size - broadcast it so the token table is never shuffled for
+      // this join (guide §3.1; the fenced v carries no stats, so the
+      // planner would otherwise sort-merge)
+      .join(broadcast(top), Seq("t"), "left")
       .crossJoin(broadcast(tot.select(unk)))
       .groupBy("doc_id")
       .agg(sum(coalesce(col("lpn"), col("unk_lpn"))).as("s"),
@@ -201,6 +214,11 @@ object Lm {
     * LM, every following token under p(b|a) with add-k over the context
     * count. Same decimal-sum discipline; same output shape. */
   def perplexityBigram(docs: DataFrame): DataFrame = {
+    // deliberately NOT fenced (r19 optimization round): tl is
+    // corpus-sized - materializing it costs a barrier job locally and
+    // a corpus-scale spill at 100 TB, while recomputing it is one
+    // scan-shaped tokenize pass per consumer. Only the TYPE-bounded
+    // frames below (vocab / pair counts) are fenced.
     val tl = tokensOf(docs)
     val toks = tl.select(col("doc_id"), explode(col("ts")).as("t"))
     val (ulp, tot) = unigramLp(toks)
@@ -215,6 +233,7 @@ object Lm {
           .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      .localCheckpoint(false)
     val cc = cb.groupBy("a").agg(sum("nab").as("na"))
     val blp = cb.join(cc, "a").crossJoin(broadcast(tot))
       .select(col("a"), col("b"),
@@ -267,6 +286,10 @@ object Lm {
     col("btypes") + lit(0.5) * (col("vsz") + 1)
 
   private def knFrames(tl: DataFrame): KnFrames = {
+    // callers hand a FENCED tl; cb below feeds four consumers
+    // (continuation counts, totals, the p2 table) and p2tab feeds two
+    // or three more per KN order - fence both so the bigram-type
+    // shuffle and the p2 join pipeline run once each
     val toks = tl.select(col("doc_id"), explode(col("ts")).as("t"))
     val vsz = toks.groupBy("t").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("vsz"))
@@ -281,6 +304,7 @@ object Lm {
           .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val cb = bg.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      .localCheckpoint(false)
     val cc = cb.groupBy("a")
       .agg(sum("nab").as("na"), count(lit(1)).as("n1a"))
     val cw = cb.groupBy("b").agg(count(lit(1)).as("n1b"))
@@ -293,6 +317,7 @@ object Lm {
         ((col("nab") - KnD) / col("na")
           + (lit(KnD) * col("n1a")) / col("na")
             * ((col("n1b") + 0.5) / knPcDen)).as("p2"))
+      .localCheckpoint(false)
     KnFrames(bg, cb, cw, btot, vsz, p2tab)
   }
 
@@ -309,7 +334,7 @@ object Lm {
   }
 
   def perplexityKn(docs: DataFrame): DataFrame = {
-    val tl = tokensOf(docs)
+    val tl = tokensOf(docs) // corpus-sized: unfenced by design (see perplexityBigram)
     val f = knFrames(tl)
     val blp = f.p2tab.select(col("a"), col("b"),
       log(col("p2")).cast(LpDec).as("lp"))
@@ -341,7 +366,7 @@ object Lm {
     * to DECIMAL(28,12) as everywhere in this file. */
   def perplexityKn3(docs: DataFrame): DataFrame = {
     val D = KnD
-    val tl = tokensOf(docs)
+    val tl = tokensOf(docs) // corpus-sized: unfenced by design (see perplexityBigram)
     val f = knFrames(tl)
     val tg = tl
       .select(col("doc_id"),
@@ -356,7 +381,10 @@ object Lm {
           .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"),
         col("p.c").as("c"))
+    // trigram TYPE counts: bounded by distinct trigrams, feeds both
+    // the continuation aggregate and the scoring join - fence (§2.4)
     val t3 = tg.groupBy("a", "b", "c").agg(count(lit(1)).as("nabc"))
+      .localCheckpoint(false)
     val t3c = t3.groupBy("a", "b")
       .agg(sum("nabc").as("nabdot"), count(lit(1)).as("n1ab"))
     val tlp = t3.join(t3c, Seq("a", "b"))

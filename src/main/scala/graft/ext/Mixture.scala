@@ -159,6 +159,12 @@ object Mixture {
     * [[graft.streaming.CorpusIngest.cleanBatchBudget]], where the
     * counts come from the gated corpus rather than raw documents. */
   def sampleTokensCounted(perDoc: DataFrame, budgetDenom: Int = 2): DataFrame = {
+    // NOT fenced here (r19 optimization round, measured): the common
+    // callers hand a cheap tokenize frame - a fence cost more in
+    // barrier jobs than the duplicate scan (mixture_sample_tokens
+    // 1.29->1.60 s, training_order_runs 2.74->3.52 s with the fence).
+    // Callers with an EXPENSIVE upstream (cleanBatchBudget's full gate
+    // chain) fence before calling.
     val alloc = allocateSeats(
       perDoc.groupBy("source").agg(sum(col("n_tok")).as("n_tokens")),
       "n_tokens", budgetDenom)

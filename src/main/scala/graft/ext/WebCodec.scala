@@ -1861,8 +1861,11 @@ object WebCodec {
       "&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});",
       "\u0001$1\u0002")
     val parts = split(marked, "\u0001", -1)
-    val dec = transform(parts, s => {
-      val body = substring_index(s, "\u0002", 1)
+    val dec = transform(parts, s =>
+      // the named-entity CASE chain referenced `body` once per table
+      // entry (dozens of substring_index re-evaluations per marked
+      // part) - bound once, each branch is a slot compare
+      letCol(substring_index(s, "\u0002", 1)) { body =>
       val tail = substring_index(s, "\u0002", -1)
       // numeric bodies keep their '#' prefix ("#x4E2D" / "#128512")
       val cp = when(substring(body, 2, 1) === "x",
@@ -1942,13 +1945,18 @@ object WebCodec {
     * evaluation at sf0.1). The DuckDB oracle replays the same generic
     * algorithm (its list_filter form is value-identical). */
   def mainContentStruct(html: Column): Column = {
+    // (r19) the block list is referenced by BOTH the transform pass
+    // and the finisher's n_blocks - bind it so comment-strip + block
+    // segmentation run once per row, not twice
     // comments strip BEFORE block segmentation (r18): a commented-out
     // <div>…</div> would otherwise match blockRe and surface as a
     // phantom block whose text survives the link-density test
-    val blocks = regexp_extract_all(stripCommentsCol(html),
-      lit(blockRe), lit(1))
-    val scored = transform(blocks, b => {
-      val btext = extractTextCol(b)
+    letCol(regexp_extract_all(stripCommentsCol(html),
+      lit(blockRe), lit(1))) { blocks =>
+    val scored = transform(blocks, b =>
+      // btext is the full extraction chain per block and was
+      // referenced 3x (value + both length tests) - bind it
+      letCol(extractTextCol(b)) { btext =>
       val ltext = array_join(
         regexp_extract_all(b, lit(linkRe), lit(1)), " ")
       struct(btext.as("btext"),
@@ -1979,7 +1987,7 @@ object WebCodec {
         acc.getField("main_text").as("main_text"),
         size(blocks).cast("long").as("n_blocks"),
         acc.getField("n_kept").as("n_kept"),
-        acc.getField("boiler_chars").as("boiler_chars")))
+        acc.getField("boiler_chars").as("boiler_chars"))) }
   }
 
   /** The front door composed through MAIN-CONTENT extraction instead
@@ -2483,11 +2491,21 @@ object WebCodec {
     val sm = crawlFrontier(docs).select(
       col("url"), col("domain"), lit("sitemap").as("via"),
       lit(1L).as("n_sources"), col("allowed"), col("matched_rule"))
-    val fetchedCanon = warcResponses(webWarc(docs))
-      .select(stripTrackingParamsCol(
-        urlCanonicalCol(col("target_uri"))).as("canonical"))
+    // ONE front-door pass (r19 optimization, guide §2.4): the fetched-
+    // canonical side and the page side previously each re-ran the full
+    // synth+parse codec chain (webWarc + warcResponses twice). Fence
+    // the decoded responses once — batch-only builder (the streaming
+    // sinks never call this), so the localCheckpoint barrier is safe.
+    val resp = warcResponses(webWarc(docs))
+      .withColumn("fetched_canonical", stripTrackingParamsCol(
+        urlCanonicalCol(col("target_uri"))))
+      .localCheckpoint(false)
+    val fetchedCanon = resp
+      .select(col("fetched_canonical").as("canonical"))
       .distinct()
-    val fresh = outlinkFrontierRows(webPages(docs))
+    val pages = resp.where(col("http_status") === 200 &&
+      col("content_type") === "text/html")
+    val fresh = outlinkFrontierRows(pages)
       .join(fetchedCanon, Seq("canonical"), "left_anti")
       .groupBy(col("canonical"), col("domain"), col("allowed"),
         col("matched_rule"))
@@ -2504,21 +2522,45 @@ object WebCodec {
     * octet is unreserved (ALPHA / DIGIT / '-' '.' '_' '~'), since
     * "%41" and "A" identify the same resource — or re-emits with
     * UPPERCASE hex. Reserved and non-ASCII octets stay encoded. */
+  /** Column-level LET BINDING (r19 optimization round): evaluate `v`
+    * ONCE per row and hand the bound value to `f` as a lambda
+    * variable. Catalyst has no cross-reference reuse inside one
+    * expression tree - a Column referenced k times is COPIED k times
+    * and re-executed k times per row (codegen subexpression
+    * elimination only covers unconditional codegen-able subtrees, and
+    * this file's URL/entity chains sit inside higher-order-function
+    * lambdas, which are CodegenFallback). A single-element `transform`
+    * gives the value a NamedLambdaVariable: every reference inside `f`
+    * is a slot read, not a re-evaluation. Measured before the rewrite
+    * (web_frontier_links): ONE projection carried 102 regexp_replace /
+    * 30 transform() occurrences (~51 KB of expression) because
+    * stripTrackingParamsCol copied its urlCanonicalCol argument ~5x
+    * and dotSegRemoveCol re-derived the whole pctNormCol chain per
+    * path segment (guide section 1.2 step 2). Value-identical by
+    * construction: the bound expression and its null propagation are
+    * unchanged, only the evaluation count drops. */
+  private[graft] def letCol(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
   def pctNormCol(c: Column): Column = {
     val marked = regexp_replace(c, "%([0-9A-Fa-f]{2})", "\u0001$1\u0002")
     val parts = split(marked, "\u0001", -1)
-    val dec = transform(parts, s => {
-      val hx = upper(substring_index(s, "\u0002", 1))
-      val tail = substring_index(s, "\u0002", -1)
-      val cp = conv(hx, 16, 10).cast("int")
-      val unreserved =
-        (cp >= 0x41 && cp <= 0x5a) || (cp >= 0x61 && cp <= 0x7a) ||
-          (cp >= 0x30 && cp <= 0x39) ||
-          cp === 0x2d || cp === 0x2e || cp === 0x5f || cp === 0x7e
-      val decoded = when(unreserved, decode(unhex(hx), "UTF-8"))
-        .otherwise(concat(lit("%"), hx))
-      when(instr(s, "\u0002") > 0, concat(decoded, tail)).otherwise(s)
-    })
+    val dec = transform(parts, s =>
+      // hx was referenced 3x and the conv-derived codepoint 7x per
+      // %XX part - bound once each (letCol), the per-part work drops
+      // to one substring_index + one conv
+      letCol(upper(substring_index(s, "\u0002", 1))) { hx =>
+        letCol(conv(hx, 16, 10).cast("int")) { cp =>
+          val tail = substring_index(s, "\u0002", -1)
+          val unreserved =
+            (cp >= 0x41 && cp <= 0x5a) || (cp >= 0x61 && cp <= 0x7a) ||
+              (cp >= 0x30 && cp <= 0x39) ||
+              cp === 0x2d || cp === 0x2e || cp === 0x5f || cp === 0x7e
+          val decoded = when(unreserved, decode(unhex(hx), "UTF-8"))
+            .otherwise(concat(lit("%"), hx))
+          when(instr(s, "\u0002") > 0, concat(decoded, tail)).otherwise(s)
+        }
+      })
     array_join(dec, "")
   }
 
@@ -2528,9 +2570,12 @@ object WebCodec {
     * segment leaves the trailing slash (the RFC output), empty
     * segments (double slashes, trailing slash) pass through
     * unchanged. An empty path canonicalizes to "/" (§6.2.3). */
-  def dotSegRemoveCol(path: Column): Column = {
-    val segs = split(path, "/", -1)
-    val n = size(segs)
+  def dotSegRemoveCol(path: Column): Column =
+    // segs/n were re-derived from the full upstream chain on EVERY
+    // fold step (the merge lambda references n per element), turning
+    // an O(segments) fold into O(segments x pctNorm-chain) - bind both
+    letCol(split(path, "/", -1)) { segs =>
+    letCol(size(segs)) { n =>
     val paired = zip_with(segs, sequence(lit(1), n),
       (s, i) => struct(s.as("s"), i.as("i")))
     aggregate(paired,
@@ -2554,7 +2599,7 @@ object WebCodec {
       acc => concat(lit("/"), array_join(acc.getField("st"), "/"),
         when(acc.getField("slash") && size(acc.getField("st")) > 0,
           lit("/")).otherwise(lit(""))))
-  }
+    }}
 
   /** Full RFC 3986 §6 syntax-based canonicalization, pure Column:
     * fragment dropped, scheme+host lowercased, the scheme's default
@@ -2563,19 +2608,22 @@ object WebCodec {
     * the path ([[dotSegRemoveCol]]), empty path → "/". The frontier /
     * revisit-dedup key: trivially-aliased URLs (case, default port,
     * ./.. segments, %-encoded unreserved chars) collapse to one form. */
-  def urlCanonicalCol(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
-    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
-    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+  def urlCanonicalCol(url: Column): Column =
+    // noFrag fed four regexp_extracts, scheme/hostRaw three branches
+    // each - bound once, each regex runs once per row
+    letCol(regexp_replace(url, "#.*$", "")) { noFrag =>
+    letCol(lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))) { scheme =>
+    letCol(lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))) {
+      hostRaw =>
+    letCol(pctNormCol(regexp_extract(noFrag, "\\?([^#]*)", 1))) { query =>
     val host = when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
       .when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
       .otherwise(hostRaw)
     val path = dotSegRemoveCol(pctNormCol(
       regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)))
-    val query = pctNormCol(regexp_extract(noFrag, "\\?([^#]*)", 1))
     concat(scheme, lit("://"), host, path,
       when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
-  }
+    }}}}
 
   /** RFC 3986 §5.2 reference resolution (syntax subset), pure Column:
     * a ref with a scheme is already absolute; "//host/…" adopts the
@@ -2585,21 +2633,26 @@ object WebCodec {
     * merged onto the base path's directory (§5.3 merge; the later
     * [[urlCanonicalCol]] pass removes any dot segments the merge
     * introduces). */
-  def urlResolveCol(base: Column, ref: Column): Column = {
-    val scheme = lower(regexp_extract(base, "^([A-Za-z]+)://", 1))
-    val origin = regexp_extract(base, "^([A-Za-z]+://[^/?#]+)", 1)
+  def urlResolveCol(base: Column, ref: Column): Column =
+    // base and ref are often whole derivation chains at the call
+    // sites (resolved Location headers, page-synth URLs) - bind both
+    // so the when-ladder reads slots instead of re-deriving them
+    letCol(base) { b =>
+    letCol(ref) { r =>
+    val scheme = lower(regexp_extract(b, "^([A-Za-z]+)://", 1))
+    val origin = regexp_extract(b, "^([A-Za-z]+://[^/?#]+)", 1)
     // base path up to and including its LAST '/' (greedy), fragment
     // and query stripped first; empty (no path) merges at the root
     val baseDir = regexp_extract(
-      regexp_replace(base, "[?#].*$", ""),
+      regexp_replace(b, "[?#].*$", ""),
       "^[A-Za-z]+://[^/?#]+(.*/)", 1)
-    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"), ref)
-      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
-      .when(ref.startsWith("/"), concat(origin, ref))
-      .when(ref === "", regexp_replace(base, "#.*$", ""))
+    when(r.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"), r)
+      .when(r.startsWith("//"), concat(scheme, lit(":"), r))
+      .when(r.startsWith("/"), concat(origin, r))
+      .when(r === "", regexp_replace(b, "#.*$", ""))
       .otherwise(concat(origin,
-        when(baseDir === "", lit("/")).otherwise(baseDir), ref))
-  }
+        when(baseDir === "", lit("/")).otherwise(baseDir), r))
+    }}
 
   /** Tracking-parameter stripping (r18) — the step real crawl
     * canonicalizers run BEYOND RFC 3986: `utm_*` / gclid / fbclid /
@@ -2611,15 +2664,18 @@ object WebCodec {
     * (and their order) are untouched. (DuckDB twin: list_filter +
     * regexp_matches over the same pattern.) */
   val trackingParamRe = "^(utm_[a-z0-9_]+|gclid|fbclid|msclkid)="
-  def stripTrackingParamsCol(url: Column): Column = {
-    val base = regexp_replace(url, "\\?.*$", "")
-    val qs = regexp_extract(url, "\\?(.*)$", 1)
-    val kept = filter(split(qs, "&"),
-      s => !s.rlike(trackingParamRe))
-    val newQs = array_join(kept, "&")
+  def stripTrackingParamsCol(url: Column): Column =
+    // `url` is usually the FULL urlCanonicalCol chain at the call
+    // sites and was copied ~5x into base/qs/kept - bind url, qs, base
+    // and the rebuilt query string once each
+    letCol(url) { u =>
+    letCol(regexp_replace(u, "\\?.*$", "")) { base =>
+    letCol(regexp_extract(u, "\\?(.*)$", 1)) { qs =>
+    letCol(array_join(filter(split(qs, "&"),
+      s => !s.rlike(trackingParamRe)), "&")) { newQs =>
     when(qs === "" || newQs === "", base)
       .otherwise(concat(base, lit("?"), newQs))
-  }
+    }}}}
 
   /** URL normalization: drop the fragment, lowercase scheme+host, strip
     * the https default port. Returns (normalized, scheme, host, path,

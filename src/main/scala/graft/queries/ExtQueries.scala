@@ -8065,7 +8065,11 @@ FROM g ORDER BY media_id, http_status, target_uri""")),
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         val W = graft.ext.WebCodec
+        // fence (r19 optimization): recs feeds the 3xx side AND the
+        // fetched-canonical side — un-fenced, the synth+parse codec
+        // chain ran twice (guide §2.4)
         val recs = W.warcRecords(W.webWarc(docs(s, d)))
+          .localCheckpoint(false)
         val redirects = recs
           .where(col("http_status") >= 300 && col("http_status") < 400)
           .select(col("media_id"), col("target_uri").as("alias_uri"),
@@ -8537,7 +8541,10 @@ FROM a GROUP BY k ORDER BY domain""")),
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         val W = graft.ext.WebCodec
+        // fence (r19 optimization): crawl2 feeds the live side AND the
+        // revisit side — one recrawl parse instead of two (guide §2.4)
         val crawl2 = W.recrawlRecords(W.webWarcRecrawl(docs(s, d)))
+          .localCheckpoint(false)
         val live = crawl2.where(col("fetched") === "response")
           .select(col("media_id"), col("fetched"), col("n_chars"),
             col("body_ck"), lit(true).as("digest_ok"))
@@ -8899,11 +8906,21 @@ FROM d ORDER BY media_id""")),
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         val W = graft.ext.WebCodec
+        // ONE front-door pass (r19 optimization, guide §2.4): `resp`
+        // feeds both the page side and the fetched-canonical side —
+        // un-fenced, the whole synth+parse codec chain ran TWICE (two
+        // parquet scans, two buildWarcFile/parseWarc walks), and the
+        // canonical chain was inlined into both the dedup key and a
+        // pushed null filter. The fence materializes the decoded
+        // responses WITH their canonical once; both consumers read
+        // slots. Values unchanged (oracle re-verified).
         val resp = W.warcResponses(W.webWarc(docs(s, d)))
+          .withColumn("fetched_canonical", W.stripTrackingParamsCol(
+            W.urlCanonicalCol(col("target_uri"))))
+          .localCheckpoint(false)
         val pages = resp.where(col("http_status") === 200 &&
           col("content_type") === "text/html")
-        val fetched = resp.select(W.stripTrackingParamsCol(
-            W.urlCanonicalCol(col("target_uri"))).as("canonical"))
+        val fetched = resp.select(col("fetched_canonical").as("canonical"))
           .distinct().withColumn("already_fetched", lit(true))
         W.outlinkFrontierRows(pages)
           .join(fetched, Seq("canonical"), "left")
@@ -8936,7 +8953,16 @@ FROM d ORDER BY media_id""")),
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         val W = graft.ext.WebCodec
-        val cleaned = W.pipeline(W.webWarc(docs(s, d))).where(col("kept"))
+        // Fence BEFORE the kept-filter (r19 optimization): pushing the
+        // kept predicate below the projection inlined the whole
+        // extraction chain into the filter AND the chunker's split —
+        // the plan carried ~3.6× the single-pass regexp_replace count.
+        // Materialize (media_id, body, kept) in one pass, filter and
+        // chunk over slots. Values unchanged (oracle re-verified).
+        val cleaned = W.pipeline(W.webWarc(docs(s, d)))
+          .select(col("media_id"), col("body"), col("kept"))
+          .localCheckpoint(false)
+          .where(col("kept"))
         cleaned
           .select(col("media_id"), split(col("body"), "\\s+").as("toks"))
           .withColumn("n", size(col("toks")))

@@ -313,8 +313,12 @@ object CorpusIngest {
       probeModulus: Int = 50,
       topK: Int = 4096,
       nllQuantile: Double = 0.9): DataFrame = {
+    // fence the LM scores (r19 optimization): consumed by BOTH the
+    // percentile cut and the gate join - un-fenced, the tokenize +
+    // vocab + scoring subtree executed twice (guide §2.4)
     val scores = graft.ext.Lm.nanoScores(docs, topK)
       .select(col("doc_id"), col("avg_nll_r"))
+      .localCheckpoint(false)
     val cut = scores.agg(
       expr(s"percentile(avg_nll_r, $nllQuantile)").as("cut"))
     corpusGate(docs, docs, minQuality, probeModulus,
@@ -338,8 +342,10 @@ object CorpusIngest {
       minQuality: Double = 0.3,
       probeModulus: Int = 50,
       nllQuantile: Double = 0.9): DataFrame = {
+    // same fence rationale as cleanBatchLm (r19 optimization)
     val ppl = graft.ext.Lm.perplexity(docs)
       .select(col("doc_id"), col("avg_nll_r"), col("ppl_r"))
+      .localCheckpoint(false)
     val cut = ppl.agg(expr(s"percentile(avg_nll_r, $nllQuantile)").as("cut"))
     corpusGate(docs, docs, minQuality, probeModulus,
       stage = _.join(ppl, "doc_id")
@@ -361,8 +367,10 @@ object CorpusIngest {
       targetLang: String = "en",
       topK: Int = 4096,
       keepQuantile: Double = 0.5): DataFrame = {
+    // same fence rationale as cleanBatchLm (r19 optimization)
     val scores = graft.ext.Dsir.nanoRatioScores(docs, targetLang, topK)
       .select(col("doc_id"), col("avg_logw_r"))
+      .localCheckpoint(false)
     val cut = scores.agg(
       expr(s"percentile(avg_logw_r, $keepQuantile)").as("cut"))
     corpusGate(docs, docs, minQuality, probeModulus,
@@ -469,9 +477,14 @@ object CorpusIngest {
       probeModulus: Int = 50,
       budgetDenom: Int = 2): DataFrame =
     graft.ext.Mixture.sampleTokensCounted(
+      // fence the gated frame (r19 optimization): sampleTokensCounted
+      // consumes it twice (seat allocation + prefix sum) and the gate
+      // chain (quality scoring, window dedup, decontamination) is the
+      // expensive side - one pass instead of two (guide §2.4)
       corpusGate(docs, docs, minQuality, probeModulus,
         stage = _.withColumn("n_tok", nTok),
-        extraOut = Seq(col("n_tok"))),
+        extraOut = Seq(col("n_tok")))
+        .localCheckpoint(false),
       budgetDenom)
       .select(col("doc_id"), col("source"), col("fp"), col("quality_r"),
         col("n_tok"), col("tok_pfx"), col("granted").cast("long").as("granted"))
