@@ -351,7 +351,11 @@ object ArchiveCodec {
       Entry(s"meta/$id.json", metaJson(id, lang, source).getBytes("ISO-8859-1")))
 
   /** (media_id, payload) tar-per-document table. */
-  def docTars(docs: DataFrame): DataFrame = {
+  def docTars(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -366,7 +370,11 @@ object ArchiveCodec {
   /** (media_id, payload) zip-per-document table; the text entry is
     * DEFLATEd for odd ids and STORED for even (both verify paths), the
     * json entry the reverse. */
-  def docZips(docs: DataFrame): DataFrame = {
+  def docZips(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"))

@@ -111,7 +111,8 @@ object Mixture {
 
   /** One tokenize pass shared by the token allocation and sample. */
   private def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
+    // r19: single-split docs fixture - tokenize on all cores
+    TextOps.scanParallel(docs).select(col("doc_id"), col("source"),
       size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tok"))
 
   /** Materialized sample: the first `granted_i` documents of each source
@@ -307,7 +308,7 @@ object Mixture {
     * ordinal, exact in both engines. */
   def curriculumOrder(docs: DataFrame, batchSize: Int = 32): DataFrame = {
     require(batchSize >= 1, "batchSize must be >= 1")
-    val counted = docs.select(
+    val counted = TextOps.scanParallel(docs).select(
         col("doc_id"),
         size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tokens"))
       .withColumn("__one", lit(1L))

@@ -134,7 +134,11 @@ object Multimodal {
     * header fields (dims, frame count, sample rate, channels) are
     * deterministic functions of doc_id, so an oracle can verify the
     * synth→parse round trip end-to-end. */
-  def mediaWithHeaders(docs: DataFrame): DataFrame = {
+  def mediaWithHeaders(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val w = (pmod(id, lit(1024)) + 1).cast("int")
     val h = (pmod(id * 7, lit(1024)) + 1).cast("int")
@@ -515,7 +519,11 @@ object Multimodal {
   def mediaBmpPerturbed(docs: DataFrame): DataFrame =
     mediaBmpImpl(docs, perturb00 = true)
 
-  private def mediaBmpImpl(docs: DataFrame, perturb00: Boolean): DataFrame = {
+  private def mediaBmpImpl(docs0: DataFrame, perturb00: Boolean): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val w = (pmod(id, lit(16)) + 1).cast("int")
     val h = (pmod(id * 7, lit(12)) + 1).cast("int")
@@ -825,7 +833,11 @@ object Multimodal {
     * constant over runs of 4, so the RLE genuinely compresses. Each
     * stored row (bottom-up) is encoded as (runLen, index) pairs + EOL;
     * the stream ends with EOF. Pure Column expressions. */
-  def mediaBmpRle(docs: DataFrame): DataFrame = {
+  def mediaBmpRle(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val w = (pmod(id, lit(14)) + 2).cast("int")
     val h = (pmod(id * 3, lit(10)) + 1).cast("int")
@@ -950,8 +962,10 @@ object Multimodal {
     * 24-bpp bottom-up padded frames in `00db` chunks. `hMul` varies the
     * height formula; `pixelHex(id, nf, f, x, y)` returns the
     * 6-hex-char B,G,R cell. */
-  private def aviContainer(docs: DataFrame, hMul: Int,
+  private def aviContainer(docs0: DataFrame, hMul: Int,
       pixelHex: (Column, Column, Column, Column, Column) => Column): DataFrame = {
+    // r19: single-split docs fixture - parallelize before the codec seam
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val w = (pmod(id, lit(8)) + 1).cast("int")
     val h = (pmod(id * hMul, lit(6)) + 1).cast("int")
@@ -1019,7 +1033,11 @@ object Multimodal {
     * [[mediaWavPcm]] value formula s(k) = ((3·id + 17·k) mod 65536) −
     * 32768. Two strl LISTs ride hdrl (vids 'DIB ' then auds PCM
     * WAVEFORMATEX). */
-  def mediaAviAv(docs: DataFrame): DataFrame = {
+  def mediaAviAv(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val w = (pmod(id, lit(8)) + 1).cast("int")
     val h = (pmod(id * 3, lit(6)) + 1).cast("int")
@@ -1338,7 +1356,11 @@ object Multimodal {
     * analogous to [[mediaAviScenes]]' inversion), odd-id videos are one
     * static scene. |ΣS| ≤ 6·15 = 90 keeps every value in [38, 218] —
     * no clamping, so the oracle replay is integer-exact. */
-  def mediaAviMjpeg(docs: DataFrame): DataFrame = {
+  def mediaAviMjpeg(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val wb = (pmod(id, lit(3)) + 1).cast("int")
     val hb = (lit(2) - pmod(id, lit(2))).cast("int")
@@ -1426,7 +1448,9 @@ object Multimodal {
     * muxed by [[Mp4Codec.encodeMjpeg]]'s full-stbl ledger — which is
     * why `media_video_features_mp4` rides the AVI family's oracle
     * verbatim. */
-  def mediaMp4Mjpeg(docs: DataFrame): DataFrame = {
+  def mediaMp4Mjpeg(docs0: DataFrame): DataFrame = {
+    // r19: single-split docs fixture - parallelize before the codec seam
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -1501,7 +1525,9 @@ object Multimodal {
     * (sample k = ((3·id + 17·k) mod 65536) − 32768, spf = id%7+3,
     * chunk f = samples [f·spf, (f+1)·spf)), interleaved in mdat by
     * [[Mp4Codec.encodeMjpegAv]]. */
-  def mediaMp4Av(docs: DataFrame): DataFrame = {
+  def mediaMp4Av(docs0: DataFrame): DataFrame = {
+    // r19: single-split docs fixture - parallelize before the codec seam
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -1707,7 +1733,11 @@ object Multimodal {
     * full-range signed, stored two's-complement little-endian. Docs with
     * id ≡ 0 (mod 4) carry a 4-byte JUNK chunk before `fmt `, so chunk
     * iteration (not fixed offsets) rides the hashed oracle. */
-  def mediaWavPcm(docs: DataFrame): DataFrame = {
+  def mediaWavPcm(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val n = (pmod(id, lit(200)) + 50).cast("int")
     def le32(c: Column) = {
@@ -1981,7 +2011,11 @@ object Multimodal {
     * mod 89, data NIBBLES n(b,j) = (id + 3·b + 5·j) mod 16 — the
     * decoded signal is then exactly the normative recurrence the
     * DuckDB oracle replays as a recursive CTE. */
-  def mediaWavAdpcm(docs: DataFrame): DataFrame = {
+  def mediaWavAdpcm(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -2086,7 +2120,11 @@ object Multimodal {
     * offsets far above any realistic doc_id, so a planted id can never
     * collide with a real document at larger fixtures —
     * the near-dup a perceptual hash exists to catch). */
-  def mediaBmpNearDups(docs: DataFrame): DataFrame = {
+  def mediaBmpNearDups(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val planted = docs.where(pmod(col("doc_id"), lit(25)) === 0)
     mediaBmp(docs)
       .unionByName(mediaBmp(planted)
@@ -2162,7 +2200,11 @@ object Multimodal {
     * magic and the dims — a decoder that doesn't skip comments loses
     * every third row. Pure Column expressions (the [[mediaBmp]] idiom);
     * `hex(string)` is the UTF-8 header bytes. */
-  def mediaPgm(docs: DataFrame): DataFrame = {
+  def mediaPgm(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val w = (pmod(id, lit(13)) + 1).cast("int")
     val h = (pmod(id * 5, lit(11)) + 1).cast("int")
@@ -2303,7 +2345,11 @@ object Multimodal {
     * filtered channel bytes, the real filter arithmetic including the
     * Paeth predictor) and feeds both the hex payload and the adler32
     * weighted sums — one source of truth. */
-  def mediaPng(docs: DataFrame): DataFrame = {
+  def mediaPng(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val w = (pmod(id, lit(7)) + 1).cast("int")
     val h = (pmod(id * 3, lit(6)) + 1).cast("int")
@@ -2590,7 +2636,11 @@ object Multimodal {
     * (R,G,B) = ((7i)%256, (5i)%256, (3i)%256), pixel INDEX at (x, y) =
     * (3·id + 5·x + 11·y) % 128, LZW-coded as one leading CLEAR plus a
     * literal root code per pixel (see above). */
-  def mediaGif(docs: DataFrame): DataFrame = {
+  def mediaGif(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val w = (pmod(id, lit(9)) + 1).cast("int")
     val h = (pmod(id * 7, lit(5)) + 1).cast("int")
@@ -2922,7 +2972,11 @@ object Multimodal {
     * hb = (5·id)%2+1 blocks (so w = 8·wb, h = 8·hb), block i's DC diff
     * = ±(8 + (7·id+3·i)%8) with sign + iff (id+i)%2=0, quantizer Q0 = 8
     * ⇒ block pixel value = Σdiff + 128 exactly. */
-  def mediaJpeg(docs: DataFrame): DataFrame = {
+  def mediaJpeg(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val wb = (pmod(id, lit(3)) + 1).cast("int")
     val hb = (pmod(id * 5, lit(2)) + 1).cast("int")
@@ -4217,7 +4271,11 @@ object Multimodal {
     * first passes, DC/AC refinement scans) → multi-scan decode. Flat
     * blocks are DC-only, so the chain is EXACT and the baseline JPEG
     * oracle SQL replays it unchanged. */
-  def mediaJpegProg(docs: DataFrame): DataFrame = {
+  def mediaJpegProg(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -4296,7 +4354,11 @@ object Multimodal {
     * per-channel two-value palettes G ∈ {7id, 7id+13}, R ∈ {3id,
     * 3id+29}, B ∈ {11id, 11id+71} (mod 256), selected per pixel by
     * gsel = (id+3x+5y)%2, rsel = (id+7x+y)%2, bsel = (id+x+4y)%2. */
-  def mediaWebpl(docs: DataFrame): DataFrame = {
+  def mediaWebpl(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val id = col("doc_id")
     val w = (pmod(id, lit(5)) + 1).cast("int")
     val h = (pmod(id * 3, lit(4)) + 1).cast("int")
@@ -5360,7 +5422,9 @@ object Multimodal {
     * is deterministic, decode is lossless, so the decode→featurize
     * output is an exact function of the formula — the whole general
     * machinery rides the hashed oracle, not just the spec round-trip. */
-  def mediaWebplRuns(docs: DataFrame): DataFrame = {
+  def mediaWebplRuns(docs0: DataFrame): DataFrame = {
+    // r19: single-split docs fixture - parallelize before the codec seam
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -5384,7 +5448,9 @@ object Multimodal {
     * index image — the graphics-image VP8L mode. Same oracle as
     * [[mediaWebplRuns]] (lossless decode of the same pixels), entirely
     * different machinery under the hash. */
-  def mediaWebplPalette(docs: DataFrame): DataFrame = {
+  def mediaWebplPalette(docs0: DataFrame): DataFrame = {
+    // r19: single-split docs fixture - parallelize before the codec seam
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -5410,7 +5476,11 @@ object Multimodal {
     * the content spatial prediction exists for, with channel
     * correlation the color transform strips. Deterministic encode
     * (per-tile searches), lossless decode ⇒ exact oracle. */
-  def mediaWebplChain(docs: DataFrame): DataFrame = {
+  def mediaWebplChain(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -5501,7 +5571,9 @@ object Multimodal {
     * [[WebmCodec.encodeVp8]]. Same dims/quantizer family as
     * `media_features_vp8`, so the closed form extends by one frame
     * dimension. */
-  def mediaWebmVp8(docs: DataFrame): DataFrame = {
+  def mediaWebmVp8(docs0: DataFrame): DataFrame = {
+    // r19: single-split docs fixture - parallelize before the codec seam
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -5686,7 +5758,11 @@ object Multimodal {
     * for [[mediaEmbedding]]'s oracle and the [[graft.sinks.MediaSink]]
     * streaming ingest twin, defined ONCE so the batch query and the
     * streamed table can never drift apart byte-wise. */
-  def mediaAllFormats(docs: DataFrame): DataFrame = {
+  def mediaAllFormats(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     def off(df: DataFrame, k: Long) = df.select(
       (col("media_id") + lit(k * 100000000000L)).as("media_id"),
       col("payload"))

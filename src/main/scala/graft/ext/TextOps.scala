@@ -55,7 +55,10 @@ object TextOps {
     * many partitions — any real corpus — are returned untouched.
     * (Interpreted higher-order-function work on a single-file scan
     * otherwise serializes on one core regardless of cluster size.) */
-  private[ext] def scanParallel(df: DataFrame): DataFrame = {
+  private[graft] def scanParallel(df: DataFrame): DataFrame = {
+    // streaming guard (r19): .rdd is illegal on a streaming frame; the
+    // micro-batch planner parallelizes its own source splits
+    if (df.isStreaming) return df
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

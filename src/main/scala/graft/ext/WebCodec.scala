@@ -1370,7 +1370,11 @@ object WebCodec {
   }
 
   /** (media_id, payload): the synthesized crawl-2 WARC table. */
-  def webWarcRecrawl(docs: DataFrame): DataFrame = {
+  def webWarcRecrawl(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -1543,7 +1547,11 @@ object WebCodec {
   /** (media_id, payload) synthesized WET archive table. DEAD URLs
     * (r18, id%9==7) have no 200 capture, so no WET conversion record
     * exists for them — exactly Common Crawl's behavior. */
-  def webWet(docs: DataFrame): DataFrame = {
+  def webWet(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.where(col("doc_id") % 9 =!= 7)
@@ -1611,7 +1619,11 @@ object WebCodec {
   // ------------------------------------------------------------------
 
   /** (media_id, payload): the synthesized WARC archive table. */
-  def webWarc(docs: DataFrame): DataFrame = {
+  def webWarc(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -2252,7 +2264,11 @@ object WebCodec {
     * URL path evaluated for [[crawlAgent]] against its domain's PARSED
     * robots.txt (real parse per row — the codec seam), emitting the
     * verdict and the matched rule pattern. */
-  def robotsGate(docs: DataFrame): DataFrame = {
+  def robotsGate(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -2295,7 +2311,11 @@ object WebCodec {
     * per-domain aggregate is bounded by the sitemap spec's 50k-URLs-
     * per-file cap at any corpus size — a real crawl shards into more
     * parts, which this layout already models. */
-  def sitemapTable(docs: DataFrame): DataFrame = {
+  def sitemapTable(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     val parts = docs
@@ -2340,7 +2360,11 @@ object WebCodec {
     * per URL, evaluated against the domain's PARSED robots.txt for
     * [[crawlAgent]]. Output is exactly the frontier a fetcher would
     * enqueue: url + lastmod + allowed + matched rule. */
-  def crawlFrontier(docs: DataFrame): DataFrame = {
+  def crawlFrontier(docs0: DataFrame): DataFrame = {
+    // r19 optimization: the docs fixture is ONE parquet split at every
+    // SF - without a repartition the whole synth+codec chain below
+    // runs on a single core (guide §2.5 input skew)
+    val docs = TextOps.scanParallel(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     val table = sitemapTable(docs)

@@ -141,6 +141,10 @@ ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")),
     // DuckDB use algebraically-equal but differently-rounded interpolation.
     ("q_price_quantiles",
       (s: SparkSession, d: String) =>
+        // r19 note: deliberately NOT scanParallel'd - measured 2.95 -> 3.26 s
+        // with a repartition: exact percentile's partial state is the full
+        // value multiset, so 32 partial buffers cost more to merge than one
+        // single-partition build at this SF
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(

@@ -7743,7 +7743,7 @@ ORDER BY media_id""")),
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         val W = graft.ext.WebCodec
-        docs(s, d)
+        graft.ext.TextOps.scanParallel(docs(s, d))
           .select(col("doc_id").as("media_id"),
             W.htmlCol(col("doc_id"), col("text"), col("lang"),
               col("source")).as("html"))
@@ -7775,7 +7775,7 @@ FROM x ORDER BY media_id""")),
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         val W = graft.ext.WebCodec
-        docs(s, d)
+        graft.ext.TextOps.scanParallel(docs(s, d))
           .select(col("doc_id").as("media_id"),
             W.mainContentStruct(W.htmlCol(col("doc_id"), col("text"),
               col("lang"), col("source"))).as("mc"))
@@ -7818,7 +7818,7 @@ FROM k ORDER BY media_id""")),
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         val W = graft.ext.WebCodec
-        val base = docs(s, d).select(col("doc_id").as("media_id"),
+        val base = graft.ext.TextOps.scanParallel(docs(s, d)).select(col("doc_id").as("media_id"),
           W.urlCol(col("doc_id"), col("lang"), col("source")).as("url"))
         val parts = W.urlParts(col("url")).map { case (n, c) => c.as(n) }
         base.select(col("media_id") +: parts: _*).orderBy("media_id")
@@ -7853,7 +7853,7 @@ FROM webq ORDER BY media_id""")),
           lit(".COM:443/a/./../%64ocs/"), col("doc_id").cast("string"),
           lit("?lang="), col("lang"), lit("&ref=%66eed#frag-"),
           (col("doc_id") % 3).cast("string"))
-        docs(s, d)
+        graft.ext.TextOps.scanParallel(docs(s, d))
           .select(col("doc_id").as("media_id"), alias.as("alias"),
             W.urlCanonicalCol(alias).as("canonical"),
             W.urlCanonicalCol(W.urlCol(col("doc_id"), col("lang"),
@@ -7945,7 +7945,7 @@ FROM d ORDER BY media_id"""
           lit("&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
           lit("&ref=feed&fbclid=x"), col("doc_id").cast("string"),
           lit("#frag"))
-        docs(s, d)
+        graft.ext.TextOps.scanParallel(docs(s, d))
           .select(col("doc_id").as("media_id"), alias.as("alias"),
             W.stripTrackingParamsCol(W.urlCanonicalCol(alias))
               .as("stripped"),

@@ -28,6 +28,22 @@ class PlanShapeSpec extends SparkSuite {
     ("""\((\d+)\) """ + java.util.regex.Pattern.quote(op)).r
       .findAllMatchIn(p).map(_.group(1)).toSet.size
 
+  /** Exchange nodes that move KEYED data — excludes the deliberate
+    * round-robin scan-parallelize repartition (r19: the docs fixture is
+    * one parquet split at every SF, so codec chains repartition the
+    * skinny doc rows once before per-row work; that exchange carries no
+    * key and grows with the INPUT, not with any shuffle key skew, so
+    * the scan-shaped claim is preserved). Counted as: Exchange node ids
+    // minus ids whose Arguments line says RoundRobinPartitioning.
+    */
+  private def keyedExchangeCount(p: String): Int = {
+    val all = """\((\d+)\) Exchange""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    val rr = """\((\d+)\) Exchange\s*\nInput[^\n]*\nArguments: RoundRobinPartitioning"""
+      .r.findAllMatchIn(p).map(_.group(1)).toSet
+    (all -- rr).size
+  }
+
   test("q5_nation_revenue: dimensions broadcast, no nested loop") {
     val p = plan("q5_nation_revenue")
     assert(p.contains("BroadcastHashJoin"))
@@ -464,8 +480,9 @@ class PlanShapeSpec extends SparkSuite {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join:\n$p")
       assert(!p.contains("Window"), s"$q must not window")
-      assert(nodeCount(p, "Exchange") <= 2,
-        s"$q: only the feature aggregate + final sort may exchange:\n$p")
+      assert(keyedExchangeCount(p) <= 2,
+        s"$q: only the feature aggregate + final sort may move keyed " +
+          s"data (the round-robin scan-parallelize seam is exempt):\n$p")
     }
   }
 
@@ -488,7 +505,7 @@ class PlanShapeSpec extends SparkSuite {
       // (expand) aggregate — keyed by domain throughout, so both
       // shuffles stay long-only and partition-bounded at 100 TB
       val cap = if (q == "web_domain_stats") 3 else 2
-      assert(nodeCount(p, "Exchange") <= cap,
+      assert(keyedExchangeCount(p) <= cap,
         s"$q: only the rollup + final sort may exchange:\n$p")
     }
     // the pure-Column chains must stay projection-only (codegen-able
