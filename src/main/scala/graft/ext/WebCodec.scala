@@ -212,7 +212,12 @@ object WebCodec {
         if (n > 0) {
           if (buf.size() + n > MaxInflatedMember) return None // bomb cap
           buf.write(chunk, 0, n)
-        } else if (inf.needsInput()) return None // truncated stream
+        } else if (!inf.finished() && inf.needsInput()) return None // truncated
+        // (a zero-output FINAL call is legal: an empty payload, or an
+        // inflated size that is an exact multiple of the 8 KiB chunk,
+        // ends with inflate() == 0 and finished() == true — the while
+        // condition exits; only a 0 with the stream UNfinished and the
+        // input exhausted is a truncation)
       }
       if (inf.getRemaining != 0) return None // trailing bytes
       Some(buf.toByteArray)

@@ -288,6 +288,14 @@ class WebCodecSpec extends SparkSuite {
     assert(inflateZlib(zlibDeflate(data) ++ Array[Byte](1)).isEmpty) // trailing
     assert(inflateZlib(zlibDeflate(data).dropRight(2)).isEmpty) // truncated
     assert(inflateZlib(gzipStored(data)).isEmpty) // gzip bytes ≠ zlib
+    // zero-output final inflate() calls are NOT truncation (r19: an empty
+    // text/plain deflate capture, and any payload inflating to an exact
+    // multiple of the 8 KiB inflate chunk, both end with inflate() == 0
+    // and finished() == true — the old needsInput check poisoned them)
+    assert(inflateZlib(zlibDeflate(Array.emptyByteArray))
+      .exists(_.isEmpty))
+    val exact8k = Array.fill[Byte](8192 * 2)(7)
+    assert(inflateZlib(zlibDeflate(exact8k)).exists(_.sameElements(exact8k)))
     // unknown coding poisons
     assert(parseHttpResponse(
       ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
