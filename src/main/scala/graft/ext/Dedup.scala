@@ -191,8 +191,15 @@ object Dedup {
         .as(Seq("band_id", "band_hash")))
 
   def lshCandidates(signed: DataFrame): DataFrame = {
-    val a = banded(signed).as("a")
-    val b = banded(signed).as("b")
+    // persist the banding before the self-join (r19 optimization, guide
+    // §2.4): both join sides derive from the same frame, so the 96-hash
+    // MinHash signature + band slicing otherwise computes twice. The
+    // banded frame is skinny by design (three longs per (doc, band) row,
+    // `bands`× the rep count) — exactly what [[graft.sinks.DedupIndex]]
+    // persists durably for the same reason.
+    val bd = cached(banded(signed))
+    val a = bd.as("a")
+    val b = bd.as("b")
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&

@@ -241,15 +241,21 @@ object Lm {
           .cast(LpDec).as("lp"))
     val first = tl.where(size(col("ts")) >= 1)
       .select(col("doc_id"), element_at(col("ts"), 1).as("t"))
-    val su = first.join(ulp, "t")
-      .groupBy("doc_id").agg(sum("lp").as("s1"), count(lit(1)).as("c1"))
-    val sb = bg.join(blp, Seq("a", "b"))
-      .groupBy("doc_id").agg(sum("lp").as("s2"), count(lit(1)).as("c2"))
+    // ONE doc-keyed aggregate over the UNION of both levels' scored
+    // rows (r19 optimization, guide §2.4): the per-level groupBys were
+    // already partial-aggregated map-side, but each paid its own
+    // doc-keyed exchange and the levels then re-joined on doc_id —
+    // three doc-keyed stages where one suffices. Decimal sums are
+    // order-free, so the union changes nothing about the result: every
+    // doc with ≥ 1 token has a first-token row (the unigram join key
+    // always hits — ulp is built from the same corpus), and bigram
+    // rows simply add in.
     report(
-      su.join(sb, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (col("s1") + coalesce(col("s2"), lit(0).cast(LpDec))).as("slp"),
-          (col("c1") + coalesce(col("c2"), lit(0L))).as("n_tokens")))
+      first.join(ulp, "t").select(col("doc_id"), col("lp"))
+        .unionByName(bg.join(blp, Seq("a", "b"))
+          .select(col("doc_id"), col("lp")))
+        .groupBy("doc_id")
+        .agg(sum("lp").as("slp"), count(lit(1)).as("n_tokens")))
   }
 
   /** Interpolated Kneser–Ney bigram perplexity — the canonical n-gram
@@ -338,15 +344,16 @@ object Lm {
     val f = knFrames(tl)
     val blp = f.p2tab.select(col("a"), col("b"),
       log(col("p2")).cast(LpDec).as("lp"))
-    val su = knFirstLp(tl, f).groupBy("doc_id")
-      .agg(sum("lp").as("s1"), count(lit(1)).as("c1"))
-    val sb = f.bg.join(blp, Seq("a", "b"))
-      .groupBy("doc_id").agg(sum("lp").as("s2"), count(lit(1)).as("c2"))
+    // one doc-keyed aggregate over the union of both levels — see the
+    // perplexityBigram comment (guide §2.4; result identical: order-free
+    // decimal sums, and knFirstLp already yields a row for every doc
+    // with ≥ 1 token)
     report(
-      su.join(sb, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (col("s1") + coalesce(col("s2"), lit(0).cast(LpDec))).as("slp"),
-          (col("c1") + coalesce(col("c2"), lit(0L))).as("n_tokens")))
+      knFirstLp(tl, f).select(col("doc_id"), col("lp"))
+        .unionByName(f.bg.join(blp, Seq("a", "b"))
+          .select(col("doc_id"), col("lp")))
+        .groupBy("doc_id")
+        .agg(sum("lp").as("slp"), count(lit(1)).as("n_tokens")))
   }
 
   /** Trigram interpolated Kneser–Ney — the full recursive chain:
@@ -399,18 +406,19 @@ object Lm {
     val second = tl.where(size(col("ts")) >= 2)
       .select(col("doc_id"), element_at(col("ts"), 1).as("a"),
         element_at(col("ts"), 2).as("b"))
-    val s1 = knFirstLp(tl, f).groupBy("doc_id")
-      .agg(sum("lp").as("s1"), count(lit(1)).as("c1"))
-    val s2 = second.join(blp2, Seq("a", "b"))
-      .groupBy("doc_id").agg(sum("lp").as("s2"), count(lit(1)).as("c2"))
-    val s3 = tg.join(tlp, Seq("a", "b", "c"))
-      .groupBy("doc_id").agg(sum("lp").as("s3"), count(lit(1)).as("c3"))
+    // one doc-keyed aggregate over the union of all three levels — see
+    // the perplexityBigram comment (guide §2.4): the three per-level
+    // groupBys paid three doc-keyed exchanges and two doc-keyed outer
+    // joins; the union pays one exchange and the map-side partial
+    // aggregate compacts each level's rows before it. Order-free
+    // decimal sums make the result identical.
     report(
-      s1.join(s2, Seq("doc_id"), "left").join(s3, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (col("s1") + coalesce(col("s2"), lit(0).cast(LpDec))
-            + coalesce(col("s3"), lit(0).cast(LpDec))).as("slp"),
-          (col("c1") + coalesce(col("c2"), lit(0L))
-            + coalesce(col("c3"), lit(0L))).as("n_tokens")))
+      knFirstLp(tl, f).select(col("doc_id"), col("lp"))
+        .unionByName(second.join(blp2, Seq("a", "b"))
+          .select(col("doc_id"), col("lp")))
+        .unionByName(tg.join(tlp, Seq("a", "b", "c"))
+          .select(col("doc_id"), col("lp")))
+        .groupBy("doc_id")
+        .agg(sum("lp").as("slp"), count(lit(1)).as("n_tokens")))
   }
 }

@@ -1149,10 +1149,18 @@ object TextAnalysis {
     * distinct so hot shingles count once per source pair. Everything
     * after the join is |sources|²-sized. */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val grams = scanParallel(docs)
+    // persist the distinct (source, shingle) frame (r19 optimization,
+    // guide §2.4): it feeds the size aggregate AND both sides of the
+    // inverted-index self-join, so the unfenced plan ran the tokenize →
+    // shingle-explode → DISTINCT SHUFFLE pipeline three times. persist
+    // (not localCheckpoint): recomputable on eviction, spills to disk.
+    // 100 TB posture unchanged — this exact operator is already
+    // documented as the non-scale path (sourceOverlapSketch is the
+    // bounded-sketch twin); the fence only removes duplicate passes.
+    val grams = Dedup.cached(scanParallel(docs)
       .select(col("source"), wsTokens(lower(col("text"))).as("ts"))
       .select(col("source"), explode(shingles(col("ts"), 3)).as("g"))
-      .distinct()
+      .distinct())
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val a = grams.select(col("source").as("src_a"), col("g"))
     val b = grams.select(col("source").as("src_b"), col("g").as("g2"))
@@ -1202,12 +1210,19 @@ object TextAnalysis {
     * the sketch-size invariant. */
   def sourceOverlapSketch(
       docs: DataFrame, k: Int = 256, safety: Int = 4): DataFrame = {
-    val grams = scanParallel(docs)
+    // same fence rationale as [[sourceOverlap]] (r19): grams feeds the
+    // size aggregate and the sketch build; sketches feeds BOTH sides of
+    // the pair frame — unfenced, the shingle-hash distinct pipeline ran
+    // four times (12 parquet scans / 48 exchanges in the sf0.01 plan).
+    // Unlike the exact operator, the fences here are scale-safe: grams
+    // persists only until the two consumers run, and sketches is
+    // |sources| rows by construction.
+    val grams = Dedup.cached(scanParallel(docs)
       .select(col("source"), wsTokens(lower(col("text"))).as("ts"))
       .select(col("source"), explode(shingles(col("ts"), 3)).as("g"))
       .select(col("source"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("hv"))
-      .distinct()
+      .distinct())
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_sh"))
     // coarse prefilter threshold: full range when the source fits in
     // safety·k (its sketch is then its complete hash set). 2⁶⁰ and the
@@ -1219,14 +1234,14 @@ object TextAnalysis {
           col("n_sh")).cast("long")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("hv"))
-    val sketches = grams
+    val sketches = Dedup.cached(grams
       .join(broadcast(thr), Seq("source"))
       .where(col("hv") < col("thr"))
       .withColumn("rn", row_number().over(w)) // ≤ ~safety·k rows/source
       .where(col("rn") <= k)
       .groupBy("source")
       .agg(sort_array(collect_list(col("hv"))).as("sk"))
-      .join(broadcast(sizes), Seq("source"))
+      .join(broadcast(sizes), Seq("source")))
     val a = sketches.select(col("source").as("src_a"), col("sk").as("ska"),
       col("n_sh").as("n_a"))
     val b = sketches.select(col("source").as("src_b"), col("sk").as("skb"),
