@@ -31,4 +31,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Long-session codegen discipline (r20, guide §1/§7): a session that
+  // plans many DISTINCT queries (Bench runs 295 twice: warm-up + timed)
+  // overflows Spark's generated-code cache at its 100-entry default, so
+  // the timed pass re-Janino-compiles every fragment the warm-up pass
+  // already compiled — measured as the same query running up to 2×
+  // slower inside the 295-query session than standalone (where one
+  // query's fragments fit in 100). Sized to hold the whole suite's
+  // fragments; scale-independent (driver-side planning cost only, and a
+  // real cluster's driver would want the same for a 295-query workload).
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
+  // The generated classes are also JIT-compiled; at the JDK-17 default
+  // 240 MB ReservedCodeCacheSize the profiled segment saturates mid-
+  // suite (observed 101/118 MB with sweeper churn), flushing warm
+  // methods that then re-warm inside timed queries.
+  "-XX:ReservedCodeCacheSize=512m",
 )

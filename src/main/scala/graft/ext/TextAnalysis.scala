@@ -1149,18 +1149,18 @@ object TextAnalysis {
     * distinct so hot shingles count once per source pair. Everything
     * after the join is |sources|²-sized. */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    // persist the distinct (source, shingle) frame (r19 optimization,
-    // guide §2.4): it feeds the size aggregate AND both sides of the
-    // inverted-index self-join, so the unfenced plan ran the tokenize →
-    // shingle-explode → DISTINCT SHUFFLE pipeline three times. persist
-    // (not localCheckpoint): recomputable on eviction, spills to disk.
-    // 100 TB posture unchanged — this exact operator is already
-    // documented as the non-scale path (sourceOverlapSketch is the
-    // bounded-sketch twin); the fence only removes duplicate passes.
-    val grams = Dedup.cached(scanParallel(docs)
+    // UNFENCED by design (r20, reverting the r19 persist): the distinct
+    // (source, shingle) frame is CORPUS-SIZED, so materializing it costs
+    // more than the scan-shaped recompute it saves (measured: 1.52 s
+    // unfenced r18 vs 2.73 s fenced r19 in the driver bench, ~15% slower
+    // even calibrated) and would spill at 100 TB — the same
+    // corpus-sized-frame rule that keeps perplexity token frames
+    // unfenced. The sketch twins keep their fences: their frames are
+    // |sources|·k-bounded.
+    val grams = scanParallel(docs)
       .select(col("source"), wsTokens(lower(col("text"))).as("ts"))
       .select(col("source"), explode(shingles(col("ts"), 3)).as("g"))
-      .distinct())
+      .distinct()
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val a = grams.select(col("source").as("src_a"), col("g"))
     val b = grams.select(col("source").as("src_b"), col("g").as("g2"))
