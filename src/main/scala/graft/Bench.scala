@@ -317,7 +317,19 @@ object Bench {
         "[bench] WARNING: bench_queries.json exists but parsed to an empty " +
           "prior map — the relative outlier re-measure trigger is disabled " +
           "this run")
-    val firstPass = names.map(n => n -> force(n, sfDir))
+    // Per-SEGMENT calibration probes (r20, VERDICT r19 item 7,
+    // additions-only): r19 burned real effort proving deltas through a
+    // 1.5× host drift WITHIN one run. One probe (the same pinned
+    // workload as the headline median-of-3) every 50 queries during the
+    // timed pass lets a reader window-normalize per-query numbers. The
+    // probes run BETWEEN query timings, so no per-query value includes
+    // one; the existing keys are untouched.
+    val segCal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val firstPass = names.zipWithIndex.map { case (n, i) =>
+      if (i % 50 == 0) segCal(i.toString) = calibrate()
+      n -> force(n, sfDir)
+    }
+    segCal(names.length.toString) = calibrate()
     // Outlier re-measure, two triggers (min-of-2 on flagged queries only,
     // so the pass stays cheap and ordinary timings remain single-shot;
     // first-pass values are recorded alongside for transparency):
@@ -398,8 +410,10 @@ object Bench {
     // The full per-query map also goes to a FILE the judge can read
     // directly — the driver's bounded tail capture clipped 31 of 89
     // per-query timings out of BENCH_r04.json (VERDICT r4 item 6).
+    val sc = segCal.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fileJson =
-      s"""{"queries":$qs,"outlier_first_timings":$rr,"artifact_builds":$ab,"artifact_builds_total":$buildTotal,$trend,"memo_served":${memoServed.map("\"" + _ + "\"").mkString("[", ",", "]")},"calibration_sec":$calibration,"calibration_workload":"4M-row parquet scan + broadcast join(97) + string-keyed agg, noop sink, median-of-3","metric":"total","value":$total,"value_with_builds":$totalWithBuilds,"total_calibrated":$totalCalibrated,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"queries":$qs,"outlier_first_timings":$rr,"artifact_builds":$ab,"artifact_builds_total":$buildTotal,$trend,"memo_served":${memoServed.map("\"" + _ + "\"").mkString("[", ",", "]")},"calibration_segments":$sc,"calibration_sec":$calibration,"calibration_workload":"4M-row parquet scan + broadcast join(97) + string-keyed agg, noop sink, median-of-3","metric":"total","value":$total,"value_with_builds":$totalWithBuilds,"total_calibrated":$totalCalibrated,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
     val outFile = if (sfMismatch) sideFile else "bench_queries.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

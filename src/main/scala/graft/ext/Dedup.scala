@@ -531,18 +531,34 @@ object Dedup {
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .transform(checkpointed)
-    // one job per round: persist, then let the convergence aggregate
-    // materialize the cache. The fixpoint test sums labels as
-    // decimal(38,0): labels are monotone non-increasing, so an unchanged
-    // sum is exact — but only if the sum itself cannot wrap. A Long sum
-    // over billions of 64-bit ids overflows (ANSI: job failure; non-ANSI:
-    // two distinct label vectors could collide mod 2^64); decimal(38,0)
-    // holds ~10^38 ≫ |V|·2^63 for any realistic corpus.
+    // one job per round: persist, then materialize the cache with a
+    // noop write whose OBSERVED metric is the convergence sum (r20,
+    // guide §2.4 — the r19 shape ran a separate agg over the fresh
+    // cache, paying a final-agg exchange + collect per round; an
+    // Observation rides the materializing job itself, so the round's
+    // last stage IS the fixpoint test). The test sums labels as
+    // decimal(38,0): labels are monotone non-increasing, so an
+    // unchanged sum is exact — but only if the sum itself cannot wrap.
+    // A Long sum over billions of 64-bit ids overflows (ANSI: job
+    // failure; non-ANSI: two distinct label vectors could collide mod
+    // 2^64); decimal(38,0) holds ~10^38 ≫ |V|·2^63 for any realistic
+    // corpus.
     def materialize(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val p = cached(df)
-      val s = Option(p.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0))
-        .map(_.asInstanceOf[java.math.BigDecimal])
-        .getOrElse(java.math.BigDecimal.ZERO)
+      val obs = org.apache.spark.sql.Observation()
+      p.observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      // strict on the metric's runtime type: silently defaulting a
+      // mis-typed value to ZERO would fake instant convergence and
+      // ship wrong labels — fail loudly instead. A genuinely absent
+      // sum (empty graph) is the old head().get(0) == null case.
+      val s = obs.get.get("s") match {
+        case Some(d: java.math.BigDecimal) => d
+        case Some(d: scala.math.BigDecimal) => d.bigDecimal
+        case None | Some(null) => java.math.BigDecimal.ZERO
+        case Some(other) => throw new IllegalStateException(
+          s"convergence metric has unexpected type ${other.getClass}")
+      }
       (p, s)
     }
     // round 0 folded into init: label = min(id, min neighbor). Same
@@ -555,15 +571,22 @@ object Dedup {
     var it = 0
     var converged = false // an empty graph self-converges on round 1
     while (!converged && it < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("label").as("nbr")), "v")
-        .groupBy("u").agg(min("nbr").as("nbr_min"))
       val jump = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      // min(own label, neighbor labels) as ONE aggregate over the union
+      // of the self rows and the neighbor-join rows (r20, guide §2.4):
+      // the r19 shape computed nbr_min in its own groupBy(u) exchange
+      // and then LEFT-joined it back onto labels — a second id-keyed
+      // exchange per round for what one union + groupBy expresses.
+      // Identical labels: every id contributes its self row, so the
+      // aggregate is least(label, min nbr) with the coalesce-on-no-
+      // neighbor case falling out of the union for free.
+      val l1 = edges
+        .join(labels.select(col("id").as("v"), col("label").as("cand")), "v")
+        .select(col("u").as("id"), col("cand"))
+        .unionByName(labels.select(col("id"), col("label").as("cand")))
+        .groupBy("id").agg(min("cand").as("l1"))
       val plan =
-        labels
-          .join(nbrMin, labels("id") === nbrMin("u"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("l1"))
+        l1
           // every label value is itself a node id (labels start as ids and
           // only min-combine), so the jump join is inner and total
           .join(jump, col("l1") === col("jid"))
