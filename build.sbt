@@ -43,7 +43,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.codegen.cache.maxEntries=8192",
   // The generated classes are also JIT-compiled; at the JDK-17 default
   // 240 MB ReservedCodeCacheSize the profiled segment saturates mid-
-  // suite (observed 101/118 MB with sweeper churn), flushing warm
-  // methods that then re-warm inside timed queries.
+  // suite (observed 101/118 MB with sweeper churn). An attribution A/B
+  // measured this flag alone as NEUTRAL on the suite total (the codegen
+  // cache above is the load-bearing fix) — kept as headroom because the
+  // larger codegen cache retains more generated classes for the JIT to
+  // compile over a long session.
   "-XX:ReservedCodeCacheSize=512m",
 )
