@@ -296,9 +296,6 @@ object Lm {
     // (continuation counts, totals, the p2 table) and p2tab feeds two
     // or three more per KN order - fence both so the bigram-type
     // shuffle and the p2 join pipeline run once each
-    val toks = tl.select(col("doc_id"), explode(col("ts")).as("t"))
-    val vsz = toks.groupBy("t").agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("vsz"))
     val bg = tl
       .select(col("doc_id"),
         explode(when(size(col("ts")) >= 2,
@@ -315,6 +312,21 @@ object Lm {
       .agg(sum("nab").as("na"), count(lit(1)).as("n1a"))
     val cw = cb.groupBy("b").agg(count(lit(1)).as("n1b"))
     val btot = cb.agg(count(lit(1)).as("btypes"))
+    // vocabulary size WITHOUT a corpus-wide token groupBy (r20, guide
+    // §2.3/§2.4): every token of every doc either stands adjacent to
+    // another token — and then appears as `a` or `b` of some bigram
+    // TYPE, all of which the fenced cb already holds — or is the sole
+    // token of its document. So |vocab| = |distinct(cb.a ∪ cb.b ∪
+    // first-token-of-1-token-docs)|: the r19 shape re-tokenized and
+    // exchange-grouped EVERY corpus token just to count distinct types;
+    // this shuffles 2·|bigram types| + |1-token docs| rows instead.
+    // The count is provably identical, so every smoothed probability
+    // (knPcDen reads vsz) is bit-identical.
+    val vsz = cb.select(col("a").as("t"))
+      .unionByName(cb.select(col("b").as("t")))
+      .unionByName(tl.where(size(col("ts")) === 1)
+        .select(element_at(col("ts"), 1).as("t")))
+      .agg(count_distinct(col("t")).as("vsz"))
     // the bigram KN probability as ONE reusable DOUBLE column — both
     // engines (and both KN orders) compose the identical IEEE value
     val p2tab = cb.join(cc, "a").join(cw, "b")
